@@ -1,0 +1,234 @@
+"""Window / time-series operators (SURVEY §2.B "Window / time-series").
+
+Reference semantics reproduced (file:line cites into /root/reference):
+- rolling mean over fixed row counts — ontology ttl:510-516 (FTP = 1200-row
+  rolling mean), ttl:536-541 (mean-max curve), yaml:309-310 (MA20/MA50).
+- cumulative sum per group — web_app/app.py:381-383.
+- pct_change — default_prompts.yaml:308.
+- elapsed time within group — ttl:329.
+- fixed-width segmentation with incomplete-trailing-bucket → NULL —
+  ttl:589-648 (determine_segments_function).
+- dense re-ranking of IDs by first timestamp — web_app/app.py:354-373.
+- session windows / as-of joins are rebuild extensions (SURVEY §2.B notes,
+  §4 item 3), natural for the telemetry domain.
+
+All operators partition by a key column — at 100 TB the window shuffle is the
+dominant cost, so every op takes an explicit ``partition_by`` and reuses one
+``Window`` spec; downstream ops over the same key reuse the same shuffle
+(Spark reuses the exchange when the partitioning matches).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from bambooai_spark.numeric import col_of, dec, epoch_us
+
+
+def _ordered_window(partition_by, order_by) -> WindowSpec:
+    pb = [partition_by] if isinstance(partition_by, (str, Column)) else list(partition_by)
+    ob = [order_by] if isinstance(order_by, (str, Column)) else list(order_by)
+    return Window.partitionBy(*pb).orderBy(*ob)
+
+
+def rolling_mean(
+    value: str | Column,
+    partition_by,
+    order_by,
+    n_rows: int,
+    *,
+    centered: bool = False,
+    scale: int = 2,
+    out_scale: int = 6,
+) -> Column:
+    """Rolling mean over the trailing ``n_rows`` rows (reference ttl:510-516).
+
+    ``centered=True`` matches pandas ``rolling(center=True)`` (ttl:338-339).
+    Exact decimal sum / window count → deterministic across partitionings.
+    """
+    if centered:
+        frame = (-(n_rows // 2), n_rows - n_rows // 2 - 1)
+    else:
+        frame = (-(n_rows - 1), 0)
+    w = _ordered_window(partition_by, order_by).rowsBetween(*frame)
+    return F.round(
+        F.sum(dec(value, scale)).over(w).cast("double")
+        / F.count(col_of(value)).over(w),
+        out_scale,
+    )
+
+
+def rolling_mean_max(
+    df: DataFrame,
+    value: str,
+    partition_by: str,
+    order_by: str,
+    n_rows: int,
+    scale: int = 2,
+) -> DataFrame:
+    """Mean-max: the max over the partition of the n-row rolling mean
+    (reference ttl:536-541 — best 20-min power etc.)."""
+    rolled = rolling_mean(value, partition_by, order_by, n_rows, scale=scale)
+    return (
+        df.withColumn("_rolled", rolled)
+        # incomplete leading windows excluded, as the reference's rolling()
+        # yields NaN for the first n-1 rows
+        .withColumn(
+            "_rn", F.row_number().over(_ordered_window(partition_by, order_by))
+        )
+        .filter(F.col("_rn") >= n_rows)
+        .groupBy(partition_by)
+        .agg(F.max("_rolled").alias(f"mean_max_{value}"))
+    )
+
+
+def cumulative_sum(
+    value: str | Column, partition_by, order_by, *, scale: int = 2, out_scale: int = 2
+) -> Column:
+    """Running total per group (reference web_app/app.py:381-383)."""
+    w = _ordered_window(partition_by, order_by).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return F.round(F.sum(dec(value, scale)).over(w).cast("double"), out_scale)
+
+
+def pct_change(
+    value: str | Column, partition_by, order_by, *, out_scale: int = 6
+) -> Column:
+    """value / lag(value) - 1 (reference yaml:308, daily returns)."""
+    w = _ordered_window(partition_by, order_by)
+    return F.round(col_of(value) / F.lag(col_of(value), 1).over(w) - 1, out_scale)
+
+
+def elapsed_seconds(ts: str | Column, partition_by, *, out_scale: int = 6) -> Column:
+    """Seconds since the group's first timestamp (reference ttl:329).
+
+    Integer epoch-micros subtraction then one double division — exact.
+    """
+    pb = [partition_by] if isinstance(partition_by, (str, Column)) else list(partition_by)
+    w = Window.partitionBy(*pb)
+    return F.round(
+        (epoch_us(ts) - F.min(epoch_us(ts)).over(w)) / F.lit(1000000.0), out_scale
+    )
+
+
+def determine_segments(
+    df: DataFrame,
+    measure: str | Column,
+    partition_by: str,
+    segment_width: float,
+    *,
+    out_col: str = "segment_id",
+) -> DataFrame:
+    """Fixed-width bucketing with the reference's incomplete-trailing-bucket
+    rule (ttl:589-648): ``segment = floor(measure / width)``, NULL when the
+    segment index reaches ``floor(group_max / width)`` (the trailing partial
+    segment is not a complete segment).
+
+    The reference does this with ``groupby().apply``; here it collapses to
+    two window-free expressions plus one partition-only window — no UDF,
+    single shuffle on the group key.
+    """
+    m = col_of(measure)
+    w = Window.partitionBy(partition_by)
+    seg = F.floor(m / F.lit(segment_width))
+    complete = F.floor(F.max(m).over(w) / F.lit(segment_width))
+    return df.withColumn(out_col, F.when(seg < complete, seg).otherwise(F.lit(None)))
+
+
+def dense_reid_by_first_ts(
+    df: DataFrame, id_col: str, ts_col: str, *, out_col: str = "new_id"
+) -> DataFrame:
+    """Re-number IDs 1..n by each ID's first timestamp (reference
+    web_app/app.py:354-373, transform_sweatstack_longitudinal_data).
+
+    Aggregates to one row per ID before ranking, so the global window sees
+    |distinct ids| rows, not |rows| — the global sort is on a tiny relation.
+    """
+    firsts = df.groupBy(id_col).agg(F.min(ts_col).alias("_first_ts"))
+    ranked = firsts.withColumn(
+        out_col, F.dense_rank().over(Window.orderBy("_first_ts", id_col))
+    ).drop("_first_ts")
+    return df.join(F.broadcast(ranked), id_col)
+
+
+def sessionize(
+    df: DataFrame,
+    ts: str,
+    partition_by: str,
+    gap_seconds: int,
+    *,
+    order_tiebreak: str | None = None,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since the
+    previous event exceeds ``gap_seconds``. Classic lag + running-sum; one
+    shuffle on the partition key. (Streaming equivalent:
+    ``session_window(ts, gap)`` — streaming/events.py.)"""
+    ob = [ts] + ([order_tiebreak] if order_tiebreak else [])
+    w = _ordered_window(partition_by, ob)
+    prev = F.lag(epoch_us(ts), 1).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((epoch_us(ts) - prev) > gap_seconds * 1000000), 1
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col, F.sum(new_sess).over(wsum))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of (most-recent-prior) join: for each left row, attach the right row
+    with the greatest ``right_ts <= left_ts`` within the same key.
+
+    Spark-first implementation — the *union-merge* trick (SURVEY §2.B joins):
+    union both sides tagged, sort within key by time, and carry the last
+    non-null right value forward with ``last(..., ignorenulls=True)``. One
+    shuffle on the key, no row explosion — at 100 TB this beats the naive
+    join+filter+argmax (which explodes to |left|×|matching right| rows).
+
+    Ties on ``right_ts``: the row with the greatest ``tiebreak`` wins
+    (rows sorted so the winner is last before the event).
+    """
+    lcols = left.columns
+    tb = tiebreak or right_value_cols[0]
+    r = right.select(
+        F.col(right_on).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.col(tb).alias("_tb"),
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("_rv"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    l = left.select(
+        F.col(left_on).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_tb"].dataType).alias("_tb"),
+        F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
+        *[F.col(c) for c in lcols],
+    )
+    # order: time, then right rows before left rows at the same instant
+    # (<= semantics), then tiebreak so the winning right row is last.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side", "_tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r.unionByName(l).withColumn(
+        "_last_rv", F.last("_rv", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("_side") == 1).select(
+        *lcols,
+        *[F.col(f"_last_rv.{c}").alias(c) for c in right_value_cols],
+    )
+    return out

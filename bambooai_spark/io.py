@@ -1,0 +1,85 @@
+"""Table loading — the reference's ingestion operators (SURVEY §2.A A1-A5)
+re-expressed as ``spark.read`` with explicit schema capture.
+
+Reference behavior being reproduced:
+- ``web_app/app.py:205-223`` (CSV scan + datetime coercion) →
+  ``spark.read.csv(header, inferSchema)`` + ``to_timestamp``.
+- ``web_app/app.py:226-244`` (Parquet scan + tz strip) →
+  ``spark.read.parquet`` with session TZ pinned to UTC.
+
+Scale notes: only parquet *footers* are read for schema (pyarrow); data reads
+are lazy and columnar so Catalyst prunes columns/partitions. A 100 TB table
+is a directory of many files — we inspect a single footer for timestamp-unit
+detection, never data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bambooai_spark.session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _first_parquet_file(path: str) -> str | None:
+    if os.path.isfile(path):
+        return path
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    return os.path.join(root, f)
+    return None
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS): Spark surfaces them as raw
+    long nanos (with ``nanosAsLong``); we convert them back to timestamps.
+    Footer-only read — O(KB) regardless of table size."""
+    f = _first_parquet_file(path)
+    if f is None:
+        return []
+    schema = pq.read_schema(f)
+    out = []
+    for field in schema:
+        t = field.type
+        if str(t).startswith("timestamp[ns"):
+            out.append(field.name)
+    return out
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with timestamps normalized to TimestampType.
+
+    Nanosecond columns are floored to microseconds with integer division
+    (``DIV 1000``) — exactly DuckDB's ns→us truncation, so both engines see
+    identical instants.
+    """
+    apply_runtime_confs(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_columns(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] | list[str] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}

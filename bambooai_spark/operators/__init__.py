@@ -1,0 +1,35 @@
+"""Scale-out LLM-data-pipeline operators (BASELINE north-star: dedup,
+similarity search, text analysis, multimodal — each designed for 100 TB).
+
+The reference's only dedup is the episodic-memory upsert at cosine ≥0.94
+(qa_retrieval.py:146-202) and its only similarity search is a top-k vector
+query (qa_retrieval.py:100-144), both driver-side over a handful of records.
+These modules are the distributed versions of those semantics over full
+tables.
+"""
+
+from bambooai_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_near_dup,
+    minhash_signatures,
+    minhash_near_dup,
+    simhash,
+    embedding_near_dup,
+)
+from bambooai_spark.operators.similarity import (
+    knn_brute_force,
+    knn_lsh,
+    label_centroids,
+)
+
+__all__ = [
+    "exact_dedup",
+    "jaccard_near_dup",
+    "minhash_signatures",
+    "minhash_near_dup",
+    "simhash",
+    "embedding_near_dup",
+    "knn_brute_force",
+    "knn_lsh",
+    "label_centroids",
+]

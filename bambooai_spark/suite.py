@@ -1,0 +1,1064 @@
+"""Query suite — the graded operator inventory (SURVEY.md §2) as paired
+(PySpark builder, DuckDB oracle SQL) definitions.
+
+Every spec keeps the Spark plan and the ANSI-SQL oracle *semantically
+identical*, including the numeric policy (numeric.py): exact decimal sums,
+integer epoch-micros time math, double division at the edge, one final ROUND.
+Output schemas avoid temporal types (strings / epoch bigints instead) and
+cast derived integers to BIGINT so value hashing is representation-stable.
+
+Specs marked ``headline`` form the bench.py suite at sf0.1.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from bambooai_spark.io import load_table
+from bambooai_spark.numeric import dec, dsum, dmean, epoch_us
+from bambooai_spark.functions.timeseries import (
+    rolling_mean,
+    cumulative_sum,
+    pct_change,
+    determine_segments,
+    sessionize,
+    asof_join,
+)
+from bambooai_spark.functions.aggregates import (
+    group_index,
+    summary_stats,
+    exact_corr,
+    regr_slope_exact,
+)
+from bambooai_spark.functions.text import (
+    tokens,
+    token_stats,
+    quality_features,
+    lang_scores,
+    predict_lang,
+    fingerprint,
+    LANG_MARKERS,
+    LANG_ORDER,
+)
+from bambooai_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_near_dup,
+    minhash_near_dup,
+    simhash,
+    embedding_near_dup,
+)
+from bambooai_spark.operators.similarity import (
+    knn_brute_force,
+    knn_lsh,
+    label_centroids,
+)
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    headline: bool = False
+    doc: str = ""
+
+
+SPECS: list[QuerySpec] = []
+
+
+def spec(name: str, oracle: str | None, headline: bool = False, doc: str = ""):
+    def wrap(fn):
+        SPECS.append(QuerySpec(name, fn, oracle, headline, doc))
+        return fn
+
+    return wrap
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---- shared SQL fragments (keep the oracle in lockstep with numeric.py) ----
+
+D2 = "DECIMAL(18,2)"
+_DISC_PRICE = (
+    f"CAST(CAST(l_extendedprice AS {D2}) * (1 - CAST(l_discount AS {D2}))"
+    " AS DECIMAL(18,4))"
+)
+_CHARGE = f"CAST({_DISC_PRICE} * (1 + CAST(l_tax AS {D2})) AS DECIMAL(18,6))"
+_SUM_REV = f"ROUND(CAST(SUM({_DISC_PRICE}) AS DOUBLE), 2)"
+
+
+def _disc_price():
+    return (
+        dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    ).cast("decimal(18,4)")
+
+
+def _charge():
+    return (_disc_price() * (F.lit(1) + dec("l_tax"))).cast("decimal(18,6)")
+
+
+# =====================================================================
+# Relational / star-schema queries (reference §2.B: filters, group-agg,
+# joins, sorts, top-k — the pandas surface the LLM emits, on Spark)
+# =====================================================================
+
+
+@spec(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS {D2})) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS {D2})) AS DOUBLE) AS sum_base_price,
+           {_SUM_REV}                                          AS sum_disc_price,
+           ROUND(CAST(SUM({_CHARGE}) AS DOUBLE), 2)            AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS {D2})) AS DOUBLE) / COUNT(l_quantity), 6)      AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS {D2})) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS {D2})) AS DOUBLE) / COUNT(l_discount), 6)      AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    doc="TPC-H Q1 shape — the canonical scan→filter→group-agg. One pass, "
+    "partial aggregation map-side; filter and the 7-column projection push "
+    "into the parquet scan.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(_disc_price()).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(_charge()).cast("double"), 2).alias("sum_charge"),
+            dmean("l_quantity").alias("avg_qty"),
+            dmean("l_extendedprice").alias("avg_price"),
+            dmean("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@spec(
+    "q3_top_orders",
+    f"""
+    SELECT l_orderkey, {_SUM_REV} AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY SUM({_DISC_PRICE}) DESC, l_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+    doc="TPC-H Q3 shape — selective dim filter, two joins, top-k. The "
+    "customer side is filtered before the join; the final top-10 is "
+    "TakeOrderedAndProject (per-partition top-k, no global sort).",
+)
+def q3_top_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price()).alias("_rev"))
+        .orderBy(F.desc("_rev"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@spec(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape — EXISTS → left-semi join (no row duplication, "
+    "the build side deduplicates by key).",
+)
+def q4_order_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@spec(
+    "q5_region_revenue",
+    f"""
+    SELECT r_name, n_name, {_SUM_REV} AS revenue, COUNT(*) AS n_lineitems
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey   = c_custkey
+                JOIN lineitem ON l_orderkey  = o_orderkey
+                JOIN supplier ON l_suppkey   = s_suppkey AND s_nationkey = c_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    """,
+    headline=True,
+    doc="TPC-H Q5 shape — 6-table star join. region/nation/supplier are "
+    "broadcast (tiny dims stay broadcast even at SF100k); fact-side joins "
+    "shuffle on their keys with AQE handling skew.",
+)
+def q5_region_revenue(spark, sf_dir):
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(_disc_price()).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@spec(
+    "monthly_orders",
+    f"""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+           COUNT(*) AS order_count,
+           ROUND(CAST(SUM(CAST(o_totalprice AS {D2})) AS DOUBLE), 2) AS total_price,
+           COUNT(DISTINCT o_custkey) AS unique_customers
+    FROM orders
+    GROUP BY 1
+    """,
+    headline=True,
+    doc="Calendar bucketing — the reference's own exemplar task "
+    "('count the runs per month', default_prompts.yaml:161-280) as "
+    "date_trunc + group-agg.",
+)
+def monthly_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "order_month"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias("total_price"),
+            F.count_distinct(F.col("o_custkey")).alias("unique_customers"),
+        )
+    )
+
+
+@spec(
+    "top_customers",
+    f"""
+    SELECT c_custkey, c_name, n_name, {_SUM_REV} AS revenue,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN orders ON o_custkey = c_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY SUM({_DISC_PRICE}) DESC, c_custkey
+    LIMIT 10
+    """,
+    headline=True,
+    doc="Top-k entities by revenue — join + group + TakeOrderedAndProject.",
+)
+def top_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_disc_price()).alias("_rev"),
+            F.count_distinct(F.col("o_orderkey")).alias("n_orders"),
+        )
+        .orderBy(F.desc("_rev"), "c_custkey")
+        .limit(10)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("_rev").cast("double"), 2).alias("revenue"),
+            "n_orders",
+        )
+    )
+
+
+@spec(
+    "brand_part_stats",
+    f"""
+    SELECT p_brand, COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l_quantity AS {D2})) AS DOUBLE) AS sum_qty,
+           {_SUM_REV} AS revenue,
+           ROUND(CAST(SUM(CAST(p_retailprice AS {D2})) AS DOUBLE) / COUNT(p_retailprice), 6) AS avg_retail
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="Fact↔dim broadcast join + group-agg (the reference's aux-dataset "
+    "merge pattern, README.md:346-352).",
+)
+def brand_part_stats(spark, sf_dir):
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            dsum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(_disc_price()).cast("double"), 2).alias("revenue"),
+            dmean("p_retailprice").alias("avg_retail"),
+        )
+    )
+
+
+# =====================================================================
+# Statistics / profiling (reference A8, yaml:312-318, README.md:478)
+# =====================================================================
+
+
+@spec(
+    "summary_stats_lineitem",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS column_name, COUNT(*) AS n_rows, COUNT({c}) AS n_nonnull,
+           COUNT(*) - COUNT({c}) AS n_null,
+           CAST(MIN({c}) AS DOUBLE) AS min_value,
+           CAST(MAX({c}) AS DOUBLE) AS max_value,
+           ROUND(CAST(SUM(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({c}), 6) AS mean_value,
+           COUNT(DISTINCT {c}) AS n_distinct
+    FROM lineitem"""
+        for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    ),
+    doc="Column profile (reference dataframe_summary_to_string, "
+    "utils.py:52-86) — all columns in ONE scan via a wide agg + unpivot.",
+)
+def summary_stats_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return summary_stats(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+@spec(
+    "percentiles_lineitem",
+    """
+    SELECT ROUND(quantile_cont(l_quantity, 0.3), 6)  AS qty_p30,
+           ROUND(quantile_cont(l_quantity, 0.5), 6)  AS qty_p50,
+           ROUND(quantile_cont(l_quantity, 0.75), 6) AS qty_p75,
+           ROUND(quantile_cont(l_quantity, 0.9), 6)  AS qty_p90,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS price_p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90
+    FROM lineitem
+    """,
+    doc="Exact interpolated percentiles (reference README.md:478 task). "
+    "At 100 TB swap to approx_percentile with bounded error.",
+)
+def percentiles_lineitem(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        *[
+            F.round(F.expr(f"percentile(l_quantity, {p})"), 6).alias(f"qty_p{int(p*100)}")
+            for p in (0.3, 0.5, 0.75, 0.9)
+        ],
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 6).alias(
+                f"price_p{int(p*100)}"
+            )
+            for p in (0.5, 0.9)
+        ],
+    )
+
+
+@spec(
+    "corr_lineitem",
+    f"""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS {D2})) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS {D2})) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS {D2}) * CAST(l_extendedprice AS {D2})) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS {D2}) * CAST(l_quantity AS {D2})) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS {D2}) * CAST(l_extendedprice AS {D2})) AS DOUBLE) AS syy
+      FROM lineitem)
+    SELECT ROUND((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
+           AS corr_l_quantity_l_extendedprice
+    FROM s
+    """,
+    doc="Pearson correlation from exact decimal moments — deterministic at "
+    "any parallelism, unlike fp-accumulating corr().",
+)
+def corr_lineitem(spark, sf_dir):
+    return exact_corr(_t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice")
+
+
+# =====================================================================
+# Window / time-series operators over events (reference §2.B windows)
+# =====================================================================
+
+
+@spec(
+    "group_index_events",
+    f"""
+    SELECT user_id,
+           arg_min(event_type, ts) AS first_event_type,
+           MIN(epoch_us(ts)) AS first_ts_us,
+           MAX(epoch_us(ts)) AS last_ts_us,
+           ROUND((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0, 6) AS duration_sec,
+           CAST(MAX(CAST(value AS {D2})) - MIN(CAST(value AS {D2})) AS DOUBLE) AS value_range,
+           ROUND(CAST(SUM(CAST(value AS {D2})) AS DOUBLE) / COUNT(value), 6) AS avg_value,
+           COUNT(*) AS n_rows
+    FROM events GROUP BY user_id
+    """,
+    doc="compute_dataframe_index (reference ttl:444-462): per-group first-by-"
+    "time, span, |max-min|, mean — min_by instead of order-dependent first().",
+)
+def group_index_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return group_index(
+        ev,
+        "user_id",
+        first_by_ts={"first_event_type": "event_type"},
+        ts_col="ts",
+        range_cols=["value"],
+        mean_cols=["value"],
+    )
+
+
+@spec(
+    "segments_events",
+    f"""
+    WITH b AS (
+      SELECT user_id, value,
+             (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id)) / 1000000.0 AS elapsed
+      FROM events),
+    s AS (
+      SELECT user_id, value,
+             CASE WHEN floor(elapsed / 21600.0)
+                       < floor(MAX(elapsed) OVER (PARTITION BY user_id) / 21600.0)
+                  THEN CAST(floor(elapsed / 21600.0) AS BIGINT) END AS segment_id
+      FROM b)
+    SELECT user_id, segment_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS {D2})) AS DOUBLE) / COUNT(value), 6) AS avg_value
+    FROM s GROUP BY user_id, segment_id
+    """,
+    doc="determine_segments (reference ttl:589-648): fixed-width buckets on "
+    "elapsed time, trailing incomplete bucket → NULL. groupby().apply() in "
+    "the reference collapses to window expressions — no UDF.",
+)
+def segments_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    base = ev.withColumn(
+        "elapsed", (epoch_us("ts") - F.min(epoch_us("ts")).over(w)) / F.lit(1000000.0)
+    )
+    seg = determine_segments(base, "elapsed", "user_id", 21600.0)
+    return seg.groupBy("user_id", "segment_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(dec("value")).cast("double") / F.count("value"), 6).alias(
+            "avg_value"
+        ),
+    )
+
+
+@spec(
+    "rolling_avg_events",
+    f"""
+    SELECT event_id, user_id,
+           ROUND(CAST(SUM(CAST(value AS {D2})) OVER w AS DOUBLE)
+                 / COUNT(value) OVER w, 6) AS rolling_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+    headline=True,
+    doc="20-row trailing rolling mean (reference ttl:510-516 FTP / "
+    "yaml:309-310 MA20) — row-frame window, one shuffle on the key.",
+)
+def rolling_avg_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        rolling_mean("value", "user_id", ["ts", "event_id"], 20).alias("rolling_avg"),
+    )
+
+
+@spec(
+    "cumsum_events",
+    f"""
+    SELECT event_id, user_id,
+           ROUND(CAST(SUM(CAST(value AS {D2})) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+           AS cum_value
+    FROM events
+    """,
+    doc="Per-group cumulative sum (reference web_app/app.py:381-383).",
+)
+def cumsum_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        cumulative_sum("value", "user_id", ["ts", "event_id"]).alias("cum_value"),
+    )
+
+
+@spec(
+    "pct_change_events",
+    """
+    SELECT event_id, user_id,
+           ROUND(value / lag(value) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) - 1, 6) AS pct_change
+    FROM events
+    """,
+    doc="pct_change / daily returns (reference yaml:308).",
+)
+def pct_change_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        pct_change("value", "user_id", ["ts", "event_id"]).alias("pct_change"),
+    )
+
+
+@spec(
+    "dense_rank_users",
+    """
+    WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id)
+    SELECT user_id, CAST(dense_rank() OVER (ORDER BY first_ts, user_id) AS BIGINT) AS new_id
+    FROM f
+    """,
+    doc="Dense re-IDing by first timestamp (reference web_app/app.py:354-373)"
+    " — rank over the aggregated per-id relation, not the raw rows.",
+)
+def dense_rank_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return firsts.select(
+        "user_id",
+        F.dense_rank()
+        .over(Window.orderBy("first_ts", "user_id"))
+        .cast("long")
+        .alias("new_id"),
+    )
+
+
+@spec(
+    "argmax_events",
+    """
+    SELECT event_type, event_id, value
+    FROM (SELECT event_type, event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    doc="idxmax row lookup (reference yaml:238) — row_number with explicit "
+    "tie-break instead of pandas' positional idxmax.",
+)
+def argmax_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return (
+        ev.select("event_type", "event_id", "value", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@spec(
+    "regr_slope_events",
+    f"""
+    WITH b AS (
+      SELECT user_id,
+             (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id)) // 1000000 AS x,
+             CAST(value AS {D2}) AS y
+      FROM events),
+    s AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(18,0)) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sxx
+      FROM b GROUP BY user_id HAVING COUNT(*) >= 2)
+    SELECT user_id, ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 9) AS slope
+    FROM s
+    """,
+    doc="Per-group OLS slope — the reference's HR-drift linregress "
+    "(ttl:346-348) as closed-form exact sums (regr_slope semantics).",
+)
+def regr_slope_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    base = ev.withColumn(
+        "x",
+        F.expr(
+            "(unix_micros(ts) - min(unix_micros(ts)) OVER (PARTITION BY user_id))"
+            " DIV 1000000"
+        ),
+    )
+    return regr_slope_exact(base, "user_id", F.col("x"), "value", min_n=2)
+
+
+@spec(
+    "sessionize_events",
+    f"""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) > 21600000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    s AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(new_sess) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+      FROM g)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           ROUND((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0, 6) AS duration_sec,
+           ROUND(CAST(SUM(CAST(value AS {D2})) AS DOUBLE), 2) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (6h gap) — lag + running sum, one shuffle. "
+    "Streaming twin: session_window(ts, gap) in streaming/events.py.",
+)
+def sessionize_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, "ts", "user_id", 21600, order_tiebreak="event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round((F.max(epoch_us("ts")) - F.min(epoch_us("ts"))) / F.lit(1000000.0), 6).alias(
+            "duration_sec"
+        ),
+        F.round(F.sum(dec("value")).cast("double"), 2).alias("sum_value"),
+    )
+
+
+@spec(
+    "asof_join_events_orders",
+    """
+    WITH r AS (
+      SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    SELECT e.event_id, e.user_id,
+           r.o_orderkey AS last_orderkey,
+           strftime(r.o_orderdate, '%Y-%m-%d') AS last_orderdate
+    FROM events e LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (event_id)
+    """,
+    headline=True,
+    doc="As-of join (most recent order ≤ event time per user) — union-merge "
+    "implementation: one shuffle on the key, last(ignorenulls) carry-forward;"
+    " no |left|×|right| row explosion (SURVEY §2.B joins note).",
+)
+def asof_join_events_orders(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_value_cols=["o_orderkey", "o_orderdate"],
+        tiebreak="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+    )
+
+
+@spec(
+    "json_extract_events",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured extraction — get_json_object stays JVM-side; at "
+    "scale prefer from_json with an explicit schema once per pipeline.",
+)
+def json_extract_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.sum(k).cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
+    )
+
+
+@spec(
+    "hourly_events",
+    f"""
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_start_us, event_type,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS {D2})) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    headline=True,
+    doc="Tumbling 1h window aggregate via window() — identical code runs on "
+    "readStream with a watermark (streaming/events.py).",
+)
+def hourly_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")).cast("double"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# =====================================================================
+# Text analysis / dedup over documents (BASELINE scale-out operators)
+# =====================================================================
+
+
+@spec(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on the content fingerprint; map-side "
+    "partial agg collapses duplicates before the shuffle.",
+)
+def dedup_exact_docs(spark, sf_dir):
+    return exact_dedup(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@spec(
+    "fingerprint_docs",
+    r"""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+    doc="Normalized document fingerprint (md5 — portable across engines).",
+)
+def fingerprint_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint("text").alias("fp"))
+
+
+@spec(
+    "token_stats_docs",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS n_unique_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           ROUND(length(replace(text, ' ', ''))
+                 / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE), 6) AS avg_token_len,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+    FROM documents
+    """,
+    headline=True,
+    doc="Token counting: whitespace tokens + BPE-ish estimate — pure "
+    "expressions, embarrassingly parallel.",
+)
+def token_stats_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    w = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_unique_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+        F.round(
+            F.length(F.regexp_replace(t, " ", "")) / F.size(w).cast("double"), 6
+        ).alias("avg_token_len"),
+        F.ceil(F.length(t) / F.lit(4.0)).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+@spec(
+    "text_quality_docs",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio,
+           ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
+           ROUND(length(regexp_replace(text, '[^ ]', '', 'g')) / CAST(length(text) AS DOUBLE), 6) AS space_ratio,
+           ROUND(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                 w -> w IN ('the','a','and','of','to')))
+                 / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE), 6) AS stopword_ratio
+    FROM documents
+    """,
+    doc="Quality-scoring features (length/alpha/digit/space/stopword ratios) "
+    "— the standard pre-training quality filters as column expressions.",
+)
+def text_quality_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_chars"].cast("long").alias("n_chars"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["digit_ratio"].alias("digit_ratio"),
+        feats["space_ratio"].alias("space_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+def _lang_sql() -> str:
+    score_cols = ",\n           ".join(
+        "len(list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+        f"w -> w IN ({', '.join(repr(m) for m in LANG_MARKERS[lang])}))) AS c_{lang}"
+        for lang in LANG_ORDER
+    )
+    g = ", ".join(f"c_{lang}" for lang in LANG_ORDER)
+    case = " ".join(
+        f"WHEN c_{lang} = g THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, {score_cols} FROM documents),
+    m AS (SELECT doc_id, {g}, greatest({g}) AS g FROM s)
+    SELECT doc_id, CASE WHEN g = 0 THEN 'und' {case} END AS predicted_lang
+    FROM m
+    """
+
+
+@spec(
+    "lang_id_docs",
+    _lang_sql(),
+    doc="Language-ID by marker-word argmax with deterministic tie-break — "
+    "the n-gram-heuristic shape; swap marker tables for real profiles.",
+)
+def lang_id_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", predict_lang("text").alias("predicted_lang"))
+
+
+@spec(
+    "jaccard_pairs_docs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w)),
+                                          i -> w[i] || ' ' || w[i+1])) AS shs
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents)),
+    t AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+    n AS (SELECT doc_id, COUNT(*) AS n_sh FROM t GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+          FROM t a JOIN t b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           ROUND(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE), 6) AS jaccard
+    FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+    WHERE shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) >= 0.4
+    """,
+    headline=True,
+    doc="Exact bigram-shingle Jaccard similarity join via inverted index — "
+    "two key-partitioned shuffles, no cross product. Skew guard: "
+    "max_doc_freq drops stop-shingles (off here to stay oracle-exact).",
+)
+def jaccard_pairs_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_near_dup(d, "doc_id", "text", n=2, threshold=0.4)
+
+
+@spec(
+    "minhash_near_dup_docs",
+    None,  # LSH banding is probabilistic-recall; verified rows-only + tests
+    doc="MinHash(64)+LSH(16 bands) near-dup: sub-quadratic candidate "
+    "generation, exact-Jaccard verification of candidates.",
+)
+def minhash_near_dup_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_dup(d, "doc_id", "text", n=2, threshold=0.4)
+
+
+@spec(
+    "simhash_docs",
+    None,  # depends on xxhash64 (no DuckDB equivalent); tested vs python impl
+    doc="64-bit SimHash fingerprints from word-bigram shingles.",
+)
+def simhash_docs(spark, sf_dir):
+    return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# =====================================================================
+# Similarity search over embeddings
+# =====================================================================
+
+_COS = (
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)"
+    " / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),"
+    " CAST(e.embedding AS DOUBLE[]))) * sqrt(list_dot_product(q.qv, q.qv)))"
+)
+
+
+@spec(
+    "knn_cosine_embeddings",
+    f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT e.vec_id, e.label, {_COS} AS cos
+          FROM embeddings e, q WHERE e.vec_id <> 0)
+    SELECT vec_id, label, ROUND(cos, 6) AS cosine
+    FROM s ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+    headline=True,
+    doc="Brute-force cosine top-k — broadcast query, JVM-side fold, "
+    "TakeOrderedAndProject (per-partition top-k; only k rows reach the "
+    "driver). The exact baseline an ANN variant is judged against.",
+)
+def knn_cosine_embeddings(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_brute_force(
+        e, "vec_id", "embedding", query_id=0, k=10, extra_cols=["label"]
+    )
+
+
+@spec(
+    "knn_lsh_embeddings",
+    None,  # approximate (bucket-restricted) — recall tested in tests/
+    doc="LSH (random-hyperplane) bucketed ANN: scores only the query's "
+    "bucket — scan pruning; partition by bucket at write time for "
+    "partition pruning.",
+)
+def knn_lsh_embeddings(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_lsh(
+        e, "vec_id", "embedding", query_id=0, k=10, n_bits=4, extra_cols=["label"]
+    )
+
+
+@spec(
+    "centroid_embeddings",
+    """
+    WITH p AS (SELECT unnest(generate_series(1, 64)) AS pos),
+    f AS (SELECT label, pos,
+                 CAST(CAST(embedding AS DOUBLE[])[pos] AS DECIMAL(18,7)) AS x
+          FROM embeddings, p)
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(x), 6) AS centroid
+    FROM f GROUP BY label, pos
+    """,
+    doc="Per-label centroids via positional explode + exact decimal mean — "
+    "IVF coarse-quantization building block.",
+)
+def centroid_embeddings(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return label_centroids(e, "label", "embedding", dim=64).withColumn(
+        "pos", F.col("pos").cast("long")
+    )
+
+
+@spec(
+    "embedding_near_dup_pairs",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+           AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+          / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+          >= 0.3
+    """,
+    doc="Embedding-cosine near-dup pairs, blocked by cluster label to bound "
+    "the self-join (at scale the block key is an LSH bucket). Threshold "
+    "0.3 because the synthetic clusters top out at cos≈0.47 — the operator "
+    "semantics, not the cut-off, are what's exercised.",
+)
+def embedding_near_dup_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup(
+        e, "vec_id", "embedding", block_col="label", threshold=0.3
+    )
+
+
+# ---------------------------------------------------------------------
+
+HEADLINE = [s.name for s in SPECS if s.headline]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {s.name: s.build for s in SPECS}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {s.name: s.oracle for s in SPECS if s.oracle is not None}
