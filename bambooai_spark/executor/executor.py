@@ -1,0 +1,145 @@
+"""SparkCodeExecutor — the sandboxed exec operator (reference A13,
+bambooai/code_executor.py:101-215) re-pointed at Spark.
+
+Contract parity with the reference's ``CodeExecutor._execute_local``:
+
+- namespace pre-loaded with the primary table ``df`` (+ ``spark``, and
+  ``F``/``Window`` so short generated scripts need no imports);
+- stdout captured and returned as the result text;
+- on success the (possibly reassigned) ``df`` is **committed** — registered
+  as the current version and as temp view ``df`` so follow-up SQL sees it;
+- on error the pre-execution ``df`` is returned untouched (**rollback**) with
+  a filtered traceback. The reference needs ``df.copy()`` for this
+  (code_executor.py:103); Spark DataFrames are immutable lineage, so rollback
+  is keeping the old reference — zero cost at any scale;
+- generated datasets: code may write files under ``generated_datasets_path``;
+  they're harvested into the result.
+
+Versioned views: each successful commit also registers ``df_v{n}`` so earlier
+states stay addressable (the reference's single-slot cache can't do this).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+import traceback
+from contextlib import redirect_stdout
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from bambooai_spark.executor.sanitizer import sanitize
+from bambooai_spark.executor.traceback_filter import filter_exec_traceback
+
+
+@dataclass
+class ExecutionResult:
+    df: DataFrame | None          # committed df (new on success, original on error)
+    stdout: str | None
+    error: str | None             # filtered traceback, None on success
+    generated_datasets: list[str] = field(default_factory=list)
+    version: int = 0
+
+    @property
+    def ok(self) -> bool:
+        return self.error is None
+
+
+class SparkCodeExecutor:
+    """Executes generated PySpark scripts against a pre-loaded ``df``."""
+
+    def __init__(self, *, sanitize_code: bool = True, validate_plan: bool = True):
+        self.sanitize_code = sanitize_code
+        # eagerly resolve the committed plan (cheap analysis, no execution) so
+        # lazy errors surface inside execute() and trigger rollback rather
+        # than exploding later in unrelated caller code.
+        self.validate_plan = validate_plan
+        self.version = 0
+
+    def execute(
+        self,
+        code: str,
+        *,
+        df: DataFrame | None = None,
+        spark: SparkSession | None = None,
+        generated_datasets_path: str | None = None,
+        extra_vars: dict | None = None,
+    ) -> ExecutionResult:
+        original_df = df  # rollback point — immutable, no copy needed
+        if spark is None and df is not None:
+            spark = df.sparkSession
+        if self.sanitize_code:
+            code = sanitize(code)
+
+        if generated_datasets_path:
+            os.makedirs(generated_datasets_path, exist_ok=True)
+
+        local_vars: dict = {
+            "df": df,
+            "spark": spark,
+            "F": F,
+            "Window": Window,
+            "_generated_datasets_path": generated_datasets_path,
+        }
+        local_vars.update(extra_vars or {})
+
+        buf = io.StringIO()
+        try:
+            with redirect_stdout(buf):
+                exec(compile(code, "<string>", "exec"), local_vars)  # noqa: S102
+            result_df = local_vars.get("df")
+            if isinstance(result_df, DataFrame):
+                if self.validate_plan:
+                    result_df.schema  # forces analysis; raises AnalysisException
+            elif result_df is not None and not isinstance(result_df, DataFrame):
+                raise TypeError(
+                    f"generated code rebound df to {type(result_df).__name__}; "
+                    "df must remain a pyspark.sql.DataFrame"
+                )
+            return self._commit(result_df, spark, buf.getvalue(),
+                                generated_datasets_path)
+        except Exception:
+            exc_type, exc_value, _tb = sys.exc_info()
+            filtered = filter_exec_traceback(
+                code, traceback.format_exc(), exc_type.__name__, str(exc_value)
+            )
+            return ExecutionResult(
+                df=original_df,
+                stdout=None,
+                error=filtered,
+                version=self.version,
+            )
+        finally:
+            buf.close()
+
+    def _commit(
+        self,
+        result_df: DataFrame | None,
+        spark: SparkSession | None,
+        stdout: str,
+        generated_datasets_path: str | None,
+    ) -> ExecutionResult:
+        if isinstance(result_df, DataFrame):
+            self.version += 1
+            result_df.createOrReplaceTempView(f"df_v{self.version}")
+            result_df.createOrReplaceTempView("df")
+        datasets: list[str] = []
+        if generated_datasets_path and os.path.isdir(generated_datasets_path):
+            for root, _dirs, files in os.walk(generated_datasets_path):
+                datasets += [os.path.join(root, f) for f in sorted(files)]
+            if not datasets:
+                try:
+                    os.rmdir(generated_datasets_path)
+                except OSError:
+                    pass
+        return ExecutionResult(
+            df=result_df,
+            stdout=stdout,
+            error=None,
+            generated_datasets=datasets,
+            version=self.version,
+        )

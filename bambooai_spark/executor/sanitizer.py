@@ -1,0 +1,140 @@
+"""Code sanitizer / rewriter (reference A15, bambooai/messages/reg_ex.py:56-136).
+
+Same contract as the reference — take an LLM response, return a runnable
+script with dangerous constructs neutralized as comments (so the error
+corrector sees *why* a line was removed) — plus Spark-specific rules the
+pandas original doesn't need:
+
+- **unbounded driver materialization**: ``.collect()`` / ``.toPandas()`` /
+  ``.toLocalIterator()`` on a line with no ``limit(`` / ``take(`` / ``head(``
+  bound is commented out. At 100 TB an unbounded collect is a driver OOM; the
+  sanitizer is the static safety net in front of the sandbox.
+- **session shutdown**: ``spark.stop()`` / ``sc.stop()`` would kill the
+  shared engine session.
+- **primary-table clobber**: ``df = pd.DataFrame(...)`` / ``df = pd.read_*``
+  reassignments are commented (the sandbox pre-loads ``df`` as a Spark
+  DataFrame; reference reg_ex.py:114-127 has the pandas analog).
+"""
+
+from __future__ import annotations
+
+import re
+
+# Reference blacklist (reg_ex.py:58-62) minus `sys` is still blocked — the
+# whole-word match also catches `os.system` via `exec`/`socket` etc. We keep
+# the list identical so generated-code contracts carry over.
+IMPORT_BLACKLIST = (
+    "subprocess",
+    "sys",
+    "exec",
+    "socket",
+    "urllib",
+    "shutil",
+    "pickle",
+    "ctypes",
+    "multiprocessing",
+    "tempfile",
+    "glob",
+    "pty",
+    "commands",
+    "cgi",
+    "cgitb",
+    "xml.etree.ElementTree",
+    "builtins",
+)
+
+# Spark-side dangerous calls (any occurrence disables the line).
+_SPARK_FORBIDDEN = (
+    "spark.stop",
+    "sc.stop",
+    "sparkContext.stop",
+    "setLogLevel",
+    "spark.sparkContext._gateway",
+)
+
+_COLLECT_RE = re.compile(r"\.(collect|toPandas|toLocalIterator)\s*\(")
+_BOUND_RE = re.compile(r"\.(limit|take|head|tail|first)\s*\(")
+_BLACKLIST_RE = re.compile(
+    r"^\s*(import|from)\s+.*\b(" + "|".join(map(re.escape, IMPORT_BLACKLIST)) + r")\b"
+)
+_DF_CLOBBER_RE = re.compile(
+    r"(?<![A-Za-z0-9_])df\s*=\s*pd\.(DataFrame|read_\w+)\s*\("
+)
+_MAIN_RE = re.compile(r"^(\s*)if\s+__name__\s*==\s*['\"]__main__['\"]\s*:\s*$")
+
+
+def extract_code(response: str) -> str:
+    """Pull the ```python fenced blocks out of an LLM response (reference
+    reg_ex.py:64-75); falls back to bare ``` fences, then to the raw text if
+    it looks like code (contains no fences at all)."""
+    segments = re.findall(r"```python\s*\n(.*?)```", response, re.DOTALL)
+    if not segments:
+        segments = re.findall(r"```\s*\n(.*?)```", response, re.DOTALL)
+    if not segments:
+        return response.strip() if "```" not in response else ""
+    return "\n\n".join(seg.strip("\n") for seg in segments).strip()
+
+
+def _strip_main_block(lines: list[str]) -> list[str]:
+    """Dedent the body of ``if __name__ == '__main__':`` into the top level
+    (reference reg_ex.py find_main_block/process_main_block)."""
+    out: list[str] = []
+    i = 0
+    while i < len(lines):
+        m = _MAIN_RE.match(lines[i])
+        if not m:
+            out.append(lines[i])
+            i += 1
+            continue
+        base_indent = len(m.group(1))
+        i += 1
+        body: list[str] = []
+        while i < len(lines):
+            line = lines[i]
+            if line.strip() and (len(line) - len(line.lstrip())) <= base_indent:
+                break
+            body.append(line)
+            i += 1
+        # dedent by the body's minimal indentation
+        indents = [len(l) - len(l.lstrip()) for l in body if l.strip()]
+        shift = min(indents) if indents else 0
+        out.extend(l[shift:] if l.strip() else l for l in body)
+    return out
+
+
+def sanitize(code: str) -> str:
+    """Line-level neutralization pass. Every disabled line is kept as a
+    comment with the reason, so the traceback/error-correction loop can see
+    what was removed and emit a compliant retry."""
+    lines = _strip_main_block(code.splitlines())
+    out: list[str] = []
+    for line in lines:
+        if _BLACKLIST_RE.match(line):
+            out.append(f"# not allowed (blacklisted import): {line.strip()}")
+            continue
+        if any(tok in line for tok in _SPARK_FORBIDDEN):
+            out.append(f"# not allowed (session control): {line.strip()}")
+            continue
+        if _COLLECT_RE.search(line) and not _BOUND_RE.search(line):
+            out.append(
+                f"# not allowed (unbounded collect to driver — add .limit(n)): "
+                f"{line.strip()}"
+            )
+            continue
+        if _DF_CLOBBER_RE.search(line):
+            out.append(
+                f"# not allowed (df is pre-loaded as a Spark DataFrame): "
+                f"{line.strip()}"
+            )
+            continue
+        if "plt.savefig" in line:
+            indent = line[: len(line) - len(line.lstrip())]
+            out.append(indent + "plt.show()")
+            continue
+        out.append(line)
+    result = "\n".join(out)
+    return re.sub(r"\n{3,}", "\n\n", result).strip()
+
+
+def extract_and_sanitize(response: str) -> str:
+    return sanitize(extract_code(response))

@@ -1,0 +1,191 @@
+"""Executor sandbox corpus (SURVEY §5 fixed-script strategy): pre-generated
+PySpark scripts exercising execute/commit/rollback, the sanitizer rules, and
+the traceback filter — the reference's A13-A15 contract on Spark."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bambooai_spark.executor import (
+    SparkCodeExecutor,
+    extract_code,
+    filter_exec_traceback,
+)
+from bambooai_spark.executor.sanitizer import sanitize
+from bambooai_spark.io import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def orders(spark):
+    return load_table(spark, SF_DIR, "orders")
+
+
+# ---------------------------------------------------------------- execute
+
+
+def test_execute_mutates_df(spark, orders):
+    ex = SparkCodeExecutor()
+    code = (
+        "df = df.groupBy('o_orderpriority')"
+        ".agg(F.count(F.lit(1)).alias('n'))"
+    )
+    res = ex.execute(code, df=orders, spark=spark)
+    assert res.ok, res.error
+    assert set(res.df.columns) == {"o_orderpriority", "n"}
+    assert res.df.count() == 5
+    # committed as temp view "df" and versioned view
+    assert spark.sql("SELECT * FROM df").count() == 5
+    assert spark.sql(f"SELECT * FROM df_v{res.version}").count() == 5
+
+
+def test_execute_captures_stdout(spark, orders):
+    ex = SparkCodeExecutor()
+    res = ex.execute("print('rows:', df.limit(5).count())", df=orders)
+    assert res.ok
+    assert res.stdout.startswith("rows:")
+
+
+def test_execute_rolls_back_on_error(spark, orders):
+    ex = SparkCodeExecutor()
+    code = "df = df.select('no_such_column')\nprint('unreachable')"
+    res = ex.execute(code, df=orders, spark=spark)
+    assert not res.ok
+    assert res.df is orders  # rollback: the original reference, untouched
+    assert res.stdout is None
+    assert "no_such_column" in res.error or "UNRESOLVED" in res.error
+
+
+def test_execute_rolls_back_on_lazy_analysis_error(spark, orders):
+    # an invalid plan built but never executed inside the script must still
+    # fail inside execute() (validate_plan resolves it) and roll back
+    ex = SparkCodeExecutor()
+    res = ex.execute("df = df.filter(F.col('ghost') > 0)", df=orders)
+    assert not res.ok
+    assert res.df is orders
+
+
+def test_execute_rejects_non_dataframe_rebind(spark, orders):
+    ex = SparkCodeExecutor()
+    res = ex.execute("df = 42", df=orders)
+    assert not res.ok
+    assert "must remain" in res.error
+
+
+def test_execute_python_error_has_excerpt(spark, orders):
+    ex = SparkCodeExecutor()
+    code = "x = 1\ny = 0\nz = x / y\n"
+    res = ex.execute(code, df=orders)
+    assert not res.ok
+    assert "ZeroDivisionError" in res.error
+    assert "--> z = x / y" in res.error
+
+
+def test_versioning_increments(spark, orders):
+    ex = SparkCodeExecutor()
+    r1 = ex.execute("df = df.limit(10)", df=orders)
+    r2 = ex.execute("df = df.limit(5)", df=r1.df)
+    assert (r1.version, r2.version) == (1, 2)
+    assert spark.sql("SELECT * FROM df").count() == 5
+    assert spark.sql(f"SELECT * FROM df_v{r1.version}").count() == 10
+
+
+def test_generated_datasets_harvest(spark, orders, tmp_path):
+    ex = SparkCodeExecutor()
+    out = str(tmp_path / "gen")
+    code = (
+        "df.limit(3).write.mode('overwrite')"
+        ".parquet(_generated_datasets_path + '/top3')"
+    )
+    res = ex.execute(code, df=orders, generated_datasets_path=out)
+    assert res.ok, res.error
+    assert any(p.endswith(".parquet") for p in res.generated_datasets)
+
+
+# ---------------------------------------------------------------- sanitizer
+
+
+def test_sanitizer_blocks_blacklisted_imports():
+    out = sanitize("import subprocess\nimport os\nx = 1")
+    assert "# not allowed (blacklisted import): import subprocess" in out
+    assert "import os" in out.splitlines()[1]
+
+
+def test_sanitizer_blocks_unbounded_collect():
+    out = sanitize("rows = df.collect()\npdf = df.toPandas()")
+    assert all(l.startswith("# not allowed (unbounded collect") for l in out.splitlines())
+
+
+def test_sanitizer_allows_bounded_collect():
+    code = "rows = df.limit(10).collect()\npdf = df.limit(100).toPandas()"
+    assert sanitize(code) == code
+
+
+def test_sanitizer_blocks_session_stop():
+    out = sanitize("spark.stop()")
+    assert out.startswith("# not allowed (session control)")
+
+
+def test_sanitizer_blocks_df_clobber():
+    out = sanitize("df = pd.DataFrame({'a': [1]})")
+    assert out.startswith("# not allowed (df is pre-loaded")
+
+
+def test_sanitizer_strips_main_block():
+    code = (
+        "def run(df):\n    return df.limit(1)\n\n"
+        "if __name__ == '__main__':\n    df = run(df)\n    print('ok')"
+    )
+    out = sanitize(code)
+    assert "__main__" not in out
+    assert "df = run(df)" in out
+    assert "print('ok')" in out
+
+
+def test_sanitized_collect_guard_executes(spark, orders):
+    # end-to-end: sanitizer comments the bad line, script still runs
+    ex = SparkCodeExecutor()
+    code = "all_rows = df.collect()\ndf = df.limit(7)"
+    res = ex.execute(code, df=orders, spark=spark)
+    assert res.ok, res.error
+    assert res.df.count() == 7
+
+
+# ---------------------------------------------------------------- extraction
+
+
+def test_extract_code_python_fence():
+    resp = "Here you go:\n```python\ndf = df.limit(1)\n```\nDone."
+    assert extract_code(resp) == "df = df.limit(1)"
+
+
+def test_extract_code_python_fences_take_precedence():
+    # reference reg_ex.py:68-72 — python fences first, bare only as fallback
+    resp = "```\nx = 1\n```\ntext\n```python\ny = 2\n```"
+    assert extract_code(resp) == "y = 2"
+    assert extract_code("```\nx = 1\n```") == "x = 1"
+
+
+def test_extract_code_multiple_python_blocks():
+    resp = "```python\nx = 1\n```\ntext\n```python\ny = 2\n```"
+    assert extract_code(resp) == "x = 1\n\ny = 2"
+
+
+def test_extract_code_no_fence_passthrough():
+    assert extract_code("df = df.limit(3)") == "df = df.limit(3)"
+
+
+# ---------------------------------------------------------------- traceback
+
+
+def test_traceback_filter_truncates_jvm_wall():
+    noise = "org.apache.spark.SparkException: boom\n" + "\n".join(
+        f"\tat org.apache.spark.Foo.bar(Foo.scala:{i})" for i in range(200)
+    )
+    out = filter_exec_traceback("df = df", "no <string> frames", "Py4JJavaError", noise)
+    assert len(out) <= 1100
+    assert "boom" in out
+    assert "Foo.scala" not in out
