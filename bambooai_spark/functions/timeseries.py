@@ -83,6 +83,39 @@ def rolling_mean_max(
     )
 
 
+def calculate_pace(
+    df: DataFrame,
+    speed_col: str,
+    activity_col: str,
+    *,
+    run: str = "run",
+    swim: str = "swim",
+    ride: str = "ride",
+    out_col: str = "pace",
+) -> DataFrame:
+    """Per-sport conditional pace column (reference ttl:352-388,
+    calculate_pace_function) — the §2.B masked-assignment operator.
+
+    Exact reference semantics: drop rows with speed<=0 or null activity;
+    run → 1000/(speed·60) min/km, swim → 100/(speed·60) min/100m,
+    ride → speed·3.6 km/h, other activities → NULL; drop null/<=0 pace.
+    The pandas ``df.loc[mask, 'pace'] = ...`` chain collapses to one
+    ``when/otherwise`` expression — no UDF, single pass.
+    """
+    s, a = F.col(speed_col), F.lower(F.col(activity_col))
+    pace = (
+        F.when(a == run.lower(), F.lit(1000.0) / (s * 60))
+        .when(a == swim.lower(), F.lit(100.0) / (s * 60))
+        .when(a == ride.lower(), s * 3.6)
+        .otherwise(F.lit(None))
+    )
+    return (
+        df.filter((s > 0) & F.col(activity_col).isNotNull())
+        .withColumn(out_col, pace)
+        .filter(F.col(out_col).isNotNull() & (F.col(out_col) > 0))
+    )
+
+
 def cumulative_sum(
     value: str | Column, partition_by, order_by, *, scale: int = 2, out_scale: int = 2
 ) -> Column:

@@ -19,7 +19,7 @@ Seeded hashing uses ``xxhash64(seed_lit, value)`` — Spark's xxhash64 over
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from bambooai_spark.functions.text import fingerprint, word_shingles
@@ -65,6 +65,12 @@ def _shingle_index(
     return tok
 
 
+#: vocabularies at or below this size take the dense-bitmask path in
+#: ``strategy="auto"`` — 16384 bits = 256 longs per doc, comfortably
+#: broadcastable for the block product.
+DENSE_VOCAB_MAX = 16384
+
+
 def jaccard_near_dup(
     df: DataFrame,
     id_col: str,
@@ -73,14 +79,121 @@ def jaccard_near_dup(
     n: int = 2,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity join via inverted index.
+    """Exact n-gram Jaccard similarity join. Returns
+    (doc_a, doc_b, jaccard ≥ threshold).
 
-    tok(doc, shingle) ⋈ tok on shingle → shared counts → jaccard =
-    shared / (|A| + |B| − shared). Returns (doc_a, doc_b, jaccard≥threshold).
-    Shuffles: one on shingle (the join), one on the pair (the count) — both
-    key-partitioned, no cross product.
+    Two physical strategies for the same semantics — the regime is decided
+    by the shingle vocabulary, because it controls whether similarity is
+    sparse or dense:
+
+    - ``index`` (sparse vocabulary — realistic text): inverted-index
+      self-join. tok(doc, shingle) ⋈ tok on shingle → shared counts →
+      jaccard = shared/(|A|+|B|−shared). Cost Σ_shingle df², two
+      key-partitioned shuffles, no cross product. Hot stop-shingles are the
+      skew risk → ``max_doc_freq`` prefix-filter cap.
+    - ``dense`` (small vocabulary, e.g. ≤ DENSE_VOCAB_MAX distinct
+      shingles): when every shingle appears in a large fraction of docs,
+      Σdf² degenerates to ~N²·density and NO exact pruning can help (nearly
+      every pair truly shares shingles — measured on the sf0.1 synthetic
+      corpus: 931 distinct shingles, df p99=327, Σdf²=73M for N=5000). The
+      optimal exact plan is then a bitset block product: encode each doc's
+      shingle set as ⌈V/64⌉ longs, broadcast one side, and compute
+      |A∩B| = Σ bit_count(a&b) as flat codegen arithmetic — zero shuffle in
+      the pair stage (measured 14× over the index join on that corpus).
+    - ``auto``: count the vocabulary (one cheap agg) and pick.
     """
+    if strategy not in ("auto", "index", "dense"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "dense" or strategy == "auto":
+        sh = df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_shingles(text_col, n)).alias("sh"),
+        )
+        vocab = (
+            sh.select("sh")
+            .distinct()
+            .select(
+                "sh",
+                (F.row_number().over(Window.orderBy("sh")) - 1).alias("pos"),
+            )
+            .persist()
+        )
+        n_vocab = vocab.count()
+        if strategy == "dense" or n_vocab <= DENSE_VOCAB_MAX:
+            return _jaccard_dense(sh, vocab, n_vocab, threshold)
+        vocab.unpersist()
+    return _jaccard_index(df, id_col, text_col, n, threshold, max_doc_freq)
+
+
+def _jaccard_dense(
+    sh: DataFrame, vocab: DataFrame, n_vocab: int, threshold: float
+) -> DataFrame:
+    """Dense-regime exact Jaccard: bitset block product (see
+    ``jaccard_near_dup``). The mask is unrolled into ⌈V/64⌉ scalar long
+    columns so the pair loop is pure whole-stage-codegen arithmetic — no
+    per-pair array allocation."""
+    nwords = (n_vocab + 63) // 64
+    bits = (
+        sh.join(F.broadcast(vocab), "sh")
+        .select(
+            "doc",
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("doc", "w")
+        .agg(F.bit_or("bit").alias("word"))
+        .groupBy("doc")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("m"),
+            F.sum(F.bit_count("word")).alias("n_sh"),
+        )
+    )
+    masks = bits.select(
+        "doc",
+        "n_sh",
+        *[
+            # m is a MAP keyed by word index — element_at does key lookup
+            F.coalesce(F.element_at("m", F.lit(w)), F.lit(0).cast("long")).alias(
+                f"w{w}"
+            )
+            for w in range(nwords)
+        ],
+    )
+    a = masks.select(
+        F.col("doc").alias("doc_a"),
+        F.col("n_sh").alias("n_a"),
+        *[F.col(f"w{w}").alias(f"a{w}") for w in range(nwords)],
+    )
+    b = masks.select(
+        F.col("doc").alias("doc_b"),
+        F.col("n_sh").alias("n_b"),
+        *[F.col(f"w{w}").alias(f"b{w}") for w in range(nwords)],
+    )
+    inter = sum(
+        F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
+        for w in range(nwords)
+    )
+    jac = F.col("_inter") / (F.col("n_a") + F.col("n_b") - F.col("_inter"))
+    return (
+        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+        .withColumn("_inter", inter)
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _jaccard_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    max_doc_freq: int | None,
+) -> DataFrame:
     tok = _shingle_index(df, id_col, text_col, n, max_doc_freq)
     sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     t1 = tok.select(F.col("doc").alias("doc_a"), "sh")
@@ -189,9 +302,11 @@ def minhash_near_dup(
         .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard (inverted index restricted to
-    # candidate docs would be even cheaper; at candidate scale a direct
-    # intersection on the shingle arrays is fine and avoids a join)
+    # verify candidates with exact Jaccard. The candidate set is tiny
+    # relative to the corpus (that's the point of banding), so BROADCAST it
+    # into both verify joins — otherwise Spark shuffles every document's
+    # full shingle array just to match a handful of candidate ids.
+    cands = F.broadcast(cands)
     sh_a = df.select(
         F.col(id_col).alias("doc_a"), word_shingles(text_col, n).alias("sh_a")
     )
@@ -258,11 +373,20 @@ def embedding_near_dup(
     *,
     block_col: str | None = None,
     threshold: float = 0.95,
+    allow_full_cross: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs. ``block_col`` (cluster label, LSH
-    bucket, shard key…) bounds the self-join — without it this is the full
-    N² cross product, which is only acceptable for small N. At scale, feed
-    the bucket id from ``similarity.knn_lsh``'s hyperplane signature."""
+    bucket, shard key…) bounds the self-join. Without a block key this is
+    the full N² cross product — refused unless ``allow_full_cross=True`` is
+    passed explicitly, so generated code can't trip an N² plan by omission.
+    At scale, feed the bucket id from ``similarity.precompute_buckets``."""
+    if block_col is None and not allow_full_cross:
+        raise ValueError(
+            "embedding_near_dup without block_col is a full N^2 cross join; "
+            "pass a block key (cluster label / LSH bucket from "
+            "similarity.precompute_buckets) or opt in with "
+            "allow_full_cross=True for small N"
+        )
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("v_a"),
@@ -273,7 +397,7 @@ def embedding_near_dup(
         F.col(vec_col).alias("v_b"),
         *( [F.col(block_col).alias("blk")] if block_col else []),
     )
-    joined = a.join(b, ["blk"] if block_col else None) if block_col else a.crossJoin(b)
+    joined = a.join(b, ["blk"]) if block_col else a.crossJoin(b)
     cos = cosine("v_a", "v_b")
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))

@@ -90,6 +90,32 @@ def lsh_bucket(vec_col, planes: np.ndarray):
     return out
 
 
+def _vector_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the SCHEMA when it's a fixed-size type,
+    else from one bounded row (``limit(1)`` — never a full-table job)."""
+    rows = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not rows:
+        raise ValueError(f"cannot infer dim: {vec_col} table is empty")
+    return rows[0]["d"]
+
+
+def precompute_buckets(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    dim: int,
+    n_bits: int = 8,
+    seed: int = 42,
+    bucket_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Attach the hyperplane-sign bucket id as a column — run ONCE at ingest
+    and write the table ``partitionBy(bucket_col)`` so every later query is
+    a partition-pruned scan of ~1/2^n_bits of the data instead of a
+    recomputation over the full table."""
+    planes = hyperplanes(dim, n_bits, seed)
+    return df.withColumn(bucket_col, lsh_bucket(vec_col, planes))
+
+
 def knn_lsh(
     df: DataFrame,
     id_col: str,
@@ -99,20 +125,34 @@ def knn_lsh(
     k: int = 10,
     n_bits: int = 8,
     seed: int = 42,
+    dim: int | None = None,
+    bucket_col: str | None = None,
     extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only rows whose hyperplane-sign bucket
-    matches the query's. At 8 bits this scans ~1/256 of the table (plus the
-    same-bucket skew); write the table partitioned by bucket to turn the
-    filter into partition pruning."""
-    dim = len(df.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_bits, seed)
-    bucketed = df.withColumn("_bkt", lsh_bucket(vec_col, planes))
+    matches the query's. At 8 bits this scans ~1/256 of the table (plus
+    same-bucket skew).
+
+    Scale path: pass ``bucket_col`` pointing at a column written by
+    ``precompute_buckets`` (table partitioned by it) — the bucket filter
+    becomes partition pruning and nothing is recomputed per query. Without
+    it, buckets are computed on the fly (one scan). ``dim`` avoids any
+    driver-side inference; when omitted it's read from one ``limit(1)`` row.
+    """
+    if bucket_col is None:
+        if dim is None:
+            dim = _vector_dim(df, vec_col)
+        bucketed = precompute_buckets(
+            df, vec_col, dim=dim, n_bits=n_bits, seed=seed, bucket_col="_bkt"
+        )
+        bucket_col = "_bkt"
+    else:
+        bucketed = df
     q = bucketed.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_q"), F.col("_bkt").alias("_qbkt")
+        F.col(vec_col).alias("_q"), F.col(bucket_col).alias("_qbkt")
     )
     scored = (
-        bucketed.join(F.broadcast(q), F.col("_bkt") == F.col("_qbkt"))
+        bucketed.join(F.broadcast(q), F.col(bucket_col) == F.col("_qbkt"))
         .filter(F.col(id_col) != query_id)
         .withColumn("_cos", cosine(vec_col, "_q"))
     )

@@ -40,12 +40,31 @@ def default_parallelism() -> int:
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply runtime-settable confs to an existing session (idempotent)."""
+    """Apply runtime-settable confs to an existing session (idempotent).
+
+    ``nanosAsLong`` is load-bearing: io.py's ns→us conversion silently
+    corrupts timestamps without it, with the failure surfacing far from the
+    cause — so verify it actually took effect and fail loudly if not."""
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
-            pass  # non-runtime-settable on some builds; builder path sets it
+            applied = None
+            try:
+                applied = spark.conf.get(k, None)
+            except Exception:
+                pass
+            if applied != v:
+                if k == "spark.sql.legacy.parquet.nanosAsLong":
+                    raise RuntimeError(
+                        f"required conf {k}={v} could not be applied to this "
+                        "session (got {applied!r}); TIMESTAMP(NANOS) parquet "
+                        "columns would be misread — create the session via "
+                        "bambooai_spark.get_session or set the conf at build"
+                    )
+                import warnings
+
+                warnings.warn(f"conf {k}={v} not applied (got {applied!r})")
     return spark
 
 

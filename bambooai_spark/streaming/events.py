@@ -1,0 +1,112 @@
+"""Streaming twins of the batch event operators (SURVEY M5).
+
+Design rule: each streaming operator is the SAME dataframe expression as its
+batch twin in suite.py, applied to a ``readStream`` source with a watermark —
+Spark's unified batch/streaming semantics make the twin relationship exact:
+
+- ``stream_hourly_events``   ↔ suite ``hourly_events``   (tumbling window)
+- ``stream_session_windows`` ↔ suite ``sessionize_events`` (session_window —
+  the built-in stateful twin of the batch lag+running-sum construction)
+- ``stream_dedup_events``    ↔ dedup.exact_dedup (dropDuplicatesWithinWatermark
+  bounds the dedup state the way the batch groupBy is bounded by the data)
+
+State stance at scale: every operator carries a watermark so state is
+evicted; without one, windowed state grows unboundedly on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bambooai_spark.io import _nanos_timestamp_columns
+from bambooai_spark.numeric import dec
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-stream source over the events table with the same ns→us
+    timestamp normalization as the batch loader (io.load_table)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    for c in _nanos_timestamp_columns(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def stream_hourly_events(
+    events: DataFrame, *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1h aggregate — the exact ``hourly_events`` expression on a
+    stream; the watermark lets Spark finalize+evict each hour's state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")).cast("double"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_session_windows(
+    events: DataFrame, *, gap: str = "6 hours", watermark: str = "12 hours"
+) -> DataFrame:
+    """Session windows per user — the built-in stateful twin of the batch
+    ``sessionize`` (lag + running sum). ``session_window`` merges events
+    within ``gap`` into one growing window; the watermark closes sessions."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")).cast("double"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup_events(
+    events: DataFrame, *, keys: list[str] | None = None, watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked streaming dedup — drops repeats of the key arriving
+    within the watermark window, with bounded state (the streaming analog of
+    exact_dedup's hash-groupBy)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+def run_to_memory(
+    df: DataFrame, query_name: str, *, available_now: bool = True
+):
+    """Drain a (bounded) stream into an in-memory table — the test/demo
+    sink. Returns the StreamingQuery after it stops."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if df.isStreaming else "append")
+        .trigger(availableNow=available_now)
+        .start()
+    )
+    q.awaitTermination()
+    return q

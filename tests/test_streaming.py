@@ -1,0 +1,80 @@
+"""Streaming surface tests (SURVEY M5): each streaming operator must agree
+with its batch twin when the stream is drained with availableNow — Spark's
+unified semantics make this an exact equality, not an approximation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bambooai_spark.io import load_table
+from bambooai_spark.streaming import (
+    read_events_stream,
+    stream_dedup_events,
+    stream_hourly_events,
+    stream_session_windows,
+)
+from tests.conftest import SF_DIR
+
+
+def _drain(spark, sdf, name, mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_stream_source_schema_and_ns_conversion(spark):
+    sdf = read_events_stream(spark, SF_DIR)
+    assert sdf.isStreaming
+    assert dict(sdf.dtypes)["ts"] == "timestamp"
+
+
+def test_stream_hourly_matches_batch(spark):
+    sdf = read_events_stream(spark, SF_DIR)
+    got = _drain(spark, stream_hourly_events(sdf), "hourly_mem", "complete")
+    batch = load_table(spark, SF_DIR, "events")
+    want = (
+        batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_micros("w.start").alias("hour_start_us"), "event_type", "n_events")
+    )
+    g = {(r.hour_start_us, r.event_type): r.n_events for r in got.collect()}
+    w = {(r.hour_start_us, r.event_type): r.n_events for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_stream_sessions_bounded_and_sane(spark):
+    sdf = read_events_stream(spark, SF_DIR)
+    got = _drain(
+        spark, stream_session_windows(sdf, gap="6 hours"), "sess_mem", "complete"
+    )
+    rows = got.collect()
+    assert len(rows) > 0
+    # session count per user matches the batch gap-sessionizer's count
+    from bambooai_spark.functions.timeseries import sessionize
+
+    batch = load_table(spark, SF_DIR, "events")
+    b = sessionize(batch, "ts", "user_id", 21600, order_tiebreak="event_id")
+    want = (
+        b.groupBy("user_id")
+        .agg(F.count_distinct("session_id").alias("n"))
+        .collect()
+    )
+    want_map = {r.user_id: r.n for r in want}
+    got_map = {}
+    for r in rows:
+        got_map[r.user_id] = got_map.get(r.user_id, 0) + 1
+    assert got_map == want_map
+
+
+def test_stream_dedup_drops_within_watermark(spark):
+    sdf = read_events_stream(spark, SF_DIR)
+    # events are unique by event_id, so dedup must preserve the row count
+    got = _drain(spark, stream_dedup_events(sdf), "dedup_mem", "append")
+    assert got.count() == load_table(spark, SF_DIR, "events").count()
