@@ -1,0 +1,170 @@
+"""Property tests for the probabilistic operators (the three no-oracle
+CORRECTNESS rows) — each claim in the suite docstrings is asserted here:
+
+- MinHash+LSH near-dup: recall vs the EXACT Jaccard join, and perfect
+  precision (candidates are verified with exact Jaccard, so no false
+  positives can survive).
+- SimHash: the Spark fold is compared against a pure-Python reference
+  implementation of the same algorithm (sharing Spark's xxhash64 per-shingle
+  values, so the test pins the bit-vote/fold logic), plus the semantic
+  property: exact-duplicate docs ⇒ hamming distance 0, near-dups ⇒ small
+  distance, random pairs ⇒ ~32 bits.
+- knn_lsh: recall@10 vs knn_brute_force across several queries (floors set
+  just below measured values: 0.92 avg / 0.8 min at 16 tables × 4 bits).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bambooai_spark.io import load_table
+from bambooai_spark.functions.text import word_shingles
+from bambooai_spark.operators.dedup import (
+    jaccard_near_dup,
+    minhash_near_dup,
+    simhash,
+)
+from bambooai_spark.operators.similarity import knn_brute_force, knn_lsh
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+# ------------------------------------------------------------- minhash
+
+
+def test_minhash_recall_and_precision_vs_exact(spark, docs):
+    true = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_near_dup(
+            docs, "doc_id", "text", n=2, threshold=0.4, strategy="index"
+        ).collect()
+    }
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_near_dup(
+            docs, "doc_id", "text", n=2, threshold=0.4
+        ).collect()
+    }
+    assert len(true) > 0
+    recall = len(true & found) / len(true)
+    # dup pairs in the corpus sit at jaccard ≥0.8 where the 16×4 S-curve is
+    # ≈1.0; measured recall is 1.0 — floor at 0.9 for robustness
+    assert recall >= 0.9, f"minhash recall {recall} < 0.9"
+    # verification step re-checks exact jaccard → no false positives, ever
+    assert found <= true, f"false positives: {found - true}"
+
+
+# ------------------------------------------------------------- simhash
+
+
+def _simhash_py(hashes: list[int]) -> int:
+    """Pure-Python SimHash reference: per 64-bit hash, bit i votes +1/-1;
+    fingerprint bit i = 1 iff the vote sum is positive."""
+    votes = [0] * 64
+    for h in hashes:
+        h &= (1 << 64) - 1
+        for i in range(64):
+            votes[i] += 1 if (h >> i) & 1 else -1
+    fp = 0
+    for i, v in enumerate(votes):
+        if v > 0:
+            fp |= 1 << i
+    return fp
+
+
+def test_simhash_matches_python_reference(spark, docs):
+    sample = docs.limit(20)
+    # per-shingle xxhash64 values from Spark (the shared hash primitive)
+    hashed = sample.select(
+        "doc_id",
+        F.transform(word_shingles("text", 2), lambda s: F.xxhash64(s)).alias("hs"),
+    ).collect()
+    got = {
+        r.doc: r.simhash64 for r in simhash(sample, "doc_id", "text").collect()
+    }
+    for row in hashed:
+        want = _simhash_py(list(row.hs))
+        have = got[row.doc_id] & (1 << 64) - 1
+        assert have == want, f"doc {row.doc_id}: {have:#x} != {want:#x}"
+
+
+def test_simhash_hamming_separation(spark, docs):
+    import random
+
+    fps = {r.doc: r.simhash64 for r in simhash(docs, "doc_id", "text").collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    dups = jaccard_near_dup(
+        docs, "doc_id", "text", n=2, threshold=0.8, strategy="index"
+    ).collect()
+    assert dups
+    dup_d = [ham(fps[r.doc_a], fps[r.doc_b]) for r in dups]
+    ids = sorted(fps)
+    random.seed(7)
+    rnd_d = [
+        ham(fps[random.choice(ids)], fps[random.choice(ids)]) for _ in range(200)
+    ]
+    assert max(dup_d) <= 12, f"near-dup hamming too high: {max(dup_d)}"
+    assert sum(rnd_d) / len(rnd_d) > 20, "random pairs should differ in ~32 bits"
+
+
+def test_simhash_deterministic_across_partitionings(spark, docs):
+    a = {r.doc: r.simhash64 for r in simhash(docs, "doc_id", "text").collect()}
+    b = {
+        r.doc: r.simhash64
+        for r in simhash(docs.repartition(13), "doc_id", "text").collect()
+    }
+    assert a == b
+
+
+# ------------------------------------------------------------- knn_lsh
+
+
+def test_knn_lsh_recall_at_10(spark, emb):
+    recalls = []
+    for qid in (0, 7, 23, 42, 99):
+        exact = {
+            r.vec_id
+            for r in knn_brute_force(
+                emb, "vec_id", "embedding", query_id=qid, k=10
+            ).collect()
+        }
+        approx = {
+            r.vec_id
+            for r in knn_lsh(
+                emb, "vec_id", "embedding", query_id=qid, k=10,
+                n_bits=4, n_tables=16, dim=64,
+            ).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    avg = sum(recalls) / len(recalls)
+    assert min(recalls) >= 0.7, f"recall floor breached: {recalls}"
+    assert avg >= 0.85, f"avg recall {avg} < 0.85 ({recalls})"
+
+
+def test_knn_lsh_scores_are_exact_cosines(spark, emb):
+    # approximation affects WHICH rows are considered, never their scores:
+    # every returned (id, cosine) must equal the brute-force cosine
+    bf = {
+        r.vec_id: r.cosine
+        for r in knn_brute_force(
+            emb, "vec_id", "embedding", query_id=23, k=500
+        ).collect()
+    }
+    for r in knn_lsh(
+        emb, "vec_id", "embedding", query_id=23, k=10, n_bits=4, n_tables=16,
+        dim=64,
+    ).collect():
+        assert bf[r.vec_id] == pytest.approx(r.cosine, abs=1e-6)
