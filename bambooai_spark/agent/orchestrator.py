@@ -1,0 +1,146 @@
+"""Agent orchestrator — the reference's question lifecycle
+(bambooai/bambooai.py:550-684 _process_question + :335-489 taskmaster +
+:760-816 execute_code retry loop) on the Spark-native data plane.
+
+Flow: question → expert selector → (Data Analyst) analyst selector →
+planner → code generator → sanitize → SparkCodeExecutor → on error:
+traceback-filtered excerpt → error corrector → retry (≤ MAX_ERROR_CORRECTIONS
+= 5, reference bambooai.py:110) → summarizer.
+
+Everything that touches data is deterministic repo code (profiler bounded
+context, sandbox execution); the LLM is an injected callable, so the loop
+is testable with scripted responses (SURVEY §5: LLM nondeterminism stays
+out of the correctness gate).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bambooai_spark.agent import prompts
+from bambooai_spark.agent.parsing import (
+    extract_analyst,
+    extract_expert,
+    extract_yaml_block,
+)
+from bambooai_spark.executor import SparkCodeExecutor
+from bambooai_spark.executor.sanitizer import extract_code
+from bambooai_spark.profiler import (
+    dataframe_summary_to_string,
+    get_dataframe_columns,
+)
+
+MAX_ERROR_CORRECTIONS = 5  # reference bambooai.py:110
+
+LLM = Callable[[str, str], str]  # (system, user) -> response text
+
+
+@dataclass
+class AgentResult:
+    df: DataFrame | None
+    code: str | None
+    stdout: str | None
+    summary: str | None
+    expert: str | None
+    intent: str | None
+    plan: str | None
+    corrections: int = 0
+    errors: list[str] = field(default_factory=list)
+    ok: bool = True  # final execution succeeded (prose answers are ok=True)
+
+
+class AgentOrchestrator:
+    def __init__(
+        self,
+        spark: SparkSession,
+        llm: LLM,
+        *,
+        planning: bool = True,
+        summarize: bool = True,
+    ):
+        self.spark = spark
+        self.llm = llm
+        self.planning = planning
+        self.summarize = summarize
+        self.executor = SparkCodeExecutor()
+
+    # -- pipeline stages ---------------------------------------------
+
+    def _context(self, df: DataFrame) -> str:
+        return prompts.df_context(
+            dataframe_summary_to_string(df), get_dataframe_columns(df)
+        )
+
+    def _route(self, question: str) -> tuple[str | None, str | None]:
+        resp = self.llm(prompts.EXPERT_SELECTOR_SYSTEM, question)
+        expert, _requires, _conf = extract_expert(resp)
+        if expert != "Data Analyst":
+            return expert, None
+        resp = self.llm(prompts.ANALYST_SELECTOR_SYSTEM, question)
+        _analyst, _unknown, _cond, _data, intent = extract_analyst(resp)
+        return expert, intent or question
+
+    def _plan(self, intent: str, ctx: str) -> str | None:
+        if not self.planning:
+            return None
+        resp = self.llm(prompts.PLANNER_SYSTEM, f"{ctx}\n\nTask: {intent}")
+        return extract_yaml_block(resp) or None
+
+    def _generate(self, intent: str, plan: str | None, ctx: str) -> str:
+        system = prompts.CODE_GENERATOR_SYSTEM.format(df_context=ctx)
+        user = f"Task: {intent}" + (f"\n\nPlan:\n{plan}" if plan else "")
+        return extract_code(self.llm(system, user))
+
+    def _correct(self, code: str, error: str, ctx: str) -> str:
+        system = prompts.ERROR_CORRECTOR_SYSTEM.format(df_context=ctx)
+        user = f"Failed code:\n```python\n{code}\n```\n\nError:\n{error}"
+        return extract_code(self.llm(system, user))
+
+    # -- entry point --------------------------------------------------
+
+    def converse(self, question: str, df: DataFrame) -> AgentResult:
+        ctx = self._context(df)
+        expert, intent = self._route(question)
+        if expert != "Data Analyst":
+            # research path: prose answer, no code (reference bambooai.py:456-472)
+            answer = self.llm(prompts.SUMMARIZER_SYSTEM, question)
+            return AgentResult(
+                df=None, code=None, stdout=None, summary=answer,
+                expert=expert, intent=None, plan=None,
+            )
+        plan = self._plan(intent, ctx)
+        code = self._generate(intent, plan, ctx)
+
+        errors: list[str] = []
+        corrections = 0
+        res = self.executor.execute(code, df=df, spark=self.spark)
+        while not res.ok and corrections < MAX_ERROR_CORRECTIONS:
+            errors.append(res.error)
+            corrections += 1
+            code = self._correct(code, res.error, ctx)
+            res = self.executor.execute(code, df=df, spark=self.spark)
+        if not res.ok:
+            errors.append(res.error)
+
+        summary = None
+        if self.summarize and res.ok and res.df is not None:
+            preview = res.df.limit(10).toPandas().to_string(index=False)
+            summary = self.llm(
+                prompts.SUMMARIZER_SYSTEM,
+                f"Task: {intent}\n\nPlan:\n{plan}\n\nResult preview:\n{preview}",
+            )
+        return AgentResult(
+            df=res.df if res.ok else df,
+            code=code,
+            stdout=res.stdout,
+            summary=summary,
+            expert=expert,
+            intent=intent,
+            plan=plan,
+            corrections=corrections,
+            errors=errors,
+            ok=res.ok,
+        )

@@ -1,0 +1,77 @@
+"""Prompt templates — the reference's agent contracts
+(bambooai/messages/default_prompts.yaml) re-targeted at PySpark.
+
+Each template keeps the reference's IR contract (what the response must
+contain, in the same YAML shapes reg_ex-style parsers expect) while the
+instructions teach PySpark idioms instead of pandas:
+
+- code runs in a sandbox holding ``df`` (a pyspark.sql.DataFrame), ``spark``,
+  ``F`` (pyspark.sql.functions) and ``Window`` — mirroring the reference's
+  "pre-loaded pandas dataframe named df" contract (yaml:1926,1975);
+- unbounded ``collect()``/``toPandas()`` is forbidden (the sanitizer
+  enforces it — print aggregates or use ``.limit(n)``);
+- prefer built-in functions over Python loops/UDFs; make orderings explicit.
+"""
+
+from __future__ import annotations
+
+EXPERT_SELECTOR_SYSTEM = """You route analytics questions. Reply with YAML only:
+```yaml
+requires_dataset: <true|false>
+expert: <'Data Analyst' or 'Research Specialist'>
+confidence: <0-10>
+```
+'Data Analyst' for questions answerable by computing on the user's data;
+'Research Specialist' for general knowledge questions."""
+
+ANALYST_SELECTOR_SYSTEM = """You classify dataset questions. Reply with YAML only:
+```yaml
+analyst: <'Data Analyst DF' or 'Data Analyst Generic'>
+unknown: <what is being asked for>
+condition: <filters/constraints in the question>
+data: <which columns/tables are involved>
+intent_breakdown: <one-sentence canonical restatement of the task>
+```
+'Data Analyst DF' when the pre-loaded dataframe answers the question;
+'Data Analyst Generic' when new data must be synthesized or fetched."""
+
+PLANNER_SYSTEM = """You write analysis plans for a PySpark engine. Reply with YAML:
+```yaml
+problem_reflection: <restate the task>
+data_operations: <filters, joins, groupings, window functions needed>
+analysis_steps: <ordered steps>
+output_format: <columns of the final result>
+```
+Plans must be expressible with pyspark.sql DataFrame operations."""
+
+CODE_GENERATOR_SYSTEM = """You write PySpark code for a sandbox that holds:
+- df: a pyspark.sql.DataFrame with the user's data (schema provided)
+- spark: the SparkSession; F: pyspark.sql.functions; Window
+
+Rules:
+- Reassign df to the result DataFrame (df = df.groupBy(...)...). The
+  sandbox commits df on success.
+- NEVER call collect()/toPandas() without .limit(n) — results are read
+  from df, not stdout.
+- Use built-in column functions (F.*), not Python UDFs or loops.
+- Make every ordering explicit (orderBy) — row order is not implicit state.
+- Reply with a single ```python fenced block.
+
+{df_context}"""
+
+ERROR_CORRECTOR_SYSTEM = """Your previous PySpark code failed. You get the error
+excerpt with the failing line marked '-->'. Fix the code and reply with the
+corrected single ```python block. Spark hints: UNRESOLVED_COLUMN lists valid
+names; AnalysisException messages name the operator at fault.
+
+{df_context}"""
+
+SUMMARIZER_SYSTEM = """Summarize the analysis result for the user in 2-4
+sentences of plain prose. You get the task, the plan, and the result
+preview. Do not invent numbers not present in the preview."""
+
+
+def df_context(summary: str, columns: str) -> str:
+    """The bounded dataframe context block every code prompt carries —
+    profiler output (reference feeds dataframe_to_string, utils.py:89)."""
+    return f"DF columns: {columns}\n\nDF profile:\n{summary}"

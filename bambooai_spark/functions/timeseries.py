@@ -186,6 +186,58 @@ def dense_reid_by_first_ts(
     return df.join(F.broadcast(ranked), id_col)
 
 
+SEMICIRCLE_TO_DEG = 180.0 / 2**31  # reference web_app/app.py:393
+
+
+def normalize_longitudinal(
+    df: DataFrame,
+    *,
+    group_col: str,
+    id_col: str,
+    ts_col: str,
+    speed_col: str,
+    duration_col: Column | None = None,
+    semicircle_cols: tuple[str, ...] = (),
+    order_tiebreak: str | None = None,
+    new_id_col: str = "new_id",
+    distance_col: str = "distance",
+) -> DataFrame:
+    """The reference's full ingest-normalization pipeline
+    (transform_sweatstack_longitudinal_data, web_app/app.py:343-401):
+
+    1. dense re-ID of ``id_col`` within each ``group_col`` by first
+       timestamp (app.py:354-373) — rank over the aggregated per-id
+       relation, broadcast back;
+    2. per-(group, id) running distance = cumsum(speed·duration)
+       (app.py:381-383);
+    3. semicircle → degrees unit conversion (app.py:393, ×180/2³¹);
+
+    One shuffle on the group key dominates; the re-ID rank runs on the tiny
+    per-id relation, never the raw rows.
+    """
+    dur = duration_col if duration_col is not None else F.lit(1.0)
+    firsts = df.groupBy(group_col, id_col).agg(F.min(ts_col).alias("_first_ts"))
+    ranked = firsts.withColumn(
+        new_id_col,
+        F.dense_rank().over(
+            Window.partitionBy(group_col).orderBy("_first_ts", id_col)
+        ).cast("long"),
+    ).drop("_first_ts")
+    out = df.join(F.broadcast(ranked), [group_col, id_col])
+    ob = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    w = (
+        Window.partitionBy(group_col, id_col)
+        .orderBy(*ob)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn(
+        distance_col, F.round(F.sum(col_of(speed_col) * dur).over(w), 6)
+    )
+    for c in semicircle_cols:
+        out = out.withColumn(f"{c}_deg", F.round(col_of(c) * F.lit(SEMICIRCLE_TO_DEG), 9))
+    return out
+
+
 def sessionize(
     df: DataFrame,
     ts: str,

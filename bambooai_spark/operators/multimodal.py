@@ -1,0 +1,171 @@
+"""Multimodal column plumbing — image/audio/video as opaque ``binary``
+columns with typed metadata (BASELINE-mandated training-pipeline surface;
+the reference is text/tabular-only, so this is net-new, SURVEY §7).
+
+Design (the standard large-scale layout):
+- payload: ``binary`` column (bytes inline for small media; at 100 TB the
+  column holds (path, offset, length) pointers into packed blob files and
+  the decode UDF range-reads — same schema, different loader).
+- metadata: a typed STRUCT column (``media_meta``) carried next to the
+  payload so filters/pruning never touch bytes: Parquet pushes struct-field
+  predicates (e.g. ``meta.mime = 'image/png'``) without reading payloads.
+- compute: Arrow-batched ``mapInPandas`` — bytes cross the JVM↔Python
+  boundary once per batch, not per row. Decode/resize/frame-sample are
+  STUBS behind ``decoder=`` (the real container would pass PIL/ffmpeg
+  wrappers); the batch shape, schema contract, and partitioning are real
+  and tested.
+
+Operators:
+- ``attach_media_meta``     — metadata struct from the payload (pure JVM
+                              expressions: size, md5, magic-byte sniff).
+- ``decode_features``       — mapInPandas: payload → fixed-size feature
+                              vector (deterministic stub; shape/contract of
+                              an image-embedding stage).
+- ``sample_frames``         — mapInPandas: payload → N pseudo-frames
+                              (1:N row fan-out — the video shape).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: magic-byte → mime sniffing table (payload prefix, mime)
+_MAGIC = (
+    (b"\x89PNG", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF8", "image/gif"),
+    (b"RIFF", "audio/wav"),
+    (b"ID3", "audio/mpeg"),
+    (b"\x00\x00\x00", "video/mp4"),
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("n_bytes", LongType()),
+        StructField("md5", StringType()),
+        StructField("mime", StringType()),
+    ]
+)
+
+
+def sniff_mime(payload_col) -> F.Column:
+    """Magic-byte mime sniff as a pure column expression (no UDF): compare
+    hex prefixes of the binary payload."""
+    hexpfx = F.upper(F.hex(F.substring(payload_col, 1, 4)))
+    expr = F.lit("application/octet-stream")
+    for magic, mime in reversed(_MAGIC):
+        want = magic.hex().upper()
+        expr = F.when(hexpfx.startswith(want), F.lit(mime)).otherwise(expr)
+    return expr
+
+
+def attach_media_meta(
+    df: DataFrame, payload_col: str, *, out_col: str = "meta"
+) -> DataFrame:
+    """Typed metadata struct next to the payload — size, content hash, mime.
+    All JVM-side; downstream filters on ``meta.*`` prune without touching
+    payload bytes (struct-field predicate pushdown)."""
+    p = F.col(payload_col)
+    return df.withColumn(
+        out_col,
+        F.struct(
+            F.length(p).cast("long").alias("n_bytes"),
+            F.md5(p).alias("md5"),
+            sniff_mime(p).alias("mime"),
+        ),
+    )
+
+
+def _stub_decoder(payload: bytes, dim: int) -> list[float]:
+    """Deterministic fake 'decode + feature extract' — a real deployment
+    passes a PIL/torchvision wrapper here. NOT a real image decode (the
+    libs aren't in this container); the contract (bytes → dim floats) is."""
+    h = 0
+    for i, b in enumerate(payload[:256]):
+        h = (h * 1000003 + b + i) & 0xFFFFFFFF
+    return [((h >> (i % 24)) % 1000) / 1000.0 for i in range(dim)]
+
+
+def decode_features(
+    df: DataFrame,
+    payload_col: str,
+    *,
+    dim: int = 16,
+    id_cols: list[str] | None = None,
+    decoder: Callable[[bytes, int], list[float]] | None = None,
+    batch_hint: str = "features",
+) -> DataFrame:
+    """Payload → fixed-size feature vector via Arrow-batched mapInPandas.
+
+    The UDF sees pandas batches (bytes cross JVM→Python once per batch);
+    output schema is declared so Catalyst plans downstream ops normally.
+    Swap ``decoder`` for a real model wrapper in deployment."""
+    ids = id_cols or []
+    dec = decoder or _stub_decoder
+    out_schema = StructType(
+        [df.schema[c] for c in ids]
+        + [StructField(batch_hint, ArrayType(FloatType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[ids].copy() if ids else pd.DataFrame(index=pdf.index)
+            out[batch_hint] = pdf[payload_col].map(
+                lambda b: dec(bytes(b), dim) if b is not None else None
+            )
+            yield out
+
+    return df.select(*ids, payload_col).mapInPandas(run, out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str,
+    *,
+    n_frames: int = 4,
+    frame_bytes: int = 64,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Payload → N pseudo-frames (row fan-out 1:N) — the video
+    frame-sampling shape. The stub slices the payload at evenly-spaced
+    offsets; a real deployment seeks keyframes via ffmpeg. Output carries
+    (frame_idx, frame) so per-frame ops (decode_features) chain directly."""
+    ids = id_cols or []
+    out_schema = StructType(
+        [df.schema[c] for c in ids]
+        + [
+            StructField("frame_idx", LongType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r[payload_col]) if r[payload_col] is not None else b""
+                step = max(1, (len(payload) - frame_bytes) // max(1, n_frames - 1))
+                for i in range(n_frames):
+                    off = min(i * step, max(0, len(payload) - frame_bytes))
+                    rows.append(
+                        tuple(r[c] for c in ids)
+                        + (i, payload[off : off + frame_bytes])
+                    )
+            yield pd.DataFrame(
+                rows, columns=ids + ["frame_idx", "frame"]
+            )
+
+    return df.select(*ids, payload_col).mapInPandas(run, out_schema)

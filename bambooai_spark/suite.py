@@ -787,6 +787,47 @@ def hourly_events(spark, sf_dir):
 
 
 @spec(
+    "normalize_events",
+    """
+    WITH f AS (
+      SELECT user_id, event_type, MIN(ts) AS first_ts
+      FROM events GROUP BY user_id, event_type),
+    r AS (
+      SELECT user_id, event_type,
+             CAST(dense_rank() OVER (PARTITION BY user_id
+                                     ORDER BY first_ts, event_type) AS BIGINT)
+             AS new_id
+      FROM f)
+    SELECT e.event_id, e.user_id, r.new_id,
+           ROUND(SUM(e.value) OVER (PARTITION BY e.user_id, e.event_type
+                                    ORDER BY e.ts, e.event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS distance,
+           ROUND(e.value * (180.0 / 2147483648), 9) AS value_deg
+    FROM events e JOIN r ON e.user_id = r.user_id AND e.event_type = r.event_type
+    """,
+    doc="Full ingest-normalization pipeline (reference "
+    "transform_sweatstack_longitudinal_data, app.py:343-401): per-group "
+    "dense re-ID by first timestamp + running distance cumsum + "
+    "semicircle→degree conversion — composed as one plan, one data shuffle.",
+)
+def normalize_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    from bambooai_spark.functions.timeseries import normalize_longitudinal
+
+    out = normalize_longitudinal(
+        ev,
+        group_col="user_id",
+        id_col="event_type",
+        ts_col="ts",
+        speed_col="value",
+        semicircle_cols=("value",),
+        order_tiebreak="event_id",
+    )
+    return out.select("event_id", "user_id", "new_id", "distance", "value_deg")
+
+
+@spec(
     "pace_events",
     """
     WITH f AS (
@@ -1113,6 +1154,36 @@ def minhash_near_dup_docs(spark, sf_dir):
 )
 def simhash_docs(spark, sf_dir):
     return simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@spec(
+    "media_meta_docs",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5,
+           'application/octet-stream' AS mime
+    FROM documents
+    """,
+    doc="Multimodal column plumbing (operators/multimodal.py): opaque "
+    "binary payload + typed metadata struct (size, content hash, magic-"
+    "byte mime sniff) — all JVM expressions, no payload ever decoded. "
+    "Text bytes stand in for media payloads in the synthetic corpus; the "
+    "schema/pushdown story is identical for real blobs.",
+)
+def media_meta_docs(spark, sf_dir):
+    from bambooai_spark.operators.multimodal import attach_media_meta
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode("text", "UTF-8")
+    )
+    m = attach_media_meta(d, "payload")
+    return m.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.md5").alias("payload_md5"),
+        F.col("meta.mime").alias("mime"),
+    )
 
 
 # =====================================================================

@@ -1,0 +1,120 @@
+"""Agent-loop tests — the SURVEY §7 minimum end-to-end slice ('count the
+runs per month' exemplar) with a scripted LLM: question → routing → plan →
+codegen → sandbox → result → summary, plus the self-healing retry loop."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bambooai_spark.agent import AgentOrchestrator
+from bambooai_spark.io import load_table
+from tests.conftest import SF_DIR
+
+
+class ScriptedLLM:
+    """Returns canned responses per agent role (matched on the system
+    prompt), recording every call."""
+
+    def __init__(self, responses: dict[str, list[str] | str]):
+        self.responses = {
+            k: (v if isinstance(v, list) else [v]) for k, v in responses.items()
+        }
+        self.calls: list[tuple[str, str]] = []
+
+    def __call__(self, system: str, user: str) -> str:
+        self.calls.append((system, user))
+        for key, vals in self.responses.items():
+            if key in system:
+                return vals.pop(0) if len(vals) > 1 else vals[0]
+        raise AssertionError(f"unexpected system prompt: {system[:60]}")
+
+
+EXPERT_DA = "```yaml\nrequires_dataset: true\nexpert: 'Data Analyst'\nconfidence: 9\n```"
+ANALYST = (
+    "```yaml\nanalyst: 'Data Analyst DF'\nunknown: monthly order counts\n"
+    "condition: year 1997\ndata: o_orderdate\n"
+    "intent_breakdown: count orders per month in 1997\n```"
+)
+PLAN = (
+    "```yaml\nproblem_reflection: count orders per month in 1997\n"
+    "data_operations: filter year, group by month\n"
+    "analysis_steps: [filter, group, count, sort]\n"
+    "output_format: [order_month, order_count]\n```"
+)
+GOOD_CODE = (
+    "```python\n"
+    "df = (df.filter(F.year('o_orderdate') == 1997)\n"
+    "        .groupBy(F.date_format(F.date_trunc('month', 'o_orderdate'),"
+    " 'yyyy-MM').alias('order_month'))\n"
+    "        .agg(F.count(F.lit(1)).alias('order_count'))\n"
+    "        .orderBy('order_month'))\n"
+    "```"
+)
+BAD_CODE = "```python\ndf = df.groupBy(F.col('no_such_col')).count()\n```"
+
+
+def _llm(codegen):
+    return ScriptedLLM(
+        {
+            "route analytics questions": EXPERT_DA,
+            "classify dataset questions": ANALYST,
+            "analysis plans": PLAN,
+            "write PySpark code": codegen,
+            "previous PySpark code failed": GOOD_CODE,
+            "Summarize the analysis": "Orders per month in 1997 computed.",
+        }
+    )
+
+
+def test_end_to_end_exemplar(spark):
+    llm = _llm(GOOD_CODE)
+    orch = AgentOrchestrator(spark, llm)
+    orders = load_table(spark, SF_DIR, "orders")
+    res = orch.converse("Count the number of orders per month in 1997", orders)
+    assert res.expert == "Data Analyst"
+    assert res.intent == "count orders per month in 1997"
+    assert res.plan and "data_operations" in res.plan
+    assert res.corrections == 0 and not res.errors
+    rows = {r.order_month: r.order_count for r in res.df.collect()}
+    want = {
+        r.m: r.c
+        for r in orders.filter(F.year("o_orderdate") == 1997)
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("m"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert rows == want and len(rows) == 12
+    assert res.summary == "Orders per month in 1997 computed."
+
+
+def test_self_healing_retry_loop(spark):
+    llm = _llm(BAD_CODE)  # first codegen fails → corrector returns GOOD_CODE
+    orch = AgentOrchestrator(spark, llm)
+    orders = load_table(spark, SF_DIR, "orders")
+    res = orch.converse("Count orders per month in 1997", orders)
+    assert res.corrections == 1
+    assert len(res.errors) == 1
+    assert "no_such_col" in res.errors[0]
+    assert res.df.count() == 12
+    # the corrector prompt carried the filtered excerpt, not a JVM wall
+    corrector_call = next(u for s, u in llm.calls if "Failed code" in u)
+    assert "-->" in corrector_call and "at org.apache" not in corrector_call
+
+
+def test_research_question_routes_to_prose(spark):
+    llm = ScriptedLLM(
+        {
+            "route analytics questions": (
+                "```yaml\nrequires_dataset: false\n"
+                "expert: 'Research Specialist'\nconfidence: 8\n```"
+            ),
+            "Summarize the analysis": "Prose answer.",
+        }
+    )
+    orch = AgentOrchestrator(spark, llm)
+    orders = load_table(spark, SF_DIR, "orders")
+    res = orch.converse("What is a TPC-H benchmark?", orders)
+    assert res.expert == "Research Specialist"
+    assert res.df is None and res.code is None
+    assert res.summary == "Prose answer."

@@ -1,0 +1,86 @@
+"""Multimodal plumbing tests: metadata struct correctness, mime sniffing on
+real magic bytes, mapInPandas batch contracts (feature shape, frame
+fan-out), and determinism across partitionings."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bambooai_spark.io import load_table
+from bambooai_spark.operators.multimodal import (
+    attach_media_meta,
+    decode_features,
+    sample_frames,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, b"\x89PNG\r\n\x1a\n" + b"x" * 120),
+        (2, b"\xff\xd8\xff\xe0" + b"y" * 500),
+        (3, b"RIFF....WAVE" + b"z" * 64),
+        (4, b"plain bytes payload " * 10),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "id: long, payload: binary")
+
+
+def test_media_meta_struct(spark, media):
+    got = {r.id: r.meta.asDict() for r in attach_media_meta(media, "payload").collect()}
+    assert got[1]["mime"] == "image/png"
+    assert got[2]["mime"] == "image/jpeg"
+    assert got[3]["mime"] == "audio/wav"
+    assert got[4]["mime"] == "application/octet-stream"
+    assert got[1]["n_bytes"] == 128
+    import hashlib
+
+    assert got[4]["md5"] == hashlib.md5(b"plain bytes payload " * 10).hexdigest()
+    assert got[5]["n_bytes"] is None  # null payload → null meta fields
+
+
+def test_decode_features_contract(spark, media):
+    out = decode_features(media, "payload", dim=16, id_cols=["id"])
+    assert [f.name for f in out.schema.fields] == ["id", "features"]
+    rows = {r.id: r.features for r in out.collect()}
+    assert len(rows) == 5
+    assert all(len(v) == 16 for k, v in rows.items() if v is not None)
+    assert rows[5] is None  # null payload → null features
+    # deterministic across partitionings (Arrow batch boundaries don't leak)
+    again = {
+        r.id: r.features
+        for r in decode_features(
+            media.repartition(4), "payload", dim=16, id_cols=["id"]
+        ).collect()
+    }
+    assert rows == again
+
+
+def test_sample_frames_fanout(spark, media):
+    out = sample_frames(
+        media.filter("payload IS NOT NULL"), "payload",
+        n_frames=4, frame_bytes=32, id_cols=["id"],
+    )
+    rows = out.collect()
+    assert len(rows) == 4 * 4  # 4 payloads × 4 frames
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.id, []).append(r)
+    for rs in by_id.values():
+        assert sorted(x.frame_idx for x in rs) == [0, 1, 2, 3]
+        assert all(len(bytes(x.frame)) <= 32 for x in rs)
+
+
+def test_feature_pipeline_chains_into_dataframe_ops(spark):
+    # the whole point: multimodal stages compose with relational ops
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    payloads = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    feats = decode_features(payloads, "payload", dim=8, id_cols=["doc_id"])
+    agg = feats.select(
+        F.explode("features").alias("f")
+    ).agg(F.count("*").alias("n"), F.round(F.avg("f"), 3).alias("avg"))
+    row = agg.collect()[0]
+    assert row.n == 50 * 8
+    assert 0.0 <= row.avg <= 1.0
