@@ -1284,6 +1284,111 @@ def embedding_near_dup_pairs(spark, sf_dir):
     )
 
 
+@spec(
+    "chunk_docs",
+    r"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+               FROM documents),
+    c AS (SELECT doc_id, i AS chunk_idx,
+                 array_to_string(ws[(i*20+1):((i+1)*20)], ' ') AS chunk
+          FROM w, unnest(generate_series(0, CAST(ceil(len(ws)/20.0) AS INT) - 1))
+               AS t(i))
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk,
+           CAST(len(regexp_split_to_array(chunk, '\s+')) AS BIGINT)
+           AS n_chunk_words
+    FROM c
+    """,
+    doc="RAG chunking (reference A19, google_search.py:159-190: 512-word "
+    "windows — 20 here so the small docs fan out): slice+posexplode, pure "
+    "JVM 1:N row fan-out; rank_chunks (embed+dot+top-k) completes the "
+    "pipeline (rows-only, tested in tests/test_rag_accounting.py).",
+)
+def chunk_docs(spark, sf_dir):
+    from bambooai_spark.operators.rag import chunk_texts
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_texts(d, "text", id_cols=["doc_id"], chunk_words=20)
+
+
+_PAIR_COS = (
+    "list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))"
+    " / (sqrt(list_dot_product(CAST(n.embedding AS DOUBLE[]), CAST(n.embedding AS DOUBLE[])))"
+    " * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))"
+)
+
+
+@spec(
+    "upsert_embeddings",
+    f"""
+    WITH existing AS (
+      SELECT vec_id, label, embedding, vec_id % 11 AS rank
+      FROM embeddings WHERE vec_id < 400),
+    new AS (
+      SELECT vec_id, label, embedding, vec_id % 11 AS rank
+      FROM embeddings WHERE vec_id >= 400),
+    eligible AS (SELECT * FROM new WHERE rank >= 6),
+    pairs AS (
+      SELECT n.vec_id AS new_id, e.vec_id AS old_id,
+             n.rank AS new_rank, e.rank AS old_rank, {_PAIR_COS} AS cos
+      FROM eligible n JOIN existing e ON n.label = e.label
+      WHERE {_PAIR_COS} >= 0.35),
+    best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY new_id
+                                     ORDER BY cos DESC, old_id) AS rn
+        FROM pairs) WHERE rn = 1),
+    inserted AS (
+      SELECT vec_id, label, rank FROM eligible
+      WHERE vec_id NOT IN (SELECT new_id FROM best WHERE new_rank <= old_rank)),
+    survivors AS (
+      SELECT vec_id, label, rank FROM existing
+      WHERE vec_id NOT IN (SELECT old_id FROM best WHERE new_rank > old_rank))
+    SELECT vec_id, label, CAST(rank AS BIGINT) AS rank FROM survivors
+    UNION ALL
+    SELECT vec_id, label, CAST(rank AS BIGINT) AS rank FROM inserted
+    """,
+    doc="Upsert-with-semantic-dedup (reference A18, qa_retrieval.py:146-202)"
+    " as a batch MERGE: rank gate, strong-match argmax per new record, "
+    "replace-iff-strictly-higher-rank — blocked on the cluster label so the"
+    " similarity join is Σ_block |new|·|old|, never the full cross product.",
+)
+def upsert_embeddings(spark, sf_dir):
+    from bambooai_spark.operators.memory import upsert_with_dedup
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "rank", (F.col("vec_id") % 11).cast("long")
+    )
+    existing = e.filter(F.col("vec_id") < 400)
+    new = e.filter(F.col("vec_id") >= 400)
+    merged = upsert_with_dedup(
+        existing,
+        new,
+        id_col="vec_id",
+        vec_col="embedding",
+        rank_col="rank",
+        threshold=0.35,
+        min_rank=6,
+        block_col="label",
+    )
+    return merged.select("vec_id", "label", "rank")
+
+
+@spec(
+    "embed_docs",
+    None,  # hash-stub embeddings have no SQL mirror; properties asserted in
+    # tests/test_memory_embed.py (determinism, unit norm, batch shape)
+    doc="Embedding operator (reference A16 vectorize) as an Arrow-batched "
+    "mapInPandas stage — pluggable embedder (deterministic hash stub here; "
+    "a model/API wrapper in deployment), declared output schema so "
+    "downstream similarity ops plan normally.",
+)
+def embed_docs(spark, sf_dir):
+    from bambooai_spark.operators.embed import embed_texts
+
+    d = _t(spark, sf_dir, "documents")
+    return embed_texts(d, "text", dim=32, id_cols=["doc_id"])
+
+
 # ---------------------------------------------------------------------
 
 HEADLINE = [s.name for s in SPECS if s.headline]
