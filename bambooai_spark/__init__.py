@@ -23,6 +23,9 @@ Capability target: the query and data-processing surface of pgalko/BambooAI
                   versioned commit/rollback, traceback filter.
 - ``streaming`` — Structured Streaming surface for the events table
                   (tumbling/session windows, watermark dedup).
+- ``plans``     — plan inspection/guardrail utilities: pushdown/pruning/
+                  broadcast assertions for tests, cartesian-product guard
+                  for the executor.
 
 Design stance (100 TB): declarative DataFrame plans so Catalyst handles
 pushdown/pruning/join selection; decimal-exact aggregation for deterministic

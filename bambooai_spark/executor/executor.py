@@ -52,12 +52,21 @@ class ExecutionResult:
 class SparkCodeExecutor:
     """Executes generated PySpark scripts against a pre-loaded ``df``."""
 
-    def __init__(self, *, sanitize_code: bool = True, validate_plan: bool = True):
+    def __init__(
+        self,
+        *,
+        sanitize_code: bool = True,
+        validate_plan: bool = True,
+        guard_plans: bool = False,
+    ):
         self.sanitize_code = sanitize_code
         # eagerly resolve the committed plan (cheap analysis, no execution) so
         # lazy errors surface inside execute() and trigger rollback rather
         # than exploding later in unrelated caller code.
         self.validate_plan = validate_plan
+        # optional SURVEY §4 guardrail: reject committed plans containing
+        # shapes generated code must never ship (cartesian products)
+        self.guard_plans = guard_plans
         self.version = 0
 
     def execute(
@@ -95,6 +104,12 @@ class SparkCodeExecutor:
             if isinstance(result_df, DataFrame):
                 if self.validate_plan:
                     result_df.schema  # forces analysis; raises AnalysisException
+                if self.guard_plans:
+                    from bambooai_spark.plans import guard_plan
+
+                    reason = guard_plan(result_df)
+                    if reason is not None:
+                        raise RuntimeError(f"plan guardrail: {reason}")
             elif result_df is not None and not isinstance(result_df, DataFrame):
                 raise TypeError(
                     f"generated code rebound df to {type(result_df).__name__}; "

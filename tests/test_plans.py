@@ -1,0 +1,97 @@
+"""Plan-quality assertions (SURVEY §4): the headline queries must produce
+the plans we designed — pushdown at the scan, pruned reads, broadcast where
+intended, top-k as TakeOrderedAndProject, no cartesian products — plus the
+executor-side plan guardrail."""
+
+from __future__ import annotations
+
+import pytest
+
+from bambooai_spark.executor import SparkCodeExecutor
+from bambooai_spark.io import load_table
+from bambooai_spark.plans import (
+    assert_no_cartesian,
+    assert_pruned_scan,
+    assert_pushed_filters,
+    plan_flags,
+)
+from bambooai_spark.suite import SPECS
+from tests.conftest import SF_DIR
+
+_BY_NAME = {s.name: s for s in SPECS}
+
+
+def _build(spark, name):
+    return _BY_NAME[name].build(spark, SF_DIR)
+
+
+def test_q1_scan_pushdown_and_pruning(spark):
+    df = _build(spark, "q1_pricing_summary")
+    assert_pushed_filters(df, "l_shipdate")
+    # lineitem has 16 columns; q1 must read only the 7 it uses
+    assert_pruned_scan(df, table_cols=16, max_read_cols=7)
+    flags = plan_flags(df)
+    assert flags["n_exchanges"] == 1  # partial agg map-side, ONE shuffle
+
+
+def test_q3_filters_pushed_on_all_three_tables(spark):
+    df = _build(spark, "q3_top_orders")
+    flags = plan_flags(df)
+    pushed = ";".join(flags["pushed_filters"])
+    assert "c_mktsegment" in pushed
+    assert "o_orderdate" in pushed
+    assert "l_shipdate" in pushed
+    assert flags["has_take_ordered"]  # top-10 is NOT a global sort
+
+
+def test_q5_dims_broadcast(spark):
+    flags = plan_flags(_build(spark, "q5_region_revenue"))
+    assert flags["n_broadcast_joins"] >= 3  # region/nation/supplier at least
+    assert not flags["has_cartesian"]
+
+
+def test_top_customers_all_joins_broadcast(spark):
+    flags = plan_flags(_build(spark, "top_customers"))
+    assert flags["n_shuffle_joins"] == 0  # orders/customer/nation all fit
+    assert flags["has_take_ordered"]
+
+
+def test_knn_brute_force_is_take_ordered(spark):
+    flags = plan_flags(_build(spark, "knn_cosine_embeddings"))
+    assert flags["has_take_ordered"]  # per-partition top-k, k rows to driver
+
+
+def test_asof_join_single_shuffle_no_join_explosion(spark):
+    flags = plan_flags(_build(spark, "asof_join_events_orders"))
+    # union-merge as-of: window over one key shuffle; no join operator at all
+    assert flags["n_shuffle_joins"] == 0 and flags["n_broadcast_joins"] == 0
+    assert not flags["has_cartesian"]
+
+
+def test_no_headline_plan_has_cartesian(spark):
+    for s in SPECS:
+        if s.headline:
+            assert_no_cartesian(s.build(spark, SF_DIR))
+
+
+def test_executor_plan_guardrail_rejects_cartesian(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    ex = SparkCodeExecutor(guard_plans=True)
+    # disable auto-broadcast so the cross join actually plans as a
+    # CartesianProduct (at real scale neither side fits broadcast — that's
+    # exactly the case the guard exists for)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = ex.execute(
+            "df = df.crossJoin(df.select(F.col('o_orderkey').alias('k2')))",
+            df=orders, spark=spark,
+        )
+        assert not res.ok
+        assert "guardrail" in res.error or "Cartesian" in res.error
+        assert res.df is orders  # rolled back
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # and a sane plan passes the same guard
+    ok = ex.execute("df = df.limit(100)", df=orders, spark=spark)
+    assert ok.ok
