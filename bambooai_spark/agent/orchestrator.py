@@ -83,6 +83,24 @@ class AgentOrchestrator:
         _analyst, _unknown, _cond, _data, intent = extract_analyst(resp)
         return expert, intent or question
 
+    def _inspect(self, intent: str, ctx: str, ontology: str) -> str | None:
+        """Dataframe Inspector (reference utils.py:323-367): ontology +
+        profile → per-task YAML data model."""
+        resp = self.llm(
+            prompts.INSPECTOR_SYSTEM,
+            f"Ontology:\n{ontology}\n\n{ctx}\n\nTask: {intent}",
+        )
+        return extract_yaml_block(resp) or None
+
+    def _review(self, plan: str | None, code: str) -> str | None:
+        """Reviewer (reference bambooai.py:850-878): reconcile plan with the
+        code that actually ran — only called after corrections."""
+        resp = self.llm(
+            prompts.REVIEWER_SYSTEM,
+            f"Original plan:\n{plan}\n\nExecuted code:\n```python\n{code}\n```",
+        )
+        return extract_yaml_block(resp) or plan
+
     def _plan(self, intent: str, ctx: str) -> str | None:
         if not self.planning:
             return None
@@ -101,7 +119,9 @@ class AgentOrchestrator:
 
     # -- entry point --------------------------------------------------
 
-    def converse(self, question: str, df: DataFrame) -> AgentResult:
+    def converse(
+        self, question: str, df: DataFrame, *, ontology: str | None = None
+    ) -> AgentResult:
         ctx = self._context(df)
         expert, intent = self._route(question)
         if expert != "Data Analyst":
@@ -111,6 +131,10 @@ class AgentOrchestrator:
                 df=None, code=None, stdout=None, summary=answer,
                 expert=expert, intent=None, plan=None,
             )
+        if ontology:
+            model = self._inspect(intent, ctx, ontology)
+            if model:
+                ctx = f"{ctx}\n\nData model:\n{model}"
         plan = self._plan(intent, ctx)
         code = self._generate(intent, plan, ctx)
 
@@ -124,6 +148,11 @@ class AgentOrchestrator:
             res = self.executor.execute(code, df=df, spark=self.spark)
         if not res.ok:
             errors.append(res.error)
+
+        if res.ok and corrections > 0 and plan:
+            # reconcile the plan with what actually ran (reference
+            # bambooai.py:631-633: reviewer fires only after corrections)
+            plan = self._review(plan, code)
 
         summary = None
         if self.summarize and res.ok and res.df is not None:

@@ -66,6 +66,25 @@ names; AnalysisException messages name the operator at fault.
 
 {df_context}"""
 
+INSPECTOR_SYSTEM = """You distill a semantic data model for one task from an
+ontology plus a dataframe profile (reference contract
+default_prompts.yaml:1020-1110). Reply with YAML only:
+```yaml
+data_hierarchy: <container nesting relevant to the task>
+keys: <grouping/join key columns>
+measurements_attributes: <measurement columns with units>
+functions: <helper functions to inline, VERBATIM from the ontology — never invented>
+relationships: <links_for_merge join specs: from_key/to_key pairs>
+```
+Ground every entry in the ontology or the profile; omit sections with no
+relevant entries."""
+
+REVIEWER_SYSTEM = """You reconcile an analysis plan with the code that was
+actually executed after error corrections (reference contract
+default_prompts.yaml:2408-2428). Reply with the corrected plan as YAML in a
+```yaml block — same schema as the original plan, updated to describe what
+the final code really does."""
+
 SUMMARIZER_SYSTEM = """Summarize the analysis result for the user in 2-4
 sentences of plain prose. You get the task, the plan, and the result
 preview. Do not invent numbers not present in the preview."""

@@ -62,6 +62,7 @@ def _llm(codegen):
             "analysis plans": PLAN,
             "write PySpark code": codegen,
             "previous PySpark code failed": GOOD_CODE,
+            "reconcile an analysis plan": PLAN,
             "Summarize the analysis": "Orders per month in 1997 computed.",
         }
     )
@@ -118,3 +119,62 @@ def test_research_question_routes_to_prose(spark):
     assert res.expert == "Research Specialist"
     assert res.df is None and res.code is None
     assert res.summary == "Prose answer."
+
+
+def test_inspector_and_reviewer_stages(spark):
+    """Ontology-grounded data modeling + post-correction plan review
+    (reference Dataframe Inspector utils.py:323-367, Reviewer
+    bambooai.py:850-878)."""
+    llm = _llm(BAD_CODE)  # failing codegen → corrector → reviewer fires
+    llm.responses["distill a semantic data model"] = [
+        "```yaml\nkeys: [o_orderdate]\nmeasurements_attributes: [o_totalprice]\n```"
+    ]
+    llm.responses["reconcile an analysis plan"] = [
+        "```yaml\nproblem_reflection: reviewed plan\n```"
+    ]
+    orch = AgentOrchestrator(spark, llm)
+    orders = load_table(spark, SF_DIR, "orders")
+    res = orch.converse(
+        "Count orders per month in 1997", orders, ontology=":orders a :Table ."
+    )
+    assert res.ok and res.corrections == 1
+    assert "reviewed plan" in res.plan  # reviewer replaced the plan
+    inspector_call = next(
+        (u for s, u in llm.calls if "Ontology:" in u), None
+    )
+    assert inspector_call is not None
+    # the data model flowed into the planner context
+    planner_call = next(u for s, u in llm.calls if "Task:" in u and "Data model:" in u)
+    assert "o_orderdate" in planner_call
+
+
+def test_rest_connector_union_and_normalize(spark):
+    from bambooai_spark.sources.connectors import rest_source
+    from bambooai_spark.functions.timeseries import normalize_longitudinal
+
+    def fake_fetch():
+        yield [
+            {"athlete": "a", "activity": "x", "ts": 1, "speed": 2.0},
+            {"athlete": "a", "activity": "x", "ts": 2, "speed": 3.0},
+        ]
+        yield [
+            {"athlete": "a", "activity": "y", "ts": 3, "speed": 1.0},
+            {"athlete": "b", "activity": "z", "ts": 1, "speed": 4.0},
+        ]
+        yield []  # empty page must not break the union
+
+    df = rest_source(
+        spark, fake_fetch,
+        schema="athlete string, activity string, ts long, speed double",
+    )
+    assert df.count() == 4
+    out = normalize_longitudinal(
+        df, group_col="athlete", id_col="activity", ts_col="ts",
+        speed_col="speed",
+    )
+    rows = {(r.athlete, r.activity): r.new_id for r in out.collect()}
+    assert rows[("a", "x")] == 1 and rows[("a", "y")] == 2 and rows[("b", "z")] == 1
+    dist = {(r.athlete, r.ts): r.distance for r in out.collect()}
+    assert dist[("a", 2)] == 5.0  # cumsum within (athlete, activity)
+
+    assert rest_source(spark, lambda: iter([])) is None

@@ -74,3 +74,41 @@ def test_interaction_store_roundtrip(tmp_path):
     store.save_chain("t1", "c1", {"question": "q1-edited"})
     assert store.load_chain("t1", "c1")["question"] == "q1-edited"
     assert store.load_chain("t1", "c2")["question"] == "q2"
+
+
+def test_mermaid_plan_graph():
+    from bambooai_spark.mermaid import generate_plan_graph
+
+    plan = (
+        "problem_reflection: count runs per month\n"
+        "data_operations: [filter year, group by month]\n"
+        "analysis_steps: [filter, group, count, sort]\n"
+    )
+    out = generate_plan_graph(plan)
+    assert out.startswith("graph TB")
+    assert "subgraph analysis_steps" in out
+    assert out.count("-->") >= 5  # section links + chained steps
+    assert 'analysis_steps_0["filter"]' in out
+
+
+def test_mermaid_model_graph():
+    from bambooai_spark.mermaid import generate_model_graph
+
+    model = """
+data_hierarchy:
+  name: dataframe
+  children:
+    - name: activity
+      type: container
+measurements_attributes:
+  - name: speed
+    units: m/s
+relationships:
+  - from: activity
+    to: speed
+    type: groupedBy
+"""
+    out = generate_model_graph(model)
+    assert out.startswith("graph TD")
+    assert "<b>speed</b><br/>units: m/s" in out
+    assert 'activity -- "groupedBy" --> speed' in out
