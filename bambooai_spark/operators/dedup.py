@@ -107,10 +107,13 @@ def jaccard_near_dup(
     if strategy not in ("auto", "index", "dense"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "dense" or strategy == "auto":
+        # postings are read twice (vocab build + mask build) — cache them so
+        # the shingle computation runs once; the cached relation is
+        # (doc, shingle) pairs, far smaller than the corpus text
         sh = df.select(
             F.col(id_col).alias("doc"),
             F.explode(word_shingles(text_col, n)).alias("sh"),
-        )
+        ).persist()
         vocab = (
             sh.select("sh")
             .distinct()
@@ -124,6 +127,7 @@ def jaccard_near_dup(
         if strategy == "dense" or n_vocab <= DENSE_VOCAB_MAX:
             return _jaccard_dense(sh, vocab, n_vocab, threshold)
         vocab.unpersist()
+        sh.unpersist()
     return _jaccard_index(df, id_col, text_col, n, threshold, max_doc_freq)
 
 

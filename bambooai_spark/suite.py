@@ -309,21 +309,26 @@ def monthly_orders(spark, sf_dir):
     LIMIT 10
     """,
     headline=True,
-    doc="Top-k entities by revenue — join + group + TakeOrderedAndProject.",
+    doc="Top-k entities by revenue. Plan choice: lineitem is pre-aggregated "
+    "to one row per order BEFORE the joins — the later joins move 4x fewer "
+    "rows and count_distinct(o_orderkey) becomes a plain count (no Expand "
+    "operator doubling rows through the aggregate). Same two shuffles, "
+    "strictly less data through each.",
 )
 def top_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     n = F.broadcast(_t(spark, sf_dir, "nation"))
     o = _t(spark, sf_dir, "orders")
     l = _t(spark, sf_dir, "lineitem")
+    per_order = l.groupBy("l_orderkey").agg(F.sum(_disc_price()).alias("_orev"))
     return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(n, c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.sum(_disc_price()).alias("_rev"),
-            F.count_distinct(F.col("o_orderkey")).alias("n_orders"),
+            F.sum("_orev").alias("_rev"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.desc("_rev"), "c_custkey")
         .limit(10)
@@ -362,6 +367,163 @@ def brand_part_stats(spark, sf_dir):
             F.round(F.sum(_disc_price()).cast("double"), 2).alias("revenue"),
             dmean("p_retailprice").alias("avg_retail"),
         )
+    )
+
+
+@spec(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey LIMIT 50
+    """,
+    doc="Anti-join (NOT IN / set difference — SURVEY §2.B set-ops note: "
+    "free from Catalyst) — left_anti build side deduplicates by key, no "
+    "row duplication.",
+)
+def customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+        .limit(50)
+    )
+
+
+@spec(
+    "isin_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY 1
+    """,
+    doc="Membership predicate standalone (reference yaml:103, isin) — "
+    "IN-list pushes to the scan as an OR filter.",
+)
+def isin_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@spec(
+    "most_recent_order",
+    """
+    SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    """,
+    doc="Most-recent entity (reference yaml:97, sort-desc iloc[0]) — "
+    "TakeOrderedAndProject(1): per-partition max then a 1-row merge; "
+    "pandas' implicit positional head becomes an explicit ordering.",
+)
+def most_recent_order(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+    )
+
+
+@spec(
+    "union_entities",
+    """
+    SELECT c_custkey AS entity_key, c_name AS name,
+           'customer' AS kind, c_nationkey AS nationkey
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey, s_name, 'supplier', s_nationkey FROM supplier
+    """,
+    doc="Align-by-name concat standalone (reference app.py:1578 pd.concat) "
+    "— unionByName; no shuffle, partitions append.",
+)
+def union_entities(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("kind"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("kind"),
+        F.col("s_nationkey").alias("nationkey"),
+    )
+    return c.unionByName(s)
+
+
+@spec(
+    "rollup_orders",
+    f"""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS {D2})) AS DOUBLE), 2) AS total
+    FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+    """,
+    doc="Hierarchical totals via ROLLUP grouping sets — absent from the "
+    "pandas reference, free from Catalyst (SURVEY §2.B aggregations note): "
+    "one pass, Expand feeds all grouping levels into one partial agg.",
+)
+def rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias("total"),
+    ).select(
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        "n",
+        "total",
+    )
+
+
+@spec(
+    "null_handling_events",
+    """
+    WITH p AS (
+      SELECT user_id,
+             ROUND(value / lag(value) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) - 1, 6) AS pct
+      FROM events)
+    SELECT user_id,
+           COUNT(*) AS n_rows,
+           COUNT(pct) AS n_nonnull,
+           COUNT(*) - COUNT(pct) AS n_null,
+           ROUND(CAST(SUM(CAST(COALESCE(pct, 0) AS DECIMAL(18,6))) AS DOUBLE), 6)
+           AS sum_filled
+    FROM p GROUP BY user_id
+    """,
+    doc="Null handling standalone (reference: notna yaml:75, fillna(0) "
+    "yaml:67, isnull().sum() utils.py:66) over a derived column with real "
+    "nulls (pct_change's per-group leading row): null-count, non-null "
+    "count, and fillna-then-aggregate.",
+)
+def null_handling_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    raw = ev.select(
+        "user_id",
+        pct_change("value", "user_id", ["ts", "event_id"]).alias("pct"),
+    )
+    return raw.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("pct").alias("n_nonnull"),
+        (F.count(F.lit(1)) - F.count("pct")).alias("n_null"),
+        F.round(
+            F.sum(F.coalesce(F.col("pct"), F.lit(0.0)).cast("decimal(18,6)"))
+            .cast("double"),
+            6,
+        ).alias("sum_filled"),
     )
 
 
