@@ -178,3 +178,46 @@ def test_rest_connector_union_and_normalize(spark):
     assert dist[("a", 2)] == 5.0  # cumsum within (athlete, activity)
 
     assert rest_source(spark, lambda: iter([])) is None
+
+
+def test_tool_dispatch_loop():
+    from bambooai_spark.agent.tools import run_tool_loop, parse_tool_call
+
+    responses = [
+        '```tool_call\n{"tool": "google_search",'
+        ' "arguments": {"search_query": "spark AQE"}}\n```',
+        '```tool_call\n{"tool": "bogus", "arguments": {}}\n```',
+        "Final answer using the search result.",
+    ]
+    calls = []
+
+    def llm(system, user):
+        calls.append(user)
+        return responses[len(calls) - 1]
+
+    def search(search_query):
+        return f"results for {search_query}"
+
+    out = run_tool_loop(llm, "sys", "question", {"google_search": search})
+    assert out == "Final answer using the search result."
+    # the tool result was fed back into the next llm turn
+    assert "[tool google_search returned]\nresults for spark AQE" in calls[1]
+    # unknown tool surfaced as an error, loop continued
+    assert "error: unknown tool 'bogus'" in calls[2]
+    # malformed tool_call JSON is treated as prose
+    assert parse_tool_call("```tool_call\nnot json\n```") is None
+
+
+def test_tool_loop_iteration_bound():
+    from bambooai_spark.agent.tools import run_tool_loop
+
+    loop_resp = '```tool_call\n{"tool": "t", "arguments": {}}\n```'
+    n = [0]
+
+    def llm(system, user):
+        n[0] += 1
+        return loop_resp
+
+    out = run_tool_loop(llm, "sys", "q", {"t": lambda: "x"}, max_iters=3)
+    assert out == loop_resp  # bound hit, last response returned
+    assert n[0] == 4  # initial + 3 iterations

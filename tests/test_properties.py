@@ -1,0 +1,92 @@
+"""Hypothesis property tests for the trickiest operator implementations —
+random inputs checked against brute-force executable specs. Spark jobs are
+slow per-example, so examples are few but adversarial (ties, empty sides,
+singleton groups)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from bambooai_spark.functions.timeseries import asof_join, determine_segments
+from bambooai_spark.executor.sanitizer import sanitize
+
+
+# ---------------------------------------------------------------- asof_join
+
+_left_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 20)),  # (key, ts)
+    min_size=0, max_size=12,
+)
+_right_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(0, 99)),
+    min_size=0, max_size=12,  # (key, ts, value-id) — duplicate ts allowed
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_left_rows, _right_rows)
+def test_asof_join_matches_bruteforce(spark, left_rows, right_rows):
+    left_rows = [(i, k, t) for i, (k, t) in enumerate(left_rows)]
+    left = spark.createDataFrame(
+        left_rows or [(0, 0, 0)], "lid: long, k: long, ts: long"
+    )
+    right = spark.createDataFrame(
+        right_rows or [(99, -1, -1)], "k: long, rts: long, rid: long"
+    )
+    got = {
+        r.lid: (r.rid, r.rts)
+        for r in asof_join(
+            left, right,
+            left_on="k", right_on="k", left_ts="ts", right_ts="rts",
+            right_value_cols=["rid", "rts"], tiebreak="rid",
+        ).collect()
+    }
+    # brute-force spec: most recent right row with rts <= ts in same key;
+    # ties on rts broken by greatest rid
+    rights = right.collect()
+    for lid, k, ts in (left_rows or [(0, 0, 0)]):
+        cands = [(r.rts, r.rid) for r in rights if r.k == k and r.rts <= ts]
+        want = max(cands, key=lambda x: (x[0], x[1])) if cands else None
+        have = got[lid]
+        if want is None:
+            assert have == (None, None), f"lid={lid}: {have} != none"
+        else:
+            assert have == (want[1], want[0]), f"lid={lid}: {have} != {want}"
+
+
+# ----------------------------------------------------------- segmentation
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 1), st.floats(0, 100)), min_size=1, max_size=15),
+    st.floats(1.0, 30.0),
+)
+def test_determine_segments_matches_reference_rule(spark, rows, width):
+    df = spark.createDataFrame(
+        [(i, k, m) for i, (k, m) in enumerate(rows)], "i: long, k: long, m: double"
+    )
+    got = {r.i: r.segment_id for r in determine_segments(df, "m", "k", width).collect()}
+    # reference rule (ttl:589-648): seg = floor(m/width); NULL when seg >=
+    # floor(group_max/width) (the trailing incomplete bucket)
+    import math
+
+    by_key: dict[int, float] = {}
+    for _i, (k, m) in enumerate(rows):
+        by_key[k] = max(by_key.get(k, m), m)
+    for i, (k, m) in enumerate(rows):
+        complete = math.floor(by_key[k] / width)
+        want = math.floor(m / width) if math.floor(m / width) < complete else None
+        assert got[i] == want, f"row {i}: {got[i]} != {want}"
+
+
+# ------------------------------------------------------------- sanitizer
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet=st.characters(codec="ascii"), max_size=300))
+def test_sanitizer_idempotent_and_total(code):
+    once = sanitize(code)
+    assert sanitize(once) == once  # idempotent: re-sanitizing changes nothing
+    for line in once.splitlines():
+        # no active line may contain an unbounded collect
+        if not line.lstrip().startswith("#"):
+            assert ".collect()" not in line or ".limit(" in line
