@@ -129,9 +129,24 @@ def cumulative_sum(
 def pct_change(
     value: str | Column, partition_by, order_by, *, out_scale: int = 6
 ) -> Column:
-    """value / lag(value) - 1 (reference yaml:308, daily returns)."""
+    """value / lag(value) - 1 (reference yaml:308, daily returns).
+
+    A zero previous value yields NULL (``try_divide``), not ±inf/ANSI error
+    — pandas would give inf; NULL is the portable policy (SQL mirror:
+    ``NULLIF(lag(value), 0)``) and what downstream aggregation wants.
+
+    Rounding goes through an intermediate 9-dp decimal: Spark's round()
+    on a raw double rounds the SHORTEST decimal representation (via
+    BigDecimal.valueOf), so a quotient a hair below a tie (…74999…) rounds
+    UP while engines that round the true binary value round down — observed
+    at sf0.1. At 9 dp both representations coincide, making the final
+    6-dp round engine-portable (SQL mirror: ROUND(CAST(x AS
+    DECIMAL(18,9)), 6)).
+    """
     w = _ordered_window(partition_by, order_by)
-    return F.round(col_of(value) / F.lag(col_of(value), 1).over(w) - 1, out_scale)
+    prev = F.lag(col_of(value), 1).over(w)
+    raw = F.try_divide(col_of(value), prev) - 1
+    return F.round(raw.cast("decimal(18,9)"), out_scale).cast("double")
 
 
 def elapsed_seconds(ts: str | Column, partition_by, *, out_scale: int = 6) -> Column:

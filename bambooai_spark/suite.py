@@ -493,8 +493,10 @@ def rollup_orders(spark, sf_dir):
     """
     WITH p AS (
       SELECT user_id,
-             ROUND(value / lag(value) OVER
-                   (PARTITION BY user_id ORDER BY ts, event_id) - 1, 6) AS pct
+             CAST(ROUND(CAST(value / NULLIF(lag(value) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id), 0) - 1
+                   AS DECIMAL(18,9)), 6) AS DOUBLE)
+             AS pct
       FROM events)
     SELECT user_id,
            COUNT(*) AS n_rows,
@@ -724,8 +726,10 @@ def cumsum_events(spark, sf_dir):
     "pct_change_events",
     """
     SELECT event_id, user_id,
-           ROUND(value / lag(value) OVER
-                 (PARTITION BY user_id ORDER BY ts, event_id) - 1, 6) AS pct_change
+           CAST(ROUND(CAST(value / NULLIF(lag(value) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id), 0) - 1
+                 AS DECIMAL(18,9)), 6) AS DOUBLE)
+           AS pct_change
     FROM events
     """,
     doc="pct_change / daily returns (reference yaml:308).",
