@@ -60,11 +60,13 @@ class AgentOrchestrator:
         *,
         planning: bool = True,
         summarize: bool = True,
+        tools: dict | None = None,
     ):
         self.spark = spark
         self.llm = llm
         self.planning = planning
         self.summarize = summarize
+        self.tools = tools or {}  # e.g. {"google_search": fn} — injected
         self.executor = SparkCodeExecutor()
 
     # -- pipeline stages ---------------------------------------------
@@ -125,8 +127,14 @@ class AgentOrchestrator:
         ctx = self._context(df)
         expert, intent = self._route(question)
         if expert != "Data Analyst":
-            # research path: prose answer, no code (reference bambooai.py:456-472)
-            answer = self.llm(prompts.SUMMARIZER_SYSTEM, question)
+            # research path: Theorist prose, optionally via the tool loop
+            # (reference bambooai.py:456-472 + google_search dispatch)
+            from bambooai_spark.agent.tools import run_tool_loop
+
+            user = f"DF columns: {get_dataframe_columns(df)}\n\nQuestion: {question}"
+            answer = run_tool_loop(
+                self.llm, prompts.THEORIST_SYSTEM, user, self.tools
+            )
             return AgentResult(
                 df=None, code=None, stdout=None, summary=answer,
                 expert=expert, intent=None, plan=None,

@@ -85,6 +85,12 @@ default_prompts.yaml:2408-2428). Reply with the corrected plan as YAML in a
 ```yaml block — same schema as the original plan, updated to describe what
 the final code really does."""
 
+THEORIST_SYSTEM = """You are the Research Specialist (reference contract
+default_prompts.yaml:917-965): answer general/theoretical questions in
+plain prose. You may get the dataframe's column names and recent Q&A
+history as context; use the google_search tool (```tool_call fenced JSON)
+when current information is needed. Do not write code."""
+
 SUMMARIZER_SYSTEM = """Summarize the analysis result for the user in 2-4
 sentences of plain prose. You get the task, the plan, and the result
 preview. Do not invent numbers not present in the preview."""

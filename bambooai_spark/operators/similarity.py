@@ -119,14 +119,43 @@ def precompute_buckets(
     matches the query in ANY table — recall 1-(1-p^b)^L per neighbor, where
     p = 1-θ/π is the per-bit collision probability. A single table's p^b is
     small for mid-range cosine (measured 0.0-0.2 recall@10 on the synthetic
-    clusters); 8 tables lift it to the 0.8+ regime while still scanning a
+    clusters); 16 tables lift it to the 0.9+ regime while still scanning a
     vanishing fraction at scale.
+
+    Implementation: ALL n_tables·n_bits projections as ONE numpy matmul per
+    Arrow batch (mapInPandas). The column-expression form (one nested
+    fold per bit) explodes whole-stage codegen at 64 bits — measured 4.2s
+    vs 0.5s for the same work at sf0.1.
     """
-    out = df
-    for t in range(n_tables):
-        planes = hyperplanes(dim, n_bits, seed + t)
-        out = out.withColumn(f"{bucket_prefix}_{t}", lsh_bucket(vec_col, planes))
-    return out
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    all_planes = np.vstack(
+        [hyperplanes(dim, n_bits, seed + t) for t in range(n_tables)]
+    )  # (n_tables*n_bits, dim)
+    weights = (1 << np.arange(n_bits, dtype=np.int64))  # bit → bucket fold
+    bcols = [f"{bucket_prefix}_{t}" for t in range(n_tables)]
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(c, LongType()) for c in bcols]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(vecs) == 0:
+                yield pdf.reindex(columns=pdf.columns.tolist() + bcols)
+                continue
+            bits = (vecs @ all_planes.T) > 0  # (rows, n_tables*n_bits)
+            out = pdf.copy()
+            for t in range(n_tables):
+                tb = bits[:, t * n_bits : (t + 1) * n_bits]
+                out[bcols[t]] = (tb * weights).sum(axis=1).astype("int64")
+            yield out
+
+    return df.mapInPandas(run, out_schema)
 
 
 def knn_lsh(

@@ -203,6 +203,7 @@ def q3_top_orders(spark, sf_dir):
                   WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
     GROUP BY o_orderpriority
     """,
+    headline=True,
     doc="TPC-H Q4 shape — EXISTS → left-semi join (no row duplication, "
     "the build side deduplicates by key).",
 )
@@ -845,6 +846,7 @@ def regr_slope_events(spark, sf_dir):
            ROUND(CAST(SUM(CAST(value AS {D2})) AS DOUBLE), 2) AS sum_value
     FROM s GROUP BY user_id, session_id
     """,
+    headline=True,
     doc="Gap-based sessionization (6h gap) — lag + running sum, one shuffle. "
     "Streaming twin: session_window(ts, gap) in streaming/events.py.",
 )
@@ -1164,6 +1166,7 @@ def executor_monthly_orders(spark, sf_dir):
     SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
     FROM documents GROUP BY md5(text)
     """,
+    headline=True,
     doc="Exact dedup: hash-groupBy on the content fingerprint; map-side "
     "partial agg collapses duplicates before the shuffle.",
 )
@@ -1304,6 +1307,7 @@ def jaccard_pairs_docs(spark, sf_dir):
 @spec(
     "minhash_near_dup_docs",
     None,  # LSH banding is probabilistic-recall; verified rows-only + tests
+    headline=True,
     doc="MinHash(64)+LSH(16 bands) near-dup: sub-quadratic candidate "
     "generation, exact-Jaccard verification of candidates.",
 )
@@ -1389,6 +1393,7 @@ def knn_cosine_embeddings(spark, sf_dir):
     "knn_lsh_embeddings",
     None,  # approximate — recall@10 vs brute force asserted in
     # tests/test_probabilistic.py (measured 0.92 avg at these params)
+    headline=True,
     doc="Multi-table random-hyperplane LSH ANN (16 tables × 4 bits, "
     "OR-amplification): candidates = rows sharing any table bucket with "
     "the query; precompute_buckets + per-table partitioning turns probes "

@@ -110,7 +110,7 @@ def test_research_question_routes_to_prose(spark):
                 "```yaml\nrequires_dataset: false\n"
                 "expert: 'Research Specialist'\nconfidence: 8\n```"
             ),
-            "Summarize the analysis": "Prose answer.",
+            "Research Specialist": "Prose answer.",
         }
     )
     orch = AgentOrchestrator(spark, llm)
