@@ -219,45 +219,32 @@ def _jaccard_index(
     )
 
 
-def _min_hashes(
-    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int
-) -> DataFrame:
-    """(doc, seed, minh): per-document minimum of xxhash64(seed, shingle)
-    for each of ``num_hashes`` seeds.
-
-    Shape matters here: explode shingles to rows FIRST, then hash each
-    scalar shingle ``num_hashes`` times. Building the signature as one
-    nested array expression inlines the whole shingle computation per seed
-    (Catalyst's CollapseProject), exploding codegen size ~64× — measured
-    60× slower. The row form is linear work and aggregates with a plain
-    map-side-combining groupBy.
-    """
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(word_shingles(text_col, n)).alias("sh")
-    )
-    hashed = sh.select(
-        "doc",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-                lambda i: F.xxhash64(i, F.col("sh")),
-            )
-        ).alias("seed", "h"),
-    )
-    return hashed.groupBy("doc", "seed").agg(F.min("h").alias("minh"))
-
-
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 2, num_hashes: int = 64
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    xxhash64(i, shingle). Documents with no shingles are absent."""
-    mh = _min_hashes(df, id_col, text_col, n, num_hashes)
-    return mh.groupBy("doc").agg(
+    xxhash64(i, xxhash64(shingle)) — hash the string once, derive the
+    family by re-hashing the long. Documents with no shingles are absent.
+
+    Shape: the signature is a per-row ARRAY FOLD over the document's
+    shingle-hash array — no explode, no shuffle (the earlier row-explode
+    form shuffled |docs|·|shingles|·num_hashes rows; measured 5× slower at
+    sf0.1). The persist() between the shingle-hash projection and the fold
+    is a deliberate CollapseProject barrier: inlined, the shingle pipeline
+    would be re-expanded once per hash function, blowing up codegen ~64×.
+    """
+    h0s = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s)).alias(
+            "h0s"
+        ),
+    ).persist()
+    return h0s.filter(F.size("h0s") > 0).select(
+        "doc",
         F.transform(
-            F.array_sort(F.collect_list(F.struct("seed", "minh"))),
-            lambda x: x["minh"],
-        ).alias("sig")
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(F.transform("h0s", lambda h: F.xxhash64(i, h))),
+        ).alias("sig"),
     )
 
 
@@ -281,23 +268,27 @@ def minhash_near_dup(
     touches a tiny candidate set instead of all O(N²) pairs.
     """
     rows = num_hashes // bands
-    mh = _min_hashes(df, id_col, text_col, n, num_hashes)
-    # band rows directly from (doc, seed, minh): band_id = seed DIV rows;
-    # band_hash folds the band's min-hashes in seed order.
-    band = (
-        mh.withColumn("band_id", (F.col("seed") / rows).cast("int"))
-        .groupBy("doc", "band_id")
-        .agg(
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minh"))),
-                        lambda x: x["minh"].cast("string"),
-                    ),
-                )
-            ).alias("band_hash")
-        )
+    sigs = minhash_signatures(
+        df, id_col, text_col, n=n, num_hashes=num_hashes
+    )
+    # band rows from the signature array: band_hash folds each rows-sized
+    # slice; one posexplode to bands (|docs|·bands rows — tiny)
+    band = sigs.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice("sig", b * rows + 1, rows),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_id", "band_hash"),
     )
     cands = (
         band.alias("x")
