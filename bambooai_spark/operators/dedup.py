@@ -361,6 +361,55 @@ def simhash(
     return df.select(F.col(id_col).alias("doc"), fp.alias("simhash64"))
 
 
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    max_hamming: int = 3,
+    blocks: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs via the pigeonhole block join (the standard
+    sub-quadratic simhash dedup, cf. Manku et al., WWW'07 — public
+    construction): split the 64-bit fingerprint into ``max_hamming+1``
+    blocks; two fingerprints within ``max_hamming`` bits MUST agree on at
+    least one whole block, so candidates come from equality joins on block
+    values (key-partitioned, no cross product), then exact popcount
+    verification. Returns (doc_a, doc_b, hamming ≤ max_hamming)."""
+    k = blocks or (max_hamming + 1)
+    width = 64 // k
+    fp = simhash(df, id_col, text_col, n=n)
+    blk = fp.select(
+        "doc",
+        "simhash64",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda b: F.call_function(
+                    "shiftrightunsigned", F.col("simhash64"), (b * width).cast("int")
+                ).bitwiseAND(F.lit((1 << width) - 1)),
+            )
+        ).alias("block_id", "block_val"),
+    )
+    a = blk.select(
+        F.col("doc").alias("doc_a"), F.col("simhash64").alias("fp_a"),
+        "block_id", "block_val",
+    )
+    b = blk.select(
+        F.col("doc").alias("doc_b"), F.col("simhash64").alias("fp_b"),
+        "block_id", "block_val",
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["block_id", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     id_col: str,

@@ -1327,6 +1327,23 @@ def simhash_docs(spark, sf_dir):
 
 
 @spec(
+    "simhash_near_dup_docs",
+    None,  # xxhash64-specific; EXACTNESS within the hamming bound is
+    # asserted vs brute force in tests/test_probabilistic.py
+    doc="SimHash near-dup pairs via the pigeonhole block join (Manku "
+    "WWW'07): hamming ≤ k ⇒ one of k+1 fingerprint blocks matches exactly "
+    "→ equality-join candidates, popcount verify. Sub-quadratic, "
+    "key-partitioned, provably complete for the bound.",
+)
+def simhash_near_dup_docs(spark, sf_dir):
+    from bambooai_spark.operators.dedup import simhash_near_dup
+
+    d = _t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    return simhash_near_dup(d, "doc_id", "text", max_hamming=6)
+
+
+@spec(
     "media_meta_docs",
     """
     SELECT doc_id,

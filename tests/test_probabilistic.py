@@ -168,3 +168,65 @@ def test_knn_lsh_scores_are_exact_cosines(spark, emb):
         dim=64,
     ).collect():
         assert bf[r.vec_id] == pytest.approx(r.cosine, abs=1e-6)
+
+
+# ------------------------------------------------------------- simhash join
+
+
+def test_simhash_near_dup_is_exact_within_bound(spark, docs):
+    """The pigeonhole block join is EXACT for its bound: two fingerprints
+    within max_hamming bits must agree on a whole block, so the result is
+    precisely {pairs with hamming ≤ max_hamming} — verified against a
+    brute-force sweep over all fingerprint pairs."""
+    from bambooai_spark.operators.dedup import simhash_near_dup
+
+    max_h = 6
+    found = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dup(
+            docs, "doc_id", "text", max_hamming=max_h
+        ).collect()
+    }
+    fps = {r.doc: r.simhash64 for r in simhash(docs, "doc_id", "text").collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    ids = sorted(fps)
+    want = {
+        (a, b): ham(fps[a], fps[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(fps[a], fps[b]) <= max_h
+    }
+    assert len(want) > 0, "corpus has no near-dup fingerprints at this bound"
+    assert found == want  # complete AND sound
+
+
+def test_embedding_near_dup_with_lsh_bucket_block(spark, emb):
+    """The documented scale composition: precompute_buckets supplies the
+    block key for the embedding near-dup self-join."""
+    from bambooai_spark.operators.dedup import embedding_near_dup
+    from bambooai_spark.operators.similarity import precompute_buckets
+
+    bucketed = precompute_buckets(
+        emb, "embedding", dim=64, n_bits=3, n_tables=1, bucket_prefix="bkt"
+    )
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup(
+            bucketed, "vec_id", "embedding", block_col="bkt_0", threshold=0.4
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup(
+            emb, "vec_id", "embedding", threshold=0.4, allow_full_cross=True
+        ).collect()
+    }
+    # blocking only prunes pairs (never invents them) and a single 3-bit
+    # table retains a p^3 share of true pairs (~25% at these cosines); the
+    # production path amplifies with more tables, as knn_lsh does
+    assert blocked <= full
+    assert len(full) > 0 and len(blocked) > 0
+    assert len(blocked) / len(full) >= 0.1
