@@ -61,12 +61,19 @@ class AgentOrchestrator:
         planning: bool = True,
         summarize: bool = True,
         tools: dict | None = None,
+        sample_first: int | None = None,
     ):
         self.spark = spark
         self.llm = llm
         self.planning = planning
         self.summarize = summarize
         self.tools = tools or {}  # e.g. {"google_search": fn} — injected
+        # SURVEY §4 candidate #2: run generated code against a cached
+        # N-row sample first, promoting to full data only once it runs
+        # clean — at 100 TB every self-healing retry against the full table
+        # is a full-scale job; failures (wrong column, bad cast, API
+        # misuse) surface identically on the sample.
+        self.sample_first = sample_first
         self.executor = SparkCodeExecutor()
 
     # -- pipeline stages ---------------------------------------------
@@ -148,12 +155,30 @@ class AgentOrchestrator:
 
         errors: list[str] = []
         corrections = 0
-        res = self.executor.execute(code, df=df, spark=self.spark)
+        sample = None
+        if self.sample_first:
+            sample = df.limit(self.sample_first).cache()
+            probe_df = sample
+        else:
+            probe_df = df
+        res = self.executor.execute(code, df=probe_df, spark=self.spark)
         while not res.ok and corrections < MAX_ERROR_CORRECTIONS:
             errors.append(res.error)
             corrections += 1
             code = self._correct(code, res.error, ctx)
+            res = self.executor.execute(code, df=probe_df, spark=self.spark)
+        if res.ok and sample is not None:
+            # promote: the code runs clean on the sample — one full-data run
             res = self.executor.execute(code, df=df, spark=self.spark)
+            if not res.ok:
+                # full-scale-only failure (e.g. overflow): one more repair
+                # round against the real error
+                errors.append(res.error)
+                corrections += 1
+                code = self._correct(code, res.error, ctx)
+                res = self.executor.execute(code, df=df, spark=self.spark)
+        if sample is not None:
+            sample.unpersist()
         if not res.ok:
             errors.append(res.error)
 

@@ -68,6 +68,8 @@ class SparkCodeExecutor:
         # shapes generated code must never ship (cartesian products)
         self.guard_plans = guard_plans
         self.version = 0
+        self._job_group: str | None = None
+        self._last_spark: SparkSession | None = None
 
     def execute(
         self,
@@ -81,6 +83,7 @@ class SparkCodeExecutor:
         original_df = df  # rollback point — immutable, no copy needed
         if spark is None and df is not None:
             spark = df.sparkSession
+        self._last_spark = spark
         if self.sanitize_code:
             code = sanitize(code)
 
@@ -98,6 +101,14 @@ class SparkCodeExecutor:
 
         buf = io.StringIO()
         try:
+            # tag every Spark job this execution launches so a concurrent
+            # cancel() can stop runaway generated code (the engine-side
+            # analog of the reference web UI's stop control)
+            if spark is not None:
+                self._job_group = f"bambooai-exec-{id(self)}-{self.version + 1}"
+                spark.sparkContext.setJobGroup(
+                    self._job_group, "sandboxed generated code", True
+                )
             with redirect_stdout(buf):
                 exec(compile(code, "<string>", "exec"), local_vars)  # noqa: S102
             result_df = local_vars.get("df")
@@ -130,6 +141,16 @@ class SparkCodeExecutor:
             )
         finally:
             buf.close()
+
+    def cancel(self) -> bool:
+        """Cancel the Spark jobs of the in-flight execution (callable from
+        another thread — the reference web UI's stop control). Pure-Python
+        loops that never touch Spark cannot be interrupted this way; the
+        sanitizer's import blacklist bounds what such code can do."""
+        if self._job_group and self._last_spark is not None:
+            self._last_spark.sparkContext.cancelJobGroup(self._job_group)
+            return True
+        return False
 
     def _commit(
         self,

@@ -221,3 +221,34 @@ def test_tool_loop_iteration_bound():
     out = run_tool_loop(llm, "sys", "q", {"t": lambda: "x"}, max_iters=3)
     assert out == loop_resp  # bound hit, last response returned
     assert n[0] == 4  # initial + 3 iterations
+
+
+def test_sample_first_self_healing(spark):
+    """SURVEY §4 sampling-injection: retries run on a cached sample; the
+    full table is touched once, after code runs clean."""
+    llm = _llm(BAD_CODE)  # fails once on the sample, corrected, promoted
+    orch = AgentOrchestrator(spark, llm, sample_first=200)
+    orders = load_table(spark, SF_DIR, "orders")
+    res = orch.converse("Count orders per month in 1997", orders)
+    assert res.ok and res.corrections == 1
+    assert res.df.count() == 12  # result computed on FULL data, not sample
+    rows = {r.order_month: r.order_count for r in res.df.collect()}
+    full = {
+        r.m: r.c
+        for r in orders.filter(F.year("o_orderdate") == 1997)
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("m"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert rows == full
+
+
+def test_executor_cancel_noop_when_idle(spark):
+    from bambooai_spark.executor import SparkCodeExecutor
+
+    ex = SparkCodeExecutor()
+    assert ex.cancel() is False  # nothing in flight
+    orders = load_table(spark, SF_DIR, "orders")
+    res = ex.execute("df = df.limit(3)", df=orders, spark=spark)
+    assert res.ok
+    assert ex.cancel() is True  # job group registered; cancel is callable
