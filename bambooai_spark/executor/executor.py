@@ -97,6 +97,14 @@ class SparkCodeExecutor:
             "Window": Window,
             "_generated_datasets_path": generated_datasets_path,
         }
+        if "ps." in code or "pandas_api" in code:
+            # pandas-on-Spark compatibility net (SURVEY A13): stray pandas
+            # idioms in generated code run distributed via pyspark.pandas.
+            # Imported lazily — it's heavy and most generated code is pure
+            # DataFrame API.
+            import pyspark.pandas as ps  # noqa: PLC0415
+
+            local_vars["ps"] = ps
         local_vars.update(extra_vars or {})
 
         buf = io.StringIO()
@@ -112,6 +120,11 @@ class SparkCodeExecutor:
             with redirect_stdout(buf):
                 exec(compile(code, "<string>", "exec"), local_vars)  # noqa: S102
             result_df = local_vars.get("df")
+            if result_df is not None and type(result_df).__module__.startswith(
+                "pyspark.pandas"
+            ):
+                # code left df as pandas-on-Spark — adopt the Spark frame
+                result_df = result_df.to_spark()
             if isinstance(result_df, DataFrame):
                 if self.validate_plan:
                     result_df.schema  # forces analysis; raises AnalysisException

@@ -189,3 +189,18 @@ def test_traceback_filter_truncates_jvm_wall():
     assert len(out) <= 1100
     assert "boom" in out
     assert "Foo.scala" not in out
+
+
+def test_pandas_on_spark_compatibility_net(spark, orders):
+    """SURVEY A13: stray pandas idioms run distributed via pyspark.pandas;
+    a ps.DataFrame left in df is adopted back as a Spark DataFrame."""
+    ex = SparkCodeExecutor()
+    code = (
+        "pdf = df.pandas_api()\n"
+        "counts = pdf.groupby('o_orderpriority').size()\n"
+        "df = counts.to_frame('n').reset_index()\n"
+    )
+    res = ex.execute(code, df=orders, spark=spark)
+    assert res.ok, res.error
+    assert res.df.count() == 5
+    assert set(res.df.columns) == {"o_orderpriority", "n"}
