@@ -211,6 +211,113 @@ def knn_lsh(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    n_cells: int = 16,
+    sample: int = 1024,
+    iters: int = 3,
+) -> np.ndarray:
+    """IVF coarse quantizer: k-means (Lloyd) on a BOUNDED sample, trained
+    driver-side in numpy — the standard IVF recipe (train small, assign
+    big). Deterministic: init = evenly spaced rows of the first ``sample``
+    vectors (no RNG), so retraining yields identical cells."""
+    rows = df.select(vec_col).limit(sample).collect()
+    if not rows:
+        raise ValueError("cannot train IVF centroids: table is empty")
+    vecs = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
+    idx = np.linspace(0, len(vecs) - 1, num=min(n_cells, len(vecs)), dtype=int)
+    cents = vecs[idx].copy()
+    for _ in range(iters):
+        d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = vecs[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    *,
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Attach the nearest-centroid cell id (L2) — run ONCE at ingest and
+    write partitioned by cell for partition-pruned probes. Vectorized: one
+    numpy distance computation per Arrow batch."""
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.reindex(columns=pdf.columns.tolist() + [out_col])
+                continue
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            out = pdf.copy()
+            out[out_col] = d.argmin(axis=1).astype("int32")
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def knn_ivf(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_id,
+    k: int = 10,
+    centroids: np.ndarray | None = None,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    cell_col: str | None = None,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k (the inverted-file ANN scale path): probe only
+    the ``nprobe`` cells whose centroids are nearest the query — with the
+    table written partitioned by cell, that's nprobe partition-pruned scans
+    of ~N/n_cells rows. Scores of returned rows are exact cosines (the
+    approximation only restricts WHICH rows are considered, like knn_lsh).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, n_cells=n_cells)
+    cents = np.asarray(centroids, dtype=np.float64)
+    if cell_col is None:
+        df = ivf_assign(df, vec_col, cents, out_col="_cell")
+        cell_col = "_cell"
+    qrow = df.filter(F.col(id_col) == query_id).select(vec_col).limit(1).collect()
+    if not qrow:
+        raise ValueError(f"query_id {query_id!r} not found")
+    qv = np.asarray(qrow[0][0], dtype=np.float64)
+    d = ((cents - qv[None, :]) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in d.argsort()[:nprobe]]
+    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_q"))
+    scored = (
+        df.filter(F.col(cell_col).isin(probe_cells))
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn("_cos", cosine(vec_col, "_q"))
+    )
+    return (
+        scored.orderBy(F.desc("_cos"), F.col(id_col))
+        .select(id_col, *(extra_cols or []), F.round("_cos", 6).alias("cosine"))
+        .limit(k)
+    )
+
+
 def label_centroids(
     df: DataFrame, label_col: str, vec_col: str, *, dim: int
 ) -> DataFrame:

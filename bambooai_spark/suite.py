@@ -55,6 +55,7 @@ from bambooai_spark.operators.dedup import (
 from bambooai_spark.operators.similarity import (
     knn_brute_force,
     knn_lsh,
+    knn_ivf,
     label_centroids,
 )
 
@@ -1421,6 +1422,24 @@ def knn_lsh_embeddings(spark, sf_dir):
     return knn_lsh(
         e, "vec_id", "embedding", query_id=0, k=10, n_bits=4, n_tables=16,
         dim=64, extra_cols=["label"],
+    )
+
+
+@spec(
+    "knn_ivf_embeddings",
+    None,  # approximate (cell-restricted) — recall + exact-score properties
+    # asserted in tests/test_probabilistic.py
+    doc="IVF ANN (inverted-file): k-means coarse quantizer trained on a "
+    "bounded sample (driver-side numpy, deterministic init), cells "
+    "assigned via one vectorized Arrow pass, queries probe the nprobe "
+    "nearest cells — written partitioned by cell, probes become "
+    "partition-pruned scans of ~N/n_cells rows.",
+)
+def knn_ivf_embeddings(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_ivf(
+        e, "vec_id", "embedding", query_id=0, k=10, n_cells=16, nprobe=4,
+        extra_cols=["label"],
     )
 
 

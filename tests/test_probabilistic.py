@@ -230,3 +230,43 @@ def test_embedding_near_dup_with_lsh_bucket_block(spark, emb):
     assert blocked <= full
     assert len(full) > 0 and len(blocked) > 0
     assert len(blocked) / len(full) >= 0.1
+
+
+# ------------------------------------------------------------- knn_ivf
+
+
+def test_knn_ivf_recall_and_exact_scores(spark, emb):
+    from bambooai_spark.operators.similarity import knn_brute_force, knn_ivf
+
+    recalls = []
+    for qid in (0, 7, 23, 42, 99):
+        exact = {
+            r.vec_id: r.cosine
+            for r in knn_brute_force(
+                emb, "vec_id", "embedding", query_id=qid, k=10
+            ).collect()
+        }
+        approx = {
+            r.vec_id: r.cosine
+            for r in knn_ivf(
+                emb, "vec_id", "embedding", query_id=qid, k=10,
+                n_cells=16, nprobe=4,
+            ).collect()
+        }
+        recalls.append(len(set(exact) & set(approx)) / 10)
+        for vid, cos in approx.items():
+            if vid in exact:  # scores are exact cosines, never approximated
+                assert cos == pytest.approx(exact[vid], abs=1e-6)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.5, f"IVF recall too low: {recalls}"
+
+
+def test_ivf_training_deterministic(spark, emb):
+    from bambooai_spark.operators.similarity import train_ivf_centroids
+
+    import numpy as np
+
+    a = train_ivf_centroids(emb, "embedding", n_cells=8)
+    b = train_ivf_centroids(emb, "embedding", n_cells=8)
+    assert np.array_equal(a, b)
+    assert a.shape == (8, 64)
