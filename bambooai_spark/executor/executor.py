@@ -153,6 +153,11 @@ class SparkCodeExecutor:
                 version=self.version,
             )
         finally:
+            # untag the thread so later caller jobs (res.df.collect() etc.)
+            # don't inherit the exec group and get killed by a late cancel()
+            if spark is not None:
+                spark.sparkContext.setJobGroup("", "")
+            self._job_group = None
             buf.close()
 
     def cancel(self) -> bool:

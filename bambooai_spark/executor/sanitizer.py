@@ -50,12 +50,27 @@ _SPARK_FORBIDDEN = (
     "sparkContext.stop",
     "setLogLevel",
     "spark.sparkContext._gateway",
+    # process/filesystem escapes the reference-era blacklist misses
+    # (`os` itself stays allowed — generated code legitimately uses
+    # os.path for dataset paths)
+    "os.system",
+    "os.popen",
+    "os.exec",
+    "os.spawn",
+    "os.remove",
+    "os.rmdir",
+    "os.unlink",
+    "eval(",
+    "__import__",
 )
 
 _COLLECT_RE = re.compile(r"\.(collect|toPandas|toLocalIterator)\s*\(")
 _BOUND_RE = re.compile(r"\.(limit|take|head|tail|first)\s*\(")
+# reference reg_ex.py:107-110 matches the blacklist as whole words on EVERY
+# line (not only import statements) — `exec(...)` or `pickle.loads(...)` in
+# a code body is neutralized too
 _BLACKLIST_RE = re.compile(
-    r"^\s*(import|from)\s+.*\b(" + "|".join(map(re.escape, IMPORT_BLACKLIST)) + r")\b"
+    r"\b(" + "|".join(map(re.escape, IMPORT_BLACKLIST)) + r")\b"
 )
 _DF_CLOBBER_RE = re.compile(
     r"(?<![A-Za-z0-9_])df\s*=\s*pd\.(DataFrame|read_\w+)\s*\("
@@ -109,8 +124,11 @@ def sanitize(code: str) -> str:
     lines = _strip_main_block(code.splitlines())
     out: list[str] = []
     for line in lines:
-        if _BLACKLIST_RE.match(line):
-            out.append(f"# not allowed (blacklisted import): {line.strip()}")
+        if line.lstrip().startswith("# not allowed"):
+            out.append(line)  # already neutralized — idempotence
+            continue
+        if _BLACKLIST_RE.search(line):
+            out.append(f"# not allowed (blacklisted name): {line.strip()}")
             continue
         if any(tok in line for tok in _SPARK_FORBIDDEN):
             out.append(f"# not allowed (session control): {line.strip()}")

@@ -107,26 +107,42 @@ def jaccard_near_dup(
     if strategy not in ("auto", "index", "dense"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "dense" or strategy == "auto":
-        # postings are read twice (vocab build + mask build) — cache them so
+        # postings are read twice (vocab probe + mask build) — cache them so
         # the shingle computation runs once; the cached relation is
-        # (doc, shingle) pairs, far smaller than the corpus text
+        # (doc, shingle) pairs, far smaller than the corpus text. The cache
+        # is keyed by canonical plan, so repeated calls on the same input
+        # reuse one entry rather than accumulating; it lives for the
+        # session (lazy results need it) — spark.catalog.clearCache() or
+        # unpersisting after materialization releases it.
         sh = df.select(
             F.col(id_col).alias("doc"),
             F.explode(word_shingles(text_col, n)).alias("sh"),
-        ).persist()
-        vocab = (
-            sh.select("sh")
-            .distinct()
-            .select(
-                "sh",
-                (F.row_number().over(Window.orderBy("sh")) - 1).alias("pos"),
-            )
-            .persist()
         )
-        n_vocab = vocab.count()
+        if max_doc_freq:
+            # the stop-shingle cap applies in BOTH strategies — identical
+            # semantics regardless of the physical plan chosen
+            hot = (
+                sh.groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > max_doc_freq)
+                .select("sh")
+            )
+            sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        sh = sh.persist()
+        # probe the vocabulary size FIRST with a plain parallel distinct
+        # count — the position numbering below needs a global sort, which
+        # must only ever run once the vocabulary is known to be small
+        n_vocab = sh.select("sh").distinct().count()
         if strategy == "dense" or n_vocab <= DENSE_VOCAB_MAX:
+            vocab = (
+                sh.select("sh")
+                .distinct()
+                .select(
+                    "sh",
+                    (F.row_number().over(Window.orderBy("sh")) - 1).alias("pos"),
+                )
+            )
             return _jaccard_dense(sh, vocab, n_vocab, threshold)
-        vocab.unpersist()
         sh.unpersist()
     return _jaccard_index(df, id_col, text_col, n, threshold, max_doc_freq)
 
@@ -232,6 +248,9 @@ def minhash_signatures(
     sf0.1). The persist() between the shingle-hash projection and the fold
     is a deliberate CollapseProject barrier: inlined, the shingle pipeline
     would be re-expanded once per hash function, blowing up codegen ~64×.
+    The cache is plan-keyed (repeat calls on the same input reuse one
+    entry) and session-lived; release with unpersist after materializing
+    or spark.catalog.clearCache().
     """
     h0s = df.select(
         F.col(id_col).alias("doc"),

@@ -53,18 +53,36 @@ def create_app(spark: SparkSession, *, upload_dir: str | None = None):
     executor = SparkCodeExecutor()
     updir = upload_dir or tempfile.mkdtemp(prefix="bambooai_uploads_")
 
-    def _df(name: str):
-        return registry.get(name)
+    class _UnknownDf(KeyError):
+        pass
 
-    @app.errorhandler(KeyError)
+    def _df(name: str):
+        try:
+            return registry.get(name)
+        except KeyError:
+            raise _UnknownDf(name) from None
+
+    def _field(body: dict, name: str):
+        from flask import abort
+
+        if name not in body:
+            abort(400, description=f"missing required field: {name}")
+        return body[name]
+
+    @app.errorhandler(_UnknownDf)
     def _missing(e):
         return jsonify({"error": f"unknown df_name: {e}"}), 404
+
+    # bound on the count probe in /execute responses: a full count() per
+    # request would be an unbounded job at scale — rows is exact up to this
+    # many, else null
+    ROWS_PROBE = 10_000
 
     @app.post("/execute")
     def execute():
         body = request.get_json(force=True)
         df = _df(body["df_name"]) if body.get("df_name") else None
-        res = executor.execute(body["code"], df=df, spark=spark)
+        res = executor.execute(_field(body, "code"), df=df, spark=spark)
         out = {
             "results": res.stdout,
             "error": res.error,
@@ -73,7 +91,9 @@ def create_app(spark: SparkSession, *, upload_dir: str | None = None):
         if res.ok and res.df is not None:
             name = registry.register(res.df, body.get("df_name"))
             out["df_name"] = name
-            out["rows"] = res.df.count()
+            out["columns"] = res.df.columns
+            n = res.df.limit(ROWS_PROBE + 1).count()
+            out["rows"] = n if n <= ROWS_PROBE else None
         return jsonify(out)
 
     @app.post("/upload_dataset")
@@ -87,7 +107,7 @@ def create_app(spark: SparkSession, *, upload_dir: str | None = None):
     @app.post("/df_utils/df_summary")
     def df_summary():
         body = request.get_json(force=True)
-        return jsonify({"summary": dataframe_summary_to_string(_df(body["df_name"]))})
+        return jsonify({"summary": dataframe_summary_to_string(_df(_field(body, "df_name")))})
 
     @app.post("/df_utils/df_to_string")
     def df_to_string():
@@ -95,7 +115,7 @@ def create_app(spark: SparkSession, *, upload_dir: str | None = None):
         return jsonify(
             {
                 "text": dataframe_to_string(
-                    _df(body["df_name"]), num_rows=int(body.get("num_rows", 5))
+                    _df(_field(body, "df_name")), num_rows=int(body.get("num_rows", 5))
                 )
             }
         )
@@ -103,30 +123,30 @@ def create_app(spark: SparkSession, *, upload_dir: str | None = None):
     @app.post("/df_utils/df_columns")
     def df_columns():
         body = request.get_json(force=True)
-        return jsonify({"columns": get_dataframe_columns(_df(body["df_name"]))})
+        return jsonify({"columns": get_dataframe_columns(_df(_field(body, "df_name")))})
 
     @app.post("/df_utils/compute_df_sample")
     def df_sample():
         body = request.get_json(force=True)
         n = min(int(body.get("n", 100)), 1000)  # hard driver-edge bound
-        rows = _df(body["df_name"]).limit(n).toPandas()
+        rows = _df(_field(body, "df_name")).limit(n).toPandas()
         return jsonify({"rows": rows.to_dict(orient="records")})
 
     @app.post("/file_utils/aux_datasets_to_string")
     def aux_to_string():
         body = request.get_json(force=True)
-        return jsonify({"text": aux_datasets_to_string(spark, body["paths"])})
+        return jsonify({"text": aux_datasets_to_string(spark, _field(body, "paths"))})
 
     @app.post("/file_utils/get_aux_datasets_columns")
     def aux_columns():
         body = request.get_json(force=True)
-        return jsonify({"text": get_aux_datasets_columns(body["paths"])})
+        return jsonify({"text": get_aux_datasets_columns(_field(body, "paths"))})
 
     @app.post("/serialize")
     def serialize():
         body = request.get_json(force=True)
         payload = serialize_dataframe(
-            _df(body["df_name"]), max_rows=int(body.get("max_rows", 10_000))
+            _df(_field(body, "df_name")), max_rows=int(body.get("max_rows", 10_000))
         )
         return jsonify({"payload": payload})
 

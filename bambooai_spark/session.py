@@ -58,7 +58,7 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
                 if k == "spark.sql.legacy.parquet.nanosAsLong":
                     raise RuntimeError(
                         f"required conf {k}={v} could not be applied to this "
-                        "session (got {applied!r}); TIMESTAMP(NANOS) parquet "
+                        f"session (got {applied!r}); TIMESTAMP(NANOS) parquet "
                         "columns would be misread — create the session via "
                         "bambooai_spark.get_session or set the conf at build"
                     )

@@ -97,14 +97,21 @@ def stream_dedup_events(
 
 
 def run_to_memory(
-    df: DataFrame, query_name: str, *, available_now: bool = True
+    df: DataFrame,
+    query_name: str,
+    *,
+    output_mode: str = "append",
+    available_now: bool = True,
 ):
     """Drain a (bounded) stream into an in-memory table — the test/demo
-    sink. Returns the StreamingQuery after it stops."""
+    sink. ``output_mode`` must match the query shape: "complete" for
+    aggregations (hourly/session windows), "append" (default) for
+    row-level streams like the watermark dedup. Returns the
+    StreamingQuery after it stops."""
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=available_now)
         .start()
     )

@@ -243,7 +243,10 @@ def test_sample_first_self_healing(spark):
     assert rows == full
 
 
-def test_executor_cancel_noop_when_idle(spark):
+def test_executor_cancel_lifecycle(spark):
+    import threading
+    import time
+
     from bambooai_spark.executor import SparkCodeExecutor
 
     ex = SparkCodeExecutor()
@@ -251,4 +254,31 @@ def test_executor_cancel_noop_when_idle(spark):
     orders = load_table(spark, SF_DIR, "orders")
     res = ex.execute("df = df.limit(3)", df=orders, spark=spark)
     assert res.ok
-    assert ex.cancel() is True  # job group registered; cancel is callable
+    assert ex.cancel() is False  # group cleared after execute returns
+
+    # cancel a genuinely in-flight execution from another thread; the
+    # aggregate over the 3.4e9-row cross product is real per-row work
+    # (count() alone gets shortcut) and takes ~minutes uncancelled
+    slow = (
+        "big = df.crossJoin(df.select(F.col('o_orderkey').alias('k2')))"
+        ".crossJoin(df.select(F.col('o_orderkey').alias('k3')))\n"
+        # limit(1) keeps the sanitizer's collect guard happy; the aggregate
+        # underneath still grinds through every row
+        "print(big.agg(F.sum(F.hash('o_orderkey', 'k2', 'k3'))).limit(1).collect())\n"
+    )
+    out: dict = {}
+
+    def run():
+        out["res"] = ex.execute(slow, df=orders, spark=spark)
+
+    t = threading.Thread(target=run)
+    t.start()
+    time.sleep(2.0)  # let the job actually launch
+    deadline = time.time() + 60
+    while t.is_alive() and time.time() < deadline:
+        ex.cancel()  # cancels active jobs in the group; re-issue until dead
+        time.sleep(0.25)
+    t.join(timeout=10)
+    assert not t.is_alive(), "cancel() failed to stop the execution"
+    assert not out["res"].ok  # cancelled job surfaced as an execution error
+    assert out["res"].df is orders  # rollback intact

@@ -110,8 +110,23 @@ def test_generated_datasets_harvest(spark, orders, tmp_path):
 
 def test_sanitizer_blocks_blacklisted_imports():
     out = sanitize("import subprocess\nimport os\nx = 1")
-    assert "# not allowed (blacklisted import): import subprocess" in out
+    assert "# not allowed (blacklisted name): import subprocess" in out
     assert "import os" in out.splitlines()[1]
+
+
+def test_sanitizer_blocks_inline_dangerous_calls():
+    # reference reg_ex matches blacklisted names on every line, not only
+    # imports; Spark-side tokens catch process/filesystem escapes
+    out = sanitize("x = pickle.loads(b)\ny = os.system('ls')\nz = eval('1')")
+    lines = out.splitlines()
+    assert lines[0].startswith("# not allowed (blacklisted name)")
+    assert lines[1].startswith("# not allowed (session control)") or "os.system" in lines[1] and lines[1].startswith("#")
+    assert lines[2].startswith("#")
+
+
+def test_sanitizer_idempotent_on_neutralized_lines():
+    once = sanitize("spark.stop()\ndf = pd.DataFrame({'a': [1]})")
+    assert sanitize(once) == once
 
 
 def test_sanitizer_blocks_unbounded_collect():

@@ -86,3 +86,10 @@ def test_serialize_roundtrip(client, spark, df_name):
     back = deserialize_dataframe(spark, payload)
     assert back.count() == 2
     assert set(back.columns) == {"id", "when", "amount"}
+
+
+def test_missing_field_is_400_not_404(client):
+    r = client.post("/execute", json={"df_name": "sales"})  # no "code"
+    assert r.status_code == 400
+    r2 = client.post("/df_utils/df_summary", json={})
+    assert r2.status_code == 400
