@@ -132,17 +132,17 @@ def jaccard_near_dup(
         # probe the vocabulary size FIRST with a plain parallel distinct
         # count — the position numbering below needs a global sort, which
         # must only ever run once the vocabulary is known to be small
-        n_vocab = sh.select("sh").distinct().count()
+        # (the distinct relation is cached so the probe and the numbering
+        # share one computation)
+        dist = sh.select("sh").distinct().persist()
+        n_vocab = dist.count()
         if strategy == "dense" or n_vocab <= DENSE_VOCAB_MAX:
-            vocab = (
-                sh.select("sh")
-                .distinct()
-                .select(
-                    "sh",
-                    (F.row_number().over(Window.orderBy("sh")) - 1).alias("pos"),
-                )
+            vocab = dist.select(
+                "sh",
+                (F.row_number().over(Window.orderBy("sh")) - 1).alias("pos"),
             )
             return _jaccard_dense(sh, vocab, n_vocab, threshold)
+        dist.unpersist()
         sh.unpersist()
     return _jaccard_index(df, id_col, text_col, n, threshold, max_doc_freq)
 
