@@ -469,3 +469,58 @@ def embedding_near_dup(
             "id_a", "id_b", F.round(cos, 6).alias("cosine")
         )
     )
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    *,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by iterative
+    min-label propagation. Returns ``(node, cluster_id)`` where
+    ``cluster_id`` is the minimum node id in the component — the standard
+    "cluster then keep one canonical doc" step after any fuzzy-dedup join
+    (reference analog: the strong-match collapse in qa_retrieval.py:157-202,
+    generalized to transitive duplicate groups).
+
+    Scale story: each round is one key-partitioned shuffle join of the
+    symmetrized edge list against the label relation plus a min-combine
+    (map-side partial agg). Rounds needed = component diameter; near-dup
+    components are shallow hub-and-spoke clusters around a template, so
+    3-5 rounds is typical. Labels are ``localCheckpoint``-ed per round to
+    truncate lineage (otherwise the plan doubles every iteration); on a
+    real cluster use ``spark.sparkContext.setCheckpointDir`` + reliable
+    checkpoints for fault tolerance. The convergence check (one count per
+    round) is the standard driver-side control loop of iterative graph
+    algorithms — it inspects a scalar, never row data.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    e = e.persist()
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr"))
+        )
+        merged = labels.join(prop, "node", "left").select(
+            "node",
+            "label",
+            F.least(F.col("label"), F.coalesce("nbr", "label")).alias("new_label"),
+        ).localCheckpoint(eager=True)
+        changed = merged.filter(F.col("new_label") < F.col("label")).count()
+        labels = merged.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels.select("node", F.col("label").alias("cluster_id"))

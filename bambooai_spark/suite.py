@@ -51,6 +51,7 @@ from bambooai_spark.operators.dedup import (
     minhash_near_dup,
     simhash,
     embedding_near_dup,
+    connected_components,
 )
 from bambooai_spark.operators.similarity import (
     knn_brute_force,
@@ -1273,10 +1274,11 @@ def lang_id_docs(spark, sf_dir):
     return d.select("doc_id", predict_lang("text").alias("predicted_lang"))
 
 
-@spec(
-    "jaccard_pairs_docs",
-    r"""
-    WITH sh AS (
+# Shared oracle CTE chain: bigram-shingle sets → inverted index → pair
+# overlap counts → Jaccard-thresholded pairs. Used by jaccard_pairs_docs
+# and (as the edge list) by dedup_clusters_docs.
+_JACCARD_CTES = r"""
+    sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(w)),
                                           i -> w[i] || ' ' || w[i+1])) AS shs
@@ -1285,11 +1287,20 @@ def lang_id_docs(spark, sf_dir):
     n AS (SELECT doc_id, COUNT(*) AS n_sh FROM t GROUP BY doc_id),
     p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
           FROM t a JOIN t b ON a.sh = b.sh AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
-    SELECT doc_a, doc_b,
-           ROUND(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE), 6) AS jaccard
-    FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
-    WHERE shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) >= 0.4
+          GROUP BY 1, 2),
+    jp AS (
+      SELECT doc_a, doc_b,
+             ROUND(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE), 6) AS jaccard
+      FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+      WHERE shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE) >= 0.4)
+"""
+
+
+@spec(
+    "jaccard_pairs_docs",
+    f"""
+    WITH {_JACCARD_CTES}
+    SELECT doc_a, doc_b, jaccard FROM jp
     """,
     headline=True,
     doc="Exact bigram-shingle Jaccard similarity join with auto strategy "
@@ -1303,6 +1314,42 @@ def jaccard_pairs_docs(spark, sf_dir):
     # across cores (at real scale the table is many splits and this is moot)
     d = d.repartition(spark.sparkContext.defaultParallelism)
     return jaccard_near_dup(d, "doc_id", "text", n=2, threshold=0.4)
+
+
+@spec(
+    "dedup_clusters_docs",
+    f"""
+    WITH RECURSIVE {_JACCARD_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+              UNION SELECT doc_b, doc_a FROM jp),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS label FROM documents
+        UNION
+        SELECT e.dst AS node, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id,
+           CAST(node = MIN(label) AS BIGINT) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    doc="Near-dup cluster assignment: connected components over the exact-"
+    "Jaccard pair graph via min-label propagation (shuffle-join per round, "
+    "rounds = component diameter), then canonical-doc selection "
+    "(keep min id per cluster) — the collapse step every fuzzy-dedup "
+    "pipeline needs. Oracle: DuckDB recursive CTE transitive closure.",
+)
+def dedup_clusters_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    pairs = jaccard_near_dup(d, "doc_id", "text", n=2, threshold=0.4)
+    cc = connected_components(
+        d.select("doc_id"), pairs, node_col="doc_id",
+        src_col="doc_a", dst_col="doc_b",
+    )
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("cluster_id"),
+        (F.col("node") == F.col("cluster_id")).cast("long").alias("is_canonical"),
+    )
 
 
 @spec(

@@ -270,3 +270,19 @@ def test_ivf_training_deterministic(spark, emb):
     b = train_ivf_centroids(emb, "embedding", n_cells=8)
     assert np.array_equal(a, b)
     assert a.shape == (8, 64)
+
+
+def test_connected_components_crafted_graph(spark):
+    """Chain (diameter > 1 forces multiple propagation rounds), a separate
+    2-clique, and singletons — cluster_id must be the component minimum,
+    independent of partitioning."""
+    from bambooai_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], ["node"])
+    # chain 1-2-3-4-5, pair 7-8; 6, 9, 10 are singletons
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (4, 5), (8, 7)], ["src", "dst"]
+    ).repartition(7)
+    out = connected_components(nodes.repartition(5), edges)
+    got = {r["node"]: r["cluster_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 7, 9: 9, 10: 10}
