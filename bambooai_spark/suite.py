@@ -1643,6 +1643,150 @@ def embed_docs(spark, sf_dir):
     return embed_texts(d, "text", dim=32, id_cols=["doc_id"])
 
 
+@spec(
+    "top_parts_per_brand",
+    """
+    SELECT p_brand, p_partkey, p_retailprice, CAST(rk AS INT) AS rk FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rk
+      FROM part) WHERE rk <= 3
+    """,
+    doc="Per-group top-k (pandas groupby().head(k) analog): row_number "
+    "window partitioned by the group key — shuffles once on p_brand, no "
+    "global sort; deterministic tie-break on the primary key.",
+)
+def top_parts_per_brand(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        p.select(
+            "p_brand", "p_partkey", "p_retailprice",
+            F.row_number().over(w).alias("rk"),
+        ).filter(F.col("rk") <= 3)
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@spec(
+    "pivot_orders",
+    f"""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS order_year,
+           {", ".join(
+             f'''COUNT(CASE WHEN o_orderpriority = '{p}' THEN 1 END) AS "{p}"'''
+             for p in _PRIORITIES)}
+    FROM orders GROUP BY 1
+    """,
+    doc="Pivot / cross-tab (pandas pivot_table analog): groupBy(year)."
+    "pivot(priority, explicit values).count() — explicit pivot values keep "
+    "the plan a single-pass hash aggregate (no extra distinct-values job), "
+    "map-side partial agg before the one shuffle.",
+)
+def pivot_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .pivot("o_orderpriority", _PRIORITIES)
+        .count()
+        .fillna(0, subset=_PRIORITIES)
+    )
+
+
+@spec(
+    "ntile_customers",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS INT)
+           AS balance_quartile
+    FROM customer
+    """,
+    doc="Quantile binning (pandas qcut analog): NTILE window per market "
+    "segment — partitioned by segment so no global sort; within-segment "
+    "sort is the unavoidable cost of exact quantile assignment (approx "
+    "percentile bins are the scale path when segments are huge).",
+)
+def ntile_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_mktsegment", "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+    )
+
+
+@spec(
+    "sample_docs_det",
+    """
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28'
+    """,
+    doc="Deterministic ~16% sample by content-addressed hash prefix "
+    "(md5 of the key) — reproducible across engines, runs, and cluster "
+    "sizes, unlike rand()-based sampling; a pure scan-side filter, no "
+    "shuffle, pushes down to the parquet scan.",
+)
+def sample_docs_det(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    return d.select("doc_id", "lang", "n_chars").filter(
+        F.substring(fp, 1, 2) <= "28"
+    )
+
+
+@spec(
+    "tfidf_docs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf,
+             ROUND(tf * ROUND(ln((n + 1.0) / (df + 1.0)), 9), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored) WHERE rn <= 3
+    """,
+    doc="TF-IDF document keywords: tf and df are two hash aggregates over "
+    "the token relation (map-side combine), idf joined back broadcast "
+    "(|vocab| << |corpus|), top-3 terms per doc via partitioned "
+    "row_number. idf is rounded at 9dp before the tf multiply so the "
+    "double math is bit-identical across engines (ln is not correctly "
+    "rounded in IEEE; see memory note on cross-engine rounding ties).",
+)
+def tfidf_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n = d.count()  # scalar; at scale cache the corpus count upstream
+    idf = F.round(F.log((F.lit(n) + 1.0) / (F.col("df") + 1.0)), 9)
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id", "term", "tf",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
+
+
 # ---------------------------------------------------------------------
 
 HEADLINE = [s.name for s in SPECS if s.headline]
