@@ -1682,9 +1682,10 @@ _PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
     FROM orders GROUP BY 1
     """,
     doc="Pivot / cross-tab (pandas pivot_table analog): groupBy(year)."
-    "pivot(priority, explicit values).count() — explicit pivot values keep "
-    "the plan a single-pass hash aggregate (no extra distinct-values job), "
-    "map-side partial agg before the one shuffle.",
+    "pivot(priority, explicit values).count(). Explicit pivot values avoid "
+    "the distinct-values pre-job; Spark plans pivot as two hash aggregates "
+    "— the first collapses to one row per (year, priority) with map-side "
+    "partial agg, so the second exchange moves only |groups| rows.",
 )
 def pivot_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")

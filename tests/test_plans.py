@@ -95,3 +95,31 @@ def test_executor_plan_guardrail_rejects_cartesian(spark):
     # and a sane plan passes the same guard
     ok = ex.execute("df = df.limit(100)", df=orders, spark=spark)
     assert ok.ok
+
+
+def test_top_parts_per_brand_single_shuffle_no_sort_cliff(spark):
+    flags = plan_flags(_build(spark, "top_parts_per_brand"))
+    # partitioned window: one hash exchange on p_brand, never a global sort
+    assert flags["n_exchanges"] == 1
+    assert not flags["has_cartesian"]
+
+
+def test_pivot_orders_two_phase_aggregate(spark):
+    flags = plan_flags(_build(spark, "pivot_orders"))
+    # explicit pivot values → no distinct-values pre-job; Spark's pivot is
+    # two hash aggregates (collapse to (year, priority), then pivot) so the
+    # second exchange carries only |groups| rows
+    assert flags["n_exchanges"] == 2
+    assert not flags["has_cartesian"]
+
+
+def test_sample_docs_det_prunes_scan(spark):
+    df = _build(spark, "sample_docs_det")
+    # documents has 5 columns; the sample reads only doc_id/lang/n_chars
+    assert_pruned_scan(df, table_cols=5, max_read_cols=3)
+
+
+def test_tfidf_df_join_is_broadcast(spark):
+    flags = plan_flags(_build(spark, "tfidf_docs"))
+    assert flags["n_broadcast_joins"] >= 1  # idf table broadcast to tf side
+    assert not flags["has_cartesian"]
