@@ -129,11 +129,26 @@ def jaccard_near_dup(
             )
             sh = sh.join(F.broadcast(hot), "sh", "left_anti")
         sh = sh.persist()
-        # probe the vocabulary size FIRST with a plain parallel distinct
-        # count — the position numbering below needs a global sort, which
-        # must only ever run once the vocabulary is known to be small
-        # (the distinct relation is cached so the probe and the numbering
-        # share one computation)
+        if strategy == "auto":
+            # regime probe: HLL approx distinct — partial sketches merge
+            # map-side, so the probe never shuffles distinct shingle values.
+            # In the sparse regime (real text, vocab >> DENSE_VOCAB_MAX —
+            # the common case at 100 TB) this is the ONLY vocabulary pass;
+            # the exact distinct relation below is built iff the vocab is
+            # plausibly small enough for the dense bitset plan. Both
+            # strategies are exact, so a borderline misroute only changes
+            # the physical plan, never the result.
+            approx = sh.agg(
+                F.approx_count_distinct("sh", rsd=0.05).alias("v")
+            ).first()["v"]
+            if approx > DENSE_VOCAB_MAX * 1.2:
+                sh.unpersist()
+                return _jaccard_index(
+                    df, id_col, text_col, n, threshold, max_doc_freq
+                )
+        # dense (or plausibly-dense) regime: the position numbering needs
+        # the exact distinct vocabulary — cached so the count and the
+        # numbering share one computation
         dist = sh.select("sh").distinct().persist()
         n_vocab = dist.count()
         if strategy == "dense" or n_vocab <= DENSE_VOCAB_MAX:

@@ -1157,6 +1157,62 @@ def executor_monthly_orders(spark, sf_dir):
     return res.df
 
 
+@spec(
+    "agent_monthly_orders",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+           COUNT(*) AS order_count
+    FROM orders
+    WHERE EXTRACT(YEAR FROM o_orderdate) = 1997
+    GROUP BY 1
+    """,
+    doc="The SURVEY §7 minimum end-to-end slice through the FULL agent "
+    "loop (reference bambooai.py:335-489): question → expert/analyst "
+    "routing → profile context → planner → code generator (scripted LLM "
+    "standing in for the model; the contract-tested path) → sanitizer → "
+    "sandbox → committed df. Proves §2.C wiring produces oracle-exact "
+    "results, not just that stages run.",
+)
+def agent_monthly_orders(spark, sf_dir):
+    from bambooai_spark.agent.orchestrator import AgentOrchestrator
+
+    code = (
+        "```python\n"
+        "df = (df.filter(F.year('o_orderdate') == 1997)\n"
+        "        .groupBy(F.date_format(F.date_trunc('month', 'o_orderdate'),"
+        " 'yyyy-MM').alias('order_month'))\n"
+        "        .agg(F.count(F.lit(1)).alias('order_count')))\n"
+        "```"
+    )
+    responses = {
+        "route analytics questions": "```yaml\nrequires_dataset: true\n"
+        "expert: 'Data Analyst'\nconfidence: 9\n```",
+        "classify dataset questions": "```yaml\nanalyst: 'Data Analyst DF'\n"
+        "unknown: monthly order counts\ncondition: year 1997\n"
+        "data: o_orderdate\nintent_breakdown: count orders per month in 1997\n```",
+        "analysis plans": "```yaml\nproblem_reflection: monthly counts\n"
+        "data_operations: filter year, group by month\n"
+        "analysis_steps: [filter, group, count]\n"
+        "output_format: [order_month, order_count]\n```",
+        "write PySpark code": code,
+    }
+
+    def llm(system: str, user: str) -> str:
+        for key, resp in responses.items():
+            if key in system:
+                return resp
+        raise RuntimeError(f"unscripted agent stage: {system[:60]}")
+
+    orch = AgentOrchestrator(spark, llm, summarize=False)
+    res = orch.converse(
+        "Count the number of orders per month in 1997",
+        _t(spark, sf_dir, "orders"),
+    )
+    if not res.ok or res.df is None:
+        raise RuntimeError(f"agent loop failed: {res.errors}")
+    return res.df
+
+
 # =====================================================================
 # Text analysis / dedup over documents (BASELINE scale-out operators)
 # =====================================================================
