@@ -17,7 +17,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from bambooai_spark.numeric import dec, epoch_us
+from bambooai_spark.numeric import col_of, dec, epoch_us
 
 
 def group_index(
@@ -163,4 +163,48 @@ def regr_slope_exact(
     return (
         s.filter(n >= min_n)
         .select(group_by, F.round(slope, out_scale).alias(out_col))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple[Column, str]],
+    *,
+    salts: int = 16,
+    salt_src: str | Column | None = None,
+) -> DataFrame:
+    """Two-stage skew-safe aggregation: groupBy(keys + salt) partial →
+    groupBy(keys) final. Semantics identical to a direct groupBy — the
+    point is physical: a hot key's rows land in ``salts`` different reduce
+    partitions in stage 1, so no single task receives the whole key.
+    (AQE skew handling covers joins; aggregation skew still needs salting.)
+
+    Only decomposable aggregates are supported: each value of ``aggs`` is
+    ``(stage1_expr, combiner)`` where combiner ∈ {"sum", "min", "max"}
+    re-aggregates the partials (COUNT combines with "sum"). Means should be
+    expressed as (sum, count) and divided at the edge (numeric.py policy
+    does anyway).
+
+    ``salt_src``: column hashed into the salt (deterministic; defaults to
+    ``spark_partition_id()`` which spreads uniformly without reading data).
+    """
+    _COMBINE = {"sum": F.sum, "min": F.min, "max": F.max}
+    for name, (_, comb) in aggs.items():
+        if comb not in _COMBINE:
+            raise ValueError(f"{name}: combiner {comb!r} not decomposable")
+    if salt_src is None:
+        salt = F.spark_partition_id() % salts
+    else:
+        salt = F.pmod(F.xxhash64(col_of(salt_src)), F.lit(salts))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*group_cols, "__salt")
+        .agg(*[expr.alias(name) for name, (expr, _) in aggs.items()])
+    )
+    return partial.groupBy(*group_cols).agg(
+        *[
+            _COMBINE[comb](name).alias(name)
+            for name, (_, comb) in aggs.items()
+        ]
     )

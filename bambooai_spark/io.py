@@ -83,3 +83,30 @@ def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] | list[str] = TABLES
 ) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    *,
+    path: str | None = None,
+    sort: bool = True,
+) -> str:
+    """Write a bucketed (hash-clustered) catalog table on the join key.
+
+    The 100 TB co-location play: bucket the fact AND its dimension on the
+    join key with the same bucket count, and every downstream equi-join on
+    that key reads co-partitioned buckets — the per-query shuffle of the
+    big table disappears entirely (amortized into the one-time write).
+    ``sortBy`` additionally pre-sorts within buckets so sort-merge joins
+    skip their sort. Returns the table name.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    return table

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from bambooai_spark.io import load_table
-from bambooai_spark.numeric import dec, dsum, dmean, epoch_us
+from bambooai_spark.numeric import dec, dsum, dmean, epoch_us, sql_dsum
 from bambooai_spark.functions.timeseries import (
     rolling_mean,
     rolling_mean_max,
@@ -36,6 +36,7 @@ from bambooai_spark.functions.aggregates import (
     summary_stats,
     exact_corr,
     regr_slope_exact,
+    salted_agg,
 )
 from bambooai_spark.functions.text import (
     token_stats,
@@ -1697,6 +1698,38 @@ def embed_docs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return embed_texts(d, "text", dim=32, id_cols=["doc_id"])
+
+
+@spec(
+    "salted_agg_events",
+    f"""
+    SELECT event_type,
+           {sql_dsum('value', 4)} AS total_value,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS first_event
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-safe two-stage aggregation: groupBy(key, salt) partial → "
+    "groupBy(key) final, so a hot key's rows spread over `salts` reduce "
+    "tasks instead of one (AQE handles join skew, not aggregation skew). "
+    "Decimal partials keep the result bit-identical to the direct "
+    "one-stage plan — the oracle IS the direct plan.",
+)
+def salted_agg_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        ["event_type"],
+        {
+            # stage-1 partials stay DECIMAL (exact, order-independent);
+            # the double surfaces only at the output edge below
+            "total_value": (F.sum(dec("value", 4)), "sum"),
+            "n_events": (F.count(F.lit(1)), "sum"),
+            "first_event": (F.min("event_id"), "min"),
+        },
+        salts=16,
+    )
+    return out.withColumn("total_value", F.col("total_value").cast("double"))
 
 
 @spec(

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from bambooai_spark.executor import SparkCodeExecutor
 from bambooai_spark.io import load_table
 from bambooai_spark.plans import (
@@ -123,3 +125,29 @@ def test_tfidf_df_join_is_broadcast(spark):
     flags = plan_flags(_build(spark, "tfidf_docs"))
     assert flags["n_broadcast_joins"] >= 1  # idf table broadcast to tf side
     assert not flags["has_cartesian"]
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    from bambooai_spark.io import write_bucketed
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_name")
+    write_bucketed(o, "orders_b", "o_custkey", 8, path=str(tmp_path / "o"))
+    write_bucketed(c, "customer_b", "c_custkey", 8, path=str(tmp_path / "c"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("orders_b").join(
+            spark.table("customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        flags = plan_flags(joined)
+        # co-partitioned bucketed scans: the join needs NO exchange
+        assert flags["n_exchanges"] == 0
+        # and it is not secretly a broadcast either — a real shuffle-free SMJ
+        assert flags["n_broadcast_joins"] == 0
+        n = joined.count()
+        assert n == o.count()  # every order has a customer
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS customer_b")
