@@ -332,3 +332,107 @@ def asof_join(
         *[F.col(f"_last_rv.{c}").alias(c) for c in right_value_cols],
     )
     return out
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Interval (range) join: pair every point row with every interval row
+    whose ``[start_ts, end_ts)`` contains ``point_ts`` — no equi-key needed.
+
+    Spark has no native range-join strategy, so a raw ``ts >= start AND
+    ts < end`` join plans as BroadcastNestedLoopJoin — O(|points|·|intervals|)
+    comparisons, unrunnable at scale. This is the bucketized construction
+    instead: quantize time into ``bucket_seconds``-wide bins, explode each
+    interval over the bins it covers, map each point to its single bin, and
+    equi-join on the bin — a plain shuffled hash/sort-merge join — then
+    refine with the exact predicate. Work is O(points + intervals·spanbins +
+    true matches). Pick ``bucket_seconds`` ≈ typical interval length so the
+    explosion factor stays ~2; hot bins (bursty points) are AQE skew-join
+    territory, already on in session.py.
+
+    Column names of the two inputs must be disjoint (pre-select/alias).
+    Intervals with ``end_ts <= start_ts`` match nothing and are dropped.
+    """
+    w_us = int(bucket_seconds) * 1_000_000
+    p_bin = F.floor(epoch_us(point_ts) / w_us)
+    i_lo = F.floor(epoch_us(start_ts) / w_us)
+    # end is exclusive: the last covered bin is the one holding end-1µs
+    i_hi = F.floor((epoch_us(end_ts) - 1) / w_us)
+    iv = intervals.filter(
+        col_of(end_ts) > col_of(start_ts)
+    ).withColumn("_bin", F.explode(F.sequence(i_lo, i_hi)))
+    pt = points.withColumn("_bin", p_bin)
+    return (
+        pt.join(iv, on="_bin", how="inner")
+        .filter(
+            (col_of(point_ts) >= col_of(start_ts))
+            & (col_of(point_ts) < col_of(end_ts))
+        )
+        .drop("_bin")
+    )
+
+
+def multi_grain_rollup(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    grains: tuple[str, ...] = ("hour", "day", "month"),
+    scale: int = 2,
+    materialize: bool = False,
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: one rollup per time grain,
+    where each coarser grain re-aggregates the FINER grain's partials
+    instead of rescanning raw rows (count combines by sum; sums stay
+    decimal so the chain is bit-identical to aggregating raw data).
+
+    Output: ``grain, bucket_start_us, n_events, total_value`` — one row per
+    (grain, bucket). At 100 TB this is the whole point of a hypertable: the
+    daily rollup reads |hours| rows, the monthly reads |days|; with
+    ``materialize=True`` each level is persisted so the union computes every
+    level exactly once (a real deployment would write each level to its own
+    table and refresh incrementally).
+
+    ``grains`` must be ordered fine→coarse and be valid ``date_trunc``
+    fields; raw rows are only touched by the first.
+    """
+    level = df.select(
+        F.date_trunc(grains[0], col_of(ts_col)).alias("_bucket"),
+        F.lit(1).cast("bigint").alias("_n"),
+        dec(value_col, scale).alias("_v"),
+    ).groupBy("_bucket").agg(
+        F.sum("_n").alias("_n"), F.sum("_v").alias("_v")
+    )
+    out_levels = []
+    for i, g in enumerate(grains):
+        if i > 0:
+            level = (
+                level.select(
+                    F.date_trunc(g, F.col("_bucket")).alias("_bucket"),
+                    "_n",
+                    "_v",
+                )
+                .groupBy("_bucket")
+                .agg(F.sum("_n").alias("_n"), F.sum("_v").alias("_v"))
+            )
+        if materialize and i < len(grains) - 1:
+            level = level.persist()
+        out_levels.append(
+            level.select(
+                F.lit(g).alias("grain"),
+                F.unix_micros(F.col("_bucket")).alias("bucket_start_us"),
+                F.col("_n").alias("n_events"),
+                F.round(F.col("_v").cast("double"), scale).alias("total_value"),
+            )
+        )
+    out = out_levels[0]
+    for lv in out_levels[1:]:
+        out = out.unionByName(lv)
+    return out

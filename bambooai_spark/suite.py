@@ -22,6 +22,8 @@ from pyspark.sql import Window
 from bambooai_spark.io import load_table
 from bambooai_spark.numeric import dec, dsum, dmean, epoch_us, sql_dsum
 from bambooai_spark.functions.timeseries import (
+    range_join,
+    multi_grain_rollup,
     rolling_mean,
     rolling_mean_max,
     calculate_pace,
@@ -955,6 +957,75 @@ def hourly_events(spark, sf_dir):
             "sum_value",
         )
     )
+
+
+@spec(
+    "range_count_events",
+    f"""
+    SELECT i.event_id AS interval_id,
+           COUNT(*) AS n_in_window,
+           ROUND(CAST(SUM(CAST(e.value AS {D2})) AS DOUBLE), 2) AS window_value
+    FROM events i JOIN events e
+      ON e.ts >= i.ts AND e.ts < i.ts + INTERVAL 30 MINUTE
+    WHERE i.event_type = 'purchase'
+    GROUP BY i.event_id
+    """,
+    headline=True,
+    doc="Range (interval) join with no equi-key: every purchase event opens "
+    "a 30-minute window; count/sum all events inside it. Naive Spark plans "
+    "this as BroadcastNestedLoopJoin (O(n·m)); range_join() quantizes time "
+    "into interval-width bins, explodes each interval over its ≤2 bins, and "
+    "equi-joins on the bin before refining — a plain shuffled join. "
+    "Plan-tested to contain no BNLJ/cartesian (tests/test_plans.py).",
+)
+def range_count_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    intervals = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+    )
+    points = ev.select("ts", "value")
+    joined = range_join(
+        points,
+        intervals,
+        point_ts="ts",
+        start_ts="w_start",
+        end_ts="w_end",
+        bucket_seconds=1800,
+    )
+    return joined.groupBy("interval_id").agg(
+        F.count(F.lit(1)).alias("n_in_window"),
+        F.round(F.sum(dec("value")).cast("double"), 2).alias("window_value"),
+    )
+
+
+@spec(
+    "rollup_grains_events",
+    f"""
+    SELECT 'hour' AS grain, epoch_us(date_trunc('hour', ts)) AS bucket_start_us,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS {D2})) AS DOUBLE), 2) AS total_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', epoch_us(date_trunc('day', ts)), COUNT(*),
+           ROUND(CAST(SUM(CAST(value AS {D2})) AS DOUBLE), 2)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'month', epoch_us(date_trunc('month', ts)), COUNT(*),
+           ROUND(CAST(SUM(CAST(value AS {D2})) AS DOUBLE), 2)
+    FROM events GROUP BY 2
+    """,
+    doc="Hypertable-style multi-grain continuous aggregate: hour → day → "
+    "month, each coarser grain re-aggregating the finer grain's partials "
+    "(decimal sums + bigint counts combine exactly, so the chain is "
+    "bit-identical to aggregating raw rows — which is what the oracle "
+    "does). At scale the daily rollup reads |hours| rows instead of the "
+    "raw table; materialize=True persists each level for reuse.",
+)
+def rollup_grains_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return multi_grain_rollup(ev, "ts", "value")
 
 
 @spec(

@@ -151,3 +151,54 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    from bambooai_spark.plans import explain_str
+
+    df = _build(spark, "range_count_events")
+    plan = explain_str(df, "simple")
+    # the bucketized construction must equi-join on the bin — never the
+    # O(n·m) fallback Spark picks for a pure inequality join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # and it IS a join, hash or sort-merge
+
+
+def test_range_join_matches_brute_force(spark):
+    from bambooai_spark.functions.timeseries import range_join
+
+    ev = load_table(spark, SF_DIR, "events").limit(300)
+    intervals = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("iid"),
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 7 MINUTES")).alias("e"),
+    )
+    points = ev.select(F.col("event_id").alias("pid"), F.col("ts").alias("pts"))
+    got = {
+        (r["iid"], r["pid"])
+        for r in range_join(
+            points, intervals, point_ts="pts", start_ts="s", end_ts="e",
+            bucket_seconds=120,  # deliberately ≠ interval length: spans >2 bins
+        ).collect()
+    }
+    want = {
+        (r["iid"], r["pid"])
+        for r in points.crossJoin(intervals)
+        .filter((F.col("pts") >= F.col("s")) & (F.col("pts") < F.col("e")))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_rollup_grains_internally_consistent(spark):
+    df = _build(spark, "rollup_grains_events")
+    by_grain = {
+        r["grain"]: (r["n"], round(r["v"], 2))
+        for r in df.groupBy("grain")
+        .agg(F.sum("n_events").alias("n"), F.sum("total_value").alias("v"))
+        .collect()
+    }
+    # every grain partitions the same rows: totals agree across grains
+    assert by_grain["hour"][0] == by_grain["day"][0] == by_grain["month"][0]
+    assert by_grain["hour"][1] == by_grain["day"][1] == by_grain["month"][1]
