@@ -6,6 +6,7 @@ from bambooai_spark.streaming.events import (
     stream_hourly_events,
     stream_session_windows,
     stream_dedup_events,
+    stream_running_totals,
 )
 
 __all__ = [
@@ -13,4 +14,5 @@ __all__ = [
     "stream_hourly_events",
     "stream_session_windows",
     "stream_dedup_events",
+    "stream_running_totals",
 ]

@@ -117,3 +117,58 @@ def run_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def stream_running_totals(
+    events: DataFrame,
+    *,
+    key: str = "user_id",
+    value: str = "value",
+    scale: int = 2,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running event count and value total, re-emitted (outputMode "update")
+    every micro-batch a key appears in — the pattern for stateful logic the
+    built-in windowed aggregates can't express (counters, custom sessions,
+    fraud scores).
+
+    State is ``(n: bigint, cents: bigint)`` — the value is accumulated in
+    integer 10^-scale units so cross-batch accumulation is exact and
+    order-independent; the double surfaces only in the emitted row. State
+    lives per key in the state store (RocksDB on a real cluster), grouped
+    by hash of the key — the same partitioning story as a batch groupBy.
+    ``idle_timeout_ms`` evicts state for keys idle longer than that
+    processing-time window (unbounded-key hygiene at scale).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    mult = 10**scale
+    out_schema = f"{key} bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, cents bigint"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(key_tuple, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            v = pd.to_numeric(pdf[value], errors="coerce").fillna(0.0)
+            n += len(pdf)
+            cents += int((v * mult).round().astype("int64").sum())
+        state.update((n, cents))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n_events": [n], "total_value": [cents / mult]}
+        )
+
+    return events.groupBy(key).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

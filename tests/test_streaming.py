@@ -78,3 +78,47 @@ def test_stream_dedup_drops_within_watermark(spark):
     # events are unique by event_id, so dedup must preserve the row count
     got = _drain(spark, stream_dedup_events(sdf), "dedup_mem", "append")
     assert got.count() == load_table(spark, SF_DIR, "events").count()
+
+
+def test_stream_running_totals_matches_batch(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: split the
+    events table into 4 files, stream one file per trigger, and the FINAL
+    update per user must equal the batch groupBy — exactly (integer-cents
+    state, order-independent)."""
+    from bambooai_spark.streaming.events import stream_running_totals
+
+    batch = load_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "ev_parts")
+    batch.repartition(4).write.parquet(src)
+
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    final = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():  # update mode: last write per user wins
+            final[r.user_id] = (r.n_events, r.total_value)
+
+    q = (
+        stream_running_totals(sdf)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    want = {
+        r.user_id: (r.n, round(r.v, 2))
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round("value", 2)).alias("v"),
+        )
+        .collect()
+    }
+    got = {u: (n, round(v, 2)) for u, (n, v) in final.items()}
+    assert got == want and len(got) > 0
