@@ -107,13 +107,6 @@ def jaccard_near_dup(
     if strategy not in ("auto", "index", "dense"):
         raise ValueError(f"unknown strategy {strategy!r}")
     if strategy == "dense" or strategy == "auto":
-        # postings are read twice (vocab probe + mask build) — cache them so
-        # the shingle computation runs once; the cached relation is
-        # (doc, shingle) pairs, far smaller than the corpus text. The cache
-        # is keyed by canonical plan, so repeated calls on the same input
-        # reuse one entry rather than accumulating; it lives for the
-        # session (lazy results need it) — spark.catalog.clearCache() or
-        # unpersisting after materialization releases it.
         sh = df.select(
             F.col(id_col).alias("doc"),
             F.explode(word_shingles(text_col, n)).alias("sh"),
@@ -128,27 +121,29 @@ def jaccard_near_dup(
                 .select("sh")
             )
             sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-        sh = sh.persist()
         if strategy == "auto":
             # regime probe: HLL approx distinct — partial sketches merge
-            # map-side, so the probe never shuffles distinct shingle values.
-            # In the sparse regime (real text, vocab >> DENSE_VOCAB_MAX —
-            # the common case at 100 TB) this is the ONLY vocabulary pass;
-            # the exact distinct relation below is built iff the vocab is
-            # plausibly small enough for the dense bitset plan. Both
-            # strategies are exact, so a borderline misroute only changes
-            # the physical plan, never the result.
+            # map-side, so the probe is one streaming pass over the postings
+            # and never shuffles distinct shingle values. Deliberately NOT
+            # persisted: in the sparse regime (real text, vocab >>
+            # DENSE_VOCAB_MAX — the common case at 100 TB) the probe is the
+            # only vocabulary pass and the exploded postings must not be
+            # materialized into cache just to be discarded. Both strategies
+            # are exact, so a borderline misroute only changes the physical
+            # plan, never the result.
             approx = sh.agg(
                 F.approx_count_distinct("sh", rsd=0.05).alias("v")
             ).first()["v"]
             if approx > DENSE_VOCAB_MAX * 1.2:
-                sh.unpersist()
                 return _jaccard_index(
                     df, id_col, text_col, n, threshold, max_doc_freq
                 )
-        # dense (or plausibly-dense) regime: the position numbering needs
-        # the exact distinct vocabulary — cached so the count and the
-        # numbering share one computation
+        # dense (or plausibly-dense) regime: the postings are read twice
+        # (exact vocabulary + mask build) — cache them now, when we know the
+        # relation is small. The cache is keyed by canonical plan, so
+        # repeated calls on the same input reuse one entry; release with
+        # unpersist after materialization or spark.catalog.clearCache().
+        sh = sh.persist()
         dist = sh.select("sh").distinct().persist()
         n_vocab = dist.count()
         if strategy == "dense" or n_vocab <= DENSE_VOCAB_MAX:
