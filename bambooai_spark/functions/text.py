@@ -128,6 +128,81 @@ def predict_lang(text: str | Column) -> Column:
     return expr
 
 
+#: BPE-style pre-tokenizer regex: letter runs, digit runs, single
+#: non-alphanumeric marks — the GPT-2-ish split shape, kept to classes with
+#: identical Java-regex/RE2 semantics so the DuckDB oracle matches exactly.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: rolling-hash parameters (winnowing): polynomial base/modulus chosen so
+#: every intermediate fits in int64 ((M-1)*B + 65535 < 2^39) — the same
+#: arithmetic is expressible in ANSI SQL, making the fingerprints
+#: engine-portable.
+ROLL_BASE = 257
+ROLL_MOD = 2147483647  # 2^31 - 1
+
+
+def regex_tokens(text: str | Column, pattern: str = BPE_TOKEN_RE) -> Column:
+    """BPE-ish tokenization via ``regexp_extract_all`` — a whole-string
+    JVM-side regex pass, no Python. Unlike whitespace ``tokens()``, splits
+    punctuation off words and digit runs off letters (the LLM-tokenizer
+    shape of token counting)."""
+    return F.regexp_extract_all(col_of(text), F.lit(pattern), 0)
+
+
+def kgram_hashes(text: str | Column, k: int = 5) -> Column:
+    """Polynomial rolling hash of every character k-gram:
+    ``h = fold(chars, acc -> (acc*B + code) % M)`` — position i and i+1
+    share k-1 characters, the defining property a rolling hash exploits.
+    Expressed as a per-position fold (columnar form of the same
+    arithmetic); texts shorter than k yield an empty array."""
+    t = col_of(text)
+    hs = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (k - 1)),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, j: (
+                acc * ROLL_BASE + F.ascii(F.substring(t, i + j, 1))
+            ) % ROLL_MOD,
+        ),
+    )
+    return F.when(F.length(t) >= k, hs).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def winnow_fingerprints(
+    df, text: str | Column, *, k: int = 5, w: int = 4, out: str = "fps"
+):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — public construction): the distinct minima of every window
+    of ``w`` consecutive k-gram rolling hashes, appended to ``df`` as
+    column ``out``. Guarantee: any shared substring of length ≥ w + k - 1
+    produces at least one shared fingerprint, so fingerprint overlap is a
+    robust (position-independent) near-dup / plagiarism signal at ~1/w the
+    k-gram density.
+
+    DataFrame-level on purpose: the hash array must be a REAL column
+    before the window pass references it from inside a lambda — embedded
+    directly, Spark re-evaluates the whole k-gram expression once per
+    window position (O(n²·k) per row; measured as a hang at 500 docs).
+    Staged, each lambda sees a cheap attribute, and CollapseProject keeps
+    the stages apart because the alias is non-cheap and multiply
+    referenced. Still per-row, no shuffle; at 100 TB the fingerprint set
+    is the compact join key for candidate generation (explode +
+    equi-join), never the raw text."""
+    staged = df.withColumn("_winnow_hs", kgram_hashes(text, k=k))
+    hs = F.col("_winnow_hs")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hs) - (w - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(hs, i, w)),
+    )
+    fps = F.array_distinct(
+        F.when(F.size(hs) > 0, wins).otherwise(F.array().cast("array<long>"))
+    )
+    return staged.withColumn(out, fps).drop("_winnow_hs")
+
+
 def fingerprint(text: str | Column, *, normalize: bool = True) -> Column:
     """Document fingerprint: md5 of the (optionally normalized) text —
     the exact-dedup key. md5 is identical across Spark/DuckDB, so the

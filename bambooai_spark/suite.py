@@ -1402,6 +1402,102 @@ def lang_id_docs(spark, sf_dir):
     return d.select("doc_id", predict_lang("text").alias("predicted_lang"))
 
 
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@spec(
+    "regex_token_stats_docs",
+    rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_rtok,
+           CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) AS n_unique_rtok,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha_rtok,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num_rtok,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}'))
+                - len(regexp_extract_all(text, '[A-Za-z]+'))
+                - len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_mark_rtok
+    FROM documents
+    """,
+    doc="BPE-style pre-tokenizer counting (functions/text.py regex_tokens): "
+    "letter runs | digit runs | single marks via regexp_extract_all — the "
+    "LLM-tokenizer shape of token counting, split by class. Whole-string "
+    "JVM regex pass, embarrassingly parallel.",
+)
+def regex_token_stats_docs(spark, sf_dir):
+    from bambooai_spark.functions.text import regex_tokens
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = regex_tokens(t)
+    alpha = F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0)
+    num = F.regexp_extract_all(t, F.lit("[0-9]+"), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_rtok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_rtok"),
+        F.size(alpha).cast("long").alias("n_alpha_rtok"),
+        F.size(num).cast("long").alias("n_num_rtok"),
+        (F.size(toks) - F.size(alpha) - F.size(num))
+        .cast("long")
+        .alias("n_mark_rtok"),
+    )
+
+
+@spec(
+    "winnow_docs",
+    """
+    WITH hs AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 5 THEN
+               list_transform(range(1, length(text) - 5 + 2),
+                 i -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(range(0, 5),
+                                         j -> CAST(ascii(text[i+j]) AS BIGINT))),
+                        (acc, c) -> (acc * 257 + c) % 2147483647))
+             ELSE [] END AS hs
+      FROM documents),
+    wins AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) > 0 THEN
+               list_distinct(list_transform(
+                 range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+                 i -> list_min(hs[i : i + 3])))
+             ELSE [] END AS fps
+      FROM hs)
+    SELECT doc_id,
+           CAST(len(fps) AS BIGINT) AS n_fp,
+           CAST(list_min(fps) AS BIGINT) AS fp_min,
+           CAST(list_max(fps) AS BIGINT) AS fp_max,
+           CAST(CASE WHEN len(fps) > 0 THEN list_sum(fps) END AS BIGINT) AS fp_sum
+    FROM wins
+    """,
+    doc="Winnowing rolling-hash document fingerprints (Schleimer et al., "
+    "SIGMOD'03): distinct minima of w=4 windows over k=5-gram polynomial "
+    "rolling hashes (base 257 mod 2^31-1 — portable integer arithmetic, "
+    "DuckDB computes the identical values). Per-row, no shuffle; the "
+    "fingerprint set is the compact near-dup join key at scale.",
+)
+def winnow_docs(spark, sf_dir):
+    from bambooai_spark.functions.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    staged = winnow_fingerprints(d, "text", k=5, w=4, out="fps")
+    fps = F.col("fps")
+    return staged.select(
+        "doc_id",
+        F.size(fps).cast("long").alias("n_fp"),
+        F.array_min(fps).cast("long").alias("fp_min"),
+        F.array_max(fps).cast("long").alias("fp_max"),
+        F.when(
+            F.size(fps) > 0,
+            F.aggregate(fps, F.lit(0).cast("long"), lambda a, x: a + x),
+        )
+        .cast("long")
+        .alias("fp_sum"),
+    )
+
+
 # Shared oracle CTE chain: bigram-shingle sets → inverted index → pair
 # overlap counts → Jaccard-thresholded pairs. Used by jaccard_pairs_docs
 # and (as the edge list) by dedup_clusters_docs.
