@@ -153,8 +153,15 @@ def kgram_hashes(text: str | Column, k: int = 5) -> Column:
     """Polynomial rolling hash of every character k-gram:
     ``h = fold(chars, acc -> (acc*B + code) % M)`` — position i and i+1
     share k-1 characters, the defining property a rolling hash exploits.
-    Expressed as a per-position fold (columnar form of the same
-    arithmetic); texts shorter than k yield an empty array."""
+
+    This is the per-row REFERENCE form (nested fold over ``substring``):
+    exact but interpreted and O(n·k) substring scans per row — fine for
+    tests and single documents, ~70 ms/doc on 300-char text. The scale
+    path is ``winnow_fingerprints``, which stages a char-code array as a
+    real column and evaluates each k-gram as a flat polynomial with one
+    end mod (congruent to the per-step mod since every intermediate fits
+    int64: codepoint·Σ257^j < 2^55). Both produce identical values —
+    tests/test_text_fingerprints.py asserts it."""
     t = col_of(text)
     hs = F.transform(
         F.sequence(F.lit(1), F.length(t) - (k - 1)),
@@ -182,16 +189,40 @@ def winnow_fingerprints(
     robust (position-independent) near-dup / plagiarism signal at ~1/w the
     k-gram density.
 
-    DataFrame-level on purpose: the hash array must be a REAL column
-    before the window pass references it from inside a lambda — embedded
-    directly, Spark re-evaluates the whole k-gram expression once per
-    window position (O(n²·k) per row; measured as a hang at 500 docs).
-    Staged, each lambda sees a cheap attribute, and CollapseProject keeps
-    the stages apart because the alias is non-cheap and multiply
-    referenced. Still per-row, no shuffle; at 100 TB the fingerprint set
-    is the compact join key for candidate generation (explode +
-    equi-join), never the raw text."""
-    staged = df.withColumn("_winnow_hs", kgram_hashes(text, k=k))
+    DataFrame-level on purpose, in THREE staged projections (codes →
+    hashes → window minima): every stage's input must be a REAL column
+    before the next stage references it from inside a lambda — embedded
+    directly, Spark re-evaluates the upstream expression once per lambda
+    invocation (O(n²·k) per row; measured as a multi-minute stall at 500
+    docs). Staged, each lambda sees a cheap attribute reference, and
+    CollapseProject keeps the stages apart because each alias is
+    non-cheap and multiply referenced. The hash itself is a flat
+    polynomial ``(Σ code[i+j]·B^(k-1-j)) % M`` over the staged code
+    array — one array index per term instead of a nested fold over
+    ``substring`` (which re-scans the UTF8 string per character).
+    Congruent to the per-step-mod oracle because every intermediate fits
+    int64 (max codepoint 0x10FFFF · Σ257^j < 2^55). Still per-row, no
+    shuffle; at 100 TB the fingerprint set is the compact join key for
+    candidate generation (explode + equi-join), never the raw text."""
+    t = col_of(text)
+    codes = F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
+    staged = df.withColumn("_winnow_codes", codes)
+    cd = F.col("_winnow_codes")
+
+    def _poly(i: Column) -> Column:
+        acc = None
+        for j in range(k):
+            term = F.element_at(cd, (i + j).cast("int")) * F.lit(
+                ROLL_BASE ** (k - 1 - j)
+            )
+            acc = term if acc is None else acc + term
+        return acc % F.lit(ROLL_MOD)
+
+    hs_expr = F.when(
+        F.length(t) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(cd) - (k - 1)), _poly),
+    ).otherwise(F.array().cast("array<long>"))
+    staged = staged.withColumn("_winnow_hs", hs_expr).drop("_winnow_codes")
     hs = F.col("_winnow_hs")
     wins = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(hs) - (w - 1), F.lit(1))),

@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from bambooai_spark.functions.text import fingerprint, word_shingles
+from bambooai_spark.functions.text import (
+    fingerprint,
+    winnow_fingerprints,
+    word_shingles,
+)
 from bambooai_spark.functions.vectors import cosine
 from bambooai_spark.numeric import col_of
 
@@ -216,6 +220,24 @@ def _jaccard_dense(
     )
 
 
+def _overlap_scores(tok: DataFrame, key: str) -> DataFrame:
+    """(doc, key) relation → (doc_a, doc_b, shared, n_a, n_b): the
+    inverted-index self-join. Cost Σ_key df(key)² — key-partitioned
+    shuffles only, never a cross product."""
+    sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    t1 = tok.select(F.col("doc").alias("doc_a"), key)
+    t2 = tok.select(F.col("doc").alias("doc_b"), key)
+    pairs = (
+        t1.join(t2, key)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    return pairs.join(na, "doc_a").join(nb, "doc_b")
+
+
 def _jaccard_index(
     df: DataFrame,
     id_col: str,
@@ -225,23 +247,68 @@ def _jaccard_index(
     max_doc_freq: int | None,
 ) -> DataFrame:
     tok = _shingle_index(df, id_col, text_col, n, max_doc_freq)
-    sizes = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    t1 = tok.select(F.col("doc").alias("doc_a"), "sh")
-    t2 = tok.select(F.col("doc").alias("doc_b"), "sh")
-    pairs = (
-        t1.join(t2, "sh")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    ov = _overlap_scores(tok, "sh")
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-    return (
-        pairs.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    return ov.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def winnow_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by winnowing-fingerprint overlap (the MOSS
+    construction): winnow each document to its fingerprint set
+    (functions/text.py winnow_fingerprints — ~1/w of the k-gram density),
+    then the same inverted-index self-join as exact Jaccard but over the
+    winnowed keys, so the index is ~w× smaller and Σdf² shrinks
+    quadratically where fingerprints are spread. Returns
+    (doc_a, doc_b, shared, resemblance) with resemblance =
+    |A∩B| / |A∪B| over fingerprint sets, ≥ ``threshold``.
+
+    The winnowing guarantee (shared substring ≥ w+k-1 ⇒ shared
+    fingerprint) makes this position-robust: reordered/spliced passages
+    still collide. ``max_doc_freq`` caps boilerplate fingerprints (the
+    skew story is identical to jaccard's stop-shingles)."""
+    fp = winnow_fingerprints(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt")),
+        "_txt",
+        k=k,
+        w=w,
+    )
+    # explode_OUTER on purpose: plain explode lets InferFiltersFromGenerate
+    # derive `size(fps) > 0` and push it below the staged winnow projections,
+    # INLINING the whole fingerprint expression into the filter — which
+    # re-evaluates the O(n) code array once per element_at reference and
+    # turns the scan back into the O(n²·k)-per-row stall the staging exists
+    # to prevent (measured: >240 s for 500 docs vs ~2 s staged). Outer
+    # generate infers nothing; empty docs yield one NULL posting dropped by
+    # the cheap attribute filter above the Generate.
+    tok = fp.select("doc", F.explode_outer("fps").alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
+    if max_doc_freq:
+        hot = (
+            tok.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("fp")
+        )
+        tok = tok.join(F.broadcast(hot), "fp", "left_anti")
+    ov = _overlap_scores(tok, "fp")
+    res = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return ov.filter(res >= threshold).select(
+        "doc_a",
+        "doc_b",
+        F.col("shared").cast("long").alias("shared"),
+        F.round(res, 6).alias("resemblance"),
     )
 
 

@@ -1443,10 +1443,11 @@ def regex_token_stats_docs(spark, sf_dir):
     )
 
 
-@spec(
-    "winnow_docs",
-    """
-    WITH hs AS (
+# winnowing CTE pair: k=5-gram rolling hashes (base 257 mod 2^31-1) →
+# distinct w=4 window minima per document. Shared by winnow_docs and
+# winnow_pairs_docs so the fingerprints are provably the same values.
+_WINNOW_CTES = """
+    hs AS (
       SELECT doc_id,
              CASE WHEN length(text) >= 5 THEN
                list_transform(range(1, length(text) - 5 + 2),
@@ -1465,6 +1466,13 @@ def regex_token_stats_docs(spark, sf_dir):
                  i -> list_min(hs[i : i + 3])))
              ELSE [] END AS fps
       FROM hs)
+"""
+
+
+@spec(
+    "winnow_docs",
+    f"""
+    WITH {_WINNOW_CTES}
     SELECT doc_id,
            CAST(len(fps) AS BIGINT) AS n_fp,
            CAST(list_min(fps) AS BIGINT) AS fp_min,
@@ -1482,6 +1490,9 @@ def winnow_docs(spark, sf_dir):
     from bambooai_spark.functions.text import winnow_fingerprints
 
     d = _t(spark, sf_dir, "documents")
+    # single-row-group testdata parquet scans as ONE task; fan the heavy
+    # per-row fingerprint compute across cores before evaluating it
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     staged = winnow_fingerprints(d, "text", k=5, w=4, out="fps")
     fps = F.col("fps")
     return staged.select(
@@ -1496,6 +1507,34 @@ def winnow_docs(spark, sf_dir):
         .cast("long")
         .alias("fp_sum"),
     )
+
+
+@spec(
+    "winnow_pairs_docs",
+    f"""
+    WITH {_WINNOW_CTES},
+    t AS (SELECT doc_id, unnest(fps) AS fp FROM wins),
+    n AS (SELECT doc_id, COUNT(*) AS n_fp FROM t GROUP BY doc_id),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+          FROM t a JOIN t b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+    SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+           ROUND(shared / CAST(na.n_fp + nb.n_fp - shared AS DOUBLE), 6)
+             AS resemblance
+    FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
+    WHERE shared / CAST(na.n_fp + nb.n_fp - shared AS DOUBLE) >= 0.3
+    """,
+    doc="Winnowing-fingerprint near-dup pairs (the MOSS construction): "
+    "inverted-index self-join over winnowed fingerprints — ~1/w the keys "
+    "of the full shingle index, position-robust via the shared-substring "
+    "guarantee. resemblance = fingerprint-set Jaccard.",
+)
+def winnow_pairs_docs(spark, sf_dir):
+    from bambooai_spark.operators.dedup import winnow_near_dup
+
+    d = _t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    return winnow_near_dup(d, "doc_id", "text", k=5, w=4, threshold=0.3)
 
 
 # Shared oracle CTE chain: bigram-shingle sets → inverted index → pair
