@@ -272,6 +272,89 @@ def q5_region_revenue(spark, sf_dir):
 
 
 @spec(
+    "q6_forecast_revenue",
+    f"""
+    SELECT ROUND(CAST(SUM(CAST(CAST(l_extendedprice AS {D2})
+                               * CAST(l_discount AS {D2})
+                               AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    headline=True,
+    doc="TPC-H Q6 shape — pure filter+scalar-agg with every predicate "
+    "pushed into the parquet scan (PushedFilters on shipdate/discount/"
+    "quantity); the canonical predicate-pushdown showcase. No shuffle "
+    "beyond the single-row partial-agg exchange.",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (dec("l_extendedprice") * dec("l_discount")).cast("decimal(18,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(rev).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@spec(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name, {_SUM_REV} AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS acctbal, n_name
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    headline=True,
+    doc="TPC-H Q10 shape — returned-item revenue per customer: filtered "
+    "fact⋈fact shuffle joins (AQE-planned), broadcast nation dim, "
+    "TakeOrderedAndProject top-20 (no global sort materialization).",
+)
+def q10_returned_items(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_disc_price()).cast("double"), 2).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@spec(
     "monthly_orders",
     f"""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
@@ -1370,6 +1453,69 @@ def text_quality_docs(spark, sf_dir):
         feats["digit_ratio"].alias("digit_ratio"),
         feats["space_ratio"].alias("space_ratio"),
         feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+@spec(
+    "repetition_docs",
+    r"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+               FROM documents),
+    b AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(ws)),
+                                       i -> ws[i] || ' ' || ws[i + 1])) AS bg
+          FROM w),
+    c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM b GROUP BY doc_id, bg),
+    s AS (SELECT doc_id, SUM(cnt) AS n_bg, MAX(cnt) AS max_cnt,
+                 COALESCE(SUM(cnt) FILTER (cnt > 1), 0) AS dup_cnt
+          FROM c GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_bg, 0) AS BIGINT) AS n_2grams,
+           ROUND(s.max_cnt / CAST(s.n_bg AS DOUBLE), 6) AS top_2gram_frac,
+           ROUND(s.dup_cnt / CAST(s.n_bg AS DOUBLE), 6) AS dup_2gram_frac
+    FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+    """,
+    doc="Intra-document repetition signals (the Gopher/MassiveText "
+    "repetition filters, public in Rae et al. 2021): fraction of word-"
+    "bigram occurrences taken by the most frequent bigram and by any "
+    "repeated bigram. Explode→two-stage agg — per-(doc,bigram) keys are "
+    "near-unique so the shuffle is skew-free and map-side partials "
+    "collapse repeats; docs with <2 words get NULL fractions.",
+)
+def repetition_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), r"\s+")
+    bgs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ws, i), F.element_at(ws, (i + 1).cast("int"))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = d.select("doc_id", F.explode(bgs).alias("bg"))
+    stats = (
+        tok.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bg"),
+            F.max("cnt").alias("max_cnt"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))), F.lit(0)
+            ).alias("dup_cnt"),
+        )
+    )
+    return d.select("doc_id").join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bg"), F.lit(0)).cast("long").alias("n_2grams"),
+        F.round(F.col("max_cnt") / F.col("n_bg").cast("double"), 6).alias(
+            "top_2gram_frac"
+        ),
+        F.round(F.col("dup_cnt") / F.col("n_bg").cast("double"), 6).alias(
+            "dup_2gram_frac"
+        ),
     )
 
 

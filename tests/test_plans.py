@@ -58,6 +58,28 @@ def test_top_customers_all_joins_broadcast(spark):
     assert flags["has_take_ordered"]
 
 
+def test_q6_all_predicates_pushed_minimal_read(spark):
+    df = _build(spark, "q6_forecast_revenue")
+    flags = plan_flags(df)
+    pushed = ";".join(flags["pushed_filters"])
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    # scalar agg over 4 columns: scan must not read the other 7
+    assert_pruned_scan(df, table_cols=11, max_read_cols=4)
+    assert flags["n_exchanges"] == 1  # single-row final agg, one exchange
+
+
+def test_q10_nation_broadcast_topk_no_sort(spark):
+    flags = plan_flags(_build(spark, "q10_returned_items"))
+    pushed = ";".join(flags["pushed_filters"])
+    assert "o_orderdate" in pushed
+    assert "l_returnflag" in pushed
+    assert flags["n_broadcast_joins"] >= 1  # nation dim
+    assert flags["has_take_ordered"]  # top-20, not a global sort
+    assert not flags["has_cartesian"]
+
+
 def test_knn_brute_force_is_take_ordered(spark):
     flags = plan_flags(_build(spark, "knn_cosine_embeddings"))
     assert flags["has_take_ordered"]  # per-partition top-k, k rows to driver
