@@ -355,6 +355,54 @@ def q10_returned_items(spark, sf_dir):
 
 
 @spec(
+    "q18_large_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS {D2})) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS {D2})) > 200
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(o_totalprice AS DOUBLE) AS totalprice, sum_qty
+    FROM big JOIN orders   ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+    doc="TPC-H Q18 shape — large-volume orders: pre-aggregate the fact "
+    "with HAVING (map-side partials collapse before the shuffle), then the "
+    "small surviving relation drives the joins — AQE sees its runtime size "
+    "and broadcasts it, so the big tables never shuffle against each other.",
+)
+def q18_large_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("double").alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@spec(
     "monthly_orders",
     f"""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
@@ -909,6 +957,60 @@ def regr_slope_events(spark, sf_dir):
         ),
     )
     return regr_slope_exact(base, "user_id", F.col("x"), "value", min_n=2)
+
+
+@spec(
+    "zscore_outliers_events",
+    f"""
+    WITH s AS (
+      SELECT event_id, user_id, value,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(CAST(value AS {D2})) OVER w AS DOUBLE) AS sy,
+             CAST(SUM(CAST(value AS {D2}) * CAST(value AS {D2})) OVER w
+                  AS DOUBLE) AS syy
+      FROM events
+      WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT event_id, user_id, CAST(value AS DOUBLE) AS value,
+           ROUND((value - sy / n)
+                 / sqrt((n * syy - sy * sy) / (n * (n - 1.0))), 6) AS z
+    FROM s
+    WHERE n >= 2
+      AND (n * syy - sy * sy) > 0
+      AND abs((value - sy / n)
+              / sqrt((n * syy - sy * sy) / (n * (n - 1.0)))) > 2.5
+    """,
+    doc="Per-user z-score outliers (anomalous readings): exact decimal "
+    "moments via a single window pass over the user partition — one "
+    "shuffle, no self-join, partition-count-independent results. Sample "
+    "variance from (n·Σy² − Σy²)/(n·(n−1)); zero-variance users excluded.",
+)
+def zscore_outliers_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    y = dec("value")
+    s = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(y).over(w).cast("double").alias("sy"),
+        F.sum(y * y).over(w).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    var_num = n * F.col("syy") - F.col("sy") * F.col("sy")
+    z = (F.col("value") - F.col("sy") / n) / F.sqrt(
+        var_num / (n * (n - F.lit(1.0)))
+    )
+    return (
+        s.filter((n >= 2) & (var_num > 0) & (F.abs(z) > 2.5))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("value").cast("double").alias("value"),
+            F.round(z, 6).alias("z"),
+        )
+    )
 
 
 @spec(

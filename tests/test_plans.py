@@ -80,6 +80,22 @@ def test_q10_nation_broadcast_topk_no_sort(spark):
     assert not flags["has_cartesian"]
 
 
+def test_zscore_single_window_shuffle(spark):
+    df = _build(spark, "zscore_outliers_events")
+    flags = plan_flags(df)
+    # one window pass over the user partition: exactly one exchange,
+    # no self-join of events against its own aggregates
+    assert flags["n_exchanges"] == 1
+    assert flags["n_shuffle_joins"] == 0 and flags["n_broadcast_joins"] == 0
+
+
+def test_q18_preagg_before_joins(spark):
+    df = _build(spark, "q18_large_orders")
+    flags = plan_flags(df)
+    assert not flags["has_cartesian"]
+    assert flags["has_take_ordered"]  # top-50, not a global sort
+
+
 def test_knn_brute_force_is_take_ordered(spark):
     flags = plan_flags(_build(spark, "knn_cosine_embeddings"))
     assert flags["has_take_ordered"]  # per-partition top-k, k rows to driver
