@@ -312,6 +312,40 @@ def winnow_near_dup(
     )
 
 
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination scan (the Dolma/GPT-3-style decontamination
+    step, public in Brown et al. 2020 App. C): flag corpus documents that
+    share any word n-gram with a benchmark/eval set. Returns
+    (``id_col``, n_hits) for contaminated docs only — n_hits = how many of
+    the doc's DISTINCT n-grams appear anywhere in the benchmark.
+
+    Plan: the benchmark's distinct-shingle set is tiny next to the corpus
+    (eval suites are MBs, corpora are TBs), so it is broadcast and the
+    probe is a map-side hash join over the exploded corpus shingles — the
+    corpus is read once, never shuffled on shingle. groupBy(doc) then
+    reduces hits per doc (near-unique keys, skew-free)."""
+    bench_sh = (
+        benchmark.select(
+            F.explode(word_shingles(text_col, n)).alias("sh")
+        ).distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("sh")
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 2, num_hashes: int = 64
 ) -> DataFrame:

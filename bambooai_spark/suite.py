@@ -372,6 +372,7 @@ def q10_returned_items(spark, sf_dir):
     ORDER BY totalprice DESC, o_orderkey
     LIMIT 50
     """,
+    headline=True,
     doc="TPC-H Q18 shape — large-volume orders: pre-aggregate the fact "
     "with HAVING (map-side partials collapse before the shuffle), then the "
     "small surviving relation drives the joins — AQE sees its runtime size "
@@ -980,6 +981,7 @@ def regr_slope_events(spark, sf_dir):
       AND abs((value - sy / n)
               / sqrt((n * syy - sy * sy) / (n * (n - 1.0)))) > 2.5
     """,
+    headline=True,
     doc="Per-user z-score outliers (anomalous readings): exact decimal "
     "moments via a single window pass over the user partition — one "
     "shuffle, no self-join, partition-count-independent results. Sample "
@@ -1577,6 +1579,7 @@ def text_quality_docs(spark, sf_dir):
            ROUND(s.dup_cnt / CAST(s.n_bg AS DOUBLE), 6) AS dup_2gram_frac
     FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
     """,
+    headline=True,
     doc="Intra-document repetition signals (the Gopher/MassiveText "
     "repetition filters, public in Rae et al. 2021): fraction of word-"
     "bigram occurrences taken by the most frequent bigram and by any "
@@ -1772,6 +1775,7 @@ def winnow_docs(spark, sf_dir):
     FROM p JOIN n na ON na.doc_id = doc_a JOIN n nb ON nb.doc_id = doc_b
     WHERE shared / CAST(na.n_fp + nb.n_fp - shared AS DOUBLE) >= 0.3
     """,
+    headline=True,
     doc="Winnowing-fingerprint near-dup pairs (the MOSS construction): "
     "inverted-index self-join over winnowed fingerprints — ~1/w the keys "
     "of the full shingle index, position-robust via the shared-substring "
@@ -2280,6 +2284,90 @@ def sample_docs_det(spark, sf_dir):
     fp = F.md5(F.col("doc_id").cast("string").cast("binary"))
     return d.select("doc_id", "lang", "n_chars").filter(
         F.substring(fp, 1, 2) <= "28"
+    )
+
+
+@spec(
+    "stratified_sample_docs",
+    """
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents) WHERE rn <= 5
+    """,
+    doc="Stratified deterministic sample: top-5 docs per language by "
+    "content-addressed hash rank — every stratum is represented "
+    "regardless of its share of the corpus, and the pick is reproducible "
+    "across engines and cluster sizes (no rand()). One shuffle on the "
+    "stratum key; rank+filter, no global sort.",
+)
+def stratified_sample_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("lang").orderBy(fp, "doc_id")
+    return (
+        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+@spec(
+    "contamination_docs",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+            FROM documents)),
+    bench AS (SELECT DISTINCT sh FROM t WHERE doc_id % 100 = 0)
+    SELECT t.doc_id, COUNT(*) AS n_hits
+    FROM t JOIN bench USING (sh)
+    WHERE t.doc_id % 100 <> 0
+    GROUP BY t.doc_id
+    """,
+    headline=True,
+    doc="Benchmark decontamination (GPT-3 App. C / Dolma style): corpus "
+    "docs sharing any word trigram with the benchmark split (doc_id % 100 "
+    "= 0 stands in for the eval set). The benchmark shingle set is tiny → "
+    "broadcast; the corpus is read once and never shuffled on shingle.",
+)
+def contamination_docs(spark, sf_dir):
+    from bambooai_spark.operators.dedup import contamination_check
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 100 == 0)
+    corpus = d.filter(F.col("doc_id") % 100 != 0)
+    return contamination_check(corpus, bench, "doc_id", "text", n=3)
+
+
+@spec(
+    "vocab_top_words",
+    r"""
+    SELECT word, cnt FROM (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+            FROM documents)
+      GROUP BY word)
+    ORDER BY cnt DESC, word
+    LIMIT 100
+    """,
+    doc="Corpus vocabulary build: global word frequencies, top-100. "
+    "Explode → hash agg (map-side partials absorb the Zipf head, so the "
+    "hot words never skew the shuffle) → TakeOrderedAndProject.",
+)
+def vocab_top_words(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(100)
     )
 
 
