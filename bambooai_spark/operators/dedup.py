@@ -161,16 +161,18 @@ def jaccard_near_dup(
     return _jaccard_index(df, id_col, text_col, n, threshold, max_doc_freq)
 
 
-def _jaccard_dense(
-    sh: DataFrame, vocab: DataFrame, n_vocab: int, threshold: float
+def _dense_overlap_scores(
+    tok: DataFrame, key: str, vocab: DataFrame, n_vocab: int
 ) -> DataFrame:
-    """Dense-regime exact Jaccard: bitset block product (see
-    ``jaccard_near_dup``). The mask is unrolled into ⌈V/64⌉ scalar long
-    columns so the pair loop is pure whole-stage-codegen arithmetic — no
-    per-pair array allocation."""
+    """Dense-regime twin of ``_overlap_scores`` — same
+    (doc_a, doc_b, shared, n_a, n_b) contract, bitset block product plan.
+    ``vocab`` must map every ``key`` value to a dense 0-based ``pos``. The
+    mask is unrolled into ⌈V/64⌉ scalar long columns so the pair loop is
+    pure whole-stage-codegen arithmetic — no per-pair array allocation and
+    zero shuffle in the pair stage (one side broadcast)."""
     nwords = (n_vocab + 63) // 64
     bits = (
-        sh.join(F.broadcast(vocab), "sh")
+        tok.join(F.broadcast(vocab), key)
         .select(
             "doc",
             (F.col("pos") / 64).cast("int").alias("w"),
@@ -183,12 +185,12 @@ def _jaccard_dense(
         .groupBy("doc")
         .agg(
             F.map_from_entries(F.collect_list(F.struct("w", "word"))).alias("m"),
-            F.sum(F.bit_count("word")).alias("n_sh"),
+            F.sum(F.bit_count("word")).alias("n"),
         )
     )
     masks = bits.select(
         "doc",
-        "n_sh",
+        "n",
         *[
             # m is a MAP keyed by word index — element_at does key lookup
             F.coalesce(F.element_at("m", F.lit(w)), F.lit(0).cast("long")).alias(
@@ -199,24 +201,37 @@ def _jaccard_dense(
     )
     a = masks.select(
         F.col("doc").alias("doc_a"),
-        F.col("n_sh").alias("n_a"),
+        F.col("n").alias("n_a"),
         *[F.col(f"w{w}").alias(f"a{w}") for w in range(nwords)],
     )
     b = masks.select(
         F.col("doc").alias("doc_b"),
-        F.col("n_sh").alias("n_b"),
+        F.col("n").alias("n_b"),
         *[F.col(f"w{w}").alias(f"b{w}") for w in range(nwords)],
     )
     inter = sum(
         F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
         for w in range(nwords)
     )
-    jac = F.col("_inter") / (F.col("n_a") + F.col("n_b") - F.col("_inter"))
     return (
         a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
-        .withColumn("_inter", inter)
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .withColumn("shared", inter)
+        # parity with the index join, which only ever emits pairs that
+        # actually share a key
+        .filter(F.col("shared") > 0)
+        .select("doc_a", "doc_b", "shared", "n_a", "n_b")
+    )
+
+
+def _jaccard_dense(
+    sh: DataFrame, vocab: DataFrame, n_vocab: int, threshold: float
+) -> DataFrame:
+    """Dense-regime exact Jaccard: bitset block product (see
+    ``jaccard_near_dup``)."""
+    ov = _dense_overlap_scores(sh, "sh", vocab, n_vocab)
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return ov.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
 
@@ -294,6 +309,12 @@ def winnow_near_dup(
     tok = fp.select("doc", F.explode_outer("fps").alias("fp")).filter(
         F.col("fp").isNotNull()
     )
+    # the postings feed three plan branches (per-doc sizes + both sides of
+    # the self-join); without a barrier the O(chars)-per-row winnow compute
+    # re-evaluates once per branch. The winnowed relation is ~1/w of the
+    # k-gram density — two narrow columns — so materializing it is cheap
+    # next to recomputing the rolling hashes (measured ~2× at sf0.1).
+    tok = tok.persist()
     if max_doc_freq:
         hot = (
             tok.groupBy("fp")
@@ -302,7 +323,29 @@ def winnow_near_dup(
             .select("fp")
         )
         tok = tok.join(F.broadcast(hot), "fp", "left_anti")
-    ov = _overlap_scores(tok, "fp")
+    # same dense/sparse regime split as jaccard_near_dup: when the
+    # fingerprint vocabulary is tiny (boilerplate-heavy corpora), Σdf²
+    # degenerates toward N² and the inverted index cannot prune — the bitset
+    # block product is then the optimal exact plan. Real 100 TB text has a
+    # huge fingerprint vocabulary and takes the index branch; the HLL probe
+    # is one streaming pass over the (already persisted) postings.
+    approx = tok.agg(F.approx_count_distinct("fp", rsd=0.05).alias("v")).first()[
+        "v"
+    ]
+    if approx <= DENSE_VOCAB_MAX * 1.2:
+        dist = tok.select("fp").distinct().persist()
+        n_vocab = dist.count()
+        if n_vocab <= DENSE_VOCAB_MAX:
+            vocab = dist.select(
+                "fp",
+                (F.row_number().over(Window.orderBy("fp")) - 1).alias("pos"),
+            )
+            ov = _dense_overlap_scores(tok, "fp", vocab, n_vocab)
+        else:
+            dist.unpersist()
+            ov = _overlap_scores(tok, "fp")
+    else:
+        ov = _overlap_scores(tok, "fp")
     res = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return ov.filter(res >= threshold).select(
         "doc_a",

@@ -1599,7 +1599,10 @@ def repetition_docs(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    tok = d.select("doc_id", F.explode(bgs).alias("bg"))
+    # fan the per-row bigram explode out of the single-row-group scan task
+    tok = d.repartition(spark.sparkContext.defaultParallelism).select(
+        "doc_id", F.explode(bgs).alias("bg")
+    )
     stats = (
         tok.groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -2341,7 +2344,11 @@ def contamination_docs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 100 == 0)
-    corpus = d.filter(F.col("doc_id") % 100 != 0)
+    # single-row-group testdata parquet scans as ONE task; fan the heavy
+    # per-row trigram explode across cores before probing the broadcast set
+    corpus = d.filter(F.col("doc_id") % 100 != 0).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return contamination_check(corpus, bench, "doc_id", "text", n=3)
 
 
