@@ -404,6 +404,197 @@ def q18_large_orders(spark, sf_dir):
 
 
 @spec(
+    "q7_nation_volume",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+           CAST(ROUND(SUM({_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+                  JOIN customer ON c_custkey  = o_custkey
+                  JOIN supplier ON s_suppkey  = l_suppkey
+                  JOIN nation sn ON sn.n_nationkey = s_nationkey
+                  JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE sn.n_nationkey <> cn.n_nationkey
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape — cross-nation trade volume: the nation dim joins "
+    "twice under different roles (supplier vs customer side). Both nation "
+    "copies broadcast; the cross-nation inequality is a cheap post-join "
+    "filter on broadcast columns, never a join condition that would force "
+    "a theta join.",
+)
+def q7_nation_volume(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = _t(spark, sf_dir, "nation")
+    sn = F.broadcast(n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ))
+    cn = F.broadcast(n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(sn, s.s_nationkey == F.col("sn_key"))
+        .join(cn, c.c_nationkey == F.col("cn_key"))
+        .filter(F.col("sn_key") != F.col("cn_key"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            # round the exact DECIMAL sum, then cast — rounding the double
+            # hits representation ties (x.xx5) that Spark and the oracle
+            # break differently
+            F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@spec(
+    "q14_promo_revenue",
+    f"""
+    SELECT CAST(ROUND(CAST(
+             100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_DISC_PRICE}
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM({_DISC_PRICE}) AS DOUBLE)
+           AS DECIMAL(18,9)), 4) AS DOUBLE) AS promo_revenue_pct,
+           COUNT(*) AS n_lineitems
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape — promo revenue share: conditional aggregation "
+    "(CASE inside SUM) computes both numerator and denominator in ONE pass "
+    "over the join — no second scan, no self-join. The partkey join "
+    "shuffles co-partitioned at scale; the shipdate range prunes the fact "
+    "scan first. Ratio rounded through 9dp decimal (rounding-tie policy).",
+)
+def q14_promo_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    ).cast("double")
+    total = F.sum(_disc_price()).cast("double")
+    pct = F.round((F.lit(100.0) * promo / total).cast("decimal(18,9)"), 4).cast(
+        "double"
+    )
+    return li.join(p, li.l_partkey == p.p_partkey).agg(
+        pct.alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@spec(
+    "q19_disjunctive",
+    f"""
+    SELECT {_SUM_REV} AS revenue, COUNT(*) AS n_lineitems
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape — disjunctive predicates spanning both join "
+    "sides: Catalyst derives the per-side implications (l_quantity ∈ "
+    "[1,30] onto the lineitem scan, the brand/size union onto the part "
+    "scan) so both scans prune BEFORE the join, and the full disjunction "
+    "re-applies after it. The classic OR-pushdown showcase.",
+)
+def q19_disjunctive(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & q.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & q.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & q.between(20, 30)
+        )
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(_disc_price()).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@spec(
+    "q22_idle_customers",
+    f"""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS {D2})) AS DOUBLE) / COUNT(*) AS ab
+      FROM customer WHERE c_acctbal > 0)
+    SELECT c_nationkey,
+           COUNT(*) AS n_custs,
+           ROUND(CAST(SUM(CAST(c_acctbal AS {D2})) AS DOUBLE), 2) AS total_bal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape — wealthy customers with no orders: the scalar "
+    "subquery (global avg positive balance) stays IN the plan as a "
+    "broadcast single-row cross join (no driver collect), then a left_anti "
+    "join against orders' custkeys. Anti join shuffles on custkey; the "
+    "orders side projects one column before the exchange.",
+)
+def q22_idle_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0).agg(
+            (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "ab"
+            )
+        )
+    )
+    return (
+        c.join(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o.select("o_custkey"), c.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum(dec("c_acctbal")).cast("double"), 2).alias("total_bal"),
+        )
+    )
+
+
+@spec(
     "monthly_orders",
     f"""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
@@ -1143,6 +1334,111 @@ def hourly_events(spark, sf_dir):
             "n_events",
             "sum_value",
         )
+    )
+
+
+@spec(
+    "retention_events",
+    """
+    WITH first_day AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           date_diff('day', cohort_day, CAST(ts AS DATE)) AS day_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN first_day f ON e.user_id = f.user_id
+    GROUP BY f.cohort_day, day_offset
+    """,
+    doc="Retention cohort matrix — the canonical product-analytics rollup: "
+    "cohort = each user's first-seen day, cells = distinct active users "
+    "per (cohort, day-offset). The per-user first-day relation is "
+    "|users|-sized (≪ events) and joins back on user_id — both sides "
+    "hash-partition on user_id so the join reuses the aggregation "
+    "exchange; the distinct-count shuffles once on the small cell keys.",
+)
+def retention_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(first_day, "user_id")
+        .groupBy(
+            F.col("cohort_day"),
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_users",
+        )
+    )
+
+
+@spec(
+    "funnel_events",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup
+      FROM events GROUP BY user_id),
+    v AS (
+      SELECT e.user_id, MIN(ts) AS t_view
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE event_type = 'view' AND ts > t_signup GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(ts) AS t_purchase
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE event_type = 'purchase' AND ts > t_view GROUP BY e.user_id)
+    SELECT 1 AS stage_no, 'signup' AS stage,
+           COUNT(*) AS n_users FROM s WHERE t_signup IS NOT NULL
+    UNION ALL SELECT 2, 'view', COUNT(*) FROM v
+    UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
+    """,
+    doc="Ordered funnel (signup → view → purchase, strictly increasing "
+    "timestamps): each stage's reached-set is a per-user MIN over events "
+    "joined to the previous stage's (tiny, user-keyed) frontier. Every "
+    "join and aggregation keys on user_id, so all stages reuse ONE "
+    "hash-partitioning of events — no re-shuffle between stages; frontiers "
+    "broadcast when small.",
+)
+def funnel_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+                "t_signup"
+            )
+        )
+        .filter(F.col("t_signup").isNotNull())
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage(df, no, name):
+        return df.agg(
+            F.lit(no).cast("int").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage(s, 1, "signup")
+        .unionByName(stage(v, 2, "view"))
+        .unionByName(stage(p, 3, "purchase"))
     )
 
 
@@ -2350,6 +2646,123 @@ def contamination_docs(spark, sf_dir):
         spark.sparkContext.defaultParallelism
     )
     return contamination_check(corpus, bench, "doc_id", "text", n=3)
+
+
+@spec(
+    "passage_dup_docs",
+    r"""
+    WITH d AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+               FROM documents),
+    b AS (SELECT doc_id,
+                 unnest(list_transform(
+                   range(0, CAST(floor(len(w) / 10) AS BIGINT)),
+                   i -> md5(array_to_string(w[i*10+1 : i*10+10], ' ')))) AS h
+          FROM d),
+    f AS (SELECT h, COUNT(DISTINCT doc_id) AS ddf FROM b GROUP BY h),
+    per AS (SELECT doc_id, COUNT(*) AS n_blocks,
+                   SUM(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS n_dup
+            FROM b JOIN f USING (h) GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(n_blocks, 0) AS n_blocks,
+           CAST(ROUND(CAST(n_dup / CAST(n_blocks AS DOUBLE)
+                AS DECIMAL(18,9)), 6) AS DOUBLE) AS dup_block_frac
+    FROM d LEFT JOIN per USING (doc_id)
+    """,
+    doc="Passage-level duplicate fraction (the ExactSubstr dedup signal of "
+    "Lee et al. 2021, at block granularity): hash each non-overlapping "
+    "10-word block, count blocks whose hash recurs in ≥2 distinct docs. "
+    "Block hashes are near-unique except for true duplicates, so the "
+    "doc-frequency groupBy is skew-free with map-side partials; the "
+    "probe joins back on the hash — the corpus text itself is never "
+    "shuffled, only (doc_id, 16-byte hash) postings.",
+)
+def passage_dup_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    dr = d.repartition(spark.sparkContext.defaultParallelism)
+    w = F.split(F.col("text"), r"\s+")
+    nb = F.floor(F.size(w) / 10).cast("int")
+    blocks = F.when(
+        nb >= 1,
+        F.transform(
+            F.sequence(F.lit(0), nb - 1),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(w, i * 10 + 1, 10)).cast("binary")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    b = dr.select("doc_id", F.explode(blocks).alias("h"))
+    f = b.groupBy("h").agg(F.count_distinct("doc_id").alias("ddf"))
+    per = (
+        b.join(f, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("ddf") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    frac = (F.col("n_dup") / F.col("n_blocks").cast("double")).cast(
+        "decimal(18,9)"
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_blocks"), F.lit(0)).cast("long").alias("n_blocks"),
+            F.round(frac, 6).cast("double").alias("dup_block_frac"),
+        )
+    )
+
+
+@spec(
+    "boilerplate_docs",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+      FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+            FROM documents)),
+    f AS (SELECT sh, COUNT(*) AS ddf FROM t GROUP BY sh),
+    per AS (SELECT doc_id, COUNT(*) AS n_3grams,
+                   SUM(CASE WHEN ddf >= 3 THEN 1 ELSE 0 END) AS n_boiler
+            FROM t JOIN f USING (sh) GROUP BY doc_id)
+    SELECT doc_id, n_3grams,
+           CAST(ROUND(CAST(n_boiler / CAST(n_3grams AS DOUBLE)
+                AS DECIMAL(18,9)), 6) AS DOUBLE) AS boilerplate_frac
+    FROM per
+    """,
+    doc="Boilerplate fraction (C4/RefinedWeb-style corpus-level quality "
+    "signal): share of a doc's DISTINCT word trigrams that occur in ≥3 "
+    "documents. Since the per-doc shingles are distinct, COUNT(*) per "
+    "shingle IS document frequency — no count-distinct needed. The df "
+    "relation joins back on the shingle key; hot boilerplate shingles are "
+    "the skew risk and AQE's skew-join split handles them (same story as "
+    "the jaccard stop-shingle cap).",
+)
+def boilerplate_docs(spark, sf_dir):
+    from bambooai_spark.functions.text import word_shingles
+
+    d = _t(spark, sf_dir, "documents")
+    dr = d.repartition(spark.sparkContext.defaultParallelism)
+    t = dr.select("doc_id", F.explode(word_shingles("text", 3)).alias("sh"))
+    f = t.groupBy("sh").agg(F.count(F.lit(1)).alias("ddf"))
+    frac = (F.col("n_boiler") / F.col("n_3grams").cast("double")).cast(
+        "decimal(18,9)"
+    )
+    return (
+        t.join(f, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_3grams"),
+            F.sum(F.when(F.col("ddf") >= 3, 1).otherwise(0)).alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_3grams",
+            F.round(frac, 6).cast("double").alias("boilerplate_frac"),
+        )
+    )
 
 
 @spec(
