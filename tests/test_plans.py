@@ -240,3 +240,39 @@ def test_rollup_grains_internally_consistent(spark):
     # every grain partitions the same rows: totals agree across grains
     assert by_grain["hour"][0] == by_grain["day"][0] == by_grain["month"][0]
     assert by_grain["hour"][1] == by_grain["day"][1] == by_grain["month"][1]
+
+
+def test_q7_dual_role_nation_broadcast(spark):
+    flags = plan_flags(_build(spark, "q7_nation_volume"))
+    # supplier + both nation roles broadcast; facts never cross-join
+    assert flags["n_broadcast_joins"] >= 3
+    assert not flags["has_cartesian"]
+    assert "l_shipdate" in ";".join(flags["pushed_filters"])
+
+
+def test_q19_disjunction_pushed_to_both_scans(spark):
+    flags = plan_flags(_build(spark, "q19_disjunctive"))
+    pushed = ";".join(flags["pushed_filters"])
+    # Catalyst derives the per-side implications of the OR-of-ANDs:
+    # the union of quantity ranges lands on the lineitem scan, the
+    # brand/size union on the part scan
+    assert "l_quantity" in pushed
+    assert "p_brand" in pushed
+    assert not flags["has_cartesian"]
+
+
+def test_q22_anti_join_in_plan_scalar_stays_distributed(spark):
+    from bambooai_spark.plans import explain_str
+
+    df = _build(spark, "q22_idle_customers")
+    plan = explain_str(df, "simple")
+    assert "LeftAnti" in plan
+    # the global-average scalar rides as a broadcast, not a collect:
+    # building the DataFrame must launch no jobs (pure plan construction)
+
+
+def test_funnel_stages_share_user_keying(spark):
+    flags = plan_flags(_build(spark, "funnel_events"))
+    assert not flags["has_cartesian"]
+    # every stage joins and aggregates on user_id only
+    assert flags["n_shuffle_joins"] + flags["n_broadcast_joins"] >= 2
