@@ -420,6 +420,7 @@ def q18_large_orders(spark, sf_dir):
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     GROUP BY 1, 2, 3
     """,
+    headline=True,
     doc="TPC-H Q7 shape — cross-nation trade volume: the nation dim joins "
     "twice under different roles (supplier vs customer side). Both nation "
     "copies broadcast; the cross-nation inequality is a cheap post-join "
@@ -476,6 +477,7 @@ def q7_nation_volume(spark, sf_dir):
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
     """,
+    headline=True,
     doc="TPC-H Q14 shape — promo revenue share: conditional aggregation "
     "(CASE inside SUM) computes both numerator and denominator in ONE pass "
     "over the join — no second scan, no self-join. The partkey join "
@@ -515,6 +517,7 @@ def q14_promo_revenue(spark, sf_dir):
        OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 20 AND 30)
     """,
+    headline=True,
     doc="TPC-H Q19 shape — disjunctive predicates spanning both join "
     "sides: Catalyst derives the per-side implications (l_quantity ∈ "
     "[1,30] onto the lineitem scan, the brand/size union onto the part "
@@ -566,6 +569,7 @@ def q19_disjunctive(spark, sf_dir):
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     GROUP BY c_nationkey
     """,
+    headline=True,
     doc="TPC-H Q22 shape — wealthy customers with no orders: the scalar "
     "subquery (global avg positive balance) stays IN the plan as a "
     "broadcast single-row cross join (no driver collect), then a left_anti "
@@ -1349,6 +1353,7 @@ def hourly_events(spark, sf_dir):
     FROM events e JOIN first_day f ON e.user_id = f.user_id
     GROUP BY f.cohort_day, day_offset
     """,
+    headline=True,
     doc="Retention cohort matrix — the canonical product-analytics rollup: "
     "cohort = each user's first-seen day, cells = distinct active users "
     "per (cohort, day-offset). The per-user first-day relation is "
@@ -1395,6 +1400,7 @@ def retention_events(spark, sf_dir):
     UNION ALL SELECT 2, 'view', COUNT(*) FROM v
     UNION ALL SELECT 3, 'purchase', COUNT(*) FROM p
     """,
+    headline=True,
     doc="Ordered funnel (signup → view → purchase, strictly increasing "
     "timestamps): each stage's reached-set is a per-user MIN over events "
     "joined to the previous stage's (tiny, user-keyed) frontier. Every "
@@ -2668,6 +2674,7 @@ def contamination_docs(spark, sf_dir):
                 AS DECIMAL(18,9)), 6) AS DOUBLE) AS dup_block_frac
     FROM d LEFT JOIN per USING (doc_id)
     """,
+    headline=True,
     doc="Passage-level duplicate fraction (the ExactSubstr dedup signal of "
     "Lee et al. 2021, at block granularity): hash each non-overlapping "
     "10-word block, count blocks whose hash recurs in ≥2 distinct docs. "
@@ -2732,6 +2739,7 @@ def passage_dup_docs(spark, sf_dir):
                 AS DECIMAL(18,9)), 6) AS DOUBLE) AS boilerplate_frac
     FROM per
     """,
+    headline=True,
     doc="Boilerplate fraction (C4/RefinedWeb-style corpus-level quality "
     "signal): share of a doc's DISTINCT word trigrams that occur in ≥3 "
     "documents. Since the per-doc shingles are distinct, COUNT(*) per "
@@ -2776,6 +2784,7 @@ def boilerplate_docs(spark, sf_dir):
     ORDER BY cnt DESC, word
     LIMIT 100
     """,
+    headline=True,
     doc="Corpus vocabulary build: global word frequencies, top-100. "
     "Explode → hash agg (map-side partials absorb the Zipf head, so the "
     "hot words never skew the shuffle) → TakeOrderedAndProject.",
