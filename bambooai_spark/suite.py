@@ -1449,6 +1449,63 @@ def funnel_events(spark, sf_dir):
 
 
 @spec(
+    "value_histogram_events",
+    """
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Fixed-width value histogram (profiling primitive): bin = "
+    "floor(value/width). Bin count is tiny and data-independent, so the "
+    "aggregation is one map-side-combining shuffle of ~|bins| rows per "
+    "partition regardless of input size — the cheapest possible "
+    "distribution profile at 100 TB.",
+)
+def value_histogram_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 25.0).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")).cast("double"), 2).alias("sum_value"),
+        )
+    )
+
+
+@spec(
+    "percentile_by_type_events",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles PER GROUP — unlike the global "
+    "percentile profile, each group's sorted neighborhood lives inside "
+    "its hash partition, so this is one shuffle on the group key. At "
+    "100 TB with heavy groups switch to approx_percentile (t-digest "
+    "sketches merge map-side); exact here because the oracle demands it.",
+)
+def percentile_by_type_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {p})"), 6).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in (0.5, 0.9, 0.99)
+        ]
+    )
+
+
+@spec(
     "range_count_events",
     f"""
     SELECT i.event_id AS interval_id,
@@ -2652,6 +2709,40 @@ def contamination_docs(spark, sf_dir):
         spark.sparkContext.defaultParallelism
     )
     return contamination_check(corpus, bench, "doc_id", "text", n=3)
+
+
+@spec(
+    "domain_mix_docs",
+    """
+    SELECT source, COUNT(*) AS n_kept
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <=
+          CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0 THEN 'bf'
+               WHEN CAST(substr(source, 4) AS INT) % 3 = 1 THEN '7f'
+               ELSE '3f' END
+    GROUP BY source
+    """,
+    doc="Domain-mix rebalancing (DoReMi/Pile-style source reweighting): "
+    "per-source keep-rates applied as a deterministic content-addressed "
+    "hash threshold — ~75%/50%/25% by source class here. Pure scan-side "
+    "filter (no shuffle, no rand(), reproducible across engines and "
+    "cluster sizes); the count is one tiny keyed aggregation to audit "
+    "the realized mix.",
+)
+def domain_mix_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    u = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2)
+    cls = F.substring("source", 4, 10).cast("int") % 3
+    thr = (
+        F.when(cls == 0, F.lit("bf"))
+        .when(cls == 1, F.lit("7f"))
+        .otherwise(F.lit("3f"))
+    )
+    return (
+        d.filter(u <= thr)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
 
 
 @spec(
