@@ -1449,6 +1449,56 @@ def funnel_events(spark, sf_dir):
 
 
 @spec(
+    "active_users_events",
+    """
+    WITH pairs AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                   FROM events),
+    obs AS (SELECT DISTINCT day FROM pairs),
+    cover AS (
+      SELECT user_id, day AS active_day,
+             CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM pairs)
+    SELECT strftime(c.day, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT CASE WHEN c.active_day = c.day
+                               THEN c.user_id END) AS dau,
+           COUNT(DISTINCT c.user_id) AS wau
+    FROM cover c JOIN obs USING (day)
+    GROUP BY c.day
+    """,
+    doc="Rolling-distinct actives (DAU + trailing-7-day WAU): distinct "
+    "over a sliding window has no window-function form, and the theta-join "
+    "formulation (days × activity) is a nested-loop at scale. Instead each "
+    "distinct (user, day) EXPLODES into the ≤7 report-days it covers — a "
+    "map-side ×7 expansion of an already-deduped relation, one shuffle on "
+    "the report-day key, no join against the fact at all (the observed-day "
+    "semi-join is a broadcast of a tiny dim).",
+)
+def active_users_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    pairs = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    obs = pairs.select("day").distinct()
+    cover = pairs.select(
+        "user_id",
+        F.col("day").alias("active_day"),
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "day"
+        ),
+    )
+    return (
+        cover.join(F.broadcast(obs), "day")
+        .groupBy("day")
+        .agg(
+            F.count_distinct(
+                F.when(F.col("active_day") == F.col("day"), F.col("user_id"))
+            ).alias("dau"),
+            F.count_distinct("user_id").alias("wau"),
+        )
+        .select(F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau")
+    )
+
+
+@spec(
     "value_histogram_events",
     """
     SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
