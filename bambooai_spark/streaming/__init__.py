@@ -6,6 +6,7 @@ from bambooai_spark.streaming.events import (
     stream_hourly_events,
     stream_session_windows,
     stream_dedup_events,
+    stream_interval_join,
     stream_running_totals,
 )
 
@@ -14,5 +15,6 @@ __all__ = [
     "stream_hourly_events",
     "stream_session_windows",
     "stream_dedup_events",
+    "stream_interval_join",
     "stream_running_totals",
 ]

@@ -96,6 +96,56 @@ def stream_dedup_events(
     )
 
 
+def stream_interval_join(
+    purchases: DataFrame,
+    events: DataFrame,
+    *,
+    window_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of the batch
+    ``range_count_events``: every purchase opens a ``window_seconds``-long
+    interval and joins every event landing inside it.
+
+    Spark refuses stream-stream joins without an equality predicate (state
+    would be un-partitionable), so this reuses the batch ``range_join``
+    bucketization: quantize time into window-sized bins, explode each
+    interval over the ≤2 bins it covers, equi-join on the bin, refine with
+    the exact range predicate. Both sides carry watermarks and the join
+    condition bounds event-time distance, so buffered rows are evicted once
+    they can never match again — state stays O(watermark · rate). Emits one
+    row per (purchase, matched event); aggregating downstream gives the
+    batch twin's per-interval counts."""
+    w_us = int(window_seconds) * 1_000_000
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("p_ts"),
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros("ts") / w_us),
+                # end-exclusive: last covered bin holds (start + window - 1µs)
+                F.floor((F.unix_micros("ts") + w_us - 1) / w_us),
+            )
+        ).alias("bin"),
+    )
+    e = events.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("matched_id"),
+        F.col("ts").alias("e_ts"),
+        F.col("value").alias("e_value"),
+        F.floor(F.unix_micros("ts") / w_us).alias("bin"),
+    )
+    return p.join(
+        e,
+        (p.bin == e.bin)
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (
+            F.col("e_ts")
+            < F.col("p_ts") + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+        ),
+        "inner",
+    ).drop("bin")
+
+
 def run_to_memory(
     df: DataFrame,
     query_name: str,

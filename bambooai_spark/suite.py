@@ -599,6 +599,93 @@ def q22_idle_customers(spark, sf_dir):
 
 
 @spec(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS sk, SUM({_DISC_PRICE}) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1)
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = sk
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 shape — top supplier by quarterly revenue: the MAX "
+    "scalar stays in-plan (single-row broadcast against the per-supplier "
+    "revenue relation — no driver collect), and the equality test runs on "
+    "the EXACT decimal sums, never the rounded doubles. The revenue "
+    "relation is computed once and feeds both the max and the final join.",
+)
+def q15_top_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.sum(_disc_price()).alias("total_rev")
+    )
+    mx = F.broadcast(rev.agg(F.max("total_rev").alias("max_rev")))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(mx)
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(s, F.col("sk") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev"), 2).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@spec(
+    "q17_small_quantity",
+    f"""
+    WITH pa AS (
+      SELECT l_partkey AS pk,
+             0.2 * (CAST(SUM(CAST(l_quantity AS {D2})) AS DOUBLE)
+                    / COUNT(*)) AS qty_limit
+      FROM lineitem GROUP BY 1)
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS {D2})), 2) AS DOUBLE)
+             AS small_qty_revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+                  JOIN pa   ON pk = l_partkey
+    WHERE p_brand = 'Brand#23' AND l_quantity < qty_limit
+    """,
+    doc="TPC-H Q17 shape — correlated per-part average decorrelated into "
+    "a self-aggregation: per-part mean quantity (exact decimal sum / "
+    "count) joins back to the fact on partkey, so both passes shuffle on "
+    "the SAME key and AQE reuses the partitioning. The brand filter "
+    "prunes the part side before its broadcast.",
+)
+def q17_small_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+        ).alias("qty_limit")
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(pa, F.col("pk") == li.l_partkey)
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(
+            F.round(F.sum(dec("l_extendedprice")), 2)
+            .cast("double")
+            .alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@spec(
     "monthly_orders",
     f"""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,

@@ -122,3 +122,37 @@ def test_stream_running_totals_matches_batch(spark, tmp_path):
     }
     got = {u: (n, round(v, 2)) for u, (n, v) in final.items()}
     assert got == want and len(got) > 0
+
+
+def test_stream_interval_join_matches_batch(spark):
+    from bambooai_spark.streaming import read_events_stream, stream_interval_join
+
+    p = read_events_stream(spark, SF_DIR).filter(
+        F.col("event_type") == "purchase"
+    )
+    e = read_events_stream(spark, SF_DIR)
+    joined = stream_interval_join(p, e, window_seconds=1800, watermark="1 hour")
+    got = _drain(spark, joined, "ivjoin_mem", "append")
+    g = (
+        got.groupBy("interval_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    g = {r.interval_id: r.n for r in g}
+    # batch twin: the range_count_events pairing
+    batch = load_table(spark, SF_DIR, "events")
+    b = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("iid"), F.col("ts").alias("pts")
+    )
+    w = {
+        r.iid: r.n
+        for r in b.join(
+            batch,
+            (batch.ts >= F.col("pts"))
+            & (batch.ts < F.col("pts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .groupBy("iid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert g == w and len(g) > 0
