@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from bambooai_spark.executor.plots import begin_capture, harvest
 from bambooai_spark.executor.sanitizer import sanitize
 from bambooai_spark.executor.traceback_filter import filter_exec_traceback
 
@@ -42,6 +43,9 @@ class ExecutionResult:
     stdout: str | None
     error: str | None             # filtered traceback, None on success
     generated_datasets: list[str] = field(default_factory=list)
+    # plots-as-data (reference code_executor.py:143-183): matplotlib →
+    # {"data": base64 png, "format": "png"}, plotly → figure json
+    plots: list[dict[str, str]] = field(default_factory=list)
     version: int = 0
 
     @property
@@ -108,6 +112,7 @@ class SparkCodeExecutor:
         local_vars.update(extra_vars or {})
 
         buf = io.StringIO()
+        plot_cap = begin_capture()
         try:
             # tag every Spark job this execution launches so a concurrent
             # cancel() can stop runaway generated code (the engine-side
@@ -140,7 +145,7 @@ class SparkCodeExecutor:
                     "df must remain a pyspark.sql.DataFrame"
                 )
             return self._commit(result_df, spark, buf.getvalue(),
-                                generated_datasets_path)
+                                generated_datasets_path, harvest(plot_cap))
         except Exception:
             exc_type, exc_value, _tb = sys.exc_info()
             filtered = filter_exec_traceback(
@@ -158,6 +163,7 @@ class SparkCodeExecutor:
             if spark is not None:
                 spark.sparkContext.setJobGroup("", "")
             self._job_group = None
+            plot_cap.close()
             buf.close()
 
     def cancel(self) -> bool:
@@ -176,6 +182,7 @@ class SparkCodeExecutor:
         spark: SparkSession | None,
         stdout: str,
         generated_datasets_path: str | None,
+        plots: list[dict[str, str]] | None = None,
     ) -> ExecutionResult:
         if isinstance(result_df, DataFrame):
             self.version += 1
@@ -195,5 +202,6 @@ class SparkCodeExecutor:
             stdout=stdout,
             error=None,
             generated_datasets=datasets,
+            plots=plots or [],
             version=self.version,
         )

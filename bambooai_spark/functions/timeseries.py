@@ -427,7 +427,7 @@ def multi_grain_rollup(
         out_levels.append(
             level.select(
                 F.lit(g).alias("grain"),
-                F.unix_micros(F.col("_bucket")).alias("bucket_start_us"),
+                epoch_us(F.col("_bucket")).alias("bucket_start_us"),
                 F.col("_n").alias("n_events"),
                 F.round(F.col("_v").cast("double"), scale).alias("total_value"),
             )

@@ -20,6 +20,7 @@ import os
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 from bambooai_spark.session import apply_runtime_confs
 
@@ -64,19 +65,37 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
     return out
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast every ``TIMESTAMP_NTZ`` column to session-zoned ``TIMESTAMP``.
+
+    Parquet ``timestamp[us]`` with ``isAdjustedToUTC=false`` surfaces in
+    Spark 4 as ``TIMESTAMP_NTZ``, which ``unix_micros`` (and every epoch-
+    based operator downstream) rejects. With the session TZ pinned to UTC
+    (session.py), the cast is a pure re-tag — the stored micros value is
+    reinterpreted as a UTC instant bit-for-bit, matching DuckDB's
+    ``epoch_us`` on the same file. Metadata-only: no data rewrite, the
+    parquet scan underneath is unchanged (pushdown/pruning preserved).
+    """
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with timestamps normalized to TimestampType.
 
     Nanosecond columns are floored to microseconds with integer division
     (``DIV 1000``) — exactly DuckDB's ns→us truncation, so both engines see
-    identical instants.
+    identical instants. Microsecond NTZ columns are re-tagged as UTC
+    timestamps (see ``normalize_timestamps``).
     """
     apply_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_columns(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
-    return df
+    return normalize_timestamps(df)
 
 
 def load_tables(

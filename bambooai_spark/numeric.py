@@ -46,8 +46,14 @@ def dmean(c: str | Column, scale: int = 2, out_scale: int = 6) -> Column:
 
 def epoch_us(c: str | Column) -> Column:
     """Timestamp → integer epoch microseconds (exact; matches DuckDB
-    ``epoch_us``)."""
-    return F.unix_micros(col_of(c))
+    ``epoch_us``).
+
+    Defensively casts to ``TIMESTAMP`` first: ``unix_micros`` rejects
+    ``TIMESTAMP_NTZ`` (how Spark 4 reads parquet ``timestamp[us]`` with
+    ``isAdjustedToUTC=false``), and with the session TZ pinned to UTC the
+    cast is an exact re-tag of the same micros value. No-op on columns that
+    are already ``TIMESTAMP``."""
+    return F.unix_micros(col_of(c).cast("timestamp"))
 
 
 # --- SQL-side mirrors (string builders keep the DuckDB oracle in sync) ---

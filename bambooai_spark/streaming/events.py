@@ -21,8 +21,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bambooai_spark.io import _nanos_timestamp_columns
-from bambooai_spark.numeric import dec
+from bambooai_spark.io import _nanos_timestamp_columns, normalize_timestamps
+from bambooai_spark.numeric import dec, epoch_us
 
 
 def read_events_stream(
@@ -38,7 +38,7 @@ def read_events_stream(
     df = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     for c in _nanos_timestamp_columns(path):
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
-    return df
+    return normalize_timestamps(df)
 
 
 def stream_hourly_events(
@@ -54,7 +54,7 @@ def stream_hourly_events(
             F.round(F.sum(dec("value")).cast("double"), 2).alias("sum_value"),
         )
         .select(
-            F.unix_micros(F.col("w.start")).alias("hour_start_us"),
+            epoch_us(F.col("w.start")).alias("hour_start_us"),
             "event_type",
             "n_events",
             "sum_value",
@@ -77,8 +77,8 @@ def stream_session_windows(
         )
         .select(
             "user_id",
-            F.unix_micros(F.col("w.start")).alias("session_start_us"),
-            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            epoch_us(F.col("w.start")).alias("session_start_us"),
+            epoch_us(F.col("w.end")).alias("session_end_us"),
             "n_events",
             "sum_value",
         )
@@ -122,9 +122,9 @@ def stream_interval_join(
         F.col("ts").alias("p_ts"),
         F.explode(
             F.sequence(
-                F.floor(F.unix_micros("ts") / w_us),
+                F.floor(epoch_us("ts") / w_us),
                 # end-exclusive: last covered bin holds (start + window - 1µs)
-                F.floor((F.unix_micros("ts") + w_us - 1) / w_us),
+                F.floor((epoch_us("ts") + w_us - 1) / w_us),
             )
         ).alias("bin"),
     )
@@ -132,7 +132,7 @@ def stream_interval_join(
         F.col("event_id").alias("matched_id"),
         F.col("ts").alias("e_ts"),
         F.col("value").alias("e_value"),
-        F.floor(F.unix_micros("ts") / w_us).alias("bin"),
+        F.floor(epoch_us("ts") / w_us).alias("bin"),
     )
     return p.join(
         e,
