@@ -219,3 +219,135 @@ def test_pandas_on_spark_compatibility_net(spark, orders):
     assert res.ok, res.error
     assert res.df.count() == 5
     assert set(res.df.columns) == {"o_orderpriority", "n"}
+
+
+# ---------------------------------------------------------------- plot harvest
+# (reference code_executor.py:30-76,143-183 — plots-as-data; neither plotting
+# lib ships in this container, so the real import-resolution path is driven
+# with minimal fakes installed in sys.modules)
+
+
+class _FakeFigure:
+    def __init__(self, num, with_axes=True):
+        self.number = num
+        self.axes = [object()] if with_axes else []
+
+    def savefig(self, buf, format):  # noqa: A002 — matplotlib's kw name
+        assert format == "png"
+        buf.write(b"PNGBYTES-%d" % self.number)
+
+
+class _FakePlotlyFig:
+    def to_json(self):
+        return '{"data": [], "layout": {"title": "fake"}}'
+
+
+@pytest.fixture()
+def fake_plot_libs(monkeypatch):
+    import sys
+    import types
+
+    figs: dict[int, _FakeFigure] = {}
+    mpl = types.ModuleType("matplotlib")
+    plt = types.ModuleType("matplotlib.pyplot")
+    mpl.use = lambda *a, **k: None
+    mpl.pyplot = plt
+
+    def _figure(num=None, with_axes=True):
+        if num is None:
+            num = max(figs, default=0) + 1
+        if num not in figs:
+            figs[num] = _FakeFigure(num, with_axes)
+        return figs[num]
+
+    plt.ioff = lambda: None
+    plt.get_fignums = lambda: sorted(figs)
+    plt.figure = _figure
+    plt.close = lambda fig: figs.pop(fig.number, None)
+
+    plotly = types.ModuleType("plotly")
+    pio = types.ModuleType("plotly.io")
+
+    def _browser_show(fig, *a, **k):
+        raise RuntimeError("would open a browser")
+
+    pio.show = _browser_show
+    plotly.io = pio
+
+    monkeypatch.setitem(sys.modules, "matplotlib", mpl)
+    monkeypatch.setitem(sys.modules, "matplotlib.pyplot", plt)
+    monkeypatch.setitem(sys.modules, "plotly", plotly)
+    monkeypatch.setitem(sys.modules, "plotly.io", pio)
+    return types.SimpleNamespace(plt=plt, pio=pio, figs=figs,
+                                 browser_show=_browser_show)
+
+
+def test_matplotlib_figures_harvested_as_base64_png(spark, orders, fake_plot_libs):
+    """Generated code that draws a matplotlib figure gets it back as
+    {"data": base64 png, "format": "png"} (reference code_executor.py:143-156),
+    and the figure is closed so state never leaks across executions."""
+    import base64
+
+    ex = SparkCodeExecutor()
+    code = (
+        "import matplotlib.pyplot as plt\n"
+        "fig = plt.figure()\n"
+        "print(df.count())\n"
+    )
+    res = ex.execute(code, df=orders, spark=spark)
+    assert res.ok, res.error
+    assert len(res.plots) == 1
+    assert res.plots[0]["format"] == "png"
+    assert base64.b64decode(res.plots[0]["data"]).startswith(b"PNGBYTES-")
+    assert fake_plot_libs.figs == {}  # closed after harvest
+
+
+def test_axisless_and_preexisting_figures_skipped(spark, orders, fake_plot_libs):
+    """Blank figures (no axes) and figures that existed before execute()
+    are not harvested — only what the generated code actually drew."""
+    fake_plot_libs.plt.figure(99)  # pre-existing, must survive untouched
+    ex = SparkCodeExecutor()
+    code = (
+        "import matplotlib.pyplot as plt\n"
+        "plt.figure(1)\n"
+        "plt.figure(2, with_axes=False)\n"
+    )
+    res = ex.execute(code, df=orders, spark=spark)
+    assert res.ok, res.error
+    assert len(res.plots) == 1
+    assert 99 in fake_plot_libs.figs
+
+
+def test_plotly_show_harvested_as_json_and_restored(spark, orders, fake_plot_libs):
+    """pio.show is patched during exec (figure json harvested instead of a
+    browser opening — reference code_executor.py:49-69) and restored after."""
+    import json
+
+    ex = SparkCodeExecutor()
+    code = (
+        "import plotly.io as pio\n"
+        "pio.show(FIG)\n"
+    )
+    res = ex.execute(code, df=orders, spark=spark,
+                     extra_vars={"FIG": _FakePlotlyFig()})
+    assert res.ok, res.error
+    assert [p["format"] for p in res.plots] == ["json"]
+    assert json.loads(res.plots[0]["data"])["layout"]["title"] == "fake"
+    assert fake_plot_libs.pio.show is fake_plot_libs.browser_show
+
+
+def test_plot_patch_restored_after_error(spark, orders, fake_plot_libs):
+    """Rollback path still restores pio.show and drops no state."""
+    ex = SparkCodeExecutor()
+    res = ex.execute("raise ValueError('boom')", df=orders, spark=spark)
+    assert not res.ok
+    assert res.plots == []
+    assert fake_plot_libs.pio.show is fake_plot_libs.browser_show
+
+
+def test_plots_empty_when_libs_absent(spark, orders):
+    """Without matplotlib/plotly installed the harvest degrades to []."""
+    ex = SparkCodeExecutor()
+    res = ex.execute("df = df.limit(5)", df=orders, spark=spark)
+    assert res.ok
+    assert res.plots == []
