@@ -74,6 +74,16 @@ def _shingle_index(
 #: broadcastable for the block product.
 DENSE_VOCAB_MAX = 16384
 
+#: above this many documents the dense block product stops broadcasting the
+#: whole mask relation (⌈V/64⌉·8 bytes × N would OOM the driver/executors —
+#: at V=16384, 200k docs ≈ 400 MB, the sane broadcast ceiling) and switches
+#: to the hash-blocked equi-join grid.
+DENSE_DOCS_BROADCAST_MAX = 200_000
+
+#: docs per hash block in the blocked fallback — bounds the per-task build
+#: side (32768 docs × ≤2 KB masks ≈ 64 MB), independent of total N.
+DENSE_BLOCK_DOCS = 32768
+
 
 def jaccard_near_dup(
     df: DataFrame,
@@ -162,14 +172,34 @@ def jaccard_near_dup(
 
 
 def _dense_overlap_scores(
-    tok: DataFrame, key: str, vocab: DataFrame, n_vocab: int
+    tok: DataFrame,
+    key: str,
+    vocab: DataFrame,
+    n_vocab: int,
+    *,
+    broadcast_max: int | None = None,
 ) -> DataFrame:
     """Dense-regime twin of ``_overlap_scores`` — same
     (doc_a, doc_b, shared, n_a, n_b) contract, bitset block product plan.
     ``vocab`` must map every ``key`` value to a dense 0-based ``pos``. The
     mask is unrolled into ⌈V/64⌉ scalar long columns so the pair loop is
-    pure whole-stage-codegen arithmetic — no per-pair array allocation and
-    zero shuffle in the pair stage (one side broadcast)."""
+    pure whole-stage-codegen arithmetic — no per-pair array allocation.
+
+    Two pair-stage plans, chosen by the materialized doc count (a small
+    vocabulary bounds row WIDTH, never N):
+
+    - N ≤ ``broadcast_max`` (default ``DENSE_DOCS_BROADCAST_MAX``): one side
+      broadcast, zero shuffle in the pair stage;
+    - N above it: hash-blocked triangular grid — both sides get a block id
+      from ``xxhash64(doc) % B`` (B sized so a block's masks fit one task,
+      ``DENSE_BLOCK_DOCS``), the tiny (bi ≤ bj) grid is broadcast, and the
+      second join is an equi shuffle join on the block id. Every unordered
+      pair lands in exactly one grid cell; per-task memory stays O(block),
+      independent of N, so a large-N/small-V corpus degrades to shuffle
+      instead of OOMing the driver."""
+    broadcast_max = (
+        DENSE_DOCS_BROADCAST_MAX if broadcast_max is None else broadcast_max
+    )
     nwords = (n_vocab + 63) // 64
     bits = (
         tok.join(F.broadcast(vocab), key)
@@ -199,6 +229,11 @@ def _dense_overlap_scores(
             for w in range(nwords)
         ],
     )
+    # both pair sides read the mask relation; persisting it (a) pays the
+    # groupBy aggregation once instead of per-side and (b) makes the N guard
+    # count free at join time. Narrow rows (≤2 KB), bounded by the corpus.
+    masks = masks.persist()
+    n_docs = masks.count()
     a = masks.select(
         F.col("doc").alias("doc_a"),
         F.col("n").alias("n_a"),
@@ -213,13 +248,46 @@ def _dense_overlap_scores(
         F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
         for w in range(nwords)
     )
-    return (
-        a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
-        .withColumn("shared", inter)
+    if n_docs <= broadcast_max:
+        pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
+    else:
+        nblocks = -(-n_docs // DENSE_BLOCK_DOCS)
+        grid = masks.sparkSession.createDataFrame(
+            [(i, j) for i in range(nblocks) for j in range(i, nblocks)],
+            "bi INT, bj INT",
+        )
+        a2 = a.withColumn(
+            "bi", F.pmod(F.xxhash64("doc_a"), F.lit(nblocks)).cast("int")
+        )
+        b2 = b.withColumn(
+            "bj", F.pmod(F.xxhash64("doc_b"), F.lit(nblocks)).cast("int")
+        )
+        pairs = (
+            a2.join(F.broadcast(grid), "bi")
+            .join(b2, "bj")
+            # off-diagonal cells see each unordered pair once (only one of
+            # (p,q)/(q,p) is in the triangular grid); the diagonal needs the
+            # id order to halve itself
+            .filter(
+                (F.col("bi") < F.col("bj")) | (F.col("doc_a") < F.col("doc_b"))
+            )
+        )
+    scored = (
+        pairs.withColumn("shared", inter)
         # parity with the index join, which only ever emits pairs that
         # actually share a key
         .filter(F.col("shared") > 0)
-        .select("doc_a", "doc_b", "shared", "n_a", "n_b")
+    )
+    # canonicalize to doc_a < doc_b — off-diagonal grid cells may emit the
+    # pair with the larger id on the a side (shared is symmetric; n follows
+    # its doc). No-op rows pass through the otherwise branch.
+    swap = F.col("doc_a") > F.col("doc_b")
+    return scored.select(
+        F.when(swap, F.col("doc_b")).otherwise(F.col("doc_a")).alias("doc_a"),
+        F.when(swap, F.col("doc_a")).otherwise(F.col("doc_b")).alias("doc_b"),
+        "shared",
+        F.when(swap, F.col("n_b")).otherwise(F.col("n_a")).alias("n_a"),
+        F.when(swap, F.col("n_a")).otherwise(F.col("n_b")).alias("n_b"),
     )
 
 

@@ -286,3 +286,32 @@ def test_connected_components_crafted_graph(spark):
     out = connected_components(nodes.repartition(5), edges)
     got = {r["node"]: r["cluster_id"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 7, 8: 7, 9: 9, 10: 10}
+
+
+def test_dense_overlap_blocked_fallback_matches_broadcast(spark, docs):
+    """Above the N guard the dense bitset product must switch from
+    broadcasting the whole mask relation to the hash-blocked grid join —
+    identical pairs, and no nested-loop broadcast of the masks in the plan
+    (the only broadcast left is the tiny block grid)."""
+    from bambooai_spark.operators.dedup import jaccard_near_dup as jnd
+    from bambooai_spark.operators import dedup as dd
+
+    sample = docs.limit(120)
+    baseline = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jnd(sample, "doc_id", "text", strategy="dense").collect()
+    }
+    # force the fallback with a guard far below the sample size
+    orig = dd.DENSE_DOCS_BROADCAST_MAX
+    dd.DENSE_DOCS_BROADCAST_MAX = 16
+    try:
+        blocked_df = jnd(sample, "doc_id", "text", strategy="dense")
+        plan = blocked_df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        blocked = {
+            (r["doc_a"], r["doc_b"], r["jaccard"]) for r in blocked_df.collect()
+        }
+    finally:
+        dd.DENSE_DOCS_BROADCAST_MAX = orig
+    assert blocked == baseline
+    assert len(baseline) > 0
