@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from bambooai_spark.agent import prompts
+from bambooai_spark.agent.memory import EpisodicMemory
 from bambooai_spark.agent.parsing import (
     extract_analyst,
     extract_expert,
@@ -62,6 +63,8 @@ class AgentOrchestrator:
         summarize: bool = True,
         tools: dict | None = None,
         sample_first: int | None = None,
+        memory: "EpisodicMemory | None" = None,
+        rank_fn: Callable[["AgentResult"], int] | None = None,
     ):
         self.spark = spark
         self.llm = llm
@@ -74,6 +77,13 @@ class AgentOrchestrator:
         # is a full-scale job; failures (wrong column, bad cast, API
         # misuse) surface identically on the sample.
         self.sample_first = sample_first
+        # episodic memory (reference bambooai.py:265-291): retrieve-before-
+        # plan; a hit pre-seeds the plan (skipping the planner call) and the
+        # code generator. rank_fn supplies the reference's user rank at the
+        # write gate (bambooai.py:655-670) — e.g. a fixed 10 in tests, a UI
+        # callback in production; without it nothing is ever written.
+        self.memory = memory
+        self.rank_fn = rank_fn
         self.executor = SparkCodeExecutor()
 
     # -- pipeline stages ---------------------------------------------
@@ -116,9 +126,22 @@ class AgentOrchestrator:
         resp = self.llm(prompts.PLANNER_SYSTEM, f"{ctx}\n\nTask: {intent}")
         return extract_yaml_block(resp) or None
 
-    def _generate(self, intent: str, plan: str | None, ctx: str) -> str:
+    def _generate(
+        self,
+        intent: str,
+        plan: str | None,
+        ctx: str,
+        example_code: str | None = None,
+    ) -> str:
         system = prompts.CODE_GENERATOR_SYSTEM.format(df_context=ctx)
         user = f"Task: {intent}" + (f"\n\nPlan:\n{plan}" if plan else "")
+        if example_code:
+            # recalled solution of a similar past task (reference seeds it
+            # as the example block in the codegen prompt, bambooai.py:270-281)
+            user += (
+                "\n\nExample solution from a similar past task:\n"
+                f"```python\n{example_code}\n```"
+            )
         return extract_code(self.llm(system, user))
 
     def _correct(self, code: str, error: str, ctx: str) -> str:
@@ -146,12 +169,22 @@ class AgentOrchestrator:
                 df=None, code=None, stdout=None, summary=answer,
                 expert=expert, intent=None, plan=None,
             )
+        # retrieve-before-plan (reference bambooai.py:265-291): a memory hit
+        # short-circuits the planner (plan cache) and seeds the generator
+        recall = self.memory.retrieve(intent) if self.memory else None
+        if recall is not None and recall.data_model:
+            ctx = f"{ctx}\n\nData model (recalled):\n{recall.data_model}"
         if ontology:
             model = self._inspect(intent, ctx, ontology)
             if model:
                 ctx = f"{ctx}\n\nData model:\n{model}"
-        plan = self._plan(intent, ctx)
-        code = self._generate(intent, plan, ctx)
+        if recall is not None and recall.plan and self.planning:
+            plan = recall.plan
+        else:
+            plan = self._plan(intent, ctx)
+        code = self._generate(
+            intent, plan, ctx, example_code=recall.code if recall else None
+        )
 
         errors: list[str] = []
         corrections = 0
@@ -194,7 +227,7 @@ class AgentOrchestrator:
                 prompts.SUMMARIZER_SYSTEM,
                 f"Task: {intent}\n\nPlan:\n{plan}\n\nResult preview:\n{preview}",
             )
-        return AgentResult(
+        result = AgentResult(
             df=res.df if res.ok else df,
             code=code,
             stdout=res.stdout,
@@ -206,3 +239,14 @@ class AgentOrchestrator:
             errors=errors,
             ok=res.ok,
         )
+        if self.memory is not None and self.rank_fn is not None and res.ok:
+            # post-execution write (reference bambooai.py:655-670): user rank
+            # gates the record; EpisodicMemory enforces rank ≥ min_rank and
+            # the strong-match semantic dedup
+            import hashlib  # noqa: PLC0415
+
+            rid = "mem-" + hashlib.md5(intent.encode("utf-8")).hexdigest()[:12]
+            self.memory.add(
+                rid, intent, plan=plan, code=code, rank=self.rank_fn(result)
+            )
+        return result

@@ -282,3 +282,98 @@ def test_executor_cancel_lifecycle(spark):
     assert not t.is_alive(), "cancel() failed to stop the execution"
     assert not out["res"].ok  # cancelled job surfaced as an execution error
     assert out["res"].df is orders  # rollback intact
+
+
+# ---------------------------------------------------------------- episodic memory
+# (reference bambooai.py:265-291 retrieve-before-plan + :655-670 rank-gated
+# writes — EpisodicMemory over the same Spark operators as the graded specs)
+
+
+def test_memory_retrieve_before_plan_short_circuits_planner(spark):
+    """Second, similar question: the recalled record supplies the plan (no
+    planner call) and seeds the codegen prompt with the past solution —
+    result stays oracle-exact."""
+    from bambooai_spark.agent.memory import EpisodicMemory
+
+    orders = load_table(spark, SF_DIR, "orders")
+    mem = EpisodicMemory(spark)
+    mem.add(
+        "mem-1",
+        "count orders per month in 1997",
+        plan="recalled: filter year, group by month",
+        code=GOOD_CODE.strip("`pythn\n"),
+        rank=9,
+    )
+    llm = _llm(GOOD_CODE)
+    orch = AgentOrchestrator(spark, llm, memory=mem)
+    res = orch.converse("Count the number of orders per month in 1997", orders)
+    assert res.ok
+    assert res.plan == "recalled: filter year, group by month"
+    # planner never called
+    assert not any("analysis plans" in s for s, _ in llm.calls)
+    # codegen prompt carried the recalled example
+    codegen_call = next(u for s, u in llm.calls if "write PySpark code" in s)
+    assert "Example solution from a similar past task" in codegen_call
+    assert res.df.count() == 12
+
+
+def test_memory_miss_below_threshold_runs_planner(spark):
+    """An unrelated stored intent scores below 0.8 — the planner runs."""
+    from bambooai_spark.agent.memory import EpisodicMemory
+
+    orders = load_table(spark, SF_DIR, "orders")
+    mem = EpisodicMemory(spark)
+    mem.add(
+        "mem-1",
+        "alpha bravo charlie delta echo foxtrot golf hotel",
+        plan="unrelated plan",
+        rank=9,
+    )
+    llm = _llm(GOOD_CODE)
+    orch = AgentOrchestrator(spark, llm, memory=mem)
+    res = orch.converse("Count the number of orders per month in 1997", orders)
+    assert res.ok
+    assert res.plan != "unrelated plan"
+    assert any("analysis plans" in s for s, _ in llm.calls)
+
+
+def test_memory_rank_gate_and_write_back(spark):
+    """rank ≥ 6 answers are written back (reference qa_retrieval.py:160);
+    low-ranked ones are not."""
+    from bambooai_spark.agent.memory import EpisodicMemory
+
+    orders = load_table(spark, SF_DIR, "orders")
+
+    mem = EpisodicMemory(spark)
+    orch = AgentOrchestrator(
+        spark, _llm(GOOD_CODE), memory=mem, rank_fn=lambda r: 9
+    )
+    res = orch.converse("Count the number of orders per month in 1997", orders)
+    assert res.ok and len(mem) == 1
+    stored = mem.records.collect()[0]
+    assert stored["intent"] == "count orders per month in 1997"
+    assert "groupBy" in stored["code"]
+
+    low = EpisodicMemory(spark)
+    orch2 = AgentOrchestrator(
+        spark, _llm(GOOD_CODE), memory=low, rank_fn=lambda r: 3
+    )
+    orch2.converse("Count the number of orders per month in 1997", orders)
+    assert len(low) == 0
+
+
+def test_memory_strong_match_dedup_keeps_higher_rank(spark):
+    """Near-identical intents collapse at the 0.94 strong-match bar with the
+    higher rank winning (reference qa_retrieval.py:162-200)."""
+    from bambooai_spark.agent.memory import EpisodicMemory
+
+    mem = EpisodicMemory(spark)
+    mem.add("mem-1", "count orders per month in 1997", plan="old", rank=7)
+    mem.add("mem-2", "count orders per month in 1997", plan="new", rank=9)
+    rows = mem.records.collect()
+    assert len(rows) == 1
+    assert rows[0]["record_id"] == "mem-2" and rows[0]["plan"] == "new"
+    # and the weaker duplicate is dropped, not merged
+    mem.add("mem-3", "count orders per month in 1997", plan="weaker", rank=8)
+    rows = mem.records.collect()
+    assert len(rows) == 1 and rows[0]["record_id"] == "mem-2"
