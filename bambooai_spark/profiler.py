@@ -22,9 +22,9 @@ value_counts for low-cardinality categoricals. Head/sample/HTML are bounded
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import NumericType
+from pyspark.sql.types import BooleanType, NumericType
 
 
 def _is_numeric(df: DataFrame, col: str) -> bool:
@@ -43,14 +43,83 @@ def value_counts_topk(df: DataFrame, col: str, k: int = 3) -> DataFrame:
     )
 
 
+def _batched_topk(df: DataFrame, cols: list[str], k: int = 3) -> dict[str, list[str]]:
+    """Exact top-k frequent values for MANY columns in ONE job: explode each
+    row into (col, value) pairs (single column-pruned scan), one shuffle on
+    the pair key, per-column row_number window. Replaces the one-job-per-
+    column ``value_counts_topk().collect()`` loop, which at 100 TB was one
+    full column scan per low-cardinality categorical.
+
+    Values ride as strings (the union needs one type); booleans are mapped
+    back to Python's ``True``/``False`` spelling so the profile string is
+    byte-identical to the native-value path. Same deterministic tie-break as
+    ``value_counts_topk`` (count desc, value asc)."""
+    bool_cols = {
+        c for c in cols if isinstance(df.schema[c].dataType, BooleanType)
+    }
+    pairs = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("col"),
+                            F.col(c).cast("string").alias("value"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("p")
+        )
+        .select("p.col", "p.value")
+        .filter(F.col("value").isNotNull())
+    )
+    w = Window.partitionBy("col").orderBy(F.desc("cnt"), "value")
+    top = (
+        pairs.groupBy("col", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    out: dict[str, list[tuple[int, str]]] = {}
+    for r in top.collect():
+        v = r["value"]
+        if r["col"] in bool_cols:
+            v = {"true": "True", "false": "False"}.get(v, v)
+        out.setdefault(r["col"], []).append((r["rn"], v))
+    return {c: [v for _rn, v in sorted(vs)] for c, vs in out.items()}
+
+
+def _batched_first_nonnull(
+    df: DataFrame, cols: list[str], n: int = 2, probe_rows: int = 100
+) -> dict[str, list]:
+    """First ``n`` non-null native values per column from ONE bounded
+    ``limit(probe_rows)`` collect (replacing a ``limit(2)`` job per column).
+    Columns null-heavier than the probe fall back to their own tiny job —
+    the pathological case, not the common one."""
+    out: dict[str, list] = {c: [] for c in cols}
+    for row in df.select(*cols).limit(probe_rows).collect():
+        for c in cols:
+            if len(out[c]) < n and row[c] is not None:
+                out[c].append(row[c])
+    for c in cols:
+        if len(out[c]) < n:
+            out[c] = [
+                r[0]
+                for r in df.select(c).filter(F.col(c).isNotNull()).limit(n).collect()
+            ]
+    return out
+
+
 def dataframe_summary_to_string(
     df: DataFrame, *, max_unique_for_values: int = 10
 ) -> str:
     """Reference utils.py:52-86 — byte-compatible per-column profile string.
 
-    One wide agg computes n/nulls/min/max/mean/nunique for every column in a
-    single scan; low-cardinality categoricals get a top-3 value_counts each
-    (tiny key-limited jobs), high-cardinality ones a 2-row sample.
+    Three bounded jobs regardless of column count: one wide agg for
+    n/nulls/min/max/mean/nunique of every column, one batched top-3
+    value_counts over all low-cardinality categoricals, one bounded probe
+    for the high-cardinality 2-row samples.
     """
     cols = df.columns
     aggs = [F.count(F.lit(1)).alias("_n")]
@@ -64,6 +133,20 @@ def dataframe_summary_to_string(
                 F.avg(F.col(c).cast("double")).alias(f"_mean_{c}"),
             ]
     stats = df.agg(*aggs).collect()[0].asDict()
+
+    lowcard = [
+        c
+        for c in cols
+        if not _is_numeric(df, c)
+        and stats[f"_nd_{c}"] <= max_unique_for_values
+    ]
+    highcard = [
+        c
+        for c in cols
+        if not _is_numeric(df, c) and stats[f"_nd_{c}"] > max_unique_for_values
+    ]
+    topk = _batched_topk(df, lowcard, 3) if lowcard else {}
+    firsts = _batched_first_nonnull(df, highcard, 2) if highcard else {}
 
     lines = []
     for c in cols:
@@ -82,16 +165,10 @@ def dataframe_summary_to_string(
         else:
             unique = stats[f"_nd_{c}"]
             if unique <= max_unique_for_values:
-                top = [r[0] for r in value_counts_topk(df, c, 3).collect()]
+                top = topk.get(c, [])
                 samples = f" values=[{', '.join(str(v) for v in top)}]"
             else:
-                two = [
-                    r[0]
-                    for r in df.select(c)
-                    .filter(F.col(c).isNotNull())
-                    .limit(2)
-                    .collect()
-                ]
+                two = firsts.get(c, [])
                 samples = f" samples=[{', '.join(str(v) for v in two)}...]"
             lines.append(
                 f"{c}: categorical(n={n}) unique={unique}{samples}{missing_info}"

@@ -164,3 +164,40 @@ def test_registry_roundtrip(spark, csv_file):
     assert reg.get(pq_name).count() == 5
     reg.drop("acts")
     assert "acts" not in reg.names()
+
+
+def test_summary_job_count_bounded(spark, orders, monkeypatch):
+    """A 20-column frame profiles in ≤3 Spark actions (one wide agg, one
+    batched top-3, one bounded sample probe) — not one action per
+    categorical column (the 100 TB regression this guards against).
+    Actions are counted, not jobs: AQE legitimately splits one query into
+    several jobs, but each action is a full scan's worth of work."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    wide = orders.select(
+        *[F.col("o_orderpriority").alias(f"lc{i}") for i in range(8)],
+        *[
+            F.concat_ws("-", "o_orderstatus", "o_orderkey").alias(f"hc{i}")
+            for i in range(8)
+        ],
+        *[F.col("o_totalprice").alias(f"num{i}") for i in range(4)],
+    )
+    calls = []
+    real_collect = DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: calls.append(1) or real_collect(self)
+    )
+    text = dataframe_summary_to_string(wide)
+    assert len(calls) <= 3, f"profile launched {len(calls)} actions"
+    assert text.count("values=[") == 8 and text.count("samples=[") == 8
+
+
+def test_batched_topk_matches_per_column_jobs(spark, orders):
+    """The batched top-3 returns exactly what the per-column job returned."""
+    from bambooai_spark.profiler import _batched_topk, value_counts_topk
+
+    batched = _batched_topk(orders, ["o_orderpriority", "o_orderstatus"], 3)
+    for c in ("o_orderpriority", "o_orderstatus"):
+        solo = [str(r[0]) for r in value_counts_topk(orders, c, 3).collect()]
+        assert batched[c] == solo
