@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bambooai_spark.agent import prompts
 from bambooai_spark.agent.memory import EpisodicMemory
+from bambooai_spark.agent.messages import CUSTOM_IDENTIFIERS, MessageManager
 from bambooai_spark.agent.parsing import (
     extract_analyst,
     extract_expert,
@@ -84,6 +85,9 @@ class AgentOrchestrator:
         # callback in production; without it nothing is ever written.
         self.memory = memory
         self.rank_fn = rank_fn
+        # bounded QA history (reference message_manager contracts) — fed to
+        # follow-up prompts by callers via messages.format_qa_pairs()
+        self.messages = MessageManager()
         self.executor = SparkCodeExecutor()
 
     # -- pipeline stages ---------------------------------------------
@@ -149,7 +153,65 @@ class AgentOrchestrator:
         user = f"Failed code:\n```python\n{code}\n```\n\nError:\n{error}"
         return extract_code(self.llm(system, user))
 
-    # -- entry point --------------------------------------------------
+    def _correct_user_code(self, code: str, error: str, ctx: str) -> str:
+        system = prompts.USER_CODE_CORRECTOR_SYSTEM.format(df_context=ctx)
+        user = f"User's code:\n```python\n{code}\n```\n\nError:\n{error}"
+        return extract_code(self.llm(system, user))
+
+    # -- entry points -------------------------------------------------
+
+    def run_user_code(
+        self, code: str, df: DataFrame, *, question: str | None = None
+    ) -> AgentResult:
+        """Lifecycle entry 3 (reference bambooai.py:616-623 ``user_code``):
+        the user supplies the code, so routing, planning, memory retrieval,
+        and code generation are all skipped — straight to the sandbox.
+
+        Self-healing differs from the LLM-code path only in the FIRST
+        repair round: the dedicated user-code corrector prompt (edits kept
+        minimal, the user's structure preserved — reference
+        bambooai.py:829-833); later rounds use the normal corrector."""
+        ctx = self._context(df)
+        errors: list[str] = []
+        corrections = 0
+        res = self.executor.execute(code, df=df, spark=self.spark)
+        while not res.ok and corrections < MAX_ERROR_CORRECTIONS:
+            errors.append(res.error)
+            corrections += 1
+            if corrections == 1:
+                code = self._correct_user_code(code, res.error, ctx)
+            else:
+                code = self._correct(code, res.error, ctx)
+            res = self.executor.execute(code, df=df, spark=self.spark)
+        if not res.ok:
+            errors.append(res.error)
+        summary = None
+        if self.summarize and res.ok and res.df is not None:
+            preview = res.df.limit(10).toPandas().to_string(index=False)
+            summary = self.llm(
+                prompts.SUMMARIZER_SYSTEM,
+                f"Task: {question or 'user-supplied code'}\n\n"
+                f"Result preview:\n{preview}",
+            )
+        if res.ok:
+            # user-code runs enter the QA history under the reference's
+            # custom-operation identifier, so they replace rather than
+            # accumulate (message_manager.py:141-154)
+            self.messages.append_qa_pair(
+                question or CUSTOM_IDENTIFIERS[1], summary or res.stdout or ""
+            )
+        return AgentResult(
+            df=res.df if res.ok else df,
+            code=code,
+            stdout=res.stdout,
+            summary=summary,
+            expert="User",  # reference analyst='User', code_type='user'
+            intent=question,
+            plan=None,
+            corrections=corrections,
+            errors=errors,
+            ok=res.ok,
+        )
 
     def converse(
         self, question: str, df: DataFrame, *, ontology: str | None = None
@@ -249,4 +311,7 @@ class AgentOrchestrator:
             self.memory.add(
                 rid, intent, plan=plan, code=code, rank=self.rank_fn(result)
             )
+        if res.ok:
+            # append to the bounded QA history (reference bambooai.py:684)
+            self.messages.append_qa_pair(intent, summary or res.stdout or "")
         return result

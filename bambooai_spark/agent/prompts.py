@@ -66,6 +66,16 @@ names; AnalysisException messages name the operator at fault.
 
 {df_context}"""
 
+USER_CODE_CORRECTOR_SYSTEM = """The user's OWN PySpark code failed (they wrote
+it, you did not). You get their original code and the error excerpt with the
+failing line marked '-->'. Repair it with the SMALLEST change that makes it
+run — preserve the user's structure, names, and intent; do not rewrite or
+restyle. Reply with the corrected single ```python block. (Reference
+contract: the dedicated edited-code corrector, default_prompts.yaml via
+bambooai.py:829-833 — used only on a user-code chain's first failure.)
+
+{df_context}"""
+
 INSPECTOR_SYSTEM = """You distill a semantic data model for one task from an
 ontology plus a dataframe profile (reference contract
 default_prompts.yaml:1020-1110). Reply with YAML only:

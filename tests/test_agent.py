@@ -377,3 +377,133 @@ def test_memory_strong_match_dedup_keeps_higher_rank(spark):
     mem.add("mem-3", "count orders per month in 1997", plan="weaker", rank=8)
     rows = mem.records.collect()
     assert len(rows) == 1 and rows[0]["record_id"] == "mem-2"
+
+
+# ---------------------------------------------------------------- user code
+# (reference bambooai.py:616-623 — lifecycle entry 3: user-authored code
+# skips routing/planning/codegen; first failure gets the dedicated
+# edited-code corrector, :829-833)
+
+
+def test_run_user_code_skips_routing_and_commits(spark):
+    llm = _llm(GOOD_CODE)
+    orch = AgentOrchestrator(spark, llm)
+    orders = load_table(spark, SF_DIR, "orders")
+    code = (
+        "df = (df.filter(F.year('o_orderdate') == 1997)\n"
+        "        .groupBy(F.date_format(F.date_trunc('month', 'o_orderdate'),"
+        " 'yyyy-MM').alias('order_month'))\n"
+        "        .agg(F.count(F.lit(1)).alias('order_count')))\n"
+    )
+    res = orch.run_user_code(code, orders, question="orders per month")
+    assert res.ok and res.expert == "User" and res.plan is None
+    assert res.corrections == 0
+    assert res.df.count() == 12
+    # no routing / planner / codegen calls — only the summarizer ran
+    assert all("Summarize" in s for s, _ in llm.calls)
+    assert res.summary is not None
+
+
+def test_run_user_code_first_failure_uses_edited_corrector(spark):
+    llm = ScriptedLLM(
+        {
+            "user's OWN PySpark code failed": GOOD_CODE,
+            "Summarize the analysis": "fixed and summarized",
+        }
+    )
+    orch = AgentOrchestrator(spark, llm)
+    orders = load_table(spark, SF_DIR, "orders")
+    res = orch.run_user_code(
+        "df = df.groupBy(F.col('no_such_col')).count()", orders
+    )
+    assert res.ok and res.corrections == 1
+    assert len(res.errors) == 1 and "no_such_col" in res.errors[0]
+    # the dedicated prompt carried the user's original code
+    sys_p, user_p = llm.calls[0]
+    assert "OWN PySpark code" in sys_p
+    assert "no_such_col" in user_p
+    assert res.df.count() == 12
+    assert res.summary == "fixed and summarized"
+
+
+# ---------------------------------------------------------------- pruning
+# (reference messages/message_manager.py:6-180 + messages/reg_ex.py:233-244)
+
+
+def test_message_window_is_two_max_minus_one():
+    from bambooai_spark.agent.messages import MessageManager
+
+    mm = MessageManager(max_conversations=4)
+    assert mm.max_messages == 7
+    msgs = [{"role": "system", "content": "sys"}]
+    for i in range(6):
+        msgs.append({"role": "user", "content": f"q{i}"})
+        msgs.append({"role": "assistant", "content": f"a{i}"})
+    mm.maintain(msgs)
+    assert len(msgs) == 7
+    assert msgs[0]["content"] == "sys"  # system message always survives
+    # the oldest exchanges were dropped, the newest kept
+    assert msgs[1]["content"] == "q3" and msgs[-1]["content"] == "a5"
+
+
+def test_maintain_drops_tool_messages():
+    from bambooai_spark.agent.messages import MessageManager
+
+    msgs = [
+        {"role": "system", "content": "sys"},
+        {"role": "user", "content": "q"},
+        {"role": "assistant", "content": "a", "tool_calls": [{"id": "t1"}]},
+        {"role": "tool", "content": "result"},
+        {"role": "assistant", "content": "a2"},
+    ]
+    MessageManager().maintain(msgs)
+    assert [m["content"] for m in msgs] == ["sys", "q", "a2"]
+
+
+def test_qa_pairs_trim_to_eight():
+    from bambooai_spark.agent.messages import MessageManager
+
+    mm = MessageManager()
+    for i in range(12):
+        mm.append_qa_pair(f"task {i}", f"result {i}")
+    text = mm.format_qa_pairs()
+    assert len(mm.qa_pairs) == 8  # persistent trim, like the reference
+    assert "task 4" in text and "task 11" in text and "task 3" not in text
+    assert text.startswith("Previous Analyses:")
+    assert MessageManager().format_qa_pairs() == "No previous analyses."
+
+
+def test_qa_custom_operations_replace_not_accumulate():
+    from bambooai_spark.agent.messages import CUSTOM_IDENTIFIERS, MessageManager
+
+    mm = MessageManager()
+    mm.append_qa_pair("normal task", "r1")
+    mm.append_qa_pair(CUSTOM_IDENTIFIERS[1], "edited run 1")
+    mm.append_qa_pair(CUSTOM_IDENTIFIERS[1], "edited run 2")
+    tasks = [p["task"] for p in mm.qa_pairs]
+    assert tasks == ["normal task", CUSTOM_IDENTIFIERS[1]]
+    assert mm.qa_pairs[-1]["result"] == "edited run 2"
+
+
+def test_remove_examples_strips_python_blocks_from_user_messages():
+    from bambooai_spark.agent.messages import remove_examples
+
+    msgs = [
+        {"role": "system", "content": "EXAMPLE OUTPUT:\n```python\nx=1\n``` keep"},
+        {
+            "role": "user",
+            "content": "Task: foo\nEXAMPLE OUTPUT:\n```python\ndf=df\n```\nrest",
+        },
+    ]
+    remove_examples(msgs)
+    assert msgs[0]["content"].startswith("EXAMPLE OUTPUT")  # system untouched
+    assert "EXAMPLE OUTPUT" not in msgs[1]["content"]
+    assert msgs[1]["content"] == "Task: foo\nrest"
+
+
+def test_converse_records_qa_history(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    orch = AgentOrchestrator(spark, _llm(GOOD_CODE))
+    orch.converse("Count the number of orders per month in 1997", orders)
+    assert len(orch.messages.qa_pairs) == 1
+    assert orch.messages.qa_pairs[0]["task"] == "count orders per month in 1997"
