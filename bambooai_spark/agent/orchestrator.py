@@ -213,10 +213,52 @@ class AgentOrchestrator:
             ok=res.ok,
         )
 
+    def _aux_context(
+        self, aux_datasets: list[str]
+    ) -> tuple[str, dict[str, DataFrame]]:
+        """Load auxiliary datasets (reference A3/A5) for the join path: each
+        file becomes a sandbox variable in ``aux[...]`` AND a temp view, and
+        the prompt context gets bounded previews — the material the
+        inspector's ``links_for_merge`` relationships (reference
+        default_prompts.yaml:1329-1335) are derived from."""
+        import os  # noqa: PLC0415
+
+        from bambooai_spark.sources import aux_datasets_to_string  # noqa: PLC0415
+        from bambooai_spark.sources.registry import DatasetRegistry  # noqa: PLC0415
+
+        reg = DatasetRegistry(self.spark)
+        tables: dict[str, DataFrame] = {}
+        for path in aux_datasets:
+            base = os.path.splitext(os.path.basename(path))[0]
+            name = "aux_" + "".join(c if c.isalnum() else "_" for c in base)
+            try:
+                name = reg.register_file(path, name)
+                tables[name] = reg.get(name)
+            except Exception:  # noqa: BLE001 — preview string carries the error
+                continue
+        previews = aux_datasets_to_string(self.spark, aux_datasets)
+        listing = ", ".join(tables) or "none loadable"
+        ctx = (
+            f"\n\nAuxiliary datasets (available in the sandbox as"
+            f" aux['<name>'] DataFrames and as temp views; join them to df"
+            f" on the keys the data model's links_for_merge entries name):"
+            f" {listing}\n{previews}"
+        )
+        return ctx, tables
+
     def converse(
-        self, question: str, df: DataFrame, *, ontology: str | None = None
+        self,
+        question: str,
+        df: DataFrame,
+        *,
+        ontology: str | None = None,
+        aux_datasets: list[str] | None = None,
     ) -> AgentResult:
         ctx = self._context(df)
+        aux_tables: dict[str, DataFrame] = {}
+        if aux_datasets:
+            aux_ctx, aux_tables = self._aux_context(aux_datasets)
+            ctx += aux_ctx
         expert, intent = self._route(question)
         if expert != "Data Analyst":
             # research path: Theorist prose, optionally via the tool loop
@@ -250,28 +292,29 @@ class AgentOrchestrator:
 
         errors: list[str] = []
         corrections = 0
+        ev = {"aux": aux_tables} if aux_tables else None
         sample = None
         if self.sample_first:
             sample = df.limit(self.sample_first).cache()
             probe_df = sample
         else:
             probe_df = df
-        res = self.executor.execute(code, df=probe_df, spark=self.spark)
+        res = self.executor.execute(code, df=probe_df, spark=self.spark, extra_vars=ev)
         while not res.ok and corrections < MAX_ERROR_CORRECTIONS:
             errors.append(res.error)
             corrections += 1
             code = self._correct(code, res.error, ctx)
-            res = self.executor.execute(code, df=probe_df, spark=self.spark)
+            res = self.executor.execute(code, df=probe_df, spark=self.spark, extra_vars=ev)
         if res.ok and sample is not None:
             # promote: the code runs clean on the sample — one full-data run
-            res = self.executor.execute(code, df=df, spark=self.spark)
+            res = self.executor.execute(code, df=df, spark=self.spark, extra_vars=ev)
             if not res.ok:
                 # full-scale-only failure (e.g. overflow): one more repair
                 # round against the real error
                 errors.append(res.error)
                 corrections += 1
                 code = self._correct(code, res.error, ctx)
-                res = self.executor.execute(code, df=df, spark=self.spark)
+                res = self.executor.execute(code, df=df, spark=self.spark, extra_vars=ev)
         if sample is not None:
             sample.unpersist()
         if not res.ok:

@@ -65,7 +65,27 @@ _SPARK_FORBIDDEN = (
 )
 
 _COLLECT_RE = re.compile(r"\.(collect|toPandas|toLocalIterator)\s*\(")
-_BOUND_RE = re.compile(r"\.(limit|take|head|tail|first)\s*\(")
+# a bound only counts with a LITERAL argument at or under the cap (or the
+# inherently single-row no-arg first()/head()): `.take(n)` with a runtime
+# variable, or `.head(10**9)`, is not a bound the sanitizer can trust
+_BOUND_RE = re.compile(
+    r"\.(limit|take|head|tail|first)\s*\(\s*([0-9_]+)?\s*\)"
+)
+#: largest literal row bound accepted on a collect-to-driver line — generous
+#: for display/sample contexts, far below driver-OOM territory
+MAX_DRIVER_ROWS = 100_000
+
+
+def _has_trusted_bound(line: str) -> bool:
+    for m in _BOUND_RE.finditer(line):
+        arg = m.group(2)
+        if arg is None:
+            # no-arg first()/head() return a single Row; no-arg
+            # limit()/take()/tail() are TypeErrors, not unbounded reads
+            return True
+        if int(arg.replace("_", "")) <= MAX_DRIVER_ROWS:
+            return True
+    return False
 # reference reg_ex.py:107-110 matches the blacklist as whole words on EVERY
 # line (not only import statements) — `exec(...)` or `pickle.loads(...)` in
 # a code body is neutralized too
@@ -133,7 +153,7 @@ def sanitize(code: str) -> str:
         if any(tok in line for tok in _SPARK_FORBIDDEN):
             out.append(f"# not allowed (session control): {line.strip()}")
             continue
-        if _COLLECT_RE.search(line) and not _BOUND_RE.search(line):
+        if _COLLECT_RE.search(line) and not _has_trusted_bound(line):
             out.append(
                 f"# not allowed (unbounded collect to driver — add .limit(n)): "
                 f"{line.strip()}"

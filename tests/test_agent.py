@@ -507,3 +507,40 @@ def test_converse_records_qa_history(spark):
     orch.converse("Count the number of orders per month in 1997", orders)
     assert len(orch.messages.qa_pairs) == 1
     assert orch.messages.qa_pairs[0]["task"] == "count orders per month in 1997"
+
+
+def test_converse_with_aux_dataset_join(spark, tmp_path):
+    """Aux datasets reach the sandbox (aux[...] vars + temp views) and the
+    prompt context carries their previews, so generated code can execute
+    the data model's links_for_merge joins (reference
+    default_prompts.yaml:1329-1335)."""
+    aux_csv = tmp_path / "priorities.csv"
+    aux_csv.write_text(
+        "o_orderpriority,weight\n"
+        "1-URGENT,5\n2-HIGH,4\n3-MEDIUM,3\n4-NOT SPECIFIED,2\n5-LOW,1\n"
+    )
+    join_code = (
+        "```python\n"
+        "df = (df.join(aux['aux_priorities'], 'o_orderpriority')\n"
+        "        .groupBy('o_orderpriority', 'weight')\n"
+        "        .agg(F.count(F.lit(1)).alias('n'))\n"
+        "        .orderBy('o_orderpriority'))\n"
+        "```"
+    )
+    llm = _llm(join_code)
+    orch = AgentOrchestrator(spark, llm)
+    orders = load_table(spark, SF_DIR, "orders")
+    res = orch.converse(
+        "How many orders per priority, weighted?",
+        orders,
+        aux_datasets=[str(aux_csv)],
+    )
+    assert res.ok, res.errors
+    rows = res.df.collect()
+    assert len(rows) == 5 and {r["weight"] for r in rows} == {1, 2, 3, 4, 5}
+    # the codegen context advertised the aux table and previewed it
+    codegen_call = next(u for s, u in llm.calls if "write PySpark code" in s)
+    sys_call = next(s for s, u in llm.calls if "write PySpark code" in s)
+    assert "aux_priorities" in sys_call and "links_for_merge" in sys_call
+    # and the temp view is queryable too
+    assert spark.sql("SELECT COUNT(*) FROM aux_priorities").collect()[0][0] == 5

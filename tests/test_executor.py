@@ -351,3 +351,16 @@ def test_plots_empty_when_libs_absent(spark, orders):
     res = ex.execute("df = df.limit(5)", df=orders, spark=spark)
     assert res.ok
     assert res.plots == []
+
+
+def test_sanitizer_rejects_huge_or_variable_bounds():
+    """A literal bound over the cap, or a runtime-variable bound, does not
+    unlock collect-to-driver; small literals and no-arg first()/head() do."""
+    assert "not allowed" in sanitize("df.limit(10000000).collect()")
+    assert "not allowed" in sanitize("df.take(n).collect()")
+    assert "not allowed" in sanitize("rows = df.head(999_999).collect()")
+    assert sanitize("df.limit(100).collect()") == "df.limit(100).collect()"
+    assert sanitize("df.first()") == "df.first()"
+    assert sanitize("pdf = df.limit(1_000).toPandas()") == (
+        "pdf = df.limit(1_000).toPandas()"
+    )
