@@ -1172,18 +1172,18 @@ def pct_change_events(spark, sf_dir):
     FROM f
     """,
     doc="Dense re-IDing by first timestamp (reference web_app/app.py:354-373)"
-    " — rank over the aggregated per-id relation, not the raw rows.",
+    " — rank over the aggregated per-id relation, not the raw rows, via the"
+    " two-phase distributed rank (range partition + local rank + prefix-sum"
+    " bridge): no single-partition window even at billions of users.",
 )
 def dense_rank_users(spark, sf_dir):
+    from bambooai_spark.functions.ranking import distributed_dense_rank
+
     ev = _t(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    return firsts.select(
-        "user_id",
-        F.dense_rank()
-        .over(Window.orderBy("first_ts", "user_id"))
-        .cast("long")
-        .alias("new_id"),
-    )
+    return distributed_dense_rank(
+        firsts, ["first_ts", "user_id"], out_col="new_id"
+    ).select("user_id", "new_id")
 
 
 @spec(

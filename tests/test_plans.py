@@ -276,3 +276,42 @@ def test_funnel_stages_share_user_keying(spark):
     assert not flags["has_cartesian"]
     # every stage joins and aggregates on user_id only
     assert flags["n_shuffle_joins"] + flags["n_broadcast_joins"] >= 2
+
+
+def test_distributed_dense_rank_exact_and_no_single_partition(spark):
+    """Two-phase global rank: identical to the single-window dense_rank
+    (ties colocate in range partitions, so the bridge is exact) and the
+    plan contains no SinglePartition exchange."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bambooai_spark.functions.ranking import distributed_dense_rank
+    from bambooai_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    # use value rounded to whole units so ties exist and must not split
+    base = ev.groupBy("user_id").agg(
+        F.floor(F.min("value")).alias("k")
+    )
+    got = {
+        (r["user_id"], r["rnk"])
+        for r in distributed_dense_rank(
+            base, ["k", "user_id"], out_col="rnk", num_partitions=8
+        ).collect()
+    }
+    want = {
+        (r["user_id"], r["rnk"])
+        for r in base.select(
+            "user_id",
+            F.dense_rank().over(Window.orderBy("k", "user_id")).cast("long").alias("rnk"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    plan = (
+        distributed_dense_rank(base, ["k", "user_id"], out_col="rnk")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
