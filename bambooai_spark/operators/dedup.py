@@ -693,6 +693,61 @@ def embedding_near_dup(
     )
 
 
+#: pair graphs at or under this edge count resolve with one driver-side
+#: union-find pass instead of the iterative join loop — same hybrid stance
+#: as IVF's bounded driver-side training: near-dup edge lists are the
+#: SMALL side of the pipeline (pairs above threshold), and one collect of
+#: ≤1M id pairs beats 2·diameter shuffle jobs of loop latency.
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(
+    nodes: DataFrame, edge_rows, node_col: str
+) -> DataFrame:
+    """Exact min-label components from a collected edge list: path-halving
+    union-find keyed on node id with the component minimum tracked at the
+    root. Output joins back broadcast (labels ≤ 2·edges rows)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        return r
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min: the smaller id becomes the root, so the root IS
+            # the component minimum — the cluster_id contract for free
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    spark = nodes.sparkSession
+    id_type = nodes.schema[node_col].dataType
+    from pyspark.sql.types import StructField, StructType  # noqa: PLC0415
+
+    schema = StructType(
+        [StructField("node", id_type), StructField("_cc", id_type)]
+    )
+    labels = spark.createDataFrame(
+        [(n, find(n)) for n in parent], schema
+    )
+    return (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(F.broadcast(labels), "node", "left")
+        .select(
+            "node", F.coalesce("_cc", "node").alias("cluster_id")
+        )  # isolated nodes are their own component
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -701,6 +756,7 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 30,
+    driver_max_edges: int | None = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph by iterative
     min-label propagation. Returns ``(node, cluster_id)`` where
@@ -719,10 +775,22 @@ def connected_components(
     checkpoints for fault tolerance. The convergence check (one count per
     round) is the standard driver-side control loop of iterative graph
     algorithms — it inspects a scalar, never row data.
+
+    Hybrid regime: edge lists at or under ``driver_max_edges`` short-circuit
+    to one exact union-find pass on the driver (see ``_driver_union_find``)
+    — the edge count is checked on the PERSISTED pair relation, so the
+    similarity join underneath computes once either way. Pass
+    ``driver_max_edges=None`` to force the distributed loop.
     """
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    e = e.union(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    e0 = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    if driver_max_edges is not None and e0.count() <= driver_max_edges:
+        out = _driver_union_find(nodes, e0.collect(), node_col)
+        e0.unpersist()
+        return out
+    e = e0.union(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     e = e.persist()
     labels = nodes.select(

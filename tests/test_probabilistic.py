@@ -315,3 +315,31 @@ def test_dense_overlap_blocked_fallback_matches_broadcast(spark, docs):
         dd.DENSE_DOCS_BROADCAST_MAX = orig
     assert blocked == baseline
     assert len(baseline) > 0
+
+
+def test_connected_components_hybrid_paths_agree(spark):
+    """Driver union-find fast path and the distributed label-propagation
+    loop return identical (node, cluster_id) assignments — including
+    isolated nodes and a multi-hop chain whose minimum must propagate."""
+    from bambooai_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(10)], "node LONG"
+    )
+    # chain 0-1-2-3 (diameter 3), pair 5-6, isolated 4,7,8,9
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (6, 5)], "src LONG, dst LONG"
+    )
+    fast = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(nodes, edges).collect()
+    }
+    dist = {
+        (r["node"], r["cluster_id"])
+        for r in connected_components(
+            nodes, edges, driver_max_edges=None
+        ).collect()
+    }
+    want = {(0, 0), (1, 0), (2, 0), (3, 0), (4, 4), (5, 5), (6, 5),
+            (7, 7), (8, 8), (9, 9)}
+    assert fast == want and dist == want
