@@ -544,3 +544,51 @@ def test_converse_with_aux_dataset_join(spark, tmp_path):
     assert "aux_priorities" in sys_call and "links_for_merge" in sys_call
     # and the temp view is queryable too
     assert spark.sql("SELECT COUNT(*) FROM aux_priorities").collect()[0][0] == 5
+
+
+# ---------------------------------------------------------------- session
+# (reference bambooai.py:495-552 — thread/chain lifecycle with restore)
+
+
+def test_session_persists_and_restores_chains(spark, tmp_path):
+    from bambooai_spark.agent.session import AgentSession
+    from bambooai_spark.storage import InteractionStore
+
+    orders = load_table(spark, SF_DIR, "orders")
+    store = InteractionStore(str(tmp_path))
+
+    s1 = AgentSession(AgentOrchestrator(spark, _llm(GOOD_CODE)), store,
+                      thread_id="t1")
+    res = s1.ask("Count the number of orders per month in 1997", orders)
+    assert res.ok
+    rec = store.load_chain("t1", "1")
+    assert rec["intent"] == "count orders per month in 1997"
+    assert "groupBy" in rec["executed_code"] and rec["ok"]
+    assert len(rec["qa_pairs"]) == 1
+
+    # a fresh session on the same thread continues chain numbering and can
+    # branch from the stored chain's QA state
+    s2 = AgentSession(AgentOrchestrator(spark, _llm(GOOD_CODE)), store,
+                      thread_id="t1")
+    assert s2.restore("1")
+    assert s2.orch.messages.qa_pairs[0]["task"] == (
+        "count orders per month in 1997"
+    )
+    assert s2.tasks == ["count orders per month in 1997"]
+    assert not s2.restore("99")
+    s2.reset()
+    assert s2.orch.messages.qa_pairs == [] and s2.tasks == []
+
+
+def test_session_user_code_chain_marked(spark, tmp_path):
+    from bambooai_spark.agent.session import AgentSession
+    from bambooai_spark.storage import InteractionStore
+
+    orders = load_table(spark, SF_DIR, "orders")
+    store = InteractionStore(str(tmp_path))
+    s = AgentSession(AgentOrchestrator(spark, _llm(GOOD_CODE)), store,
+                     thread_id="t2")
+    res = s.run_user_code("df = df.limit(7)", orders)
+    assert res.ok and res.df.count() == 7
+    rec = store.load_chain("t2", "1")
+    assert rec["code_type"] == "user" and rec["plan"] is None
