@@ -16,12 +16,20 @@ from bambooai_spark.agent.parsing import (
     extract_analyst,
     extract_yaml_block,
 )
+from bambooai_spark.agent.memory import EpisodicMemory, MemoryHit
+from bambooai_spark.agent.messages import MessageManager, remove_examples
 from bambooai_spark.agent.orchestrator import AgentOrchestrator, AgentResult
+from bambooai_spark.agent.session import AgentSession
 
 __all__ = [
     "AgentOrchestrator",
     "AgentResult",
+    "AgentSession",
+    "EpisodicMemory",
+    "MemoryHit",
+    "MessageManager",
     "extract_expert",
     "extract_analyst",
     "extract_yaml_block",
+    "remove_examples",
 ]

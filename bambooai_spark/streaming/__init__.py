@@ -9,6 +9,7 @@ from bambooai_spark.streaming.events import (
     stream_interval_join,
     stream_running_totals,
 )
+from bambooai_spark.streaming.memory import stream_upsert
 
 __all__ = [
     "read_events_stream",
@@ -17,4 +18,5 @@ __all__ = [
     "stream_dedup_events",
     "stream_interval_join",
     "stream_running_totals",
+    "stream_upsert",
 ]

@@ -156,3 +156,48 @@ def test_stream_interval_join_matches_batch(spark):
         .collect()
     }
     assert g == w and len(g) > 0
+
+
+def test_stream_upsert_matches_batch_merge(spark, tmp_path):
+    """foreachBatch streaming MERGE: a drained stream of record files folds
+    into the same post-merge table as the batch upsert applied in file
+    order (records crafted mutually dissimilar so fold order can't
+    matter), with the rank gate enforced."""
+    from bambooai_spark.operators.memory import upsert_with_dedup
+    from bambooai_spark.streaming.memory import stream_upsert
+
+    def rec(i, rank, hot):
+        # near-one-hot vectors — pairwise cosine ~0 (below any threshold)
+        v = [0.0] * 8
+        v[hot] = 1.0
+        return (i, v, rank)
+
+    schema = "record_id LONG, embedding ARRAY<FLOAT>, rank INT"
+    initial = spark.createDataFrame([rec(0, 7, 0)], schema)
+    batch1 = [rec(1, 9, 1), rec(2, 3, 2)]   # rank 3 → gated out
+    batch2 = [rec(3, 8, 3), rec(4, 10, 4)]
+    d = tmp_path / "mem_stream"
+    d.mkdir()
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(
+        str(d / "b1.parquet")
+    )
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(
+        str(d / "b2.parquet")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*/")
+    )
+    got = stream_upsert(
+        stream, initial, id_col="record_id", vec_col="embedding",
+        rank_col="rank",
+    )
+    want = upsert_with_dedup(
+        initial,
+        spark.createDataFrame(batch1 + batch2, schema),
+        id_col="record_id", vec_col="embedding", rank_col="rank",
+    )
+    assert {r["record_id"] for r in got.collect()} == {
+        r["record_id"] for r in want.collect()
+    } == {0, 1, 3, 4}
