@@ -166,3 +166,30 @@ class EpisodicMemory:
             min_rank=self.min_rank,
         ).localCheckpoint()  # truncate the ever-growing merge lineage
         return True
+
+    # -- persistence (the reference's vector store survives restarts;
+    # here the store is one parquet table — same durability contract) --
+
+    def save(self, path: str) -> None:
+        self._df.write.mode("overwrite").parquet(path)
+
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        path: str,
+        *,
+        embedder: Embedder | None = None,
+        dim: int = 64,
+        similarity_threshold: float = SIMILARITY_THRESHOLD,
+        min_rank: int = MIN_RANK,
+    ) -> "EpisodicMemory":
+        mem = cls(
+            spark,
+            embedder=embedder,
+            dim=dim,
+            similarity_threshold=similarity_threshold,
+            min_rank=min_rank,
+        )
+        mem._df = spark.read.parquet(path)
+        return mem

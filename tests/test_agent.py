@@ -592,3 +592,17 @@ def test_session_user_code_chain_marked(spark, tmp_path):
     assert res.ok and res.df.count() == 7
     rec = store.load_chain("t2", "1")
     assert rec["code_type"] == "user" and rec["plan"] is None
+
+
+def test_memory_save_load_roundtrip(spark, tmp_path):
+    """Memory persists as one parquet table and recalls after reload —
+    the vector store's restart durability, Spark-native."""
+    from bambooai_spark.agent.memory import EpisodicMemory
+
+    mem = EpisodicMemory(spark)
+    mem.add("mem-1", "count orders per month in 1997", plan="the plan", rank=9)
+    path = str(tmp_path / "memstore")
+    mem.save(path)
+    back = EpisodicMemory.load(spark, path)
+    hit = back.retrieve("count orders per month in 1997")
+    assert hit is not None and hit.plan == "the plan" and hit.rank == 9
