@@ -3091,6 +3091,37 @@ def tfidf_docs(spark, sf_dir):
     )
 
 
+@spec(
+    "pack_docs",
+    """
+    WITH t AS (SELECT doc_id, lang,
+                      CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, lang, n_tok,
+                 COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS off
+          FROM t)
+    SELECT doc_id, lang, n_tok,
+           CAST(off // 2048 AS BIGINT) AS chunk_id,
+           CAST(off % 2048 AS BIGINT) AS chunk_offset
+    FROM c
+    """,
+    headline=True,
+    doc="Sequence packing (concat-and-chunk into 2048-token training "
+    "windows, GPT-style): exclusive prefix sum of per-doc token estimates "
+    "in (lang, doc_id) order → chunk id + in-chunk offset as integer "
+    "arithmetic. One window agg partitioned by language — streams pack in "
+    "parallel; a single giant stream would go two-phase like "
+    "functions/ranking.py. The pipeline hop after dedup/filter/sample.",
+)
+def pack_docs(spark, sf_dir):
+    from bambooai_spark.operators.packing import pack_sequences
+
+    d = _t(spark, sf_dir, "documents")
+    return pack_sequences(d, "doc_id", "text", budget=2048, stream_cols=("lang",))
+
+
 # ---------------------------------------------------------------------
 
 # The driver grades only the FIRST 50 registration-order specs. Source order

@@ -88,3 +88,30 @@ def test_regex_tokens_classes(spark):
     import re
 
     assert toks == re.findall(BPE_TOKEN_RE, "it's 2026: top-10 models, 99.9% uptime!")
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants: offsets are the exclusive prefix sum in
+    (stream, id) order (first doc of each stream at chunk 0 offset 0,
+    successor offset = predecessor offset + n_tok mod budget), and chunk
+    ids never decrease within a stream."""
+    from bambooai_spark.io import load_table
+    from bambooai_spark.operators.packing import pack_sequences
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = pack_sequences(docs, "doc_id", "text", budget=512,
+                         stream_cols=("lang",)).collect()
+    by_stream = {}
+    for r in sorted(out, key=lambda r: (r["lang"], r["doc_id"])):
+        by_stream.setdefault(r["lang"], []).append(r)
+    assert len(by_stream) > 1
+    budget = 512
+    for rows in by_stream.values():
+        assert rows[0]["chunk_id"] == 0 and rows[0]["chunk_offset"] == 0
+        run = 0
+        for r in rows:
+            assert r["chunk_id"] == run // budget
+            assert r["chunk_offset"] == run % budget
+            assert r["n_tok"] > 0
+            run += r["n_tok"]
