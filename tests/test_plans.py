@@ -315,3 +315,23 @@ def test_distributed_dense_rank_exact_and_no_single_partition(spark):
         .toString()
     )
     assert "SinglePartition" not in plan
+
+
+def test_pack_docs_parallel_by_stream(spark):
+    """Sequence packing's window is partitioned by the stream column —
+    no SinglePartition funnel in the plan."""
+    from bambooai_spark.io import load_table
+    from bambooai_spark.operators.packing import pack_sequences
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = (
+        pack_sequences(docs, "doc_id", "text", stream_cols=("lang",))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+    # column pruning: the text column feeds only the length computation; the
+    # scan must not read more than (doc_id, text, lang)
+    assert "n_chars" not in plan.split("ReadSchema")[-1]
