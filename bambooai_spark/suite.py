@@ -2939,7 +2939,9 @@ def passage_dup_docs(spark, sf_dir):
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    b = dr.select("doc_id", F.explode(blocks).alias("h"))
+    # postings read twice (block-hash df + probe join) — persist the narrow
+    # (doc_id, hash) relation so the split/md5 array work runs once
+    b = dr.select("doc_id", F.explode(blocks).alias("h")).persist()
     f = b.groupBy("h").agg(F.count_distinct("doc_id").alias("ddf"))
     per = (
         b.join(f, "h")
@@ -2995,7 +2997,13 @@ def boilerplate_docs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     dr = d.repartition(spark.sparkContext.defaultParallelism)
-    t = dr.select("doc_id", F.explode(word_shingles("text", 3)).alias("sh"))
+    # the postings feed both the df aggregation and the probe join; persist
+    # the two narrow columns so the shingle regex work runs once, not twice
+    # (same barrier the winnowing join uses — recompute costs more than the
+    # (doc_id, sh) cache at any scale)
+    t = dr.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("sh")
+    ).persist()
     f = t.groupBy("sh").agg(F.count(F.lit(1)).alias("ddf"))
     frac = (F.col("n_boiler") / F.col("n_3grams").cast("double")).cast(
         "decimal(18,9)"
