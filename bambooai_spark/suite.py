@@ -3133,6 +3133,99 @@ def pack_docs(spark, sf_dir):
     return pack_sequences(d, "doc_id", "text", budget=2048, stream_cols=("lang",))
 
 
+@spec(
+    "q13_order_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    """,
+    headline=True,
+    doc="TPC-H Q13 shape: distribution of per-customer order counts. The "
+    "defining trick is the predicate INSIDE the outer-join condition "
+    "(filtering post-join would drop zero-order customers); two hash "
+    "aggregations, the second over the tiny counts relation. Customers "
+    "with no orders keep c_count=0 via the left join.",
+)
+def q13_order_distribution(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"])
+        & (o["o_orderpriority"] != "4-NOT SPECIFIED"),
+        "left",
+    )
+    counts = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return counts.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@spec(
+    "q21_sole_fault_supplier",
+    """
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait FROM (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM lineitem l1
+      WHERE l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+    ) f JOIN supplier s ON s.s_suppkey = f.l_suppkey
+    GROUP BY s.s_name
+    """,
+    headline=True,
+    doc="TPC-H Q21 shape (sole-fault supplier), adapted to the columns "
+    "present: suppliers whose RETURNED line sits on a multi-supplier order "
+    "where no OTHER supplier had a return — the exists + not-exists double "
+    "correlation on the same fact table. Physically: distinct projections "
+    "once, then a left_semi and a left_anti hash join on the order key "
+    "with the supplier-inequality as post-join filter — correlated "
+    "subqueries without any nested-loop, the plan that survives a fact "
+    "table at any size.",
+)
+def q21_sole_fault_supplier(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    r1 = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    l2 = l.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    ).distinct()
+    cand = r1.join(
+        l2, (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
+        "left_semi",
+    )
+    l3 = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
+        .distinct()
+    )
+    sole = cand.join(
+        l3, (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
+        "left_anti",
+    )
+    return (
+        sole.join(s, F.col("sk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver grades only the FIRST 50 registration-order specs. Source order
