@@ -3134,6 +3134,77 @@ def pack_docs(spark, sf_dir):
 
 
 @spec(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_7' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))
+               AS volume,
+             n2.n_name AS nation
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n1.n_regionkey
+      JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    ) t
+    GROUP BY o_year
+    """,
+    headline=True,
+    doc="TPC-H Q8 shape (national market share): the widest join in the "
+    "suite — fact lineitem against part, supplier, orders, customer, two "
+    "nation roles, and region. Every dimension is broadcast (all are tiny "
+    "next to the fact); part/region predicates prune BEFORE the fact join "
+    "so the joined stream is the filtered subset only; the share is a "
+    "conditional decimal sum over total decimal sum per year, divided "
+    "once in double at the output edge (numeric policy).",
+)
+def q8_market_share(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    t = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    share = F.round(
+        F.sum(
+            F.when(F.col("nation") == "NATION_7", F.col("volume")).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )
+        ).cast("double")
+        / F.sum("volume").cast("double"),
+        6,
+    )
+    return t.groupBy("o_year").agg(share.alias("mkt_share"))
+
+
+@spec(
     "q13_order_distribution",
     """
     SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
