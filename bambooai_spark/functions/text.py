@@ -242,3 +242,43 @@ def fingerprint(text: str | Column, *, normalize: bool = True) -> Column:
     if normalize:
         t = F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
     return F.md5(t)
+
+
+# PII patterns chosen for identical semantics in Java regex (Spark) and RE2
+# (DuckDB): plain character classes + \b word boundaries, no lookarounds —
+# the subset both dialects implement identically, so the DuckDB oracle can
+# verify the scrub byte-for-byte.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# starts at a digit (\b before '+' can never match — '+' is a non-word
+# char); a leading '+' survives redaction, the number itself does not
+PHONE_RE = r"\b\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b"
+
+
+def scrub_pii(text: str | Column) -> dict[str, Column]:
+    """PII redaction — the pre-training scrub every public-corpus pipeline
+    runs (emails, IPv4s, phone-ish numbers → typed placeholders). Returns
+    per-row match counts plus the scrubbed text; pure column expressions,
+    one pass, no UDF.
+
+    Order matters and is fixed (email → ip → phone): a phone-like digit
+    run inside an already-redacted span must not double-match. Counts are
+    taken BEFORE redaction so they describe the original text."""
+    t = col_of(text)
+    counts = {
+        "n_emails": F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast(
+            "long"
+        ),
+        "n_ips": F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), 0)).cast("long"),
+        "n_phones": F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).cast(
+            "long"
+        ),
+    }
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return {**counts, "scrubbed": scrubbed}

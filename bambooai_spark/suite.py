@@ -3134,6 +3134,47 @@ def pack_docs(spark, sf_dir):
 
 
 @spec(
+    "pii_scrub_docs",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text,
+                '\b\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b'))
+                AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\b\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b',
+                '<PHONE>', 'g')) AS scrub_hash
+    FROM documents
+    """,
+    headline=True,
+    doc="PII scrub (emails/IPv4s/phone-ish → typed placeholders) — the "
+    "pre-training redaction pass. Patterns restricted to the Java-regex ∩ "
+    "RE2 subset so Spark and the DuckDB oracle scrub byte-identically "
+    "(verified via md5 of the scrubbed text); counts taken pre-redaction. "
+    "Pure column expressions in one scan — crafted-row redaction behavior "
+    "is pinned separately in tests/test_text_fingerprints.py.",
+)
+def pii_scrub_docs(spark, sf_dir):
+    from bambooai_spark.functions.text import scrub_pii
+
+    d = _t(spark, sf_dir, "documents")
+    cols = scrub_pii("text")
+    return d.select(
+        "doc_id",
+        cols["n_emails"].alias("n_emails"),
+        cols["n_ips"].alias("n_ips"),
+        cols["n_phones"].alias("n_phones"),
+        F.md5(cols["scrubbed"].cast("binary")).alias("scrub_hash"),
+    )
+
+
+@spec(
     "q8_market_share",
     """
     SELECT o_year,
