@@ -36,3 +36,42 @@ def l2_norm(v: str | Column) -> Column:
 
 def cosine(a: str | Column, b: str | Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def quantize_int8(v: str | Column) -> dict[str, Column]:
+    """Symmetric per-vector int8 quantization — the standard 4× memory
+    reduction for embedding indexes (scale = max|v|/127, q_i =
+    round(v_i/scale)). At 100 TB the ANN candidate tables store the int8
+    codes + one float scale per row; exact rescoring on the float column
+    happens only for the shortlist.
+
+    Pure column expressions (transform + aggregate folds). Zero vectors get
+    scale=0 and all-zero codes — dequantizing reproduces them exactly.
+    Rounding is HALF_UP via ``round()`` in both Spark and DuckDB, so the
+    codes are oracle-exact cross-engine."""
+    d = as_double(v)
+    maxabs = F.aggregate(
+        d, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = maxabs / F.lit(127.0)
+    codes = F.when(
+        maxabs > 0,
+        F.transform(d, lambda x: F.round(x / scale).cast("int")),
+    ).otherwise(F.transform(d, lambda x: F.lit(0)))
+    return {"scale": scale, "codes": codes}
+
+
+def dequantize_dot(codes_a, scale_a, codes_b, scale_b) -> Column:
+    """Dot product in the quantized domain: int code fold × the two scales
+    — one multiply per element on 4-byte ints, the cheap first-pass score
+    before exact float rescoring."""
+    acc = F.aggregate(
+        F.zip_with(
+            col_of(codes_a),
+            col_of(codes_b),
+            lambda x, y: (x * y).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return acc.cast("double") * col_of(scale_a) * col_of(scale_b)

@@ -3134,6 +3134,52 @@ def pack_docs(spark, sf_dir):
 
 
 @spec(
+    "quantize_embeddings",
+    """
+    WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> abs(x))) AS maxabs
+               FROM embeddings)
+    SELECT vec_id,
+           ROUND(maxabs / 127.0, 9) AS q_scale,
+           CAST(COALESCE(CASE WHEN maxabs > 0 THEN
+                list_sum(list_transform(v,
+                    x -> CAST(round(x / (maxabs / 127.0)) AS BIGINT)))
+                ELSE 0 END, 0) AS BIGINT) AS codes_sum,
+           CAST(COALESCE(CASE WHEN maxabs > 0 THEN
+                list_sum(list_transform(v,
+                    x -> CAST(abs(round(x / (maxabs / 127.0))) AS BIGINT)))
+                ELSE 0 END, 0) AS BIGINT) AS codes_l1
+    FROM b
+    """,
+    headline=True,
+    doc="Symmetric int8 embedding quantization (scale = max|v|/127) — the "
+    "4x memory reduction that keeps a 100 TB ANN index in cluster RAM; "
+    "codes for the candidate scan, float rescoring only on the shortlist. "
+    "Oracle pins the per-vector scale plus two exact integer aggregates of "
+    "the code vector; the codes themselves and the dequantized-dot error "
+    "bound are pinned in tests/test_probabilistic.py.",
+)
+def quantize_embeddings(spark, sf_dir):
+    from bambooai_spark.functions.vectors import quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = quantize_int8("embedding")
+    codes = q["codes"]
+    zero = F.lit(0).cast("long")
+    return e.select(
+        "vec_id",
+        F.round(q["scale"], 9).alias("q_scale"),
+        F.aggregate(
+            codes, zero, lambda a, x: a + x.cast("long")
+        ).alias("codes_sum"),
+        F.aggregate(
+            codes, zero, lambda a, x: a + F.abs(x).cast("long")
+        ).alias("codes_l1"),
+    )
+
+
+@spec(
     "pii_scrub_docs",
     r"""
     SELECT doc_id,

@@ -343,3 +343,57 @@ def test_connected_components_hybrid_paths_agree(spark):
     want = {(0, 0), (1, 0), (2, 0), (3, 0), (4, 4), (5, 5), (6, 5),
             (7, 7), (8, 8), (9, 9)}
     assert fast == want and dist == want
+
+
+def test_quantize_int8_codes_and_error_bound(spark, emb):
+    """int8 quantization exactness: codes within [-127,127], zero vectors
+    roundtrip exactly, and the dequantized dot of every pair sits within
+    the analytic error bound |err| <= (|a|_1·sb + |b|_1·sa)/2 + d·sa·sb/4
+    of the exact float dot (half-ulp per element per side)."""
+    from pyspark.sql import functions as F
+
+    from bambooai_spark.functions.vectors import (
+        dequantize_dot,
+        dot,
+        quantize_int8,
+    )
+
+    q = quantize_int8("embedding")
+    sample = (
+        emb.limit(20)
+        .select("vec_id", "embedding", q["scale"].alias("s"), q["codes"].alias("c"))
+    )
+    rows = sample.collect()
+    for r in rows:
+        assert all(-127 <= x <= 127 for x in r["c"])
+    a = sample.select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("va"),
+        F.col("s").alias("sa"), F.col("c").alias("ca"),
+    )
+    b = sample.select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"),
+        F.col("s").alias("sb"), F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(b, F.col("ida") < F.col("idb"))
+        .select(
+            dot("va", "vb").alias("exact"),
+            dequantize_dot("ca", "sa", "cb", "sb").alias("approx"),
+            F.aggregate(
+                F.col("va").cast("array<double>"), F.lit(0.0),
+                lambda acc, x: acc + F.abs(x),
+            ).alias("l1a"),
+            F.aggregate(
+                F.col("vb").cast("array<double>"), F.lit(0.0),
+                lambda acc, x: acc + F.abs(x),
+            ).alias("l1b"),
+            F.col("sa"), F.col("sb"), F.size("ca").alias("d"),
+        )
+        .collect()
+    )
+    assert len(pairs) > 100
+    for r in pairs:
+        bound = (r["l1a"] * r["sb"] + r["l1b"] * r["sa"]) / 2 + (
+            r["d"] * r["sa"] * r["sb"] / 4
+        )
+        assert abs(r["exact"] - r["approx"]) <= bound + 1e-9
