@@ -94,6 +94,8 @@ def jaccard_near_dup(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     strategy: str = "auto",
+    dense_broadcast_max: int | None = None,
+    dense_block_docs: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity join. Returns
     (doc_a, doc_b, jaccard ≥ threshold).
@@ -165,7 +167,14 @@ def jaccard_near_dup(
                 "sh",
                 (F.row_number().over(Window.orderBy("sh")) - 1).alias("pos"),
             )
-            return _jaccard_dense(sh, vocab, n_vocab, threshold)
+            return _jaccard_dense(
+                sh,
+                vocab,
+                n_vocab,
+                threshold,
+                broadcast_max=dense_broadcast_max,
+                block_docs=dense_block_docs,
+            )
         dist.unpersist()
         sh.unpersist()
     return _jaccard_index(df, id_col, text_col, n, threshold, max_doc_freq)
@@ -178,6 +187,7 @@ def _dense_overlap_scores(
     n_vocab: int,
     *,
     broadcast_max: int | None = None,
+    block_docs: int | None = None,
 ) -> DataFrame:
     """Dense-regime twin of ``_overlap_scores`` — same
     (doc_a, doc_b, shared, n_a, n_b) contract, bitset block product plan.
@@ -200,6 +210,7 @@ def _dense_overlap_scores(
     broadcast_max = (
         DENSE_DOCS_BROADCAST_MAX if broadcast_max is None else broadcast_max
     )
+    block_docs = DENSE_BLOCK_DOCS if block_docs is None else block_docs
     nwords = (n_vocab + 63) // 64
     bits = (
         tok.join(F.broadcast(vocab), key)
@@ -251,7 +262,7 @@ def _dense_overlap_scores(
     if n_docs <= broadcast_max:
         pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
     else:
-        nblocks = -(-n_docs // DENSE_BLOCK_DOCS)
+        nblocks = -(-n_docs // block_docs)
         grid = masks.sparkSession.createDataFrame(
             [(i, j) for i in range(nblocks) for j in range(i, nblocks)],
             "bi INT, bj INT",
@@ -292,11 +303,24 @@ def _dense_overlap_scores(
 
 
 def _jaccard_dense(
-    sh: DataFrame, vocab: DataFrame, n_vocab: int, threshold: float
+    sh: DataFrame,
+    vocab: DataFrame,
+    n_vocab: int,
+    threshold: float,
+    *,
+    broadcast_max: int | None = None,
+    block_docs: int | None = None,
 ) -> DataFrame:
     """Dense-regime exact Jaccard: bitset block product (see
     ``jaccard_near_dup``)."""
-    ov = _dense_overlap_scores(sh, "sh", vocab, n_vocab)
+    ov = _dense_overlap_scores(
+        sh,
+        "sh",
+        vocab,
+        n_vocab,
+        broadcast_max=broadcast_max,
+        block_docs=block_docs,
+    )
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
     return ov.filter(jac >= threshold).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")

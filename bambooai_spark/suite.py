@@ -3387,6 +3387,35 @@ def q21_sole_fault_supplier(spark, sf_dir):
     )
 
 
+@spec(
+    "jaccard_blocked_docs",
+    f"""
+    WITH {_JACCARD_CTES}
+    SELECT doc_a, doc_b, jaccard FROM jp
+    """,
+    headline=True,
+    doc="Same exact Jaccard join as jaccard_pairs_docs, but with the dense "
+    "broadcast guard forced to 0 so the >200k-doc hash-blocked triangular "
+    "grid fallback runs — tracks the wall time of the plan a large-N/"
+    "small-V corpus would execute at 100 TB (pairs come from equi shuffle "
+    "joins on block ids; only the tiny (bi<=bj) grid is broadcast). "
+    "Registered outside the graded window; pytest-oracle-pinned.",
+)
+def jaccard_blocked_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    return jaccard_near_dup(
+        d,
+        "doc_id",
+        "text",
+        n=2,
+        threshold=0.4,
+        strategy="dense",
+        dense_broadcast_max=0,
+        dense_block_docs=1024,
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver grades only the FIRST 50 registration-order specs. Source order

@@ -11,8 +11,15 @@ Methodology:
   FULL distributed plan runs (scan → shuffle → agg) but no rows cross to the
   driver — wall time measures the engine, not driver materialization.
 - One untimed warm-up iteration (JVM/codegen/parquet-footer caches), then
-  ``SPARK_GRAFT_BENCH_ITERS`` (default 3) timed runs; per-query time is the
+  ``SPARK_GRAFT_BENCH_ITERS`` (default 5) timed runs; per-query time is the
   minimum (steady-state throughput, robust to GC noise).
+- Noise guard: a query whose iteration spread is wide (max >= 2x min) is
+  re-measured with 3 extra iterations AFTER the whole suite finishes — a
+  different heap/JIT state — so one localized GC or compile stall cannot
+  poison every sample of a query (r3's q3_top_orders read 2.8x its true
+  time that way). Per-query [min, max] across all samples is emitted in a
+  ``spread`` field so round-over-round deltas can be judged against the
+  measured dispersion.
 - Everything except the final JSON line goes to stderr.
 """
 
@@ -45,27 +52,62 @@ def _run_once(spark, spec, sf_dir: str) -> float:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "5"))
+    rerun_iters = int(os.environ.get("SPARK_GRAFT_BENCH_RERUN_ITERS", "3"))
     spark = get_session("bambooai-spark-bench", cpus=cpus)
 
     headline = [s for s in SPECS if s.headline]
-    times: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    failed: set[str] = set()
     for spec in headline:
         try:
             _run_once(spark, spec, sf_dir)  # warm-up, untimed
-            best = min(_run_once(spark, spec, sf_dir) for _ in range(iters))
-            times[spec.name] = round(best, 3)
-            print(f"[bench] {spec.name}: {times[spec.name]}s", file=sys.stderr)
+            samples[spec.name] = [
+                _run_once(spark, spec, sf_dir) for _ in range(iters)
+            ]
+            print(
+                f"[bench] {spec.name}: {min(samples[spec.name]):.3f}s "
+                f"(max {max(samples[spec.name]):.3f}s)",
+                file=sys.stderr,
+            )
         except Exception as exc:  # keep going; a failed query reports -1
-            times[spec.name] = -1.0
+            failed.add(spec.name)
             print(f"[bench] {spec.name} FAILED: {exc}", file=sys.stderr)
 
+    # Second-chance pass in a different heap/JIT state for noisy queries.
+    by_name = {s.name: s for s in headline}
+    for name, ts in samples.items():
+        if max(ts) < 2 * min(ts):
+            continue
+        try:
+            extra = [
+                _run_once(spark, by_name[name], sf_dir)
+                for _ in range(rerun_iters)
+            ]
+            ts.extend(extra)
+            print(
+                f"[bench] {name} re-run (spread {min(ts):.3f}-{max(ts):.3f}s):"
+                f" min now {min(ts):.3f}s",
+                file=sys.stderr,
+            )
+        except Exception as exc:
+            print(f"[bench] {name} re-run FAILED: {exc}", file=sys.stderr)
+
+    times = {
+        s.name: (-1.0 if s.name in failed else round(min(samples[s.name]), 3))
+        for s in headline
+    }
+    spread = {
+        name: [round(min(ts), 3), round(max(ts), 3)]
+        for name, ts in samples.items()
+    }
     ok = [v for v in times.values() if v >= 0]
     result = {
         "metric": "headline_total_sec",
         "value": round(sum(ok), 3),
         "unit": "sec",
         "queries": times,
+        "spread": spread,
         "sf": _sf_of(sf_dir),
         "cpus": cpus,
         "iters": iters,
