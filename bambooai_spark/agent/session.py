@@ -37,7 +37,11 @@ class AgentSession:
         # chains continue from what the thread already holds (reference uses
         # wall-clock ids; a dense counter keeps replays deterministic)
         existing = self.store.load_thread(self.thread_id)["chains"]
-        start = 1 + max((int(c) for c in existing), default=0)
+        # a thread may hold non-numeric chain ids (reference-style wall-clock
+        # strings, or a caller-chosen id) — they don't advance the counter
+        start = 1 + max(
+            (int(c) for c in existing if str(c).isdigit()), default=0
+        )
         self._chain_ids = itertools.count(start)
 
     def ask(

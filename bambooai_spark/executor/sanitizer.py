@@ -67,9 +67,14 @@ _SPARK_FORBIDDEN = (
 _COLLECT_RE = re.compile(r"\.(collect|toPandas|toLocalIterator)\s*\(")
 # a bound only counts with a LITERAL argument at or under the cap (or the
 # inherently single-row no-arg first()/head()): `.take(n)` with a runtime
-# variable, or `.head(10**9)`, is not a bound the sanitizer can trust
-_BOUND_RE = re.compile(
+# variable, or `.head(10**9)`, is not a bound the sanitizer can trust.
+# The bound must sit in the SAME method chain as the collect — only plain
+# chained calls with paren-free arguments may come between it and the
+# collect token, so `x = df.first(); rows = df.collect()` is NOT legitimized
+# by the unrelated first().
+_BOUND_BEFORE_COLLECT_RE = re.compile(
     r"\.(limit|take|head|tail|first)\s*\(\s*([0-9_]+)?\s*\)"
+    r"(?:\s*\.\w+\s*\([^()]*\))*\s*$"
 )
 #: largest literal row bound accepted on a collect-to-driver line — generous
 #: for display/sample contexts, far below driver-OOM territory
@@ -77,15 +82,23 @@ MAX_DRIVER_ROWS = 100_000
 
 
 def _has_trusted_bound(line: str) -> bool:
-    for m in _BOUND_RE.finditer(line):
+    """True iff EVERY collect-class call on the line is directly preceded,
+    within its own method chain, by a trusted literal bound."""
+    hits = list(_COLLECT_RE.finditer(line))
+    if not hits:
+        return False
+    for c in hits:
+        m = _BOUND_BEFORE_COLLECT_RE.search(line[: c.start()])
+        if m is None:
+            return False
         arg = m.group(2)
         if arg is None:
             # no-arg first()/head() return a single Row; no-arg
             # limit()/take()/tail() are TypeErrors, not unbounded reads
-            return True
-        if int(arg.replace("_", "")) <= MAX_DRIVER_ROWS:
-            return True
-    return False
+            continue
+        if int(arg.replace("_", "")) > MAX_DRIVER_ROWS:
+            return False
+    return True
 # reference reg_ex.py:107-110 matches the blacklist as whole words on EVERY
 # line (not only import statements) — `exec(...)` or `pickle.loads(...)` in
 # a code body is neutralized too

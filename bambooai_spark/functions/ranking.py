@@ -56,11 +56,20 @@ def distributed_dense_rank(
         offsets += [F.lit(pid), F.lit(acc)]
         acc += counts[pid]
     if not offsets:
+        local.unpersist()
         return df.withColumn(out_col, F.lit(None).cast("long"))
     omap = F.create_map(*offsets)
-    return (
+    out = (
         local.withColumn(
             out_col, (F.col("_lr") + omap[F.col("_pid")]).cast("long")
         )
         .drop("_pid", "_lr")
+        # the count pass above already materialized the ranked relation into
+        # cache; one more map-side pass checkpoints the final projection so
+        # the cache can be released HERE instead of living for the session
+        # (localCheckpoint blocks are reference-tracked and cleaned when the
+        # returned frame is garbage-collected, unlike CacheManager entries)
+        .localCheckpoint(eager=True)
     )
+    local.unpersist()
+    return out

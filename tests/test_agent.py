@@ -580,6 +580,25 @@ def test_session_persists_and_restores_chains(spark, tmp_path):
     assert s2.orch.messages.qa_pairs == [] and s2.tasks == []
 
 
+def test_session_tolerates_non_numeric_chain_ids(spark, tmp_path):
+    """A thread holding reference-style wall-clock or caller-chosen string
+    chain ids must still construct; the dense counter continues from the
+    max NUMERIC id."""
+    from bambooai_spark.agent.session import AgentSession
+    from bambooai_spark.storage import InteractionStore
+
+    orders = load_table(spark, SF_DIR, "orders")
+    store = InteractionStore(str(tmp_path))
+    store.save_chain("tmix", "2026-01-09T12:00:00", {"ok": True})
+    store.save_chain("tmix", "my-branch", {"ok": True})
+    store.save_chain("tmix", "3", {"ok": True})
+    s = AgentSession(AgentOrchestrator(spark, _llm(GOOD_CODE)), store,
+                     thread_id="tmix")
+    res = s.ask("Count the number of orders per month in 1997", orders)
+    assert res.ok
+    assert store.load_chain("tmix", "4")["ok"]
+
+
 def test_session_user_code_chain_marked(spark, tmp_path):
     from bambooai_spark.agent.session import AgentSession
     from bambooai_spark.storage import InteractionStore

@@ -364,3 +364,24 @@ def test_sanitizer_rejects_huge_or_variable_bounds():
     assert sanitize("pdf = df.limit(1_000).toPandas()") == (
         "pdf = df.limit(1_000).toPandas()"
     )
+
+
+def test_sanitizer_bound_must_share_chain_with_collect():
+    """A bound elsewhere on the line does not legitimize an unrelated
+    unbounded collect — the bound has to sit in the same method chain,
+    with only simple chained calls between it and the collect token."""
+    # unrelated statement's first() must not unlock the collect
+    assert "not allowed" in sanitize("x = df.first(); rows = df.collect()")
+    # bound AFTER the collect is not a bound on it
+    assert "not allowed" in sanitize("rows = df.collect(); y = df.limit(10)")
+    # chained intermediates between bound and collect are fine
+    assert sanitize("rows = df.limit(50).cache().collect()") == (
+        "rows = df.limit(50).cache().collect()"
+    )
+    # two collects: each needs its own in-chain bound
+    assert "not allowed" in sanitize(
+        "a = df.limit(5).collect(); b = df.collect()"
+    )
+    assert sanitize("a = df.limit(5).collect(); b = df.take(3)") == (
+        "a = df.limit(5).collect(); b = df.take(3)"
+    )

@@ -397,3 +397,63 @@ def test_quantize_int8_codes_and_error_bound(spark, emb):
             r["d"] * r["sa"] * r["sb"] / 4
         )
         assert abs(r["exact"] - r["approx"]) <= bound + 1e-9
+
+
+# ------------------------------------------------------- cache lifecycle
+
+
+def _persistent_rdd_count(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_tracked_caches_release_after_materialization(spark, docs):
+    """Operators whose persisted intermediates feed lazy return plans
+    register them with the caching module; release_caches() must free
+    every tracked entry so repeated pipelines don't accumulate executor
+    cache for the session lifetime."""
+    from bambooai_spark.caching import release_caches
+    from bambooai_spark.operators.dedup import jaccard_near_dup
+
+    release_caches()  # start from a clean slate
+    spark.catalog.clearCache()
+    base = _persistent_rdd_count(spark)
+    out = jaccard_near_dup(docs.limit(80), "doc_id", "text", strategy="dense")
+    out.count()  # materialize — the cached postings/masks are now live
+    assert _persistent_rdd_count(spark) > base
+    released = release_caches()
+    assert released > 0
+    assert _persistent_rdd_count(spark) <= base
+
+
+def test_dense_rank_and_cc_leave_no_cache_entries(spark, docs):
+    """distributed_dense_rank eagerly checkpoints its output and releases
+    the ranked intermediate; connected_components' distributed branch
+    unpersists both edge relations. Neither may leave CacheManager entries
+    behind — those live for the whole session, unlike localCheckpoint
+    blocks, which the ContextCleaner reclaims on JVM GC."""
+    from pyspark.sql import functions as F
+
+    from bambooai_spark.caching import release_caches
+    from bambooai_spark.functions.ranking import distributed_dense_rank
+    from bambooai_spark.operators.dedup import connected_components
+
+    def cache_manager_empty() -> bool:
+        return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    release_caches()
+    spark.catalog.clearCache()
+    assert cache_manager_empty()
+
+    ranked = distributed_dense_rank(
+        docs.select("doc_id", F.length("text").alias("len")), ["len"]
+    )
+    assert ranked.count() > 0
+    assert cache_manager_empty()
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "node LONG")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "src LONG, dst LONG"
+    )
+    cc = connected_components(nodes, edges, driver_max_edges=None)
+    assert cc.count() == 8
+    assert cache_manager_empty()
