@@ -9,11 +9,18 @@ session log to a fleet-wide table of millions of calls unchanged.
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from dataclasses import asdict, dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: rotation policy for the consolidated on-disk log — reference
+#: log_manager.py:42 caps it at 5 MB with 3 rotated backups.
+LOG_MAX_BYTES = 5 * 1024 * 1024
+LOG_BACKUPS = 3
 
 
 @dataclass
@@ -33,13 +40,51 @@ class LLMCall:
 
 
 class TokenLog:
-    """Append-only call log with Spark-side rollups."""
+    """Append-only call log with Spark-side rollups.
 
-    def __init__(self) -> None:
+    With ``log_path`` set, every record is also appended as one JSON line
+    to a size-rotated file (``log``, ``log.1`` … ``log.{backups}``, oldest
+    dropped) — the reference's consolidated-log policy, which it caps at
+    5 MB × 3 rotations (log_manager.py:42) instead of growing unboundedly.
+    """
+
+    def __init__(
+        self,
+        log_path: str | None = None,
+        *,
+        max_bytes: int = LOG_MAX_BYTES,
+        backups: int = LOG_BACKUPS,
+    ) -> None:
         self.calls: list[LLMCall] = []
+        self.log_path = log_path
+        self.max_bytes = max_bytes
+        self.backups = backups
+
+    def _rotate_if_needed(self, incoming: int) -> None:
+        """Shift log → log.1 → … → log.{backups} when the next append would
+        cross ``max_bytes``; the oldest backup falls off."""
+        try:
+            size = os.path.getsize(self.log_path)
+        except OSError:
+            return
+        if size + incoming <= self.max_bytes:
+            return
+        oldest = f"{self.log_path}.{self.backups}"
+        if os.path.exists(oldest):
+            os.remove(oldest)
+        for i in range(self.backups - 1, 0, -1):
+            src = f"{self.log_path}.{i}"
+            if os.path.exists(src):
+                os.replace(src, f"{self.log_path}.{i + 1}")
+        os.replace(self.log_path, f"{self.log_path}.1")
 
     def record(self, call: LLMCall) -> None:
         self.calls.append(call)
+        if self.log_path:
+            line = json.dumps(asdict(call)) + "\n"
+            self._rotate_if_needed(len(line))
+            with open(self.log_path, "a") as f:
+                f.write(line)
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         schema = (

@@ -93,21 +93,38 @@ def _batched_topk(df: DataFrame, cols: list[str], k: int = 3) -> dict[str, list[
 def _batched_first_nonnull(
     df: DataFrame, cols: list[str], n: int = 2, probe_rows: int = 100
 ) -> dict[str, list]:
-    """First ``n`` non-null native values per column from ONE bounded
+    """First ``n`` non-null values per column from ONE bounded
     ``limit(probe_rows)`` collect (replacing a ``limit(2)`` job per column).
-    Columns null-heavier than the probe fall back to their own tiny job —
-    the pathological case, not the common one."""
+    Columns null-heavier than the probe share ONE union-all fallback pass —
+    a single action regardless of how many columns are deficient, each leg
+    an early-terminating ``filter(isNotNull).limit(n)``. Fallback values
+    ride as strings (the union needs one type); the profile formats every
+    sample through ``str``, and Spark's string cast matches Python's
+    spelling for the non-numeric types that reach this path (string,
+    timestamp, date)."""
     out: dict[str, list] = {c: [] for c in cols}
     for row in df.select(*cols).limit(probe_rows).collect():
         for c in cols:
             if len(out[c]) < n and row[c] is not None:
                 out[c].append(row[c])
-    for c in cols:
-        if len(out[c]) < n:
-            out[c] = [
-                r[0]
-                for r in df.select(c).filter(F.col(c).isNotNull()).limit(n).collect()
-            ]
+    need = [c for c in cols if len(out[c]) < n]
+    if need:
+        legs = [
+            df.select(
+                F.lit(c).alias("col"), F.col(c).cast("string").alias("value")
+            )
+            .filter(F.col("value").isNotNull())
+            .limit(n)
+            for c in need
+        ]
+        u = legs[0]
+        for leg in legs[1:]:
+            u = u.unionAll(leg)
+        for c in need:
+            out[c] = []
+        for r in u.collect():
+            if len(out[r["col"]]) < n:
+                out[r["col"]].append(r["value"])
     return out
 
 

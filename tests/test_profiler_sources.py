@@ -193,6 +193,40 @@ def test_summary_job_count_bounded(spark, orders, monkeypatch):
     assert text.count("values=[") == 8 and text.count("samples=[") == 8
 
 
+def test_summary_job_count_bounded_mostly_null_wide(spark, orders, monkeypatch):
+    """Columns null-heavier than the 100-row probe used to fall back to one
+    tiny job EACH; a mostly-null wide frame must now profile in ≤4 actions
+    (wide agg, top-3, bounded probe, one unioned fallback pass) with the
+    samples still found."""
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    # every hc column is ~99% null with >10 distinct values on its sliver,
+    # so each is high-cardinality yet (near-)invisible to the 100-row probe
+    wide = orders.select(
+        *[
+            F.when(
+                F.col("o_orderkey") % 100 == i,
+                F.concat_ws("-", F.lit(f"v{i}"), "o_orderkey"),
+            )
+            .otherwise(F.lit(None))
+            .alias(f"hc{i}")
+            for i in range(8)
+        ],
+    )
+    calls = []
+    real_collect = DataFrame.collect
+    monkeypatch.setattr(
+        DataFrame, "collect", lambda self: calls.append(1) or real_collect(self)
+    )
+    text = dataframe_summary_to_string(wide)
+    assert len(calls) <= 4, f"profile launched {len(calls)} actions"
+    assert text.count("samples=[") == 8
+    # every fallback leg actually surfaced non-null samples
+    for line in text.splitlines():
+        assert "samples=[...]" not in line, line
+
+
 def test_batched_topk_matches_per_column_jobs(spark, orders):
     """The batched top-3 returns exactly what the per-column job returned."""
     from bambooai_spark.profiler import _batched_topk, value_counts_topk

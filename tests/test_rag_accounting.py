@@ -112,3 +112,39 @@ relationships:
     assert out.startswith("graph TD")
     assert "<b>speed</b><br/>units: m/s" in out
     assert 'activity -- "groupedBy" --> speed' in out
+
+
+def test_token_log_file_rotation(tmp_path):
+    """The on-disk JSONL sink rotates at max_bytes with `backups` shifted
+    files, oldest dropped — reference log_manager.py:42 (5 MB x 3), here
+    with a tiny cap so the arithmetic is exercised."""
+    import json
+    import os
+
+    path = str(tmp_path / "llm_calls.jsonl")
+    log = TokenLog(path, max_bytes=600, backups=3)
+    for i in range(40):
+        log.record(
+            LLMCall(
+                chain_id=str(i), agent="planner", model="m",
+                prompt_tokens=10, completion_tokens=5,
+                elapsed_sec=0.1, ts=1000.0 + i,
+            )
+        )
+    # active file stays under the cap; exactly `backups` rotated files
+    assert os.path.getsize(path) <= 600
+    present = [p for p in (f"{path}.{i}" for i in (1, 2, 3)) if os.path.exists(p)]
+    assert len(present) == 3
+    assert not os.path.exists(f"{path}.4")
+    # every surviving line is intact JSON and ordering is newest-first
+    # across the chain: active file holds the latest records
+    last_active = [
+        json.loads(l) for l in open(path).read().splitlines()
+    ]
+    assert last_active[-1]["chain_id"] == "39"
+    first_rotated = [
+        json.loads(l) for l in open(f"{path}.1").read().splitlines()
+    ]
+    assert int(first_rotated[-1]["chain_id"]) < 39
+    # in-memory list still holds everything for Spark rollups
+    assert len(log.calls) == 40
