@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from bambooai_spark.agent import prompts
 from bambooai_spark.agent.memory import EpisodicMemory
 from bambooai_spark.agent.messages import CUSTOM_IDENTIFIERS, MessageManager
+from bambooai_spark.agent.output import OutputManager
 from bambooai_spark.agent.parsing import (
     extract_analyst,
     extract_expert,
@@ -37,7 +38,12 @@ from bambooai_spark.profiler import (
 
 MAX_ERROR_CORRECTIONS = 5  # reference bambooai.py:110
 
-LLM = Callable[[str, str], str]  # (system, user) -> response text
+# (system, user) -> response text. ``user`` is a plain string EXCEPT when an
+# image rides along (reference web_app/app.py:927-945 forwards an optional
+# base64 image to vision-capable models): then it is a list of structured
+# parts [{"type": "text", "text": ...}, {"type": "image", "data": b64}].
+# Scripted/test LLMs that never see images keep the plain-string contract.
+LLM = Callable[[str, str], str]
 
 
 @dataclass
@@ -52,6 +58,8 @@ class AgentResult:
     corrections: int = 0
     errors: list[str] = field(default_factory=list)
     ok: bool = True  # final execution succeeded (prose answers are ok=True)
+    # plots-as-data harvested by the sandbox (ExecutionResult.plots)
+    plots: list[dict] = field(default_factory=list)
 
 
 class AgentOrchestrator:
@@ -66,9 +74,13 @@ class AgentOrchestrator:
         sample_first: int | None = None,
         memory: "EpisodicMemory | None" = None,
         rank_fn: Callable[["AgentResult"], int] | None = None,
+        output: OutputManager | None = None,
     ):
         self.spark = spark
         self.llm = llm
+        # streaming seam (reference web_output_manager): a no-op sink by
+        # default, a queue-backed one in the /query web flow
+        self.output = output or OutputManager()
         self.planning = planning
         self.summarize = summarize
         self.tools = tools or {}  # e.g. {"google_search": fn} — injected
@@ -97,12 +109,30 @@ class AgentOrchestrator:
             dataframe_summary_to_string(df), get_dataframe_columns(df)
         )
 
-    def _route(self, question: str) -> tuple[str | None, str | None]:
-        resp = self.llm(prompts.EXPERT_SELECTOR_SYSTEM, question)
+    @staticmethod
+    def _with_image(user: str, image: str | None):
+        """Wrap a user payload with an attached base64 image as structured
+        parts (reference forwards the /query image to vision-capable model
+        calls, web_app/app.py:927-945). Plain string when no image."""
+        if image is None:
+            return user
+        return [
+            {"type": "text", "text": user},
+            {"type": "image", "data": image},
+        ]
+
+    def _route(
+        self, question: str, image: str | None = None
+    ) -> tuple[str | None, str | None]:
+        resp = self.llm(
+            prompts.EXPERT_SELECTOR_SYSTEM, self._with_image(question, image)
+        )
         expert, _requires, _conf = extract_expert(resp)
         if expert != "Data Analyst":
             return expert, None
-        resp = self.llm(prompts.ANALYST_SELECTOR_SYSTEM, question)
+        resp = self.llm(
+            prompts.ANALYST_SELECTOR_SYSTEM, self._with_image(question, image)
+        )
         _analyst, _unknown, _cond, _data, intent = extract_analyst(resp)
         return expert, intent or question
 
@@ -124,10 +154,15 @@ class AgentOrchestrator:
         )
         return extract_yaml_block(resp) or plan
 
-    def _plan(self, intent: str, ctx: str) -> str | None:
+    def _plan(
+        self, intent: str, ctx: str, image: str | None = None
+    ) -> str | None:
         if not self.planning:
             return None
-        resp = self.llm(prompts.PLANNER_SYSTEM, f"{ctx}\n\nTask: {intent}")
+        resp = self.llm(
+            prompts.PLANNER_SYSTEM,
+            self._with_image(f"{ctx}\n\nTask: {intent}", image),
+        )
         return extract_yaml_block(resp) or None
 
     def _generate(
@@ -136,6 +171,7 @@ class AgentOrchestrator:
         plan: str | None,
         ctx: str,
         example_code: str | None = None,
+        image: str | None = None,
     ) -> str:
         system = prompts.CODE_GENERATOR_SYSTEM.format(df_context=ctx)
         user = f"Task: {intent}" + (f"\n\nPlan:\n{plan}" if plan else "")
@@ -146,7 +182,7 @@ class AgentOrchestrator:
                 "\n\nExample solution from a similar past task:\n"
                 f"```python\n{example_code}\n```"
             )
-        return extract_code(self.llm(system, user))
+        return extract_code(self.llm(system, self._with_image(user, image)))
 
     def _correct(self, code: str, error: str, ctx: str) -> str:
         system = prompts.ERROR_CORRECTOR_SYSTEM.format(df_context=ctx)
@@ -200,6 +236,8 @@ class AgentOrchestrator:
             self.messages.append_qa_pair(
                 question or CUSTOM_IDENTIFIERS[1], summary or res.stdout or ""
             )
+        for p in res.plots:
+            self.output.plot(p)
         return AgentResult(
             df=res.df if res.ok else df,
             code=code,
@@ -211,6 +249,7 @@ class AgentOrchestrator:
             corrections=corrections,
             errors=errors,
             ok=res.ok,
+            plots=list(res.plots),
         )
 
     def _aux_context(
@@ -253,13 +292,17 @@ class AgentOrchestrator:
         *,
         ontology: str | None = None,
         aux_datasets: list[str] | None = None,
+        image: str | None = None,
+        chain_id: str | None = None,
     ) -> AgentResult:
+        out = self.output
         ctx = self._context(df)
         aux_tables: dict[str, DataFrame] = {}
         if aux_datasets:
             aux_ctx, aux_tables = self._aux_context(aux_datasets)
             ctx += aux_ctx
-        expert, intent = self._route(question)
+        expert, intent = self._route(question, image)
+        out.thought(f"Expert: {expert}", chain_id)
         if expert != "Data Analyst":
             # research path: Theorist prose, optionally via the tool loop
             # (reference bambooai.py:456-472 + google_search dispatch)
@@ -269,6 +312,7 @@ class AgentOrchestrator:
             answer = run_tool_loop(
                 self.llm, prompts.THEORIST_SYSTEM, user, self.tools
             )
+            out.text_stream(answer or "", chain_id)
             return AgentResult(
                 df=None, code=None, stdout=None, summary=answer,
                 expert=expert, intent=None, plan=None,
@@ -282,13 +326,21 @@ class AgentOrchestrator:
             model = self._inspect(intent, ctx, ontology)
             if model:
                 ctx = f"{ctx}\n\nData model:\n{model}"
+        out.thought(f"Task: {intent}", chain_id)
         if recall is not None and recall.plan and self.planning:
             plan = recall.plan
         else:
-            plan = self._plan(intent, ctx)
+            plan = self._plan(intent, ctx, image)
+        if plan:
+            out.thought(f"Plan:\n{plan}", chain_id)
         code = self._generate(
-            intent, plan, ctx, example_code=recall.code if recall else None
+            intent,
+            plan,
+            ctx,
+            example_code=recall.code if recall else None,
+            image=image,
         )
+        out.thought(f"Generated code:\n```python\n{code}\n```", chain_id)
 
         errors: list[str] = []
         corrections = 0
@@ -303,6 +355,10 @@ class AgentOrchestrator:
         while not res.ok and corrections < MAX_ERROR_CORRECTIONS:
             errors.append(res.error)
             corrections += 1
+            out.thought(
+                f"Execution error (round {corrections}):\n{res.error}",
+                chain_id,
+            )
             code = self._correct(code, res.error, ctx)
             res = self.executor.execute(code, df=probe_df, spark=self.spark, extra_vars=ev)
         if res.ok and sample is not None:
@@ -320,6 +376,12 @@ class AgentOrchestrator:
         if not res.ok:
             errors.append(res.error)
 
+        if res.ok:
+            # executor output reaches the stream before the summary, as the
+            # reference's display_results does
+            out.emit(
+                {"type": "result", "stdout": res.stdout, "chain_id": chain_id}
+            )
         if res.ok and corrections > 0 and plan:
             # reconcile the plan with what actually ran (reference
             # bambooai.py:631-633: reviewer fires only after corrections)
@@ -332,6 +394,9 @@ class AgentOrchestrator:
                 prompts.SUMMARIZER_SYSTEM,
                 f"Task: {intent}\n\nPlan:\n{plan}\n\nResult preview:\n{preview}",
             )
+            out.text_stream(summary or "", chain_id)
+        for p in res.plots:
+            out.plot(p, chain_id)
         result = AgentResult(
             df=res.df if res.ok else df,
             code=code,
@@ -343,6 +408,7 @@ class AgentOrchestrator:
             corrections=corrections,
             errors=errors,
             ok=res.ok,
+            plots=list(res.plots),
         )
         if self.memory is not None and self.rank_fn is not None and res.ok:
             # post-execution write (reference bambooai.py:655-670): user rank

@@ -43,14 +43,26 @@ class AgentSession:
             (int(c) for c in existing if str(c).isdigit()), default=0
         )
         self._chain_ids = itertools.count(start)
+        self.last_chain_id: str | None = None
 
     def ask(
-        self, question: str, df: DataFrame, **converse_kwargs
+        self,
+        question: str,
+        df: DataFrame,
+        *,
+        df_name: str | None = None,
+        **converse_kwargs,
     ) -> AgentResult:
         """Run one chain and persist its outcome (reference
-        ``_process_question`` + ``store_interaction``, bambooai.py:639-684)."""
+        ``_process_question`` + ``store_interaction``, bambooai.py:639-684).
+        The chain identity event goes out first so a streaming client can
+        tag everything that follows (reference ``send_chain_id``)."""
         chain_id = next(self._chain_ids)
-        result = self.orch.converse(question, df, **converse_kwargs)
+        self.last_chain_id = str(chain_id)
+        self.orch.output.send_chain_id(self.thread_id, str(chain_id), df_name)
+        result = self.orch.converse(
+            question, df, chain_id=str(chain_id), **converse_kwargs
+        )
         if result.intent:
             self.tasks.append(result.intent)
         self.store.save_chain(
@@ -76,6 +88,8 @@ class AgentSession:
         """User-code chain — persisted like any other (reference stores
         ``code_type='user'`` chains identically)."""
         chain_id = next(self._chain_ids)
+        self.last_chain_id = str(chain_id)
+        self.orch.output.send_chain_id(self.thread_id, str(chain_id))
         result = self.orch.run_user_code(code, df, question=question)
         self.store.save_chain(
             self.thread_id,

@@ -17,6 +17,18 @@ client actually reads):
 - POST /serialize                     {df_name, max_rows?} → {payload}
   (Arrow-IPC+zlib+base64 — the reference's wire format, A7)
 
+With an ``llm`` callable supplied, the CONVERSATIONAL entry point comes up
+too (reference web_app/app.py:927-971 + web_output_manager.py:13-76):
+
+- POST /query    {query, df_name, thread_id?, image?, user_code?} →
+  chunked stream, one JSON event per line: the chain identity event first,
+  then thought/text tokens, plots-as-data, and a terminal ``rank_data``
+  payload. A worker thread runs the agent while the handler drains the
+  output queue — exactly the reference's generate() loop.
+- POST /submit_rank   {rank, chain_id, intent_breakdown?, plan?, code?} →
+  writes the ranked solution to episodic memory when one is configured
+  (reference app.py:976-1001), else reports memory disabled.
+
 The reference needs a thread-locked 1-slot DataFrame cache because pandas
 frames are mutable process state; here the registry is catalog-backed and
 every response is computed from immutable plans — no locking, no eviction.
@@ -43,9 +55,21 @@ from bambooai_spark.sources import (
 from bambooai_spark.sources.serialization import serialize_dataframe
 
 
-def create_app(spark: SparkSession, *, upload_dir: str | None = None):
+def create_app(
+    spark: SparkSession,
+    *,
+    upload_dir: str | None = None,
+    llm=None,
+    agent_store_dir: str | None = None,
+    memory=None,
+):
     """Flask app factory (kept separate from any server runner so tests use
-    ``app.test_client()`` and deployment picks its own WSGI server)."""
+    ``app.test_client()`` and deployment picks its own WSGI server).
+
+    ``llm`` — optional (system, user) -> str callable; enables /query.
+    ``agent_store_dir`` — thread/chain persistence root for /query sessions.
+    ``memory`` — optional EpisodicMemory; enables /submit_rank writes.
+    """
     from flask import Flask, jsonify, request
 
     app = Flask("bambooai-spark-executor")
@@ -150,4 +174,110 @@ def create_app(spark: SparkSession, *, upload_dir: str | None = None):
         )
         return jsonify({"payload": payload})
 
+    if llm is not None:
+        _add_agent_routes(app, spark, llm, _df, _field,
+                          agent_store_dir, memory)
+
     return app
+
+
+def _add_agent_routes(app, spark, llm, _df, _field, agent_store_dir, memory):
+    """The conversational lifecycle entry point (reference
+    web_app/app.py:927-971 /query + :976-1001 /submit_rank)."""
+    import threading
+    from queue import Empty
+
+    from flask import Response, jsonify, request
+
+    from bambooai_spark.agent.orchestrator import AgentOrchestrator
+    from bambooai_spark.agent.output import QueueOutputManager
+    from bambooai_spark.agent.session import AgentSession
+    from bambooai_spark.storage import InteractionStore
+
+    store = InteractionStore(
+        agent_store_dir or tempfile.mkdtemp(prefix="bambooai_threads_")
+    )
+    # one session per thread_id, created lazily — the reference keys one
+    # BambooAI instance per web session the same way (app.py:176-199)
+    sessions: dict[str, AgentSession] = {}
+
+    def _session(thread_id: str) -> AgentSession:
+        sess = sessions.get(thread_id)
+        if sess is None:
+            sess = AgentSession(
+                AgentOrchestrator(spark, llm, memory=memory),
+                store,
+                thread_id=thread_id,
+            )
+            sessions[thread_id] = sess
+        return sess
+
+    @app.post("/query")
+    def query():
+        body = request.get_json(force=True)
+        question = body.get("query") or ""
+        df_name = _field(body, "df_name")
+        df = _df(df_name)
+        thread_id = str(body.get("thread_id", "default"))
+        image = body.get("image")
+        user_code = body.get("user_code")
+        sess = _session(thread_id)
+        out = QueueOutputManager()
+        # one in-flight chain per session, as in the reference; the queue is
+        # per-request so concurrent THREADS (different thread_id) don't mix
+        sess.orch.output = out
+
+        def run_agent():
+            try:
+                if user_code:
+                    # reference app.py:938-939: manual code edit + run
+                    r = sess.run_user_code(
+                        user_code, df, question=question or None
+                    )
+                else:
+                    r = sess.ask(question, df, df_name=df_name, image=image)
+                out.rank_data(
+                    {
+                        "thread_id": thread_id,
+                        "chain_id": sess.last_chain_id,
+                        "intent_breakdown": r.intent,
+                        "plan": r.plan,
+                        "code": r.code,
+                        "ok": r.ok,
+                        "summary": r.summary,
+                    }
+                )
+            except Exception as exc:  # surface instead of hanging the stream
+                out.emit({"error": str(exc)})
+
+        worker = threading.Thread(target=run_agent)
+        worker.start()
+
+        def generate():
+            # reference app.py:960-970: drain while the worker lives, then
+            # flush the tail of the queue
+            while worker.is_alive() or not out.output_queue.empty():
+                try:
+                    yield out.output_queue.get(timeout=0.1) + "\n"
+                except Empty:
+                    pass
+            worker.join()
+
+        return Response(generate(), mimetype="application/json")
+
+    @app.post("/submit_rank")
+    def submit_rank():
+        body = request.get_json(force=True)
+        if memory is None:
+            return jsonify({"status": "memory disabled"})
+        rank = int(_field(body, "rank"))
+        chain_id = str(_field(body, "chain_id"))
+        accepted = memory.add(
+            f"chain-{chain_id}",
+            body.get("intent_breakdown") or "",
+            plan=body.get("plan"),
+            data_model=body.get("data_model"),
+            code=body.get("code"),
+            rank=rank,
+        )
+        return jsonify({"status": "ok", "accepted": bool(accepted)})

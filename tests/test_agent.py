@@ -625,3 +625,49 @@ def test_memory_save_load_roundtrip(spark, tmp_path):
     back = EpisodicMemory.load(spark, path)
     hit = back.retrieve("count orders per month in 1997")
     assert hit is not None and hit.plan == "the plan" and hit.rank == 9
+
+
+def test_image_input_reaches_llm_and_alters_code_path(spark):
+    """An attached base64 image travels to the routing/planning/codegen LLM
+    calls as a structured part (reference web_app/app.py:927-945 forwards
+    the /query image to vision-capable models) and can steer the generated
+    code; without an image the user payload stays a plain string."""
+    IMG_CODE = "```python\ndf = df.limit(3)\n```"
+    seen_payloads = []
+
+    def llm(system, user):
+        seen_payloads.append(user)
+        has_image = isinstance(user, list) and any(
+            isinstance(p, dict) and p.get("type") == "image" for p in user
+        )
+        if "route analytics questions" in system:
+            return EXPERT_DA
+        if "classify dataset questions" in system:
+            return ANALYST
+        if "analysis plans" in system:
+            return PLAN
+        if "write PySpark code" in system:
+            return IMG_CODE if has_image else GOOD_CODE
+        if "Summarize the analysis" in system:
+            return "done"
+        raise AssertionError(system[:60])
+
+    orders = load_table(spark, SF_DIR, "orders")
+    res = AgentOrchestrator(spark, llm).converse(
+        "Reproduce the aggregation shown in this chart", orders,
+        image="aW1hZ2VieXRlcw==",
+    )
+    assert res.ok and "limit(3)" in res.code
+    img_parts = [
+        p
+        for u in seen_payloads
+        if isinstance(u, list)
+        for p in u
+        if p.get("type") == "image"
+    ]
+    assert img_parts and all(p["data"] == "aW1hZ2VieXRlcw==" for p in img_parts)
+
+    seen_payloads.clear()
+    res2 = AgentOrchestrator(spark, llm).converse("Count orders per month in 1997", orders)
+    assert "groupBy" in res2.code
+    assert all(isinstance(u, str) for u in seen_payloads)

@@ -93,3 +93,212 @@ def test_missing_field_is_400_not_404(client):
     assert r.status_code == 400
     r2 = client.post("/df_utils/df_summary", json={})
     assert r2.status_code == 400
+
+
+# ----------------------------------------------------- conversational /query
+# (reference web_app/app.py:927-971 + web_output_manager.py:13-76 — the
+# chunked-stream lifecycle entry point, driven with a scripted LLM and the
+# same fake matplotlib the executor plot tests use)
+
+from tests.test_agent import ANALYST, EXPERT_DA, PLAN, ScriptedLLM  # noqa: E402
+
+QUERY_CODE = (
+    "```python\n"
+    "import matplotlib.pyplot as plt\n"
+    "result = (df.filter(F.year('o_orderdate') == 1997)\n"
+    "        .groupBy(F.date_format(F.date_trunc('month', 'o_orderdate'),"
+    " 'yyyy-MM').alias('order_month'))\n"
+    "        .agg(F.count(F.lit(1)).alias('order_count'))\n"
+    "        .orderBy('order_month'))\n"
+    "for row in result.limit(100).collect():\n"
+    "    print(row['order_month'], row['order_count'])\n"
+    "fig = plt.figure()\n"
+    "df = result\n"
+    "```"
+)
+SUMMARY_TEXT = "Monthly 1997 order counts computed from the orders table."
+
+
+@pytest.fixture()
+def fake_mpl(monkeypatch):
+    """Minimal fake matplotlib so the real plot-harvest path runs (the lib
+    doesn't ship in this container) — mirrors tests/test_executor.py."""
+    import sys
+    import types
+
+    figs = {}
+
+    class _Fig:
+        def __init__(self, num):
+            self.number = num
+            self.axes = [object()]
+
+        def savefig(self, buf, format):  # noqa: A002
+            buf.write(b"PNGBYTES-%d" % self.number)
+
+    mpl = types.ModuleType("matplotlib")
+    plt = types.ModuleType("matplotlib.pyplot")
+    mpl.use = lambda *a, **k: None
+    mpl.pyplot = plt
+    plt.ioff = lambda: None
+    plt.get_fignums = lambda: sorted(figs)
+
+    def _figure(num=None):
+        if num is None:
+            num = max(figs, default=0) + 1
+        return figs.setdefault(num, _Fig(num))
+
+    plt.figure = _figure
+    plt.close = lambda fig: figs.pop(fig.number, None)
+    monkeypatch.setitem(sys.modules, "matplotlib", mpl)
+    monkeypatch.setitem(sys.modules, "matplotlib.pyplot", plt)
+    return plt
+
+
+def _query_llm():
+    return ScriptedLLM(
+        {
+            "route analytics questions": EXPERT_DA,
+            "classify dataset questions": ANALYST,
+            "analysis plans": PLAN,
+            "write PySpark code": QUERY_CODE,
+            "Summarize the analysis": SUMMARY_TEXT,
+        }
+    )
+
+
+def test_query_streams_event_sequence_with_oracle_exact_result(
+    spark, ddb, tmp_path, fake_mpl
+):
+    """POST /query returns a chunked stream of JSON lines in the reference's
+    order — identity event, thoughts, executor result, summary tokens,
+    plots, terminal rank_data — and the executed result matches the DuckDB
+    oracle byte-for-byte."""
+    app = create_app(
+        spark,
+        upload_dir=str((tmp_path / "up").mkdir(exist_ok=True) or (tmp_path / "up")),
+        llm=_query_llm(),
+        agent_store_dir=str(tmp_path / "threads"),
+    )
+    app.config["TESTING"] = True
+    client = app.test_client()
+
+    with open(f"{SF_DIR}/orders.parquet", "rb") as f:
+        r = client.post(
+            "/upload_dataset",
+            data={"file": (io.BytesIO(f.read()), "orders.parquet"),
+                  "df_name": "orders_q"},
+            content_type="multipart/form-data",
+        )
+    assert r.status_code == 200
+
+    r = client.post(
+        "/query",
+        json={
+            "query": "Count the number of orders per month in 1997",
+            "df_name": "orders_q",
+            "thread_id": "web1",
+        },
+    )
+    assert r.status_code == 200
+    lines = [l for l in r.get_data(as_text=True).splitlines() if l.strip()]
+    events = [json.loads(l) for l in lines]
+
+    # 1. identity first, tagged with the new chain
+    assert events[0] == {
+        "type": "id", "thread_id": "web1", "chain_id": "1",
+        "df_name": "orders_q",
+    }
+    # 2. thoughts precede the result; code thought carries the generated code
+    kinds = []
+    for e in events:
+        if "thought" in e:
+            kinds.append("thought")
+        elif e.get("type") == "result":
+            kinds.append("result")
+        elif "text" in e:
+            kinds.append("text")
+        elif e.get("type") == "plot":
+            kinds.append("plot")
+        elif "rank_data" in e:
+            kinds.append("rank")
+        else:
+            kinds.append(e.get("type", "?"))
+    assert kinds[0] == "?" or True  # events[0] is the id event
+    order = [k for k in kinds if k in ("thought", "result", "text", "plot", "rank")]
+    # thoughts → result → summary tokens → plot → rank, no interleaving
+    import itertools as _it
+
+    grouped = [k for k, _ in _it.groupby(order)]
+    assert grouped == ["thought", "result", "text", "plot", "rank"], order
+    code_thoughts = [e["thought"] for e in events if "thought" in e]
+    assert any("Generated code" in t and "groupBy" in t for t in code_thoughts)
+    assert all(
+        e.get("chain_id") == "1" for e in events if "thought" in e or "text" in e
+    )
+
+    # 3. executor stdout is oracle-exact against DuckDB on the same table
+    [result_event] = [e for e in events if e.get("type") == "result"]
+    want = ddb.execute(
+        "SELECT strftime(o_orderdate, '%Y-%m') AS m, COUNT(*) AS c "
+        "FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    want_lines = [f"{m} {c}" for m, c in want]
+    assert result_event["stdout"].splitlines() == want_lines
+    assert len(want_lines) == 12
+
+    # 4. summary tokens reassemble exactly; plot is the harvested PNG
+    summary = "".join(e["text"] for e in events if "text" in e)
+    assert summary == SUMMARY_TEXT
+    [plot_event] = [e for e in events if e.get("type") == "plot"]
+    assert plot_event["format"] == "png"
+
+    # 5. terminal rank_data carries the chain metadata for /submit_rank
+    assert "rank_data" in events[-1]
+    rank = events[-1]["rank_data"]
+    assert rank["chain_id"] == "1" and rank["ok"] is True
+    assert "groupBy" in rank["code"]
+    assert rank["intent_breakdown"]
+
+    # the chain was persisted like any library-mode ask()
+    import os
+
+    assert os.path.exists(str(tmp_path / "threads"))
+
+
+def test_query_user_code_path_and_submit_rank_disabled(spark, ddb, tmp_path):
+    """user_code skips routing/codegen (reference app.py:938-939) and the
+    stream still terminates with rank_data; /submit_rank without a memory
+    reports it disabled."""
+    app = create_app(
+        spark,
+        upload_dir=str((tmp_path / "up").mkdir(exist_ok=True) or (tmp_path / "up")),
+        llm=_query_llm(),
+        agent_store_dir=str(tmp_path / "threads"),
+    )
+    app.config["TESTING"] = True
+    client = app.test_client()
+    with open(f"{SF_DIR}/orders.parquet", "rb") as f:
+        client.post(
+            "/upload_dataset",
+            data={"file": (io.BytesIO(f.read()), "orders.parquet"),
+                  "df_name": "orders_u"},
+            content_type="multipart/form-data",
+        )
+    r = client.post(
+        "/query",
+        json={
+            "query": "",
+            "df_name": "orders_u",
+            "thread_id": "web2",
+            "user_code": "df = df.limit(7)",
+        },
+    )
+    events = [json.loads(l) for l in r.get_data(as_text=True).splitlines() if l.strip()]
+    assert events[0].get("type") == "id"
+    assert "rank_data" in events[-1]
+    assert events[-1]["rank_data"]["ok"] is True
+    assert events[-1]["rank_data"]["code"] == "df = df.limit(7)"
+
+    r2 = client.post("/submit_rank", json={"rank": 9, "chain_id": "1"})
+    assert r2.get_json() == {"status": "memory disabled"}
