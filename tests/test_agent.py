@@ -4,6 +4,8 @@ codegen → sandbox → result → summary, plus the self-healing retry loop."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -671,3 +673,202 @@ def test_image_input_reaches_llm_and_alters_code_path(spark):
     res2 = AgentOrchestrator(spark, llm).converse("Count orders per month in 1997", orders)
     assert "groupBy" in res2.code
     assert all(isinstance(u, str) for u in seen_payloads)
+
+
+# ------------------------------------------------ calculator + search fallback
+# (reference google_search.py:40-90 SmartSearchOrchestrator actions,
+# :301-366 GeminiSearch alternative backend, :370-377 Calculator)
+
+
+def test_safe_calculate_whitelist():
+    from bambooai_spark.agent.tools import safe_calculate
+
+    assert safe_calculate("(17.5*4)/3") == str((17.5 * 4) / 3)
+    assert safe_calculate("2**10") == "1024"
+    assert safe_calculate("sqrt(144) + abs(-6)") == "18.0"
+    assert safe_calculate("round(pi, 2)") == "3.14"
+    assert safe_calculate("-3 % 5") == "2"
+    # the reference's bare eval would execute all of these; the AST
+    # whitelist rejects them with an error STRING (contract: never raises)
+    assert "whitelisted" in safe_calculate("__import__('os').system('id')")
+    assert "unknown name" in safe_calculate("x + 1")
+    assert "whitelisted" in safe_calculate("(lambda: 1)()")
+    assert "disallowed" in safe_calculate("[1,2][0]")
+    assert "exponent out of range" in safe_calculate("9**9**9")
+    assert "division by zero" in safe_calculate("1/0")
+    assert safe_calculate("min(3, 2, max(1, 0))") == "1"
+
+
+def test_tool_loop_calculate_action_line_and_fenced():
+    """calculate is available without registration, via BOTH syntaxes:
+    the reference's 'Action: calculate: <expr>' line and the fenced
+    tool_call JSON."""
+    from bambooai_spark.agent.tools import run_tool_loop
+
+    responses = [
+        "Thought: I should compute this.\nAction: calculate: (4+5)*2",
+        '```tool_call\n{"tool": "calculate",'
+        ' "arguments": {"expression": "18/3"}}\n```',
+        "The answer is 18 then 6.0.",
+    ]
+    seen = []
+
+    def llm(system, user):
+        seen.append(user)
+        return responses[len(seen) - 1]
+
+    out = run_tool_loop(llm, "sys", "Q", {})
+    assert out == "The answer is 18 then 6.0."
+    assert "[tool calculate returned]\n18" in seen[1]
+    assert "[tool calculate returned]\n6.0" in seen[2]
+
+
+def test_tool_loop_grounded_search_fallback():
+    """A raising google_search falls back to the registered grounded_search
+    backend with the same query — one dispatch, two backends (reference
+    WEB_SEARCH_MODE switch)."""
+    from bambooai_spark.agent.tools import run_tool_loop
+
+    def broken_search(search_query):
+        raise RuntimeError("quota exhausted")
+
+    def grounded(search_query):
+        return f"grounded result for {search_query}"
+
+    responses = [
+        '```tool_call\n{"tool": "google_search",'
+        ' "arguments": {"search_query": "spark aqe"}}\n```',
+        "Answer from grounded search.",
+    ]
+    seen = []
+
+    def llm(system, user):
+        seen.append(user)
+        return responses[len(seen) - 1]
+
+    out = run_tool_loop(
+        llm, "sys", "Q",
+        {"google_search": broken_search, "grounded_search": grounded},
+    )
+    assert out == "Answer from grounded search."
+    assert "[tool grounded_search returned]\ngrounded result for spark aqe" in seen[1]
+
+
+def test_tool_loop_search_failure_without_fallback_reports_error():
+    from bambooai_spark.agent.tools import run_tool_loop
+
+    def broken_search(search_query):
+        raise RuntimeError("quota exhausted")
+
+    responses = [
+        '```tool_call\n{"tool": "google_search",'
+        ' "arguments": {"search_query": "x"}}\n```',
+        "Could not search.",
+    ]
+    seen = []
+
+    def llm(system, user):
+        seen.append(user)
+        return responses[len(seen) - 1]
+
+    out = run_tool_loop(llm, "sys", "Q", {"google_search": broken_search})
+    assert out == "Could not search."
+    assert "error: google_search failed: quota exhausted" in seen[1]
+
+
+# -------------------------------------------------- provider adapter seam
+# (reference bambooai/models/*.py — proven against the public OpenAI
+# chat-completions wire format with a recorded fixture, no network)
+
+OPENAI_FIXTURE = {
+    "id": "chatcmpl-fixture",
+    "object": "chat.completion",
+    "model": "gpt-4o-mini",
+    "choices": [
+        {
+            "index": 0,
+            "message": {"role": "assistant",
+                        "content": "```python\ndf = df.limit(2)\n```"},
+            "finish_reason": "stop",
+        }
+    ],
+    "usage": {"prompt_tokens": 42, "completion_tokens": 12},
+}
+
+
+def test_openai_adapter_wire_contract():
+    from bambooai_spark.agent.providers import openai_adapter
+
+    sent = []
+
+    def fake_transport(body):
+        sent.append(body)
+        return OPENAI_FIXTURE
+
+    llm = openai_adapter(model="gpt-4o-mini", transport=fake_transport)
+    out = llm("You write PySpark code.", "Limit df to 2 rows")
+    assert out == "```python\ndf = df.limit(2)\n```"
+    [body] = sent
+    assert body["model"] == "gpt-4o-mini"
+    assert body["messages"][0] == {
+        "role": "system", "content": "You write PySpark code."
+    }
+    assert body["messages"][1] == {
+        "role": "user", "content": "Limit df to 2 rows"
+    }
+
+    # structured image parts map to the provider's data-URL content array
+    llm(
+        "sys",
+        [
+            {"type": "text", "text": "what is in this chart?"},
+            {"type": "image", "data": "QUJD"},
+        ],
+    )
+    content = sent[-1]["messages"][1]["content"]
+    assert content[0] == {"type": "text", "text": "what is in this chart?"}
+    assert content[1]["type"] == "image_url"
+    assert content[1]["image_url"]["url"] == "data:image/png;base64,QUJD"
+
+
+def test_openai_adapter_drives_full_agent_loop(spark):
+    """The adapter IS a valid engine LLM: a transport that routes on the
+    system prompt (standing in for the real model) drives the whole
+    orchestrator pipeline through the wire format."""
+    from bambooai_spark.agent.providers import openai_adapter
+
+    def respond(text):
+        return {"choices": [{"message": {"role": "assistant",
+                                         "content": text}}]}
+
+    def routing_transport(body):
+        system = body["messages"][0]["content"]
+        if "route analytics questions" in system:
+            return respond(EXPERT_DA)
+        if "classify dataset questions" in system:
+            return respond(ANALYST)
+        if "analysis plans" in system:
+            return respond(PLAN)
+        if "write PySpark code" in system:
+            return respond(GOOD_CODE)
+        if "Summarize the analysis" in system:
+            return respond("Computed.")
+        raise AssertionError(system[:60])
+
+    llm = openai_adapter(transport=routing_transport)
+    orders = load_table(spark, SF_DIR, "orders")
+    res = AgentOrchestrator(spark, llm).converse(
+        "Count orders per month in 1997", orders
+    )
+    assert res.ok and res.df.count() == 12
+
+
+@pytest.mark.skipif(
+    not os.environ.get("BAMBOOAI_SPARK_LIVE_LLM"),
+    reason="live-provider integration needs BAMBOOAI_SPARK_LIVE_LLM + key",
+)
+def test_openai_adapter_live():  # pragma: no cover - network
+    from bambooai_spark.agent.providers import openai_adapter
+
+    out = openai_adapter()("Reply with the single word OK.", "ping")
+    assert "OK" in out
