@@ -282,3 +282,41 @@ def scrub_pii(text: str | Column) -> dict[str, Column]:
         "<PHONE>",
     )
     return {**counts, "scrubbed": scrubbed}
+
+
+def quality_filter(
+    text: str | Column,
+    *,
+    min_words: int = 10,
+    max_words: int = 1000,
+    min_avg_word_len: float = 2.0,
+    max_avg_word_len: float = 12.0,
+    required_word: str = "the",
+) -> dict[str, Column]:
+    """Composite C4/Gopher-style keep-or-drop filter with a reason code.
+
+    The standard pre-training gate: word-count bounds, mean-word-length
+    bounds (Gopher's 3–10-char rule, loosened), and the C4 "contains a
+    common English word" check. ``reason`` is the FIRST failing rule (a
+    CASE chain, so the decision is deterministic and auditable);
+    ``keep`` = reason IS NULL. Pure column expressions — at 100 TB this is
+    a scan-side filter with zero shuffles."""
+    t = col_of(text)
+    w = tokens(t)
+    n = F.size(w)
+    avg_len = F.length(F.regexp_replace(t, r"\s", "")) / n
+    reason = (
+        F.when(n < min_words, F.lit("too_short"))
+        .when(n > max_words, F.lit("too_long"))
+        .when(avg_len < min_avg_word_len, F.lit("short_words"))
+        .when(avg_len > max_avg_word_len, F.lit("long_words"))
+        .when(
+            ~F.array_contains(w, required_word), F.lit("no_common_word")
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return {
+        "n_words": n.cast("long"),
+        "reason": reason,
+        "keep": reason.isNull(),
+    }

@@ -42,12 +42,15 @@ from bambooai_spark.functions.aggregates import (
 )
 from bambooai_spark.functions.text import (
     token_stats,
+    tokens,
     quality_features,
+    quality_filter,
     predict_lang,
     fingerprint,
     LANG_MARKERS,
     LANG_ORDER,
 )
+from bambooai_spark.operators.shuffle import shuffle_shards
 from bambooai_spark.operators.dedup import (
     exact_dedup,
     jaccard_near_dup,
@@ -3413,6 +3416,118 @@ def jaccard_blocked_docs(spark, sf_dir):
         strategy="dense",
         dense_broadcast_max=0,
         dense_block_docs=1024,
+    )
+
+
+@spec(
+    "shuffle_shards_docs",
+    r"""
+    WITH k AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key FROM documents),
+    s AS (
+      SELECT doc_id, key,
+             CAST(list_reduce(
+                    list_transform(
+                      regexp_split_to_array(substr(key, 1, 8), ''),
+                      c -> strpos('0123456789abcdef', c) - 1)::BIGINT[],
+                    (acc, d) -> acc * 16 + d) % 16 AS INT) AS shard
+      FROM k)
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+    headline=True,
+    doc="Deterministic global shuffle for training runs: md5-of-id keys a "
+    "reproducible permutation, bucketed into shards (pure column expr, no "
+    "shuffle) with a per-shard rank (ONE hash-partitioned window, "
+    "n_shards-way parallel). No global sort anywhere; at 100 TB write "
+    "partitionBy(shard) with n_shards >> executors. md5 (not xxhash64) so "
+    "any external reader — including the oracle — reproduces the order.",
+)
+def shuffle_shards_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return shuffle_shards(d, "doc_id", n_shards=16).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@spec(
+    "quality_filter_docs",
+    r"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,
+             length(regexp_replace(text, '\s', '', 'g'))
+               / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) AS avg_len,
+             list_contains(regexp_split_to_array(text, '\s+'), 'the') AS has_common
+      FROM documents)
+    SELECT doc_id, n_words,
+           CASE WHEN n_words < 10 THEN 'too_short'
+                WHEN n_words > 1000 THEN 'too_long'
+                WHEN avg_len < 2.0 THEN 'short_words'
+                WHEN avg_len > 12.0 THEN 'long_words'
+                WHEN NOT has_common THEN 'no_common_word'
+           END AS reason,
+           CASE WHEN n_words < 10 THEN FALSE
+                WHEN n_words > 1000 THEN FALSE
+                WHEN avg_len < 2.0 THEN FALSE
+                WHEN avg_len > 12.0 THEN FALSE
+                WHEN NOT has_common THEN FALSE
+                ELSE TRUE END AS keep
+    FROM f
+    """,
+    headline=True,
+    doc="Composite C4/Gopher quality gate with auditable reason codes: "
+    "word-count bounds, mean-word-length bounds, required-common-word "
+    "check, first failing rule wins. Pure scan-side column expressions — "
+    "zero shuffles at any scale.",
+)
+def quality_filter_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    qf = quality_filter("text")
+    return d.select(
+        "doc_id",
+        qf["n_words"].alias("n_words"),
+        qf["reason"].alias("reason"),
+        qf["keep"].alias("keep"),
+    )
+
+
+@spec(
+    "unigram_logprob_docs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS w
+      FROM documents),
+    f AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY w),
+    t AS (SELECT SUM(c) AS tot FROM f)
+    SELECT tok.doc_id, ROUND(AVG(ln(f.c / t.tot)), 6) AS logprob
+    FROM tok JOIN f USING (w), t
+    GROUP BY tok.doc_id
+    """,
+    headline=True,
+    doc="Perplexity-proxy quality score: corpus-derived unigram LM, "
+    "per-doc mean log-probability (the cheap stand-in for the KenLM pass "
+    "in CCNet-style pipelines). Two-stage plan: token counts aggregate "
+    "map-side; the unigram table (vocab-sized, tiny next to the corpus) "
+    "broadcasts back onto the token stream — the corpus shuffles once, on "
+    "the doc key, for the final mean.",
+)
+def unigram_logprob_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    freq = tok.groupBy("w").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    total = freq.agg(F.sum("c").alias("tot"))
+    p = freq.crossJoin(F.broadcast(total)).select(
+        "w", (F.col("c") / F.col("tot")).alias("p")
+    )
+    return (
+        tok.join(F.broadcast(p), "w")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log("p")), 6).alias("logprob"))
     )
 
 
