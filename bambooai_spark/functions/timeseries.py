@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
+from bambooai_spark.caching import track
 from bambooai_spark.numeric import col_of, dec, epoch_us
 
 
@@ -423,7 +424,7 @@ def multi_grain_rollup(
                 .agg(F.sum("_n").alias("_n"), F.sum("_v").alias("_v"))
             )
         if materialize and i < len(grains) - 1:
-            level = level.persist()
+            level = track(level.persist())
         out_levels.append(
             level.select(
                 F.lit(g).alias("grain"),

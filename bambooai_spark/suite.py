@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from bambooai_spark.caching import track
 from bambooai_spark.io import load_table
 from bambooai_spark.numeric import dec, dsum, dmean, epoch_us, sql_dsum
 from bambooai_spark.functions.timeseries import (
@@ -2947,7 +2948,7 @@ def passage_dup_docs(spark, sf_dir):
     ).otherwise(F.array().cast("array<string>"))
     # postings read twice (block-hash df + probe join) — persist the narrow
     # (doc_id, hash) relation so the split/md5 array work runs once
-    b = dr.select("doc_id", F.explode(blocks).alias("h")).persist()
+    b = track(dr.select("doc_id", F.explode(blocks).alias("h")).persist())
     f = b.groupBy("h").agg(F.count_distinct("doc_id").alias("ddf"))
     per = (
         b.join(f, "h")
@@ -3007,9 +3008,11 @@ def boilerplate_docs(spark, sf_dir):
     # the two narrow columns so the shingle regex work runs once, not twice
     # (same barrier the winnowing join uses — recompute costs more than the
     # (doc_id, sh) cache at any scale)
-    t = dr.select(
-        "doc_id", F.explode(word_shingles("text", 3)).alias("sh")
-    ).persist()
+    t = track(
+        dr.select(
+            "doc_id", F.explode(word_shingles("text", 3)).alias("sh")
+        ).persist()
+    )
     f = t.groupBy("sh").agg(F.count(F.lit(1)).alias("ddf"))
     frac = (F.col("n_boiler") / F.col("n_3grams").cast("double")).cast(
         "decimal(18,9)"
