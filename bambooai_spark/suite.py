@@ -93,6 +93,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition ONLY when the scan is under-parallel (local testdata is
+    one parquet split, so per-row compute like shingling would run on one
+    core). At real scale the table is many splits and this is a no-op —
+    an unconditional repartition would shuffle the full text column of a
+    100 TB table for nothing."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 # ---- shared SQL fragments (keep the oracle in lockstep with numeric.py) ----
 
 D2 = "DECIMAL(18,2)"
@@ -2102,7 +2115,7 @@ def repetition_docs(spark, sf_dir):
         ),
     ).otherwise(F.array().cast("array<string>"))
     # fan the per-row bigram explode out of the single-row-group scan task
-    tok = d.repartition(spark.sparkContext.defaultParallelism).select(
+    tok = _spread(d).select(
         "doc_id", F.explode(bgs).alias("bg")
     )
     stats = (
@@ -2248,7 +2261,7 @@ def winnow_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     # single-row-group testdata parquet scans as ONE task; fan the heavy
     # per-row fingerprint compute across cores before evaluating it
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = _spread(d)
     staged = winnow_fingerprints(d, "text", k=5, w=4, out="fps")
     fps = F.col("fps")
     return staged.select(
@@ -2290,7 +2303,7 @@ def winnow_pairs_docs(spark, sf_dir):
     from bambooai_spark.operators.dedup import winnow_near_dup
 
     d = _t(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = _spread(d)
     return winnow_near_dup(d, "doc_id", "text", k=5, w=4, threshold=0.3)
 
 
@@ -2332,7 +2345,7 @@ def jaccard_pairs_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     # local testdata is one small parquet split; spread the shingle compute
     # across cores (at real scale the table is many splits and this is moot)
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = _spread(d)
     return jaccard_near_dup(d, "doc_id", "text", n=2, threshold=0.4)
 
 
@@ -2360,7 +2373,7 @@ def jaccard_pairs_docs(spark, sf_dir):
 )
 def dedup_clusters_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = _spread(d)
     pairs = jaccard_near_dup(d, "doc_id", "text", n=2, threshold=0.4)
     cc = connected_components(
         d.select("doc_id"), pairs, node_col="doc_id",
@@ -2382,7 +2395,7 @@ def dedup_clusters_docs(spark, sf_dir):
 )
 def minhash_near_dup_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = _spread(d)
     return minhash_near_dup(d, "doc_id", "text", n=2, threshold=0.4)
 
 
@@ -2408,7 +2421,7 @@ def simhash_near_dup_docs(spark, sf_dir):
     from bambooai_spark.operators.dedup import simhash_near_dup
 
     d = _t(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = _spread(d)
     return simhash_near_dup(d, "doc_id", "text", max_hamming=6)
 
 
@@ -2934,7 +2947,7 @@ def domain_mix_docs(spark, sf_dir):
 )
 def passage_dup_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    dr = d.repartition(spark.sparkContext.defaultParallelism)
+    dr = _spread(d)
     w = F.split(F.col("text"), r"\s+")
     nb = F.floor(F.size(w) / 10).cast("int")
     blocks = F.when(
@@ -3003,7 +3016,7 @@ def boilerplate_docs(spark, sf_dir):
     from bambooai_spark.functions.text import word_shingles
 
     d = _t(spark, sf_dir, "documents")
-    dr = d.repartition(spark.sparkContext.defaultParallelism)
+    dr = _spread(d)
     # the postings feed both the df aggregation and the probe join; persist
     # the two narrow columns so the shingle regex work runs once, not twice
     # (same barrier the winnowing join uses — recompute costs more than the
@@ -3409,7 +3422,7 @@ def q21_sole_fault_supplier(spark, sf_dir):
 )
 def jaccard_blocked_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = _spread(d)
     return jaccard_near_dup(
         d,
         "doc_id",
