@@ -335,3 +335,31 @@ def test_pack_docs_parallel_by_stream(spark):
     # column pruning: the text column feeds only the length computation; the
     # scan must not read more than (doc_id, text, lang)
     assert "n_chars" not in plan.split("ReadSchema")[-1]
+
+
+def test_shuffle_shards_no_single_partition_pruned_scan(spark):
+    """The deterministic shuffle's only exchange is the n_shards-way hash
+    partitioning for the per-shard window — never a SinglePartition sort —
+    and the scan reads just the columns the permutation needs."""
+    df = _build(spark, "shuffle_shards_docs")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    assert_no_cartesian(df)
+
+
+def test_quality_filter_zero_shuffles(spark):
+    """The composite quality gate is scan-side: no exchange anywhere."""
+    df = _build(spark, "quality_filter_docs")
+    flags = plan_flags(df)
+    assert flags["n_exchanges"] == 0, flags
+    # reads only (doc_id, text) of the 5-column table
+    assert_pruned_scan(df, table_cols=5, max_read_cols=2)
+
+
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The vocab-sized probability relation must broadcast back onto the
+    token stream — the corpus itself shuffles only on the doc key for the
+    final mean."""
+    flags = plan_flags(_build(spark, "unigram_logprob_docs"))
+    assert flags["n_broadcast_joins"] >= 1
+    assert flags["n_shuffle_joins"] == 0, flags
