@@ -28,6 +28,15 @@ too (reference web_app/app.py:927-971 + web_output_manager.py:13-76):
 - POST /submit_rank   {rank, chain_id, intent_breakdown?, plan?, code?} →
   writes the ranked solution to episodic memory when one is configured
   (reference app.py:976-1001), else reports memory disabled.
+- Thread/chain management (reference app.py:1062-1313): GET /get_threads,
+  GET /load_thread/<t>/<c> (restores the session to that chain's state),
+  GET /get_chain_preview/<t>/<c>, DELETE /delete_chain/<t>/<c>,
+  POST /new_conversation, POST /search_threads {query}.
+- Agent config (reference app.py:430-565): POST /update_planning
+  {enabled} / GET /get_planning_state, POST /update_ontology {ontology} /
+  GET /get_ontology_state (the stored ontology feeds every /query chain).
+- POST /remove_dataset {df_name} — registry removal (reference
+  /remove_primary_dataset + /remove_auxiliary_dataset).
 
 The reference needs a thread-locked 1-slot DataFrame cache because pandas
 frames are mutable process state; here the registry is catalog-backed and
@@ -128,6 +137,16 @@ def create_app(
         name = registry.register_file(path, request.form.get("df_name"))
         return jsonify({"df_name": name})
 
+    @app.post("/remove_dataset")
+    def remove_dataset():
+        # reference /remove_primary_dataset + /remove_auxiliary_dataset:
+        # one registry, one removal path
+        body = request.get_json(force=True)
+        name = _field(body, "df_name")
+        _df(name)  # 404 on unknown
+        registry.drop(name)
+        return jsonify({"status": "ok"})
+
     @app.post("/df_utils/df_summary")
     def df_summary():
         body = request.get_json(force=True)
@@ -201,11 +220,17 @@ def _add_agent_routes(app, spark, llm, _df, _field, agent_store_dir, memory):
     # BambooAI instance per web session the same way (app.py:176-199)
     sessions: dict[str, AgentSession] = {}
 
+    # app-level agent config (reference /update_planning + /update_ontology
+    # keep these per web session; one shared state here)
+    state: dict = {"planning": True, "ontology": None}
+
     def _session(thread_id: str) -> AgentSession:
         sess = sessions.get(thread_id)
         if sess is None:
             sess = AgentSession(
-                AgentOrchestrator(spark, llm, memory=memory),
+                AgentOrchestrator(
+                    spark, llm, memory=memory, planning=state["planning"]
+                ),
                 store,
                 thread_id=thread_id,
             )
@@ -235,7 +260,13 @@ def _add_agent_routes(app, spark, llm, _df, _field, agent_store_dir, memory):
                         user_code, df, question=question or None
                     )
                 else:
-                    r = sess.ask(question, df, df_name=df_name, image=image)
+                    r = sess.ask(
+                        question,
+                        df,
+                        df_name=df_name,
+                        image=image,
+                        ontology=state["ontology"],
+                    )
                 out.rank_data(
                     {
                         "thread_id": thread_id,
@@ -281,3 +312,111 @@ def _add_agent_routes(app, spark, llm, _df, _field, agent_store_dir, memory):
             rank=rank,
         )
         return jsonify({"status": "ok", "accepted": bool(accepted)})
+
+    # -- thread/chain management (reference app.py:1062-1313) ---------
+
+    @app.get("/get_threads")
+    def get_threads():
+        out = []
+        for tid in store.threads():
+            chains = store.load_thread(tid)["chains"]
+            out.append(
+                {
+                    "thread_id": tid,
+                    "chains": [
+                        {
+                            "chain_id": cid,
+                            "question": (rec or {}).get("question"),
+                            "ok": (rec or {}).get("ok"),
+                        }
+                        for cid, rec in sorted(chains.items())
+                    ],
+                }
+            )
+        return jsonify({"threads": out})
+
+    @app.get("/load_thread/<thread_id>/<chain_id>")
+    def load_thread(thread_id, chain_id):
+        sess = _session(thread_id)
+        if not sess.restore(chain_id):
+            return jsonify({"error": "unknown chain"}), 404
+        return jsonify(
+            {
+                "thread_id": thread_id,
+                "chain_id": chain_id,
+                "record": store.load_chain(thread_id, chain_id),
+            }
+        )
+
+    @app.get("/get_chain_preview/<thread_id>/<chain_id>")
+    def get_chain_preview(thread_id, chain_id):
+        rec = store.load_chain(thread_id, chain_id)
+        if rec is None:
+            return jsonify({"error": "unknown chain"}), 404
+        return jsonify(
+            {
+                "question": rec.get("question"),
+                "summary": rec.get("summary"),
+                "code": rec.get("executed_code"),
+                "ok": rec.get("ok"),
+            }
+        )
+
+    @app.delete("/delete_chain/<thread_id>/<chain_id>")
+    def delete_chain(thread_id, chain_id):
+        if not store.delete_chain(thread_id, chain_id):
+            return jsonify({"error": "unknown chain"}), 404
+        return jsonify({"status": "ok"})
+
+    @app.post("/new_conversation")
+    def new_conversation():
+        body = request.get_json(force=True)
+        thread_id = str(body.get("thread_id", "default"))
+        if thread_id in sessions:
+            sessions[thread_id].reset()
+        return jsonify({"status": "ok", "thread_id": thread_id})
+
+    @app.post("/search_threads")
+    def search_threads():
+        body = request.get_json(force=True)
+        q = str(_field(body, "query")).lower()
+        hits = []
+        for tid in store.threads():
+            for cid, rec in store.load_thread(tid)["chains"].items():
+                hay = " ".join(
+                    str((rec or {}).get(k) or "")
+                    for k in ("question", "intent", "summary")
+                ).lower()
+                if q in hay:
+                    hits.append(
+                        {
+                            "thread_id": tid,
+                            "chain_id": cid,
+                            "question": (rec or {}).get("question"),
+                        }
+                    )
+        return jsonify({"results": hits})
+
+    # -- agent config toggles (reference app.py:430-565) --------------
+
+    @app.post("/update_planning")
+    def update_planning():
+        body = request.get_json(force=True)
+        state["planning"] = bool(_field(body, "enabled"))
+        for sess in sessions.values():
+            sess.orch.planning = state["planning"]
+        return jsonify({"planning": state["planning"]})
+
+    @app.get("/get_planning_state")
+    def get_planning_state():
+        return jsonify({"planning": state["planning"]})
+
+    @app.post("/update_ontology")
+    def update_ontology():
+        body = request.get_json(force=True)
+        state["ontology"] = body.get("ontology") or None
+        return jsonify({"ontology_set": state["ontology"] is not None})
+
+    @app.get("/get_ontology_state")
+    def get_ontology_state():
+        return jsonify({"ontology_set": state["ontology"] is not None})

@@ -47,6 +47,23 @@ class InteractionStore:
     def load_chain(self, thread_id: str, chain_id: str) -> dict | None:
         return self.load_thread(thread_id)["chains"].get(str(chain_id))
 
+    def delete_chain(self, thread_id: str, chain_id: str) -> bool:
+        """Remove one chain (reference storage_manager delete flow); the
+        thread file disappears with its last chain. Returns whether the
+        chain existed."""
+        data = self.load_thread(thread_id)
+        if str(chain_id) not in data["chains"]:
+            return False
+        del data["chains"][str(chain_id)]
+        path = self._path(thread_id)
+        if data["chains"]:
+            self._atomic_write(
+                path, {"thread_id": thread_id, "chains": data["chains"]}
+            )
+        elif os.path.exists(path):
+            os.unlink(path)
+        return True
+
     def threads(self) -> list[str]:
         return sorted(
             f[len("thread_") : -len(".json")]

@@ -302,3 +302,90 @@ def test_query_user_code_path_and_submit_rank_disabled(spark, ddb, tmp_path):
 
     r2 = client.post("/submit_rank", json={"rank": 9, "chain_id": "1"})
     assert r2.get_json() == {"status": "memory disabled"}
+
+
+def test_thread_management_and_config_routes(spark, tmp_path):
+    """The reference's thread/chain management + agent-config endpoints
+    (app.py:430-565, 1062-1313) over the InteractionStore-backed sessions:
+    list, preview, search, restore, delete, reset; planning toggle changes
+    whether the planner LLM ever runs; a stored ontology flows into the
+    chain."""
+    llm = ScriptedLLM(
+        {
+            "route analytics questions": EXPERT_DA,
+            "classify dataset questions": ANALYST,
+            "analysis plans": PLAN,
+            "distill a semantic data model": (
+                "```yaml\nkeys: [o_orderdate]\n```"
+            ),
+            "write PySpark code": (
+                "```python\ndf = df.limit(5)\n```"
+            ),
+            "Summarize the analysis": "Five rows.",
+        }
+    )
+    up = tmp_path / "up"; up.mkdir()
+    app = create_app(
+        spark, upload_dir=str(up), llm=llm,
+        agent_store_dir=str(tmp_path / "threads"),
+    )
+    app.config["TESTING"] = True
+    client = app.test_client()
+    with open(f"{SF_DIR}/orders.parquet", "rb") as f:
+        client.post(
+            "/upload_dataset",
+            data={"file": (io.BytesIO(f.read()), "orders.parquet"),
+                  "df_name": "orders_m"},
+            content_type="multipart/form-data",
+        )
+
+    # ontology set → the inspector stage runs inside the chain
+    r = client.post("/update_ontology", json={"ontology": ":orders a :Table ."})
+    assert r.get_json() == {"ontology_set": True}
+    assert client.get("/get_ontology_state").get_json() == {"ontology_set": True}
+    r = client.post(
+        "/query",
+        json={"query": "limit orders", "df_name": "orders_m", "thread_id": "tm"},
+    )
+    events = [json.loads(l) for l in r.get_data(as_text=True).splitlines() if l.strip()]
+    assert events[-1]["rank_data"]["ok"] is True
+    assert any("Ontology:" in u for _s, u in llm.calls)
+
+    # threads listing + preview + search
+    got = client.get("/get_threads").get_json()["threads"]
+    [t] = [t for t in got if t["thread_id"] == "tm"]
+    assert t["chains"][0]["chain_id"] == "1" and t["chains"][0]["ok"] is True
+    prev = client.get("/get_chain_preview/tm/1").get_json()
+    assert prev["ok"] is True and "limit(5)" in prev["code"]
+    assert prev["summary"] == "Five rows."
+    hits = client.post("/search_threads", json={"query": "limit orders"}).get_json()["results"]
+    assert {"thread_id": "tm", "chain_id": "1", "question": "limit orders"} in hits
+    assert client.post("/search_threads", json={"query": "zzz-nope"}).get_json()["results"] == []
+
+    # restore + reset + delete
+    assert client.get("/load_thread/tm/1").status_code == 200
+    assert client.get("/load_thread/tm/99").status_code == 404
+    assert client.post("/new_conversation", json={"thread_id": "tm"}).status_code == 200
+    assert client.delete("/delete_chain/tm/1").get_json() == {"status": "ok"}
+    assert client.delete("/delete_chain/tm/1").status_code == 404
+    assert client.get("/get_chain_preview/tm/1").status_code == 404
+
+    # planning toggle: disable → planner prompt never called on a fresh
+    # thread whose scripted LLM has no planner entry
+    llm.responses.pop("analysis plans")
+    r = client.post("/update_planning", json={"enabled": False})
+    assert r.get_json() == {"planning": False}
+    assert client.get("/get_planning_state").get_json() == {"planning": False}
+    client.post("/update_ontology", json={"ontology": None})
+    r = client.post(
+        "/query",
+        json={"query": "limit orders again", "df_name": "orders_m",
+              "thread_id": "tm2"},
+    )
+    events = [json.loads(l) for l in r.get_data(as_text=True).splitlines() if l.strip()]
+    rank = events[-1]["rank_data"]
+    assert rank["ok"] is True and rank["plan"] is None
+
+    # dataset removal 404s afterward
+    assert client.post("/remove_dataset", json={"df_name": "orders_m"}).status_code == 200
+    assert client.post("/df_utils/df_summary", json={"df_name": "orders_m"}).status_code == 404
