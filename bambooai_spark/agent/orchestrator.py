@@ -60,6 +60,9 @@ class AgentResult:
     ok: bool = True  # final execution succeeded (prose answers are ok=True)
     # plots-as-data harvested by the sandbox (ExecutionResult.plots)
     plots: list[dict] = field(default_factory=list)
+    # files generated code wrote under generated_datasets_path (A-layer
+    # "generated datasets" contract, reference code_executor.py:187-199)
+    generated_datasets: list[str] = field(default_factory=list)
 
 
 class AgentOrchestrator:
@@ -197,7 +200,12 @@ class AgentOrchestrator:
     # -- entry points -------------------------------------------------
 
     def run_user_code(
-        self, code: str, df: DataFrame, *, question: str | None = None
+        self,
+        code: str,
+        df: DataFrame,
+        *,
+        question: str | None = None,
+        generated_datasets_path: str | None = None,
     ) -> AgentResult:
         """Lifecycle entry 3 (reference bambooai.py:616-623 ``user_code``):
         the user supplies the code, so routing, planning, memory retrieval,
@@ -210,7 +218,10 @@ class AgentOrchestrator:
         ctx = self._context(df)
         errors: list[str] = []
         corrections = 0
-        res = self.executor.execute(code, df=df, spark=self.spark)
+        gdp = generated_datasets_path
+        res = self.executor.execute(
+            code, df=df, spark=self.spark, generated_datasets_path=gdp
+        )
         while not res.ok and corrections < MAX_ERROR_CORRECTIONS:
             errors.append(res.error)
             corrections += 1
@@ -218,7 +229,9 @@ class AgentOrchestrator:
                 code = self._correct_user_code(code, res.error, ctx)
             else:
                 code = self._correct(code, res.error, ctx)
-            res = self.executor.execute(code, df=df, spark=self.spark)
+            res = self.executor.execute(
+                code, df=df, spark=self.spark, generated_datasets_path=gdp
+            )
         if not res.ok:
             errors.append(res.error)
         summary = None
@@ -250,6 +263,7 @@ class AgentOrchestrator:
             errors=errors,
             ok=res.ok,
             plots=list(res.plots),
+            generated_datasets=list(res.generated_datasets),
         )
 
     def _aux_context(
@@ -294,6 +308,7 @@ class AgentOrchestrator:
         aux_datasets: list[str] | None = None,
         image: str | None = None,
         chain_id: str | None = None,
+        generated_datasets_path: str | None = None,
     ) -> AgentResult:
         out = self.output
         ctx = self._context(df)
@@ -351,7 +366,10 @@ class AgentOrchestrator:
             probe_df = sample
         else:
             probe_df = df
-        res = self.executor.execute(code, df=probe_df, spark=self.spark, extra_vars=ev)
+        res = self.executor.execute(
+            code, df=probe_df, spark=self.spark, extra_vars=ev,
+            generated_datasets_path=generated_datasets_path,
+        )
         while not res.ok and corrections < MAX_ERROR_CORRECTIONS:
             errors.append(res.error)
             corrections += 1
@@ -360,17 +378,26 @@ class AgentOrchestrator:
                 chain_id,
             )
             code = self._correct(code, res.error, ctx)
-            res = self.executor.execute(code, df=probe_df, spark=self.spark, extra_vars=ev)
+            res = self.executor.execute(
+                code, df=probe_df, spark=self.spark, extra_vars=ev,
+                generated_datasets_path=generated_datasets_path,
+            )
         if res.ok and sample is not None:
             # promote: the code runs clean on the sample — one full-data run
-            res = self.executor.execute(code, df=df, spark=self.spark, extra_vars=ev)
+            res = self.executor.execute(
+                code, df=df, spark=self.spark, extra_vars=ev,
+                generated_datasets_path=generated_datasets_path,
+            )
             if not res.ok:
                 # full-scale-only failure (e.g. overflow): one more repair
                 # round against the real error
                 errors.append(res.error)
                 corrections += 1
                 code = self._correct(code, res.error, ctx)
-                res = self.executor.execute(code, df=df, spark=self.spark, extra_vars=ev)
+                res = self.executor.execute(
+                    code, df=df, spark=self.spark, extra_vars=ev,
+                    generated_datasets_path=generated_datasets_path,
+                )
         if sample is not None:
             sample.unpersist()
         if not res.ok:
@@ -409,6 +436,7 @@ class AgentOrchestrator:
             errors=errors,
             ok=res.ok,
             plots=list(res.plots),
+            generated_datasets=list(res.generated_datasets),
         )
         if self.memory is not None and self.rank_fn is not None and res.ok:
             # post-execution write (reference bambooai.py:655-670): user rank

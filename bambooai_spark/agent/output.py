@@ -72,6 +72,20 @@ class OutputManager:
     def rank_data(self, payload: dict) -> None:
         self.emit({"rank_data": payload})
 
+    def request_user_feedback(
+        self,
+        query_clarification: str,
+        context_needed: str,
+        chain_id: str | None = None,
+        timeout: float | None = None,
+    ) -> str | None:
+        """Ask the user a clarifying question mid-chain (reference
+        ``request_user_feedback``, web_output_manager.py:68-76 — the web
+        manager emits the request event and the Flask /submit_feedback
+        route feeds the answer back through the input queue). The no-op
+        base has no user: returns None immediately."""
+        return None
+
 
 def _chunks(message: str, size: int = 24) -> list[str]:
     """Split on whitespace boundaries into ~size-char chunks, preserving
@@ -100,6 +114,31 @@ class QueueOutputManager(OutputManager):
 
     def __init__(self) -> None:
         self.output_queue: queue.Queue[str] = queue.Queue()
+        self.input_queue: queue.Queue[str] = queue.Queue()
 
     def emit(self, event: dict) -> None:
         self.output_queue.put(json.dumps(event))
+
+    def request_user_feedback(
+        self,
+        query_clarification: str,
+        context_needed: str,
+        chain_id: str | None = None,
+        timeout: float | None = 300.0,
+    ) -> str | None:
+        """Emit the request event, then BLOCK the agent worker until the
+        client posts the answer to /submit_feedback (which enqueues it
+        here) or the timeout lapses — the reference's input-queue
+        round-trip."""
+        self.emit(
+            {
+                "type": "request_user_context",
+                "query_clarification": query_clarification,
+                "context_needed": context_needed,
+                "chain_id": chain_id,
+            }
+        )
+        try:
+            return self.input_queue.get(timeout=timeout)
+        except queue.Empty:
+            return None

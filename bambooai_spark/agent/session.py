@@ -83,14 +83,21 @@ class AgentSession:
         return result
 
     def run_user_code(
-        self, code: str, df: DataFrame, *, question: str | None = None
+        self,
+        code: str,
+        df: DataFrame,
+        *,
+        question: str | None = None,
+        **run_kwargs,
     ) -> AgentResult:
         """User-code chain — persisted like any other (reference stores
         ``code_type='user'`` chains identically)."""
         chain_id = next(self._chain_ids)
         self.last_chain_id = str(chain_id)
         self.orch.output.send_chain_id(self.thread_id, str(chain_id))
-        result = self.orch.run_user_code(code, df, question=question)
+        result = self.orch.run_user_code(
+            code, df, question=question, **run_kwargs
+        )
         self.store.save_chain(
             self.thread_id,
             str(chain_id),

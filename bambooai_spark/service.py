@@ -71,6 +71,7 @@ def create_app(
     llm=None,
     agent_store_dir: str | None = None,
     memory=None,
+    feedback_timeout: float = 300.0,
 ):
     """Flask app factory (kept separate from any server runner so tests use
     ``app.test_client()`` and deployment picks its own WSGI server).
@@ -195,12 +196,14 @@ def create_app(
 
     if llm is not None:
         _add_agent_routes(app, spark, llm, _df, _field,
-                          agent_store_dir, memory)
+                          agent_store_dir, memory, feedback_timeout)
 
     return app
 
 
-def _add_agent_routes(app, spark, llm, _df, _field, agent_store_dir, memory):
+def _add_agent_routes(
+    app, spark, llm, _df, _field, agent_store_dir, memory, feedback_timeout
+):
     """The conversational lifecycle entry point (reference
     web_app/app.py:927-971 /query + :976-1001 /submit_rank)."""
     import threading
@@ -216,6 +219,8 @@ def _add_agent_routes(app, spark, llm, _df, _field, agent_store_dir, memory):
     store = InteractionStore(
         agent_store_dir or tempfile.mkdtemp(prefix="bambooai_threads_")
     )
+    gen_root = os.path.join(store.base_dir, "generated")
+    fav_root = os.path.join(store.base_dir, "favourites")
     # one session per thread_id, created lazily — the reference keys one
     # BambooAI instance per web session the same way (app.py:176-199)
     sessions: dict[str, AgentSession] = {}
@@ -227,9 +232,25 @@ def _add_agent_routes(app, spark, llm, _df, _field, agent_store_dir, memory):
     def _session(thread_id: str) -> AgentSession:
         sess = sessions.get(thread_id)
         if sess is None:
+            # request_user_context blocks the agent worker on the current
+            # request's input queue until /submit_feedback answers (the
+            # reference's web round-trip); bound by feedback_timeout
+            def _ask_user(query_clarification, context_needed, _s=None):
+                s = sessions[thread_id]
+                return s.orch.output.request_user_feedback(
+                    query_clarification,
+                    context_needed,
+                    chain_id=s.last_chain_id,
+                    timeout=feedback_timeout,
+                ) or "(no user response)"
+
             sess = AgentSession(
                 AgentOrchestrator(
-                    spark, llm, memory=memory, planning=state["planning"]
+                    spark,
+                    llm,
+                    memory=memory,
+                    planning=state["planning"],
+                    tools={"request_user_context": _ask_user},
                 ),
                 store,
                 thread_id=thread_id,
@@ -252,12 +273,17 @@ def _add_agent_routes(app, spark, llm, _df, _field, agent_store_dir, memory):
         # per-request so concurrent THREADS (different thread_id) don't mix
         sess.orch.output = out
 
+        gen_dir = os.path.join(gen_root, thread_id)
+
         def run_agent():
             try:
                 if user_code:
                     # reference app.py:938-939: manual code edit + run
                     r = sess.run_user_code(
-                        user_code, df, question=question or None
+                        user_code,
+                        df,
+                        question=question or None,
+                        generated_datasets_path=gen_dir,
                     )
                 else:
                     r = sess.ask(
@@ -266,6 +292,7 @@ def _add_agent_routes(app, spark, llm, _df, _field, agent_store_dir, memory):
                         df_name=df_name,
                         image=image,
                         ontology=state["ontology"],
+                        generated_datasets_path=gen_dir,
                     )
                 out.rank_data(
                     {
@@ -276,6 +303,10 @@ def _add_agent_routes(app, spark, llm, _df, _field, agent_store_dir, memory):
                         "code": r.code,
                         "ok": r.ok,
                         "summary": r.summary,
+                        "generated_datasets": [
+                            os.path.relpath(p, gen_root)
+                            for p in r.generated_datasets
+                        ],
                     }
                 )
             except Exception as exc:  # surface instead of hanging the stream
@@ -396,6 +427,84 @@ def _add_agent_routes(app, spark, llm, _df, _field, agent_store_dir, memory):
                         }
                     )
         return jsonify({"results": hits})
+
+    # -- feedback / favourites / downloads / status -------------------
+    # (reference app.py:1318-1359, 1012-1060, 1361-1431, 1433-1437)
+
+    @app.post("/submit_feedback")
+    def submit_feedback():
+        body = request.get_json(force=True)
+        feedback = _field(body, "feedback")
+        thread_id = str(body.get("thread_id", "default"))
+        chain_id = str(_field(body, "chain_id"))
+        # persist the exchange like the reference's feedback_<chain>.json
+        fdir = os.path.join(store.base_dir, "feedback")
+        os.makedirs(fdir, exist_ok=True)
+        fpath = os.path.join(fdir, f"feedback_{chain_id}.json")
+        import json as _json
+
+        entries = []
+        if os.path.exists(fpath):
+            try:
+                with open(fpath) as fh:
+                    entries = _json.load(fh)
+            except (ValueError, OSError):
+                entries = []
+        entries.append(
+            {
+                "query_clarification": body.get("query_clarification"),
+                "context_needed": body.get("context_needed"),
+                "feedback": feedback,
+            }
+        )
+        with open(fpath, "w") as fh:
+            _json.dump(entries, fh, indent=2)
+        # wake a blocked request_user_context in this thread's worker
+        sess = sessions.get(thread_id)
+        delivered = False
+        if sess is not None and hasattr(sess.orch.output, "input_queue"):
+            sess.orch.output.input_queue.put(str(feedback))
+            delivered = True
+        return jsonify({"status": "ok", "delivered": delivered})
+
+    @app.post("/storage/favourites")
+    def store_favourite():
+        body = request.get_json(force=True)
+        thread_id = str(_field(body, "thread_id"))
+        chain_id = str(_field(body, "chain_id"))
+        fdir = os.path.join(fav_root, thread_id)
+        os.makedirs(fdir, exist_ok=True)
+        payload = {
+            "thread_id": thread_id,
+            "chain_id": chain_id,
+            "task": body.get("task", ""),
+            "rank": body.get("rank"),
+            **(body.get("content") or {}),
+        }
+        import json as _json
+
+        fname = os.path.join(fdir, f"{chain_id}.json")
+        with open(fname, "w") as fh:
+            _json.dump(payload, fh, indent=2)
+        return jsonify({"message": "Solution saved to favourites",
+                        "filename": fname})
+
+    @app.get("/download_generated_dataset")
+    def download_generated_dataset():
+        from flask import abort, send_file
+
+        rel = request.args.get("file", "")
+        path = os.path.realpath(os.path.join(gen_root, rel))
+        # confinement: only files under the generated root are servable
+        if not path.startswith(os.path.realpath(gen_root) + os.sep):
+            abort(400, description="path escapes the generated-dataset root")
+        if not os.path.isfile(path):
+            abort(404)
+        return send_file(path, as_attachment=True)
+
+    @app.get("/get_vector_db_status")
+    def get_vector_db_status():
+        return jsonify({"enabled": memory is not None})
 
     # -- agent config toggles (reference app.py:430-565) --------------
 

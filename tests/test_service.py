@@ -389,3 +389,115 @@ def test_thread_management_and_config_routes(spark, tmp_path):
     # dataset removal 404s afterward
     assert client.post("/remove_dataset", json={"df_name": "orders_m"}).status_code == 200
     assert client.post("/df_utils/df_summary", json={"df_name": "orders_m"}).status_code == 404
+
+
+def test_feedback_roundtrip_favourites_download_status(spark, tmp_path):
+    """The remaining reference endpoints: request_user_context blocks the
+    agent worker until /submit_feedback answers through the input queue
+    (web_output_manager round-trip); /storage/favourites persists a chain;
+    /download_generated_dataset serves files written by generated code
+    (and refuses traversal); /get_vector_db_status reports memory."""
+    import threading
+    import time as _time
+
+    RESEARCH = (
+        "```yaml\nrequires_dataset: false\n"
+        "expert: 'Research Specialist'\nconfidence: 8\n```"
+    )
+    TOOL_CALL = (
+        '```tool_call\n{"tool": "request_user_context", "arguments": '
+        '{"query_clarification": "Which year?", '
+        '"context_needed": "ambiguous range"}}\n```'
+    )
+    llm = ScriptedLLM(
+        {
+            "route analytics questions": RESEARCH,
+            "Research Specialist": [TOOL_CALL, "Filtered to the year you gave."],
+            "Summarize the analysis": "Wrote the top-3 parquet.",
+        }
+    )
+    up = tmp_path / "up"; up.mkdir()
+    app = create_app(
+        spark, upload_dir=str(up), llm=llm,
+        agent_store_dir=str(tmp_path / "threads"), feedback_timeout=20.0,
+    )
+    app.config["TESTING"] = True
+    client = app.test_client()
+    with open(f"{SF_DIR}/orders.parquet", "rb") as f:
+        client.post(
+            "/upload_dataset",
+            data={"file": (io.BytesIO(f.read()), "orders.parquet"),
+                  "df_name": "orders_f"},
+            content_type="multipart/form-data",
+        )
+
+    assert client.get("/get_vector_db_status").get_json() == {"enabled": False}
+
+    # /query blocks on user context; answer it from a second client
+    r = client.post(
+        "/query",
+        json={"query": "Analyze the data for the year",
+              "df_name": "orders_f", "thread_id": "fb"},
+    )
+    fb_result = {}
+
+    def answer():
+        _time.sleep(0.3)
+        c2 = app.test_client()
+        fb_result["resp"] = c2.post(
+            "/submit_feedback",
+            json={"thread_id": "fb", "chain_id": "1",
+                  "query_clarification": "Which year?",
+                  "context_needed": "ambiguous range",
+                  "feedback": "use 1997 only"},
+        ).get_json()
+
+    t = threading.Thread(target=answer)
+    t.start()
+    events = [json.loads(l) for l in r.get_data(as_text=True).splitlines() if l.strip()]
+    t.join()
+    assert fb_result["resp"]["status"] == "ok" and fb_result["resp"]["delivered"]
+    [req] = [e for e in events if e.get("type") == "request_user_context"]
+    assert req["query_clarification"] == "Which year?"
+    assert events[-1]["rank_data"]["summary"] == "Filtered to the year you gave."
+    # the user's answer reached the tool-loop transcript
+    assert any(
+        isinstance(u, str)
+        and "[tool request_user_context returned]\nuse 1997 only" in u
+        for _s, u in llm.calls
+    )
+    # feedback persisted like the reference's feedback_<chain>.json
+    import os as _os
+
+    fpath = tmp_path / "threads" / "feedback" / "feedback_1.json"
+    assert json.load(open(fpath))[0]["feedback"] == "use 1997 only"
+
+    # generated datasets: user_code writes under the per-thread path
+    r = client.post(
+        "/query",
+        json={"query": "", "df_name": "orders_f", "thread_id": "fb",
+              "user_code": "df.limit(3).write.mode('overwrite')"
+                           ".parquet(_generated_datasets_path + '/top3')"},
+    )
+    events = [json.loads(l) for l in r.get_data(as_text=True).splitlines() if l.strip()]
+    gen = events[-1]["rank_data"]["generated_datasets"]
+    assert gen and all(g.startswith("fb/") for g in gen)
+    pq = [g for g in gen if g.endswith(".parquet")][0]
+    dl = client.get(f"/download_generated_dataset?file={pq}")
+    assert dl.status_code == 200 and len(dl.data) > 0
+    assert client.get(
+        "/download_generated_dataset?file=../thread_fb.json"
+    ).status_code == 400
+    assert client.get(
+        "/download_generated_dataset?file=fb/nope.csv"
+    ).status_code == 404
+
+    # favourites
+    fav = client.post(
+        "/storage/favourites",
+        json={"thread_id": "fb", "chain_id": "1", "task": "year analysis",
+              "rank": 9, "content": {"code": "df"}},
+    ).get_json()
+    assert fav["message"] == "Solution saved to favourites"
+    saved = json.load(open(fav["filename"]))
+    assert saved["task"] == "year analysis" and saved["code"] == "df"
