@@ -222,14 +222,22 @@ def _add_agent_routes(
     gen_root = os.path.join(store.base_dir, "generated")
     fav_root = os.path.join(store.base_dir, "favourites")
     # one session per thread_id, created lazily — the reference keys one
-    # BambooAI instance per web session the same way (app.py:176-199)
+    # BambooAI instance per web session the same way (app.py:176-199).
+    # Creation is locked: a multi-threaded WSGI server can race two first
+    # requests for the same thread (the reference's DataFrameCache carries
+    # the same lock for the same reason, code_executor_api.py:33-65)
     sessions: dict[str, AgentSession] = {}
+    sessions_lock = threading.Lock()
 
     # app-level agent config (reference /update_planning + /update_ontology
     # keep these per web session; one shared state here)
     state: dict = {"planning": True, "ontology": None}
 
     def _session(thread_id: str) -> AgentSession:
+        with sessions_lock:
+            return _session_locked(thread_id)
+
+    def _session_locked(thread_id: str) -> AgentSession:
         sess = sessions.get(thread_id)
         if sess is None:
             # request_user_context blocks the agent worker on the current
