@@ -1,6 +1,12 @@
-"""Structured Streaming surface for the events table (SURVEY M5 — net-new
-capability; the reference has no data-plane streaming, §1.2)."""
+"""Structured Streaming surface for the events and documents tables
+(SURVEY M5 — net-new capability; the reference has no data-plane
+streaming, §1.2)."""
 
+from bambooai_spark.streaming.documents import (
+    ingest_documents,
+    read_documents_stream,
+    stream_ingest_documents,
+)
 from bambooai_spark.streaming.events import (
     read_events_stream,
     stream_hourly_events,
@@ -12,8 +18,11 @@ from bambooai_spark.streaming.events import (
 from bambooai_spark.streaming.memory import stream_upsert
 
 __all__ = [
+    "ingest_documents",
+    "read_documents_stream",
     "read_events_stream",
     "stream_hourly_events",
+    "stream_ingest_documents",
     "stream_session_windows",
     "stream_dedup_events",
     "stream_interval_join",

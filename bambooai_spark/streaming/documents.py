@@ -1,0 +1,69 @@
+"""Streaming ingest pipeline for the documents table (SURVEY M5 extension).
+
+The 100 TB ingest-time shape: documents arrive as files; each micro-batch
+is quality-gated, PII-scrubbed, and fingerprinted ON ARRIVAL, so the
+curated store never holds raw text and downstream dedup works off
+precomputed fingerprints. All three stages are STATELESS column
+expressions — the streaming plan is literally the batch plan applied per
+micro-batch, so the batch-twin equality is exact (same rule as
+streaming/events.py).
+
+Exact dedup across batches belongs to the stateful layer:
+``dropDuplicatesWithinWatermark`` on the fingerprint (see
+``stream_dedup_events`` for the event-stream version) or the
+foreachBatch MERGE in streaming/memory.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bambooai_spark.functions.text import (
+    fingerprint,
+    quality_filter,
+    scrub_pii,
+)
+
+
+def read_documents_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream source over the documents table (schema pinned from one
+    batch footer read, as the events source does)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.option("pathGlobFilter", "documents.parquet").parquet(sf_dir)
+
+
+def ingest_documents(docs: DataFrame) -> DataFrame:
+    """The per-batch ingest projection — works identically on a batch or a
+    streaming DataFrame: quality gate (keep + reason), PII scrub, and the
+    dedup fingerprint of the SCRUBBED text (the stored corpus is the
+    scrubbed one, so fingerprints must match what is stored)."""
+    qf = quality_filter("text")
+    pii = scrub_pii("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        qf["n_words"].alias("n_words"),
+        qf["keep"].alias("keep"),
+        qf["reason"].alias("reason"),
+        (pii["n_emails"] + pii["n_ips"] + pii["n_phones"]).alias("n_pii"),
+        pii["scrubbed"].alias("text"),
+    ).withColumn("fp", fingerprint("text", normalize=True))
+
+
+def stream_ingest_documents(docs_stream: DataFrame) -> DataFrame:
+    """Streaming twin — the same expression; named separately so call
+    sites document intent."""
+    return ingest_documents(docs_stream)

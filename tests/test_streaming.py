@@ -201,3 +201,28 @@ def test_stream_upsert_matches_batch_merge(spark, tmp_path):
     assert {r["record_id"] for r in got.collect()} == {
         r["record_id"] for r in want.collect()
     } == {0, 1, 3, 4}
+
+
+def test_stream_ingest_documents_matches_batch(spark):
+    """The document ingest pipeline (quality gate + PII scrub +
+    fingerprint) drained with availableNow equals the batch projection
+    row-for-row — stateless stages under unified semantics."""
+    from bambooai_spark.streaming.documents import (
+        ingest_documents,
+        read_documents_stream,
+        stream_ingest_documents,
+    )
+
+    sdf = read_documents_stream(spark, SF_DIR)
+    assert sdf.isStreaming
+    got = _drain(
+        spark, stream_ingest_documents(sdf), "docs_ingest", "append"
+    )
+    want = ingest_documents(load_table(spark, SF_DIR, "documents"))
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(w) == want.count()
+    # the gate actually splits the corpus and the scrub leaves no raw PII
+    kept = want.filter("keep").count()
+    assert 0 < kept
+    assert want.filter(F.col("text").rlike(r"[\w.+-]+@[\w-]+")).count() == 0
