@@ -2,19 +2,32 @@
 openai/anthropic/gemini/ollama dispatch clients).
 
 The engine's seam is a plain ``(system, user) -> str`` callable; tests
-inject scripted ones. This module proves the seam against a real wire
-format: ``openai_adapter`` produces a callable that speaks the public
-OpenAI chat-completions JSON contract (the one wire format every provider
-in the reference's model registry also emulates — ollama, groq, deepseek
-all serve it).
+inject scripted ones. This module proves the seam against the real wire
+formats the reference dispatches to:
 
-Transport is injectable so the contract is testable with recorded
-fixtures and no network; the default transport POSTs with the key from
-``OPENAI_API_KEY`` and is only exercised when ``BAMBOOAI_SPARK_LIVE_LLM``
-is set (integration-skipped otherwise — this sandbox has no keys).
+- ``openai_adapter`` — the public OpenAI chat-completions JSON contract
+  (the wire format groq/deepseek/openrouter/vllm in the reference's model
+  registry also emulate: ``models/openai_models.py`` and siblings);
+- ``anthropic_adapter`` — the public Anthropic Messages contract
+  (top-level ``system``, content-block list, base64 image source —
+  reference ``models/anthropic_models.py:33-56`` routes through the same
+  shapes via its openai→anthropic message conversion);
+- ``gemini_adapter`` — the public Gemini ``generateContent`` contract
+  (``system_instruction`` + ``contents``/``parts`` with ``inline_data``
+  blobs — reference ``models/gemini_models.py:33-90``);
+- ``ollama_adapter`` — ollama's OpenAI-compatible ``/v1/chat/completions``
+  endpoint (reference ``models/ollama_models.py``); same body/response as
+  openai, localhost base URL, no key.
 
-Structured image parts (see orchestrator.LLM) map to the provider's
-``image_url`` data-URL form.
+Transport is injectable so each contract is testable with recorded
+fixtures and no network; the default transports POST with the key from
+the provider's standard env var and are only exercised when
+``BAMBOOAI_SPARK_LIVE_LLM`` is set (integration-skipped otherwise — this
+sandbox has no keys).
+
+Structured image parts (see orchestrator.LLM) map to each provider's
+image form: OpenAI data-URL ``image_url``, Anthropic base64 ``source``
+block, Gemini ``inline_data`` blob.
 """
 
 from __future__ import annotations
@@ -100,5 +113,201 @@ def openai_adapter(
 
     def llm(system: str, user) -> str:
         return parse_response(send(build_request(model, system, user)))
+
+    return llm
+
+
+def ollama_adapter(
+    model: str = "llama3.1",
+    transport: Transport | None = None,
+    base_url: str = "http://localhost:11434/v1/chat/completions",
+):
+    """Ollama serves the OpenAI chat-completions contract locally with no
+    API key (reference ``models/ollama_models.py``) — same request/response
+    as :func:`openai_adapter`, different endpoint and no auth header."""
+
+    def _local_transport(body: dict) -> dict:
+        import urllib.request
+
+        req = urllib.request.Request(
+            os.environ.get("OLLAMA_BASE_URL", base_url),
+            data=json.dumps(body).encode("utf-8"),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return json.loads(r.read().decode("utf-8"))
+
+    send = transport or _local_transport
+
+    def llm(system: str, user) -> str:
+        return parse_response(send(build_request(model, system, user)))
+
+    return llm
+
+
+# ---- Anthropic Messages contract -----------------------------------------
+
+ANTHROPIC_URL = "https://api.anthropic.com/v1/messages"
+ANTHROPIC_VERSION = "2023-06-01"
+
+
+def _anthropic_content(user) -> str | list[dict]:
+    if isinstance(user, str):
+        return user
+    out: list[dict] = []
+    for part in user:
+        if part.get("type") == "text":
+            out.append({"type": "text", "text": part["text"]})
+        elif part.get("type") == "image":
+            out.append(
+                {
+                    "type": "image",
+                    "source": {
+                        "type": "base64",
+                        "media_type": "image/png",
+                        "data": part["data"],
+                    },
+                }
+            )
+    return out
+
+
+def anthropic_build_request(
+    model: str, system: str, user, max_tokens: int = 4096
+) -> dict:
+    """Messages-API body: system is a TOP-LEVEL field, not a message role
+    (the conversion the reference does in ``convert_openai_to_anthropic``,
+    anthropic_models.py:30-43)."""
+    return {
+        "model": model,
+        "max_tokens": max_tokens,
+        "system": system,
+        "messages": [{"role": "user", "content": _anthropic_content(user)}],
+    }
+
+
+def anthropic_parse_response(resp: dict) -> str:
+    """First text block of the content list (reference reads
+    ``response.content[0].text``, anthropic_models.py:52); skips any
+    non-text blocks rather than mis-indexing them."""
+    for block in resp["content"]:
+        if block.get("type", "text") == "text":
+            return block["text"]
+    raise KeyError("no text block in Anthropic response content")
+
+
+def _anthropic_transport(body: dict) -> dict:
+    import urllib.request
+
+    key = os.environ.get("ANTHROPIC_API_KEY")
+    if not key:
+        raise RuntimeError("ANTHROPIC_API_KEY is not set")
+    req = urllib.request.Request(
+        os.environ.get("ANTHROPIC_BASE_URL", ANTHROPIC_URL),
+        data=json.dumps(body).encode("utf-8"),
+        headers={
+            "Content-Type": "application/json",
+            "x-api-key": key,
+            "anthropic-version": ANTHROPIC_VERSION,
+        },
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return json.loads(r.read().decode("utf-8"))
+
+
+def anthropic_adapter(
+    model: str = "claude-sonnet-4-20250514",
+    transport: Transport | None = None,
+    max_tokens: int = 4096,
+):
+    """→ an engine LLM callable speaking the Anthropic Messages contract."""
+    send = transport or _anthropic_transport
+
+    def llm(system: str, user) -> str:
+        return anthropic_parse_response(
+            send(anthropic_build_request(model, system, user, max_tokens))
+        )
+
+    return llm
+
+
+# ---- Gemini generateContent contract -------------------------------------
+
+GEMINI_URL = (
+    "https://generativelanguage.googleapis.com/v1beta/models/"
+    "{model}:generateContent"
+)
+
+
+def _gemini_parts(user) -> list[dict]:
+    if isinstance(user, str):
+        return [{"text": user}]
+    out: list[dict] = []
+    for part in user:
+        if part.get("type") == "text":
+            out.append({"text": part["text"]})
+        elif part.get("type") == "image":
+            out.append(
+                {
+                    "inline_data": {
+                        "mime_type": "image/png",
+                        "data": part["data"],
+                    }
+                }
+            )
+    return out
+
+
+def gemini_build_request(system: str, user) -> dict:
+    """generateContent body: ``system_instruction`` + user ``contents`` of
+    typed parts (text / inline_data blob — the shapes the reference builds
+    in ``convert_openai_to_gemini``, gemini_models.py:33-57)."""
+    return {
+        "system_instruction": {"parts": [{"text": system}]},
+        "contents": [{"role": "user", "parts": _gemini_parts(user)}],
+    }
+
+
+def gemini_parse_response(resp: dict) -> str:
+    parts = resp["candidates"][0]["content"]["parts"]
+    texts = [p["text"] for p in parts if "text" in p]
+    if not texts:
+        raise KeyError("no text part in Gemini response")
+    return "".join(texts)
+
+
+def gemini_adapter(
+    model: str = "gemini-2.0-flash", transport: Transport | None = None
+):
+    """→ an engine LLM callable speaking the Gemini REST contract. The
+    model name rides in the URL, so the default transport closes over it;
+    injected fake transports receive only the body (model-independent)."""
+
+    def _transport(body: dict) -> dict:
+        import urllib.request
+
+        key = os.environ.get("GEMINI_API_KEY") or os.environ.get(
+            "GOOGLE_API_KEY"
+        )
+        if not key:
+            raise RuntimeError("GEMINI_API_KEY is not set")
+        url = os.environ.get(
+            "GEMINI_BASE_URL", GEMINI_URL.format(model=model)
+        )
+        req = urllib.request.Request(
+            url,
+            data=json.dumps(body).encode("utf-8"),
+            headers={
+                "Content-Type": "application/json",
+                "x-goog-api-key": key,
+            },
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read().decode("utf-8"))
+
+    send = transport or _transport
+
+    def llm(system: str, user) -> str:
+        return gemini_parse_response(send(gemini_build_request(system, user)))
 
     return llm

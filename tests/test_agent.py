@@ -863,6 +863,145 @@ def test_openai_adapter_drives_full_agent_loop(spark):
     assert res.ok and res.df.count() == 12
 
 
+def test_anthropic_adapter_wire_contract():
+    from bambooai_spark.agent.providers import anthropic_adapter
+
+    sent = []
+
+    def fake_transport(body):
+        sent.append(body)
+        return {
+            "content": [
+                {"type": "text", "text": "```python\ndf = df.limit(2)\n```"}
+            ],
+            "usage": {"input_tokens": 42, "output_tokens": 12},
+        }
+
+    llm = anthropic_adapter(model="claude-test", transport=fake_transport)
+    out = llm("You write PySpark code.", "Limit df to 2 rows")
+    assert out == "```python\ndf = df.limit(2)\n```"
+    [body] = sent
+    # system is a TOP-LEVEL field in the Messages contract, never a message
+    assert body["system"] == "You write PySpark code."
+    assert body["model"] == "claude-test"
+    assert body["max_tokens"] == 4096
+    assert body["messages"] == [
+        {"role": "user", "content": "Limit df to 2 rows"}
+    ]
+
+    # image parts become base64 source blocks
+    llm(
+        "sys",
+        [
+            {"type": "text", "text": "what is in this chart?"},
+            {"type": "image", "data": "QUJD"},
+        ],
+    )
+    content = sent[-1]["messages"][0]["content"]
+    assert content[0] == {"type": "text", "text": "what is in this chart?"}
+    assert content[1] == {
+        "type": "image",
+        "source": {
+            "type": "base64",
+            "media_type": "image/png",
+            "data": "QUJD",
+        },
+    }
+
+
+def test_anthropic_adapter_skips_non_text_blocks():
+    from bambooai_spark.agent.providers import anthropic_adapter
+
+    llm = anthropic_adapter(
+        transport=lambda body: {
+            "content": [
+                {"type": "thinking", "thinking": "..."},
+                {"type": "text", "text": "answer"},
+            ]
+        }
+    )
+    assert llm("s", "u") == "answer"
+
+
+def test_gemini_adapter_wire_contract():
+    from bambooai_spark.agent.providers import gemini_adapter
+
+    sent = []
+
+    def fake_transport(body):
+        sent.append(body)
+        return {
+            "candidates": [
+                {"content": {"parts": [{"text": "hello "}, {"text": "world"}],
+                             "role": "model"}}
+            ]
+        }
+
+    llm = gemini_adapter(transport=fake_transport)
+    out = llm("You write PySpark code.", "Limit df to 2 rows")
+    assert out == "hello world"  # multi-part text concatenates
+    [body] = sent
+    assert body["system_instruction"] == {
+        "parts": [{"text": "You write PySpark code."}]
+    }
+    assert body["contents"] == [
+        {"role": "user", "parts": [{"text": "Limit df to 2 rows"}]}
+    ]
+
+    llm("sys", [{"type": "text", "text": "chart?"},
+                {"type": "image", "data": "QUJD"}])
+    parts = sent[-1]["contents"][0]["parts"]
+    assert parts[0] == {"text": "chart?"}
+    assert parts[1] == {
+        "inline_data": {"mime_type": "image/png", "data": "QUJD"}
+    }
+
+
+def test_ollama_adapter_speaks_openai_contract():
+    from bambooai_spark.agent.providers import ollama_adapter
+
+    sent = []
+    llm = ollama_adapter(
+        model="llama3.1",
+        transport=lambda body: sent.append(body)
+        or OPENAI_FIXTURE,
+    )
+    out = llm("sys", "user msg")
+    assert out == "```python\ndf = df.limit(2)\n```"
+    assert sent[0]["model"] == "llama3.1"
+    assert sent[0]["messages"][0]["role"] == "system"
+
+
+def test_anthropic_adapter_drives_full_agent_loop(spark):
+    """Provider-agnostic seam proof #2: the Anthropic wire shape drives
+    the same orchestrator pipeline the OpenAI one does."""
+    from bambooai_spark.agent.providers import anthropic_adapter
+
+    def respond(text):
+        return {"content": [{"type": "text", "text": text}]}
+
+    def routing_transport(body):
+        system = body["system"]
+        if "route analytics questions" in system:
+            return respond(EXPERT_DA)
+        if "classify dataset questions" in system:
+            return respond(ANALYST)
+        if "analysis plans" in system:
+            return respond(PLAN)
+        if "write PySpark code" in system:
+            return respond(GOOD_CODE)
+        if "Summarize the analysis" in system:
+            return respond("Computed.")
+        raise AssertionError(system[:60])
+
+    llm = anthropic_adapter(transport=routing_transport)
+    orders = load_table(spark, SF_DIR, "orders")
+    res = AgentOrchestrator(spark, llm).converse(
+        "Count orders per month in 1997", orders
+    )
+    assert res.ok and res.df.count() == 12
+
+
 @pytest.mark.skipif(
     not os.environ.get("BAMBOOAI_SPARK_LIVE_LLM"),
     reason="live-provider integration needs BAMBOOAI_SPARK_LIVE_LLM + key",
