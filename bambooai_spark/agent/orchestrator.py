@@ -206,6 +206,7 @@ class AgentOrchestrator:
         *,
         question: str | None = None,
         generated_datasets_path: str | None = None,
+        chain_id: str | None = None,
     ) -> AgentResult:
         """Lifecycle entry 3 (reference bambooai.py:616-623 ``user_code``):
         the user supplies the code, so routing, planning, memory retrieval,
@@ -249,8 +250,13 @@ class AgentOrchestrator:
             self.messages.append_qa_pair(
                 question or CUSTOM_IDENTIFIERS[1], summary or res.stdout or ""
             )
+            # same event contract as the converse path: a chain-tagged
+            # result event, then chain-tagged plots
+            self.output.emit(
+                {"type": "result", "stdout": res.stdout, "chain_id": chain_id}
+            )
         for p in res.plots:
-            self.output.plot(p)
+            self.output.plot(p, chain_id)
         return AgentResult(
             df=res.df if res.ok else df,
             code=code,

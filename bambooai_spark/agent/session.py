@@ -96,7 +96,7 @@ class AgentSession:
         self.last_chain_id = str(chain_id)
         self.orch.output.send_chain_id(self.thread_id, str(chain_id))
         result = self.orch.run_user_code(
-            code, df, question=question, **run_kwargs
+            code, df, question=question, chain_id=str(chain_id), **run_kwargs
         )
         self.store.save_chain(
             self.thread_id,

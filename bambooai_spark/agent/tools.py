@@ -118,6 +118,16 @@ _CALC_FUNCS: dict[str, Callable] = {
 }
 _CALC_NAMES = {"pi": math.pi, "e": math.e}
 _POW_LIMIT = 1_000  # |exponent| cap — bare eval would accept 9**9**9
+# magnitude cap on every INTERMEDIATE integer: the per-pow exponent cap
+# alone is defeated by nesting (((2**1000)**1000)**1000 keeps each exponent
+# legal while the value explodes), so each result is also size-checked
+_MAX_INT_BITS = 4_096
+
+
+def _checked(value):
+    if isinstance(value, int) and value.bit_length() > _MAX_INT_BITS:
+        raise ValueError(f"intermediate result exceeds {_MAX_INT_BITS} bits")
+    return value
 
 
 def _calc_eval(node: ast.AST):
@@ -130,13 +140,28 @@ def _calc_eval(node: ast.AST):
         if isinstance(node.value, (int, float)) and not isinstance(
             node.value, bool
         ):
-            return node.value
+            return _checked(node.value)
         raise ValueError(f"non-numeric constant {node.value!r}")
     if isinstance(node, ast.BinOp) and type(node.op) in _BIN_OPS:
         left, right = _calc_eval(node.left), _calc_eval(node.right)
-        if isinstance(node.op, ast.Pow) and abs(right) > _POW_LIMIT:
-            raise ValueError(f"exponent out of range (|exp| <= {_POW_LIMIT})")
-        return _BIN_OPS[type(node.op)](left, right)
+        if isinstance(node.op, ast.Pow):
+            if abs(right) > _POW_LIMIT:
+                raise ValueError(
+                    f"exponent out of range (|exp| <= {_POW_LIMIT})"
+                )
+            if (
+                isinstance(left, int)
+                and isinstance(right, int)
+                and right > 0
+                and abs(left) > 1
+                and (abs(left).bit_length() - 1) * right > _MAX_INT_BITS
+            ):
+                # predict the blow-up instead of computing it: bit_length of
+                # |left|**right is ~ right * log2|left|
+                raise ValueError(
+                    f"intermediate result exceeds {_MAX_INT_BITS} bits"
+                )
+        return _checked(_BIN_OPS[type(node.op)](left, right))
     if isinstance(node, ast.UnaryOp) and type(node.op) in _UNARY_OPS:
         return _UNARY_OPS[type(node.op)](_calc_eval(node.operand))
     if isinstance(node, ast.Call):
@@ -242,7 +267,12 @@ def run_tool_loop(
             except Exception as e:  # noqa: BLE001 — backend fallback seam
                 if name == "google_search" and "grounded_search" in tools:
                     name = "grounded_search"
-                    result = _dispatch(tools[name])
+                    try:
+                        result = _dispatch(tools[name])
+                    except Exception as e2:  # noqa: BLE001 — both backends down
+                        # stays inside the loop as an error result, like any
+                        # other tool failure — the LLM decides what's next
+                        result = f"error: {name} failed: {e2}"
                 else:
                     result = f"error: {name} failed: {e}"
         transcript = f"{transcript}\n\n[tool {name} returned]\n{result}"

@@ -74,22 +74,52 @@ _COLLECT_RE = re.compile(r"\.(collect|toPandas|toLocalIterator)\s*\(")
 # by the unrelated first().
 _BOUND_BEFORE_COLLECT_RE = re.compile(
     r"\.(limit|take|head|tail|first)\s*\(\s*([0-9_]+)?\s*\)"
-    r"(?:\s*\.\w+\s*\([^()]*\))*\s*$"
+    r"((?:\s*\.\w+\s*\([^()]*\))*)\s*$"
 )
 #: largest literal row bound accepted on a collect-to-driver line — generous
 #: for display/sample contexts, far below driver-OOM territory
 MAX_DRIVER_ROWS = 100_000
 
+# methods allowed BETWEEN the bound and the collect: each preserves or
+# shrinks the row count, so the literal bound still bounds the collect.
+# join/crossJoin/union (row-multiplying) and anything unknown invalidate
+# the bound — `.limit(100).crossJoin(other).toPandas()` collects
+# 100 x |other| rows and must not be trusted.
+_ROW_PRESERVING_CALLS = frozenset(
+    {
+        "select", "selectExpr", "drop", "withColumn", "withColumns",
+        "withColumnRenamed", "withColumnsRenamed", "alias", "toDF",
+        "where", "filter", "distinct", "dropDuplicates", "drop_duplicates",
+        "dropna", "fillna", "na", "replace", "orderBy", "sort",
+        "sortWithinPartitions", "coalesce", "repartition", "cache",
+        "persist", "hint", "checkpoint", "localCheckpoint", "limit",
+    }
+)
+_INTERM_CALL_RE = re.compile(r"\.(\w+)\s*\(")
+# generator expressions multiply rows even inside a whitelisted select
+_GENERATOR_RE = re.compile(r"\b(explode|explode_outer|posexplode"
+                           r"|posexplode_outer|inline|inline_outer"
+                           r"|stack|json_tuple)\s*\(")
+
 
 def _has_trusted_bound(line: str) -> bool:
     """True iff EVERY collect-class call on the line is directly preceded,
-    within its own method chain, by a trusted literal bound."""
+    within its own method chain, by a trusted literal bound, with only
+    row-preserving calls in between."""
     hits = list(_COLLECT_RE.finditer(line))
     if not hits:
         return False
     for c in hits:
         m = _BOUND_BEFORE_COLLECT_RE.search(line[: c.start()])
         if m is None:
+            return False
+        interm = m.group(3) or ""
+        if any(
+            name not in _ROW_PRESERVING_CALLS
+            for name in _INTERM_CALL_RE.findall(interm)
+        ):
+            return False
+        if _GENERATOR_RE.search(interm):
             return False
         arg = m.group(2)
         if arg is None:

@@ -304,9 +304,15 @@ def quality_filter(
     t = col_of(text)
     w = tokens(t)
     n = F.size(w)
-    avg_len = F.length(F.regexp_replace(t, r"\s", "")) / n
+    nonspace = F.length(F.regexp_replace(t, r"\s", ""))
+    avg_len = nonspace / n
     reason = (
-        F.when(n < min_words, F.lit("too_short"))
+        # explicit first rule: NULL/blank text must be DROPPED — without it
+        # every downstream WHEN evaluates to NULL, falls through to the
+        # otherwise(NULL) reason, and the garbage row gets keep=true.
+        # blank = no non-whitespace chars (trim() would miss tabs/newlines)
+        F.when(t.isNull() | (nonspace == 0), F.lit("empty"))
+        .when(n < min_words, F.lit("too_short"))
         .when(n > max_words, F.lit("too_long"))
         .when(avg_len < min_avg_word_len, F.lit("short_words"))
         .when(avg_len > max_avg_word_len, F.lit("long_words"))

@@ -27,7 +27,7 @@ from bambooai_spark.functions.text import (
     winnow_fingerprints,
     word_shingles,
 )
-from bambooai_spark.caching import track
+from bambooai_spark.caching import track, untrack
 from bambooai_spark.functions.vectors import cosine
 from bambooai_spark.numeric import col_of
 
@@ -176,6 +176,8 @@ def jaccard_near_dup(
                 broadcast_max=dense_broadcast_max,
                 block_docs=dense_block_docs,
             )
+        untrack(dist)
+        untrack(sh)
         dist.unpersist()
         sh.unpersist()
     return _jaccard_index(df, id_col, text_col, n, threshold, max_doc_freq)
@@ -435,6 +437,7 @@ def winnow_near_dup(
             )
             ov = _dense_overlap_scores(tok, "fp", vocab, n_vocab)
         else:
+            untrack(dist)
             dist.unpersist()
             ov = _overlap_scores(tok, "fp")
     else:

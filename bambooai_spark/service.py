@@ -86,6 +86,7 @@ def create_app(
     registry = DatasetRegistry(spark)
     executor = SparkCodeExecutor()
     updir = upload_dir or tempfile.mkdtemp(prefix="bambooai_uploads_")
+    os.makedirs(updir, exist_ok=True)
 
     class _UnknownDf(KeyError):
         pass
@@ -206,10 +207,23 @@ def _add_agent_routes(
 ):
     """The conversational lifecycle entry point (reference
     web_app/app.py:927-971 /query + :976-1001 /submit_rank)."""
+    import re
     import threading
     from queue import Empty
 
-    from flask import Response, jsonify, request
+    from flask import Response, abort, jsonify, request
+
+    # thread/chain ids name files and directories under the store root —
+    # a traversal id like "../../tmp/x" must never reach os.path.join
+    # (/download_generated_dataset already confines its paths; these
+    # endpoints enforce the same posture at the id boundary)
+    _ID_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]{0,99}\Z")
+
+    def _safe_id(value, what: str) -> str:
+        s = str(value)
+        if not _ID_RE.match(s) or ".." in s:
+            abort(400, description=f"invalid {what}: {s[:80]!r}")
+        return s
 
     from bambooai_spark.agent.orchestrator import AgentOrchestrator
     from bambooai_spark.agent.output import QueueOutputManager
@@ -266,19 +280,34 @@ def _add_agent_routes(
             sessions[thread_id] = sess
         return sess
 
+    # one in-flight chain per session (the reference's per-web-session
+    # BambooAI instance has the same property): a second /query for the
+    # same thread while one runs would swap the session's output manager
+    # mid-chain and cross-wire the two clients' streams — refuse it instead
+    inflight: dict[str, threading.Lock] = {}
+
     @app.post("/query")
     def query():
         body = request.get_json(force=True)
         question = body.get("query") or ""
+        # validate client input before any registry lookup
+        thread_id = _safe_id(body.get("thread_id", "default"), "thread_id")
         df_name = _field(body, "df_name")
         df = _df(df_name)
-        thread_id = str(body.get("thread_id", "default"))
         image = body.get("image")
         user_code = body.get("user_code")
         sess = _session(thread_id)
+        with sessions_lock:
+            gate = inflight.setdefault(thread_id, threading.Lock())
+        if not gate.acquire(blocking=False):
+            return (
+                jsonify({"error": f"a chain is already running for "
+                         f"thread {thread_id}"}),
+                409,
+            )
         out = QueueOutputManager()
-        # one in-flight chain per session, as in the reference; the queue is
-        # per-request so concurrent THREADS (different thread_id) don't mix
+        # the queue is per-request so concurrent THREADS (different
+        # thread_id) don't mix
         sess.orch.output = out
 
         gen_dir = os.path.join(gen_root, thread_id)
@@ -319,6 +348,8 @@ def _add_agent_routes(
                 )
             except Exception as exc:  # surface instead of hanging the stream
                 out.emit({"error": str(exc)})
+            finally:
+                gate.release()
 
         worker = threading.Thread(target=run_agent)
         worker.start()
@@ -354,6 +385,12 @@ def _add_agent_routes(
 
     # -- thread/chain management (reference app.py:1062-1313) ---------
 
+    def _chain_order(item):
+        # numeric ids sort numerically ('2' before '10'); non-numeric ids
+        # after, lexicographically
+        cid = item[0]
+        return (0, int(cid), "") if cid.isdigit() else (1, 0, cid)
+
     @app.get("/get_threads")
     def get_threads():
         out = []
@@ -368,7 +405,9 @@ def _add_agent_routes(
                             "question": (rec or {}).get("question"),
                             "ok": (rec or {}).get("ok"),
                         }
-                        for cid, rec in sorted(chains.items())
+                        for cid, rec in sorted(
+                            chains.items(), key=_chain_order
+                        )
                     ],
                 }
             )
@@ -376,6 +415,8 @@ def _add_agent_routes(
 
     @app.get("/load_thread/<thread_id>/<chain_id>")
     def load_thread(thread_id, chain_id):
+        thread_id = _safe_id(thread_id, "thread_id")
+        chain_id = _safe_id(chain_id, "chain_id")
         sess = _session(thread_id)
         if not sess.restore(chain_id):
             return jsonify({"error": "unknown chain"}), 404
@@ -389,7 +430,9 @@ def _add_agent_routes(
 
     @app.get("/get_chain_preview/<thread_id>/<chain_id>")
     def get_chain_preview(thread_id, chain_id):
-        rec = store.load_chain(thread_id, chain_id)
+        rec = store.load_chain(
+            _safe_id(thread_id, "thread_id"), _safe_id(chain_id, "chain_id")
+        )
         if rec is None:
             return jsonify({"error": "unknown chain"}), 404
         return jsonify(
@@ -403,6 +446,8 @@ def _add_agent_routes(
 
     @app.delete("/delete_chain/<thread_id>/<chain_id>")
     def delete_chain(thread_id, chain_id):
+        thread_id = _safe_id(thread_id, "thread_id")
+        chain_id = _safe_id(chain_id, "chain_id")
         if not store.delete_chain(thread_id, chain_id):
             return jsonify({"error": "unknown chain"}), 404
         return jsonify({"status": "ok"})
@@ -410,7 +455,7 @@ def _add_agent_routes(
     @app.post("/new_conversation")
     def new_conversation():
         body = request.get_json(force=True)
-        thread_id = str(body.get("thread_id", "default"))
+        thread_id = _safe_id(body.get("thread_id", "default"), "thread_id")
         if thread_id in sessions:
             sessions[thread_id].reset()
         return jsonify({"status": "ok", "thread_id": thread_id})
@@ -443,8 +488,8 @@ def _add_agent_routes(
     def submit_feedback():
         body = request.get_json(force=True)
         feedback = _field(body, "feedback")
-        thread_id = str(body.get("thread_id", "default"))
-        chain_id = str(_field(body, "chain_id"))
+        thread_id = _safe_id(body.get("thread_id", "default"), "thread_id")
+        chain_id = _safe_id(_field(body, "chain_id"), "chain_id")
         # persist the exchange like the reference's feedback_<chain>.json
         fdir = os.path.join(store.base_dir, "feedback")
         os.makedirs(fdir, exist_ok=True)
@@ -478,8 +523,8 @@ def _add_agent_routes(
     @app.post("/storage/favourites")
     def store_favourite():
         body = request.get_json(force=True)
-        thread_id = str(_field(body, "thread_id"))
-        chain_id = str(_field(body, "chain_id"))
+        thread_id = _safe_id(_field(body, "thread_id"), "thread_id")
+        chain_id = _safe_id(_field(body, "chain_id"), "chain_id")
         fdir = os.path.join(fav_root, thread_id)
         os.makedirs(fdir, exist_ok=True)
         payload = {

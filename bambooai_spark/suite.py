@@ -3472,20 +3472,26 @@ def shuffle_shards_docs(spark, sf_dir):
     "quality_filter_docs",
     r"""
     WITH f AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_words,
              length(regexp_replace(text, '\s', '', 'g'))
                / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) AS avg_len,
              list_contains(regexp_split_to_array(text, '\s+'), 'the') AS has_common
       FROM documents)
     SELECT doc_id, n_words,
-           CASE WHEN n_words < 10 THEN 'too_short'
+           CASE WHEN text IS NULL
+                  OR length(regexp_replace(text, '\s', '', 'g')) = 0
+                THEN 'empty'
+                WHEN n_words < 10 THEN 'too_short'
                 WHEN n_words > 1000 THEN 'too_long'
                 WHEN avg_len < 2.0 THEN 'short_words'
                 WHEN avg_len > 12.0 THEN 'long_words'
                 WHEN NOT has_common THEN 'no_common_word'
            END AS reason,
-           CASE WHEN n_words < 10 THEN FALSE
+           CASE WHEN text IS NULL
+                  OR length(regexp_replace(text, '\s', '', 'g')) = 0
+                THEN FALSE
+                WHEN n_words < 10 THEN FALSE
                 WHEN n_words > 1000 THEN FALSE
                 WHEN avg_len < 2.0 THEN FALSE
                 WHEN avg_len > 12.0 THEN FALSE

@@ -699,6 +699,25 @@ def test_safe_calculate_whitelist():
     assert safe_calculate("min(3, 2, max(1, 0))") == "1"
 
 
+def test_safe_calculate_contains_nested_pow_blowup():
+    """The per-pow exponent cap alone is defeated by left-nested pows —
+    every exponent is legal but the value explodes; the intermediate
+    bit-size cap must refuse it quickly instead of grinding/OOMing."""
+    import time
+
+    from bambooai_spark.agent.tools import safe_calculate
+
+    t0 = time.monotonic()
+    out = safe_calculate("(((2**1000)**1000)**1000)**1000")
+    assert "exceeds" in out
+    assert time.monotonic() - t0 < 1.0
+    # big-int multiplication chains are bounded the same way
+    assert "exceeds" in safe_calculate("(2**1000) * (2**1000) * (2**1000) "
+                                       "* (2**1000) * (2**1000)")
+    # legitimate large-but-bounded results still compute
+    assert safe_calculate("2**1000") == str(2**1000)
+
+
 def test_tool_loop_calculate_action_line_and_fenced():
     """calculate is available without registration, via BOTH syntaxes:
     the reference's 'Action: calculate: <expr>' line and the fenced
@@ -774,6 +793,37 @@ def test_tool_loop_search_failure_without_fallback_reports_error():
     out = run_tool_loop(llm, "sys", "Q", {"google_search": broken_search})
     assert out == "Could not search."
     assert "error: google_search failed: quota exhausted" in seen[1]
+
+
+def test_tool_loop_survives_both_search_backends_failing():
+    """primary raises AND the grounded fallback raises: the loop must feed
+    an error result back to the LLM (like any tool failure), not abort the
+    whole chain with an exception."""
+    from bambooai_spark.agent.tools import run_tool_loop
+
+    def broken(search_query):
+        raise RuntimeError("primary down")
+
+    def broken_grounded(search_query):
+        raise RuntimeError("fallback down too")
+
+    responses = [
+        '```tool_call\n{"tool": "google_search",'
+        ' "arguments": {"search_query": "x"}}\n```',
+        "Both backends failed; answering from prior knowledge.",
+    ]
+    seen = []
+
+    def llm(system, user):
+        seen.append(user)
+        return responses[len(seen) - 1]
+
+    out = run_tool_loop(
+        llm, "sys", "Q",
+        {"google_search": broken, "grounded_search": broken_grounded},
+    )
+    assert out == "Both backends failed; answering from prior knowledge."
+    assert "error: grounded_search failed: fallback down too" in seen[1]
 
 
 # -------------------------------------------------- provider adapter seam

@@ -385,3 +385,32 @@ def test_sanitizer_bound_must_share_chain_with_collect():
     assert sanitize("a = df.limit(5).collect(); b = df.take(3)") == (
         "a = df.limit(5).collect(); b = df.take(3)"
     )
+
+
+def test_sanitizer_rejects_row_multiplying_calls_after_bound():
+    """A row-multiplying call between the bound and the collect voids the
+    bound: .limit(100).crossJoin(other) collects 100 x |other| rows."""
+    assert "not allowed" in sanitize(
+        "rows = df.limit(100).crossJoin(other).toPandas()"
+    )
+    assert "not allowed" in sanitize(
+        "rows = df.limit(100).join(other).collect()"
+    )
+    assert "not allowed" in sanitize(
+        "rows = df.limit(100).union(other).collect()"
+    )
+    # generator expressions multiply rows even inside whitelisted select
+    assert "not allowed" in sanitize(
+        "rows = df.limit(100).select(explode(arr)).collect()"
+    )
+    # row-preserving projections/filters between bound and collect stay fine
+    assert sanitize("rows = df.limit(100).select('a').toPandas()") == (
+        "rows = df.limit(100).select('a').toPandas()"
+    )
+    assert sanitize("rows = df.limit(100).filter(c > 0).collect()") == (
+        "rows = df.limit(100).filter(c > 0).collect()"
+    )
+    # explode BEFORE the bound is fine — the limit re-bounds the rows
+    assert sanitize(
+        "rows = df.select(explode(arr)).limit(100).collect()"
+    ) == "rows = df.select(explode(arr)).limit(100).collect()"

@@ -501,3 +501,132 @@ def test_feedback_roundtrip_favourites_download_status(spark, tmp_path):
     assert fav["message"] == "Solution saved to favourites"
     saved = json.load(open(fav["filename"]))
     assert saved["task"] == "year analysis" and saved["code"] == "df"
+
+
+def test_id_validation_blocks_path_traversal(spark, tmp_path):
+    """Client-supplied thread/chain ids name files under the store root;
+    traversal ids must be rejected with 400 at every id-accepting endpoint
+    (the /download_generated_dataset confinement, applied at the id seam)."""
+    app = create_app(
+        spark,
+        upload_dir=str(tmp_path / "up"),
+        llm=_query_llm(),
+        agent_store_dir=str(tmp_path / "threads"),
+    )
+    app.config["TESTING"] = True
+    client = app.test_client()
+
+    evil = "../../../../tmp/pwn"
+    r = client.post(
+        "/storage/favourites",
+        json={"thread_id": evil, "chain_id": "x", "content": {}},
+    )
+    assert r.status_code == 400
+    r = client.post(
+        "/storage/favourites",
+        json={"thread_id": "ok", "chain_id": evil, "content": {}},
+    )
+    assert r.status_code == 400
+    r = client.post(
+        "/submit_feedback",
+        json={"feedback": "hi", "thread_id": "t", "chain_id": evil},
+    )
+    assert r.status_code == 400
+    r = client.post(
+        "/query", json={"query": "q", "df_name": "none", "thread_id": evil}
+    )
+    assert r.status_code == 400
+    r = client.post("/new_conversation", json={"thread_id": evil})
+    assert r.status_code == 400
+    # bare ".." as a path segment id
+    import os as _os
+
+    assert client.get("/get_chain_preview/../1").status_code in (400, 404)
+    assert not _os.path.exists("/tmp/pwn")
+
+
+def test_concurrent_query_same_thread_is_409(spark, ddb, tmp_path, fake_mpl):
+    """Two in-flight /query requests for one thread would swap the shared
+    session's output manager mid-chain and cross-wire the streams; the
+    second must be refused with 409 while the first runs, and accepted
+    after it finishes."""
+    import threading
+
+    release = threading.Event()
+    started = threading.Event()
+    inner = _query_llm()
+
+    def blocking_llm(system, user):
+        started.set()
+        assert release.wait(timeout=30), "test deadlock"
+        return inner(system, user)
+
+    app = create_app(
+        spark,
+        upload_dir=str(tmp_path / "up"),
+        llm=blocking_llm,
+        agent_store_dir=str(tmp_path / "threads"),
+    )
+    app.config["TESTING"] = True
+    client = app.test_client()
+    with open(f"{SF_DIR}/orders.parquet", "rb") as f:
+        client.post(
+            "/upload_dataset",
+            data={"file": (io.BytesIO(f.read()), "orders.parquet"),
+                  "df_name": "orders_c"},
+            content_type="multipart/form-data",
+        )
+
+    r1 = client.post(
+        "/query",
+        json={"query": "Count the number of orders per month in 1997",
+              "df_name": "orders_c", "thread_id": "busy"},
+    )
+    assert started.wait(timeout=30)
+    # worker for chain 1 is mid-LLM-call: same thread -> refused
+    r2 = client.post(
+        "/query",
+        json={"query": "another question", "df_name": "orders_c",
+              "thread_id": "busy"},
+    )
+    assert r2.status_code == 409
+    # a DIFFERENT thread is not blocked (it gets its own session+gate);
+    # don't drain it yet — just check admission
+    release.set()
+    events = [
+        json.loads(l)
+        for l in r1.get_data(as_text=True).splitlines() if l.strip()
+    ]
+    assert "rank_data" in events[-1]
+    # after the first chain finishes the thread accepts queries again
+    r3 = client.post(
+        "/query",
+        json={"query": "", "df_name": "orders_c", "thread_id": "busy",
+              "user_code": "df = df.limit(3)"},
+    )
+    ev3 = [
+        json.loads(l)
+        for l in r3.get_data(as_text=True).splitlines() if l.strip()
+    ]
+    assert ev3[-1]["rank_data"]["ok"] is True
+
+
+def test_get_threads_orders_chains_numerically(spark, tmp_path):
+    """Chain ids are dense numeric strings; '10' must list after '2'."""
+    from bambooai_spark.storage import InteractionStore
+
+    store_dir = str(tmp_path / "threads")
+    store = InteractionStore(store_dir)
+    for cid in range(1, 12):
+        store.save_chain("long", str(cid), {"question": f"q{cid}"})
+    app = create_app(
+        spark,
+        upload_dir=str(tmp_path / "up"),
+        llm=_query_llm(),
+        agent_store_dir=store_dir,
+    )
+    app.config["TESTING"] = True
+    client = app.test_client()
+    [thread] = client.get("/get_threads").get_json()["threads"]
+    got = [c["chain_id"] for c in thread["chains"]]
+    assert got == [str(i) for i in range(1, 12)]

@@ -150,3 +150,25 @@ def test_scrub_pii_redaction_behavior(spark):
     assert "3.14" in out[4]["scrubbed"]
     assert out[4]["scrubbed"].endswith("v1.<IP>")
     assert out[5]["scrubbed"] == "" and out[5]["n_emails"] == 0
+
+
+def test_quality_filter_drops_null_and_blank_text(spark):
+    """NULL/blank text must be dropped with reason 'empty' — without the
+    explicit first rule every WHEN evaluates to NULL and the garbage row
+    falls through to keep=true (the exact inverse of a quality gate)."""
+    from bambooai_spark.functions.text import quality_filter
+
+    good = "the " + "quick brown fox jumps over the lazy dog " * 2
+    rows = [(1, None), (2, ""), (3, "   \t  "), (4, good), (5, "tiny")]
+    df = spark.createDataFrame(rows, "id INT, text STRING")
+    qf = quality_filter("text")
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", qf["keep"].alias("keep"), qf["reason"].alias("reason")
+        ).collect()
+    }
+    for i in (1, 2, 3):
+        assert out[i]["keep"] is False and out[i]["reason"] == "empty"
+    assert out[4]["keep"] is True and out[4]["reason"] is None
+    assert out[5]["keep"] is False and out[5]["reason"] == "too_short"
