@@ -63,3 +63,93 @@ def pack_sequences(
         F.expr(f"_off DIV {int(budget)}").cast("long").alias("chunk_id"),
         (F.col("_off") % F.lit(budget)).cast("long").alias("chunk_offset"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    total_budget: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Token-budget mixture sampling — "take ``total_budget`` tokens at
+    this language/domain mix": each group gets
+    ``floor(weight/sum(weights) * total_budget)`` tokens, filled greedily
+    in deterministic ``(md5(id), id)`` order; the document that crosses
+    the budget line is still included (greedy fill, standard pretraining
+    sampling semantics — the cut is exact to one document).
+
+    Scale: a per-group running sum over a handful of giant groups is the
+    WORST case for ``Window.partitionBy(group)`` — five languages at
+    100 TB means five tasks. This uses the exact two-phase bridge of
+    ``functions.ranking.distributed_dense_rank`` generalized to grouped
+    running sums: range-partition on ``(group, key)`` (a group spans many
+    ordered partitions), local cumsum per ``(partition, group)``, and a
+    driver-side prefix map of per-(partition, group) token totals — one
+    small row per partition-group slice, never row data.
+
+    Returns ``(id, group, n_tokens, cum_tokens)`` for the sampled docs;
+    ``n_tokens`` is whitespace word count (``functions.text.tokens``),
+    matching the oracle's ``len(regexp_split_to_array(text, '\\s+'))``.
+    """
+    from bambooai_spark.functions.text import tokens  # noqa: PLC0415
+
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wsum = float(sum(weights.values()))
+    budgets = {g: int(w / wsum * total_budget) for g, w in weights.items()}
+    bmap = F.create_map(
+        *[F.lit(x) for g in sorted(budgets) for x in (g, budgets[g])]
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        F.md5(F.col(id_col).cast("string")).alias("_key"),
+    ).where(F.col(group_col).isin(list(budgets)))
+    part = (
+        base.repartitionByRange(n, group_col, "_key", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    # per-(partition, group) totals: the bridge rows (#partitions x #groups
+    # touched per partition — ranges are contiguous, so ~#partitions rows)
+    totals = (
+        part.groupBy("_pid", group_col)
+        .agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    )
+    acc: dict[str, int] = {}
+    entries: list[Column] = []
+    for row in sorted(totals, key=lambda r: (r[group_col], r["_pid"])):
+        g = row[group_col]
+        entries += [
+            F.lit(f"{row['_pid']}|{g}"),
+            F.lit(acc.get(g, 0)),
+        ]
+        acc[g] = acc.get(g, 0) + row["t"]
+    if not entries:
+        part.unpersist()
+        return base.select(
+            id_col, group_col, "n_tokens",
+            F.lit(None).cast("long").alias("cum_tokens"),
+        ).limit(0)
+    omap = F.create_map(*entries)
+    wloc = Window.partitionBy("_pid", group_col).orderBy("_key", id_col)
+    cum = (
+        F.sum("n_tokens").over(wloc)
+        + omap[F.concat_ws("|", F.col("_pid"), F.col(group_col))]
+    ).cast("long")
+    out = (
+        part.withColumn("cum_tokens", cum)
+        .where(F.col("cum_tokens") - F.col("n_tokens") < bmap[F.col(group_col)])
+        .select(id_col, group_col, "n_tokens", "cum_tokens")
+        # materialize so the persisted input can be released now (same
+        # persist/checkpoint pairing as distributed_dense_rank)
+        .localCheckpoint(eager=True)
+    )
+    part.unpersist()
+    return out

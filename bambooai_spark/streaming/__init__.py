@@ -10,6 +10,7 @@ from bambooai_spark.streaming.documents import (
 from bambooai_spark.streaming.events import (
     read_events_stream,
     stream_hourly_events,
+    stream_sliding_events,
     stream_session_windows,
     stream_dedup_events,
     stream_interval_join,
@@ -22,6 +23,7 @@ __all__ = [
     "read_documents_stream",
     "read_events_stream",
     "stream_hourly_events",
+    "stream_sliding_events",
     "stream_ingest_documents",
     "stream_session_windows",
     "stream_dedup_events",

@@ -62,6 +62,34 @@ def stream_hourly_events(
     )
 
 
+def stream_sliding_events(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window aggregate — each event lands in window/slide
+    overlapping windows (the moving-average shape on a stream; completes
+    the tumbling/sliding/session window matrix). State per open window is
+    one partial aggregate; the watermark finalizes and evicts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(dec("value")).cast("double"), 2).alias("sum_value"),
+        )
+        .select(
+            epoch_us(F.col("w.start")).alias("win_start_us"),
+            epoch_us(F.col("w.end")).alias("win_end_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_session_windows(
     events: DataFrame, *, gap: str = "6 hours", watermark: str = "12 hours"
 ) -> DataFrame:

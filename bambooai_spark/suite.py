@@ -3155,6 +3155,46 @@ def pack_docs(spark, sf_dir):
     return pack_sequences(d, "doc_id", "text", budget=2048, stream_cols=("lang",))
 
 
+_MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+_MIX_BUDGET = 5_000
+
+
+@spec(
+    "mixture_sample_docs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+               AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS key
+      FROM documents),
+    w AS (SELECT * FROM (VALUES ('en', 2000), ('de', 750), ('es', 750),
+                                ('fr', 750), ('zh', 750)) v(lang, budget)),
+    c AS (
+      SELECT t.doc_id, t.lang, t.n_tokens, w.budget,
+             CAST(SUM(t.n_tokens) OVER (
+               PARTITION BY t.lang ORDER BY t.key, t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t JOIN w ON t.lang = w.lang)
+    SELECT doc_id, lang, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < budget
+    """,
+    headline=True,
+    doc="Token-budget mixture sampling — 'take 5000 tokens at a "
+    "40/15/15/15/15 language mix': greedy fill per group in deterministic "
+    "md5(id) order, the boundary document included. The grouped running "
+    "sum uses the two-phase range-partition + prefix-bridge pattern "
+    "(operators/packing.py mixture_sample) — five languages at 100 TB "
+    "would otherwise serialize into five window tasks.",
+)
+def mixture_sample_docs(spark, sf_dir):
+    from bambooai_spark.operators.packing import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return mixture_sample(d, _MIX_WEIGHTS, _MIX_BUDGET)
+
+
 @spec(
     "quantize_embeddings",
     """

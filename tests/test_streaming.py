@@ -226,3 +226,31 @@ def test_stream_ingest_documents_matches_batch(spark):
     kept = want.filter("keep").count()
     assert 0 < kept
     assert want.filter(F.col("text").rlike(r"[\w.+-]+@[\w-]+")).count() == 0
+
+
+def test_stream_sliding_matches_batch(spark):
+    """Sliding 1h/15min windows drained availableNow equal the batch
+    sliding-window aggregation (4 overlapping windows per event)."""
+    from bambooai_spark.streaming import stream_sliding_events
+
+    sdf = read_events_stream(spark, SF_DIR)
+    got = _drain(
+        spark, stream_sliding_events(sdf), "sliding_mem", "complete"
+    )
+    batch = load_table(spark, SF_DIR, "events")
+    want = (
+        batch.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            "event_type",
+            "n_events",
+        )
+    )
+    g = {(r.win_start_us, r.event_type): r.n_events for r in got.collect()}
+    w = {(r.win_start_us, r.event_type): r.n_events for r in want.collect()}
+    assert g == w and len(g) > 0
+    # every event contributes to window/slide = 4 windows
+    assert sum(g.values()) == 4 * batch.count()

@@ -172,3 +172,33 @@ def test_quality_filter_drops_null_and_blank_text(spark):
         assert out[i]["keep"] is False and out[i]["reason"] == "empty"
     assert out[4]["keep"] is True and out[4]["reason"] is None
     assert out[5]["keep"] is False and out[5]["reason"] == "too_short"
+
+
+def test_mixture_sample_semantics(spark):
+    """Greedy per-group budget fill in md5(id) order: the document that
+    crosses the budget line is included, everything after it is cut;
+    groups absent from the weights are excluded entirely."""
+    from bambooai_spark.operators.packing import mixture_sample
+
+    rows = [
+        # (doc_id, text of n words, lang)
+        (i, " ".join(["w"] * n), lang)
+        for i, n, lang in [
+            (1, 30, "en"), (2, 30, "en"), (3, 30, "en"), (4, 30, "en"),
+            (5, 40, "xx"),  # unweighted group
+        ]
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    # en budget = 1.0/1.0 * 70 = 70 tokens: md5 order fills 30+30, the
+    # third doc crosses the line (cum-n = 60 < 70 -> included), the
+    # fourth is cut (cum-n = 90 >= 70)
+    out = mixture_sample(df, {"en": 1.0}, 70).collect()
+    assert {r["lang"] for r in out} == {"en"}
+    assert len(out) == 3
+    cums = sorted(r["cum_tokens"] for r in out)
+    assert cums == [30, 60, 90]
+    assert all(r["n_tokens"] == 30 for r in out)
+    # empty weights -> empty deterministic result, stable schema
+    empty = mixture_sample(df, {"nope": 1.0}, 70)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "lang", "n_tokens", "cum_tokens"]
