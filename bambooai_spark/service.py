@@ -37,6 +37,19 @@ too (reference web_app/app.py:927-971 + web_output_manager.py:13-76):
   GET /get_ontology_state (the stored ontology feeds every /query chain).
 - POST /remove_dataset {df_name} — registry removal (reference
   /remove_primary_dataset + /remove_auxiliary_dataset).
+- Auxiliary datasets (reference app.py:664-921): POST
+  /upload_auxiliary_dataset (multipart, per-thread, max 3), POST
+  /remove_auxiliary_dataset {thread_id, filename}, POST
+  /get_dataset_preview {thread_id, filename}; /query passes the thread's
+  aux files into the chain (sandbox ``aux['<name>']`` + temp views).
+  POST /get_primary_dataset_preview {df_name} → bounded HTML.
+
+With a ``connector`` supplied, the OAuth data-connector lifecycle comes up
+(reference /sweatstack/*, app.py:1471-1613, provider injected): GET
+/connector/authorize → /connector/oauth-callback?code= →
+/connector/get_users → POST /connector/load_data (rest_source drain +
+optional A9 longitudinal normalization, registered under df_name) →
+/connector/logout, /connector/remove_data.
 
 The reference needs a thread-locked 1-slot DataFrame cache because pandas
 frames are mutable process state; here the registry is catalog-backed and
@@ -72,6 +85,7 @@ def create_app(
     agent_store_dir: str | None = None,
     memory=None,
     feedback_timeout: float = 300.0,
+    connector=None,
 ):
     """Flask app factory (kept separate from any server runner so tests use
     ``app.test_client()`` and deployment picks its own WSGI server).
@@ -79,6 +93,9 @@ def create_app(
     ``llm`` — optional (system, user) -> str callable; enables /query.
     ``agent_store_dir`` — thread/chain persistence root for /query sessions.
     ``memory`` — optional EpisodicMemory; enables /submit_rank writes.
+    ``connector`` — optional OAuth data connector (see
+    ``_add_connector_routes``); enables the /connector/* lifecycle
+    (reference /sweatstack/*, web_app/app.py:1471-1613).
     """
     from flask import Flask, jsonify, request
 
@@ -195,15 +212,28 @@ def create_app(
         )
         return jsonify({"payload": payload})
 
+    @app.post("/get_primary_dataset_preview")
+    def get_primary_dataset_preview():
+        # reference app.py:823-862 — bounded HTML preview of the primary df
+        from bambooai_spark.profiler import dataframe_to_html
+
+        body = request.get_json(force=True)
+        return jsonify(
+            {"preview": dataframe_to_html(_df(_field(body, "df_name")))}
+        )
+
     if llm is not None:
-        _add_agent_routes(app, spark, llm, _df, _field,
+        _add_agent_routes(app, spark, llm, registry, _df, _field,
                           agent_store_dir, memory, feedback_timeout)
+    if connector is not None:
+        _add_connector_routes(app, spark, registry, connector)
 
     return app
 
 
 def _add_agent_routes(
-    app, spark, llm, _df, _field, agent_store_dir, memory, feedback_timeout
+    app, spark, llm, registry, _df, _field,
+    agent_store_dir, memory, feedback_timeout,
 ):
     """The conversational lifecycle entry point (reference
     web_app/app.py:927-971 /query + :976-1001 /submit_rank)."""
@@ -235,6 +265,11 @@ def _add_agent_routes(
     )
     gen_root = os.path.join(store.base_dir, "generated")
     fav_root = os.path.join(store.base_dir, "favourites")
+    aux_root = os.path.join(store.base_dir, "aux")
+    # per-thread auxiliary dataset paths, capped like the reference
+    # (web_app/app.py:681-682: max 3 side tables)
+    MAX_AUX = 3
+    aux_store: dict[str, list[str]] = {}
     # one session per thread_id, created lazily — the reference keys one
     # BambooAI instance per web session the same way (app.py:176-199).
     # Creation is locked: a multi-threaded WSGI server can race two first
@@ -329,6 +364,7 @@ def _add_agent_routes(
                         df_name=df_name,
                         image=image,
                         ontology=state["ontology"],
+                        aux_datasets=list(aux_store.get(thread_id, [])),
                         generated_datasets_path=gen_dir,
                     )
                 out.rank_data(
@@ -481,6 +517,65 @@ def _add_agent_routes(
                     )
         return jsonify({"results": hits})
 
+    # -- auxiliary datasets (reference app.py:664-921) ----------------
+    # side tables the generated code may join to df; file-resident, per
+    # thread, capped at MAX_AUX like the reference
+
+    @app.post("/upload_auxiliary_dataset")
+    def upload_auxiliary_dataset():
+        from flask import abort
+
+        f = request.files["file"]
+        thread_id = _safe_id(
+            request.form.get("thread_id", "default"), "thread_id"
+        )
+        fname = os.path.basename(f.filename or "")
+        if not fname or fname.startswith("."):
+            abort(400, description="invalid filename")
+        paths = aux_store.setdefault(thread_id, [])
+        path = os.path.join(aux_root, thread_id, fname)
+        if path not in paths and len(paths) >= MAX_AUX:
+            return (
+                jsonify({"error": f"auxiliary dataset limit is {MAX_AUX}"}),
+                400,
+            )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        f.save(path)
+        if path not in paths:
+            paths.append(path)
+        return jsonify(
+            {"aux_datasets": [os.path.basename(p) for p in paths]}
+        )
+
+    @app.post("/remove_auxiliary_dataset")
+    def remove_auxiliary_dataset():
+        body = request.get_json(force=True)
+        thread_id = _safe_id(body.get("thread_id", "default"), "thread_id")
+        fname = os.path.basename(str(_field(body, "filename")))
+        path = os.path.join(aux_root, thread_id, fname)
+        paths = aux_store.get(thread_id, [])
+        if path not in paths:
+            return jsonify({"error": "unknown auxiliary dataset"}), 404
+        paths.remove(path)
+        if os.path.exists(path):
+            os.remove(path)
+        return jsonify(
+            {"aux_datasets": [os.path.basename(p) for p in paths]}
+        )
+
+    @app.post("/get_dataset_preview")
+    def get_dataset_preview():
+        # reference app.py:864-921 — bounded preview of one aux dataset
+        from bambooai_spark.sources import aux_datasets_to_string
+
+        body = request.get_json(force=True)
+        thread_id = _safe_id(body.get("thread_id", "default"), "thread_id")
+        fname = os.path.basename(str(_field(body, "filename")))
+        path = os.path.join(aux_root, thread_id, fname)
+        if path not in aux_store.get(thread_id, []):
+            return jsonify({"error": "unknown auxiliary dataset"}), 404
+        return jsonify({"preview": aux_datasets_to_string(spark, [path])})
+
     # -- feedback / favourites / downloads / status -------------------
     # (reference app.py:1318-1359, 1012-1060, 1361-1431, 1433-1437)
 
@@ -582,3 +677,93 @@ def _add_agent_routes(
     @app.get("/get_ontology_state")
     def get_ontology_state():
         return jsonify({"ontology_set": state["ontology"] is not None})
+
+
+def _add_connector_routes(app, spark, registry, connector):
+    """Generic OAuth data-connector lifecycle (reference /sweatstack/*,
+    web_app/app.py:1471-1613 — authorize → oauth-callback → get_users →
+    load_data → logout/remove_data), with the provider injected instead of
+    hard-coded:
+
+    ``connector.authorize_url() -> str`` — where to send the user;
+    ``connector.exchange(code) -> token`` — callback code → access token;
+    ``connector.users(token) -> list`` — accounts visible to the token;
+    ``connector.fetch(token, **params) -> Iterator[list[dict]]`` —
+    paginated record batches (the ``rest_source`` fetch contract).
+
+    ``/connector/load_data`` drains the fetch into one DataFrame
+    (``sources.connectors.rest_source``), optionally runs the reference's
+    longitudinal normalization (A9: dense re-ID + cumsum distance +
+    semicircle conversion) when the caller names the columns, and registers
+    the result — the reference instead swaps it in as the session's primary
+    df (app.py:1583-1596); here the client addresses it by the returned
+    ``df_name``.
+    """
+    from flask import jsonify, request
+
+    from bambooai_spark.sources.connectors import rest_source
+
+    auth: dict = {"token": None}
+
+    @app.get("/connector/authorize")
+    def connector_authorize():
+        return jsonify({"url": connector.authorize_url()})
+
+    @app.get("/connector/oauth-callback")
+    def connector_callback():
+        code = request.args.get("code")
+        if not code:
+            return jsonify({"error": "missing code"}), 400
+        auth["token"] = connector.exchange(code)
+        return jsonify({"status": "ok", "authenticated": True})
+
+    def _token():
+        return auth["token"]
+
+    @app.get("/connector/get_users")
+    def connector_users():
+        if _token() is None:
+            return jsonify({"error": "not authenticated"}), 401
+        return jsonify({"users": connector.users(_token())})
+
+    @app.post("/connector/load_data")
+    def connector_load_data():
+        if _token() is None:
+            return jsonify({"error": "not authenticated"}), 401
+        body = request.get_json(force=True)
+        params = body.get("params") or {}
+        df = rest_source(spark, lambda: connector.fetch(_token(), **params))
+        if df is None:
+            return jsonify({"error": "connector returned no data"}), 404
+        norm = body.get("normalize") or {}
+        if norm:
+            from bambooai_spark.functions.timeseries import (
+                normalize_longitudinal,
+            )
+
+            df = normalize_longitudinal(
+                df,
+                group_col=norm["group_col"],
+                id_col=norm["id_col"],
+                ts_col=norm["ts_col"],
+                speed_col=norm["speed_col"],
+                semicircle_cols=tuple(norm.get("semicircle_cols", ())),
+            )
+        name = registry.register(df, body.get("df_name"))
+        return jsonify({"df_name": name, "columns": df.columns})
+
+    @app.post("/connector/logout")
+    def connector_logout():
+        auth["token"] = None
+        return jsonify({"status": "ok"})
+
+    @app.post("/connector/remove_data")
+    def connector_remove_data():
+        body = request.get_json(force=True)
+        name = str(body.get("df_name") or "")
+        try:
+            registry.get(name)
+        except KeyError:
+            return jsonify({"error": f"unknown df_name: {name}"}), 404
+        registry.drop(name)
+        return jsonify({"status": "ok"})

@@ -630,3 +630,185 @@ def test_get_threads_orders_chains_numerically(spark, tmp_path):
     [thread] = client.get("/get_threads").get_json()["threads"]
     got = [c["chain_id"] for c in thread["chains"]]
     assert got == [str(i) for i in range(1, 12)]
+
+
+def test_auxiliary_dataset_lifecycle(spark, tmp_path):
+    """Upload/list/preview/remove aux datasets per thread with the
+    reference's max-3 cap, and /query passes them into the chain: the
+    sandbox exposes each as aux['<name>'] and a temp view the generated
+    code can join (reference app.py:664-921 + utils aux previews)."""
+    import pandas as pd
+
+    aux_pd = pd.DataFrame(
+        {"o_orderkey": [1, 2, 3], "note": ["a", "b", "c"]}
+    )
+    aux_file = tmp_path / "notes.csv"
+    aux_pd.to_csv(aux_file, index=False)
+
+    code = (
+        "```python\n"
+        "joined = df.join(aux['aux_notes'], 'o_orderkey', 'inner')\n"
+        "print(joined.count())\n"
+        "df = joined\n"
+        "```"
+    )
+    llm = ScriptedLLM(
+        {
+            "route analytics questions": EXPERT_DA,
+            "classify dataset questions": ANALYST,
+            "analysis plans": PLAN,
+            "write PySpark code": code,
+            "Summarize the analysis": "Joined.",
+        }
+    )
+    app = create_app(
+        spark,
+        upload_dir=str(tmp_path / "up"),
+        llm=llm,
+        agent_store_dir=str(tmp_path / "threads"),
+    )
+    app.config["TESTING"] = True
+    client = app.test_client()
+    with open(f"{SF_DIR}/orders.parquet", "rb") as f:
+        client.post(
+            "/upload_dataset",
+            data={"file": (io.BytesIO(f.read()), "orders.parquet"),
+                  "df_name": "orders_aux"},
+            content_type="multipart/form-data",
+        )
+
+    def _upload_aux(name, content=None):
+        payload = content if content is not None else aux_file.read_bytes()
+        return client.post(
+            "/upload_auxiliary_dataset",
+            data={"file": (io.BytesIO(payload), name), "thread_id": "aux1"},
+            content_type="multipart/form-data",
+        )
+
+    r = _upload_aux("notes.csv")
+    assert r.get_json()["aux_datasets"] == ["notes.csv"]
+    # cap at 3 (re-upload of the same name doesn't count against the cap)
+    _upload_aux("n2.csv")
+    _upload_aux("n3.csv")
+    assert _upload_aux("n4.csv").status_code == 400
+    assert _upload_aux("notes.csv").status_code == 200
+
+    # preview of a registered aux file; unknown -> 404
+    prev = client.post(
+        "/get_dataset_preview",
+        json={"thread_id": "aux1", "filename": "notes.csv"},
+    ).get_json()["preview"]
+    assert "o_orderkey" in prev
+    assert client.post(
+        "/get_dataset_preview",
+        json={"thread_id": "aux1", "filename": "nope.csv"},
+    ).status_code == 404
+
+    # primary preview (reference /get_primary_dataset_preview)
+    html = client.post(
+        "/get_primary_dataset_preview", json={"df_name": "orders_aux"}
+    ).get_json()["preview"]
+    assert "<table" in html and "o_orderkey" in html
+
+    # drop the fillers so the join targets one aux table
+    client.post("/remove_auxiliary_dataset",
+                json={"thread_id": "aux1", "filename": "n2.csv"})
+    client.post("/remove_auxiliary_dataset",
+                json={"thread_id": "aux1", "filename": "n3.csv"})
+
+    r = client.post(
+        "/query",
+        json={"query": "Attach my notes to the orders",
+              "df_name": "orders_aux", "thread_id": "aux1"},
+    )
+    events = [
+        json.loads(l)
+        for l in r.get_data(as_text=True).splitlines() if l.strip()
+    ]
+    assert events[-1]["rank_data"]["ok"] is True
+    [res] = [e for e in events if e.get("type") == "result"]
+    assert res["stdout"].strip() == "3"  # 3 aux rows joined
+
+
+class FakeConnector:
+    """Deterministic stand-in for an OAuth data provider (the reference's
+    SweatStack client) — same four-contract surface the routes document."""
+
+    def authorize_url(self):
+        return "https://provider.example/oauth?client_id=x"
+
+    def exchange(self, code):
+        assert code == "good-code"
+        return {"access_token": "tok-123"}
+
+    def users(self, token):
+        assert token["access_token"] == "tok-123"
+        return [{"id": "u1", "name": "Athlete One"}]
+
+    def fetch(self, token, **params):
+        assert token["access_token"] == "tok-123"
+        yield [
+            {"athlete_id": "u1", "activity_id": 900, "datetime": "2021-01-01 00:00:00", "speed": 3.0},
+            {"athlete_id": "u1", "activity_id": 900, "datetime": "2021-01-01 00:00:01", "speed": 3.0},
+        ]
+        yield [
+            {"athlete_id": "u1", "activity_id": 100, "datetime": "2021-02-01 00:00:00", "speed": 2.0},
+        ]
+
+
+def test_connector_lifecycle(spark, tmp_path):
+    """authorize -> oauth-callback -> get_users -> load_data (+ the A9
+    longitudinal normalization) -> logout/remove_data, the reference's
+    /sweatstack/* flow with the provider injected."""
+    app = create_app(
+        spark, upload_dir=str(tmp_path / "up"), connector=FakeConnector()
+    )
+    app.config["TESTING"] = True
+    client = app.test_client()
+
+    assert "provider.example" in client.get("/connector/authorize").get_json()["url"]
+    # auth required before users/load_data
+    assert client.get("/connector/get_users").status_code == 401
+    assert client.post("/connector/load_data", json={}).status_code == 401
+    assert client.get("/connector/oauth-callback").status_code == 400
+    r = client.get("/connector/oauth-callback?code=good-code")
+    assert r.get_json()["authenticated"] is True
+    assert client.get("/connector/get_users").get_json()["users"][0]["id"] == "u1"
+
+    r = client.post(
+        "/connector/load_data",
+        json={
+            "df_name": "longi",
+            "normalize": {
+                "group_col": "athlete_id", "id_col": "activity_id",
+                "ts_col": "datetime", "speed_col": "speed",
+            },
+        },
+    ).get_json()
+    assert r["df_name"] == "longi"
+    rows = client.post(
+        "/df_utils/compute_df_sample", json={"df_name": "longi"}
+    ).get_json()["rows"]
+    assert len(rows) == 3
+    # dense re-ID by first timestamp: activity 900 (January) becomes 1,
+    # activity 100 (February) becomes 2 — the reference's re-ID semantics,
+    # not insertion or numeric order
+    by_orig = {}
+    for row in rows:
+        by_orig.setdefault(row["activity_id"], row["new_id"])
+    assert by_orig == {900: 1, 100: 2}
+    # cumulative distance within (athlete, activity)
+    jan = sorted(
+        (r_ for r_ in rows if r_["activity_id"] == 900),
+        key=lambda r_: r_["datetime"],
+    )
+    assert [r_["distance"] for r_ in jan] == [3.0, 6.0]
+
+    client.post("/connector/logout")
+    assert client.get("/connector/get_users").status_code == 401
+    assert client.post(
+        "/connector/remove_data", json={"df_name": "longi"}
+    ).get_json()["status"] == "ok"
+    assert client.post(
+        "/connector/remove_data", json={"df_name": "longi"}
+    ).status_code == 404
