@@ -90,3 +90,56 @@ def test_sanitizer_idempotent_and_total(code):
         # no active line may contain an unbounded collect
         if not line.lstrip().startswith("#"):
             assert ".collect()" not in line or ".limit(" in line
+
+
+# ------------------------------------------------------------ mixture_sample
+
+_mix_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de", "zh"]),  # group
+        st.integers(0, 12),                   # words in the doc
+    ),
+    min_size=0, max_size=16,
+)
+_mix_budget = st.integers(1, 60)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_mix_docs, _mix_budget)
+def test_mixture_sample_matches_bruteforce(spark, docs, budget):
+    """The two-phase grouped prefix-sum bridge equals the obvious
+    single-threaded spec: per group, docs in (md5(str(id)), id) order are
+    taken while the running total BEFORE the doc is under the group's
+    budget (boundary doc included)."""
+    import hashlib
+
+    from bambooai_spark.operators.packing import mixture_sample
+
+    rows = [
+        (i, " ".join(["w"] * n) if n else "", g)
+        for i, (g, n) in enumerate(docs)
+    ]
+    weights = {"en": 0.5, "de": 0.3, "zh": 0.2}
+    # brute force: n_tokens = len(split-on-whitespace) — for "" that is
+    # [''] -> 1, matching Spark's split semantics
+    budgets = {g: int(w * budget) for g, w in weights.items()}
+    expect = {}
+    for g in sorted(weights):
+        total = 0
+        for i, text, gg in sorted(
+            (r for r in rows if r[2] == g),
+            key=lambda r: (hashlib.md5(str(r[0]).encode()).hexdigest(), r[0]),
+        ):
+            n = 1 if text == "" else len(text.split())
+            if total < budgets[g]:
+                total += n
+                expect[i] = (g, n, total)
+            else:
+                break
+
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    got = {
+        r["doc_id"]: (r["lang"], r["n_tokens"], r["cum_tokens"])
+        for r in mixture_sample(df, weights, budget, num_partitions=3).collect()
+    }
+    assert got == expect
