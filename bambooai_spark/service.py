@@ -267,9 +267,11 @@ def _add_agent_routes(
     fav_root = os.path.join(store.base_dir, "favourites")
     aux_root = os.path.join(store.base_dir, "aux")
     # per-thread auxiliary dataset paths, capped like the reference
-    # (web_app/app.py:681-682: max 3 side tables)
+    # (web_app/app.py:681-682: max 3 side tables); lock guards the
+    # check-then-append against concurrent uploads for one thread
     MAX_AUX = 3
     aux_store: dict[str, list[str]] = {}
+    aux_lock = threading.Lock()
     # one session per thread_id, created lazily — the reference keys one
     # BambooAI instance per web session the same way (app.py:176-199).
     # Creation is locked: a multi-threaded WSGI server can race two first
@@ -532,17 +534,26 @@ def _add_agent_routes(
         fname = os.path.basename(f.filename or "")
         if not fname or fname.startswith("."):
             abort(400, description="invalid filename")
-        paths = aux_store.setdefault(thread_id, [])
         path = os.path.join(aux_root, thread_id, fname)
-        if path not in paths and len(paths) >= MAX_AUX:
-            return (
-                jsonify({"error": f"auxiliary dataset limit is {MAX_AUX}"}),
-                400,
-            )
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        f.save(path)
-        if path not in paths:
-            paths.append(path)
+        with aux_lock:
+            paths = aux_store.setdefault(thread_id, [])
+            if path not in paths and len(paths) >= MAX_AUX:
+                return (
+                    jsonify(
+                        {"error": f"auxiliary dataset limit is {MAX_AUX}"}
+                    ),
+                    400,
+                )
+            if path not in paths:
+                paths.append(path)
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            f.save(path)
+        except OSError:
+            with aux_lock:
+                if path in paths:
+                    paths.remove(path)
+            raise
         return jsonify(
             {"aux_datasets": [os.path.basename(p) for p in paths]}
         )
@@ -741,6 +752,15 @@ def _add_connector_routes(app, spark, registry, connector):
                 normalize_longitudinal,
             )
 
+            missing = [
+                k for k in ("group_col", "id_col", "ts_col", "speed_col")
+                if k not in norm
+            ]
+            if missing:
+                return (
+                    jsonify({"error": f"normalize spec missing {missing}"}),
+                    400,
+                )
             df = normalize_longitudinal(
                 df,
                 group_col=norm["group_col"],

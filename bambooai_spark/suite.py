@@ -3624,8 +3624,12 @@ _PROMOTE = [
     "pack_docs",
     "quantize_embeddings",
     "pii_scrub_docs",
+    # Round-4 addition: the mixture sampler takes the slot of isin_orders
+    # (membership predicate graded green in r01-r03; stays pytest-pinned)
+    "mixture_sample_docs",
 ]
 _DEMOTE = [
+    "isin_orders",
     "q4_order_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
