@@ -518,6 +518,51 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Oracle-reproducible MinHash variant: the hash family is
+    ``substr(md5(i || '|' || shingle), 1, 16)`` and the per-function min is
+    taken over the fixed-length lowercase-hex STRINGS — lexicographic min
+    on equal-length hex equals numeric min, and any engine with md5 (DuckDB
+    included) reproduces the signature byte-for-byte. The production path
+    (:func:`minhash_signatures`) stays on xxhash64 (JVM-side, ~an order of
+    magnitude cheaper); this family exists so the MinHash construction
+    itself is hash-exact-testable, not just recall-tested.
+
+    Returns ``(doc, n_sh, sig)`` — sig as one comma-joined string so the
+    value survives any array-representation differences at compare time.
+    Same persist barrier as the xxhash64 path: without it CollapseProject
+    re-expands the shingle pipeline once per hash function.
+    """
+    shs = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(text_col, n).alias("shs"),
+    )
+    shs = track(shs.persist())
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("shs"),
+                lambda s: F.substring(
+                    F.md5(F.concat_ws("|", i.cast("string"), s)), 1, 16
+                ),
+            )
+        ),
+    )
+    return shs.filter(F.size("shs") > 0).select(
+        "doc",
+        F.size("shs").cast("long").alias("n_sh"),
+        F.concat_ws(",", sig).alias("sig"),
+    )
+
+
 def minhash_near_dup(
     df: DataFrame,
     id_col: str,

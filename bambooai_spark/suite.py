@@ -2400,6 +2400,41 @@ def minhash_near_dup_docs(spark, sf_dir):
 
 
 @spec(
+    "minhash_md5_docs",
+    r"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w)),
+                                               i -> w[i] || ' ' || w[i+1]))
+                    AS shs
+           FROM w),
+    t AS (SELECT doc_id, unnest(shs) AS sh FROM sh WHERE len(shs) > 0),
+    i AS (SELECT unnest(range(0, 16)) AS i),
+    m AS (SELECT t.doc_id, i.i,
+                 MIN(substr(md5(CAST(i.i AS VARCHAR) || '|' || t.sh), 1, 16))
+                   AS h
+          FROM t CROSS JOIN i GROUP BY t.doc_id, i.i)
+    SELECT m.doc_id AS doc,
+           CAST(len(sh.shs) AS BIGINT) AS n_sh,
+           string_agg(m.h, ',' ORDER BY m.i) AS sig
+    FROM m JOIN sh ON sh.doc_id = m.doc_id
+    GROUP BY m.doc_id, sh.shs
+    """,
+    doc="Hash-exact MinHash evidence: an md5-derived hash family (min over "
+    "fixed-length hex strings == numeric min) both engines compute "
+    "byte-for-byte, so the MinHash CONSTRUCTION is oracle-verified — the "
+    "production xxhash64 path stays the fast one and keeps its "
+    "recall-pinned tests. operators/dedup.py minhash_signatures_md5.",
+)
+def minhash_md5_docs(spark, sf_dir):
+    from bambooai_spark.operators.dedup import minhash_signatures_md5
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_signatures_md5(d, "doc_id", "text", n=2, num_hashes=16)
+
+
+@spec(
     "simhash_docs",
     None,  # depends on xxhash64 (no DuckDB equivalent); tested vs python impl
     doc="64-bit SimHash fingerprints from word-bigram shingles.",

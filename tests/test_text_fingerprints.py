@@ -202,3 +202,66 @@ def test_mixture_sample_semantics(spark):
     empty = mixture_sample(df, {"nope": 1.0}, 70)
     assert empty.count() == 0
     assert empty.columns == ["doc_id", "lang", "n_tokens", "cum_tokens"]
+
+
+def test_write_corpus_layout_and_manifest(spark, tmp_path):
+    """The terminal pipeline sink: partitioned size-capped shards whose
+    manifest (rows/files/bytes/tokens per partition) matches both the
+    source data and the filesystem."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bambooai_spark.io import load_table
+    from bambooai_spark.operators.writer import (
+        MANIFEST_NAME,
+        build_manifest,
+        write_corpus,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "n_tokens", F.size(F.split("text", r"\s+")).cast("long")
+    )
+    out = str(tmp_path / "corpus")
+    manifest = write_corpus(
+        docs, out, partition_by=("lang",),
+        max_records_per_file=50, token_col="n_tokens",
+    )
+    rows = {r["lang"]: r for r in manifest.collect()}
+
+    # per-partition row counts match the source exactly
+    want = {
+        r["lang"]: r["c"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert {k: v["n_rows"] for k, v in rows.items()} == want
+    # the 50-record cap produced multiple files for any lang with >50 docs
+    for lang, n in want.items():
+        import math
+
+        assert rows[lang]["n_files"] >= math.ceil(n / 50)
+    # token totals match the source sums
+    want_tok = {
+        r["lang"]: r["t"]
+        for r in docs.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert {k: v["n_tokens"] for k, v in rows.items()} == want_tok
+    # byte totals match the filesystem
+    for lang, rec in rows.items():
+        pdir = os.path.join(out, f"lang={lang}")
+        fs_bytes = sum(
+            os.path.getsize(os.path.join(pdir, f))
+            for f in os.listdir(pdir) if f.endswith(".parquet")
+        )
+        assert rec["n_bytes"] == fs_bytes
+
+    # the JSON manifest round-trips and build_manifest re-derives it from
+    # the directory alone
+    with open(os.path.join(out, MANIFEST_NAME)) as fh:
+        j = json.load(fh)
+    assert j["partition_by"] == ["lang"]
+    assert {p["lang"]: p["n_rows"] for p in j["partitions"]} == want
+    again = build_manifest(spark, out, partition_by=("lang",))
+    assert {r["lang"]: r["n_rows"] for r in again.collect()} == want
