@@ -676,6 +676,61 @@ def simhash(
     return df.select(F.col(id_col).alias("doc"), fp.alias("simhash64"))
 
 
+def simhash_md5(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 2, bits: int = 32
+) -> DataFrame:
+    """Oracle-reproducible SimHash variant (same role as
+    :func:`minhash_signatures_md5`): the per-shingle hash is the first 8
+    hex chars of md5 as an unsigned 32-bit integer — both engines can
+    derive it (Spark ``conv(hex,16,10)``; DuckDB hex-digit fold) — and the
+    fingerprint is the standard Charikar sign-of-votes over ``bits`` bits.
+    Production stays on the 64-bit xxhash64 path (:func:`simhash`)."""
+    zeros = F.array_repeat(F.lit(0), bits)
+
+    def h32(s):
+        return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+    votes = F.aggregate(
+        F.col("_sh"),
+        zeros,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: (
+                    F.call_function("shiftright", h32(s), i.cast("int"))
+                    .bitwiseAND(F.lit(1))
+                ).cast("int")
+                * 2
+                - 1,
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)).cast("array<long>"),
+            lambda v, i: F.when(
+                v > 0,
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), i.cast("int")
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            word_shingles(text_col, n).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+        .select("doc", fp.alias(f"simhash{bits}"))
+    )
+
+
 def simhash_near_dup(
     df: DataFrame,
     id_col: str,

@@ -2444,6 +2444,45 @@ def simhash_docs(spark, sf_dir):
 
 
 @spec(
+    "simhash_md5_docs",
+    r"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w)),
+                                               i -> w[i] || ' ' || w[i+1]))
+                    AS shs
+           FROM w),
+    t AS (SELECT doc_id, unnest(shs) AS sh FROM sh WHERE len(shs) > 0),
+    h AS (SELECT doc_id,
+                 list_reduce(
+                   list_transform(
+                     regexp_split_to_array(substr(md5(sh), 1, 8), ''),
+                     c -> strpos('0123456789abcdef', c) - 1)::BIGINT[],
+                   (a, d) -> a * 16 + d) AS h
+          FROM t),
+    b AS (SELECT doc_id, i.i,
+                 SUM(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i) i
+          GROUP BY doc_id, i.i)
+    SELECT doc_id AS doc,
+           CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i)
+                         ELSE 0 END) AS BIGINT) AS simhash32
+    FROM b GROUP BY doc_id
+    """,
+    doc="Hash-exact SimHash evidence (companion to minhash_md5_docs): the "
+    "per-shingle hash is the first 8 md5 hex chars as an unsigned 32-bit "
+    "int — derivable in both engines — and the Charikar sign-of-votes "
+    "fingerprint matches byte-for-byte. Production stays on 64-bit "
+    "xxhash64. operators/dedup.py simhash_md5.",
+)
+def simhash_md5_docs(spark, sf_dir):
+    from bambooai_spark.operators.dedup import simhash_md5
+
+    return simhash_md5(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@spec(
     "simhash_near_dup_docs",
     None,  # xxhash64-specific; EXACTNESS within the hamming bound is
     # asserted vs brute force in tests/test_probabilistic.py
