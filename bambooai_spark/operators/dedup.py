@@ -676,6 +676,82 @@ def simhash(
     return df.select(F.col(id_col).alias("doc"), fp.alias("simhash64"))
 
 
+def minhash_md5_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 2,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """The FULL banded-LSH near-dup pipeline on the oracle-reproducible md5
+    hash family: signature → band keys → bucket-join candidates →
+    exact-Jaccard verification. Every stage is deterministic and
+    engine-portable, so the end-to-end LSH construction (not just recall)
+    is oracle-verifiable; the production pipeline
+    (:func:`minhash_near_dup`) keeps xxhash64 + the skew-capped verify.
+
+    Returns ``(doc_a, doc_b, jaccard)`` for candidate pairs at or above
+    ``threshold`` — note: LSH candidates only, so a pair the banding never
+    buckets together is absent by design in BOTH engines identically."""
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(text_col, n).alias("shs"),
+    ).filter(F.size("shs") > 0)
+    base = track(base.persist())
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("shs"),
+                lambda s: F.substring(
+                    F.md5(F.concat_ws("|", i.cast("string"), s)), 1, 16
+                ),
+            )
+        ),
+    )
+    band = base.select("doc", sig.alias("sig")).select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    ",", F.slice("sig", b * rows + 1, rows)
+                ),
+            )
+        ).alias("band", "key"),
+    )
+    cand = (
+        band.alias("a")
+        .join(
+            band.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .distinct()
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sa", "sb"))
+        / F.size(F.array_union("sa", "sb")),
+        6,
+    )
+    return (
+        cand.join(base.select(F.col("doc").alias("doc_a"),
+                              F.col("shs").alias("sa")), "doc_a")
+        .join(base.select(F.col("doc").alias("doc_b"),
+                          F.col("shs").alias("sb")), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_md5(
     df: DataFrame, id_col: str, text_col: str, *, n: int = 2, bits: int = 32
 ) -> DataFrame:

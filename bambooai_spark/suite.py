@@ -2444,6 +2444,58 @@ def simhash_docs(spark, sf_dir):
 
 
 @spec(
+    "minhash_md5_near_dup_docs",
+    r"""
+    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+               FROM documents),
+    sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(w)),
+                                               i -> w[i] || ' ' || w[i+1]))
+                    AS shs
+           FROM w),
+    t AS (SELECT doc_id, unnest(shs) AS sh FROM sh WHERE len(shs) > 0),
+    i AS (SELECT unnest(range(0, 16)) AS i),
+    m AS (SELECT t.doc_id, i.i,
+                 MIN(substr(md5(CAST(i.i AS VARCHAR) || '|' || t.sh), 1, 16))
+                   AS h
+          FROM t CROSS JOIN i GROUP BY t.doc_id, i.i),
+    bk AS (SELECT doc_id, i // 4 AS band,
+                  string_agg(h, ',' ORDER BY i) AS key
+           FROM m GROUP BY doc_id, i // 4),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bk a JOIN bk b
+               ON a.band = b.band AND a.key = b.key
+              AND a.doc_id < b.doc_id),
+    nsh AS (SELECT doc_id, COUNT(*) AS n_sh FROM t GROUP BY doc_id),
+    ov AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+           FROM cand c
+           JOIN t ta ON ta.doc_id = c.doc_a
+           JOIN t tb ON tb.doc_id = c.doc_b AND tb.sh = ta.sh
+           GROUP BY c.doc_a, c.doc_b)
+    SELECT o.doc_a, o.doc_b,
+           ROUND(o.shared /
+                 CAST(na.n_sh + nb.n_sh - o.shared AS DOUBLE), 6) AS jaccard
+    FROM ov o
+    JOIN nsh na ON na.doc_id = o.doc_a
+    JOIN nsh nb ON nb.doc_id = o.doc_b
+    WHERE o.shared / CAST(na.n_sh + nb.n_sh - o.shared AS DOUBLE) >= 0.4
+    """,
+    doc="End-to-end banded-LSH near-dup on the md5 hash family: signature "
+    "-> 4-row band keys -> bucket-join candidates -> exact-Jaccard verify, "
+    "every stage engine-portable so the whole LSH construction is "
+    "oracle-verified (the production pipeline keeps xxhash64 + the "
+    "skew-capped verify). operators/dedup.py minhash_md5_near_dup.",
+)
+def minhash_md5_near_dup_docs(spark, sf_dir):
+    from bambooai_spark.operators.dedup import minhash_md5_near_dup
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_md5_near_dup(
+        d, "doc_id", "text", n=2, num_hashes=16, bands=4, threshold=0.4
+    )
+
+
+@spec(
     "simhash_md5_docs",
     r"""
     WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
