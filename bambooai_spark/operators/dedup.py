@@ -518,6 +518,23 @@ def minhash_signatures(
     )
 
 
+def _md5_minhash_sig(num_hashes: int):
+    """sig[i] = min over the "shs" column's shingles of the 16-hex-char md5
+    prefix of (i || '|' || shingle) — shared by the signature and the
+    banded-pipeline md5 variants."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("shs"),
+                lambda s: F.substring(
+                    F.md5(F.concat_ws("|", i.cast("string"), s)), 1, 16
+                ),
+            )
+        ),
+    )
+
+
 def minhash_signatures_md5(
     df: DataFrame,
     id_col: str,
@@ -545,17 +562,7 @@ def minhash_signatures_md5(
         word_shingles(text_col, n).alias("shs"),
     )
     shs = track(shs.persist())
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("shs"),
-                lambda s: F.substring(
-                    F.md5(F.concat_ws("|", i.cast("string"), s)), 1, 16
-                ),
-            )
-        ),
-    )
+    sig = _md5_minhash_sig(num_hashes)
     return shs.filter(F.size("shs") > 0).select(
         "doc",
         F.size("shs").cast("long").alias("n_sh"),
@@ -702,17 +709,7 @@ def minhash_md5_near_dup(
         word_shingles(text_col, n).alias("shs"),
     ).filter(F.size("shs") > 0)
     base = track(base.persist())
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("shs"),
-                lambda s: F.substring(
-                    F.md5(F.concat_ws("|", i.cast("string"), s)), 1, 16
-                ),
-            )
-        ),
-    )
+    sig = _md5_minhash_sig(num_hashes)
     band = base.select("doc", sig.alias("sig")).select(
         "doc",
         F.posexplode(

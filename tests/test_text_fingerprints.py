@@ -265,3 +265,74 @@ def test_write_corpus_layout_and_manifest(spark, tmp_path):
     assert {p["lang"]: p["n_rows"] for p in j["partitions"]} == want
     again = build_manifest(spark, out, partition_by=("lang",))
     assert {r["lang"]: r["n_rows"] for r in again.collect()} == want
+
+
+def test_full_pipeline_composes_end_to_end(spark, tmp_path):
+    """The whole LLM-data pipeline as one composed flow: exact dedup ->
+    quality gate -> PII scrub -> token-budget mixture sample -> sequence
+    packing -> partitioned corpus write with manifest. Asserts each stage's
+    contract holds THROUGH the composition, not just in isolation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bambooai_spark.functions.text import quality_filter, scrub_pii
+    from bambooai_spark.io import load_table
+    from bambooai_spark.operators.dedup import exact_dedup
+    from bambooai_spark.operators.packing import mixture_sample, pack_sequences
+    from bambooai_spark.operators.writer import write_corpus
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    # 1. exact dedup: keep one doc per fingerprint group
+    keep = exact_dedup(docs, "text", "doc_id").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    deduped = docs.join(keep, "doc_id")
+    n_dedup = deduped.count()
+    assert n_dedup <= docs.count()
+
+    # 2. quality gate + PII scrub
+    qf = quality_filter("text")
+    pii = scrub_pii("text")
+    clean = (
+        deduped.withColumn("keep", qf["keep"])
+        .filter("keep")
+        .select("doc_id", "lang", pii["scrubbed"].alias("text"))
+    )
+    n_clean = clean.count()
+    assert 0 < n_clean <= n_dedup
+
+    # 3. mixture sample to a token budget
+    weights = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    sampled_ids = mixture_sample(clean, weights, 4_000).select("doc_id")
+    sampled = clean.join(sampled_ids, "doc_id")
+    n_sampled = sampled.count()
+    assert 0 < n_sampled <= n_clean
+
+    # 4. pack into 512-token training windows
+    packed = pack_sequences(
+        sampled, "doc_id", "text", budget=512, stream_cols=("lang",)
+    )
+    rows = packed.collect()
+    assert len(rows) == n_sampled
+    assert all(0 <= r["chunk_offset"] < 512 for r in rows)
+
+    # 5. write the curated corpus + manifest
+    out = str(tmp_path / "curated")
+    manifest = write_corpus(
+        sampled.join(
+            packed.select("doc_id", "n_tok", "chunk_id", "chunk_offset"),
+            "doc_id",
+        ),
+        out,
+        partition_by=("lang",),
+        max_records_per_file=100,
+        token_col="n_tok",
+    )
+    m = {r["lang"]: r for r in manifest.collect()}
+    assert sum(r["n_rows"] for r in m.values()) == n_sampled
+    assert os.path.exists(os.path.join(out, "_corpus_manifest.json"))
+    # the written corpus reads back complete and query-able
+    assert spark.read.parquet(out).count() == n_sampled
