@@ -27,6 +27,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_NAME = "_corpus_manifest.json"
+# underscore prefix → invisible to spark.read.parquet(corpus_path), so the
+# ledger can live inside the corpus directory without polluting reads
+LEDGER_DIR = "_fingerprints"
 
 
 def write_corpus(
@@ -96,3 +99,77 @@ def build_manifest(
         .agg(*aggs)
         .orderBy(*partition_by)
     )
+
+
+def append_corpus(
+    new_docs: DataFrame,
+    path: str,
+    *,
+    partition_by: tuple[str, ...] = ("lang",),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_records_per_file: int | None = 100_000,
+    token_col: str | None = None,
+) -> DataFrame:
+    """Incremental corpus update — the batch twin of the streaming ingest:
+    drop arriving documents whose exact fingerprint already exists in the
+    corpus (or repeats within the batch, min-id wins), append only the
+    survivors, refresh the manifest. Returns the updated manifest.
+
+    Dedup against history goes through a FINGERPRINT LEDGER — a narrow
+    (fp-only) parquet relation under ``<path>/_fingerprints`` — so at
+    100 TB the anti-join reads a ledger that is a tiny fraction of corpus
+    bytes instead of re-fingerprinting every stored document. The ledger
+    directory's underscore prefix keeps it invisible to corpus reads; it is
+    (re)derived from the corpus text on first use of a pre-ledger corpus.
+    One shuffle on the fingerprint key (batch-side groupBy + left_anti);
+    the corpus itself is never rewritten — parquet append only.
+    """
+    from bambooai_spark.functions.text import fingerprint  # noqa: PLC0415
+
+    spark = new_docs.sparkSession
+    ledger_path = os.path.join(path, LEDGER_DIR)
+
+    batch = new_docs.withColumn(
+        "_fp", fingerprint(text_col, normalize=True)
+    )
+    # within-batch exact dedup: min-id representative per fingerprint
+    keep = batch.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    batch = batch.join(keep, [id_col, "_fp"])
+
+    if os.path.isdir(ledger_path):
+        hist = spark.read.parquet(ledger_path).select("fp")
+    elif os.path.isdir(path):
+        hist = spark.read.parquet(path).select(
+            fingerprint(text_col, normalize=True).alias("fp")
+        )
+    else:
+        hist = None
+    if hist is not None:
+        batch = batch.join(
+            hist.withColumnRenamed("fp", "_fp"), "_fp", "left_anti"
+        )
+
+    # two consumers (corpus append + ledger append) — materialize once
+    batch = batch.localCheckpoint(eager=True)
+
+    writer = batch.drop("_fp").write.mode("append")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(*partition_by).parquet(path)
+    batch.select(F.col("_fp").alias("fp")).write.mode("append").parquet(
+        ledger_path
+    )
+
+    manifest = build_manifest(
+        spark, path, partition_by=partition_by, token_col=token_col
+    )
+    rows = [r.asDict() for r in manifest.collect()]
+    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
+        json.dump(
+            {"partition_by": list(partition_by), "partitions": rows},
+            fh,
+            indent=2,
+            default=str,
+        )
+    return manifest

@@ -336,3 +336,57 @@ def test_full_pipeline_composes_end_to_end(spark, tmp_path):
     assert os.path.exists(os.path.join(out, "_corpus_manifest.json"))
     # the written corpus reads back complete and query-able
     assert spark.read.parquet(out).count() == n_sampled
+
+
+def test_append_corpus_incremental_dedup(spark, tmp_path):
+    """Incremental update: a batch is deduped within itself AND against
+    the corpus's fingerprint ledger; identical re-appends add nothing;
+    the ledger is invisible to corpus reads."""
+    import os
+
+    from bambooai_spark.io import load_table
+    from bambooai_spark.operators.writer import (
+        LEDGER_DIR,
+        append_corpus,
+        write_corpus,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    first = docs.filter("doc_id < 100")
+    out = str(tmp_path / "inc")
+    # seed via append into an empty path (no ledger, no corpus yet)
+    m0 = append_corpus(first, out)
+    n0 = spark.read.parquet(out).count()
+    assert n0 == first.count()
+    assert os.path.isdir(os.path.join(out, LEDGER_DIR))
+
+    # batch 2 = half old docs (dup text) + new docs + an in-batch dup pair
+    old_again = first.filter("doc_id < 50").withColumn(
+        "doc_id", F.col("doc_id") + 10_000
+    )
+    new = docs.filter("doc_id >= 100 AND doc_id < 150")
+    twin = new.filter("doc_id = 100").withColumn(
+        "doc_id", F.lit(99_999).cast("long")
+    )
+    batch2 = old_again.unionByName(new).unionByName(twin)
+    append_corpus(batch2, out)
+    after = spark.read.parquet(out)
+    n_new_unique = new.select("text").distinct().count()
+    # history dups and the in-batch twin are gone; only genuinely new
+    # distinct texts were appended
+    assert after.count() == n0 + n_new_unique
+    assert after.filter("doc_id = 99999").count() == 0  # min-id won
+    assert after.filter("doc_id >= 10000 AND doc_id < 20000").count() == 0
+
+    # idempotence: appending the same batch again adds nothing
+    append_corpus(batch2, out)
+    assert spark.read.parquet(out).count() == n0 + n_new_unique
+
+    # ledger stays hidden from corpus reads but counts every stored fp
+    assert "_fp" not in after.columns and "fp" not in after.columns
+    ledger = spark.read.parquet(os.path.join(out, LEDGER_DIR))
+    assert ledger.count() == ledger.select("fp").distinct().count()
+    assert ledger.count() == after.select("text").distinct().count()
