@@ -589,6 +589,12 @@ def minhash_near_dup(
     probability, pairs ≪ threshold almost never collide, so the verify join
     touches a tiny candidate set instead of all O(N²) pairs.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}) — trailing signature elements would silently "
+            f"never be banded"
+        )
     rows = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, n=n, num_hashes=num_hashes
@@ -703,6 +709,12 @@ def minhash_md5_near_dup(
     Returns ``(doc_a, doc_b, jaccard)`` for candidate pairs at or above
     ``threshold`` — note: LSH candidates only, so a pair the banding never
     buckets together is absent by design in BOTH engines identically."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}) — trailing signature elements would silently "
+            f"never be banded"
+        )
     rows = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("doc"),

@@ -48,6 +48,7 @@ def write_corpus(
     ``token_col`` — a LONG column to sum per partition (e.g. a
     precomputed ``n_tokens``); omitted → no token totals.
     """
+    _require_local_path(path)
     writer = df.write.mode(mode)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
@@ -56,15 +57,37 @@ def write_corpus(
     manifest = build_manifest(
         df.sparkSession, path, partition_by=partition_by, token_col=token_col
     )
-    rows = [r.asDict() for r in manifest.collect()]  # one row per partition
+    _write_manifest_json(path, partition_by, manifest.collect())
+    return manifest
+
+
+def _require_local_path(path: str) -> None:
+    """The ledger/manifest bookkeeping uses local filesystem calls
+    (os.path, open); on an object-store URI those silently do the wrong
+    thing (isdir False → history dedup skipped, then the manifest write
+    crashes AFTER data was appended). Refuse up front; the remote story is
+    a FileSystem-API port, not a silent degrade."""
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"write_corpus/append_corpus currently support local paths only "
+            f"(manifest/ledger bookkeeping); got {path!r}"
+        )
+
+
+def _write_manifest_json(path: str, partition_by, rows) -> None:
     with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
         json.dump(
-            {"partition_by": list(partition_by), "partitions": rows},
+            {
+                "partition_by": list(partition_by),
+                "partitions": [
+                    r.asDict() if hasattr(r, "asDict") else dict(r)
+                    for r in rows
+                ],
+            },
             fh,
             indent=2,
             default=str,
         )
-    return manifest
 
 
 def build_manifest(
@@ -110,45 +133,56 @@ def append_corpus(
     text_col: str = "text",
     max_records_per_file: int | None = 100_000,
     token_col: str | None = None,
+    full_manifest: bool = False,
 ) -> DataFrame:
     """Incremental corpus update — the batch twin of the streaming ingest:
     drop arriving documents whose exact fingerprint already exists in the
-    corpus (or repeats within the batch, min-id wins), append only the
-    survivors, refresh the manifest. Returns the updated manifest.
+    corpus (or repeats within the batch, min-id wins; fully identical rows
+    collapse to one), append only the survivors, refresh the manifest.
+    Returns the updated manifest.
 
     Dedup against history goes through a FINGERPRINT LEDGER — a narrow
     (fp-only) parquet relation under ``<path>/_fingerprints`` — so at
     100 TB the anti-join reads a ledger that is a tiny fraction of corpus
     bytes instead of re-fingerprinting every stored document. The ledger
-    directory's underscore prefix keeps it invisible to corpus reads; it is
-    (re)derived from the corpus text on first use of a pre-ledger corpus.
+    directory's underscore prefix keeps it invisible to corpus reads. A
+    pre-ledger corpus gets its ledger SEEDED from the corpus text once
+    (the fps are written, not just read — otherwise the second append
+    would dedup against a ledger missing every original document).
     One shuffle on the fingerprint key (batch-side groupBy + left_anti);
     the corpus itself is never rewritten — parquet append only.
+
+    Manifest cost: by default the append merges the batch's per-partition
+    row/token deltas into the existing manifest JSON — O(batch), with
+    ``n_files``/``n_bytes`` dropped from the merged entries (they would
+    need a corpus scan). Pass ``full_manifest=True`` (or call
+    :func:`build_manifest`) for the exact O(corpus) rebuild.
     """
     from bambooai_spark.functions.text import fingerprint  # noqa: PLC0415
 
+    _require_local_path(path)
     spark = new_docs.sparkSession
     ledger_path = os.path.join(path, LEDGER_DIR)
+
+    if not os.path.isdir(ledger_path) and os.path.isdir(path):
+        # seed a pre-ledger corpus's ledger COMPLETELY, once
+        spark.read.parquet(path).select(
+            fingerprint(text_col, normalize=True).alias("fp")
+        ).write.parquet(ledger_path)
 
     batch = new_docs.withColumn(
         "_fp", fingerprint(text_col, normalize=True)
     )
-    # within-batch exact dedup: min-id representative per fingerprint
+    # within-batch exact dedup: min-id representative per fingerprint;
+    # dropDuplicates collapses fully identical rows the min-id join keeps
     keep = batch.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    batch = batch.join(keep, [id_col, "_fp"])
+    batch = batch.join(keep, [id_col, "_fp"]).dropDuplicates(["_fp"])
 
     if os.path.isdir(ledger_path):
-        hist = spark.read.parquet(ledger_path).select("fp")
-    elif os.path.isdir(path):
-        hist = spark.read.parquet(path).select(
-            fingerprint(text_col, normalize=True).alias("fp")
+        hist = spark.read.parquet(ledger_path).select(
+            F.col("fp").alias("_fp")
         )
-    else:
-        hist = None
-    if hist is not None:
-        batch = batch.join(
-            hist.withColumnRenamed("fp", "_fp"), "_fp", "left_anti"
-        )
+        batch = batch.join(hist, "_fp", "left_anti")
 
     # two consumers (corpus append + ledger append) — materialize once
     batch = batch.localCheckpoint(eager=True)
@@ -161,15 +195,44 @@ def append_corpus(
         ledger_path
     )
 
-    manifest = build_manifest(
-        spark, path, partition_by=partition_by, token_col=token_col
-    )
-    rows = [r.asDict() for r in manifest.collect()]
-    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
-        json.dump(
-            {"partition_by": list(partition_by), "partitions": rows},
-            fh,
-            indent=2,
-            default=str,
+    if full_manifest:
+        manifest = build_manifest(
+            spark, path, partition_by=partition_by, token_col=token_col
         )
-    return manifest
+        _write_manifest_json(path, partition_by, manifest.collect())
+        return manifest
+
+    # O(batch) delta merge: aggregate only the appended rows, fold into
+    # the existing manifest JSON
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if token_col:
+        aggs.append(F.sum(F.col(token_col)).cast("long").alias("n_tokens"))
+    delta = {
+        tuple(r[c] for c in partition_by): r.asDict()
+        for r in batch.groupBy(*partition_by).agg(*aggs).collect()
+    }
+    existing: dict[tuple, dict] = {}
+    mpath = os.path.join(path, MANIFEST_NAME)
+    if os.path.exists(mpath):
+        with open(mpath) as fh:
+            for p in json.load(fh).get("partitions", []):
+                existing[tuple(p[c] for c in partition_by)] = dict(p)
+    for key, d in delta.items():
+        cur = existing.setdefault(
+            key, {c: v for c, v in zip(partition_by, key)}
+        )
+        cur["n_rows"] = int(cur.get("n_rows") or 0) + d["n_rows"]
+        if token_col:
+            cur["n_tokens"] = (
+                int(cur.get("n_tokens") or 0) + (d.get("n_tokens") or 0)
+            )
+        # file/byte counts need a corpus scan — dropped in delta mode
+        cur.pop("n_files", None)
+        cur.pop("n_bytes", None)
+    rows = [existing[k] for k in sorted(existing)]
+    # uniform keys across rows (delta-touched entries dropped file/byte
+    # counts; untouched ones may still carry them)
+    all_keys = sorted({k for r in rows for k in r}, key=str)
+    rows = [{k: r.get(k) for k in all_keys} for r in rows]
+    _write_manifest_json(path, partition_by, rows)
+    return spark.createDataFrame(rows)

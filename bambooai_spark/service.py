@@ -223,7 +223,7 @@ def create_app(
         )
 
     if llm is not None:
-        _add_agent_routes(app, spark, llm, registry, _df, _field,
+        _add_agent_routes(app, spark, llm, _df, _field,
                           agent_store_dir, memory, feedback_timeout)
     if connector is not None:
         _add_connector_routes(app, spark, registry, connector)
@@ -232,8 +232,7 @@ def create_app(
 
 
 def _add_agent_routes(
-    app, spark, llm, registry, _df, _field,
-    agent_store_dir, memory, feedback_timeout,
+    app, spark, llm, _df, _field, agent_store_dir, memory, feedback_timeout
 ):
     """The conversational lifecycle entry point (reference
     web_app/app.py:927-971 /query + :976-1001 /submit_rank)."""
@@ -342,12 +341,21 @@ def _add_agent_routes(
                          f"thread {thread_id}"}),
                 409,
             )
-        out = QueueOutputManager()
-        # the queue is per-request so concurrent THREADS (different
-        # thread_id) don't mix
-        sess.orch.output = out
+        # any failure between acquiring the gate and the worker taking
+        # ownership of its release must release it here, or the thread_id
+        # is 409-locked forever
+        try:
+            out = QueueOutputManager()
+            # the queue is per-request so concurrent THREADS (different
+            # thread_id) don't mix
+            sess.orch.output = out
 
-        gen_dir = os.path.join(gen_root, thread_id)
+            gen_dir = os.path.join(gen_root, thread_id)
+            with aux_lock:
+                aux_snapshot = list(aux_store.get(thread_id, []))
+        except BaseException:
+            gate.release()
+            raise
 
         def run_agent():
             try:
@@ -366,7 +374,7 @@ def _add_agent_routes(
                         df_name=df_name,
                         image=image,
                         ontology=state["ontology"],
-                        aux_datasets=list(aux_store.get(thread_id, [])),
+                        aux_datasets=aux_snapshot,
                         generated_datasets_path=gen_dir,
                     )
                 out.rank_data(
@@ -389,8 +397,14 @@ def _add_agent_routes(
             finally:
                 gate.release()
 
-        worker = threading.Thread(target=run_agent)
-        worker.start()
+        try:
+            worker = threading.Thread(target=run_agent)
+            worker.start()
+        except BaseException:
+            # start() raising means run_agent never ran (and never will),
+            # so its finally can't release the gate
+            gate.release()
+            raise
 
         def generate():
             # reference app.py:960-970: drain while the worker lives, then
@@ -544,19 +558,26 @@ def _add_agent_routes(
                     ),
                     400,
                 )
+        # write fully BEFORE registering (a concurrent /query must never
+        # see a missing/partial file): save to a temp name, atomic rename
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".uploading"
+        f.save(tmp)
+        os.replace(tmp, path)
+        with aux_lock:
+            paths = aux_store.setdefault(thread_id, [])
             if path not in paths:
+                if len(paths) >= MAX_AUX:  # lost a cap race while saving
+                    os.remove(path)
+                    return (
+                        jsonify(
+                            {"error": f"auxiliary dataset limit is {MAX_AUX}"}
+                        ),
+                        400,
+                    )
                 paths.append(path)
-        try:
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            f.save(path)
-        except OSError:
-            with aux_lock:
-                if path in paths:
-                    paths.remove(path)
-            raise
-        return jsonify(
-            {"aux_datasets": [os.path.basename(p) for p in paths]}
-        )
+            listing = [os.path.basename(p) for p in paths]
+        return jsonify({"aux_datasets": listing})
 
     @app.post("/remove_auxiliary_dataset")
     def remove_auxiliary_dataset():
@@ -564,15 +585,15 @@ def _add_agent_routes(
         thread_id = _safe_id(body.get("thread_id", "default"), "thread_id")
         fname = os.path.basename(str(_field(body, "filename")))
         path = os.path.join(aux_root, thread_id, fname)
-        paths = aux_store.get(thread_id, [])
-        if path not in paths:
-            return jsonify({"error": "unknown auxiliary dataset"}), 404
-        paths.remove(path)
+        with aux_lock:
+            paths = aux_store.get(thread_id, [])
+            if path not in paths:
+                return jsonify({"error": "unknown auxiliary dataset"}), 404
+            paths.remove(path)
+            listing = [os.path.basename(p) for p in paths]
         if os.path.exists(path):
             os.remove(path)
-        return jsonify(
-            {"aux_datasets": [os.path.basename(p) for p in paths]}
-        )
+        return jsonify({"aux_datasets": listing})
 
     @app.post("/get_dataset_preview")
     def get_dataset_preview():
@@ -583,7 +604,9 @@ def _add_agent_routes(
         thread_id = _safe_id(body.get("thread_id", "default"), "thread_id")
         fname = os.path.basename(str(_field(body, "filename")))
         path = os.path.join(aux_root, thread_id, fname)
-        if path not in aux_store.get(thread_id, []):
+        with aux_lock:
+            known = path in aux_store.get(thread_id, [])
+        if not known:
             return jsonify({"error": "unknown auxiliary dataset"}), 404
         return jsonify({"preview": aux_datasets_to_string(spark, [path])})
 

@@ -390,3 +390,107 @@ def test_append_corpus_incremental_dedup(spark, tmp_path):
     ledger = spark.read.parquet(os.path.join(out, LEDGER_DIR))
     assert ledger.count() == ledger.select("fp").distinct().count()
     assert ledger.count() == after.select("text").distinct().count()
+
+
+def test_append_corpus_seeds_preledger_corpus_and_rejects_remote(
+    spark, tmp_path
+):
+    """A corpus written without a ledger gets its ledger SEEDED from the
+    corpus text on first append — the SECOND append must still dedup
+    against the ORIGINAL documents, not just the first batch. Non-local
+    URIs are refused up front (the bookkeeping is os.path-based)."""
+    import os
+
+    import pytest as _pytest
+
+    from bambooai_spark.io import load_table
+    from bambooai_spark.operators.writer import (
+        LEDGER_DIR,
+        append_corpus,
+        write_corpus,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    out = str(tmp_path / "pre")
+    write_corpus(docs.filter("doc_id < 80"), out)  # NO ledger written
+    n0 = spark.read.parquet(out).count()
+
+    # first append: new docs only; seeds the full ledger as a side effect
+    append_corpus(docs.filter("doc_id >= 80 AND doc_id < 100"), out)
+    ledger = spark.read.parquet(os.path.join(out, LEDGER_DIR))
+    assert ledger.count() == spark.read.parquet(out).select(
+        "text"
+    ).distinct().count()
+
+    # second append re-sends ORIGINAL corpus docs under new ids — the
+    # seeded ledger must block them
+    replay = docs.filter("doc_id < 40").withColumn(
+        "doc_id", F.col("doc_id") + 50_000
+    )
+    append_corpus(replay, out)
+    after = spark.read.parquet(out)
+    assert after.filter("doc_id >= 50000").count() == 0
+    assert after.count() == n0 + docs.filter(
+        "doc_id >= 80 AND doc_id < 100"
+    ).count()
+
+    with _pytest.raises(ValueError, match="local paths"):
+        append_corpus(docs, "s3a://bucket/corpus")
+
+
+def test_append_corpus_collapses_identical_rows_and_checks_bands(
+    spark, tmp_path
+):
+    """Fully identical rows in one batch collapse to a single appended
+    document; minhash banding refuses a non-divisible (num_hashes, bands)
+    instead of silently dropping trailing signature elements."""
+    import pytest as _pytest
+
+    from bambooai_spark.operators.dedup import minhash_md5_near_dup
+    from bambooai_spark.operators.writer import append_corpus
+
+    row = (1, "en", "the same exact document text repeated verbatim")
+    df = spark.createDataFrame(
+        [row, row, row], "doc_id LONG, lang STRING, text STRING"
+    )
+    out = str(tmp_path / "ident")
+    append_corpus(df, out)
+    assert spark.read.parquet(out).count() == 1
+
+    with _pytest.raises(ValueError, match="divide evenly"):
+        minhash_md5_near_dup(
+            df, "doc_id", "text", num_hashes=16, bands=5
+        ).count()
+
+
+def test_append_corpus_delta_manifest_accumulates(spark, tmp_path):
+    """Default appends merge O(batch) row/token deltas into the manifest;
+    full_manifest=True restores the exact file/byte accounting."""
+    import json
+    import os
+
+    from bambooai_spark.io import load_table
+    from bambooai_spark.operators.writer import MANIFEST_NAME, append_corpus
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    out = str(tmp_path / "delta")
+    append_corpus(docs.filter("doc_id < 50"), out)
+    append_corpus(docs.filter("doc_id >= 50 AND doc_id < 100"), out)
+    with open(os.path.join(out, MANIFEST_NAME)) as fh:
+        j = json.load(fh)
+    total = sum(p["n_rows"] for p in j["partitions"])
+    assert total == spark.read.parquet(out).count()
+
+    m = append_corpus(
+        docs.filter("doc_id >= 100 AND doc_id < 120"), out,
+        full_manifest=True,
+    )
+    rec = m.collect()
+    assert all(r["n_files"] >= 1 and r["n_bytes"] > 0 for r in rec)
+    assert sum(r["n_rows"] for r in rec) == spark.read.parquet(out).count()
