@@ -37,5 +37,6 @@ __version__ = "0.1.0"
 
 from bambooai_spark.session import get_session
 from bambooai_spark.io import load_table, load_tables, TABLES
+from bambooai_spark.facade import BambooAI
 
-__all__ = ["get_session", "load_table", "load_tables", "TABLES", "__version__"]
+__all__ = ["BambooAI", "get_session", "load_table", "load_tables", "TABLES", "__version__"]

@@ -1,0 +1,180 @@
+"""``BambooAI`` — the reference's user-facing class surface on the Spark
+engine (reference ``bambooai/bambooai.py:10-552``), so a user of the
+reference can switch with the smallest possible edit:
+
+    from bambooai_spark import BambooAI
+    bamboo = BambooAI(df, llm=..., planning=True, vector_db=True)
+    bamboo.pd_agent_converse("Count the number of runs per month in 2021")
+
+Differences from the reference, all deliberate:
+
+- ``df`` is a ``pyspark.sql.DataFrame`` (the whole point of the rebuild);
+- ``llm`` is the engine's pluggable ``(system, user) -> str`` callable —
+  wire a provider adapter from :mod:`bambooai_spark.agent.providers`
+  instead of the reference's env-var model registry;
+- ``pd_agent_converse`` RETURNS the :class:`AgentResult` (the reference
+  returns None and only prints) — a superset, nothing breaks;
+- the interactive CLI loop (reference's no-question mode prompting on
+  stdin) is out of scope for a library facade: ``question`` or
+  ``user_code`` is required.
+
+Everything else follows the reference's semantics: wall-clock thread ids
+when none is given, ``action='reset'`` clears conversation state, passing
+an earlier ``chain_id`` restores that chain as the branch point
+(bambooai.py:495-552), ``df_ontology`` takes a path to an ontology file
+whose text feeds the Dataframe Inspector, ``vector_db=True`` turns on
+rank-gated episodic memory, and auxiliary datasets are file paths the
+generated code may join.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame
+
+from bambooai_spark.agent.memory import EpisodicMemory
+from bambooai_spark.agent.orchestrator import AgentOrchestrator, AgentResult
+from bambooai_spark.agent.session import AgentSession
+from bambooai_spark.storage import InteractionStore
+
+
+class BambooAI:
+    """Reference-shaped entry point over AgentOrchestrator/AgentSession."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        *,
+        llm,
+        user_id: str | None = None,
+        auxiliary_datasets: list[str] | None = None,
+        vector_db: bool = False,
+        memory: EpisodicMemory | None = None,
+        search_tool: bool = False,
+        tools: dict | None = None,
+        exploratory: bool = True,
+        df_ontology: str | None = None,
+        planning: bool = False,
+        df_id: str | None = None,
+        store_dir: str | None = None,
+        sample_first: int | None = None,
+    ):
+        if df is None:
+            raise ValueError("df is required (a pyspark.sql.DataFrame)")
+        self.df = df
+        self.spark = df.sparkSession
+        self.user_id = user_id
+        self.df_id = df_id
+        self.auxiliary_datasets = list(auxiliary_datasets or [])
+        # reference: df_ontology is a PATH to the ontology file
+        # (bambooai.py df_ontology param); accept raw ontology text too
+        self.ontology: str | None = None
+        if df_ontology:
+            if os.path.exists(df_ontology):
+                with open(df_ontology) as fh:
+                    self.ontology = fh.read()
+            else:
+                self.ontology = df_ontology
+        if memory is None and vector_db:
+            memory = EpisodicMemory(self.spark)
+        self.memory = memory
+        # reference gates the search tool on key availability; here the
+        # caller supplies the implementations (tools dict), search_tool
+        # only expresses intent for parity
+        self.search_tool = search_tool
+        self._orch = AgentOrchestrator(
+            self.spark,
+            llm,
+            planning=planning,
+            memory=memory,
+            tools=tools,
+            sample_first=sample_first,
+        )
+        # exploratory=False (reference: skip routing, force Data Analyst)
+        self.exploratory = exploratory
+        self._store_dir = store_dir
+        self._session: AgentSession | None = None
+        self.thread_id: str | None = None
+        self.chain_id: str | None = None
+
+    # -- session plumbing ---------------------------------------------
+
+    def _ensure_session(self, thread_id) -> AgentSession:
+        tid = str(thread_id) if thread_id is not None else (
+            self.thread_id or str(int(time.time()))
+        )
+        if self._session is None or self._session.thread_id != tid:
+            store = InteractionStore(
+                self._store_dir
+                or os.path.join("threads", self.user_id or "default")
+            )
+            self._session = AgentSession(self._orch, store, thread_id=tid)
+        self.thread_id = tid
+        return self._session
+
+    def reset_messages_and_logs(self) -> None:
+        """Reference ``action='reset'``: clear conversation state; the
+        next converse starts a fresh thread."""
+        if self._session is not None:
+            self._session.reset()
+        self._session = None
+        self.thread_id = None
+        self.chain_id = None
+
+    # -- the entry point ----------------------------------------------
+
+    def pd_agent_converse(
+        self,
+        question: str | None = None,
+        action: str | None = None,
+        thread_id=None,
+        chain_id=None,
+        image: str | None = None,
+        user_code: str | None = None,
+    ) -> AgentResult | None:
+        """One conversational turn (reference bambooai.py:495-552).
+
+        ``action='reset'`` clears state and returns None. ``chain_id``
+        (when different from the current chain) restores that chain's QA
+        history as the branch point before the new turn. Exactly one of
+        ``question`` / ``user_code`` drives the turn."""
+        if action == "reset":
+            self.reset_messages_and_logs()
+            return None
+        if question is None and user_code is None:
+            raise ValueError(
+                "pass question= or user_code= (the reference's interactive "
+                "stdin loop is not part of the library facade)"
+            )
+        sess = self._ensure_session(thread_id)
+        if chain_id is not None and str(chain_id) != str(self.chain_id):
+            sess.restore(str(chain_id))
+        gen_dir = os.path.join(
+            "datasets", self.user_id or "", "generated",
+            str(self.thread_id),
+        )
+        if user_code is not None:
+            result = sess.run_user_code(
+                user_code,
+                self.df,
+                question=question,
+                generated_datasets_path=gen_dir,
+            )
+        else:
+            result = sess.ask(
+                question,
+                self.df,
+                df_name=self.df_id,
+                image=image,
+                ontology=self.ontology,
+                aux_datasets=self.auxiliary_datasets,
+                generated_datasets_path=gen_dir,
+            )
+        self.chain_id = sess.last_chain_id
+        # adopt a mutated df on success — the reference's mutated-table
+        # semantics (code_executor.py:140; SURVEY §1.1)
+        if result.ok and result.df is not None:
+            self.df = result.df
+        return result

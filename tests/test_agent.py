@@ -1061,3 +1061,81 @@ def test_openai_adapter_live():  # pragma: no cover - network
 
     out = openai_adapter()("Reply with the single word OK.", "ping")
     assert "OK" in out
+
+
+# ------------------------------------------------- BambooAI facade surface
+# (reference bambooai/bambooai.py:10-552 — the user-facing class; a
+# reference user switches by importing bambooai_spark.BambooAI)
+
+
+def test_bambooai_facade_reference_surface(spark, tmp_path):
+    from bambooai_spark import BambooAI
+
+    llm = ScriptedLLM(
+        {
+            "route analytics questions": EXPERT_DA,
+            "classify dataset questions": ANALYST,
+            "analysis plans": PLAN,
+            "write PySpark code": GOOD_CODE,
+            "Summarize the analysis": "Computed.",
+        }
+    )
+    orders = load_table(spark, SF_DIR, "orders")
+    bamboo = BambooAI(
+        orders, llm=llm, planning=True, store_dir=str(tmp_path / "threads")
+    )
+    res = bamboo.pd_agent_converse("Count orders per month in 1997")
+    assert res.ok and res.df.count() == 12
+    # mutated-table semantics: the facade adopted the result df
+    assert bamboo.df is res.df
+    assert bamboo.thread_id is not None and bamboo.chain_id == "1"
+
+    # user-code turn on the (mutated) current df
+    res2 = bamboo.pd_agent_converse(user_code="df = df.limit(3)")
+    assert res2.ok and res2.df.count() == 3 and bamboo.chain_id == "2"
+
+    # branch from chain 1: restore then run user code against it
+    res3 = bamboo.pd_agent_converse(
+        user_code="df = df.limit(5)", chain_id="1"
+    )
+    assert res3.ok and bamboo.chain_id == "3"
+
+    # reset clears state; next converse starts a new thread
+    assert bamboo.pd_agent_converse(action="reset") is None
+    assert bamboo.thread_id is None and bamboo.chain_id is None
+
+    # question/user_code required outside reset
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="question"):
+        bamboo.pd_agent_converse()
+
+
+def test_bambooai_facade_ontology_path(spark, tmp_path):
+    """df_ontology takes a file path (reference semantics) whose text
+    reaches the inspector prompt."""
+    from bambooai_spark import BambooAI
+
+    onto = tmp_path / "model.ttl"
+    onto.write_text(":orders a :Dataframe .")
+    llm = ScriptedLLM(
+        {
+            "route analytics questions": EXPERT_DA,
+            "classify dataset questions": ANALYST,
+            "data model": "```yaml\ndata_hierarchy: orders\n```",
+            "analysis plans": PLAN,
+            "write PySpark code": GOOD_CODE,
+            "Summarize the analysis": "Computed.",
+        }
+    )
+    orders = load_table(spark, SF_DIR, "orders")
+    bamboo = BambooAI(
+        orders, llm=llm, planning=True, df_ontology=str(onto),
+        store_dir=str(tmp_path / "threads"),
+    )
+    res = bamboo.pd_agent_converse("Count orders per month in 1997")
+    assert res.ok
+    inspector_calls = [
+        u for s, u in llm.calls if ":orders a :Dataframe" in u
+    ]
+    assert inspector_calls, "ontology text never reached a prompt"
