@@ -50,6 +50,7 @@ class BambooAI:
         llm,
         user_id: str | None = None,
         auxiliary_datasets: list[str] | None = None,
+        max_conversations: int = 4,
         vector_db: bool = False,
         memory: EpisodicMemory | None = None,
         search_tool: bool = False,
@@ -60,6 +61,7 @@ class BambooAI:
         df_id: str | None = None,
         store_dir: str | None = None,
         sample_first: int | None = None,
+        output=None,
     ):
         if df is None:
             raise ValueError("df is required (a pyspark.sql.DataFrame)")
@@ -91,6 +93,16 @@ class BambooAI:
             memory=memory,
             tools=tools,
             sample_first=sample_first,
+            # reference webui=True swaps in WebOutputManager; here any
+            # OutputManager (e.g. QueueOutputManager) plugs in directly
+            output=output,
+        )
+        # reference max_conversations: the message-window prune bound
+        # (message_manager.py:128-138, window = 2·max−1)
+        from bambooai_spark.agent.messages import MessageManager  # noqa: PLC0415
+
+        self._orch.messages = MessageManager(
+            max_conversations=max_conversations
         )
         # exploratory=False (reference: skip routing, force Data Analyst)
         self.exploratory = exploratory
