@@ -258,9 +258,15 @@ def _dense_overlap_scores(
         F.col("n").alias("n_b"),
         *[F.col(f"w{w}").alias(f"b{w}") for w in range(nwords)],
     )
+    # seed the sum with a Column: on an empty vocabulary (nwords == 0,
+    # e.g. an empty or all-blank corpus) a bare sum() yields the Python
+    # int 0, which withColumn rejects
     inter = sum(
-        F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
-        for w in range(nwords)
+        (
+            F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
+            for w in range(nwords)
+        ),
+        F.lit(0).cast("long"),
     )
     if n_docs <= broadcast_max:
         pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))

@@ -54,9 +54,17 @@ def write_corpus(
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy(*partition_by).parquet(path)
 
-    manifest = build_manifest(
-        df.sparkSession, path, partition_by=partition_by, token_col=token_col
-    )
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    try:
+        manifest = build_manifest(
+            df.sparkSession, path,
+            partition_by=partition_by, token_col=token_col,
+        )
+    except AnalysisException:
+        # an empty df writes only _SUCCESS — no footer to read a schema
+        # from; the manifest is legitimately empty
+        manifest = _empty_manifest(df.sparkSession, partition_by, token_col)
     _write_manifest_json(path, partition_by, manifest.collect())
     return manifest
 
@@ -124,6 +132,17 @@ def build_manifest(
     )
 
 
+def _empty_manifest(
+    spark: SparkSession, partition_by, token_col: str | None
+) -> DataFrame:
+    fields = [f"{c} STRING" for c in partition_by] + [
+        "n_rows LONG", "n_files LONG", "n_bytes LONG",
+    ]
+    if token_col:
+        fields.append("n_tokens LONG")
+    return spark.createDataFrame([], ", ".join(fields))
+
+
 def append_corpus(
     new_docs: DataFrame,
     path: str,
@@ -179,10 +198,15 @@ def append_corpus(
     batch = batch.join(keep, [id_col, "_fp"]).dropDuplicates(["_fp"])
 
     if os.path.isdir(ledger_path):
-        hist = spark.read.parquet(ledger_path).select(
-            F.col("fp").alias("_fp")
-        )
-        batch = batch.join(hist, "_fp", "left_anti")
+        from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+        try:
+            hist = spark.read.parquet(ledger_path).select(
+                F.col("fp").alias("_fp")
+            )
+            batch = batch.join(hist, "_fp", "left_anti")
+        except AnalysisException:
+            pass  # ledger dir holds only _SUCCESS (empty first append)
 
     # two consumers (corpus append + ledger append) — materialize once
     batch = batch.localCheckpoint(eager=True)
@@ -235,4 +259,7 @@ def append_corpus(
     all_keys = sorted({k for r in rows for k in r}, key=str)
     rows = [{k: r.get(k) for k in all_keys} for r in rows]
     _write_manifest_json(path, partition_by, rows)
+    if not rows:
+        # an entirely-empty batch against an empty corpus
+        return _empty_manifest(spark, partition_by, token_col)
     return spark.createDataFrame(rows)

@@ -143,3 +143,76 @@ def test_mixture_sample_matches_bruteforce(spark, docs, budget):
         for r in mixture_sample(df, weights, budget, num_partitions=3).collect()
     }
     assert got == expect
+
+
+def test_operators_handle_empty_inputs(spark, tmp_path):
+    """Every pipeline operator degrades to an empty (not crashed) result
+    on an empty table — the boundary the oracle suite never exercises.
+    knn_ivf is the one deliberate exception: training centroids on an
+    empty table raises a clear ValueError."""
+    import pytest as _pytest
+
+    from bambooai_spark.functions.text import quality_filter, scrub_pii
+    from bambooai_spark.operators.dedup import (
+        connected_components,
+        embedding_near_dup,
+        exact_dedup,
+        jaccard_near_dup,
+        minhash_md5_near_dup,
+        minhash_near_dup,
+        minhash_signatures_md5,
+        simhash,
+        simhash_md5,
+    )
+    from bambooai_spark.operators.packing import (
+        mixture_sample,
+        pack_sequences,
+    )
+    from bambooai_spark.operators.shuffle import shuffle_shards
+    from bambooai_spark.operators.similarity import (
+        knn_brute_force,
+        knn_ivf,
+    )
+    from bambooai_spark.operators.writer import append_corpus, write_corpus
+
+    docs = spark.createDataFrame(
+        [], "doc_id LONG, text STRING, lang STRING, source STRING"
+    )
+    emb = spark.createDataFrame(
+        [], "vec_id LONG, embedding ARRAY<DOUBLE>, label STRING"
+    )
+
+    assert exact_dedup(docs, "text", "doc_id").count() == 0
+    # jaccard's dense path builds a 0-word bitmask on an empty vocabulary —
+    # the sum-seed regression this test pins
+    assert jaccard_near_dup(docs, "doc_id", "text").count() == 0
+    assert minhash_near_dup(docs, "doc_id", "text").count() == 0
+    assert minhash_signatures_md5(docs, "doc_id", "text").count() == 0
+    assert minhash_md5_near_dup(docs, "doc_id", "text").count() == 0
+    assert simhash(docs, "doc_id", "text").count() == 0
+    assert simhash_md5(docs, "doc_id", "text").count() == 0
+    assert (
+        connected_components(
+            spark.createDataFrame([], "node LONG"),
+            spark.createDataFrame([], "src LONG, dst LONG"),
+        ).count()
+        == 0
+    )
+    assert embedding_near_dup(
+        emb, "vec_id", "embedding", block_col="label"
+    ).count() == 0
+    assert knn_brute_force(emb, "vec_id", "embedding", query_id=1).count() == 0
+    with _pytest.raises(ValueError, match="empty"):
+        knn_ivf(emb, "vec_id", "embedding", query_id=1).count()
+    assert pack_sequences(docs, "doc_id", "text").count() == 0
+    assert mixture_sample(docs, {"en": 1.0}, 100).count() == 0
+    assert shuffle_shards(docs, "doc_id", n_shards=8).count() == 0
+    qf = quality_filter("text")
+    assert docs.select(qf["keep"]).count() == 0
+    assert docs.select(scrub_pii("text")["scrubbed"]).count() == 0
+    # empty writes: manifest is empty, not a crash; empty first append
+    # leaves a schema-less ledger the next append tolerates
+    assert write_corpus(docs, str(tmp_path / "w")).count() == 0
+    out = str(tmp_path / "a")
+    assert append_corpus(docs, out).count() == 0
+    assert append_corpus(docs, out).count() == 0  # _SUCCESS-only ledger
