@@ -130,7 +130,9 @@ def mixture_sample(
             F.lit(f"{row['_pid']}|{g}"),
             F.lit(acc.get(g, 0)),
         ]
-        acc[g] = acc.get(g, 0) + row["t"]
+        # a slice holding only NULL-token docs (e.g. NULL text) sums to
+        # None — contributes nothing to the running offset
+        acc[g] = acc.get(g, 0) + (row["t"] or 0)
     if not entries:
         part.unpersist()
         return base.select(

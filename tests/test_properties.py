@@ -216,3 +216,31 @@ def test_operators_handle_empty_inputs(spark, tmp_path):
     out = str(tmp_path / "a")
     assert append_corpus(docs, out).count() == 0
     assert append_corpus(docs, out).count() == 0  # _SUCCESS-only ledger
+
+
+def test_operators_handle_null_text(spark):
+    """NULL-text rows flow through the pipeline without crashing: empty
+    shingle sets for the dedup family, NULL token counts the mixture
+    sampler's offset bridge must treat as zero (the regression this
+    pins), and the quality gate drops the rows."""
+    from bambooai_spark.functions.text import quality_filter
+    from bambooai_spark.operators.dedup import (
+        jaccard_near_dup,
+        minhash_md5_near_dup,
+    )
+    from bambooai_spark.operators.packing import mixture_sample
+
+    good = "the quick brown fox jumps over the lazy dog ten words"
+    docs = spark.createDataFrame(
+        [(1, None, "en"), (2, good, "en"), (3, None, "de"), (4, "", "de")],
+        "doc_id LONG, text STRING, lang STRING",
+    )
+    assert jaccard_near_dup(docs, "doc_id", "text").count() == 0
+    assert minhash_md5_near_dup(docs, "doc_id", "text").count() == 0
+    sampled = mixture_sample(docs, {"en": 0.5, "de": 0.5}, 100).collect()
+    # NULL-text rows drop (NULL token count); the empty string counts one
+    # whitespace token (split('') == ['']), matching the oracle semantics
+    assert sorted(r["doc_id"] for r in sampled) == [2, 4]
+    qf = quality_filter("text")
+    kept = docs.select("doc_id", qf["keep"].alias("k")).where("k").collect()
+    assert [r["doc_id"] for r in kept] == [2]
