@@ -78,6 +78,7 @@ class AgentOrchestrator:
         memory: "EpisodicMemory | None" = None,
         rank_fn: Callable[["AgentResult"], int] | None = None,
         output: OutputManager | None = None,
+        max_conversations: int = 4,
     ):
         self.spark = spark
         self.llm = llm
@@ -101,8 +102,9 @@ class AgentOrchestrator:
         self.memory = memory
         self.rank_fn = rank_fn
         # bounded QA history (reference message_manager contracts) — fed to
-        # follow-up prompts by callers via messages.format_qa_pairs()
-        self.messages = MessageManager()
+        # follow-up prompts by callers via messages.format_qa_pairs();
+        # max_conversations is the reference's prune bound (window 2·max−1)
+        self.messages = MessageManager(max_conversations=max_conversations)
         self.executor = SparkCodeExecutor()
 
     # -- pipeline stages ---------------------------------------------

@@ -96,13 +96,7 @@ class BambooAI:
             # reference webui=True swaps in WebOutputManager; here any
             # OutputManager (e.g. QueueOutputManager) plugs in directly
             output=output,
-        )
-        # reference max_conversations: the message-window prune bound
-        # (message_manager.py:128-138, window = 2·max−1)
-        from bambooai_spark.agent.messages import MessageManager  # noqa: PLC0415
-
-        self._orch.messages = MessageManager(
-            max_conversations=max_conversations
+            max_conversations=max_conversations,
         )
         # exploratory=False (reference: skip routing, force Data Analyst)
         self.exploratory = exploratory

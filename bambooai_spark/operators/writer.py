@@ -178,6 +178,7 @@ def append_corpus(
     :func:`build_manifest`) for the exact O(corpus) rebuild.
     """
     from bambooai_spark.functions.text import fingerprint  # noqa: PLC0415
+    from bambooai_spark.operators.dedup import exact_dedup  # noqa: PLC0415
 
     _require_local_path(path)
     spark = new_docs.sparkSession
@@ -189,13 +190,17 @@ def append_corpus(
             fingerprint(text_col, normalize=True).alias("fp")
         ).write.parquet(ledger_path)
 
-    batch = new_docs.withColumn(
-        "_fp", fingerprint(text_col, normalize=True)
+    # within-batch exact dedup: exact_dedup's min-id representative per
+    # fingerprint; dropDuplicates collapses fully identical rows the
+    # min-id join would keep
+    keep = exact_dedup(new_docs, text_col, id_col, normalize=True).select(
+        F.col("fp").alias("_fp"), F.col("keep_id").alias(id_col)
     )
-    # within-batch exact dedup: min-id representative per fingerprint;
-    # dropDuplicates collapses fully identical rows the min-id join keeps
-    keep = batch.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    batch = batch.join(keep, [id_col, "_fp"]).dropDuplicates(["_fp"])
+    batch = (
+        new_docs.withColumn("_fp", fingerprint(text_col, normalize=True))
+        .join(keep, [id_col, "_fp"])
+        .dropDuplicates(["_fp"])
+    )
 
     if os.path.isdir(ledger_path):
         from pyspark.errors import AnalysisException  # noqa: PLC0415

@@ -2399,17 +2399,23 @@ def minhash_near_dup_docs(spark, sf_dir):
     return minhash_near_dup(d, "doc_id", "text", n=2, threshold=0.4)
 
 
-@spec(
-    "minhash_md5_docs",
-    r"""
-    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
+# Shared oracle CTE prologue for the md5 hash-family specs: word array →
+# distinct bigram shingles → exploded (doc_id, sh) stream (docs with no
+# shingles excluded). Interpolated into each md5 spec's WITH clause.
+_MD5_SHINGLE_CTES = r"""w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
                FROM documents),
     sh AS (SELECT doc_id,
                   list_distinct(list_transform(range(1, len(w)),
                                                i -> w[i] || ' ' || w[i+1]))
                     AS shs
            FROM w),
-    t AS (SELECT doc_id, unnest(shs) AS sh FROM sh WHERE len(shs) > 0),
+    t AS (SELECT doc_id, unnest(shs) AS sh FROM sh WHERE len(shs) > 0),"""
+
+
+@spec(
+    "minhash_md5_docs",
+    rf"""
+    WITH {_MD5_SHINGLE_CTES}
     i AS (SELECT unnest(range(0, 16)) AS i),
     m AS (SELECT t.doc_id, i.i,
                  MIN(substr(md5(CAST(i.i AS VARCHAR) || '|' || t.sh), 1, 16))
@@ -2445,15 +2451,8 @@ def simhash_docs(spark, sf_dir):
 
 @spec(
     "minhash_md5_near_dup_docs",
-    r"""
-    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
-               FROM documents),
-    sh AS (SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(w)),
-                                               i -> w[i] || ' ' || w[i+1]))
-                    AS shs
-           FROM w),
-    t AS (SELECT doc_id, unnest(shs) AS sh FROM sh WHERE len(shs) > 0),
+    rf"""
+    WITH {_MD5_SHINGLE_CTES}
     i AS (SELECT unnest(range(0, 16)) AS i),
     m AS (SELECT t.doc_id, i.i,
                  MIN(substr(md5(CAST(i.i AS VARCHAR) || '|' || t.sh), 1, 16))
@@ -2497,15 +2496,8 @@ def minhash_md5_near_dup_docs(spark, sf_dir):
 
 @spec(
     "simhash_md5_docs",
-    r"""
-    WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w
-               FROM documents),
-    sh AS (SELECT doc_id,
-                  list_distinct(list_transform(range(1, len(w)),
-                                               i -> w[i] || ' ' || w[i+1]))
-                    AS shs
-           FROM w),
-    t AS (SELECT doc_id, unnest(shs) AS sh FROM sh WHERE len(shs) > 0),
+    rf"""
+    WITH {_MD5_SHINGLE_CTES}
     h AS (SELECT doc_id,
                  list_reduce(
                    list_transform(
