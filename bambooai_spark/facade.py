@@ -14,9 +14,11 @@ Differences from the reference, all deliberate:
   instead of the reference's env-var model registry;
 - ``pd_agent_converse`` RETURNS the :class:`AgentResult` (the reference
   returns None and only prints) — a superset, nothing breaks;
-- the interactive CLI loop (reference's no-question mode prompting on
-  stdin) is out of scope for a library facade: ``question`` or
-  ``user_code`` is required.
+- the reference's no-question mode (interactive stdin loop until
+  ``exit``) is supported via the same signature: call
+  ``pd_agent_converse()`` with neither ``question`` nor ``user_code``
+  and it prompts on stdin per turn, exactly like the reference's
+  CLI/Jupyter mode (bambooai.py:538-552).
 
 Everything else follows the reference's semantics: wall-clock thread ids
 when none is given, ``action='reset'`` clears conversation state, passing
@@ -144,16 +146,24 @@ class BambooAI:
 
         ``action='reset'`` clears state and returns None. ``chain_id``
         (when different from the current chain) restores that chain's QA
-        history as the branch point before the new turn. Exactly one of
-        ``question`` / ``user_code`` drives the turn."""
+        history as the branch point before the new turn. With neither
+        ``question`` nor ``user_code``, enters the reference's
+        interactive loop: prompt on stdin each turn until ``exit``
+        (bambooai.py:538-552); returns the LAST turn's result."""
         if action == "reset":
             self.reset_messages_and_logs()
             return None
         if question is None and user_code is None:
-            raise ValueError(
-                "pass question= or user_code= (the reference's interactive "
-                "stdin loop is not part of the library facade)"
-            )
+            last: AgentResult | None = None
+            while True:
+                q = input("Enter your question or type 'exit': ")
+                if q.strip().lower() == "exit":
+                    self.reset_messages_and_logs()
+                    return last
+                last = self.pd_agent_converse(
+                    q, thread_id=self.thread_id, image=image
+                )
+            # unreachable
         sess = self._ensure_session(thread_id)
         if chain_id is not None and str(chain_id) != str(self.chain_id):
             sess.restore(str(chain_id))

@@ -1104,12 +1104,6 @@ def test_bambooai_facade_reference_surface(spark, tmp_path):
     assert bamboo.pd_agent_converse(action="reset") is None
     assert bamboo.thread_id is None and bamboo.chain_id is None
 
-    # question/user_code required outside reset
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="question"):
-        bamboo.pd_agent_converse()
-
 
 def test_bambooai_facade_ontology_path(spark, tmp_path):
     """df_ontology takes a file path (reference semantics) whose text
@@ -1139,3 +1133,30 @@ def test_bambooai_facade_ontology_path(spark, tmp_path):
         u for s, u in llm.calls if ":orders a :Dataframe" in u
     ]
     assert inspector_calls, "ontology text never reached a prompt"
+
+
+def test_bambooai_facade_interactive_loop(spark, tmp_path, monkeypatch):
+    """No question and no user_code enters the reference's stdin loop:
+    each prompt runs a chain; 'exit' ends the session (and resets, as the
+    reference does on exit) returning the last result."""
+    from bambooai_spark import BambooAI
+
+    llm = ScriptedLLM(
+        {
+            "route analytics questions": EXPERT_DA,
+            "classify dataset questions": ANALYST,
+            "analysis plans": PLAN,
+            "write PySpark code": GOOD_CODE,
+            "Summarize the analysis": "Computed.",
+        }
+    )
+    orders = load_table(spark, SF_DIR, "orders")
+    bamboo = BambooAI(
+        orders, llm=llm, planning=True, store_dir=str(tmp_path / "threads")
+    )
+    inputs = iter(["Count orders per month in 1997", "exit"])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(inputs))
+    res = bamboo.pd_agent_converse()
+    assert res is not None and res.ok and res.df.count() == 12
+    # exit resets, like the reference's CLI mode teardown
+    assert bamboo.thread_id is None and bamboo.chain_id is None
