@@ -812,3 +812,66 @@ def test_connector_lifecycle(spark, tmp_path):
     assert client.post(
         "/connector/remove_data", json={"df_name": "longi"}
     ).status_code == 404
+
+
+def test_concurrent_queries_different_threads_stay_segregated(
+    spark, ddb, tmp_path, fake_mpl
+):
+    """Two thread_ids streaming simultaneously: each response carries only
+    its own thread's events (per-request queues; sessions and gates are
+    per-thread), and both complete with oracle-correct results."""
+    import threading
+
+    gate_a, gate_b = threading.Event(), threading.Event()
+    inner = _query_llm()
+
+    def llm(system, user):
+        # hold BOTH chains mid-flight so their lifetimes overlap fully
+        gate_a.wait(timeout=30)
+        return inner(system, user)
+
+    app = create_app(
+        spark,
+        upload_dir=str(tmp_path / "up"),
+        llm=llm,
+        agent_store_dir=str(tmp_path / "threads"),
+    )
+    app.config["TESTING"] = True
+    client = app.test_client()
+    with open(f"{SF_DIR}/orders.parquet", "rb") as f:
+        payload = f.read()
+    client.post(
+        "/upload_dataset",
+        data={"file": (io.BytesIO(payload), "orders.parquet"),
+              "df_name": "orders_mt"},
+        content_type="multipart/form-data",
+    )
+
+    results: dict[str, list] = {}
+
+    def run(tid):
+        r = client.post(
+            "/query",
+            json={"query": "Count the number of orders per month in 1997",
+                  "df_name": "orders_mt", "thread_id": tid},
+        )
+        results[tid] = [
+            json.loads(l)
+            for l in r.get_data(as_text=True).splitlines() if l.strip()
+        ]
+
+    ta = threading.Thread(target=run, args=("mt_a",))
+    tb = threading.Thread(target=run, args=("mt_b",))
+    ta.start(); tb.start()
+    gate_a.set()  # release all chains; both run to completion
+    ta.join(timeout=120); tb.join(timeout=120)
+    assert set(results) == {"mt_a", "mt_b"}
+    for tid, events in results.items():
+        # identity event names THIS thread; no event names the other one
+        assert events[0]["thread_id"] == tid
+        other = "mt_b" if tid == "mt_a" else "mt_a"
+        assert not any(e.get("thread_id") == other for e in events)
+        assert events[-1]["rank_data"]["thread_id"] == tid
+        assert events[-1]["rank_data"]["ok"] is True
+        [res] = [e for e in events if e.get("type") == "result"]
+        assert len(res["stdout"].splitlines()) == 12
