@@ -79,6 +79,7 @@ class AgentOrchestrator:
         rank_fn: Callable[["AgentResult"], int] | None = None,
         output: OutputManager | None = None,
         max_conversations: int = 4,
+        exploratory: bool = True,
     ):
         self.spark = spark
         self.llm = llm
@@ -105,6 +106,9 @@ class AgentOrchestrator:
         # follow-up prompts by callers via messages.format_qa_pairs();
         # max_conversations is the reference's prune bound (window 2·max−1)
         self.messages = MessageManager(max_conversations=max_conversations)
+        # reference exploratory=False (bambooai.py taskmaster gate): skip
+        # expert routing entirely and force the Data Analyst path
+        self.exploratory = exploratory
         self.executor = SparkCodeExecutor()
 
     # -- pipeline stages ---------------------------------------------
@@ -324,7 +328,10 @@ class AgentOrchestrator:
         if aux_datasets:
             aux_ctx, aux_tables = self._aux_context(aux_datasets)
             ctx += aux_ctx
-        expert, intent = self._route(question, image)
+        if self.exploratory:
+            expert, intent = self._route(question, image)
+        else:
+            expert, intent = "Data Analyst", question
         out.thought(f"Expert: {expert}", chain_id)
         if expert != "Data Analyst":
             # research path: Theorist prose, optionally via the tool loop

@@ -24,8 +24,9 @@ from __future__ import annotations
 import io
 import os
 import sys
+import threading
 import traceback
-from contextlib import redirect_stdout
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +36,62 @@ from pyspark.sql import Window
 from bambooai_spark.executor.plots import begin_capture, harvest
 from bambooai_spark.executor.sanitizer import sanitize
 from bambooai_spark.executor.traceback_filter import filter_exec_traceback
+
+
+class _ThreadRoutedStdout:
+    """Per-thread stdout capture. ``contextlib.redirect_stdout`` swaps the
+    PROCESS-global ``sys.stdout``, so two sandboxes executing concurrently
+    (e.g. two /query threads in one service process) corrupt each other's
+    captured output. This proxy routes each write to the buffer registered
+    by the CURRENT thread; unregistered threads (Spark callbacks, the
+    REPL) pass through to the real stdout."""
+
+    def __init__(self, original):
+        self._original = original
+        self._buffers: dict[int, io.StringIO] = {}
+
+    def register(self, buf) -> None:
+        self._buffers[threading.get_ident()] = buf
+
+    def unregister(self) -> None:
+        self._buffers.pop(threading.get_ident(), None)
+
+    def write(self, s):
+        target = self._buffers.get(threading.get_ident())
+        return (target if target is not None else self._original).write(s)
+
+    def flush(self):
+        target = self._buffers.get(threading.get_ident())
+        (target if target is not None else self._original).flush()
+
+    def __getattr__(self, name):
+        return getattr(self._original, name)
+
+
+_routed: _ThreadRoutedStdout | None = None
+_routed_lock = threading.Lock()
+
+
+@contextmanager
+def _capture_stdout(buf: io.StringIO):
+    """Install the routing proxy (once, while any capture is active) and
+    register this thread's buffer; the proxy is removed when the last
+    concurrent capture exits."""
+    global _routed
+    with _routed_lock:
+        if _routed is None:
+            _routed = _ThreadRoutedStdout(sys.stdout)
+            sys.stdout = _routed
+        _routed.register(buf)
+    try:
+        yield
+    finally:
+        with _routed_lock:
+            _routed.unregister()
+            if not _routed._buffers:
+                if sys.stdout is _routed:
+                    sys.stdout = _routed._original
+                _routed = None
 
 
 @dataclass
@@ -122,7 +179,7 @@ class SparkCodeExecutor:
                 spark.sparkContext.setJobGroup(
                     self._job_group, "sandboxed generated code", True
                 )
-            with redirect_stdout(buf):
+            with _capture_stdout(buf):
                 exec(compile(code, "<string>", "exec"), local_vars)  # noqa: S102
             result_df = local_vars.get("df")
             if result_df is not None and type(result_df).__module__.startswith(

@@ -64,6 +64,7 @@ class BambooAI:
         store_dir: str | None = None,
         sample_first: int | None = None,
         output=None,
+        rank_fn=None,
     ):
         if df is None:
             raise ValueError("df is required (a pyspark.sql.DataFrame)")
@@ -84,6 +85,10 @@ class BambooAI:
         if memory is None and vector_db:
             memory = EpisodicMemory(self.spark)
         self.memory = memory
+        if memory is not None and rank_fn is None:
+            # without a rank the write gate never fires (the reference asks
+            # the model to rate the solution 0-10, bambooai.py:652-670)
+            rank_fn = self._llm_rank_fn(llm)
         # reference gates the search tool on key availability; here the
         # caller supplies the implementations (tools dict), search_tool
         # only expresses intent for parity
@@ -99,26 +104,64 @@ class BambooAI:
             # OutputManager (e.g. QueueOutputManager) plugs in directly
             output=output,
             max_conversations=max_conversations,
+            rank_fn=rank_fn,
+            # exploratory=False (reference: skip routing, force Data
+            # Analyst)
+            exploratory=exploratory,
         )
-        # exploratory=False (reference: skip routing, force Data Analyst)
         self.exploratory = exploratory
+        self._max_conversations = max_conversations
         self._store_dir = store_dir
         self._session: AgentSession | None = None
+        self._last_auto_tid: int | None = None
         self.thread_id: str | None = None
         self.chain_id: str | None = None
+
+    @staticmethod
+    def _llm_rank_fn(llm):
+        """Default memory-write rank: ask the model to rate the solution
+        0-10 (reference's rank prompt, bambooai.py:652-670); unparseable
+        replies rate 0 (never stored)."""
+        import re  # noqa: PLC0415
+
+        def rank(result) -> int:
+            resp = llm(
+                "Rate the quality of this data-analysis solution on a "
+                "scale of 0 to 10. Reply with a single integer only.",
+                f"Task: {result.intent}\n\nCode:\n{result.code}\n\n"
+                f"Summary: {result.summary}",
+            )
+            m = re.search(r"\d+", str(resp))
+            return max(0, min(10, int(m.group()))) if m else 0
+
+        return rank
 
     # -- session plumbing ---------------------------------------------
 
     def _ensure_session(self, thread_id) -> AgentSession:
-        tid = str(thread_id) if thread_id is not None else (
-            self.thread_id or str(int(time.time()))
-        )
+        if thread_id is not None:
+            tid = str(thread_id)
+        elif self.thread_id is not None:
+            tid = self.thread_id
+        else:
+            # wall-clock ids like the reference, but monotonic: a reset
+            # followed by a converse within the same second must start a
+            # genuinely fresh thread, not resume the old one
+            t = int(time.time())
+            if self._last_auto_tid is not None and t <= self._last_auto_tid:
+                t = self._last_auto_tid + 1
+            self._last_auto_tid = t
+            tid = str(t)
         if self._session is None or self._session.thread_id != tid:
             store = InteractionStore(
                 self._store_dir
                 or os.path.join("threads", self.user_id or "default")
             )
             self._session = AgentSession(self._orch, store, thread_id=tid)
+            # the orchestrator's QA history belongs to the previous thread —
+            # a fresh thread starts clean (restore() repopulates on branch)
+            self._orch.messages.qa_pairs = []
+            self.chain_id = None
         self.thread_id = tid
         return self._session
 
@@ -166,7 +209,11 @@ class BambooAI:
             # unreachable
         sess = self._ensure_session(thread_id)
         if chain_id is not None and str(chain_id) != str(self.chain_id):
-            sess.restore(str(chain_id))
+            if not sess.restore(str(chain_id)):
+                raise ValueError(
+                    f"unknown chain {chain_id!r} on thread "
+                    f"{self.thread_id!r} — nothing to branch from"
+                )
         gen_dir = os.path.join(
             "datasets", self.user_id or "", "generated",
             str(self.thread_id),

@@ -64,7 +64,9 @@ def write_corpus(
     except AnalysisException:
         # an empty df writes only _SUCCESS — no footer to read a schema
         # from; the manifest is legitimately empty
-        manifest = _empty_manifest(df.sparkSession, partition_by, token_col)
+        manifest = _empty_manifest(
+            df.sparkSession, partition_by, token_col, source_df=df
+        )
     _write_manifest_json(path, partition_by, manifest.collect())
     return manifest
 
@@ -133,14 +135,31 @@ def build_manifest(
 
 
 def _empty_manifest(
-    spark: SparkSession, partition_by, token_col: str | None
+    spark: SparkSession,
+    partition_by,
+    token_col: str | None,
+    source_df: DataFrame | None = None,
 ) -> DataFrame:
-    fields = [f"{c} STRING" for c in partition_by] + [
-        "n_rows LONG", "n_files LONG", "n_bytes LONG",
+    """Typed empty manifest; partition columns copy the SOURCE df's types
+    (a LONG shard key must not come back STRING on the empty path)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    fields = []
+    for c in partition_by:
+        dt = (
+            source_df.schema[c].dataType
+            if source_df is not None and c in source_df.columns
+            else StringType()
+        )
+        fields.append(StructField(c, dt))
+    fields += [
+        StructField("n_rows", LongType()),
+        StructField("n_files", LongType()),
+        StructField("n_bytes", LongType()),
     ]
     if token_col:
-        fields.append("n_tokens LONG")
-    return spark.createDataFrame([], ", ".join(fields))
+        fields.append(StructField("n_tokens", LongType()))
+    return spark.createDataFrame([], StructType(fields))
 
 
 def append_corpus(
@@ -185,10 +204,15 @@ def append_corpus(
     ledger_path = os.path.join(path, LEDGER_DIR)
 
     if not os.path.isdir(ledger_path) and os.path.isdir(path):
-        # seed a pre-ledger corpus's ledger COMPLETELY, once
-        spark.read.parquet(path).select(
-            fingerprint(text_col, normalize=True).alias("fp")
-        ).write.parquet(ledger_path)
+        from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+        try:
+            # seed a pre-ledger corpus's ledger COMPLETELY, once
+            spark.read.parquet(path).select(
+                fingerprint(text_col, normalize=True).alias("fp")
+            ).write.parquet(ledger_path)
+        except AnalysisException:
+            pass  # dir holds no data files (empty write_corpus) — no history
 
     # within-batch exact dedup: exact_dedup's min-id representative per
     # fingerprint; dropDuplicates collapses fully identical rows the
@@ -266,5 +290,7 @@ def append_corpus(
     _write_manifest_json(path, partition_by, rows)
     if not rows:
         # an entirely-empty batch against an empty corpus
-        return _empty_manifest(spark, partition_by, token_col)
+        return _empty_manifest(
+            spark, partition_by, token_col, source_df=new_docs
+        )
     return spark.createDataFrame(rows)

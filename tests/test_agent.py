@@ -1160,3 +1160,65 @@ def test_bambooai_facade_interactive_loop(spark, tmp_path, monkeypatch):
     assert res is not None and res.ok and res.df.count() == 12
     # exit resets, like the reference's CLI mode teardown
     assert bamboo.thread_id is None and bamboo.chain_id is None
+
+
+def test_bambooai_facade_review_fixes(spark, tmp_path):
+    """Facade semantics pinned after review: exploratory=False forces the
+    Data Analyst path with no routing calls; thread switches don't leak QA
+    history; unknown chain_id raises; reset-then-converse starts a fresh
+    thread even within one wall-clock second; vector_db gets a default
+    LLM rank so the memory write gate actually fires."""
+    import pytest as _pytest
+
+    from bambooai_spark import BambooAI
+
+    llm = ScriptedLLM(
+        {
+            "classify dataset questions": ANALYST,
+            "analysis plans": PLAN,
+            "write PySpark code": GOOD_CODE,
+            "Summarize the analysis": "Computed.",
+            "Rate the quality": "9",
+        }
+    )
+    orders = load_table(spark, SF_DIR, "orders")
+    bamboo = BambooAI(
+        orders, llm=llm, planning=True, exploratory=False, vector_db=True,
+        store_dir=str(tmp_path / "threads"),
+    )
+    res = bamboo.pd_agent_converse(
+        "Count orders per month in 1997", thread_id="t1"
+    )
+    assert res.ok
+    # exploratory=False: the expert-selector system prompt never fired
+    # (ScriptedLLM would have raised on the unscripted routing prompt)
+    assert not any(
+        "route analytics questions" in s for s, _ in llm.calls
+    )
+    # the default rank_fn fired and the solution was written to memory
+    assert any("Rate the quality" in s for s, _ in llm.calls)
+    hit = bamboo.memory.retrieve("count orders per month in 1997")
+    assert hit is not None and hit.rank == 9
+
+    qa_before = list(bamboo._orch.messages.qa_pairs)
+    assert qa_before  # thread t1 accumulated history
+    # switching threads starts clean — no QA leak into t2's first chain
+    bamboo.pd_agent_converse(user_code="df = df.limit(2)", thread_id="t2")
+    rec = bamboo._session.store.load_chain("t2", "1")
+    assert len(rec["qa_pairs"]) == 1  # only t2's own turn
+
+    # unknown chain on the current thread raises instead of silently
+    # branching from live state
+    with _pytest.raises(ValueError, match="unknown chain"):
+        bamboo.pd_agent_converse(user_code="df", chain_id="777")
+
+    # reset then converse in the same second: a NEW auto thread id
+    bamboo2 = BambooAI(
+        orders, llm=llm, planning=True, exploratory=False,
+        store_dir=str(tmp_path / "threads2"),
+    )
+    bamboo2.pd_agent_converse(user_code="df = df.limit(2)")
+    tid1 = bamboo2.thread_id
+    bamboo2.pd_agent_converse(action="reset")
+    bamboo2.pd_agent_converse(user_code="df = df.limit(2)")
+    assert bamboo2.thread_id != tid1

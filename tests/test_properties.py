@@ -212,10 +212,20 @@ def test_operators_handle_empty_inputs(spark, tmp_path):
     assert docs.select(scrub_pii("text")["scrubbed"]).count() == 0
     # empty writes: manifest is empty, not a crash; empty first append
     # leaves a schema-less ledger the next append tolerates
-    assert write_corpus(docs, str(tmp_path / "w")).count() == 0
+    m = write_corpus(docs, str(tmp_path / "w"))
+    assert m.count() == 0
+    # empty-path manifest keeps the SOURCE partition-column type
+    assert dict(m.dtypes)["lang"] == "string"
     out = str(tmp_path / "a")
     assert append_corpus(docs, out).count() == 0
     assert append_corpus(docs, out).count() == 0  # _SUCCESS-only ledger
+    # append into a dir created by an EMPTY write_corpus (data-less
+    # corpus, no ledger): seeding must tolerate the footerless dir
+    real = spark.createDataFrame(
+        [(1, "the real document text here", "en", "s")],
+        "doc_id LONG, text STRING, lang STRING, source STRING",
+    )
+    assert append_corpus(real, str(tmp_path / "w")).count() == 1
 
 
 def test_operators_handle_null_text(spark):

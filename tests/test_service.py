@@ -822,7 +822,7 @@ def test_concurrent_queries_different_threads_stay_segregated(
     per-thread), and both complete with oracle-correct results."""
     import threading
 
-    gate_a, gate_b = threading.Event(), threading.Event()
+    gate_a = threading.Event()
     inner = _query_llm()
 
     def llm(system, user):
