@@ -10,12 +10,15 @@ offset inside its stream, from which its chunk id and in-chunk offset are
 pure integer arithmetic. Deterministic by construction: (stream, id) order,
 integer token counts, no floats.
 
-Scale: one window aggregation PARTITIONED BY the stream columns
-(language/source) — streams pack in parallel, no single-partition funnel;
-the per-stream exclusive prefix sum is the only shuffle. For one giant
-stream, the prefix sum generalizes two-phase exactly like
-``functions.ranking.distributed_dense_rank`` (range partition + local
-cumsum + per-partition total prefix bridge).
+Scale: the per-stream exclusive prefix sum is computed TWO-PHASE
+(range-partition on (stream, id) → local cumsum per partition slice →
+driver-side prefix bridge of per-(partition, stream) totals), the same
+pattern as ``functions.ranking.distributed_dense_rank`` and
+``mixture_sample`` below. A single giant stream (one language at 100 TB)
+therefore still packs across all partitions — no
+``Window.partitionBy(stream)`` funnel where five languages means five
+tasks. The bridge is one small row per partition-stream slice
+(~#partitions rows, never row data).
 """
 
 from __future__ import annotations
@@ -39,30 +42,88 @@ def pack_sequences(
     *,
     budget: int = 2048,
     stream_cols: tuple[str, ...] = ("lang",),
+    num_partitions: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Assign every document its packed position: ``(id, streams…, n_tok,
     chunk_id, chunk_offset)`` where ``chunk_id = offset // budget`` and
     ``chunk_offset = offset % budget`` over the exclusive prefix sum of
-    token counts in (stream, id) order."""
+    token counts in (stream, id) order.
+
+    Two-phase: range-partition on ``(streams…, id)`` so one stream spans
+    many ordered partitions; local inclusive cumsum per
+    ``(partition, stream)`` slice; a broadcast prefix map of
+    per-slice totals bridges the partitions. Exclusive offset =
+    inclusive cumsum − own count + bridge prefix.
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_tok = est_bpe_tokens(text_col).alias("n_tok")
-    w = (
-        Window.partitionBy(*stream_cols)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     base = df.select(F.col(id_col), *[F.col(c) for c in stream_cols], n_tok)
-    off = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
-    # integer DIV, not floor(double/) — offsets in a 100 TB corpus flirt
-    # with 2^53, where double division starts misrounding
-    return base.select(
-        id_col, *stream_cols, "n_tok", off.alias("_off")
-    ).select(
-        id_col,
-        *stream_cols,
-        "n_tok",
-        F.expr(f"_off DIV {int(budget)}").cast("long").alias("chunk_id"),
-        (F.col("_off") % F.lit(budget)).cast("long").alias("chunk_offset"),
+    # stream key as a single string; NULL stream values get a sentinel so
+    # they form their own slice, matching Window.partitionBy's NULL group
+    skey = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in stream_cols
+        ],
     )
+    part = (
+        base.repartitionByRange(n, *stream_cols, id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_skey", skey)
+        .persist()
+    )
+    # per-(partition, stream) totals: the bridge rows — range partitioning
+    # keeps each stream's slices contiguous, so ~#partitions rows total
+    totals = part.groupBy("_pid", "_skey").agg(F.sum("n_tok").alias("t")).collect()
+    if not totals:
+        part.unpersist()
+        return base.select(
+            id_col,
+            *stream_cols,
+            "n_tok",
+            F.lit(0).cast("long").alias("chunk_id"),
+            F.lit(0).cast("long").alias("chunk_offset"),
+        ).limit(0)
+    acc: dict[str, int] = {}
+    entries: list[Column] = []
+    for row in sorted(totals, key=lambda r: (r["_skey"], r["_pid"])):
+        g = row["_skey"]
+        entries += [F.lit(f"{row['_pid']}|{g}"), F.lit(acc.get(g, 0))]
+        # an all-NULL-token slice (NULL text) sums to None — adds nothing
+        acc[g] = acc.get(g, 0) + (row["t"] or 0)
+    omap = F.create_map(*entries)
+    wloc = Window.partitionBy("_pid", "_skey").orderBy(id_col)
+    # exclusive prefix = inclusive local cumsum − own n_tok + bridge;
+    # coalesce handles NULL n_tok rows (inclusive sum skips NULLs, and a
+    # leading all-NULL run makes the inclusive sum itself NULL)
+    off = (
+        F.coalesce(F.sum("n_tok").over(wloc), F.lit(0).cast("long"))
+        - F.coalesce(F.col("n_tok"), F.lit(0).cast("long"))
+        + omap[F.concat_ws("|", F.col("_pid"), F.col("_skey"))]
+    ).cast("long")
+    out = (
+        part.withColumn("_off", off)
+        # integer DIV, not floor(double/) — offsets in a 100 TB corpus
+        # flirt with 2^53, where double division starts misrounding
+        .select(
+            id_col,
+            *stream_cols,
+            "n_tok",
+            F.expr(f"_off DIV {int(budget)}").cast("long").alias("chunk_id"),
+            (F.col("_off") % F.lit(budget)).cast("long").alias("chunk_offset"),
+        )
+    )
+    if checkpoint:
+        # materialize so the persisted input can be released now (same
+        # persist/checkpoint pairing as mixture_sample below)
+        out = out.localCheckpoint(eager=True)
+        part.unpersist()
+    # checkpoint=False keeps the lazy plan for inspection (plan tests);
+    # the persisted input stays cached until the caller clears it
+    return out
 
 
 def mixture_sample(

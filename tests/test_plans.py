@@ -318,23 +318,67 @@ def test_distributed_dense_rank_exact_and_no_single_partition(spark):
 
 
 def test_pack_docs_parallel_by_stream(spark):
-    """Sequence packing's window is partitioned by the stream column —
-    no SinglePartition funnel in the plan."""
+    """Sequence packing is two-phase: range partition + local window per
+    (partition, stream) slice — no SinglePartition funnel in the (lazy,
+    pre-checkpoint) plan, even though streams are few."""
     from bambooai_spark.io import load_table
     from bambooai_spark.operators.packing import pack_sequences
     from tests.conftest import SF_DIR
 
     docs = load_table(spark, SF_DIR, "documents")
     plan = (
-        pack_sequences(docs, "doc_id", "text", stream_cols=("lang",))
+        pack_sequences(docs, "doc_id", "text", stream_cols=("lang",), checkpoint=False)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
+    spark.catalog.clearCache()
     assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
     # column pruning: the text column feeds only the length computation; the
     # scan must not read more than (doc_id, text, lang)
     assert "n_chars" not in plan.split("ReadSchema")[-1]
+
+
+def test_pack_single_giant_stream_two_phase(spark):
+    """One giant stream (every doc in one language) must still pack across
+    all range partitions — the classic Window.partitionBy(stream) funnel
+    would collapse this to one task. Plan has no SinglePartition, and the
+    offsets match the windowed single-stream twin exactly (NULL text rows
+    included)."""
+    from pyspark.sql import Window
+    from bambooai_spark.operators.packing import pack_sequences
+
+    rows = [(i, "en", ("x" * ((i * 37) % 501)) if i % 17 else None) for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string").repartition(8)
+
+    lazy = pack_sequences(
+        docs, "doc_id", "text", budget=64, stream_cols=("lang",),
+        num_partitions=16, checkpoint=False,
+    )
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+    got = {
+        (r["doc_id"], r["chunk_id"], r["chunk_offset"])
+        for r in lazy.collect()
+    }
+    spark.catalog.clearCache()
+    w = (
+        Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    twin = docs.select(
+        "doc_id",
+        F.coalesce(
+            F.sum(F.ceil(F.length("text") / F.lit(4.0)).cast("long")).over(w),
+            F.lit(0).cast("long"),
+        ).alias("off"),
+    )
+    want = {
+        (r["doc_id"], r["off"] // 64, r["off"] % 64) for r in twin.collect()
+    }
+    assert got == want and len(got) == 2000
 
 
 def test_shuffle_shards_no_single_partition_pruned_scan(spark):
