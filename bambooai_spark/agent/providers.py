@@ -120,17 +120,24 @@ def openai_adapter(
 def ollama_adapter(
     model: str = "llama3.1",
     transport: Transport | None = None,
-    base_url: str = "http://localhost:11434/v1/chat/completions",
+    base_url: str | None = None,
 ):
     """Ollama serves the OpenAI chat-completions contract locally with no
     API key (reference ``models/ollama_models.py``) — same request/response
-    as :func:`openai_adapter`, different endpoint and no auth header."""
+    as :func:`openai_adapter`, different endpoint and no auth header.
+
+    ``OLLAMA_BASE_URL`` is the *default* only — an explicitly passed
+    ``base_url`` always wins over the environment."""
+    if base_url is None:
+        base_url = os.environ.get(
+            "OLLAMA_BASE_URL", "http://localhost:11434/v1/chat/completions"
+        )
 
     def _local_transport(body: dict) -> dict:
         import urllib.request
 
         req = urllib.request.Request(
-            os.environ.get("OLLAMA_BASE_URL", base_url),
+            base_url,
             data=json.dumps(body).encode("utf-8"),
             headers={"Content-Type": "application/json"},
         )

@@ -597,8 +597,8 @@ def minhash_near_dup(
     """
     if num_hashes % bands:
         raise ValueError(
-            f"num_hashes ({num_hashes}) must divide evenly into bands "
-            f"({bands}) — trailing signature elements would silently "
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) "
+            f"evenly — trailing signature elements would silently "
             f"never be banded"
         )
     rows = num_hashes // bands
@@ -717,8 +717,8 @@ def minhash_md5_near_dup(
     buckets together is absent by design in BOTH engines identically."""
     if num_hashes % bands:
         raise ValueError(
-            f"num_hashes ({num_hashes}) must divide evenly into bands "
-            f"({bands}) — trailing signature elements would silently "
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) "
+            f"evenly — trailing signature elements would silently "
             f"never be banded"
         )
     rows = num_hashes // bands

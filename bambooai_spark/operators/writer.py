@@ -21,7 +21,6 @@ The reference has no batch sink beyond per-query CSV harvest
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,6 +29,49 @@ MANIFEST_NAME = "_corpus_manifest.json"
 # underscore prefix → invisible to spark.read.parquet(corpus_path), so the
 # ledger can live inside the corpus directory without polluting reads
 LEDGER_DIR = "_fingerprints"
+
+
+def _fs(spark: SparkSession, path: str):
+    """Hadoop FileSystem + Path for ``path`` — ONE bookkeeping API for
+    plain local paths, ``file://``, ``hdfs://`` and ``s3a://`` URIs, so
+    the manifest/ledger live wherever the corpus parquet lives. (The
+    former ``os.path``/``open`` bookkeeping silently skipped ledger
+    seeding on any URI — even ``file://`` — then crashed writing the
+    manifest after the data append.)"""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath = _fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    fs, jpath = _fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        # commons-io ships on Spark's classpath
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    fs, jpath = _fs(spark, path)
+    out = fs.create(jpath, True)  # overwrite
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _join(path: str, name: str) -> str:
+    """URI-safe child path (os.path.join would break scheme URIs)."""
+    return path.rstrip("/") + "/" + name
 
 
 def write_corpus(
@@ -48,7 +90,6 @@ def write_corpus(
     ``token_col`` — a LONG column to sum per partition (e.g. a
     precomputed ``n_tokens``); omitted → no token totals.
     """
-    _require_local_path(path)
     writer = df.write.mode(mode)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
@@ -67,26 +108,15 @@ def write_corpus(
         manifest = _empty_manifest(
             df.sparkSession, partition_by, token_col, source_df=df
         )
-    _write_manifest_json(path, partition_by, manifest.collect())
+    _write_manifest_json(df.sparkSession, path, partition_by, manifest.collect())
     return manifest
 
 
-def _require_local_path(path: str) -> None:
-    """The ledger/manifest bookkeeping uses local filesystem calls
-    (os.path, open); on an object-store URI those silently do the wrong
-    thing (isdir False → history dedup skipped, then the manifest write
-    crashes AFTER data was appended). Refuse up front; the remote story is
-    a FileSystem-API port, not a silent degrade."""
-    if "://" in path and not path.startswith("file://"):
-        raise ValueError(
-            f"write_corpus/append_corpus currently support local paths only "
-            f"(manifest/ledger bookkeeping); got {path!r}"
-        )
-
-
-def _write_manifest_json(path: str, partition_by, rows) -> None:
-    with open(os.path.join(path, MANIFEST_NAME), "w") as fh:
-        json.dump(
+def _write_manifest_json(spark: SparkSession, path: str, partition_by, rows) -> None:
+    _fs_write_text(
+        spark,
+        _join(path, MANIFEST_NAME),
+        json.dumps(
             {
                 "partition_by": list(partition_by),
                 "partitions": [
@@ -94,10 +124,10 @@ def _write_manifest_json(path: str, partition_by, rows) -> None:
                     for r in rows
                 ],
             },
-            fh,
             indent=2,
             default=str,
-        )
+        ),
+    )
 
 
 def build_manifest(
@@ -199,11 +229,11 @@ def append_corpus(
     from bambooai_spark.functions.text import fingerprint  # noqa: PLC0415
     from bambooai_spark.operators.dedup import exact_dedup  # noqa: PLC0415
 
-    _require_local_path(path)
     spark = new_docs.sparkSession
-    ledger_path = os.path.join(path, LEDGER_DIR)
+    ledger_path = _join(path, LEDGER_DIR)
 
-    if not os.path.isdir(ledger_path) and os.path.isdir(path):
+    ledger_exists = _fs_exists(spark, ledger_path)
+    if not ledger_exists and _fs_exists(spark, path):
         from pyspark.errors import AnalysisException  # noqa: PLC0415
 
         try:
@@ -211,6 +241,7 @@ def append_corpus(
             spark.read.parquet(path).select(
                 fingerprint(text_col, normalize=True).alias("fp")
             ).write.parquet(ledger_path)
+            ledger_exists = True
         except AnalysisException:
             pass  # dir holds no data files (empty write_corpus) — no history
 
@@ -226,7 +257,7 @@ def append_corpus(
         .dropDuplicates(["_fp"])
     )
 
-    if os.path.isdir(ledger_path):
+    if ledger_exists:
         from pyspark.errors import AnalysisException  # noqa: PLC0415
 
         try:
@@ -252,7 +283,7 @@ def append_corpus(
         manifest = build_manifest(
             spark, path, partition_by=partition_by, token_col=token_col
         )
-        _write_manifest_json(path, partition_by, manifest.collect())
+        _write_manifest_json(spark, path, partition_by, manifest.collect())
         return manifest
 
     # O(batch) delta merge: aggregate only the appended rows, fold into
@@ -265,11 +296,11 @@ def append_corpus(
         for r in batch.groupBy(*partition_by).agg(*aggs).collect()
     }
     existing: dict[tuple, dict] = {}
-    mpath = os.path.join(path, MANIFEST_NAME)
-    if os.path.exists(mpath):
-        with open(mpath) as fh:
-            for p in json.load(fh).get("partitions", []):
-                existing[tuple(p[c] for c in partition_by)] = dict(p)
+    mpath = _join(path, MANIFEST_NAME)
+    if _fs_exists(spark, mpath):
+        loaded = json.loads(_fs_read_text(spark, mpath))
+        for p in loaded.get("partitions", []):
+            existing[tuple(p[c] for c in partition_by)] = dict(p)
     for key, d in delta.items():
         cur = existing.setdefault(
             key, {c: v for c, v in zip(partition_by, key)}
@@ -287,7 +318,7 @@ def append_corpus(
     # counts; untouched ones may still carry them)
     all_keys = sorted({k for r in rows for k in r}, key=str)
     rows = [{k: r.get(k) for k in all_keys} for r in rows]
-    _write_manifest_json(path, partition_by, rows)
+    _write_manifest_json(spark, path, partition_by, rows)
     if not rows:
         # an entirely-empty batch against an empty corpus
         return _empty_manifest(

@@ -58,6 +58,7 @@ every response is computed from immutable plans — no locking, no eviction.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 
@@ -139,6 +140,8 @@ def create_app(
             "results": res.stdout,
             "error": res.error,
             "version": res.version,
+            "plots": res.plots,
+            "generated_datasets": res.generated_datasets,
         }
         if res.ok and res.df is not None:
             name = registry.register(res.df, body.get("df_name"))
@@ -559,11 +562,21 @@ def _add_agent_routes(
                     400,
                 )
         # write fully BEFORE registering (a concurrent /query must never
-        # see a missing/partial file): save to a temp name, atomic rename
+        # see a missing/partial file): save to a UNIQUE temp name — two
+        # concurrent uploads of the same filename must not interleave
+        # writes into one temp file — then atomic rename
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        tmp = path + ".uploading"
-        f.save(tmp)
-        os.replace(tmp, path)
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(path), prefix=fname + ".uploading."
+        )
+        os.close(fd)
+        try:
+            f.save(tmp)
+            os.replace(tmp, path)
+        except BaseException:
+            with contextlib.suppress(OSError):
+                os.remove(tmp)
+            raise
         with aux_lock:
             paths = aux_store.setdefault(thread_id, [])
             if path not in paths:

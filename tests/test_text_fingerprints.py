@@ -392,16 +392,15 @@ def test_append_corpus_incremental_dedup(spark, tmp_path):
     assert ledger.count() == after.select("text").distinct().count()
 
 
-def test_append_corpus_seeds_preledger_corpus_and_rejects_remote(
+def test_append_corpus_seeds_preledger_corpus_and_file_uri(
     spark, tmp_path
 ):
     """A corpus written without a ledger gets its ledger SEEDED from the
     corpus text on first append — the SECOND append must still dedup
-    against the ORIGINAL documents, not just the first batch. Non-local
-    URIs are refused up front (the bookkeeping is os.path-based)."""
+    against the ORIGINAL documents, not just the first batch. A file://
+    URI goes through the same Hadoop FileSystem bookkeeping as a plain
+    path (the old os.path bookkeeping skipped ledger checks on ANY URI)."""
     import os
-
-    import pytest as _pytest
 
     from bambooai_spark.io import load_table
     from bambooai_spark.operators.writer import (
@@ -437,8 +436,16 @@ def test_append_corpus_seeds_preledger_corpus_and_rejects_remote(
         "doc_id >= 80 AND doc_id < 100"
     ).count()
 
-    with _pytest.raises(ValueError, match="local paths"):
-        append_corpus(docs, "s3a://bucket/corpus")
+    # third append through a file:// URI: the existing ledger must be
+    # FOUND (replayed docs blocked) and the manifest written in place
+    replay2 = docs.filter("doc_id < 40").withColumn(
+        "doc_id", F.col("doc_id") + 90_000
+    )
+    append_corpus(replay2, "file://" + out)
+    after2 = spark.read.parquet(out)
+    assert after2.filter("doc_id >= 90000").count() == 0
+    assert after2.count() == after.count()
+    assert os.path.exists(os.path.join(out, "_corpus_manifest.json"))
 
 
 def test_append_corpus_collapses_identical_rows_and_checks_bands(
@@ -460,7 +467,7 @@ def test_append_corpus_collapses_identical_rows_and_checks_bands(
     append_corpus(df, out)
     assert spark.read.parquet(out).count() == 1
 
-    with _pytest.raises(ValueError, match="divide evenly"):
+    with _pytest.raises(ValueError, match="must divide num_hashes"):
         minhash_md5_near_dup(
             df, "doc_id", "text", num_hashes=16, bands=5
         ).count()
