@@ -3775,6 +3775,21 @@ _PROMOTE = [
     # Round-4 addition: the mixture sampler takes the slot of isin_orders
     # (membership predicate graded green in r01-r03; stays pytest-pinned)
     "mixture_sample_docs",
+    # Round-5 rotation: first driver grades for the hash-exact LSH family,
+    # the r4 spec additions, the TPC-H tails, and the new skew-pack spec —
+    # displacing rows already driver-evidenced 3-4 times.
+    "minhash_md5_docs",
+    "minhash_md5_near_dup_docs",
+    "simhash_md5_docs",
+    "stratified_sample_docs",
+    "jaccard_blocked_docs",
+    "shuffle_shards_docs",
+    "quality_filter_docs",
+    "unigram_logprob_docs",
+    "pack_skew_docs",
+    "q8_market_share",
+    "q13_order_distribution",
+    "q21_sole_fault_supplier",
 ]
 _DEMOTE = [
     "isin_orders",
@@ -3796,6 +3811,23 @@ _DEMOTE = [
     "json_extract_events",
     "value_counts_orders",
     "ftp_events",
+    # Round-5 demotions: every row below carries 3-4 green driver rounds
+    # and stays oracle-pinned in pytest; families remain represented in
+    # the window (calendar ← monthly_orders, percentiles ←
+    # percentiles_lineitem, event analytics ← funnel_events, rollup ←
+    # rollup_orders, similarity ← jaccard_blocked/winnow/contamination).
+    "hourly_events",
+    "percentile_by_type_events",
+    "zscore_outliers_events",
+    "retention_events",
+    "active_users_events",
+    "value_histogram_events",
+    "rollup_grains_events",
+    "most_recent_order",
+    "pace_events",
+    "null_handling_events",
+    "range_count_events",
+    "jaccard_pairs_docs",
 ]
 
 
