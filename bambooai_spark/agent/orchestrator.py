@@ -80,6 +80,7 @@ class AgentOrchestrator:
         output: OutputManager | None = None,
         max_conversations: int = 4,
         exploratory: bool = True,
+        executor=None,
     ):
         self.spark = spark
         self.llm = llm
@@ -109,7 +110,10 @@ class AgentOrchestrator:
         # reference exploratory=False (bambooai.py taskmaster gate): skip
         # expert routing entirely and force the Data Analyst path
         self.exploratory = exploratory
-        self.executor = SparkCodeExecutor()
+        # injectable execution seam: local sandbox by default, a
+        # RemoteSparkExecutor in the reference's EXECUTION_MODE=api split
+        # (executor/client.py) — same execute() surface either way
+        self.executor = executor or SparkCodeExecutor()
 
     # -- pipeline stages ---------------------------------------------
 

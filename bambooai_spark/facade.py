@@ -65,6 +65,8 @@ class BambooAI:
         sample_first: int | None = None,
         output=None,
         rank_fn=None,
+        execution_mode: str | None = None,
+        executor_api_url: str | None = None,
     ):
         if df is None:
             raise ValueError("df is required (a pyspark.sql.DataFrame)")
@@ -93,6 +95,29 @@ class BambooAI:
         # caller supplies the implementations (tools dict), search_tool
         # only expresses intent for parity
         self.search_tool = search_tool
+        # the reference's split deployment (bambooai.py:41-43): with
+        # EXECUTION_MODE=api + EXECUTOR_API_BASE_URL, code executes in a
+        # remote executor service; the local frame is uploaded once and
+        # every turn POSTs against the server-side df_name
+        self.execution_mode = (
+            execution_mode or os.environ.get("EXECUTION_MODE", "local")
+        )
+        remote_executor = None
+        if self.execution_mode == "api":
+            from bambooai_spark.executor.client import (  # noqa: PLC0415
+                RemoteExecutorClient,
+                RemoteSparkExecutor,
+            )
+
+            url = executor_api_url or os.environ.get("EXECUTOR_API_BASE_URL")
+            if not url:
+                raise ValueError(
+                    "execution_mode='api' needs executor_api_url (or the "
+                    "EXECUTOR_API_BASE_URL environment variable)"
+                )
+            remote_executor = RemoteSparkExecutor(
+                RemoteExecutorClient(url), df_name=df_id
+            )
         self._orch = AgentOrchestrator(
             self.spark,
             llm,
@@ -108,6 +133,7 @@ class BambooAI:
             # exploratory=False (reference: skip routing, force Data
             # Analyst)
             exploratory=exploratory,
+            executor=remote_executor,
         )
         self.exploratory = exploratory
         self._max_conversations = max_conversations

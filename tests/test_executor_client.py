@@ -1,0 +1,154 @@
+"""Remote-execution client tests (reference EXECUTION_MODE=api,
+bambooai/executor_client.py:18-65 + code_executor.py:217-239): the
+contract mapping with a fake transport, and the full facade loop against
+a LIVE executor service process over real HTTP."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from bambooai_spark.executor.client import (
+    RemoteExecutorClient,
+    RemoteSparkExecutor,
+)
+from bambooai_spark.io import load_table
+from tests.conftest import SF_DIR
+from tests.test_agent import ANALYST, EXPERT_DA, GOOD_CODE, PLAN, ScriptedLLM
+
+
+def test_remote_executor_success_error_and_transport_failure(spark):
+    """Adapter contract: success adopts the server df_name/version and
+    maps results→stdout; an execution error rolls back to the ORIGINAL
+    local frame (the server restored its cache on its side); a transport
+    failure surfaces as a normal execution error (reference
+    executor_client.py:57-64) so the self-healing loop can retry."""
+    calls = []
+
+    def transport(path, body):
+        calls.append((path, body))
+        if path == "/execute":
+            if "boom" in body["code"]:
+                return {"results": None, "error": "NameError: boom"}
+            return {
+                "results": "ok-output\n",
+                "error": None,
+                "df_name": "df_remote",
+                "version": 7,
+                "plots": [{"data": "abc", "format": "png"}],
+                "generated_datasets": ["/srv/out.csv"],
+            }
+        raise AssertionError(path)
+
+    client = RemoteExecutorClient("http://x", transport=transport)
+    ex = RemoteSparkExecutor(client, df_name="df0", fetch_df=False)
+    orders = load_table(spark, SF_DIR, "orders")
+
+    res = ex.execute("df = df.limit(1)", df=orders, spark=spark)
+    assert res.ok and res.stdout == "ok-output\n"
+    assert ex.df_name == "df_remote" and res.version == 7
+    assert res.plots == [{"data": "abc", "format": "png"}]
+    assert res.generated_datasets == ["/srv/out.csv"]
+    # fetch_df=False: the local frame is left as the caller's reference
+    assert res.df is orders
+
+    err = ex.execute("boom", df=orders, spark=spark)
+    assert not err.ok and "NameError" in err.error
+    assert err.df is orders  # rollback = original reference
+
+    def dead_transport(path, body):
+        raise OSError("connection refused")
+
+    dead = RemoteSparkExecutor(
+        RemoteExecutorClient("http://x", transport=dead_transport),
+        df_name="df0",
+    )
+    res3 = dead.execute("df = df", df=orders, spark=spark)
+    assert not res3.ok and "connection refused" in res3.error
+
+
+@pytest.fixture(scope="module")
+def live_service(spark, tmp_path_factory):
+    """A real HTTP executor service (werkzeug dev server on an OS-assigned
+    port) — the split deployment the reference runs, not a test client."""
+    from werkzeug.serving import make_server
+
+    from bambooai_spark.service import create_app
+
+    app = create_app(
+        spark, upload_dir=str(tmp_path_factory.mktemp("uploads"))
+    )
+    server = make_server("127.0.0.1", 0, app, threaded=True)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        yield f"http://127.0.0.1:{server.server_port}"
+    finally:
+        server.shutdown()
+        t.join(timeout=10)
+
+
+def test_facade_api_mode_end_to_end_oracle_exact(spark, tmp_path, live_service):
+    """BambooAI with execution_mode='api' against the live service: the
+    frame is uploaded once, each turn's generated code executes in the
+    service process, and the adopted result matches the locally computed
+    answer exactly (reference code_executor_api.py:109-116 adopt/rollback
+    semantics)."""
+    from pyspark.sql import functions as F
+
+    from bambooai_spark import BambooAI
+
+    bad = "```python\ndf = df.groupBy(F.col('no_such_col')).count()\n```"
+    llm = ScriptedLLM(
+        {
+            "route analytics questions": EXPERT_DA,
+            "classify dataset questions": ANALYST,
+            "analysis plans": PLAN,
+            "write PySpark code": GOOD_CODE,
+            "Summarize the analysis": "Computed.",
+            # the error turn's self-heal rounds keep failing on purpose —
+            # the turn must end not-ok with the prior frame kept
+            "PySpark code failed": bad,
+        }
+    )
+    orders = load_table(spark, SF_DIR, "orders")
+    bamboo = BambooAI(
+        orders,
+        llm=llm,
+        planning=True,
+        store_dir=str(tmp_path / "threads"),
+        execution_mode="api",
+        executor_api_url=live_service,
+    )
+    res = bamboo.pd_agent_converse("Count orders per month in 1997")
+    assert res.ok, res.error
+    got = {
+        (r["order_month"], r["order_count"]) for r in res.df.collect()
+    }
+    want = {
+        (r["order_month"], r["order_count"])
+        for r in orders.filter(F.year("o_orderdate") == 1997)
+        .groupBy(
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+            ).alias("order_month")
+        )
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .collect()
+    }
+    assert got == want and len(got) == 12
+
+    # second turn reuses the server-side name — user code mutates the
+    # REMOTE frame; the adopted preview reflects it
+    ex = bamboo._orch.executor
+    uploaded_name = ex.df_name
+    res2 = bamboo.pd_agent_converse(user_code="df = df.limit(3)")
+    assert res2.ok and res2.df.count() == 3
+    assert ex.df_name == uploaded_name  # same server-side dataset id
+
+    # error turn: server restores its cache, client keeps the prior frame
+    res3 = bamboo.pd_agent_converse(
+        user_code="df = df.groupBy(F.col('no_such_col')).count()"
+    )
+    assert not res3.ok and res3.df is not None
