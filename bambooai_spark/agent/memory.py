@@ -80,11 +80,16 @@ class EpisodicMemory:
         dim: int = 64,
         similarity_threshold: float = SIMILARITY_THRESHOLD,
         min_rank: int = MIN_RANK,
+        backend=None,
     ):
         self.spark = spark
         self.embedder = embedder or hash_embedder(dim)
         self.similarity_threshold = similarity_threshold
         self.min_rank = min_rank
+        # injectable external vector store (agent/retrieval_backends.py —
+        # the reference's Pinecone/Qdrant wrappers, qa_retrieval.py:237-501);
+        # None → the parquet-native Spark table below
+        self.backend = backend
         self._df: DataFrame = spark.createDataFrame([], _SCHEMA)
 
     @property
@@ -99,8 +104,23 @@ class EpisodicMemory:
 
         The single query vector is a one-row broadcast against the (arbitrarily
         large) record table — the knn_brute_force plan with an external query
-        (TakeOrderedAndProject, no shuffle of the big side)."""
+        (TakeOrderedAndProject, no shuffle of the big side). With an external
+        backend, the top-1 query goes to it instead (same gate)."""
         [qvec] = self.embedder([intent or ""])
+        if self.backend is not None:
+            hits = self.backend.query(qvec, top_k=1)
+            if not hits or hits[0].score < self.similarity_threshold:
+                return None
+            h = hits[0]
+            return MemoryHit(
+                record_id=h.record_id,
+                intent=h.metadata.get("intent", ""),
+                plan=h.metadata.get("plan") or None,
+                data_model=h.metadata.get("data_model") or None,
+                code=h.metadata.get("code") or None,
+                rank=int(h.metadata.get("rank", 0)),
+                score=float(h.score),
+            )
         q = self.spark.createDataFrame(
             [(qvec,)], StructType([StructField("_q", ArrayType(FloatType()))])
         )
@@ -142,6 +162,25 @@ class EpisodicMemory:
         if rank < self.min_rank:
             return False
         [vec] = self.embedder([intent or ""])
+        if self.backend is not None:
+            # the reference's strong-match branch (qa_retrieval.py:191-202):
+            # a >= 0.94 neighbour is replaced only by a HIGHER rank (upsert
+            # new + delete old), otherwise the write is dropped
+            meta = {
+                "intent": intent,
+                "plan": plan or "",
+                "data_model": data_model or "",
+                "code": code or "",
+                "rank": int(rank),
+            }
+            hits = self.backend.query(vec, top_k=1)
+            if hits and hits[0].score >= STRONG_MATCH:
+                if int(rank) > int(hits[0].metadata.get("rank", 0)):
+                    self.backend.upsert(record_id, vec, meta)
+                    self.backend.delete(hits[0].record_id)
+            else:
+                self.backend.upsert(record_id, vec, meta)
+            return True
         new = self.spark.createDataFrame(
             [
                 (

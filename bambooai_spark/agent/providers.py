@@ -8,6 +8,11 @@ formats the reference dispatches to:
 - ``openai_adapter`` — the public OpenAI chat-completions JSON contract
   (the wire format groq/deepseek/openrouter/vllm in the reference's model
   registry also emulate: ``models/openai_models.py`` and siblings);
+- ``openai_compatible_adapter`` + the named family
+  (``deepseek/groq/mistral/openrouter/vllm/local_adapter``) — one
+  base-URL/key-env parameterization covering every OpenAI-wire variant
+  the reference registers (``models/{deepseek,groq,mistral,openrouter,
+  vllm,local}_models.py``);
 - ``anthropic_adapter`` — the public Anthropic Messages contract
   (top-level ``system``, content-block list, base64 image source —
   reference ``models/anthropic_models.py:33-56`` routes through the same
@@ -150,6 +155,138 @@ def ollama_adapter(
         return parse_response(send(build_request(model, system, user)))
 
     return llm
+
+
+# ---- OpenAI-compatible provider family ------------------------------------
+# The reference's deepseek/groq/mistral/openrouter/vllm registries
+# (models/{deepseek,groq,mistral,openrouter,vllm}_models.py) all speak the
+# OpenAI chat-completions wire with a different base URL + key env var —
+# one parameterized factory covers the family.
+
+
+def openai_compatible_adapter(
+    base_url: str,
+    *,
+    model: str,
+    api_key_env: str | None = None,
+    api_key: str | None = None,
+    extra_headers: dict[str, str] | None = None,
+    transport: Transport | None = None,
+    timeout: float = 120.0,
+):
+    """→ an engine LLM callable for ANY OpenAI-wire endpoint.
+
+    ``api_key`` wins over ``api_key_env``; with neither, no Authorization
+    header is sent (self-hosted endpoints). ``extra_headers`` rides along
+    for providers wanting attribution headers (e.g. openrouter)."""
+
+    def _transport(body: dict) -> dict:
+        import urllib.request  # noqa: PLC0415
+
+        headers = {"Content-Type": "application/json"}
+        key = api_key
+        if key is None and api_key_env:
+            key = os.environ.get(api_key_env)
+            if not key:
+                raise RuntimeError(f"{api_key_env} is not set")
+        if key:
+            headers["Authorization"] = f"Bearer {key}"
+        headers.update(extra_headers or {})
+        req = urllib.request.Request(
+            base_url,
+            data=json.dumps(body).encode("utf-8"),
+            headers=headers,
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return json.loads(r.read().decode("utf-8"))
+
+    send = transport or _transport
+
+    def llm(system: str, user) -> str:
+        return parse_response(send(build_request(model, system, user)))
+
+    return llm
+
+
+def deepseek_adapter(model: str = "deepseek-chat", **kw):
+    """DeepSeek (reference models/deepseek_models.py:12-19 — OpenAI client
+    pointed at api.deepseek.com with DEEPSEEK_API_KEY)."""
+    return openai_compatible_adapter(
+        os.environ.get(
+            "DEEPSEEK_BASE_URL", "https://api.deepseek.com/chat/completions"
+        ),
+        model=model,
+        api_key_env="DEEPSEEK_API_KEY",
+        **kw,
+    )
+
+
+def groq_adapter(model: str = "llama-3.3-70b-versatile", **kw):
+    """Groq (reference models/groq_models.py:11-16 — GROQ_API_KEY; Groq's
+    public OpenAI-compatible endpoint)."""
+    return openai_compatible_adapter(
+        os.environ.get(
+            "GROQ_BASE_URL",
+            "https://api.groq.com/openai/v1/chat/completions",
+        ),
+        model=model,
+        api_key_env="GROQ_API_KEY",
+        **kw,
+    )
+
+
+def mistral_adapter(model: str = "mistral-large-latest", **kw):
+    """Mistral (reference models/mistral_models.py:7-12 — MISTRAL_API_KEY;
+    Mistral's public chat-completions endpoint is OpenAI-shaped)."""
+    return openai_compatible_adapter(
+        os.environ.get(
+            "MISTRAL_BASE_URL", "https://api.mistral.ai/v1/chat/completions"
+        ),
+        model=model,
+        api_key_env="MISTRAL_API_KEY",
+        **kw,
+    )
+
+
+def openrouter_adapter(model: str = "openrouter/auto", **kw):
+    """OpenRouter (reference models/openrouter_models.py:12-18 —
+    OPENROUTER_API_KEY against openrouter.ai/api/v1)."""
+    return openai_compatible_adapter(
+        os.environ.get(
+            "OPENROUTER_BASE_URL",
+            "https://openrouter.ai/api/v1/chat/completions",
+        ),
+        model=model,
+        api_key_env="OPENROUTER_API_KEY",
+        **kw,
+    )
+
+
+def vllm_adapter(model: str = "default", **kw):
+    """vLLM server (reference models/vllm_models.py:12-22 — localhost:8000
+    or the REMOTE_VLLM host, dummy key 'EMPTY')."""
+    return openai_compatible_adapter(
+        os.environ.get(
+            "REMOTE_VLLM", "http://localhost:8000/v1/chat/completions"
+        ),
+        model=model,
+        api_key="EMPTY",
+        **kw,
+    )
+
+
+def local_adapter(model: str = "local", **kw):
+    """Self-hosted OpenAI-compatible endpoint, no key (the Spark-side
+    substitution for the reference's in-process transformers pipeline,
+    models/local_models.py — llama.cpp/tgi/vllm all serve this wire)."""
+    return openai_compatible_adapter(
+        os.environ.get(
+            "LOCAL_LLM_BASE_URL",
+            "http://localhost:8080/v1/chat/completions",
+        ),
+        model=model,
+        **kw,
+    )
 
 
 # ---- Anthropic Messages contract -----------------------------------------

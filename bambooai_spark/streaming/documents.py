@@ -67,3 +67,60 @@ def stream_ingest_documents(docs_stream: DataFrame) -> DataFrame:
     """Streaming twin — the same expression; named separately so call
     sites document intent."""
     return ingest_documents(docs_stream)
+
+
+def stream_ingest_to_corpus(
+    docs_stream: DataFrame,
+    path: str,
+    *,
+    partition_by: tuple[str, ...] = ("lang",),
+    token_col: str | None = "n_words",
+    max_records_per_file: int | None = 100_000,
+    available_now: bool = True,
+):
+    """The COMPLETE streaming pipeline in one sink:
+    ingest → quality gate → PII scrub → exact dedup → curated corpus.
+
+    ``foreachBatch`` hands each micro-batch over as a normal DataFrame;
+    the batch runs the stateless ingest projection, drops gated-out
+    documents, and flows through :func:`operators.writer.append_corpus` —
+    whose fingerprint-ledger anti-join dedups the batch against EVERYTHING
+    already stored (earlier batches included) and delta-merges the
+    manifest in O(batch). Re-delivered micro-batches are therefore
+    idempotent: replayed documents die on the ledger, the corpus is
+    append-only, and ``foreachBatch`` + idempotent-merge is the canonical
+    exactly-once streaming-sink recipe (same stance as
+    streaming/memory.py's MERGE).
+
+    Returns the final manifest DataFrame (None if every batch was empty
+    or fully gated/deduped away).
+    """
+    from bambooai_spark.operators.writer import append_corpus  # noqa: PLC0415
+
+    holder: dict = {"manifest": None}
+
+    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+        ingested = (
+            ingest_documents(batch_df)
+            .filter(F.col("keep"))
+            .drop("keep", "reason")
+        )
+        if ingested.isEmpty():
+            return
+        holder["manifest"] = append_corpus(
+            ingested,
+            path,
+            partition_by=partition_by,
+            id_col="doc_id",
+            text_col="text",
+            max_records_per_file=max_records_per_file,
+            token_col=token_col,
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_append)
+        .trigger(availableNow=available_now)
+        .start()
+    )
+    q.awaitTermination()
+    return holder["manifest"]

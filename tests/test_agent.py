@@ -1022,6 +1022,116 @@ def test_ollama_adapter_speaks_openai_contract():
     assert sent[0]["messages"][0]["role"] == "system"
 
 
+# Two distinct recorded response fixtures for the OpenAI-wire family —
+# providers differ in metadata fields but share the choices contract.
+DEEPSEEK_FIXTURE = {
+    "id": "ds-fixture",
+    "object": "chat.completion",
+    "model": "deepseek-chat",
+    "choices": [
+        {
+            "index": 0,
+            "message": {"role": "assistant", "content": "42 rows"},
+            "finish_reason": "stop",
+        }
+    ],
+    "usage": {
+        "prompt_tokens": 10,
+        "completion_tokens": 3,
+        "prompt_cache_hit_tokens": 0,  # deepseek-specific usage fields
+        "prompt_cache_miss_tokens": 10,
+    },
+}
+OPENROUTER_FIXTURE = {
+    "id": "gen-fixture",
+    "provider": "SomeUpstream",  # openrouter-specific passthrough field
+    "model": "openrouter/auto",
+    "object": "chat.completion",
+    "choices": [
+        {
+            "index": 0,
+            "message": {"role": "assistant", "content": "ok: routed"},
+            "finish_reason": "stop",
+            "native_finish_reason": "stop",
+        }
+    ],
+}
+
+
+def test_openai_compatible_family_wire_contract():
+    """Every reference OpenAI-wire variant (deepseek/groq/mistral/
+    openrouter/vllm/local, models/*_models.py) speaks the same
+    request/response contract through the parameterized factory — each
+    checked against a recorded fixture."""
+    from bambooai_spark.agent import providers as P
+
+    cases = [
+        (P.deepseek_adapter, "deepseek-chat", DEEPSEEK_FIXTURE, "42 rows"),
+        (P.groq_adapter, "llama-3.3-70b-versatile", OPENAI_FIXTURE,
+         "```python\ndf = df.limit(2)\n```"),
+        (P.mistral_adapter, "mistral-large-latest", DEEPSEEK_FIXTURE,
+         "42 rows"),
+        (P.openrouter_adapter, "openrouter/auto", OPENROUTER_FIXTURE,
+         "ok: routed"),
+        (P.vllm_adapter, "default", OPENAI_FIXTURE,
+         "```python\ndf = df.limit(2)\n```"),
+        (P.local_adapter, "local", OPENROUTER_FIXTURE, "ok: routed"),
+    ]
+    for factory, model, fixture, expect in cases:
+        sent = []
+        llm = factory(transport=lambda b, _s=sent, _f=fixture: _s.append(b) or _f)
+        assert llm("sys prompt", "user msg") == expect, factory.__name__
+        [body] = sent
+        assert body["model"] == model
+        assert body["messages"][0] == {"role": "system", "content": "sys prompt"}
+        assert body["messages"][1] == {"role": "user", "content": "user msg"}
+
+
+def test_openai_compatible_auth_header_policy(monkeypatch):
+    """Default-transport header policy: explicit api_key wins over the
+    env var; a missing required env var raises; keyless endpoints send no
+    Authorization; extra_headers ride along."""
+    import io
+    import json as _json
+    import urllib.request
+
+    from bambooai_spark.agent.providers import openai_compatible_adapter
+
+    seen = []
+
+    def fake_urlopen(req, timeout=0):
+        seen.append(req)
+        return io.BytesIO(_json.dumps(OPENAI_FIXTURE).encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+
+    openai_compatible_adapter(
+        "http://h/v1/chat/completions", model="m", api_key="sk-explicit",
+        api_key_env="NOPE_KEY", extra_headers={"X-Title": "bambooai"},
+    )("s", "u")
+    assert seen[-1].get_header("Authorization") == "Bearer sk-explicit"
+    assert seen[-1].get_header("X-title") == "bambooai"
+
+    monkeypatch.setenv("SOME_PROVIDER_KEY", "sk-env")
+    openai_compatible_adapter(
+        "http://h/v1/chat/completions", model="m",
+        api_key_env="SOME_PROVIDER_KEY",
+    )("s", "u")
+    assert seen[-1].get_header("Authorization") == "Bearer sk-env"
+
+    openai_compatible_adapter("http://h/v1/chat/completions", model="m")("s", "u")
+    assert seen[-1].get_header("Authorization") is None
+
+    monkeypatch.delenv("MISSING_KEY", raising=False)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="MISSING_KEY"):
+        openai_compatible_adapter(
+            "http://h/v1/chat/completions", model="m",
+            api_key_env="MISSING_KEY",
+        )("s", "u")
+
+
 def test_anthropic_adapter_drives_full_agent_loop(spark):
     """Provider-agnostic seam proof #2: the Anthropic wire shape drives
     the same orchestrator pipeline the OpenAI one does."""

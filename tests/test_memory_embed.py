@@ -75,3 +75,80 @@ def test_hash_embedder_stable_and_batch_invariant():
     b = e(["hello world"]) + e(["spark engine"])
     assert a == b  # batching never changes values
     assert e([""]) == [[0.0] * 16]  # empty text → zero vector (norm guard)
+
+
+class _FakeBackend:
+    """In-memory RetrievalBackend computing true cosine — stands in for a
+    user's existing Pinecone/Qdrant index behind the seam."""
+
+    def __init__(self):
+        self.store = {}  # id -> (vector, metadata)
+        self.calls = []
+
+    def query(self, vector, top_k=1):
+        import numpy as np
+
+        from bambooai_spark.agent.retrieval_backends import BackendMatch
+
+        self.calls.append("query")
+        q = np.asarray(vector, dtype=float)
+        scored = []
+        for rid, (v, meta) in self.store.items():
+            v = np.asarray(v, dtype=float)
+            denom = float(np.linalg.norm(q) * np.linalg.norm(v))
+            scored.append(
+                BackendMatch(rid, float(q @ v / denom) if denom else 0.0, meta)
+            )
+        scored.sort(key=lambda m: (-m.score, m.record_id))
+        return scored[:top_k]
+
+    def upsert(self, record_id, vector, metadata):
+        self.calls.append("upsert")
+        self.store[record_id] = (list(vector), dict(metadata))
+
+    def delete(self, record_id):
+        self.calls.append("delete")
+        self.store.pop(record_id, None)
+
+
+def test_episodic_memory_external_backend_seam(spark):
+    """EpisodicMemory drives an injected RetrievalBackend with the exact
+    reference semantics: retrieve gated at >= 0.80, writes rank-gated at
+    >= 6, and a >= 0.94 strong match replaced only by a HIGHER rank
+    (upsert new + delete old, qa_retrieval.py:191-202)."""
+    from bambooai_spark.agent.memory import EpisodicMemory
+    from bambooai_spark.agent.retrieval_backends import RetrievalBackend
+
+    be = _FakeBackend()
+    assert isinstance(be, RetrievalBackend)  # runtime-checkable protocol
+    mem = EpisodicMemory(spark, backend=be)
+
+    # rank gate: below 6 never reaches the backend
+    assert not mem.add("r0", "count orders per month", rank=3)
+    assert be.store == {}
+
+    assert mem.add("r1", "count orders per month", plan="p1", code="c1", rank=7)
+    assert set(be.store) == {"r1"}
+
+    # retrieve: identical intent → cosine 1.0 >= 0.80, full metadata back
+    hit = mem.retrieve("count orders per month")
+    assert hit is not None and hit.record_id == "r1"
+    assert hit.score >= 0.80 and hit.plan == "p1" and hit.code == "c1"
+    assert hit.rank == 7
+
+    # an unrelated intent falls below the 0.80 gate
+    assert mem.retrieve("boxplot of supplier balances by region") is None
+
+    # strong match (same intent → 1.0 >= 0.94) with LOWER rank: dropped
+    assert mem.add("r2", "count orders per month", rank=6)
+    assert set(be.store) == {"r1"}
+
+    # strong match with HIGHER rank: new upserted, old deleted
+    assert mem.add("r3", "count orders per month", plan="p3", rank=9)
+    assert set(be.store) == {"r3"}
+    hit2 = mem.retrieve("count orders per month")
+    assert hit2.record_id == "r3" and hit2.rank == 9 and hit2.plan == "p3"
+
+    # a genuinely different intent is inserted alongside
+    assert mem.add("r4", "boxplot of supplier balances by region", rank=6)
+    assert set(be.store) == {"r3", "r4"}

@@ -254,3 +254,68 @@ def test_stream_sliding_matches_batch(spark):
     assert g == w and len(g) > 0
     # every event contributes to window/slide = 4 windows
     assert sum(g.values()) == 4 * batch.count()
+
+
+def test_stream_ingest_to_corpus_idempotent_ledger_and_manifest(spark, tmp_path):
+    """Two overlapping micro-batches through the full streaming pipeline
+    (ingest → gate → scrub → ledger dedup → corpus append): cross-batch
+    duplicate texts die on the fingerprint ledger, the corpus holds each
+    surviving text exactly once, and the delta-merged manifest row counts
+    equal the stored partition counts."""
+    import json
+    import os
+
+    from bambooai_spark.streaming.documents import (
+        ingest_documents,
+        stream_ingest_to_corpus,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    # batch 1: docs 0-39; batch 2: docs 20-59 re-sent under NEW ids (the
+    # replayed 20-39 must dedup against batch 1 via the ledger)
+    src = str(tmp_path / "doc_parts")
+    b1 = docs.filter("doc_id < 40")
+    b2 = docs.filter("doc_id >= 20 AND doc_id < 60").withColumn(
+        "doc_id", F.col("doc_id") + 100_000
+    )
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "corpus")
+    manifest = stream_ingest_to_corpus(sdf, out)
+    assert manifest is not None
+
+    stored = spark.read.parquet(out)
+    # every stored text is unique (ledger dedup held across batches) and
+    # no replayed duplicate survived
+    assert stored.count() == stored.select("text").distinct().count()
+    want = (
+        ingest_documents(docs.filter("doc_id < 60"))
+        .filter("keep")
+        .select("text")
+        .distinct()
+        .count()
+    )
+    assert stored.count() == want
+    assert stored.filter("doc_id >= 100000").count() == stored.filter(
+        "doc_id >= 100000 AND doc_id < 100020 + 100000"
+    ).count()  # replays only for genuinely-new texts (40-59)
+
+    # manifest delta rows match the actual stored partitions
+    with open(os.path.join(out, "_corpus_manifest.json")) as fh:
+        parts = {
+            p["lang"]: p["n_rows"]
+            for p in json.load(fh)["partitions"]
+        }
+    got_parts = {
+        r["lang"]: r["n"]
+        for r in stored.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert parts == got_parts
