@@ -177,7 +177,12 @@ class EpisodicMemory:
             if hits and hits[0].score >= STRONG_MATCH:
                 if int(rank) > int(hits[0].metadata.get("rank", 0)):
                     self.backend.upsert(record_id, vec, meta)
-                    self.backend.delete(hits[0].record_id)
+                    # a repeat question re-derives the SAME record id
+                    # (orchestrator's deterministic mem-<md5(intent)>);
+                    # deleting it after the upsert would erase the record
+                    # just written — only a DIFFERENT old id is removed
+                    if hits[0].record_id != record_id:
+                        self.backend.delete(hits[0].record_id)
             else:
                 self.backend.upsert(record_id, vec, meta)
             return True

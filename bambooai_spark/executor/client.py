@@ -193,6 +193,15 @@ class RemoteSparkExecutor:
         generated_datasets_path: str | None = None,
         extra_vars: dict | None = None,
     ) -> ExecutionResult:
+        if extra_vars:
+            # aux tables live in the CALLER's session; shipping names
+            # without data would NameError server-side every round —
+            # refuse loudly instead of degrading into a retry loop
+            raise RuntimeError(
+                "extra_vars (auxiliary datasets) are not supported in "
+                "execution_mode='api' — upload them to the service and "
+                "use its /query aux flow instead"
+            )
         if spark is None and df is not None:
             spark = df.sparkSession
         if self.df_name is None and df is not None:

@@ -67,6 +67,7 @@ class BambooAI:
         rank_fn=None,
         execution_mode: str | None = None,
         executor_api_url: str | None = None,
+        executor_df_name: str | None = None,
     ):
         if df is None:
             raise ValueError("df is required (a pyspark.sql.DataFrame)")
@@ -115,9 +116,16 @@ class BambooAI:
                     "execution_mode='api' needs executor_api_url (or the "
                     "EXECUTOR_API_BASE_URL environment variable)"
                 )
+            # executor_df_name addresses a dataset ALREADY registered on
+            # the service (the reference web-app flow); otherwise the FULL
+            # frame uploads once, eagerly — before any sample-first probe
+            # could pin a limited frame as the server-side dataset. (df_id
+            # stays what it is elsewhere: a local display label.)
             remote_executor = RemoteSparkExecutor(
-                RemoteExecutorClient(url), df_name=df_id
+                RemoteExecutorClient(url), df_name=executor_df_name
             )
+            if executor_df_name is None:
+                remote_executor.ensure_uploaded(df)
         self._orch = AgentOrchestrator(
             self.spark,
             llm,

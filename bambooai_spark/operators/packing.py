@@ -60,14 +60,13 @@ def pack_sequences(
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_tok = est_bpe_tokens(text_col).alias("n_tok")
     base = df.select(F.col(id_col), *[F.col(c) for c in stream_cols], n_tok)
-    # stream key as a single string; NULL stream values get a sentinel so
-    # they form their own slice, matching Window.partitionBy's NULL group
-    skey = F.concat_ws(
-        "|",
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-            for c in stream_cols
-        ],
+    # stream key as a single string — JSON-encoded struct so the mapping
+    # is INJECTIVE: separator characters inside values cannot collide two
+    # distinct streams, and NULLs are kept as their own value
+    # (ignoreNullFields=false), matching Window.partitionBy's NULL group
+    skey = F.to_json(
+        F.struct(*[F.col(c) for c in stream_cols]),
+        {"ignoreNullFields": "false"},
     )
     part = (
         base.repartitionByRange(n, *stream_cols, id_col)
@@ -95,7 +94,13 @@ def pack_sequences(
         # an all-NULL-token slice (NULL text) sums to None — adds nothing
         acc[g] = acc.get(g, 0) + (row["t"] or 0)
     omap = F.create_map(*entries)
-    wloc = Window.partitionBy("_pid", "_skey").orderBy(id_col)
+    # explicit ROWS frame: the default RANGE frame would lump duplicate
+    # id values into one peer group and produce overlapping offsets
+    wloc = (
+        Window.partitionBy("_pid", "_skey")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     # exclusive prefix = inclusive local cumsum − own n_tok + bridge;
     # coalesce handles NULL n_tok rows (inclusive sum skips NULLs, and a
     # leading all-NULL run makes the inclusive sum itself NULL)
@@ -201,7 +206,12 @@ def mixture_sample(
             F.lit(None).cast("long").alias("cum_tokens"),
         ).limit(0)
     omap = F.create_map(*entries)
-    wloc = Window.partitionBy("_pid", group_col).orderBy("_key", id_col)
+    # ROWS frame for the same duplicate-key safety as pack_sequences
+    wloc = (
+        Window.partitionBy("_pid", group_col)
+        .orderBy("_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = (
         F.sum("n_tokens").over(wloc)
         + omap[F.concat_ws("|", F.col("_pid"), F.col(group_col))]

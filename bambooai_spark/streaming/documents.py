@@ -92,8 +92,12 @@ def stream_ingest_to_corpus(
     exactly-once streaming-sink recipe (same stance as
     streaming/memory.py's MERGE).
 
-    Returns the final manifest DataFrame (None if every batch was empty
-    or fully gated/deduped away).
+    With ``available_now=True`` (default) the call drains the source,
+    awaits termination, and returns the final manifest DataFrame (None if
+    every batch was empty or fully gated/deduped away). With
+    ``available_now=False`` the query runs continuously — the call
+    returns the live ``StreamingQuery`` handle immediately (awaiting a
+    continuous query would block forever); read the manifest from disk.
     """
     from bambooai_spark.operators.writer import append_corpus  # noqa: PLC0415
 
@@ -117,10 +121,9 @@ def stream_ingest_to_corpus(
             token_col=token_col,
         )
 
-    q = (
-        docs_stream.writeStream.foreachBatch(_append)
-        .trigger(availableNow=available_now)
-        .start()
-    )
+    writer = docs_stream.writeStream.foreachBatch(_append)
+    if not available_now:
+        return writer.start()
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return holder["manifest"]

@@ -152,3 +152,17 @@ def test_episodic_memory_external_backend_seam(spark):
     # a genuinely different intent is inserted alongside
     assert mem.add("r4", "boxplot of supplier balances by region", rank=6)
     assert set(be.store) == {"r3", "r4"}
+
+
+def test_episodic_memory_backend_same_id_reupsert_survives(spark):
+    """A repeat question re-derives the SAME deterministic record id; the
+    strong-match replace must not delete the record it just upserted."""
+    from bambooai_spark.agent.memory import EpisodicMemory
+
+    be = _FakeBackend()
+    mem = EpisodicMemory(spark, backend=be)
+    assert mem.add("mem-x", "count orders per month", plan="v1", rank=7)
+    assert mem.add("mem-x", "count orders per month", plan="v2", rank=9)
+    assert set(be.store) == {"mem-x"}  # not erased by self-delete
+    hit = mem.retrieve("count orders per month")
+    assert hit is not None and hit.plan == "v2" and hit.rank == 9

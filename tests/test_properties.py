@@ -254,3 +254,51 @@ def test_operators_handle_null_text(spark):
     qf = quality_filter("text")
     kept = docs.select("doc_id", qf["keep"].alias("k")).where("k").collect()
     assert [r["doc_id"] for r in kept] == [2]
+
+
+def test_pack_sequences_duplicate_ids_and_separator_values(spark):
+    """Offsets stay a valid non-overlapping prefix sum when id values
+    repeat (explicit ROWS frame — the default RANGE frame would lump tied
+    ids into one peer group), and multi-column streams whose values embed
+    the old '|' separator stay distinct (JSON-injective stream key)."""
+    from bambooai_spark.operators.packing import pack_sequences
+
+    rows = [
+        # duplicate id 5 inside one stream
+        (5, "en", "web", "x" * 40),
+        (5, "en", "web", "x" * 80),
+        (1, "en", "web", "x" * 20),
+        # adversarial: ('a|b', 'c') vs ('a', 'b|c') must NOT merge
+        (1, "a|b", "c", "y" * 400),
+        (1, "a", "b|c", "z" * 400),
+        (2, "a|b", "c", "y" * 40),
+        (2, "a", "b|c", "z" * 40),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    out = pack_sequences(
+        df, "doc_id", "text", budget=16, stream_cols=("lang", "source"),
+        num_partitions=4,
+    ).collect()
+
+    by_stream: dict = {}
+    for r in out:
+        by_stream.setdefault((r["lang"], r["source"]), []).append(r)
+    assert set(by_stream) == {
+        ("en", "web"), ("a|b", "c"), ("a", "b|c")
+    }
+    # each stream's offsets form an exact exclusive prefix sum: sorted
+    # spans tile [0, total) with no gap or overlap
+    for rows_ in by_stream.values():
+        spans = sorted(
+            (r["chunk_id"] * 16 + r["chunk_offset"], r["n_tok"]) for r in rows_
+        )
+        pos = 0
+        for off, n in spans:
+            assert off == pos
+            pos += n
+    # the two '|'-adversarial streams kept independent sums (each starts
+    # at 0 with its own 400-token doc first by id order)
+    assert len(by_stream[("a|b", "c")]) == 2
+    assert len(by_stream[("a", "b|c")]) == 2

@@ -304,9 +304,9 @@ def test_stream_ingest_to_corpus_idempotent_ledger_and_manifest(spark, tmp_path)
         .count()
     )
     assert stored.count() == want
-    assert stored.filter("doc_id >= 100000").count() == stored.filter(
-        "doc_id >= 100000 AND doc_id < 100020 + 100000"
-    ).count()  # replays only for genuinely-new texts (40-59)
+    # no replayed duplicate (original ids 20-39, re-sent as 100020-100039)
+    # survived the ledger; batch-2 survivors are only the new texts 40-59
+    assert stored.filter("doc_id >= 100020 AND doc_id < 100040").count() == 0
 
     # manifest delta rows match the actual stored partitions
     with open(os.path.join(out, "_corpus_manifest.json")) as fh:
