@@ -240,6 +240,19 @@ def _add_agent_routes(
     """The conversational lifecycle entry point (reference
     web_app/app.py:927-971 /query + :976-1001 /submit_rank)."""
     import re
+
+    @app.get("/")
+    def index():
+        # single-file UI over the JSON/streaming contracts (the reference
+        # serves templates/index.html + static/; this implementation is
+        # original and dependency-free — see webui/index.html)
+        from flask import Response  # noqa: PLC0415
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "webui", "index.html"
+        )
+        with open(path, encoding="utf-8") as fh:
+            return Response(fh.read(), mimetype="text/html")
     import threading
     from queue import Empty
 

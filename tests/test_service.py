@@ -875,3 +875,28 @@ def test_concurrent_queries_different_threads_stay_segregated(
         assert events[-1]["rank_data"]["ok"] is True
         [res] = [e for e in events if e.get("type") == "result"]
         assert len(res["stdout"].splitlines()) == 12
+
+
+def test_index_page_served_in_agent_mode(spark, tmp_path):
+    """GET / serves the single-file UI when the conversational surface is
+    configured (reference web_app index.html), and stays absent on a bare
+    executor service."""
+    agent_app = create_app(
+        spark,
+        upload_dir=str(tmp_path / "up"),
+        llm=lambda s, u: "ok",
+        agent_store_dir=str(tmp_path / "threads"),
+    )
+    agent_app.config["TESTING"] = True
+    r = agent_app.test_client().get("/")
+    assert r.status_code == 200
+    html = r.get_data(as_text=True)
+    assert "text/html" in r.content_type
+    # wired to the real contracts, not a placeholder
+    for endpoint in ("/query", "/upload_dataset", "/get_threads",
+                     "/submit_rank", "/submit_feedback", "/load_thread"):
+        assert endpoint in html, endpoint
+
+    bare = create_app(spark, upload_dir=str(tmp_path / "up2"))
+    bare.config["TESTING"] = True
+    assert bare.test_client().get("/").status_code == 404
