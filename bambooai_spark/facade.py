@@ -105,6 +105,21 @@ class BambooAI:
         )
         remote_executor = None
         if self.execution_mode == "api":
+            if auxiliary_datasets:
+                # fail at construction, not after a turn's worth of LLM
+                # calls: aux tables live client-side and cannot reach the
+                # remote sandbox (executor/client.py refuses extra_vars)
+                raise ValueError(
+                    "auxiliary_datasets are not supported in "
+                    "execution_mode='api' — upload them to the executor "
+                    "service and use its /query aux flow instead"
+                )
+            if sample_first:
+                # sample-first is a LOCAL probe optimization; remotely the
+                # probe would execute against the full server-side dataset
+                # and the promote run would re-apply the same mutation to
+                # the already-mutated frame
+                sample_first = None
             from bambooai_spark.executor.client import (  # noqa: PLC0415
                 RemoteExecutorClient,
                 RemoteSparkExecutor,

@@ -186,13 +186,16 @@ def run_to_memory(
     aggregations (hourly/session windows), "append" (default) for
     row-level streams like the watermark dedup. Returns the
     StreamingQuery after it stops."""
-    q = (
+    writer = (
         df.writeStream.format("memory")
         .queryName(query_name)
         .outputMode(output_mode)
-        .trigger(availableNow=available_now)
-        .start()
     )
+    if not available_now:
+        # continuous trigger: return the LIVE handle — trigger() rejects
+        # availableNow=False, and awaiting a continuous query never returns
+        return writer.start()
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return q
 

@@ -39,8 +39,10 @@ def stream_upsert(
 ) -> DataFrame:
     """Fold a (bounded) stream of records into the memory table with the
     batch MERGE per micro-batch. Returns the post-merge table after the
-    stream drains. ``localCheckpoint`` truncates the per-batch lineage the
-    same way the iterative operators do."""
+    stream drains (``available_now=False`` instead returns the live
+    StreamingQuery — stop it, then read the merge target).
+    ``localCheckpoint`` truncates the per-batch lineage the same way the
+    iterative operators do."""
     holder = {"df": initial.localCheckpoint(eager=True)}
 
     def _merge(batch_df: DataFrame, _batch_id: int) -> None:
@@ -56,10 +58,12 @@ def stream_upsert(
             min_rank=min_rank,
         ).localCheckpoint(eager=True)
 
-    q = (
-        stream.writeStream.foreachBatch(_merge)
-        .trigger(availableNow=available_now)
-        .start()
-    )
+    writer = stream.writeStream.foreachBatch(_merge)
+    if not available_now:
+        # continuous trigger: hand back the live query — the fold result
+        # is only meaningful once the caller stops the stream; trigger()
+        # rejects availableNow=False and awaiting would block forever
+        return writer.start()
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     return holder["df"]

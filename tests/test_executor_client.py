@@ -152,3 +152,29 @@ def test_facade_api_mode_end_to_end_oracle_exact(spark, tmp_path, live_service):
         user_code="df = df.groupBy(F.col('no_such_col')).count()"
     )
     assert not res3.ok and res3.df is not None
+
+
+def test_facade_api_mode_guards(spark, tmp_path, live_service):
+    """api mode rejects auxiliary_datasets at CONSTRUCTION (the remote
+    sandbox can't see client-side aux tables) and disables the local
+    sample-first probe (remotely it would double-apply mutations)."""
+    from bambooai_spark import BambooAI
+
+    with pytest.raises(ValueError, match="auxiliary_datasets"):
+        BambooAI(
+            load_table(spark, SF_DIR, "orders"),
+            llm=lambda s, u: "ok",
+            auxiliary_datasets=[str(tmp_path / "aux.csv")],
+            execution_mode="api",
+            executor_api_url=live_service,
+        )
+
+    bamboo = BambooAI(
+        load_table(spark, SF_DIR, "orders"),
+        llm=lambda s, u: "ok",
+        sample_first=100,
+        execution_mode="api",
+        executor_api_url=live_service,
+        store_dir=str(tmp_path / "threads"),
+    )
+    assert bamboo._orch.sample_first is None

@@ -319,3 +319,43 @@ def test_stream_ingest_to_corpus_idempotent_ledger_and_manifest(spark, tmp_path)
         for r in stored.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert parts == got_parts
+
+
+def test_continuous_trigger_returns_live_query_handles(spark, tmp_path):
+    """available_now=False must hand back the live StreamingQuery for
+    every sink (trigger(availableNow=False) is a pyspark ValueError, and
+    awaiting a continuous query blocks forever) — the pattern fixed for
+    stream_ingest_to_corpus applies to the memory-table and upsert sinks
+    too."""
+    from bambooai_spark.streaming.events import run_to_memory
+    from bambooai_spark.streaming.memory import stream_upsert
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "value")
+    src = str(tmp_path / "cont_src")
+    ev.limit(50).coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema(ev.schema).parquet(src)
+
+    q = run_to_memory(sdf, "cont_probe", available_now=False)
+    try:
+        assert q.isActive
+    finally:
+        q.stop()
+
+    init = spark.createDataFrame(
+        [(1, [1.0, 0.0], 7)], "record_id long, v array<double>, rank long"
+    )
+    q2 = stream_upsert(
+        spark.readStream.schema(ev.schema).parquet(src).selectExpr(
+            "user_id AS record_id", "array(value, 0.0) AS v",
+            "CAST(8 AS LONG) AS rank"
+        ),
+        init,
+        id_col="record_id",
+        vec_col="v",
+        rank_col="rank",
+        available_now=False,
+    )
+    try:
+        assert hasattr(q2, "isActive") and q2.isActive
+    finally:
+        q2.stop()
