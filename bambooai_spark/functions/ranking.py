@@ -73,3 +73,114 @@ def distributed_dense_rank(
     )
     local.unpersist()
     return out
+
+
+def grouped_top_k(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str | Column],
+    k: int,
+    *,
+    out_col: str = "rn",
+) -> DataFrame:
+    """Exact ``row_number() OVER (PARTITION BY groups ORDER BY order) <= k``
+    that stays parallel when the group count is SMALL (the 25-brand /
+    5-language case, where ``Window.partitionBy(group)`` collapses to one
+    task per group regardless of cluster size).
+
+    Two-phase: a local window per (input partition, group) keeps each
+    partition's own top-k — the global top-k is always a subset of the
+    union of per-partition top-ks — then the final window ranks only the
+    ≤ ``num_partitions · k`` survivors per group. The second exchange
+    moves a bounded candidate set, never the relation.
+
+    Adds ``out_col`` (int, 1-based) and returns only rows with
+    ``out_col <= k``.
+    """
+    local = Window.partitionBy(
+        "_pid", *group_cols
+    ).orderBy(*order_cols)
+    survivors = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrn", F.row_number().over(local))
+        .filter(F.col("_lrn") <= k)
+        .drop("_lrn")
+    )
+    final = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        survivors.drop("_pid")
+        .withColumn(out_col, F.row_number().over(final))
+        .filter(F.col(out_col) <= k)
+    )
+
+
+def grouped_ntile(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str | Column],
+    n_buckets: int,
+    *,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(n) OVER (PARTITION BY groups ORDER BY order)`` that
+    stays parallel on few, giant groups — the case where the plain window
+    is one task per group.
+
+    NTILE needs each row's global rank within its group plus the group
+    total; both come from the two-phase bridge (range-partition on
+    (group, order) → local row_number → per-(partition, group) count
+    prefix on the driver, ~#partitions rows). The bucket is then pure
+    arithmetic: with n rows and k buckets the first ``n mod k`` buckets
+    take ``n div k + 1`` rows (standard SQL NTILE).
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    skey = F.to_json(
+        F.struct(*[F.col(c) for c in group_cols]),
+        {"ignoreNullFields": "false"},
+    )
+    part = (
+        df.repartitionByRange(n, *group_cols, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_skey", skey)
+        .persist()
+    )
+    totals = part.groupBy("_pid", "_skey").agg(
+        F.count(F.lit(1)).alias("c")
+    ).collect()
+    if not totals:
+        part.unpersist()
+        return df.withColumn(out_col, F.lit(None).cast("int")).limit(0)
+    acc: dict[str, int] = {}
+    entries: list[Column] = []
+    for row in sorted(totals, key=lambda r: (r["_skey"], r["_pid"])):
+        g = row["_skey"]
+        entries += [F.lit(f"{row['_pid']}|{g}"), F.lit(acc.get(g, 0))]
+        acc[g] = acc.get(g, 0) + row["c"]
+    omap = F.create_map(*entries)
+    tmap = F.create_map(*[F.lit(x) for g in sorted(acc) for x in (g, acc[g])])
+    wloc = Window.partitionBy("_pid", "_skey").orderBy(*order_cols)
+    rn = (
+        F.row_number().over(wloc)
+        + omap[F.concat_ws("|", F.col("_pid"), F.col("_skey"))]
+    ).cast("long")
+    ntot = tmap[F.col("_skey")].cast("long")
+    k = F.lit(int(n_buckets)).cast("long")
+    q = F.floor(ntot / k).cast("long")
+    r = ntot % k
+    big = (q + F.lit(1)) * r  # rows covered by the size-(q+1) buckets
+    bucket = F.when(
+        rn <= big, F.floor((rn - 1) / (q + 1)) + 1
+    ).otherwise(
+        # q == 0 makes this branch unreachable (big == ntot); greatest()
+        # keeps the divisor legal under ANSI anyway
+        r + F.floor((rn - big - 1) / F.greatest(q, F.lit(1))) + 1
+    ).cast("int")
+    out = (
+        part.withColumn(out_col, bucket)
+        .drop("_pid", "_skey")
+        .localCheckpoint(eager=True)
+    )
+    part.unpersist()
+    return out

@@ -1213,16 +1213,25 @@ def dense_rank_users(spark, sf_dir):
           FROM events)
     WHERE rn = 1
     """,
-    doc="idxmax row lookup (reference yaml:238) — row_number with explicit "
-    "tie-break instead of pandas' positional idxmax.",
+    doc="idxmax row lookup (reference yaml:238) — expressed as a struct-max "
+    "AGGREGATION (map-side partial combine), not a per-type window: "
+    "~5 event types means Window.partitionBy(event_type) is 5 tasks at "
+    "any scale, while max(struct(value, -id)) reduces inside every scan "
+    "partition first. Tie-break identical to ORDER BY value DESC, id "
+    "(struct comparison: larger value wins, then smaller id; NULL values "
+    "sort first so a non-NULL max always beats them).",
 )
 def argmax_events(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
-    return (
-        ev.select("event_type", "event_id", "value", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    best = ev.groupBy("event_type").agg(
+        F.max(
+            F.struct(F.col("value"), (-F.col("event_id")).alias("_neg"))
+        ).alias("_b")
+    )
+    return best.select(
+        "event_type",
+        (-F.col("_b._neg")).cast("long").alias("event_id"),
+        F.col("_b.value").alias("value"),
     )
 
 
@@ -2850,20 +2859,22 @@ def salted_agg_events(spark, sf_dir):
                                 ORDER BY p_retailprice DESC, p_partkey) AS rk
       FROM part) WHERE rk <= 3
     """,
-    doc="Per-group top-k (pandas groupby().head(k) analog): row_number "
-    "window partitioned by the group key — shuffles once on p_brand, no "
-    "global sort; deterministic tie-break on the primary key.",
+    doc="Per-group top-k (pandas groupby().head(k) analog), TWO-PHASE "
+    "(functions/ranking.py grouped_top_k): 25 brands means a plain "
+    "Window.partitionBy(p_brand) is 25 tasks at any scale — instead each "
+    "input partition keeps its local top-3 per brand, and the final "
+    "per-brand window ranks only the bounded candidate union.",
 )
 def top_parts_per_brand(spark, sf_dir):
+    from bambooai_spark.functions.ranking import grouped_top_k
+
     p = _t(spark, sf_dir, "part")
-    w = Window.partitionBy("p_brand").orderBy(
-        F.col("p_retailprice").desc(), F.col("p_partkey")
-    )
-    return (
-        p.select(
-            "p_brand", "p_partkey", "p_retailprice",
-            F.row_number().over(w).alias("rk"),
-        ).filter(F.col("rk") <= 3)
+    return grouped_top_k(
+        p.select("p_brand", "p_partkey", "p_retailprice"),
+        ["p_brand"],
+        [F.col("p_retailprice").desc(), F.col("p_partkey")],
+        3,
+        out_col="rk",
     )
 
 
@@ -2904,18 +2915,24 @@ def pivot_orders(spark, sf_dir):
            AS balance_quartile
     FROM customer
     """,
-    doc="Quantile binning (pandas qcut analog): NTILE window per market "
-    "segment — partitioned by segment so no global sort; within-segment "
-    "sort is the unavoidable cost of exact quantile assignment (approx "
-    "percentile bins are the scale path when segments are huge).",
+    doc="Quantile binning (pandas qcut analog), TWO-PHASE (functions/"
+    "ranking.py grouped_ntile): 5 market segments means a plain NTILE "
+    "window is 5 tasks at any scale — instead the global within-segment "
+    "rank comes from the range-partition + count-prefix bridge and the "
+    "bucket is pure arithmetic on (rank, segment total). Exact standard-"
+    "SQL NTILE semantics (first n mod k buckets one row larger).",
 )
 def ntile_customers(spark, sf_dir):
+    from bambooai_spark.functions.ranking import grouped_ntile
+
     c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey", "c_mktsegment", "c_acctbal",
-        F.ntile(4).over(w).alias("balance_quartile"),
-    )
+    return grouped_ntile(
+        c.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        ["c_mktsegment"],
+        ["c_acctbal", "c_custkey"],
+        4,
+        out_col="balance_quartile",
+    ).select("c_custkey", "c_mktsegment", "c_acctbal", "balance_quartile")
 
 
 @spec(
@@ -2951,19 +2968,23 @@ def sample_docs_det(spark, sf_dir):
     doc="Stratified deterministic sample: top-5 docs per language by "
     "content-addressed hash rank — every stratum is represented "
     "regardless of its share of the corpus, and the pick is reproducible "
-    "across engines and cluster sizes (no rand()). One shuffle on the "
-    "stratum key; rank+filter, no global sort.",
+    "across engines and cluster sizes (no rand()). TWO-PHASE "
+    "(functions/ranking.py grouped_top_k): ~5 languages would make a "
+    "plain per-lang window 5 tasks at any scale; local top-5 per input "
+    "partition first, then a bounded-candidate final rank.",
 )
 def stratified_sample_docs(spark, sf_dir):
+    from bambooai_spark.functions.ranking import grouped_top_k
+
     d = _t(spark, sf_dir, "documents")
     fp = F.md5(F.col("doc_id").cast("string").cast("binary"))
-    w = Window.partitionBy("lang").orderBy(fp, "doc_id")
-    return (
-        d.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") <= 5)
-        .drop("rn")
-        .select("lang", "doc_id", "n_chars")
-    )
+    return grouped_top_k(
+        d.select("lang", "doc_id", "n_chars"),
+        ["lang"],
+        [fp, "doc_id"],
+        5,
+        out_col="rn",
+    ).select("lang", "doc_id", "n_chars")
 
 
 @spec(

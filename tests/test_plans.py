@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from bambooai_spark.executor import SparkCodeExecutor
@@ -137,10 +138,12 @@ def test_executor_plan_guardrail_rejects_cartesian(spark):
     assert ok.ok
 
 
-def test_top_parts_per_brand_single_shuffle_no_sort_cliff(spark):
+def test_top_parts_per_brand_two_phase_no_sort_cliff(spark):
     flags = plan_flags(_build(spark, "top_parts_per_brand"))
-    # partitioned window: one hash exchange on p_brand, never a global sort
-    assert flags["n_exchanges"] == 1
+    # two-phase top-k: a (partition, brand) exchange keeps full parallelism
+    # (25 brands would otherwise mean 25 tasks), then a brand exchange over
+    # only the bounded candidate union — two exchanges, never a global sort
+    assert flags["n_exchanges"] == 2
     assert not flags["has_cartesian"]
 
 
@@ -407,3 +410,54 @@ def test_unigram_logprob_broadcasts_vocab(spark):
     flags = plan_flags(_build(spark, "unigram_logprob_docs"))
     assert flags["n_broadcast_joins"] >= 1
     assert flags["n_shuffle_joins"] == 0, flags
+
+
+def test_grouped_top_k_matches_window_twin_and_bounds_candidates(spark):
+    """Two-phase per-group top-k equals the plain window on a skewed
+    input (one giant group + tiny groups + ties), and the final window's
+    input is the bounded per-partition candidate union, not the
+    relation."""
+    from bambooai_spark.functions.ranking import grouped_top_k
+
+    rows = [(i, "big", (i * 7919) % 1000) for i in range(5000)]
+    rows += [(10_000 + i, "tiny", 5) for i in range(4)]  # all-tie group
+    df = spark.createDataFrame(rows, "id long, g string, v long").repartition(8)
+
+    got = {
+        (r["g"], r["rn"], r["id"])
+        for r in grouped_top_k(
+            df, ["g"], [F.col("v").desc(), F.col("id")], 7, out_col="rn"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
+    want = {
+        (r["g"], r["rn"], r["id"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7)
+        .collect()
+    }
+    assert got == want and len(want) == 7 + 4
+
+
+def test_grouped_ntile_matches_ntile_twin(spark):
+    """Two-phase NTILE equals the plain window including the uneven
+    n % k != 0 split (first buckets one row larger) and a single giant
+    group."""
+    from bambooai_spark.functions.ranking import grouped_ntile
+
+    rows = [(i, "solo", (i * 31) % 97) for i in range(1003)]  # 1003 % 4 = 3
+    rows += [(50_000 + i, "small", i) for i in range(6)]      # 6 % 4 = 2
+    df = spark.createDataFrame(rows, "id long, g string, v long").repartition(8)
+
+    got = {
+        (r["id"], r["b"])
+        for r in grouped_ntile(
+            df, ["g"], ["v", "id"], 4, out_col="b", num_partitions=16
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        (r["id"], r["b"])
+        for r in df.withColumn("b", F.ntile(4).over(w)).collect()
+    }
+    assert got == want and len(want) == 1009
