@@ -134,38 +134,27 @@ def grouped_ntile(
     arithmetic: with n rows and k buckets the first ``n mod k`` buckets
     take ``n div k + 1`` rows (standard SQL NTILE).
     """
+    from bambooai_spark.functions.twophase import (
+        grouped_prefix_bridge,
+        stream_key,
+    )
+
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    skey = F.to_json(
-        F.struct(*[F.col(c) for c in group_cols]),
-        {"ignoreNullFields": "false"},
-    )
     part = (
         df.repartitionByRange(n, *group_cols, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .withColumn("_skey", skey)
+        .withColumn("_skey", stream_key(group_cols))
         .persist()
     )
-    totals = part.groupBy("_pid", "_skey").agg(
-        F.count(F.lit(1)).alias("c")
-    ).collect()
-    if not totals:
+    bridge = grouped_prefix_bridge(part, F.count(F.lit(1)))
+    if bridge is None:
         part.unpersist()
         return df.withColumn(out_col, F.lit(None).cast("int")).limit(0)
-    acc: dict[str, int] = {}
-    entries: list[Column] = []
-    for row in sorted(totals, key=lambda r: (r["_skey"], r["_pid"])):
-        g = row["_skey"]
-        entries += [F.lit(f"{row['_pid']}|{g}"), F.lit(acc.get(g, 0))]
-        acc[g] = acc.get(g, 0) + row["c"]
-    omap = F.create_map(*entries)
-    tmap = F.create_map(*[F.lit(x) for g in sorted(acc) for x in (g, acc[g])])
+    offset, total = bridge
     wloc = Window.partitionBy("_pid", "_skey").orderBy(*order_cols)
-    rn = (
-        F.row_number().over(wloc)
-        + omap[F.concat_ws("|", F.col("_pid"), F.col("_skey"))]
-    ).cast("long")
-    ntot = tmap[F.col("_skey")].cast("long")
+    rn = (F.row_number().over(wloc) + offset).cast("long")
+    ntot = total.cast("long")
     k = F.lit(int(n_buckets)).cast("long")
     q = F.floor(ntot / k).cast("long")
     r = ntot % k

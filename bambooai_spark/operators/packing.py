@@ -56,28 +56,25 @@ def pack_sequences(
     per-slice totals bridges the partitions. Exclusive offset =
     inclusive cumsum − own count + bridge prefix.
     """
+    from bambooai_spark.functions.twophase import (  # noqa: PLC0415
+        grouped_prefix_bridge,
+        stream_key,
+    )
+
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_tok = est_bpe_tokens(text_col).alias("n_tok")
     base = df.select(F.col(id_col), *[F.col(c) for c in stream_cols], n_tok)
-    # stream key as a single string — JSON-encoded struct so the mapping
-    # is INJECTIVE: separator characters inside values cannot collide two
-    # distinct streams, and NULLs are kept as their own value
-    # (ignoreNullFields=false), matching Window.partitionBy's NULL group
-    skey = F.to_json(
-        F.struct(*[F.col(c) for c in stream_cols]),
-        {"ignoreNullFields": "false"},
-    )
     part = (
         base.repartitionByRange(n, *stream_cols, id_col)
         .withColumn("_pid", F.spark_partition_id())
-        .withColumn("_skey", skey)
+        .withColumn("_skey", stream_key(stream_cols))
         .persist()
     )
     # per-(partition, stream) totals: the bridge rows — range partitioning
     # keeps each stream's slices contiguous, so ~#partitions rows total
-    totals = part.groupBy("_pid", "_skey").agg(F.sum("n_tok").alias("t")).collect()
-    if not totals:
+    bridge = grouped_prefix_bridge(part, F.sum("n_tok"))
+    if bridge is None:
         part.unpersist()
         return base.select(
             id_col,
@@ -86,14 +83,7 @@ def pack_sequences(
             F.lit(0).cast("long").alias("chunk_id"),
             F.lit(0).cast("long").alias("chunk_offset"),
         ).limit(0)
-    acc: dict[str, int] = {}
-    entries: list[Column] = []
-    for row in sorted(totals, key=lambda r: (r["_skey"], r["_pid"])):
-        g = row["_skey"]
-        entries += [F.lit(f"{row['_pid']}|{g}"), F.lit(acc.get(g, 0))]
-        # an all-NULL-token slice (NULL text) sums to None — adds nothing
-        acc[g] = acc.get(g, 0) + (row["t"] or 0)
-    omap = F.create_map(*entries)
+    offset, _ = bridge
     # explicit ROWS frame: the default RANGE frame would lump duplicate
     # id values into one peer group and produce overlapping offsets
     wloc = (
@@ -107,7 +97,7 @@ def pack_sequences(
     off = (
         F.coalesce(F.sum("n_tok").over(wloc), F.lit(0).cast("long"))
         - F.coalesce(F.col("n_tok"), F.lit(0).cast("long"))
-        + omap[F.concat_ws("|", F.col("_pid"), F.col("_skey"))]
+        + offset
     ).cast("long")
     out = (
         part.withColumn("_off", off)
@@ -176,46 +166,34 @@ def mixture_sample(
         F.size(tokens(text_col)).cast("long").alias("n_tokens"),
         F.md5(F.col(id_col).cast("string")).alias("_key"),
     ).where(F.col(group_col).isin(list(budgets)))
+    from bambooai_spark.functions.twophase import (  # noqa: PLC0415
+        grouped_prefix_bridge,
+    )
+
     part = (
         base.repartitionByRange(n, group_col, "_key", id_col)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
     # per-(partition, group) totals: the bridge rows (#partitions x #groups
-    # touched per partition — ranges are contiguous, so ~#partitions rows)
-    totals = (
-        part.groupBy("_pid", group_col)
-        .agg(F.sum("n_tokens").alias("t"))
-        .collect()
-    )
-    acc: dict[str, int] = {}
-    entries: list[Column] = []
-    for row in sorted(totals, key=lambda r: (r[group_col], r["_pid"])):
-        g = row[group_col]
-        entries += [
-            F.lit(f"{row['_pid']}|{g}"),
-            F.lit(acc.get(g, 0)),
-        ]
-        # a slice holding only NULL-token docs (e.g. NULL text) sums to
-        # None — contributes nothing to the running offset
-        acc[g] = acc.get(g, 0) + (row["t"] or 0)
-    if not entries:
+    # touched per partition — ranges are contiguous, so ~#partitions rows).
+    # The whitelisted group values are the key directly (no stream_key
+    # needed — they're caller-chosen language codes).
+    bridge = grouped_prefix_bridge(part, F.sum("n_tokens"), key_col=group_col)
+    if bridge is None:
         part.unpersist()
         return base.select(
             id_col, group_col, "n_tokens",
             F.lit(None).cast("long").alias("cum_tokens"),
         ).limit(0)
-    omap = F.create_map(*entries)
+    offset, _ = bridge
     # ROWS frame for the same duplicate-key safety as pack_sequences
     wloc = (
         Window.partitionBy("_pid", group_col)
         .orderBy("_key", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = (
-        F.sum("n_tokens").over(wloc)
-        + omap[F.concat_ws("|", F.col("_pid"), F.col(group_col))]
-    ).cast("long")
+    cum = (F.sum("n_tokens").over(wloc) + offset).cast("long")
     out = (
         part.withColumn("cum_tokens", cum)
         .where(F.col("cum_tokens") - F.col("n_tokens") < bmap[F.col(group_col)])

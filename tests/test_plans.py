@@ -423,12 +423,16 @@ def test_grouped_top_k_matches_window_twin_and_bounds_candidates(spark):
     rows += [(10_000 + i, "tiny", 5) for i in range(4)]  # all-tie group
     df = spark.createDataFrame(rows, "id long, g string, v long").repartition(8)
 
-    got = {
-        (r["g"], r["rn"], r["id"])
-        for r in grouped_top_k(
-            df, ["g"], [F.col("v").desc(), F.col("id")], 7, out_col="rn"
-        ).collect()
-    }
+    out = grouped_top_k(
+        df, ["g"], [F.col("v").desc(), F.col("id")], 7, out_col="rn"
+    )
+    # the two-phase shape is in the plan: a local window + _lrn <= k filter
+    # BEFORE the final per-group window, so the final exchange sees only
+    # the bounded candidate union
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2
+    assert "_lrn" in plan
+    got = {(r["g"], r["rn"], r["id"]) for r in out.collect()}
     w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
     want = {
         (r["g"], r["rn"], r["id"])
