@@ -302,3 +302,67 @@ def test_pack_sequences_duplicate_ids_and_separator_values(spark):
     # at 0 with its own 400-token doc first by id order)
     assert len(by_stream[("a|b", "c")]) == 2
     assert len(by_stream[("a", "b|c")]) == 2
+
+
+# -------------------------------------------------- two-phase group helpers
+
+_grp_rows = st.lists(
+    # (group ∈ 3 values incl. one with the old separator char, value, dup-able id)
+    st.tuples(st.integers(0, 2), st.integers(0, 9), st.integers(0, 6)),
+    min_size=1, max_size=24,
+)
+_GROUPS = ["en", "a|b", None]
+
+
+@settings(max_examples=10, deadline=None)
+@given(_grp_rows, st.integers(1, 4))
+def test_grouped_top_k_property(spark, rows, k):
+    """grouped_top_k over random grouped data (ties, NULL group, separator
+    chars in group values) equals the plain per-group window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bambooai_spark.functions.ranking import grouped_top_k
+
+    data = [(i, _GROUPS[g], v) for i, (g, v, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, g string, v long").repartition(4)
+    got = {
+        (r["g"], r["rn"], r["id"])
+        for r in grouped_top_k(
+            df, ["g"], [F.col("v").desc(), F.col("id")], k, out_col="rn"
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(F.col("v").desc(), F.col("id"))
+    want = {
+        (r["g"], r["rn"], r["id"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(_grp_rows, st.integers(1, 5))
+def test_grouped_ntile_property(spark, rows, k):
+    """grouped_ntile over random grouped data (uneven splits, NULL group,
+    groups smaller than the bucket count) equals the plain NTILE window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bambooai_spark.functions.ranking import grouped_ntile
+
+    data = [(i, _GROUPS[g], v) for i, (g, v, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, g string, v long").repartition(4)
+    got = {
+        (r["id"], r["b"])
+        for r in grouped_ntile(
+            df, ["g"], ["v", "id"], k, out_col="b", num_partitions=8
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v", "id")
+    want = {
+        (r["id"], r["b"])
+        for r in df.withColumn("b", F.ntile(k).over(w)).collect()
+    }
+    assert got == want
