@@ -27,6 +27,15 @@ an earlier ``chain_id`` restores that chain as the branch point
 whose text feeds the Dataframe Inspector, ``vector_db=True`` turns on
 rank-gated episodic memory, and auxiliary datasets are file paths the
 generated code may join.
+
+Remote execution (reference ``EXECUTION_MODE=api``, bambooai.py:41-43):
+``execution_mode="api"`` + ``executor_api_url`` (or the
+``EXECUTION_MODE``/``EXECUTOR_API_BASE_URL`` env vars) runs every turn's
+code in a remote executor service — the frame uploads once at
+construction (or pass ``executor_df_name`` for a dataset already
+registered on the service). In api mode ``auxiliary_datasets`` are
+rejected up front and ``sample_first`` is ignored (both are local-sandbox
+features; see executor/client.py).
 """
 
 from __future__ import annotations
