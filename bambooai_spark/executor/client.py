@@ -216,7 +216,10 @@ class RemoteSparkExecutor:
                 error=resp["error"],
                 version=self.version,
             )
-        self.df_name = resp.get("df_name", self.df_name)
+        # `or` (not a .get default): a server replying "df_name": null must
+        # not clear the established dataset handle — the next turn would
+        # re-upload the bounded preview frame as the server-side dataset
+        self.df_name = resp.get("df_name") or self.df_name
         self.version = int(resp.get("version", self.version + 1))
         adopted = df
         if self.fetch_df and spark is not None and self.df_name:

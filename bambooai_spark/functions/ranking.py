@@ -10,6 +10,11 @@ two-phase fix (range-partition + local rank + prefix-sum bridge) is exact:
 3. bridge partitions with a prefix sum of per-partition distinct-key counts
    — a driver-side array of ``num_partitions`` longs, never row data.
 
+The bridge re-enters the plan as a broadcast hash join of the small
+prefix relation (one row per partition), not a ``create_map`` literal —
+at cluster partition counts a map literal is a multi-MB plan expression
+with O(entries) lookups per row (see ``functions.twophase``).
+
 Reference parity: the reference re-IDs activities with a pandas
 ``rank(method='dense')`` over the whole frame (web_app/app.py:354-373); this
 computes the identical ranking distributed.
@@ -27,6 +32,7 @@ def distributed_dense_rank(
     *,
     out_col: str = "rank",
     num_partitions: int | None = None,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Exact global ``dense_rank() OVER (ORDER BY order_cols)`` without a
     single-partition sort. Adds ``out_col`` (long, 1-based).
@@ -34,7 +40,16 @@ def distributed_dense_rank(
     The only driver materialization is one long per range partition (the
     local distinct-count), independent of row count. NULL order keys sort
     first (Spark's asc default) — match the oracle's NULLS FIRST if they
-    can occur."""
+    can occur.
+
+    The locally-ranked relation is persisted across the count pass and
+    the final projection (``repartitionByRange`` re-samples its bounds on
+    recompute, so partition ids must be pinned); the output is then
+    eagerly localCheckpoint'ed so the cache entry can be released here —
+    checkpoint blocks are reference-tracked and reclaimed on GC, unlike
+    CacheManager entries which live for the session. ``checkpoint=False``
+    keeps the lazy plan inspectable (plan tests); the persisted
+    intermediate then stays cached until the caller clears it."""
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     w = Window.partitionBy("_pid").orderBy(*order_cols)
@@ -42,36 +57,29 @@ def distributed_dense_rank(
         df.repartitionByRange(n, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_lr", F.dense_rank().over(w))
+        .persist()
     )
-    # read twice (count pass + final projection) — cache the ranked relation
-    # so the range shuffle and per-partition sort run once
-    local = local.persist()
     counts = {
         r["_pid"]: r["c"]
         for r in local.groupBy("_pid").agg(F.max("_lr").alias("c")).collect()
     }
-    offsets: list[Column] = []
-    acc = 0
-    for pid in sorted(counts):  # range partitioner: pid order == key order
-        offsets += [F.lit(pid), F.lit(acc)]
-        acc += counts[pid]
-    if not offsets:
+    if not counts:
         local.unpersist()
         return df.withColumn(out_col, F.lit(None).cast("long"))
-    omap = F.create_map(*offsets)
+    rows = []
+    acc = 0
+    for pid in sorted(counts):  # range partitioner: pid order == key order
+        rows.append((pid, acc))
+        acc += counts[pid]
+    bridge = spark.createDataFrame(rows, "_pid INT, _offset LONG")
     out = (
-        local.withColumn(
-            out_col, (F.col("_lr") + omap[F.col("_pid")]).cast("long")
-        )
-        .drop("_pid", "_lr")
-        # the count pass above already materialized the ranked relation into
-        # cache; one more map-side pass checkpoints the final projection so
-        # the cache can be released HERE instead of living for the session
-        # (localCheckpoint blocks are reference-tracked and cleaned when the
-        # returned frame is garbage-collected, unlike CacheManager entries)
-        .localCheckpoint(eager=True)
+        local.join(F.broadcast(bridge), ["_pid"], "left")
+        .withColumn(out_col, (F.col("_lr") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_lr", "_offset")
     )
-    local.unpersist()
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        local.unpersist()
     return out
 
 
@@ -97,6 +105,8 @@ def grouped_top_k(
     Adds ``out_col`` (int, 1-based) and returns only rows with
     ``out_col <= k``.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     local = Window.partitionBy(
         "_pid", *group_cols
     ).orderBy(*order_cols)
@@ -130,15 +140,21 @@ def grouped_ntile(
     NTILE needs each row's global rank within its group plus the group
     total; both come from the two-phase bridge (range-partition on
     (group, order) → local row_number → per-(partition, group) count
-    prefix on the driver, ~#partitions rows). The bucket is then pure
-    arithmetic: with n rows and k buckets the first ``n mod k`` buckets
-    take ``n div k + 1`` rows (standard SQL NTILE).
+    prefix, broadcast-joined back, ~#slices rows). The bucket is then
+    pure integer arithmetic: with n rows and k buckets the first
+    ``n mod k`` buckets take ``n DIV k + 1`` rows (standard SQL NTILE).
+    All divisions are integer ``DIV`` — double division starts
+    misrounding near 2^53, the same stance as ``packing.pack_sequences``.
     """
     from bambooai_spark.functions.twophase import (
         grouped_prefix_bridge,
         stream_key,
+        with_bridge,
     )
 
+    if n_buckets < 1:
+        # NTILE(0) raises in ANSI SQL; silently NULL buckets would hide it
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = (
@@ -151,24 +167,34 @@ def grouped_ntile(
     if bridge is None:
         part.unpersist()
         return df.withColumn(out_col, F.lit(None).cast("int")).limit(0)
-    offset, total = bridge
     wloc = Window.partitionBy("_pid", "_skey").orderBy(*order_cols)
-    rn = (F.row_number().over(wloc) + offset).cast("long")
-    ntot = total.cast("long")
-    k = F.lit(int(n_buckets)).cast("long")
-    q = F.floor(ntot / k).cast("long")
-    r = ntot % k
-    big = (q + F.lit(1)) * r  # rows covered by the size-(q+1) buckets
-    bucket = F.when(
-        rn <= big, F.floor((rn - 1) / (q + 1)) + 1
-    ).otherwise(
-        # q == 0 makes this branch unreachable (big == ntot); greatest()
-        # keeps the divisor legal under ANSI anyway
-        r + F.floor((rn - big - 1) / F.greatest(q, F.lit(1))) + 1
-    ).cast("int")
+    k = int(n_buckets)
     out = (
-        part.withColumn(out_col, bucket)
-        .drop("_pid", "_skey")
+        with_bridge(part, bridge)
+        .withColumn(
+            "_rn",
+            (F.row_number().over(wloc) + F.col("_offset")).cast("long"),
+        )
+        .withColumn("_q", F.expr(f"_total DIV {k}"))
+        .withColumn("_r", F.col("_total") % F.lit(k))
+        # rows covered by the size-(q+1) buckets
+        .withColumn("_big", (F.col("_q") + F.lit(1)) * F.col("_r"))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("_rn") <= F.col("_big"),
+                F.expr("(_rn - 1) DIV (_q + 1)") + F.lit(1),
+            )
+            .otherwise(
+                # q == 0 makes this branch unreachable (big == total);
+                # greatest() keeps the divisor legal anyway
+                F.col("_r")
+                + F.expr("(_rn - _big - 1) DIV greatest(_q, 1L)")
+                + F.lit(1)
+            )
+            .cast("int"),
+        )
+        .drop("_pid", "_skey", "_offset", "_total", "_rn", "_q", "_r", "_big")
         .localCheckpoint(eager=True)
     )
     part.unpersist()

@@ -12,13 +12,21 @@ integer token counts, no floats.
 
 Scale: the per-stream exclusive prefix sum is computed TWO-PHASE
 (range-partition on (stream, id) → local cumsum per partition slice →
-driver-side prefix bridge of per-(partition, stream) totals), the same
-pattern as ``functions.ranking.distributed_dense_rank`` and
-``mixture_sample`` below. A single giant stream (one language at 100 TB)
-therefore still packs across all partitions — no
+per-(partition, stream) totals broadcast-joined back as an exclusive
+prefix), the same pattern as ``functions.ranking.distributed_dense_rank``
+and ``mixture_sample`` below. A single giant stream (one language at
+100 TB) therefore still packs across all partitions — no
 ``Window.partitionBy(stream)`` funnel where five languages means five
 tasks. The bridge is one small row per partition-stream slice
 (~#partitions rows, never row data).
+
+Strategy choice is COST-BASED (the same stance as Spark picking a
+broadcast join by size estimate): the two-phase plan costs two wide
+exchanges plus a pinning materialization, which is pure overhead when the
+projected input fits comfortably in one task's sort. ``strategy="auto"``
+(default) packs small inputs with the plain per-stream window and
+switches to two-phase above ``small_input_bytes``; the threshold reads
+the optimizer's size estimate, so unknown sizes fail safe to two-phase.
 """
 
 from __future__ import annotations
@@ -35,6 +43,17 @@ def est_bpe_tokens(text_col: str | Column) -> Column:
     return F.ceil(F.length(c) / F.lit(4.0)).cast("long")
 
 
+def _estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for the optimized plan; Long.MaxValue-ish
+    when unknown, which makes ``auto`` fail safe to the two-phase path."""
+    try:
+        return int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return 1 << 62
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -44,27 +63,63 @@ def pack_sequences(
     stream_cols: tuple[str, ...] = ("lang",),
     num_partitions: int | None = None,
     checkpoint: bool = True,
+    strategy: str = "auto",
+    small_input_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Assign every document its packed position: ``(id, streams…, n_tok,
     chunk_id, chunk_offset)`` where ``chunk_id = offset // budget`` and
     ``chunk_offset = offset % budget`` over the exclusive prefix sum of
     token counts in (stream, id) order.
 
-    Two-phase: range-partition on ``(streams…, id)`` so one stream spans
-    many ordered partitions; local inclusive cumsum per
-    ``(partition, stream)`` slice; a broadcast prefix map of
+    ``strategy``: ``"window"`` = one per-stream window pass (one shuffle;
+    one task per stream — optimal when the projection fits a single
+    task's sort); ``"twophase"`` = range-partition + prefix bridge (stays
+    parallel on few/one giant streams); ``"auto"`` (default) picks by the
+    optimizer's size estimate of the 3-column projection vs
+    ``small_input_bytes``. Both strategies produce identical rows.
+
+    Two-phase details: range-partition on ``(streams…, id)`` so one
+    stream spans many ordered partitions; local inclusive cumsum per
+    ``(partition, stream)`` slice; a broadcast-joined prefix relation of
     per-slice totals bridges the partitions. Exclusive offset =
-    inclusive cumsum − own count + bridge prefix.
+    inclusive cumsum − own count + bridge prefix. The partitioned
+    projection is persisted across the bridge pass and the final pass
+    (``repartitionByRange`` re-samples its bounds on recompute, so
+    partition ids must be pinned); with ``checkpoint=True`` (default)
+    the output is eagerly localCheckpoint'ed so the cache entry is
+    released here, ``checkpoint=False`` keeps the lazy plan inspectable
+    (plan tests) and leaves the cache to the caller.
     """
+    if strategy not in ("auto", "window", "twophase"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     from bambooai_spark.functions.twophase import (  # noqa: PLC0415
         grouped_prefix_bridge,
         stream_key,
+        with_bridge,
     )
 
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_tok = est_bpe_tokens(text_col).alias("n_tok")
     base = df.select(F.col(id_col), *[F.col(c) for c in stream_cols], n_tok)
+    chunk_cols = lambda off: [  # noqa: E731
+        F.expr(f"{off} DIV {int(budget)}").cast("long").alias("chunk_id"),
+        (F.col(off) % F.lit(budget)).cast("long").alias("chunk_offset"),
+    ]
+
+    if strategy == "window" or (
+        strategy == "auto" and _estimated_bytes(base) <= small_input_bytes
+    ):
+        wst = (
+            Window.partitionBy(*stream_cols)
+            .orderBy(id_col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return base.withColumn(
+            "_off",
+            F.coalesce(F.sum("n_tok").over(wst), F.lit(0).cast("long")),
+        ).select(id_col, *stream_cols, "n_tok", *chunk_cols("_off"))
+
     part = (
         base.repartitionByRange(n, *stream_cols, id_col)
         .withColumn("_pid", F.spark_partition_id())
@@ -83,7 +138,6 @@ def pack_sequences(
             F.lit(0).cast("long").alias("chunk_id"),
             F.lit(0).cast("long").alias("chunk_offset"),
         ).limit(0)
-    offset, _ = bridge
     # explicit ROWS frame: the default RANGE frame would lump duplicate
     # id values into one peer group and produce overlapping offsets
     wloc = (
@@ -97,23 +151,17 @@ def pack_sequences(
     off = (
         F.coalesce(F.sum("n_tok").over(wloc), F.lit(0).cast("long"))
         - F.coalesce(F.col("n_tok"), F.lit(0).cast("long"))
-        + offset
+        + F.col("_offset")
     ).cast("long")
+    # integer DIV, not floor(double/) — offsets in a 100 TB corpus
+    # flirt with 2^53, where double division starts misrounding
     out = (
-        part.withColumn("_off", off)
-        # integer DIV, not floor(double/) — offsets in a 100 TB corpus
-        # flirt with 2^53, where double division starts misrounding
-        .select(
-            id_col,
-            *stream_cols,
-            "n_tok",
-            F.expr(f"_off DIV {int(budget)}").cast("long").alias("chunk_id"),
-            (F.col("_off") % F.lit(budget)).cast("long").alias("chunk_offset"),
-        )
+        with_bridge(part, bridge)
+        .withColumn("_off", off)
+        .select(id_col, *stream_cols, "n_tok", *chunk_cols("_off"))
     )
     if checkpoint:
-        # materialize so the persisted input can be released now (same
-        # persist/checkpoint pairing as mixture_sample below)
+        # materialize so the persisted input can be released now
         out = out.localCheckpoint(eager=True)
         part.unpersist()
     # checkpoint=False keeps the lazy plan for inspection (plan tests);
@@ -144,7 +192,7 @@ def mixture_sample(
     ``functions.ranking.distributed_dense_rank`` generalized to grouped
     running sums: range-partition on ``(group, key)`` (a group spans many
     ordered partitions), local cumsum per ``(partition, group)``, and a
-    driver-side prefix map of per-(partition, group) token totals — one
+    broadcast-joined prefix of per-(partition, group) token totals — one
     small row per partition-group slice, never row data.
 
     Returns ``(id, group, n_tokens, cum_tokens)`` for the sampled docs;
@@ -168,6 +216,7 @@ def mixture_sample(
     ).where(F.col(group_col).isin(list(budgets)))
     from bambooai_spark.functions.twophase import (  # noqa: PLC0415
         grouped_prefix_bridge,
+        with_bridge,
     )
 
     part = (
@@ -186,16 +235,16 @@ def mixture_sample(
             id_col, group_col, "n_tokens",
             F.lit(None).cast("long").alias("cum_tokens"),
         ).limit(0)
-    offset, _ = bridge
     # ROWS frame for the same duplicate-key safety as pack_sequences
     wloc = (
         Window.partitionBy("_pid", group_col)
         .orderBy("_key", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = (F.sum("n_tokens").over(wloc) + offset).cast("long")
+    cum = (F.sum("n_tokens").over(wloc) + F.col("_offset")).cast("long")
     out = (
-        part.withColumn("cum_tokens", cum)
+        with_bridge(part, bridge, key_col=group_col)
+        .withColumn("cum_tokens", cum)
         .where(F.col("cum_tokens") - F.col("n_tokens") < bmap[F.col(group_col)])
         .select(id_col, group_col, "n_tokens", "cum_tokens")
         # materialize so the persisted input can be released now (same

@@ -86,11 +86,16 @@ def stream_ingest_to_corpus(
     documents, and flows through :func:`operators.writer.append_corpus` —
     whose fingerprint-ledger anti-join dedups the batch against EVERYTHING
     already stored (earlier batches included) and delta-merges the
-    manifest in O(batch). Re-delivered micro-batches are therefore
-    idempotent: replayed documents die on the ledger, the corpus is
-    append-only, and ``foreachBatch`` + idempotent-merge is the canonical
-    exactly-once streaming-sink recipe (same stance as
-    streaming/memory.py's MERGE).
+    manifest in O(batch). Replays of FULLY-COMMITTED micro-batches are
+    idempotent: their documents die on the ledger. The guarantee is
+    at-least-once with a narrow duplicate window, not exactly-once —
+    ``append_corpus`` appends corpus parquet BEFORE the ledger rows, so a
+    batch that crashes between the two writes and is replayed by
+    Structured Streaming re-appends those documents (their fingerprints
+    never reached the ledger). Closing the window needs an atomic
+    commit of (corpus, ledger) keyed by ``batch_id`` — a transactional
+    table format's job (Delta/Iceberg MERGE), out of scope for the plain
+    parquet corpus here.
 
     With ``available_now=True`` (default) the call drains the source,
     awaits termination, and returns the final manifest DataFrame (None if

@@ -3283,9 +3283,11 @@ def tfidf_docs(spark, sf_dir):
     doc="Sequence packing (concat-and-chunk into 2048-token training "
     "windows, GPT-style): exclusive prefix sum of per-doc token estimates "
     "in (lang, doc_id) order → chunk id + in-chunk offset as integer "
-    "arithmetic. Two-phase (range-partition + prefix bridge, like "
-    "functions/ranking.py) — a single giant stream still packs across all "
-    "partitions. The pipeline hop after dedup/filter/sample.",
+    "arithmetic. Strategy is COST-BASED like Spark's own join choice: at "
+    "this scale the optimizer's size estimate picks the one-window plan; "
+    "above the threshold it switches to the two-phase range-partition + "
+    "prefix bridge (pack_skew_docs pins that path under grading). The "
+    "pipeline hop after dedup/filter/sample.",
 )
 def pack_docs(spark, sf_dir):
     from bambooai_spark.operators.packing import pack_sequences
@@ -3313,15 +3315,19 @@ def pack_docs(spark, sf_dir):
     headline=True,
     doc="Sequence packing under MAXIMUM stream skew: the whole corpus is "
     "one stream (constant key), the case where Window.partitionBy(stream) "
-    "would collapse to one task. The two-phase range-partition + prefix "
-    "bridge keeps it 32-way parallel — the bench line pins it within ~3x "
-    "of the balanced pack_docs time.",
+    "would collapse to one task. strategy='twophase' is PINNED here so the "
+    "driver keeps grading and benching the scale path (range-partition + "
+    "broadcast prefix bridge, 32-way parallel) even at a size where auto "
+    "would pick the one-window plan.",
 )
 def pack_skew_docs(spark, sf_dir):
     from bambooai_spark.operators.packing import pack_sequences
 
     d = _t(spark, sf_dir, "documents").withColumn("stream", F.lit("all"))
-    return pack_sequences(d, "doc_id", "text", budget=2048, stream_cols=("stream",))
+    return pack_sequences(
+        d, "doc_id", "text", budget=2048, stream_cols=("stream",),
+        strategy="twophase",
+    )
 
 
 _MIX_WEIGHTS = {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15}

@@ -68,6 +68,24 @@ def test_remote_executor_success_error_and_transport_failure(spark):
     assert not res3.ok and "connection refused" in res3.error
 
 
+
+def test_null_df_name_does_not_clear_handle(spark):
+    """A server replying "df_name": null (instead of omitting the key) must
+    not clear the established dataset handle — clearing it would make the
+    next turn re-upload the bounded preview frame as the server dataset,
+    silently truncating the data (ADVICE r5)."""
+
+    def transport(path, body):
+        return {"results": "ok\n", "error": None, "df_name": None, "version": 2}
+
+    client = RemoteExecutorClient("http://x", transport=transport)
+    ex = RemoteSparkExecutor(client, df_name="df_established", fetch_df=False)
+    orders = load_table(spark, SF_DIR, "orders")
+    res = ex.execute("df = df", df=orders, spark=spark)
+    assert res.ok
+    assert ex.df_name == "df_established"
+
+
 @pytest.fixture(scope="module")
 def live_service(spark, tmp_path_factory):
     """A real HTTP executor service (werkzeug dev server on an OS-assigned

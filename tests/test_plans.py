@@ -330,7 +330,10 @@ def test_pack_docs_parallel_by_stream(spark):
 
     docs = load_table(spark, SF_DIR, "documents")
     plan = (
-        pack_sequences(docs, "doc_id", "text", stream_cols=("lang",), checkpoint=False)
+        pack_sequences(
+            docs, "doc_id", "text", stream_cols=("lang",),
+            checkpoint=False, strategy="twophase",
+        )
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -357,7 +360,7 @@ def test_pack_single_giant_stream_two_phase(spark):
 
     lazy = pack_sequences(
         docs, "doc_id", "text", budget=64, stream_cols=("lang",),
-        num_partitions=16, checkpoint=False,
+        num_partitions=16, checkpoint=False, strategy="twophase",
     )
     plan = lazy._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
@@ -465,3 +468,64 @@ def test_grouped_ntile_matches_ntile_twin(spark):
         for r in df.withColumn("b", F.ntile(4).over(w)).collect()
     }
     assert got == want and len(want) == 1009
+
+
+def test_bridge_is_broadcast_join_not_map_literal(spark):
+    """The two-phase prefix bridge re-enters the plan as a BroadcastHashJoin
+    of the small prefix relation — never a plan-embedded ``create_map``
+    literal, which at cluster partition counts (tens of thousands of
+    (partition, group) slices) becomes a multi-MB expression with
+    O(entries) GetMapValue work per row. Checked on the heaviest bridge
+    user (pack with many partitions) and on distributed_dense_rank."""
+    from bambooai_spark.functions.ranking import distributed_dense_rank
+    from bambooai_spark.operators.packing import pack_sequences
+
+    rows = [(i, f"s{i % 5}", "x" * (i % 40)) for i in range(800)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).repartition(8)
+    packed = pack_sequences(
+        docs, "doc_id", "text", stream_cols=("lang",), num_partitions=24,
+        strategy="twophase", checkpoint=False,
+    )
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
+    assert "BroadcastHashJoin" in plan
+    assert "map_from" not in plan and "keys: [" not in plan
+    assert "GetMapValue" not in plan
+
+    ranked = distributed_dense_rank(
+        docs.select("doc_id", F.length("text").alias("len")),
+        ["len", "doc_id"],
+        num_partitions=24,
+        checkpoint=False,
+    )
+    rplan = ranked._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
+    assert "BroadcastHashJoin" in rplan
+    assert "GetMapValue" not in rplan
+
+
+def test_pack_strategy_auto_is_cost_based(spark):
+    """strategy='auto' packs a small projection with ONE window pass (no
+    range exchange, no broadcast bridge — the two-phase machinery is pure
+    overhead at this size) and switches to the two-phase plan above the
+    size threshold. Both strategies return identical rows."""
+    from bambooai_spark.operators.packing import pack_sequences
+
+    rows = [(i, f"s{i % 3}", "x" * (i % 50)) for i in range(500)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).repartition(4)
+
+    small = pack_sequences(docs, "doc_id", "text", stream_cols=("lang",))
+    splan = small._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in splan.lower()
+    assert "BroadcastHashJoin" not in splan
+
+    forced = pack_sequences(
+        docs, "doc_id", "text", stream_cols=("lang",), small_input_bytes=0
+    )
+    got = {tuple(r) for r in forced.collect()}
+    want = {tuple(r) for r in small.collect()}
+    assert got == want and len(got) == 500

@@ -279,7 +279,7 @@ def test_pack_sequences_duplicate_ids_and_separator_values(spark):
     )
     out = pack_sequences(
         df, "doc_id", "text", budget=16, stream_cols=("lang", "source"),
-        num_partitions=4,
+        num_partitions=4, strategy="twophase",
     ).collect()
 
     by_stream: dict = {}
@@ -366,3 +366,18 @@ def test_grouped_ntile_property(spark, rows, k):
         for r in df.withColumn("b", F.ntile(k).over(w)).collect()
     }
     assert got == want
+
+
+def test_grouped_ntile_and_top_k_validate_k(spark):
+    """NTILE(0) raises in ANSI SQL; the two-phase twin must refuse too
+    rather than silently producing NULL buckets (ADVICE r5). Same for
+    grouped_top_k."""
+    import pytest as _pytest
+
+    from bambooai_spark.functions.ranking import grouped_ntile, grouped_top_k
+
+    df = spark.createDataFrame([(1, "a", 1)], "id long, g string, v long")
+    with _pytest.raises(ValueError):
+        grouped_ntile(df, ["g"], ["v"], 0)
+    with _pytest.raises(ValueError):
+        grouped_top_k(df, ["g"], ["v"], 0)
