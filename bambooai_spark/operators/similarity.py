@@ -318,6 +318,86 @@ def knn_ivf(
     )
 
 
+def knn_ivf_md5(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_id,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Oracle-reproducible IVF twin of :func:`knn_ivf` (same role as
+    ``dedup.minhash_md5_near_dup`` for LSH): every stage is deterministic
+    and engine-portable so DuckDB reproduces the WHOLE inverted-file
+    construction, not just recall.
+
+    - centroids = the ``n_cells`` rows with the smallest
+      ``(md5(id), id)`` — a deterministic pseudo-random sample; cell id =
+      rank in that order;
+    - assignment = argmin squared L2 to the centroids via the
+      dot-product expansion ``<v,v> - 2<v,c> + <c,c>`` (sequential-fold
+      dots in both engines), ties broken by cell id;
+    - probe set = the ``nprobe`` cells whose centroids are nearest the
+      query, same metric and tie-break;
+    - scores of probed rows are exact cosines; top-k by
+      ``(cosine DESC, id)``.
+
+    Production keeps the Lloyd-trained quantizer + numpy Arrow batches
+    (:func:`train_ivf_centroids`/:func:`ivf_assign`); this twin trades
+    quantizer quality for cross-engine byte-exactness. The only driver
+    materialization is the ``n_cells`` centroid rows."""
+    spark = df.sparkSession
+    v = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    crows = (
+        v.withColumn("_m", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_m", id_col)
+        .limit(n_cells)
+        .select("_v")
+        .collect()
+    )
+    if not crows:
+        raise ValueError("cannot build IVF cells: table is empty")
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, r["_v"]) for i, r in enumerate(crows)],
+            "_cell INT, _cv ARRAY<DOUBLE>",
+        )
+    )
+
+    def dist(a, b):  # squared L2 via the expansion — matches the oracle
+        return dot(a, a) - 2 * dot(a, b) + dot(b, b)
+
+    assigned = (
+        v.crossJoin(cdf)
+        .withColumn("_d", dist("_v", "_cv"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("_d", "_cell")).alias("_mc"))
+        .select(id_col, F.col("_mc._cell").alias("_cell"))
+    )
+    q = _query_df(df, id_col, vec_col, query_id)
+    probe = (
+        cdf.crossJoin(q)
+        .withColumn("_d", dist("_cv", "_q"))
+        .orderBy("_d", "_cell")
+        .limit(nprobe)
+        .select("_cell")
+    )
+    scored = (
+        v.join(assigned, id_col)
+        .join(F.broadcast(probe), "_cell")
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(q)
+        .withColumn("_cos", cosine("_v", "_q"))
+    )
+    return (
+        scored.orderBy(F.desc("_cos"), F.col(id_col))
+        .select(id_col, F.round("_cos", 6).alias("cosine"))
+        .limit(k)
+    )
+
+
 def label_centroids(
     df: DataFrame, label_col: str, vec_col: str, *, dim: int
 ) -> DataFrame:

@@ -2538,7 +2538,8 @@ def simhash_md5_docs(spark, sf_dir):
 @spec(
     "simhash_near_dup_docs",
     None,  # xxhash64-specific; EXACTNESS within the hamming bound is
-    # asserted vs brute force in tests/test_probabilistic.py
+    # asserted vs brute force in tests/test_probabilistic.py; the full
+    # construction is driver-graded hash-exact via simhash_md5_near_dup_docs
     doc="SimHash near-dup pairs via the pigeonhole block join (Manku "
     "WWW'07): hamming ≤ k ⇒ one of k+1 fingerprint blocks matches exactly "
     "→ equality-join candidates, popcount verify. Sub-quadratic, "
@@ -2550,6 +2551,50 @@ def simhash_near_dup_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     d = _spread(d)
     return simhash_near_dup(d, "doc_id", "text", max_hamming=6)
+
+
+@spec(
+    "simhash_md5_near_dup_docs",
+    rf"""
+    WITH {_MD5_SHINGLE_CTES}
+    h AS (SELECT doc_id,
+                 list_reduce(
+                   list_transform(
+                     regexp_split_to_array(substr(md5(sh), 1, 8), ''),
+                     c -> strpos('0123456789abcdef', c) - 1)::BIGINT[],
+                   (a, d) -> a * 16 + d) AS h
+          FROM t),
+    b AS (SELECT doc_id, i.i,
+                 SUM(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS i) i
+          GROUP BY doc_id, i.i),
+    f AS (SELECT doc_id AS doc,
+                 CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << i)
+                               ELSE 0 END) AS BIGINT) AS fp
+          FROM b GROUP BY doc_id),
+    blk AS (SELECT doc, fp, g.g AS block_id, (fp >> (g.g * 8)) & 255 AS block_val
+            FROM f CROSS JOIN (SELECT unnest(range(0, 4)) AS g) g),
+    cand AS (SELECT DISTINCT a.doc AS doc_a, a.fp AS fp_a,
+                             b2.doc AS doc_b, b2.fp AS fp_b
+             FROM blk a JOIN blk b2
+               ON a.block_id = b2.block_id AND a.block_val = b2.block_val
+              AND a.doc < b2.doc)
+    SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= 3
+    """,
+    doc="End-to-end pigeonhole SimHash near-dup on the md5 hash family "
+    "(companion of minhash_md5_near_dup_docs): 32-bit md5 SimHash -> 4 "
+    "8-bit blocks (hamming <= 3 implies one whole block matches) -> "
+    "equality-join candidates -> exact popcount verify, every stage "
+    "engine-portable so the whole construction is oracle-verified. "
+    "Production stays on 64-bit xxhash64 (simhash_near_dup_docs). "
+    "operators/dedup.py simhash_md5_near_dup.",
+)
+def simhash_md5_near_dup_docs(spark, sf_dir):
+    from bambooai_spark.operators.dedup import simhash_md5_near_dup
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_md5_near_dup(d, "doc_id", "text", max_hamming=3, bits=32)
 
 
 @spec(
@@ -2650,7 +2695,8 @@ def knn_lsh_embeddings(spark, sf_dir):
 @spec(
     "knn_ivf_embeddings",
     None,  # approximate (cell-restricted) — recall + exact-score properties
-    # asserted in tests/test_probabilistic.py
+    # asserted in tests/test_probabilistic.py; the inverted-file
+    # construction is driver-graded hash-exact via knn_ivf_md5_embeddings
     doc="IVF ANN (inverted-file): k-means coarse quantizer trained on a "
     "bounded sample (driver-side numpy, deterministic init), cells "
     "assigned via one vectorized Arrow pass, queries probe the nprobe "
@@ -2662,6 +2708,66 @@ def knn_ivf_embeddings(spark, sf_dir):
     return knn_ivf(
         e, "vec_id", "embedding", query_id=0, k=10, n_cells=16, nprobe=4,
         extra_cols=["label"],
+    )
+
+
+_IVF_DIST = (
+    "list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b})"
+)
+
+
+@spec(
+    "knn_ivf_md5_embeddings",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv,
+                 rn - 1 AS cell
+          FROM (SELECT vec_id, v,
+                       ROW_NUMBER() OVER (
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                FROM v)
+          WHERE rn <= 8),
+    a AS (SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                     {_IVF_DIST.format(a='v.v', b='c.cv')}, c.cell) AS rn
+            FROM v CROSS JOIN c)
+          WHERE rn = 1),
+    q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+    p AS (SELECT cell FROM (
+            SELECT c.cell, ROW_NUMBER() OVER (ORDER BY
+                     {_IVF_DIST.format(a='c.cv', b='q.qv')}, c.cell) AS rn
+            FROM c CROSS JOIN q)
+          WHERE rn <= 4),
+    s AS (SELECT v.vec_id,
+                 list_dot_product(v.v, q.qv)
+                 / (sqrt(list_dot_product(v.v, v.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+          FROM v
+          JOIN a ON a.vec_id = v.vec_id
+          JOIN p ON p.cell = a.cell
+          CROSS JOIN q
+          WHERE v.vec_id <> 0)
+    SELECT vec_id, ROUND(cos, 6) AS cosine
+    FROM s ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+    doc="Oracle-reproducible IVF ANN (companion of knn_ivf_embeddings, "
+    "same role as the md5 LSH family): centroids = the 8 rows with the "
+    "smallest (md5(id), id) — a deterministic pseudo-random sample — "
+    "assignment = argmin squared-L2 via the dot-product expansion with "
+    "cell-id tie-break, probe the 4 nearest cells, exact cosines, top-10. "
+    "The WHOLE inverted-file construction is hash-exact across engines; "
+    "production keeps the Lloyd quantizer + Arrow batches. "
+    "operators/similarity.py knn_ivf_md5.",
+)
+def knn_ivf_md5_embeddings(spark, sf_dir):
+    from bambooai_spark.operators.similarity import knn_ivf_md5
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_ivf_md5(
+        e, "vec_id", "embedding", query_id=0, k=10, n_cells=8, nprobe=4
     )
 
 
@@ -2804,8 +2910,9 @@ def upsert_embeddings(spark, sf_dir):
 
 @spec(
     "embed_docs",
-    None,  # hash-stub embeddings have no SQL mirror; properties asserted in
-    # tests/test_memory_embed.py (determinism, unit norm, batch shape)
+    None,  # properties asserted in tests/test_memory_embed.py (determinism,
+    # unit norm, batch shape); the md5 hash-embedder output itself is
+    # driver-graded bit-exact via embed_md5_docs
     doc="Embedding operator (reference A16 vectorize) as an Arrow-batched "
     "mapInPandas stage — pluggable embedder (deterministic hash stub here; "
     "a model/API wrapper in deployment), declared output schema so "
@@ -2816,6 +2923,55 @@ def embed_docs(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return embed_texts(d, "text", dim=32, id_cols=["doc_id"])
+
+
+@spec(
+    "embed_md5_docs",
+    r"""
+    WITH tok AS (SELECT doc_id,
+                        unnest(list_filter(
+                          regexp_split_to_array(COALESCE(text, ''), '\s+'),
+                          tk -> len(tk) > 0)) AS tok
+                 FROM documents),
+    h AS (SELECT doc_id,
+                 (strpos('0123456789abcdef', substr(md5(tok), 15, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(md5(tok), 16, 1)) - 1)
+                   AS lowbyte,
+                 (strpos('0123456789abcdef', substr(md5(tok), 14, 1)) - 1) % 2
+                   AS b8
+          FROM tok),
+    vt AS (SELECT doc_id, lowbyte % 64 AS pos,
+                  SUM(CASE WHEN b8 = 0 THEN 1 ELSE -1 END) AS vote
+           FROM h GROUP BY doc_id, lowbyte % 64),
+    grid AS (SELECT d.doc_id, i.i AS pos, COALESCE(vt.vote, 0) AS vote
+             FROM documents d
+             CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+             LEFT JOIN vt ON vt.doc_id = d.doc_id AND vt.pos = i.i),
+    nrm AS (SELECT doc_id,
+                   CASE WHEN SUM(vote * vote) = 0 THEN 1.0
+                        ELSE sqrt(SUM(vote * vote)) END AS norm
+            FROM grid GROUP BY doc_id)
+    SELECT g.doc_id, CAST(g.pos AS INT) AS pos,
+           CAST(CAST(g.vote / n.norm AS FLOAT) AS DOUBLE) AS val
+    FROM grid g JOIN nrm n ON n.doc_id = g.doc_id
+    """,
+    doc="Hash-exact evidence for the embedding operator: the default "
+    "hash_embedder folds md5 token hashes into 64 buckets (bucket = low "
+    "6 bits, sign = bit 8 — both derivable from md5 hex chars in either "
+    "engine), L2-normalizes in float64 and emits float32, so the exploded "
+    "(doc, pos, value) rows match BIT-FOR-BIT with no rounding: integer "
+    "votes are exact in f64, IEEE sqrt/divide agree, and both engines "
+    "round f64->f32 to nearest-even. Runs the real Arrow-batched "
+    "mapInPandas operator (operators/embed.py embed_texts/hash_embedder).",
+)
+def embed_md5_docs(spark, sf_dir):
+    from bambooai_spark.operators.embed import embed_texts
+
+    d = _t(spark, sf_dir, "documents")
+    e = embed_texts(d, "text", dim=64, id_cols=["doc_id"])
+    return e.select(
+        "doc_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("doc_id", "pos", F.col("val").cast("double").alias("val"))
 
 
 @spec(
@@ -3783,7 +3939,6 @@ _PROMOTE = [
     "executor_monthly_orders",
     "agent_monthly_orders",
     "dedup_exact_docs",
-    "jaccard_pairs_docs",
     "winnow_pairs_docs",
     "dedup_clusters_docs",
     "contamination_docs",
@@ -3817,6 +3972,23 @@ _PROMOTE = [
     "q8_market_share",
     "q13_order_distribution",
     "q21_sole_fault_supplier",
+    # Round-6 rotation: the last 10 never-driver-graded oracled specs plus
+    # the three new md5-oracle twins (simhash near-dup, IVF, embedder) take
+    # the slots of rows carrying 4-5 green driver rounds. After this
+    # window, EVERY oracled spec in the suite has driver evidence.
+    "repetition_docs",
+    "regex_token_stats_docs",
+    "chunk_docs",
+    "salted_agg_events",
+    "top_parts_per_brand",
+    "pivot_orders",
+    "ntile_customers",
+    "sample_docs_det",
+    "domain_mix_docs",
+    "vocab_top_words",
+    "simhash_md5_near_dup_docs",
+    "knn_ivf_md5_embeddings",
+    "embed_md5_docs",
 ]
 _DEMOTE = [
     "isin_orders",
@@ -3855,6 +4027,26 @@ _DEMOTE = [
     "null_handling_events",
     "range_count_events",
     "jaccard_pairs_docs",
+    # Round-6 demotions: the ten 5-green rows and three 4-green rows whose
+    # slots the rotation takes; all stay headline-benched and oracle-pinned
+    # in pytest. Families remain represented in the window (filter+agg <-
+    # q8/q13/q21/salted_agg, calendar <- pivot_orders, percentile/describe
+    # <- quality_filter's stats + group_index, window/rolling <-
+    # pack/stratified/ntile, global rank <- ntile_customers, as-of/join <-
+    # q21 + top_parts_per_brand, profile <- regex_token_stats).
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "monthly_orders",
+    "top_customers",
+    "summary_stats_lineitem",
+    "percentiles_lineitem",
+    "corr_lineitem",
+    "rolling_avg_events",
+    "dense_rank_users",
+    "asof_join_events_orders",
+    "group_index_events",
+    "segments_events",
+    "regr_slope_events",
 ]
 
 
