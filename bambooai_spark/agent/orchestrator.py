@@ -290,21 +290,10 @@ class AgentOrchestrator:
         the prompt context gets bounded previews — the material the
         inspector's ``links_for_merge`` relationships (reference
         default_prompts.yaml:1329-1335) are derived from."""
-        import os  # noqa: PLC0415
-
         from bambooai_spark.sources import aux_datasets_to_string  # noqa: PLC0415
-        from bambooai_spark.sources.registry import DatasetRegistry  # noqa: PLC0415
+        from bambooai_spark.sources.ingest import load_aux_tables  # noqa: PLC0415
 
-        reg = DatasetRegistry(self.spark)
-        tables: dict[str, DataFrame] = {}
-        for path in aux_datasets:
-            base = os.path.splitext(os.path.basename(path))[0]
-            name = "aux_" + "".join(c if c.isalnum() else "_" for c in base)
-            try:
-                name = reg.register_file(path, name)
-                tables[name] = reg.get(name)
-            except Exception:  # noqa: BLE001 — preview string carries the error
-                continue
+        tables = load_aux_tables(self.spark, aux_datasets)
         previews = aux_datasets_to_string(self.spark, aux_datasets)
         listing = ", ".join(tables) or "none loadable"
         ctx = (

@@ -100,13 +100,53 @@ class RemoteExecutorClient:
 
     # -- endpoints ----------------------------------------------------
 
-    def execute_code(self, code: str, df_name: str | None = None) -> dict:
+    def execute_code(
+        self,
+        code: str,
+        df_name: str | None = None,
+        aux_paths: list[str] | None = None,
+    ) -> dict:
         """POST /execute; a transport failure is reported as an execution
-        error (reference executor_client.py:57-64) so retry loops work."""
+        error (reference executor_client.py:57-64) so retry loops work.
+        ``aux_paths`` are SERVER-side paths previously returned by
+        :meth:`upload_aux_dataset` — the service rebuilds the sandbox
+        ``aux['<name>']`` tables from them per call."""
+        body: dict = {"code": code, "df_name": df_name}
+        if aux_paths:
+            body["aux_paths"] = list(aux_paths)
         try:
-            return self._post("/execute", {"code": code, "df_name": df_name})
+            return self._post("/execute", body)
         except Exception as exc:
             return {"results": None, "error": str(exc)}
+
+    def upload_aux_dataset(self, path: str) -> str:
+        """Upload an auxiliary file to the executor service; returns the
+        SERVER-side filepath to name in ``execute_code(aux_paths=...)``
+        (reference executor_client.py upload_aux_dataset →
+        code_executor_api.py:379-406)."""
+        with open(path, "rb") as fh:
+            data = fh.read()
+        out = self._upload(
+            "/file_utils/upload_aux_dataset", os.path.basename(path), data, {}
+        )
+        return out["filepath"]
+
+    def aux_datasets_to_string(
+        self, paths: list[str], num_rows: int = 5
+    ) -> str:
+        """Server-side bounded aux previews (reference
+        executor_client.py:161-181)."""
+        return self._post(
+            "/file_utils/aux_datasets_to_string",
+            {"paths": list(paths), "num_rows": num_rows},
+        )["text"]
+
+    def get_aux_datasets_columns(self, paths: list[str]) -> str:
+        """Server-side header-only aux column scan (reference
+        executor_client.py:183-203)."""
+        return self._post(
+            "/file_utils/get_aux_datasets_columns", {"paths": list(paths)}
+        )["text"]
 
     def upload_dataset(self, path: str, df_name: str | None = None) -> str:
         with open(path, "rb") as fh:
@@ -156,12 +196,16 @@ class RemoteSparkExecutor:
         *,
         fetch_df: bool = True,
         max_rows: int = 10_000,
+        aux_paths: list[str] | None = None,
     ):
         self.client = client
         self.df_name = df_name
         self.fetch_df = fetch_df
         self.max_rows = max_rows
         self.version = 0
+        # SERVER-side aux file paths (from client.upload_aux_dataset); the
+        # service rebuilds aux['<name>'] from them on every /execute
+        self.aux_paths: list[str] = list(aux_paths or [])
 
     def ensure_uploaded(self, df: DataFrame) -> str:
         """Upload ``df`` once as a single parquet file; later turns reuse
@@ -193,20 +237,28 @@ class RemoteSparkExecutor:
         generated_datasets_path: str | None = None,
         extra_vars: dict | None = None,
     ) -> ExecutionResult:
-        if extra_vars:
-            # aux tables live in the CALLER's session; shipping names
-            # without data would NameError server-side every round —
-            # refuse loudly instead of degrading into a retry loop
+        if extra_vars and not (
+            set(extra_vars) == {"aux"} and self.aux_paths
+        ):
+            # generic extra_vars live in the CALLER's session; shipping
+            # names without data would NameError server-side every round —
+            # refuse loudly instead of degrading into a retry loop. The ONE
+            # supported shape is the orchestrator's aux-tables dict when
+            # the matching files were uploaded (aux_paths): the service
+            # rebuilds aux['<name>'] from those paths with the same
+            # deterministic naming, so the local frames are redundant.
             raise RuntimeError(
-                "extra_vars (auxiliary datasets) are not supported in "
-                "execution_mode='api' — upload them to the service and "
-                "use its /query aux flow instead"
+                "extra_vars are not supported in execution_mode='api' "
+                "(except the aux-tables dict when aux files were uploaded "
+                "via upload_aux_dataset — see facade auxiliary_datasets)"
             )
         if spark is None and df is not None:
             spark = df.sparkSession
         if self.df_name is None and df is not None:
             self.ensure_uploaded(df)
-        resp = self.client.execute_code(code, self.df_name)
+        resp = self.client.execute_code(
+            code, self.df_name, aux_paths=self.aux_paths or None
+        )
         if resp.get("error"):
             # server already restored its cache; locally, rollback is
             # returning the caller's original (immutable) frame

@@ -33,9 +33,12 @@ Remote execution (reference ``EXECUTION_MODE=api``, bambooai.py:41-43):
 ``EXECUTION_MODE``/``EXECUTOR_API_BASE_URL`` env vars) runs every turn's
 code in a remote executor service — the frame uploads once at
 construction (or pass ``executor_df_name`` for a dataset already
-registered on the service). In api mode ``auxiliary_datasets`` are
-rejected up front and ``sample_first`` is ignored (both are local-sandbox
-features; see executor/client.py).
+registered on the service). In api mode ``auxiliary_datasets`` upload to
+the service once at construction and every turn's ``/execute`` rebuilds
+the sandbox ``aux['<name>']`` tables server-side from those paths
+(reference api-mode aux flow, code_executor_api.py:379-406);
+``sample_first`` is ignored (a local-probe optimization that would
+re-apply mutations to the already-mutated server frame).
 """
 
 from __future__ import annotations
@@ -114,15 +117,6 @@ class BambooAI:
         )
         remote_executor = None
         if self.execution_mode == "api":
-            if auxiliary_datasets:
-                # fail at construction, not after a turn's worth of LLM
-                # calls: aux tables live client-side and cannot reach the
-                # remote sandbox (executor/client.py refuses extra_vars)
-                raise ValueError(
-                    "auxiliary_datasets are not supported in "
-                    "execution_mode='api' — upload them to the executor "
-                    "service and use its /query aux flow instead"
-                )
             if sample_first:
                 # sample-first is a LOCAL probe optimization; remotely the
                 # probe would execute against the full server-side dataset
@@ -150,6 +144,18 @@ class BambooAI:
             )
             if executor_df_name is None:
                 remote_executor.ensure_uploaded(df)
+            if self.auxiliary_datasets:
+                # upload each aux file ONCE at construction; every turn's
+                # /execute names the returned server paths and the service
+                # rebuilds aux['<name>'] from them with the same
+                # deterministic naming the local sandbox uses (reference
+                # api-mode aux flow: executor_client.upload_aux_dataset →
+                # code_executor_api.py:379-406). Prompt previews still read
+                # the local files — same bytes, zero extra round-trips.
+                remote_executor.aux_paths = [
+                    remote_executor.client.upload_aux_dataset(p)
+                    for p in self.auxiliary_datasets
+                ]
         self._orch = AgentOrchestrator(
             self.spark,
             llm,

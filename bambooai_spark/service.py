@@ -5,7 +5,7 @@ stays with the engine.
 Endpoint parity (same routes, JSON contracts simplified to the fields the
 client actually reads):
 
-- POST /execute                       {code, df_name?} → {results, error,
+- POST /execute                       {code, df_name?, aux_paths?} → {results, error,
                                        df_name, version, rows}
 - POST /upload_dataset                multipart file → {df_name}
 - POST /df_utils/df_summary           {df_name} → {summary}
@@ -14,6 +14,9 @@ client actually reads):
 - POST /df_utils/compute_df_sample    {df_name, n?} → {rows: [...]}  (bounded)
 - POST /file_utils/aux_datasets_to_string    {paths} → {text}
 - POST /file_utils/get_aux_datasets_columns  {paths} → {text}
+- POST /file_utils/upload_aux_dataset        multipart file → {filepath}
+  (server-side path to name in /execute's aux_paths — the api-mode aux
+  join flow, reference code_executor_api.py:379-406)
 - POST /serialize                     {df_name, max_rows?} → {payload}
   (Arrow-IPC+zlib+base64 — the reference's wire format, A7)
 
@@ -131,11 +134,40 @@ def create_app(
     # many, else null
     ROWS_PROBE = 10_000
 
+    # executor-side auxiliary files (reference code_executor_api.py:379-406:
+    # the api-mode client uploads aux files to the EXECUTOR's datasets dir
+    # and references them by the returned server path)
+    aux_exec_dir = os.path.realpath(os.path.join(updir, "aux_exec"))
+    os.makedirs(aux_exec_dir, exist_ok=True)
+
+    def _aux_exec_tables(paths: list[str]):
+        """Rebuild the sandbox ``aux`` dict from server-side paths with the
+        same deterministic naming the local sandbox uses
+        (sources.ingest.load_aux_tables) — generated code written against
+        ``aux['<name>']`` runs identically on either side of the split.
+        Paths must live under the service's own aux dir (no traversal)."""
+        from flask import abort
+
+        from bambooai_spark.sources.ingest import load_aux_tables
+
+        for p in paths:
+            real = os.path.realpath(str(p))
+            if os.path.commonpath([real, aux_exec_dir]) != aux_exec_dir:
+                abort(400, description=f"aux path outside the aux dir: {p}")
+        return load_aux_tables(spark, [str(p) for p in paths])
+
     @app.post("/execute")
     def execute():
         body = request.get_json(force=True)
         df = _df(body["df_name"]) if body.get("df_name") else None
-        res = executor.execute(_field(body, "code"), df=df, spark=spark)
+        aux_paths = body.get("aux_paths") or []
+        ev = None
+        if aux_paths:
+            tables = _aux_exec_tables(list(aux_paths))
+            ev = {"aux": tables} if tables else None
+        res = executor.execute(
+            _field(body, "code"), df=df, spark=spark, extra_vars=ev
+        )
         out = {
             "results": res.stdout,
             "error": res.error,
@@ -158,6 +190,33 @@ def create_app(
         f.save(path)
         name = registry.register_file(path, request.form.get("df_name"))
         return jsonify({"df_name": name})
+
+    @app.post("/file_utils/upload_aux_dataset")
+    def upload_aux_dataset():
+        """Reference code_executor_api.py:379-406: save the auxiliary file
+        on the executor and return the server-side path the client then
+        names in /execute's aux_paths. Same-name re-upload overwrites (the
+        reference behavior); the unique-temp + atomic-rename write keeps a
+        concurrent /execute from ever reading a partial file."""
+        from flask import abort
+
+        f = request.files["file"]
+        fname = os.path.basename(f.filename or "")
+        if not fname or fname.startswith("."):
+            abort(400, description="invalid filename")
+        path = os.path.join(aux_exec_dir, fname)
+        fd, tmp = tempfile.mkstemp(
+            dir=aux_exec_dir, prefix=fname + ".uploading."
+        )
+        os.close(fd)
+        try:
+            f.save(tmp)
+            os.replace(tmp, path)
+        except BaseException:
+            with contextlib.suppress(OSError):
+                os.remove(tmp)
+            raise
+        return jsonify({"filepath": path})
 
     @app.post("/remove_dataset")
     def remove_dataset():

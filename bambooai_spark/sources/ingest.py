@@ -118,6 +118,31 @@ def _read_head(spark: SparkSession, path: str, num_rows: int) -> DataFrame | Non
     return None
 
 
+def load_aux_tables(
+    spark: SparkSession, file_paths: list[str]
+) -> dict[str, DataFrame]:
+    """``name -> DataFrame`` for each loadable auxiliary file, registered
+    as temp views under the DETERMINISTIC ``aux_<sanitized basename>``
+    name. Shared by the local sandbox (orchestrator aux context) and the
+    executor service's api-mode ``/execute`` — the names must agree across
+    the split so code generated against ``aux['<name>']`` runs identically
+    server-side. Unloadable files are skipped (the preview string carries
+    the error to the prompt)."""
+    from bambooai_spark.sources.registry import DatasetRegistry  # noqa: PLC0415
+
+    reg = DatasetRegistry(spark)
+    tables: dict[str, DataFrame] = {}
+    for path in file_paths:
+        base = os.path.splitext(os.path.basename(path))[0]
+        name = "aux_" + "".join(c if c.isalnum() else "_" for c in base)
+        try:
+            name = reg.register_file(path, name)
+            tables[name] = reg.get(name)
+        except Exception:  # noqa: BLE001
+            continue
+    return tables
+
+
 def aux_datasets_to_string(
     spark: SparkSession, file_paths: list[str], num_rows: int = 5
 ) -> str:

@@ -172,20 +172,88 @@ def test_facade_api_mode_end_to_end_oracle_exact(spark, tmp_path, live_service):
     assert not res3.ok and res3.df is not None
 
 
-def test_facade_api_mode_guards(spark, tmp_path, live_service):
-    """api mode rejects auxiliary_datasets at CONSTRUCTION (the remote
-    sandbox can't see client-side aux tables) and disables the local
-    sample-first probe (remotely it would double-apply mutations)."""
+def test_facade_api_mode_aux_join_oracle_exact(spark, tmp_path, live_service):
+    """Auxiliary datasets work END-TO-END in api mode (reference
+    code_executor_api.py:379-406 + 431-517): the facade uploads the aux
+    file to the service once, each /execute rebuilds aux['<name>']
+    server-side by the same deterministic naming, and the generated join
+    runs remotely — the adopted result matches a DuckDB oracle of the same
+    join exactly."""
+    import duckdb
+
+    from pyspark.sql import functions as F  # noqa: F401
+
     from bambooai_spark import BambooAI
 
-    with pytest.raises(ValueError, match="auxiliary_datasets"):
-        BambooAI(
-            load_table(spark, SF_DIR, "orders"),
-            llm=lambda s, u: "ok",
-            auxiliary_datasets=[str(tmp_path / "aux.csv")],
-            execution_mode="api",
-            executor_api_url=live_service,
-        )
+    aux_csv = tmp_path / "priorities.csv"
+    aux_csv.write_text(
+        "o_orderpriority,weight\n"
+        "1-URGENT,5\n2-HIGH,4\n3-MEDIUM,3\n4-NOT SPECIFIED,2\n5-LOW,1\n"
+    )
+    join_code = (
+        "```python\n"
+        "df = (df.join(aux['aux_priorities'], 'o_orderpriority')\n"
+        "        .groupBy('o_orderpriority', 'weight')\n"
+        "        .agg(F.count(F.lit(1)).alias('n')))\n"
+        "```"
+    )
+    llm = ScriptedLLM(
+        {
+            "route analytics questions": EXPERT_DA,
+            "classify dataset questions": ANALYST,
+            "analysis plans": PLAN,
+            "write PySpark code": join_code,
+            "Summarize the analysis": "Joined.",
+        }
+    )
+    orders = load_table(spark, SF_DIR, "orders")
+    bamboo = BambooAI(
+        orders,
+        llm=llm,
+        planning=True,
+        store_dir=str(tmp_path / "threads"),
+        execution_mode="api",
+        executor_api_url=live_service,
+        auxiliary_datasets=[str(aux_csv)],
+    )
+    # the aux file was uploaded to the SERVICE's aux dir, not executed from
+    # the local path
+    ex = bamboo._orch.executor
+    assert len(ex.aux_paths) == 1 and ex.aux_paths[0] != str(aux_csv)
+
+    res = bamboo.pd_agent_converse("Orders per priority, weighted")
+    assert res.ok, res.errors
+    got = {
+        (r["o_orderpriority"], r["weight"], r["n"]) for r in res.df.collect()
+    }
+    con = duckdb.connect()
+    want = {
+        tuple(r)
+        for r in con.execute(
+            f"""
+            SELECT o.o_orderpriority, a.weight, COUNT(*) AS n
+            FROM read_parquet('{SF_DIR}/orders.parquet') o
+            JOIN read_csv_auto('{aux_csv}') a USING (o_orderpriority)
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    assert got == want and len(got) == 5
+
+
+def test_facade_api_mode_guards(spark, tmp_path, live_service):
+    """api mode still refuses GENERIC extra_vars (only the uploaded-aux
+    shape is supported) and disables the local sample-first probe
+    (remotely it would double-apply mutations)."""
+    from bambooai_spark import BambooAI
+
+    client = RemoteExecutorClient("http://x", transport=lambda p, b: {})
+    ex = RemoteSparkExecutor(client, df_name="df0")
+    with pytest.raises(RuntimeError, match="extra_vars"):
+        ex.execute("df = df", extra_vars={"other": 1})
+    # aux-shaped extra_vars without uploaded files are refused too
+    with pytest.raises(RuntimeError, match="extra_vars"):
+        ex.execute("df = df", extra_vars={"aux": {}})
 
     bamboo = BambooAI(
         load_table(spark, SF_DIR, "orders"),

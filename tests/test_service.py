@@ -80,6 +80,55 @@ def test_aux_previews_over_http(client):
     assert "r_regionkey" in r.get_json()["text"]
 
 
+def test_execute_aux_upload_and_traversal_guard(client, tmp_path):
+    """/file_utils/upload_aux_dataset returns a server path /execute can
+    name in aux_paths (the api-mode aux flow); paths OUTSIDE the service's
+    aux dir are rejected with 400, not read (no traversal). Hermetic: the
+    test uploads its OWN primary dataset — /execute re-registers the
+    mutated frame under df_name, so joining on the shared fixture would
+    corrupt it for later tests."""
+    import io
+
+    base = tmp_path / "pairs.csv"
+    base.write_text("id,v\n1,10\n2,20\n")
+    r0 = client.post(
+        "/upload_dataset",
+        data={"file": (io.BytesIO(base.read_bytes()), "pairs.csv")},
+        content_type="multipart/form-data",
+    )
+    own_name = r0.get_json()["df_name"]
+
+    aux = tmp_path / "codes.csv"
+    aux.write_text("id,code\n1,a\n2,b\n")
+    r = client.post(
+        "/file_utils/upload_aux_dataset",
+        data={"file": (io.BytesIO(aux.read_bytes()), "codes.csv")},
+        content_type="multipart/form-data",
+    )
+    server_path = r.get_json()["filepath"]
+    assert server_path != str(aux)
+
+    r2 = client.post(
+        "/execute",
+        json={
+            "code": "df = df.join(aux['aux_codes'], 'id')"
+                    ".select('id', 'v', 'code')",
+            "df_name": own_name,
+            "aux_paths": [server_path],
+        },
+    )
+    body = r2.get_json()
+    assert body["error"] is None
+    assert body["rows"] == 2 and "code" in body["columns"]
+
+    r3 = client.post(
+        "/execute",
+        json={"code": "df = df", "df_name": own_name,
+              "aux_paths": [str(aux)]},
+    )
+    assert r3.status_code == 400
+
+
 def test_serialize_roundtrip(client, spark, df_name):
     r = client.post("/serialize", json={"df_name": df_name})
     payload = r.get_json()["payload"]
