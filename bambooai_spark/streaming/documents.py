@@ -77,25 +77,31 @@ def stream_ingest_to_corpus(
     token_col: str | None = "n_words",
     max_records_per_file: int | None = 100_000,
     available_now: bool = True,
+    checkpoint_location: str | None = None,
 ):
     """The COMPLETE streaming pipeline in one sink:
     ingest → quality gate → PII scrub → exact dedup → curated corpus.
 
     ``foreachBatch`` hands each micro-batch over as a normal DataFrame;
     the batch runs the stateless ingest projection, drops gated-out
-    documents, and flows through :func:`operators.writer.append_corpus` —
-    whose fingerprint-ledger anti-join dedups the batch against EVERYTHING
-    already stored (earlier batches included) and delta-merges the
-    manifest in O(batch). Replays of FULLY-COMMITTED micro-batches are
-    idempotent: their documents die on the ledger. The guarantee is
-    at-least-once with a narrow duplicate window, not exactly-once —
-    ``append_corpus`` appends corpus parquet BEFORE the ledger rows, so a
-    batch that crashes between the two writes and is replayed by
-    Structured Streaming re-appends those documents (their fingerprints
-    never reached the ledger). Closing the window needs an atomic
-    commit of (corpus, ledger) keyed by ``batch_id`` — a transactional
-    table format's job (Delta/Iceberg MERGE), out of scope for the plain
-    parquet corpus here.
+    documents, and flows through the TRANSACTIONAL
+    :func:`operators.writer.append_corpus_txn`, keyed by the micro-batch
+    id — whose fingerprint-ledger anti-join dedups the batch against
+    EVERYTHING already stored (earlier batches included) and delta-merges
+    the manifest in O(batch). The guarantee is EXACTLY-ONCE under
+    crash-replay: each batch stages its corpus parquet and ledger rows
+    under ``_staging/batch_id=N`` and commits via resumable deterministic
+    renames + a ``_commits`` marker, so a batch replayed by Structured
+    Streaming after a crash at ANY point (including between the corpus
+    and ledger writes — the former at-least-once window) resumes the
+    commit instead of re-appending. See ``append_corpus_txn``'s docstring
+    for the protocol and its rename-atomicity assumptions.
+
+    ``checkpoint_location`` — pass a durable path in production: it is
+    what makes Structured Streaming re-deliver a crashed batch with the
+    SAME batch_id on restart (without it a restarted query begins a new
+    run at batch 0 and re-reads the source — still duplicate-free here
+    thanks to the ledger anti-join, but O(source) re-work).
 
     With ``available_now=True`` (default) the call drains the source,
     awaits termination, and returns the final manifest DataFrame (None if
@@ -104,11 +110,26 @@ def stream_ingest_to_corpus(
     returns the live ``StreamingQuery`` handle immediately (awaiting a
     continuous query would block forever); read the manifest from disk.
     """
-    from bambooai_spark.operators.writer import append_corpus  # noqa: PLC0415
+    import hashlib  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
 
+    from bambooai_spark.operators.writer import append_corpus_txn  # noqa: PLC0415
+
+    # micro-batch ids are only unique within one checkpointed query
+    # lineage — namespace the transaction ids so a FRESH run's batch 0
+    # can't hit a previous run's commit marker. With a checkpoint the
+    # namespace is stable across restarts (that's what makes replay
+    # detection work); without one, each call is its own namespace and
+    # cross-run dedup falls back to the fingerprint ledger (no replays
+    # happen without a checkpoint anyway).
+    ns = (
+        hashlib.md5(checkpoint_location.encode("utf-8")).hexdigest()[:8]
+        if checkpoint_location
+        else uuid.uuid4().hex[:8]
+    )
     holder: dict = {"manifest": None}
 
-    def _append(batch_df: DataFrame, _batch_id: int) -> None:
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
         ingested = (
             ingest_documents(batch_df)
             .filter(F.col("keep"))
@@ -116,9 +137,10 @@ def stream_ingest_to_corpus(
         )
         if ingested.isEmpty():
             return
-        holder["manifest"] = append_corpus(
+        holder["manifest"] = append_corpus_txn(
             ingested,
             path,
+            f"{ns}-{batch_id}",
             partition_by=partition_by,
             id_col="doc_id",
             text_col="text",
@@ -127,6 +149,8 @@ def stream_ingest_to_corpus(
         )
 
     writer = docs_stream.writeStream.foreachBatch(_append)
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
     if not available_now:
         return writer.start()
     q = writer.trigger(availableNow=True).start()
