@@ -157,6 +157,18 @@ class RemoteExecutorClient:
         )
         return out["df_name"]
 
+    def register_dataset(self, path: str, df_name: str | None = None) -> str:
+        """POST /register_dataset — register a dataset the service reads
+        DIRECTLY from shared storage (a parquet directory or file on
+        file://, hdfs://, or s3a://) instead of shipping bytes over HTTP.
+        Reference analog: the server-side path-based aux flow
+        (web_app/code_executor_api.py:379-406); this is its primary-frame
+        counterpart for the 100 TB case."""
+        body: dict = {"path": path}
+        if df_name:
+            body["df_name"] = df_name
+        return self._post("/register_dataset", body)["df_name"]
+
     def serialize(self, df_name: str, max_rows: int = 10_000) -> str:
         return self._post(
             "/serialize", {"df_name": df_name, "max_rows": max_rows}
@@ -185,8 +197,11 @@ class RemoteSparkExecutor:
     local mode; execution happens in the service process.
 
     ``df_name`` may be pre-set (a dataset already living on the service,
-    the reference web-app flow) or established lazily by uploading the
-    first ``df`` seen (one single-file parquet upload, never repeated).
+    the reference web-app flow) or established lazily from the first
+    ``df`` seen — via SHARED STORAGE when ``shared_dir`` is set (full
+    write parallelism, register-by-path, the scale path) or via one
+    single-file parquet upload otherwise (the genuinely remote small-frame
+    fallback, guarded by ``max_upload_rows``).
     """
 
     def __init__(
@@ -197,6 +212,8 @@ class RemoteSparkExecutor:
         fetch_df: bool = True,
         max_rows: int = 10_000,
         aux_paths: list[str] | None = None,
+        shared_dir: str | None = None,
+        max_upload_rows: int | None = 100_000,
     ):
         self.client = client
         self.df_name = df_name
@@ -206,12 +223,41 @@ class RemoteSparkExecutor:
         # SERVER-side aux file paths (from client.upload_aux_dataset); the
         # service rebuilds aux['<name>'] from them on every /execute
         self.aux_paths: list[str] = list(aux_paths or [])
+        # storage both client and service can read (file://, hdfs://,
+        # s3a://): frames register by PATH instead of funneling through one
+        # coalesce(1) task + one HTTP body
+        self.shared_dir = shared_dir
+        self.max_upload_rows = max_upload_rows
 
     def ensure_uploaded(self, df: DataFrame) -> str:
-        """Upload ``df`` once as a single parquet file; later turns reuse
-        the server-side name."""
+        """Establish the server-side dataset once; later turns reuse the
+        name. With ``shared_dir``, the frame is written as a normal
+        multi-file parquet directory at full parallelism and the service
+        registers it by path (zero bytes over HTTP). Without it, the frame
+        is shipped as one single-file parquet upload — a one-task funnel,
+        so frames above ``max_upload_rows`` are refused loudly instead of
+        silently spilling through the driver."""
         if self.df_name is not None:
             return self.df_name
+        if self.shared_dir is not None:
+            out = (
+                self.shared_dir.rstrip("/")
+                + f"/upload_{uuid.uuid4().hex[:8]}.parquet"
+            )
+            df.write.parquet(out)
+            self.df_name = self.client.register_dataset(out)
+            return self.df_name
+        if self.max_upload_rows is not None:
+            n = df.limit(self.max_upload_rows + 1).count()
+            if n > self.max_upload_rows:
+                raise RuntimeError(
+                    f"refusing to upload a frame larger than "
+                    f"{self.max_upload_rows} rows through the single-file "
+                    f"HTTP path (it coalesces to ONE task and ONE request "
+                    f"body); pass shared_dir= to register it by path from "
+                    f"shared storage, pre-register it on the service and "
+                    f"pass df_name=, or raise max_upload_rows explicitly"
+                )
         import glob  # noqa: PLC0415
         import shutil  # noqa: PLC0415
         import tempfile  # noqa: PLC0415

@@ -80,6 +80,7 @@ class BambooAI:
         execution_mode: str | None = None,
         executor_api_url: str | None = None,
         executor_df_name: str | None = None,
+        executor_shared_dir: str | None = None,
     ):
         if df is None:
             raise ValueError("df is required (a pyspark.sql.DataFrame)")
@@ -139,8 +140,17 @@ class BambooAI:
             # frame uploads once, eagerly — before any sample-first probe
             # could pin a limited frame as the server-side dataset. (df_id
             # stays what it is elsewhere: a local display label.)
+            # executor_shared_dir — storage both this session and the
+            # service can read (file://, hdfs://, s3a://): the frame is
+            # written there at full parallelism and registered by PATH
+            # (zero bytes over HTTP) instead of the single-file upload
+            shared = executor_shared_dir or os.environ.get(
+                "EXECUTOR_SHARED_DIR"
+            )
             remote_executor = RemoteSparkExecutor(
-                RemoteExecutorClient(url), df_name=executor_df_name
+                RemoteExecutorClient(url),
+                df_name=executor_df_name,
+                shared_dir=shared,
             )
             if executor_df_name is None:
                 remote_executor.ensure_uploaded(df)

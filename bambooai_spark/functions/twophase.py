@@ -70,7 +70,17 @@ def grouped_prefix_bridge(
         return None
     acc: dict = {}
     rows: list[tuple] = []
-    for row in sorted(totals, key=lambda r: (r[key_col], r[pid_col])):
+    # None-safe sort key: cross-group order is irrelevant (offsets are
+    # per-group), so NULL group keys sort first behind a comparable
+    # placeholder — a plain (key, pid) key would TypeError on NULL
+    for row in sorted(
+        totals,
+        key=lambda r: (
+            r[key_col] is not None,
+            r[key_col] if r[key_col] is not None else 0,
+            r[pid_col],
+        ),
+    ):
         g = row[key_col]
         rows.append((row[pid_col], g, acc.get(g, 0)))
         # an all-NULL slice (e.g. NULL-valued rows only) sums to None —

@@ -64,7 +64,7 @@ def pack_sequences(
     num_partitions: int | None = None,
     checkpoint: bool = True,
     strategy: str = "auto",
-    small_input_bytes: int = 128 << 20,
+    small_input_bytes: int = 32 << 20,
 ) -> DataFrame:
     """Assign every document its packed position: ``(id, streams…, n_tok,
     chunk_id, chunk_offset)`` where ``chunk_id = offset // budget`` and
@@ -77,6 +77,13 @@ def pack_sequences(
     parallel on few/one giant streams); ``"auto"`` (default) picks by the
     optimizer's size estimate of the 3-column projection vs
     ``small_input_bytes``. Both strategies produce identical rows.
+
+    ``small_input_bytes`` is compared against Catalyst's ``sizeInBytes``,
+    which for file sources is an ON-DISK (compressed) estimate — a
+    heavily compressed text column can be several times larger in memory.
+    The 32 MB default leaves that headroom (≈4× for typical snappy text)
+    so ``auto`` never routes a spill-sized input into the single-task
+    window sort; oversize or unknown estimates fail safe to two-phase.
 
     Two-phase details: range-partition on ``(streams…, id)`` so one
     stream spans many ordered partitions; local inclusive cumsum per

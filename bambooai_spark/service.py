@@ -64,6 +64,7 @@ from __future__ import annotations
 import contextlib
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import SparkSession
 
@@ -145,16 +146,27 @@ def create_app(
         same deterministic naming the local sandbox uses
         (sources.ingest.load_aux_tables) — generated code written against
         ``aux['<name>']`` runs identically on either side of the split.
-        Paths must live under the service's own aux dir (no traversal)."""
+        Paths must live under the service's own aux dir (no traversal).
+        Returns ``(tables, failed_paths)`` — a requested path whose table
+        did not materialize must surface as a REAL error, not as the
+        opaque ``NameError: aux['<name>']`` the generated code would hit
+        (ADVICE r6)."""
         from flask import abort
 
-        from bambooai_spark.sources.ingest import load_aux_tables
+        from bambooai_spark.sources.ingest import (
+            aux_table_name,
+            load_aux_tables,
+        )
 
         for p in paths:
             real = os.path.realpath(str(p))
             if os.path.commonpath([real, aux_exec_dir]) != aux_exec_dir:
                 abort(400, description=f"aux path outside the aux dir: {p}")
-        return load_aux_tables(spark, [str(p) for p in paths])
+        tables = load_aux_tables(spark, [str(p) for p in paths])
+        failed = [
+            str(p) for p in paths if aux_table_name(str(p)) not in tables
+        ]
+        return tables, failed
 
     @app.post("/execute")
     def execute():
@@ -162,8 +174,21 @@ def create_app(
         df = _df(body["df_name"]) if body.get("df_name") else None
         aux_paths = body.get("aux_paths") or []
         ev = None
+        aux_names: list[str] = []
         if aux_paths:
-            tables = _aux_exec_tables(list(aux_paths))
+            tables, failed = _aux_exec_tables(list(aux_paths))
+            if failed:
+                # report as a normal execution error so the client's retry
+                # loop sees the actual cause instead of a NameError on
+                # aux['<name>'] (or an opaque HTTP 400)
+                return jsonify(
+                    {
+                        "results": None,
+                        "error": "auxiliary dataset(s) failed to load on "
+                        f"the executor: {failed}",
+                    }
+                )
+            aux_names = sorted(tables)
             ev = {"aux": tables} if tables else None
         res = executor.execute(
             _field(body, "code"), df=df, spark=spark, extra_vars=ev
@@ -175,6 +200,10 @@ def create_app(
             "plots": res.plots,
             "generated_datasets": res.generated_datasets,
         }
+        if aux_names:
+            # which aux['<name>'] tables this call rebuilt (ADVICE r6:
+            # lets the client distinguish a missing table from a typo)
+            out["aux_names"] = aux_names
         if res.ok and res.df is not None:
             name = registry.register(res.df, body.get("df_name"))
             out["df_name"] = name
@@ -191,22 +220,54 @@ def create_app(
         name = registry.register_file(path, request.form.get("df_name"))
         return jsonify({"df_name": name})
 
+    @app.post("/register_dataset")
+    def register_dataset():
+        """Register a dataset the service reads DIRECTLY from shared
+        storage — the scale path for api mode: the client writes a normal
+        multi-file parquet directory (full parallelism) to storage both
+        sides mount (file://, hdfs://, s3a://) and names it here, instead
+        of funneling the frame through one coalesce(1) task and one HTTP
+        body (reference analog: the path-based aux flow,
+        web_app/code_executor_api.py:379-406). Path access is inside the
+        service's existing trust boundary — /execute already runs
+        arbitrary client code in this process."""
+        body = request.get_json(force=True)
+        path = str(_field(body, "path"))
+        try:
+            name = registry.register_file(path, body.get("df_name"))
+            # fail now, not on first /execute: a bogus path should 400 the
+            # registration call
+            registry.get(name).schema
+        except Exception as exc:
+            return (
+                jsonify({"error": f"cannot read dataset at {path}: {exc}"}),
+                400,
+            )
+        return jsonify({"df_name": name})
+
     @app.post("/file_utils/upload_aux_dataset")
     def upload_aux_dataset():
         """Reference code_executor_api.py:379-406: save the auxiliary file
         on the executor and return the server-side path the client then
-        names in /execute's aux_paths. Same-name re-upload overwrites (the
-        reference behavior); the unique-temp + atomic-rename write keeps a
-        concurrent /execute from ever reading a partial file."""
+        names in /execute's aux_paths. Each upload lands in its own uuid
+        subdirectory (basename preserved — the deterministic aux_<name>
+        naming reads only the basename), so two concurrent sessions
+        uploading different files that SHARE a basename can't overwrite
+        each other (ADVICE r6); the client addresses the file by the
+        returned path, so this is protocol-invisible. The unique-temp +
+        atomic-rename write keeps a concurrent /execute from ever reading
+        a partial file."""
         from flask import abort
 
         f = request.files["file"]
         fname = os.path.basename(f.filename or "")
         if not fname or fname.startswith("."):
             abort(400, description="invalid filename")
-        path = os.path.join(aux_exec_dir, fname)
+        updir_unique = os.path.join(aux_exec_dir, uuid.uuid4().hex[:12])
+        os.makedirs(updir_unique, exist_ok=True)
+        path = os.path.join(updir_unique, fname)
         fd, tmp = tempfile.mkstemp(
-            dir=aux_exec_dir, prefix=fname + ".uploading."
+            dir=updir_unique, prefix=fname + ".uploading."
         )
         os.close(fd)
         try:

@@ -118,6 +118,14 @@ def _read_head(spark: SparkSession, path: str, num_rows: int) -> DataFrame | Non
     return None
 
 
+def aux_table_name(path: str) -> str:
+    """The deterministic ``aux_<sanitized basename>`` table name — ONE
+    definition shared by the local sandbox and the executor service so the
+    split deployment agrees on ``aux['<name>']`` keys."""
+    base = os.path.splitext(os.path.basename(path))[0]
+    return "aux_" + "".join(c if c.isalnum() else "_" for c in base)
+
+
 def load_aux_tables(
     spark: SparkSession, file_paths: list[str]
 ) -> dict[str, DataFrame]:
@@ -133,8 +141,7 @@ def load_aux_tables(
     reg = DatasetRegistry(spark)
     tables: dict[str, DataFrame] = {}
     for path in file_paths:
-        base = os.path.splitext(os.path.basename(path))[0]
-        name = "aux_" + "".join(c if c.isalnum() else "_" for c in base)
+        name = aux_table_name(path)
         try:
             name = reg.register_file(path, name)
             tables[name] = reg.get(name)

@@ -264,3 +264,96 @@ def test_facade_api_mode_guards(spark, tmp_path, live_service):
         store_dir=str(tmp_path / "threads"),
     )
     assert bamboo._orch.sample_first is None
+
+
+def test_upload_spill_guard_refuses_large_frame(spark):
+    """The single-file HTTP upload coalesces the frame into ONE task and
+    ONE request body — a frame above max_upload_rows must fail fast with
+    a pointer at the register-by-path alternative, not funnel through."""
+    client = RemoteExecutorClient("http://x", transport=lambda p, b: {})
+    ex = RemoteSparkExecutor(client, max_upload_rows=50)
+    orders = load_table(spark, SF_DIR, "orders")
+    with pytest.raises(RuntimeError, match="shared_dir"):
+        ex.ensure_uploaded(orders)
+    assert ex.df_name is None  # nothing was established
+
+
+def test_register_dataset_bad_path_is_a_400(live_service):
+    import urllib.error
+
+    client = RemoteExecutorClient(live_service)
+    with pytest.raises(urllib.error.HTTPError):
+        client.register_dataset("/no/such/dir/data.parquet")
+
+
+def test_facade_api_mode_register_by_path_shared_dir(
+    spark, tmp_path, live_service, monkeypatch
+):
+    """The scale path for api mode: with executor_shared_dir the frame is
+    written as a MULTI-FILE parquet directory at full parallelism and the
+    service registers it by path — no coalesce(1), no multipart upload —
+    and the query answer is oracle-exact (reference analog: the
+    path-based aux flow, web_app/code_executor_api.py:379-406)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from bambooai_spark import BambooAI
+    from bambooai_spark.executor import client as client_mod
+
+    def no_upload(self, path, df_name=None):
+        raise AssertionError("single-file upload must not be used")
+
+    monkeypatch.setattr(
+        client_mod.RemoteExecutorClient, "upload_dataset", no_upload
+    )
+
+    shared = tmp_path / "shared"
+    shared.mkdir()
+    orders = load_table(spark, SF_DIR, "orders").repartition(4)
+    llm = ScriptedLLM(
+        {
+            "route analytics questions": EXPERT_DA,
+            "classify dataset questions": ANALYST,
+            "analysis plans": PLAN,
+            "write PySpark code": GOOD_CODE,
+            "Summarize the analysis": "Computed.",
+        }
+    )
+    bamboo = BambooAI(
+        orders,
+        llm=llm,
+        planning=True,
+        store_dir=str(tmp_path / "threads"),
+        execution_mode="api",
+        executor_api_url=live_service,
+        executor_shared_dir=str(shared),
+    )
+    ex = bamboo._orch.executor
+    assert ex.df_name is not None  # registered by path at construction
+
+    # the shared-storage write kept the frame's parallelism — several part
+    # files, which a coalesce(1) path could never produce
+    parts = glob.glob(str(shared / "upload_*.parquet" / "part-*.parquet"))
+    assert len(parts) >= 2
+
+    res = bamboo.pd_agent_converse("Count orders per month in 1997")
+    assert res.ok, res.error
+    got = {(r["order_month"], r["order_count"]) for r in res.df.collect()}
+    want = {
+        (r["order_month"], r["order_count"])
+        for r in load_table(spark, SF_DIR, "orders")
+        .filter(F.year("o_orderdate") == 1997)
+        .groupBy(
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+            ).alias("order_month")
+        )
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .collect()
+    }
+    assert got == want and len(got) == 12
+
+    # follow-up turn mutates the PATH-registered server dataset
+    res2 = bamboo.pd_agent_converse(user_code="df = df.limit(3)")
+    assert res2.ok and res2.df.count() == 3

@@ -381,3 +381,52 @@ def test_grouped_ntile_and_top_k_validate_k(spark):
         grouped_ntile(df, ["g"], ["v"], 0)
     with _pytest.raises(ValueError):
         grouped_top_k(df, ["g"], ["v"], 0)
+
+
+def test_prefix_bridge_handles_null_group_keys(spark):
+    """grouped_prefix_bridge's driver-side sort must survive NULL group
+    keys spread over several partitions (ADVICE r6: the old (key, pid)
+    sort key raised TypeError on NULL) — and with_bridge's eqNullSafe
+    join must give the NULL group correct offsets and totals."""
+    from pyspark.sql import functions as F
+
+    from bambooai_spark.functions.twophase import (
+        grouped_prefix_bridge,
+        with_bridge,
+    )
+
+    rows = [
+        (i, None if i % 3 == 0 else ("a" if i % 2 == 0 else "b"), i + 1)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "id LONG, g STRING, n LONG")
+    part = (
+        df.repartition(4, "id")  # NULL-key rows land in MANY partitions
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_skey", F.col("g"))
+        .persist()
+    )
+    try:
+        bridge = grouped_prefix_bridge(part, F.sum("n"))
+        joined = with_bridge(part, bridge)
+        # every row (NULL group included) got a non-null offset and the
+        # group's grand total
+        assert joined.filter("_offset IS NULL OR _total IS NULL").count() == 0
+        want = {
+            r["g"]: r["t"]
+            for r in df.groupBy("g").agg(F.sum("n").alias("t")).collect()
+        }
+        got = {
+            r["_skey"]: r["_total"]
+            for r in joined.select("_skey", "_total").distinct().collect()
+        }
+        assert got == want
+        # offsets partition the total: sum of (slice sums) per group via
+        # distinct (pid, offset) rows reconstructs each group's prefix set
+        null_slices = (
+            bridge.filter("_skey IS NULL").select("_offset", "_total").collect()
+        )
+        assert len(null_slices) >= 2  # NULLs genuinely spanned partitions
+        assert all(r["_total"] == want[None] for r in null_slices)
+    finally:
+        part.unpersist()

@@ -949,3 +949,79 @@ def test_index_page_served_in_agent_mode(spark, tmp_path):
     bare = create_app(spark, upload_dir=str(tmp_path / "up2"))
     bare.config["TESTING"] = True
     assert bare.test_client().get("/").status_code == 404
+
+
+def test_same_basename_aux_uploads_do_not_overwrite(client):
+    """Two sessions uploading DIFFERENT files that share a basename must
+    not clobber each other (ADVICE r6): each upload lands in its own
+    uuid subdirectory, and /execute's aux rebuild reads each by its own
+    returned path."""
+    import io
+
+    r1 = client.post(
+        "/file_utils/upload_aux_dataset",
+        data={"file": (io.BytesIO(b"id,code\n1,first\n"), "codes.csv")},
+        content_type="multipart/form-data",
+    )
+    r2 = client.post(
+        "/file_utils/upload_aux_dataset",
+        data={"file": (io.BytesIO(b"id,code\n1,second\n"), "codes.csv")},
+        content_type="multipart/form-data",
+    )
+    p1, p2 = r1.get_json()["filepath"], r2.get_json()["filepath"]
+    assert p1 != p2
+    with open(p1) as fh:
+        assert "first" in fh.read()
+    with open(p2) as fh:
+        assert "second" in fh.read()
+
+
+def test_execute_unloadable_aux_is_a_real_error_and_names_reported(
+    client, df_name
+):
+    """A requested aux path that fails to load must surface as an
+    execution error NAMING the path — not the opaque NameError the
+    generated code would hit (ADVICE r6). Successful calls report which
+    aux tables were rebuilt."""
+    import io
+    import os
+
+    up = client.post(
+        "/file_utils/upload_aux_dataset",
+        data={"file": (io.BytesIO(b"id,w\n1,9\n"), "weights.csv")},
+        content_type="multipart/form-data",
+    )
+    good = up.get_json()["filepath"]
+    missing = os.path.join(os.path.dirname(good), "ghost.csv")
+
+    r = client.post(
+        "/execute",
+        json={"code": "df = df", "df_name": df_name,
+              "aux_paths": [good, missing]},
+    )
+    body = r.get_json()
+    assert body["error"] is not None
+    assert "ghost.csv" in body["error"] and "aux" in body["error"].lower()
+
+    ok = client.post(
+        "/execute",
+        json={"code": "df = df", "df_name": df_name, "aux_paths": [good]},
+    )
+    assert ok.get_json()["error"] is None
+    assert ok.get_json()["aux_names"] == ["aux_weights"]
+
+
+def test_register_dataset_by_path(client, spark):
+    """/register_dataset reads a parquet location straight from shared
+    storage — the api-mode scale path (no bytes over HTTP)."""
+    r = client.post(
+        "/register_dataset", json={"path": f"{SF_DIR}/region.parquet"}
+    )
+    name = r.get_json()["df_name"]
+    cols = client.post("/df_utils/df_columns", json={"df_name": name})
+    assert "r_regionkey" in cols.get_json()["columns"]
+
+    bad = client.post(
+        "/register_dataset", json={"path": "/no/such/data.parquet"}
+    )
+    assert bad.status_code == 400
