@@ -275,6 +275,26 @@ def vllm_adapter(model: str = "default", **kw):
     )
 
 
+def gemini_openai_adapter(model: str = "gemini-2.0-flash", **kw):
+    """Gemini over the OpenAI wire (reference
+    models/gemini_models_openai.py:12-19 — the OpenAI client pointed at
+    Google's public OpenAI-compat endpoint
+    ``generativelanguage.googleapis.com/v1beta/openai/`` with
+    GEMINI_API_KEY as the bearer token). The NATIVE-wire twin is
+    :func:`gemini_adapter`; this one exists because the reference ships
+    both and some proxies only speak the OpenAI shape."""
+    return openai_compatible_adapter(
+        os.environ.get(
+            "GEMINI_OPENAI_BASE_URL",
+            "https://generativelanguage.googleapis.com/v1beta/openai/"
+            "chat/completions",
+        ),
+        model=model,
+        api_key_env="GEMINI_API_KEY",
+        **kw,
+    )
+
+
 def local_adapter(model: str = "local", **kw):
     """Self-hosted OpenAI-compatible endpoint, no key (the Spark-side
     substitution for the reference's in-process transformers pipeline,

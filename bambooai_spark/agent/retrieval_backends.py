@@ -90,49 +90,73 @@ class PineconeBackend:
 
 
 class QdrantBackend:
-    """Thin wrapper over a Qdrant collection (reference
-    qa_retrieval.py:390-501: ``search(collection_name=..., query_vector=
-    ..., limit=...)`` / ``upsert(points=[PointStruct(...)])`` /
-    ``delete``). Import-gated: requires the public ``qdrant-client``
-    package."""
+    """Thin wrapper over a Qdrant collection, matching the REFERENCE's
+    actual request shapes (qa_retrieval.py:387-465): Qdrant only accepts
+    UUID/integer point ids, so arbitrary record ids map through
+    ``uuid5(NAMESPACE_DNS, id)`` with the original id round-tripped in
+    the payload's ``original_id`` (qa_retrieval.py:387-396); queries go
+    through the modern ``query_points`` API (qa_retrieval.py:399-404);
+    deletes use a points-id selector (qa_retrieval.py:455-461).
+    Import-gated: the typed ``PointStruct``/``PointIdsList`` models are
+    used when the public ``qdrant-client`` package is importable, with
+    the equivalent REST-shape dicts (which the client also accepts) as
+    the fallback — that keeps the wire contract testable with a recorded
+    fake transport in this container."""
 
     def __init__(self, client, collection: str):
         self.client = client
         self.collection = collection
 
+    @staticmethod
+    def _point_id(record_id) -> str:
+        import uuid  # noqa: PLC0415
+
+        return str(uuid.uuid5(uuid.NAMESPACE_DNS, str(record_id)))
+
     def query(self, vector, top_k: int = 1):
-        hits = self.client.search(
+        res = self.client.query_points(
             collection_name=self.collection,
-            query_vector=list(vector),
+            query=list(vector),
             limit=top_k,
             with_payload=True,
         )
-        return [
-            BackendMatch(
-                record_id=str(h.id),
-                score=float(h.score),
-                metadata=dict(h.payload or {}),
+        out = []
+        for h in res.points:
+            payload = dict(h.payload or {})
+            original = payload.get("original_id", payload.get("id"))
+            out.append(
+                BackendMatch(
+                    record_id=str(original) if original else str(h.id),
+                    score=float(h.score),
+                    metadata=payload,
+                )
             )
-            for h in hits
-        ]
+        return out
 
     def upsert(self, record_id, vector, metadata):
+        payload = dict(metadata)
+        payload.setdefault("original_id", str(record_id))
+        point = {
+            "id": self._point_id(record_id),
+            "vector": list(vector),
+            "payload": payload,
+        }
         try:
             from qdrant_client.models import PointStruct  # noqa: PLC0415
-        except ImportError as exc:  # pragma: no cover - lib not in container
-            raise RuntimeError(
-                "QdrantBackend needs the 'qdrant-client' package"
-            ) from exc
-        self.client.upsert(
-            collection_name=self.collection,
-            points=[
-                PointStruct(
-                    id=record_id, vector=list(vector), payload=metadata
-                )
-            ],
-        )
+
+            point = PointStruct(**point)
+        except ImportError:
+            pass  # dict form carries the same wire shape
+        self.client.upsert(collection_name=self.collection, points=[point])
 
     def delete(self, record_id):
+        selector = {"points": [self._point_id(record_id)]}
+        try:
+            from qdrant_client.models import PointIdsList  # noqa: PLC0415
+
+            selector = PointIdsList(**selector)
+        except ImportError:
+            pass
         self.client.delete(
-            collection_name=self.collection, points_selector=[record_id]
+            collection_name=self.collection, points_selector=selector
         )

@@ -1076,6 +1076,8 @@ def test_openai_compatible_family_wire_contract():
         (P.vllm_adapter, "default", OPENAI_FIXTURE,
          "```python\ndf = df.limit(2)\n```"),
         (P.local_adapter, "local", OPENROUTER_FIXTURE, "ok: routed"),
+        (P.gemini_openai_adapter, "gemini-2.0-flash", OPENAI_FIXTURE,
+         "```python\ndf = df.limit(2)\n```"),
     ]
     for factory, model, fixture, expect in cases:
         sent = []
@@ -1085,6 +1087,46 @@ def test_openai_compatible_family_wire_contract():
         assert body["model"] == model
         assert body["messages"][0] == {"role": "system", "content": "sys prompt"}
         assert body["messages"][1] == {"role": "user", "content": "user msg"}
+
+
+def test_gemini_openai_adapter_endpoint_and_key(monkeypatch):
+    """The gemini-over-OpenAI-wire variant (reference
+    models/gemini_models_openai.py:12-19) hits Google's OpenAI-compat
+    endpoint with GEMINI_API_KEY as the bearer token — recorded-transport
+    check of URL, auth header, and body shape."""
+    import io
+    import json as _json
+    import urllib.request
+
+    from bambooai_spark.agent.providers import gemini_openai_adapter
+
+    seen = []
+
+    def fake_urlopen(req, timeout=0):
+        seen.append(req)
+        return io.BytesIO(_json.dumps(OPENAI_FIXTURE).encode())
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    monkeypatch.setenv("GEMINI_API_KEY", "g-key")
+    monkeypatch.delenv("GEMINI_OPENAI_BASE_URL", raising=False)
+
+    out = gemini_openai_adapter()("sys", "user msg")
+    assert out == "```python\ndf = df.limit(2)\n```"
+    [req] = seen
+    assert req.full_url == (
+        "https://generativelanguage.googleapis.com/v1beta/openai/"
+        "chat/completions"
+    )
+    assert req.get_header("Authorization") == "Bearer g-key"
+    body = _json.loads(req.data.decode())
+    assert body["model"] == "gemini-2.0-flash"
+    assert body["messages"][1] == {"role": "user", "content": "user msg"}
+
+    # missing key fails loudly, reference init() returns None → crash;
+    # here it's an explicit error
+    monkeypatch.delenv("GEMINI_API_KEY")
+    with pytest.raises(RuntimeError, match="GEMINI_API_KEY"):
+        gemini_openai_adapter()("sys", "u")
 
 
 def test_openai_compatible_auth_header_policy(monkeypatch):

@@ -166,3 +166,123 @@ def test_episodic_memory_backend_same_id_reupsert_survives(spark):
     assert set(be.store) == {"mem-x"}  # not erased by self-delete
     hit = mem.retrieve("count orders per month")
     assert hit is not None and hit.plan == "v2" and hit.rank == 9
+
+
+def test_pinecone_wrapper_request_shapes_recorded():
+    """PineconeBackend must emit exactly the request shapes the reference
+    sends (qa_retrieval.py:277-299: query with include_metadata=True,
+    tuple-form upsert, delete by ids list) — recorded against a fake
+    index standing in for the pinecone client."""
+    from bambooai_spark.agent.retrieval_backends import PineconeBackend
+
+    calls = []
+
+    class FakeIndex:
+        def query(self, **kw):
+            calls.append(("query", kw))
+            return {
+                "matches": [
+                    {"id": "rec-1", "score": 0.97, "metadata": {"q": "t"}},
+                    {"id": "rec-2", "score": 0.81, "metadata": None},
+                ]
+            }
+
+        def upsert(self, **kw):
+            calls.append(("upsert", kw))
+
+        def delete(self, **kw):
+            calls.append(("delete", kw))
+
+    b = PineconeBackend(FakeIndex())
+    got = b.query([0.1, 0.2], top_k=2)
+    assert [(m.record_id, m.score, m.metadata) for m in got] == [
+        ("rec-1", 0.97, {"q": "t"}),
+        ("rec-2", 0.81, {}),
+    ]
+    b.upsert("rec-9", [0.5, 0.5], {"q": "question"})
+    b.delete("rec-9")
+
+    assert calls[0] == (
+        "query",
+        {"vector": [0.1, 0.2], "top_k": 2, "include_metadata": True},
+    )
+    # reference upsert_record: index.upsert(vectors=[(id, vector, meta)])
+    assert calls[1] == (
+        "upsert",
+        {"vectors": [("rec-9", [0.5, 0.5], {"q": "question"})]},
+    )
+    # reference delete_record: index.delete(ids=[str(record_id)])
+    assert calls[2] == ("delete", {"ids": ["rec-9"]})
+
+
+def test_qdrant_wrapper_request_shapes_recorded():
+    """QdrantBackend must follow the reference's Qdrant contract
+    (qa_retrieval.py:387-465): arbitrary record ids map through
+    uuid5(NAMESPACE_DNS, id) because Qdrant only accepts UUID/int point
+    ids, the original id round-trips via the payload's original_id,
+    queries use the modern query_points API, deletes use a point-ids
+    selector."""
+    import uuid
+    from types import SimpleNamespace
+
+    from bambooai_spark.agent.retrieval_backends import QdrantBackend
+
+    uid = str(uuid.uuid5(uuid.NAMESPACE_DNS, "rec-9"))
+    calls = []
+
+    class FakeClient:
+        def query_points(self, **kw):
+            calls.append(("query_points", kw))
+            return SimpleNamespace(
+                points=[
+                    SimpleNamespace(
+                        id=uid,
+                        score=0.95,
+                        payload={"q": "t", "original_id": "rec-9"},
+                    ),
+                    # a point upserted by some other client, no original_id
+                    SimpleNamespace(id="123", score=0.5, payload=None),
+                ]
+            )
+
+        def upsert(self, **kw):
+            calls.append(("upsert", kw))
+
+        def delete(self, **kw):
+            calls.append(("delete", kw))
+
+    b = QdrantBackend(FakeClient(), "bambooai-qa-retrieval-hf")
+    got = b.query([0.1, 0.2], top_k=2)
+    # original id restored for reference-written points; raw id otherwise
+    assert [(m.record_id, m.score) for m in got] == [
+        ("rec-9", 0.95), ("123", 0.5)
+    ]
+
+    b.upsert("rec-9", [0.5, 0.5], {"q": "question"})
+    b.delete("rec-9")
+
+    assert calls[0] == (
+        "query_points",
+        {
+            "collection_name": "bambooai-qa-retrieval-hf",
+            "query": [0.1, 0.2],
+            "limit": 2,
+            "with_payload": True,
+        },
+    )
+    kind, kw = calls[1]
+    assert kind == "upsert" and kw["collection_name"] == "bambooai-qa-retrieval-hf"
+    [point] = kw["points"]
+    # qdrant-client not installed in this container → the dict wire shape
+    assert point == {
+        "id": uid,
+        "vector": [0.5, 0.5],
+        "payload": {"q": "question", "original_id": "rec-9"},
+    }
+    assert calls[2] == (
+        "delete",
+        {
+            "collection_name": "bambooai-qa-retrieval-hf",
+            "points_selector": {"points": [uid]},
+        },
+    )
