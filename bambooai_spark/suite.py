@@ -3720,6 +3720,56 @@ def q13_order_distribution(spark, sf_dir):
 
 
 @spec(
+    "q12_shipmodes",
+    """
+    SELECT l_returnflag AS ship_mode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+    headline=True,
+    doc="TPC-H Q12 shape — shipping-mode priority split: fact-to-fact "
+    "join (lineitem⋈orders on the order key, co-partitioned shuffle at "
+    "scale, NOT a broadcast) with BOTH priority classes counted via "
+    "CASE-WHEN in one aggregation pass — the 'merging + aggregation' "
+    "pattern the reference's planner prompt prescribes "
+    "(messages/default_prompts.yaml:1969). The testdata lineitem carries "
+    "no l_shipmode/l_commitdate/l_receiptdate, so l_returnflag stands in "
+    "as the mode dimension and the shipdate year as the receipt window; "
+    "the aggregation semantics are Q12's exactly. Date range prunes the "
+    "fact scan before the join; both sides project to two columns.",
+)
+def q12_shipmodes(spark, sf_dir):
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(hi, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@spec(
     "q21_sole_fault_supplier",
     """
     SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait FROM (
@@ -3989,6 +4039,19 @@ _PROMOTE = [
     "simhash_md5_near_dup_docs",
     "knn_ivf_md5_embeddings",
     "embed_md5_docs",
+    # Round-7 rotation: the new Q12 analog takes a fresh slot, and seven
+    # r6-displaced classics cycle BACK into the window (VERDICT r6 #6: no
+    # spec's last driver row should age past ~3 rounds) — their slots come
+    # from the head keeps (q18/q7/union/rollup/sessionize/funnel/...),
+    # each of which carries a green r6 row.
+    "q12_shipmodes",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "monthly_orders",
+    "top_customers",
+    "summary_stats_lineitem",
+    "rolling_avg_events",
+    "asof_join_events_orders",
 ]
 _DEMOTE = [
     "isin_orders",
@@ -4034,19 +4097,14 @@ _DEMOTE = [
     # <- quality_filter's stats + group_index, window/rolling <-
     # pack/stratified/ntile, global rank <- ntile_customers, as-of/join <-
     # q21 + top_parts_per_brand, profile <- regex_token_stats).
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "monthly_orders",
-    "top_customers",
-    "summary_stats_lineitem",
     "percentiles_lineitem",
     "corr_lineitem",
-    "rolling_avg_events",
     "dense_rank_users",
-    "asof_join_events_orders",
     "group_index_events",
     "segments_events",
     "regr_slope_events",
+    # (q1, q3, monthly_orders, top_customers, summary_stats, rolling_avg,
+    # asof_join re-promoted in the round-7 rotation above)
 ]
 
 
