@@ -123,10 +123,18 @@ class QdrantBackend:
         out = []
         for h in res.points:
             payload = dict(h.payload or {})
-            original = payload.get("original_id", payload.get("id"))
+            # identity comes ONLY from original_id (None-checked, not
+            # truthiness — '' / 0 are valid ids). The reference also falls
+            # back to a payload key literally named 'id'
+            # (qa_retrieval.py:391-392, its legacy records); here a
+            # generic metadata column named 'id' must not hijack record
+            # identity, so foreign points keep their point id.
+            original = payload.get("original_id")
             out.append(
                 BackendMatch(
-                    record_id=str(original) if original else str(h.id),
+                    record_id=(
+                        str(original) if original is not None else str(h.id)
+                    ),
                     score=float(h.score),
                     metadata=payload,
                 )

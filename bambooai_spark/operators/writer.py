@@ -311,6 +311,12 @@ def append_corpus(
     default) keeps the plain two-write append.
     """
     if batch_id is not None:
+        if full_manifest:
+            raise ValueError(
+                "full_manifest is not supported with batch_id (the "
+                "transactional fold is delta-mode); call build_manifest() "
+                "after the append for the exact O(corpus) rebuild"
+            )
         return append_corpus_txn(
             new_docs,
             path,
@@ -446,13 +452,21 @@ def _merge_manifest_delta(
             loaded = json.loads(_fs_read_text(spark, mpath))
         except ValueError:
             loaded = None
-            rows = [
-                r.asDict()
-                for r in build_manifest(
-                    spark, path, partition_by=tuple(partition_by),
-                    token_col=token_col,
-                ).collect()
-            ]
+            from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+            try:
+                rows = [
+                    r.asDict()
+                    for r in build_manifest(
+                        spark, path, partition_by=tuple(partition_by),
+                        token_col=token_col,
+                    ).collect()
+                ]
+            except AnalysisException:
+                # torn manifest on a corpus with no data files yet (e.g.
+                # the first batches were fully gated away) — rebuild empty
+                # rather than wedging every replay
+                rows = []
             committed = (
                 [str(batch_id)] if batch_id is not None else []
             )
@@ -463,13 +477,22 @@ def _merge_manifest_delta(
     committed = list((loaded or {}).get("committed_batches") or [])
     if batch_id is not None and str(batch_id) in committed:
         return [dict(p) for p in (loaded or {}).get("partitions", [])]
+
+    # partition keys canonicalize through str: the manifest round-trips
+    # through JSON (``default=str``), so a non-string partition value (a
+    # date, say) must match its stringified prior self instead of
+    # duplicating the entry or breaking the sort
+    def _pkey(d: dict) -> tuple:
+        return tuple(
+            None if d[c] is None else str(d[c]) for c in partition_by
+        )
+
     existing: dict[tuple, dict] = {}
     for p in (loaded or {}).get("partitions", []):
-        existing[tuple(p[c] for c in partition_by)] = dict(p)
+        existing[_pkey(p)] = dict(p)
     for d in delta:
-        key = tuple(d[c] for c in partition_by)
         cur = existing.setdefault(
-            key, {c: v for c, v in zip(partition_by, key)}
+            _pkey(d), {c: d[c] for c in partition_by}
         )
         cur["n_rows"] = int(cur.get("n_rows") or 0) + d["n_rows"]
         if token_col:
@@ -482,12 +505,19 @@ def _merge_manifest_delta(
     rows = [
         existing[k]
         for k in sorted(
-            existing, key=lambda t: tuple((v is None, v) for v in t)
+            existing, key=lambda t: tuple((v is None, v or "") for v in t)
         )
     ]
     # uniform keys across rows (delta-touched entries dropped file/byte
-    # counts; untouched ones may still carry them)
-    all_keys = sorted({k for r in rows for k in r}, key=str)
+    # counts; untouched ones may still carry them) — but a key that ended
+    # up None in EVERY row (n_files after all partitions were delta-
+    # touched) is dropped entirely: an all-None column defeats
+    # createDataFrame's schema inference downstream
+    all_keys = [
+        k
+        for k in sorted({k for r in rows for k in r}, key=str)
+        if k in partition_by or any(r.get(k) is not None for r in rows)
+    ]
     rows = [{k: r.get(k) for k in all_keys} for r in rows]
     if batch_id is not None:
         committed = (committed + [str(batch_id)])[-MAX_REMEMBERED_COMMITS:]

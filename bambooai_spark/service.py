@@ -162,6 +162,18 @@ def create_app(
             real = os.path.realpath(str(p))
             if os.path.commonpath([real, aux_exec_dir]) != aux_exec_dir:
                 abort(400, description=f"aux path outside the aux dir: {p}")
+        # two requested paths mapping to ONE deterministic aux name (same
+        # basename from different upload dirs) would silently last-win in
+        # the registry — report the collision instead
+        names: dict[str, str] = {}
+        collided = []
+        for p in paths:
+            n = aux_table_name(str(p))
+            if n in names and names[n] != str(p):
+                collided.append(f"{names[n]} and {p} both map to {n}")
+            names[n] = str(p)
+        if collided:
+            return {}, collided
         tables = load_aux_tables(spark, [str(p) for p in paths])
         failed = [
             str(p) for p in paths if aux_table_name(str(p)) not in tables
@@ -184,7 +196,7 @@ def create_app(
                 return jsonify(
                     {
                         "results": None,
-                        "error": "auxiliary dataset(s) failed to load on "
+                        "error": "auxiliary dataset(s) unavailable on "
                         f"the executor: {failed}",
                     }
                 )
@@ -263,6 +275,24 @@ def create_app(
         fname = os.path.basename(f.filename or "")
         if not fname or fname.startswith("."):
             abort(400, description="invalid filename")
+        # bound the per-upload dirs: beyond the cap, the OLDEST uploads
+        # (superseded sessions) are swept — a long-lived service must not
+        # grow one directory per upload forever
+        try:
+            subdirs = sorted(
+                (
+                    os.path.join(aux_exec_dir, d)
+                    for d in os.listdir(aux_exec_dir)
+                    if os.path.isdir(os.path.join(aux_exec_dir, d))
+                ),
+                key=os.path.getmtime,
+            )
+            for stale in subdirs[: max(0, len(subdirs) - 255)]:
+                import shutil  # noqa: PLC0415
+
+                shutil.rmtree(stale, ignore_errors=True)
+        except OSError:
+            pass  # sweep is best-effort
         updir_unique = os.path.join(aux_exec_dir, uuid.uuid4().hex[:12])
         os.makedirs(updir_unique, exist_ok=True)
         path = os.path.join(updir_unique, fname)

@@ -69,6 +69,28 @@ def stream_ingest_documents(docs_stream: DataFrame) -> DataFrame:
     return ingest_documents(docs_stream)
 
 
+def _txn_namespace(spark: SparkSession, checkpoint_location: str) -> str:
+    """Transaction-id namespace for one checkpointed query lineage.
+
+    Micro-batch ids are only unique within a checkpoint, so txn ids embed
+    a namespace derived from it — and the path is NORMALIZED
+    (Hadoop-qualified) first: a restart that spells the same checkpoint
+    differently ('/ckpt' vs '/ckpt/' vs a relative form) must land in the
+    same namespace, or the replay of a crashed batch would miss its own
+    staging/commit markers and re-append (duplicates)."""
+    import hashlib  # noqa: PLC0415
+
+    from bambooai_spark.operators.writer import _fs  # noqa: PLC0415
+
+    qualified = checkpoint_location
+    try:
+        fs, jp = _fs(spark, checkpoint_location)
+        qualified = fs.makeQualified(jp).toString()
+    except Exception:
+        pass  # unresolvable scheme — fall back to the raw string
+    return hashlib.md5(qualified.encode("utf-8")).hexdigest()[:8]
+
+
 def stream_ingest_to_corpus(
     docs_stream: DataFrame,
     path: str,
@@ -89,7 +111,8 @@ def stream_ingest_to_corpus(
     id — whose fingerprint-ledger anti-join dedups the batch against
     EVERYTHING already stored (earlier batches included) and delta-merges
     the manifest in O(batch). The guarantee is EXACTLY-ONCE under
-    crash-replay: each batch stages its corpus parquet and ledger rows
+    crash-replay when ``checkpoint_location`` is set (see below for the
+    no-checkpoint contract): each batch stages its corpus parquet and ledger rows
     under ``_staging/batch_id=N`` and commits via resumable deterministic
     renames + a ``_commits`` marker, so a batch replayed by Structured
     Streaming after a crash at ANY point (including between the corpus
@@ -99,9 +122,14 @@ def stream_ingest_to_corpus(
 
     ``checkpoint_location`` — pass a durable path in production: it is
     what makes Structured Streaming re-deliver a crashed batch with the
-    SAME batch_id on restart (without it a restarted query begins a new
-    run at batch 0 and re-reads the source — still duplicate-free here
-    thanks to the ledger anti-join, but O(source) re-work).
+    SAME batch_id on restart, which is what the transactional protocol
+    keys on. WITHOUT a checkpoint (ad-hoc/test runs) there is no replay
+    identity at all — a restarted call is a NEW query from batch 0 — so
+    batches flow through the plain :func:`operators.writer.append_corpus`
+    instead: fully-committed work dedups on the fingerprint ledger
+    (at-least-once, the pre-transactional contract, with the documented
+    crash window between the corpus and ledger writes). Exactly-once
+    requires the checkpoint.
 
     With ``available_now=True`` (default) the call drains the source,
     awaits termination, and returns the final manifest DataFrame (None if
@@ -110,22 +138,15 @@ def stream_ingest_to_corpus(
     returns the live ``StreamingQuery`` handle immediately (awaiting a
     continuous query would block forever); read the manifest from disk.
     """
-    import hashlib  # noqa: PLC0415
-    import uuid  # noqa: PLC0415
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        append_corpus,
+        append_corpus_txn,
+    )
 
-    from bambooai_spark.operators.writer import append_corpus_txn  # noqa: PLC0415
-
-    # micro-batch ids are only unique within one checkpointed query
-    # lineage — namespace the transaction ids so a FRESH run's batch 0
-    # can't hit a previous run's commit marker. With a checkpoint the
-    # namespace is stable across restarts (that's what makes replay
-    # detection work); without one, each call is its own namespace and
-    # cross-run dedup falls back to the fingerprint ledger (no replays
-    # happen without a checkpoint anyway).
     ns = (
-        hashlib.md5(checkpoint_location.encode("utf-8")).hexdigest()[:8]
+        _txn_namespace(docs_stream.sparkSession, checkpoint_location)
         if checkpoint_location
-        else uuid.uuid4().hex[:8]
+        else None
     )
     holder: dict = {"manifest": None}
 
@@ -137,16 +158,22 @@ def stream_ingest_to_corpus(
         )
         if ingested.isEmpty():
             return
-        holder["manifest"] = append_corpus_txn(
-            ingested,
-            path,
-            f"{ns}-{batch_id}",
+        kw = dict(
             partition_by=partition_by,
             id_col="doc_id",
             text_col="text",
             max_records_per_file=max_records_per_file,
             token_col=token_col,
         )
+        if ns is None:
+            # no checkpoint → no replay identity → the plain ledger-dedup
+            # append (at-least-once); a txn id would never be revisited
+            # and its staging could orphan on crash
+            holder["manifest"] = append_corpus(ingested, path, **kw)
+        else:
+            holder["manifest"] = append_corpus_txn(
+                ingested, path, f"{ns}-{batch_id}", **kw
+            )
 
     writer = docs_stream.writeStream.foreachBatch(_append)
     if checkpoint_location:

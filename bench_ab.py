@@ -96,13 +96,16 @@ def main() -> int:
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", 32)))
     args = ap.parse_args()
-    names = [n for n in args.queries.split(",") if n]
+    names = [n.strip() for n in args.queries.split(",") if n.strip()]
 
     wt = tempfile.mkdtemp(prefix="bench_ab_")
-    subprocess.run(
+    added = subprocess.run(
         ["git", "worktree", "add", "--detach", wt, args.ref],
-        cwd=REPO, check=True, capture_output=True,
+        cwd=REPO, capture_output=True, text=True,
     )
+    if added.returncode != 0:
+        print(added.stderr.strip(), file=sys.stderr)
+        return 1
     try:
         print(f"[ab] baseline side: {args.ref} in {wt}", file=sys.stderr)
         base = _run_side(wt, names, args.sf_dir, args.iters, args.cpus)

@@ -242,6 +242,9 @@ def test_qdrant_wrapper_request_shapes_recorded():
                     ),
                     # a point upserted by some other client, no original_id
                     SimpleNamespace(id="123", score=0.5, payload=None),
+                    # a foreign point whose metadata happens to contain a
+                    # column named 'id' — it must NOT hijack record identity
+                    SimpleNamespace(id="456", score=0.4, payload={"id": "x"}),
                 ]
             )
 
@@ -255,7 +258,7 @@ def test_qdrant_wrapper_request_shapes_recorded():
     got = b.query([0.1, 0.2], top_k=2)
     # original id restored for reference-written points; raw id otherwise
     assert [(m.record_id, m.score) for m in got] == [
-        ("rec-9", 0.95), ("123", 0.5)
+        ("rec-9", 0.95), ("123", 0.5), ("456", 0.4)
     ]
 
     b.upsert("rec-9", [0.5, 0.5], {"q": "question"})

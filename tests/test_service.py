@@ -1025,3 +1025,27 @@ def test_register_dataset_by_path(client, spark):
         "/register_dataset", json={"path": "/no/such/data.parquet"}
     )
     assert bad.status_code == 400
+
+
+def test_execute_colliding_aux_basenames_error(client, df_name):
+    """Two aux paths whose basenames map to the SAME deterministic
+    aux_<name> would silently last-win in the registry — /execute must
+    report the collision instead."""
+    import io
+
+    paths = []
+    for content in (b"id,code\n1,a\n", b"id,code\n1,b\n"):
+        r = client.post(
+            "/file_utils/upload_aux_dataset",
+            data={"file": (io.BytesIO(content), "codes.csv")},
+            content_type="multipart/form-data",
+        )
+        paths.append(r.get_json()["filepath"])
+    assert paths[0] != paths[1]  # uuid dirs keep both alive
+
+    r = client.post(
+        "/execute",
+        json={"code": "df = df", "df_name": df_name, "aux_paths": paths},
+    )
+    body = r.get_json()
+    assert body["error"] is not None and "aux_codes" in body["error"]

@@ -253,9 +253,12 @@ def test_stream_crash_replay_exactly_once_with_checkpoint(
         stream_ingest_to_corpus(stream(), out, checkpoint_location=ckpt)
     monkeypatch.setattr(writer, "_move_staged_files", orig)
 
-    # restart with the SAME checkpoint: Structured Streaming re-delivers
-    # the crashed batch with the same id; the commit resumes
-    manifest = stream_ingest_to_corpus(stream(), out, checkpoint_location=ckpt)
+    # restart with the SAME checkpoint — deliberately RESPELLED with a
+    # trailing slash: the txn namespace must normalize the path, or the
+    # replayed batch would miss its own staging and re-append
+    manifest = stream_ingest_to_corpus(
+        stream(), out, checkpoint_location=ckpt + "/"
+    )
     assert manifest is not None
 
     stored = spark.read.parquet(out)
@@ -277,3 +280,75 @@ def test_stream_crash_replay_exactly_once_with_checkpoint(
         for r in stored.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert parts == got
+
+
+def test_txn_namespace_normalizes_checkpoint_spellings(spark, tmp_path):
+    from bambooai_spark.streaming.documents import _txn_namespace
+
+    base = str(tmp_path / "ckpt")
+    assert _txn_namespace(spark, base) == _txn_namespace(spark, base + "/")
+    assert _txn_namespace(spark, base) == _txn_namespace(
+        spark, "file://" + base
+    )
+    assert _txn_namespace(spark, base) != _txn_namespace(
+        spark, str(tmp_path / "other")
+    )
+
+
+def test_manifest_fold_survives_all_none_file_counts(spark, tmp_path):
+    """write_corpus manifests carry n_files/n_bytes; delta folds drop them
+    per touched partition. Once EVERY partition has been delta-touched
+    the column would be all-None — it must be dropped from the manifest,
+    not break createDataFrame on a committed replay."""
+    from bambooai_spark.operators.writer import write_corpus
+
+    out = str(tmp_path / "corpus")
+    write_corpus(_docs(spark, 0, 20), out)  # manifest with n_files/n_bytes
+
+    # batch 1 touches only en, batch 2 only de → every partition touched
+    m1 = append_corpus_txn(
+        _docs(spark, 100, 110, langs=("en",)), out, 1
+    )
+    m2 = append_corpus_txn(
+        _docs(spark, 200, 210, langs=("de",)), out, 2
+    )
+    assert {r["lang"]: r["n_rows"] for r in m2.collect()} == {
+        "en": 20, "de": 20
+    }
+    assert "n_files" not in m2.columns and "n_bytes" not in m2.columns
+    # a replay of the committed batch reloads the same manifest fine
+    m2b = append_corpus_txn(
+        _docs(spark, 200, 210, langs=("de",)), out, 2
+    )
+    assert {r["lang"]: r["n_rows"] for r in m2b.collect()} == {
+        "en": 20, "de": 20
+    }
+    assert m1.count() == 2
+
+
+def test_full_manifest_with_batch_id_raises(spark, tmp_path):
+    from bambooai_spark.operators.writer import append_corpus
+
+    with pytest.raises(ValueError, match="full_manifest"):
+        append_corpus(
+            _docs(spark, 0, 2), str(tmp_path / "c"),
+            full_manifest=True, batch_id=1,
+        )
+
+
+def test_delta_merge_matches_json_stringified_partition_keys(spark, tmp_path):
+    """Partition keys round-trip through JSON as strings (default=str);
+    a non-string partition column (DATE) must merge into its stringified
+    prior entry, not duplicate it or break the manifest sort."""
+    from bambooai_spark.operators.writer import append_corpus
+
+    out = str(tmp_path / "corpus")
+    rows1 = [(1, "2024-01-01", "alpha text one"), (2, "2024-01-02", "beta two")]
+    rows2 = [(3, "2024-01-01", "gamma three")]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id long, day string, text string"
+    ).select("doc_id", F.to_date("day").alias("day"), "text")
+    append_corpus(mk(rows1), out, partition_by=("day",))
+    m = append_corpus(mk(rows2), out, partition_by=("day",))
+    got = {str(r["day"]): r["n_rows"] for r in m.collect()}
+    assert got == {"2024-01-01": 2, "2024-01-02": 1}
