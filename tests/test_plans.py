@@ -529,3 +529,20 @@ def test_pack_strategy_auto_is_cost_based(spark):
     got = {tuple(r) for r in forced.collect()}
     want = {tuple(r) for r in small.collect()}
     assert got == want and len(got) == 500
+
+
+def test_q12_pushdown_pruning_single_agg_shuffle(spark):
+    """q12_shipmodes: shipdate range reaches the lineitem scan, both
+    sides read only the columns used (2 of 11 / 2 of 6), and the
+    CASE-WHEN pair aggregates map-side — the only required exchange is
+    the one on the 3-row agg key (the join may broadcast at test SF or
+    shuffle co-partitioned at scale; either is fine, a cartesian is not)."""
+    df = _build(spark, "q12_shipmodes")
+    assert_pushed_filters(df, "l_shipdate")
+    flags = plan_flags(df)
+    assert not flags["has_cartesian"]
+    pushed = ";".join(flags["pushed_filters"])
+    assert "l_orderkey" in pushed  # join-key null filter pushed too
+    # partial_sum before the exchange = map-side combine
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan

@@ -352,3 +352,31 @@ def test_delta_merge_matches_json_stringified_partition_keys(spark, tmp_path):
     m = append_corpus(mk(rows2), out, partition_by=("day",))
     got = {str(r["day"]): r["n_rows"] for r in m.collect()}
     assert got == {"2024-01-01": 2, "2024-01-02": 1}
+
+
+def test_txn_append_over_file_uri(spark, tmp_path, monkeypatch):
+    """The txn protocol's staged writes, qualified-prefix renames, and
+    marker bookkeeping must work identically through a scheme URI (the
+    Hadoop FS path the 100 TB corpus would use) — including a crash-replay
+    in the middle."""
+    out = "file://" + str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20), out, 0)
+
+    orig = writer._move_staged_files
+
+    def crash_before_ledger(sp, src_root, dest_root, batch_id):
+        if src_root.endswith("/ledger"):
+            raise RuntimeError("injected uri crash")
+        return orig(sp, src_root, dest_root, batch_id)
+
+    monkeypatch.setattr(writer, "_move_staged_files", crash_before_ledger)
+    with pytest.raises(RuntimeError, match="injected"):
+        append_corpus_txn(_docs(spark, 20, 40), out, 1)
+    monkeypatch.setattr(writer, "_move_staged_files", orig)
+
+    append_corpus_txn(_docs(spark, 20, 40), out, 1)
+    local = str(tmp_path / "corpus")
+    _assert_consistent(spark, local, 40)
+    # and a later batch still dedups against the ledger through the URI
+    append_corpus_txn(_docs(spark, 30, 50), out, 2)
+    _assert_consistent(spark, local, 50)
