@@ -676,3 +676,181 @@ def _manifest_df(
             spark, partition_by, token_col, source_df=source_df
         )
     return spark.createDataFrame(rows)
+
+
+COMPACT_TMP = "_compact_tmp"
+
+
+def compact_corpus(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_by: tuple[str, ...] = ("lang",),
+    max_records_per_file: int | None = 100_000,
+    token_col: str | None = None,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Rewrite the corpus's accumulated small files (a streaming sink
+    appends one file set per micro-batch — the classic small-files
+    problem) into size-capped files per partition, preserving every row,
+    the fingerprint ledger (row set is unchanged, so fps stay valid), and
+    the manifest's ``committed_batches`` replay guard. Returns the
+    rebuilt (exact, from-files) manifest.
+
+    By default rows re-shuffle onto one task per partition VALUE (maximal
+    consolidation; ``maxRecordsPerFile`` still rolls oversized output).
+    For corpora whose single partition value outweighs one task, pass
+    ``num_tasks``: a range-repartition keyed on (partition cols, a
+    monotonic row id) spreads each value over contiguous tasks — a few
+    files per value instead of one, but no single-task funnel.
+
+    Maintenance-window op, SINGLE writer: not safe under concurrent
+    appends, and a reader during the swap can briefly see missing rows
+    (a transactional table format is the concurrent-compaction answer).
+    Crash-safe for the DATA: the compacted copy is fully written under
+    ``_compact_tmp`` and frozen with a ``_STAGED`` marker before any
+    original file is deleted; a re-run after a crash at any point resumes
+    the swap from the frozen copy.
+    """
+    tmp = _join(path, COMPACT_TMP)
+    staged_flag = _join(tmp, STAGED_MARKER)
+
+    if not _fs_exists(spark, staged_flag):
+        # fresh compaction: rewrite the full corpus to the side
+        _fs_delete(spark, tmp)
+        df = spark.read.parquet(path)
+        cols = [F.col(c) for c in partition_by]
+        if num_tasks:
+            df = df.repartitionByRange(
+                num_tasks, *cols, F.monotonically_increasing_id()
+            )
+        else:
+            df = df.repartition(*cols)
+        writer = df.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.partitionBy(*partition_by).parquet(_join(tmp, "data"))
+        _fs_write_text_atomic(spark, staged_flag, "{}")
+    # Swap, in three idempotent steps so a crash at ANY point resumes
+    # without loss (the frozen copy is authoritative until the flag drops):
+    #   1. stage each compacted child in under an INVISIBLE sibling name
+    #      (``_swap.<name>`` — underscore keeps it out of corpus reads);
+    #   2. per child: delete the original, rename ``_swap.X`` → ``X``
+    #      ("X and _swap.X both present" always means X is the original —
+    #      the rename only happens after the delete);
+    #   3. drop the _STAGED flag (no ``_swap.*`` remains by then), then
+    #      the tmp dir. A tmp WITHOUT the flag is a crashed rewrite or a
+    #      post-flag cleanup leftover — both safe to delete and redo.
+    fs, root = _fs(spark, path)
+    jvm = spark._jvm
+
+    def _child(name: str):
+        return jvm.org.apache.hadoop.fs.Path(_join(path, name))
+
+    data_root = _join(tmp, "data")
+    fsd, droot = _fs(spark, data_root)
+    if fsd.exists(droot):
+        for st in fsd.listStatus(droot):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            dest = _child("_swap." + name)
+            if fs.exists(dest):  # resumed swap already staged it in
+                fs.delete(st.getPath(), True)
+            elif not fs.rename(st.getPath(), dest):
+                raise RuntimeError(f"compact stage-in failed: {name}")
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("_swap."):
+            continue
+        final = _child(name[len("_swap."):])
+        if fs.exists(final):
+            fs.delete(final, True)  # the original — superseded
+        if not fs.rename(st.getPath(), final):
+            raise RuntimeError(f"compact swap rename failed: {name}")
+    _fs_delete(spark, staged_flag)
+    _fs_delete(spark, tmp)
+
+    manifest = build_manifest(
+        spark, path, partition_by=partition_by, token_col=token_col
+    )
+    # preserve the replay guard across the manifest rebuild
+    committed: list[str] = []
+    mpath = _join(path, MANIFEST_NAME)
+    if _fs_exists(spark, mpath):
+        try:
+            committed = list(
+                json.loads(_fs_read_text(spark, mpath)).get(
+                    "committed_batches"
+                )
+                or []
+            )
+        except ValueError:
+            pass
+    _write_manifest_json(
+        spark, path, partition_by, manifest.collect(),
+        committed_batches=committed or None,
+    )
+    return manifest
+
+
+def recover_staging(
+    spark: SparkSession,
+    path: str,
+    *,
+    min_age_seconds: float = 86_400.0,
+) -> dict[str, list[str]]:
+    """Finish or clean the leftovers of crashed transactional appends —
+    the maintenance twin of :func:`append_corpus_txn` for queries that
+    died and were NEVER restarted (a restarted query recovers its own
+    batch; nothing recovers an abandoned one until this runs).
+
+    Per ``_staging/batch_id=*`` entry:
+
+    - commit marker exists → the batch is fully committed; the staging
+      leftover is deleted.
+    - ``_STAGED`` exists → the batch froze but may have PARTIALLY moved
+      files into the corpus, so deletion could leave half a batch live
+      and replay-able into duplicates — instead the commit is RESUMED
+      (renames are idempotent; a later replay of the same batch id then
+      no-ops on the marker). Always safe, never loses or duplicates.
+    - neither, and older than ``min_age_seconds`` → an incomplete stage;
+      nothing outside staging exists, deleted. Younger bare stages are
+      left alone (they may belong to a LIVE query mid-stage).
+
+    Returns ``{"committed": [...], "cleaned": [...], "kept": [...]}`` of
+    staging names for observability.
+    """
+    import time as _time  # noqa: PLC0415
+
+    out: dict[str, list[str]] = {"committed": [], "cleaned": [], "kept": []}
+    staging_root = _join(path, STAGING_DIR)
+    fs, sroot = _fs(spark, staging_root)
+    if not fs.exists(sroot):
+        return out
+    now_ms = _time.time() * 1000.0
+    for st in fs.listStatus(sroot):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        batch_id = name.split("=", 1)[1]
+        stage = _join(staging_root, name)
+        marker = _join(path, f"{COMMITS_DIR}/batch-{batch_id}.json")
+        if _fs_exists(spark, marker):
+            _fs_delete(spark, stage)
+            out["cleaned"].append(name)
+        elif _fs_exists(spark, _join(stage, STAGED_MARKER)):
+            info = json.loads(
+                _fs_read_text(spark, _join(stage, STAGED_MARKER))
+            )
+            empty = spark.createDataFrame(
+                [], "doc_id long"
+            )  # schema only feeds the empty-manifest fallback
+            _commit_staged(spark, path, stage, batch_id, info, empty)
+            out["committed"].append(name)
+        elif now_ms - st.getModificationTime() >= min_age_seconds * 1000.0:
+            _fs_delete(spark, stage)
+            out["cleaned"].append(name)
+        else:
+            out["kept"].append(name)
+    return out

@@ -380,3 +380,134 @@ def test_txn_append_over_file_uri(spark, tmp_path, monkeypatch):
     # and a later batch still dedups against the ledger through the URI
     append_corpus_txn(_docs(spark, 30, 50), out, 2)
     _assert_consistent(spark, local, 50)
+
+
+def test_compact_corpus_merges_small_files(spark, tmp_path):
+    """Many tiny per-batch files (max_records_per_file=3) compact into
+    few; rows, texts, ledger, and the committed_batches replay guard all
+    survive; the rebuilt manifest matches the stored partitions."""
+    from bambooai_spark.operators.writer import compact_corpus
+
+    out = str(tmp_path / "corpus")
+    for b in range(4):
+        append_corpus_txn(
+            _docs(spark, b * 10, b * 10 + 10), out, b,
+            max_records_per_file=3,
+        )
+    before = spark.read.parquet(out)
+    n_files_before = before.select("_metadata.file_path").distinct().count()
+    assert n_files_before >= 8  # genuinely fragmented
+    texts_before = {r["text"] for r in before.select("text").collect()}
+
+    m = compact_corpus(spark, out)
+    after = spark.read.parquet(out)
+    n_files_after = after.select("_metadata.file_path").distinct().count()
+    assert n_files_after < n_files_before
+    assert {r["text"] for r in after.select("text").collect()} == texts_before
+    _assert_consistent(spark, out, 40)
+    assert {r["lang"]: r["n_files"] for r in m.collect()} == {
+        "en": 1, "de": 1
+    }
+
+    import json as _json
+    with open(os.path.join(out, "_corpus_manifest.json")) as fh:
+        doc = _json.load(fh)
+    assert set(doc["committed_batches"]) == {"0", "1", "2", "3"}
+
+    # a replayed batch after compaction still no-ops on its marker
+    append_corpus_txn(_docs(spark, 0, 10), out, 0, max_records_per_file=3)
+    assert spark.read.parquet(out).count() == 40
+    # and a genuinely new batch still dedups against the (kept) ledger
+    append_corpus_txn(_docs(spark, 35, 45), out, 9)
+    _assert_consistent(spark, out, 45)
+
+
+def test_compact_corpus_resumes_after_crash_mid_swap(
+    spark, tmp_path, monkeypatch
+):
+    """Crash right after the compacted copy is frozen (_STAGED written,
+    swap not begun) and again before the tmp cleanup: each re-run resumes
+    from the frozen copy with zero loss."""
+    from bambooai_spark.operators import writer as W
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 30), out, 0, max_records_per_file=4)
+
+    orig_atomic = W._fs_write_text_atomic
+
+    def crash_after_freeze(sp, p, text):
+        orig_atomic(sp, p, text)
+        if p.endswith("/_compact_tmp/" + W.STAGED_MARKER):
+            raise RuntimeError("injected compact crash after freeze")
+
+    monkeypatch.setattr(W, "_fs_write_text_atomic", crash_after_freeze)
+    with pytest.raises(RuntimeError, match="injected"):
+        W.compact_corpus(spark, out)
+    monkeypatch.setattr(W, "_fs_write_text_atomic", orig_atomic)
+    # originals untouched by the crash; frozen copy present
+    assert spark.read.parquet(out).count() == 30
+    assert os.path.exists(os.path.join(out, "_compact_tmp", "_STAGED"))
+
+    calls = {"n": 0}
+    real_delete = W._fs_delete
+
+    def crash_on_tmp_cleanup(sp, p):
+        if p.endswith("/_compact_tmp") and calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("injected compact crash before cleanup")
+        return real_delete(sp, p)
+
+    monkeypatch.setattr(W, "_fs_delete", crash_on_tmp_cleanup)
+    with pytest.raises(RuntimeError, match="injected"):
+        W.compact_corpus(spark, out)
+    monkeypatch.setattr(W, "_fs_delete", real_delete)
+
+    W.compact_corpus(spark, out)
+    _assert_consistent(spark, out, 30)
+    assert not os.path.exists(os.path.join(out, "_compact_tmp"))
+
+
+def test_recover_staging_commits_frozen_and_cleans_stale(
+    spark, tmp_path, monkeypatch
+):
+    """A crashed-and-abandoned query's frozen batch is COMMITTED (never
+    deleted — its files may be partially live), a committed leftover and
+    an old bare stage are cleaned, a fresh bare stage is kept."""
+    from bambooai_spark.operators.writer import (
+        STAGED_MARKER as SM,
+        recover_staging,
+    )
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20), out, 0)
+
+    # frozen-but-uncommitted batch 1 with PARTIALLY moved corpus files
+    orig = writer._move_staged_files
+
+    def crash_before_ledger(sp, src_root, dest_root, batch_id):
+        if src_root.endswith("/ledger"):
+            raise RuntimeError("injected")
+        return orig(sp, src_root, dest_root, batch_id)
+
+    monkeypatch.setattr(writer, "_move_staged_files", crash_before_ledger)
+    with pytest.raises(RuntimeError, match="injected"):
+        append_corpus_txn(_docs(spark, 20, 40), out, 1)
+    monkeypatch.setattr(writer, "_move_staged_files", orig)
+
+    # a fresh bare (incomplete) stage for batch 7
+    bare = os.path.join(out, STAGING_DIR, "batch_id=7")
+    os.makedirs(bare)
+
+    res = recover_staging(spark, out, min_age_seconds=3600)
+    assert res["committed"] == ["batch_id=1"]
+    assert res["kept"] == ["batch_id=7"]
+    _assert_consistent(spark, out, 40)  # batch 1 finished, no dupes
+
+    # with TTL 0 the bare stage is cleaned
+    res2 = recover_staging(spark, out, min_age_seconds=0)
+    assert res2["cleaned"] == ["batch_id=7"]
+    assert not os.path.exists(bare)
+
+    # replay of the recovered batch no-ops on its marker
+    append_corpus_txn(_docs(spark, 20, 40), out, 1)
+    _assert_consistent(spark, out, 40)
