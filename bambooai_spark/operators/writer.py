@@ -693,8 +693,9 @@ def compact_corpus(
     """Rewrite the corpus's accumulated small files (a streaming sink
     appends one file set per micro-batch — the classic small-files
     problem) into size-capped files per partition, preserving every row,
-    the fingerprint ledger (row set is unchanged, so fps stay valid), and
-    the manifest's ``committed_batches`` replay guard. Returns the
+    the fingerprint ledger's CONTENT (row set is unchanged, so fps stay
+    valid — the ledger's own per-batch file fragments are compacted too),
+    and the manifest's ``committed_batches`` replay guard. Returns the
     rebuilt (exact, from-files) manifest.
 
     By default rows re-shuffle onto one task per partition VALUE (maximal
@@ -730,6 +731,19 @@ def compact_corpus(
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
         writer.partitionBy(*partition_by).parquet(_join(tmp, "data"))
+        # the ledger fragments the same way (one file set per appended
+        # batch) — rewrite it alongside, same freeze
+        if _fs_exists(spark, _join(path, LEDGER_DIR)):
+            from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+            try:
+                spark.read.parquet(_join(path, LEDGER_DIR)).repartition(
+                    # default parallelism, not 1: a months-old ledger is
+                    # large and must not funnel through one task
+                    num_tasks or spark.sparkContext.defaultParallelism
+                ).write.mode("overwrite").parquet(_join(tmp, "ledger"))
+            except AnalysisException:
+                pass  # ledger dir holds no data files — nothing to compact
         _fs_write_text_atomic(spark, staged_flag, "{}")
     # Swap, in three idempotent steps so a crash at ANY point resumes
     # without loss (the frozen copy is authoritative until the flag drops):
@@ -768,6 +782,16 @@ def compact_corpus(
             fs.delete(final, True)  # the original — superseded
         if not fs.rename(st.getPath(), final):
             raise RuntimeError(f"compact swap rename failed: {name}")
+    # ledger swap: delete-then-rename; a crash between the two leaves the
+    # ledger ABSENT, which the next append self-heals by re-seeding from
+    # the corpus text, and a compact re-run (flag still present) finishes
+    # the rename first
+    tmp_ledger = _join(tmp, "ledger")
+    fsl, lroot = _fs(spark, tmp_ledger)
+    if fsl.exists(lroot):
+        _fs_delete(spark, _join(path, LEDGER_DIR))
+        if not fs.rename(lroot, _child(LEDGER_DIR)):
+            raise RuntimeError("compact ledger rename failed")
     _fs_delete(spark, staged_flag)
     _fs_delete(spark, tmp)
 

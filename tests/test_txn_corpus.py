@@ -414,6 +414,17 @@ def test_compact_corpus_merges_small_files(spark, tmp_path):
         doc = _json.load(fh)
     assert set(doc["committed_batches"]) == {"0", "1", "2", "3"}
 
+    # the ledger's per-batch fragments compacted too, content preserved
+    ledger_files = {
+        r[0]
+        for r in spark.read.parquet(out + "/" + LEDGER_DIR)
+        .select("_metadata.file_path")
+        .distinct()
+        .collect()
+    }
+    assert len(ledger_files) <= 8  # was 4 batches x multiple files
+    assert all("/b0-" not in f and "/b1-" not in f for f in ledger_files)
+
     # a replayed batch after compaction still no-ops on its marker
     append_corpus_txn(_docs(spark, 0, 10), out, 0, max_records_per_file=3)
     assert spark.read.parquet(out).count() == 40
