@@ -21,6 +21,14 @@ from bambooai_spark.operators.similarity import (
     knn_lsh,
     label_centroids,
 )
+from bambooai_spark.operators.writer import (
+    append_corpus,
+    append_corpus_txn,
+    build_manifest,
+    compact_corpus,
+    recover_staging,
+    write_corpus,
+)
 
 __all__ = [
     "exact_dedup",
@@ -32,4 +40,10 @@ __all__ = [
     "knn_brute_force",
     "knn_lsh",
     "label_centroids",
+    "write_corpus",
+    "append_corpus",
+    "append_corpus_txn",
+    "build_manifest",
+    "compact_corpus",
+    "recover_staging",
 ]
