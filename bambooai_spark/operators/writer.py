@@ -349,12 +349,7 @@ def append_corpus(
 
     delta = _collect_delta(batch, partition_by, token_col)
     rows = _merge_manifest_delta(spark, path, partition_by, delta, token_col)
-    if not rows:
-        # an entirely-empty batch against an empty corpus
-        return _empty_manifest(
-            spark, partition_by, token_col, source_df=new_docs
-        )
-    return spark.createDataFrame(rows)
+    return _manifest_df(spark, rows, partition_by, token_col, new_docs)
 
 
 def _dedup_against_corpus(
@@ -434,7 +429,7 @@ def _merge_manifest_delta(
     partition_by,
     delta: list[dict],
     token_col: str | None,
-    batch_id: int | None = None,
+    batch_id: int | str | None = None,
 ) -> list[dict]:
     """O(batch) manifest fold: merge per-partition row/token deltas into the
     existing manifest JSON and write it back; returns the merged rows.

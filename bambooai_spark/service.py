@@ -278,6 +278,8 @@ def create_app(
         # bound the per-upload dirs: beyond the cap, the OLDEST uploads
         # (superseded sessions) are swept — a long-lived service must not
         # grow one directory per upload forever
+        import shutil  # noqa: PLC0415
+
         try:
             subdirs = sorted(
                 (
@@ -288,8 +290,6 @@ def create_app(
                 key=os.path.getmtime,
             )
             for stale in subdirs[: max(0, len(subdirs) - 255)]:
-                import shutil  # noqa: PLC0415
-
                 shutil.rmtree(stale, ignore_errors=True)
         except OSError:
             pass  # sweep is best-effort
