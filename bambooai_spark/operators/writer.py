@@ -486,17 +486,24 @@ def _merge_manifest_delta(
     for p in (loaded or {}).get("partitions", []):
         existing[_pkey(p)] = dict(p)
     for d in delta:
-        cur = existing.setdefault(
-            _pkey(d), {c: d[c] for c in partition_by}
-        )
+        key = _pkey(d)
+        is_new = key not in existing
+        cur = existing.setdefault(key, {c: d[c] for c in partition_by})
         cur["n_rows"] = int(cur.get("n_rows") or 0) + d["n_rows"]
         if token_col:
             cur["n_tokens"] = (
                 int(cur.get("n_tokens") or 0) + (d.get("n_tokens") or 0)
             )
-        # file/byte counts need a corpus scan — dropped in delta mode
-        cur.pop("n_files", None)
-        cur.pop("n_bytes", None)
+        for k in ("n_files", "n_bytes"):
+            if d.get(k) is not None and (is_new or cur.get(k) is not None):
+                # txn deltas carry exact file counts (staged files ARE
+                # the batch's contribution) — fold additively
+                cur[k] = int(cur.get(k) or 0) + int(d[k])
+            else:
+                # a plain-append delta has no counts (its files mixed
+                # into history), or history already lost them — only a
+                # corpus scan (build_manifest / compact) restores them
+                cur.pop(k, None)
     rows = [
         existing[k]
         for k in sorted(
@@ -601,8 +608,7 @@ def append_corpus_txn(
     batch = _dedup_against_corpus(
         new_docs, path, id_col=id_col, text_col=text_col
     )
-    delta = _collect_delta(batch, partition_by, token_col)
-    if not delta:
+    if batch.isEmpty():
         # nothing survived the gate/dedup — commit an empty batch so the
         # replay is a recorded no-op
         info = {
@@ -624,6 +630,17 @@ def append_corpus_txn(
     batch.select(F.col("_fp").alias("fp")).write.mode("overwrite").parquet(
         _join(stage, "ledger")
     )
+    # the staged files ARE this batch's exact contribution, so the delta
+    # carries full fidelity — n_files/n_bytes included (renames preserve
+    # both), which the fold adds instead of dropping; the plain append
+    # can't do this (its files land mixed into history)
+    delta = [
+        r.asDict()
+        for r in build_manifest(
+            spark, _join(stage, "corpus"),
+            partition_by=partition_by, token_col=token_col,
+        ).collect()
+    ]
     info = {
         "batch_id": batch_id,
         "partition_by": list(partition_by),

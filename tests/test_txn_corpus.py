@@ -295,35 +295,44 @@ def test_txn_namespace_normalizes_checkpoint_spellings(spark, tmp_path):
     )
 
 
-def test_manifest_fold_survives_all_none_file_counts(spark, tmp_path):
-    """write_corpus manifests carry n_files/n_bytes; delta folds drop them
-    per touched partition. Once EVERY partition has been delta-touched
-    the column would be all-None — it must be dropped from the manifest,
-    not break createDataFrame on a committed replay."""
-    from bambooai_spark.operators.writer import write_corpus
+def test_manifest_fold_file_counts(spark, tmp_path):
+    """TXN deltas carry exact n_files/n_bytes (the staged files ARE the
+    batch's contribution) and fold additively — the delta-mode manifest
+    stays full-fidelity on the streaming path. PLAIN appends can't (their
+    files land mixed into history): their folds drop the counts, and once
+    every partition has lost them the all-None column is dropped entirely
+    instead of breaking createDataFrame on a committed replay."""
+    from bambooai_spark.operators.writer import append_corpus, write_corpus
 
     out = str(tmp_path / "corpus")
     write_corpus(_docs(spark, 0, 20), out)  # manifest with n_files/n_bytes
 
-    # batch 1 touches only en, batch 2 only de → every partition touched
-    m1 = append_corpus_txn(
-        _docs(spark, 100, 110, langs=("en",)), out, 1
-    )
-    m2 = append_corpus_txn(
-        _docs(spark, 200, 210, langs=("de",)), out, 2
-    )
-    assert {r["lang"]: r["n_rows"] for r in m2.collect()} == {
-        "en": 20, "de": 20
-    }
-    assert "n_files" not in m2.columns and "n_bytes" not in m2.columns
+    m1 = append_corpus_txn(_docs(spark, 100, 110, langs=("en",)), out, 1)
+    m2 = append_corpus_txn(_docs(spark, 200, 210, langs=("de",)), out, 2)
+    got = {r["lang"]: r for r in m2.collect()}
+    assert {k: v["n_rows"] for k, v in got.items()} == {"en": 20, "de": 20}
+    # delta-mode file/byte counts equal the exact from-files rebuild
+    full = {r["lang"]: r for r in build_manifest(spark, out).collect()}
+    for lang in ("en", "de"):
+        assert got[lang]["n_files"] == full[lang]["n_files"]
+        assert got[lang]["n_bytes"] == full[lang]["n_bytes"]
     # a replay of the committed batch reloads the same manifest fine
-    m2b = append_corpus_txn(
-        _docs(spark, 200, 210, langs=("de",)), out, 2
-    )
+    m2b = append_corpus_txn(_docs(spark, 200, 210, langs=("de",)), out, 2)
     assert {r["lang"]: r["n_rows"] for r in m2b.collect()} == {
         "en": 20, "de": 20
     }
     assert m1.count() == 2
+
+    # PLAIN appends drop the counts; once all partitions lost them the
+    # column disappears rather than surviving as all-None
+    out2 = str(tmp_path / "corpus2")
+    write_corpus(_docs(spark, 0, 20), out2)
+    append_corpus(_docs(spark, 100, 110, langs=("en",)), out2)
+    m = append_corpus(_docs(spark, 200, 210, langs=("de",)), out2)
+    assert "n_files" not in m.columns and "n_bytes" not in m.columns
+    assert {r["lang"]: r["n_rows"] for r in m.collect()} == {
+        "en": 20, "de": 20
+    }
 
 
 def test_full_manifest_with_batch_id_raises(spark, tmp_path):
