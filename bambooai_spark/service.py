@@ -140,6 +140,8 @@ def create_app(
     # and references them by the returned server path)
     aux_exec_dir = os.path.realpath(os.path.join(updir, "aux_exec"))
     os.makedirs(aux_exec_dir, exist_ok=True)
+    # (realpath, mtime) -> (aux table name, DataFrame); see _aux_exec_tables
+    _aux_cache: dict = {}
 
     def _aux_exec_tables(paths: list[str]):
         """Rebuild the sandbox ``aux`` dict from server-side paths with the
@@ -174,7 +176,39 @@ def create_app(
             names[n] = str(p)
         if collided:
             return {}, collided
-        tables = load_aux_tables(spark, [str(p) for p in paths])
+        # (path, mtime)-keyed cache: /execute rebuilds aux tables per call
+        # (reference behavior), but an unchanged file means an unchanged
+        # DataFrame plan — re-running schema inference on every turn is
+        # pure waste. Mtime change (same-path re-upload) invalidates.
+        to_load, tables = [], {}
+        for p in paths:
+            real = os.path.realpath(str(p))
+            try:
+                key = (real, os.path.getmtime(real))
+            except OSError:
+                to_load.append(str(p))
+                continue
+            hit = _aux_cache.get(key)
+            if hit is not None:
+                name, df = hit
+                # the temp view must exist for generated SQL either way
+                df.createOrReplaceTempView(name)
+                tables[name] = df
+            else:
+                to_load.append(str(p))
+        if to_load:
+            fresh = load_aux_tables(spark, to_load)
+            tables.update(fresh)
+            for p in to_load:
+                name = aux_table_name(p)
+                if name in fresh:
+                    real = os.path.realpath(p)
+                    with contextlib.suppress(OSError):
+                        _aux_cache[(real, os.path.getmtime(real))] = (
+                            name, fresh[name],
+                        )
+            while len(_aux_cache) > 256:  # bound the cache
+                _aux_cache.pop(next(iter(_aux_cache)))
         failed = [
             str(p) for p in paths if aux_table_name(str(p)) not in tables
         ]

@@ -1049,3 +1049,47 @@ def test_execute_colliding_aux_basenames_error(client, df_name):
     )
     body = r.get_json()
     assert body["error"] is not None and "aux_codes" in body["error"]
+
+
+def test_aux_tables_cached_until_file_changes(client, df_name):
+    """Unchanged aux files skip re-load/re-inference on repeat /execute
+    calls (cache keyed on path+mtime); replacing the file's CONTENT at
+    the same path invalidates and the new data is served."""
+    import io
+    import os as _os
+    import time
+
+    up = client.post(
+        "/file_utils/upload_aux_dataset",
+        data={"file": (io.BytesIO(b"id,v\n1,first\n"), "cachetest.csv")},
+        content_type="multipart/form-data",
+    )
+    p = up.get_json()["filepath"]
+    code = (
+        "df = aux['aux_cachetest'].select('v')"
+    )
+    r1 = client.post(
+        "/execute", json={"code": code, "df_name": df_name, "aux_paths": [p]}
+    )
+    assert r1.get_json()["error"] is None
+
+    # overwrite the file in place with different content + a newer mtime
+    time.sleep(0.02)
+    with open(p, "w") as fh:
+        fh.write("id,v\n1,second\n")
+    _os.utime(p, (time.time() + 5, time.time() + 5))
+    r2 = client.post(
+        "/execute", json={"code": code, "df_name": df_name, "aux_paths": [p]}
+    )
+    body = r2.get_json()
+    assert body["error"] is None
+    # the served table reflects the NEW content (cache invalidated)
+    r3 = client.post(
+        "/execute",
+        json={
+            "code": "df = aux['aux_cachetest'].filter(\"v = 'second'\")",
+            "df_name": df_name,
+            "aux_paths": [p],
+        },
+    )
+    assert r3.get_json()["rows"] == 1
