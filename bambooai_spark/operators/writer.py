@@ -352,18 +352,46 @@ def append_corpus(
     return _manifest_df(spark, rows, partition_by, token_col, new_docs)
 
 
+def _check_schema_compatible(
+    spark: SparkSession, path: str, new_docs: DataFrame
+) -> None:
+    """Refuse an append whose column set drifted from the corpus — mixed
+    per-file schemas are the silent-corruption mode of plain parquet
+    (later reads pick ONE footer, so the drifted column either vanishes
+    or nulls out history). One footer read; order differences are fine
+    (partitionBy reorders anyway)."""
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    try:
+        have = set(spark.read.parquet(path).columns)
+    except AnalysisException:
+        return  # no data files yet — the batch defines the schema
+    want = set(new_docs.columns)
+    if have != want:
+        raise ValueError(
+            "append schema drifted from the corpus: "
+            f"batch-only columns {sorted(want - have)}, "
+            f"corpus-only columns {sorted(have - want)}. Migrate the "
+            "corpus explicitly (rewrite via write_corpus) instead of "
+            "mixing per-file schemas."
+        )
+
+
 def _dedup_against_corpus(
     new_docs: DataFrame, path: str, *, id_col: str, text_col: str
 ) -> DataFrame:
-    """The append's dedup stage: seed a pre-ledger corpus's ledger, drop
-    within-batch duplicates (min-id representative per fingerprint, fully
-    identical rows collapsed), anti-join the fingerprint ledger, and
-    materialize once (two consumers read the result). Returns the surviving
-    batch with its ``_fp`` column."""
+    """The append's dedup stage: schema-drift guard, seed a pre-ledger
+    corpus's ledger, drop within-batch duplicates (min-id representative
+    per fingerprint, fully identical rows collapsed), anti-join the
+    fingerprint ledger, and materialize once (two consumers read the
+    result). Returns the surviving batch with its ``_fp`` column."""
     from pyspark.errors import AnalysisException  # noqa: PLC0415
 
     from bambooai_spark.functions.text import fingerprint  # noqa: PLC0415
     from bambooai_spark.operators.dedup import exact_dedup  # noqa: PLC0415
+
+    if _fs_exists(new_docs.sparkSession, path):
+        _check_schema_compatible(new_docs.sparkSession, path, new_docs)
 
     spark = new_docs.sparkSession
     ledger_path = _join(path, LEDGER_DIR)

@@ -531,3 +531,27 @@ def test_recover_staging_commits_frozen_and_cleans_stale(
     # replay of the recovered batch no-ops on its marker
     append_corpus_txn(_docs(spark, 20, 40), out, 1)
     _assert_consistent(spark, out, 40)
+
+
+def test_append_refuses_schema_drift(spark, tmp_path):
+    """An appended batch whose column set drifted from the corpus fails
+    loudly (mixed per-file schemas silently corrupt later reads) — on
+    both the plain and the transactional path; identical schemas in a
+    different column order still append fine."""
+    from bambooai_spark.operators.writer import append_corpus
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 10), out, 0)
+
+    drifted = _docs(spark, 10, 20).withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="extra"):
+        append_corpus(drifted, out)
+    with pytest.raises(ValueError, match="extra"):
+        append_corpus_txn(drifted, out, 1)
+    assert spark.read.parquet(out).count() == 10  # nothing leaked
+
+    reordered = _docs(spark, 10, 20).select(
+        "text", "source", "lang", "doc_id"
+    )
+    append_corpus_txn(reordered, out, 2)
+    _assert_consistent(spark, out, 20)
