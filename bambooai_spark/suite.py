@@ -927,6 +927,73 @@ def rollup_orders(spark, sf_dir):
 
 
 @spec(
+    "cube_orders",
+    f"""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS {D2})) AS DOUBLE), 2) AS total
+    FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+    headline=True,
+    doc="CUBE grouping sets — the full lattice (both one-dimension margins, "
+    "unlike ROLLUP's hierarchy). Absent from the pandas reference; free "
+    "from Catalyst: ONE scan, Expand replicates rows per grouping level "
+    "into one partial aggregation — no per-level re-scan, so at 100 TB "
+    "the cost is one pass plus the agg shuffle regardless of lattice size.",
+)
+def cube_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(dec("o_totalprice")).cast("double"), 2).alias("total"),
+    ).select(
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        "n",
+        "total",
+    )
+
+
+@spec(
+    "range_frame_events",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_1h,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 6)
+           AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    headline=True,
+    doc="TIME-based rolling window (trailing 1 hour per user) — a RANGE "
+    "frame over epoch micros, distinct from every row-count rolling spec "
+    "(rowsBetween counts ROWS; rangeBetween bounds the ORDER value, so "
+    "irregular event spacing changes the frame contents). Decimal-exact "
+    "sum keeps the result partition-count-independent; duplicate "
+    "timestamps are peers in BOTH engines (standard RANGE semantics). One "
+    "shuffle on user_id; frames never cross partitions.",
+)
+def range_frame_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch_us("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"),
+            6,
+        ).alias("sum_1h"),
+    )
+
+
+@spec(
     "null_handling_events",
     """
     WITH p AS (
@@ -4050,8 +4117,12 @@ _PROMOTE = [
     "monthly_orders",
     "top_customers",
     "summary_stats_lineitem",
-    "rolling_avg_events",
-    "asof_join_events_orders",
+    # cube_orders and range_frame_events (new this round, sf0.01
+    # pre-validated) take the two remaining rotation slots so no oracled
+    # spec waits ungraded; rolling_avg/asof_join return to the tail with
+    # their 5 green rounds intact
+    "cube_orders",
+    "range_frame_events",
 ]
 _DEMOTE = [
     "isin_orders",
@@ -4103,8 +4174,10 @@ _DEMOTE = [
     "group_index_events",
     "segments_events",
     "regr_slope_events",
-    # (q1, q3, monthly_orders, top_customers, summary_stats, rolling_avg,
-    # asof_join re-promoted in the round-7 rotation above)
+    # (q1, q3, monthly_orders, top_customers, summary_stats re-promoted in
+    # the round-7 rotation above)
+    "rolling_avg_events",
+    "asof_join_events_orders",
 ]
 
 
