@@ -901,6 +901,102 @@ def union_entities(spark, sf_dir):
 
 
 @spec(
+    "intersect_except_customers",
+    """
+    WITH y97 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'),
+         y98 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00')
+    SELECT 'both' AS cohort, COUNT(*) AS n
+    FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98) t
+    UNION ALL
+    SELECT 'only_1997', COUNT(*)
+    FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98) t
+    UNION ALL
+    SELECT 'only_1998', COUNT(*)
+    FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y97) t
+    """,
+    headline=True,
+    doc="Set operators (INTERSECT / EXCEPT) — the §2.B set-op family "
+    "beyond UNION ALL: year-over-year customer retention cohorts. "
+    "Catalyst rewrites both into semi/anti joins over the deduped key "
+    "sets, so each cohort is one shuffle on the (already aggregated) "
+    "customer keys, never the order rows.",
+)
+def intersect_except_customers(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+
+    def year(y):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y97, y98 = year(1997), year(1998)
+    spark_counts = [
+        ("both", y97.intersect(y98)),
+        ("only_1997", y97.exceptAll(y98)),
+        ("only_1998", y98.exceptAll(y97)),
+    ]
+    # exceptAll on distinct inputs == EXCEPT; intersect is the deduping
+    # variant in both engines
+    parts = [
+        df.agg(F.lit(label).alias("cohort"), F.count(F.lit(1)).alias("n"))
+        for label, df in spark_counts
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@spec(
+    "unpivot_orders",
+    """
+    SELECT o_orderpriority, 'n_orders' AS metric,
+           CAST(COUNT(*) AS DOUBLE) AS value
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, 'avg_price',
+           ROUND(CAST(AVG(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT o_orderpriority, 'max_price',
+           CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders GROUP BY o_orderpriority
+    """,
+    headline=True,
+    doc="UNPIVOT (wide→long) — the inverse of pivot_orders: per-priority "
+    "metrics melt into (key, metric, value) rows via Spark's unpivot "
+    "(Expand node, zero shuffle beyond the one aggregation; the oracle "
+    "spells it as UNION ALL for engine portability). The melt happens on "
+    "the AGGREGATED relation (5 rows), never the fact table.",
+)
+def unpivot_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(
+            F.avg(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+            2,
+        ).alias("avg_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "avg_price", "max_price"],
+        "metric",
+        "value",
+    )
+
+
+@spec(
     "rollup_orders",
     f"""
     SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
