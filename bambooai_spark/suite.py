@@ -3960,31 +3960,34 @@ def q12_shipmodes(spark, sf_dir):
     "table at any size.",
 )
 def q21_sole_fault_supplier(spark, sf_dir):
+    # A supplier is at sole fault on an order iff it has an R line, the
+    # order involves >= 2 distinct suppliers, and it is the ONLY supplier
+    # with an R line — all per-order facts, so the semi+anti join
+    # formulation (3 scans, 3 distinct shuffles, 2 joins) collapses to
+    # ONE scan and two cascaded aggregations: dedupe to (order, supplier)
+    # pairs carrying an any-R flag, then roll the pairs up per order.
+    # (A single groupBy with two countDistinct columns would plan an
+    # Expand that triples the scan rows — measurably slower.) When
+    # exactly one R-supplier exists, max() IS it.
     l = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    r1 = (
-        l.filter(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
-        .distinct()
+    pairs = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("has_r")
     )
-    l2 = l.select(
-        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
-    ).distinct()
-    cand = r1.join(
-        l2, (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
-        "left_semi",
+    per_order = pairs.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("has_r").alias("n_r_supp"),
+        F.max(F.when(F.col("has_r") == 1, F.col("l_suppkey"))).alias(
+            "sole_sk"
+        ),
     )
-    l3 = (
-        l.filter(F.col("l_returnflag") == "R")
-        .select(F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
-        .distinct()
-    )
-    sole = cand.join(
-        l3, (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
-        "left_anti",
+    sole = per_order.filter(
+        (F.col("n_r_supp") == 1) & (F.col("n_supp") >= 2)
     )
     return (
-        sole.join(s, F.col("sk") == F.col("s_suppkey"))
+        sole.join(F.broadcast(s), F.col("sole_sk") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
