@@ -120,16 +120,26 @@ def _fs_list_data_files(spark: SparkSession, path: str) -> list[str]:
 
 
 def _move_staged_files(
-    spark: SparkSession, src_root: str, dest_root: str, batch_id: int | str
+    spark: SparkSession,
+    src_root: str,
+    dest_root: str,
+    batch_id: int | str,
+    *,
+    prefix: str | None = None,
 ) -> None:
     """Move every staged data file under ``src_root`` into the mirrored
-    location under ``dest_root``, prefixing the basename with ``b<batch_id>-``.
+    location under ``dest_root``, prefixing the basename (default
+    ``b<batch_id>-``; compaction passes its hidden ``_swap-c<id>-``).
 
     The move is resumable: destination names are a pure function of the
     (frozen) staged names, so a file whose destination already exists was
-    moved by a previous attempt and is skipped. Per-file rename is atomic on
+    moved by a previous attempt and is skipped. Per-FILE rename is atomic on
     local/HDFS; on object stores rename is copy+delete but each object
-    appears only when complete, so the exists-check keeps replays exact."""
+    appears only when complete, so the exists-check keeps replays exact —
+    which is exactly why nothing in this module ever renames a DIRECTORY
+    into live locations (a half-copied directory tree passes an
+    exists-check and loses the uncopied files on resume)."""
+    pre = prefix if prefix is not None else f"b{batch_id}-"
     fs, src_jpath = _fs(spark, src_root)
     src_prefix = fs.makeQualified(src_jpath).toString().rstrip("/") + "/"
     jvm = spark._jvm
@@ -139,13 +149,39 @@ def _move_staged_files(
         rel = f[len(src_prefix):]
         parent, _, base = rel.rpartition("/")
         dest_dir = _join(dest_root, parent) if parent else dest_root
-        dest = _join(dest_dir, f"b{batch_id}-{base}")
+        dest = _join(dest_dir, f"{pre}{base}")
         dest_jpath = jvm.org.apache.hadoop.fs.Path(dest)
         if fs.exists(dest_jpath):
             continue  # moved by a previous (crashed) attempt
         fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_dir))
         if not fs.rename(jvm.org.apache.hadoop.fs.Path(f), dest_jpath):
             raise RuntimeError(f"rename failed: {f} -> {dest}")
+
+
+def _walk_files(spark: SparkSession, root: str, *, want_hidden_prefix=None):
+    """Walk ``root`` skipping underscore/dot DIRECTORIES at every level
+    (bookkeeping trees never mix with data). With ``want_hidden_prefix``
+    None, yield the VISIBLE data files (basename not underscore/dot);
+    otherwise yield only the hidden files whose basename starts with that
+    prefix. Driver-side, O(files under root)."""
+    fs, jroot = _fs(spark, root)
+    if not fs.exists(jroot):
+        return []
+    out = []
+    stack = [jroot]
+    while stack:
+        cur = stack.pop()
+        for st in fs.listStatus(cur):
+            nm = st.getPath().getName()
+            if st.isDirectory():
+                if not nm.startswith(("_", ".")):
+                    stack.append(st.getPath())
+            elif want_hidden_prefix is not None:
+                if nm.startswith(want_hidden_prefix):
+                    out.append(st.getPath().toString())
+            elif not nm.startswith(("_", ".")):
+                out.append(st.getPath().toString())
+    return out
 
 
 def write_corpus(
@@ -182,7 +218,10 @@ def write_corpus(
         manifest = _empty_manifest(
             df.sparkSession, partition_by, token_col, source_df=df
         )
-    _write_manifest_json(df.sparkSession, path, partition_by, manifest.collect())
+    _write_manifest_json(
+        df.sparkSession, path, partition_by, manifest.collect(),
+        columns=sorted(df.columns),
+    )
     return manifest
 
 
@@ -192,6 +231,7 @@ def _write_manifest_json(
     partition_by,
     rows,
     committed_batches: list[str] | None = None,
+    columns: list[str] | None = None,
 ) -> None:
     doc = {
         "partition_by": list(partition_by),
@@ -201,6 +241,10 @@ def _write_manifest_json(
     }
     if committed_batches is not None:
         doc["committed_batches"] = list(committed_batches)
+    if columns is not None:
+        # the corpus column set, so the append-time schema-drift guard
+        # reads ONE small JSON instead of listing the whole corpus tree
+        doc["columns"] = sorted(columns)
     _fs_write_text(
         spark,
         _join(path, MANIFEST_NAME),
@@ -214,12 +258,23 @@ def build_manifest(
     *,
     partition_by: tuple[str, ...] = ("lang",),
     token_col: str | None = None,
+    schema=None,
 ) -> DataFrame:
     """Manifest from the written files themselves (re-runnable on any
     existing corpus dir): group by partition columns, count rows and
     DISTINCT data files, and read each file's on-disk size via the
-    ``_metadata`` hidden column — aggregation-side, no driver listing."""
-    back = spark.read.parquet(path)
+    ``_metadata`` hidden column — aggregation-side, no driver listing.
+
+    ``schema`` pins the read schema INCLUDING partition-column types —
+    without it Spark's partition-value inference can re-type directory
+    values (``source=0123`` comes back as int 123), which would split one
+    partition into two manifest entries when folded against deltas keyed
+    by the original value."""
+    back = (
+        spark.read.schema(schema).parquet(path)
+        if schema is not None
+        else spark.read.parquet(path)
+    )
     aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct(F.col("_metadata.file_path")).alias("n_files"),
@@ -348,7 +403,10 @@ def append_corpus(
         return manifest
 
     delta = _collect_delta(batch, partition_by, token_col)
-    rows = _merge_manifest_delta(spark, path, partition_by, delta, token_col)
+    rows = _merge_manifest_delta(
+        spark, path, partition_by, delta, token_col,
+        columns=sorted(new_docs.columns),
+    )
     return _manifest_df(spark, rows, partition_by, token_col, new_docs)
 
 
@@ -358,14 +416,31 @@ def _check_schema_compatible(
     """Refuse an append whose column set drifted from the corpus — mixed
     per-file schemas are the silent-corruption mode of plain parquet
     (later reads pick ONE footer, so the drifted column either vanishes
-    or nulls out history). One footer read; order differences are fine
-    (partitionBy reorders anyway)."""
+    or nulls out history). Order differences are fine (partitionBy
+    reorders anyway).
+
+    Cost discipline: the column set is read from the manifest JSON the
+    appends already maintain — one small file, NOT a ``spark.read``
+    (whose partition discovery lists the entire corpus tree; per
+    micro-batch that would be O(corpus files)). A legacy corpus without
+    recorded columns falls back to the parquet read once; the next
+    manifest write records them."""
     from pyspark.errors import AnalysisException  # noqa: PLC0415
 
-    try:
-        have = set(spark.read.parquet(path).columns)
-    except AnalysisException:
-        return  # no data files yet — the batch defines the schema
+    have: set | None = None
+    mpath = _join(path, MANIFEST_NAME)
+    if _fs_exists(spark, mpath):
+        try:
+            cols = json.loads(_fs_read_text(spark, mpath)).get("columns")
+            if cols:
+                have = set(cols)
+        except ValueError:
+            pass  # torn manifest — fall through to the parquet read
+    if have is None:
+        try:
+            have = set(spark.read.parquet(path).columns)
+        except AnalysisException:
+            return  # no data files yet — the batch defines the schema
     want = set(new_docs.columns)
     if have != want:
         raise ValueError(
@@ -458,6 +533,7 @@ def _merge_manifest_delta(
     delta: list[dict],
     token_col: str | None,
     batch_id: int | str | None = None,
+    columns: list[str] | None = None,
 ) -> list[dict]:
     """O(batch) manifest fold: merge per-partition row/token deltas into the
     existing manifest JSON and write it back; returns the merged rows.
@@ -494,7 +570,8 @@ def _merge_manifest_delta(
                 [str(batch_id)] if batch_id is not None else []
             )
             _write_manifest_json(
-                spark, path, partition_by, rows, committed_batches=committed
+                spark, path, partition_by, rows,
+                committed_batches=committed, columns=columns,
             )
             return rows
     committed = list((loaded or {}).get("committed_batches") or [])
@@ -551,10 +628,13 @@ def _merge_manifest_delta(
     rows = [{k: r.get(k) for k in all_keys} for r in rows]
     if batch_id is not None:
         committed = (committed + [str(batch_id)])[-MAX_REMEMBERED_COMMITS:]
+    if columns is None:
+        columns = (loaded or {}).get("columns")
     _write_manifest_json(
         spark, path, partition_by, rows,
         # a non-txn fold on a txn-built corpus must not drop the replay guard
         committed_batches=committed if (batch_id is not None or committed) else None,
+        columns=columns,
     )
     return rows
 
@@ -620,6 +700,7 @@ def append_corpus_txn(
         rows = _merge_manifest_delta(
             spark, path, tuple(info["partition_by"]), info["delta"],
             info.get("token_col"), batch_id=batch_id,
+            columns=info.get("columns"),
         )
         _fs_delete(spark, stage)
         return _manifest_df(spark, rows, partition_by, token_col, new_docs)
@@ -643,11 +724,13 @@ def append_corpus_txn(
             "batch_id": batch_id,
             "partition_by": list(partition_by),
             "token_col": token_col,
+            "columns": sorted(new_docs.columns),
             "delta": [],
         }
         _fs_write_text_atomic(spark, marker, json.dumps(info, default=str))
         rows = _merge_manifest_delta(
-            spark, path, partition_by, [], token_col, batch_id=batch_id
+            spark, path, partition_by, [], token_col, batch_id=batch_id,
+            columns=info.get("columns"),
         )
         return _manifest_df(spark, rows, partition_by, token_col, new_docs)
 
@@ -661,18 +744,22 @@ def append_corpus_txn(
     # the staged files ARE this batch's exact contribution, so the delta
     # carries full fidelity — n_files/n_bytes included (renames preserve
     # both), which the fold adds instead of dropping; the plain append
-    # can't do this (its files land mixed into history)
+    # can't do this (its files land mixed into history). The read-back
+    # pins the BATCH's schema so partition-value inference can't re-type
+    # the keys (see build_manifest).
     delta = [
         r.asDict()
         for r in build_manifest(
             spark, _join(stage, "corpus"),
             partition_by=partition_by, token_col=token_col,
+            schema=batch.drop("_fp").schema,
         ).collect()
     ]
     info = {
         "batch_id": batch_id,
         "partition_by": list(partition_by),
         "token_col": token_col,
+        "columns": sorted(new_docs.columns),
         "delta": delta,
     }
     _fs_write_text_atomic(spark, staged_flag, json.dumps(info, default=str))
@@ -698,7 +785,8 @@ def _commit_staged(
     marker = _join(path, f"{COMMITS_DIR}/batch-{batch_id}.json")
     _fs_write_text_atomic(spark, marker, json.dumps(info, default=str))
     rows = _merge_manifest_delta(
-        spark, path, partition_by, info["delta"], token_col, batch_id=batch_id
+        spark, path, partition_by, info["delta"], token_col,
+        batch_id=batch_id, columns=info.get("columns"),
     )
     _fs_delete(spark, stage)
     return _manifest_df(spark, rows, partition_by, token_col, source_df)
@@ -748,18 +836,33 @@ def compact_corpus(
     Maintenance-window op, SINGLE writer: not safe under concurrent
     appends, and a reader during the swap can briefly see missing rows
     (a transactional table format is the concurrent-compaction answer).
-    Crash-safe for the DATA: the compacted copy is fully written under
-    ``_compact_tmp`` and frozen with a ``_STAGED`` marker before any
-    original file is deleted; a re-run after a crash at any point resumes
-    the swap from the frozen copy.
+    Crash-safe for the DATA, per-FILE only (never directory renames —
+    those are non-atomic copy+delete on object stores, and a half-copied
+    tree that passes an exists-check loses rows on resume): the compacted
+    copy is fully written under ``_compact_tmp`` and frozen with a
+    ``_STAGED`` marker carrying a compaction id; the swap then (1) moves
+    each file in under the hidden name ``_swap-c<id>-<base>``, (2)
+    deletes every live data file NOT carrying the new ``c<id>-`` prefix,
+    (3) unhides ``_swap-c<id>-X`` → ``c<id>-X``. Every step is per-file
+    idempotent, so a re-run after a crash at any point resumes without
+    loss or duplication.
     """
+    import uuid as _uuid  # noqa: PLC0415
+
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
     tmp = _join(path, COMPACT_TMP)
     staged_flag = _join(tmp, STAGED_MARKER)
 
     if not _fs_exists(spark, staged_flag):
         # fresh compaction: rewrite the full corpus to the side
         _fs_delete(spark, tmp)
-        df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        except AnalysisException:
+            # no data files (empty or fully-gated corpus) — nothing to
+            # compact; hand back the typed empty manifest
+            return _empty_manifest(spark, partition_by, token_col)
         cols = [F.col(c) for c in partition_by]
         if num_tasks:
             df = df.repartitionByRange(
@@ -773,87 +876,82 @@ def compact_corpus(
         writer.partitionBy(*partition_by).parquet(_join(tmp, "data"))
         # the ledger fragments the same way (one file set per appended
         # batch) — rewrite it alongside, same freeze
+        has_ledger = False
         if _fs_exists(spark, _join(path, LEDGER_DIR)):
-            from pyspark.errors import AnalysisException  # noqa: PLC0415
-
             try:
                 spark.read.parquet(_join(path, LEDGER_DIR)).repartition(
                     # default parallelism, not 1: a months-old ledger is
                     # large and must not funnel through one task
                     num_tasks or spark.sparkContext.defaultParallelism
                 ).write.mode("overwrite").parquet(_join(tmp, "ledger"))
+                has_ledger = True
             except AnalysisException:
                 pass  # ledger dir holds no data files — nothing to compact
-        _fs_write_text_atomic(spark, staged_flag, "{}")
-    # Swap, in three idempotent steps so a crash at ANY point resumes
-    # without loss (the frozen copy is authoritative until the flag drops):
-    #   1. stage each compacted child in under an INVISIBLE sibling name
-    #      (``_swap.<name>`` — underscore keeps it out of corpus reads);
-    #   2. per child: delete the original, rename ``_swap.X`` → ``X``
-    #      ("X and _swap.X both present" always means X is the original —
-    #      the rename only happens after the delete);
-    #   3. drop the _STAGED flag (no ``_swap.*`` remains by then), then
-    #      the tmp dir. A tmp WITHOUT the flag is a crashed rewrite or a
-    #      post-flag cleanup leftover — both safe to delete and redo.
-    fs, root = _fs(spark, path)
+        _fs_write_text_atomic(
+            spark,
+            staged_flag,
+            json.dumps(
+                {"compact_id": _uuid.uuid4().hex[:8], "ledger": has_ledger}
+            ),
+        )
+
+    info = json.loads(_fs_read_text(spark, staged_flag))
+    cid = info["compact_id"]
+    targets = [(_join(tmp, "data"), path)]
+    if info.get("ledger"):
+        targets.append((_join(tmp, "ledger"), _join(path, LEDGER_DIR)))
+    fs, _root = _fs(spark, path)
     jvm = spark._jvm
-
-    def _child(name: str):
-        return jvm.org.apache.hadoop.fs.Path(_join(path, name))
-
-    data_root = _join(tmp, "data")
-    fsd, droot = _fs(spark, data_root)
-    if fsd.exists(droot):
-        for st in fsd.listStatus(droot):
-            name = st.getPath().getName()
-            if name.startswith(("_", ".")):
-                continue
-            dest = _child("_swap." + name)
-            if fs.exists(dest):  # resumed swap already staged it in
-                fs.delete(st.getPath(), True)
-            elif not fs.rename(st.getPath(), dest):
-                raise RuntimeError(f"compact stage-in failed: {name}")
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if not name.startswith("_swap."):
-            continue
-        final = _child(name[len("_swap."):])
-        if fs.exists(final):
-            fs.delete(final, True)  # the original — superseded
-        if not fs.rename(st.getPath(), final):
-            raise RuntimeError(f"compact swap rename failed: {name}")
-    # ledger swap: delete-then-rename; a crash between the two leaves the
-    # ledger ABSENT, which the next append self-heals by re-seeding from
-    # the corpus text, and a compact re-run (flag still present) finishes
-    # the rename first
-    tmp_ledger = _join(tmp, "ledger")
-    fsl, lroot = _fs(spark, tmp_ledger)
-    if fsl.exists(lroot):
-        _fs_delete(spark, _join(path, LEDGER_DIR))
-        if not fs.rename(lroot, _child(LEDGER_DIR)):
-            raise RuntimeError("compact ledger rename failed")
+    for src_root, dest_root in targets:
+        # (1) stage in hidden (underscore basenames are invisible to
+        # corpus reads); resumable per file
+        _move_staged_files(
+            spark, src_root, dest_root, cid, prefix=f"_swap-c{cid}-"
+        )
+        # (2) delete superseded live files — anything without the new
+        # prefix, including a PREVIOUS compaction's c<oldid>- files;
+        # re-runs skip already-unhidden c<id>- files, so a crash between
+        # (2) and (3) resumes cleanly (readers briefly see missing rows,
+        # the documented maintenance window)
+        for f in _walk_files(spark, dest_root):
+            base = f.rsplit("/", 1)[1]
+            if not base.startswith(f"c{cid}-"):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+        # (3) unhide: _swap-c<id>-X → c<id>-X, per file
+        for f in _walk_files(spark, dest_root, want_hidden_prefix=f"_swap-c{cid}-"):
+            parent, _, base = f.rpartition("/")
+            dest = jvm.org.apache.hadoop.fs.Path(
+                parent + "/" + base[len("_swap-"):]
+            )
+            src = jvm.org.apache.hadoop.fs.Path(f)
+            if fs.exists(dest):
+                fs.delete(src, False)  # unhidden by a previous attempt
+            elif not fs.rename(src, dest):
+                raise RuntimeError(f"compact unhide failed: {f}")
     _fs_delete(spark, staged_flag)
     _fs_delete(spark, tmp)
 
-    manifest = build_manifest(
-        spark, path, partition_by=partition_by, token_col=token_col
-    )
+    try:
+        manifest = build_manifest(
+            spark, path, partition_by=partition_by, token_col=token_col
+        )
+    except AnalysisException:  # pragma: no cover - compacted corpus has data
+        return _empty_manifest(spark, partition_by, token_col)
     # preserve the replay guard across the manifest rebuild
     committed: list[str] = []
+    columns: list[str] | None = None
     mpath = _join(path, MANIFEST_NAME)
     if _fs_exists(spark, mpath):
         try:
-            committed = list(
-                json.loads(_fs_read_text(spark, mpath)).get(
-                    "committed_batches"
-                )
-                or []
-            )
+            loaded = json.loads(_fs_read_text(spark, mpath))
+            committed = list(loaded.get("committed_batches") or [])
+            columns = loaded.get("columns")
         except ValueError:
             pass
     _write_manifest_json(
         spark, path, partition_by, manifest.collect(),
         committed_batches=committed or None,
+        columns=columns,
     )
     return manifest
 
@@ -871,16 +969,21 @@ def recover_staging(
 
     Per ``_staging/batch_id=*`` entry:
 
-    - commit marker exists → the batch is fully committed; the staging
-      leftover is deleted.
+    - commit marker exists → the batch is fully committed; the marker's
+      manifest delta is (idempotently) folded first — a crash between the
+      marker write and the manifest fold would otherwise undercount the
+      batch forever — then the staging leftover is deleted.
     - ``_STAGED`` exists → the batch froze but may have PARTIALLY moved
       files into the corpus, so deletion could leave half a batch live
       and replay-able into duplicates — instead the commit is RESUMED
       (renames are idempotent; a later replay of the same batch id then
       no-ops on the marker). Always safe, never loses or duplicates.
     - neither, and older than ``min_age_seconds`` → an incomplete stage;
-      nothing outside staging exists, deleted. Younger bare stages are
-      left alone (they may belong to a LIVE query mid-stage).
+      nothing outside staging exists, deleted. Age is the NEWEST
+      modification time anywhere under the stage (the stage dir's own
+      mtime does not advance while nested files are written, so a large
+      live batch mid-stage would otherwise look stale and be deleted out
+      from under its query). Younger bare stages are kept.
 
     Returns ``{"committed": [...], "cleaned": [...], "kept": [...]}`` of
     staging names for observability.
@@ -901,6 +1004,12 @@ def recover_staging(
         stage = _join(staging_root, name)
         marker = _join(path, f"{COMMITS_DIR}/batch-{batch_id}.json")
         if _fs_exists(spark, marker):
+            info = json.loads(_fs_read_text(spark, marker))
+            _merge_manifest_delta(
+                spark, path, tuple(info["partition_by"]), info["delta"],
+                info.get("token_col"), batch_id=batch_id,
+                columns=info.get("columns"),
+            )
             _fs_delete(spark, stage)
             out["cleaned"].append(name)
         elif _fs_exists(spark, _join(stage, STAGED_MARKER)):
@@ -912,9 +1021,14 @@ def recover_staging(
             )  # schema only feeds the empty-manifest fallback
             _commit_staged(spark, path, stage, batch_id, info, empty)
             out["committed"].append(name)
-        elif now_ms - st.getModificationTime() >= min_age_seconds * 1000.0:
-            _fs_delete(spark, stage)
-            out["cleaned"].append(name)
         else:
-            out["kept"].append(name)
+            newest_ms = st.getModificationTime()
+            it = fs.listFiles(st.getPath(), True)
+            while it.hasNext():
+                newest_ms = max(newest_ms, it.next().getModificationTime())
+            if now_ms - newest_ms >= min_age_seconds * 1000.0:
+                _fs_delete(spark, stage)
+                out["cleaned"].append(name)
+            else:
+                out["kept"].append(name)
     return out

@@ -140,7 +140,8 @@ def create_app(
     # and references them by the returned server path)
     aux_exec_dir = os.path.realpath(os.path.join(updir, "aux_exec"))
     os.makedirs(aux_exec_dir, exist_ok=True)
-    # (realpath, mtime) -> (aux table name, DataFrame); see _aux_exec_tables
+    # (realpath, mtime_ns, size) -> (aux table name, DataFrame); LRU via
+    # insertion order — see _aux_exec_tables
     _aux_cache: dict = {}
 
     def _aux_exec_tables(paths: list[str]):
@@ -176,21 +177,32 @@ def create_app(
             names[n] = str(p)
         if collided:
             return {}, collided
-        # (path, mtime)-keyed cache: /execute rebuilds aux tables per call
-        # (reference behavior), but an unchanged file means an unchanged
-        # DataFrame plan — re-running schema inference on every turn is
-        # pure waste. Mtime change (same-path re-upload) invalidates.
+        # (path, mtime, size)-keyed cache: /execute rebuilds aux tables
+        # per call (reference behavior), but an unchanged file means an
+        # unchanged DataFrame plan — re-running schema inference on every
+        # turn is pure waste. Size rides along with mtime so an in-place
+        # replacement that PRESERVES mtime (cp -p, coarse-granularity
+        # filesystems) still invalidates whenever the length moves; a
+        # same-length same-mtime rewrite is the remaining blind spot,
+        # vanishingly rare for uuid-dir uploads.
+        def _key(real):
+            st = os.stat(real)
+            return (real, st.st_mtime_ns, st.st_size)
+
         to_load, tables = [], {}
         for p in paths:
             real = os.path.realpath(str(p))
             try:
-                key = (real, os.path.getmtime(real))
+                key = _key(real)
             except OSError:
                 to_load.append(str(p))
                 continue
             hit = _aux_cache.get(key)
             if hit is not None:
                 name, df = hit
+                # LRU refresh: re-insertion keeps hot entries alive
+                _aux_cache.pop(key, None)
+                _aux_cache[key] = hit
                 # the temp view must exist for generated SQL either way
                 df.createOrReplaceTempView(name)
                 tables[name] = df
@@ -202,12 +214,11 @@ def create_app(
             for p in to_load:
                 name = aux_table_name(p)
                 if name in fresh:
-                    real = os.path.realpath(p)
                     with contextlib.suppress(OSError):
-                        _aux_cache[(real, os.path.getmtime(real))] = (
+                        _aux_cache[_key(os.path.realpath(p))] = (
                             name, fresh[name],
                         )
-            while len(_aux_cache) > 256:  # bound the cache
+            while len(_aux_cache) > 256:  # bound: LRU via insertion order
                 _aux_cache.pop(next(iter(_aux_cache)))
         failed = [
             str(p) for p in paths if aux_table_name(str(p)) not in tables

@@ -3953,11 +3953,13 @@ def q12_shipmodes(spark, sf_dir):
     doc="TPC-H Q21 shape (sole-fault supplier), adapted to the columns "
     "present: suppliers whose RETURNED line sits on a multi-supplier order "
     "where no OTHER supplier had a return — the exists + not-exists double "
-    "correlation on the same fact table. Physically: distinct projections "
-    "once, then a left_semi and a left_anti hash join on the order key "
-    "with the supplier-inequality as post-join filter — correlated "
-    "subqueries without any nested-loop, the plan that survives a fact "
-    "table at any size.",
+    "correlation on the same fact table. Physically: sole-fault is a "
+    "per-order property, so the plan is ONE scan + two cascaded "
+    "aggregations (dedupe to (order, supplier) pairs carrying an any-R "
+    "flag, roll the pairs up per order) + a broadcast supplier join — no "
+    "semi/anti joins, no nested-loop, and NOT a single groupBy with two "
+    "countDistinct columns (that plans an Expand tripling the scan rows; "
+    "measured slower). Survives a fact table at any size.",
 )
 def q21_sole_fault_supplier(spark, sf_dir):
     # A supplier is at sole fault on an order iff it has an R line, the
