@@ -399,7 +399,23 @@ def append_corpus(
         manifest = build_manifest(
             spark, path, partition_by=partition_by, token_col=token_col
         )
-        _write_manifest_json(spark, path, partition_by, manifest.collect())
+        committed: list[str] | None = None
+        mpath = _join(path, MANIFEST_NAME)
+        if _fs_exists(spark, mpath):
+            try:
+                committed = (
+                    json.loads(_fs_read_text(spark, mpath)).get(
+                        "committed_batches"
+                    )
+                    or None
+                )
+            except ValueError:
+                pass  # torn manifest — the full rebuild replaces it
+        _write_manifest_json(
+            spark, path, partition_by, manifest.collect(),
+            committed_batches=committed,
+            columns=sorted(new_docs.columns),
+        )
         return manifest
 
     delta = _collect_delta(batch, partition_by, token_col)
@@ -847,12 +863,41 @@ def compact_corpus(
     idempotent, so a re-run after a crash at any point resumes without
     loss or duplication.
     """
+    tmp = _join(path, COMPACT_TMP)
+    staged_flag = _join(tmp, STAGED_MARKER)
+
+    # partition-value inference OFF for every read in here: the rewrite
+    # must emit the directory values VERBATIM (inference would re-type
+    # source=0123 to int 123 and physically rename the partition dir,
+    # splitting it from future appends)
+    _INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(_INFER, "true")
+    spark.conf.set(_INFER, "false")
+    try:
+        return _compact_corpus_inner(
+            spark, path, tmp, staged_flag,
+            partition_by=partition_by,
+            max_records_per_file=max_records_per_file,
+            token_col=token_col, num_tasks=num_tasks,
+        )
+    finally:
+        spark.conf.set(_INFER, prev_infer)
+
+
+def _compact_corpus_inner(
+    spark: SparkSession,
+    path: str,
+    tmp: str,
+    staged_flag: str,
+    *,
+    partition_by: tuple[str, ...],
+    max_records_per_file: int | None,
+    token_col: str | None,
+    num_tasks: int | None,
+) -> DataFrame:
     import uuid as _uuid  # noqa: PLC0415
 
     from pyspark.errors import AnalysisException  # noqa: PLC0415
-
-    tmp = _join(path, COMPACT_TMP)
-    staged_flag = _join(tmp, STAGED_MARKER)
 
     if not _fs_exists(spark, staged_flag):
         # fresh compaction: rewrite the full corpus to the side
@@ -896,7 +941,17 @@ def compact_corpus(
         )
 
     info = json.loads(_fs_read_text(spark, staged_flag))
-    cid = info["compact_id"]
+    cid = info.get("compact_id")
+    if not cid:
+        # a frozen compaction from a build predating the per-file swap —
+        # its hidden leftovers use a different naming scheme; refuse
+        # loudly rather than resume wrong or (worse) let a fresh rewrite
+        # read a corpus missing the rows stranded in hidden dirs
+        raise RuntimeError(
+            f"unrecognized compaction freeze at {staged_flag} (no "
+            "compact_id); inspect the _compact_tmp and _swap.* leftovers "
+            "manually before re-running"
+        )
     targets = [(_join(tmp, "data"), path)]
     if info.get("ledger"):
         targets.append((_join(tmp, "ledger"), _join(path, LEDGER_DIR)))
@@ -1022,10 +1077,18 @@ def recover_staging(
             _commit_staged(spark, path, stage, batch_id, info, empty)
             out["committed"].append(name)
         else:
-            newest_ms = st.getModificationTime()
-            it = fs.listFiles(st.getPath(), True)
-            while it.hasNext():
-                newest_ms = max(newest_ms, it.next().getModificationTime())
+            try:
+                newest_ms = st.getModificationTime()
+                it = fs.listFiles(st.getPath(), True)
+                while it.hasNext():
+                    newest_ms = max(
+                        newest_ms, it.next().getModificationTime()
+                    )
+            except Exception:
+                # files vanished mid-listing — a LIVE writer is renaming
+                # its task attempts under this stage right now; keep it
+                out["kept"].append(name)
+                continue
             if now_ms - newest_ms >= min_age_seconds * 1000.0:
                 _fs_delete(spark, stage)
                 out["cleaned"].append(name)

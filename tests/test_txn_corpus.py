@@ -555,3 +555,36 @@ def test_append_refuses_schema_drift(spark, tmp_path):
     )
     append_corpus_txn(reordered, out, 2)
     _assert_consistent(spark, out, 20)
+
+
+def test_compaction_preserves_numeric_looking_partition_strings(
+    spark, tmp_path
+):
+    """A string partition value that LOOKS numeric ('0123') must survive
+    compaction verbatim — partition-value inference would re-type it to
+    int 123, physically renaming the directory and splitting the
+    partition from future appends and manifest folds."""
+    import json as _json
+
+    from bambooai_spark.operators.writer import (
+        MANIFEST_NAME as MN,
+        compact_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    mk = lambda lo, hi, src: spark.createDataFrame(  # noqa: E731
+        [(i, src, f"text num {i} " * 3) for i in range(lo, hi)],
+        "doc_id long, source string, text string",
+    )
+    append_corpus_txn(mk(0, 6, "0123"), out, 0, partition_by=("source",))
+    append_corpus_txn(mk(10, 16, "0456"), out, 1, partition_by=("source",))
+    compact_corpus(spark, out, partition_by=("source",))
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("source="))
+    assert dirs == ["source=0123", "source=0456"]
+
+    # the post-compaction fold merges into the SAME keys
+    append_corpus_txn(mk(20, 24, "0123"), out, 2, partition_by=("source",))
+    with open(os.path.join(out, MN)) as fh:
+        man = _json.load(fh)
+    got = {p["source"]: p["n_rows"] for p in man["partitions"]}
+    assert got == {"0123": 10, "0456": 6}
