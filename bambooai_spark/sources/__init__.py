@@ -5,6 +5,7 @@ catalog."""
 
 from bambooai_spark.sources.ingest import (
     load_csv_with_datetime,
+    load_jsonl,
     load_parquet,
     aux_datasets_to_string,
     get_aux_datasets_columns,
@@ -13,6 +14,7 @@ from bambooai_spark.sources.registry import DatasetRegistry
 
 __all__ = [
     "load_csv_with_datetime",
+    "load_jsonl",
     "load_parquet",
     "aux_datasets_to_string",
     "get_aux_datasets_columns",

@@ -104,6 +104,35 @@ def load_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def load_jsonl(
+    spark: SparkSession, path: str, *, coerce_datetimes: bool = True
+) -> DataFrame:
+    """JSON-Lines scan with the same datetime coercion as the CSV loader —
+    the arrival format of most raw document corpora (one JSON object per
+    line; also reads a directory of ``.jsonl``/``.json`` shards). The
+    reference reads only CSV/parquet; this is the document-pipeline
+    extension: ``load_jsonl → ingest_documents → append_corpus`` is the
+    batch twin of the streaming ingest. Schema inference samples the
+    data once (JVM-side); string columns that parse fully as
+    timestamps/dates coerce exactly like CSV's."""
+    df = spark.read.json(path)
+    if not coerce_datetimes:
+        return df
+    str_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, StringType)
+    ]
+    if not str_cols:
+        return df
+    for c, kind in _coercible_string_cols(df, str_cols).items():
+        df = df.withColumn(
+            c,
+            F.try_to_timestamp(F.col(c))
+            if kind == "timestamp"
+            else _try_date(F.col(c)),
+        )
+    return df
+
+
 def _read_head(spark: SparkSession, path: str, num_rows: int) -> DataFrame | None:
     ext = os.path.splitext(path)[1].lower()
     if ext == ".csv":
@@ -115,6 +144,8 @@ def _read_head(spark: SparkSession, path: str, num_rows: int) -> DataFrame | Non
         )
     if ext in (".parquet", ".pq"):
         return spark.read.parquet(path).limit(num_rows)
+    if ext in (".jsonl", ".json", ".ndjson"):
+        return spark.read.json(path).limit(num_rows)
     return None
 
 

@@ -16,7 +16,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (re-export convenience)
 
-from bambooai_spark.sources.ingest import load_csv_with_datetime, load_parquet
+from bambooai_spark.sources.ingest import (
+    load_csv_with_datetime,
+    load_jsonl,
+    load_parquet,
+)
 
 
 class DatasetRegistry:
@@ -38,6 +42,8 @@ class DatasetRegistry:
     def register_file(self, path: str, name: str | None = None, *, persist: bool = False) -> str:
         if path.lower().endswith((".parquet", ".pq")):
             df = load_parquet(self.spark, path)
+        elif path.lower().endswith((".jsonl", ".json", ".ndjson")):
+            df = load_jsonl(self.spark, path)
         else:
             df = load_csv_with_datetime(self.spark, path)
         return self.register(df, name, persist=persist)

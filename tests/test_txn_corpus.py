@@ -588,3 +588,53 @@ def test_compaction_preserves_numeric_looking_partition_strings(
         man = _json.load(fh)
     got = {p["source"]: p["n_rows"] for p in man["partitions"]}
     assert got == {"0123": 10, "0456": 6}
+
+
+def test_jsonl_source_to_corpus_pipeline(spark, tmp_path):
+    """JSONL is how raw document corpora usually arrive: load_jsonl
+    (datetime coercion included) → ingest_documents → transactional
+    corpus append, end to end — the batch twin of the streaming ingest,
+    fed from the new source."""
+    import json as _json
+
+    from bambooai_spark.sources import load_jsonl
+    from bambooai_spark.streaming.documents import ingest_documents
+
+    src = tmp_path / "docs.jsonl"
+    with open(src, "w") as fh:
+        for i in range(30):
+            fh.write(
+                _json.dumps(
+                    {
+                        "doc_id": i,
+                        "lang": "en" if i % 2 else "de",
+                        "source": "web",
+                        "fetched_at": f"2024-01-{(i % 28) + 1:02d} 10:00:00",
+                        "text": (
+                            f"a perfectly ordinary document number {i} "
+                            "with enough words to pass the quality gate "
+                            "and some more filler text on top of that"
+                        ),
+                    }
+                )
+                + "\n"
+            )
+
+    docs = load_jsonl(spark, str(src))
+    # the timestamp string coerced like the CSV loader's
+    assert dict(docs.dtypes)["fetched_at"] == "timestamp"
+    assert docs.count() == 30
+
+    ingested = (
+        ingest_documents(docs.select("doc_id", "lang", "source", "text"))
+        .filter(F.col("keep"))
+        .drop("keep", "reason")
+    )
+    out = str(tmp_path / "corpus")
+    m = append_corpus_txn(ingested, out, 0)
+    stored = spark.read.parquet(out)
+    assert stored.count() == 30
+    assert {r["lang"] for r in m.collect()} == {"en", "de"}
+    # replay no-ops
+    append_corpus_txn(ingested, out, 0)
+    assert spark.read.parquet(out).count() == 30
