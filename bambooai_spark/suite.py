@@ -3226,6 +3226,73 @@ def pivot_orders(spark, sf_dir):
 
 
 @spec(
+    "percent_rank_customers",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(ROUND(CAST(percent_rank() OVER w AS DECIMAL(18,9)), 6)
+                AS DOUBLE) AS pr,
+           CAST(ROUND(CAST(cume_dist() OVER w AS DECIMAL(18,9)), 6)
+                AS DOUBLE) AS cd
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+    headline=True,
+    doc="Relative-standing window functions (percent_rank + cume_dist) — "
+    "the §2.B ranking family beyond ntile/dense_rank: per-segment "
+    "percentile position of every customer's balance. Tie-broken on the "
+    "unique key so both engines agree exactly; one shuffle on the "
+    "segment, frames never cross partitions. Rounded through decimal "
+    "(the (rank-1)/(n-1) division is where double representation ties "
+    "would bite).",
+)
+def percent_rank_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.percent_rank().over(w).cast("decimal(18,9)"), 6)
+        .cast("double")
+        .alias("pr"),
+        F.round(F.cume_dist().over(w).cast("decimal(18,9)"), 6)
+        .cast("double")
+        .alias("cd"),
+    )
+
+
+@spec(
+    "string_agg_regions",
+    """
+    SELECT r.r_name AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           STRING_AGG(n.n_name, '|' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    headline=True,
+    doc="Ordered string aggregation (STRING_AGG ... ORDER BY) — the "
+    "collect-and-concatenate family the rest of the suite lacks. Spark "
+    "has no ordered string_agg aggregate, so the portable construction "
+    "is collect_list → array_sort → array_join: deterministic regardless "
+    "of partitioning (the sort happens AFTER collection), one shuffle on "
+    "the group key, and the dimension join broadcasts.",
+)
+def string_agg_regions(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), "|"
+            ).alias("nations"),
+        )
+    )
+
+
+@spec(
     "ntile_customers",
     """
     SELECT c_custkey, c_mktsegment, c_acctbal,
