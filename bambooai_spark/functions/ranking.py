@@ -124,6 +124,90 @@ def grouped_top_k(
     )
 
 
+def grouped_relative_standing(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str | Column],
+    *,
+    pr_col: str = "percent_rank",
+    cd_col: str = "cume_dist",
+    num_partitions: int | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Exact ``percent_rank()`` and ``cume_dist()``
+    ``OVER (PARTITION BY groups ORDER BY order)`` that stay parallel on
+    few, giant groups — where the plain window is one task per group.
+
+    Both functions are arithmetic on quantities the two-phase bridge
+    already provides: pr = (rank − 1) / (n − 1) (0 when n == 1, the SQL
+    standard's single-row case) and cd = peers_cumulative / n. Rank and
+    the peers-inclusive cumulative count come from local windows after a
+    ``repartitionByRange`` on (group, order): ranges are non-overlapping
+    and EQUAL KEYS COLOCATE, so a tie on the order expression (an equal
+    (group, order) tuple) never spans a partition boundary — local
+    ``rank()`` plus the earlier-slices row-count offset is the global
+    rank, and the local RANGE-framed count plus the same offset is the
+    global peers-cumulative. The bridge is ~#slices rows, broadcast-hash-
+    joined (see module docstring).
+
+    Adds ``pr_col`` and ``cd_col`` (double). Divisions are double: both
+    operands are exact integers well under 2^53, so the correctly-rounded
+    IEEE result is engine-independent. ``checkpoint`` as in
+    :func:`distributed_dense_rank` (False keeps the plan inspectable;
+    the persisted intermediate then stays cached until the caller clears
+    it).
+    """
+    from bambooai_spark.functions.twophase import (
+        grouped_prefix_bridge,
+        stream_key,
+        with_bridge,
+    )
+
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = (
+        df.repartitionByRange(n, *group_cols, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_skey", stream_key(group_cols))
+        .persist()
+    )
+    bridge = grouped_prefix_bridge(part, F.count(F.lit(1)))
+    if bridge is None:
+        part.unpersist()
+        return (
+            df.withColumn(pr_col, F.lit(None).cast("double"))
+            .withColumn(cd_col, F.lit(None).cast("double"))
+            .limit(0)
+        )
+    wloc = Window.partitionBy("_pid", "_skey").orderBy(*order_cols)
+    # rank() ignores the frame; count() takes the default RANGE frame
+    # (unbounded preceding → current row), which is exactly the
+    # peers-INCLUSIVE cumulative count cume_dist needs
+    out = (
+        with_bridge(part, bridge)
+        .withColumn(
+            "_rk", (F.rank().over(wloc) + F.col("_offset")).cast("long")
+        )
+        .withColumn(
+            "_pk",
+            (F.count(F.lit(1)).over(wloc) + F.col("_offset")).cast("long"),
+        )
+        .withColumn(
+            pr_col,
+            F.when(
+                F.col("_total") > 1,
+                (F.col("_rk") - F.lit(1)) / (F.col("_total") - F.lit(1)),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(cd_col, F.col("_pk") / F.col("_total"))
+        .drop("_pid", "_skey", "_offset", "_total", "_rk", "_pk")
+    )
+    if checkpoint:
+        out = out.localCheckpoint(eager=True)
+        part.unpersist()
+    return out
+
+
 def grouped_ntile(
     df: DataFrame,
     group_cols: list[str],

@@ -3239,22 +3239,32 @@ def pivot_orders(spark, sf_dir):
     headline=True,
     doc="Relative-standing window functions (percent_rank + cume_dist) — "
     "the §2.B ranking family beyond ntile/dense_rank: per-segment "
-    "percentile position of every customer's balance. Tie-broken on the "
-    "unique key so both engines agree exactly; one shuffle on the "
-    "segment, frames never cross partitions. Rounded through decimal "
-    "(the (rank-1)/(n-1) division is where double representation ties "
-    "would bite).",
+    "percentile position of every customer's balance, TWO-PHASE "
+    "(functions/ranking.py grouped_relative_standing): 5 market segments "
+    "means a plain window is 5 tasks at any scale, so the global "
+    "within-segment rank and peers-cumulative come from the range-"
+    "partition + count-prefix bridge and pr/cd are pure arithmetic on "
+    "(rank, peers, segment total). Tie-broken on the unique key so both "
+    "engines agree exactly. Rounded through decimal (the (rank-1)/(n-1) "
+    "division is where double representation ties would bite).",
 )
 def percent_rank_customers(spark, sf_dir):
+    from bambooai_spark.functions.ranking import grouped_relative_standing
+
     c = _t(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    return grouped_relative_standing(
+        c.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        ["c_mktsegment"],
+        ["c_acctbal", "c_custkey"],
+        pr_col="_pr",
+        cd_col="_cd",
+    ).select(
         "c_custkey",
         "c_mktsegment",
-        F.round(F.percent_rank().over(w).cast("decimal(18,9)"), 6)
+        F.round(F.col("_pr").cast("decimal(18,9)"), 6)
         .cast("double")
         .alias("pr"),
-        F.round(F.cume_dist().over(w).cast("decimal(18,9)"), 6)
+        F.round(F.col("_cd").cast("decimal(18,9)"), 6)
         .cast("double")
         .alias("cd"),
     )

@@ -470,6 +470,51 @@ def test_grouped_ntile_matches_ntile_twin(spark):
     assert got == want and len(want) == 1009
 
 
+def test_grouped_relative_standing_matches_window_twin(spark):
+    """Two-phase percent_rank/cume_dist equals the plain window exactly,
+    including ties (shared ranks, peers-inclusive cume_dist), a group
+    smaller than the partition count, and the single-row group (pr = 0).
+    The plan must have no low-cardinality window funnel: every Window's
+    partition spec includes the range-partition id, and the bridge enters
+    as a BroadcastHashJoin (VERDICT r7 #1 — the 5-segment plain window
+    was the tree's one scale-killer)."""
+    from bambooai_spark.functions.ranking import grouped_relative_standing
+
+    rows = [(i, "big", (i * 7919) % 211) for i in range(4003)]  # many ties
+    rows += [(50_000 + i, "small", i % 3) for i in range(9)]
+    rows += [(99_999, "solo", 42)]  # n == 1: pr must be 0.0, cd 1.0
+    df = spark.createDataFrame(rows, "id long, g string, v long").repartition(8)
+
+    # order by v ALONE: ~19-way ties per value in "big" exercise shared
+    # ranks and peers-inclusive cume_dist; output is still deterministic
+    # because tied rows share pr/cd
+    out = grouped_relative_standing(
+        df, ["g"], ["v"], pr_col="pr", cd_col="cd", num_partitions=16
+    )
+    got = {(r["id"], r["pr"], r["cd"]) for r in out.collect()}
+    w = Window.partitionBy("g").orderBy("v")
+    want = {
+        (r["id"], r["pr"], r["cd"])
+        for r in df.withColumn("pr", F.percent_rank().over(w))
+        .withColumn("cd", F.cume_dist().over(w))
+        .collect()
+    }
+    assert got == want and len(want) == 4013
+    assert (99_999, 0.0, 1.0) in got
+
+    lazy = grouped_relative_standing(
+        df, ["g"], ["v"], num_partitions=16, checkpoint=False
+    )
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    spark.catalog.clearCache()
+    assert "BroadcastHashJoin" in plan
+    # every window partitions on the range-partition id, never on the
+    # raw (3-value) group alone
+    for frag in plan.split("Window ")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "_pid" in head, head
+
+
 def test_bridge_is_broadcast_join_not_map_literal(spark):
     """The two-phase prefix bridge re-enters the plan as a BroadcastHashJoin
     of the small prefix relation — never a plan-embedded ``create_map``

@@ -368,6 +368,36 @@ def test_grouped_ntile_property(spark, rows, k):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None)
+@given(_grp_rows)
+def test_grouped_relative_standing_property(spark, rows):
+    """grouped_relative_standing over random grouped data (ties on the
+    order value, NULL group, separator chars in group values, single-row
+    groups) equals the plain percent_rank/cume_dist window bit-for-bit —
+    both sides compute the same integer-operand double divisions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bambooai_spark.functions.ranking import grouped_relative_standing
+
+    data = [(i, _GROUPS[g], v) for i, (g, v, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, g string, v long").repartition(4)
+    got = {
+        (r["id"], r["pr"], r["cd"])
+        for r in grouped_relative_standing(
+            df, ["g"], ["v"], pr_col="pr", cd_col="cd", num_partitions=8
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v")
+    want = {
+        (r["id"], r["pr"], r["cd"])
+        for r in df.withColumn("pr", F.percent_rank().over(w))
+        .withColumn("cd", F.cume_dist().over(w))
+        .collect()
+    }
+    assert got == want
+
+
 def test_grouped_ntile_and_top_k_validate_k(spark):
     """NTILE(0) raises in ANSI SQL; the two-phase twin must refuse too
     rather than silently producing NULL buckets (ADVICE r5). Same for
