@@ -4233,17 +4233,8 @@ def unigram_logprob_docs(spark, sf_dir):
 _PROMOTE = [
     "executor_monthly_orders",
     "agent_monthly_orders",
-    "dedup_exact_docs",
-    "winnow_pairs_docs",
-    "dedup_clusters_docs",
-    "contamination_docs",
-    "upsert_embeddings",
-    "media_meta_docs",
-    "tfidf_docs",
-    "slice_orders",
     # Round-4 rotation: the newest oracle-backed LLM-pipeline specs take the
     # graded slots of event-family rows already driver-evidenced in r02+r03.
-    "winnow_docs",
     "passage_dup_docs",
     "boilerplate_docs",
     "pack_docs",
@@ -4290,20 +4281,40 @@ _PROMOTE = [
     # from the head keeps (q18/q7/union/rollup/sessionize/funnel/...),
     # each of which carries a green r6 row.
     "q12_shipmodes",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "monthly_orders",
-    "top_customers",
-    "summary_stats_lineitem",
-    # cube_orders and range_frame_events (new this round, sf0.01
+    # cube_orders and range_frame_events (new in round 7, sf0.01
     # pre-validated) take the two remaining rotation slots so no oracled
     # spec waits ungraded; rolling_avg/asof_join return to the tail with
     # their 5 green rounds intact
     "cube_orders",
     "range_frame_events",
+    # Round-8 rotation (VERDICT r7 #2): the four r7 tail specs get their
+    # first driver grades, the four r01-graded text-analysis stragglers
+    # (stalest oracled rows in the suite) and the six named classics whose
+    # last row is r03 cycle back in. Their 14 slots come from the rows
+    # carrying the most green rounds: the five classics re-evidenced r7
+    # (q1/q3/monthly/top_customers/summary_stats, 6 greens each) and the
+    # nine 4-6-green LLM-pipeline rows (dedup_exact/winnow_pairs/
+    # dedup_clusters/contamination/upsert/media_meta/tfidf/slice/winnow).
+    # Families stay represented in the window: exact+near dedup <-
+    # minhash_md5*/simhash_md5*/jaccard_blocked, winnowing <-
+    # passage_dup_docs, similarity <- knn_ivf_md5, multimodal/embed <-
+    # embed_md5_docs, token stats <- token_stats_docs itself.
+    "intersect_except_customers",
+    "unpivot_orders",
+    "percent_rank_customers",
+    "string_agg_regions",
+    "fingerprint_docs",
+    "token_stats_docs",
+    "text_quality_docs",
+    "lang_id_docs",
+    "isin_orders",
+    "cumsum_events",
+    "pct_change_events",
+    "argmax_events",
+    "json_extract_events",
+    "ftp_events",
 ]
 _DEMOTE = [
-    "isin_orders",
     "q4_order_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
@@ -4316,12 +4327,9 @@ _DEMOTE = [
     "brand_part_stats",
     "rolling_centered_events",
     # Graded green in both r02 and r03; oracle-pinned in pytest at sf0.001.
-    "cumsum_events",
-    "pct_change_events",
-    "argmax_events",
-    "json_extract_events",
+    # (isin/cumsum/pct_change/argmax/json_extract/ftp re-promoted in the
+    # round-8 rotation above)
     "value_counts_orders",
-    "ftp_events",
     # Round-5 demotions: every row below carries 3-4 green driver rounds
     # and stays oracle-pinned in pytest; families remain represented in
     # the window (calendar ← monthly_orders, percentiles ←
@@ -4356,6 +4364,23 @@ _DEMOTE = [
     # the round-7 rotation above)
     "rolling_avg_events",
     "asof_join_events_orders",
+    # Round-8 demotions: the fourteen rows whose slots the rotation takes
+    # (see the round-8 block in _PROMOTE); all stay headline-benched and
+    # oracle-pinned in pytest.
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "monthly_orders",
+    "top_customers",
+    "summary_stats_lineitem",
+    "dedup_exact_docs",
+    "winnow_pairs_docs",
+    "dedup_clusters_docs",
+    "contamination_docs",
+    "upsert_embeddings",
+    "media_meta_docs",
+    "tfidf_docs",
+    "slice_orders",
+    "winnow_docs",
 ]
 
 
