@@ -17,10 +17,14 @@ Methodology:
   re-measured with 3 extra iterations AFTER the whole suite finishes — a
   different heap/JIT state — so one localized GC or compile stall cannot
   poison every sample of a query (r3's q3_top_orders read 2.8x its true
-  time that way). Per-query [min, max] across all samples is emitted in a
-  ``spread`` field so round-over-round deltas can be judged against the
-  measured dispersion.
-- Everything except the final JSON line goes to stderr.
+  time that way). Per-query [min, max] across all samples is written to
+  ``BENCH_SPREAD.json`` next to this script (and echoed to stderr) so
+  round-over-round deltas can be judged against the measured dispersion.
+- Everything except the final JSON line goes to stderr. The driver keeps
+  only the LAST 2000 characters of output and parses the final line only
+  if it fits whole (rounds 4-7 lost the head of the line to this), so the
+  stdout line carries just the per-query minima — the spread dict, which
+  doubled the line past the window, lives in the sidecar file.
 """
 
 from __future__ import annotations
@@ -115,14 +119,31 @@ def main() -> int:
         "value": round(sum(ok), 3),
         "unit": "sec",
         "queries": times,
-        "spread": spread,
         "sf": _sf_of(sf_dir),
         "cpus": cpus,
         "iters": iters,
         "n_queries": len(times),
         "n_failed": len(times) - len(ok),
     }
-    print(json.dumps(result), flush=True)
+    sidecar = {"sf": _sf_of(sf_dir), "cpus": cpus, "iters": iters,
+               "spread": spread}
+    print(f"[bench] spread: {json.dumps(spread)}", file=sys.stderr)
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_SPREAD.json")
+        with open(path, "w") as fh:
+            json.dump(sidecar, fh, indent=1)
+        print(f"[bench] spread written to {path}", file=sys.stderr)
+    except OSError as exc:  # read-only checkout: stderr still has it
+        print(f"[bench] spread sidecar not written: {exc}", file=sys.stderr)
+    line = json.dumps(result)
+    if len(line) > 1990:  # the driver's capture window is 2000 chars
+        print(f"[bench] WARNING: line {len(line)} chars exceeds the "
+              "driver's 2000-char capture; dropping per-query dict",
+              file=sys.stderr)
+        result["queries"] = {}
+        line = json.dumps(result)
+    print(line, flush=True)
     return 0
 
 
