@@ -81,6 +81,7 @@ class BambooAI:
         executor_api_url: str | None = None,
         executor_df_name: str | None = None,
         executor_shared_dir: str | None = None,
+        executor_max_upload_rows: int | None = None,
     ):
         if df is None:
             raise ValueError("df is required (a pyspark.sql.DataFrame)")
@@ -147,10 +148,21 @@ class BambooAI:
             shared = executor_shared_dir or os.environ.get(
                 "EXECUTOR_SHARED_DIR"
             )
+            # executor_max_upload_rows — the single-file HTTP upload
+            # refuses frames above this (spill guard, default 100k in
+            # RemoteSparkExecutor); the refusal's advice to "raise
+            # max_upload_rows" must be reachable from here (ADVICE r7)
+            kw: dict = {}
+            rows_env = os.environ.get("EXECUTOR_MAX_UPLOAD_ROWS")
+            if executor_max_upload_rows is not None:
+                kw["max_upload_rows"] = executor_max_upload_rows
+            elif rows_env:
+                kw["max_upload_rows"] = int(rows_env)
             remote_executor = RemoteSparkExecutor(
                 RemoteExecutorClient(url),
                 df_name=executor_df_name,
                 shared_dir=shared,
+                **kw,
             )
             if executor_df_name is None:
                 remote_executor.ensure_uploaded(df)

@@ -609,7 +609,14 @@ def _merge_manifest_delta(
     for d in delta:
         key = _pkey(d)
         is_new = key not in existing
-        cur = existing.setdefault(key, {c: d[c] for c in partition_by})
+        # the STORED values canonicalize through the same str rule as the
+        # key: a new-key entry holding a typed value (datetime.date) next
+        # to manifest-loaded stringified ones would make _manifest_df's
+        # createDataFrame fail on a String/Date column merge — and the
+        # idempotent fold would refail on every crash replay
+        cur = existing.setdefault(
+            key, dict(zip(partition_by, key))
+        )
         cur["n_rows"] = int(cur.get("n_rows") or 0) + d["n_rows"]
         if token_col:
             cur["n_tokens"] = (
@@ -985,6 +992,7 @@ def _compact_corpus_inner(
                 raise RuntimeError(f"compact unhide failed: {f}")
     _fs_delete(spark, staged_flag)
     _fs_delete(spark, tmp)
+    _prune_commit_markers(spark, path)
 
     try:
         manifest = build_manifest(
@@ -1009,6 +1017,50 @@ def _compact_corpus_inner(
         columns=columns,
     )
     return manifest
+
+
+def _prune_commit_markers(spark: SparkSession, path: str) -> list[str]:
+    """Delete ``_commits`` markers that can no longer matter to a replay
+    (ADVICE r7: a long-lived streaming corpus otherwise accumulates one
+    small marker file per micro-batch forever).
+
+    A marker is prunable when its batch id has aged out of the manifest's
+    bounded ``committed_batches`` window AND no staging dir for it
+    remains: ``_commit_staged`` orders marker → manifest fold → staging
+    delete, so a gone stage proves the fold landed, and only the last
+    uncommitted batch can ever replay — anything older than the window
+    exists purely as idempotence bookkeeping that the window already
+    provides. A marker whose stage survives (crash between marker and
+    fold) is kept for :func:`recover_staging` / the replay to fold.
+    Returns the pruned marker names."""
+    mpath = _join(path, MANIFEST_NAME)
+    if not _fs_exists(spark, mpath):
+        return []  # no manifest — cannot prove any marker is stale
+    try:
+        committed = set(
+            json.loads(_fs_read_text(spark, mpath)).get("committed_batches")
+            or []
+        )
+    except ValueError:
+        return []  # torn manifest mid-overwrite — prune nothing
+    commits_root = _join(path, COMMITS_DIR)
+    fs, croot = _fs(spark, commits_root)
+    if not fs.exists(croot):
+        return []
+    jvm = spark._jvm
+    pruned: list[str] = []
+    for st in fs.listStatus(croot):
+        name = st.getPath().getName()
+        if not (name.startswith("batch-") and name.endswith(".json")):
+            continue
+        bid = name[len("batch-"):-len(".json")]
+        if bid in committed:
+            continue  # inside the replay window
+        if _fs_exists(spark, _join(path, f"{STAGING_DIR}/batch_id={bid}")):
+            continue  # fold may not have landed — recover_staging's job
+        fs.delete(jvm.org.apache.hadoop.fs.Path(_join(commits_root, name)), False)
+        pruned.append(name)
+    return pruned
 
 
 def recover_staging(

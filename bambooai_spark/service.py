@@ -64,6 +64,7 @@ from __future__ import annotations
 import contextlib
 import os
 import tempfile
+import threading
 import uuid
 
 from pyspark.sql import SparkSession
@@ -141,8 +142,14 @@ def create_app(
     aux_exec_dir = os.path.realpath(os.path.join(updir, "aux_exec"))
     os.makedirs(aux_exec_dir, exist_ok=True)
     # (realpath, mtime_ns, size) -> (aux table name, DataFrame); LRU via
-    # insertion order — see _aux_exec_tables
+    # insertion order — see _aux_exec_tables. The lock covers every
+    # read-refresh/insert/evict section: concurrent /execute calls under a
+    # threaded server otherwise race the pop/reinsert against the eviction
+    # iterator (worst case RuntimeError mid-eviction, or a just-inserted
+    # hot entry evicted) — ADVICE r7. Critical sections are tiny (dict
+    # ops; the Spark load happens OUTSIDE the lock).
     _aux_cache: dict = {}
+    _aux_cache_lock = threading.Lock()
 
     def _aux_exec_tables(paths: list[str]):
         """Rebuild the sandbox ``aux`` dict from server-side paths with the
@@ -197,12 +204,14 @@ def create_app(
             except OSError:
                 to_load.append(str(p))
                 continue
-            hit = _aux_cache.get(key)
+            with _aux_cache_lock:
+                hit = _aux_cache.get(key)
+                if hit is not None:
+                    # LRU refresh: re-insertion keeps hot entries alive
+                    _aux_cache.pop(key, None)
+                    _aux_cache[key] = hit
             if hit is not None:
                 name, df = hit
-                # LRU refresh: re-insertion keeps hot entries alive
-                _aux_cache.pop(key, None)
-                _aux_cache[key] = hit
                 # the temp view must exist for generated SQL either way
                 df.createOrReplaceTempView(name)
                 tables[name] = df
@@ -211,15 +220,16 @@ def create_app(
         if to_load:
             fresh = load_aux_tables(spark, to_load)
             tables.update(fresh)
-            for p in to_load:
-                name = aux_table_name(p)
-                if name in fresh:
-                    with contextlib.suppress(OSError):
-                        _aux_cache[_key(os.path.realpath(p))] = (
-                            name, fresh[name],
-                        )
-            while len(_aux_cache) > 256:  # bound: LRU via insertion order
-                _aux_cache.pop(next(iter(_aux_cache)))
+            with _aux_cache_lock:
+                for p in to_load:
+                    name = aux_table_name(p)
+                    if name in fresh:
+                        with contextlib.suppress(OSError):
+                            _aux_cache[_key(os.path.realpath(p))] = (
+                                name, fresh[name],
+                            )
+                while len(_aux_cache) > 256:  # bound: LRU, insertion order
+                    _aux_cache.pop(next(iter(_aux_cache)))
         failed = [
             str(p) for p in paths if aux_table_name(str(p)) not in tables
         ]

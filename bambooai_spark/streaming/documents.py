@@ -16,6 +16,7 @@ foreachBatch MERGE in streaming/memory.py.
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,10 +78,26 @@ def _txn_namespace(spark: SparkSession, checkpoint_location: str) -> str:
     (Hadoop-qualified) first: a restart that spells the same checkpoint
     differently ('/ckpt' vs '/ckpt/' vs a relative form) must land in the
     same namespace, or the replay of a crashed batch would miss its own
-    staging/commit markers and re-append (duplicates)."""
+    staging/commit markers and re-append (duplicates).
+
+    The checkpoint's QUERY ID (``<checkpoint>/metadata``, written by
+    Structured Streaming at query start and reused verbatim on restart)
+    is mixed in when present (ADVICE r7): a path alone would survive the
+    ops mistake of deleting a checkpoint and restarting at the same spot
+    — the new lineage restarts batch ids at 0 in the old namespace, and
+    the surviving ``_commits`` markers would silently swallow its early
+    batches (data loss for any NEW documents in them). A fresh checkpoint
+    gets a fresh uuid, so that restart lands in a fresh namespace; a
+    crash-restart reuses the metadata file, so replays still find their
+    markers. Callers must therefore resolve the namespace AFTER the query
+    starts (the metadata file does not exist before the first start)."""
     import hashlib  # noqa: PLC0415
 
-    from bambooai_spark.operators.writer import _fs  # noqa: PLC0415
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs,
+        _fs_read_text,
+        _join,
+    )
 
     qualified = checkpoint_location
     try:
@@ -88,7 +105,15 @@ def _txn_namespace(spark: SparkSession, checkpoint_location: str) -> str:
         qualified = fs.makeQualified(jp).toString()
     except Exception:
         pass  # unresolvable scheme — fall back to the raw string
-    return hashlib.md5(qualified.encode("utf-8")).hexdigest()[:8]
+    qid = ""
+    try:
+        meta = json.loads(
+            _fs_read_text(spark, _join(checkpoint_location, "metadata"))
+        )
+        qid = str(meta.get("id") or "")
+    except Exception:
+        pass  # pre-start or torn metadata — path-only namespace
+    return hashlib.md5(f"{qualified}\n{qid}".encode("utf-8")).hexdigest()[:8]
 
 
 def stream_ingest_to_corpus(
@@ -143,12 +168,16 @@ def stream_ingest_to_corpus(
         append_corpus_txn,
     )
 
-    ns = (
-        _txn_namespace(docs_stream.sparkSession, checkpoint_location)
-        if checkpoint_location
-        else None
-    )
+    session = docs_stream.sparkSession
     holder: dict = {"manifest": None}
+
+    def _ns() -> str:
+        # resolved lazily, on the first batch: the checkpoint's metadata
+        # file (whose query id the namespace mixes in) is written at
+        # query START, so it exists here but not before writer.start()
+        if "ns" not in holder:
+            holder["ns"] = _txn_namespace(session, checkpoint_location)
+        return holder["ns"]
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
         ingested = (
@@ -165,14 +194,14 @@ def stream_ingest_to_corpus(
             max_records_per_file=max_records_per_file,
             token_col=token_col,
         )
-        if ns is None:
+        if checkpoint_location is None:
             # no checkpoint → no replay identity → the plain ledger-dedup
             # append (at-least-once); a txn id would never be revisited
             # and its staging could orphan on crash
             holder["manifest"] = append_corpus(ingested, path, **kw)
         else:
             holder["manifest"] = append_corpus_txn(
-                ingested, path, f"{ns}-{batch_id}", **kw
+                ingested, path, f"{_ns()}-{batch_id}", **kw
             )
 
     writer = docs_stream.writeStream.foreachBatch(_append)

@@ -266,6 +266,60 @@ def test_facade_api_mode_guards(spark, tmp_path, live_service):
     assert bamboo._orch.sample_first is None
 
 
+def test_facade_plumbs_executor_max_upload_rows(spark, tmp_path, live_service):
+    """The spill-guard refusal tells users to 'raise max_upload_rows
+    explicitly' — that override must be reachable through BambooAI(...)
+    itself (ADVICE r7: api-mode users with a moderately large frame and
+    no shared storage otherwise hit an un-overridable hard-fail)."""
+    import os
+
+    from bambooai_spark import BambooAI
+
+    orders = load_table(spark, SF_DIR, "orders")
+    n = orders.count()
+    with pytest.raises(RuntimeError, match="max_upload_rows"):
+        BambooAI(
+            orders,
+            llm=lambda s, u: "ok",
+            execution_mode="api",
+            executor_api_url=live_service,
+            store_dir=str(tmp_path / "t1"),
+            executor_max_upload_rows=n - 1,
+        )
+    # raised above the frame size, the construction-time upload proceeds
+    bamboo = BambooAI(
+        orders,
+        llm=lambda s, u: "ok",
+        execution_mode="api",
+        executor_api_url=live_service,
+        store_dir=str(tmp_path / "t2"),
+        executor_max_upload_rows=n,
+    )
+    assert bamboo._orch.executor.df_name is not None
+    # the env-var spelling works too and the explicit kwarg wins over it
+    os.environ["EXECUTOR_MAX_UPLOAD_ROWS"] = str(n - 1)
+    try:
+        with pytest.raises(RuntimeError, match="max_upload_rows"):
+            BambooAI(
+                orders,
+                llm=lambda s, u: "ok",
+                execution_mode="api",
+                executor_api_url=live_service,
+                store_dir=str(tmp_path / "t3"),
+            )
+        bamboo = BambooAI(
+            orders,
+            llm=lambda s, u: "ok",
+            execution_mode="api",
+            executor_api_url=live_service,
+            store_dir=str(tmp_path / "t4"),
+            executor_max_upload_rows=n,
+        )
+        assert bamboo._orch.executor.df_name is not None
+    finally:
+        del os.environ["EXECUTOR_MAX_UPLOAD_ROWS"]
+
+
 def test_upload_spill_guard_refuses_large_frame(spark):
     """The single-file HTTP upload coalesces the frame into ONE task and
     ONE request body — a frame above max_upload_rows must fail fast with

@@ -293,6 +293,108 @@ def test_txn_namespace_normalizes_checkpoint_spellings(spark, tmp_path):
     assert _txn_namespace(spark, base) != _txn_namespace(
         spark, str(tmp_path / "other")
     )
+    # the checkpoint's query id (metadata file) distinguishes LINEAGES at
+    # the same path: a deleted-then-recreated checkpoint gets a fresh
+    # uuid and must land in a fresh namespace (ADVICE r7), while the same
+    # metadata read through a respelled path stays in the same one
+    os.makedirs(base, exist_ok=True)
+    with open(os.path.join(base, "metadata"), "w") as fh:
+        json.dump({"id": "11111111-aaaa-bbbb-cccc-222222222222"}, fh)
+    with_id = _txn_namespace(spark, base)
+    assert with_id != _txn_namespace(spark, str(tmp_path / "other"))
+    assert with_id == _txn_namespace(spark, base + "/")
+    with open(os.path.join(base, "metadata"), "w") as fh:
+        json.dump({"id": "33333333-aaaa-bbbb-cccc-444444444444"}, fh)
+    assert _txn_namespace(spark, base) != with_id
+
+
+def test_checkpoint_deletion_does_not_swallow_new_batches(spark, tmp_path):
+    """Deleting a checkpoint and restarting a query at the same path used
+    to restart batch ids at 0 in the SAME namespace — the surviving
+    _commits markers then silently skipped the new lineage's early
+    batches (ADVICE r7: data loss for any new documents in them). The
+    query-id component of the namespace makes the recreated lineage
+    fresh: old documents dedup on the ledger, new ones land."""
+    import shutil
+
+    from bambooai_spark.streaming.documents import (
+        ingest_documents,
+        stream_ingest_to_corpus,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    src = str(tmp_path / "doc_parts")
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    docs.filter("doc_id < 40").coalesce(1).write.parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    assert stream_ingest_to_corpus(stream(), out, checkpoint_location=ckpt) is not None
+    shutil.rmtree(ckpt)  # the ops mistake
+    docs.filter("doc_id >= 40 AND doc_id < 80").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # the recreated lineage re-reads ALL files as its early batches; the
+    # old lineage's markers must not swallow them
+    stream_ingest_to_corpus(stream(), out, checkpoint_location=ckpt)
+
+    stored = spark.read.parquet(out)
+    want = (
+        ingest_documents(docs.filter("doc_id < 80"))
+        .filter("keep")
+        .select("text")
+        .distinct()
+        .count()
+    )
+    assert stored.count() == want
+    assert stored.select("text").distinct().count() == want
+
+
+def test_compact_prunes_aged_out_commit_markers(spark, tmp_path, monkeypatch):
+    """compact_corpus deletes _commits markers whose batch ids have aged
+    out of the manifest's bounded committed_batches window (ADVICE r7: a
+    long-lived streaming corpus otherwise accumulates one marker per
+    micro-batch forever). Markers inside the window survive, and a replay
+    of a PRUNED batch still cannot duplicate documents — the ledger
+    anti-join drops them all."""
+    from bambooai_spark.operators.writer import compact_corpus
+
+    monkeypatch.setattr(writer, "MAX_REMEMBERED_COMMITS", 3)
+    out = str(tmp_path / "corpus")
+    def _markers():
+        return sorted(
+            c
+            for c in os.listdir(os.path.join(out, COMMITS_DIR))
+            if c.startswith("batch-") and c.endswith(".json")
+        )
+
+    for b in range(6):
+        append_corpus_txn(_docs(spark, b * 10, b * 10 + 10), out, b)
+    assert len(_markers()) == 6
+    compact_corpus(spark, out)
+    assert _markers() == ["batch-3.json", "batch-4.json", "batch-5.json"]
+    # a replay of a pruned batch re-executes instead of short-circuiting;
+    # the ledger dedups every document, so nothing changes
+    append_corpus_txn(_docs(spark, 0, 10), out, 0)
+    _assert_consistent(spark, out, 60)
+    # a marker for an unfolded batch (staging still present) is KEPT
+    stage = os.path.join(out, STAGING_DIR, "batch_id=9")
+    os.makedirs(stage)
+    with open(os.path.join(out, COMMITS_DIR, "batch-9.json"), "w") as fh:
+        json.dump({"batch_id": 9, "partition_by": ["lang"], "delta": []}, fh)
+    from bambooai_spark.operators.writer import _prune_commit_markers
+
+    pruned = _prune_commit_markers(spark, out)
+    assert "batch-9.json" not in pruned
+    assert os.path.exists(os.path.join(out, COMMITS_DIR, "batch-9.json"))
 
 
 def test_manifest_fold_file_counts(spark, tmp_path):
@@ -353,14 +455,26 @@ def test_delta_merge_matches_json_stringified_partition_keys(spark, tmp_path):
 
     out = str(tmp_path / "corpus")
     rows1 = [(1, "2024-01-01", "alpha text one"), (2, "2024-01-02", "beta two")]
-    rows2 = [(3, "2024-01-01", "gamma three")]
+    # batch 2 touches an existing key AND adds a NEW one: the new entry
+    # must store the same stringified value as the loaded ones, or the
+    # returned manifest DataFrame fails on a String/Date column merge
+    # (ADVICE r7) — and an idempotent txn replay would refail forever
+    rows2 = [(3, "2024-01-01", "gamma three"), (4, "2024-01-03", "delta four")]
     mk = lambda rows: spark.createDataFrame(  # noqa: E731
         rows, "doc_id long, day string, text string"
     ).select("doc_id", F.to_date("day").alias("day"), "text")
     append_corpus(mk(rows1), out, partition_by=("day",))
     m = append_corpus(mk(rows2), out, partition_by=("day",))
     got = {str(r["day"]): r["n_rows"] for r in m.collect()}
-    assert got == {"2024-01-01": 2, "2024-01-02": 1}
+    assert got == {"2024-01-01": 2, "2024-01-02": 1, "2024-01-03": 1}
+    # same shape through the txn path, where the fold replays on crash
+    from bambooai_spark.operators.writer import append_corpus_txn
+
+    out2 = str(tmp_path / "corpus2")
+    append_corpus_txn(mk(rows1), out2, 0, partition_by=("day",))
+    m2 = append_corpus_txn(mk(rows2), out2, 1, partition_by=("day",))
+    got2 = {str(r["day"]): r["n_rows"] for r in m2.collect()}
+    assert got2 == {"2024-01-01": 2, "2024-01-02": 1, "2024-01-03": 1}
 
 
 def test_txn_append_over_file_uri(spark, tmp_path, monkeypatch):
