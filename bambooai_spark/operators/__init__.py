@@ -26,6 +26,7 @@ from bambooai_spark.operators.writer import (
     append_corpus_txn,
     build_manifest,
     compact_corpus,
+    delete_from_corpus,
     recover_staging,
     write_corpus,
 )
@@ -45,5 +46,6 @@ __all__ = [
     "append_corpus_txn",
     "build_manifest",
     "compact_corpus",
+    "delete_from_corpus",
     "recover_staging",
 ]

@@ -637,6 +637,10 @@ def _merge_manifest_delta(
         for k in sorted(
             existing, key=lambda t: tuple((v is None, v or "") for v in t)
         )
+        # a NEGATIVE delta (delete_from_corpus) can fold a partition to
+        # zero rows — its files are gone, so it leaves the manifest (no
+        # append path ever produces a non-positive count)
+        if int(existing[k].get("n_rows") or 0) > 0
     ]
     # uniform keys across rows (delta-touched entries dropped file/byte
     # counts; untouched ones may still carry them) — but a key that ended
@@ -1017,6 +1021,236 @@ def _compact_corpus_inner(
         columns=columns,
     )
     return manifest
+
+
+DELETE_TMP = "_delete_tmp"
+
+
+def delete_from_corpus(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    *,
+    partition_by: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Takedown / GDPR-style removal: delete every corpus row matching
+    ``predicate`` (a Column or SQL string), rewriting ONLY the files that
+    contain a match — never the corpus — via the same per-file swap
+    protocol as :func:`compact_corpus`. Returns the folded manifest.
+
+    Three effects, all crash-resumable:
+
+    - **Data**: each affected file's KEPT rows are rewritten to the side
+      under ``_delete_tmp``, frozen with a ``_STAGED`` marker (which also
+      pins the exact original file lists and the negative manifest
+      delta), then swapped in hidden (``_swap-d<id>-``), the originals
+      deleted, and the replacements unhidden. Unaffected files are never
+      touched, read, or moved.
+    - **Ledger**: the deleted rows' fingerprints leave the ledger (only
+      ledger files containing one are rewritten), so a LATER re-append of
+      a deleted document is admitted instead of silently dropped — the
+      point of a takedown is that the content may legitimately return.
+    - **Manifest**: an exact negative per-partition row/token delta folds
+      idempotently (``committed_batches``-guarded under a ``delete-<id>``
+      batch id); touched partitions drop their file/byte counts (a
+      compact or :func:`build_manifest` restores them) and partitions
+      folding to zero rows leave the manifest entirely.
+
+    Driver memory is O(affected files + distinct touched partition
+    values) — the frozen marker holds both lists. Same maintenance-window
+    contract as compaction: single writer, a concurrent reader can
+    briefly see missing rows mid-swap. Partition columns read as the
+    verbatim directory strings (inference off), so predicates on them
+    compare string values.
+    """
+    import uuid as _uuid  # noqa: PLC0415
+
+    from bambooai_spark.functions.text import fingerprint  # noqa: PLC0415
+
+    tmp = _join(path, DELETE_TMP)
+    staged_flag = _join(tmp, STAGED_MARKER)
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+
+    _INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(_INFER, "true")
+    spark.conf.set(_INFER, "false")
+    try:
+        if not _fs_exists(spark, staged_flag):
+            info = _stage_delete(
+                spark, path, tmp, pred,
+                partition_by=partition_by, text_col=text_col,
+                token_col=token_col, fingerprint=fingerprint,
+                delete_id=_uuid.uuid4().hex[:8],
+            )
+            if info is None:  # no row matches — corpus untouched
+                return _current_manifest(spark, path, partition_by, token_col)
+            _fs_write_text_atomic(
+                spark, staged_flag, json.dumps(info, default=str)
+            )
+        else:
+            info = json.loads(_fs_read_text(spark, staged_flag))
+        return _apply_staged_delete(spark, path, tmp, staged_flag, info)
+    finally:
+        spark.conf.set(_INFER, prev_infer)
+
+
+def _current_manifest(
+    spark: SparkSession, path: str, partition_by, token_col: str | None
+) -> DataFrame:
+    """The corpus's manifest as a DataFrame without a corpus scan: the
+    JSON when present/parseable, the exact from-files rebuild otherwise."""
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    mpath = _join(path, MANIFEST_NAME)
+    if _fs_exists(spark, mpath):
+        try:
+            rows = json.loads(_fs_read_text(spark, mpath)).get("partitions", [])
+            return _manifest_df(spark, rows, partition_by, token_col, None)
+        except ValueError:
+            pass
+    try:
+        return build_manifest(
+            spark, path, partition_by=tuple(partition_by), token_col=token_col
+        )
+    except AnalysisException:
+        return _empty_manifest(spark, partition_by, token_col)
+
+
+def _stage_delete(
+    spark: SparkSession,
+    path: str,
+    tmp: str,
+    pred,
+    *,
+    partition_by,
+    text_col: str,
+    token_col: str | None,
+    fingerprint,
+    delete_id: str,
+) -> dict | None:
+    """Phase A of :func:`delete_from_corpus`: compute the affected file
+    lists and negative delta, rewrite kept rows and surviving ledger rows
+    to the side. Nothing outside ``tmp`` changes. Returns the freeze info
+    (None when the predicate matches nothing)."""
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    _fs_delete(spark, tmp)
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException:
+        return None  # no data files — nothing to delete
+    tagged = df.withColumn("_file", F.col("_metadata.file_path"))
+    matches = tagged.filter(pred).persist()
+    try:
+        data_files = sorted(
+            r["_file"]
+            for r in matches.select("_file").distinct().collect()
+        )
+        if not data_files:
+            return None
+        aggs = [(-F.count(F.lit(1))).cast("long").alias("n_rows")]
+        if token_col:
+            aggs.append(
+                (-F.coalesce(F.sum(F.col(token_col)), F.lit(0)))
+                .cast("long").alias("n_tokens")
+            )
+        delta = [
+            r.asDict()
+            for r in matches.groupBy(*partition_by).agg(*aggs).collect()
+        ]
+        kept = tagged.filter(F.col("_file").isin(data_files)).filter(
+            ~F.coalesce(pred, F.lit(False))  # NULL predicate rows are kept
+        ).drop("_file")
+        kept.write.mode("overwrite").partitionBy(*partition_by).parquet(
+            _join(tmp, "data")
+        )
+        ledger_files: list[str] = []
+        ledger_path = _join(path, LEDGER_DIR)
+        if _fs_exists(spark, ledger_path):
+            try:
+                fps = matches.select(
+                    fingerprint(text_col, normalize=True).alias("fp")
+                ).distinct()
+                ledger = spark.read.parquet(ledger_path).withColumn(
+                    "_file", F.col("_metadata.file_path")
+                )
+                ledger_files = sorted(
+                    r["_file"]
+                    for r in ledger.join(fps, "fp", "left_semi")
+                    .select("_file").distinct().collect()
+                )
+                if ledger_files:
+                    (
+                        ledger.filter(F.col("_file").isin(ledger_files))
+                        .join(fps, "fp", "left_anti")
+                        .drop("_file")
+                        .write.mode("overwrite")
+                        .parquet(_join(tmp, "ledger"))
+                    )
+            except AnalysisException:
+                pass  # ledger dir holds no data files
+    finally:
+        matches.unpersist()
+    return {
+        "delete_id": delete_id,
+        "partition_by": list(partition_by),
+        "token_col": token_col,
+        "delta": delta,
+        "data_files": data_files,
+        "ledger_files": ledger_files,
+    }
+
+
+def _apply_staged_delete(
+    spark: SparkSession,
+    path: str,
+    tmp: str,
+    staged_flag: str,
+    info: dict,
+) -> DataFrame:
+    """Phase B of :func:`delete_from_corpus`, resumable from the frozen
+    info alone (the corpus may be mid-swap — nothing here re-reads it):
+    swap replacements in per-file, delete exactly the frozen originals,
+    fold the negative delta, clean up."""
+    did = info["delete_id"]
+    partition_by = tuple(info["partition_by"])
+    token_col = info.get("token_col")
+    fs, _root = _fs(spark, path)
+    jvm = spark._jvm
+    targets = [(_join(tmp, "data"), path)]
+    if info.get("ledger_files"):
+        targets.append((_join(tmp, "ledger"), _join(path, LEDGER_DIR)))
+    for (src_root, dest_root), originals in zip(
+        targets, [info["data_files"], info.get("ledger_files") or []]
+    ):
+        # (1) stage replacements hidden; resumable per file
+        _move_staged_files(
+            spark, src_root, dest_root, did, prefix=f"_swap-d{did}-"
+        )
+        # (2) delete exactly the affected originals (missing = already
+        # deleted by a previous attempt)
+        for f in originals:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+        # (3) unhide — identical loop to compaction's
+        for f in _walk_files(spark, dest_root, want_hidden_prefix=f"_swap-d{did}-"):
+            parent, _, base = f.rpartition("/")
+            dest = jvm.org.apache.hadoop.fs.Path(
+                parent + "/" + base[len("_swap-"):]
+            )
+            src = jvm.org.apache.hadoop.fs.Path(f)
+            if fs.exists(dest):
+                fs.delete(src, False)
+            elif not fs.rename(src, dest):
+                raise RuntimeError(f"delete-swap unhide failed: {f}")
+    rows = _merge_manifest_delta(
+        spark, path, partition_by, info["delta"], token_col,
+        batch_id=f"delete-{did}",
+    )
+    _fs_delete(spark, staged_flag)
+    _fs_delete(spark, tmp)
+    return _manifest_df(spark, rows, partition_by, token_col, None)
 
 
 def _prune_commit_markers(spark: SparkSession, path: str) -> list[str]:

@@ -397,6 +397,141 @@ def test_compact_prunes_aged_out_commit_markers(spark, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(out, COMMITS_DIR, "batch-9.json"))
 
 
+def test_delete_from_corpus_reappend_and_manifest(spark, tmp_path):
+    """Takedown path end-to-end: delete_from_corpus removes exactly the
+    matching rows, rewrites ONLY affected files, drops the deleted
+    fingerprints from the ledger (a re-append of a deleted document is
+    admitted — the point of a takedown), folds an exact negative manifest
+    delta (zero-row partitions leave the manifest), and the manifest JSON
+    equals the from-files rebuild afterwards."""
+    from bambooai_spark.operators.writer import delete_from_corpus
+
+    out = str(tmp_path / "corpus")
+    for b in range(3):
+        append_corpus_txn(
+            _docs(spark, b * 20, b * 20 + 20), out, b,
+            max_records_per_file=5,
+        )
+    before_files = set(
+        r[0]
+        for r in spark.read.parquet(out)
+        .select("_metadata.file_path").distinct().collect()
+    )
+    # three documents spread over two batches and both languages — the
+    # empty-partition case is its own test below
+    m = delete_from_corpus(
+        spark, out, F.col("doc_id").isin(7, 8, 31), partition_by=("lang",)
+    )
+    stored = spark.read.parquet(out)
+    assert stored.filter(F.col("doc_id").isin(7, 8, 31)).count() == 0
+    assert stored.count() == 57
+    # only affected files were rewritten: every kept ORIGINAL basename
+    # still present (the swap names start d<id>-, originals b<batch>-)
+    after_files = set(
+        r[0]
+        for r in stored.select("_metadata.file_path").distinct().collect()
+    )
+    assert before_files - after_files, "no file was removed"
+    assert after_files & before_files, "unaffected files were rewritten"
+    # manifest folded exactly and matches the rebuild
+    got = {r["lang"]: r["n_rows"] for r in m.collect()}
+    want = {
+        r["lang"]: r["cnt"]
+        for r in stored.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert got == want
+    rebuilt = {
+        r["lang"]: r["n_rows"]
+        for r in build_manifest(spark, out, partition_by=("lang",)).collect()
+    }
+    assert rebuilt == want
+    # ledger: deleted fingerprints gone -> the SAME documents re-append
+    assert spark.read.parquet(out + "/" + LEDGER_DIR).count() == 57
+    append_corpus_txn(_docs(spark, 0, 60), out, "readd")
+    _assert_consistent(spark, out, 60)
+    # idempotence: deleting with a never-matching predicate is a no-op
+    m2 = delete_from_corpus(spark, out, F.col("doc_id") > 10_000)
+    assert {r["lang"]: r["n_rows"] for r in m2.collect()} == {
+        r["lang"]: r["cnt"]
+        for r in spark.read.parquet(out)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+
+
+def test_delete_from_corpus_drops_empty_partition(spark, tmp_path):
+    """Deleting every row of one partition value removes its manifest
+    entry entirely (a zero-row entry would diverge from build_manifest)."""
+    from bambooai_spark.operators.writer import delete_from_corpus
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 30), out, 0)
+    m = delete_from_corpus(spark, out, F.col("lang") == "de")
+    langs = {r["lang"] for r in m.collect()}
+    assert langs == {"en"}
+    with open(os.path.join(out, MANIFEST_NAME)) as fh:
+        jlangs = {p["lang"] for p in json.load(fh)["partitions"]}
+    assert jlangs == {"en"}
+    assert spark.read.parquet(out).filter("lang = 'de'").count() == 0
+
+
+def test_delete_from_corpus_crash_resume(spark, tmp_path, monkeypatch):
+    """Crash injection at both delete-swap protocol points: (a) during
+    the hidden staging moves, (b) after the swap but before the manifest
+    fold. Each re-run resumes from the frozen info — no row loss, no
+    duplicate, manifest folded exactly once."""
+    from bambooai_spark.operators.writer import delete_from_corpus
+
+    out = str(tmp_path / "corpus")
+    for b in range(2):
+        append_corpus_txn(
+            _docs(spark, b * 20, b * 20 + 20), out, b,
+            max_records_per_file=5,
+        )
+    pred = F.col("doc_id") % 4 == 1  # 10 of 40 docs, spread over files
+
+    orig_move = writer._move_staged_files
+
+    def crash_move(sp, src_root, dest_root, batch_id, **kw):
+        raise RuntimeError("injected delete crash in swap")
+
+    monkeypatch.setattr(writer, "_move_staged_files", crash_move)
+    with pytest.raises(RuntimeError, match="injected"):
+        delete_from_corpus(spark, out, pred)
+    monkeypatch.setattr(writer, "_move_staged_files", orig_move)
+
+    orig_fold = writer._merge_manifest_delta
+
+    def crash_fold(*a, **kw):
+        raise RuntimeError("injected delete crash before fold")
+
+    monkeypatch.setattr(writer, "_merge_manifest_delta", crash_fold)
+    with pytest.raises(RuntimeError, match="injected"):
+        delete_from_corpus(spark, out, pred)
+    monkeypatch.setattr(writer, "_merge_manifest_delta", orig_fold)
+
+    m = delete_from_corpus(spark, out, pred)
+    stored = spark.read.parquet(out)
+    assert stored.filter(pred).count() == 0
+    assert stored.count() == 30
+    assert stored.select("text").distinct().count() == 30
+    got = {r["lang"]: r["n_rows"] for r in m.collect()}
+    rebuilt = {
+        r["lang"]: r["n_rows"]
+        for r in build_manifest(spark, out, partition_by=("lang",)).collect()
+    }
+    assert got == rebuilt
+    assert spark.read.parquet(out + "/" + LEDGER_DIR).count() == 30
+    # staging fully cleaned; nothing hidden left behind
+    assert not os.path.exists(os.path.join(out, "_delete_tmp"))
+    leftover = [
+        f
+        for _, _, fs_ in os.walk(out)
+        for f in fs_
+        if f.startswith("_swap-")
+    ]
+    assert leftover == []
+
+
 def test_manifest_fold_file_counts(spark, tmp_path):
     """TXN deltas carry exact n_files/n_bytes (the staged files ARE the
     batch's contribution) and fold additively — the delta-mode manifest
