@@ -309,6 +309,127 @@ def local_adapter(model: str = "local", **kw):
     )
 
 
+def convert_messages_to_alpaca(messages: list[dict]) -> str:
+    """OpenAI-shaped message list → Alpaca instruction format, the
+    reference's prompt rewrite for in-process WizardCoder/Phind models
+    (models/local_models.py:16-40): system text verbatim, user turns as
+    ``### Instruction:``, assistant turns as ``### Response:``; any
+    ``Example Output:`` tail is stripped (the reference found the model
+    interprets example code instead of generating) and a trailing user
+    turn gets an empty ``### Response:`` to complete."""
+    import re  # noqa: PLC0415
+
+    formatted = ""
+    last_role = None
+    for item in messages:
+        role, content = item["role"], item["content"]
+        if role == "system":
+            formatted += content + "\n"
+        elif role == "user":
+            formatted += "### Instruction: " + content + "\n"
+        elif role == "assistant":
+            formatted += "### Response: " + content + "\n"
+        last_role = role
+    formatted = re.sub(r"Example Output:.*", "", formatted, flags=re.S)
+    if last_role == "user":
+        formatted += "### Response:\n"
+    return formatted
+
+
+def transformers_local_adapter(
+    model: str = "WizardLM/WizardCoder-15B-V1.0",
+    *,
+    pipe=None,
+    max_length: int = 16_000,
+):
+    """In-process HF-transformers provider — the faithful analog of the
+    reference's ``local_models.llm_stream`` (models/local_models.py:1-60,
+    the last provider family without one; :func:`local_adapter` remains
+    the served-endpoint substitution). Import-gated like the
+    Pinecone/Qdrant backends: ``transformers``/``torch`` load lazily on
+    the first call, 4-bit nf4 double-quant unless an 80 GB+ GPU is
+    present (float16 then), generation with the reference's sampling
+    params (top_k=1, repetition_penalty=1.1, return_full_text=False).
+
+    ``pipe`` injects a ready text-generation pipeline (prompt →
+    ``[{"generated_text": ...}]``) — the contract-test seam, and the way
+    to reuse one loaded model across adapters."""
+
+    def _load():
+        try:
+            import torch  # noqa: PLC0415
+            from transformers import (  # noqa: PLC0415
+                AutoModelForCausalLM,
+                AutoTokenizer,
+                BitsAndBytesConfig,
+                pipeline,
+            )
+        except ImportError as exc:
+            raise RuntimeError(
+                "transformers_local_adapter needs the 'transformers' and "
+                "'torch' packages; install them, or serve the model over "
+                "an OpenAI-compatible endpoint and use local_adapter()"
+            ) from exc
+        big_gpu = (
+            torch.cuda.is_available()
+            and torch.cuda.get_device_properties(0).total_memory / 1e9 >= 80
+        )
+        cfg = (
+            {"torch_dtype": torch.float16}
+            if big_gpu
+            else {
+                "quantization_config": BitsAndBytesConfig(
+                    load_in_4bit=True,
+                    bnb_4bit_quant_type="nf4",
+                    bnb_4bit_use_double_quant=True,
+                    bnb_4bit_compute_dtype=torch.bfloat16,
+                )
+            }
+        )
+        m = AutoModelForCausalLM.from_pretrained(
+            model, trust_remote_code=True, device_map="auto", **cfg
+        )
+        m.eval()
+        tok = AutoTokenizer.from_pretrained(model, use_fast=True)
+        return (
+            pipeline("text-generation", model=m, tokenizer=tok),
+            {
+                "do_sample": True,
+                "top_k": 1,
+                "num_return_sequences": 1,
+                "eos_token_id": tok.eos_token_id,
+                "max_length": max_length,
+                "repetition_penalty": 1.1,
+                "return_full_text": False,
+            },
+        )
+
+    state: dict = {}
+
+    def llm(system: str, user) -> str:
+        content = _content_for(user)
+        if not isinstance(content, str):
+            # text-only models: keep the text parts, drop images
+            content = "\n".join(
+                p["text"] for p in content if p.get("type") == "text"
+            )
+        prompt = convert_messages_to_alpaca(
+            [
+                {"role": "system", "content": system},
+                {"role": "user", "content": content},
+            ]
+        )
+        if pipe is not None:
+            result = pipe(prompt)
+        else:
+            if "pipe" not in state:
+                state["pipe"], state["kw"] = _load()
+            result = state["pipe"](prompt, **state["kw"])
+        return result[0]["generated_text"]
+
+    return llm
+
+
 # ---- Anthropic Messages contract -----------------------------------------
 
 ANTHROPIC_URL = "https://api.anthropic.com/v1/messages"

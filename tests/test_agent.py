@@ -913,6 +913,94 @@ def test_openai_adapter_drives_full_agent_loop(spark):
     assert res.ok and res.df.count() == 12
 
 
+def test_alpaca_conversion_matches_reference_rules():
+    """convert_messages_to_alpaca reproduces the reference's in-process
+    prompt rewrite (models/local_models.py:16-40): system verbatim, user
+    as '### Instruction:', assistant as '### Response:', the Example
+    Output tail stripped, and a trailing user turn completed with an
+    empty response marker."""
+    from bambooai_spark.agent.providers import convert_messages_to_alpaca
+
+    got = convert_messages_to_alpaca(
+        [
+            {"role": "system", "content": "You write PySpark code."},
+            {"role": "user", "content": "Count rows"},
+            {"role": "assistant", "content": "df.count()"},
+            {"role": "user", "content": "Now limit to 3"},
+        ]
+    )
+    assert got == (
+        "You write PySpark code.\n"
+        "### Instruction: Count rows\n"
+        "### Response: df.count()\n"
+        "### Instruction: Now limit to 3\n"
+        "### Response:\n"
+    )
+    # Example Output and EVERYTHING after it is stripped (the reference
+    # found the model interprets example code instead of generating)
+    got = convert_messages_to_alpaca(
+        [
+            {"role": "system", "content": "sys"},
+            {
+                "role": "user",
+                "content": "Task.\nExample Output:\n```python\nx\n```",
+            },
+        ]
+    )
+    assert "Example Output" not in got and "```" not in got
+    assert got.startswith("sys\n### Instruction: Task.")
+    # ending on an assistant turn adds no empty response marker
+    got = convert_messages_to_alpaca(
+        [
+            {"role": "user", "content": "q"},
+            {"role": "assistant", "content": "a"},
+        ]
+    )
+    assert not got.endswith("### Response:\n") or got.endswith(
+        "### Response: a\n"
+    )
+
+
+def test_transformers_local_adapter_contract():
+    """The in-process provider is a valid engine LLM against an injected
+    pipeline (the transformers import never happens): the prompt reaching
+    the pipeline is the Alpaca conversion, multimodal parts degrade to
+    their text, and without an injected pipeline the missing-dependency
+    error points at the endpoint alternative."""
+    import pytest as _pytest
+
+    from bambooai_spark.agent.providers import transformers_local_adapter
+
+    prompts = []
+
+    def fake_pipe(prompt):
+        prompts.append(prompt)
+        return [{"generated_text": "```python\ndf = df.limit(2)\n```"}]
+
+    llm = transformers_local_adapter(pipe=fake_pipe)
+    out = llm("You write PySpark code.", "Limit df to 2 rows")
+    assert out == "```python\ndf = df.limit(2)\n```"
+    assert prompts[-1] == (
+        "You write PySpark code.\n"
+        "### Instruction: Limit df to 2 rows\n"
+        "### Response:\n"
+    )
+    llm(
+        "sys",
+        [
+            {"type": "text", "text": "what is in this chart?"},
+            {"type": "image", "data": "QUJD"},
+        ],
+    )
+    assert "what is in this chart?" in prompts[-1]
+    assert "QUJD" not in prompts[-1]  # image bytes never reach the prompt
+
+    # no injected pipe + no transformers installed → actionable error
+    bare = transformers_local_adapter()
+    with _pytest.raises(RuntimeError, match="local_adapter"):
+        bare("sys", "user")
+
+
 def test_anthropic_adapter_wire_contract():
     from bambooai_spark.agent.providers import anthropic_adapter
 
