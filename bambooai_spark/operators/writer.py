@@ -885,6 +885,17 @@ def compact_corpus(
     prev_infer = spark.conf.get(_INFER, "true")
     spark.conf.set(_INFER, "false")
     try:
+        # a crashed-and-abandoned delete leaves the corpus MID-SWAP
+        # (originals gone, replacements still hidden) — compacting that
+        # state would rewrite the corpus without the hidden kept rows and
+        # then delete them as superseded, losing them permanently. Finish
+        # the frozen delete first (cheap: resumable metadata ops).
+        dflag = _join(path, f"{DELETE_TMP}/{STAGED_MARKER}")
+        if _fs_exists(spark, dflag):
+            _apply_staged_delete(
+                spark, path, _join(path, DELETE_TMP), dflag,
+                json.loads(_fs_read_text(spark, dflag)),
+            )
         return _compact_corpus_inner(
             spark, path, tmp, staged_flag,
             partition_by=partition_by,
@@ -1078,6 +1089,15 @@ def delete_from_corpus(
     spark.conf.set(_INFER, "false")
     try:
         if not _fs_exists(spark, staged_flag):
+            # a frozen COMPACTION may have left the corpus mid-swap; a
+            # fresh delete would then read missing rows into its "kept"
+            # rewrite and frozen file lists. Its own re-run resumes it.
+            cflag = _join(path, f"{COMPACT_TMP}/{STAGED_MARKER}")
+            if _fs_exists(spark, cflag):
+                raise RuntimeError(
+                    f"a frozen compaction exists at {cflag}; re-run "
+                    "compact_corpus to finish it before deleting"
+                )
             info = _stage_delete(
                 spark, path, tmp, pred,
                 partition_by=partition_by, text_col=text_col,
@@ -1332,6 +1352,17 @@ def recover_staging(
     import time as _time  # noqa: PLC0415
 
     out: dict[str, list[str]] = {"committed": [], "cleaned": [], "kept": []}
+    # an abandoned crashed DELETE leaves the corpus mid-swap (originals
+    # gone, replacements hidden) — strictly worse than an abandoned
+    # append, so finish it first; resumable from the frozen info alone,
+    # no corpus read, no age heuristic needed
+    dflag = _join(path, f"{DELETE_TMP}/{STAGED_MARKER}")
+    if _fs_exists(spark, dflag):
+        _apply_staged_delete(
+            spark, path, _join(path, DELETE_TMP), dflag,
+            json.loads(_fs_read_text(spark, dflag)),
+        )
+        out["committed"].append(DELETE_TMP)
     staging_root = _join(path, STAGING_DIR)
     fs, sroot = _fs(spark, staging_root)
     if not fs.exists(sroot):

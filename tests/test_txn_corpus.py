@@ -532,6 +532,71 @@ def test_delete_from_corpus_crash_resume(spark, tmp_path, monkeypatch):
     assert leftover == []
 
 
+def test_maintenance_ops_interlock_with_frozen_delete(spark, tmp_path, monkeypatch):
+    """A crashed delete that is never re-run leaves the corpus MID-SWAP
+    (originals gone, replacements hidden). compact_corpus and
+    recover_staging must finish it first — compacting that state blind
+    would permanently lose the hidden kept rows — and a fresh delete must
+    refuse while a COMPACTION is frozen (its reads would see missing
+    rows)."""
+    from bambooai_spark.operators.writer import (
+        compact_corpus,
+        delete_from_corpus,
+        recover_staging,
+    )
+
+    pred = F.col("doc_id") % 4 == 1
+
+    def crashed_delete(out):
+        for b in range(2):
+            append_corpus_txn(
+                _docs(spark, b * 20, b * 20 + 20), out, b,
+                max_records_per_file=5,
+            )
+        orig = writer._walk_files
+
+        def crash_unhide(sp, root, **kw):
+            if kw.get("want_hidden_prefix"):  # swap moved, unhide not yet
+                raise RuntimeError("injected crash before unhide")
+            return orig(sp, root, **kw)
+
+        monkeypatch.setattr(writer, "_walk_files", crash_unhide)
+        with pytest.raises(RuntimeError, match="injected"):
+            delete_from_corpus(spark, out, pred)
+        monkeypatch.setattr(writer, "_walk_files", orig)
+        # the mid-swap state is visible: rows are missing right now
+        assert spark.read.parquet(out).count() < 30
+
+    # (a) compact_corpus finishes the frozen delete, then compacts
+    out_a = str(tmp_path / "a")
+    crashed_delete(out_a)
+    m = compact_corpus(spark, out_a)
+    stored = spark.read.parquet(out_a)
+    assert stored.count() == 30 and stored.filter(pred).count() == 0
+    assert {r["lang"]: r["n_rows"] for r in m.collect()} == {
+        r["lang"]: r["cnt"]
+        for r in stored.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert not os.path.exists(os.path.join(out_a, "_delete_tmp"))
+
+    # (b) recover_staging finishes it too
+    out_b = str(tmp_path / "b")
+    crashed_delete(out_b)
+    rec = recover_staging(spark, out_b)
+    assert "_delete_tmp" in rec["committed"]
+    stored = spark.read.parquet(out_b)
+    assert stored.count() == 30 and stored.filter(pred).count() == 0
+
+    # (c) a fresh delete refuses while a compaction is frozen
+    out_c = str(tmp_path / "c")
+    append_corpus_txn(_docs(spark, 0, 20), out_c, 0)
+    os.makedirs(os.path.join(out_c, "_compact_tmp"))
+    with open(os.path.join(out_c, "_compact_tmp", "_STAGED"), "w") as fh:
+        json.dump({"compact_id": "deadbeef", "ledger": False}, fh)
+    with pytest.raises(RuntimeError, match="compact_corpus"):
+        delete_from_corpus(spark, out_c, pred)
+
+
 def test_manifest_fold_file_counts(spark, tmp_path):
     """TXN deltas carry exact n_files/n_bytes (the staged files ARE the
     batch's contribution) and fold additively — the delta-mode manifest
