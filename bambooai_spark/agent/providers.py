@@ -316,7 +316,14 @@ def convert_messages_to_alpaca(messages: list[dict]) -> str:
     ``### Instruction:``, assistant turns as ``### Response:``; any
     ``Example Output:`` tail is stripped (the reference found the model
     interprets example code instead of generating) and a trailing user
-    turn gets an empty ``### Response:`` to complete."""
+    turn gets an empty ``### Response:`` to complete.
+
+    Reference-parity quirk, kept deliberately: the strip is GLOBAL over
+    the formatted string (local_models.py:34 applies ``re.sub(...,
+    flags=re.S)`` after formatting), so in a multi-turn history
+    everything after the FIRST ``Example Output:`` marker is dropped —
+    including later turns. The adapter's own calls are two-message
+    (system + user), where the quirk only trims the intended tail."""
     import re  # noqa: PLC0415
 
     formatted = ""

@@ -187,19 +187,61 @@ def determine_segments(
 
 
 def dense_reid_by_first_ts(
-    df: DataFrame, id_col: str, ts_col: str, *, out_col: str = "new_id"
+    df: DataFrame,
+    id_col: str,
+    ts_col: str,
+    *,
+    out_col: str = "new_id",
+    max_broadcast_ids: int = 1_000_000,
 ) -> DataFrame:
     """Re-number IDs 1..n by each ID's first timestamp (reference
     web_app/app.py:354-373, transform_sweatstack_longitudinal_data).
 
-    Aggregates to one row per ID before ranking, so the global window sees
-    |distinct ids| rows, not |rows| — the global sort is on a tiny relation.
+    Aggregates to one row per ID before ranking, so the ranking relation
+    is |distinct ids| rows, not |rows|. The reference's use (dozens of
+    athlete activities) makes that relation tiny, so the default path is
+    a global window over it plus a broadcast join back — but a LIBRARY
+    caller re-IDing a high-cardinality key would funnel 100M ids through
+    one sort task and then OOM the driver broadcasting them, so the
+    per-id relation is counted first (exact — one count job over the
+    persisted aggregate BOTH paths need anyway, cheaper than a separate
+    probe scan of the raw input) and above ``max_broadcast_ids`` the rank
+    routes through the two-phase range-partition bridge
+    (:func:`bambooai_spark.functions.ranking.distributed_dense_rank`) and
+    rejoins with an ordinary shuffle join. Both paths are exact and both
+    emit ``out_col`` as LONG (the output type must not flip at the scale
+    transition); the guard makes the call eager — the price of picking a
+    physical plan from the data. The small path's ranked relation is
+    pinned with an eager ``localCheckpoint`` (bounded at
+    ``max_broadcast_ids`` rows; the two-phase path checkpoints
+    internally) so the groupBy is not recomputed per downstream action.
     """
-    firsts = df.groupBy(id_col).agg(F.min(ts_col).alias("_first_ts"))
-    ranked = firsts.withColumn(
-        out_col, F.dense_rank().over(Window.orderBy("_first_ts", id_col))
-    ).drop("_first_ts")
-    return df.join(F.broadcast(ranked), id_col)
+    firsts = (
+        df.groupBy(id_col).agg(F.min(ts_col).alias("_first_ts")).persist()
+    )
+    try:
+        if firsts.count() > max_broadcast_ids:
+            from bambooai_spark.functions.ranking import (
+                distributed_dense_rank,
+            )
+
+            ranked = distributed_dense_rank(
+                firsts, ["_first_ts", id_col], out_col=out_col
+            ).drop("_first_ts")
+            return df.join(ranked, id_col)
+        ranked = (
+            firsts.withColumn(
+                out_col,
+                F.dense_rank()
+                .over(Window.orderBy("_first_ts", id_col))
+                .cast("long"),
+            )
+            .drop("_first_ts")
+            .localCheckpoint(eager=True)
+        )
+        return df.join(F.broadcast(ranked), id_col)
+    finally:
+        firsts.unpersist()
 
 
 SEMICIRCLE_TO_DEG = 180.0 / 2**31  # reference web_app/app.py:393

@@ -158,6 +158,26 @@ def _move_staged_files(
             raise RuntimeError(f"rename failed: {f} -> {dest}")
 
 
+def _unhide_swapped(spark: SparkSession, dest_root: str, hidden_prefix: str) -> None:
+    """Final step of the per-file swap protocol, shared by compaction and
+    delete (one copy of crash-critical rename logic): every staged hidden
+    file ``_swap-<p><base>`` becomes the live ``<p><base>``. Idempotent —
+    an existing destination means a previous attempt already unhid this
+    file, so the leftover hidden copy is dropped."""
+    fs, _root = _fs(spark, dest_root)
+    jvm = spark._jvm
+    for f in _walk_files(spark, dest_root, want_hidden_prefix=hidden_prefix):
+        parent, _, base = f.rpartition("/")
+        dest = jvm.org.apache.hadoop.fs.Path(
+            parent + "/" + base[len("_swap-"):]
+        )
+        src = jvm.org.apache.hadoop.fs.Path(f)
+        if fs.exists(dest):
+            fs.delete(src, False)
+        elif not fs.rename(src, dest):
+            raise RuntimeError(f"swap unhide failed: {f}")
+
+
 def _walk_files(spark: SparkSession, root: str, *, want_hidden_prefix=None):
     """Walk ``root`` skipping underscore/dot DIRECTORIES at every level
     (bookkeeping trees never mix with data). With ``want_hidden_prefix``
@@ -995,16 +1015,7 @@ def _compact_corpus_inner(
             if not base.startswith(f"c{cid}-"):
                 fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
         # (3) unhide: _swap-c<id>-X → c<id>-X, per file
-        for f in _walk_files(spark, dest_root, want_hidden_prefix=f"_swap-c{cid}-"):
-            parent, _, base = f.rpartition("/")
-            dest = jvm.org.apache.hadoop.fs.Path(
-                parent + "/" + base[len("_swap-"):]
-            )
-            src = jvm.org.apache.hadoop.fs.Path(f)
-            if fs.exists(dest):
-                fs.delete(src, False)  # unhidden by a previous attempt
-            elif not fs.rename(src, dest):
-                raise RuntimeError(f"compact unhide failed: {f}")
+        _unhide_swapped(spark, dest_root, f"_swap-c{cid}-")
     _fs_delete(spark, staged_flag)
     _fs_delete(spark, tmp)
     _prune_commit_markers(spark, path)
@@ -1088,32 +1099,74 @@ def delete_from_corpus(
     prev_infer = spark.conf.get(_INFER, "true")
     spark.conf.set(_INFER, "false")
     try:
-        if not _fs_exists(spark, staged_flag):
-            # a frozen COMPACTION may have left the corpus mid-swap; a
-            # fresh delete would then read missing rows into its "kept"
-            # rewrite and frozen file lists. Its own re-run resumes it.
-            cflag = _join(path, f"{COMPACT_TMP}/{STAGED_MARKER}")
-            if _fs_exists(spark, cflag):
-                raise RuntimeError(
-                    f"a frozen compaction exists at {cflag}; re-run "
-                    "compact_corpus to finish it before deleting"
-                )
-            info = _stage_delete(
-                spark, path, tmp, pred,
-                partition_by=partition_by, text_col=text_col,
-                token_col=token_col, fingerprint=fingerprint,
-                delete_id=_uuid.uuid4().hex[:8],
+        if _fs_exists(spark, staged_flag):
+            # a PREVIOUS delete froze but crashed mid-swap: finish it from
+            # its own frozen info first, then run the CALLER's predicate
+            # as a fresh delete below — returning after the resume alone
+            # would silently report success for a deletion that never ran
+            # (review r8). A crash-replay of the SAME predicate stays
+            # idempotent: the fresh pass finds its rows already gone.
+            _apply_staged_delete(
+                spark, path, tmp, staged_flag,
+                json.loads(_fs_read_text(spark, staged_flag)),
             )
-            if info is None:  # no row matches — corpus untouched
-                return _current_manifest(spark, path, partition_by, token_col)
-            _fs_write_text_atomic(
-                spark, staged_flag, json.dumps(info, default=str)
+        # a frozen COMPACTION may have left the corpus mid-swap; a fresh
+        # delete would then read missing rows into its "kept" rewrite and
+        # frozen file lists. Its own re-run resumes it.
+        cflag = _join(path, f"{COMPACT_TMP}/{STAGED_MARKER}")
+        if _fs_exists(spark, cflag):
+            raise RuntimeError(
+                f"a frozen compaction exists at {cflag}; re-run "
+                "compact_corpus to finish it before deleting"
             )
-        else:
-            info = json.loads(_fs_read_text(spark, staged_flag))
+        # likewise a FROZEN txn append whose files may be half-moved: its
+        # replay re-renames any missing destination, which would restore
+        # originals this delete removed (resurrecting taken-down rows and
+        # duplicating their rewritten siblings). Committed batches are
+        # safe — their moves are complete and the marker replay only
+        # folds the manifest.
+        frozen = _frozen_staged_batches(spark, path)
+        if frozen:
+            raise RuntimeError(
+                f"frozen uncommitted append batches exist ({frozen[:3]}"
+                f"{'...' if len(frozen) > 3 else ''}); restart their "
+                "query or run recover_staging before deleting"
+            )
+        info = _stage_delete(
+            spark, path, tmp, pred,
+            partition_by=partition_by, text_col=text_col,
+            token_col=token_col, fingerprint=fingerprint,
+            delete_id=_uuid.uuid4().hex[:8],
+        )
+        if info is None:  # no row matches — corpus untouched
+            return _current_manifest(spark, path, partition_by, token_col)
+        _fs_write_text_atomic(
+            spark, staged_flag, json.dumps(info, default=str)
+        )
         return _apply_staged_delete(spark, path, tmp, staged_flag, info)
     finally:
         spark.conf.set(_INFER, prev_infer)
+
+
+def _frozen_staged_batches(spark: SparkSession, path: str) -> list[str]:
+    """Staging entries frozen with ``_STAGED`` but not yet committed —
+    the batches whose corpus files may be HALF-moved and whose replay
+    re-renames any missing destination."""
+    staging_root = _join(path, STAGING_DIR)
+    fs, sroot = _fs(spark, staging_root)
+    if not fs.exists(sroot):
+        return []
+    out = []
+    for st in fs.listStatus(sroot):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        batch_id = name.split("=", 1)[1]
+        marker = _join(path, f"{COMMITS_DIR}/batch-{batch_id}.json")
+        staged = _join(staging_root, f"{name}/{STAGED_MARKER}")
+        if _fs_exists(spark, staged) and not _fs_exists(spark, marker):
+            out.append(name)
+    return sorted(out)
 
 
 def _current_manifest(
@@ -1189,13 +1242,21 @@ def _stage_delete(
         ledger_files: list[str] = []
         ledger_path = _join(path, LEDGER_DIR)
         if _fs_exists(spark, ledger_path):
+            # resolve the fingerprints OUTSIDE the empty-ledger guard: an
+            # unresolvable text_col raises AnalysisException too, and
+            # swallowing it would delete the rows but leave their
+            # fingerprints — silently blocking every legitimate re-append
+            # of the taken-down documents forever (review r8)
+            fps = matches.select(
+                fingerprint(text_col, normalize=True).alias("fp")
+            ).distinct()
             try:
-                fps = matches.select(
-                    fingerprint(text_col, normalize=True).alias("fp")
-                ).distinct()
                 ledger = spark.read.parquet(ledger_path).withColumn(
                     "_file", F.col("_metadata.file_path")
                 )
+            except AnalysisException:
+                ledger = None  # ledger dir holds no data files
+            if ledger is not None:
                 ledger_files = sorted(
                     r["_file"]
                     for r in ledger.join(fps, "fp", "left_semi")
@@ -1209,8 +1270,6 @@ def _stage_delete(
                         .write.mode("overwrite")
                         .parquet(_join(tmp, "ledger"))
                     )
-            except AnalysisException:
-                pass  # ledger dir holds no data files
     finally:
         matches.unpersist()
     return {
@@ -1253,17 +1312,8 @@ def _apply_staged_delete(
         # deleted by a previous attempt)
         for f in originals:
             fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
-        # (3) unhide — identical loop to compaction's
-        for f in _walk_files(spark, dest_root, want_hidden_prefix=f"_swap-d{did}-"):
-            parent, _, base = f.rpartition("/")
-            dest = jvm.org.apache.hadoop.fs.Path(
-                parent + "/" + base[len("_swap-"):]
-            )
-            src = jvm.org.apache.hadoop.fs.Path(f)
-            if fs.exists(dest):
-                fs.delete(src, False)
-            elif not fs.rename(src, dest):
-                raise RuntimeError(f"delete-swap unhide failed: {f}")
+        # (3) unhide — the shared swap-protocol step
+        _unhide_swapped(spark, dest_root, f"_swap-d{did}-")
     rows = _merge_manifest_delta(
         spark, path, partition_by, info["delta"], token_col,
         batch_id=f"delete-{did}",

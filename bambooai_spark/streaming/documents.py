@@ -90,11 +90,20 @@ def _txn_namespace(spark: SparkSession, checkpoint_location: str) -> str:
     gets a fresh uuid, so that restart lands in a fresh namespace; a
     crash-restart reuses the metadata file, so replays still find their
     markers. Callers must therefore resolve the namespace AFTER the query
-    starts (the metadata file does not exist before the first start)."""
+    starts (the metadata file does not exist before the first start).
+
+    Upgrade caveat: builds predating the query-id mix used the path-only
+    form for every batch. A batch that CRASHED under such a build and
+    replays under this one lands in the id-mixed namespace and restages
+    from scratch (the ledger anti-join still prevents document
+    duplicates; the at-risk window is the corpus-moved/ledger-not-moved
+    crash point). Drain or ``recover_staging`` in-flight batches before
+    upgrading a live pipeline."""
     import hashlib  # noqa: PLC0415
 
     from bambooai_spark.operators.writer import (  # noqa: PLC0415
         _fs,
+        _fs_exists,
         _fs_read_text,
         _join,
     )
@@ -105,14 +114,21 @@ def _txn_namespace(spark: SparkSession, checkpoint_location: str) -> str:
         qualified = fs.makeQualified(jp).toString()
     except Exception:
         pass  # unresolvable scheme — fall back to the raw string
+    # absence of the metadata file is the only legitimate reason to fall
+    # back to the path-only namespace (pre-start probes, unit tests): a
+    # TRANSIENT read/parse failure must propagate instead — silently
+    # dropping the query id would shift the replay into a namespace whose
+    # markers it cannot see and re-append the crashed batch (review r8).
+    # The failed micro-batch is retried by Structured Streaming.
+    mpath = _join(checkpoint_location, "metadata")
     qid = ""
-    try:
-        meta = json.loads(
-            _fs_read_text(spark, _join(checkpoint_location, "metadata"))
-        )
-        qid = str(meta.get("id") or "")
-    except Exception:
-        pass  # pre-start or torn metadata — path-only namespace
+    if _fs_exists(spark, mpath):
+        qid = str(json.loads(_fs_read_text(spark, mpath)).get("id") or "")
+    if not qid:
+        # path-only form — byte-identical to the pre-query-id scheme, so
+        # namespaces computed before a metadata file exists (or by older
+        # builds) stay stable
+        return hashlib.md5(qualified.encode("utf-8")).hexdigest()[:8]
     return hashlib.md5(f"{qualified}\n{qid}".encode("utf-8")).hexdigest()[:8]
 
 
@@ -168,6 +184,12 @@ def stream_ingest_to_corpus(
         append_corpus_txn,
     )
 
+    # an empty string must mean "no checkpoint" everywhere: the txn path
+    # keyed on `is None` while the writeStream option keyed on truthiness
+    # would otherwise run namespaced txn appends with NO replay identity —
+    # a second run restarts at batch 0 and its batches silently no-op on
+    # the first run's markers (review r8)
+    checkpoint_location = checkpoint_location or None
     session = docs_stream.sparkSession
     holder: dict = {"manifest": None}
 

@@ -515,6 +515,53 @@ def test_grouped_relative_standing_matches_window_twin(spark):
         assert "_pid" in head, head
 
 
+def test_dense_reid_guards_the_broadcast(spark):
+    """dense_reid_by_first_ts routes high-cardinality ids through the
+    two-phase rank instead of broadcasting a global-window relation
+    (VERDICT r7 advisory: an unguarded F.broadcast(ranked) +
+    Window.orderBy would OOM the driver at 100M ids). Both paths must
+    return identical rows; the large-N plan must contain neither a
+    broadcast of the ranked relation nor a single-partition global sort
+    of it."""
+    from bambooai_spark.functions.timeseries import dense_reid_by_first_ts
+
+    rows = [(f"id{i:04d}", (i * 37) % 500, i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "aid string, ts long, x long").repartition(6)
+
+    small = dense_reid_by_first_ts(df, "aid", "ts")  # 2000 ids <= guard
+    # out_col type must not flip at the scale transition (review r8)
+    assert small.schema["new_id"].dataType.simpleString() == "bigint"
+    want = {(r["aid"], r["x"], r["new_id"]) for r in small.collect()}
+
+    # plan shape under autoBroadcastJoinThreshold=-1: only an EXPLICIT
+    # broadcast hint could still broadcast, which is exactly the bug the
+    # guard removes — the large path's sole hint is the tiny prefix
+    # bridge, which joins on _pid, not the id. (With the conf at its
+    # default, AQE auto-broadcasts the 2000-row test relation on its
+    # measured size — a correct runtime decision that would not happen
+    # at 100M ids, so it is not what this test pins.)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = dense_reid_by_first_ts(df, "aid", "ts", max_broadcast_ids=100)
+        assert big.schema["new_id"].dataType.simpleString() == "bigint"
+        got = {(r["aid"], r["x"], r["new_id"]) for r in big.collect()}
+        assert got == want and len(want) == 2000
+        bplan = big._jdf.queryExecution().executedPlan().toString()
+        for frag in bplan.split("BroadcastHashJoin")[1:]:
+            head = frag.split("\n", 1)[0]
+            assert "aid" not in head, head
+        # no global single-partition sort: every exchange is either the
+        # bridge's range partitioning or the rejoin's hash partitioning
+        assert "Exchange SinglePartition" not in bplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.catalog.clearCache()
+
+    splan = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in splan
+
+
 def test_bridge_is_broadcast_join_not_map_literal(spark):
     """The two-phase prefix bridge re-enters the plan as a BroadcastHashJoin
     of the small prefix relation — never a plan-embedded ``create_map``

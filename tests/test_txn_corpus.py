@@ -597,6 +597,116 @@ def test_maintenance_ops_interlock_with_frozen_delete(spark, tmp_path, monkeypat
         delete_from_corpus(spark, out_c, pred)
 
 
+def test_delete_resume_still_runs_the_callers_predicate(spark, tmp_path, monkeypatch):
+    """delete_from_corpus called with predicate B while predicate A's
+    delete sits frozen must finish A AND run B (review r8: returning
+    after the resume alone reported success for a deletion that never
+    ran). It must also refuse while an UNCOMMITTED txn batch is frozen —
+    that batch's replay re-renames missing destinations, resurrecting
+    rows the delete removed."""
+    from bambooai_spark.operators.writer import delete_from_corpus
+
+    out = str(tmp_path / "corpus")
+    for b in range(2):
+        append_corpus_txn(
+            _docs(spark, b * 20, b * 20 + 20), out, b,
+            max_records_per_file=5,
+        )
+    pred_a = F.col("doc_id") < 5
+    pred_b = (F.col("doc_id") >= 5) & (F.col("doc_id") < 10)
+
+    orig = writer._walk_files
+
+    def crash_unhide(sp, root, **kw):
+        if kw.get("want_hidden_prefix"):
+            raise RuntimeError("injected crash before unhide")
+        return orig(sp, root, **kw)
+
+    monkeypatch.setattr(writer, "_walk_files", crash_unhide)
+    with pytest.raises(RuntimeError, match="injected"):
+        delete_from_corpus(spark, out, pred_a)
+    monkeypatch.setattr(writer, "_walk_files", orig)
+
+    delete_from_corpus(spark, out, pred_b)  # finishes A, then runs B
+    stored = spark.read.parquet(out)
+    assert stored.filter("doc_id < 10").count() == 0
+    assert stored.count() == 30
+
+    # frozen uncommitted append batch → refuse
+    stage = os.path.join(out, STAGING_DIR, "batch_id=frozen9")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "_STAGED"), "w") as fh:
+        json.dump({"batch_id": "frozen9", "partition_by": ["lang"],
+                   "delta": []}, fh)
+    with pytest.raises(RuntimeError, match="recover_staging"):
+        delete_from_corpus(spark, out, F.col("doc_id") >= 10)
+
+
+def test_delete_bad_text_col_raises_not_silent(spark, tmp_path):
+    """An unresolvable text_col must fail the delete loudly (review r8:
+    the empty-ledger guard used to swallow it, deleting the rows but
+    stranding their fingerprints — every re-append then silently
+    dropped)."""
+    from pyspark.errors import AnalysisException
+
+    from bambooai_spark.operators.writer import delete_from_corpus
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 10), out, 0)
+    with pytest.raises(AnalysisException):
+        delete_from_corpus(spark, out, F.col("doc_id") < 5, text_col="body")
+    # nothing was deleted and the op is retryable with the right column
+    assert spark.read.parquet(out).count() == 10
+    delete_from_corpus(spark, out, F.col("doc_id") < 5)
+    assert spark.read.parquet(out).count() == 5
+    append_corpus_txn(_docs(spark, 0, 10), out, "readd")
+    _assert_consistent(spark, out, 10)
+
+
+def test_empty_string_checkpoint_means_no_checkpoint(spark, tmp_path):
+    """checkpoint_location='' must behave exactly like None — the plain
+    ledger-dedup append, NO txn markers (review r8: the txn path keyed on
+    `is None` while the writeStream option keyed on truthiness, so ''
+    ran namespaced txn appends with no replay identity and a second run
+    silently no-opped on the first run's markers)."""
+    from bambooai_spark.streaming.documents import (
+        ingest_documents,
+        stream_ingest_to_corpus,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    src = str(tmp_path / "doc_parts")
+    out = str(tmp_path / "corpus")
+    docs.filter("doc_id < 40").coalesce(1).write.parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    stream_ingest_to_corpus(stream(), out, checkpoint_location="")
+    assert not os.path.exists(os.path.join(out, COMMITS_DIR))
+    # a second full run (new query, batch ids restart) dedups on the
+    # ledger and appends the genuinely new files
+    docs.filter("doc_id >= 40 AND doc_id < 80").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream_ingest_to_corpus(stream(), out, checkpoint_location="")
+    stored = spark.read.parquet(out)
+    want = (
+        ingest_documents(docs.filter("doc_id < 80"))
+        .filter("keep")
+        .select("text")
+        .distinct()
+        .count()
+    )
+    assert stored.count() == want
+
+
 def test_manifest_fold_file_counts(spark, tmp_path):
     """TXN deltas carry exact n_files/n_bytes (the staged files ARE the
     batch's contribution) and fold additively — the delta-mode manifest
