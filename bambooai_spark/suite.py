@@ -4219,6 +4219,53 @@ def unigram_logprob_docs(spark, sf_dir):
     )
 
 
+@spec(
+    "delete_corpus_docs",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+      FROM documents
+    ), keep AS (
+      SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f
+    )
+    SELECT p.doc_id, p.lang
+    FROM fp p JOIN keep k ON p.doc_id = k.doc_id AND p.f = k.f
+    WHERE p.doc_id % 7 <> 3
+    """,
+    doc="Corpus takedown lifecycle under the hash-exact gate: ingest the "
+    "documents table through append_corpus (min-id exact dedup on the "
+    "portable md5(normalized text) fingerprint, partitioned corpus + "
+    "ledger + manifest), then delete_from_corpus removes doc_id%7==3 by "
+    "rewriting ONLY the files containing a match via the per-file swap "
+    "protocol (operators/writer.py). The oracle replays both stages in "
+    "SQL — the same normalize rule (lower/trim/collapse-whitespace) and "
+    "keep-min rule, then the complement of the predicate. Small "
+    "max_records_per_file fragments the corpus so the delete's "
+    "affected-file targeting is actually exercised.",
+)
+def delete_corpus_docs(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        append_corpus,
+        delete_from_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="bbai_delete_spec_"), "corpus"
+    )
+    append_corpus(
+        d, out, partition_by=("lang",), max_records_per_file=100
+    )
+    delete_from_corpus(
+        spark, out, F.col("doc_id") % 7 == 3, partition_by=("lang",)
+    )
+    return spark.read.parquet(out).select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------
 
 # The driver grades only the FIRST 50 registration-order specs. Source order
