@@ -815,6 +815,49 @@ def test_txn_append_over_file_uri(spark, tmp_path, monkeypatch):
     _assert_consistent(spark, local, 50)
 
 
+def test_delete_from_corpus_over_file_uri(spark, tmp_path, monkeypatch):
+    """The delete swap protocol must work identically through a scheme
+    URI (the Hadoop FS path a 100 TB corpus uses): qualified file lists
+    in the frozen marker, per-file deletes and unhides, crash-resume
+    mid-swap — mirroring the txn append's URI test."""
+    from bambooai_spark.operators.writer import delete_from_corpus
+
+    out = "file://" + str(tmp_path / "corpus")
+    local = str(tmp_path / "corpus")
+    for b in range(2):
+        append_corpus_txn(
+            _docs(spark, b * 20, b * 20 + 20), out, b,
+            max_records_per_file=5,
+        )
+    pred = F.col("doc_id") % 4 == 1
+
+    orig = writer._walk_files
+
+    def crash_unhide(sp, root, **kw):
+        if kw.get("want_hidden_prefix"):
+            raise RuntimeError("injected uri delete crash")
+        return orig(sp, root, **kw)
+
+    monkeypatch.setattr(writer, "_walk_files", crash_unhide)
+    with pytest.raises(RuntimeError, match="injected"):
+        delete_from_corpus(spark, out, pred)
+    monkeypatch.setattr(writer, "_walk_files", orig)
+
+    m = delete_from_corpus(spark, out, pred)
+    stored = spark.read.parquet(local)
+    assert stored.count() == 30 and stored.filter(pred).count() == 0
+    assert spark.read.parquet(local + "/" + LEDGER_DIR).count() == 30
+    got = {r["lang"]: r["n_rows"] for r in m.collect()}
+    rebuilt = {
+        r["lang"]: r["n_rows"]
+        for r in build_manifest(spark, local, partition_by=("lang",)).collect()
+    }
+    assert got == rebuilt
+    # taken-down docs re-append through the URI
+    append_corpus_txn(_docs(spark, 0, 40), out, "readd")
+    _assert_consistent(spark, local, 40)
+
+
 def test_compact_corpus_merges_small_files(spark, tmp_path):
     """Many tiny per-batch files (max_records_per_file=3) compact into
     few; rows, texts, ledger, and the committed_batches replay guard all
