@@ -229,7 +229,12 @@ def dense_reid_by_first_ts(
                 firsts, ["_first_ts", id_col], out_col=out_col
             ).drop("_first_ts")
             return df.join(ranked, id_col)
-        ranked = (
+        # persist + eager materialize, NOT localCheckpoint: checkpoint
+        # blocks have no recompute path, so an executor loss (dynamic
+        # allocation, spot instances) would permanently fail every later
+        # action on the join — persist recomputes on block loss (review
+        # r8). track() registers the bounded entry for release_caches().
+        ranked = track(
             firsts.withColumn(
                 out_col,
                 F.dense_rank()
@@ -237,8 +242,9 @@ def dense_reid_by_first_ts(
                 .cast("long"),
             )
             .drop("_first_ts")
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        ranked.count()
         return df.join(F.broadcast(ranked), id_col)
     finally:
         firsts.unpersist()

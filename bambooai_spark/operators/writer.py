@@ -942,6 +942,20 @@ def _compact_corpus_inner(
     from pyspark.errors import AnalysisException  # noqa: PLC0415
 
     if not _fs_exists(spark, staged_flag):
+        # same interlock as delete_from_corpus: a FROZEN uncommitted txn
+        # batch may have half-moved its files — compacting now would fold
+        # the moved rows into the compacted output, and the batch's
+        # replay would re-rename the rest AND re-fold its full delta
+        # (manifest over-count; duplicate rows where rename is
+        # copy+delete). A frozen COMPACTION resume is fine: it reads
+        # nothing and its supersede step is keyed on its own id.
+        frozen = _frozen_staged_batches(spark, path)
+        if frozen:
+            raise RuntimeError(
+                f"frozen uncommitted append batches exist ({frozen[:3]}"
+                f"{'...' if len(frozen) > 3 else ''}); restart their "
+                "query or run recover_staging before compacting"
+            )
         # fresh compaction: rewrite the full corpus to the side
         _fs_delete(spark, tmp)
         try:
@@ -1214,6 +1228,14 @@ def _stage_delete(
         df = spark.read.parquet(path)
     except AnalysisException:
         return None  # no data files — nothing to delete
+    if _fs_exists(spark, _join(path, LEDGER_DIR)) and text_col not in df.columns:
+        # the ledger cleanup fingerprints this column — fail BEFORE the
+        # kept-rows rewrite, not after it (review r8 pass 2: the late
+        # AnalysisException discarded the whole Phase-A rewrite)
+        raise ValueError(
+            f"text_col {text_col!r} is not a corpus column "
+            f"({df.columns}); the ledger cleanup needs the stored text"
+        )
     tagged = df.withColumn("_file", F.col("_metadata.file_path"))
     matches = tagged.filter(pred).persist()
     try:

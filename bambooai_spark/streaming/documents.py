@@ -109,21 +109,25 @@ def _txn_namespace(spark: SparkSession, checkpoint_location: str) -> str:
     )
 
     qualified = checkpoint_location
+    resolved = True
     try:
         fs, jp = _fs(spark, checkpoint_location)
         qualified = fs.makeQualified(jp).toString()
     except Exception:
-        pass  # unresolvable scheme — fall back to the raw string
+        resolved = False  # unresolvable scheme — raw-string namespace
     # absence of the metadata file is the only legitimate reason to fall
     # back to the path-only namespace (pre-start probes, unit tests): a
     # TRANSIENT read/parse failure must propagate instead — silently
     # dropping the query id would shift the replay into a namespace whose
     # markers it cannot see and re-append the crashed batch (review r8).
-    # The failed micro-batch is retried by Structured Streaming.
-    mpath = _join(checkpoint_location, "metadata")
+    # The failed micro-batch is retried by Structured Streaming. An
+    # UNRESOLVABLE scheme skips the read entirely (the exists-check would
+    # re-raise the suppressed resolution error, review r8 pass 2).
     qid = ""
-    if _fs_exists(spark, mpath):
-        qid = str(json.loads(_fs_read_text(spark, mpath)).get("id") or "")
+    if resolved:
+        mpath = _join(checkpoint_location, "metadata")
+        if _fs_exists(spark, mpath):
+            qid = str(json.loads(_fs_read_text(spark, mpath)).get("id") or "")
     if not qid:
         # path-only form — byte-identical to the pre-query-id scheme, so
         # namespaces computed before a metadata file exists (or by older

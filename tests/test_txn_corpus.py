@@ -632,7 +632,11 @@ def test_delete_resume_still_runs_the_callers_predicate(spark, tmp_path, monkeyp
     assert stored.filter("doc_id < 10").count() == 0
     assert stored.count() == 30
 
-    # frozen uncommitted append batch → refuse
+    # frozen uncommitted append batch → BOTH maintenance ops refuse
+    # (its replay re-renames missing destinations; compacting first
+    # would double-count the half-moved rows on replay — review r8 p2)
+    from bambooai_spark.operators.writer import compact_corpus
+
     stage = os.path.join(out, STAGING_DIR, "batch_id=frozen9")
     os.makedirs(stage)
     with open(os.path.join(stage, "_STAGED"), "w") as fh:
@@ -640,21 +644,23 @@ def test_delete_resume_still_runs_the_callers_predicate(spark, tmp_path, monkeyp
                    "delta": []}, fh)
     with pytest.raises(RuntimeError, match="recover_staging"):
         delete_from_corpus(spark, out, F.col("doc_id") >= 10)
+    with pytest.raises(RuntimeError, match="recover_staging"):
+        compact_corpus(spark, out)
 
 
 def test_delete_bad_text_col_raises_not_silent(spark, tmp_path):
-    """An unresolvable text_col must fail the delete loudly (review r8:
-    the empty-ledger guard used to swallow it, deleting the rows but
-    stranding their fingerprints — every re-append then silently
-    dropped)."""
-    from pyspark.errors import AnalysisException
-
+    """An unresolvable text_col must fail the delete loudly AND fast
+    (review r8: the empty-ledger guard used to swallow it, deleting the
+    rows but stranding their fingerprints — every re-append then
+    silently dropped; pass 2: the late failure discarded the whole
+    kept-rows rewrite, so it now raises before Phase A writes)."""
     from bambooai_spark.operators.writer import delete_from_corpus
 
     out = str(tmp_path / "corpus")
     append_corpus_txn(_docs(spark, 0, 10), out, 0)
-    with pytest.raises(AnalysisException):
+    with pytest.raises(ValueError, match="text_col"):
         delete_from_corpus(spark, out, F.col("doc_id") < 5, text_col="body")
+    assert not os.path.exists(os.path.join(out, "_delete_tmp"))
     # nothing was deleted and the op is retryable with the right column
     assert spark.read.parquet(out).count() == 10
     delete_from_corpus(spark, out, F.col("doc_id") < 5)
