@@ -4266,6 +4266,366 @@ def delete_corpus_docs(spark, sf_dir):
     return spark.read.parquet(out).select("doc_id", "lang")
 
 
+# =====================================================================
+# The five TPC-H shapes whose canonical form needs PARTSUPP (absent from
+# the testdata) — re-expressed on lineitem's (l_partkey, l_suppkey)
+# pairs and p_retailprice so the PLAN shapes survive: decorrelated
+# correlated subqueries, global-scalar thresholds, nested-IN → semi-join
+# chains. With these the suite covers all 22 TPC-H query shapes.
+# =====================================================================
+
+
+@spec(
+    "q2_min_cost_supplier",
+    f"""
+    WITH eu AS (
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    elig AS (
+      SELECT l_partkey, s_suppkey, s_name, n_name,
+             CAST(l_extendedprice AS {D2}) AS price
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+                    JOIN eu ON l_suppkey = s_suppkey
+      WHERE p_type = 'STANDARD' AND p_size < 26),
+    m AS (SELECT l_partkey AS pk, MIN(price) AS min_price
+          FROM elig GROUP BY 1),
+    w AS (
+      SELECT DISTINCT l_partkey, s_suppkey, s_name, n_name, min_price
+      FROM elig JOIN m ON l_partkey = pk AND price = min_price)
+    SELECT p_partkey, p_name, s_name, n_name,
+           CAST(min_price AS DOUBLE) AS min_price
+    FROM w JOIN part ON p_partkey = l_partkey
+    """,
+    headline=True,
+    doc="TPC-H Q2 shape — the correlated MIN subquery (cheapest "
+    "region-local supplier per part) decorrelated into a per-part MIN "
+    "aggregate plus an equality join-back: both passes shuffle on the "
+    "SAME partkey so AQE reuses the partitioning, and the equality test "
+    "runs on the exact DECIMAL price, never a rounded double. The "
+    "region→nation→supplier chain folds into one broadcast before the "
+    "fact scan; the part filter prunes the fact rows before the "
+    "aggregate (legal because part attributes are independent of which "
+    "supplier is cheapest).",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    eu = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_type") == "STANDARD") & (F.col("p_size") < 26)
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    elig = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(eu, li.l_suppkey == eu.s_suppkey)
+        .select(
+            "l_partkey",
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            dec("l_extendedprice").alias("price"),
+        )
+    )
+    minp = elig.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("price").alias("min_price")
+    )
+    return (
+        elig.join(
+            minp,
+            (elig.l_partkey == F.col("pk"))
+            & (elig.price == F.col("min_price")),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.col("min_price").cast("double").alias("min_price"),
+        )
+        .distinct()
+    )
+
+
+@spec(
+    "q9_nation_profit",
+    f"""
+    WITH amt AS (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST({_DISC_PRICE}
+                  - CAST(CAST(p_retailprice AS {D2})
+                         * CAST(l_quantity AS {D2}) AS DECIMAL(18,4))
+               AS DECIMAL(18,4)) AS amount
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN nation ON n_nationkey = s_nationkey
+                    JOIN orders ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%red%')
+    SELECT nation, o_year,
+           ROUND(CAST(SUM(amount) AS DOUBLE), 2) AS profit,
+           COUNT(*) AS n_lineitems
+    FROM amt GROUP BY nation, o_year
+    """,
+    headline=True,
+    doc="TPC-H Q9 shape — product-line profit by supplier nation and "
+    "order year, with p_retailprice*quantity standing in for the absent "
+    "ps_supplycost. One pass over the fact: part (name-filtered), "
+    "supplier, and nation all broadcast, so the only shuffle before the "
+    "final group-agg is the orderkey join to orders; profit stays exact "
+    "decimal until the one final round.",
+)
+def q9_nation_profit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    o = _t(spark, sf_dir, "orders")
+    cost = (dec("p_retailprice") * dec("l_quantity")).cast("decimal(18,4)")
+    amount = (_disc_price() - cost).cast("decimal(18,4)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(amount).cast("double"), 2).alias("profit"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@spec(
+    "q11_value_concentration",
+    f"""
+    WITH asia AS (
+      SELECT s_suppkey
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'),
+    pv AS (
+      SELECT l_partkey AS partkey, SUM({_DISC_PRICE}) AS val
+      FROM lineitem JOIN asia ON l_suppkey = s_suppkey
+      GROUP BY 1),
+    t AS (SELECT CAST(SUM(val) AS DOUBLE) / COUNT(*) AS mean_val FROM pv)
+    SELECT partkey, CAST(ROUND(val, 2) AS DOUBLE) AS part_value
+    FROM pv, t
+    WHERE CAST(val AS DOUBLE) > 1.5 * mean_val
+    """,
+    headline=True,
+    doc="TPC-H Q11 shape — value concentration: parts whose "
+    "region-supplied revenue exceeds a global threshold. Q11's fixed "
+    "fraction is scale-DEPENDENT (selectivity collapses as parts grow), "
+    "so the threshold here is 1.5x the mean per-part value — scale-free "
+    "by construction. The HAVING-subquery scalar stays in-plan as a "
+    "single-row broadcast against the per-part aggregate (q15/q22 "
+    "pattern, no driver collect); the comparison runs double-vs-double "
+    "with identical IEEE operands on both engines.",
+)
+def q11_value_concentration(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    asia = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    pv = (
+        li.join(asia, li.l_suppkey == asia.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_disc_price()).alias("val"))
+    )
+    t = F.broadcast(
+        pv.agg(
+            (F.sum("val").cast("double") / F.count(F.lit(1))).alias("mean_val")
+        )
+    )
+    return (
+        pv.join(t)
+        .filter(F.col("val").cast("double") > F.lit(1.5) * F.col("mean_val"))
+        .select(
+            "partkey",
+            F.round(F.col("val"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+@spec(
+    "q16_supplier_diversity",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ok AS (
+      SELECT l_partkey, l_suppkey FROM ps
+      WHERE l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000))
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM ok JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+    GROUP BY 1, 2, 3
+    """,
+    headline=True,
+    doc="TPC-H Q16 shape — supplier diversity per part attribute, with "
+    "lineitem's distinct (partkey, suppkey) pairs standing in for "
+    "PARTSUPP and a low-balance exclusion for the complaints NOT-IN "
+    "(LeftAnti against a broadcast, NULL-free key on both sides so "
+    "anti-join and NOT IN agree). The broadcast part filter prunes "
+    "partkeys BEFORE the pair-distinct, so the only full shuffle "
+    "carries the surviving pairs; the single-column count_distinct "
+    "needs no Expand.",
+)
+def q16_supplier_diversity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#23")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25)
+        )
+    )
+    bad = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@spec(
+    "q20_dominant_suppliers",
+    f"""
+    WITH cold AS (SELECT p_partkey FROM part WHERE p_name LIKE 'cold%'),
+    sh AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS {D2})) AS qty
+      FROM lineitem JOIN cold ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2),
+    tot AS (SELECT l_partkey AS pk, SUM(qty) AS total_qty,
+                   COUNT(*) AS n_supp
+            FROM sh GROUP BY 1),
+    dom AS (
+      SELECT DISTINCT l_suppkey FROM sh JOIN tot ON l_partkey = pk
+      WHERE CAST(qty AS DOUBLE)
+            > 2.0 * (CAST(total_qty AS DOUBLE) / n_supp))
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN dom ON s_suppkey = l_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    """,
+    headline=True,
+    doc="TPC-H Q20 shape — suppliers dominating some part's yearly "
+    "volume: the nested IN-subquery chain decorrelated into two "
+    "cascaded aggregates on the SAME partkey (per-(part,supplier) "
+    "quantity, then per-part total — the second reuses the first's "
+    "partitioning) plus an equality join-back and a final semi-join "
+    "into supplier. Q20's fixed 0.5 availqty fraction is scale-"
+    "dependent, so dominance here is 2x the part's mean per-supplier "
+    "share — scale-free. The name-filtered part set broadcasts before "
+    "the fact scan; nation broadcasts for the label.",
+)
+def q20_dominant_suppliers(spark, sf_dir):
+    cold = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("cold%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sh = (
+        li.join(cold, li.l_partkey == cold.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+    )
+    tot = sh.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("total_qty"), F.count(F.lit(1)).alias("n_supp")
+    )
+    dom = (
+        sh.join(tot, sh.l_partkey == tot.pk)
+        .filter(
+            F.col("qty").cast("double")
+            > F.lit(2.0)
+            * (F.col("total_qty").cast("double") / F.col("n_supp"))
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        s.join(dom, s.s_suppkey == dom.l_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@spec(
+    "window_offsets_events",
+    """
+    SELECT event_id, user_id,
+           lag(value) OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS last_val,
+           nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    headline=True,
+    doc="Window navigation family beyond lag (pct_change): lag/lead/"
+    "first_value/last_value/nth_value per user ordered by time. One "
+    "shuffle on the high-cardinality user_id — never a low-cardinality "
+    "funnel; last/nth take the explicit full-partition ROWS frame (the "
+    "default RANGE frame would silently truncate them at the current "
+    "row). Pure value picks of existing doubles — no arithmetic, so no "
+    "rounding policy needed for hash stability.",
+)
+def window_offsets_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(wf).alias("last_val"),
+        F.nth_value("value", 2).over(wf).alias("second_val"),
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver grades only the FIRST 50 registration-order specs. Source order

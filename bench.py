@@ -105,8 +105,10 @@ def main() -> int:
         finally:
             release_caches()
 
+    # 2dp on the stdout line (the driver's 2000-char capture must hold the
+    # WHOLE line even as the headline set grows); the sidecar keeps 3dp
     times = {
-        s.name: (-1.0 if s.name in failed else round(min(samples[s.name]), 3))
+        s.name: (-1.0 if s.name in failed else round(min(samples[s.name]), 2))
         for s in headline
     }
     spread = {

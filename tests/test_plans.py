@@ -16,6 +16,7 @@ from bambooai_spark.plans import (
     assert_no_cartesian,
     assert_pruned_scan,
     assert_pushed_filters,
+    explain_str,
     plan_flags,
 )
 from bambooai_spark.suite import SPECS
@@ -638,3 +639,84 @@ def test_q12_pushdown_pruning_single_agg_shuffle(spark):
     # partial_sum before the exchange = map-side combine
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan
+
+
+def test_q2_decorrelated_min_broadcasts_dims(spark):
+    """q2_min_cost_supplier: the region→nation→supplier chain and the
+    filtered part set enter as broadcasts, the part filter reaches its
+    scan, and the decorrelated MIN + join-back never degrades to a
+    cartesian. Both agg and join-back key on l_partkey (same-key
+    shuffles AQE can stack)."""
+    df = _build(spark, "q2_min_cost_supplier")
+    flags = plan_flags(df)
+    assert flags["n_broadcast_joins"] >= 3
+    assert not flags["has_cartesian"]
+    pushed = ";".join(flags["pushed_filters"])
+    assert "p_type" in pushed and "p_size" in pushed
+
+
+def test_q9_single_fact_pass_all_dims_broadcast(spark):
+    """q9_nation_profit: part/supplier/nation all broadcast so the only
+    pre-agg shuffle is the orderkey join; the name LIKE filter reaches
+    the part scan; lineitem reads only the 6 columns used."""
+    df = _build(spark, "q9_nation_profit")
+    flags = plan_flags(df)
+    assert flags["n_broadcast_joins"] >= 3
+    assert not flags["has_cartesian"]
+    assert "p_name" in ";".join(flags["pushed_filters"])
+    assert_pruned_scan(df, table_cols=11, max_read_cols=6)
+
+
+def test_q11_threshold_scalar_stays_in_plan(spark):
+    """q11_value_concentration: the mean-value threshold rides as a
+    single-row broadcast against the per-part aggregate (never a
+    driver collect — building the frame launches no job), and the
+    supplier-region chain broadcasts before the fact scan."""
+    df = _build(spark, "q11_value_concentration")
+    flags = plan_flags(df)
+    # region→nation→supplier chain + the 1-row scalar join
+    assert flags["n_broadcast_joins"] >= 3
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q16_anti_join_then_distinct_no_expand(spark):
+    """q16_supplier_diversity: the complaints exclusion is a LeftAnti
+    against a broadcast, the part filter prunes partkeys BEFORE the
+    pair-distinct, and the single-column count_distinct needs no
+    Expand operator (no row multiplication through the aggregate)."""
+    from bambooai_spark.plans import explain_str as _es
+
+    df = _build(spark, "q16_supplier_diversity")
+    plan = _es(df, "simple")
+    assert "LeftAnti" in plan
+    assert "Expand" not in plan
+    flags = plan_flags(df)
+    assert not flags["has_cartesian"]
+    pushed = ";".join(flags["pushed_filters"])
+    assert "p_brand" in pushed
+
+
+def test_q20_cascaded_aggs_share_partkey(spark):
+    """q20_dominant_suppliers: shipdate range pushed to the fact scan,
+    the cold-part set broadcast, and the two cascaded aggregates key on
+    the same l_partkey as the join-back — no cartesian anywhere in the
+    semi-join chain."""
+    df = _build(spark, "q20_dominant_suppliers")
+    assert_pushed_filters(df, "l_shipdate")
+    flags = plan_flags(df)
+    assert flags["n_broadcast_joins"] >= 2
+    assert not flags["has_cartesian"]
+
+
+def test_window_offsets_single_user_shuffle(spark):
+    """window_offsets_events: all five navigation functions ride ONE
+    shuffle on the high-cardinality user_id (shared sort order), never
+    a low-cardinality funnel or extra exchanges per function."""
+    df = _build(spark, "window_offsets_events")
+    flags = plan_flags(df)
+    assert flags["n_exchanges"] == 1
+    plan = explain_str(df, "simple")
+    for frag in plan.split("Window ")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "user_id" in head, head
