@@ -27,6 +27,7 @@ from bambooai_spark.operators.writer import (
     build_manifest,
     compact_corpus,
     delete_from_corpus,
+    read_corpus,
     recover_staging,
     write_corpus,
 )
@@ -47,5 +48,6 @@ __all__ = [
     "build_manifest",
     "compact_corpus",
     "delete_from_corpus",
+    "read_corpus",
     "recover_staging",
 ]

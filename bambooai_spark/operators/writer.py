@@ -158,6 +158,32 @@ def _move_staged_files(
             raise RuntimeError(f"rename failed: {f} -> {dest}")
 
 
+def _txn_batch_of(basename: str) -> str | None:
+    """The txn batch id a committed data file carries, or None for base
+    files (plain ``part-`` appends, ``c<id>-`` compaction output,
+    ``d<id>-`` delete rewrites). Commit renames are ``b<batch_id>-<base>``
+    and batch ids are filename-safe with no ``-`` ambiguity risk: the id
+    is everything up to the first ``-``."""
+    if not basename.startswith("b"):
+        return None
+    head, sep, _rest = basename[1:].partition("-")
+    return head if sep and head else None
+
+
+def _numeric_floor(files: list[str]) -> int | None:
+    """Highest NUMERIC txn batch id among ``files`` (basenames or full
+    paths) — the as-of floor contribution of a maintenance op that is
+    about to rewrite them. Non-numeric ids contribute nothing: they can
+    never be an ``as_of_batch`` target, so collapsing them into base
+    files loses nothing the mechanism could answer."""
+    best: int | None = None
+    for f in files:
+        bid = _txn_batch_of(f.rsplit("/", 1)[-1])
+        if bid is not None and bid.isdigit():
+            best = max(best or 0, int(bid))
+    return best
+
+
 def _unhide_swapped(spark: SparkSession, dest_root: str, hidden_prefix: str) -> None:
     """Final step of the per-file swap protocol, shared by compaction and
     delete (one copy of crash-critical rename logic): every staged hidden
@@ -252,6 +278,7 @@ def _write_manifest_json(
     rows,
     committed_batches: list[str] | None = None,
     columns: list[str] | None = None,
+    as_of_floor: int | None = None,
 ) -> None:
     doc = {
         "partition_by": list(partition_by),
@@ -265,6 +292,13 @@ def _write_manifest_json(
         # the corpus column set, so the append-time schema-drift guard
         # reads ONE small JSON instead of listing the whole corpus tree
         doc["columns"] = sorted(columns)
+    if as_of_floor is not None:
+        # the highest txn batch id whose files a maintenance op has
+        # rewritten (compaction folds them into c<id>- files, delete's
+        # kept-rows rewrite merges them into d<id>- files) — batch
+        # attribution below this id is gone, so read_corpus refuses
+        # as_of_batch targets under it instead of answering wrong
+        doc["as_of_floor"] = int(as_of_floor)
     _fs_write_text(
         spark,
         _join(path, MANIFEST_NAME),
@@ -570,6 +604,7 @@ def _merge_manifest_delta(
     token_col: str | None,
     batch_id: int | str | None = None,
     columns: list[str] | None = None,
+    as_of_floor: int | None = None,
 ) -> list[dict]:
     """O(batch) manifest fold: merge per-partition row/token deltas into the
     existing manifest JSON and write it back; returns the merged rows.
@@ -608,8 +643,12 @@ def _merge_manifest_delta(
             _write_manifest_json(
                 spark, path, partition_by, rows,
                 committed_batches=committed, columns=columns,
+                as_of_floor=as_of_floor,
             )
             return rows
+    prior_floor = (loaded or {}).get("as_of_floor")
+    if prior_floor is not None:
+        as_of_floor = max(int(prior_floor), as_of_floor or 0)
     committed = list((loaded or {}).get("committed_batches") or [])
     if batch_id is not None and str(batch_id) in committed:
         return [dict(p) for p in (loaded or {}).get("partitions", [])]
@@ -682,6 +721,7 @@ def _merge_manifest_delta(
         # a non-txn fold on a txn-built corpus must not drop the replay guard
         committed_batches=committed if (batch_id is not None or committed) else None,
         columns=columns,
+        as_of_floor=as_of_floor,
     )
     return rows
 
@@ -992,7 +1032,15 @@ def _compact_corpus_inner(
             spark,
             staged_flag,
             json.dumps(
-                {"compact_id": _uuid.uuid4().hex[:8], "ledger": has_ledger}
+                {
+                    "compact_id": _uuid.uuid4().hex[:8],
+                    "ledger": has_ledger,
+                    # every live batch file folds into c<id>- output, so
+                    # batch attribution collapses through the highest live
+                    # numeric id (frozen at stage time: the swap deletes
+                    # the evidence)
+                    "as_of_floor": _numeric_floor(_walk_files(spark, path)),
+                }
             ),
         )
 
@@ -1043,18 +1091,23 @@ def _compact_corpus_inner(
     # preserve the replay guard across the manifest rebuild
     committed: list[str] = []
     columns: list[str] | None = None
+    floor = info.get("as_of_floor")
     mpath = _join(path, MANIFEST_NAME)
     if _fs_exists(spark, mpath):
         try:
             loaded = json.loads(_fs_read_text(spark, mpath))
             committed = list(loaded.get("committed_batches") or [])
             columns = loaded.get("columns")
+            prior = loaded.get("as_of_floor")
+            if prior is not None:
+                floor = max(int(prior), floor or 0)
         except ValueError:
             pass
     _write_manifest_json(
         spark, path, partition_by, manifest.collect(),
         committed_batches=committed or None,
         columns=columns,
+        as_of_floor=floor,
     )
     return manifest
 
@@ -1301,6 +1354,12 @@ def _stage_delete(
         "delta": delta,
         "data_files": data_files,
         "ledger_files": ledger_files,
+        # the kept-rows rewrite merges affected files into d<id>- output,
+        # losing their batch attribution — as_of_batch targets below the
+        # highest rewritten id become unanswerable (and the deleted rows
+        # must not resurface in ANY snapshot, which always-including the
+        # d-files guarantees)
+        "as_of_floor": _numeric_floor(data_files),
     }
 
 
@@ -1339,6 +1398,7 @@ def _apply_staged_delete(
     rows = _merge_manifest_delta(
         spark, path, partition_by, info["delta"], token_col,
         batch_id=f"delete-{did}",
+        as_of_floor=info.get("as_of_floor"),
     )
     _fs_delete(spark, staged_flag)
     _fs_delete(spark, tmp)
@@ -1484,3 +1544,130 @@ def recover_staging(
             else:
                 out["kept"].append(name)
     return out
+
+
+def read_corpus(
+    spark: SparkSession,
+    path: str,
+    *,
+    as_of_batch: int | None = None,
+    schema=None,
+) -> DataFrame:
+    """Committed-snapshot read of a transactional corpus — the reader-side
+    answer to the dirty-read window :func:`append_corpus_txn` documents
+    ("a concurrent reader can see a partially moved batch"): only batches
+    whose commit marker existed when this call started are visible, so a
+    concurrent streaming append can never leak half a micro-batch into
+    the returned frame.
+
+    ``as_of_batch=N`` pins the view to txn batches with numeric id <= N
+    (time travel for reproducible training snapshots): base files — plain
+    ``part-`` appends, ``c<id>-`` compaction output, ``d<id>-`` delete
+    rewrites — are always included, later ``b<id>-`` batches drop out.
+    Maintenance collapses attribution (compaction folds every live batch
+    into ``c<id>-`` files; a delete's kept-rows rewrite merges affected
+    files into ``d<id>-`` files), so both record the highest rewritten id
+    as the manifest's ``as_of_floor`` and targets below it raise instead
+    of answering wrong. Delete rewrites staying always-visible is the
+    correct takedown semantics: removed content must not resurface in ANY
+    snapshot, old or new.
+
+    Snapshot rules, per committed-file basename ``b<id>-...``:
+
+    - id had a ``_commits`` marker at call start → include (its moves
+      completed before the marker was written, so the listing saw every
+      file).
+    - marker appeared only DURING the listing, or the batch is still
+      frozen mid-commit → exclude (the snapshot point is call start).
+    - no marker and no staging entry → an old batch whose marker aged out
+      of the pruning window → include (complete long ago).
+
+    Driver cost is O(files) — the same class as the module's other
+    maintenance paths, and the same listing ``spark.read.parquet(path)``
+    itself performs. Concurrent txn APPENDS are safe; a concurrent
+    compaction/delete is not (single maintenance writer, as everywhere in
+    this module) — a FROZEN one raises with the op to resume.
+
+    ``schema`` pins the read schema (partition-column types included, see
+    :func:`build_manifest`); without it an empty selection raises, since
+    a DataFrame needs a schema from somewhere.
+    """
+    for flag, op in (
+        (f"{DELETE_TMP}/{STAGED_MARKER}", "delete_from_corpus"),
+        (f"{COMPACT_TMP}/{STAGED_MARKER}", "compact_corpus"),
+    ):
+        if _fs_exists(spark, _join(path, flag)):
+            raise RuntimeError(
+                f"corpus is mid-swap (frozen {op} at {flag}); re-run "
+                f"{op} or recover_staging to finish it before reading"
+            )
+    floor = None
+    mpath = _join(path, MANIFEST_NAME)
+    if _fs_exists(spark, mpath):
+        try:
+            floor = json.loads(_fs_read_text(spark, mpath)).get(
+                "as_of_floor"
+            )
+        except ValueError:
+            pass  # torn manifest never blocks reads; floor check best-effort
+    if as_of_batch is not None and floor is not None and as_of_batch < int(floor):
+        raise ValueError(
+            f"as_of_batch={as_of_batch} predates the corpus's maintenance "
+            f"floor {floor}: compaction/delete rewrote batches up to "
+            f"{floor}, so their attribution is gone"
+        )
+
+    # snapshot point: the committed markers BEFORE listing any data file
+    committed_at_start: set[str] = set()
+    croot = _join(path, COMMITS_DIR)
+    fs, cjpath = _fs(spark, croot)
+    if fs.exists(cjpath):
+        for st in fs.listStatus(cjpath):
+            nm = st.getPath().getName()
+            if nm.startswith("batch-") and nm.endswith(".json"):
+                committed_at_start.add(nm[len("batch-"):-len(".json")])
+
+    keep: list[str] = []
+    decided: dict[str, bool] = {}
+    for f in _walk_files(spark, path):
+        bid = _txn_batch_of(f.rsplit("/", 1)[-1])
+        if bid is None:
+            keep.append(f)  # base file — every snapshot includes it
+            continue
+        if as_of_batch is not None:
+            if not bid.isdigit():
+                raise ValueError(
+                    f"as_of_batch with a non-numeric live batch id "
+                    f"{bid!r} ({f}): ordering is undefined"
+                )
+            if int(bid) > as_of_batch:
+                continue
+        if bid not in decided:
+            if bid in committed_at_start:
+                decided[bid] = True
+            else:
+                # not committed at the snapshot point: visible files are
+                # either a mid-commit move (staging still present) or a
+                # commit that landed DURING our listing (marker now
+                # present but listing may be partial) — both excluded;
+                # only a marker-pruned old batch (no marker, no staging)
+                # is complete by construction
+                decided[bid] = not _fs_exists(
+                    spark, _join(path, f"{COMMITS_DIR}/batch-{bid}.json")
+                ) and not _fs_exists(
+                    spark, _join(path, f"{STAGING_DIR}/batch_id={bid}")
+                )
+        if decided[bid]:
+            keep.append(f)
+
+    if not keep:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise ValueError(
+            f"no committed data files under {path} for this snapshot; "
+            "pass schema= to get a typed empty DataFrame"
+        )
+    reader = spark.read.option("basePath", path)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*keep)

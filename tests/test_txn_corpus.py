@@ -1111,3 +1111,168 @@ def test_jsonl_source_to_corpus_pipeline(spark, tmp_path):
     # replay no-ops
     append_corpus_txn(ingested, out, 0)
     assert spark.read.parquet(out).count() == 30
+
+
+# ---------------------------------------------------------------------
+# read_corpus: committed-snapshot + as-of reads
+
+
+def _ids(df):
+    return {r["doc_id"] for r in df.select("doc_id").collect()}
+
+
+def test_read_corpus_snapshot_and_as_of(spark, tmp_path):
+    """Committed batches read back whole; as_of_batch pins the view; a
+    later batch drops out of an earlier snapshot; unknown-high targets
+    just include everything committed."""
+    from bambooai_spark.operators.writer import read_corpus
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 10), out, 0)
+    append_corpus_txn(_docs(spark, 10, 20), out, 1)
+    append_corpus_txn(_docs(spark, 20, 30), out, 2)
+
+    assert _ids(read_corpus(spark, out)) == set(range(30))
+    assert _ids(read_corpus(spark, out, as_of_batch=1)) == set(range(20))
+    assert _ids(read_corpus(spark, out, as_of_batch=0)) == set(range(10))
+    assert _ids(read_corpus(spark, out, as_of_batch=99)) == set(range(30))
+
+
+def test_read_corpus_excludes_mid_commit_batch(spark, tmp_path, monkeypatch):
+    """A batch frozen mid-move (some files live, no commit marker) is
+    INVISIBLE to read_corpus — the dirty-read window the plain
+    spark.read.parquet(path) has — and appears whole once its replay
+    commits."""
+    from bambooai_spark.operators.writer import read_corpus
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20), out, 0)
+
+    orig_list = writer._fs_list_data_files
+    state = {"armed": True}
+
+    def partial_then_crash(sp, p):
+        files = orig_list(sp, p)
+        if state["armed"] and "/corpus" in p and len(files) > 1:
+            state["armed"] = False
+            return files[:1]
+        return files
+
+    monkeypatch.setattr(writer, "_fs_list_data_files", partial_then_crash)
+    orig_move = writer._move_staged_files
+
+    def crash_after_corpus(sp, src_root, dest_root, batch_id):
+        orig_move(sp, src_root, dest_root, batch_id)
+        if src_root.endswith("/corpus") and not state["armed"]:
+            raise RuntimeError("injected crash mid corpus move")
+
+    monkeypatch.setattr(writer, "_move_staged_files", crash_after_corpus)
+    with pytest.raises(RuntimeError, match="injected"):
+        append_corpus_txn(_docs(spark, 20, 40), out, 1)
+    monkeypatch.setattr(writer, "_move_staged_files", orig_move)
+    monkeypatch.setattr(writer, "_fs_list_data_files", orig_list)
+
+    # the raw read sees the torn state; the snapshot read does not
+    assert 20 < spark.read.parquet(out).count() < 40
+    assert _ids(read_corpus(spark, out)) == set(range(20))
+
+    append_corpus_txn(_docs(spark, 20, 40), out, 1)
+    assert _ids(read_corpus(spark, out)) == set(range(40))
+
+
+def test_read_corpus_includes_marker_pruned_old_batch(spark, tmp_path):
+    """A batch whose commit marker aged out of the pruning window (no
+    marker, no staging entry) is complete by construction and stays
+    visible."""
+    from bambooai_spark.operators.writer import read_corpus
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 10), out, 0)
+    append_corpus_txn(_docs(spark, 10, 20), out, 1)
+    os.remove(os.path.join(out, COMMITS_DIR, "batch-0.json"))
+    assert _ids(read_corpus(spark, out)) == set(range(20))
+    assert _ids(read_corpus(spark, out, as_of_batch=0)) == set(range(10))
+
+
+def test_read_corpus_floor_after_compaction(spark, tmp_path):
+    """Compaction folds every live batch into c<id>- files and records
+    the as_of_floor: earlier targets raise, the floor itself and later
+    batches stay answerable (base files always included)."""
+    from bambooai_spark.operators.writer import compact_corpus, read_corpus
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 10), out, 0)
+    append_corpus_txn(_docs(spark, 10, 20), out, 1)
+    compact_corpus(spark, out)
+    with open(os.path.join(out, MANIFEST_NAME)) as fh:
+        assert json.load(fh)["as_of_floor"] == 1
+
+    with pytest.raises(ValueError, match="floor"):
+        read_corpus(spark, out, as_of_batch=0)
+    assert _ids(read_corpus(spark, out, as_of_batch=1)) == set(range(20))
+
+    append_corpus_txn(_docs(spark, 20, 30), out, 2)
+    assert _ids(read_corpus(spark, out, as_of_batch=1)) == set(range(20))
+    assert _ids(read_corpus(spark, out, as_of_batch=2)) == set(range(30))
+    assert _ids(read_corpus(spark, out)) == set(range(30))
+
+
+def test_read_corpus_floor_after_delete_and_no_resurrection(spark, tmp_path):
+    """A delete raises the floor to the highest batch it rewrote, the
+    deleted rows never appear in ANY snapshot (takedown semantics), and
+    untouched earlier batches stay addressable below their own ids."""
+    from bambooai_spark.operators.writer import (
+        delete_from_corpus,
+        read_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 10), out, 0)
+    append_corpus_txn(_docs(spark, 10, 20), out, 1)
+    delete_from_corpus(spark, out, F.col("doc_id") == 15)
+    with open(os.path.join(out, MANIFEST_NAME)) as fh:
+        assert json.load(fh)["as_of_floor"] == 1
+
+    # batch-1 attribution is gone; batch-0 targets now under the floor
+    with pytest.raises(ValueError, match="floor"):
+        read_corpus(spark, out, as_of_batch=0)
+    got = _ids(read_corpus(spark, out, as_of_batch=1))
+    assert got == set(range(20)) - {15}
+    assert _ids(read_corpus(spark, out)) == set(range(20)) - {15}
+
+
+def test_read_corpus_empty_and_frozen_guards(spark, tmp_path, monkeypatch):
+    """Empty corpus: schema gives a typed empty frame, no schema raises.
+    A frozen mid-swap delete makes any read refuse (originals gone,
+    replacements hidden — no consistent view exists)."""
+    from bambooai_spark.operators.writer import (
+        DELETE_TMP,
+        STAGED_MARKER,
+        delete_from_corpus,
+        read_corpus,
+    )
+
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    df = read_corpus(spark, empty, schema="doc_id long, lang string")
+    assert df.count() == 0 and df.columns == ["doc_id", "lang"]
+    with pytest.raises(ValueError, match="no committed data files"):
+        read_corpus(spark, empty)
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 10), out, 0)
+    orig = writer._unhide_swapped
+
+    def crash_unhide(sp, dest_root, hidden_prefix):
+        raise RuntimeError("injected crash mid delete swap")
+
+    monkeypatch.setattr(writer, "_unhide_swapped", crash_unhide)
+    with pytest.raises(RuntimeError, match="injected"):
+        delete_from_corpus(spark, out, F.col("doc_id") == 3)
+    monkeypatch.setattr(writer, "_unhide_swapped", orig)
+    assert os.path.exists(os.path.join(out, DELETE_TMP, STAGED_MARKER))
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        read_corpus(spark, out)
+    # finishing the frozen delete restores readability
+    delete_from_corpus(spark, out, F.col("doc_id") == 3)
+    assert _ids(read_corpus(spark, out)) == set(range(10)) - {3}
