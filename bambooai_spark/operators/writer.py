@@ -162,8 +162,9 @@ def _txn_batch_of(basename: str) -> str | None:
     """The txn batch id a committed data file carries, or None for base
     files (plain ``part-`` appends, ``c<id>-`` compaction output,
     ``d<id>-`` delete rewrites). Commit renames are ``b<batch_id>-<base>``
-    and batch ids are filename-safe with no ``-`` ambiguity risk: the id
-    is everything up to the first ``-``."""
+    and ``-`` is rejected in batch ids by :func:`append_corpus_txn`
+    precisely so the id is unambiguously everything up to the first
+    ``-`` (composite streaming ids use ``<namespace>.<n>``)."""
     if not basename.startswith("b"):
         return None
     head, sep, _rest = basename[1:].partition("-")
@@ -182,6 +183,30 @@ def _numeric_floor(files: list[str]) -> int | None:
         if bid is not None and bid.isdigit():
             best = max(best or 0, int(bid))
     return best
+
+
+def _bump_manifest_floor(spark: SparkSession, path: str, floor: int) -> None:
+    """Fold ``floor`` into the manifest's ``as_of_floor`` in place (max
+    with any prior value), preserving everything else in the document.
+    Maintenance ops call this BEFORE deleting their staged flag — the
+    flag is the floor's only other durable copy, so a crash between the
+    flag delete and the final manifest rebuild must not lose the
+    attribution collapse (read_corpus would then silently answer
+    ``as_of_batch`` targets the rewrite made unanswerable)."""
+    mpath = _join(path, MANIFEST_NAME)
+    doc = None
+    if _fs_exists(spark, mpath):
+        try:
+            doc = json.loads(_fs_read_text(spark, mpath))
+        except ValueError:
+            doc = None  # torn manifest — the rebuild below replaces it
+    if doc is None:
+        doc = {"partition_by": [], "partitions": []}
+    prior = doc.get("as_of_floor")
+    doc["as_of_floor"] = (
+        max(int(prior), int(floor)) if prior is not None else int(floor)
+    )
+    _fs_write_text(spark, mpath, json.dumps(doc, indent=2, default=str))
 
 
 def _unhide_swapped(spark: SparkSession, dest_root: str, hidden_prefix: str) -> None:
@@ -454,21 +479,24 @@ def append_corpus(
             spark, path, partition_by=partition_by, token_col=token_col
         )
         committed: list[str] | None = None
+        floor: int | None = None
         mpath = _join(path, MANIFEST_NAME)
         if _fs_exists(spark, mpath):
             try:
-                committed = (
-                    json.loads(_fs_read_text(spark, mpath)).get(
-                        "committed_batches"
-                    )
-                    or None
-                )
+                loaded = json.loads(_fs_read_text(spark, mpath))
+                committed = loaded.get("committed_batches") or None
+                # the maintenance floor must survive the rebuild too, or
+                # read_corpus(as_of_batch=<pre-compaction id>) silently
+                # answers with the whole corpus instead of raising
+                if loaded.get("as_of_floor") is not None:
+                    floor = int(loaded["as_of_floor"])
             except ValueError:
                 pass  # torn manifest — the full rebuild replaces it
         _write_manifest_json(
             spark, path, partition_by, manifest.collect(),
             committed_batches=committed,
             columns=sorted(new_docs.columns),
+            as_of_floor=floor,
         )
         return manifest
 
@@ -772,9 +800,17 @@ def append_corpus_txn(
     """
     import re  # noqa: PLC0415
 
-    if not re.fullmatch(r"[A-Za-z0-9._-]+", str(batch_id)):
-        # batch_id becomes path components and file-name prefixes
-        raise ValueError(f"batch_id must be filename-safe: {batch_id!r}")
+    if not re.fullmatch(r"[A-Za-z0-9._]+", str(batch_id)):
+        # batch_id becomes path components and file-name prefixes; "-" is
+        # RESERVED as the committed-file separator (b<id>-<base>) —
+        # allowing it would make _txn_batch_of misattribute files (a
+        # "7-retry" batch parses as batch "7", breaking the snapshot
+        # guarantee and floor attribution). Composite ids use "." (the
+        # streaming sink's <namespace>.<n>).
+        raise ValueError(
+            f"batch_id must be filename-safe [A-Za-z0-9._]+ ('-' is "
+            f"reserved as the committed-file separator): {batch_id!r}"
+        )
     spark = new_docs.sparkSession
     marker = _join(path, f"{COMMITS_DIR}/batch-{batch_id}.json")
     stage = _join(path, f"{STAGING_DIR}/batch_id={batch_id}")
@@ -1078,6 +1114,12 @@ def _compact_corpus_inner(
                 fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
         # (3) unhide: _swap-c<id>-X → c<id>-X, per file
         _unhide_swapped(spark, dest_root, f"_swap-c{cid}-")
+    if info.get("as_of_floor") is not None:
+        # make the floor durable BEFORE dropping the flag (its only other
+        # copy): after the swap the c-files carry no batch attribution, so
+        # a crash before the manifest rebuild below would otherwise lose
+        # the floor for good and let stale as_of reads answer wrong
+        _bump_manifest_floor(spark, path, int(info["as_of_floor"]))
     _fs_delete(spark, staged_flag)
     _fs_delete(spark, tmp)
     _prune_commit_markers(spark, path)

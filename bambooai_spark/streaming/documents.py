@@ -227,7 +227,7 @@ def stream_ingest_to_corpus(
             holder["manifest"] = append_corpus(ingested, path, **kw)
         else:
             holder["manifest"] = append_corpus_txn(
-                ingested, path, f"{_ns()}-{batch_id}", **kw
+                ingested, path, f"{_ns()}.{batch_id}", **kw
             )
 
     writer = docs_stream.writeStream.foreachBatch(_append)

@@ -664,7 +664,14 @@ def test_q9_single_fact_pass_all_dims_broadcast(spark):
     assert flags["n_broadcast_joins"] >= 3
     assert not flags["has_cartesian"]
     assert "p_name" in ";".join(flags["pushed_filters"])
-    assert_pruned_scan(df, table_cols=11, max_read_cols=6)
+    # assert on the LINEITEM scan specifically — the tiny dim scans would
+    # satisfy an any-scan <=6 check even if lineitem regressed to all 11
+    li_schemas = [
+        s for s in flags["read_schemas"] if "l_orderkey" in s
+    ]
+    assert li_schemas, flags["read_schemas"]
+    for s in li_schemas:
+        assert len(s.split(",")) <= 6, s
 
 
 def test_q11_threshold_scalar_stays_in_plan(spark):
@@ -685,10 +692,8 @@ def test_q16_anti_join_then_distinct_no_expand(spark):
     against a broadcast, the part filter prunes partkeys BEFORE the
     pair-distinct, and the single-column count_distinct needs no
     Expand operator (no row multiplication through the aggregate)."""
-    from bambooai_spark.plans import explain_str as _es
-
     df = _build(spark, "q16_supplier_diversity")
-    plan = _es(df, "simple")
+    plan = explain_str(df, "simple")
     assert "LeftAnti" in plan
     assert "Expand" not in plan
     flags = plan_flags(df)

@@ -1276,3 +1276,77 @@ def test_read_corpus_empty_and_frozen_guards(spark, tmp_path, monkeypatch):
     # finishing the frozen delete restores readability
     delete_from_corpus(spark, out, F.col("doc_id") == 3)
     assert _ids(read_corpus(spark, out)) == set(range(10)) - {3}
+
+
+def test_full_manifest_rebuild_preserves_floor(spark, tmp_path):
+    """append_corpus(full_manifest=True) after a compaction must carry
+    the as_of_floor through the manifest rebuild — dropping it would let
+    read_corpus silently answer pre-compaction as_of targets with the
+    whole corpus (review r8 pass 3)."""
+    from bambooai_spark.operators.writer import (
+        append_corpus,
+        compact_corpus,
+        read_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 10), out, 0)
+    append_corpus_txn(_docs(spark, 10, 20), out, 1)
+    compact_corpus(spark, out)
+    append_corpus(_docs(spark, 20, 30), out, full_manifest=True)
+    with open(os.path.join(out, MANIFEST_NAME)) as fh:
+        assert json.load(fh)["as_of_floor"] == 1
+    with pytest.raises(ValueError, match="floor"):
+        read_corpus(spark, out, as_of_batch=0)
+    assert _ids(read_corpus(spark, out)) == set(range(30))
+
+
+def test_compact_crash_before_manifest_keeps_floor(spark, tmp_path, monkeypatch):
+    """A crash between the staged-flag delete and the final manifest
+    rebuild must not lose the as_of_floor: the flag was its only other
+    durable copy and the swapped c-files carry no batch attribution
+    (review r8 pass 3)."""
+    from bambooai_spark.operators.writer import compact_corpus, read_corpus
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 10), out, 0)
+    append_corpus_txn(_docs(spark, 10, 20), out, 1)
+
+    orig = writer.build_manifest
+
+    def crash_rebuild(*a, **kw):
+        raise RuntimeError("injected crash before manifest rebuild")
+
+    monkeypatch.setattr(writer, "build_manifest", crash_rebuild)
+    with pytest.raises(RuntimeError, match="injected"):
+        compact_corpus(spark, out)
+    monkeypatch.setattr(writer, "build_manifest", orig)
+
+    # the swap completed and the flag is gone, but the floor survived
+    assert not os.path.exists(
+        os.path.join(out, writer.COMPACT_TMP, writer.STAGED_MARKER)
+    )
+    with open(os.path.join(out, MANIFEST_NAME)) as fh:
+        assert json.load(fh)["as_of_floor"] == 1
+    with pytest.raises(ValueError, match="floor"):
+        read_corpus(spark, out, as_of_batch=0)
+    # re-running compaction converges to the exact manifest, floor kept
+    compact_corpus(spark, out)
+    with open(os.path.join(out, MANIFEST_NAME)) as fh:
+        doc = json.load(fh)
+    assert doc["as_of_floor"] == 1 and doc["partitions"]
+    assert _ids(read_corpus(spark, out)) == set(range(20))
+
+
+def test_dashed_batch_id_rejected_and_composite_ids_parse(spark, tmp_path):
+    """'-' is reserved as the committed-file separator: a dashed batch id
+    would make b7-retry-part files parse as batch '7', leaking torn
+    batches into snapshots — so append_corpus_txn refuses it, and the
+    streaming sink's composite ids use '.' which round-trips whole."""
+    out = str(tmp_path / "corpus")
+    with pytest.raises(ValueError, match="reserved"):
+        append_corpus_txn(_docs(spark, 0, 5), out, "7-retry")
+    assert writer._txn_batch_of("babc123.7-part-000-x.parquet") == "abc123.7"
+    assert writer._txn_batch_of("b7-part-000-x.parquet") == "7"
+    assert writer._txn_batch_of("part-000-x.parquet") is None
+    assert writer._txn_batch_of("c1a2b3-part-000.parquet") is None
