@@ -1,0 +1,177 @@
+"""Sharded JSONL export — the training-consumer egress sink.
+
+The corpus side of this engine is parquet (columnar, transactional —
+``operators/writer.py``); the CONSUMERS of a training corpus are tokenizer
+and dataloader pipelines that overwhelmingly read newline-delimited JSON
+shards in a fixed order. This module writes that handoff format with the
+three properties those pipelines assume:
+
+- **Deterministic permutation**: record order is the md5-keyed global
+  shuffle from ``operators/shuffle.py`` — independent of input file
+  layout, reproducible from the public algorithm alone (seed + id).
+- **Deterministic shard bytes**: every shard is exactly ONE file whose
+  content is a pure function of (data, seed, n_shards). Hash partitioning
+  on the *shard value* sends all rows of a shard to exactly one task (a
+  value's hash is a function of the value; collisions only co-locate two
+  shards, which ``partitionBy`` then splits into separate directories at
+  write), and ``sortWithinPartitions`` fixes the row order inside it — so
+  re-running the export yields byte-identical shards.
+- **A driver-readable manifest**: one JSON file listing each shard's
+  file, row count, and byte size, in read order. O(n_shards) driver work.
+
+Spark shape: ONE exchange (the n_shards-way hash repartition; the
+``row_number`` window inside ``shuffle_shards`` reuses the same hash
+partitioning, so Catalyst plans a single shuffle), then a local sort per
+task. At 100 TB pick ``n_shards`` >> executor count (e.g. 10k): each
+shard is written independently, no global sort, no driver row traffic.
+
+Reference parity: the reference's only egress is bounded CSV/HTML previews
+(bambooai/utils.py:135-188, df_ontology.py render paths); sharded-corpus
+export is net-new scale capability per SURVEY §7.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bambooai_spark.operators.shuffle import shuffle_shards
+
+MANIFEST_NAME = "_export_manifest.json"
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    out_path: str,
+    id_col: str,
+    *,
+    n_shards: int = 16,
+    seed: str = "",
+    compression: str | None = None,
+    keep_pos: bool = False,
+) -> dict:
+    """Write ``df`` as ``n_shards`` JSONL shard files under
+    ``out_path/shard=<i>/`` in the deterministic md5 permutation, plus a
+    manifest. Returns the manifest dict.
+
+    ``compression``: Spark codec name (``gzip``, ``zstd``, ...) or None
+    for plain text. ``keep_pos=True`` includes each record's 1-based
+    position within its shard in the emitted JSON (otherwise order is
+    implicit in line order). The shard id itself lives in the directory
+    name — ``partitionBy`` never writes partition columns into the data
+    files.
+
+    The manifest is written AFTER the data (a reader that sees the
+    manifest sees every shard it lists), with files in shard order — the
+    concatenation in manifest order IS the permutation.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if id_col not in df.columns:
+        raise ValueError(f"id column {id_col!r} not in {df.columns}")
+    for c in ("shard", "pos"):
+        if c in df.columns:
+            raise ValueError(
+                f"column {c!r} collides with the export bookkeeping "
+                "columns; rename it first"
+            )
+    spark = df.sparkSession
+    sharded = shuffle_shards(df, id_col, n_shards=n_shards, seed=seed)
+    out = sharded.repartition(n_shards, F.col("shard")).sortWithinPartitions(
+        "shard", "pos"
+    )
+    if not keep_pos:
+        out = out.drop("pos")  # projection preserves the sort order
+    writer = out.write.mode("error").partitionBy("shard")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(out_path)
+
+    manifest = _build_manifest(spark, out_path, n_shards, seed, compression)
+    _write_manifest(spark, out_path, manifest)
+    return manifest
+
+
+def _build_manifest(
+    spark: SparkSession,
+    out_path: str,
+    n_shards: int,
+    seed: str,
+    compression: str | None,
+) -> dict:
+    """List the written shard files — O(n_shards) driver work, no data
+    reads. Line counts come from one distributed pass over the shard
+    dirs (``spark.read.text``), never ``collect`` of row data."""
+    jvm_fs, root = _fs(spark, out_path)
+    shards = []
+    for i in range(n_shards):
+        sdir = root.suffix(f"/shard={i}")
+        if not jvm_fs.exists(sdir):
+            # a shard with zero rows writes no directory — record it
+            # explicitly so readers don't misread absence as corruption
+            shards.append(
+                {"shard": i, "file": None, "rows": 0, "bytes": 0}
+            )
+            continue
+        data = [
+            st
+            for st in jvm_fs.listStatus(sdir)
+            if not st.getPath().getName().startswith(("_", "."))
+        ]
+        if len(data) != 1:
+            raise RuntimeError(
+                f"shard={i} has {len(data)} data files; the hash "
+                "repartition guarantees exactly one — was the directory "
+                "written by something else?"
+            )
+        st = data[0]
+        shards.append(
+            {
+                "shard": i,
+                "file": f"shard={i}/{st.getPath().getName()}",
+                "rows": None,  # filled by the distributed count below
+                "bytes": int(st.getLen()),
+            }
+        )
+    present = [s for s in shards if s["file"] is not None]
+    if present:
+        counts = {
+            r["f"]: r["n"]
+            for r in spark.read.text(
+                [f"{out_path}/{s['file']}" for s in present]
+            )
+            .select(F.input_file_name().alias("f"))
+            .groupBy("f")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for s in present:
+            # input_file_name returns a fully-qualified URI; match by the
+            # unambiguous shard suffix
+            s["rows"] = next(
+                (n for f, n in counts.items() if f.endswith(s["file"])), 0
+            )
+    return {
+        "format": "jsonl",
+        "n_shards": n_shards,
+        "seed": seed,
+        "compression": compression,
+        "total_rows": sum(s["rows"] or 0 for s in shards),
+        "shards": shards,
+    }
+
+
+def _write_manifest(spark: SparkSession, out_path: str, manifest: dict):
+    from bambooai_spark.operators.writer import _fs_write_text_atomic, _join
+
+    _fs_write_text_atomic(
+        spark, _join(out_path, MANIFEST_NAME), json.dumps(manifest, indent=1)
+    )
+
+
+def _fs(spark: SparkSession, path: str):
+    from bambooai_spark.operators.writer import _fs as writer_fs
+
+    return writer_fs(spark, path)
