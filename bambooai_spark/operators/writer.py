@@ -40,6 +40,73 @@ STAGED_MARKER = "_STAGED"
 MAX_REMEMBERED_COMMITS = 100
 
 
+def _schema_json_of(df: DataFrame) -> dict:
+    """The manifest's ``schema`` entry: the corpus's unified READ schema
+    (data + partition columns), every field forced nullable — files
+    written before a column was added hold no values for it, so a read
+    must surface NULLs there."""
+    from pyspark.sql.types import StructField, StructType  # noqa: PLC0415
+
+    return StructType(
+        [StructField(f.name, f.dataType, True) for f in df.schema.fields]
+    ).jsonValue()
+
+
+def _stored_schema_json(spark: SparkSession, path: str) -> dict | None:
+    """The manifest's recorded schema, or None (legacy / torn manifest)."""
+    mpath = _join(path, MANIFEST_NAME)
+    if not _fs_exists(spark, mpath):
+        return None
+    try:
+        return json.loads(_fs_read_text(spark, mpath)).get("schema")
+    except ValueError:
+        return None
+
+
+def _stored_schema(spark: SparkSession, path: str):
+    """``StructType`` form of :func:`_stored_schema_json` (or None).
+
+    Every full-corpus read in this module prefers this over letting one
+    sampled parquet footer pick the schema: after an additive schema
+    evolution the files legitimately disagree on columns, and a
+    one-footer read would silently DROP the evolved column from a
+    compaction or delete rewrite. The explicit schema also pins
+    partition-column types without ``mergeSchema``'s all-footers cost."""
+    from pyspark.sql.types import StructType  # noqa: PLC0415
+
+    js = _stored_schema_json(spark, path)
+    if not js:
+        return None
+    try:
+        return StructType.fromJson(js)
+    except (KeyError, TypeError, ValueError):
+        return None  # unrecognized schema entry — fall back to inference
+
+
+def _unified_schema_json(
+    stored_json: dict | None, batch: DataFrame
+) -> dict:
+    """Corpus schema after appending ``batch``: stored fields first (their
+    recorded types), batch-only fields appended in batch order. With no
+    stored schema the batch defines it."""
+    from pyspark.sql.types import StructField, StructType  # noqa: PLC0415
+
+    if not stored_json:
+        return _schema_json_of(batch)
+    try:
+        stored = StructType.fromJson(stored_json)
+    except (KeyError, TypeError, ValueError):
+        return _schema_json_of(batch)
+    have = {f.name for f in stored.fields}
+    fields = [StructField(f.name, f.dataType, True) for f in stored.fields]
+    fields += [
+        StructField(f.name, f.dataType, True)
+        for f in batch.schema.fields
+        if f.name not in have
+    ]
+    return StructType(fields).jsonValue()
+
+
 def _fs(spark: SparkSession, path: str):
     """Hadoop FileSystem + Path for ``path`` — ONE bookkeeping API for
     plain local paths, ``file://``, ``hdfs://`` and ``s3a://`` URIs, so
@@ -292,6 +359,7 @@ def write_corpus(
     _write_manifest_json(
         df.sparkSession, path, partition_by, manifest.collect(),
         columns=sorted(df.columns),
+        schema_json=_schema_json_of(df),
     )
     return manifest
 
@@ -304,6 +372,7 @@ def _write_manifest_json(
     committed_batches: list[str] | None = None,
     columns: list[str] | None = None,
     as_of_floor: int | None = None,
+    schema_json: dict | None = None,
 ) -> None:
     doc = {
         "partition_by": list(partition_by),
@@ -317,6 +386,10 @@ def _write_manifest_json(
         # the corpus column set, so the append-time schema-drift guard
         # reads ONE small JSON instead of listing the whole corpus tree
         doc["columns"] = sorted(columns)
+    if schema_json is not None:
+        # the TYPED unified read schema (see _stored_schema): evolution-
+        # aware reads and rewrites take it instead of one sampled footer
+        doc["schema"] = schema_json
     if as_of_floor is not None:
         # the highest txn batch id whose files a maintenance op has
         # rewritten (compaction folds them into c<id>- files, delete's
@@ -415,6 +488,7 @@ def append_corpus(
     token_col: str | None = None,
     full_manifest: bool = False,
     batch_id: int | str | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Incremental corpus update — the batch twin of the streaming ingest:
     drop arriving documents whose exact fingerprint already exists in the
@@ -443,6 +517,14 @@ def append_corpus(
     exactly-once path, :func:`append_corpus_txn`): stage, then commit via
     resumable renames keyed by the batch id. ``None`` (the batch-API
     default) keeps the plain two-write append.
+
+    ``evolve_schema`` — permit ADDITIVE schema evolution: the batch may
+    introduce new columns (history reads them as NULL) but must still
+    carry every existing corpus column with its recorded type — drops and
+    re-types stay refused, they are the silent-corruption modes. The
+    manifest records the unified typed schema; :func:`read_corpus`,
+    :func:`compact_corpus` and :func:`delete_from_corpus` read with it,
+    so mixed per-file column sets never hit one-footer schema sampling.
     """
     if batch_id is not None:
         if full_manifest:
@@ -460,10 +542,17 @@ def append_corpus(
             text_col=text_col,
             max_records_per_file=max_records_per_file,
             token_col=token_col,
+            evolve_schema=evolve_schema,
         )
     spark = new_docs.sparkSession
+    # the unified schema is computed BEFORE the append writes: a batch
+    # that fails the drift guard must leave the manifest untouched
+    schema_json = _unified_schema_json(
+        _stored_schema_json(spark, path), new_docs
+    )
     batch = _dedup_against_corpus(
-        new_docs, path, id_col=id_col, text_col=text_col
+        new_docs, path, id_col=id_col, text_col=text_col,
+        evolve_schema=evolve_schema,
     )
 
     writer = batch.drop("_fp").write.mode("append")
@@ -475,8 +564,11 @@ def append_corpus(
     )
 
     if full_manifest:
+        from pyspark.sql.types import StructType  # noqa: PLC0415
+
         manifest = build_manifest(
-            spark, path, partition_by=partition_by, token_col=token_col
+            spark, path, partition_by=partition_by, token_col=token_col,
+            schema=StructType.fromJson(schema_json),
         )
         committed: list[str] | None = None
         floor: int | None = None
@@ -497,6 +589,7 @@ def append_corpus(
             committed_batches=committed,
             columns=sorted(new_docs.columns),
             as_of_floor=floor,
+            schema_json=schema_json,
         )
         return manifest
 
@@ -504,18 +597,27 @@ def append_corpus(
     rows = _merge_manifest_delta(
         spark, path, partition_by, delta, token_col,
         columns=sorted(new_docs.columns),
+        schema_json=schema_json,
     )
     return _manifest_df(spark, rows, partition_by, token_col, new_docs)
 
 
 def _check_schema_compatible(
-    spark: SparkSession, path: str, new_docs: DataFrame
+    spark: SparkSession, path: str, new_docs: DataFrame,
+    *, evolve: bool = False,
 ) -> None:
     """Refuse an append whose column set drifted from the corpus — mixed
     per-file schemas are the silent-corruption mode of plain parquet
     (later reads pick ONE footer, so the drifted column either vanishes
     or nulls out history). Order differences are fine (partitionBy
     reorders anyway).
+
+    ``evolve=True`` relaxes exactly ONE direction: the batch may ADD
+    columns (the manifest then records the unified schema and every
+    corpus read here takes it, so the one-footer hazard never applies).
+    Dropping a corpus column or re-typing one is refused in both modes —
+    a missing column would silently NULL out in new files, and parquet
+    readers do not reconcile conflicting types.
 
     Cost discipline: the column set is read from the manifest JSON the
     appends already maintain — one small file, NOT a ``spark.read``
@@ -526,10 +628,13 @@ def _check_schema_compatible(
     from pyspark.errors import AnalysisException  # noqa: PLC0415
 
     have: set | None = None
+    stored_js: dict | None = None
     mpath = _join(path, MANIFEST_NAME)
     if _fs_exists(spark, mpath):
         try:
-            cols = json.loads(_fs_read_text(spark, mpath)).get("columns")
+            loaded = json.loads(_fs_read_text(spark, mpath))
+            cols = loaded.get("columns")
+            stored_js = loaded.get("schema")
             if cols:
                 have = set(cols)
         except ValueError:
@@ -540,18 +645,50 @@ def _check_schema_compatible(
         except AnalysisException:
             return  # no data files yet — the batch defines the schema
     want = set(new_docs.columns)
-    if have != want:
+    added = sorted(want - have)
+    dropped = sorted(have - want)
+    if dropped or (added and not evolve):
+        hint = (
+            "pass evolve_schema=True to add columns additively"
+            if added and not dropped
+            else "migrate the corpus explicitly (rewrite via "
+            "write_corpus) instead of mixing per-file schemas"
+        )
         raise ValueError(
             "append schema drifted from the corpus: "
-            f"batch-only columns {sorted(want - have)}, "
-            f"corpus-only columns {sorted(have - want)}. Migrate the "
-            "corpus explicitly (rewrite via write_corpus) instead of "
-            "mixing per-file schemas."
+            f"batch-only columns {added}, "
+            f"corpus-only columns {dropped}. {hint}."
         )
+    if stored_js:
+        # common columns must keep their recorded types — compare the
+        # type strings (nullability aside), flat or nested alike
+        try:
+            from pyspark.sql.types import StructType  # noqa: PLC0415
+
+            stored_types = {
+                f.name: f.dataType.simpleString()
+                for f in StructType.fromJson(stored_js).fields
+            }
+        except (KeyError, TypeError, ValueError):
+            return  # unrecognized schema entry — names already checked
+        mismatched = {
+            f.name: (stored_types[f.name], f.dataType.simpleString())
+            for f in new_docs.schema.fields
+            if f.name in stored_types
+            and f.dataType.simpleString() != stored_types[f.name]
+        }
+        if mismatched:
+            raise ValueError(
+                "append re-types corpus columns "
+                f"{ {k: f'{a} -> {b}' for k, (a, b) in mismatched.items()} }; "
+                "parquet readers do not reconcile conflicting types — "
+                "cast the batch to the corpus types instead"
+            )
 
 
 def _dedup_against_corpus(
-    new_docs: DataFrame, path: str, *, id_col: str, text_col: str
+    new_docs: DataFrame, path: str, *, id_col: str, text_col: str,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """The append's dedup stage: schema-drift guard, seed a pre-ledger
     corpus's ledger, drop within-batch duplicates (min-id representative
@@ -564,7 +701,9 @@ def _dedup_against_corpus(
     from bambooai_spark.operators.dedup import exact_dedup  # noqa: PLC0415
 
     if _fs_exists(new_docs.sparkSession, path):
-        _check_schema_compatible(new_docs.sparkSession, path, new_docs)
+        _check_schema_compatible(
+            new_docs.sparkSession, path, new_docs, evolve=evolve_schema
+        )
 
     spark = new_docs.sparkSession
     ledger_path = _join(path, LEDGER_DIR)
@@ -633,6 +772,7 @@ def _merge_manifest_delta(
     batch_id: int | str | None = None,
     columns: list[str] | None = None,
     as_of_floor: int | None = None,
+    schema_json: dict | None = None,
 ) -> list[dict]:
     """O(batch) manifest fold: merge per-partition row/token deltas into the
     existing manifest JSON and write it back; returns the merged rows.
@@ -671,7 +811,7 @@ def _merge_manifest_delta(
             _write_manifest_json(
                 spark, path, partition_by, rows,
                 committed_batches=committed, columns=columns,
-                as_of_floor=as_of_floor,
+                as_of_floor=as_of_floor, schema_json=schema_json,
             )
             return rows
     prior_floor = (loaded or {}).get("as_of_floor")
@@ -744,12 +884,15 @@ def _merge_manifest_delta(
         committed = (committed + [str(batch_id)])[-MAX_REMEMBERED_COMMITS:]
     if columns is None:
         columns = (loaded or {}).get("columns")
+    if schema_json is None:
+        schema_json = (loaded or {}).get("schema")
     _write_manifest_json(
         spark, path, partition_by, rows,
         # a non-txn fold on a txn-built corpus must not drop the replay guard
         committed_batches=committed if (batch_id is not None or committed) else None,
         columns=columns,
         as_of_floor=as_of_floor,
+        schema_json=schema_json,
     )
     return rows
 
@@ -764,6 +907,7 @@ def append_corpus_txn(
     text_col: str = "text",
     max_records_per_file: int | None = 100_000,
     token_col: str | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """Transactional corpus append — EXACTLY-ONCE under crash-replay, the
     streaming sink's commit protocol (closes the at-least-once window the
@@ -824,6 +968,7 @@ def append_corpus_txn(
             spark, path, tuple(info["partition_by"]), info["delta"],
             info.get("token_col"), batch_id=batch_id,
             columns=info.get("columns"),
+            schema_json=info.get("schema"),
         )
         _fs_delete(spark, stage)
         return _manifest_df(spark, rows, partition_by, token_col, new_docs)
@@ -837,23 +982,31 @@ def append_corpus_txn(
 
     # fresh attempt (or crash before _STAGED): restage from scratch
     _fs_delete(spark, stage)
+    schema_json = _unified_schema_json(
+        _stored_schema_json(spark, path), new_docs
+    )
     batch = _dedup_against_corpus(
-        new_docs, path, id_col=id_col, text_col=text_col
+        new_docs, path, id_col=id_col, text_col=text_col,
+        evolve_schema=evolve_schema,
     )
     if batch.isEmpty():
         # nothing survived the gate/dedup — commit an empty batch so the
-        # replay is a recorded no-op
+        # replay is a recorded no-op. The schema still evolves: the batch
+        # DID pass the drift guard, and a later non-evolve batch with the
+        # same columns must not bounce off a stale recorded schema.
         info = {
             "batch_id": batch_id,
             "partition_by": list(partition_by),
             "token_col": token_col,
             "columns": sorted(new_docs.columns),
+            "schema": schema_json,
             "delta": [],
         }
         _fs_write_text_atomic(spark, marker, json.dumps(info, default=str))
         rows = _merge_manifest_delta(
             spark, path, partition_by, [], token_col, batch_id=batch_id,
             columns=info.get("columns"),
+            schema_json=schema_json,
         )
         return _manifest_df(spark, rows, partition_by, token_col, new_docs)
 
@@ -883,6 +1036,7 @@ def append_corpus_txn(
         "partition_by": list(partition_by),
         "token_col": token_col,
         "columns": sorted(new_docs.columns),
+        "schema": schema_json,
         "delta": delta,
     }
     _fs_write_text_atomic(spark, staged_flag, json.dumps(info, default=str))
@@ -910,6 +1064,7 @@ def _commit_staged(
     rows = _merge_manifest_delta(
         spark, path, partition_by, info["delta"], token_col,
         batch_id=batch_id, columns=info.get("columns"),
+        schema_json=info.get("schema"),
     )
     _fs_delete(spark, stage)
     return _manifest_df(spark, rows, partition_by, token_col, source_df)
@@ -1032,10 +1187,19 @@ def _compact_corpus_inner(
                 f"{'...' if len(frozen) > 3 else ''}); restart their "
                 "query or run recover_staging before compacting"
             )
-        # fresh compaction: rewrite the full corpus to the side
+        # fresh compaction: rewrite the full corpus to the side. The
+        # manifest's recorded schema (when present) pins the read — after
+        # an additive evolution the files disagree on columns, and a
+        # one-footer read here would silently drop the evolved column
+        # from the rewrite (see _stored_schema)
         _fs_delete(spark, tmp)
+        stored = _stored_schema(spark, path)
         try:
-            df = spark.read.parquet(path)
+            df = (
+                spark.read.schema(stored).parquet(path)
+                if stored is not None
+                else spark.read.parquet(path)
+            )
         except AnalysisException:
             # no data files (empty or fully-gated corpus) — nothing to
             # compact; hand back the typed empty manifest
@@ -1133,6 +1297,7 @@ def _compact_corpus_inner(
     # preserve the replay guard across the manifest rebuild
     committed: list[str] = []
     columns: list[str] | None = None
+    schema_js: dict | None = None
     floor = info.get("as_of_floor")
     mpath = _join(path, MANIFEST_NAME)
     if _fs_exists(spark, mpath):
@@ -1140,6 +1305,7 @@ def _compact_corpus_inner(
             loaded = json.loads(_fs_read_text(spark, mpath))
             committed = list(loaded.get("committed_batches") or [])
             columns = loaded.get("columns")
+            schema_js = loaded.get("schema")
             prior = loaded.get("as_of_floor")
             if prior is not None:
                 floor = max(int(prior), floor or 0)
@@ -1150,6 +1316,7 @@ def _compact_corpus_inner(
         committed_batches=committed or None,
         columns=columns,
         as_of_floor=floor,
+        schema_json=schema_js,
     )
     return manifest
 
@@ -1192,9 +1359,11 @@ def delete_from_corpus(
     Driver memory is O(affected files + distinct touched partition
     values) — the frozen marker holds both lists. Same maintenance-window
     contract as compaction: single writer, a concurrent reader can
-    briefly see missing rows mid-swap. Partition columns read as the
-    verbatim directory strings (inference off), so predicates on them
-    compare string values.
+    briefly see missing rows mid-swap. Partition columns read with the
+    manifest's recorded types when it carries a schema (every corpus this
+    module writes); on a legacy corpus they fall back to the verbatim
+    directory strings (inference off), so predicates there compare
+    string values.
     """
     import uuid as _uuid  # noqa: PLC0415
 
@@ -1319,10 +1488,21 @@ def _stage_delete(
     from pyspark.errors import AnalysisException  # noqa: PLC0415
 
     _fs_delete(spark, tmp)
+    stored = _stored_schema(spark, path)
     try:
-        df = spark.read.parquet(path)
+        # the recorded schema pins the kept-rows rewrite: after an
+        # additive evolution a one-footer read would drop the evolved
+        # column from every rewritten file (see _stored_schema)
+        df = (
+            spark.read.schema(stored).parquet(path)
+            if stored is not None
+            else spark.read.parquet(path)
+        )
     except AnalysisException:
         return None  # no data files — nothing to delete
+    # (a schema'd read of a corpus with zero data files returns an empty
+    # relation instead of raising; the empty data_files list below then
+    # exits the same way)
     if _fs_exists(spark, _join(path, LEDGER_DIR)) and text_col not in df.columns:
         # the ledger cleanup fingerprints this column — fail BEFORE the
         # kept-rows rewrite, not after it (review r8 pass 2: the late
@@ -1631,8 +1811,12 @@ def read_corpus(
     this module) — a FROZEN one raises with the op to resume.
 
     ``schema`` pins the read schema (partition-column types included, see
-    :func:`build_manifest`); without it an empty selection raises, since
-    a DataFrame needs a schema from somewhere.
+    :func:`build_manifest`). Without it the manifest's recorded schema
+    (present on every corpus this module writes) is used — which also
+    makes additive-evolution corpora read correctly (old files surface
+    NULL for later columns instead of one sampled footer deciding the
+    column set). A legacy corpus with neither and an empty selection
+    raises, since a DataFrame needs a schema from somewhere.
     """
     for flag, op in (
         (f"{DELETE_TMP}/{STAGED_MARKER}", "delete_from_corpus"),
@@ -1647,9 +1831,15 @@ def read_corpus(
     mpath = _join(path, MANIFEST_NAME)
     if _fs_exists(spark, mpath):
         try:
-            floor = json.loads(_fs_read_text(spark, mpath)).get(
-                "as_of_floor"
-            )
+            loaded = json.loads(_fs_read_text(spark, mpath))
+            floor = loaded.get("as_of_floor")
+            if schema is None and loaded.get("schema"):
+                from pyspark.sql.types import StructType  # noqa: PLC0415
+
+                try:
+                    schema = StructType.fromJson(loaded["schema"])
+                except (KeyError, TypeError, ValueError):
+                    pass  # unrecognized entry — fall back to inference
         except ValueError:
             pass  # torn manifest never blocks reads; floor check best-effort
     if as_of_batch is not None and floor is not None and as_of_batch < int(floor):

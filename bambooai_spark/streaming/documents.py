@@ -49,13 +49,25 @@ def ingest_documents(docs: DataFrame) -> DataFrame:
     """The per-batch ingest projection — works identically on a batch or a
     streaming DataFrame: quality gate (keep + reason), PII scrub, and the
     dedup fingerprint of the SCRUBBED text (the stored corpus is the
-    scrubbed one, so fingerprints must match what is stored)."""
+    scrubbed one, so fingerprints must match what is stored).
+
+    Columns beyond the contract set pass through untouched (a source that
+    grows a metadata column mid-stream reaches the corpus sink with it —
+    the ``evolve_schema`` path); the computed names win a collision, as
+    before."""
+    computed = {"n_words", "keep", "reason", "n_pii", "text", "fp"}
+    extras = [
+        c
+        for c in docs.columns
+        if c not in computed and c not in ("doc_id", "lang", "source")
+    ]
     qf = quality_filter("text")
     pii = scrub_pii("text")
     return docs.select(
         "doc_id",
         "lang",
         "source",
+        *extras,
         qf["n_words"].alias("n_words"),
         qf["keep"].alias("keep"),
         qf["reason"].alias("reason"),
@@ -145,6 +157,7 @@ def stream_ingest_to_corpus(
     max_records_per_file: int | None = 100_000,
     available_now: bool = True,
     checkpoint_location: str | None = None,
+    evolve_schema: bool = False,
 ):
     """The COMPLETE streaming pipeline in one sink:
     ingest → quality gate → PII scrub → exact dedup → curated corpus.
@@ -219,6 +232,9 @@ def stream_ingest_to_corpus(
             text_col="text",
             max_records_per_file=max_records_per_file,
             token_col=token_col,
+            # additive-only corpus schema evolution (long-lived streams
+            # are where sources grow columns); see append_corpus
+            evolve_schema=evolve_schema,
         )
         if checkpoint_location is None:
             # no checkpoint → no replay identity → the plain ledger-dedup
