@@ -19,11 +19,12 @@ three properties those pipelines assume:
 - **A driver-readable manifest**: one JSON file listing each shard's
   file, row count, and byte size, in read order. O(n_shards) driver work.
 
-Spark shape: ONE exchange (the n_shards-way hash repartition; the
-``row_number`` window inside ``shuffle_shards`` reuses the same hash
-partitioning, so Catalyst plans a single shuffle), then a local sort per
-task. At 100 TB pick ``n_shards`` >> executor count (e.g. 10k): each
-shard is written independently, no global sort, no driver row traffic.
+Spark shape: ONE exchange — ``shuffle_shards(num_partitions=n_shards)``
+hash-partitions on the shard value up front, which satisfies the ranking
+window's required distribution (no second exchange) and lands every
+shard whole in one task; then a local sort per task. At 100 TB pick
+``n_shards`` >> executor count (e.g. 10k): each shard is written
+independently, no global sort, no driver row traffic.
 
 Reference parity: the reference's only egress is bounded CSV/HTML previews
 (bambooai/utils.py:135-188, df_ontology.py render paths); sharded-corpus
@@ -61,7 +62,17 @@ def export_jsonl_shards(
     position within its shard in the emitted JSON (otherwise order is
     implicit in line order). The shard id itself lives in the directory
     name — ``partitionBy`` never writes partition columns into the data
-    files.
+    files. Null-valued fields ARE emitted (``ignoreNullFields=false``):
+    every line carries the full key set, which an additively-evolved
+    corpus (history = NULL for later columns) needs for a uniform
+    record contract.
+
+    ``id_col`` must be NON-NULL and UNIQUE: the md5 permutation key is a
+    function of it, so a NULL id has no shard (detected and raised after
+    the write — the rows land in Hive's default-partition directory) and
+    duplicate ids tie the intra-shard order, breaking byte determinism
+    (not detected — a uniqueness scan would double the job; the corpus
+    writers already enforce unique doc ids upstream).
 
     The manifest is written AFTER the data (a reader that sees the
     manifest sees every shard it lists), with files in shard order — the
@@ -78,13 +89,17 @@ def export_jsonl_shards(
                 "columns; rename it first"
             )
     spark = df.sparkSession
-    sharded = shuffle_shards(df, id_col, n_shards=n_shards, seed=seed)
-    out = sharded.repartition(n_shards, F.col("shard")).sortWithinPartitions(
-        "shard", "pos"
+    sharded = shuffle_shards(
+        df, id_col, n_shards=n_shards, seed=seed, num_partitions=n_shards
     )
+    out = sharded.sortWithinPartitions("shard", "pos")
     if not keep_pos:
         out = out.drop("pos")  # projection preserves the sort order
-    writer = out.write.mode("error").partitionBy("shard")
+    writer = (
+        out.write.mode("error")
+        .partitionBy("shard")
+        .option("ignoreNullFields", "false")
+    )
     if compression:
         writer = writer.option("compression", compression)
     writer.json(out_path)
@@ -105,6 +120,16 @@ def _build_manifest(
     reads. Line counts come from one distributed pass over the shard
     dirs (``spark.read.text``), never ``collect`` of row data."""
     jvm_fs, root = _fs(spark, out_path)
+    # NULL ids have no md5 key and no shard — partitionBy banishes those
+    # rows to Hive's default-partition dir, OUTSIDE every manifest entry.
+    # Fail loudly instead of publishing a manifest that silently omits
+    # them (zero extra scan: one exists-check).
+    null_dir = root.suffix("/shard=__HIVE_DEFAULT_PARTITION__")
+    if jvm_fs.exists(null_dir):
+        raise ValueError(
+            "export input has rows with a NULL id: they carry no shard "
+            f"and landed in {null_dir}; drop or key them and re-export"
+        )
     shards = []
     for i in range(n_shards):
         sdir = root.suffix(f"/shard={i}")

@@ -37,21 +37,31 @@ def shuffle_shards(
     *,
     n_shards: int = 16,
     seed: str = "",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """→ input columns + (shard, pos): a deterministic global permutation.
 
     ``shard``: first 8 hex digits of the key mod ``n_shards`` (uniform);
     ``pos``: 1-based rank of the key inside its shard, ties broken by id
-    so the permutation is total even under md5 collisions.
+    so the permutation is total even under md5 collisions (NOT under
+    duplicate ids — a non-unique ``id_col`` leaves tied rows in task
+    order; callers needing byte-stable output must feed unique ids).
+
+    ``num_partitions`` pre-partitions on the shard value with that task
+    count BEFORE the ranking window — the explicit hash partitioning
+    satisfies the window's required distribution, so the plan carries ONE
+    exchange instead of two, and every shard lands whole in exactly one
+    task (what a one-file-per-shard writer needs). Default None keeps
+    the window's own ``spark.sql.shuffle.partitions`` exchange.
     """
     key = shard_key(id_col, seed)
     shard = F.pmod(
         F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
     ).cast("int")
+    out = df.withColumn("_key", key).withColumn("shard", shard)
+    if num_partitions:
+        out = out.repartition(num_partitions, F.col("shard"))
     w = Window.partitionBy("shard").orderBy("_key", id_col)
-    return (
-        df.withColumn("_key", key)
-        .withColumn("shard", shard)
-        .withColumn("pos", F.row_number().over(w).cast("long"))
-        .drop("_key")
-    )
+    return out.withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    ).drop("_key")

@@ -52,15 +52,56 @@ def _schema_json_of(df: DataFrame) -> dict:
     ).jsonValue()
 
 
-def _stored_schema_json(spark: SparkSession, path: str) -> dict | None:
-    """The manifest's recorded schema, or None (legacy / torn manifest)."""
+_UNLOADED = object()  # sentinel: "caller did not preload the manifest"
+
+
+def _load_manifest_doc(spark: SparkSession, path: str) -> dict | None:
+    """The parsed manifest JSON, or None (missing / torn). Callers on the
+    append hot path load ONCE and hand the doc to the schema helpers and
+    the drift guard — on object stores every read is a paid GET."""
     mpath = _join(path, MANIFEST_NAME)
     if not _fs_exists(spark, mpath):
         return None
     try:
-        return json.loads(_fs_read_text(spark, mpath)).get("schema")
+        return json.loads(_fs_read_text(spark, mpath))
     except ValueError:
         return None
+
+
+def _stored_schema_json(
+    spark: SparkSession, path: str, doc=_UNLOADED
+) -> dict | None:
+    """The manifest's recorded schema, or None (legacy / torn manifest)."""
+    if doc is _UNLOADED:
+        doc = _load_manifest_doc(spark, path)
+    return (doc or {}).get("schema")
+
+
+def _record_schema(
+    spark: SparkSession, path: str, schema_json: dict
+) -> None:
+    """Fold ``schema_json`` (and its column names) into the manifest in
+    place, preserving everything else — the plain append's pre-write
+    step for an EVOLVING batch: the data files gain the new column first
+    and the manifest fold runs last, so a crash in between would
+    otherwise leave files the recorded schema doesn't know, and the next
+    compaction's schema-pinned read would rewrite the evolved column
+    away. Recording the schema FIRST is safe in the mirror-image crash:
+    a recorded column with no file yet simply reads back all-NULL.
+
+    No-op without a parseable manifest: fabricating one over a torn (or
+    absent) document would hand the later fold an empty-partitions
+    manifest it trusts, erasing the real counts — the fold's own torn
+    branch rebuilds from files instead."""
+    doc = _load_manifest_doc(spark, path)
+    if doc is None:
+        return
+    doc["schema"] = schema_json
+    doc["columns"] = sorted(f["name"] for f in schema_json["fields"])
+    _fs_write_text(
+        spark, _join(path, MANIFEST_NAME),
+        json.dumps(doc, indent=2, default=str),
+    )
 
 
 def _stored_schema(spark: SparkSession, path: str):
@@ -545,15 +586,20 @@ def append_corpus(
             evolve_schema=evolve_schema,
         )
     spark = new_docs.sparkSession
+    # ONE manifest read feeds the schema computation and the drift guard
+    doc = _load_manifest_doc(spark, path)
     # the unified schema is computed BEFORE the append writes: a batch
     # that fails the drift guard must leave the manifest untouched
-    schema_json = _unified_schema_json(
-        _stored_schema_json(spark, path), new_docs
-    )
+    schema_json = _unified_schema_json((doc or {}).get("schema"), new_docs)
     batch = _dedup_against_corpus(
         new_docs, path, id_col=id_col, text_col=text_col,
-        evolve_schema=evolve_schema,
+        evolve_schema=evolve_schema, manifest_doc=doc,
     )
+    if doc is not None and doc.get("schema") != schema_json:
+        # record the evolved schema BEFORE the data lands: a crash
+        # between the data write and the manifest fold must not leave
+        # evolved files a later schema-pinned compaction would strip
+        _record_schema(spark, path, schema_json)
 
     writer = batch.drop("_fp").write.mode("append")
     if max_records_per_file:
@@ -604,7 +650,7 @@ def append_corpus(
 
 def _check_schema_compatible(
     spark: SparkSession, path: str, new_docs: DataFrame,
-    *, evolve: bool = False,
+    *, evolve: bool = False, manifest_doc=_UNLOADED,
 ) -> None:
     """Refuse an append whose column set drifted from the corpus — mixed
     per-file schemas are the silent-corruption mode of plain parquet
@@ -627,18 +673,13 @@ def _check_schema_compatible(
     manifest write records them."""
     from pyspark.errors import AnalysisException  # noqa: PLC0415
 
+    if manifest_doc is _UNLOADED:
+        manifest_doc = _load_manifest_doc(spark, path)
     have: set | None = None
-    stored_js: dict | None = None
-    mpath = _join(path, MANIFEST_NAME)
-    if _fs_exists(spark, mpath):
-        try:
-            loaded = json.loads(_fs_read_text(spark, mpath))
-            cols = loaded.get("columns")
-            stored_js = loaded.get("schema")
-            if cols:
-                have = set(cols)
-        except ValueError:
-            pass  # torn manifest — fall through to the parquet read
+    cols = (manifest_doc or {}).get("columns")
+    stored_js = (manifest_doc or {}).get("schema")
+    if cols:
+        have = set(cols)
     if have is None:
         try:
             have = set(spark.read.parquet(path).columns)
@@ -688,7 +729,7 @@ def _check_schema_compatible(
 
 def _dedup_against_corpus(
     new_docs: DataFrame, path: str, *, id_col: str, text_col: str,
-    evolve_schema: bool = False,
+    evolve_schema: bool = False, manifest_doc=_UNLOADED,
 ) -> DataFrame:
     """The append's dedup stage: schema-drift guard, seed a pre-ledger
     corpus's ledger, drop within-batch duplicates (min-id representative
@@ -702,7 +743,8 @@ def _dedup_against_corpus(
 
     if _fs_exists(new_docs.sparkSession, path):
         _check_schema_compatible(
-            new_docs.sparkSession, path, new_docs, evolve=evolve_schema
+            new_docs.sparkSession, path, new_docs, evolve=evolve_schema,
+            manifest_doc=manifest_doc,
         )
 
     spark = new_docs.sparkSession
@@ -982,12 +1024,11 @@ def append_corpus_txn(
 
     # fresh attempt (or crash before _STAGED): restage from scratch
     _fs_delete(spark, stage)
-    schema_json = _unified_schema_json(
-        _stored_schema_json(spark, path), new_docs
-    )
+    doc = _load_manifest_doc(spark, path)  # one read feeds both consumers
+    schema_json = _unified_schema_json((doc or {}).get("schema"), new_docs)
     batch = _dedup_against_corpus(
         new_docs, path, id_col=id_col, text_col=text_col,
-        evolve_schema=evolve_schema,
+        evolve_schema=evolve_schema, manifest_doc=doc,
     )
     if batch.isEmpty():
         # nothing survived the gate/dedup — commit an empty batch so the
@@ -1191,14 +1232,17 @@ def _compact_corpus_inner(
         # manifest's recorded schema (when present) pins the read — after
         # an additive evolution the files disagree on columns, and a
         # one-footer read here would silently drop the evolved column
-        # from the rewrite (see _stored_schema)
+        # from the rewrite (see _stored_schema). Without one (legacy /
+        # torn manifest), mergeSchema's all-footers pass — once, in a
+        # maintenance op — sees every column; the rewrite then unifies
+        # the files so later one-footer reads are safe anyway.
         _fs_delete(spark, tmp)
         stored = _stored_schema(spark, path)
         try:
             df = (
                 spark.read.schema(stored).parquet(path)
                 if stored is not None
-                else spark.read.parquet(path)
+                else spark.read.option("mergeSchema", "true").parquet(path)
             )
         except AnalysisException:
             # no data files (empty or fully-gated corpus) — nothing to
@@ -1235,6 +1279,14 @@ def _compact_corpus_inner(
                 {
                     "compact_id": _uuid.uuid4().hex[:8],
                     "ledger": has_ledger,
+                    # rides the freeze so the final manifest write can
+                    # re-record it even after a torn manifest or a
+                    # crash-resume (self-healing, like delete's)
+                    "schema": (
+                        stored.jsonValue()
+                        if stored is not None
+                        else _schema_json_of(df)
+                    ),
                     # every live batch file folds into c<id>- output, so
                     # batch attribution collapses through the highest live
                     # numeric id (frozen at stage time: the swap deletes
@@ -1311,6 +1363,11 @@ def _compact_corpus_inner(
                 floor = max(int(prior), floor or 0)
         except ValueError:
             pass
+    if schema_js is None:
+        # torn/legacy manifest: re-record from the freeze (self-healing)
+        schema_js = info.get("schema")
+        if schema_js:
+            columns = sorted(f["name"] for f in schema_js["fields"])
     _write_manifest_json(
         spark, path, partition_by, manifest.collect(),
         committed_batches=committed or None,
@@ -1488,16 +1545,29 @@ def _stage_delete(
     from pyspark.errors import AnalysisException  # noqa: PLC0415
 
     _fs_delete(spark, tmp)
-    stored = _stored_schema(spark, path)
+    stored_js = _stored_schema_json(spark, path)
+    stored = None
+    if stored_js:
+        from pyspark.sql.types import StructType  # noqa: PLC0415
+
+        try:
+            stored = StructType.fromJson(stored_js)
+        except (KeyError, TypeError, ValueError):
+            stored_js = None  # unrecognized entry — fall back to merge
     try:
         # the recorded schema pins the kept-rows rewrite: after an
         # additive evolution a one-footer read would drop the evolved
-        # column from every rewritten file (see _stored_schema)
-        df = (
-            spark.read.schema(stored).parquet(path)
-            if stored is not None
-            else spark.read.parquet(path)
-        )
+        # column from every rewritten file (see _stored_schema). Without
+        # one (legacy / torn manifest) pay mergeSchema's all-footers pass
+        # ONCE — a maintenance op can afford it, a sampled footer cannot
+        # be trusted to see every column — and re-record the result so
+        # the manifest self-heals (partition columns as the verbatim
+        # directory strings here, inference being off).
+        if stored is not None:
+            df = spark.read.schema(stored).parquet(path)
+        else:
+            df = spark.read.option("mergeSchema", "true").parquet(path)
+            stored_js = _schema_json_of(df)
     except AnalysisException:
         return None  # no data files — nothing to delete
     # (a schema'd read of a corpus with zero data files returns an empty
@@ -1573,6 +1643,10 @@ def _stage_delete(
         "delete_id": delete_id,
         "partition_by": list(partition_by),
         "token_col": token_col,
+        # the schema rides the freeze: the fold's torn-manifest rebuild
+        # would otherwise write a schema-less manifest, regressing the
+        # corpus to one-footer sampling (delete never changes columns)
+        "schema": stored_js,
         "delta": delta,
         "data_files": data_files,
         "ledger_files": ledger_files,
@@ -1621,6 +1695,7 @@ def _apply_staged_delete(
         spark, path, partition_by, info["delta"], token_col,
         batch_id=f"delete-{did}",
         as_of_floor=info.get("as_of_floor"),
+        schema_json=info.get("schema"),
     )
     _fs_delete(spark, staged_flag)
     _fs_delete(spark, tmp)
@@ -1735,6 +1810,10 @@ def recover_staging(
                 spark, path, tuple(info["partition_by"]), info["delta"],
                 info.get("token_col"), batch_id=batch_id,
                 columns=info.get("columns"),
+                # an evolved batch's recovery must record its unified
+                # schema, or the next compaction reads with the stale one
+                # and rewrites the evolved column away
+                schema_json=info.get("schema"),
             )
             _fs_delete(spark, stage)
             out["cleaned"].append(name)
@@ -1817,6 +1896,12 @@ def read_corpus(
     NULL for later columns instead of one sampled footer deciding the
     column set). A legacy corpus with neither and an empty selection
     raises, since a DataFrame needs a schema from somewhere.
+
+    ``as_of_batch`` pins the ROW SET, not the column set: the manifest
+    keeps only the current unified schema, so a snapshot taken before a
+    later additive evolution gains the new column (all-NULL for its
+    rows) once the evolution lands. Pass ``schema=`` explicitly where a
+    bit-stable snapshot schema matters across re-reads.
     """
     for flag, op in (
         (f"{DELETE_TMP}/{STAGED_MARKER}", "delete_from_corpus"),

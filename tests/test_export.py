@@ -11,6 +11,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from bambooai_spark.io import load_table
 from bambooai_spark.operators.export import (
@@ -135,6 +136,41 @@ def test_empty_shard_recorded(spark, tmp_path):
     assert len(present) == 1 and present[0]["rows"] == 1
     assert len(absent) == 7
     assert all(s["rows"] == 0 and s["bytes"] == 0 for s in absent)
+
+
+def test_null_id_detected(spark, tmp_path):
+    out = str(tmp_path / "nulls")
+    docs = _docs(spark).withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") == 3, None).otherwise(F.col("doc_id")),
+    )
+    with pytest.raises(ValueError, match="NULL id"):
+        export_jsonl_shards(docs, out, "doc_id", n_shards=2)
+
+
+def test_null_fields_emitted(spark, tmp_path):
+    """Every line carries the full key set — null values included (the
+    evolved-corpus case where history is NULL for later columns)."""
+    out = str(tmp_path / "nullable")
+    docs = _docs(spark).withColumn(
+        "quality",
+        F.when(F.col("doc_id") % 2 == 0, F.col("n_chars") / 100.0),
+    )
+    export_jsonl_shards(docs, out, "doc_id", n_shards=2)
+    for path in _shard_files(out).values():
+        for line in _read_lines(path):
+            assert "quality" in json.loads(line)
+
+
+def test_single_exchange_plan(spark):
+    """The export plan carries exactly ONE shuffle: the up-front hash
+    repartition on the shard value satisfies the ranking window's
+    required distribution."""
+    docs = _docs(spark)
+    sharded = shuffle_shards(docs, "doc_id", n_shards=4, num_partitions=4)
+    plan = sharded.sortWithinPartitions("shard", "pos")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_error_paths(spark, tmp_path):

@@ -165,6 +165,80 @@ def test_delete_preserves_evolved_column(spark, tmp_path):
     assert got.filter(F.col("quality").isNull()).count() == 9
 
 
+def test_evolution_crash_windows(spark, tmp_path, monkeypatch):
+    """The review's two schema-loss windows: (a) plain append crashes
+    between the data write and the manifest fold — the pre-recorded
+    schema must already know the new column so compaction keeps it;
+    (b) the manifest tears before a delete — the delete's frozen info
+    re-records the schema through the torn-manifest rebuild."""
+    from bambooai_spark.operators import writer as w
+
+    out = str(tmp_path / "c")
+    append_corpus(_docs(spark, 0, 10), out)
+
+    # (a) crash after the corpus write, before the fold
+    orig = w._merge_manifest_delta
+
+    def crash_fold(*a, **k):
+        raise RuntimeError("injected crash before manifest fold")
+
+    monkeypatch.setattr(w, "_merge_manifest_delta", crash_fold)
+    with pytest.raises(RuntimeError, match="injected"):
+        append_corpus(_docs_v2(spark, 10, 20), out, evolve_schema=True)
+    monkeypatch.setattr(w, "_merge_manifest_delta", orig)
+    # the schema was recorded BEFORE the crash...
+    assert "quality" in _schema_fields(out)
+    # ...so compaction's schema-pinned read keeps the evolved column
+    compact_corpus(spark, out)
+    got = read_corpus(spark, out)
+    assert "quality" in got.columns and got.count() == 20
+    assert got.filter(F.col("quality").isNotNull()).count() == 10
+
+    # (b) torn manifest + delete: the fold rebuilds from files and the
+    # frozen info re-records the schema
+    mpath = os.path.join(out, MANIFEST_NAME)
+    with open(mpath, "w") as fh:
+        fh.write('{"torn')
+    crc = os.path.join(out, f".{MANIFEST_NAME}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    delete_from_corpus(spark, out, F.col("doc_id") == 12)
+    assert "quality" in (_schema_fields(out) or {})
+    got = read_corpus(spark, out)
+    assert got.count() == 19 and "quality" in got.columns
+
+
+def test_recover_staging_carries_schema(spark, tmp_path, monkeypatch):
+    """A committed evolving batch recovered by recover_staging (crash
+    between marker and fold) must record its unified schema."""
+    from bambooai_spark.operators import writer as w
+    from bambooai_spark.operators.writer import recover_staging
+
+    out = str(tmp_path / "c")
+    append_corpus_txn(_docs(spark, 0, 10), out, 0)
+
+    orig = w._merge_manifest_delta
+
+    def crash_fold(*a, **k):
+        raise RuntimeError("injected crash after commit marker")
+
+    monkeypatch.setattr(w, "_merge_manifest_delta", crash_fold)
+    with pytest.raises(RuntimeError, match="injected"):
+        append_corpus_txn(
+            _docs_v2(spark, 10, 20), out, 1, evolve_schema=True
+        )
+    monkeypatch.setattr(w, "_merge_manifest_delta", orig)
+    assert "quality" not in (_schema_fields(out) or {})  # fold never ran
+
+    res = recover_staging(spark, out)
+    assert "batch_id=1" in res["cleaned"]
+    assert "quality" in _schema_fields(out)
+    # and the maintenance rewrite keeps the column
+    compact_corpus(spark, out)
+    got = read_corpus(spark, out)
+    assert "quality" in got.columns and got.count() == 20
+
+
 def test_write_corpus_records_schema(spark, tmp_path):
     out = str(tmp_path / "c")
     write_corpus(_docs(spark, 0, 10), out)
