@@ -23,6 +23,9 @@ Operators:
                               an image-embedding stage).
 - ``sample_frames``         — mapInPandas: payload → N pseudo-frames
                               (1:N row fan-out — the video shape).
+- ``resize_media``          — mapInPandas: payload → payload' +
+                              (width, height) metadata (1:1 bytes-to-
+                              bytes rewrite — the image-resize shape).
 """
 
 from __future__ import annotations
@@ -167,5 +170,69 @@ def sample_frames(
             yield pd.DataFrame(
                 rows, columns=ids + ["frame_idx", "frame"]
             )
+
+    return df.select(*ids, payload_col).mapInPandas(run, out_schema)
+
+
+def _stub_resizer(
+    payload: bytes, width: int, height: int
+) -> tuple[bytes, int, int]:
+    """Deterministic fake resize — a real deployment passes a PIL
+    ``Image.open(...).resize(...)`` wrapper here. NOT a real decode (the
+    libs aren't in this container); the contract (bytes → bytes' +
+    realized dims) is. The stub emits exactly ``width*height`` bytes by
+    tiling the payload (empty payload → zeros), so output size tracks the
+    requested dims the way a raw-pixel buffer would."""
+    n = width * height
+    if not payload:
+        return b"\x00" * n, width, height
+    reps = -(-n // len(payload))  # ceil division
+    return (payload * reps)[:n], width, height
+
+
+def resize_media(
+    df: DataFrame,
+    payload_col: str,
+    *,
+    width: int,
+    height: int,
+    id_cols: list[str] | None = None,
+    resizer: Callable[[bytes, int, int], tuple[bytes, int, int]] | None = None,
+    out_col: str = "resized",
+) -> DataFrame:
+    """Payload → resized payload via Arrow-batched ``mapInPandas`` — the
+    1:1 bytes-to-bytes media rewrite (image resize / audio resample).
+
+    Output: ``id_cols`` + ``out_col`` (binary) + ``width``/``height``
+    (the REALIZED dims, reported by the resizer — a real one may clamp or
+    preserve aspect ratio). NULL payloads pass through as NULL with NULL
+    dims, never crash the batch. Swap ``resizer`` for a PIL/ffmpeg
+    wrapper in deployment; the stub is deterministic so tests pin bytes.
+    """
+    if width < 1 or height < 1:
+        raise ValueError(f"target dims must be >= 1, got {width}x{height}")
+    ids = id_cols or []
+    rz = resizer or _stub_resizer
+    out_schema = StructType(
+        [df.schema[c] for c in ids]
+        + [
+            StructField(out_col, BinaryType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[ids].copy() if ids else pd.DataFrame(index=pdf.index)
+            resized = pdf[payload_col].map(
+                lambda b: rz(bytes(b), width, height)
+                if b is not None
+                else (None, None, None)
+            )
+            out[out_col] = resized.map(lambda t: t[0])
+            out["width"] = resized.map(lambda t: t[1])
+            out["height"] = resized.map(lambda t: t[2])
+            yield out
 
     return df.select(*ids, payload_col).mapInPandas(run, out_schema)

@@ -84,3 +84,58 @@ def test_feature_pipeline_chains_into_dataframe_ops(spark):
     row = agg.collect()[0]
     assert row.n == 50 * 8
     assert 0.0 <= row.avg <= 1.0
+
+
+def test_resize_media_contract(spark, media):
+    from bambooai_spark.operators.multimodal import (
+        _stub_resizer,
+        resize_media,
+    )
+
+    out = resize_media(
+        media, "payload", width=8, height=4, id_cols=["id"]
+    ).collect()
+    got = {r.id: r for r in out}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for i in (1, 2, 3, 4):
+        assert len(bytes(got[i].resized)) == 8 * 4
+        assert (got[i].width, got[i].height) == (8, 4)
+    # NULL payload passes through as NULL, batch never crashes
+    assert got[5].resized is None and got[5].width is None
+
+    # deterministic: bytes match the stub applied driver-side
+    want = _stub_resizer(b"\x89PNG\r\n\x1a\n" + b"x" * 120, 8, 4)[0]
+    assert bytes(got[1].resized) == want
+
+    # determinism across partitionings
+    again = {
+        r.id: bytes(r.resized) if r.resized is not None else None
+        for r in resize_media(
+            media.repartition(5), "payload", width=8, height=4,
+            id_cols=["id"],
+        ).collect()
+    }
+    assert again == {
+        r.id: bytes(r.resized) if r.resized is not None else None
+        for r in out
+    }
+
+    with pytest.raises(ValueError, match="dims"):
+        resize_media(media, "payload", width=0, height=4)
+
+
+def test_resize_chains_into_decode(spark, media):
+    """resize → decode_features chains through DataFrame ops (the
+    preprocessing pipeline shape: normalize dims, then embed)."""
+    from bambooai_spark.operators.multimodal import resize_media
+
+    resized = resize_media(
+        media.filter("payload is not null"), "payload",
+        width=16, height=16, id_cols=["id"],
+    )
+    feats = decode_features(
+        resized, "resized", dim=8, id_cols=["id"]
+    )
+    rows = feats.collect()
+    assert len(rows) == 4
+    assert all(len(r.features) == 8 for r in rows)
