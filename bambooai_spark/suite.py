@@ -4266,6 +4266,114 @@ def delete_corpus_docs(spark, sf_dir):
     return spark.read.parquet(out).select("doc_id", "lang")
 
 
+@spec(
+    "evolve_corpus_docs",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+      FROM documents
+    ), v1 AS (
+      SELECT f, MIN(doc_id) AS doc_id FROM fp WHERE doc_id % 2 = 0 GROUP BY f
+    ), v2 AS (
+      SELECT f, MIN(doc_id) AS doc_id FROM fp WHERE doc_id % 2 = 1 GROUP BY f
+    ), v2k AS (
+      SELECT v2.f, v2.doc_id FROM v2 LEFT JOIN v1 ON v2.f = v1.f
+      WHERE v1.f IS NULL
+    )
+    SELECT p.doc_id, p.lang, CAST(NULL AS DOUBLE) AS quality
+    FROM fp p JOIN v1 ON p.doc_id = v1.doc_id AND p.f = v1.f
+    UNION ALL
+    SELECT p.doc_id, p.lang,
+           CAST(p.doc_id % 10 AS DOUBLE) / 10 AS quality
+    FROM fp p JOIN v2k ON p.doc_id = v2k.doc_id AND p.f = v2k.f
+    """,
+    doc="Additive schema evolution lifecycle under the hash-exact gate: "
+    "the even-id documents ingest as generation 1, the odd-id documents "
+    "gain a derived quality column and ingest with evolve_schema=True "
+    "(operators/writer.py), and read_corpus reads BOTH generations with "
+    "the manifest's recorded unified schema — generation-1 rows surface "
+    "quality as NULL instead of one sampled parquet footer deciding the "
+    "column set. The oracle replays the min-id fingerprint dedup of each "
+    "generation, the cross-generation ledger anti-join, and the "
+    "NULL-vs-derived quality values in SQL.",
+)
+def evolve_corpus_docs(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        append_corpus,
+        read_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="bbai_evolve_spec_"), "corpus"
+    )
+    append_corpus(
+        d.filter(F.col("doc_id") % 2 == 0),
+        out,
+        partition_by=("lang",),
+        max_records_per_file=100,
+    )
+    v2 = d.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "quality", (F.col("doc_id") % 10).cast("double") / 10
+    )
+    append_corpus(
+        v2, out, partition_by=("lang",), max_records_per_file=100,
+        evolve_schema=True,
+    )
+    return read_corpus(spark, out).select("doc_id", "lang", "quality")
+
+
+@spec(
+    "export_shards_docs",
+    r"""
+    WITH k AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key FROM documents),
+    s AS (
+      SELECT doc_id, key,
+             CAST(list_reduce(
+                    list_transform(
+                      regexp_split_to_array(substr(key, 1, 8), ''),
+                      c -> strpos('0123456789abcdef', c) - 1)::BIGINT[],
+                    (acc, d) -> acc * 16 + d) % 8 AS INT) AS shard
+      FROM k)
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
+    FROM s
+    """,
+    doc="Training-consumer egress round trip under the hash-exact gate: "
+    "export_jsonl_shards (operators/export.py) writes the md5-keyed "
+    "global permutation as one byte-deterministic JSONL file per shard "
+    "(single exchange; keep_pos records each line's intra-shard rank), "
+    "then the exported files read BACK through spark.read.json and must "
+    "reproduce exactly the permutation the oracle computes from the "
+    "public md5 algorithm alone — file layout, line order, and the "
+    "manifest never enter the comparison, only the recorded (shard, "
+    "pos) of every document.",
+)
+def export_shards_docs(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.operators.export import (  # noqa: PLC0415
+        export_jsonl_shards,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = os.path.join(tempfile.mkdtemp(prefix="bbai_export_spec_"), "exp")
+    export_jsonl_shards(d, out, "doc_id", n_shards=8, keep_pos=True)
+    back = spark.read.json(out)
+    return back.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("shard").cast("int").alias("shard"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
 # =====================================================================
 # The five TPC-H shapes whose canonical form needs PARTSUPP (absent from
 # the testdata) — re-expressed on lineitem's (l_partkey, l_suppkey)
