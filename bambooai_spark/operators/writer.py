@@ -363,6 +363,26 @@ def _walk_files(spark: SparkSession, root: str, *, want_hidden_prefix=None):
     return out
 
 
+def _cluster(
+    df: DataFrame, partition_by, cluster_by: tuple[str, ...],
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Data clustering for min/max scan pruning: range-partition on
+    (partition cols, cluster cols) then sort within tasks, so every
+    written FILE — and every parquet row group inside it — covers a
+    narrow, near-disjoint range of the cluster keys. A later filtered
+    read (``WHERE doc_id BETWEEN ...``) then skips whole files/row groups
+    on footer statistics instead of scanning the corpus: the poor-man's
+    Z-order, exact for a single cluster key or a prefix-ordered compound
+    one. Costs ONE extra shuffle at write time — paid once, saved on
+    every selective read."""
+    n = num_tasks or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    cols = [F.col(c) for c in (*partition_by, *cluster_by)]
+    return df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+
+
 def write_corpus(
     df: DataFrame,
     path: str,
@@ -371,6 +391,7 @@ def write_corpus(
     max_records_per_file: int | None = 100_000,
     mode: str = "overwrite",
     token_col: str | None = None,
+    cluster_by: tuple[str, ...] = (),
 ) -> DataFrame:
     """Write ``df`` as a partitioned parquet corpus and return (and
     persist alongside it) the manifest: one row per partition value with
@@ -378,7 +399,14 @@ def write_corpus(
 
     ``token_col`` — a LONG column to sum per partition (e.g. a
     precomputed ``n_tokens``); omitted → no token totals.
+
+    ``cluster_by`` — lay the data out sorted on these columns within
+    each partition (see :func:`_cluster`): selective reads then skip
+    files and row groups on parquet min/max statistics. One extra
+    shuffle at write time.
     """
+    if cluster_by:
+        df = _cluster(df, partition_by, cluster_by)
     writer = df.write.mode(mode)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
@@ -1136,6 +1164,7 @@ def compact_corpus(
     max_records_per_file: int | None = 100_000,
     token_col: str | None = None,
     num_tasks: int | None = None,
+    cluster_by: tuple[str, ...] = (),
 ) -> DataFrame:
     """Rewrite the corpus's accumulated small files (a streaming sink
     appends one file set per micro-batch — the classic small-files
@@ -1151,6 +1180,13 @@ def compact_corpus(
     ``num_tasks``: a range-repartition keyed on (partition cols, a
     monotonic row id) spreads each value over contiguous tasks — a few
     files per value instead of one, but no single-task funnel.
+
+    ``cluster_by`` — rewrite the corpus SORTED on these columns within
+    each partition (see :func:`_cluster`): a streaming corpus's files
+    arrive in ingest order, so compaction is the natural place to
+    restore key locality for min/max scan pruning. Implies a
+    range-repartition (``num_tasks`` then caps the task count), so it
+    composes with — and supersedes — the monotonic-id spread.
 
     Maintenance-window op, SINGLE writer: not safe under concurrent
     appends, and a reader during the swap can briefly see missing rows
@@ -1193,6 +1229,7 @@ def compact_corpus(
             partition_by=partition_by,
             max_records_per_file=max_records_per_file,
             token_col=token_col, num_tasks=num_tasks,
+            cluster_by=cluster_by,
         )
     finally:
         spark.conf.set(_INFER, prev_infer)
@@ -1208,6 +1245,7 @@ def _compact_corpus_inner(
     max_records_per_file: int | None,
     token_col: str | None,
     num_tasks: int | None,
+    cluster_by: tuple[str, ...] = (),
 ) -> DataFrame:
     import uuid as _uuid  # noqa: PLC0415
 
@@ -1249,7 +1287,9 @@ def _compact_corpus_inner(
             # compact; hand back the typed empty manifest
             return _empty_manifest(spark, partition_by, token_col)
         cols = [F.col(c) for c in partition_by]
-        if num_tasks:
+        if cluster_by:
+            df = _cluster(df, partition_by, cluster_by, num_tasks)
+        elif num_tasks:
             df = df.repartitionByRange(
                 num_tasks, *cols, F.monotonically_increasing_id()
             )
