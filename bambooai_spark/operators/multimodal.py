@@ -212,6 +212,14 @@ def resize_media(
     if width < 1 or height < 1:
         raise ValueError(f"target dims must be >= 1, got {width}x{height}")
     ids = id_cols or []
+    for c in (out_col, "width", "height"):
+        if c in ids:
+            # fail here, not as an opaque Arrow batch-shape crash inside
+            # the Python worker (the output columns overwrite the id)
+            raise ValueError(
+                f"id column {c!r} collides with the resize output "
+                "columns; rename it first"
+            )
     rz = resizer or _stub_resizer
     out_schema = StructType(
         [df.schema[c] for c in ids]

@@ -376,11 +376,21 @@ def _cluster(
     Z-order, exact for a single cluster key or a prefix-ordered compound
     one. Costs ONE extra shuffle at write time — paid once, saved on
     every selective read."""
-    n = num_tasks or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    )
+    n = num_tasks or _shuffle_partitions(df.sparkSession)
     cols = [F.col(c) for c in (*partition_by, *cluster_by)]
     return df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+
+
+def _shuffle_partitions(spark: SparkSession) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to
+    ``defaultParallelism`` where a managed platform sets it to a
+    non-numeric marker like ``'auto'`` (OSS Spark rejects such values at
+    set time, some vendors accept them — a maintenance op must not crash
+    on the parse)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
 
 
 def write_corpus(
@@ -392,6 +402,7 @@ def write_corpus(
     mode: str = "overwrite",
     token_col: str | None = None,
     cluster_by: tuple[str, ...] = (),
+    num_tasks: int | None = None,
 ) -> DataFrame:
     """Write ``df`` as a partitioned parquet corpus and return (and
     persist alongside it) the manifest: one row per partition value with
@@ -403,10 +414,11 @@ def write_corpus(
     ``cluster_by`` — lay the data out sorted on these columns within
     each partition (see :func:`_cluster`): selective reads then skip
     files and row groups on parquet min/max statistics. One extra
-    shuffle at write time.
+    shuffle at write time; ``num_tasks`` caps its task (and so file)
+    count per call, same knob as :func:`compact_corpus`.
     """
     if cluster_by:
-        df = _cluster(df, partition_by, cluster_by)
+        df = _cluster(df, partition_by, cluster_by, num_tasks)
     writer = df.write.mode(mode)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)

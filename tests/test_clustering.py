@@ -69,6 +69,40 @@ def test_write_corpus_clustered_layout(spark, tmp_path):
     assert got.count() == docs.count()
 
 
+def test_cluster_task_cap_and_conf_fallback(spark, tmp_path):
+    """num_tasks caps the clustered write's file count per call; a
+    non-numeric shuffle.partitions (AQE-managed platforms set 'auto')
+    falls back to defaultParallelism instead of crashing."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "capped")
+    write_corpus(
+        docs, out, cluster_by=("doc_id",), num_tasks=2,
+        partition_by=("lang",),
+    )
+    ranges = _file_ranges(out, "doc_id")
+    assert sum(len(v) for v in ranges.values()) <= 2 * len(ranges)
+
+    # OSS Spark rejects a non-numeric shuffle.partitions at SET time, so
+    # the vendor-'auto' fallback is unit-tested on the parse helper
+    from bambooai_spark.operators.writer import _shuffle_partitions
+
+    class _Conf:
+        def get(self, k):
+            return "auto"
+
+    class _SC:
+        defaultParallelism = 4
+
+    class _Fake:
+        conf = _Conf()
+        sparkContext = _SC()
+
+    assert _shuffle_partitions(_Fake()) == 4
+    assert _shuffle_partitions(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+
 def test_compact_corpus_clustered_restores_locality(spark, tmp_path):
     out = str(tmp_path / "c")
     docs = load_table(spark, SF_DIR, "documents")

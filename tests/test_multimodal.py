@@ -123,6 +123,14 @@ def test_resize_media_contract(spark, media):
     with pytest.raises(ValueError, match="dims"):
         resize_media(media, "payload", width=0, height=4)
 
+    # id columns colliding with the output columns fail upfront, not as
+    # an opaque Arrow batch-shape crash inside the Python worker
+    with pytest.raises(ValueError, match="collides"):
+        resize_media(
+            media.withColumn("width", F.lit(1)), "payload",
+            width=8, height=4, id_cols=["id", "width"],
+        )
+
 
 def test_resize_chains_into_decode(spark, media):
     """resize → decode_features chains through DataFrame ops (the
