@@ -2040,3 +2040,123 @@ def read_corpus(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.parquet(*keep)
+
+
+def corpus_history(spark: SparkSession, path: str) -> DataFrame:
+    """Commit history of a transactional corpus as a DataFrame — the
+    ``DESCRIBE HISTORY`` analog for this module's plain-parquet protocol,
+    assembled purely from bookkeeping (no data files read, driver cost
+    O(markers), which :func:`_prune_commit_markers` keeps bounded).
+
+    One row per known commit, newest first:
+
+    - surviving ``_commits`` markers → full detail: rows/files/bytes
+      added (summed from the frozen manifest delta), partitions touched,
+      commit time (marker mtime);
+    - manifest ``committed_batches`` entries whose marker has been
+      pruned → id-only rows (detail columns NULL). Delete folds register
+      here as ``delete-<id>`` ids (deletes never write marker files).
+
+    ``kind`` is ``append`` or ``delete``; the manifest's ``as_of_floor``
+    (attribution collapsed below it by compaction/delete rewrites) rides
+    along on every row for snapshot-target sanity checks. History older
+    than both the marker set and the bounded window is not recoverable —
+    this protocol keeps bookkeeping O(recent), unlike a log-structured
+    table format.
+    """
+    import datetime as _dt  # noqa: PLC0415
+
+    from pyspark.sql.types import (  # noqa: PLC0415
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    doc = _load_manifest_doc(spark, path) or {}
+    floor = doc.get("as_of_floor")
+    window = list(doc.get("committed_batches") or [])
+
+    rows: list[dict] = []
+    seen: set[str] = set()
+    croot = _join(path, COMMITS_DIR)
+    fs, cpath = _fs(spark, croot)
+    if fs.exists(cpath):
+        for st in fs.listStatus(cpath):
+            name = st.getPath().getName()
+            if not (name.startswith("batch-") and name.endswith(".json")):
+                continue
+            bid = name[len("batch-"):-len(".json")]
+            try:
+                info = json.loads(_fs_read_text(spark, _join(croot, name)))
+            except ValueError:
+                continue  # torn marker mid-write — skip, not fail
+            delta = info.get("delta") or []
+            rows.append(
+                {
+                    "batch_id": bid,
+                    "kind": "append",
+                    "n_rows": sum(int(d.get("n_rows") or 0) for d in delta),
+                    "n_files": (
+                        sum(int(d["n_files"]) for d in delta)
+                        if delta and all(d.get("n_files") is not None for d in delta)
+                        else None
+                    ),
+                    "n_bytes": (
+                        sum(int(d["n_bytes"]) for d in delta)
+                        if delta and all(d.get("n_bytes") is not None for d in delta)
+                        else None
+                    ),
+                    "n_partitions": len(delta),
+                    "committed_at_ms": int(st.getModificationTime()),
+                }
+            )
+            seen.add(bid)
+    for bid in window:
+        if bid in seen:
+            continue
+        rows.append(
+            {
+                "batch_id": bid,
+                "kind": "delete" if bid.startswith("delete-") else "append",
+                "n_rows": None,
+                "n_files": None,
+                "n_bytes": None,
+                "n_partitions": None,
+                "committed_at_ms": None,
+            }
+        )
+
+    schema = StructType(
+        [
+            StructField("batch_id", StringType()),
+            StructField("kind", StringType()),
+            StructField("n_rows", LongType()),
+            StructField("n_files", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("n_partitions", LongType()),
+            StructField("committed_at", TimestampType()),
+            StructField("as_of_floor", LongType()),
+        ]
+    )
+    out = [
+        (
+            r["batch_id"],
+            r["kind"],
+            r["n_rows"],
+            r["n_files"],
+            r["n_bytes"],
+            r["n_partitions"],
+            None
+            if r["committed_at_ms"] is None
+            else _dt.datetime.fromtimestamp(
+                r["committed_at_ms"] / 1000.0, tz=_dt.timezone.utc
+            ).replace(tzinfo=None),
+            None if floor is None else int(floor),
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(out, schema).orderBy(
+        F.col("committed_at").desc_nulls_last(), "batch_id"
+    )

@@ -1350,3 +1350,48 @@ def test_dashed_batch_id_rejected_and_composite_ids_parse(spark, tmp_path):
     assert writer._txn_batch_of("b7-part-000-x.parquet") == "7"
     assert writer._txn_batch_of("part-000-x.parquet") is None
     assert writer._txn_batch_of("c1a2b3-part-000.parquet") is None
+
+
+def test_corpus_history(spark, tmp_path):
+    """corpus_history: marker-backed rows carry full detail, window-only
+    ids (pruned markers / delete folds) surface as id-only rows, and the
+    floor rides along after maintenance."""
+    from bambooai_spark.operators.writer import (
+        compact_corpus,
+        corpus_history,
+        delete_from_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20), out, 0)
+    append_corpus_txn(_docs(spark, 20, 30), out, 1)
+
+    h = {r["batch_id"]: r.asDict() for r in corpus_history(spark, out).collect()}
+    assert h["0"]["kind"] == "append" and h["0"]["n_rows"] == 20
+    assert h["1"]["n_rows"] == 10
+    assert h["0"]["n_files"] is not None and h["0"]["n_bytes"] > 0
+    assert h["0"]["n_partitions"] == 2  # en/de
+    assert h["0"]["committed_at"] is not None
+
+    delete_from_corpus(spark, out, F.col("doc_id") == 5)
+    h2 = {r["batch_id"]: r.asDict() for r in corpus_history(spark, out).collect()}
+    dels = [k for k in h2 if k.startswith("delete-")]
+    assert len(dels) == 1 and h2[dels[0]]["kind"] == "delete"
+    assert h2[dels[0]]["n_rows"] is None  # window-only row, no marker
+
+    # compaction prunes markers and sets the floor: batches drop to
+    # id-only rows but stay listed via the committed window
+    compact_corpus(spark, out)
+    h3 = {r["batch_id"]: r.asDict() for r in corpus_history(spark, out).collect()}
+    assert {"0", "1"} <= set(h3)
+    assert all(r["as_of_floor"] == 1 for r in h3.values())
+    # newest-first ordering puts detail-less rows last
+    ordered = corpus_history(spark, out).collect()
+    assert ordered == sorted(
+        ordered,
+        key=lambda r: (
+            r["committed_at"] is None,
+            -(r["committed_at"].timestamp() if r["committed_at"] else 0),
+            r["batch_id"],
+        ),
+    )
