@@ -21,11 +21,13 @@ from bambooai_spark.operators.similarity import (
     knn_lsh,
     label_centroids,
 )
+from bambooai_spark.operators.export import export_jsonl_shards
 from bambooai_spark.operators.writer import (
     append_corpus,
     append_corpus_txn,
     build_manifest,
     compact_corpus,
+    corpus_history,
     delete_from_corpus,
     read_corpus,
     recover_staging,
@@ -47,7 +49,9 @@ __all__ = [
     "append_corpus_txn",
     "build_manifest",
     "compact_corpus",
+    "corpus_history",
     "delete_from_corpus",
+    "export_jsonl_shards",
     "read_corpus",
     "recover_staging",
 ]
