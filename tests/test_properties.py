@@ -460,3 +460,91 @@ def test_prefix_bridge_handles_null_group_keys(spark):
         assert all(r["_total"] == want[None] for r in null_slices)
     finally:
         part.unpersist()
+
+
+# -------------------------------------------------- schema-evolution helpers
+
+_field_names = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+    min_size=1, max_size=6, unique=True,
+)
+def _type_instances():
+    from pyspark.sql.types import (
+        BinaryType,
+        DateType,
+        DoubleType,
+        LongType,
+        StringType,
+    )
+
+    return st.sampled_from(
+        [LongType(), DoubleType(), StringType(), DateType(), BinaryType()]
+    )
+
+
+@settings(max_examples=50, deadline=None)
+@given(_field_names, _field_names, st.data())
+def test_unified_schema_json_properties(stored_names, batch_names, data):
+    """Pure-python spec of _unified_schema_json: stored field order and
+    types win for common names, batch-only fields append in batch order,
+    every field comes out nullable, and unifying twice is idempotent."""
+    from pyspark.sql.types import StructField, StructType
+
+    from bambooai_spark.operators.writer import _unified_schema_json
+
+    types = _type_instances()
+
+    def mk(names):
+        return StructType(
+            [
+                StructField(
+                    n,
+                    data.draw(types, label=n),
+                    data.draw(st.booleans(), label=f"null-{n}"),
+                )
+                for n in names
+            ]
+        )
+
+    stored, batch = mk(stored_names), mk(batch_names)
+
+    class _Fake:  # _unified_schema_json only touches .schema
+        schema = batch
+
+    got = _unified_schema_json(stored.jsonValue(), _Fake())
+    names = [f["name"] for f in got["fields"]]
+    assert names == stored_names + [
+        n for n in batch_names if n not in stored_names
+    ]
+    by_name = {f.name: f for f in stored.fields}
+    for f in got["fields"]:
+        assert f["nullable"] is True
+        if f["name"] in by_name:
+            assert f["type"] == by_name[f["name"]].dataType.jsonValue()
+    # idempotent: unifying the union with the same batch changes nothing
+    again = _unified_schema_json(got, _Fake())
+    assert again == got
+    # no stored schema: the batch defines it (nullable-forced)
+    fresh = _unified_schema_json(None, _Fake())
+    assert [f["name"] for f in fresh["fields"]] == batch_names
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=64),
+    st.integers(1, 32),
+    st.integers(1, 32),
+)
+def test_stub_resizer_contract(payload, width, height):
+    """The stub resizer's executable spec: exactly width*height bytes,
+    deterministic, and a pure function of (payload, dims)."""
+    from bambooai_spark.operators.multimodal import _stub_resizer
+
+    out, w, h = _stub_resizer(payload, width, height)
+    assert (w, h) == (width, height)
+    assert len(out) == width * height
+    assert _stub_resizer(payload, width, height)[0] == out
+    if payload:
+        # tiling: the output is a prefix of payload repeated
+        reps = -(-(width * height) // len(payload))
+        assert out == (payload * reps)[: width * height]
