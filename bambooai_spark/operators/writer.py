@@ -1754,6 +1754,20 @@ def _apply_staged_delete(
     return _manifest_df(spark, rows, partition_by, token_col, None)
 
 
+def _iter_commit_markers(spark: SparkSession, path: str):
+    """Yield ``(batch_id, FileStatus)`` for every commit marker under
+    ``_commits`` — the ONE copy of the naming-scheme loop (history,
+    pruning, and the snapshot read all walk the same directory)."""
+    croot = _join(path, COMMITS_DIR)
+    fs, cpath = _fs(spark, croot)
+    if not fs.exists(cpath):
+        return
+    for st in fs.listStatus(cpath):
+        name = st.getPath().getName()
+        if name.startswith("batch-") and name.endswith(".json"):
+            yield name[len("batch-"):-len(".json")], st
+
+
 def _prune_commit_markers(spark: SparkSession, path: str) -> list[str]:
     """Delete ``_commits`` markers that can no longer matter to a replay
     (ADVICE r7: a long-lived streaming corpus otherwise accumulates one
@@ -1778,23 +1792,15 @@ def _prune_commit_markers(spark: SparkSession, path: str) -> list[str]:
         )
     except ValueError:
         return []  # torn manifest mid-overwrite — prune nothing
-    commits_root = _join(path, COMMITS_DIR)
-    fs, croot = _fs(spark, commits_root)
-    if not fs.exists(croot):
-        return []
-    jvm = spark._jvm
+    fs, _root = _fs(spark, path)
     pruned: list[str] = []
-    for st in fs.listStatus(croot):
-        name = st.getPath().getName()
-        if not (name.startswith("batch-") and name.endswith(".json")):
-            continue
-        bid = name[len("batch-"):-len(".json")]
+    for bid, st in _iter_commit_markers(spark, path):
         if bid in committed:
             continue  # inside the replay window
         if _fs_exists(spark, _join(path, f"{STAGING_DIR}/batch_id={bid}")):
             continue  # fold may not have landed — recover_staging's job
-        fs.delete(jvm.org.apache.hadoop.fs.Path(_join(commits_root, name)), False)
-        pruned.append(name)
+        fs.delete(st.getPath(), False)
+        pruned.append(st.getPath().getName())
     return pruned
 
 
@@ -1987,14 +1993,9 @@ def read_corpus(
         )
 
     # snapshot point: the committed markers BEFORE listing any data file
-    committed_at_start: set[str] = set()
-    croot = _join(path, COMMITS_DIR)
-    fs, cjpath = _fs(spark, croot)
-    if fs.exists(cjpath):
-        for st in fs.listStatus(cjpath):
-            nm = st.getPath().getName()
-            if nm.startswith("batch-") and nm.endswith(".json"):
-                committed_at_start.add(nm[len("batch-"):-len(".json")])
+    committed_at_start = {
+        bid for bid, _st in _iter_commit_markers(spark, path)
+    }
 
     keep: list[str] = []
     decided: dict[str, bool] = {}
@@ -2080,39 +2081,39 @@ def corpus_history(spark: SparkSession, path: str) -> DataFrame:
 
     rows: list[dict] = []
     seen: set[str] = set()
-    croot = _join(path, COMMITS_DIR)
-    fs, cpath = _fs(spark, croot)
-    if fs.exists(cpath):
-        for st in fs.listStatus(cpath):
-            name = st.getPath().getName()
-            if not (name.startswith("batch-") and name.endswith(".json")):
-                continue
-            bid = name[len("batch-"):-len(".json")]
-            try:
-                info = json.loads(_fs_read_text(spark, _join(croot, name)))
-            except ValueError:
-                continue  # torn marker mid-write — skip, not fail
-            delta = info.get("delta") or []
-            rows.append(
-                {
-                    "batch_id": bid,
-                    "kind": "append",
-                    "n_rows": sum(int(d.get("n_rows") or 0) for d in delta),
-                    "n_files": (
-                        sum(int(d["n_files"]) for d in delta)
-                        if delta and all(d.get("n_files") is not None for d in delta)
-                        else None
-                    ),
-                    "n_bytes": (
-                        sum(int(d["n_bytes"]) for d in delta)
-                        if delta and all(d.get("n_bytes") is not None for d in delta)
-                        else None
-                    ),
-                    "n_partitions": len(delta),
-                    "committed_at_ms": int(st.getModificationTime()),
-                }
+    for bid, st in _iter_commit_markers(spark, path):
+        try:
+            info = json.loads(
+                _fs_read_text(spark, _join(path, f"{COMMITS_DIR}/batch-{bid}.json"))
             )
-            seen.add(bid)
+        except Exception:  # noqa: BLE001 — a concurrent prune can delete
+            # the marker between the listing and this read (FileNotFound
+            # via Py4J); a read-only monitoring call degrades to the
+            # window-only row below instead of failing
+            continue
+        delta = info.get("delta") or []
+        rows.append(
+            {
+                "batch_id": bid,
+                "kind": "append",
+                "n_rows": sum(int(d.get("n_rows") or 0) for d in delta),
+                # an EMPTY committed batch has known totals (0), not
+                # unknown ones — only missing per-partition counts null
+                "n_files": (
+                    sum(int(d["n_files"]) for d in delta)
+                    if all(d.get("n_files") is not None for d in delta)
+                    else None
+                ),
+                "n_bytes": (
+                    sum(int(d["n_bytes"]) for d in delta)
+                    if all(d.get("n_bytes") is not None for d in delta)
+                    else None
+                ),
+                "n_partitions": len(delta),
+                "committed_at_ms": int(st.getModificationTime()),
+            }
+        )
+        seen.add(bid)
     for bid in window:
         if bid in seen:
             continue
@@ -2148,11 +2149,15 @@ def corpus_history(spark: SparkSession, path: str) -> DataFrame:
             r["n_files"],
             r["n_bytes"],
             r["n_partitions"],
+            # AWARE datetime: createDataFrame routes it through
+            # calendar.timegm (exact instant); a naive one would go
+            # through time.mktime in the driver's OS timezone and store
+            # the wrong instant on any non-UTC machine
             None
             if r["committed_at_ms"] is None
             else _dt.datetime.fromtimestamp(
                 r["committed_at_ms"] / 1000.0, tz=_dt.timezone.utc
-            ).replace(tzinfo=None),
+            ),
             None if floor is None else int(floor),
         )
         for r in rows

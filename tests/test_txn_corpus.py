@@ -1365,6 +1365,7 @@ def test_corpus_history(spark, tmp_path):
     out = str(tmp_path / "corpus")
     append_corpus_txn(_docs(spark, 0, 20), out, 0)
     append_corpus_txn(_docs(spark, 20, 30), out, 1)
+    append_corpus_txn(_docs(spark, 0, 5), out, 2)  # all dups → empty batch
 
     h = {r["batch_id"]: r.asDict() for r in corpus_history(spark, out).collect()}
     assert h["0"]["kind"] == "append" and h["0"]["n_rows"] == 20
@@ -1372,6 +1373,9 @@ def test_corpus_history(spark, tmp_path):
     assert h["0"]["n_files"] is not None and h["0"]["n_bytes"] > 0
     assert h["0"]["n_partitions"] == 2  # en/de
     assert h["0"]["committed_at"] is not None
+    # an EMPTY committed batch reports known zeros, not unknown NULLs
+    assert h["2"]["n_rows"] == 0 and h["2"]["n_files"] == 0
+    assert h["2"]["n_bytes"] == 0 and h["2"]["n_partitions"] == 0
 
     delete_from_corpus(spark, out, F.col("doc_id") == 5)
     h2 = {r["batch_id"]: r.asDict() for r in corpus_history(spark, out).collect()}
