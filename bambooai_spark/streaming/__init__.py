@@ -13,6 +13,7 @@ from bambooai_spark.streaming.events import (
     stream_sliding_events,
     stream_session_windows,
     stream_dedup_events,
+    stream_enrich,
     stream_interval_join,
     stream_running_totals,
 )
@@ -27,6 +28,7 @@ __all__ = [
     "stream_ingest_documents",
     "stream_session_windows",
     "stream_dedup_events",
+    "stream_enrich",
     "stream_interval_join",
     "stream_running_totals",
     "stream_upsert",

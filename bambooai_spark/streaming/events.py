@@ -174,6 +174,25 @@ def stream_interval_join(
     ).drop("bin")
 
 
+def stream_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str,
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment — the remaining join shape in the matrix
+    (tumbling/sliding/session aggs, watermark dedup, stream-STREAM
+    interval join, and now stream-STATIC): every micro-batch equi-joins
+    the static dimension, which Spark plans per batch like any batch join
+    — a small dim broadcasts, so NO streaming state is kept for the join
+    at all (the stateless shape; unmatched stream rows pass through with
+    NULLs under the default left join, the lossless choice for an
+    enrichment). The dim is re-read per micro-batch, so a catalog-backed
+    dim picks up slowly-changing updates between batches for free."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def run_to_memory(
     df: DataFrame,
     query_name: str,

@@ -359,3 +359,32 @@ def test_continuous_trigger_returns_live_query_handles(spark, tmp_path):
         assert hasattr(q2, "isActive") and q2.isActive
     finally:
         q2.stop()
+
+
+def test_stream_enrich_matches_batch(spark):
+    """Stream-static enrichment: the drained stream-side join equals the
+    batch join exactly, including unmatched-row passthrough (left)."""
+    from bambooai_spark.streaming.events import stream_enrich
+
+    batch = load_table(spark, SF_DIR, "events")
+    dim = (
+        batch.select("event_type").distinct()
+        .filter(F.col("event_type") != "view")  # leave some rows unmatched
+        .withColumn("type_label", F.upper("event_type"))
+    )
+    sdf = read_events_stream(spark, SF_DIR)
+    got = _drain(
+        spark,
+        stream_enrich(sdf, dim, "event_type").select(
+            "event_id", "type_label"
+        ),
+        "enrich_mem",
+        "append",
+    )
+    want = batch.join(F.broadcast(dim), "event_type", "left").select(
+        "event_id", "type_label"
+    )
+    g = {(r.event_id, r.type_label) for r in got.collect()}
+    w = {(r.event_id, r.type_label) for r in want.collect()}
+    assert g == w and len(g) > 0
+    assert any(lbl is None for _, lbl in g)  # unmatched rows passed through
