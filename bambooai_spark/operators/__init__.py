@@ -31,6 +31,7 @@ from bambooai_spark.operators.writer import (
     delete_from_corpus,
     read_corpus,
     recover_staging,
+    validate_corpus,
     write_corpus,
 )
 
@@ -54,4 +55,5 @@ __all__ = [
     "export_jsonl_shards",
     "read_corpus",
     "recover_staging",
+    "validate_corpus",
 ]

@@ -2165,3 +2165,168 @@ def corpus_history(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(out, schema).orderBy(
         F.col("committed_at").desc_nulls_last(), "batch_id"
     )
+
+
+def validate_corpus(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_by: tuple[str, ...] = ("lang",),
+    token_col: str | None = None,
+    text_col: str = "text",
+    deep: bool = False,
+) -> DataFrame:
+    """Consistency audit of a corpus — the fsck for this module's
+    protocol. Returns one row per check: (check, ok, detail). Metadata
+    checks are O(bookkeeping); ``deep=True`` adds the two full-scan
+    checks (manifest row counts vs the from-files rebuild; ledger
+    completeness vs the stored texts' fingerprints).
+
+    Checks:
+    - ``manifest``          — present and parseable.
+    - ``frozen_compaction`` / ``frozen_delete`` — a crashed maintenance
+      op left the corpus mid-swap (re-run the op or recover_staging).
+    - ``frozen_appends``    — staged-but-uncommitted txn batches (their
+      query must be restarted, or recover_staging resumes them).
+    - ``swap_leftovers``    — hidden ``_swap-*`` files outside any frozen
+      op: should never survive a completed swap.
+    - ``orphan_markers``    — commit markers outside the replay window
+      with no staging (prunable bookkeeping; compact_corpus prunes them).
+    - ``manifest_rows``     (deep) — per-partition rows in the manifest
+      == the exact from-files rebuild.
+    - ``ledger``            (deep) — the fingerprint ledger contains
+      EXACTLY the stored texts' fingerprints (a subset breaks dedup — a
+      re-append of a stored doc would duplicate; a superset silently
+      blocks legitimate appends).
+    """
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    from bambooai_spark.functions.text import fingerprint  # noqa: PLC0415
+
+    rows: list[tuple[str, bool, str]] = []
+    doc = _load_manifest_doc(spark, path)
+    mpath = _join(path, MANIFEST_NAME)
+    if doc is None:
+        rows.append(
+            (
+                "manifest",
+                False,
+                "missing" if not _fs_exists(spark, mpath) else "torn/unparseable",
+            )
+        )
+    else:
+        rows.append(("manifest", True, f"{len(doc.get('partitions') or [])} partitions"))
+
+    for flag, name, op in (
+        (f"{COMPACT_TMP}/{STAGED_MARKER}", "frozen_compaction", "compact_corpus"),
+        (f"{DELETE_TMP}/{STAGED_MARKER}", "frozen_delete", "delete_from_corpus"),
+    ):
+        frozen = _fs_exists(spark, _join(path, flag))
+        rows.append(
+            (name, not frozen, f"mid-swap; re-run {op}" if frozen else "none")
+        )
+
+    staged = _frozen_staged_batches(spark, path)
+    rows.append(
+        (
+            "frozen_appends",
+            not staged,
+            f"{len(staged)} uncommitted: {staged[:3]}" if staged else "none",
+        )
+    )
+
+    hidden = list(_walk_files(spark, path, want_hidden_prefix="_swap-"))
+    hidden += list(
+        _walk_files(spark, _join(path, LEDGER_DIR), want_hidden_prefix="_swap-")
+    ) if _fs_exists(spark, _join(path, LEDGER_DIR)) else []
+    any_frozen = any(not ok for c, ok, _d in rows if c.startswith("frozen"))
+    rows.append(
+        (
+            "swap_leftovers",
+            not hidden or any_frozen,  # expected only mid-freeze
+            f"{len(hidden)} hidden swap files" if hidden else "none",
+        )
+    )
+
+    window = set((doc or {}).get("committed_batches") or [])
+    orphans = [
+        bid
+        for bid, _st in _iter_commit_markers(spark, path)
+        if bid not in window
+        and not _fs_exists(spark, _join(path, f"{STAGING_DIR}/batch_id={bid}"))
+    ]
+    rows.append(
+        (
+            "orphan_markers",
+            True,  # informational: they are safe, just prunable
+            f"{len(orphans)} prunable (compact_corpus prunes)" if orphans else "none",
+        )
+    )
+
+    if deep:
+        stored = _stored_schema(spark, path)
+        try:
+            back = (
+                spark.read.schema(stored).parquet(path)
+                if stored is not None
+                else spark.read.option("mergeSchema", "true").parquet(path)
+            )
+        except AnalysisException:
+            back = None
+        want = {
+            tuple(str(p[c]) if p.get(c) is not None else None for c in partition_by):
+            int(p.get("n_rows") or 0)
+            for p in (doc or {}).get("partitions", [])
+        }
+        got: dict = {}
+        if back is not None:
+            got = {
+                tuple(
+                    str(r[c]) if r[c] is not None else None for c in partition_by
+                ): r["n"]
+                for r in back.groupBy(*partition_by)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        diff = {
+            k: (want.get(k, 0), got.get(k, 0))
+            for k in set(want) | set(got)
+            if want.get(k, 0) != got.get(k, 0)
+        }
+        rows.append(
+            (
+                "manifest_rows",
+                not diff,
+                f"{len(diff)} partitions differ: {dict(list(diff.items())[:3])}"
+                if diff
+                else f"{len(got)} partitions exact",
+            )
+        )
+
+        lpath = _join(path, LEDGER_DIR)
+        if back is None or not _fs_exists(spark, lpath):
+            rows.append(("ledger", back is None, "no data or no ledger"))
+        else:
+            try:
+                ledger = spark.read.parquet(lpath).select("fp").distinct()
+                fps = back.select(
+                    fingerprint(text_col, normalize=True).alias("fp")
+                ).distinct()
+                missing = fps.join(ledger, "fp", "left_anti").count()
+                extra = ledger.join(fps, "fp", "left_anti").count()
+                rows.append(
+                    (
+                        "ledger",
+                        missing == 0 and extra == 0,
+                        f"missing={missing} (dup risk) extra={extra} "
+                        "(blocked re-appends)"
+                        if missing or extra
+                        else "exact",
+                    )
+                )
+            except AnalysisException:
+                rows.append(("ledger", False, f"unreadable or no {text_col}"))
+
+    return spark.createDataFrame(
+        rows, "check string, ok boolean, detail string"
+    )

@@ -1399,3 +1399,56 @@ def test_corpus_history(spark, tmp_path):
             r["batch_id"],
         ),
     )
+
+
+def test_validate_corpus(spark, tmp_path, monkeypatch):
+    """The fsck: all-green on a healthy corpus (deep included), red rows
+    for a frozen append and a broken ledger, informational orphans."""
+    from bambooai_spark.operators.writer import validate_corpus
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20), out, 0)
+    append_corpus_txn(_docs(spark, 20, 30), out, 1)
+
+    v = {r["check"]: r.asDict() for r in validate_corpus(spark, out, deep=True).collect()}
+    assert all(r["ok"] for r in v.values()), v
+    assert "exact" in v["ledger"]["detail"]
+    assert "manifest_rows" in v and v["manifest_rows"]["ok"]
+
+    # freeze a batch mid-commit → frozen_appends goes red
+    orig = writer._move_staged_files
+
+    def crash(sp, src_root, dest_root, batch_id, **kw):
+        if src_root.endswith("/ledger"):
+            raise RuntimeError("injected")
+        return orig(sp, src_root, dest_root, batch_id, **kw)
+
+    monkeypatch.setattr(writer, "_move_staged_files", crash)
+    with pytest.raises(RuntimeError, match="injected"):
+        append_corpus_txn(_docs(spark, 30, 40), out, 2)
+    monkeypatch.setattr(writer, "_move_staged_files", orig)
+
+    v2 = {r["check"]: r.asDict() for r in validate_corpus(spark, out).collect()}
+    assert not v2["frozen_appends"]["ok"]
+    assert "batch_id=2" in v2["frozen_appends"]["detail"]
+
+    # recover, then break the ledger (drop a file) → deep check goes red
+    from bambooai_spark.operators.writer import recover_staging
+
+    recover_staging(spark, out)
+    v3 = {r["check"]: r.asDict() for r in validate_corpus(spark, out, deep=True).collect()}
+    assert all(r["ok"] for r in v3.values()), v3
+
+    import glob as _glob
+
+    ledger_files = _glob.glob(os.path.join(out, "_fingerprints", "*.parquet"))
+    os.remove(ledger_files[0])
+    crc = os.path.join(
+        os.path.dirname(ledger_files[0]),
+        f".{os.path.basename(ledger_files[0])}.crc",
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+    v4 = {r["check"]: r.asDict() for r in validate_corpus(spark, out, deep=True).collect()}
+    assert not v4["ledger"]["ok"]
+    assert "missing=" in v4["ledger"]["detail"]
