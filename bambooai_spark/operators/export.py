@@ -116,35 +116,41 @@ def _build_manifest(
     seed: str,
     compression: str | None,
 ) -> dict:
-    """List the written shard files — O(n_shards) driver work, no data
-    reads. Line counts come from one distributed pass over the shard
-    dirs (``spark.read.text``), never ``collect`` of row data."""
+    """ONE recursive listing (a single streaming RPC on HDFS/S3A — never
+    one round-trip per shard, which is 10k RPCs at production shard
+    counts), no data reads. Line counts come from one distributed pass
+    over the shard files (``spark.read.text``), never ``collect`` of row
+    data."""
     jvm_fs, root = _fs(spark, out_path)
-    # NULL ids have no md5 key and no shard — partitionBy banishes those
-    # rows to Hive's default-partition dir, OUTSIDE every manifest entry.
-    # Fail loudly instead of publishing a manifest that silently omits
-    # them (zero extra scan: one exists-check).
-    null_dir = root.suffix("/shard=__HIVE_DEFAULT_PARTITION__")
-    if jvm_fs.exists(null_dir):
-        raise ValueError(
-            "export input has rows with a NULL id: they carry no shard "
-            f"and landed in {null_dir}; drop or key them and re-export"
-        )
+    found: dict[int, list] = {}
+    it = jvm_fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        if p.getName().startswith(("_", ".")):
+            continue
+        parent = p.getParent().getName()
+        if parent == "shard=__HIVE_DEFAULT_PARTITION__":
+            # NULL ids have no md5 key and no shard — partitionBy banishes
+            # those rows here, OUTSIDE every manifest entry. Fail loudly
+            # instead of publishing a manifest that silently omits them.
+            raise ValueError(
+                "export input has rows with a NULL id: they carry no "
+                f"shard and landed under {parent}; drop or key them and "
+                "re-export"
+            )
+        if parent.startswith("shard="):
+            found.setdefault(int(parent.split("=", 1)[1]), []).append(st)
     shards = []
     for i in range(n_shards):
-        sdir = root.suffix(f"/shard={i}")
-        if not jvm_fs.exists(sdir):
+        data = found.get(i, [])
+        if not data:
             # a shard with zero rows writes no directory — record it
             # explicitly so readers don't misread absence as corruption
             shards.append(
                 {"shard": i, "file": None, "rows": 0, "bytes": 0}
             )
             continue
-        data = [
-            st
-            for st in jvm_fs.listStatus(sdir)
-            if not st.getPath().getName().startswith(("_", "."))
-        ]
         if len(data) != 1:
             raise RuntimeError(
                 f"shard={i} has {len(data)} data files; the hash "
@@ -172,12 +178,13 @@ def _build_manifest(
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        # input_file_name returns fully-qualified URIs; key once by the
+        # unambiguous "shard=<i>/<name>" suffix (O(files), not O(files^2))
+        by_suffix = {
+            "/".join(f.rsplit("/", 2)[-2:]): n for f, n in counts.items()
+        }
         for s in present:
-            # input_file_name returns a fully-qualified URI; match by the
-            # unambiguous shard suffix
-            s["rows"] = next(
-                (n for f, n in counts.items() if f.endswith(s["file"])), 0
-            )
+            s["rows"] = by_suffix.get(s["file"], 0)
     return {
         "format": "jsonl",
         "n_shards": n_shards,
