@@ -725,3 +725,23 @@ def test_window_offsets_single_user_shuffle(spark):
     for frag in plan.split("Window ")[1:]:
         head = frag.split("\n", 1)[0]
         assert "user_id" in head, head
+
+
+def test_read_corpus_schema_keeps_pruning_and_pushdown(spark, tmp_path):
+    """read_corpus pins the manifest's recorded schema (evolution
+    correctness) — that explicit schema must not cost the scan its
+    column pruning or filter pushdown."""
+    from bambooai_spark.operators.writer import append_corpus, read_corpus
+    from bambooai_spark.plans import assert_pruned_scan, assert_pushed_filters
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "corpus")
+    append_corpus(docs, out)
+    df = (
+        read_corpus(spark, out)
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "lang")
+    )
+    # 4 data columns stored (lang is the partition dir); only doc_id read
+    assert_pruned_scan(df, table_cols=4, max_read_cols=1)
+    assert_pushed_filters(df, "doc_id")
