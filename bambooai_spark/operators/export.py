@@ -122,12 +122,17 @@ def _build_manifest(
     over the shard files (``spark.read.text``), never ``collect`` of row
     data."""
     jvm_fs, root = _fs(spark, out_path)
+    # qualify to match listFiles' fully-qualified status paths
+    root_uri = jvm_fs.makeQualified(root).toString().rstrip("/")
     found: dict[int, list] = {}
     it = jvm_fs.listFiles(root, True)
     while it.hasNext():
         st = it.next()
         p = st.getPath()
-        if p.getName().startswith(("_", ".")):
+        # skip files under ANY hidden ancestor (committer _temporary
+        # trees nest real-looking shard dirs), not just hidden basenames
+        rel = p.toString()[len(root_uri):].lstrip("/")
+        if any(part.startswith(("_", ".")) for part in rel.split("/")):
             continue
         parent = p.getParent().getName()
         if parent == "shard=__HIVE_DEFAULT_PARTITION__":

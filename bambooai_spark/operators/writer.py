@@ -2177,10 +2177,14 @@ def validate_corpus(
     deep: bool = False,
 ) -> DataFrame:
     """Consistency audit of a corpus — the fsck for this module's
-    protocol. Returns one row per check: (check, ok, detail). Metadata
-    checks are O(bookkeeping); ``deep=True`` adds the two full-scan
-    checks (manifest row counts vs the from-files rebuild; ledger
-    completeness vs the stored texts' fingerprints).
+    protocol. Returns one row per check: (check, ok, detail). The
+    default checks are O(bookkeeping) — manifest + flags + staging +
+    marker listings, never a data-tree walk; ``deep=True`` adds the
+    full-corpus checks.
+
+    ``partition_by``/``token_col`` are FALLBACKS for a legacy/torn
+    manifest — a parseable manifest's own recorded ``partition_by`` (and
+    the presence of per-partition ``n_tokens``) is authoritative.
 
     Checks:
     - ``manifest``          — present and parseable.
@@ -2188,16 +2192,22 @@ def validate_corpus(
       op left the corpus mid-swap (re-run the op or recover_staging).
     - ``frozen_appends``    — staged-but-uncommitted txn batches (their
       query must be restarted, or recover_staging resumes them).
-    - ``swap_leftovers``    — hidden ``_swap-*`` files outside any frozen
-      op: should never survive a completed swap.
     - ``orphan_markers``    — commit markers outside the replay window
       with no staging (prunable bookkeeping; compact_corpus prunes them).
-    - ``manifest_rows``     (deep) — per-partition rows in the manifest
-      == the exact from-files rebuild.
+    - ``swap_leftovers``    (deep — it walks the data tree) — hidden
+      ``_swap-*`` files with NO frozen compaction/delete to account for
+      them: should never survive a completed swap. (A frozen txn APPEND
+      does not mask this — appends never create swap files.)
+    - ``manifest_rows``     (deep) — per-partition rows (and token sums,
+      when the manifest carries them or ``token_col`` is given) in the
+      manifest == a committed-snapshot recount (:func:`read_corpus`, so
+      a concurrent mid-commit append cannot turn the check red).
     - ``ledger``            (deep) — the fingerprint ledger contains
-      EXACTLY the stored texts' fingerprints (a subset breaks dedup — a
-      re-append of a stored doc would duplicate; a superset silently
-      blocks legitimate appends).
+      EXACTLY the stored texts' fingerprints (a missing fp risks
+      duplicates on re-append; an extra one silently blocks legitimate
+      appends). A corpus whose ledger is not yet seeded (no append has
+      run — the documented lazy state) is OK; a ledger with entries but
+      no data is red.
     """
     from pyspark.errors import AnalysisException  # noqa: PLC0415
 
@@ -2216,12 +2226,16 @@ def validate_corpus(
         )
     else:
         rows.append(("manifest", True, f"{len(doc.get('partitions') or [])} partitions"))
+        if doc.get("partition_by"):
+            partition_by = tuple(doc["partition_by"])
 
+    frozen_maintenance = False
     for flag, name, op in (
         (f"{COMPACT_TMP}/{STAGED_MARKER}", "frozen_compaction", "compact_corpus"),
         (f"{DELETE_TMP}/{STAGED_MARKER}", "frozen_delete", "delete_from_corpus"),
     ):
         frozen = _fs_exists(spark, _join(path, flag))
+        frozen_maintenance = frozen_maintenance or frozen
         rows.append(
             (name, not frozen, f"mid-swap; re-run {op}" if frozen else "none")
         )
@@ -2232,19 +2246,6 @@ def validate_corpus(
             "frozen_appends",
             not staged,
             f"{len(staged)} uncommitted: {staged[:3]}" if staged else "none",
-        )
-    )
-
-    hidden = list(_walk_files(spark, path, want_hidden_prefix="_swap-"))
-    hidden += list(
-        _walk_files(spark, _join(path, LEDGER_DIR), want_hidden_prefix="_swap-")
-    ) if _fs_exists(spark, _join(path, LEDGER_DIR)) else []
-    any_frozen = any(not ok for c, ok, _d in rows if c.startswith("frozen"))
-    rows.append(
-        (
-            "swap_leftovers",
-            not hidden or any_frozen,  # expected only mid-freeze
-            f"{len(hidden)} hidden swap files" if hidden else "none",
         )
     )
 
@@ -2264,54 +2265,121 @@ def validate_corpus(
     )
 
     if deep:
-        stored = _stored_schema(spark, path)
-        try:
-            back = (
-                spark.read.schema(stored).parquet(path)
-                if stored is not None
-                else spark.read.option("mergeSchema", "true").parquet(path)
+        hidden = list(_walk_files(spark, path, want_hidden_prefix="_swap-"))
+        hidden += list(
+            _walk_files(
+                spark, _join(path, LEDGER_DIR), want_hidden_prefix="_swap-"
             )
-        except AnalysisException:
+        )
+        rows.append(
+            (
+                "swap_leftovers",
+                not hidden or frozen_maintenance,  # expected only mid-freeze
+                f"{len(hidden)} hidden swap files" if hidden else "none",
+            )
+        )
+
+        try:
+            # committed-snapshot read: a concurrent mid-commit append's
+            # half-moved files must not turn the recount red
+            back = read_corpus(spark, path)
+        except (AnalysisException, RuntimeError, ValueError):
             back = None
-        want = {
-            tuple(str(p[c]) if p.get(c) is not None else None for c in partition_by):
-            int(p.get("n_rows") or 0)
+        has_tokens = token_col and back is not None and token_col in back.columns
+        manifest_has_tokens = any(
+            p.get("n_tokens") is not None
             for p in (doc or {}).get("partitions", [])
-        }
+        )
+        want = {}
+        want_tok = {}
+        for p in (doc or {}).get("partitions", []):
+            k = tuple(
+                str(p[c]) if p.get(c) is not None else None
+                for c in partition_by
+            )
+            want[k] = want.get(k, 0) + int(p.get("n_rows") or 0)
+            if p.get("n_tokens") is not None:
+                want_tok[k] = want_tok.get(k, 0) + int(p["n_tokens"])
         got: dict = {}
+        got_tok: dict = {}
         if back is not None:
-            got = {
-                tuple(
-                    str(r[c]) if r[c] is not None else None for c in partition_by
-                ): r["n"]
-                for r in back.groupBy(*partition_by)
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
+            aggs = [F.count(F.lit(1)).alias("n")]
+            if has_tokens:
+                aggs.append(F.sum(F.col(token_col)).cast("long").alias("t"))
+            for r in back.groupBy(*partition_by).agg(*aggs).collect():
+                k = tuple(
+                    str(r[c]) if r[c] is not None else None
+                    for c in partition_by
+                )
+                got[k] = r["n"]
+                if has_tokens:
+                    got_tok[k] = r["t"]
         diff = {
             k: (want.get(k, 0), got.get(k, 0))
             for k in set(want) | set(got)
             if want.get(k, 0) != got.get(k, 0)
         }
-        rows.append(
-            (
-                "manifest_rows",
-                not diff,
-                f"{len(diff)} partitions differ: {dict(list(diff.items())[:3])}"
-                if diff
-                else f"{len(got)} partitions exact",
-            )
+        detail = (
+            f"{len(diff)} partitions differ: {dict(list(diff.items())[:3])}"
+            if diff
+            else f"{len(got)} partitions exact"
         )
+        ok = not diff
+        if has_tokens and manifest_has_tokens:
+            tdiff = {
+                k: (want_tok.get(k, 0), got_tok.get(k, 0))
+                for k in set(want_tok) | set(got_tok)
+                if want_tok.get(k, 0) != got_tok.get(k, 0)
+            }
+            if tdiff:
+                ok = False
+                detail += f"; token sums differ in {len(tdiff)}"
+            else:
+                detail += "; token sums exact"
+        rows.append(("manifest_rows", ok, detail))
 
         lpath = _join(path, LEDGER_DIR)
-        if back is None or not _fs_exists(spark, lpath):
-            rows.append(("ledger", back is None, "no data or no ledger"))
+        ledger_exists = _fs_exists(spark, lpath)
+        if back is not None and not ledger_exists:
+            # lazy seeding: the first append creates the ledger — a
+            # pre-ledger corpus is the documented healthy state
+            rows.append(
+                ("ledger", True, "not yet seeded (first append seeds)")
+            )
+        elif back is None:
+            n_stale = 0
+            if ledger_exists:
+                try:
+                    n_stale = spark.read.parquet(lpath).count()
+                except AnalysisException:
+                    n_stale = 0
+            rows.append(
+                (
+                    "ledger",
+                    n_stale == 0,
+                    f"{n_stale} fps with no data (blocked re-appends)"
+                    if n_stale
+                    else "no data, no ledger entries",
+                )
+            )
         else:
             try:
-                ledger = spark.read.parquet(lpath).select("fp").distinct()
-                fps = back.select(
-                    fingerprint(text_col, normalize=True).alias("fp")
-                ).distinct()
+                # NULL fingerprints (NULL text) never match an anti-join
+                # key — exclude them on BOTH sides or they read as
+                # forever-missing on a healthy corpus
+                ledger = (
+                    spark.read.parquet(lpath)
+                    .select("fp")
+                    .filter(F.col("fp").isNotNull())
+                    .distinct()
+                )
+                fps = (
+                    back.select(
+                        fingerprint(text_col, normalize=True).alias("fp")
+                    )
+                    .filter(F.col("fp").isNotNull())
+                    .distinct()
+                )
                 missing = fps.join(ledger, "fp", "left_anti").count()
                 extra = ledger.join(fps, "fp", "left_anti").count()
                 rows.append(

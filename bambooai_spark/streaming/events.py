@@ -180,17 +180,23 @@ def stream_enrich(
     on: str,
     *,
     how: str = "left",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Stream-static enrichment — the remaining join shape in the matrix
     (tumbling/sliding/session aggs, watermark dedup, stream-STREAM
     interval join, and now stream-STATIC): every micro-batch equi-joins
     the static dimension, which Spark plans per batch like any batch join
-    — a small dim broadcasts, so NO streaming state is kept for the join
-    at all (the stateless shape; unmatched stream rows pass through with
-    NULLs under the default left join, the lossless choice for an
-    enrichment). The dim is re-read per micro-batch, so a catalog-backed
-    dim picks up slowly-changing updates between batches for free."""
-    return events.join(F.broadcast(dim), on, how)
+    — NO streaming state is kept for the join at all (the stateless
+    shape; unmatched stream rows pass through with NULLs under the
+    default left join, the lossless choice for an enrichment). The dim
+    is re-read per micro-batch, so a catalog-backed dim picks up
+    slowly-changing updates between batches for free.
+
+    ``broadcast=True`` (default) hints the dim to broadcast — right for
+    the common small-dimension case. Pass ``broadcast=False`` for a dim
+    too large to ship to every executor each micro-batch and let Spark's
+    size-based planning pick the join strategy."""
+    return events.join(F.broadcast(dim) if broadcast else dim, on, how)
 
 
 def run_to_memory(

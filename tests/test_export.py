@@ -173,6 +173,21 @@ def test_single_exchange_plan(spark):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_hidden_ancestor_ignored(spark, tmp_path):
+    """Committer leftovers under a hidden dir (_temporary/.../shard=N/)
+    must not count toward shards — only basename-level hiding did."""
+    from bambooai_spark.operators.export import _build_manifest
+
+    out = str(tmp_path / "exp")
+    export_jsonl_shards(_docs(spark), out, "doc_id", n_shards=2)
+    ghost = os.path.join(out, "_temporary", "0", "shard=1")
+    os.makedirs(ghost)
+    with open(os.path.join(ghost, "part-ghost.json"), "w") as fh:
+        fh.write('{"doc_id": -1}\n')
+    m = _build_manifest(spark, out, 2, "", None)
+    assert m["total_rows"] == _docs(spark).count()  # ghost not counted
+
+
 def test_error_paths(spark, tmp_path):
     docs = _docs(spark)
     with pytest.raises(ValueError, match="n_shards"):

@@ -1431,6 +1431,28 @@ def test_validate_corpus(spark, tmp_path, monkeypatch):
     v2 = {r["check"]: r.asDict() for r in validate_corpus(spark, out).collect()}
     assert not v2["frozen_appends"]["ok"]
     assert "batch_id=2" in v2["frozen_appends"]["detail"]
+    assert "swap_leftovers" not in v2  # tree-walk check is deep-only
+
+    # the manifest's own partition_by is authoritative: the wrong caller
+    # default must not crash or mis-key the deep recount
+    v2b = {
+        r["check"]: r.asDict()
+        for r in validate_corpus(
+            spark, out, partition_by=("nonexistent",), deep=True
+        ).collect()
+    }
+    assert v2b["manifest_rows"]["ok"], v2b
+
+    # pre-ledger corpus (write_corpus only, lazy seeding) is healthy
+    out_pre = str(tmp_path / "pre")
+    from bambooai_spark.operators.writer import write_corpus
+
+    write_corpus(_docs(spark, 0, 10), out_pre)
+    vpre = {
+        r["check"]: r.asDict()
+        for r in validate_corpus(spark, out_pre, deep=True).collect()
+    }
+    assert vpre["ledger"]["ok"] and "not yet seeded" in vpre["ledger"]["detail"]
 
     # recover, then break the ledger (drop a file) → deep check goes red
     from bambooai_spark.operators.writer import recover_staging
