@@ -4267,6 +4267,32 @@ def delete_corpus_docs(spark, sf_dir):
 
 
 @spec(
+    "sketch_distinct_events",
+    None,  # approximate — DuckDB's HLL uses different parameters, so no
+    # hash-exact oracle exists; accuracy (≤5 % of exact), union==rebuild,
+    # and partitioning-insensitivity are pinned in tests/test_sketches.py
+    headline=True,
+    doc="Mergeable HLL distinct sketches (functions/sketches.py, Spark's "
+    "DataSketches aggregates): per-(day, event_type) sketch rollup, then "
+    "the per-type distinct answered by sketch UNION — the 100 TB "
+    "pattern where stored sketch bytes answer any coarser-grain "
+    "COUNT(DISTINCT) without re-scanning or re-shuffling raw keys, and "
+    "overlapping sets union correctly (a user active on many days "
+    "counts once — additive counts cannot do this). Deterministic for a "
+    "given input set (HLL registers are maxes), all JVM-side.",
+)
+def sketch_distinct_events(spark, sf_dir):
+    from bambooai_spark.functions.sketches import (
+        distinct_rollup,
+        rollup_distinct,
+    )
+
+    e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    stored = distinct_rollup(e, "user_id", ["day", "event_type"])
+    return rollup_distinct(stored, ["event_type"]).orderBy("event_type")
+
+
+@spec(
     "evolve_corpus_docs",
     r"""
     WITH fp AS (
