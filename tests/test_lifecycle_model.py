@@ -1,0 +1,156 @@
+"""Randomized lifecycle model test: a seeded random schedule of txn
+appends, deletes, and compactions — with crashes injected at random
+protocol points and then recovered — must leave the corpus equal to a
+pure-Python model (the dedup + delete semantics re-implemented on sets)
+and pass the deep fsck. The point-targeted crash-injection suites cover
+each protocol point once; this covers their INTERLEAVINGS."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from bambooai_spark.operators import writer
+from bambooai_spark.operators.writer import (
+    append_corpus_txn,
+    compact_corpus,
+    delete_from_corpus,
+    read_corpus,
+    recover_staging,
+    validate_corpus,
+)
+
+
+def _norm(text: str) -> str:
+    return " ".join(text.split()).strip().lower()
+
+
+class Model:
+    """Executable spec: dict fp -> (doc_id, lang, text) of live docs."""
+
+    def __init__(self):
+        self.live: dict[str, tuple] = {}
+
+    def append(self, rows):
+        batch: dict[str, tuple] = {}
+        for doc_id, lang, text in sorted(rows):
+            fp = _norm(text)
+            if fp not in batch:  # min-id representative within the batch
+                batch[fp] = (doc_id, lang, text)
+        for fp, row in batch.items():
+            if fp not in self.live:  # ledger anti-join across history
+                self.live[fp] = row
+
+    def delete(self, doc_ids):
+        self.live = {
+            fp: row for fp, row in self.live.items() if row[0] not in doc_ids
+        }
+        # fingerprints leave the ledger too → re-appendable (modeled by
+        # simply removing from live; append() re-admits)
+
+    def rows(self):
+        return {(r[0], r[1], _norm(r[2])) for r in self.live.values()}
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, lang, "web", text) for i, lang, text in rows],
+        "doc_id long, lang string, source string, text string",
+    )
+
+
+def _corpus_rows(spark, out):
+    return {
+        (r["doc_id"], r["lang"], _norm(r["text"]))
+        for r in read_corpus(spark, out)
+        .select("doc_id", "lang", "text")
+        .collect()
+    }
+
+
+@pytest.mark.parametrize("seed", [7, 23, 99])
+def test_random_schedule_with_crashes(spark, tmp_path, monkeypatch, seed):
+    rng = random.Random(seed)
+    out = str(tmp_path / f"corpus_{seed}")
+    model = Model()
+    next_id = 0
+    next_batch = 0
+    orig_move = writer._move_staged_files
+
+    def gen_rows(n):
+        nonlocal next_id
+        rows = []
+        for _ in range(n):
+            # ~25 % duplicate an existing text (exercises the ledger)
+            if model.live and rng.random() < 0.25:
+                dup = rng.choice(list(model.live.values()))[2]
+                rows.append((next_id, rng.choice(["en", "de"]), dup))
+            else:
+                rows.append(
+                    (
+                        next_id,
+                        rng.choice(["en", "de"]),
+                        f"lifecycle document {seed}-{next_id} "
+                        + "payload " * rng.randint(3, 8),
+                    )
+                )
+            next_id += 1
+        return rows
+
+    def with_maybe_crash(fn, *args, **kw):
+        """Run an op; ~50 % of the time crash it at a random staged-file
+        move, then recover and re-run."""
+        nonlocal_crash = rng.random() < 0.5
+        if not nonlocal_crash:
+            return fn(*args, **kw)
+        state = {"left": rng.randint(1, 2)}
+
+        def crashing_move(sp, src, dest, bid, **mkw):
+            state["left"] -= 1
+            if state["left"] == 0:
+                raise RuntimeError("injected lifecycle crash")
+            return orig_move(sp, src, dest, bid, **mkw)
+
+        monkeypatch.setattr(writer, "_move_staged_files", crashing_move)
+        try:
+            return fn(*args, **kw)  # may complete if few move calls
+        except RuntimeError:
+            pass
+        finally:
+            monkeypatch.setattr(writer, "_move_staged_files", orig_move)
+        recover_staging(spark, out)
+        return fn(*args, **kw)  # replay/rerun resumes idempotently
+
+    for _step in range(8):
+        op = rng.choice(["append", "append", "delete", "compact"])
+        if op == "append" or not model.live:
+            rows = gen_rows(rng.randint(3, 10))
+            bid = next_batch
+            next_batch += 1
+            with_maybe_crash(
+                append_corpus_txn, _mk_docs(spark, rows), out, bid
+            )
+            model.append(rows)
+        elif op == "delete":
+            victims = {
+                r[0]
+                for r in rng.sample(
+                    list(model.live.values()),
+                    k=min(2, len(model.live)),
+                )
+            }
+            pred = F.col("doc_id").isin(*victims)
+            with_maybe_crash(delete_from_corpus, spark, out, pred)
+            model.delete(victims)
+        else:
+            with_maybe_crash(compact_corpus, spark, out)
+
+    assert _corpus_rows(spark, out) == model.rows()
+    v = {
+        r["check"]: r.asDict()
+        for r in validate_corpus(spark, out, deep=True).collect()
+    }
+    bad = {k: r for k, r in v.items() if not r["ok"]}
+    assert not bad, bad
