@@ -4810,9 +4810,16 @@ _PROMOTE = [
     "top_parts_per_brand",
     "pivot_orders",
     "ntile_customers",
-    "sample_docs_det",
-    "domain_mix_docs",
-    "vocab_top_words",
+    # Round-8 continuation: the session's new lifecycle/sketch specs take
+    # the slots of sample_docs_det / domain_mix_docs / vocab_top_words
+    # (r6+r7 green each, freshest evidence in the window; the sampling
+    # family stays represented by mixture_sample_docs and the top-k
+    # family by top_parts_per_brand). evolve/export are hash-exact
+    # oracled (sf0.001+sf0.01 pre-validated); sketch_distinct is the
+    # suite's 7th rows-only spec (no cross-engine HLL oracle exists).
+    "evolve_corpus_docs",
+    "export_shards_docs",
+    "sketch_distinct_events",
     "simhash_md5_near_dup_docs",
     "knn_ivf_md5_embeddings",
     "embed_md5_docs",
