@@ -56,11 +56,11 @@ def distinct_rollup(
     """Per-grain sketch rollup: one row per grain with the sketch bytes
     (store these) and its estimate (serve this). ONE pass over the data,
     map-side partial sketches combine before the grain shuffle — the
-    write-time half of the pattern."""
+    write-time half of the pattern. The estimate derives from the stored
+    sketch post-aggregation (one sketch build per group, not two)."""
     return df.groupBy(*grain_cols).agg(
-        hll_sketch(value_col, lgk).alias(sketch_col),
-        hll_estimate(hll_sketch(value_col, lgk)).alias(estimate_col),
-    )
+        hll_sketch(value_col, lgk).alias(sketch_col)
+    ).withColumn(estimate_col, hll_estimate(sketch_col))
 
 
 def rollup_distinct(
