@@ -2,8 +2,10 @@
 COUNT(DISTINCT): pre-aggregate an HLL sketch per grain (day, partition,
 shard), store the sketch BYTES next to the rollup, and answer any
 coarser-grain distinct question by UNIONING sketches — no re-scan of the
-raw data, no shuffle of raw keys, bounded error (~1.6 % at the default
-lgConfigK=12, halving per +1 at 2x the bytes).
+raw data, no shuffle of raw keys, bounded error (~1.6 % relative
+standard error at the default lgConfigK=12; RSE scales as
+1/sqrt(registers), so each +1 lgk buys ~1.41x at 2x the bytes —
+halving the error costs +2).
 
 Built on Spark 4's Apache DataSketches functions (``hll_sketch_agg``,
 ``hll_union_agg``, ``hll_sketch_estimate`` — JVM-side aggregates, no
@@ -33,10 +35,17 @@ def hll_sketch(col: str | Column, lgk: int = DEFAULT_LGK) -> Column:
     return F.hll_sketch_agg(col_of(col), F.lit(lgk))
 
 
-def hll_merge(sketch_col: str | Column) -> Column:
+def hll_merge(
+    sketch_col: str | Column, *, allow_different_lgk: bool = False
+) -> Column:
     """Aggregate: union previously built sketches into one (re-aggregable
-    to any coarser grain)."""
-    return F.hll_union_agg(col_of(sketch_col), F.lit(True))
+    to any coarser grain). Mixed-precision unions ERROR by default —
+    a union silently downgrades to the LOWEST lgk involved, so a rollup
+    that mixes legacy lgk=12 sketches into an lgk=14 store would quietly
+    lose the precision the caller paid for; pass
+    ``allow_different_lgk=True`` only when that downgrade is intended
+    (e.g. migrating a rollup between precisions)."""
+    return F.hll_union_agg(col_of(sketch_col), F.lit(allow_different_lgk))
 
 
 def hll_estimate(sketch_col: str | Column) -> Column:

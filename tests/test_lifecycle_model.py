@@ -79,6 +79,12 @@ def test_random_schedule_with_crashes(spark, tmp_path, monkeypatch, seed):
     next_batch = 0
     orig_move = writer._move_staged_files
 
+    class InjectedCrash(RuntimeError):
+        """Sentinel: ONLY the injection raises this — a genuine writer
+        protocol RuntimeError (frozen-batch guards, rename failures)
+        must fail the test, not slip into the recover path."""
+
+
     def gen_rows(n):
         nonlocal next_id
         rows = []
@@ -110,13 +116,13 @@ def test_random_schedule_with_crashes(spark, tmp_path, monkeypatch, seed):
         def crashing_move(sp, src, dest, bid, **mkw):
             state["left"] -= 1
             if state["left"] == 0:
-                raise RuntimeError("injected lifecycle crash")
+                raise InjectedCrash("injected lifecycle crash")
             return orig_move(sp, src, dest, bid, **mkw)
 
         monkeypatch.setattr(writer, "_move_staged_files", crashing_move)
         try:
             return fn(*args, **kw)  # may complete if few move calls
-        except RuntimeError:
+        except InjectedCrash:
             pass
         finally:
             monkeypatch.setattr(writer, "_move_staged_files", orig_move)
