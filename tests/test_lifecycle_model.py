@@ -160,3 +160,127 @@ def test_random_schedule_with_crashes(spark, tmp_path, monkeypatch, seed):
     }
     bad = {k: r for k, r in v.items() if not r["ok"]}
     assert not bad, bad
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_random_schedule_with_evolution(spark, tmp_path, monkeypatch, seed):
+    """The evolution interleaving: mid-schedule the batches gain a
+    quality column (evolve_schema=True, possibly crashed mid-commit);
+    every later append carries it, deletes and clustered compactions run
+    over the mixed-schema corpus, and the final read — with history as
+    NULL quality — must equal the model."""
+    rng = random.Random(seed)
+    out = str(tmp_path / f"corpus_{seed}")
+    model: dict[str, tuple] = {}  # fp -> (doc_id, lang, text, quality)
+    next_id = 0
+    next_batch = 0
+    evolved = False
+    orig_move = writer._move_staged_files
+
+    class InjectedCrash(RuntimeError):
+        pass
+
+    def gen_rows(n, with_quality):
+        nonlocal next_id
+        rows = []
+        for _ in range(n):
+            if model and rng.random() < 0.25:
+                text = rng.choice(list(model.values()))[2]
+            else:
+                text = (
+                    f"evolving document {seed}-{next_id} "
+                    + "payload " * rng.randint(3, 8)
+                )
+            q = round(rng.random(), 3) if with_quality else None
+            rows.append((next_id, rng.choice(["en", "de"]), text, q))
+            next_id += 1
+        return rows
+
+    def model_append(rows):
+        batch: dict[str, tuple] = {}
+        for row in sorted(rows):
+            fp = _norm(row[2])
+            if fp not in batch:
+                batch[fp] = row
+        for fp, row in batch.items():
+            if fp not in model:
+                model[fp] = row
+
+    def mk(rows, with_quality):
+        if with_quality:
+            return spark.createDataFrame(
+                [(i, lang, "web", t, q) for i, lang, t, q in rows],
+                "doc_id long, lang string, source string, text string, "
+                "quality double",
+            )
+        return _mk_docs(spark, [(i, lang, t) for i, lang, t, _q in rows])
+
+    def with_maybe_crash(fn, *args, **kw):
+        if rng.random() < 0.4:
+            return fn(*args, **kw)
+        state = {"left": rng.randint(1, 2)}
+
+        def crashing_move(sp, src, dest, bid, **mkw):
+            state["left"] -= 1
+            if state["left"] == 0:
+                raise InjectedCrash("injected evolution crash")
+            return orig_move(sp, src, dest, bid, **mkw)
+
+        monkeypatch.setattr(writer, "_move_staged_files", crashing_move)
+        try:
+            return fn(*args, **kw)
+        except InjectedCrash:
+            pass
+        finally:
+            monkeypatch.setattr(writer, "_move_staged_files", orig_move)
+        recover_staging(spark, out)
+        return fn(*args, **kw)
+
+    for step in range(8):
+        op = rng.choice(["append", "append", "delete", "compact"])
+        if step == 3:
+            op = "append"  # force the evolution mid-schedule
+        if op == "append" or not model:
+            with_quality = evolved or step >= 3
+            rows = gen_rows(rng.randint(3, 8), with_quality)
+            bid = next_batch
+            next_batch += 1
+            with_maybe_crash(
+                append_corpus_txn,
+                mk(rows, with_quality),
+                out,
+                bid,
+                evolve_schema=with_quality and not evolved,
+            )
+            evolved = evolved or with_quality
+            model_append(rows)
+        elif op == "delete":
+            victims = {
+                r[0]
+                for r in rng.sample(list(model.values()), k=min(2, len(model)))
+            }
+            with_maybe_crash(
+                delete_from_corpus, spark, out, F.col("doc_id").isin(*victims)
+            )
+            model = {
+                fp: r for fp, r in model.items() if r[0] not in victims
+            }
+        else:
+            with_maybe_crash(
+                compact_corpus, spark, out, cluster_by=("doc_id",)
+            )
+
+    got = {
+        (r["doc_id"], r["lang"], _norm(r["text"]), r["quality"])
+        for r in read_corpus(spark, out)
+        .select("doc_id", "lang", "text", "quality")
+        .collect()
+    }
+    want = {(r[0], r[1], _norm(r[2]), r[3]) for r in model.values()}
+    assert got == want
+    v = {
+        r["check"]: r.asDict()
+        for r in validate_corpus(spark, out, deep=True).collect()
+    }
+    bad = {k: r for k, r in v.items() if not r["ok"]}
+    assert not bad, bad
