@@ -94,3 +94,33 @@ def test_merge_is_jvm_side(spark):
         .toString()
     )
     assert "EvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_streaming_sketch_matches_batch(spark):
+    """HLL sketches aggregate in Structured Streaming like any typed
+    agg — streaming distinct-count rollups match the batch estimates
+    exactly (same input set, same registers)."""
+    from bambooai_spark.streaming.events import read_events_stream
+
+    sdf = read_events_stream(spark, SF_DIR)
+    q = (
+        sdf.groupBy("event_type")
+        .agg(hll_estimate(hll_sketch("user_id")).alias("n"))
+        .writeStream.format("memory")
+        .queryName("sketch_mem")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_type"]: r["n"] for r in spark.table("sketch_mem").collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in _events(spark)
+        .groupBy("event_type")
+        .agg(hll_estimate(hll_sketch("user_id")).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
