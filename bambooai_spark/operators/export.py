@@ -52,6 +52,7 @@ def export_jsonl_shards(
     seed: str = "",
     compression: str | None = None,
     keep_pos: bool = False,
+    overwrite: bool = False,
 ) -> dict:
     """Write ``df`` as ``n_shards`` JSONL shard files under
     ``out_path/shard=<i>/`` in the deterministic md5 permutation, plus a
@@ -76,7 +77,11 @@ def export_jsonl_shards(
 
     The manifest is written AFTER the data (a reader that sees the
     manifest sees every shard it lists), with files in shard order — the
-    concatenation in manifest order IS the permutation.
+    concatenation in manifest order IS the permutation. A CRASHED export
+    therefore leaves no manifest and is invisible to manifest-trusting
+    readers; re-run it with ``overwrite=True`` to replace the partial
+    tree (the default ``False`` refuses to clobber an existing path, so
+    two exports can never interleave into one directory).
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
@@ -96,9 +101,13 @@ def export_jsonl_shards(
     if not keep_pos:
         out = out.drop("pos")  # projection preserves the sort order
     writer = (
-        out.write.mode("error")
+        out.write.mode("overwrite" if overwrite else "error")
         .partitionBy("shard")
         .option("ignoreNullFields", "false")
+        # static overwrite truncates the WHOLE path: a re-export with
+        # fewer shards must not leave stale shard dirs (or the previous
+        # manifest) behind, which session-level dynamic mode would
+        .option("partitionOverwriteMode", "static")
     )
     if compression:
         writer = writer.option("compression", compression)

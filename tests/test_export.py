@@ -203,3 +203,11 @@ def test_error_paths(spark, tmp_path):
     export_jsonl_shards(docs.limit(5), out, "doc_id", n_shards=1)
     with pytest.raises(Exception):
         export_jsonl_shards(docs.limit(5), out, "doc_id", n_shards=1)
+    # overwrite=True replaces the whole tree — a smaller re-export leaves
+    # no stale shard dirs from the larger one
+    export_jsonl_shards(docs.limit(20), out, "doc_id", n_shards=8,
+                        overwrite=True)
+    m = export_jsonl_shards(docs.limit(5), out, "doc_id", n_shards=1,
+                            overwrite=True)
+    assert m["total_rows"] == 5 and m["n_shards"] == 1
+    assert not glob.glob(os.path.join(out, "shard=[1-9]*"))
