@@ -4760,6 +4760,136 @@ def window_offsets_events(spark, sf_dir):
     )
 
 
+@spec(
+    "theta_overlap_docs",
+    """
+    WITH l AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 0),
+         r AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 3 = 0),
+         c AS (
+           SELECT (SELECT COUNT(*) FROM l) AS n_left,
+                  (SELECT COUNT(*) FROM r) AS n_right,
+                  (SELECT COUNT(*) FROM l JOIN r USING (doc_id)) AS n_both
+         )
+    SELECT n_left, n_right, n_both,
+           n_left + n_right - n_both AS n_either,
+           n_left - n_both AS n_left_only,
+           n_right - n_both AS n_right_only,
+           CASE WHEN n_left + n_right - n_both > 0 THEN
+             CAST(n_both AS DOUBLE) / (n_left + n_right - n_both)
+           END AS jaccard
+    FROM c
+    """,
+    headline=True,
+    doc="Theta-sketch set algebra (functions/sketches.py set_overlap): "
+    "the full Venn diagram — |A|, |B|, |A∩B|, |A∪B|, both differences, "
+    "Jaccard — between two document sets from ONE sketch per side, "
+    "never joining them. At 100 TB this is the corpus-overlap / "
+    "crawl-churn / contamination ESTIMATE that replaces a full distinct "
+    "join shuffle with a 1-row exchange of sketch bytes; each side "
+    "builds map-side partial sketches that combine to one. Theta "
+    "sketches are EXACT below 2^lgk retained entries — these "
+    "cardinalities sit in the exact regime at every test SF, so the "
+    "oracle can replay the counts with plain SQL set operations; at "
+    "production scale the same plan degrades gracefully to ~1/sqrt(2^"
+    "lgk) relative error. Unlike HLL, theta supports INTERSECTION and "
+    "DIFFERENCE from stored bytes (HLL registers can only union).",
+)
+def theta_overlap_docs(spark, sf_dir):
+    from bambooai_spark.functions.sketches import set_overlap  # noqa: PLC0415
+
+    d = _t(spark, sf_dir, "documents")
+    return set_overlap(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 3 == 0),
+        "doc_id",
+    )
+
+
+@spec(
+    "theta_audience_events",
+    """
+    WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+         c AS (SELECT event_type, COUNT(*) AS n FROM s GROUP BY event_type),
+         p AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+                  COUNT(*) AS n_both
+           FROM s a JOIN s b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY a.event_type, b.event_type
+         )
+    SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+           COALESCE(p.n_both, 0) AS n_both,
+           ca.n + cb.n - COALESCE(p.n_both, 0) AS n_either
+    FROM c ca
+    JOIN c cb ON ca.event_type < cb.event_type
+    LEFT JOIN p ON p.type_a = ca.event_type AND p.type_b = cb.event_type
+    ORDER BY type_a, type_b
+    """,
+    headline=True,
+    doc="Pairwise audience overlap from a STORED theta-sketch rollup: "
+    "one sketch of user_id per event_type (a 5-row store), then every "
+    "pair's |A∩B| and |A∪B| from pairwise sketch ops on the stored "
+    "bytes — the raw events are scanned ONCE regardless of how many "
+    "pairs are asked, where the exact formulation re-joins the "
+    "deduplicated (type, user) relation per question. The k^2 pair "
+    "join runs on k sketch rows (k = #types), never on raw data. Exact "
+    "regime at test SFs (cardinality < 2^lgk), estimation beyond — "
+    "the same stored rollup also answers any-union via theta_merge and "
+    "common-to-all via theta_intersect without re-reading events.",
+)
+def theta_audience_events(spark, sf_dir):
+    from bambooai_spark.functions.sketches import (  # noqa: PLC0415
+        theta_sketch,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(theta_sketch("user_id").alias("s"))
+    a, b = per.alias("a"), per.alias("b")
+    n_both = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("a.s"), F.col("b.s"))
+    )
+    n_either = F.theta_sketch_estimate(
+        F.theta_union(F.col("a.s"), F.col("b.s"))
+    )
+    return (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            n_both.alias("n_both"),
+            n_either.alias("n_either"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@spec(
+    "kll_quantiles_events",
+    None,  # approximate — KLL returns sampled retained values, not the
+    # exact percentile; accuracy (rank error ≤ 2 % at k=800), merge ==
+    # rebuild n, and the JVM-only plan are pinned in tests/test_sketches.py
+    headline=True,
+    doc="Mergeable KLL quantile sketches (functions/sketches.py, Spark's "
+    "DataSketches aggregates): per-(day, event_type) quantile_rollup "
+    "stores sketch bytes + exact n, then rollup_quantiles answers "
+    "p50/p95/p99 per event_type by sketch MERGE — the piece "
+    "approx_percentile cannot give at 100 TB because its intermediate "
+    "state is not storable: a stored KLL column serves percentiles at "
+    "any coarser grain later without re-scanning raw values. Normalized "
+    "rank error ~0.8 % at k=800; n is tracked losslessly so rollup row "
+    "counts come free.",
+)
+def kll_quantiles_events(spark, sf_dir):
+    from bambooai_spark.functions.sketches import (  # noqa: PLC0415
+        quantile_rollup,
+        rollup_quantiles,
+    )
+
+    e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    stored = quantile_rollup(e, "value", ["day", "event_type"])
+    return rollup_quantiles(stored, ["event_type"]).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------
 
 # The driver grades only the FIRST 50 registration-order specs. Source order
