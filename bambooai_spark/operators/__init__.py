@@ -22,6 +22,12 @@ from bambooai_spark.operators.similarity import (
     label_centroids,
 )
 from bambooai_spark.operators.export import export_jsonl_shards
+from bambooai_spark.operators.lease import (
+    CorpusLease,
+    CorpusLeaseHeld,
+    CorpusLeaseLost,
+    corpus_lease,
+)
 from bambooai_spark.operators.writer import (
     append_corpus,
     append_corpus_txn,
@@ -46,6 +52,10 @@ __all__ = [
     "knn_lsh",
     "label_centroids",
     "write_corpus",
+    "CorpusLease",
+    "CorpusLeaseHeld",
+    "CorpusLeaseLost",
+    "corpus_lease",
     "append_corpus",
     "append_corpus_txn",
     "build_manifest",

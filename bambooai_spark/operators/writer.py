@@ -191,6 +191,22 @@ def _join(path: str, name: str) -> str:
     return path.rstrip("/") + "/" + name
 
 
+def _lease_beat(lease) -> None:
+    """Refresh + verify an advisory writer lease (``operators/lease.py``)
+    at op entry, if the caller passed one. Duck-typed to avoid a circular
+    import (lease.py reuses this module's fs helpers)."""
+    if lease is not None:
+        lease.heartbeat()
+
+
+def _lease_ensure(lease) -> None:
+    """Assert the advisory lease is still held — called immediately
+    before a publish step so a holder that lost a TTL takeover fails
+    BEFORE making its work visible."""
+    if lease is not None:
+        lease.ensure()
+
+
 def _fs_write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     """Write-then-rename so the file's PRESENCE implies complete content —
     markers gate the commit protocol, so a torn marker must be impossible."""
@@ -570,6 +586,7 @@ def append_corpus(
     full_manifest: bool = False,
     batch_id: int | str | None = None,
     evolve_schema: bool = False,
+    lease=None,
 ) -> DataFrame:
     """Incremental corpus update — the batch twin of the streaming ingest:
     drop arriving documents whose exact fingerprint already exists in the
@@ -624,8 +641,10 @@ def append_corpus(
             max_records_per_file=max_records_per_file,
             token_col=token_col,
             evolve_schema=evolve_schema,
+            lease=lease,
         )
     spark = new_docs.sparkSession
+    _lease_beat(lease)
     # ONE manifest read feeds the schema computation and the drift guard
     doc = _load_manifest_doc(spark, path)
     # the unified schema is computed BEFORE the append writes: a batch
@@ -641,6 +660,7 @@ def append_corpus(
         # evolved files a later schema-pinned compaction would strip
         _record_schema(spark, path, schema_json)
 
+    _lease_ensure(lease)  # the plain append's data write IS its publish
     writer = batch.drop("_fp").write.mode("append")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
@@ -990,6 +1010,7 @@ def append_corpus_txn(
     max_records_per_file: int | None = 100_000,
     token_col: str | None = None,
     evolve_schema: bool = False,
+    lease=None,
 ) -> DataFrame:
     """Transactional corpus append — EXACTLY-ONCE under crash-replay, the
     streaming sink's commit protocol (closes the at-least-once window the
@@ -1022,7 +1043,10 @@ def append_corpus_txn(
     keeps replays exact). No snapshot isolation: a concurrent reader can see
     a partially moved batch — the guarantee is no duplicates and no loss,
     matching a plain-parquet corpus's contract. Single writer per corpus
-    path, as with the non-transactional append.
+    path, as with the non-transactional append; pass ``lease`` (an
+    acquired :class:`~bambooai_spark.operators.lease.CorpusLease`) to
+    enforce that contract advisorily — verified at entry and again
+    immediately before each publish step.
     """
     import re  # noqa: PLC0415
 
@@ -1038,6 +1062,7 @@ def append_corpus_txn(
             f"reserved as the committed-file separator): {batch_id!r}"
         )
     spark = new_docs.sparkSession
+    _lease_beat(lease)
     marker = _join(path, f"{COMMITS_DIR}/batch-{batch_id}.json")
     stage = _join(path, f"{STAGING_DIR}/batch_id={batch_id}")
     staged_flag = _join(stage, STAGED_MARKER)
@@ -1060,6 +1085,7 @@ def append_corpus_txn(
         # resume with the FROZEN files; never recompute (the staged ledger
         # rows may already be live and would anti-join the batch away)
         info = json.loads(_fs_read_text(spark, staged_flag))
+        _lease_ensure(lease)
         return _commit_staged(spark, path, stage, batch_id, info, new_docs)
 
     # fresh attempt (or crash before _STAGED): restage from scratch
@@ -1083,6 +1109,7 @@ def append_corpus_txn(
             "schema": schema_json,
             "delta": [],
         }
+        _lease_ensure(lease)
         _fs_write_text_atomic(spark, marker, json.dumps(info, default=str))
         rows = _merge_manifest_delta(
             spark, path, partition_by, [], token_col, batch_id=batch_id,
@@ -1121,6 +1148,7 @@ def append_corpus_txn(
         "delta": delta,
     }
     _fs_write_text_atomic(spark, staged_flag, json.dumps(info, default=str))
+    _lease_ensure(lease)
     return _commit_staged(spark, path, stage, batch_id, info, new_docs)
 
 
@@ -1177,6 +1205,7 @@ def compact_corpus(
     token_col: str | None = None,
     num_tasks: int | None = None,
     cluster_by: tuple[str, ...] = (),
+    lease=None,
 ) -> DataFrame:
     """Rewrite the corpus's accumulated small files (a streaming sink
     appends one file set per micro-batch — the classic small-files
@@ -1216,6 +1245,7 @@ def compact_corpus(
     """
     tmp = _join(path, COMPACT_TMP)
     staged_flag = _join(tmp, STAGED_MARKER)
+    _lease_beat(lease)
 
     # partition-value inference OFF for every read in here: the rewrite
     # must emit the directory values VERBATIM (inference would re-type
@@ -1241,7 +1271,7 @@ def compact_corpus(
             partition_by=partition_by,
             max_records_per_file=max_records_per_file,
             token_col=token_col, num_tasks=num_tasks,
-            cluster_by=cluster_by,
+            cluster_by=cluster_by, lease=lease,
         )
     finally:
         spark.conf.set(_INFER, prev_infer)
@@ -1258,6 +1288,7 @@ def _compact_corpus_inner(
     token_col: str | None,
     num_tasks: int | None,
     cluster_by: tuple[str, ...] = (),
+    lease=None,
 ) -> DataFrame:
     import uuid as _uuid  # noqa: PLC0415
 
@@ -1360,6 +1391,7 @@ def _compact_corpus_inner(
             "compact_id); inspect the _compact_tmp and _swap.* leftovers "
             "manually before re-running"
         )
+    _lease_ensure(lease)  # last check before the swap publishes
     targets = [(_join(tmp, "data"), path)]
     if info.get("ledger"):
         targets.append((_join(tmp, "ledger"), _join(path, LEDGER_DIR)))
@@ -1441,6 +1473,7 @@ def delete_from_corpus(
     partition_by: tuple[str, ...] = ("lang",),
     text_col: str = "text",
     token_col: str | None = None,
+    lease=None,
 ) -> DataFrame:
     """Takedown / GDPR-style removal: delete every corpus row matching
     ``predicate`` (a Column or SQL string), rewriting ONLY the files that
@@ -1480,6 +1513,7 @@ def delete_from_corpus(
 
     tmp = _join(path, DELETE_TMP)
     staged_flag = _join(tmp, STAGED_MARKER)
+    _lease_beat(lease)
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
 
     _INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
@@ -1527,6 +1561,7 @@ def delete_from_corpus(
         )
         if info is None:  # no row matches — corpus untouched
             return _current_manifest(spark, path, partition_by, token_col)
+        _lease_ensure(lease)  # last check before the swap publishes
         _fs_write_text_atomic(
             spark, staged_flag, json.dumps(info, default=str)
         )
@@ -1809,6 +1844,7 @@ def recover_staging(
     path: str,
     *,
     min_age_seconds: float = 86_400.0,
+    lease=None,
 ) -> dict[str, list[str]]:
     """Finish or clean the leftovers of crashed transactional appends —
     the maintenance twin of :func:`append_corpus_txn` for queries that
@@ -1838,6 +1874,7 @@ def recover_staging(
     """
     import time as _time  # noqa: PLC0415
 
+    _lease_beat(lease)
     out: dict[str, list[str]] = {"committed": [], "cleaned": [], "kept": []}
     # an abandoned crashed DELETE leaves the corpus mid-swap (originals
     # gone, replacements hidden) — strictly worse than an abandoned

@@ -1,0 +1,191 @@
+"""Advisory writer-lease tests: lifecycle, contention, TTL takeover,
+fencing at the writer entry points (a lost lease aborts BEFORE
+publishing), and crash-restart re-acquisition."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from bambooai_spark.io import load_table
+from bambooai_spark.operators.lease import (
+    LEASE_NAME,
+    CorpusLease,
+    CorpusLeaseHeld,
+    CorpusLeaseLost,
+    corpus_lease,
+)
+from bambooai_spark.operators.writer import (
+    append_corpus,
+    append_corpus_txn,
+    compact_corpus,
+    delete_from_corpus,
+    recover_staging,
+)
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, n=40):
+    return load_table(spark, SF_DIR, "documents").limit(n)
+
+
+def _corpus_dir():
+    return os.path.join(tempfile.mkdtemp(prefix="bbai_lease_"), "corpus")
+
+
+def test_acquire_release_lifecycle(spark):
+    path = _corpus_dir()
+    os.makedirs(path, exist_ok=True)
+    lease_file = os.path.join(path, LEASE_NAME)
+    with corpus_lease(spark, path) as lease:
+        assert lease.held
+        assert os.path.exists(lease_file)
+        doc = json.loads(open(lease_file).read())
+        assert doc["owner"] == lease.owner
+    assert not os.path.exists(lease_file)  # released on exit
+
+
+def test_second_writer_blocked(spark):
+    path = _corpus_dir()
+    os.makedirs(path, exist_ok=True)
+    with corpus_lease(spark, path):
+        with pytest.raises(CorpusLeaseHeld, match="write-leased"):
+            corpus_lease(spark, path).acquire()
+    # released — a new writer acquires cleanly
+    with corpus_lease(spark, path):
+        pass
+
+
+def test_stale_takeover_and_fencing(spark):
+    """A dead holder's lease (heartbeat older than its ttl) is taken
+    over; the zombie's ensure() then fails loudly and its release()
+    leaves the new holder's lease intact."""
+    path = _corpus_dir()
+    os.makedirs(path, exist_ok=True)
+    zombie = CorpusLease(spark, path, ttl_s=0.2).acquire()
+    time.sleep(0.5)  # heartbeat goes stale
+    new = CorpusLease(spark, path).acquire()  # takeover
+    assert new.held
+    with pytest.raises(CorpusLeaseLost, match="lease lost"):
+        zombie.ensure()
+    assert not zombie.held
+    zombie.release()  # must NOT delete the new holder's lease
+    doc = json.loads(open(os.path.join(path, LEASE_NAME)).read())
+    assert doc["owner"] == new.owner
+    new.release()
+
+
+def test_live_lease_not_taken_over(spark):
+    """Heartbeats keep a lease live past its nominal age."""
+    path = _corpus_dir()
+    os.makedirs(path, exist_ok=True)
+    holder = CorpusLease(spark, path, ttl_s=0.4).acquire()
+    for _ in range(3):
+        time.sleep(0.2)
+        holder.heartbeat()
+    with pytest.raises(CorpusLeaseHeld):
+        CorpusLease(spark, path).acquire()
+    holder.release()
+
+
+def test_crash_restart_reacquires_with_pinned_owner(spark):
+    """A crash-restarted job with a PINNED owner id re-enters its own
+    lease instead of deadlocking until the TTL."""
+    path = _corpus_dir()
+    os.makedirs(path, exist_ok=True)
+    CorpusLease(spark, path, owner="job-42").acquire()  # "crashed" holder
+    again = CorpusLease(spark, path, owner="job-42").acquire()
+    assert again.held
+    again.release()
+
+
+def test_unreadable_lease_counts_as_held(spark):
+    """A torn/garbage lease doc reads as a fresh foreign lease (mtime as
+    heartbeat) — never silently claimed."""
+    path = _corpus_dir()
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, LEASE_NAME), "w") as f:
+        f.write("{not json")
+    with pytest.raises(CorpusLeaseHeld):
+        CorpusLease(spark, path).acquire()
+
+
+def test_txn_append_under_lease(spark):
+    """The happy path: a leased transactional append commits normally."""
+    path = _corpus_dir()
+    with corpus_lease(spark, path) as lease:
+        append_corpus_txn(_docs(spark), path, 1, lease=lease)
+        assert spark.read.parquet(path).count() > 0
+    # lease file gone, corpus reads stay clean of bookkeeping
+    assert not os.path.exists(os.path.join(path, LEASE_NAME))
+
+
+def test_lost_lease_aborts_txn_before_commit(spark):
+    """A holder that lost a TTL takeover fails BEFORE publishing: no
+    commit marker, no data files, no manifest."""
+    path = _corpus_dir()
+    zombie = CorpusLease(spark, path, ttl_s=0.2)
+    os.makedirs(path, exist_ok=True)
+    zombie.acquire()
+    time.sleep(0.5)
+    usurper = CorpusLease(spark, path).acquire()
+    with pytest.raises(CorpusLeaseLost):
+        append_corpus_txn(_docs(spark), path, 7, lease=zombie)
+    # nothing visible was published by the zombie
+    assert not os.path.exists(os.path.join(path, "_commits"))
+    committed = [
+        f
+        for f in os.listdir(path)
+        if not f.startswith(("_", ".")) and f != LEASE_NAME
+    ]
+    assert committed == []
+    usurper.release()
+
+
+def test_lost_lease_aborts_plain_append(spark):
+    path = _corpus_dir()
+    os.makedirs(path, exist_ok=True)
+    zombie = CorpusLease(spark, path, ttl_s=0.2).acquire()
+    time.sleep(0.5)
+    usurper = CorpusLease(spark, path).acquire()
+    with pytest.raises(CorpusLeaseLost):
+        append_corpus(_docs(spark), path, lease=zombie)
+    usurper.release()
+
+
+def test_maintenance_ops_under_lease(spark):
+    """compact / delete / recover all accept and verify the lease."""
+    path = _corpus_dir()
+    with corpus_lease(spark, path) as lease:
+        append_corpus_txn(
+            _docs(spark), path, 1, max_records_per_file=10, lease=lease
+        )
+        delete_from_corpus(
+            spark, path, F.col("doc_id") % 5 == 0, lease=lease
+        )
+        compact_corpus(spark, path, lease=lease)
+        out = recover_staging(spark, path, lease=lease)
+        assert out == {"committed": [], "cleaned": [], "kept": []}
+        got = spark.read.parquet(path)
+        assert got.filter(F.col("doc_id") % 5 == 0).count() == 0
+        assert got.count() > 0
+
+
+def test_unleased_ops_unaffected(spark):
+    """lease=None keeps the pre-lease behavior byte-for-byte — no marker
+    file, no checks."""
+    path = _corpus_dir()
+    append_corpus_txn(_docs(spark), path, 1)
+    assert not os.path.exists(os.path.join(path, LEASE_NAME))
+    compact_corpus(spark, path)
+    assert spark.read.parquet(path).count() > 0
+
+
+def test_ttl_validation(spark):
+    with pytest.raises(ValueError, match="ttl_s"):
+        CorpusLease(spark, "/tmp/x", ttl_s=0)
