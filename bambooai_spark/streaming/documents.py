@@ -158,6 +158,7 @@ def stream_ingest_to_corpus(
     available_now: bool = True,
     checkpoint_location: str | None = None,
     evolve_schema: bool = False,
+    lease=None,
 ):
     """The COMPLETE streaming pipeline in one sink:
     ingest → quality gate → PII scrub → exact dedup → curated corpus.
@@ -195,6 +196,15 @@ def stream_ingest_to_corpus(
     ``available_now=False`` the query runs continuously — the call
     returns the live ``StreamingQuery`` handle immediately (awaiting a
     continuous query would block forever); read the manifest from disk.
+
+    ``lease`` — an acquired
+    :class:`~bambooai_spark.operators.lease.CorpusLease` to advisorily
+    enforce the corpus's single-writer contract; every micro-batch
+    verifies and refreshes it (so the append aborts before publishing if
+    another writer took over). The caller owns acquisition and release.
+    For a continuous query, size the lease's ``ttl_s`` ABOVE the longest
+    expected gap between micro-batches — the heartbeat only beats when a
+    batch fires, and an idle stream must not look dead to other writers.
     """
     from bambooai_spark.operators.writer import (  # noqa: PLC0415
         append_corpus,
@@ -235,6 +245,7 @@ def stream_ingest_to_corpus(
             # additive-only corpus schema evolution (long-lived streams
             # are where sources grow columns); see append_corpus
             evolve_schema=evolve_schema,
+            lease=lease,
         )
         if checkpoint_location is None:
             # no checkpoint → no replay identity → the plain ledger-dedup

@@ -189,3 +189,49 @@ def test_unleased_ops_unaffected(spark):
 def test_ttl_validation(spark):
     with pytest.raises(ValueError, match="ttl_s"):
         CorpusLease(spark, "/tmp/x", ttl_s=0)
+
+
+def test_streaming_sink_under_lease(spark, tmp_path):
+    """The streaming corpus sink threads the lease into every
+    micro-batch append; a held lease lets the drain commit normally."""
+    from bambooai_spark.streaming.documents import (
+        read_documents_stream,
+        stream_ingest_to_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = read_documents_stream(spark, SF_DIR)
+    with corpus_lease(spark, out) as lease:
+        manifest = stream_ingest_to_corpus(
+            sdf, out, checkpoint_location=ckpt, lease=lease
+        )
+        assert manifest is not None
+        assert spark.read.parquet(out).count() > 0
+    assert not os.path.exists(os.path.join(out, LEASE_NAME))
+
+
+def test_streaming_sink_lost_lease_fails_query(spark, tmp_path):
+    """A takeover mid-stream surfaces as a failed query, not a silent
+    double-write: the batch append raises CorpusLeaseLost inside
+    foreachBatch and nothing commits."""
+    from pyspark.errors import StreamingQueryException
+
+    from bambooai_spark.streaming.documents import (
+        read_documents_stream,
+        stream_ingest_to_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    os.makedirs(out, exist_ok=True)
+    zombie = CorpusLease(spark, out, ttl_s=0.2).acquire()
+    time.sleep(0.5)
+    usurper = CorpusLease(spark, out).acquire()
+    sdf = read_documents_stream(spark, SF_DIR)
+    with pytest.raises(StreamingQueryException, match="lease"):
+        stream_ingest_to_corpus(
+            sdf, out, checkpoint_location=str(tmp_path / "ckpt"),
+            lease=zombie,
+        )
+    assert not os.path.exists(os.path.join(out, "_commits"))
+    usurper.release()
