@@ -381,18 +381,39 @@ def _walk_files(spark: SparkSession, root: str, *, want_hidden_prefix=None):
 
 def _cluster(
     df: DataFrame, partition_by, cluster_by: tuple[str, ...],
-    num_tasks: int | None = None,
+    num_tasks: int | None = None, strategy: str = "linear",
 ) -> DataFrame:
     """Data clustering for min/max scan pruning: range-partition on
     (partition cols, cluster cols) then sort within tasks, so every
     written FILE — and every parquet row group inside it — covers a
     narrow, near-disjoint range of the cluster keys. A later filtered
     read (``WHERE doc_id BETWEEN ...``) then skips whole files/row groups
-    on footer statistics instead of scanning the corpus: the poor-man's
-    Z-order, exact for a single cluster key or a prefix-ordered compound
-    one. Costs ONE extra shuffle at write time — paid once, saved on
-    every selective read."""
+    on footer statistics instead of scanning the corpus. Costs ONE extra
+    shuffle at write time — paid once, saved on every selective read.
+
+    ``strategy='linear'`` (default) sorts on the cluster columns in
+    order — exact for a single key or a prefix-filtered compound one,
+    but the SECOND column's per-file range spans its whole domain.
+    ``strategy='zorder'`` sorts on the Morton interleave of the columns'
+    quantile-bucket ranks (``functions/zorder.py``) so every file covers
+    a narrow range of EVERY cluster column — the multi-predicate
+    skipping layout (Delta's OPTIMIZE ZORDER BY analog). Requires ≥ 2
+    cluster columns with a quantile order (numeric/date/timestamp)."""
     n = num_tasks or _shuffle_partitions(df.sparkSession)
+    if strategy == "zorder":
+        from bambooai_spark.functions.zorder import zorder_key  # noqa: PLC0415
+
+        pcols = [F.col(c) for c in partition_by]
+        zdf = zorder_key(df, cluster_by)
+        return (
+            zdf.repartitionByRange(n, *pcols, F.col("_zkey"))
+            .sortWithinPartitions(*pcols, "_zkey")
+            .drop("_zkey")  # a Project keeps the in-partition row order
+        )
+    if strategy != "linear":
+        raise ValueError(
+            f"unknown cluster strategy {strategy!r} (linear|zorder)"
+        )
     cols = [F.col(c) for c in (*partition_by, *cluster_by)]
     return df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
 
@@ -419,6 +440,7 @@ def write_corpus(
     token_col: str | None = None,
     cluster_by: tuple[str, ...] = (),
     num_tasks: int | None = None,
+    cluster_strategy: str = "linear",
 ) -> DataFrame:
     """Write ``df`` as a partitioned parquet corpus and return (and
     persist alongside it) the manifest: one row per partition value with
@@ -432,9 +454,13 @@ def write_corpus(
     files and row groups on parquet min/max statistics. One extra
     shuffle at write time; ``num_tasks`` caps its task (and so file)
     count per call, same knob as :func:`compact_corpus`.
+    ``cluster_strategy='zorder'`` interleaves instead of sorting
+    linearly — every file narrow in EVERY cluster column.
     """
     if cluster_by:
-        df = _cluster(df, partition_by, cluster_by, num_tasks)
+        df = _cluster(
+            df, partition_by, cluster_by, num_tasks, cluster_strategy
+        )
     writer = df.write.mode(mode)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
@@ -1205,6 +1231,7 @@ def compact_corpus(
     token_col: str | None = None,
     num_tasks: int | None = None,
     cluster_by: tuple[str, ...] = (),
+    cluster_strategy: str = "linear",
     lease=None,
 ) -> DataFrame:
     """Rewrite the corpus's accumulated small files (a streaming sink
@@ -1228,6 +1255,9 @@ def compact_corpus(
     restore key locality for min/max scan pruning. Implies a
     range-repartition (``num_tasks`` then caps the task count), so it
     composes with — and supersedes — the monotonic-id spread.
+    ``cluster_strategy='zorder'`` lays out the Morton interleave of the
+    cluster columns instead (multi-predicate skipping; see
+    :func:`_cluster`).
 
     Maintenance-window op, SINGLE writer: not safe under concurrent
     appends, and a reader during the swap can briefly see missing rows
@@ -1271,7 +1301,8 @@ def compact_corpus(
             partition_by=partition_by,
             max_records_per_file=max_records_per_file,
             token_col=token_col, num_tasks=num_tasks,
-            cluster_by=cluster_by, lease=lease,
+            cluster_by=cluster_by, cluster_strategy=cluster_strategy,
+            lease=lease,
         )
     finally:
         spark.conf.set(_INFER, prev_infer)
@@ -1288,6 +1319,7 @@ def _compact_corpus_inner(
     token_col: str | None,
     num_tasks: int | None,
     cluster_by: tuple[str, ...] = (),
+    cluster_strategy: str = "linear",
     lease=None,
 ) -> DataFrame:
     import uuid as _uuid  # noqa: PLC0415
@@ -1331,7 +1363,9 @@ def _compact_corpus_inner(
             return _empty_manifest(spark, partition_by, token_col)
         cols = [F.col(c) for c in partition_by]
         if cluster_by:
-            df = _cluster(df, partition_by, cluster_by, num_tasks)
+            df = _cluster(
+                df, partition_by, cluster_by, num_tasks, cluster_strategy
+            )
         elif num_tasks:
             df = df.repartitionByRange(
                 num_tasks, *cols, F.monotonically_increasing_id()

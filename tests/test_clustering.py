@@ -9,6 +9,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
+
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
@@ -138,3 +140,128 @@ def test_compact_corpus_clustered_restores_locality(spark, tmp_path):
     )
     compact_corpus(spark, out, cluster_by=("doc_id",))
     assert read_corpus(spark, out).count() == len(before_ids) + 10
+
+
+# --- Z-order (multi-dimensional) clustering ----------------------------
+
+
+def _mean_spread(out: str, col: str) -> tuple[float, int]:
+    tot, n = 0, 0
+    for f in glob.glob(os.path.join(out, "*", "*.parquet")):
+        if os.path.basename(os.path.dirname(f)).startswith("_"):
+            continue
+        pf = pq.ParquetFile(f)
+        idx = pf.schema_arrow.names.index(col)
+        stats = [
+            pf.metadata.row_group(rg).column(idx).statistics
+            for rg in range(pf.metadata.num_row_groups)
+        ]
+        tot += max(s.max for s in stats) - min(s.min for s in stats)
+        n += 1
+    return tot / n, n
+
+
+def test_zorder_multi_dim_spread(spark, tmp_path):
+    """The layout contract that motivates z-order: every file narrow in
+    EVERY cluster column. Linear clustering leaves the SECOND column's
+    per-file range near its full domain; the Morton layout shrinks it
+    substantially while keeping the first column's range well under the
+    domain too (the documented trade: the leading column gives up its
+    near-disjoint ranges to buy the other dimensions locality)."""
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "value_i", (F.col("value") * 100).cast("long")
+    )
+    lin, zo = str(tmp_path / "lin"), str(tmp_path / "zo")
+    kw = dict(
+        partition_by=("event_type",),
+        cluster_by=("user_id", "value_i"),
+        max_records_per_file=20,
+        num_tasks=4,
+    )
+    write_corpus(ev, lin, **kw)
+    write_corpus(ev, zo, cluster_strategy="zorder", **kw)
+
+    spread_lin2, n_lin = _mean_spread(lin, "value_i")
+    spread_zo2, n_zo = _mean_spread(zo, "value_i")
+    assert n_lin >= 10 and n_zo >= 10  # enough files for the contrast
+    # 2nd column: z-order must beat linear clearly
+    assert spread_zo2 < 0.75 * spread_lin2, (spread_zo2, spread_lin2)
+    # 1st column: z-order still bounds each file well under the domain
+    row = ev.agg(
+        (F.max("user_id") - F.min("user_id")).alias("dom")
+    ).collect()[0]
+    spread_zo1, _ = _mean_spread(zo, "user_id")
+    assert spread_zo1 < 0.8 * row["dom"], (spread_zo1, row["dom"])
+    # and nothing was lost
+    assert read_corpus(spark, zo).count() == ev.count()
+
+
+def test_zorder_key_properties(spark):
+    """Determinism + bounds: equal rows get equal keys, every key fits
+    bits*len(cols), NULLs rank lowest instead of crashing."""
+    from bambooai_spark.functions.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 10.0), (500, 0.5), (None, 10.0)],
+        "a bigint, b double",
+    )
+    got = zorder_key(df, ("a", "b"), bits=4).collect()
+    keys = {(r["a"], r["b"]): r["_zkey"] for r in got}
+    assert len([r for r in got if r["a"] == 1]) == 2
+    vals = [r["_zkey"] for r in got if r["a"] == 1]
+    assert vals[0] == vals[1]  # equal rows, equal keys
+    assert all(0 <= r["_zkey"] < 2 ** 8 for r in got)
+    # the NULL-a row ranks below the 500-a row at the same b bucket
+    assert keys[(None, 10.0)] <= keys[(1, 10.0)]
+
+
+def test_zorder_timestamp_dimension(spark):
+    """Timestamps participate via an order-preserving cast."""
+    from bambooai_spark.functions.zorder import zorder_key
+
+    ev = load_table(spark, SF_DIR, "events")
+    z = zorder_key(ev, ("ts", "user_id"))
+    assert z.select("_zkey").distinct().count() > 10
+    assert z.count() == ev.count()
+
+
+def test_zorder_validation(spark):
+    from bambooai_spark.functions.zorder import zorder_key
+
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(TypeError, match="quantile order"):
+        zorder_key(docs, ("doc_id", "lang"))  # string dimension
+    with pytest.raises(ValueError, match="linear clustering"):
+        zorder_key(docs, ("doc_id",))
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key(docs, ("doc_id", "n_chars"), bits=40)
+    with pytest.raises(ValueError, match="no such column"):
+        zorder_key(docs, ("doc_id", "nope"))
+    with pytest.raises(ValueError, match="already exists"):
+        zorder_key(
+            docs.withColumn("_zkey", F.lit(1)), ("doc_id", "n_chars")
+        )
+    with pytest.raises(ValueError, match="unknown cluster strategy"):
+        from bambooai_spark.operators.writer import _cluster
+
+        _cluster(docs, ("lang",), ("doc_id",), strategy="hilbert")
+
+
+def test_zorder_compaction_lifecycle(spark, tmp_path):
+    """append x2 -> z-ordered compaction: rows survive, and the
+    compacted files are narrow in the second cluster column."""
+    docs = load_table(spark, SF_DIR, "documents")
+    out = str(tmp_path / "c")
+    append_corpus(
+        docs.filter("doc_id % 2 = 0"), out, max_records_per_file=10
+    )
+    append_corpus(
+        docs.filter("doc_id % 2 = 1"), out, max_records_per_file=10
+    )
+    before = read_corpus(spark, out).count()
+    compact_corpus(
+        spark, out,
+        cluster_by=("doc_id", "n_chars"), cluster_strategy="zorder",
+        max_records_per_file=10,
+    )
+    assert read_corpus(spark, out).count() == before
