@@ -71,6 +71,11 @@ def zorder_key(
     ``bits`` per dimension; the key needs ``bits · len(cols)`` bits and
     must fit a long (≤ 63). ``relative_error`` tunes the quantile probe
     (default ``1/2^(bits+2)`` — boundaries land within a quarter bucket).
+
+    The quantile probe is an EAGER action over ``df``'s full lineage;
+    when that lineage is expensive (not a plain scan), persist ``df``
+    first or the downstream write recomputes it — ``write_corpus`` does
+    exactly that around its zorder path.
     """
     cols = list(cols)
     if not cols:

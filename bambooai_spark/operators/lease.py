@@ -11,11 +11,14 @@ this module turns that from silent corruption into a loud
 
 Mechanism: a ``_lease.json`` marker at the corpus root, acquired by
 CREATE-EXCLUSIVE on the Hadoop FileSystem API (``create(path,
-overwrite=false)`` — atomic on HDFS and local/file://; on S3A the
-exclusivity check is HEAD-then-PUT and therefore best-effort, which is
-exactly why this lease is ADVISORY, not a correctness dependency of the
-commit protocol). The holder refreshes a heartbeat; a lease whose
-heartbeat is older than its TTL is stale and may be taken over.
+overwrite=false)`` — truly atomic on HDFS; on local/file:// Hadoop's
+LocalFileSystem implements the no-overwrite check as exists-then-create
+(no O_EXCL) and on S3A as HEAD-then-PUT, so on those a sub-millisecond
+creation race can slip through — which is exactly why this lease is
+ADVISORY, not a correctness dependency of the commit protocol). The
+holder refreshes a heartbeat; a lease whose heartbeat is older than its
+TTL is stale and may be taken over (claimed ASIDE by atomic rename
+first, so two racing takeovers cannot delete each other's fresh lease).
 ``ensure()`` re-reads the marker and raises :class:`CorpusLeaseLost` if
 another writer took over — the writer entry points call it at start and
 again immediately before their commit step, so a zombie holder that
@@ -69,13 +72,21 @@ class CorpusLeaseLost(RuntimeError):
 
 def _fs_create_exclusive(spark: SparkSession, path: str, text: str) -> bool:
     """Create ``path`` with ``text`` iff it does not exist. Returns False
-    when it already exists (raced or held). Existence is atomic on
-    HDFS/local; CONTENT is not — readers must tolerate a torn doc."""
+    when it already exists (raced or held). Atomic existence on HDFS;
+    on local/file:// and S3A the no-overwrite check is exists-then-create
+    (no O_EXCL), hence the ADVISORY framing. CONTENT is never atomic —
+    readers must tolerate a torn doc.
+
+    Only an already-exists outcome maps to False: any other create
+    failure (permissions, read-only mount, dead namenode) re-raises so
+    a real I/O problem is not misdiagnosed as lease contention."""
     fs, jpath = _fs(spark, path)
     try:
         out = fs.create(jpath, False)
-    except Exception:  # FileAlreadyExists / checksum-file variants
-        return False
+    except Exception:
+        if _fs_exists(spark, path):
+            return False  # FileAlreadyExists and its checksum variants
+        raise
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
@@ -154,10 +165,48 @@ class CorpusLease:
 
     # -- lifecycle --------------------------------------------------------
 
+    def _take_over_stale(self) -> None:
+        """Remove a stale lease WITHOUT racing a concurrent takeover into
+        deleting the winner's fresh lease: rename the marker ASIDE first
+        (atomic claim — of two racers exactly one rename succeeds, the
+        other's source is gone), re-judge staleness on the claimed copy,
+        and restore it if it turns out live (a blind delete here was the
+        two-holders bug: both racers judge the SAME old doc stale, the
+        slower one deletes the faster one's just-created lease)."""
+        aside = f"{self.lease_path}.takeover-{uuid.uuid4().hex[:8]}"
+        fs, src = _fs(self.spark, self.lease_path)
+        try:
+            claimed = bool(fs.rename(src, _fs(self.spark, aside)[1]))
+        except Exception:
+            claimed = False  # vanished / already claimed — re-race
+        if not claimed:
+            return
+        try:
+            raw = _fs_read_text(self.spark, aside)
+            doc = json.loads(raw)
+            live = isinstance(doc, dict) and not self._stale(doc)
+        except Exception:
+            live = False  # torn doc only reaches here past its ttl
+        if live:
+            # claimed a FRESH lease (the old holder heartbeat, or a
+            # takeover won, between our read and the rename) — put it
+            # back; if the holder already re-created the marker, their
+            # copy is newer and ours is redundant
+            try:
+                if not fs.rename(
+                    _fs(self.spark, aside)[1], _fs(self.spark, self.lease_path)[1]
+                ):
+                    _fs_delete(self.spark, aside)
+            except Exception:
+                _fs_delete(self.spark, aside)
+        else:
+            _fs_delete(self.spark, aside)
+
     def acquire(self) -> "CorpusLease":
         """Take the lease, or raise :class:`CorpusLeaseHeld` if a live
         one exists. A stale lease (heartbeat older than ITS ttl) is
-        deleted and re-raced — create-exclusive decides the winner."""
+        claimed aside and removed, then re-raced — create-exclusive
+        decides the winner."""
         for _ in range(3):  # absent → create → (raced) re-read → retry
             if _fs_create_exclusive(self.spark, self.lease_path, self._doc()):
                 self.held = True
@@ -171,7 +220,7 @@ class CorpusLease:
                 self.heartbeat()
                 return self
             if self._stale(doc):
-                _fs_delete(self.spark, self.lease_path)
+                self._take_over_stale()
                 continue  # re-race; loser sees Held on the next pass
             raise CorpusLeaseHeld(
                 f"corpus {self.corpus_path} is write-leased by "

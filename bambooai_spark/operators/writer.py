@@ -418,6 +418,24 @@ def _cluster(
     return df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
 
 
+def _check_cluster_args(
+    cluster_by: tuple[str, ...], strategy: str
+) -> None:
+    """Entry-point validation: a typo'd or inapplicable strategy must
+    fail loudly even when ``cluster_by`` is empty — ``_cluster`` is only
+    reached with cluster columns, so without this a
+    ``cluster_strategy='zorder'`` with the default ``cluster_by=()``
+    silently wrote an unclustered corpus (review r8)."""
+    if strategy not in ("linear", "zorder"):
+        raise ValueError(
+            f"unknown cluster strategy {strategy!r} (linear|zorder)"
+        )
+    if strategy != "linear" and not cluster_by:
+        raise ValueError(
+            f"cluster_strategy={strategy!r} needs cluster_by columns"
+        )
+
+
 def _shuffle_partitions(spark: SparkSession) -> int:
     """``spark.sql.shuffle.partitions`` as an int, falling back to
     ``defaultParallelism`` where a managed platform sets it to a
@@ -457,7 +475,17 @@ def write_corpus(
     ``cluster_strategy='zorder'`` interleaves instead of sorting
     linearly — every file narrow in EVERY cluster column.
     """
+    _check_cluster_args(cluster_by, cluster_strategy)
+    persisted = None
     if cluster_by:
+        if cluster_strategy == "zorder":
+            # the z-order quantile probe is an EAGER action over df's
+            # lineage; without a persist an expensive upstream pipeline
+            # (joins/dedup/scoring) would compute twice — once for the
+            # probe, once for the write (review r8). Compaction's input
+            # is a plain parquet scan, so its second read is cheap and
+            # not worth pinning a 100 TB corpus in cache.
+            persisted = df = df.persist()
         df = _cluster(
             df, partition_by, cluster_by, num_tasks, cluster_strategy
         )
@@ -465,6 +493,8 @@ def write_corpus(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy(*partition_by).parquet(path)
+    if persisted is not None:
+        persisted.unpersist()
 
     from pyspark.errors import AnalysisException  # noqa: PLC0415
 
@@ -680,13 +710,17 @@ def append_corpus(
         new_docs, path, id_col=id_col, text_col=text_col,
         evolve_schema=evolve_schema, manifest_doc=doc,
     )
+    # publish begins HERE: _record_schema is a manifest read-modify-write,
+    # so the lost-lease abort must come before it, not just before the
+    # data write (review r8: a zombie's RMW could erase a new holder's
+    # just-folded manifest rows)
+    _lease_ensure(lease)
     if doc is not None and doc.get("schema") != schema_json:
         # record the evolved schema BEFORE the data lands: a crash
         # between the data write and the manifest fold must not leave
         # evolved files a later schema-pinned compaction would strip
         _record_schema(spark, path, schema_json)
 
-    _lease_ensure(lease)  # the plain append's data write IS its publish
     writer = batch.drop("_fp").write.mode("append")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
@@ -1275,6 +1309,7 @@ def compact_corpus(
     """
     tmp = _join(path, COMPACT_TMP)
     staged_flag = _join(tmp, STAGED_MARKER)
+    _check_cluster_args(cluster_by, cluster_strategy)
     _lease_beat(lease)
 
     # partition-value inference OFF for every read in here: the rewrite
@@ -1916,6 +1951,7 @@ def recover_staging(
     # no corpus read, no age heuristic needed
     dflag = _join(path, f"{DELETE_TMP}/{STAGED_MARKER}")
     if _fs_exists(spark, dflag):
+        _lease_ensure(lease)
         _apply_staged_delete(
             spark, path, _join(path, DELETE_TMP), dflag,
             json.loads(_fs_read_text(spark, dflag)),
@@ -1934,6 +1970,10 @@ def recover_staging(
         stage = _join(staging_root, name)
         marker = _join(path, f"{COMMITS_DIR}/batch-{batch_id}.json")
         if _fs_exists(spark, marker):
+            # every arm below publishes (manifest fold / commit / stage
+            # delete) — a lost lease must abort the scan mid-loop rather
+            # than interleave with the new holder's writes (review r8)
+            _lease_ensure(lease)
             info = json.loads(_fs_read_text(spark, marker))
             _merge_manifest_delta(
                 spark, path, tuple(info["partition_by"]), info["delta"],
@@ -1947,6 +1987,7 @@ def recover_staging(
             _fs_delete(spark, stage)
             out["cleaned"].append(name)
         elif _fs_exists(spark, _join(stage, STAGED_MARKER)):
+            _lease_ensure(lease)
             info = json.loads(
                 _fs_read_text(spark, _join(stage, STAGED_MARKER))
             )
@@ -1969,6 +2010,7 @@ def recover_staging(
                 out["kept"].append(name)
                 continue
             if now_ms - newest_ms >= min_age_seconds * 1000.0:
+                _lease_ensure(lease)
                 _fs_delete(spark, stage)
                 out["cleaned"].append(name)
             else:

@@ -130,14 +130,22 @@ def main() -> int:
     sidecar = {"sf": _sf_of(sf_dir), "cpus": cpus, "iters": iters,
                "spread": spread}
     print(f"[bench] spread: {json.dumps(spread)}", file=sys.stderr)
-    try:
-        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_SPREAD.json")
-        with open(path, "w") as fh:
-            json.dump(sidecar, fh, indent=1)
-        print(f"[bench] spread written to {path}", file=sys.stderr)
-    except OSError as exc:  # read-only checkout: stderr still has it
-        print(f"[bench] spread sidecar not written: {exc}", file=sys.stderr)
+    if _sf_of(sf_dir) >= 0.1 and iters >= 3:
+        try:
+            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_SPREAD.json")
+            with open(path, "w") as fh:
+                json.dump(sidecar, fh, indent=1)
+            print(f"[bench] spread written to {path}", file=sys.stderr)
+        except OSError as exc:  # read-only checkout: stderr still has it
+            print(f"[bench] spread sidecar not written: {exc}",
+                  file=sys.stderr)
+    else:
+        # smoke runs (sf0.01 / iters=1 env overrides) must NOT clobber
+        # the committed full-scale dispersion baseline — this exact
+        # accident happened twice (COVERAGE r8); stderr still has it
+        print("[bench] spread sidecar skipped (smoke-run scale)",
+              file=sys.stderr)
     # compact separators: ~140 chars saved at 61 queries, so the headline
     # set can keep growing before the overflow guard has to fire
     line = json.dumps(result, separators=(",", ":"))

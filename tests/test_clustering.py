@@ -265,3 +265,21 @@ def test_zorder_compaction_lifecycle(spark, tmp_path):
         max_records_per_file=10,
     )
     assert read_corpus(spark, out).count() == before
+
+
+def test_cluster_strategy_validated_without_cluster_by(spark, tmp_path):
+    """A strategy with no cluster columns (or a typo'd one) fails loudly
+    at the entry points instead of silently writing unclustered."""
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError, match="needs cluster_by"):
+        write_corpus(
+            docs, str(tmp_path / "x"), cluster_strategy="zorder"
+        )
+    with pytest.raises(ValueError, match="unknown cluster strategy"):
+        write_corpus(
+            docs, str(tmp_path / "x"), cluster_strategy="zorderr"
+        )
+    out = str(tmp_path / "c")
+    write_corpus(docs, out)
+    with pytest.raises(ValueError, match="needs cluster_by"):
+        compact_corpus(spark, out, cluster_strategy="zorder")

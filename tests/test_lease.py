@@ -235,3 +235,93 @@ def test_streaming_sink_lost_lease_fails_query(spark, tmp_path):
         )
     assert not os.path.exists(os.path.join(out, "_commits"))
     usurper.release()
+
+
+def test_create_failure_is_not_contention(spark, tmp_path):
+    """A real I/O failure acquiring (here: the corpus root's parent is a
+    FILE) re-raises instead of masquerading as CorpusLeaseHeld."""
+    blocker = tmp_path / "blocker"
+    blocker.write_text("not a directory")
+    bad = str(blocker / "corpus")
+    with pytest.raises(Exception) as ei:
+        CorpusLease(spark, bad).acquire()
+    assert not isinstance(ei.value, CorpusLeaseHeld)
+
+
+def test_takeover_restores_fresh_lease(spark):
+    """The two-racing-takeovers hazard: a takeover that judged the OLD
+    doc stale must not delete a FRESH lease that replaced it in the
+    meantime — the rename-aside re-judges and restores it."""
+    path = _corpus_dir()
+    os.makedirs(path, exist_ok=True)
+    lf = os.path.join(path, LEASE_NAME)
+    with open(lf, "w") as f:  # the stale doc both racers read
+        json.dump({"owner": "old", "heartbeat": 0.0, "ttl_s": 1.0}, f)
+    b = CorpusLease(spark, path)
+    assert b._stale(b._read())  # B judged it stale...
+    with open(lf, "w") as f:  # ...but racer A already won a takeover
+        json.dump(
+            {"owner": "A", "heartbeat": time.time(), "ttl_s": 300.0}, f
+        )
+    b._take_over_stale()
+    doc = json.loads(open(lf).read())
+    assert doc["owner"] == "A"  # A's fresh lease survived
+    assert not glob_leftovers(path)
+    with pytest.raises(CorpusLeaseHeld):
+        b.acquire()
+
+
+def glob_leftovers(path):
+    import glob as _g
+
+    return _g.glob(os.path.join(path, LEASE_NAME + ".takeover-*"))
+
+
+def test_takeover_removes_genuinely_stale(spark):
+    path = _corpus_dir()
+    os.makedirs(path, exist_ok=True)
+    lf = os.path.join(path, LEASE_NAME)
+    with open(lf, "w") as f:
+        json.dump({"owner": "old", "heartbeat": 0.0, "ttl_s": 1.0}, f)
+    got = CorpusLease(spark, path).acquire()
+    assert got.held
+    assert json.loads(open(lf).read())["owner"] == got.owner
+    assert not glob_leftovers(path)
+    got.release()
+
+
+def test_recover_staging_lost_lease_aborts(spark, tmp_path):
+    """recover_staging must abort on a lost lease BEFORE mutating —
+    here before deleting an aged bare stage."""
+    path = str(tmp_path / "corpus")
+    stage = os.path.join(path, "_staging", "batch_id=99")
+    os.makedirs(stage, exist_ok=True)
+    with open(os.path.join(stage, "part-x"), "w") as f:
+        f.write("orphan")
+    zombie = CorpusLease(spark, path, ttl_s=0.2).acquire()
+    time.sleep(0.5)
+    usurper = CorpusLease(spark, path).acquire()
+    with pytest.raises(CorpusLeaseLost):
+        recover_staging(spark, path, min_age_seconds=0.0, lease=zombie)
+    assert os.path.exists(os.path.join(stage, "part-x"))  # untouched
+    usurper.release()
+
+
+def test_lost_lease_blocks_schema_record(spark):
+    """The plain append's publish includes _record_schema (a manifest
+    read-modify-write) — a zombie must abort before it, leaving the
+    recorded schema untouched."""
+    from bambooai_spark.operators.writer import _load_manifest_doc
+
+    path = _corpus_dir()
+    append_corpus(_docs(spark), path)
+    before = _load_manifest_doc(spark, path).get("schema")
+    zombie = CorpusLease(spark, path, ttl_s=0.2).acquire()
+    time.sleep(0.5)
+    usurper = CorpusLease(spark, path).acquire()
+    evolved = _docs(spark).withColumn("quality", F.lit(1.0))
+    with pytest.raises(CorpusLeaseLost):
+        append_corpus(evolved, path, evolve_schema=True, lease=zombie)
+    after = _load_manifest_doc(spark, path).get("schema")
+    assert after == before  # no evolved column recorded by the zombie
+    usurper.release()
