@@ -22,6 +22,11 @@ from bambooai_spark.operators.similarity import (
     label_centroids,
 )
 from bambooai_spark.operators.export import export_jsonl_shards
+from bambooai_spark.operators.neardup_gate import (
+    near_dup_gate,
+    rebuild_signatures,
+    record_signatures,
+)
 from bambooai_spark.operators.lease import (
     CorpusLease,
     CorpusLeaseHeld,
@@ -56,6 +61,9 @@ __all__ = [
     "CorpusLeaseHeld",
     "CorpusLeaseLost",
     "corpus_lease",
+    "near_dup_gate",
+    "record_signatures",
+    "rebuild_signatures",
     "append_corpus",
     "append_corpus_txn",
     "build_manifest",

@@ -643,6 +643,8 @@ def append_corpus(
     batch_id: int | str | None = None,
     evolve_schema: bool = False,
     lease=None,
+    near_dup_threshold: float | None = None,
+    near_dup_opts: dict | None = None,
 ) -> DataFrame:
     """Incremental corpus update — the batch twin of the streaming ingest:
     drop arriving documents whose exact fingerprint already exists in the
@@ -698,6 +700,8 @@ def append_corpus(
             token_col=token_col,
             evolve_schema=evolve_schema,
             lease=lease,
+            near_dup_threshold=near_dup_threshold,
+            near_dup_opts=near_dup_opts,
         )
     spark = new_docs.sparkSession
     _lease_beat(lease)
@@ -710,6 +714,15 @@ def append_corpus(
         new_docs, path, id_col=id_col, text_col=text_col,
         evolve_schema=evolve_schema, manifest_doc=doc,
     )
+    if near_dup_threshold is not None:
+        from bambooai_spark.operators.neardup_gate import (  # noqa: PLC0415
+            near_dup_gate,
+        )
+
+        batch = near_dup_gate(
+            batch, path, threshold=near_dup_threshold,
+            id_col=id_col, text_col=text_col, near_dup_opts=near_dup_opts,
+        )
     # publish begins HERE: _record_schema is a manifest read-modify-write,
     # so the lost-lease abort must come before it, not just before the
     # data write (review r8: a zombie's RMW could erase a new holder's
@@ -728,6 +741,14 @@ def append_corpus(
     batch.select(F.col("_fp").alias("fp")).write.mode("append").parquet(
         _join(path, LEDGER_DIR)
     )
+    if near_dup_threshold is not None:
+        from bambooai_spark.operators.neardup_gate import (  # noqa: PLC0415
+            record_signatures,
+        )
+
+        record_signatures(
+            batch, path, text_col=text_col, near_dup_opts=near_dup_opts
+        )
 
     if full_manifest:
         from pyspark.sql.types import StructType  # noqa: PLC0415
@@ -1071,6 +1092,8 @@ def append_corpus_txn(
     token_col: str | None = None,
     evolve_schema: bool = False,
     lease=None,
+    near_dup_threshold: float | None = None,
+    near_dup_opts: dict | None = None,
 ) -> DataFrame:
     """Transactional corpus append — EXACTLY-ONCE under crash-replay, the
     streaming sink's commit protocol (closes the at-least-once window the
@@ -1156,6 +1179,15 @@ def append_corpus_txn(
         new_docs, path, id_col=id_col, text_col=text_col,
         evolve_schema=evolve_schema, manifest_doc=doc,
     )
+    if near_dup_threshold is not None:
+        from bambooai_spark.operators.neardup_gate import (  # noqa: PLC0415
+            near_dup_gate,
+        )
+
+        batch = near_dup_gate(
+            batch, path, threshold=near_dup_threshold,
+            id_col=id_col, text_col=text_col, near_dup_opts=near_dup_opts,
+        )
     if batch.isEmpty():
         # nothing survived the gate/dedup — commit an empty batch so the
         # replay is a recorded no-op. The schema still evolves: the batch
@@ -1209,7 +1241,21 @@ def append_corpus_txn(
     }
     _fs_write_text_atomic(spark, staged_flag, json.dumps(info, default=str))
     _lease_ensure(lease)
-    return _commit_staged(spark, path, stage, batch_id, info, new_docs)
+    manifest = _commit_staged(spark, path, stage, batch_id, info, new_docs)
+    if near_dup_threshold is not None:
+        # AFTER the commit: a crash between commit and record loses only
+        # these signatures (bounded recall loss, rebuild_signatures
+        # heals); the ledger stays the single source of liveness. Replay
+        # paths (marker / staged resume) skip recording — same bounded
+        # loss, same heal.
+        from bambooai_spark.operators.neardup_gate import (  # noqa: PLC0415
+            record_signatures,
+        )
+
+        record_signatures(
+            batch, path, text_col=text_col, near_dup_opts=near_dup_opts
+        )
+    return manifest
 
 
 def _commit_staged(

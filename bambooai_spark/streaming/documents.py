@@ -159,6 +159,8 @@ def stream_ingest_to_corpus(
     checkpoint_location: str | None = None,
     evolve_schema: bool = False,
     lease=None,
+    near_dup_threshold: float | None = None,
+    near_dup_opts: dict | None = None,
 ):
     """The COMPLETE streaming pipeline in one sink:
     ingest → quality gate → PII scrub → exact dedup → curated corpus.
@@ -246,6 +248,8 @@ def stream_ingest_to_corpus(
             # are where sources grow columns); see append_corpus
             evolve_schema=evolve_schema,
             lease=lease,
+            near_dup_threshold=near_dup_threshold,
+            near_dup_opts=near_dup_opts,
         )
         if checkpoint_location is None:
             # no checkpoint → no replay identity → the plain ledger-dedup

@@ -4890,6 +4890,92 @@ def kll_quantiles_events(spark, sf_dir):
     return rollup_quantiles(stored, ["event_type"]).orderBy("event_type")
 
 
+@spec(
+    "near_dup_gate_docs",
+    rf"""
+    WITH {_MD5_SHINGLE_CTES}
+    i AS (SELECT unnest(range(0, 16)) AS i),
+    m AS (SELECT t.doc_id, i.i,
+                 MIN(substr(md5(CAST(i.i AS VARCHAR) || '|' || t.sh), 1, 16))
+                   AS h
+          FROM t CROSS JOIN i GROUP BY t.doc_id, i.i),
+    bk AS (SELECT doc_id, i // 4 AS band, string_agg(h, ',' ORDER BY i) AS key
+           FROM m GROUP BY doc_id, i // 4),
+    agr AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) / 16.0 AS agree
+            FROM m a JOIN m b
+              ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+    nd AS (SELECT DISTINCT c.da, c.db
+           FROM (SELECT a.doc_id AS da, b.doc_id AS db
+                 FROM bk a JOIN bk b
+                   ON a.band = b.band AND a.key = b.key
+                  AND a.doc_id < b.doc_id) c
+           JOIN agr g ON g.da = c.da AND g.db = c.db
+           WHERE g.agree >= 0.75),
+    fp AS (SELECT doc_id, lang,
+                  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                    AS f
+           FROM documents),
+    ek AS (SELECT f, MIN(doc_id) AS doc_id FROM fp
+           WHERE doc_id % 2 = 0 GROUP BY f),
+    evf AS (SELECT e.doc_id FROM ek e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM nd JOIN ek a ON nd.da = a.doc_id
+              WHERE nd.db = e.doc_id)),
+    ok1 AS (SELECT f, MIN(doc_id) AS doc_id FROM fp
+            WHERE doc_id % 2 = 1 GROUP BY f),
+    ok2 AS (SELECT o.f, o.doc_id FROM ok1 o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM evf v JOIN fp pf ON pf.doc_id = v.doc_id
+              WHERE pf.f = o.f)),
+    odf AS (SELECT o.doc_id FROM ok2 o
+            WHERE NOT EXISTS (
+                    SELECT 1 FROM nd JOIN ok2 a ON nd.da = a.doc_id
+                    WHERE nd.db = o.doc_id)
+              AND NOT EXISTS (
+                    SELECT 1 FROM nd JOIN evf v ON nd.da = v.doc_id
+                    WHERE nd.db = o.doc_id)
+              AND NOT EXISTS (
+                    SELECT 1 FROM nd JOIN evf v ON nd.db = v.doc_id
+                    WHERE nd.da = o.doc_id))
+    SELECT p.doc_id, p.lang FROM fp p JOIN evf ON p.doc_id = evf.doc_id
+    UNION ALL
+    SELECT p.doc_id, p.lang FROM fp p JOIN odf ON p.doc_id = odf.doc_id
+    """,
+    doc="Near-dup ADMISSION gate lifecycle under the hash-exact oracle "
+    "(operators/neardup_gate.py): the even documents ingest through a "
+    "gated append (exact fp dedup, then MinHash-LSH banded candidates "
+    "among the batch, signature-agreement >= 0.75 drops the larger id), "
+    "recording survivors' signatures keyed by ledger fp; the odd "
+    "documents then append against that LIVE store — banded candidates "
+    "between batch and stored signatures block near-dups of stored "
+    "docs without ever reading corpus text. The md5/16-hash family "
+    "makes every stage engine-portable, so DuckDB replays the ENTIRE "
+    "two-append protocol: both exact-dedup passes, the within-batch "
+    "pair rule (ANY smaller-id candidate blocks, dropped or not), and "
+    "the orientation-free against-store blocking. The production "
+    "family stays xxhash64/64 (same code path, recall-tested).",
+)
+def near_dup_gate_docs(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.operators.writer import append_corpus  # noqa: PLC0415
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="bbai_gate_spec_"), "corpus")
+    opts = {"hash": "md5", "num_hashes": 16, "bands": 4}
+    append_corpus(
+        d.filter(F.col("doc_id") % 2 == 0), out,
+        near_dup_threshold=0.75, near_dup_opts=opts,
+    )
+    append_corpus(
+        d.filter(F.col("doc_id") % 2 == 1), out,
+        near_dup_threshold=0.75, near_dup_opts=opts,
+    )
+    return spark.read.parquet(out).select("doc_id", "lang")
+
+
 # ---------------------------------------------------------------------
 
 # The driver grades only the FIRST 50 registration-order specs. Source order
