@@ -77,6 +77,11 @@ def _opts_of(near_dup_opts: dict | None) -> dict:
         if unknown:
             raise ValueError(f"unknown near_dup_opts: {sorted(unknown)}")
         opts.update(near_dup_opts)
+    if opts["num_hashes"] < 1 or opts["bands"] < 1:
+        raise ValueError(
+            f"num_hashes ({opts['num_hashes']}) and bands "
+            f"({opts['bands']}) must be >= 1"
+        )
     if opts["num_hashes"] % opts["bands"]:
         raise ValueError(
             f"bands ({opts['bands']}) must divide num_hashes "
@@ -89,33 +94,46 @@ def _opts_of(near_dup_opts: dict | None) -> dict:
 
 def _signatures(
     df: DataFrame, key: Column, text_col: str, opts: dict
-) -> DataFrame:
-    """``(key, sig array<string>)`` for documents WITH shingles; one
-    uniform string-array signature type so both hash families share the
-    store schema and the agreement expression."""
-    from bambooai_spark.caching import track  # noqa: PLC0415
+) -> tuple[DataFrame, DataFrame]:
+    """``(sig_df, persisted)``: sig_df is ``(_k, sig array<string>)``
+    for documents WITH shingles — one uniform string-array signature
+    type so both hash families share the store schema and the agreement
+    expression. ``persisted`` is the cached intermediate the CALLER must
+    unpersist after materializing sig_df (the gate runs inside streaming
+    micro-batches, so a deferred session-lifetime cache would leak one
+    entry per batch forever).
+
+    The persist is the CollapseProject barrier dedup.py documents —
+    and for the xx family it caches the BASE shingle hashes (``h0s``),
+    not just the shingle strings, so xxhash64 over the shingles runs
+    once instead of once per hash function (dedup.minhash_signatures'
+    structure)."""
     from bambooai_spark.functions.text import word_shingles  # noqa: PLC0415
     from bambooai_spark.operators.dedup import (  # noqa: PLC0415
         _md5_minhash_sig,
     )
 
-    shs = df.select(
-        key.alias("_k"), word_shingles(text_col, opts["n"]).alias("shs")
-    ).filter(F.size("shs") > 0)
-    # persist: the CollapseProject barrier dedup.py documents — without
-    # it the shingle pipeline re-expands once per hash function
-    shs = track(shs.persist())
     if opts["hash"] == "md5":
+        base = df.select(
+            key.alias("_k"), word_shingles(text_col, opts["n"]).alias("shs")
+        ).filter(F.size("shs") > 0)
+        base = base.persist()
         sig = _md5_minhash_sig(opts["num_hashes"])
     else:
-        h0s = F.transform("shs", lambda s: F.xxhash64(s))
+        base = df.select(
+            key.alias("_k"),
+            F.transform(
+                word_shingles(text_col, opts["n"]), lambda s: F.xxhash64(s)
+            ).alias("h0s"),
+        ).filter(F.size("h0s") > 0)
+        base = base.persist()
         sig = F.transform(
             F.sequence(F.lit(0), F.lit(opts["num_hashes"] - 1)),
             lambda i: F.array_min(
-                F.transform(h0s, lambda h: F.xxhash64(i, h))
+                F.transform("h0s", lambda h: F.xxhash64(i, h))
             ).cast("string"),
         )
-    return shs.select("_k", sig.alias("sig"))
+    return base.select("_k", sig.alias("sig")), base
 
 
 def _band_rows(sig_df: DataFrame, opts: dict) -> DataFrame:
@@ -166,7 +184,11 @@ def _live_store_sigs(
     spark: SparkSession, path: str, opts: dict
 ) -> DataFrame | None:
     """The signature store restricted to LIVE ledger fingerprints, or
-    None when either store or ledger is absent (empty corpus)."""
+    None when either store or ledger is absent (empty corpus). Multiple
+    rows per fp (a takedown + re-append of a normalization-variant text,
+    or a retried plain append) resolve NEWEST-WINS on ``recorded_at`` —
+    an arbitrary pick could keep the DEAD text's signature and let
+    near-dups of the live one through."""
     from pyspark.errors import AnalysisException  # noqa: PLC0415
 
     sdir, ldir = _join(path, SIGS_DIR), _join(path, LEDGER_DIR)
@@ -177,8 +199,9 @@ def _live_store_sigs(
         return None
     return (
         sigs.join(ledger, sigs["fp"] == ledger["fp"], "left_semi")
-        .dropDuplicates(["fp"])
-        .select(F.col("fp").alias("_k"), "sig")
+        .groupBy("fp")
+        .agg(F.max(F.struct("recorded_at", "sig")).alias("_m"))
+        .select(F.col("fp").alias("_k"), F.col("_m.sig").alias("sig"))
     )
 
 
@@ -190,19 +213,28 @@ def near_dup_gate(
     id_col: str = "doc_id",
     text_col: str = "text",
     near_dup_opts: dict | None = None,
-) -> DataFrame:
+    keep_signatures: bool = False,
+    fp_col: str = "_fp",
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Filter ``batch`` down to documents that are NOT near-dups of a
     live stored document or of a smaller-``id_col`` batch document.
     Composable standalone (``gate -> append``) or via the writers'
     ``near_dup_threshold=`` parameter, which also records the admitted
-    survivors' signatures after commit."""
+    survivors' signatures after commit.
+
+    ``keep_signatures=True`` (the writers' path) additionally returns
+    the SURVIVORS' signatures re-keyed by ``fp_col`` as a second,
+    checkpointed DataFrame for :func:`record_signatures` — the
+    shingle+MinHash pipeline is the gate's expensive stage and must not
+    run a second time at record."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     opts = _opts_of(near_dup_opts)
     spark = batch.sparkSession
     _check_or_record_params(spark, path, opts, record=False)
 
-    sigs = _signatures(batch, F.col(id_col), text_col, opts).persist()
+    sigs, sig_base = _signatures(batch, F.col(id_col), text_col, opts)
+    sigs = sigs.persist()
     bands = _band_rows(sigs, opts)
     nh = opts["num_hashes"]
 
@@ -267,10 +299,37 @@ def near_dup_gate(
     )
     # eager: later unpersists must not recompute through freed caches
     out = out.localCheckpoint(eager=True)
+    fp_sigs = None
+    if keep_signatures:
+        fp_sigs = (
+            sigs.join(
+                out.select(
+                    F.col(id_col).alias("_k"), F.col(fp_col).alias("fp")
+                ),
+                "_k",
+            )
+            .select("fp", "sig")
+            .dropDuplicates(["fp"])
+            .localCheckpoint(eager=True)
+        )
     sigs.unpersist()
+    sig_base.unpersist()
     if store is not None:
         store.unpersist()
-    return out
+    return (out, fp_sigs) if keep_signatures else out
+
+
+def _record_prepared(
+    fp_sigs: DataFrame, path: str, opts: dict
+) -> None:
+    """Append precomputed ``(fp, sig)`` rows to the store, stamped with
+    ``recorded_at`` so concurrent variants of one fp resolve newest-wins
+    at read time."""
+    spark = fp_sigs.sparkSession
+    _check_or_record_params(spark, path, opts, record=True)
+    fp_sigs.select(
+        "fp", "sig", F.current_timestamp().alias("recorded_at")
+    ).write.mode("append").parquet(_join(path, SIGS_DIR))
 
 
 def record_signatures(
@@ -283,17 +342,15 @@ def record_signatures(
 ) -> None:
     """Append the committed batch's ``(fp, sig)`` rows to the store.
     Call AFTER the corpus append commits (the writers do this when
-    ``near_dup_threshold`` is set); rows whose fp never reaches the
-    ledger are inert at gate time."""
+    ``near_dup_threshold`` is set, reusing the gate's signatures); rows
+    whose fp never reaches the ledger are inert at gate time."""
     opts = _opts_of(near_dup_opts)
-    spark = batch_with_fp.sparkSession
-    _check_or_record_params(spark, path, opts, record=True)
-    sigs = (
-        _signatures(batch_with_fp, F.col(fp_col), text_col, opts)
-        .dropDuplicates(["_k"])
-        .select(F.col("_k").alias("fp"), "sig")
+    sigs, base = _signatures(batch_with_fp, F.col(fp_col), text_col, opts)
+    fp_sigs = sigs.dropDuplicates(["_k"]).select(
+        F.col("_k").alias("fp"), "sig"
     )
-    sigs.write.mode("append").parquet(_join(path, SIGS_DIR))
+    _record_prepared(fp_sigs, path, opts)
+    base.unpersist()
 
 
 def rebuild_signatures(

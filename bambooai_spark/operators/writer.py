@@ -191,6 +191,19 @@ def _join(path: str, name: str) -> str:
     return path.rstrip("/") + "/" + name
 
 
+def _record_sigs_last(fp_sigs, path: str, near_dup_opts: dict | None) -> None:
+    """Record the gate's precomputed survivor signatures as the LAST
+    step of a gated append (no-op when the append was ungated)."""
+    if fp_sigs is None:
+        return
+    from bambooai_spark.operators.neardup_gate import (  # noqa: PLC0415
+        _opts_of,
+        _record_prepared,
+    )
+
+    _record_prepared(fp_sigs, path, _opts_of(near_dup_opts))
+
+
 def _lease_beat(lease) -> None:
     """Refresh + verify an advisory writer lease (``operators/lease.py``)
     at op entry, if the caller passed one. Duck-typed to avoid a circular
@@ -714,14 +727,16 @@ def append_corpus(
         new_docs, path, id_col=id_col, text_col=text_col,
         evolve_schema=evolve_schema, manifest_doc=doc,
     )
+    fp_sigs = None
     if near_dup_threshold is not None:
         from bambooai_spark.operators.neardup_gate import (  # noqa: PLC0415
             near_dup_gate,
         )
 
-        batch = near_dup_gate(
+        batch, fp_sigs = near_dup_gate(
             batch, path, threshold=near_dup_threshold,
             id_col=id_col, text_col=text_col, near_dup_opts=near_dup_opts,
+            keep_signatures=True,
         )
     # publish begins HERE: _record_schema is a manifest read-modify-write,
     # so the lost-lease abort must come before it, not just before the
@@ -741,14 +756,6 @@ def append_corpus(
     batch.select(F.col("_fp").alias("fp")).write.mode("append").parquet(
         _join(path, LEDGER_DIR)
     )
-    if near_dup_threshold is not None:
-        from bambooai_spark.operators.neardup_gate import (  # noqa: PLC0415
-            record_signatures,
-        )
-
-        record_signatures(
-            batch, path, text_col=text_col, near_dup_opts=near_dup_opts
-        )
 
     if full_manifest:
         from pyspark.sql.types import StructType  # noqa: PLC0415
@@ -778,6 +785,7 @@ def append_corpus(
             as_of_floor=floor,
             schema_json=schema_json,
         )
+        _record_sigs_last(fp_sigs, path, near_dup_opts)
         return manifest
 
     delta = _collect_delta(batch, partition_by, token_col)
@@ -786,6 +794,11 @@ def append_corpus(
         columns=sorted(new_docs.columns),
         schema_json=schema_json,
     )
+    # signatures LAST: everything above is the batch's durable commit —
+    # a sig-write failure after it loses only recall (rebuildable), where
+    # before the manifest fold it would strand the batch's delta forever
+    # (the retry anti-joins the live ledger and folds an empty delta)
+    _record_sigs_last(fp_sigs, path, near_dup_opts)
     return _manifest_df(spark, rows, partition_by, token_col, new_docs)
 
 
@@ -1179,14 +1192,16 @@ def append_corpus_txn(
         new_docs, path, id_col=id_col, text_col=text_col,
         evolve_schema=evolve_schema, manifest_doc=doc,
     )
+    fp_sigs = None
     if near_dup_threshold is not None:
         from bambooai_spark.operators.neardup_gate import (  # noqa: PLC0415
             near_dup_gate,
         )
 
-        batch = near_dup_gate(
+        batch, fp_sigs = near_dup_gate(
             batch, path, threshold=near_dup_threshold,
             id_col=id_col, text_col=text_col, near_dup_opts=near_dup_opts,
+            keep_signatures=True,
         )
     if batch.isEmpty():
         # nothing survived the gate/dedup — commit an empty batch so the
@@ -1242,19 +1257,13 @@ def append_corpus_txn(
     _fs_write_text_atomic(spark, staged_flag, json.dumps(info, default=str))
     _lease_ensure(lease)
     manifest = _commit_staged(spark, path, stage, batch_id, info, new_docs)
-    if near_dup_threshold is not None:
-        # AFTER the commit: a crash between commit and record loses only
-        # these signatures (bounded recall loss, rebuild_signatures
-        # heals); the ledger stays the single source of liveness. Replay
-        # paths (marker / staged resume) skip recording — same bounded
-        # loss, same heal.
-        from bambooai_spark.operators.neardup_gate import (  # noqa: PLC0415
-            record_signatures,
-        )
-
-        record_signatures(
-            batch, path, text_col=text_col, near_dup_opts=near_dup_opts
-        )
+    # AFTER the commit: a crash between commit and record loses only
+    # these signatures (bounded recall loss, rebuild_signatures heals);
+    # the ledger stays the single source of liveness. Replay paths
+    # (marker / staged resume) skip recording — same bounded loss, same
+    # heal. The signatures are the gate's own (checkpointed), never
+    # recomputed.
+    _record_sigs_last(fp_sigs, path, near_dup_opts)
     return manifest
 
 

@@ -234,3 +234,90 @@ def test_streaming_sink_gated(spark, tmp_path):
         near_dup_threshold=THR, near_dup_opts=OPTS,
     )
     assert spark.read.parquet(path).count() == n_seed  # all twins blocked
+
+
+def test_gate_releases_caches(spark, tmp_path):
+    """The gate runs inside streaming micro-batches — it must release
+    every cache it takes (a deferred session-lifetime cache would leak
+    one entry per batch forever)."""
+    d = _docs(spark).filter("doc_id < 20")
+    path = _corpus(spark, tmp_path, d)
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    near_dup_gate(
+        _perturb(d), path, threshold=THR, near_dup_opts=OPTS
+    ).count()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before, (before, after)
+
+
+def test_newest_signature_wins_for_shared_fp(spark, tmp_path):
+    """Takedown + re-append of a normalization VARIANT (same fp, raw
+    text differs, so shingles differ) leaves two sig rows for one live
+    fp — reads must deterministically use the NEWEST (the live text's),
+    or near-dups of the live text can evade the gate."""
+    v1 = "The Quick   Brown Fox Jumps Over The Lazy Dog Again And Again"
+    v2 = v1.lower().replace("   ", " ")  # same fp, different shingles
+    schema = (
+        "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "corpus")
+    append_corpus(
+        spark.createDataFrame([(1, v1, "en", "s", 60)], schema), path,
+        near_dup_threshold=THR, near_dup_opts=OPTS,
+    )
+    delete_from_corpus(spark, path, F.col("doc_id") == 1)
+    append_corpus(
+        spark.createDataFrame([(2, v2, "en", "s", 60)], schema), path,
+        near_dup_threshold=THR, near_dup_opts=OPTS,
+    )
+    # near-dup of the LIVE text (v2 casing) must be blocked
+    twin = spark.createDataFrame(
+        [(3, v2 + " tail", "en", "s", 65)], schema
+    )
+    got = near_dup_gate(twin, path, threshold=THR, near_dup_opts=OPTS)
+    assert got.count() == 0
+
+
+def test_opts_positivity(spark, tmp_path):
+    for bad in ({"bands": 0}, {"bands": -4}, {"num_hashes": 0}):
+        with pytest.raises(ValueError, match=">= 1"):
+            near_dup_gate(
+                _docs(spark).filter("doc_id < 3"), str(tmp_path),
+                threshold=0.5, near_dup_opts=bad,
+            )
+
+
+def test_sig_record_failure_after_manifest(spark, tmp_path, monkeypatch):
+    """A signature-store write failure must strike AFTER the manifest
+    fold: the batch's durable commit (data + ledger + manifest) survives
+    and only recall is lost (rebuildable)."""
+    import bambooai_spark.operators.writer as writer_mod
+    from bambooai_spark.operators.writer import _load_manifest_doc
+
+    d = _docs(spark).filter("doc_id < 10")
+    path = _corpus(spark, tmp_path, d)
+    rows_before = sum(
+        e["n_rows"]
+        for e in _load_manifest_doc(spark, path)["partitions"]
+    )
+
+    def boom(fp_sigs, path_, opts_):
+        raise OSError("sig store down")
+
+    monkeypatch.setattr(
+        "bambooai_spark.operators.neardup_gate._record_prepared", boom
+    )
+    novel = spark.createDataFrame(
+        [(300000 + i,
+          f"fresh unmatched text {i} alpha{i} beta{i * 3} gamma{i * 7}",
+          "en", "s", 40) for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(OSError, match="sig store down"):
+        append_corpus(
+            novel, path, near_dup_threshold=THR, near_dup_opts=OPTS
+        )
+    doc = _load_manifest_doc(spark, path)
+    rows_after = sum(e["n_rows"] for e in doc["partitions"])
+    assert rows_after == rows_before + 5  # manifest delta survived
+    assert spark.read.parquet(path).filter("doc_id >= 300000").count() == 5
