@@ -22,6 +22,11 @@ from bambooai_spark.operators.similarity import (
     label_centroids,
 )
 from bambooai_spark.operators.export import export_jsonl_shards
+from bambooai_spark.operators.vector_store import (
+    append_vector_corpus,
+    query_vector_corpus,
+    write_vector_corpus,
+)
 from bambooai_spark.operators.neardup_gate import (
     near_dup_gate,
     rebuild_signatures,
@@ -62,6 +67,9 @@ __all__ = [
     "CorpusLeaseLost",
     "corpus_lease",
     "near_dup_gate",
+    "append_vector_corpus",
+    "query_vector_corpus",
+    "write_vector_corpus",
     "record_signatures",
     "rebuild_signatures",
     "append_corpus",

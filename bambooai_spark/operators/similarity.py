@@ -318,6 +318,63 @@ def knn_ivf(
     )
 
 
+def md5_centroids(
+    df: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> list[list[float]]:
+    """Deterministic pseudo-random centroid sample: the vectors of the
+    ``n_cells`` rows with the smallest ``(md5(id), id)``; cell id = rank
+    in that order. Engine-portable (any SQL engine reproduces the same
+    cells), the oracle-reproducible twin of :func:`train_ivf_centroids`.
+    Returns plain lists of doubles (storable in JSON metadata)."""
+    rows = (
+        df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .withColumn("_m", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_m", id_col)
+        .limit(n_cells)
+        .select("_v")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot build IVF cells: table is empty")
+    return [[float(x) for x in r["_v"]] for r in rows]
+
+
+def ivf_assign_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    *,
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Engine-portable nearest-centroid assignment: squared L2 via the
+    dot-product expansion ``<v,v> − 2<v,c> + <c,c>`` with cell-id
+    tie-break, all in SQL expressions — bit-identical across engines
+    where :func:`ivf_assign`'s numpy path is only mathematically equal.
+    Costs a broadcast join with an n_cells-row relation instead of one
+    vectorized numpy pass; use it when downstream comparison demands
+    cross-engine exactness (the oracle specs), numpy otherwise.
+    ``id_col`` must be unique (the assignment is keyed by it)."""
+    spark = df.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "_cell INT, _cv ARRAY<DOUBLE>",
+        )
+    )
+    v = as_double("_v")
+    d = dot(v, v) - 2 * dot(v, "_cv") + dot("_cv", "_cv")
+    assigned = (
+        df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .crossJoin(cdf)
+        .withColumn("_d", d)
+        .groupBy(id_col)
+        .agg(F.min(F.struct("_d", "_cell")).alias("_mc"))
+        .select(id_col, F.col("_mc._cell").alias(out_col))
+    )
+    return df.join(assigned, [id_col])
+
+
 def knn_ivf_md5(
     df: DataFrame,
     id_col: str,
@@ -350,18 +407,10 @@ def knn_ivf_md5(
     materialization is the ``n_cells`` centroid rows."""
     spark = df.sparkSession
     v = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
-    crows = (
-        v.withColumn("_m", F.md5(F.col(id_col).cast("string")))
-        .orderBy("_m", id_col)
-        .limit(n_cells)
-        .select("_v")
-        .collect()
-    )
-    if not crows:
-        raise ValueError("cannot build IVF cells: table is empty")
+    cents = md5_centroids(df, id_col, vec_col, n_cells)
     cdf = F.broadcast(
         spark.createDataFrame(
-            [(i, r["_v"]) for i, r in enumerate(crows)],
+            [(i, c) for i, c in enumerate(cents)],
             "_cell INT, _cv ARRAY<DOUBLE>",
         )
     )

@@ -1,0 +1,230 @@
+"""Persisted IVF vector corpus — the ANN layout that makes 100 TB of
+embeddings queryable without scanning them.
+
+The query-time operators (``operators/similarity.py``) assign cells on
+the fly; this module makes the inverted file DURABLE: vectors are
+written partitioned by their nearest-centroid cell
+(``ivf_cell=<n>/...``), the coarse quantizer (centroids + parameters)
+is pinned in ``_vector_store.json`` at the store root, and a query
+reads ONLY the ``nprobe`` probed cells — at the FileSourceScan level
+(``PartitionFilters``), so the other ``n_cells − nprobe`` directories
+are never listed, opened, or decoded. Per query that is ~``nprobe/
+n_cells`` of the corpus bytes; everything else about the score is
+exact (cosines of the probed rows — the approximation only restricts
+WHICH rows compete, as in ``knn_ivf``).
+
+Appends assign against the PINNED centroids — an index must never
+silently re-cluster under its data (cells would stop matching their
+directories); retrain deliberately by rewriting the store.
+
+Build parity: ``assign="numpy"`` (default) uses the vectorized
+Arrow-batch assignment; ``assign="exact"`` uses the engine-portable
+SQL dot-product expansion with cell-id tie-break, which is what lets
+the suite spec verify the WHOLE persisted pipeline (build → layout →
+probe → score) against DuckDB when paired with
+:func:`~bambooai_spark.operators.similarity.md5_centroids`.
+
+Reference parity: the reference's vector search is a driver-side
+top-k over a handful of records (qa_retrieval.py:100-144); this is the
+disk-layout scale path its semantics imply at corpus size.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bambooai_spark.functions.vectors import as_double, cosine, dot
+from bambooai_spark.operators.similarity import (
+    ivf_assign,
+    ivf_assign_exact,
+    train_ivf_centroids,
+)
+from bambooai_spark.operators.writer import (
+    _fs_exists,
+    _fs_read_text,
+    _fs_write_text_atomic,
+    _join,
+)
+
+META_NAME = "_vector_store.json"
+CELL_COL = "ivf_cell"
+
+
+def _load_meta(spark: SparkSession, path: str) -> dict:
+    mpath = _join(path, META_NAME)
+    if not _fs_exists(spark, mpath):
+        raise FileNotFoundError(
+            f"no vector store at {path} ({META_NAME} missing) — build one "
+            "with write_vector_corpus first"
+        )
+    return json.loads(_fs_read_text(spark, mpath))
+
+
+def write_vector_corpus(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    centroids=None,
+    assign: str = "numpy",
+    max_records_per_file: int | None = None,
+) -> dict:
+    """Build (or rebuild) the persisted inverted file: train or accept
+    ``centroids``, assign every row, write parquet partitioned by
+    ``ivf_cell``, pin the quantizer in the store metadata. Returns the
+    metadata dict. OVERWRITES any prior store at ``path`` (retraining
+    is deliberate; incremental growth goes through
+    :func:`append_vector_corpus`)."""
+    if assign not in ("numpy", "exact"):
+        raise ValueError(f"assign must be numpy|exact, got {assign!r}")
+    spark = df.sparkSession
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, n_cells=n_cells)
+    cents = [[float(x) for x in c] for c in np.asarray(centroids)]
+    if not cents:
+        raise ValueError("no centroids")
+    _write_assigned(
+        df, path, id_col, vec_col, cents, assign, max_records_per_file,
+        mode="overwrite",
+    )
+    meta = {
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "n_cells": len(cents),
+        "dim": len(cents[0]),
+        "assign": assign,
+        "centroids": cents,
+    }
+    mpath = _join(path, META_NAME)
+    from bambooai_spark.operators.writer import _fs_delete  # noqa: PLC0415
+
+    _fs_delete(spark, mpath)
+    _fs_write_text_atomic(spark, mpath, json.dumps(meta))
+    return meta
+
+
+def append_vector_corpus(
+    df: DataFrame,
+    path: str,
+    *,
+    max_records_per_file: int | None = None,
+) -> dict:
+    """Grow the store: assign the new vectors against the PINNED
+    centroids (never retrain — the on-disk cells must keep matching
+    their quantizer) and append into the cell directories."""
+    spark = df.sparkSession
+    meta = _load_meta(spark, path)
+    _write_assigned(
+        df, path, meta["id_col"], meta["vec_col"], meta["centroids"],
+        meta["assign"], max_records_per_file, mode="append",
+    )
+    return meta
+
+
+def _write_assigned(
+    df, path, id_col, vec_col, cents, assign, max_records_per_file, *, mode
+):
+    schema = {f.name: f for f in df.schema.fields}
+    if id_col not in schema or vec_col not in schema:
+        raise ValueError(
+            f"columns ({id_col!r}, {vec_col!r}) not both present in "
+            f"{sorted(schema)}"
+        )
+    if CELL_COL in schema:
+        raise ValueError(f"input already has a {CELL_COL!r} column")
+    dim_probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if dim_probe and dim_probe[0]["d"] != len(cents[0]):
+        raise ValueError(
+            f"vector dim {dim_probe[0]['d']} != store dim {len(cents[0])}"
+        )
+    if assign == "exact":
+        assigned = ivf_assign_exact(
+            df, id_col, vec_col, cents, out_col=CELL_COL
+        )
+    else:
+        assigned = ivf_assign(
+            df, vec_col, np.asarray(cents, dtype=np.float64),
+            out_col=CELL_COL,
+        )
+    writer = assigned.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy(CELL_COL).parquet(path)
+
+
+def probe_cells(
+    spark: SparkSession, path: str, query_vec, *, nprobe: int
+) -> list[int]:
+    """The ``nprobe`` cell ids nearest the query — computed with the
+    SAME engine-portable expansion + tie-break as the exact assignment
+    (one job over the n_cells-row centroid relation, metadata-scale)."""
+    meta = _load_meta(spark, path)
+    qv = [float(x) for x in query_vec]
+    if len(qv) != meta["dim"]:
+        raise ValueError(f"query dim {len(qv)} != store dim {meta['dim']}")
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(meta["centroids"])],
+        "_cell INT, _cv ARRAY<DOUBLE>",
+    )
+    q = F.lit(qv)
+    d = dot("_cv", "_cv") - 2 * dot("_cv", q) + dot(q, q)
+    rows = (
+        cdf.withColumn("_d", d).orderBy("_d", "_cell").limit(nprobe).collect()
+    )
+    return [int(r["_cell"]) for r in rows]
+
+
+def query_vector_corpus(
+    spark: SparkSession,
+    path: str,
+    query_vec,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_id=None,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Approximate top-k against the persisted store: probe the
+    ``nprobe`` nearest cells and read ONLY those partitions (the scan's
+    ``PartitionFilters`` carries the cell predicate — the other
+    directories are never touched), exact cosines within, top-k by
+    ``(cosine DESC, id)``. ``exclude_id`` drops the query row itself
+    when querying by a stored vector."""
+    meta = _load_meta(spark, path)
+    cells = probe_cells(spark, path, query_vec, nprobe=nprobe)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    qv = [float(x) for x in query_vec]
+    scan = spark.read.parquet(path).filter(F.col(CELL_COL).isin(cells))
+    if exclude_id is not None:
+        scan = scan.filter(F.col(id_col) != exclude_id)
+    scored = scan.withColumn(
+        "_cos", cosine(as_double(vec_col), F.lit(qv))
+    )
+    return (
+        scored.orderBy(F.desc("_cos"), F.col(id_col))
+        .select(
+            id_col, *(extra_cols or []), F.round("_cos", 6).alias("cosine")
+        )
+        .limit(k)
+    )
+
+
+def stored_vector(spark: SparkSession, path: str, vec_id) -> list[float]:
+    """Fetch one stored vector by id (drives query-by-stored-id)."""
+    meta = _load_meta(spark, path)
+    rows = (
+        spark.read.parquet(path)
+        .filter(F.col(meta["id_col"]) == vec_id)
+        .select(meta["vec_col"])
+        .limit(1)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(f"id {vec_id!r} not in the vector store")
+    return [float(x) for x in rows[0][0]]

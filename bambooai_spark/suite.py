@@ -2880,9 +2880,10 @@ _IVF_DIST = (
 )
 
 
-@spec(
-    "knn_ivf_md5_embeddings",
-    f"""
+# shared by knn_ivf_md5_embeddings (on-the-fly) and
+# vector_store_embeddings (persisted layout): both must produce the
+# identical inverted-file result, so they share one oracle
+_IVF_MD5_ORACLE = f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
     c AS (SELECT vec_id AS cid, v AS cv,
@@ -2915,7 +2916,12 @@ _IVF_DIST = (
           WHERE v.vec_id <> 0)
     SELECT vec_id, ROUND(cos, 6) AS cosine
     FROM s ORDER BY cos DESC, vec_id LIMIT 10
-    """,
+    """
+
+
+@spec(
+    "knn_ivf_md5_embeddings",
+    _IVF_MD5_ORACLE,
     doc="Oracle-reproducible IVF ANN (companion of knn_ivf_embeddings, "
     "same role as the md5 LSH family): centroids = the 8 rows with the "
     "smallest (md5(id), id) — a deterministic pseudo-random sample — "
@@ -4974,6 +4980,47 @@ def near_dup_gate_docs(spark, sf_dir):
         near_dup_threshold=0.75, near_dup_opts=opts,
     )
     return spark.read.parquet(out).select("doc_id", "lang")
+
+
+@spec(
+    "vector_store_embeddings",
+    _IVF_MD5_ORACLE,
+    doc="PERSISTED IVF vector corpus (operators/vector_store.py): build "
+    "writes the embeddings partitioned by nearest-centroid cell with "
+    "the quantizer pinned in store metadata; the query probes the 4 "
+    "nearest cells and reads ONLY those partition directories (the "
+    "scan's PartitionFilters carries the cell predicate — plan-tested), "
+    "exact cosines within, top-10. With md5-sampled centroids and the "
+    "engine-portable expansion assignment, the ENTIRE persisted "
+    "pipeline (build -> on-disk layout -> probe -> score) shares the "
+    "knn_ivf_md5 oracle — identical answer through the durable path. "
+    "At 100 TB this is ~nprobe/n_cells of corpus bytes per query; "
+    "production uses the Lloyd quantizer + numpy assignment.",
+)
+def vector_store_embeddings(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.operators.similarity import (  # noqa: PLC0415
+        md5_centroids,
+    )
+    from bambooai_spark.operators.vector_store import (  # noqa: PLC0415
+        query_vector_corpus,
+        stored_vector,
+        write_vector_corpus,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = os.path.join(tempfile.mkdtemp(prefix="bbai_vs_spec_"), "vstore")
+    write_vector_corpus(
+        e, out,
+        centroids=md5_centroids(e, "vec_id", "embedding", 8),
+        assign="exact",
+    )
+    qv = stored_vector(spark, out, 0)
+    return query_vector_corpus(
+        spark, out, qv, k=10, nprobe=4, exclude_id=0
+    )
 
 
 # ---------------------------------------------------------------------

@@ -1,0 +1,141 @@
+"""Persisted IVF vector store: full-probe exactness vs brute force,
+partition-pruned scans, pinned-centroid appends, exact/numpy assignment
+parity, and argument/metadata validation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bambooai_spark.io import load_table
+from bambooai_spark.operators.similarity import knn_brute_force, md5_centroids
+from bambooai_spark.operators.vector_store import (
+    CELL_COL,
+    META_NAME,
+    append_vector_corpus,
+    query_vector_corpus,
+    stored_vector,
+    write_vector_corpus,
+)
+from tests.conftest import SF_DIR
+
+
+def _emb(spark):
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def _store(spark, tmp_path, **kw):
+    path = str(tmp_path / "vstore")
+    meta = write_vector_corpus(_emb(spark), path, n_cells=8, **kw)
+    return path, meta
+
+
+def test_full_probe_equals_brute_force(spark, tmp_path):
+    """nprobe == n_cells reads everything — the result must be EXACTLY
+    the brute-force top-k (the approximation only restricts which cells
+    are read)."""
+    path, _ = _store(spark, tmp_path)
+    qv = stored_vector(spark, path, 0)
+    got = query_vector_corpus(
+        spark, path, qv, k=5, nprobe=8, exclude_id=0
+    ).collect()
+    want = knn_brute_force(
+        _emb(spark), "vec_id", "embedding", query_id=0, k=5
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
+
+
+def test_query_scan_is_partition_pruned(spark, tmp_path):
+    """The probe predicate must reach the scan as a PartitionFilter —
+    unprobed cell directories are never listed or read."""
+    path, _ = _store(spark, tmp_path)
+    qv = stored_vector(spark, path, 0)
+    q = query_vector_corpus(spark, path, qv, k=5, nprobe=2, exclude_id=0)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and f"{CELL_COL}#" in pf[0] and " IN (" in pf[0], plan[:2000]
+    assert q.count() == 5
+
+
+def test_append_uses_pinned_centroids(spark, tmp_path):
+    """Appends assign against the stored quantizer (no retrain): a
+    near-identical appended vector lands queryable, and the metadata is
+    byte-identical before and after."""
+    path, meta = _store(spark, tmp_path)
+    before = json.loads(open(os.path.join(path, META_NAME)).read())
+    twin = (
+        _emb(spark)
+        .filter("vec_id = 0")
+        .withColumn("vec_id", F.lit(777777).cast("long"))
+    )
+    append_vector_corpus(twin, path)
+    after = json.loads(open(os.path.join(path, META_NAME)).read())
+    assert before == after
+    qv = stored_vector(spark, path, 0)
+    top = query_vector_corpus(
+        spark, path, qv, k=1, nprobe=1, exclude_id=0
+    ).collect()
+    # the identical twin shares cell 0's nearest cell, so even a 1-cell
+    # probe finds it at cosine 1
+    assert top[0]["vec_id"] == 777777 and top[0]["cosine"] == 1.0
+
+
+def test_exact_and_numpy_assignments_agree(spark, tmp_path):
+    """The SQL-expansion assignment and the numpy batch assignment are
+    the same partitioning on real data (they differ only in float
+    rounding on exact centroid-distance ties)."""
+    e = _emb(spark)
+    cents = md5_centroids(e, "vec_id", "embedding", 8)
+    p1 = str(tmp_path / "a")
+    p2 = str(tmp_path / "b")
+    write_vector_corpus(e, p1, centroids=cents, assign="numpy")
+    write_vector_corpus(e, p2, centroids=cents, assign="exact")
+    a = {
+        (r["vec_id"], r[CELL_COL])
+        for r in spark.read.parquet(p1).select("vec_id", CELL_COL).collect()
+    }
+    b = {
+        (r["vec_id"], r[CELL_COL])
+        for r in spark.read.parquet(p2).select("vec_id", CELL_COL).collect()
+    }
+    assert a == b
+
+
+def test_rebuild_is_deterministic(spark, tmp_path):
+    p1 = str(tmp_path / "a")
+    p2 = str(tmp_path / "b")
+    write_vector_corpus(_emb(spark), p1, n_cells=8)
+    write_vector_corpus(_emb(spark), p2, n_cells=8)
+    cells = lambda p: sorted(  # noqa: E731
+        d for d in os.listdir(p) if d.startswith(f"{CELL_COL}=")
+    )
+    assert cells(p1) == cells(p2)
+
+
+def test_validation(spark, tmp_path):
+    e = _emb(spark)
+    path = str(tmp_path / "vstore")
+    with pytest.raises(ValueError, match="assign must be"):
+        write_vector_corpus(e, path, assign="gpu")
+    with pytest.raises(ValueError, match="not both present"):
+        write_vector_corpus(e, path, id_col="nope")
+    with pytest.raises(FileNotFoundError, match="no vector store"):
+        query_vector_corpus(spark, str(tmp_path / "absent"), [0.0], k=1)
+    write_vector_corpus(e, path, n_cells=4)
+    with pytest.raises(ValueError, match="query dim"):
+        query_vector_corpus(spark, path, [1.0, 2.0], k=1)
+    with pytest.raises(ValueError, match="vector dim"):
+        append_vector_corpus(
+            e.withColumn("embedding", F.slice("embedding", 1, 3)), path
+        )
+    with pytest.raises(ValueError, match="not in the vector store"):
+        stored_vector(spark, path, -1)
+    with pytest.raises(ValueError, match="ivf_cell"):
+        write_vector_corpus(
+            e.withColumn(CELL_COL, F.lit(1)), str(tmp_path / "v2")
+        )
