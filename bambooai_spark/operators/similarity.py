@@ -354,7 +354,9 @@ def ivf_assign_exact(
     Costs a broadcast join with an n_cells-row relation instead of one
     vectorized numpy pass; use it when downstream comparison demands
     cross-engine exactness (the oracle specs), numpy otherwise.
-    ``id_col`` must be unique (the assignment is keyed by it)."""
+    ``id_col`` must be unique (the assignment is keyed by it); a NULL
+    id joins back null-safely (an inner equi-join would silently DROP
+    the row, diverging from the numpy path which keeps every row)."""
     spark = df.sparkSession
     cdf = F.broadcast(
         spark.createDataFrame(
@@ -370,9 +372,11 @@ def ivf_assign_exact(
         .withColumn("_d", d)
         .groupBy(id_col)
         .agg(F.min(F.struct("_d", "_cell")).alias("_mc"))
-        .select(id_col, F.col("_mc._cell").alias(out_col))
+        .select(F.col(id_col).alias("_aid"), F.col("_mc._cell").alias(out_col))
     )
-    return df.join(assigned, [id_col])
+    return df.join(
+        assigned, df[id_col].eqNullSafe(assigned["_aid"])
+    ).drop("_aid")
 
 
 def knn_ivf_md5(
@@ -406,7 +410,6 @@ def knn_ivf_md5(
     quantizer quality for cross-engine byte-exactness. The only driver
     materialization is the ``n_cells`` centroid rows."""
     spark = df.sparkSession
-    v = df.select(F.col(id_col), as_double(vec_col).alias("_v"))
     cents = md5_centroids(df, id_col, vec_col, n_cells)
     cdf = F.broadcast(
         spark.createDataFrame(
@@ -418,13 +421,12 @@ def knn_ivf_md5(
     def dist(a, b):  # squared L2 via the expansion — matches the oracle
         return dot(a, a) - 2 * dot(a, b) + dot(b, b)
 
-    assigned = (
-        v.crossJoin(cdf)
-        .withColumn("_d", dist("_v", "_cv"))
-        .groupBy(id_col)
-        .agg(F.min(F.struct("_d", "_cell")).alias("_mc"))
-        .select(id_col, F.col("_mc._cell").alias("_cell"))
-    )
+    # ONE assignment implementation (ivf_assign_exact) — the expression
+    # is oracle-parity-critical, so it must not exist in two copies
+    va = ivf_assign_exact(
+        df.select(F.col(id_col), F.col(vec_col)), id_col, vec_col, cents,
+        out_col="_cell",
+    ).select(F.col(id_col), as_double(vec_col).alias("_v"), "_cell")
     q = _query_df(df, id_col, vec_col, query_id)
     probe = (
         cdf.crossJoin(q)
@@ -434,8 +436,7 @@ def knn_ivf_md5(
         .select("_cell")
     )
     scored = (
-        v.join(assigned, id_col)
-        .join(F.broadcast(probe), "_cell")
+        va.join(F.broadcast(probe), "_cell")
         .filter(F.col(id_col) != query_id)
         .crossJoin(q)
         .withColumn("_cos", cosine("_v", "_q"))

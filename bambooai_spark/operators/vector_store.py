@@ -44,6 +44,7 @@ from bambooai_spark.operators.similarity import (
     train_ivf_centroids,
 )
 from bambooai_spark.operators.writer import (
+    _fs_delete,
     _fs_exists,
     _fs_read_text,
     _fs_write_text_atomic,
@@ -99,11 +100,14 @@ def write_vector_corpus(
         "n_cells": len(cents),
         "dim": len(cents[0]),
         "assign": assign,
+        # pinned column set: appends must match it exactly, or reads
+        # (one arbitrary footer decides the schema) silently drop or
+        # null the drifted columns — same hazard the corpus writer's
+        # drift guard exists for
+        "columns": sorted(df.columns),
         "centroids": cents,
     }
     mpath = _join(path, META_NAME)
-    from bambooai_spark.operators.writer import _fs_delete  # noqa: PLC0415
-
     _fs_delete(spark, mpath)
     _fs_write_text_atomic(spark, mpath, json.dumps(meta))
     return meta
@@ -120,6 +124,13 @@ def append_vector_corpus(
     their quantizer) and append into the cell directories."""
     spark = df.sparkSession
     meta = _load_meta(spark, path)
+    if sorted(df.columns) != meta.get("columns", sorted(df.columns)):
+        raise ValueError(
+            f"append columns {sorted(df.columns)} != the store's pinned "
+            f"columns {meta['columns']} — mixed parquet schemas read back "
+            "as one arbitrary footer's column set; align the frame or "
+            "rebuild the store"
+        )
     _write_assigned(
         df, path, meta["id_col"], meta["vec_col"], meta["centroids"],
         meta["assign"], max_records_per_file, mode="append",
@@ -152,19 +163,28 @@ def _write_assigned(
             df, vec_col, np.asarray(cents, dtype=np.float64),
             out_col=CELL_COL,
         )
-    writer = assigned.write.mode(mode)
+    # static overwrite regardless of session config: under dynamic
+    # partition-overwrite a rebuild with fewer cells would leave the
+    # dropped cells' directories alive with stale vectors (the same
+    # hazard export.py guards)
+    writer = assigned.write.mode(mode).option(
+        "partitionOverwriteMode", "static"
+    )
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy(CELL_COL).parquet(path)
 
 
 def probe_cells(
-    spark: SparkSession, path: str, query_vec, *, nprobe: int
+    spark: SparkSession, path: str, query_vec, *, nprobe: int, meta=None
 ) -> list[int]:
     """The ``nprobe`` cell ids nearest the query — computed with the
     SAME engine-portable expansion + tie-break as the exact assignment
-    (one job over the n_cells-row centroid relation, metadata-scale)."""
-    meta = _load_meta(spark, path)
+    (one job over the n_cells-row centroid relation, metadata-scale).
+    Pass ``meta`` when already loaded — every metadata read is a paid
+    GET on an object store (writer.py's load-once rule)."""
+    if meta is None:
+        meta = _load_meta(spark, path)
     qv = [float(x) for x in query_vec]
     if len(qv) != meta["dim"]:
         raise ValueError(f"query dim {len(qv)} != store dim {meta['dim']}")
@@ -197,7 +217,7 @@ def query_vector_corpus(
     ``(cosine DESC, id)``. ``exclude_id`` drops the query row itself
     when querying by a stored vector."""
     meta = _load_meta(spark, path)
-    cells = probe_cells(spark, path, query_vec, nprobe=nprobe)
+    cells = probe_cells(spark, path, query_vec, nprobe=nprobe, meta=meta)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     qv = [float(x) for x in query_vec]
     scan = spark.read.parquet(path).filter(F.col(CELL_COL).isin(cells))
@@ -216,7 +236,15 @@ def query_vector_corpus(
 
 
 def stored_vector(spark: SparkSession, path: str, vec_id) -> list[float]:
-    """Fetch one stored vector by id (drives query-by-stored-id)."""
+    """Fetch one stored vector by id (drives query-by-stored-id).
+
+    Convenience, NOT the scale path: the id predicate is a data filter,
+    not a partition filter, so this lists every cell directory and
+    relies on row-group stats at best — a full-store read in the worst
+    case. A repeated query-by-id workload should keep its query vectors
+    outside the store (or memoize this lookup); the partition-pruned
+    economics the module header describes apply to the PROBE, which the
+    query vector itself does not get."""
     meta = _load_meta(spark, path)
     rows = (
         spark.read.parquet(path)

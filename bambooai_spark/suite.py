@@ -5050,16 +5050,13 @@ _PROMOTE = [
     # Round-5 rotation: first driver grades for the hash-exact LSH family,
     # the r4 spec additions, the TPC-H tails, and the new skew-pack spec —
     # displacing rows already driver-evidenced 3-4 times.
-    "minhash_md5_docs",
     "minhash_md5_near_dup_docs",
-    "simhash_md5_docs",
     "stratified_sample_docs",
     "jaccard_blocked_docs",
     "shuffle_shards_docs",
     "quality_filter_docs",
     "unigram_logprob_docs",
     "pack_skew_docs",
-    "q8_market_share",
     "q13_order_distribution",
     "q21_sole_fault_supplier",
     # Round-6 rotation: the last 10 never-driver-graded oracled specs plus
@@ -5084,7 +5081,6 @@ _PROMOTE = [
     "export_shards_docs",
     "sketch_distinct_events",
     "simhash_md5_near_dup_docs",
-    "knn_ivf_md5_embeddings",
     "embed_md5_docs",
     # Round-7 rotation: the new Q12 analog takes a fresh slot, and seven
     # r6-displaced classics cycle BACK into the window (VERDICT r6 #6: no
@@ -5124,6 +5120,19 @@ _PROMOTE = [
     "argmax_events",
     "json_extract_events",
     "ftp_events",
+    # Round-8 continuation 2: the session's four new oracled specs get
+    # r8 driver grades (no oracled spec waits ungraded). Their slots:
+    # knn_ivf_md5 is SUPERSEDED by vector_store_embeddings (the same
+    # shared oracle through the persisted layout — a strict superset);
+    # minhash_md5_docs / simhash_md5_docs are the signature-only halves
+    # of their still-in-window near-dup pipelines (and near_dup_gate
+    # re-proves the md5 minhash construction end-to-end); q8's
+    # join+agg family stays repped by q12/q13/q21. All four demoted
+    # rows carry 3 green driver rounds and stay benched + pytest-pinned.
+    "theta_overlap_docs",
+    "theta_audience_events",
+    "near_dup_gate_docs",
+    "vector_store_embeddings",
 ]
 _DEMOTE = [
     "q4_order_priority",
@@ -5183,6 +5192,11 @@ _DEMOTE = [
     "monthly_orders",
     "top_customers",
     "summary_stats_lineitem",
+    # Round-8 continuation-2 demotions (see the matching _PROMOTE block):
+    "minhash_md5_docs",
+    "simhash_md5_docs",
+    "q8_market_share",
+    "knn_ivf_md5_embeddings",
     "dedup_exact_docs",
     "winnow_pairs_docs",
     "dedup_clusters_docs",

@@ -139,3 +139,51 @@ def test_validation(spark, tmp_path):
         write_vector_corpus(
             e.withColumn(CELL_COL, F.lit(1)), str(tmp_path / "v2")
         )
+
+
+def test_append_schema_drift_rejected(spark, tmp_path):
+    e = _emb(spark)
+    path = str(tmp_path / "vstore")
+    write_vector_corpus(e, path, n_cells=4)
+    with pytest.raises(ValueError, match="pinned"):
+        append_vector_corpus(e.drop("label"), path)  # narrower frame
+    with pytest.raises(ValueError, match="pinned"):
+        append_vector_corpus(  # wider frame
+            e.withColumn("extra", F.lit(1)), path
+        )
+
+
+def test_rebuild_fewer_cells_under_dynamic_overwrite(spark, tmp_path):
+    """A rebuild with fewer cells must remove the dropped cells'
+    directories even when the session runs dynamic partition-overwrite
+    (static is forced at the write) — stale dirs would read back as
+    duplicate vectors under metadata claiming fewer cells."""
+    e = _emb(spark)
+    path = str(tmp_path / "vstore")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_vector_corpus(e, path, n_cells=8)
+        write_vector_corpus(e.filter("vec_id < 20"), path, n_cells=2)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    cells = [d for d in os.listdir(path) if d.startswith(f"{CELL_COL}=")]
+    assert len(cells) <= 2, cells
+    assert spark.read.parquet(path).count() == 20
+
+
+def test_exact_assign_keeps_null_id(spark):
+    """ivf_assign_exact must not silently drop a NULL-id row (an inner
+    equi-join would); parity with the numpy path."""
+    from bambooai_spark.operators.similarity import ivf_assign_exact
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (None, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = ivf_assign_exact(
+        df, "vec_id", "embedding", [[1.0, 0.0], [0.0, 1.0]]
+    )
+    assert got.count() == 2
+    rows = {r["vec_id"]: r["ivf_cell"] for r in got.collect()}
+    assert rows[None] == 1 and rows[1] == 0
