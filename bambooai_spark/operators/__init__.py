@@ -25,6 +25,7 @@ from bambooai_spark.operators.export import export_jsonl_shards
 from bambooai_spark.operators.vector_store import (
     append_vector_corpus,
     query_vector_corpus,
+    query_vector_corpus_many,
     write_vector_corpus,
 )
 from bambooai_spark.operators.neardup_gate import (
@@ -69,6 +70,7 @@ __all__ = [
     "near_dup_gate",
     "append_vector_corpus",
     "query_vector_corpus",
+    "query_vector_corpus_many",
     "write_vector_corpus",
     "record_signatures",
     "rebuild_signatures",

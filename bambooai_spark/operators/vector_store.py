@@ -235,6 +235,98 @@ def query_vector_corpus(
     )
 
 
+def query_vector_corpus_many(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    k: int = 10,
+    nprobe: int = 4,
+    broadcast_queries: bool = True,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """BATCH top-k: one pass answers every query in ``queries`` —
+    contamination screens and retrieval pipelines ask thousands of
+    queries, and per-query driver round-trips would dominate.
+
+    Per query the semantics are IDENTICAL to
+    :func:`query_vector_corpus` (same expansion + tie-break probe, exact
+    cosines, top-k by ``(cosine DESC, id)``); the plan differs:
+
+    - probe assignment is a distributed |Q| x n_cells cross against the
+      broadcast centroid relation, per-query top-``nprobe`` on the
+      high-cardinality qid (never a funnel);
+    - the scan filter is the DISTINCT union of probed cells — bounded
+      by n_cells, so it collects to a literal ``isin`` and the scan
+      keeps its static ``PartitionFilters`` (a join-produced filter
+      would read every cell);
+    - rows join probes on the cell id (``broadcast_queries=True`` for
+      query sets that fit an executor — |Q|*nprobe vectors; turn it
+      off for very large batches and let AQE pick), and per-query
+      top-k runs through the two-phase ``grouped_top_k`` so a SMALL
+      query batch over a huge corpus still parallelizes.
+
+    Returns ``(qid, id, cosine)``, at most k rows per query."""
+    from bambooai_spark.functions.ranking import grouped_top_k  # noqa: PLC0415
+
+    meta = _load_meta(spark, path)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(meta["centroids"])],
+        "_cell INT, _cv ARRAY<DOUBLE>",
+    )
+    qv = as_double("_qv")
+    d = dot(qv, qv) - 2 * dot(qv, "_cv") + dot("_cv", "_cv")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    probes = (
+        queries.select(
+            F.col(qid_col).alias("_qid"), as_double(qvec_col).alias("_qv")
+        )
+        .crossJoin(F.broadcast(cdf))
+        .withColumn("_d", d)
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_qid").orderBy("_d", "_cell")
+            ),
+        )
+        .filter(F.col("_rn") <= nprobe)
+        .select("_qid", F.col("_cell").alias(CELL_COL), "_qv")
+    )
+    if broadcast_queries:
+        probes = F.broadcast(probes)
+    else:
+        probes = probes.persist()
+    # bounded by n_cells — a literal isin keeps static partition pruning
+    cells = [
+        r[CELL_COL]
+        for r in probes.select(CELL_COL).distinct().collect()
+    ]
+    scan = spark.read.parquet(path).filter(F.col(CELL_COL).isin(cells))
+    scored = scan.join(probes, [CELL_COL])
+    if exclude_self:
+        # query-by-stored-id convention: qids share the store id space
+        # and a query must not return its own row. OFF by default —
+        # external query ids could coincidentally collide with store ids
+        scored = scored.filter(~F.col(id_col).eqNullSafe(F.col("_qid")))
+    scored = scored.withColumn("_cos", cosine(as_double(vec_col), "_qv"))
+    out = grouped_top_k(
+        scored.select(
+            F.col("_qid").alias("qid"), F.col(id_col), F.col("_cos")
+        ),
+        ["qid"],
+        [F.col("_cos").desc(), F.col(id_col)],
+        k,
+    ).select("qid", id_col, F.round("_cos", 6).alias("cosine"))
+    if not broadcast_queries:
+        out = out.localCheckpoint(eager=True)
+        probes.unpersist()
+    return out
+
+
 def stored_vector(spark: SparkSession, path: str, vec_id) -> list[float]:
     """Fetch one stored vector by id (drives query-by-stored-id).
 

@@ -187,3 +187,79 @@ def test_exact_assign_keeps_null_id(spark):
     assert got.count() == 2
     rows = {r["vec_id"]: r["ivf_cell"] for r in got.collect()}
     assert rows[None] == 1 and rows[1] == 0
+
+
+def test_batch_query_matches_single(spark, tmp_path):
+    """The batch path's per-query answers are IDENTICAL to the
+    single-query path (same probe, same scores, same tie-break)."""
+    from bambooai_spark.operators.vector_store import (
+        query_vector_corpus_many,
+    )
+
+    path, _ = _store(spark, tmp_path)
+    qids = [0, 7, 23]
+    queries = spark.createDataFrame(
+        [(i, stored_vector(spark, path, i)) for i in qids],
+        "qid long, qvec array<double>",
+    )
+    batch = query_vector_corpus_many(
+        spark, path, queries, k=5, nprobe=3, exclude_self=True
+    ).collect()
+    got = {
+        q: [(r["vec_id"], r["cosine"]) for r in sorted(
+            (x for x in batch if x["qid"] == q),
+            key=lambda x: (-x["cosine"], x["vec_id"]),
+        )]
+        for q in qids
+    }
+    for q in qids:
+        want = query_vector_corpus(
+            spark, path, stored_vector(spark, path, q),
+            k=5, nprobe=3, exclude_id=q,
+        ).collect()
+        assert got[q] == [(r["vec_id"], r["cosine"]) for r in want], q
+
+
+def test_batch_query_scan_partition_pruned(spark, tmp_path):
+    """Even with join-delivered probes, the scan keeps a LITERAL
+    partition filter (the distinct probed-cell union is bounded by
+    n_cells and collected to an isin)."""
+    from bambooai_spark.operators.vector_store import (
+        query_vector_corpus_many,
+    )
+
+    path, _ = _store(spark, tmp_path)
+    queries = spark.createDataFrame(
+        [(1, stored_vector(spark, path, 0))], "qid long, qvec array<double>"
+    )
+    q = query_vector_corpus_many(spark, path, queries, k=3, nprobe=2)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pf = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and f"{CELL_COL}#" in ln and " IN (" in ln
+    ]
+    assert pf, plan[:3000]
+    assert q.count() == 3
+
+
+def test_batch_query_unbroadcast_path(spark, tmp_path):
+    from bambooai_spark.operators.vector_store import (
+        query_vector_corpus_many,
+    )
+
+    path, _ = _store(spark, tmp_path)
+    queries = spark.createDataFrame(
+        [(1, stored_vector(spark, path, 0)), (2, stored_vector(spark, path, 5))],
+        "qid long, qvec array<double>",
+    )
+    a = query_vector_corpus_many(
+        spark, path, queries, k=4, nprobe=8, broadcast_queries=True
+    ).collect()
+    b = query_vector_corpus_many(
+        spark, path, queries, k=4, nprobe=8, broadcast_queries=False
+    ).collect()
+    key = lambda r: (r["qid"], r["vec_id"])  # noqa: E731
+    assert sorted(
+        [(r["qid"], r["vec_id"], r["cosine"]) for r in a]
+    ) == sorted([(r["qid"], r["vec_id"], r["cosine"]) for r in b])
