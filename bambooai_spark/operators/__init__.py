@@ -28,6 +28,7 @@ from bambooai_spark.operators.vector_store import (
     query_vector_corpus_many,
     write_vector_corpus,
 )
+from bambooai_spark.operators.maintenance import suggest_maintenance
 from bambooai_spark.operators.neardup_gate import (
     near_dup_gate,
     rebuild_signatures,
@@ -68,6 +69,7 @@ __all__ = [
     "CorpusLeaseLost",
     "corpus_lease",
     "near_dup_gate",
+    "suggest_maintenance",
     "append_vector_corpus",
     "query_vector_corpus",
     "query_vector_corpus_many",

@@ -1,0 +1,195 @@
+"""Corpus maintenance advisor — the ops twin of ``validate_corpus``.
+
+``validate_corpus`` answers "is this corpus CONSISTENT"; this module
+answers "is it HEALTHY, and which maintenance op fixes what isn't":
+small-file fragmentation (the streaming sink's natural failure mode),
+crashed-op leftovers, marker accumulation, signature-store drift.
+``suggest_maintenance`` is read-only and O(bookkeeping + one file
+listing) — it never reads data-file CONTENT, so it is safe to run on a
+live corpus from a cron.
+
+Returns one row per finding: ``(check, severity, recommendation,
+detail)`` with severity ``ok`` / ``info`` / ``warn`` / ``action``.
+``action`` rows name the exact call to run. An empty corpus yields a
+single informational row rather than an error — advisors must be
+runnable before the first append.
+
+Reference parity: the reference has no storage layer to maintain; this
+is the operational surface the corpus protocol (SURVEY §7 writer/
+manifest family) needs at 100 TB, where "someone noticed the corpus got
+slow" is too late.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bambooai_spark.operators.writer import (
+    COMPACT_TMP,
+    DELETE_TMP,
+    LEDGER_DIR,
+    STAGED_MARKER,
+    _frozen_staged_batches,
+    _fs_exists,
+    _iter_commit_markers,
+    _join,
+    _load_manifest_doc,
+    _walk_files,
+)
+
+# a partition value averaging fewer rows per file than this is
+# fragmented enough that compaction pays for itself on the next scan
+SMALL_FILE_ROWS = 10_000
+# commit markers are pruned down to the manifest's replay window by
+# compaction; flag when the backlog is a multiple of that window
+MARKER_BACKLOG = 200
+
+
+def suggest_maintenance(
+    spark: SparkSession,
+    path: str,
+    *,
+    small_file_rows: int = SMALL_FILE_ROWS,
+    marker_backlog: int = MARKER_BACKLOG,
+) -> DataFrame:
+    """Diagnose a corpus and recommend maintenance (see module doc)."""
+    rows: list[tuple[str, str, str, str]] = []
+
+    def add(check, severity, recommendation, detail):
+        rows.append((check, severity, recommendation, detail))
+
+    doc = _load_manifest_doc(spark, path)
+    if doc is None:
+        if _walk_files(spark, path):
+            add(
+                "manifest", "action", "build_manifest(spark, path, ...)",
+                "data files exist but no parseable manifest — reads work, "
+                "bookkeeping (snapshots, replay guard, schema pin) does not",
+            )
+        else:
+            add("corpus", "info", "nothing to do", "empty corpus")
+            return _df(spark, rows)
+    else:
+        add("manifest", "ok", "none", "present and parseable")
+
+    # crashed-op leftovers: each has one specific resume call
+    if _fs_exists(spark, _join(path, f"{COMPACT_TMP}/{STAGED_MARKER}")):
+        add(
+            "frozen_compaction", "action",
+            "compact_corpus(spark, path, ...)  # resumes the frozen swap",
+            "a compaction froze mid-swap; the corpus may be missing rows "
+            "until it finishes",
+        )
+    if _fs_exists(spark, _join(path, f"{DELETE_TMP}/{STAGED_MARKER}")):
+        add(
+            "frozen_delete", "action",
+            "delete_from_corpus(...)  # any call resumes it first, or "
+            "recover_staging",
+            "a delete froze mid-swap; the corpus may be missing rows "
+            "until it finishes",
+        )
+    frozen = _frozen_staged_batches(spark, path)
+    if frozen:
+        add(
+            "frozen_appends", "action",
+            "restart the writing query, or recover_staging(spark, path)",
+            f"{len(frozen)} staged-but-uncommitted txn batches "
+            f"(e.g. {frozen[:3]}) — their files may be half-moved",
+        )
+
+    # marker backlog: harmless, but an ever-growing _commits dir slows
+    # every listing on an object store
+    n_markers = sum(1 for _ in _iter_commit_markers(spark, path))
+    if n_markers > marker_backlog:
+        add(
+            "marker_backlog", "warn",
+            "compact_corpus(spark, path, ...)  # prunes markers outside "
+            "the replay window",
+            f"{n_markers} commit markers accumulated",
+        )
+
+    # fragmentation: manifest file counts when it carries them (exact),
+    # else one recursive listing vs manifest row counts
+    if doc is not None:
+        parts = doc.get("partitions") or []
+        total_rows = sum(int(p.get("n_rows") or 0) for p in parts)
+        n_files_manifest = [
+            int(p["n_files"]) for p in parts if p.get("n_files") is not None
+        ]
+        if n_files_manifest and len(n_files_manifest) == len(parts):
+            n_files = sum(n_files_manifest)
+        else:
+            n_files = len(_walk_files(spark, path))
+        if n_files and total_rows and total_rows / n_files < small_file_rows:
+            add(
+                "small_files", "action",
+                "compact_corpus(spark, path, ...)",
+                f"{n_files} data files for {total_rows} rows "
+                f"(avg {total_rows // max(n_files, 1)}/file < "
+                f"{small_file_rows})",
+            )
+        elif n_files:
+            add(
+                "small_files", "ok", "none",
+                f"{n_files} data files, avg "
+                f"{total_rows // max(n_files, 1)} rows/file",
+            )
+        # ledger fragmentation mirrors the data (one file set per batch)
+        ledger_files = _walk_files(spark, _join(path, LEDGER_DIR))
+        if len(ledger_files) > 64:
+            add(
+                "ledger_files", "warn",
+                "compact_corpus(spark, path, ...)  # compacts the ledger "
+                "alongside the data",
+                f"{len(ledger_files)} fingerprint-ledger files — every "
+                "append's dedup anti-join opens all of them",
+            )
+
+    # near-dup signature store: orphan rows are inert but pure overhead;
+    # a store much SMALLER than the ledger means recall was lost
+    # (crashed records) and rebuild_signatures restores it
+    sigs_dir = _join(path, "_minhash_sigs")
+    if _fs_exists(spark, sigs_dir):
+        from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+        # independent reads: a sig store whose data files vanished (only
+        # _PARAMS.json left) IS the gap case and must not mask the
+        # ledger count
+        try:
+            n_sigs = spark.read.parquet(sigs_dir).count()
+        except AnalysisException:
+            n_sigs = 0
+        try:
+            n_ledger = spark.read.parquet(_join(path, LEDGER_DIR)).count()
+        except AnalysisException:
+            n_ledger = 0
+        if n_ledger and n_sigs < 0.9 * n_ledger:
+            add(
+                "signature_gaps", "warn",
+                "rebuild_signatures(spark, path, near_dup_opts=...)",
+                f"{n_sigs} stored signatures vs {n_ledger} live ledger "
+                "fps — near-dup recall is degraded for the uncovered docs",
+            )
+        elif n_ledger and n_sigs > 2 * n_ledger:
+            add(
+                "signature_orphans", "warn",
+                "rebuild_signatures(spark, path, near_dup_opts=...)",
+                f"{n_sigs} signature rows vs {n_ledger} live fps — "
+                "orphans are inert but every gate scans them",
+            )
+        else:
+            add(
+                "signatures", "ok", "none",
+                f"{n_sigs} signatures / {n_ledger} ledger fps",
+            )
+
+    if not any(sev in ("warn", "action") for _, sev, _, _ in rows):
+        add("corpus", "ok", "none", "no maintenance needed")
+    return _df(spark, rows)
+
+
+def _df(spark: SparkSession, rows) -> DataFrame:
+    return spark.createDataFrame(
+        rows, "check STRING, severity STRING, recommendation STRING, "
+        "detail STRING",
+    )

@@ -1,0 +1,80 @@
+"""suggest_maintenance: the read-only ops advisor — fragmentation,
+crashed-op leftovers, signature-store drift, empty/legacy corpora."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from bambooai_spark.io import load_table
+from bambooai_spark.operators.maintenance import suggest_maintenance
+from bambooai_spark.operators.writer import append_corpus
+from tests.conftest import SF_DIR
+
+
+def _docs(spark, n=60):
+    return load_table(spark, SF_DIR, "documents").limit(n)
+
+
+def _by_check(df):
+    return {r["check"]: r for r in df.collect()}
+
+
+def test_healthy_corpus_no_actions(spark, tmp_path):
+    path = str(tmp_path / "corpus")
+    append_corpus(_docs(spark), path)
+    got = _by_check(suggest_maintenance(spark, path, small_file_rows=1))
+    assert got["manifest"]["severity"] == "ok"
+    assert not [
+        r for r in got.values() if r["severity"] in ("warn", "action")
+    ], got
+
+
+def test_fragmented_corpus_recommends_compaction(spark, tmp_path):
+    path = str(tmp_path / "corpus")
+    append_corpus(_docs(spark), path, max_records_per_file=5)
+    got = _by_check(suggest_maintenance(spark, path))
+    assert got["small_files"]["severity"] == "action"
+    assert "compact_corpus" in got["small_files"]["recommendation"]
+
+
+def test_frozen_append_flagged(spark, tmp_path):
+    path = str(tmp_path / "corpus")
+    append_corpus(_docs(spark), path)
+    stage = os.path.join(path, "_staging", "batch_id=9")
+    os.makedirs(stage)
+    open(os.path.join(stage, "_STAGED"), "w").write("{}")
+    got = _by_check(suggest_maintenance(spark, path, small_file_rows=1))
+    assert got["frozen_appends"]["severity"] == "action"
+    assert "recover_staging" in got["frozen_appends"]["recommendation"]
+
+
+def test_empty_corpus_single_info_row(spark, tmp_path):
+    got = suggest_maintenance(spark, str(tmp_path / "nothing")).collect()
+    assert len(got) == 1 and got[0]["severity"] == "info"
+
+
+def test_manifestless_corpus_recommends_build(spark, tmp_path):
+    path = str(tmp_path / "plain")
+    _docs(spark).write.partitionBy("lang").parquet(path)
+    got = _by_check(suggest_maintenance(spark, path, small_file_rows=1))
+    assert got["manifest"]["severity"] == "action"
+    assert "build_manifest" in got["manifest"]["recommendation"]
+
+
+def test_signature_gaps_flagged(spark, tmp_path):
+    path = str(tmp_path / "corpus")
+    append_corpus(
+        _docs(spark), path,
+        near_dup_threshold=0.8,
+        near_dup_opts={"num_hashes": 16, "bands": 4},
+    )
+    healthy = _by_check(suggest_maintenance(spark, path, small_file_rows=1))
+    assert healthy["signatures"]["severity"] == "ok"
+    for f in glob.glob(os.path.join(path, "_minhash_sigs", "*.parquet")):
+        os.remove(f)
+    got = _by_check(suggest_maintenance(spark, path, small_file_rows=1))
+    assert got["signature_gaps"]["severity"] == "warn"
+    assert "rebuild_signatures" in got["signature_gaps"]["recommendation"]
