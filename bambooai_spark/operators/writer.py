@@ -1479,6 +1479,29 @@ def _compact_corpus_inner(
                 has_ledger = True
             except AnalysisException:
                 pass  # ledger dir holds no data files — nothing to compact
+        # the near-dup signature store compacts alongside: rows whose fp
+        # left the ledger (takedowns) are inert at gate time but every
+        # gate scans them — prune to live fps here, where the ledger is
+        # already in hand. Loss of this store is always benign (bounded
+        # recall, rebuild_signatures heals), so it rides the same freeze
+        # + per-file swap as the ledger rather than getting its own
+        # protocol. _PARAMS.json survives (underscore-hidden from the
+        # supersede pass).
+        has_sigs = False
+        sigs_dir = _join(path, "_minhash_sigs")
+        if has_ledger and _fs_exists(spark, sigs_dir):
+            try:
+                live_sigs = spark.read.parquet(sigs_dir).join(
+                    spark.read.parquet(_join(path, LEDGER_DIR)),
+                    "fp",
+                    "left_semi",
+                )
+                live_sigs.repartition(
+                    num_tasks or spark.sparkContext.defaultParallelism
+                ).write.mode("overwrite").parquet(_join(tmp, "sigs"))
+                has_sigs = True
+            except AnalysisException:
+                pass  # store holds no data files — nothing to compact
         _fs_write_text_atomic(
             spark,
             staged_flag,
@@ -1486,6 +1509,7 @@ def _compact_corpus_inner(
                 {
                     "compact_id": _uuid.uuid4().hex[:8],
                     "ledger": has_ledger,
+                    "sigs": has_sigs,
                     # rides the freeze so the final manifest write can
                     # re-record it even after a torn manifest or a
                     # crash-resume (self-healing, like delete's)
@@ -1519,6 +1543,8 @@ def _compact_corpus_inner(
     targets = [(_join(tmp, "data"), path)]
     if info.get("ledger"):
         targets.append((_join(tmp, "ledger"), _join(path, LEDGER_DIR)))
+    if info.get("sigs"):
+        targets.append((_join(tmp, "sigs"), _join(path, "_minhash_sigs")))
     fs, _root = _fs(spark, path)
     jvm = spark._jvm
     for src_root, dest_root in targets:

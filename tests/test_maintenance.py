@@ -78,3 +78,46 @@ def test_signature_gaps_flagged(spark, tmp_path):
     got = _by_check(suggest_maintenance(spark, path, small_file_rows=1))
     assert got["signature_gaps"]["severity"] == "warn"
     assert "rebuild_signatures" in got["signature_gaps"]["recommendation"]
+
+
+def test_compaction_prunes_dead_signatures(spark, tmp_path):
+    """compact_corpus rewrites the signature store down to LIVE ledger
+    fps (takedown leftovers are inert but cost every gate scan), keeps
+    the pinned params, and the gate still works afterwards."""
+    from bambooai_spark.operators.neardup_gate import near_dup_gate
+    from bambooai_spark.operators.writer import (
+        compact_corpus,
+        delete_from_corpus,
+    )
+
+    opts = {"num_hashes": 16, "bands": 4}
+    path = str(tmp_path / "corpus")
+    d = _docs(spark, 40)
+    append_corpus(d, path, near_dup_threshold=0.8, near_dup_opts=opts)
+    n_sigs_before = spark.read.parquet(
+        os.path.join(path, "_minhash_sigs")
+    ).count()
+    delete_from_corpus(spark, path, F.col("doc_id") % 2 == 0)
+    # dead fps still in the store until compaction
+    assert spark.read.parquet(
+        os.path.join(path, "_minhash_sigs")
+    ).count() == n_sigs_before
+    compact_corpus(spark, path)
+    live_fps = spark.read.parquet(
+        os.path.join(path, "_fingerprints")
+    ).count()
+    sigs_after = spark.read.parquet(os.path.join(path, "_minhash_sigs"))
+    assert sigs_after.count() == live_fps
+    assert os.path.exists(
+        os.path.join(path, "_minhash_sigs", "_PARAMS.json")
+    )
+    # gate still blocks near-dups of the LIVE half
+    twin = (
+        d.filter("doc_id % 2 = 1")
+        .limit(1)
+        .withColumn("doc_id", (F.col("doc_id") + 100000).cast("long"))
+        .withColumn("text", F.concat("text", F.lit(" tail")))
+    )
+    assert near_dup_gate(
+        twin, path, threshold=0.8, near_dup_opts=opts
+    ).count() == 0
