@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bambooai_spark.operators.writer import (
     COMPACT_TMP,
+    SIGS_DIR,
     DELETE_TMP,
     LEDGER_DIR,
     STAGED_MARKER,
@@ -58,6 +59,18 @@ def suggest_maintenance(
     def add(check, severity, recommendation, detail):
         rows.append((check, severity, recommendation, detail))
 
+    # crashed-op state FIRST: a corpus whose only contents are a frozen
+    # staged batch has no manifest and no visible data files, and the
+    # "empty corpus" early return must not mask the stranded batch
+    # (review r8 pass 3)
+    frozen = _frozen_staged_batches(spark, path)
+    frozen_compact = _fs_exists(
+        spark, _join(path, f"{COMPACT_TMP}/{STAGED_MARKER}")
+    )
+    frozen_delete = _fs_exists(
+        spark, _join(path, f"{DELETE_TMP}/{STAGED_MARKER}")
+    )
+
     doc = _load_manifest_doc(spark, path)
     if doc is None:
         if _walk_files(spark, path):
@@ -66,21 +79,21 @@ def suggest_maintenance(
                 "data files exist but no parseable manifest — reads work, "
                 "bookkeeping (snapshots, replay guard, schema pin) does not",
             )
-        else:
+        elif not (frozen or frozen_compact or frozen_delete):
             add("corpus", "info", "nothing to do", "empty corpus")
             return _df(spark, rows)
     else:
         add("manifest", "ok", "none", "present and parseable")
 
     # crashed-op leftovers: each has one specific resume call
-    if _fs_exists(spark, _join(path, f"{COMPACT_TMP}/{STAGED_MARKER}")):
+    if frozen_compact:
         add(
             "frozen_compaction", "action",
             "compact_corpus(spark, path, ...)  # resumes the frozen swap",
             "a compaction froze mid-swap; the corpus may be missing rows "
             "until it finishes",
         )
-    if _fs_exists(spark, _join(path, f"{DELETE_TMP}/{STAGED_MARKER}")):
+    if frozen_delete:
         add(
             "frozen_delete", "action",
             "delete_from_corpus(...)  # any call resumes it first, or "
@@ -88,7 +101,6 @@ def suggest_maintenance(
             "a delete froze mid-swap; the corpus may be missing rows "
             "until it finishes",
         )
-    frozen = _frozen_staged_batches(spark, path)
     if frozen:
         add(
             "frozen_appends", "action",
@@ -148,7 +160,7 @@ def suggest_maintenance(
     # near-dup signature store: orphan rows are inert but pure overhead;
     # a store much SMALLER than the ledger means recall was lost
     # (crashed records) and rebuild_signatures restores it
-    sigs_dir = _join(path, "_minhash_sigs")
+    sigs_dir = _join(path, SIGS_DIR)
     if _fs_exists(spark, sigs_dir):
         from pyspark.errors import AnalysisException  # noqa: PLC0415
 

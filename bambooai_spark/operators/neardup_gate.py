@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 from bambooai_spark.operators.writer import (
     LEDGER_DIR,
+    SIGS_DIR,
     _fs_delete,
     _fs_exists,
     _fs_read_text,
@@ -64,7 +65,6 @@ from bambooai_spark.operators.writer import (
     _join,
 )
 
-SIGS_DIR = "_minhash_sigs"
 PARAMS_NAME = "_PARAMS.json"
 
 DEFAULT_OPTS = {"n": 2, "num_hashes": 64, "bands": 16, "hash": "xx"}

@@ -246,6 +246,7 @@ def query_vector_corpus_many(
     nprobe: int = 4,
     broadcast_queries: bool = True,
     exclude_self: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """BATCH top-k: one pass answers every query in ``queries`` —
     contamination screens and retrieval pipelines ask thousands of
@@ -268,11 +269,44 @@ def query_vector_corpus_many(
       top-k runs through the two-phase ``grouped_top_k`` so a SMALL
       query batch over a huge corpus still parallelizes.
 
-    Returns ``(qid, id, cosine)``, at most k rows per query."""
+    Returns ``(qid, id, cosine)``, at most k rows per query. The
+    store's ``id_col`` must not itself be named ``qid`` (the output
+    needs both columns). ``checkpoint=False`` keeps the lazy plan
+    inspectable (plan tests); the persisted probe relation then stays
+    cached until the caller clears it — as in
+    ``functions.ranking.distributed_dense_rank``."""
     from bambooai_spark.functions.ranking import grouped_top_k  # noqa: PLC0415
 
     meta = _load_meta(spark, path)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if id_col == "qid":
+        raise ValueError(
+            "the store's id_col is named 'qid', which collides with the "
+            "batch output's query-id column — rename one of them"
+        )
+    # one bounded job validates the whole batch: a wrong-dim vector
+    # would make every distance NULL (zip_with pads with null) and
+    # return garbage instead of the single-query path's ValueError, and
+    # a duplicate qid would mix two vectors' distances in one probe
+    # ranking
+    chk = queries.agg(
+        F.min(F.size(qvec_col)).alias("mn"),
+        F.max(F.size(qvec_col)).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(qid_col)).alias("nd"),
+    ).collect()[0]
+    if chk["n"] == 0:
+        raise ValueError("queries frame is empty")
+    if chk["mn"] != meta["dim"] or chk["mx"] != meta["dim"]:
+        raise ValueError(
+            f"query dims {chk['mn']}..{chk['mx']} != store dim "
+            f"{meta['dim']}"
+        )
+    if chk["nd"] != chk["n"]:
+        raise ValueError(
+            f"duplicate {qid_col!r} values ({chk['n']} rows, "
+            f"{chk['nd']} distinct) — each query needs a unique id"
+        )
     cdf = spark.createDataFrame(
         [(i, c) for i, c in enumerate(meta["centroids"])],
         "_cell INT, _cv ARRAY<DOUBLE>",
@@ -281,6 +315,10 @@ def query_vector_corpus_many(
     d = dot(qv, qv) - 2 * dot(qv, "_cv") + dot("_cv", "_cv")
     from pyspark.sql import Window  # noqa: PLC0415
 
+    # persisted in BOTH modes: the cells collect below and the join are
+    # two actions — unpersisted, a non-deterministic queries lineage
+    # (limit/sample) could probe one row set and join another, silently
+    # dropping matches at the pruned scan (review r8 pass 3)
     probes = (
         queries.select(
             F.col(qid_col).alias("_qid"), as_double(qvec_col).alias("_qv")
@@ -295,18 +333,15 @@ def query_vector_corpus_many(
         )
         .filter(F.col("_rn") <= nprobe)
         .select("_qid", F.col("_cell").alias(CELL_COL), "_qv")
-    )
-    if broadcast_queries:
-        probes = F.broadcast(probes)
-    else:
-        probes = probes.persist()
+    ).persist()
     # bounded by n_cells — a literal isin keeps static partition pruning
     cells = [
         r[CELL_COL]
         for r in probes.select(CELL_COL).distinct().collect()
     ]
+    probes_join = F.broadcast(probes) if broadcast_queries else probes
     scan = spark.read.parquet(path).filter(F.col(CELL_COL).isin(cells))
-    scored = scan.join(probes, [CELL_COL])
+    scored = scan.join(probes_join, [CELL_COL])
     if exclude_self:
         # query-by-stored-id convention: qids share the store id space
         # and a query must not return its own row. OFF by default —
@@ -314,14 +349,15 @@ def query_vector_corpus_many(
         scored = scored.filter(~F.col(id_col).eqNullSafe(F.col("_qid")))
     scored = scored.withColumn("_cos", cosine(as_double(vec_col), "_qv"))
     out = grouped_top_k(
-        scored.select(
-            F.col("_qid").alias("qid"), F.col(id_col), F.col("_cos")
-        ),
-        ["qid"],
+        scored.select("_qid", F.col(id_col), F.col("_cos")),
+        ["_qid"],
         [F.col("_cos").desc(), F.col(id_col)],
         k,
-    ).select("qid", id_col, F.round("_cos", 6).alias("cosine"))
-    if not broadcast_queries:
+    ).select(
+        F.col("_qid").alias("qid"), id_col,
+        F.round("_cos", 6).alias("cosine"),
+    )
+    if checkpoint:
         out = out.localCheckpoint(eager=True)
         probes.unpersist()
     return out

@@ -29,6 +29,7 @@ MANIFEST_NAME = "_corpus_manifest.json"
 # underscore prefix → invisible to spark.read.parquet(corpus_path), so the
 # ledger can live inside the corpus directory without polluting reads
 LEDGER_DIR = "_fingerprints"
+SIGS_DIR = "_minhash_sigs"  # the near-dup gate's signature store
 # transactional-append bookkeeping (underscore-prefixed for the same
 # invisibility): per-batch staged writes + commit markers
 STAGING_DIR = "_staging"
@@ -1469,16 +1470,23 @@ def _compact_corpus_inner(
         # the ledger fragments the same way (one file set per appended
         # batch) — rewrite it alongside, same freeze
         has_ledger = False
+        ledger_df = None
         if _fs_exists(spark, _join(path, LEDGER_DIR)):
             try:
-                spark.read.parquet(_join(path, LEDGER_DIR)).repartition(
-                    # default parallelism, not 1: a months-old ledger is
-                    # large and must not funnel through one task
+                # ONE ledger DataFrame feeds both the rewrite and the
+                # signature semi-join below; persisted because a
+                # months-old ledger is the large fragmented relation
+                # this op exists to compact — scanning it twice doubles
+                # the dominant read
+                ledger_df = spark.read.parquet(_join(path, LEDGER_DIR))
+                ledger_df = ledger_df.persist()
+                ledger_df.repartition(
+                    # default parallelism, not 1: must not funnel
                     num_tasks or spark.sparkContext.defaultParallelism
                 ).write.mode("overwrite").parquet(_join(tmp, "ledger"))
                 has_ledger = True
             except AnalysisException:
-                pass  # ledger dir holds no data files — nothing to compact
+                ledger_df = None  # no data files — nothing to compact
         # the near-dup signature store compacts alongside: rows whose fp
         # left the ledger (takedowns) are inert at gate time but every
         # gate scans them — prune to live fps here, where the ledger is
@@ -1488,13 +1496,11 @@ def _compact_corpus_inner(
         # protocol. _PARAMS.json survives (underscore-hidden from the
         # supersede pass).
         has_sigs = False
-        sigs_dir = _join(path, "_minhash_sigs")
-        if has_ledger and _fs_exists(spark, sigs_dir):
+        sigs_dir = _join(path, SIGS_DIR)
+        if ledger_df is not None and _fs_exists(spark, sigs_dir):
             try:
                 live_sigs = spark.read.parquet(sigs_dir).join(
-                    spark.read.parquet(_join(path, LEDGER_DIR)),
-                    "fp",
-                    "left_semi",
+                    ledger_df, "fp", "left_semi"
                 )
                 live_sigs.repartition(
                     num_tasks or spark.sparkContext.defaultParallelism
@@ -1502,6 +1508,8 @@ def _compact_corpus_inner(
                 has_sigs = True
             except AnalysisException:
                 pass  # store holds no data files — nothing to compact
+        if ledger_df is not None:
+            ledger_df.unpersist()
         _fs_write_text_atomic(
             spark,
             staged_flag,
@@ -1544,7 +1552,7 @@ def _compact_corpus_inner(
     if info.get("ledger"):
         targets.append((_join(tmp, "ledger"), _join(path, LEDGER_DIR)))
     if info.get("sigs"):
-        targets.append((_join(tmp, "sigs"), _join(path, "_minhash_sigs")))
+        targets.append((_join(tmp, "sigs"), _join(path, SIGS_DIR)))
     fs, _root = _fs(spark, path)
     jvm = spark._jvm
     for src_root, dest_root in targets:

@@ -232,7 +232,9 @@ def test_batch_query_scan_partition_pruned(spark, tmp_path):
     queries = spark.createDataFrame(
         [(1, stored_vector(spark, path, 0))], "qid long, qvec array<double>"
     )
-    q = query_vector_corpus_many(spark, path, queries, k=3, nprobe=2)
+    q = query_vector_corpus_many(
+        spark, path, queries, k=3, nprobe=2, checkpoint=False
+    )
     plan = q._jdf.queryExecution().executedPlan().toString()
     pf = [
         ln
