@@ -548,3 +548,60 @@ def test_stub_resizer_contract(payload, width, height):
         # tiling: the output is a prefix of payload repeated
         reps = -(-(width * height) // len(payload))
         assert out == (payload * reps)[: width * height]
+
+
+# ----------------------------------------------------------- zorder_key
+
+_z_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-50, 50)),
+        st.one_of(st.none(), st.floats(-100, 100, allow_nan=False)),
+    ),
+    min_size=1, max_size=20,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_z_rows, st.integers(2, 6))
+def test_zorder_key_properties(spark, rows, bits):
+    """For any input: every key fits bits*2 bits, identical rows get
+    identical keys, and an all-NULL/constant column degrades gracefully
+    (rank 0 everywhere) instead of crashing."""
+    from bambooai_spark.functions.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in rows], "a bigint, b double"
+    )
+    got = zorder_key(df, ("a", "b"), bits=bits).collect()
+    assert len(got) == len(rows)
+    keys = {}
+    for r in got:
+        assert 0 <= r["_zkey"] < (1 << (2 * bits)), r
+        prev = keys.setdefault((r["a"], r["b"]), r["_zkey"])
+        assert prev == r["_zkey"]  # deterministic per value tuple
+
+
+@settings(max_examples=8, deadline=None)
+@given(_z_rows)
+def test_zorder_dominance_is_monotonic(spark, rows):
+    """Morton keys preserve dominance: if row X <= row Y in EVERY
+    dimension (NULLs rank lowest), then zkey(X) <= zkey(Y) — the
+    property that makes range predicates on any dimension prunable."""
+    from bambooai_spark.functions.zorder import zorder_key
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in rows], "a bigint, b double"
+    )
+    got = zorder_key(df, ("a", "b"), bits=6).collect()
+
+    def leq(x, y):  # NULL sorts below everything
+        if x is None:
+            return True
+        if y is None:
+            return False
+        return x <= y
+
+    for r1 in got:
+        for r2 in got:
+            if leq(r1["a"], r2["a"]) and leq(r1["b"], r2["b"]):
+                assert r1["_zkey"] <= r2["_zkey"], (r1, r2)
