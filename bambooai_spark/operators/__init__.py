@@ -28,6 +28,10 @@ from bambooai_spark.operators.vector_store import (
     query_vector_corpus_many,
     write_vector_corpus,
 )
+from bambooai_spark.operators.filestats import (
+    enable_file_stats,
+    rebuild_file_stats,
+)
 from bambooai_spark.operators.maintenance import suggest_maintenance
 from bambooai_spark.operators.neardup_gate import (
     near_dup_gate,
@@ -64,6 +68,8 @@ __all__ = [
     "knn_lsh",
     "label_centroids",
     "write_corpus",
+    "enable_file_stats",
+    "rebuild_file_stats",
     "CorpusLease",
     "CorpusLeaseHeld",
     "CorpusLeaseLost",

@@ -1,0 +1,585 @@
+"""Per-file column statistics for data skipping — the read-side payoff
+of the corpus writer's clustering.
+
+``cluster_by``/``zorder`` (``operators/writer.py``) lay rows out so each
+file is NARROW in the cluster columns, but a plain ``read_corpus`` still
+opens every file: Spark's parquet reader prunes row groups on footer
+min/max only AFTER scheduling a task per file. At 100 TB the listing and
+task overhead of "open every file to discover it's irrelevant" dominates
+a selective query. This module keeps Delta-style file-level stats in a
+``_filestats/`` bookkeeping directory so :func:`~bambooai_spark
+.operators.writer.read_corpus` can drop files from the scan BEFORE the
+reader is built — the same economics as a partition filter, but on data
+columns.
+
+Reference parity note: the reference engine (pgalko/BambooAI) holds its
+working set in a single pandas frame, so every filter is a full in-memory
+scan — there is nothing to skip. This module is part of the scale layer
+the Spark rebuild adds on top of the reference's query surface.
+
+Design (mirrors the writer's protocol idioms, one copy of each idea):
+
+- **Opt-in config** — ``_filestats/_CONFIG.json`` records the stat
+  columns, exactly like the near-dup gate's ``_minhash_sigs/_PARAMS.json``
+  pins its parameters. No config → every writer path skips stats with
+  zero overhead.
+- **Stats ride the freeze** — the txn append computes its batch's stats
+  at STAGE time (one bounded scan of the just-written staged files, keyed
+  by the deterministic committed basename ``b<id>-<base>``) and carries
+  them inside the ``_STAGED``/commit-marker info, so crash replays
+  re-write them idempotently and no corpus-wide listing is ever added to
+  the per-micro-batch hot path. Compaction and delete do the same for
+  their ``c<id>-``/``d<id>-`` rewrites.
+- **Conservative by construction** — a file with no stats entry, a
+  column with no stats, an un-canonicalizable predicate value, or NaN
+  bounds is simply READ. Pruning never changes semantics because the
+  reader ALWAYS applies the predicate as a real filter; stats only
+  shrink the file list.
+- **Orphans are inert** — entries for files a delete/compaction removed
+  point at basenames that are no longer in the live keep-list, so they
+  can never resurrect a file; compaction and :func:`rebuild_file_stats`
+  consolidate them away.
+
+Value canonicalization: stats are JSON, so values are stored in a
+canonical JSON-native form at COLLECT time (never via ``json.dumps``
+fallbacks, which format datetimes differently than the reader parses):
+integrals as JSON ints, floats as JSON floats (NaN bounds compare False
+against everything → never prune), decimals as ``str(Decimal)``,
+dates/timestamps as fixed-width ISO strings whose lexicographic order is
+chronological, strings/bools as themselves.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+import uuid
+from datetime import date, datetime
+from decimal import Decimal, InvalidOperation
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+STATS_DIR = "_filestats"
+CONFIG_NAME = "_CONFIG.json"
+
+# dtype.typeName() → comparison category; anything else is not prunable
+_CATEGORY = {
+    "byte": "int",
+    "short": "int",
+    "integer": "int",
+    "long": "int",
+    "float": "float",
+    "double": "float",
+    "decimal": "dec",
+    "string": "str",
+    "boolean": "bool",
+    "date": "date",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+}
+
+_OPS = ("==", "<", "<=", ">", ">=")
+
+# exact int→float conversion bound: above this, float compare may round
+# a bound across the predicate value and prune a live file
+_FLOAT_EXACT = 2**53
+
+
+def _category(dtype) -> str | None:
+    name = dtype.typeName()
+    # DecimalType.typeName() is "decimal" in Spark 4; keep a prefix match
+    # so a simpleString fallback ("decimal(10,2)") categorizes too
+    if name.startswith("decimal"):
+        return "dec"
+    return _CATEGORY.get(name)
+
+
+def _ser(v):
+    """Canonical JSON-native form of a collected min/max value."""
+    if v is None or isinstance(v, (bool, int, str)):
+        return v
+    if isinstance(v, float):
+        return v  # json emits NaN/Inf literals; loads accepts them back
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, datetime):
+        # fixed-width microseconds: lexicographic == chronological
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, date):
+        return v.isoformat()
+    raise TypeError(f"unsupported stats value type {type(v).__name__}")
+
+
+def _canon_pred(category: str, v):
+    """Predicate value in the category's comparable form, or raise —
+    callers treat ANY failure as "cannot prune on this predicate"."""
+    if v is None:
+        raise ValueError("NULL predicate values never match; no pruning")
+    if category == "int":
+        if isinstance(v, bool):
+            raise ValueError("bool predicate on integral column")
+        if isinstance(v, int):
+            return v
+        if isinstance(v, float):
+            if math.isnan(v):
+                raise ValueError("NaN predicate")
+            return ("float", v)  # compare in float space, guarded
+        raise ValueError(f"non-numeric predicate {v!r} on integral column")
+    if category == "float":
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise ValueError(f"non-numeric predicate {v!r} on float column")
+        f = float(v)
+        if math.isnan(f):
+            raise ValueError("NaN predicate")
+        return f
+    if category == "dec":
+        if isinstance(v, bool):
+            raise ValueError("bool predicate on decimal column")
+        if isinstance(v, (int, str, Decimal)):
+            return Decimal(str(v))
+        if isinstance(v, float):
+            # exact binary value, not repr rounding — conservative either
+            # way, but exactness keeps == pruning tight
+            return Decimal(v)
+        raise ValueError(f"bad decimal predicate {v!r}")
+    if category == "str":
+        if not isinstance(v, str):
+            raise ValueError(f"non-string predicate {v!r} on string column")
+        return v
+    if category == "bool":
+        if not isinstance(v, bool):
+            raise ValueError(f"non-bool predicate {v!r} on boolean column")
+        return v
+    if category == "date":
+        if isinstance(v, datetime):
+            raise ValueError("datetime predicate on date column")
+        if isinstance(v, date):
+            return v.isoformat()
+        if isinstance(v, str):
+            return date.fromisoformat(v).isoformat()
+        raise ValueError(f"bad date predicate {v!r}")
+    if category == "ts":
+        if isinstance(v, str):
+            v = datetime.fromisoformat(v)
+        elif isinstance(v, date) and not isinstance(v, datetime):
+            v = datetime(v.year, v.month, v.day)
+        if not isinstance(v, datetime):
+            raise ValueError(f"bad timestamp predicate {v!r}")
+        if v.tzinfo is not None:
+            # stored bounds are session-local naive; comparing a
+            # tz-aware value against them would need the session zone
+            raise ValueError("tz-aware predicate; pruning skipped")
+        return v.isoformat(sep=" ", timespec="microseconds")
+    raise ValueError(f"unknown category {category}")
+
+
+def _canon_stored(category: str, s):
+    """Stored (JSON round-tripped) bound in the same comparable form."""
+    if category == "dec":
+        return Decimal(str(s))
+    if category == "int" and isinstance(s, bool):
+        raise ValueError("corrupt stats: bool bound on integral column")
+    return s
+
+
+def _bound_may_match(op: str, cv, mn, mx) -> bool:
+    """Whether a file whose column spans [mn, mx] can hold a matching
+    row. A NaN bound keeps the file unconditionally: Spark orders NaN
+    LARGER than every value (so NaN rows can satisfy ``>``/``>=``/``==``
+    predicates), which Python's always-False NaN comparisons cannot
+    model — conservative keep is the only sound answer."""
+    if isinstance(mn, float) and math.isnan(mn):
+        return True
+    if isinstance(mx, float) and math.isnan(mx):
+        return True
+    if isinstance(cv, tuple):  # ("float", v): int column, float predicate
+        fv = cv[1]
+        if not (abs(mn) <= _FLOAT_EXACT and abs(mx) <= _FLOAT_EXACT):
+            return True  # conversion could round a bound across fv
+        mn, mx, cv = float(mn), float(mx), fv
+    if op == "==":
+        return not (cv < mn or cv > mx)
+    if op == "<":
+        return mn < cv
+    if op == "<=":
+        return mn <= cv
+    if op == ">":
+        return mx > cv
+    if op == ">=":
+        return mx >= cv
+    raise ValueError(f"unknown op {op!r}")
+
+
+# --------------------------------------------------------------------------
+# config
+
+def _join(path: str, name: str) -> str:
+    return path.rstrip("/") + "/" + name
+
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*:(//[^/]*)?(/.*)$")
+
+
+def _strip_scheme(p: str) -> str:
+    """Scheme-insensitive canonical form: ``file:///x`` and ``file:/x``
+    both become ``/x``; ``hdfs://nn:8020/x`` becomes ``nn:8020/x``.
+    Needed because ``_metadata.file_path`` and the Hadoop listing APIs
+    qualify the same path with different slash counts."""
+    m = _SCHEME_RE.match(p)
+    if not m:
+        return p
+    authority = (m.group(1) or "//")[2:]
+    return authority + m.group(2)
+
+
+def _rel_key(file_path: str, root: str, prefix: str = "") -> str | None:
+    """Stats key for ``file_path`` under ``root``: the root-relative path
+    with ``prefix`` applied to the BASENAME (mirroring the commit
+    protocol's deterministic renames). Partition directories stay in the
+    key — partitionBy gives the same task identical part-file basenames
+    in DIFFERENT partition dirs, so a basename alone is ambiguous (and
+    ambiguity here means pruning with another file's bounds: unsound).
+    None when ``file_path`` is not under ``root`` — callers treat that
+    file as stat-less (read, never pruned)."""
+    f = _strip_scheme(file_path)
+    r = _strip_scheme(root).rstrip("/") + "/"
+    if not f.startswith(r):
+        return None
+    rel = f[len(r):]
+    parent, _, base = rel.rpartition("/")
+    return (parent + "/" if parent else "") + prefix + base
+
+
+def _config_path(path: str) -> str:
+    return _join(_join(path, STATS_DIR), CONFIG_NAME)
+
+
+def stats_config(spark: SparkSession, path: str) -> list[str] | None:
+    """The corpus's configured stat columns, or None when stats are not
+    enabled. One small exists+read — the writers' per-call overhead."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs_exists,
+        _fs_read_text,
+    )
+
+    cpath = _config_path(path)
+    if not _fs_exists(spark, cpath):
+        return None
+    try:
+        cols = json.loads(_fs_read_text(spark, cpath)).get("columns")
+    except ValueError:
+        return None  # torn config — stats silently off, never an error
+    return list(cols) if cols else None
+
+
+def enable_file_stats(
+    spark: SparkSession, path: str, columns, *, schema=None
+) -> None:
+    """Record the stat-column config. ``schema`` (when available)
+    validates that every column is of a prunable atomic type — catching
+    an ``array<float>`` embedding column at enable time instead of
+    silently collecting nothing for it forever."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs_write_text_atomic,
+    )
+
+    cols = list(dict.fromkeys(columns))
+    if not cols:
+        raise ValueError("stats columns must be non-empty")
+    if schema is not None:
+        by_name = {f.name: f.dataType for f in schema.fields}
+        for c in cols:
+            if c in by_name and _category(by_name[c]) is None:
+                raise ValueError(
+                    f"column {c!r} has non-prunable type "
+                    f"{by_name[c].simpleString()}; file stats support "
+                    "numeric/decimal/string/boolean/date/timestamp"
+                )
+    _fs_write_text_atomic(
+        spark, _config_path(path), json.dumps({"columns": cols})
+    )
+
+
+# --------------------------------------------------------------------------
+# collect / store / load
+
+def collect_file_stats(
+    spark: SparkSession,
+    data_root: str,
+    columns,
+    *,
+    schema=None,
+    key_prefix: str = "",
+    files: list[str] | None = None,
+) -> dict:
+    """Per-file stats doc from ONE distributed aggregation over the
+    files under ``data_root`` (or the explicit ``files`` list): group by
+    the ``_metadata.file_path`` hidden column, min/max/non-null-count per
+    stat column. Cost is a scan of exactly the target files — at a txn
+    commit that is the batch, never the corpus.
+
+    ``schema`` pins the read (evolution-aware: files lacking a column
+    yield non-null-count 0 for it, which the pruner reads as "no row
+    here can match a predicate on that column" — exactly right).
+    ``key_prefix`` maps staged basenames to their deterministic
+    committed names (``b<id>-``/``c<id>-``/``d<id>-``)."""
+    reader = spark.read.option("basePath", data_root)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(*(files or [data_root]))
+    present, absent = [], []
+    for c in dict.fromkeys(columns):
+        if c in df.columns and _category(df.schema[c].dataType) is not None:
+            present.append(c)
+        elif c not in df.columns:
+            absent.append(c)
+        # configured but non-prunable type: no entry at all — recording
+        # nn=0 would wrongly prune every file on a predicate against it
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in present:
+        aggs += [
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+            F.count(c).alias(f"__nn_{c}"),
+        ]
+    rows = (
+        df.select(F.col("_metadata.file_path").alias("__f"), *present)
+        .groupBy("__f")
+        .agg(*aggs)
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        cols = {}
+        for c in present:
+            cols[c] = {
+                "min": _ser(r[f"__mn_{c}"]),
+                "max": _ser(r[f"__mx_{c}"]),
+                "nn": int(r[f"__nn_{c}"]),
+            }
+        for c in absent:
+            cols[c] = {"min": None, "max": None, "nn": 0}
+        key = _rel_key(r["__f"], data_root, key_prefix)
+        if key is None:  # pragma: no cover - scan stays under its root
+            raise RuntimeError(
+                f"scanned file {r['__f']!r} is not under {data_root!r}"
+            )
+        out[key] = {"n": int(r["__n"]), "cols": cols}
+    return {"columns": list(dict.fromkeys(columns)), "files": out}
+
+
+def write_stats_delta(
+    spark: SparkSession, path: str, name: str, doc: dict
+) -> None:
+    """Persist one stats doc as ``_filestats/<name>.json`` (idempotent
+    overwrite — crash replays re-write the same content)."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs_write_text_atomic,
+    )
+
+    _fs_write_text_atomic(
+        spark,
+        _join(_join(path, STATS_DIR), f"{name}.json"),
+        json.dumps(doc),
+    )
+
+
+def _iter_stats_files(spark: SparkSession, path: str):
+    from bambooai_spark.operators.writer import _fs  # noqa: PLC0415
+
+    sroot = _join(path, STATS_DIR)
+    fs, jroot = _fs(spark, sroot)
+    if not fs.exists(jroot):
+        return
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if name.endswith(".json") and name != CONFIG_NAME:
+            yield name, st
+
+
+def load_file_stats(spark: SparkSession, path: str) -> dict[str, dict]:
+    """Merged basename → entry map from every stats delta. Committed
+    basenames are globally unique (task UUIDs + batch prefixes), so merge
+    order is immaterial; a torn delta is skipped (its files just are not
+    pruned)."""
+    from bambooai_spark.operators.writer import _fs_read_text  # noqa: PLC0415
+
+    merged: dict[str, dict] = {}
+    sroot = _join(path, STATS_DIR)
+    for name, _st in _iter_stats_files(spark, path):
+        try:
+            doc = json.loads(_fs_read_text(spark, _join(sroot, name)))
+        except ValueError:
+            continue
+        merged.update(doc.get("files") or {})
+    return merged
+
+
+def prune_stats_files(
+    spark: SparkSession, path: str, keep_names: set[str]
+) -> None:
+    """Delete every stats delta whose filename is not in ``keep_names``
+    — compaction's consolidation step (all pre-compaction data files are
+    dead, so only the fresh ``c<id>`` doc still describes live files)."""
+    from bambooai_spark.operators.writer import _fs  # noqa: PLC0415
+
+    fs, _root = _fs(spark, path)
+    for name, st in list(_iter_stats_files(spark, path)):
+        if name not in keep_names:
+            fs.delete(st.getPath(), False)
+
+
+# --------------------------------------------------------------------------
+# pruning
+
+def normalize_predicates(preds, schema) -> list[tuple[str, str, object]]:
+    """Validate a ``where=`` list against the read schema. Returns the
+    predicates unchanged; raises on unknown columns/operators so typos
+    fail loudly instead of silently filtering everything out."""
+    by_name = {f.name: f.dataType for f in schema.fields} if schema else {}
+    out = []
+    for p in preds:
+        try:
+            col, op, v = p
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"each predicate must be a (column, op, value) triple: {p!r}"
+            ) from None
+        if op not in _OPS:
+            raise ValueError(f"unsupported op {op!r}; use one of {_OPS}")
+        if by_name and col not in by_name:
+            raise ValueError(
+                f"predicate column {col!r} is not a corpus column "
+                f"({sorted(by_name)})"
+            )
+        out.append((col, op, v))
+    return out
+
+
+def predicate_column(preds) -> "F.Column":
+    """The residual filter — ALWAYS applied to the scan, so pruning can
+    only ever drop files the predicate provably cannot match."""
+    import operator as _op  # noqa: PLC0415
+
+    fns = {
+        "==": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge,
+    }
+    col = None
+    for c, op, v in preds:
+        term = fns[op](F.col(c), F.lit(v))
+        col = term if col is None else (col & term)
+    return col if col is not None else F.lit(True)
+
+
+def prune_files(
+    files: list[str],
+    stats: dict[str, dict],
+    preds,
+    schema,
+    root: str | None = None,
+) -> list[str]:
+    """The keep-list after stats pruning: a file is dropped only when
+    some predicate provably matches no row in it. Pure function —
+    unit-testable without Spark. ``root`` resolves each file to its
+    root-relative stats key (partition dirs included); without it the
+    basename is used (tests / flat layouts only)."""
+    by_name = {f.name: f.dataType for f in schema.fields} if schema else {}
+    canon: list[tuple[str, str, object, str] | None] = []
+    for col, op, v in preds:
+        dtype = by_name.get(col)
+        cat = _category(dtype) if dtype is not None else None
+        if cat is None:
+            canon.append(None)  # unknown type — this predicate never prunes
+            continue
+        try:
+            canon.append((col, op, _canon_pred(cat, v), cat))
+        except (ValueError, TypeError, InvalidOperation):
+            canon.append(None)
+    if not any(canon):
+        return list(files)
+    kept = []
+    for f in files:
+        key = _rel_key(f, root) if root is not None else f.rsplit("/", 1)[-1]
+        entry = stats.get(key) if key is not None else None
+        if entry is None:
+            kept.append(f)
+            continue
+        cols = entry.get("cols") or {}
+        alive = True
+        for cp in canon:
+            if cp is None:
+                continue
+            col, op, cv, cat = cp
+            cs = cols.get(col)
+            if cs is None:
+                continue  # no stats for this column in this file
+            if not cs.get("nn"):
+                alive = False  # zero non-null values: nothing can match
+                break
+            mn, mx = cs.get("min"), cs.get("max")
+            if mn is None or mx is None:
+                continue  # torn entry — read the file
+            try:
+                if not _bound_may_match(
+                    op, cv, _canon_stored(cat, mn), _canon_stored(cat, mx)
+                ):
+                    alive = False
+                    break
+            except (ValueError, TypeError, InvalidOperation):
+                continue  # corrupt bound — read the file
+        if alive:
+            kept.append(f)
+    return kept
+
+
+# --------------------------------------------------------------------------
+# maintenance
+
+def rebuild_file_stats(
+    spark: SparkSession,
+    path: str,
+    columns=None,
+    *,
+    lease=None,
+) -> dict:
+    """Full stats rebuild over the corpus's live data files — heals the
+    (documented, bounded) gaps a crash can leave and back-fills a corpus
+    that predates stats. With ``columns`` it also (re)writes the config,
+    enabling stats on a legacy corpus. One corpus scan; consolidates
+    every prior delta into a single doc. Returns the stats doc.
+
+    Maintenance-window op like :func:`~bambooai_spark.operators.writer
+    .compact_corpus` (single writer; pass ``lease`` to enforce)."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _lease_beat,
+        _lease_ensure,
+        _stored_schema,
+        _walk_files,
+    )
+
+    _lease_beat(lease)
+    if columns is not None:
+        cols = list(dict.fromkeys(columns))
+    else:
+        cols = stats_config(spark, path)
+        if not cols:
+            raise ValueError(
+                f"no stats config under {path}; pass columns= to enable"
+            )
+    stored = _stored_schema(spark, path)
+    if columns is not None:
+        enable_file_stats(spark, path, cols, schema=stored)
+    live = _walk_files(spark, path)
+    name = f"rebuild-{uuid.uuid4().hex[:8]}"
+    if live:
+        doc = collect_file_stats(
+            spark, path, cols, schema=stored, files=live
+        )
+    else:
+        doc = {"columns": cols, "files": {}}
+    _lease_ensure(lease)
+    write_stats_delta(spark, path, name, doc)
+    prune_stats_files(spark, path, {f"{name}.json", CONFIG_NAME})
+    return doc

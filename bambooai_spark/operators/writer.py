@@ -473,6 +473,7 @@ def write_corpus(
     cluster_by: tuple[str, ...] = (),
     num_tasks: int | None = None,
     cluster_strategy: str = "linear",
+    stats_by: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Write ``df`` as a partitioned parquet corpus and return (and
     persist alongside it) the manifest: one row per partition value with
@@ -488,6 +489,14 @@ def write_corpus(
     count per call, same knob as :func:`compact_corpus`.
     ``cluster_strategy='zorder'`` interleaves instead of sorting
     linearly — every file narrow in EVERY cluster column.
+
+    ``stats_by`` — record per-file min/max/null-count stats for these
+    columns under ``_filestats/`` (see :mod:`.filestats`), letting
+    :func:`read_corpus`'s ``where=`` drop files from the scan before the
+    reader is built. Defaults to ``cluster_by`` (clustering without
+    skipping leaves the payoff on the table); pass ``()`` to disable
+    explicitly. Every later append/compact/delete on the corpus keeps
+    the stats current via the config this records.
     """
     _check_cluster_args(cluster_by, cluster_strategy)
     persisted = None
@@ -528,6 +537,16 @@ def write_corpus(
         columns=sorted(df.columns),
         schema_json=_schema_json_of(df),
     )
+    stats_cols = tuple(stats_by) if stats_by is not None else tuple(cluster_by)
+    if stats_cols:
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            rebuild_file_stats,
+        )
+
+        # records the _filestats/_CONFIG.json the append/compact/delete
+        # paths consult, then collects over exactly this write's files
+        # (mode="overwrite" wiped any prior corpus, stats included)
+        rebuild_file_stats(df.sparkSession, path, stats_cols)
     return manifest
 
 
@@ -750,6 +769,19 @@ def append_corpus(
         # evolved files a later schema-pinned compaction would strip
         _record_schema(spark, path, schema_json)
 
+    from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+        collect_file_stats,
+        stats_config,
+        write_stats_delta,
+    )
+
+    stats_cols = stats_config(spark, path)
+    # the plain append writes into the live tree, so its new files are
+    # only identifiable by a listing diff — O(files), the batch API's
+    # acceptable cost (the txn path keys stats off its staged names and
+    # adds no listing; see append_corpus_txn)
+    before = set(_walk_files(spark, path)) if stats_cols else set()
+
     writer = batch.drop("_fp").write.mode("append")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
@@ -757,6 +789,24 @@ def append_corpus(
     batch.select(F.col("_fp").alias("fp")).write.mode("append").parquet(
         _join(path, LEDGER_DIR)
     )
+
+    if stats_cols:
+        import uuid as _uuid  # noqa: PLC0415
+
+        new_files = [
+            f for f in _walk_files(spark, path) if f not in before
+        ]
+        if new_files:
+            # a crash before this write loses only these files' stats
+            # (they are read unpruned until rebuild_file_stats heals) —
+            # same bounded-loss-last ordering as the signature record
+            write_stats_delta(
+                spark, path, f"a{_uuid.uuid4().hex[:8]}",
+                collect_file_stats(
+                    spark, path, stats_cols,
+                    schema=batch.drop("_fp").schema, files=new_files,
+                ),
+            )
 
     if full_manifest:
         from pyspark.sql.types import StructType  # noqa: PLC0415
@@ -1168,6 +1218,16 @@ def append_corpus_txn(
         # fully committed — replay folds the manifest if the crash hit
         # between marker and manifest, then cleans up
         info = json.loads(_fs_read_text(spark, marker))
+        if info.get("file_stats"):
+            # heals the crash window between the marker and the stats
+            # write (idempotent overwrite, same content every replay)
+            from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+                write_stats_delta,
+            )
+
+            write_stats_delta(
+                spark, path, f"b{batch_id}", info["file_stats"]
+            )
         rows = _merge_manifest_delta(
             spark, path, tuple(info["partition_by"]), info["delta"],
             info.get("token_col"), batch_id=batch_id,
@@ -1247,6 +1307,26 @@ def append_corpus_txn(
             schema=batch.drop("_fp").schema,
         ).collect()
     ]
+    file_stats = None
+    from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+        stats_config,
+    )
+
+    stats_cols = stats_config(spark, path)
+    if stats_cols:
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            collect_file_stats,
+        )
+
+        # stats ride the freeze: computed ONCE from the staged files
+        # (a bounded batch-sized scan), keyed by the deterministic
+        # committed basename, replayed verbatim from the frozen info —
+        # no corpus listing ever enters the per-micro-batch path
+        file_stats = collect_file_stats(
+            spark, _join(stage, "corpus"), stats_cols,
+            schema=batch.drop("_fp").schema,
+            key_prefix=f"b{batch_id}-",
+        )
     info = {
         "batch_id": batch_id,
         "partition_by": list(partition_by),
@@ -1254,6 +1334,7 @@ def append_corpus_txn(
         "columns": sorted(new_docs.columns),
         "schema": schema_json,
         "delta": delta,
+        "file_stats": file_stats,
     }
     _fs_write_text_atomic(spark, staged_flag, json.dumps(info, default=str))
     _lease_ensure(lease)
@@ -1286,6 +1367,15 @@ def _commit_staged(
     )
     marker = _join(path, f"{COMMITS_DIR}/batch-{batch_id}.json")
     _fs_write_text_atomic(spark, marker, json.dumps(info, default=str))
+    if info.get("file_stats"):
+        # after the marker (which carries a durable copy for replays),
+        # before the manifest fold — a crash in between re-writes it
+        # idempotently from the marker on the next replay
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            write_stats_delta,
+        )
+
+        write_stats_delta(spark, path, f"b{batch_id}", info["file_stats"])
     rows = _merge_manifest_delta(
         spark, path, partition_by, info["delta"], token_col,
         batch_id=batch_id, columns=info.get("columns"),
@@ -1510,12 +1600,29 @@ def _compact_corpus_inner(
                 pass  # store holds no data files — nothing to compact
         if ledger_df is not None:
             ledger_df.unpersist()
+        new_cid = _uuid.uuid4().hex[:8]
+        file_stats = None
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            collect_file_stats,
+            stats_config,
+        )
+
+        stats_cols = stats_config(spark, path)
+        if stats_cols:
+            # one batch-output-sized scan, keyed by the future c<id>-
+            # basenames; rides the freeze so a crash-resume replays it
+            file_stats = collect_file_stats(
+                spark, _join(tmp, "data"), stats_cols,
+                schema=stored if stored is not None else df.schema,
+                key_prefix=f"c{new_cid}-",
+            )
         _fs_write_text_atomic(
             spark,
             staged_flag,
             json.dumps(
                 {
-                    "compact_id": _uuid.uuid4().hex[:8],
+                    "compact_id": new_cid,
+                    "file_stats": file_stats,
                     "ledger": has_ledger,
                     "sigs": has_sigs,
                     # rides the freeze so the final manifest write can
@@ -1578,6 +1685,17 @@ def _compact_corpus_inner(
         # a crash before the manifest rebuild below would otherwise lose
         # the floor for good and let stale as_of reads answer wrong
         _bump_manifest_floor(spark, path, int(info["as_of_floor"]))
+    if info.get("file_stats"):
+        # every pre-compaction data file is now dead, so the fresh doc
+        # REPLACES the whole stats history (new first, then prune — a
+        # crash in between leaves extra orphan docs, never missing ones)
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            prune_stats_files,
+            write_stats_delta,
+        )
+
+        write_stats_delta(spark, path, f"c{cid}", info["file_stats"])
+        prune_stats_files(spark, path, {f"c{cid}.json"})
     _fs_delete(spark, staged_flag)
     _fs_delete(spark, tmp)
     _prune_commit_markers(spark, path)
@@ -1851,6 +1969,21 @@ def _stage_delete(
         kept.write.mode("overwrite").partitionBy(*partition_by).parquet(
             _join(tmp, "data")
         )
+        file_stats = None
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            collect_file_stats,
+            stats_config,
+        )
+
+        stats_cols = stats_config(spark, path)
+        if stats_cols:
+            # stats for the d<id>- rewrites ride the freeze like the
+            # file lists; the removed originals' entries become inert
+            # orphans until compaction/rebuild consolidates them
+            file_stats = collect_file_stats(
+                spark, _join(tmp, "data"), stats_cols,
+                schema=df.schema, key_prefix=f"d{delete_id}-",
+            )
         ledger_files: list[str] = []
         ledger_path = _join(path, LEDGER_DIR)
         if _fs_exists(spark, ledger_path):
@@ -1886,6 +2019,7 @@ def _stage_delete(
         matches.unpersist()
     return {
         "delete_id": delete_id,
+        "file_stats": file_stats,
         "partition_by": list(partition_by),
         "token_col": token_col,
         # the schema rides the freeze: the fold's torn-manifest rebuild
@@ -1936,6 +2070,12 @@ def _apply_staged_delete(
             fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
         # (3) unhide — the shared swap-protocol step
         _unhide_swapped(spark, dest_root, f"_swap-d{did}-")
+    if info.get("file_stats"):
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            write_stats_delta,
+        )
+
+        write_stats_delta(spark, path, f"d{did}", info["file_stats"])
     rows = _merge_manifest_delta(
         spark, path, partition_by, info["delta"], token_col,
         batch_id=f"delete-{did}",
@@ -2064,6 +2204,16 @@ def recover_staging(
             # than interleave with the new holder's writes (review r8)
             _lease_ensure(lease)
             info = json.loads(_fs_read_text(spark, marker))
+            if info.get("file_stats"):
+                # heal the crash window between the marker and the
+                # stats write (idempotent, same content)
+                from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+                    write_stats_delta,
+                )
+
+                write_stats_delta(
+                    spark, path, f"b{batch_id}", info["file_stats"]
+                )
             _merge_manifest_delta(
                 spark, path, tuple(info["partition_by"]), info["delta"],
                 info.get("token_col"), batch_id=batch_id,
@@ -2113,6 +2263,7 @@ def read_corpus(
     *,
     as_of_batch: int | None = None,
     schema=None,
+    where=None,
 ) -> DataFrame:
     """Committed-snapshot read of a transactional corpus — the reader-side
     answer to the dirty-read window :func:`append_corpus_txn` documents
@@ -2162,6 +2313,17 @@ def read_corpus(
     later additive evolution gains the new column (all-NULL for its
     rows) once the evolution lands. Pass ``schema=`` explicitly where a
     bit-stable snapshot schema matters across re-reads.
+
+    ``where`` filters the result — and, as a list of ``(column, op,
+    value)`` triples (ops ``== < <= > >=``, AND-combined), also DROPS
+    files the corpus's per-file stats prove cannot match before the
+    reader is built (see :mod:`.filestats`): on a clustered corpus a
+    selective read schedules ~matching-range/corpus of the files instead
+    of all of them. Semantics never depend on the stats — the predicate
+    is always applied as a real filter too; files without stats are
+    simply read. A plain Column or SQL string is also accepted
+    (filter-only, no pruning — triples are what the pruner can reason
+    about).
     """
     for flag, op in (
         (f"{DELETE_TMP}/{STAGED_MARKER}", "delete_from_corpus"),
@@ -2232,9 +2394,32 @@ def read_corpus(
         if decided[bid]:
             keep.append(f)
 
+    residual = None
+    if where is not None:
+        from pyspark.sql import Column  # noqa: PLC0415
+
+        if isinstance(where, Column):
+            residual = where
+        elif isinstance(where, str):
+            residual = F.expr(where)
+        else:
+            from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+                load_file_stats,
+                normalize_predicates,
+                predicate_column,
+                prune_files,
+            )
+
+            preds = normalize_predicates(where, schema)
+            residual = predicate_column(preds)
+            stats = load_file_stats(spark, path)
+            if stats:
+                keep = prune_files(keep, stats, preds, schema, root=path)
+
     if not keep:
         if schema is not None:
-            return spark.createDataFrame([], schema)
+            out = spark.createDataFrame([], schema)
+            return out.filter(residual) if residual is not None else out
         raise ValueError(
             f"no committed data files under {path} for this snapshot; "
             "pass schema= to get a typed empty DataFrame"
@@ -2242,7 +2427,8 @@ def read_corpus(
     reader = spark.read.option("basePath", path)
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(*keep)
+    out = reader.parquet(*keep)
+    return out.filter(residual) if residual is not None else out
 
 
 def corpus_history(spark: SparkSession, path: str) -> DataFrame:

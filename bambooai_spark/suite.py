@@ -4273,6 +4273,48 @@ def delete_corpus_docs(spark, sf_dir):
 
 
 @spec(
+    "pruned_read_docs",
+    """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE n_chars >= 150 AND n_chars <= 300
+    """,
+    headline=True,
+    doc="File-level data skipping end-to-end (operators/filestats.py): "
+    "write_corpus lays the documents out clustered on n_chars with "
+    "per-file min/max stats recorded under _filestats/, then "
+    "read_corpus(where=[...]) DROPS the files whose recorded range "
+    "cannot match before the reader is built and applies the predicate "
+    "as the residual filter — Delta-style skipping on plain parquet, "
+    "the read-side payoff of clustering at 100 TB (a selective query "
+    "schedules ~range/corpus of the files instead of all of them; "
+    "tests/test_filestats.py pins that files are actually pruned and "
+    "that pruning can never drop a matching row). The oracle is the "
+    "plain predicate over the same table — pruning must be invisible "
+    "to results.",
+)
+def pruned_read_docs(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        read_corpus,
+        write_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="bbai_prune_spec_"), "corpus")
+    write_corpus(
+        d, out, partition_by=("lang",), cluster_by=("n_chars",),
+        max_records_per_file=50,
+    )
+    got = read_corpus(
+        spark, out,
+        where=[("n_chars", ">=", 150), ("n_chars", "<=", 300)],
+    )
+    return got.select("doc_id", "lang", "n_chars")
+
+
+@spec(
     "sketch_distinct_events",
     None,  # approximate — DuckDB's HLL uses different parameters, so no
     # hash-exact oracle exists; accuracy (≤5 % of exact), union==rebuild,
@@ -5088,11 +5130,11 @@ _PROMOTE = [
     # from the head keeps (q18/q7/union/rollup/sessionize/funnel/...),
     # each of which carries a green r6 row.
     "q12_shipmodes",
-    # cube_orders and range_frame_events (new in round 7, sf0.01
-    # pre-validated) take the two remaining rotation slots so no oracled
-    # spec waits ungraded; rolling_avg/asof_join return to the tail with
-    # their 5 green rounds intact
-    "cube_orders",
+    # range_frame_events (new in round 7, sf0.01 pre-validated) takes a
+    # remaining rotation slot so no oracled spec waits ungraded;
+    # rolling_avg/asof_join return to the tail with their 5 green rounds
+    # intact. (cube_orders, green r7, yields its slot to pruned_read_docs
+    # in the continuation-3 rotation below.)
     "range_frame_events",
     # Round-8 rotation (VERDICT r7 #2): the four r7 tail specs get their
     # first driver grades, the four r01-graded text-analysis stragglers
@@ -5133,8 +5175,15 @@ _PROMOTE = [
     "theta_audience_events",
     "near_dup_gate_docs",
     "vector_store_embeddings",
+    # Round-8 continuation 3: the new data-skipping lifecycle spec gets
+    # its driver grade the round it lands. Its slot: cube_orders carries
+    # a fresh green r7 row (grouping-sets family stays benched and
+    # oracle-pinned in pytest; rollup_orders holds an r6 green).
+    "pruned_read_docs",
 ]
 _DEMOTE = [
+    # Round-8 continuation-3 demotion (slot for pruned_read_docs above):
+    "cube_orders",
     "q4_order_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",

@@ -1,0 +1,523 @@
+"""File-level data skipping (operators.filestats + read_corpus where=):
+pruning must NEVER change results — only shrink the scanned file list —
+across every writer path (write/append/txn/compact/delete), every
+prunable type, schema evolution, and crash replays."""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import date, datetime
+from decimal import Decimal
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bambooai_spark.operators import filestats
+from bambooai_spark.operators import writer
+from bambooai_spark.operators.filestats import (
+    STATS_DIR,
+    collect_file_stats,
+    enable_file_stats,
+    load_file_stats,
+    prune_files,
+    rebuild_file_stats,
+    stats_config,
+)
+from bambooai_spark.operators.writer import (
+    append_corpus,
+    append_corpus_txn,
+    compact_corpus,
+    delete_from_corpus,
+    read_corpus,
+    write_corpus,
+)
+
+
+def _docs(spark, lo, hi, langs=("en", "de")):
+    rows = [
+        (i, langs[i % len(langs)], "web", f"document text number {i} " * 5)
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+
+
+def _stats_names(out):
+    d = os.path.join(out, STATS_DIR)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        n for n in os.listdir(d)
+        if n != "_CONFIG.json" and not n.startswith(".")
+    )
+
+
+def _live_keys(out):
+    """Live data-file paths relative to the corpus root (partition dirs
+    included — the stats-key form)."""
+    keys = []
+    for root, dirs, files in os.walk(out):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        rel = os.path.relpath(root, out)
+        for f in files:
+            if not f.startswith(("_", ".")):
+                keys.append(f if rel == "." else f"{rel}/{f}")
+    return keys
+
+
+# --------------------------------------------------------------------------
+# pure pruning logic
+
+
+def _entry(mn, mx, nn, n=None):
+    return {"n": n if n is not None else max(nn, 1),
+            "cols": {"x": {"min": mn, "max": mx, "nn": nn}}}
+
+
+def _schema_of(spark, ddl):
+    return spark.createDataFrame([], ddl).schema
+
+
+def test_prune_matrix_int(spark):
+    schema = _schema_of(spark, "x long")
+    stats = {"f1": _entry(10, 20, 5), "f2": _entry(30, 40, 5)}
+    files = ["/c/f1", "/c/f2", "/c/f3"]  # f3 has no stats — always kept
+
+    def kept(preds):
+        return [f.rsplit("/", 1)[-1] for f in
+                prune_files(files, stats, preds, schema)]
+
+    assert kept([("x", "==", 15)]) == ["f1", "f3"]
+    assert kept([("x", "==", 25)]) == ["f3"]
+    assert kept([("x", "<", 10)]) == ["f3"]
+    assert kept([("x", "<", 11)]) == ["f1", "f3"]
+    assert kept([("x", "<=", 10)]) == ["f1", "f3"]
+    assert kept([("x", ">", 40)]) == ["f3"]
+    assert kept([("x", ">", 39)]) == ["f2", "f3"]
+    assert kept([("x", ">=", 40)]) == ["f2", "f3"]
+    # AND of two predicates: each may prune
+    assert kept([("x", ">=", 15), ("x", "<=", 35)]) == ["f1", "f2", "f3"]
+    assert kept([("x", ">=", 21), ("x", "<=", 29)]) == ["f3"]
+
+
+def test_prune_all_null_and_boundary(spark):
+    schema = _schema_of(spark, "x long")
+    stats = {
+        "f1": _entry(None, None, 0, n=7),  # all-NULL file: nothing matches
+        "f2": _entry(5, 5, 1),
+    }
+    files = ["/c/f1", "/c/f2"]
+    got = prune_files(files, stats, [("x", "==", 5)], schema)
+    assert got == ["/c/f2"]
+    # no predicate on a column the file has stats for → kept
+    got = prune_files(files, stats, [("y", "==", 5)], None)
+    assert got == files
+
+
+def test_prune_conservative_on_mismatch(spark):
+    schema = _schema_of(spark, "x long")
+    stats = {"f1": _entry(10, 20, 5)}
+    files = ["/c/f1"]
+    # un-canonicalizable predicate value → no pruning, file read anyway
+    assert prune_files(files, stats, [("x", "==", "oops")], schema) == files
+    # float predicate on an int column IS prunable via float compare
+    assert prune_files(files, stats, [("x", "<", 9.5)], schema) == []
+    assert prune_files(files, stats, [("x", "<", 10.5)], schema) == files
+    # huge bounds: float conversion could round — conservative keep
+    big = {"f1": _entry(2**60, 2**60 + 1, 5)}
+    assert prune_files(files, big, [("x", "<", 1.0)], schema) == files
+
+
+def test_prune_types_decimal_date_ts_str_bool(spark):
+    schema = _schema_of(
+        spark, "d decimal(10,2), dt date, ts timestamp, s string, b boolean"
+    )
+
+    def one(col, mn, mx, nn=3):
+        return {"f": {"n": 3, "cols": {col: {"min": mn, "max": mx, "nn": nn}}}}
+
+    files = ["/c/f"]
+    # decimal: stored as str(Decimal), compared numerically — "9" < "10"
+    assert prune_files(files, one("d", "9.00", "10.00"),
+                       [("d", ">=", Decimal("9.50"))], schema) == files
+    assert prune_files(files, one("d", "9.00", "10.00"),
+                       [("d", ">", 10)], schema) == []
+    # date: iso strings, predicate as date or iso str
+    assert prune_files(files, one("dt", "2024-01-01", "2024-06-01"),
+                       [("dt", "<", date(2024, 1, 1))], schema) == []
+    assert prune_files(files, one("dt", "2024-01-01", "2024-06-01"),
+                       [("dt", "<=", "2024-01-01")], schema) == files
+    # timestamp: fixed-width micros; a second-precision == predicate must
+    # NOT prune a file whose bound is the same instant
+    bounds = one("ts", "2024-01-01 10:00:00.000000",
+                 "2024-01-01 10:00:00.000000")
+    assert prune_files(files, bounds,
+                       [("ts", "==", datetime(2024, 1, 1, 10, 0, 0))],
+                       schema) == files
+    assert prune_files(files, bounds,
+                       [("ts", ">", "2024-01-01 10:00:00")], schema) == []
+    # string
+    assert prune_files(files, one("s", "apple", "mango"),
+                       [("s", ">", "zebra")], schema) == []
+    assert prune_files(files, one("s", "apple", "mango"),
+                       [("s", "==", "kiwi")], schema) == files
+    # boolean
+    assert prune_files(files, one("b", False, False),
+                       [("b", "==", True)], schema) == []
+
+
+def test_prune_nan_bounds_never_prune(spark):
+    schema = _schema_of(spark, "x double")
+    stats = {"f": _entry(float("nan"), float("nan"), 3)}
+    for op, v in [("==", 1.0), ("<", 1.0), (">", 1.0)]:
+        assert prune_files(["/c/f"], stats, [(("x"), op, v)], schema) == ["/c/f"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.lists(
+        st.lists(st.one_of(st.integers(-50, 50), st.none()),
+                 min_size=1, max_size=8),
+        min_size=1, max_size=6,
+    ),
+    op=st.sampled_from(["==", "<", "<=", ">", ">="]),
+    v=st.integers(-55, 55),
+)
+def test_prune_never_drops_matching_rows_property(data, op, v):
+    """Soundness: any 'file' holding a row that satisfies the predicate
+    survives pruning. (Uses a cached schema-free StructType.)"""
+    import operator as _op
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("x", LongType())])
+    fns = {"==": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+    stats, files, matching = {}, [], set()
+    for i, rows in enumerate(data):
+        name = f"f{i}"
+        files.append(f"/c/{name}")
+        vals = [r for r in rows if r is not None]
+        stats[name] = {
+            "n": len(rows),
+            "cols": {"x": {
+                "min": min(vals) if vals else None,
+                "max": max(vals) if vals else None,
+                "nn": len(vals),
+            }},
+        }
+        if any(fns[op](r, v) for r in vals):
+            matching.add(f"/c/{name}")
+    kept = set(prune_files(files, stats, [("x", op, v)], schema))
+    assert matching <= kept
+
+
+# --------------------------------------------------------------------------
+# write_corpus + read_corpus(where=)
+
+
+def test_write_corpus_stats_and_pruned_read(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    d = _docs(spark, 0, 200).withColumn(
+        "n_chars", F.length("text").cast("long") + F.col("doc_id")
+    )
+    write_corpus(
+        d, out, partition_by=("lang",), cluster_by=("n_chars",),
+        max_records_per_file=20,
+    )
+    # stats_by defaulted to cluster_by → config + one rebuild doc
+    assert stats_config(spark, out) == ["n_chars"]
+    names = _stats_names(out)
+    assert len(names) == 1 and names[0].startswith("rebuild-")
+
+    lo, hi = d.agg(F.min("n_chars"), F.max("n_chars")).first()
+    mid = (lo + hi) // 2
+    preds = [("n_chars", ">=", lo), ("n_chars", "<=", mid)]
+    got = read_corpus(spark, out, where=preds)
+    want = d.filter((F.col("n_chars") >= lo) & (F.col("n_chars") <= mid))
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+    # and the pruning actually dropped files (clustered → narrow ranges)
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(out, writer.MANIFEST_NAME)) as fh:
+        schema = StructType.fromJson(json.load(fh)["schema"])
+    live = [os.path.join(out, k) for k in _live_keys(out)]
+    kept = prune_files(
+        live, load_file_stats(spark, out), preds, schema, root=out
+    )
+    assert len(kept) < len(live)
+    # a point lookup prunes harder than a half-range
+    point = prune_files(
+        live, load_file_stats(spark, out), [("n_chars", "==", lo)], schema,
+        root=out,
+    )
+    assert len(point) <= max(2, len(live) // 4)
+
+
+def test_where_filter_without_stats_still_exact(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    d = _docs(spark, 0, 60)
+    write_corpus(d, out, partition_by=("lang",))  # no cluster_by → no stats
+    assert stats_config(spark, out) is None
+    got = read_corpus(spark, out, where=[("doc_id", "<", 10)])
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(10))
+    # Column / SQL-string forms: filter-only
+    got = read_corpus(spark, out, where=F.col("doc_id") < 5)
+    assert got.count() == 5
+    got = read_corpus(spark, out, where="doc_id < 3")
+    assert got.count() == 3
+
+
+def test_where_rejects_bad_predicates(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    write_corpus(_docs(spark, 0, 10), out, partition_by=("lang",))
+    with pytest.raises(ValueError, match="not a corpus column"):
+        read_corpus(spark, out, where=[("nope", "==", 1)])
+    with pytest.raises(ValueError, match="unsupported op"):
+        read_corpus(spark, out, where=[("doc_id", "!=", 1)])
+    with pytest.raises(ValueError, match="triple"):
+        read_corpus(spark, out, where=[("doc_id", 1)])
+
+
+def test_enable_rejects_non_prunable_types(spark, tmp_path):
+    d = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "doc_id long, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="non-prunable"):
+        enable_file_stats(spark, str(tmp_path / "c"), ["vec"], schema=d.schema)
+
+
+# --------------------------------------------------------------------------
+# txn appends
+
+
+def test_txn_append_stats_per_batch_and_pruning(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 50), out, 0, max_records_per_file=10)
+    # enable mid-life, then backfill history
+    enable_file_stats(spark, out, ["doc_id"])
+    rebuild_file_stats(spark, out)
+    append_corpus_txn(_docs(spark, 50, 100), out, 1, max_records_per_file=10)
+    names = _stats_names(out)
+    assert any(n == "b1.json" for n in names)
+    # batch-0 files (covered by the rebuild) prune for doc_id >= 50
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(out, writer.MANIFEST_NAME)) as fh:
+        schema = StructType.fromJson(json.load(fh)["schema"])
+    stats = load_file_stats(spark, out)
+    live = [os.path.join(out, k) for k in _live_keys(out)]
+    kept = prune_files(live, stats, [("doc_id", ">=", 50)], schema, root=out)
+    assert all(k.rsplit("/", 1)[-1].startswith("b1-") for k in kept)
+    got = read_corpus(spark, out, where=[("doc_id", ">=", 50)])
+    assert got.count() == 50
+    # full replay of batch 1 is a no-op and leaves stats intact
+    append_corpus_txn(_docs(spark, 50, 100), out, 1, max_records_per_file=10)
+    assert load_file_stats(spark, out).keys() == stats.keys()
+
+
+def test_txn_crash_between_marker_and_stats_heals_on_replay(
+    spark, tmp_path, monkeypatch
+):
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20), out, 0)
+    enable_file_stats(spark, out, ["doc_id"])
+    rebuild_file_stats(spark, out)
+
+    orig = filestats.write_stats_delta
+
+    def crash_on_batch_delta(spark_, path, name, doc):
+        if name.startswith("b"):
+            raise RuntimeError("crash before stats write")
+        return orig(spark_, path, name, doc)
+
+    monkeypatch.setattr(filestats, "write_stats_delta", crash_on_batch_delta)
+    with pytest.raises(RuntimeError, match="crash before stats"):
+        append_corpus_txn(_docs(spark, 20, 40), out, 1)
+    monkeypatch.setattr(filestats, "write_stats_delta", orig)
+    assert "b1.json" not in _stats_names(out)
+    # conservative meanwhile: files exist, stats missing → still read
+    assert read_corpus(spark, out, where=[("doc_id", ">=", 20)]).count() == 20
+    # replay (same batch id) heals the stats from the commit marker
+    append_corpus_txn(_docs(spark, 20, 40), out, 1)
+    assert "b1.json" in _stats_names(out)
+    assert read_corpus(spark, out, where=[("doc_id", ">=", 20)]).count() == 20
+
+
+def test_txn_staged_resume_carries_stats(spark, tmp_path, monkeypatch):
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20), out, 0)
+    enable_file_stats(spark, out, ["doc_id"])
+    rebuild_file_stats(spark, out)
+
+    orig_move = writer._move_staged_files
+
+    def crash_move(*a, **k):
+        raise RuntimeError("crash before any move")
+
+    monkeypatch.setattr(writer, "_move_staged_files", crash_move)
+    with pytest.raises(RuntimeError, match="crash before any move"):
+        append_corpus_txn(_docs(spark, 20, 40), out, 1)
+    monkeypatch.setattr(writer, "_move_staged_files", orig_move)
+    # frozen _STAGED info carries the stats doc keyed by committed names
+    flag = os.path.join(
+        out, writer.STAGING_DIR, "batch_id=1", writer.STAGED_MARKER
+    )
+    with open(flag) as fh:
+        info = json.load(fh)
+    assert info["file_stats"]["files"]
+    assert all(
+        k.rsplit("/", 1)[-1].startswith("b1-")
+        for k in info["file_stats"]["files"]
+    )
+    append_corpus_txn(_docs(spark, 20, 40), out, 1)  # resume
+    assert "b1.json" in _stats_names(out)
+    stats = load_file_stats(spark, out)
+    live = set(_live_keys(out))
+    assert {
+        k for k in stats if k.rsplit("/", 1)[-1].startswith("b1-")
+    } <= live
+
+
+# --------------------------------------------------------------------------
+# compaction / delete / plain append
+
+
+def test_compact_consolidates_stats(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    for b in range(3):
+        append_corpus_txn(
+            _docs(spark, b * 30, (b + 1) * 30), out, b,
+            max_records_per_file=7,
+        )
+    rebuild_file_stats(spark, out, ["doc_id"])
+    append_corpus_txn(_docs(spark, 90, 120), out, 3, max_records_per_file=7)
+    assert len(_stats_names(out)) == 2  # rebuild + b3
+    compact_corpus(spark, out, partition_by=("lang",),
+                   cluster_by=("doc_id",), max_records_per_file=25)
+    names = _stats_names(out)
+    assert len(names) == 1 and names[0].startswith("c")
+    stats = load_file_stats(spark, out)
+    live = set(_live_keys(out))
+    assert set(stats) == live  # exactly the live files, no orphans
+    got = read_corpus(spark, out, where=[("doc_id", "<", 30)])
+    assert got.count() == 30
+    # clustered rewrite → the <30 range is a strict subset of files
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(out, writer.MANIFEST_NAME)) as fh:
+        schema = StructType.fromJson(json.load(fh)["schema"])
+    kept = prune_files(
+        [os.path.join(out, k) for k in live], stats,
+        [("doc_id", "<", 30)], schema, root=out,
+    )
+    assert 0 < len(kept) < len(live)
+
+
+def test_delete_records_rewrite_stats(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    append_corpus(_docs(spark, 0, 80), out, partition_by=("lang",),
+                  max_records_per_file=10)
+    rebuild_file_stats(spark, out, ["doc_id"])
+    delete_from_corpus(spark, out, F.col("doc_id") % 4 == 1,
+                       partition_by=("lang",))
+    names = _stats_names(out)
+    assert any(n.startswith("d") for n in names)
+    # the rewritten files' stats are live; orphans are inert
+    got = read_corpus(spark, out, where=[("doc_id", "<", 40)])
+    assert sorted(r["doc_id"] for r in got.collect()) == [
+        i for i in range(40) if i % 4 != 1
+    ]
+    # consolidation clears the orphans
+    rebuild_file_stats(spark, out)
+    assert set(load_file_stats(spark, out)) == set(_live_keys(out))
+
+
+def test_plain_append_stats_via_listing_diff(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    d = _docs(spark, 0, 40).withColumn("n_chars", F.length("text").cast("long"))
+    write_corpus(d, out, partition_by=("lang",), stats_by=("doc_id",),
+                 max_records_per_file=10)
+    n0 = len(load_file_stats(spark, out))
+    d2 = _docs(spark, 40, 80).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    append_corpus(d2, out, partition_by=("lang",), max_records_per_file=10)
+    stats = load_file_stats(spark, out)
+    assert len(stats) > n0
+    assert set(stats) == set(_live_keys(out))
+    assert any(n.startswith("a") for n in _stats_names(out))
+    got = read_corpus(spark, out, where=[("doc_id", ">=", 40)])
+    assert got.count() == 40
+
+
+# --------------------------------------------------------------------------
+# evolution + snapshot composition
+
+
+def test_evolved_column_prunes_old_generation(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 30), out, 0, max_records_per_file=10)
+    enable_file_stats(spark, out, ["quality"])
+    d2 = _docs(spark, 30, 60).withColumn(
+        "quality", (F.col("doc_id") % 10).cast("double") / 10
+    )
+    append_corpus_txn(d2, out, 1, evolve_schema=True,
+                      max_records_per_file=10)
+    stats = load_file_stats(spark, out)
+    # generation-1 files have no entry (stats enabled after); batch-1
+    # files carry real quality bounds
+    b1 = {
+        k: v for k, v in stats.items()
+        if k.rsplit("/", 1)[-1].startswith("b1-")
+    }
+    assert b1 and all(v["cols"]["quality"]["nn"] > 0 for v in b1.values())
+    got = read_corpus(spark, out, where=[("quality", ">=", 0.5)])
+    want = [i for i in range(30, 60) if (i % 10) / 10 >= 0.5]
+    assert sorted(r["doc_id"] for r in got.collect()) == want
+    # after a rebuild the gen-1 files get nn=0 markers → fully prunable
+    rebuild_file_stats(spark, out)
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(out, writer.MANIFEST_NAME)) as fh:
+        schema = StructType.fromJson(json.load(fh)["schema"])
+    stats = load_file_stats(spark, out)
+    live = [os.path.join(out, k) for k in _live_keys(out)]
+    kept = prune_files(live, stats, [("quality", ">=", 0.0)], schema,
+                       root=out)
+    assert all(k.rsplit("/", 1)[-1].startswith("b1-") for k in kept)
+
+
+def test_where_composes_with_as_of_batch(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 30), out, 0)
+    enable_file_stats(spark, out, ["doc_id"])
+    rebuild_file_stats(spark, out)
+    append_corpus_txn(_docs(spark, 30, 60), out, 1)
+    got = read_corpus(
+        spark, out, as_of_batch=0, where=[("doc_id", ">=", 20)]
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == list(range(20, 30))
+
+
+def test_all_files_pruned_returns_typed_empty(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    d = _docs(spark, 0, 20)
+    write_corpus(d, out, partition_by=("lang",), stats_by=("doc_id",))
+    got = read_corpus(spark, out, where=[("doc_id", ">", 10_000)])
+    assert got.count() == 0
+    assert "doc_id" in got.columns and "text" in got.columns
+
+
+def test_rebuild_requires_columns_on_legacy(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    write_corpus(_docs(spark, 0, 10), out, partition_by=("lang",))
+    with pytest.raises(ValueError, match="no stats config"):
+        rebuild_file_stats(spark, out)
+    doc = rebuild_file_stats(spark, out, ["doc_id"])
+    assert doc["files"]
+    assert stats_config(spark, out) == ["doc_id"]
