@@ -2783,6 +2783,32 @@ def validate_corpus(
             except AnalysisException:
                 rows.append(("ledger", False, f"unreadable or no {text_col}"))
 
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            load_file_stats,
+            _rel_key,
+            stats_config,
+        )
+
+        if stats_config(spark, path) is not None:
+            # coverage gaps mean those files are read unpruned (never
+            # wrong answers — rebuild_file_stats heals); orphans are
+            # inert leftovers compaction/rebuild consolidates
+            stats = load_file_stats(spark, path)
+            live_keys = {
+                _rel_key(f, path) for f in _walk_files(spark, path)
+            }
+            uncovered = len(live_keys - set(stats))
+            orphans = len(set(stats) - live_keys)
+            rows.append(
+                (
+                    "file_stats",
+                    uncovered == 0,
+                    f"{len(live_keys) - uncovered}/{len(live_keys)} live "
+                    f"files covered, {orphans} orphan entries"
+                    + ("; rebuild_file_stats heals" if uncovered else ""),
+                )
+            )
+
     return spark.createDataFrame(
         rows, "check string, ok boolean, detail string"
     )

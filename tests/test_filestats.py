@@ -521,3 +521,44 @@ def test_rebuild_requires_columns_on_legacy(spark, tmp_path):
     doc = rebuild_file_stats(spark, out, ["doc_id"])
     assert doc["files"]
     assert stats_config(spark, out) == ["doc_id"]
+
+
+# --------------------------------------------------------------------------
+# observability integration
+
+
+def test_validate_and_advisor_report_stats_coverage(spark, tmp_path):
+    from bambooai_spark.operators.maintenance import suggest_maintenance
+    from bambooai_spark.operators.writer import validate_corpus
+
+    out = str(tmp_path / "corpus")
+    write_corpus(_docs(spark, 0, 40), out, partition_by=("lang",),
+                 stats_by=("doc_id",), max_records_per_file=10)
+    rows = {r["check"]: r for r in
+            validate_corpus(spark, out, deep=True).collect()}
+    assert rows["file_stats"]["ok"]
+    adv = {r["check"]: r for r in suggest_maintenance(spark, out).collect()}
+    assert "file_stats" in adv and adv["file_stats"]["severity"] == "ok"
+
+    # knock a hole in the coverage: drop every stats delta, keep config
+    import shutil
+
+    for n in _stats_names(out):
+        os.remove(os.path.join(out, STATS_DIR, n))
+    rows = {r["check"]: r for r in
+            validate_corpus(spark, out, deep=True).collect()}
+    assert not rows["file_stats"]["ok"]
+    assert "rebuild_file_stats" in rows["file_stats"]["detail"]
+    adv = {r["check"]: r for r in suggest_maintenance(spark, out).collect()}
+    assert adv["file_stats_gaps"]["severity"] == "warn"
+    # heal and re-check
+    rebuild_file_stats(spark, out)
+    rows = {r["check"]: r for r in
+            validate_corpus(spark, out, deep=True).collect()}
+    assert rows["file_stats"]["ok"]
+    # a corpus without a stats config reports nothing (no noise)
+    out2 = str(tmp_path / "plain")
+    write_corpus(_docs(spark, 0, 10), out2, partition_by=("lang",))
+    checks = {r["check"] for r in
+              validate_corpus(spark, out2, deep=True).collect()}
+    assert "file_stats" not in checks
