@@ -24,8 +24,11 @@ from bambooai_spark.operators.similarity import (
 from bambooai_spark.operators.export import export_jsonl_shards
 from bambooai_spark.operators.vector_store import (
     append_vector_corpus,
+    prune_vector_store,
     query_vector_corpus,
     query_vector_corpus_many,
+    refresh_vector_store,
+    set_corpus_watermark,
     write_vector_corpus,
 )
 from bambooai_spark.operators.filestats import (
@@ -51,7 +54,9 @@ from bambooai_spark.operators.writer import (
     compact_corpus,
     corpus_history,
     delete_from_corpus,
+    latest_committed_batch,
     read_corpus,
+    read_corpus_changes,
     recover_staging,
     validate_corpus,
     write_corpus,
@@ -70,6 +75,11 @@ __all__ = [
     "write_corpus",
     "enable_file_stats",
     "rebuild_file_stats",
+    "read_corpus_changes",
+    "latest_committed_batch",
+    "refresh_vector_store",
+    "prune_vector_store",
+    "set_corpus_watermark",
     "CorpusLease",
     "CorpusLeaseHeld",
     "CorpusLeaseLost",

@@ -384,3 +384,168 @@ def stored_vector(spark: SparkSession, path: str, vec_id) -> list[float]:
     if not rows:
         raise ValueError(f"id {vec_id!r} not in the vector store")
     return [float(x) for x in rows[0][0]]
+
+
+def _rewrite_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    mpath = _join(path, META_NAME)
+    _fs_delete(spark, mpath)
+    _fs_write_text_atomic(spark, mpath, json.dumps(meta))
+
+
+def set_corpus_watermark(
+    spark: SparkSession, path: str, batch: int | str
+) -> dict:
+    """Pin the store's corpus watermark — the txn batch id of the
+    document corpus this store is synced THROUGH. The build pattern:
+    capture ``latest_committed_batch(corpus)`` BEFORE the snapshot read
+    that feeds :func:`write_vector_corpus`, build, then pin it here;
+    batches landing during the build are re-processed by the first
+    :func:`refresh_vector_store` and de-duplicated by its anti-join."""
+    meta = _load_meta(spark, path)
+    meta["corpus_watermark"] = batch
+    _rewrite_meta(spark, path, meta)
+    return meta
+
+
+def refresh_vector_store(
+    spark: SparkSession,
+    corpus_path: str,
+    store_path: str,
+    embed=None,
+    *,
+    after_batch: int | str | None = None,
+    until_batch: int | str | None = None,
+    dedup: bool = True,
+    max_records_per_file: int | None = None,
+) -> dict:
+    """Incremental index refresh: read ONLY the corpus txn batches
+    committed since the store's watermark (:func:`~bambooai_spark
+    .operators.writer.read_corpus_changes` — never a corpus scan),
+    map them to vectors, append into the pinned-cell layout, advance
+    the watermark. The 100 TB pattern: an index that follows a growing
+    corpus at per-batch cost.
+
+    ``embed`` — callable mapping the changed-documents DataFrame to a
+    frame with exactly the store's pinned columns (id + vector + any
+    payload). ``None`` when the corpus rows already carry them.
+
+    Idempotent under crash-replay when ``dedup=True`` (default): the
+    incoming ids anti-join the store's existing ids (an id-column-only
+    store scan — the cheap fraction of store bytes), so a crash between
+    the append and the watermark write re-processes the window without
+    duplicating vectors. With ``dedup=False`` the append is
+    at-least-once and the caller owns replay hygiene.
+
+    Deletes are NOT mirrored here (CDC is inserts-only — takedowns
+    destroy the pre-image); run :func:`prune_vector_store` periodically
+    to drop vectors whose documents left the corpus."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        latest_committed_batch,
+        read_corpus_changes,
+    )
+
+    meta = _load_meta(spark, store_path)
+    wm = after_batch if after_batch is not None else meta.get("corpus_watermark")
+    if wm is None:
+        raise ValueError(
+            "the store has no corpus watermark; pin one with "
+            "set_corpus_watermark (or pass after_batch=) — typically the "
+            "corpus's latest_committed_batch captured before the build's "
+            "snapshot read"
+        )
+    until = until_batch
+    if until is None:
+        ns = None
+        if isinstance(wm, str) and "." in wm:
+            ns = wm.rpartition(".")[0]
+        until = latest_committed_batch(spark, corpus_path, namespace=ns)
+    if until is None or until == wm:
+        return {"n_new": 0, "watermark": wm, "meta": meta}
+    changes = read_corpus_changes(
+        spark, corpus_path, after_batch=wm, until_batch=until
+    )
+    vecs = embed(changes) if embed is not None else changes
+    if sorted(vecs.columns) != meta.get("columns", sorted(vecs.columns)):
+        raise ValueError(
+            f"embed produced columns {sorted(vecs.columns)} != the "
+            f"store's pinned columns {meta['columns']}"
+        )
+    if dedup:
+        existing = spark.read.parquet(store_path).select(meta["id_col"])
+        vecs = vecs.join(existing, meta["id_col"], "left_anti")
+    vecs = vecs.persist()
+    try:
+        n_new = vecs.count()
+        if n_new:
+            append_vector_corpus(
+                vecs, store_path, max_records_per_file=max_records_per_file
+            )
+    finally:
+        vecs.unpersist()
+    # watermark LAST: a crash before this line re-processes the window
+    # on retry, and the dedup anti-join keeps that replay exact
+    meta = _load_meta(spark, store_path)
+    meta["corpus_watermark"] = until
+    _rewrite_meta(spark, store_path, meta)
+    return {"n_new": n_new, "watermark": until, "meta": meta}
+
+
+def prune_vector_store(
+    spark: SparkSession, corpus_path: str, store_path: str
+) -> dict:
+    """Delete-side reconciliation: drop every stored vector whose id no
+    longer exists in the corpus (takedowns destroy pre-images, so CDC
+    cannot stream them — this is the periodic sweep). Rewrites ONLY the
+    cells that contain a dead vector, via dynamic partition overwrite;
+    untouched cells' files are never read, moved, or rewritten.
+
+    Cost: one id-column scan of each side plus a rewrite of the
+    affected cells. Maintenance-window op like compact_corpus: single
+    writer, and a reader during the rewrite can briefly see a cell's
+    rows missing."""
+    from bambooai_spark.operators.writer import read_corpus  # noqa: PLC0415
+
+    meta = _load_meta(spark, store_path)
+    id_col = meta["id_col"]
+    corpus = read_corpus(spark, corpus_path)
+    if id_col not in corpus.columns:
+        raise ValueError(
+            f"store id column {id_col!r} is not a corpus column "
+            f"({sorted(corpus.columns)}) — liveness cannot be derived"
+        )
+    live = corpus.select(id_col)
+    store = spark.read.option("basePath", store_path).parquet(store_path)
+    dead = store.join(live, id_col, "left_anti").select(id_col, CELL_COL)
+    dead = dead.persist()
+    try:
+        affected = sorted(
+            r[CELL_COL] for r in dead.select(CELL_COL).distinct().collect()
+        )
+        n_dead = dead.count()
+        if not affected:
+            return {"removed": 0, "cells_rewritten": []}
+        kept = store.filter(F.col(CELL_COL).isin(affected)).join(
+            live, id_col, "left_semi"
+        )
+        kept = kept.persist()
+        try:
+            with_rows = {
+                r[CELL_COL]
+                for r in kept.select(CELL_COL).distinct().collect()
+            }
+            (
+                kept.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(CELL_COL)
+                .parquet(store_path)
+            )
+        finally:
+            kept.unpersist()
+        # dynamic overwrite replaces only partitions it WRITES — a cell
+        # whose rows all died gets no output and its stale directory
+        # survives (the documented dynamic-overwrite hazard); drop it
+        for c in set(affected) - with_rows:
+            _fs_delete(spark, _join(store_path, f"{CELL_COL}={c}"))
+    finally:
+        dead.unpersist()
+    return {"removed": n_dead, "cells_rewritten": affected}

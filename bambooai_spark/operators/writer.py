@@ -2431,6 +2431,211 @@ def read_corpus(
     return out.filter(residual) if residual is not None else out
 
 
+def _batch_key(bid: str, like: str | None = None):
+    """Orderable key for a txn batch id, or None when the id is not
+    comparable in ``like``'s lineage. Plain numeric ids order naturally;
+    the streaming sink's composite ``<namespace>.<n>`` ids order by the
+    numeric tail WITHIN one namespace (different checkpoints are
+    different lineages — their counters are unrelated)."""
+    s = str(bid)
+    if s.isdigit():
+        return None if (like is not None and "." in str(like)) else int(s)
+    ns, _, n = s.rpartition(".")
+    if not ns or not n.isdigit():
+        return None
+    if like is not None:
+        lns, _, _ln = str(like).rpartition(".")
+        if lns != ns:
+            return None
+    return int(n)
+
+
+def latest_committed_batch(
+    spark: SparkSession, path: str, *, namespace: str | None = None
+) -> int | str | None:
+    """The highest COMMITTED txn batch id — the CDC consumer's "until"
+    watermark. Sources, in union: commit markers, the manifest's replay
+    window, and live ``b<id>-`` data files (which survive marker
+    pruning) — the last admitted only when provably committed (marker
+    present, or marker-pruned old: no marker AND no staging), because a
+    watermark that includes a frozen mid-commit batch would skip its
+    rows forever once it lands. Batches must COMMIT in increasing id
+    order for watermarking to be gap-free — true of the streaming sink
+    (one monotonic counter per checkpoint) and the natural batch
+    pattern; an out-of-order batch driver must manage watermarks itself.
+    ``namespace`` restricts to one streaming lineage's composite ids
+    (returned as ``<namespace>.<n>``); without it only plain numeric ids
+    are considered. None when no committed batch matches."""
+    like = f"{namespace}.0" if namespace is not None else None
+    committed: set[str] = {
+        bid for bid, _st in _iter_commit_markers(spark, path)
+    }
+    doc = _load_manifest_doc(spark, path)
+    for bid in (doc or {}).get("committed_batches") or []:
+        committed.add(str(bid))
+    for f in _walk_files(spark, path):
+        bid = _txn_batch_of(f.rsplit("/", 1)[-1])
+        if bid is None or bid in committed:
+            continue
+        if not _fs_exists(
+            spark, _join(path, f"{STAGING_DIR}/batch_id={bid}")
+        ):
+            committed.add(bid)  # marker-pruned old batch — complete
+    best = None
+    best_key = None
+    for bid in committed:
+        k = _batch_key(bid, like)
+        if k is None:
+            continue
+        if best_key is None or k > best_key:
+            best_key, best = k, bid
+    if best is None:
+        return None
+    return int(best) if namespace is None else best
+
+
+def read_corpus_changes(
+    spark: SparkSession,
+    path: str,
+    *,
+    after_batch: int | str,
+    until_batch: int | str | None = None,
+    schema=None,
+) -> DataFrame:
+    """Incremental (CDC-style) read: the LIVE rows of committed txn
+    batches with id in ``(after_batch, until_batch]`` — what a
+    downstream consumer (embedding index, feature store, mirror) must
+    process to catch up from its watermark without re-scanning the
+    corpus. At 100 TB this is the difference between an incremental
+    refresh reading one day's batches and a full-corpus diff.
+
+    Scope and guarantees:
+
+    - **Inserts only.** Takedowns remove rows; they do not emit
+      retractions (the pre-image is deliberately destroyed — that is
+      the point of a takedown). Consumers that must mirror deletions
+      reconcile against live ids (see
+      :func:`~bambooai_spark.operators.vector_store.prune_vector_store`
+      for the vector-store case).
+    - **Committed-snapshot semantics**, same rules as
+      :func:`read_corpus`: a batch appears only once its commit marker
+      exists at call start; a frozen mid-commit batch is invisible.
+    - **Attribution guard.** Compaction/delete fold rewritten batches'
+      files into ``c<id>-``/``d<id>-`` base files, destroying their
+      batch attribution; the manifest's ``as_of_floor`` records the
+      highest such id. A range starting below the floor raises — the
+      consumer's watermark predates what the corpus can still answer
+      and it must re-baseline (full re-read), never silently miss rows.
+      Composite (streaming) ids never enter the numeric floor, so ANY
+      maintenance rewrite forces composite-id consumers to re-baseline:
+      schedule refreshes before compaction windows.
+    - Batch ids order as in :func:`_batch_key`: numeric ids naturally,
+      composite ``<ns>.<n>`` ids by tail within one namespace —
+      ``after_batch`` fixes the lineage. Rows appended by the PLAIN
+      (non-txn) append carry no attribution and are never visible here.
+
+    ``until_batch=None`` means every committed batch after
+    ``after_batch`` (pair with :func:`latest_committed_batch` to record
+    the consumer's next watermark BEFORE processing)."""
+    after_key = _batch_key(after_batch)
+    if after_key is None:
+        raise ValueError(
+            f"after_batch {after_batch!r} is not an orderable batch id "
+            "(numeric, or <namespace>.<n>)"
+        )
+    until_key = None
+    if until_batch is not None:
+        until_key = _batch_key(until_batch, like=after_batch)
+        if until_key is None:
+            raise ValueError(
+                f"until_batch {until_batch!r} is not comparable with "
+                f"after_batch {after_batch!r} (same namespace required)"
+            )
+        if until_key < after_key:
+            raise ValueError(
+                f"until_batch {until_batch!r} precedes after_batch "
+                f"{after_batch!r}"
+            )
+
+    doc = _load_manifest_doc(spark, path)
+    floor = (doc or {}).get("as_of_floor")
+    composite = "." in str(after_batch)
+    if floor is not None and not composite and int(after_batch) < int(floor):
+        raise ValueError(
+            f"after_batch={after_batch} predates the corpus's maintenance "
+            f"floor {floor}: compaction/delete rewrote batches up to "
+            f"{floor}, so their attribution is gone — re-baseline the "
+            "consumer with a full read_corpus"
+        )
+    if composite:
+        # composite ids never raise the numeric floor, so the only sound
+        # contract is: no maintenance rewrite may postdate the watermark.
+        # c<id>-/d<id>- files are the durable evidence of one.
+        rewritten = [
+            f for f in _walk_files(spark, path)
+            if _txn_batch_of(f.rsplit("/", 1)[-1]) is None
+            and f.rsplit("/", 1)[-1][:1] in ("c", "d")
+        ]
+        if rewritten:
+            raise ValueError(
+                "the corpus has maintenance-rewritten files "
+                f"(e.g. {rewritten[0].rsplit('/', 1)[-1]!r}) and "
+                f"after_batch {after_batch!r} is a streaming id whose "
+                "attribution cannot be proven to survive them — "
+                "re-baseline the consumer with a full read_corpus"
+            )
+
+    if schema is None and doc and doc.get("schema"):
+        from pyspark.sql.types import StructType  # noqa: PLC0415
+
+        try:
+            schema = StructType.fromJson(doc["schema"])
+        except (KeyError, TypeError, ValueError):
+            pass
+
+    committed_at_start = {
+        bid for bid, _st in _iter_commit_markers(spark, path)
+    }
+    keep: list[str] = []
+    decided: dict[str, bool] = {}
+    for f in _walk_files(spark, path):
+        bid = _txn_batch_of(f.rsplit("/", 1)[-1])
+        if bid is None:
+            continue  # base file — no attribution, not a change row
+        k = _batch_key(bid, like=after_batch)
+        if k is None or k <= after_key:
+            continue
+        if until_key is not None and k > until_key:
+            continue
+        if bid not in decided:
+            if bid in committed_at_start:
+                decided[bid] = True
+            else:
+                # same three-way rule as read_corpus: mid-commit or
+                # committed-during-listing → excluded; marker-pruned old
+                # batch (no marker, no staging) → complete, included
+                decided[bid] = not _fs_exists(
+                    spark, _join(path, f"{COMMITS_DIR}/batch-{bid}.json")
+                ) and not _fs_exists(
+                    spark, _join(path, f"{STAGING_DIR}/batch_id={bid}")
+                )
+        if decided[bid]:
+            keep.append(f)
+
+    if not keep:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise ValueError(
+            f"no committed batch files in ({after_batch}, "
+            f"{until_batch if until_batch is not None else 'latest'}] "
+            f"under {path}; pass schema= to get a typed empty DataFrame"
+        )
+    reader = spark.read.option("basePath", path)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(*keep)
+
+
 def corpus_history(spark: SparkSession, path: str) -> DataFrame:
     """Commit history of a transactional corpus as a DataFrame — the
     ``DESCRIBE HISTORY`` analog for this module's plain-parquet protocol,

@@ -4273,6 +4273,67 @@ def delete_corpus_docs(spark, sf_dir):
 
 
 @spec(
+    "corpus_changes_docs",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+      FROM documents
+    ), b0 AS (
+      SELECT f, MIN(doc_id) AS doc_id FROM fp WHERE doc_id % 3 = 0 GROUP BY f
+    ), b1 AS (
+      SELECT f, MIN(doc_id) AS doc_id FROM fp WHERE doc_id % 3 = 1 GROUP BY f
+    ), b1k AS (
+      SELECT b1.f, b1.doc_id FROM b1 LEFT JOIN b0 ON b1.f = b0.f
+      WHERE b0.f IS NULL
+    ), b2 AS (
+      SELECT f, MIN(doc_id) AS doc_id FROM fp WHERE doc_id % 3 = 2 GROUP BY f
+    ), b2k AS (
+      SELECT b2.f, b2.doc_id FROM b2
+      LEFT JOIN b0 ON b2.f = b0.f LEFT JOIN b1k ON b2.f = b1k.f
+      WHERE b0.f IS NULL AND b1k.f IS NULL
+    )
+    SELECT p.doc_id, p.lang
+    FROM fp p JOIN b1k ON p.doc_id = b1k.doc_id AND p.f = b1k.f
+    UNION ALL
+    SELECT p.doc_id, p.lang
+    FROM fp p JOIN b2k ON p.doc_id = b2k.doc_id AND p.f = b2k.f
+    """,
+    headline=True,
+    doc="CDC-style incremental read under the hash-exact gate "
+    "(operators/writer.py read_corpus_changes): the documents ingest as "
+    "three txn batches (doc_id mod 3, exact min-id fingerprint dedup "
+    "against the ledger at each step), then the consumer reads the LIVE "
+    "rows of batches 1-2 only — what an incremental index/mirror must "
+    "process to catch up from watermark 0 without re-scanning the "
+    "corpus. The oracle replays each batch's min-id dedup and the "
+    "cross-batch anti-joins in SQL and unions the two post-watermark "
+    "generations. Committed-snapshot visibility, the attribution-floor "
+    "guard, and watermark crash semantics are pinned in "
+    "tests/test_corpus_changes.py.",
+)
+def corpus_changes_docs(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        append_corpus_txn,
+        read_corpus_changes,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="bbai_cdc_spec_"), "corpus")
+    for b in range(3):
+        append_corpus_txn(
+            d.filter(F.col("doc_id") % 3 == b), out, b,
+            partition_by=("lang",), max_records_per_file=100,
+        )
+    return read_corpus_changes(spark, out, after_batch=0).select(
+        "doc_id", "lang"
+    )
+
+
+@spec(
     "pruned_read_docs",
     """
     SELECT doc_id, lang, n_chars FROM documents
@@ -5130,12 +5191,10 @@ _PROMOTE = [
     # from the head keeps (q18/q7/union/rollup/sessionize/funnel/...),
     # each of which carries a green r6 row.
     "q12_shipmodes",
-    # range_frame_events (new in round 7, sf0.01 pre-validated) takes a
-    # remaining rotation slot so no oracled spec waits ungraded;
-    # rolling_avg/asof_join return to the tail with their 5 green rounds
-    # intact. (cube_orders, green r7, yields its slot to pruned_read_docs
-    # in the continuation-3 rotation below.)
-    "range_frame_events",
+    # (cube_orders and range_frame_events, both green r7, yield their
+    # slots to pruned_read_docs / corpus_changes_docs in the
+    # continuation-3 rotation below; rolling_avg/asof_join returned to
+    # the tail in r7 with their 5 green rounds intact.)
     # Round-8 rotation (VERDICT r7 #2): the four r7 tail specs get their
     # first driver grades, the four r01-graded text-analysis stragglers
     # (stalest oracled rows in the suite) and the six named classics whose
@@ -5175,15 +5234,20 @@ _PROMOTE = [
     "theta_audience_events",
     "near_dup_gate_docs",
     "vector_store_embeddings",
-    # Round-8 continuation 3: the new data-skipping lifecycle spec gets
-    # its driver grade the round it lands. Its slot: cube_orders carries
-    # a fresh green r7 row (grouping-sets family stays benched and
-    # oracle-pinned in pytest; rollup_orders holds an r6 green).
+    # Round-8 continuation 3: the new data-skipping and CDC lifecycle
+    # specs get their driver grades the round they land. Their slots:
+    # cube_orders and range_frame_events each carry a fresh green r7
+    # row (grouping-sets and window-frame families stay benched and
+    # oracle-pinned in pytest; rollup_orders holds an r6 green and
+    # window_offsets_events is queued for r9).
     "pruned_read_docs",
+    "corpus_changes_docs",
 ]
 _DEMOTE = [
-    # Round-8 continuation-3 demotion (slot for pruned_read_docs above):
+    # Round-8 continuation-3 demotions (slots for pruned_read_docs and
+    # corpus_changes_docs above):
     "cube_orders",
+    "range_frame_events",
     "q4_order_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",

@@ -1,0 +1,279 @@
+"""CDC-style incremental reads (read_corpus_changes /
+latest_committed_batch) and the incremental vector-store refresh built
+on them: exact batch-range semantics, committed-snapshot visibility,
+attribution-floor guards, and crash-replay idempotence."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bambooai_spark.operators import writer
+from bambooai_spark.operators.vector_store import (
+    CELL_COL,
+    prune_vector_store,
+    query_vector_corpus,
+    refresh_vector_store,
+    set_corpus_watermark,
+    write_vector_corpus,
+)
+from bambooai_spark.operators.writer import (
+    append_corpus,
+    append_corpus_txn,
+    compact_corpus,
+    delete_from_corpus,
+    latest_committed_batch,
+    read_corpus,
+    read_corpus_changes,
+)
+
+
+def _docs(spark, lo, hi, langs=("en", "de")):
+    rows = [
+        (i, langs[i % len(langs)], "web", f"document text number {i} " * 5)
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+# --------------------------------------------------------------------------
+# read_corpus_changes
+
+
+def test_changes_exact_batch_ranges(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20), out, 0)
+    append_corpus_txn(_docs(spark, 20, 40), out, 1)
+    append_corpus_txn(_docs(spark, 40, 60), out, 2)
+    assert latest_committed_batch(spark, out) == 2
+    assert _ids(read_corpus_changes(spark, out, after_batch=0)) == list(
+        range(20, 60)
+    )
+    assert _ids(
+        read_corpus_changes(spark, out, after_batch=0, until_batch=1)
+    ) == list(range(20, 40))
+    got = read_corpus_changes(spark, out, after_batch=2)
+    assert got.count() == 0 and "doc_id" in got.columns
+    # dedup is reflected: an overlapping batch contributes only its
+    # genuinely new documents
+    append_corpus_txn(_docs(spark, 50, 70), out, 3)
+    assert _ids(read_corpus_changes(spark, out, after_batch=2)) == list(
+        range(60, 70)
+    )
+    with pytest.raises(ValueError, match="precedes"):
+        read_corpus_changes(spark, out, after_batch=2, until_batch=1)
+
+
+def test_changes_floor_guard_after_maintenance(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20), out, 0)
+    append_corpus_txn(_docs(spark, 20, 40), out, 1)
+    compact_corpus(spark, out, partition_by=("lang",))
+    with pytest.raises(ValueError, match="re-baseline"):
+        read_corpus_changes(spark, out, after_batch=0)
+    # batches landing after the compaction are answerable from floor up
+    append_corpus_txn(_docs(spark, 40, 60), out, 2)
+    assert _ids(read_corpus_changes(spark, out, after_batch=1)) == list(
+        range(40, 60)
+    )
+    # a delete rewrites a batch-2 file: part of batch 2's rows moved to
+    # unattributed d-files, so a watermark of 1 can no longer be
+    # answered exactly — the floor forces the re-baseline
+    delete_from_corpus(
+        spark, out, F.col("doc_id") == 45, partition_by=("lang",)
+    )
+    with pytest.raises(ValueError, match="re-baseline"):
+        read_corpus_changes(spark, out, after_batch=1)
+    assert read_corpus_changes(spark, out, after_batch=2).count() == 0
+    assert 45 not in _ids(read_corpus(spark, out))
+
+
+def test_changes_exclude_frozen_mid_commit_batch(
+    spark, tmp_path, monkeypatch
+):
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20), out, 0)
+
+    orig = writer._fs_write_text_atomic
+
+    def crash_on_marker(spark_, path, text):
+        if writer.COMMITS_DIR in path:
+            raise RuntimeError("crash before marker")
+        return orig(spark_, path, text)
+
+    monkeypatch.setattr(writer, "_fs_write_text_atomic", crash_on_marker)
+    with pytest.raises(RuntimeError, match="crash before marker"):
+        append_corpus_txn(_docs(spark, 20, 40), out, 1)
+    monkeypatch.setattr(writer, "_fs_write_text_atomic", orig)
+    # frozen batch: invisible to CDC, invisible to the watermark
+    assert latest_committed_batch(spark, out) == 0
+    assert read_corpus_changes(spark, out, after_batch=0).count() == 0
+    append_corpus_txn(_docs(spark, 20, 40), out, 1)  # resume
+    assert latest_committed_batch(spark, out) == 1
+    assert _ids(read_corpus_changes(spark, out, after_batch=0)) == list(
+        range(20, 40)
+    )
+
+
+def test_changes_composite_streaming_ids(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20), out, "abc12.0")
+    append_corpus_txn(_docs(spark, 20, 40), out, "abc12.1")
+    append_corpus_txn(_docs(spark, 40, 50), out, "zzz99.7")  # other lineage
+    assert latest_committed_batch(spark, out, namespace="abc12") == "abc12.1"
+    got = read_corpus_changes(spark, out, after_batch="abc12.0")
+    assert _ids(got) == list(range(20, 40))  # other lineage excluded
+    # maintenance rewrites force composite consumers to re-baseline
+    compact_corpus(spark, out, partition_by=("lang",))
+    with pytest.raises(ValueError, match="re-baseline"):
+        read_corpus_changes(spark, out, after_batch="abc12.1")
+
+
+def test_changes_ignore_plain_append_rows(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20), out, 0)
+    append_corpus(_docs(spark, 20, 40), out, partition_by=("lang",))
+    assert read_corpus_changes(spark, out, after_batch=0).count() == 0
+    assert read_corpus(spark, out).count() == 40  # rows ARE live
+
+
+def test_changes_rejects_unorderable_ids(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 10), out, 0)
+    with pytest.raises(ValueError, match="orderable"):
+        read_corpus_changes(spark, out, after_batch="weird")
+    with pytest.raises(ValueError, match="comparable"):
+        read_corpus_changes(
+            spark, out, after_batch="ns.1", until_batch="other.2"
+        )
+
+
+# --------------------------------------------------------------------------
+# incremental vector-store refresh
+
+
+def _embed(df):
+    base = (F.col("doc_id") % 2).cast("double") * 10.0
+    return df.select(
+        "doc_id", F.array(base + 0.1, base - 0.1).alias("embedding")
+    )
+
+
+_CENTS = [[0.0, 0.0], [10.0, 10.0]]
+
+
+def _build_store(spark, corpus, store):
+    wm = latest_committed_batch(spark, corpus)
+    write_vector_corpus(
+        _embed(read_corpus(spark, corpus)), store,
+        id_col="doc_id", vec_col="embedding", centroids=_CENTS,
+    )
+    set_corpus_watermark(spark, store, wm)
+
+
+def test_refresh_appends_only_new_batches(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    append_corpus_txn(_docs(spark, 0, 30), corpus, 0)
+    _build_store(spark, corpus, store)
+    assert spark.read.parquet(store).count() == 30
+
+    append_corpus_txn(_docs(spark, 30, 50), corpus, 1)
+    append_corpus_txn(_docs(spark, 50, 60), corpus, 2)
+    res = refresh_vector_store(spark, corpus, store, _embed)
+    assert res["n_new"] == 30 and res["watermark"] == 2
+    assert spark.read.parquet(store).count() == 60
+    # the refreshed vectors are queryable through the pinned cells
+    hits = query_vector_corpus(
+        spark, store, [10.1, 9.9], k=3, nprobe=1
+    ).collect()
+    assert all(r["doc_id"] % 2 == 1 for r in hits)
+    # no new work → no-op
+    res = refresh_vector_store(spark, corpus, store, _embed)
+    assert res["n_new"] == 0 and res["watermark"] == 2
+
+
+def test_refresh_replay_is_idempotent(spark, tmp_path):
+    """A crash between the vector append and the watermark write means
+    the next refresh re-reads the same window — the dedup anti-join
+    must keep the store exact."""
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    append_corpus_txn(_docs(spark, 0, 20), corpus, 0)
+    _build_store(spark, corpus, store)
+    append_corpus_txn(_docs(spark, 20, 40), corpus, 1)
+    refresh_vector_store(spark, corpus, store, _embed)
+    # simulate the lost watermark: re-run the SAME window explicitly
+    res = refresh_vector_store(
+        spark, corpus, store, _embed, after_batch=0, until_batch=1
+    )
+    assert res["n_new"] == 0
+    got = spark.read.parquet(store)
+    assert got.count() == 40
+    assert got.select("doc_id").distinct().count() == 40
+
+
+def test_refresh_requires_watermark_and_pinned_columns(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    append_corpus_txn(_docs(spark, 0, 10), corpus, 0)
+    write_vector_corpus(
+        _embed(read_corpus(spark, corpus)), store,
+        id_col="doc_id", vec_col="embedding", centroids=_CENTS,
+    )
+    with pytest.raises(ValueError, match="watermark"):
+        refresh_vector_store(spark, corpus, store, _embed)
+    set_corpus_watermark(spark, store, 0)
+    append_corpus_txn(_docs(spark, 10, 20), corpus, 1)
+    with pytest.raises(ValueError, match="pinned columns"):
+        refresh_vector_store(
+            spark, corpus, store,
+            lambda df: _embed(df).withColumn("extra", F.lit(1)),
+        )
+
+
+def test_prune_vector_store_reconciles_takedowns(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    append_corpus_txn(_docs(spark, 0, 40), corpus, 0)
+    _build_store(spark, corpus, store)
+
+    # cell 0 holds the even ids, cell 1 the odd ids (by construction)
+    delete_from_corpus(
+        spark, corpus, F.col("doc_id") % 2 == 1, partition_by=("lang",)
+    )
+    # untouched cell's files must not be rewritten
+    cell0 = os.path.join(store, f"{CELL_COL}=0")
+    before = sorted(os.listdir(cell0))
+    res = prune_vector_store(spark, corpus, store)
+    assert res["removed"] == 20 and res["cells_rewritten"] == [1]
+    assert sorted(os.listdir(cell0)) == before
+    # the dead cell folded to zero rows → its directory is gone
+    assert not os.path.exists(os.path.join(store, f"{CELL_COL}=1"))
+    got = spark.read.parquet(store)
+    assert _ids(got) == [i for i in range(40) if i % 2 == 0]
+
+
+def test_prune_vector_store_partial_cell(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    append_corpus_txn(_docs(spark, 0, 40), corpus, 0)
+    _build_store(spark, corpus, store)
+    delete_from_corpus(
+        spark, corpus, F.col("doc_id").isin([1, 3, 5]), partition_by=("lang",)
+    )
+    res = prune_vector_store(spark, corpus, store)
+    assert res["removed"] == 3 and res["cells_rewritten"] == [1]
+    got = spark.read.parquet(store)
+    assert _ids(got) == [i for i in range(40) if i not in (1, 3, 5)]
+    # second sweep is a no-op
+    res = prune_vector_store(spark, corpus, store)
+    assert res["removed"] == 0 and res["cells_rewritten"] == []
