@@ -64,7 +64,10 @@ from pyspark.sql import functions as F
 STATS_DIR = "_filestats"
 CONFIG_NAME = "_CONFIG.json"
 
-# dtype.typeName() → comparison category; anything else is not prunable
+# dtype.typeName() → comparison category; anything else is not prunable.
+# "ts" (session-tz timestamps) prunes only when the read session's
+# timezone matches the collect-time one; "tsn" (timestamp_ntz) is
+# wall-clock and needs no such guard.
 _CATEGORY = {
     "byte": "int",
     "short": "int",
@@ -77,7 +80,7 @@ _CATEGORY = {
     "boolean": "bool",
     "date": "date",
     "timestamp": "ts",
-    "timestamp_ntz": "ts",
+    "timestamp_ntz": "tsn",
 }
 
 _OPS = ("==", "<", "<=", ">", ">=")
@@ -160,7 +163,7 @@ def _canon_pred(category: str, v):
         if isinstance(v, str):
             return date.fromisoformat(v).isoformat()
         raise ValueError(f"bad date predicate {v!r}")
-    if category == "ts":
+    if category in ("ts", "tsn"):
         if isinstance(v, str):
             v = datetime.fromisoformat(v)
         elif isinstance(v, date) and not isinstance(v, datetime):
@@ -256,17 +259,39 @@ def _config_path(path: str) -> str:
     return _join(_join(path, STATS_DIR), CONFIG_NAME)
 
 
+def qualified_root(spark: SparkSession, path: str) -> str:
+    """``path`` as the filesystem qualifies it (scheme + authority) — the
+    form ``_metadata.file_path`` and the listing APIs return, so
+    root-relative key computation agrees with them on every scheme
+    (an unqualified ``/corpus`` vs ``hdfs://nn:8020/corpus/...`` would
+    otherwise never prefix-match)."""
+    from bambooai_spark.operators.writer import _fs  # noqa: PLC0415
+
+    fs, jroot = _fs(spark, path)
+    return fs.makeQualified(jroot).toString()
+
+
 def stats_config(spark: SparkSession, path: str) -> list[str] | None:
     """The corpus's configured stat columns, or None when stats are not
-    enabled. One small exists+read — the writers' per-call overhead."""
+    enabled. One small exists+read — the writers' per-call overhead. A
+    config replace that crashed mid-swap self-heals from the staged
+    ``.new`` copy (see :func:`enable_file_stats`)."""
     from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs,
         _fs_exists,
         _fs_read_text,
     )
 
     cpath = _config_path(path)
     if not _fs_exists(spark, cpath):
-        return None
+        staged = cpath + ".new"
+        if not _fs_exists(spark, staged):
+            return None
+        # a config replace crashed between delete and rename — finish it
+        fs, dest = _fs(spark, cpath)
+        fs.rename(_fs(spark, staged)[1], dest)
+        if not _fs_exists(spark, cpath):  # pragma: no cover - rename race
+            return None
     try:
         cols = json.loads(_fs_read_text(spark, cpath)).get("columns")
     except ValueError:
@@ -277,11 +302,19 @@ def stats_config(spark: SparkSession, path: str) -> list[str] | None:
 def enable_file_stats(
     spark: SparkSession, path: str, columns, *, schema=None
 ) -> None:
-    """Record the stat-column config. ``schema`` (when available)
-    validates that every column is of a prunable atomic type — catching
-    an ``array<float>`` embedding column at enable time instead of
-    silently collecting nothing for it forever."""
+    """Record (or REPLACE) the stat-column config. ``schema`` (when
+    available) validates that every column is of a prunable atomic type
+    — catching an ``array<float>`` embedding column at enable time
+    instead of silently collecting nothing for it forever.
+
+    Replace protocol (a plain marker write keeps the existing file, so
+    changing the column set needs a swap): stage ``_CONFIG.json.new``,
+    delete the old config, rename the staged copy in. A crash between
+    the delete and the rename leaves only ``.new``, which
+    :func:`stats_config` finishes renaming on its next read."""
     from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs,
+        _fs_delete,
         _fs_write_text_atomic,
     )
 
@@ -297,9 +330,14 @@ def enable_file_stats(
                     f"{by_name[c].simpleString()}; file stats support "
                     "numeric/decimal/string/boolean/date/timestamp"
                 )
-    _fs_write_text_atomic(
-        spark, _config_path(path), json.dumps({"columns": cols})
-    )
+    cpath = _config_path(path)
+    staged = cpath + ".new"
+    _fs_delete(spark, staged)
+    _fs_write_text_atomic(spark, staged, json.dumps({"columns": cols}))
+    _fs_delete(spark, cpath)
+    fs, dest = _fs(spark, cpath)
+    if not fs.rename(_fs(spark, staged)[1], dest):
+        raise RuntimeError(f"stats config replace failed: {cpath}")
 
 
 # --------------------------------------------------------------------------
@@ -350,6 +388,7 @@ def collect_file_stats(
         .agg(*aggs)
         .collect()
     )
+    qroot = qualified_root(spark, data_root)
     out: dict[str, dict] = {}
     for r in rows:
         cols = {}
@@ -361,13 +400,19 @@ def collect_file_stats(
             }
         for c in absent:
             cols[c] = {"min": None, "max": None, "nn": 0}
-        key = _rel_key(r["__f"], data_root, key_prefix)
+        key = _rel_key(r["__f"], qroot, key_prefix)
         if key is None:  # pragma: no cover - scan stays under its root
             raise RuntimeError(
-                f"scanned file {r['__f']!r} is not under {data_root!r}"
+                f"scanned file {r['__f']!r} is not under {qroot!r}"
             )
         out[key] = {"n": int(r["__n"]), "cols": cols}
-    return {"columns": list(dict.fromkeys(columns)), "files": out}
+    return {
+        "columns": list(dict.fromkeys(columns)),
+        # session-tz timestamps render as COLLECT-time local wall clock;
+        # pruning on them is only sound from a session in the same zone
+        "tz": spark.conf.get("spark.sql.session.timeZone", None),
+        "files": out,
+    }
 
 
 def write_stats_delta(
@@ -413,7 +458,11 @@ def load_file_stats(spark: SparkSession, path: str) -> dict[str, dict]:
             doc = json.loads(_fs_read_text(spark, _join(sroot, name)))
         except ValueError:
             continue
-        merged.update(doc.get("files") or {})
+        files = doc.get("files") or {}
+        tz = doc.get("tz")
+        for k, entry in files.items():
+            entry["_tz"] = tz  # the session-tz guard for "ts" pruning
+            merged[k] = entry
     return merged
 
 
@@ -479,12 +528,18 @@ def prune_files(
     preds,
     schema,
     root: str | None = None,
+    session_tz: str | None = None,
 ) -> list[str]:
     """The keep-list after stats pruning: a file is dropped only when
     some predicate provably matches no row in it. Pure function —
     unit-testable without Spark. ``root`` resolves each file to its
     root-relative stats key (partition dirs included); without it the
-    basename is used (tests / flat layouts only)."""
+    basename is used (tests / flat layouts only). ``session_tz`` is the
+    read session's timezone: "ts" (session-tz timestamp) predicates
+    prune only files whose stats were collected under the SAME zone —
+    the stored bounds are collect-time local wall clock, and comparing
+    them across zones would mix time frames (timestamp_ntz has no such
+    guard; it is wall clock by definition)."""
     by_name = {f.name: f.dataType for f in schema.fields} if schema else {}
     canon: list[tuple[str, str, object, str] | None] = []
     for col, op, v in preds:
@@ -512,6 +567,8 @@ def prune_files(
             if cp is None:
                 continue
             col, op, cv, cat = cp
+            if cat == "ts" and entry.get("_tz") != session_tz:
+                continue  # cross-zone bounds — read the file
             cs = cols.get(col)
             if cs is None:
                 continue  # no stats for this column in this file
@@ -532,6 +589,27 @@ def prune_files(
         if alive:
             kept.append(f)
     return kept
+
+
+def stats_coverage(spark: SparkSession, path: str) -> dict | None:
+    """Coverage summary for the advisor and the fsck (ONE copy of the
+    live-vs-stats reconciliation): None when stats are not enabled, else
+    ``{"live": n, "covered": n, "orphans": n}``. Uncovered files are
+    read unpruned (never wrong, just unoptimized); orphan entries are
+    inert leftovers of rewritten files. O(one listing + bookkeeping)."""
+    from bambooai_spark.operators.writer import _walk_files  # noqa: PLC0415
+
+    if stats_config(spark, path) is None:
+        return None
+    stats = load_file_stats(spark, path)
+    qroot = qualified_root(spark, path)
+    live = {_rel_key(f, qroot) for f in _walk_files(spark, path)}
+    live.discard(None)
+    return {
+        "live": len(live),
+        "covered": len(live & set(stats)),
+        "orphans": len(set(stats) - live),
+    }
 
 
 # --------------------------------------------------------------------------

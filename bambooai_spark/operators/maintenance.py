@@ -199,34 +199,31 @@ def suggest_maintenance(
     # reads lose their skipping on exactly those files); a stats config
     # with gaps has one heal call
     from bambooai_spark.operators.filestats import (  # noqa: PLC0415
-        _rel_key,
-        load_file_stats,
-        stats_config,
+        stats_coverage,
     )
 
-    if stats_config(spark, path) is not None:
-        stats = load_file_stats(spark, path)
-        live = {_rel_key(f, path) for f in _walk_files(spark, path)}
-        uncovered = len(live - set(stats))
-        orphans = len(set(stats) - live)
+    cov = stats_coverage(spark, path)
+    if cov is not None:
+        uncovered = cov["live"] - cov["covered"]
         if uncovered:
             add(
                 "file_stats_gaps", "warn",
                 "rebuild_file_stats(spark, path)",
-                f"{uncovered}/{len(live)} live files lack stats entries — "
-                "selective reads cannot skip them",
+                f"{uncovered}/{cov['live']} live files lack stats entries "
+                "— selective reads cannot skip them",
             )
-        elif live and orphans > 4 * len(live):
+        elif cov["live"] and cov["orphans"] > 4 * cov["live"]:
             add(
                 "file_stats_orphans", "warn",
                 "rebuild_file_stats(spark, path)  # or compact_corpus",
-                f"{orphans} orphan stats entries vs {len(live)} live files "
-                "— inert, but every pruned read loads them",
+                f"{cov['orphans']} orphan stats entries vs {cov['live']} "
+                "live files — inert, but every pruned read loads them",
             )
         else:
             add(
                 "file_stats", "ok", "none",
-                f"{len(live)} live files covered, {orphans} orphans",
+                f"{cov['live']} live files covered, "
+                f"{cov['orphans']} orphans",
             )
 
     if not any(sev in ("warn", "action") for _, sev, _, _ in rows):

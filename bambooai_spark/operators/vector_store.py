@@ -58,10 +58,20 @@ CELL_COL = "ivf_cell"
 def _load_meta(spark: SparkSession, path: str) -> dict:
     mpath = _join(path, META_NAME)
     if not _fs_exists(spark, mpath):
-        raise FileNotFoundError(
-            f"no vector store at {path} ({META_NAME} missing) — build one "
-            "with write_vector_corpus first"
-        )
+        staged = mpath + ".new"
+        if _fs_exists(spark, staged):
+            # a meta replace crashed between delete and rename — the
+            # staged copy is complete (it was written atomically);
+            # finish the swap rather than brick the store
+            from bambooai_spark.operators.writer import _fs  # noqa: PLC0415
+
+            fs, dest = _fs(spark, mpath)
+            fs.rename(_fs(spark, staged)[1], dest)
+        if not _fs_exists(spark, mpath):
+            raise FileNotFoundError(
+                f"no vector store at {path} ({META_NAME} missing) — build "
+                "one with write_vector_corpus first"
+            )
     return json.loads(_fs_read_text(spark, mpath))
 
 
@@ -107,9 +117,7 @@ def write_vector_corpus(
         "columns": sorted(df.columns),
         "centroids": cents,
     }
-    mpath = _join(path, META_NAME)
-    _fs_delete(spark, mpath)
-    _fs_write_text_atomic(spark, mpath, json.dumps(meta))
+    _rewrite_meta(spark, path, meta)
     return meta
 
 
@@ -387,9 +395,22 @@ def stored_vector(spark: SparkSession, path: str, vec_id) -> list[float]:
 
 
 def _rewrite_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """Replace the store metadata without a no-meta crash window: stage
+    ``.new`` (atomic write), delete the old file, rename the staged copy
+    in. The meta file is the ONLY copy of the quantizer — a crash
+    between the delete and the rename leaves the complete ``.new``,
+    which :func:`_load_meta` finishes renaming on its next read; a
+    plain delete-then-write would leave nothing."""
+    from bambooai_spark.operators.writer import _fs  # noqa: PLC0415
+
     mpath = _join(path, META_NAME)
+    staged = mpath + ".new"
+    _fs_delete(spark, staged)
+    _fs_write_text_atomic(spark, staged, json.dumps(meta))
     _fs_delete(spark, mpath)
-    _fs_write_text_atomic(spark, mpath, json.dumps(meta))
+    fs, dest = _fs(spark, mpath)
+    if not fs.rename(_fs(spark, staged)[1], dest):
+        raise RuntimeError(f"vector-store meta replace failed: {mpath}")
 
 
 def set_corpus_watermark(
@@ -440,6 +461,7 @@ def refresh_vector_store(
     destroy the pre-image); run :func:`prune_vector_store` periodically
     to drop vectors whose documents left the corpus."""
     from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _walk_files,
         latest_committed_batch,
         read_corpus_changes,
     )
@@ -453,16 +475,24 @@ def refresh_vector_store(
             "corpus's latest_committed_batch captured before the build's "
             "snapshot read"
         )
+    # ONE corpus listing shared by the watermark probe and the change
+    # read: at millions of files, per-refresh listings are the cost this
+    # incremental path exists to avoid. until is derived from the same
+    # listing, which is what makes sharing it race-free (see
+    # read_corpus_changes's snapshot note).
+    files = _walk_files(spark, corpus_path)
     until = until_batch
     if until is None:
         ns = None
         if isinstance(wm, str) and "." in wm:
             ns = wm.rpartition(".")[0]
-        until = latest_committed_batch(spark, corpus_path, namespace=ns)
+        until = latest_committed_batch(
+            spark, corpus_path, namespace=ns, _files=files
+        )
     if until is None or until == wm:
         return {"n_new": 0, "watermark": wm, "meta": meta}
     changes = read_corpus_changes(
-        spark, corpus_path, after_batch=wm, until_batch=until
+        spark, corpus_path, after_batch=wm, until_batch=until, _files=files
     )
     vecs = embed(changes) if embed is not None else changes
     if sorted(vecs.columns) != meta.get("columns", sorted(vecs.columns)):

@@ -2408,13 +2408,20 @@ def read_corpus(
                 normalize_predicates,
                 predicate_column,
                 prune_files,
+                qualified_root,
             )
 
             preds = normalize_predicates(where, schema)
             residual = predicate_column(preds)
             stats = load_file_stats(spark, path)
             if stats:
-                keep = prune_files(keep, stats, preds, schema, root=path)
+                keep = prune_files(
+                    keep, stats, preds, schema,
+                    root=qualified_root(spark, path),
+                    session_tz=spark.conf.get(
+                        "spark.sql.session.timeZone", None
+                    ),
+                )
 
     if not keep:
         if schema is not None:
@@ -2450,8 +2457,26 @@ def _batch_key(bid: str, like: str | None = None):
     return int(n)
 
 
+def _staged_batch_names(spark: SparkSession, path: str) -> set[str]:
+    """Batch ids with a ``_staging`` entry — ONE directory listing
+    instead of one exists-RPC per candidate batch."""
+    staging_root = _join(path, STAGING_DIR)
+    fs, sroot = _fs(spark, staging_root)
+    if not fs.exists(sroot):
+        return set()
+    return {
+        st.getPath().getName().split("=", 1)[1]
+        for st in fs.listStatus(sroot)
+        if st.getPath().getName().startswith("batch_id=")
+    }
+
+
 def latest_committed_batch(
-    spark: SparkSession, path: str, *, namespace: str | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    namespace: str | None = None,
+    _files: list[str] | None = None,
 ) -> int | str | None:
     """The highest COMMITTED txn batch id — the CDC consumer's "until"
     watermark. Sources, in union: commit markers, the manifest's replay
@@ -2465,7 +2490,10 @@ def latest_committed_batch(
     pattern; an out-of-order batch driver must manage watermarks itself.
     ``namespace`` restricts to one streaming lineage's composite ids
     (returned as ``<namespace>.<n>``); without it only plain numeric ids
-    are considered. None when no committed batch matches."""
+    are considered. None when no committed batch matches.
+    ``_files`` lets a caller that already listed the corpus (one walk
+    shared with :func:`read_corpus_changes`, as the vector-store refresh
+    does) skip a second O(files) listing."""
     like = f"{namespace}.0" if namespace is not None else None
     committed: set[str] = {
         bid for bid, _st in _iter_commit_markers(spark, path)
@@ -2473,13 +2501,14 @@ def latest_committed_batch(
     doc = _load_manifest_doc(spark, path)
     for bid in (doc or {}).get("committed_batches") or []:
         committed.add(str(bid))
-    for f in _walk_files(spark, path):
+    staged = None
+    for f in (_files if _files is not None else _walk_files(spark, path)):
         bid = _txn_batch_of(f.rsplit("/", 1)[-1])
         if bid is None or bid in committed:
             continue
-        if not _fs_exists(
-            spark, _join(path, f"{STAGING_DIR}/batch_id={bid}")
-        ):
+        if staged is None:
+            staged = _staged_batch_names(spark, path)
+        if bid not in staged:
             committed.add(bid)  # marker-pruned old batch — complete
     best = None
     best_key = None
@@ -2501,6 +2530,7 @@ def read_corpus_changes(
     after_batch: int | str,
     until_batch: int | str | None = None,
     schema=None,
+    _files: list[str] | None = None,
 ) -> DataFrame:
     """Incremental (CDC-style) read: the LIVE rows of committed txn
     batches with id in ``(after_batch, until_batch]`` — what a
@@ -2567,12 +2597,23 @@ def read_corpus_changes(
             f"{floor}, so their attribution is gone — re-baseline the "
             "consumer with a full read_corpus"
         )
+    # snapshot point: markers BEFORE the file listing (same rule as
+    # read_corpus) — a batch whose marker lands mid-listing is excluded
+    # because it is absent from this set, never partially included.
+    # When a caller passes _files it listed earlier, it must also bound
+    # until_batch at an id committed no later than that listing (the
+    # vector-store refresh derives both from one walk), or a batch
+    # committing between the two listings could appear partially.
+    committed_at_start = {
+        bid for bid, _st in _iter_commit_markers(spark, path)
+    }
+    files = _files if _files is not None else _walk_files(spark, path)
     if composite:
         # composite ids never raise the numeric floor, so the only sound
         # contract is: no maintenance rewrite may postdate the watermark.
         # c<id>-/d<id>- files are the durable evidence of one.
         rewritten = [
-            f for f in _walk_files(spark, path)
+            f for f in files
             if _txn_batch_of(f.rsplit("/", 1)[-1]) is None
             and f.rsplit("/", 1)[-1][:1] in ("c", "d")
         ]
@@ -2593,12 +2634,9 @@ def read_corpus_changes(
         except (KeyError, TypeError, ValueError):
             pass
 
-    committed_at_start = {
-        bid for bid, _st in _iter_commit_markers(spark, path)
-    }
     keep: list[str] = []
     decided: dict[str, bool] = {}
-    for f in _walk_files(spark, path):
+    for f in files:
         bid = _txn_batch_of(f.rsplit("/", 1)[-1])
         if bid is None:
             continue  # base file — no attribution, not a change row
@@ -2989,28 +3027,25 @@ def validate_corpus(
                 rows.append(("ledger", False, f"unreadable or no {text_col}"))
 
         from bambooai_spark.operators.filestats import (  # noqa: PLC0415
-            load_file_stats,
-            _rel_key,
-            stats_config,
+            stats_coverage,
         )
 
-        if stats_config(spark, path) is not None:
+        cov = stats_coverage(spark, path)
+        if cov is not None:
             # coverage gaps mean those files are read unpruned (never
             # wrong answers — rebuild_file_stats heals); orphans are
             # inert leftovers compaction/rebuild consolidates
-            stats = load_file_stats(spark, path)
-            live_keys = {
-                _rel_key(f, path) for f in _walk_files(spark, path)
-            }
-            uncovered = len(live_keys - set(stats))
-            orphans = len(set(stats) - live_keys)
             rows.append(
                 (
                     "file_stats",
-                    uncovered == 0,
-                    f"{len(live_keys) - uncovered}/{len(live_keys)} live "
-                    f"files covered, {orphans} orphan entries"
-                    + ("; rebuild_file_stats heals" if uncovered else ""),
+                    cov["covered"] == cov["live"],
+                    f"{cov['covered']}/{cov['live']} live files covered, "
+                    f"{cov['orphans']} orphan entries"
+                    + (
+                        "; rebuild_file_stats heals"
+                        if cov["covered"] < cov["live"]
+                        else ""
+                    ),
                 )
             )
 

@@ -277,3 +277,23 @@ def test_prune_vector_store_partial_cell(spark, tmp_path):
     # second sweep is a no-op
     res = prune_vector_store(spark, corpus, store)
     assert res["removed"] == 0 and res["cells_rewritten"] == []
+
+
+def test_vector_meta_replace_crash_self_heals(spark, tmp_path):
+    from bambooai_spark.operators.vector_store import META_NAME, _load_meta
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    append_corpus_txn(_docs(spark, 0, 10), corpus, 0)
+    _build_store(spark, corpus, store)
+    # simulate the crash window between delete and rename of a replace
+    os.rename(
+        os.path.join(store, META_NAME),
+        os.path.join(store, META_NAME + ".new"),
+    )
+    crc = os.path.join(store, "." + META_NAME + ".crc")
+    if os.path.exists(crc):
+        os.rename(crc, os.path.join(store, "." + META_NAME + ".new.crc"))
+    meta = _load_meta(spark, store)  # healed, not bricked
+    assert meta["corpus_watermark"] == 0
+    assert os.path.exists(os.path.join(store, META_NAME))

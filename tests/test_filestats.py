@@ -562,3 +562,88 @@ def test_validate_and_advisor_report_stats_coverage(spark, tmp_path):
     checks = {r["check"] for r in
               validate_corpus(spark, out2, deep=True).collect()}
     assert "file_stats" not in checks
+
+
+# --------------------------------------------------------------------------
+# review-pass regressions
+
+
+def test_enable_file_stats_replaces_config(spark, tmp_path):
+    """A second enable must REPLACE the column set (a plain marker write
+    keeps the existing file), and later writers must collect the new
+    columns."""
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20), out, 0)
+    enable_file_stats(spark, out, ["doc_id"])
+    assert stats_config(spark, out) == ["doc_id"]
+    enable_file_stats(spark, out, ["doc_id", "source"])
+    assert stats_config(spark, out) == ["doc_id", "source"]
+    rebuild_file_stats(spark, out)
+    append_corpus_txn(_docs(spark, 20, 40), out, 1)
+    stats = load_file_stats(spark, out)
+    b1 = [v for k, v in stats.items()
+          if k.rsplit("/", 1)[-1].startswith("b1-")]
+    assert b1 and all("source" in v["cols"] for v in b1)
+
+
+def test_stats_config_self_heals_interrupted_replace(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 10), out, 0)
+    enable_file_stats(spark, out, ["doc_id"])
+    # simulate a crash between the delete and the rename of a replace
+    cdir = os.path.join(out, STATS_DIR)
+    os.rename(
+        os.path.join(cdir, "_CONFIG.json"),
+        os.path.join(cdir, "_CONFIG.json.new"),
+    )
+    crc = os.path.join(cdir, "._CONFIG.json.crc")
+    if os.path.exists(crc):
+        os.rename(crc, os.path.join(cdir, "._CONFIG.json.new.crc"))
+    assert stats_config(spark, out) == ["doc_id"]  # healed
+    assert os.path.exists(os.path.join(cdir, "_CONFIG.json"))
+
+
+def test_ts_pruning_guarded_by_session_timezone(spark):
+    from pyspark.sql.types import (
+        StructField,
+        StructType,
+        TimestampType,
+        TimestampNTZType,
+    )
+
+    schema = StructType([
+        StructField("ts", TimestampType()),
+        StructField("tsn", TimestampNTZType()),
+    ])
+    entry = {
+        "f": {
+            "n": 3, "_tz": "UTC",
+            "cols": {
+                "ts": {"min": "2024-01-01 16:00:00.000000",
+                       "max": "2024-01-01 18:00:00.000000", "nn": 3},
+                "tsn": {"min": "2024-01-01 16:00:00.000000",
+                        "max": "2024-01-01 18:00:00.000000", "nn": 3},
+            },
+        }
+    }
+    pred = [("ts", "==", datetime(2024, 1, 1, 9, 0))]
+    # same zone: the disjoint range prunes
+    assert prune_files(["/c/f"], entry, pred, schema,
+                       session_tz="UTC") == []
+    # different read-session zone: bounds are another zone's wall clock
+    # — conservative keep (the 09:00 local row may be 17:00 UTC)
+    assert prune_files(["/c/f"], entry, pred, schema,
+                       session_tz="America/Los_Angeles") == ["/c/f"]
+    # timestamp_ntz is wall clock by definition: prunes regardless
+    predn = [("tsn", "==", datetime(2024, 1, 1, 9, 0))]
+    assert prune_files(["/c/f"], entry, predn, schema,
+                       session_tz="America/Los_Angeles") == []
+
+
+def test_collect_records_session_tz_and_load_injects_it(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    write_corpus(_docs(spark, 0, 10), out, partition_by=("lang",),
+                 stats_by=("doc_id",))
+    stats = load_file_stats(spark, out)
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    assert stats and all(v.get("_tz") == tz for v in stats.values())
