@@ -2,6 +2,7 @@
 (SURVEY M5 — net-new capability; the reference has no data-plane
 streaming, §1.2)."""
 
+from bambooai_spark.streaming.corpus import stream_corpus_inserts
 from bambooai_spark.streaming.documents import (
     ingest_documents,
     read_documents_stream,
@@ -32,4 +33,5 @@ __all__ = [
     "stream_interval_join",
     "stream_running_totals",
     "stream_upsert",
+    "stream_corpus_inserts",
 ]

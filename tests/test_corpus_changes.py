@@ -297,3 +297,76 @@ def test_vector_meta_replace_crash_self_heals(spark, tmp_path):
     meta = _load_meta(spark, store)  # healed, not bricked
     assert meta["corpus_watermark"] == 0
     assert os.path.exists(os.path.join(store, META_NAME))
+
+
+# --------------------------------------------------------------------------
+# streaming corpus source
+
+
+def _drain_stream(spark, path, checkpoint, rows_sink):
+    """Run the corpus insert stream to exhaustion (availableNow),
+    appending collected rows to rows_sink."""
+    from bambooai_spark.streaming.corpus import stream_corpus_inserts
+
+    sdf = stream_corpus_inserts(spark, path, max_files_per_trigger=2)
+
+    def collect(batch_df, _bid):
+        rows_sink.extend(
+            (r["doc_id"], r["lang"]) for r in
+            batch_df.select("doc_id", "lang").collect()
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(collect)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_corpus_inserts_follows_txn_appends(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    append_corpus_txn(_docs(spark, 0, 20), out, 0, max_records_per_file=5)
+    rows: list = []
+    _drain_stream(spark, out, ckpt, rows)
+    assert sorted(r[0] for r in rows) == list(range(20))
+    # new batch → only its rows are delivered on resume
+    append_corpus_txn(_docs(spark, 20, 30), out, 1, max_records_per_file=5)
+    _drain_stream(spark, out, ckpt, rows)
+    assert sorted(r[0] for r in rows) == list(range(30))
+
+
+def test_stream_corpus_inserts_ignores_maintenance_rewrites(
+    spark, tmp_path
+):
+    """Compaction rewrites every live row into c-files and a takedown
+    rewrites kept rows into d-files — neither may re-enter the stream."""
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    append_corpus_txn(_docs(spark, 0, 30), out, 0, max_records_per_file=5)
+    rows: list = []
+    _drain_stream(spark, out, ckpt, rows)
+    assert len(rows) == 30
+    compact_corpus(spark, out, partition_by=("lang",))
+    _drain_stream(spark, out, ckpt, rows)
+    assert len(rows) == 30  # no replay from c-files
+    delete_from_corpus(
+        spark, out, F.col("doc_id") % 3 == 0, partition_by=("lang",)
+    )
+    _drain_stream(spark, out, ckpt, rows)
+    assert len(rows) == 30  # no replay from d-files
+    # and the stream keeps following NEW batches afterwards
+    append_corpus_txn(_docs(spark, 30, 40), out, 1, max_records_per_file=5)
+    _drain_stream(spark, out, ckpt, rows)
+    assert sorted(r[0] for r in rows) == list(range(40))
+
+
+def test_stream_corpus_inserts_requires_schema_on_legacy(spark, tmp_path):
+    out = str(tmp_path / "legacy")
+    _docs(spark, 0, 5).write.partitionBy("lang").parquet(out)
+    from bambooai_spark.streaming.corpus import stream_corpus_inserts
+
+    with pytest.raises(ValueError, match="no recorded schema"):
+        stream_corpus_inserts(spark, out)

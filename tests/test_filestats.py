@@ -647,3 +647,76 @@ def test_collect_records_session_tz_and_load_injects_it(spark, tmp_path):
     stats = load_file_stats(spark, out)
     tz = spark.conf.get("spark.sql.session.timeZone")
     assert stats and all(v.get("_tz") == tz for v in stats.values())
+
+
+# --------------------------------------------------------------------------
+# streaming-sink + z-order integration
+
+
+def test_streaming_sink_collects_stats_per_micro_batch(spark, tmp_path):
+    """The streaming sink rides append_corpus_txn, so a stats-enabled
+    corpus gets per-micro-batch stats with no extra wiring — and a
+    pruned read over the streamed corpus stays exact."""
+    from bambooai_spark.io import load_table
+    from bambooai_spark.streaming.documents import stream_ingest_to_corpus
+
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    src = str(tmp_path / "src")
+    d = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    d.filter("doc_id < 60").coalesce(1).write.parquet(src)
+    d.filter("doc_id >= 60 AND doc_id < 120").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    # enable stats BEFORE the stream exists: the first micro-batch must
+    # find the config on an otherwise empty corpus
+    enable_file_stats(spark, out, ["doc_id"])
+    sdf = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_ingest_to_corpus(
+        sdf, out, token_col=None, checkpoint_location=ckpt,
+        max_records_per_file=10,
+    )
+    stats = load_file_stats(spark, out)
+    live = set(_live_keys(out))
+    assert live and set(stats) == live  # every streamed file covered
+    stored = spark.read.parquet(out)
+    want = stored.filter("doc_id >= 60").count()
+    got = read_corpus(spark, out, where=[("doc_id", ">=", 60)])
+    assert want > 0 and got.count() == want
+
+
+def test_zorder_two_column_pruning(spark, tmp_path):
+    """The z-order + stats payoff: predicates on EITHER clustered
+    column prune files (a linear sort only serves its leading column)."""
+    out = str(tmp_path / "corpus")
+    rows = [(i, "en", (i * 37) % 1000, (i * 91) % 1000)
+            for i in range(4000)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, x long, y long")
+    write_corpus(
+        d, out, partition_by=("lang",), cluster_by=("x", "y"),
+        cluster_strategy="zorder", max_records_per_file=250,
+        num_tasks=16,
+    )
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(out, writer.MANIFEST_NAME)) as fh:
+        schema = StructType.fromJson(json.load(fh)["schema"])
+    stats = load_file_stats(spark, out)
+    live = [os.path.join(out, k) for k in _live_keys(out)]
+    assert len(live) >= 8
+    kept_x = prune_files(live, stats, [("x", "<", 120)], schema, root=out)
+    kept_y = prune_files(live, stats, [("y", "<", 120)], schema, root=out)
+    assert len(kept_x) < len(live) and len(kept_y) < len(live)
+    # results stay exact through the real read path
+    got = read_corpus(spark, out, where=[("x", "<", 120), ("y", "<", 120)])
+    want = d.filter("x < 120 AND y < 120").count()
+    assert got.count() == want
