@@ -32,8 +32,10 @@ from bambooai_spark.operators.vector_store import (
     write_vector_corpus,
 )
 from bambooai_spark.operators.filestats import (
+    bloom_config,
     enable_file_stats,
     rebuild_file_stats,
+    set_bloom_filters,
 )
 from bambooai_spark.operators.maintenance import suggest_maintenance
 from bambooai_spark.operators.neardup_gate import (
@@ -75,6 +77,8 @@ __all__ = [
     "write_corpus",
     "enable_file_stats",
     "rebuild_file_stats",
+    "set_bloom_filters",
+    "bloom_config",
     "read_corpus_changes",
     "latest_committed_batch",
     "refresh_vector_store",

@@ -661,3 +661,60 @@ def rebuild_file_stats(
     write_stats_delta(spark, path, name, doc)
     prune_stats_files(spark, path, {f"{name}.json", CONFIG_NAME})
     return doc
+
+
+# --------------------------------------------------------------------------
+# parquet bloom filters (point-lookup skipping)
+
+BLOOM_NAME = "_BLOOM.json"
+
+
+def set_bloom_filters(spark: SparkSession, path: str, columns) -> None:
+    """Record the corpus's bloom-filter columns: every later data write
+    (plain/txn append, compaction, delete rewrite) enables a parquet
+    split-block bloom filter on them, so POINT lookups (``id == x``)
+    skip row groups that min/max stats cannot help with on
+    high-cardinality unclustered columns — the complement of
+    :func:`enable_file_stats` (range pruning). Row-group-level and
+    JVM-side: Spark's vectorized reader consults the bloom before
+    decoding. Existing files are unaffected until the next compaction
+    rewrites them. Pass ``[]`` to disable for future writes."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs_delete,
+        _fs_write_text_atomic,
+    )
+
+    bpath = _join(_join(path, STATS_DIR), BLOOM_NAME)
+    _fs_delete(spark, bpath)
+    _fs_write_text_atomic(
+        spark, bpath, json.dumps({"columns": list(dict.fromkeys(columns))})
+    )
+
+
+def bloom_config(spark: SparkSession, path: str) -> list[str]:
+    """The configured bloom-filter columns ([] when none)."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs_exists,
+        _fs_read_text,
+    )
+
+    bpath = _join(_join(path, STATS_DIR), BLOOM_NAME)
+    if not _fs_exists(spark, bpath):
+        return []
+    try:
+        return list(
+            json.loads(_fs_read_text(spark, bpath)).get("columns") or []
+        )
+    except ValueError:
+        return []  # torn config — blooms off, never an error
+
+
+def apply_bloom_options(writer_obj, columns):
+    """Enable parquet bloom filters on ``columns`` for a DataFrameWriter
+    (the ONE copy of the option-key spelling — a typo here would be a
+    silent no-op, which is why the tests pin the file-size effect)."""
+    for c in columns:
+        writer_obj = writer_obj.option(
+            f"parquet.bloom.filter.enabled#{c}", "true"
+        )
+    return writer_obj

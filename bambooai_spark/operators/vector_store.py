@@ -85,13 +85,20 @@ def write_vector_corpus(
     centroids=None,
     assign: str = "numpy",
     max_records_per_file: int | None = None,
+    bloom_filter_ids: bool = False,
 ) -> dict:
     """Build (or rebuild) the persisted inverted file: train or accept
     ``centroids``, assign every row, write parquet partitioned by
     ``ivf_cell``, pin the quantizer in the store metadata. Returns the
     metadata dict. OVERWRITES any prior store at ``path`` (retraining
     is deliberate; incremental growth goes through
-    :func:`append_vector_corpus`)."""
+    :func:`append_vector_corpus`).
+
+    ``bloom_filter_ids`` — write parquet bloom filters on the id column
+    (recorded in the metadata so appends keep them): the id predicate
+    of :func:`stored_vector` is a data filter over every cell, and the
+    bloom lets the reader skip row groups without decoding — the cheap
+    fix for that documented full-scan economics."""
     if assign not in ("numpy", "exact"):
         raise ValueError(f"assign must be numpy|exact, got {assign!r}")
     spark = df.sparkSession
@@ -103,6 +110,7 @@ def write_vector_corpus(
     _write_assigned(
         df, path, id_col, vec_col, cents, assign, max_records_per_file,
         mode="overwrite",
+        bloom_cols=(id_col,) if bloom_filter_ids else (),
     )
     meta = {
         "id_col": id_col,
@@ -110,6 +118,7 @@ def write_vector_corpus(
         "n_cells": len(cents),
         "dim": len(cents[0]),
         "assign": assign,
+        "bloom_ids": bool(bloom_filter_ids),
         # pinned column set: appends must match it exactly, or reads
         # (one arbitrary footer decides the schema) silently drop or
         # null the drifted columns — same hazard the corpus writer's
@@ -142,12 +151,14 @@ def append_vector_corpus(
     _write_assigned(
         df, path, meta["id_col"], meta["vec_col"], meta["centroids"],
         meta["assign"], max_records_per_file, mode="append",
+        bloom_cols=(meta["id_col"],) if meta.get("bloom_ids") else (),
     )
     return meta
 
 
 def _write_assigned(
-    df, path, id_col, vec_col, cents, assign, max_records_per_file, *, mode
+    df, path, id_col, vec_col, cents, assign, max_records_per_file, *,
+    mode, bloom_cols=(),
 ):
     schema = {f.name: f for f in df.schema.fields}
     if id_col not in schema or vec_col not in schema:
@@ -180,6 +191,12 @@ def _write_assigned(
     )
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if bloom_cols:
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            apply_bloom_options,
+        )
+
+        writer = apply_bloom_options(writer, bloom_cols)
     writer.partitionBy(CELL_COL).parquet(path)
 
 
@@ -563,12 +580,16 @@ def prune_vector_store(
                 r[CELL_COL]
                 for r in kept.select(CELL_COL).distinct().collect()
             }
-            (
-                kept.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(CELL_COL)
-                .parquet(store_path)
+            writer = kept.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
             )
+            if meta.get("bloom_ids"):
+                from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+                    apply_bloom_options,
+                )
+
+                writer = apply_bloom_options(writer, (id_col,))
+            writer.partitionBy(CELL_COL).parquet(store_path)
         finally:
             kept.unpersist()
         # dynamic overwrite replaces only partitions it WRITES — a cell

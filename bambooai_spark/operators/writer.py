@@ -474,6 +474,7 @@ def write_corpus(
     num_tasks: int | None = None,
     cluster_strategy: str = "linear",
     stats_by: tuple[str, ...] | None = None,
+    bloom_filter_by: tuple[str, ...] = (),
 ) -> DataFrame:
     """Write ``df`` as a partitioned parquet corpus and return (and
     persist alongside it) the manifest: one row per partition value with
@@ -497,7 +498,18 @@ def write_corpus(
     skipping leaves the payoff on the table); pass ``()`` to disable
     explicitly. Every later append/compact/delete on the corpus keeps
     the stats current via the config this records.
+
+    ``bloom_filter_by`` — write parquet split-block bloom filters on
+    these columns and record the choice so every later append/compact/
+    delete rewrite keeps them: point lookups (``id == x``) skip row
+    groups that min/max stats cannot help with on high-cardinality
+    unclustered columns. Complementary to ``stats_by`` (range pruning).
     """
+    from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+        apply_bloom_options,
+        set_bloom_filters,
+    )
+
     _check_cluster_args(cluster_by, cluster_strategy)
     persisted = None
     if cluster_by:
@@ -515,9 +527,14 @@ def write_corpus(
     writer = df.write.mode(mode)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer = apply_bloom_options(writer, bloom_filter_by)
     writer.partitionBy(*partition_by).parquet(path)
     if persisted is not None:
         persisted.unpersist()
+    if bloom_filter_by:
+        # record AFTER the write (overwrite mode wiped the dir): later
+        # appends and maintenance rewrites keep the blooms
+        set_bloom_filters(df.sparkSession, path, bloom_filter_by)
 
     from pyspark.errors import AnalysisException  # noqa: PLC0415
 
@@ -770,6 +787,8 @@ def append_corpus(
         _record_schema(spark, path, schema_json)
 
     from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+        apply_bloom_options,
+        bloom_config,
         collect_file_stats,
         stats_config,
         write_stats_delta,
@@ -785,6 +804,7 @@ def append_corpus(
     writer = batch.drop("_fp").write.mode("append")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer = apply_bloom_options(writer, bloom_config(spark, path))
     writer.partitionBy(*partition_by).parquet(path)
     batch.select(F.col("_fp").alias("fp")).write.mode("append").parquet(
         _join(path, LEDGER_DIR)
@@ -1289,6 +1309,12 @@ def append_corpus_txn(
     writer = batch.drop("_fp").write.mode("overwrite")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+        apply_bloom_options,
+        bloom_config,
+    )
+
+    writer = apply_bloom_options(writer, bloom_config(spark, path))
     writer.partitionBy(*partition_by).parquet(_join(stage, "corpus"))
     batch.select(F.col("_fp").alias("fp")).write.mode("overwrite").parquet(
         _join(stage, "ledger")
@@ -1556,6 +1582,12 @@ def _compact_corpus_inner(
         writer = df.write.mode("overwrite")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            apply_bloom_options,
+            bloom_config,
+        )
+
+        writer = apply_bloom_options(writer, bloom_config(spark, path))
         writer.partitionBy(*partition_by).parquet(_join(tmp, "data"))
         # the ledger fragments the same way (one file set per appended
         # batch) — rewrite it alongside, same freeze
@@ -1966,9 +1998,14 @@ def _stage_delete(
         kept = tagged.filter(F.col("_file").isin(data_files)).filter(
             ~F.coalesce(pred, F.lit(False))  # NULL predicate rows are kept
         ).drop("_file")
-        kept.write.mode("overwrite").partitionBy(*partition_by).parquet(
-            _join(tmp, "data")
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            apply_bloom_options,
+            bloom_config,
         )
+
+        apply_bloom_options(
+            kept.write.mode("overwrite"), bloom_config(spark, path)
+        ).partitionBy(*partition_by).parquet(_join(tmp, "data"))
         file_stats = None
         from bambooai_spark.operators.filestats import (  # noqa: PLC0415
             collect_file_stats,

@@ -720,3 +720,92 @@ def test_zorder_two_column_pruning(spark, tmp_path):
     got = read_corpus(spark, out, where=[("x", "<", 120), ("y", "<", 120)])
     want = d.filter("x < 120 AND y < 120").count()
     assert got.count() == want
+
+
+# --------------------------------------------------------------------------
+# parquet bloom filters
+
+
+def _data_bytes(out):
+    total = 0
+    for root, dirs, files in os.walk(out):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def test_bloom_filters_written_and_preserved(spark, tmp_path):
+    """Bloom-enabled writes are strictly larger than byte-identical
+    plain writes (the size delta is the filter — and pins the option
+    spelling, whose typo would be a silent no-op), results are
+    unchanged, and the recorded config survives appends, compaction,
+    and delete rewrites."""
+    from bambooai_spark.operators.filestats import bloom_config
+
+    d = _docs(spark, 0, 2000)
+    plain = str(tmp_path / "plain")
+    bloomed = str(tmp_path / "bloomed")
+    write_corpus(d, plain, partition_by=("lang",))
+    write_corpus(d, bloomed, partition_by=("lang",),
+                 bloom_filter_by=("doc_id",))
+    assert bloom_config(spark, bloomed) == ["doc_id"]
+    assert _data_bytes(bloomed) > _data_bytes(plain)
+    got = read_corpus(spark, bloomed, where=[("doc_id", "==", 77)])
+    assert _ids_of(got) == [77]
+
+    # appends inherit the config
+    p2, b2 = str(tmp_path / "p2"), str(tmp_path / "b2")
+    append_corpus_txn(_docs(spark, 0, 2000), p2, 0)
+    from bambooai_spark.operators.filestats import set_bloom_filters
+
+    set_bloom_filters(spark, b2, ["doc_id"])
+    append_corpus_txn(_docs(spark, 0, 2000), b2, 0)
+    assert _data_bytes(b2) > _data_bytes(p2)
+
+    # compaction keeps them
+    compact_corpus(spark, b2, partition_by=("lang",))
+    compact_corpus(spark, p2, partition_by=("lang",))
+    assert _data_bytes(b2) > _data_bytes(p2)
+    # delete rewrites keep them
+    delete_from_corpus(spark, b2, F.col("doc_id") % 2 == 0,
+                       partition_by=("lang",))
+    delete_from_corpus(spark, p2, F.col("doc_id") % 2 == 0,
+                       partition_by=("lang",))
+    assert _data_bytes(b2) > _data_bytes(p2)
+    assert spark.read.parquet(b2).count() == spark.read.parquet(p2).count()
+
+
+def _ids_of(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+def test_vector_store_bloom_ids(spark, tmp_path):
+    from bambooai_spark.operators.vector_store import (
+        append_vector_corpus,
+        stored_vector,
+        write_vector_corpus,
+    )
+
+    def emb(df):
+        b = (F.col("doc_id") % 2).cast("double") * 10.0
+        return df.select(
+            "doc_id", F.array(b + 0.1, b - 0.1).alias("embedding")
+        )
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    d = emb(_docs(spark, 0, 3000))
+    plain, bloomed = str(tmp_path / "p"), str(tmp_path / "b")
+    write_vector_corpus(d, plain, id_col="doc_id", centroids=cents)
+    meta = write_vector_corpus(
+        d, bloomed, id_col="doc_id", centroids=cents, bloom_filter_ids=True
+    )
+    assert meta["bloom_ids"] is True
+    assert _data_bytes(bloomed) > _data_bytes(plain)
+    # appends inherit from the metadata
+    more = emb(_docs(spark, 3000, 6000))
+    append_vector_corpus(more, plain)
+    append_vector_corpus(more, bloomed)
+    assert _data_bytes(bloomed) > _data_bytes(plain)
+    assert stored_vector(spark, bloomed, 4321) == [10.1, 9.9]
