@@ -2431,34 +2431,7 @@ def read_corpus(
         if decided[bid]:
             keep.append(f)
 
-    residual = None
-    if where is not None:
-        from pyspark.sql import Column  # noqa: PLC0415
-
-        if isinstance(where, Column):
-            residual = where
-        elif isinstance(where, str):
-            residual = F.expr(where)
-        else:
-            from bambooai_spark.operators.filestats import (  # noqa: PLC0415
-                load_file_stats,
-                normalize_predicates,
-                predicate_column,
-                prune_files,
-                qualified_root,
-            )
-
-            preds = normalize_predicates(where, schema)
-            residual = predicate_column(preds)
-            stats = load_file_stats(spark, path)
-            if stats:
-                keep = prune_files(
-                    keep, stats, preds, schema,
-                    root=qualified_root(spark, path),
-                    session_tz=spark.conf.get(
-                        "spark.sql.session.timeZone", None
-                    ),
-                )
+    keep, residual = _apply_where(spark, path, keep, schema, where)
 
     if not keep:
         if schema is not None:
@@ -2473,6 +2446,40 @@ def read_corpus(
         reader = reader.schema(schema)
     out = reader.parquet(*keep)
     return out.filter(residual) if residual is not None else out
+
+
+def _apply_where(spark, path, keep, schema, where):
+    """Shared ``where=`` handling for the corpus readers: as (column,
+    op, value) triples it prunes the keep-list by the per-file stats
+    AND returns the residual filter Column (always applied — pruning
+    can only shrink the scan, never change results); as a plain Column
+    or SQL string it is filter-only. Returns ``(keep, residual)``."""
+    if where is None:
+        return keep, None
+    from pyspark.sql import Column  # noqa: PLC0415
+
+    if isinstance(where, Column):
+        return keep, where
+    if isinstance(where, str):
+        return keep, F.expr(where)
+    from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+        load_file_stats,
+        normalize_predicates,
+        predicate_column,
+        prune_files,
+        qualified_root,
+    )
+
+    preds = normalize_predicates(where, schema)
+    residual = predicate_column(preds)
+    stats = load_file_stats(spark, path)
+    if stats:
+        keep = prune_files(
+            keep, stats, preds, schema,
+            root=qualified_root(spark, path),
+            session_tz=spark.conf.get("spark.sql.session.timeZone", None),
+        )
+    return keep, residual
 
 
 def _batch_key(bid: str, like: str | None = None):
@@ -2567,6 +2574,7 @@ def read_corpus_changes(
     after_batch: int | str,
     until_batch: int | str | None = None,
     schema=None,
+    where=None,
     _files: list[str] | None = None,
 ) -> DataFrame:
     """Incremental (CDC-style) read: the LIVE rows of committed txn
@@ -2603,7 +2611,13 @@ def read_corpus_changes(
 
     ``until_batch=None`` means every committed batch after
     ``after_batch`` (pair with :func:`latest_committed_batch` to record
-    the consumer's next watermark BEFORE processing)."""
+    the consumer's next watermark BEFORE processing).
+
+    ``where`` — same contract as :func:`read_corpus`: triples prune the
+    batch files by their stats before the reader is built (an
+    incremental consumer that only follows one language/quality band
+    reads only its slice of each batch) and always apply as a residual
+    filter; a Column/SQL string filters without pruning."""
     after_key = _batch_key(after_batch)
     if after_key is None:
         raise ValueError(
@@ -2697,9 +2711,12 @@ def read_corpus_changes(
         if decided[bid]:
             keep.append(f)
 
+    keep, residual = _apply_where(spark, path, keep, schema, where)
+
     if not keep:
         if schema is not None:
-            return spark.createDataFrame([], schema)
+            out = spark.createDataFrame([], schema)
+            return out.filter(residual) if residual is not None else out
         raise ValueError(
             f"no committed batch files in ({after_batch}, "
             f"{until_batch if until_batch is not None else 'latest'}] "
@@ -2708,7 +2725,8 @@ def read_corpus_changes(
     reader = spark.read.option("basePath", path)
     if schema is not None:
         reader = reader.schema(schema)
-    return reader.parquet(*keep)
+    out = reader.parquet(*keep)
+    return out.filter(residual) if residual is not None else out
 
 
 def corpus_history(spark: SparkSession, path: str) -> DataFrame:

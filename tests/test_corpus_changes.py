@@ -370,3 +370,32 @@ def test_stream_corpus_inserts_requires_schema_on_legacy(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no recorded schema"):
         stream_corpus_inserts(spark, out)
+
+
+def test_changes_where_prunes_and_filters(spark, tmp_path):
+    """where= on the CDC read: an incremental consumer following one
+    slice reads only its files of each batch and gets exactly the
+    filtered rows."""
+    from bambooai_spark.operators.filestats import enable_file_stats
+    from bambooai_spark.operators.filestats import load_file_stats
+
+    out = str(tmp_path / "corpus")
+    enable_file_stats(spark, out, ["doc_id"])
+    append_corpus_txn(_docs(spark, 0, 40), out, 0, max_records_per_file=5)
+    append_corpus_txn(_docs(spark, 40, 80), out, 1, max_records_per_file=5)
+    got = read_corpus_changes(
+        spark, out, after_batch=0, where=[("doc_id", "<", 50)]
+    )
+    assert _ids(got) == list(range(40, 50))
+    # the batch files really carry prunable stats
+    assert load_file_stats(spark, out)
+    # Column form: filter-only, same rows
+    got = read_corpus_changes(
+        spark, out, after_batch=0, where=F.col("doc_id") < 50
+    )
+    assert _ids(got) == list(range(40, 50))
+    # empty after pruning: typed empty with residual applied
+    got = read_corpus_changes(
+        spark, out, after_batch=0, where=[("doc_id", ">", 10_000)]
+    )
+    assert got.count() == 0 and "doc_id" in got.columns
