@@ -225,6 +225,25 @@ def probe_cells(
     return [int(r["_cell"]) for r in rows]
 
 
+def _where_column(where):
+    """Filtered-ANN predicate → Column: a Column passes through, a SQL
+    string parses, (col, op, value) triples AND-combine through the
+    file-skipping module's builder. Filtering happens BEFORE top-k, so
+    the result is the true top-k AMONG matching rows (post-filtering a
+    top-k would under-fill it)."""
+    from pyspark.sql import Column  # noqa: PLC0415
+
+    if isinstance(where, Column):
+        return where
+    if isinstance(where, str):
+        return F.expr(where)
+    from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+        predicate_column,
+    )
+
+    return predicate_column(where)
+
+
 def query_vector_corpus(
     spark: SparkSession,
     path: str,
@@ -234,18 +253,27 @@ def query_vector_corpus(
     nprobe: int = 4,
     exclude_id=None,
     extra_cols: list[str] | None = None,
+    where=None,
 ) -> DataFrame:
     """Approximate top-k against the persisted store: probe the
     ``nprobe`` nearest cells and read ONLY those partitions (the scan's
     ``PartitionFilters`` carries the cell predicate — the other
     directories are never touched), exact cosines within, top-k by
     ``(cosine DESC, id)``. ``exclude_id`` drops the query row itself
-    when querying by a stored vector."""
+    when querying by a stored vector.
+
+    ``where`` — metadata-filtered ANN (Column, SQL string, or (col, op,
+    value) triples over the store's payload columns): the predicate
+    applies to the probed rows BEFORE the top-k, so the answer is the
+    true top-k among matching rows, and it reaches the parquet scan as
+    a pushed filter (row-group stats / blooms skip JVM-side)."""
     meta = _load_meta(spark, path)
     cells = probe_cells(spark, path, query_vec, nprobe=nprobe, meta=meta)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
     qv = [float(x) for x in query_vec]
     scan = spark.read.parquet(path).filter(F.col(CELL_COL).isin(cells))
+    if where is not None:
+        scan = scan.filter(_where_column(where))
     if exclude_id is not None:
         scan = scan.filter(F.col(id_col) != exclude_id)
     scored = scan.withColumn(
@@ -272,6 +300,7 @@ def query_vector_corpus_many(
     broadcast_queries: bool = True,
     exclude_self: bool = False,
     checkpoint: bool = True,
+    where=None,
 ) -> DataFrame:
     """BATCH top-k: one pass answers every query in ``queries`` —
     contamination screens and retrieval pipelines ask thousands of
@@ -366,6 +395,11 @@ def query_vector_corpus_many(
     ]
     probes_join = F.broadcast(probes) if broadcast_queries else probes
     scan = spark.read.parquet(path).filter(F.col(CELL_COL).isin(cells))
+    if where is not None:
+        # filtered ANN, same contract as the single-query path: the
+        # predicate restricts the candidate rows BEFORE the per-query
+        # top-k and pushes to the scan
+        scan = scan.filter(_where_column(where))
     scored = scan.join(probes_join, [CELL_COL])
     if exclude_self:
         # query-by-stored-id convention: qids share the store id space

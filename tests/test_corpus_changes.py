@@ -399,3 +399,99 @@ def test_changes_where_prunes_and_filters(spark, tmp_path):
         spark, out, after_batch=0, where=[("doc_id", ">", 10_000)]
     )
     assert got.count() == 0 and "doc_id" in got.columns
+
+
+# --------------------------------------------------------------------------
+# filtered ANN
+
+
+def test_filtered_ann_single_and_batch(spark, tmp_path):
+    """where= on the vector-store queries is the TRUE top-k among
+    matching rows (filter before rank, not a post-filtered top-k), in
+    both the single and batch paths, and pushes to the scan."""
+    from bambooai_spark.operators.vector_store import (
+        query_vector_corpus_many,
+        write_vector_corpus,
+    )
+    from bambooai_spark.plans import plan_flags
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    append_corpus_txn(_docs(spark, 0, 200), corpus, 0)
+
+    def emb(df):
+        b = (F.col("doc_id") % 2).cast("double") * 10.0
+        return df.select(
+            "doc_id", "lang",
+            F.array(b + (F.col("doc_id") % 7).cast("double") / 100.0,
+                    b - 0.1).alias("embedding"),
+        )
+
+    write_vector_corpus(
+        emb(read_corpus(spark, corpus)), store,
+        id_col="doc_id", centroids=[[0.0, 0.0], [10.0, 10.0]],
+    )
+    q = [10.05, 9.9]
+    unfiltered = query_vector_corpus(spark, store, q, k=5, nprobe=2)
+    filtered = query_vector_corpus(
+        spark, store, q, k=5, nprobe=2, where=[("lang", "==", "de")],
+        extra_cols=["lang"],
+    )
+    rows = filtered.collect()
+    assert len(rows) == 5 and all(r["lang"] == "de" for r in rows)
+    # true top-k among matches: every filtered hit's cosine <= the
+    # unfiltered best, and the ids differ from a post-filter of the
+    # unfiltered top-5 whenever that under-fills
+    store_df = spark.read.parquet(store)
+    want = (
+        query_vector_corpus(
+            spark, store, q, k=store_df.count(), nprobe=2,
+            extra_cols=["lang"],
+        )
+        .filter("lang = 'de'").limit(5).collect()
+    )
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in want]
+    # pushed to the scan
+    flags = plan_flags(
+        query_vector_corpus(spark, store, q, k=5, nprobe=2,
+                            where=[("lang", "==", "de")])
+    )
+    assert any("lang" in p for p in flags["pushed_filters"])
+
+    # batch path agrees with the single path per query
+    queries = spark.createDataFrame(
+        [(901, q), (902, [0.05, -0.1])], "qid long, qvec array<double>"
+    )
+    got = query_vector_corpus_many(
+        spark, store, queries, k=5, nprobe=2,
+        where=[("lang", "==", "de")], checkpoint=False,
+    )
+    by_q = {
+        r["qid"]: r["doc_id"]
+        for r in got.withColumn(
+            "_rn", F.expr("row_number() over (partition by qid order by cosine desc, doc_id)")
+        ).filter("_rn = 1").collect()
+    }
+    single_901 = query_vector_corpus(
+        spark, store, q, k=1, nprobe=2, where=[("lang", "==", "de")]
+    ).collect()[0]["doc_id"]
+    assert by_q[901] == single_901
+
+
+def test_read_corpus_where_pushes_residual_to_scan(spark, tmp_path):
+    """The residual predicate must ALSO reach the parquet scan as a
+    pushed filter — row-group min/max skipping below the file-level
+    pruning, the two-tier skipping story."""
+    from bambooai_spark.plans import plan_flags
+
+    out = str(tmp_path / "corpus")
+    from bambooai_spark.operators.writer import write_corpus
+
+    d = _docs(spark, 0, 200).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    write_corpus(d, out, partition_by=("lang",), cluster_by=("n_chars",),
+                 max_records_per_file=20)
+    got = read_corpus(spark, out, where=[("n_chars", ">=", 100)])
+    flags = plan_flags(got)
+    assert any("n_chars" in p for p in flags["pushed_filters"])
