@@ -72,8 +72,14 @@ def _corpus_rows(spark, out):
 
 @pytest.mark.parametrize("seed", [7, 23, 99])
 def test_random_schedule_with_crashes(spark, tmp_path, monkeypatch, seed):
+    from bambooai_spark.operators.filestats import enable_file_stats
+
     rng = random.Random(seed)
     out = str(tmp_path / f"corpus_{seed}")
+    # stats ride every schedule: the final deep fsck's file_stats check
+    # asserts full coverage survives crashes, recoveries, deletes, and
+    # compactions (the per-op healing paths, exercised at random)
+    enable_file_stats(spark, out, ["doc_id"])
     model = Model()
     next_id = 0
     next_batch = 0
@@ -169,8 +175,14 @@ def test_random_schedule_with_evolution(spark, tmp_path, monkeypatch, seed):
     every later append carries it, deletes and clustered compactions run
     over the mixed-schema corpus, and the final read — with history as
     NULL quality — must equal the model."""
+    from bambooai_spark.operators.filestats import enable_file_stats
+
     rng = random.Random(seed)
     out = str(tmp_path / f"corpus_{seed}")
+    # a configured stat column the EVOLVED column joins later: pre-
+    # evolution batches record quality as nn=0 (files lack it), post-
+    # evolution batches record real bounds — coverage must stay exact
+    enable_file_stats(spark, out, ["doc_id", "quality"])
     model: dict[str, tuple] = {}  # fp -> (doc_id, lang, text, quality)
     next_id = 0
     next_batch = 0
