@@ -63,6 +63,11 @@ from pyspark.sql import functions as F
 
 STATS_DIR = "_filestats"
 CONFIG_NAME = "_CONFIG.json"
+BLOOM_NAME = "_BLOOM.json"
+# every non-delta file living in _filestats/ — _iter_stats_files (and so
+# the consolidation passes that DELETE unlisted docs) must exempt each;
+# a config missing from this set self-destructs at the next compaction
+_CONFIG_FILES = (CONFIG_NAME, BLOOM_NAME)
 
 # dtype.typeName() → comparison category; anything else is not prunable.
 # "ts" (session-tz timestamps) prunes only when the read session's
@@ -271,31 +276,58 @@ def qualified_root(spark: SparkSession, path: str) -> str:
     return fs.makeQualified(jroot).toString()
 
 
-def stats_config(spark: SparkSession, path: str) -> list[str] | None:
-    """The corpus's configured stat columns, or None when stats are not
-    enabled. One small exists+read — the writers' per-call overhead. A
-    config replace that crashed mid-swap self-heals from the staged
-    ``.new`` copy (see :func:`enable_file_stats`)."""
+def _replace_config(spark: SparkSession, cpath: str, text: str) -> None:
+    """Replace a config file without a no-config crash window (a plain
+    marker write keeps the existing file): stage ``.new`` atomically,
+    delete the old file, rename the staged copy in. A crash between the
+    delete and the rename leaves only ``.new``, which
+    :func:`_read_config` finishes renaming on its next read."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs,
+        _fs_delete,
+        _fs_write_text_atomic,
+    )
+
+    staged = cpath + ".new"
+    _fs_delete(spark, staged)
+    _fs_write_text_atomic(spark, staged, text)
+    _fs_delete(spark, cpath)
+    fs, dest = _fs(spark, cpath)
+    if not fs.rename(_fs(spark, staged)[1], dest):
+        raise RuntimeError(f"config replace failed: {cpath}")
+
+
+def _read_config(spark: SparkSession, cpath: str) -> dict | None:
+    """Parsed config JSON, or None when absent/torn; finishes an
+    interrupted :func:`_replace_config` swap from the staged copy."""
     from bambooai_spark.operators.writer import (  # noqa: PLC0415
         _fs,
         _fs_exists,
         _fs_read_text,
     )
 
-    cpath = _config_path(path)
     if not _fs_exists(spark, cpath):
         staged = cpath + ".new"
         if not _fs_exists(spark, staged):
             return None
-        # a config replace crashed between delete and rename — finish it
+        # a replace crashed between delete and rename — finish it
         fs, dest = _fs(spark, cpath)
         fs.rename(_fs(spark, staged)[1], dest)
         if not _fs_exists(spark, cpath):  # pragma: no cover - rename race
             return None
     try:
-        cols = json.loads(_fs_read_text(spark, cpath)).get("columns")
+        return json.loads(_fs_read_text(spark, cpath))
     except ValueError:
-        return None  # torn config — stats silently off, never an error
+        return None  # torn config — feature silently off, never an error
+
+
+def stats_config(spark: SparkSession, path: str) -> list[str] | None:
+    """The corpus's configured stat columns, or None when stats are not
+    enabled. One small exists+read — the writers' per-call overhead. A
+    config replace that crashed mid-swap self-heals from the staged
+    ``.new`` copy (see :func:`enable_file_stats`)."""
+    doc = _read_config(spark, _config_path(path))
+    cols = (doc or {}).get("columns")
     return list(cols) if cols else None
 
 
@@ -307,17 +339,8 @@ def enable_file_stats(
     — catching an ``array<float>`` embedding column at enable time
     instead of silently collecting nothing for it forever.
 
-    Replace protocol (a plain marker write keeps the existing file, so
-    changing the column set needs a swap): stage ``_CONFIG.json.new``,
-    delete the old config, rename the staged copy in. A crash between
-    the delete and the rename leaves only ``.new``, which
-    :func:`stats_config` finishes renaming on its next read."""
-    from bambooai_spark.operators.writer import (  # noqa: PLC0415
-        _fs,
-        _fs_delete,
-        _fs_write_text_atomic,
-    )
-
+    Replaced via the staged-swap :func:`_replace_config` (a plain marker
+    write keeps the existing file; the swap self-heals from ``.new``)."""
     cols = list(dict.fromkeys(columns))
     if not cols:
         raise ValueError("stats columns must be non-empty")
@@ -330,14 +353,9 @@ def enable_file_stats(
                     f"{by_name[c].simpleString()}; file stats support "
                     "numeric/decimal/string/boolean/date/timestamp"
                 )
-    cpath = _config_path(path)
-    staged = cpath + ".new"
-    _fs_delete(spark, staged)
-    _fs_write_text_atomic(spark, staged, json.dumps({"columns": cols}))
-    _fs_delete(spark, cpath)
-    fs, dest = _fs(spark, cpath)
-    if not fs.rename(_fs(spark, staged)[1], dest):
-        raise RuntimeError(f"stats config replace failed: {cpath}")
+    _replace_config(
+        spark, _config_path(path), json.dumps({"columns": cols})
+    )
 
 
 # --------------------------------------------------------------------------
@@ -440,7 +458,7 @@ def _iter_stats_files(spark: SparkSession, path: str):
         return
     for st in fs.listStatus(jroot):
         name = st.getPath().getName()
-        if name.endswith(".json") and name != CONFIG_NAME:
+        if name.endswith(".json") and name not in _CONFIG_FILES:
             yield name, st
 
 
@@ -666,9 +684,6 @@ def rebuild_file_stats(
 # --------------------------------------------------------------------------
 # parquet bloom filters (point-lookup skipping)
 
-BLOOM_NAME = "_BLOOM.json"
-
-
 def set_bloom_filters(spark: SparkSession, path: str, columns) -> None:
     """Record the corpus's bloom-filter columns: every later data write
     (plain/txn append, compaction, delete rewrite) enables a parquet
@@ -678,35 +693,19 @@ def set_bloom_filters(spark: SparkSession, path: str, columns) -> None:
     :func:`enable_file_stats` (range pruning). Row-group-level and
     JVM-side: Spark's vectorized reader consults the bloom before
     decoding. Existing files are unaffected until the next compaction
-    rewrites them. Pass ``[]`` to disable for future writes."""
-    from bambooai_spark.operators.writer import (  # noqa: PLC0415
-        _fs_delete,
-        _fs_write_text_atomic,
-    )
-
-    bpath = _join(_join(path, STATS_DIR), BLOOM_NAME)
-    _fs_delete(spark, bpath)
-    _fs_write_text_atomic(
-        spark, bpath, json.dumps({"columns": list(dict.fromkeys(columns))})
+    rewrites them. Pass ``[]`` to disable for future writes. Replaced
+    via the crash-safe staged-swap, like the stats config."""
+    _replace_config(
+        spark,
+        _join(_join(path, STATS_DIR), BLOOM_NAME),
+        json.dumps({"columns": list(dict.fromkeys(columns))}),
     )
 
 
 def bloom_config(spark: SparkSession, path: str) -> list[str]:
     """The configured bloom-filter columns ([] when none)."""
-    from bambooai_spark.operators.writer import (  # noqa: PLC0415
-        _fs_exists,
-        _fs_read_text,
-    )
-
-    bpath = _join(_join(path, STATS_DIR), BLOOM_NAME)
-    if not _fs_exists(spark, bpath):
-        return []
-    try:
-        return list(
-            json.loads(_fs_read_text(spark, bpath)).get("columns") or []
-        )
-    except ValueError:
-        return []  # torn config — blooms off, never an error
+    doc = _read_config(spark, _join(_join(path, STATS_DIR), BLOOM_NAME))
+    return list((doc or {}).get("columns") or [])
 
 
 def apply_bloom_options(writer_obj, columns):

@@ -238,10 +238,13 @@ def _where_column(where):
     if isinstance(where, str):
         return F.expr(where)
     from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+        normalize_predicates,
         predicate_column,
     )
 
-    return predicate_column(where)
+    # same validation as the corpus readers: a malformed triple or a
+    # bad op fails with the contract's ValueError, not a raw KeyError
+    return predicate_column(normalize_predicates(where, None))
 
 
 def query_vector_corpus(

@@ -507,10 +507,15 @@ def write_corpus(
     """
     from bambooai_spark.operators.filestats import (  # noqa: PLC0415
         apply_bloom_options,
+        bloom_config,
         set_bloom_filters,
     )
 
     _check_cluster_args(cluster_by, cluster_strategy)
+    if not bloom_filter_by and mode == "append":
+        # an append into an existing bloom-configured corpus must keep
+        # the recorded promise (overwrite wipes the config with the dir)
+        bloom_filter_by = tuple(bloom_config(df.sparkSession, path))
     persisted = None
     if cluster_by:
         if cluster_strategy == "zorder":
@@ -531,7 +536,10 @@ def write_corpus(
     writer.partitionBy(*partition_by).parquet(path)
     if persisted is not None:
         persisted.unpersist()
-    if bloom_filter_by:
+    if bloom_filter_by and (
+        mode != "append"
+        or tuple(bloom_config(df.sparkSession, path)) != bloom_filter_by
+    ):
         # record AFTER the write (overwrite mode wiped the dir): later
         # appends and maintenance rewrites keep the blooms
         set_bloom_filters(df.sparkSession, path, bloom_filter_by)

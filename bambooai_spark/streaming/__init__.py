@@ -2,7 +2,10 @@
 (SURVEY M5 — net-new capability; the reference has no data-plane
 streaming, §1.2)."""
 
-from bambooai_spark.streaming.corpus import stream_corpus_inserts
+from bambooai_spark.streaming.corpus import (
+    stream_corpus_inserts,
+    stream_resume_check,
+)
 from bambooai_spark.streaming.documents import (
     ingest_documents,
     read_documents_stream,
@@ -34,4 +37,5 @@ __all__ = [
     "stream_running_totals",
     "stream_upsert",
     "stream_corpus_inserts",
+    "stream_resume_check",
 ]

@@ -25,13 +25,19 @@ appends' committed files enter the stream:
   ``part-`` files. Corpora feeding a streaming consumer should ingest
   through the txn path (the streaming sink always does).
 
-Two caveats inherent to a file source: rows of one txn batch may split
-across micro-batches (per-FILE atomicity, not per-batch — poll
-``read_corpus_changes`` where batch atomicity matters), and a file of a
+Three caveats inherent to a file source: rows of one txn batch may
+split across micro-batches (per-FILE atomicity, not per-batch — poll
+``read_corpus_changes`` where batch atomicity matters); a file of a
 batch that froze mid-commit can be delivered before its commit marker
 lands (its remaining files follow when the replay finishes; under the
 single-writer lease a frozen batch is always eventually resumed or
-recovered, never half-abandoned).
+recovered, never half-abandoned); and a maintenance rewrite DESTROYS
+the ``b``-files of batches a LAGGING consumer has not yet drained —
+the rewritten rows live on only in excluded base files, so those rows
+would silently never arrive. Call :func:`stream_resume_check` with the
+consumer's last drained watermark before resuming after downtime; it
+raises the CDC re-baseline error exactly when that happened. Schedule
+compaction after consumers drain, as with the pull path.
 """
 
 from __future__ import annotations
@@ -52,17 +58,10 @@ def stream_corpus_inserts(
     required for a legacy corpus without one."""
     if schema is None:
         from bambooai_spark.operators.writer import (  # noqa: PLC0415
-            _load_manifest_doc,
+            _stored_schema,
         )
 
-        doc = _load_manifest_doc(spark, path)
-        if doc and doc.get("schema"):
-            from pyspark.sql.types import StructType  # noqa: PLC0415
-
-            try:
-                schema = StructType.fromJson(doc["schema"])
-            except (KeyError, TypeError, ValueError):
-                schema = None
+        schema = _stored_schema(spark, path)
         if schema is None:
             raise ValueError(
                 f"no recorded schema under {path}; pass schema= (a "
@@ -72,3 +71,30 @@ def stream_corpus_inserts(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.option("pathGlobFilter", "b*-*").parquet(path)
+
+
+def stream_resume_check(
+    spark: SparkSession, path: str, last_drained_batch: int | str
+) -> None:
+    """Guard a LAGGING consumer against silent row loss across
+    maintenance: compaction/delete rewrite committed ``b<id>-`` files
+    into base files the insert stream's glob excludes, so rows of
+    batches the consumer had NOT yet drained would simply never arrive.
+    Call this before restarting the stream, passing the watermark the
+    consumer recorded at its last drain (``latest_committed_batch`` at
+    drain time); it raises the same "re-baseline" ValueError as
+    :func:`~bambooai_spark.operators.writer.read_corpus_changes` when a
+    rewrite postdates that watermark — the consumer must then re-sync
+    from a full ``read_corpus`` instead of resuming the stream. (It IS
+    that function's floor guard: a zero-width change read at the
+    watermark raises exactly when attribution at or below it is gone.)
+    Operationally: schedule compaction after consumers have drained, as
+    with the CDC pull path."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        read_corpus_changes,
+    )
+
+    read_corpus_changes(
+        spark, path,
+        after_batch=last_drained_batch, until_batch=last_drained_batch,
+    )

@@ -387,8 +387,23 @@ def test_changes_where_prunes_and_filters(spark, tmp_path):
         spark, out, after_batch=0, where=[("doc_id", "<", 50)]
     )
     assert _ids(got) == list(range(40, 50))
-    # the batch files really carry prunable stats
-    assert load_file_stats(spark, out)
+    # the pruning is real: fewer files enter the scan than batch 1 has
+    from bambooai_spark.operators.filestats import (
+        prune_files,
+        qualified_root,
+    )
+    from bambooai_spark.operators.writer import _stored_schema, _walk_files
+
+    b1_files = [
+        f for f in _walk_files(spark, out)
+        if f.rsplit("/", 1)[-1].startswith("b1-")
+    ]
+    kept = prune_files(
+        b1_files, load_file_stats(spark, out),
+        [("doc_id", "<", 50)], _stored_schema(spark, out),
+        root=qualified_root(spark, out),
+    )
+    assert 0 < len(kept) < len(b1_files)
     # Column form: filter-only, same rows
     got = read_corpus_changes(
         spark, out, after_batch=0, where=F.col("doc_id") < 50
@@ -495,3 +510,32 @@ def test_read_corpus_where_pushes_residual_to_scan(spark, tmp_path):
     got = read_corpus(spark, out, where=[("n_chars", ">=", 100)])
     flags = plan_flags(got)
     assert any("n_chars" in p for p in flags["pushed_filters"])
+
+
+def test_stream_resume_check_guards_lagging_consumer(spark, tmp_path):
+    """A consumer that recorded watermark W and went down must be told
+    to re-baseline when maintenance rewrote batches it had not drained
+    — resuming the stream would silently never deliver those rows."""
+    from bambooai_spark.streaming.corpus import stream_resume_check
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20), out, 0)
+    wm = latest_committed_batch(spark, out)  # consumer drained batch 0
+    append_corpus_txn(_docs(spark, 20, 40), out, 1)  # NOT yet drained
+    stream_resume_check(spark, out, wm)  # nothing rewritten — fine
+    compact_corpus(spark, out, partition_by=("lang",))
+    with pytest.raises(ValueError, match="re-baseline"):
+        stream_resume_check(spark, out, wm)
+    # a consumer that HAD drained everything may resume
+    stream_resume_check(spark, out, 1)
+
+
+def test_filtered_ann_validates_triples(spark, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    append_corpus_txn(_docs(spark, 0, 10), corpus, 0)
+    _build_store(spark, corpus, store)
+    with pytest.raises(ValueError, match="unsupported op"):
+        query_vector_corpus(
+            spark, store, [10.1, 9.9], k=1, where=[("lang", "=", "de")]
+        )

@@ -809,3 +809,65 @@ def test_vector_store_bloom_ids(spark, tmp_path):
     append_vector_corpus(more, bloomed)
     assert _data_bytes(bloomed) > _data_bytes(plain)
     assert stored_vector(spark, bloomed, 4321) == [10.1, 9.9]
+
+
+def test_bloom_config_survives_stats_consolidation(spark, tmp_path):
+    """Review pass 13's confirmed self-destruct: _BLOOM.json must
+    survive the stats consolidation passes (rebuild + compaction) and
+    every maintenance rewrite must still write bloomed files."""
+    from bambooai_spark.operators.filestats import bloom_config
+
+    out = str(tmp_path / "corpus")
+    d = _docs(spark, 0, 500)
+    write_corpus(d, out, partition_by=("lang",), cluster_by=("doc_id",),
+                 bloom_filter_by=("doc_id",), max_records_per_file=100)
+    # write_corpus's own rebuild ran prune_stats_files already
+    assert bloom_config(spark, out) == ["doc_id"]
+    rebuild_file_stats(spark, out)
+    assert bloom_config(spark, out) == ["doc_id"]
+    compact_corpus(spark, out, partition_by=("lang",))
+    assert bloom_config(spark, out) == ["doc_id"]
+    assert stats_config(spark, out) == ["doc_id"]
+    # the bloomed compaction output is fatter than a plain twin
+    twin = str(tmp_path / "twin")
+    write_corpus(d, twin, partition_by=("lang",), cluster_by=("doc_id",),
+                 max_records_per_file=100)
+    compact_corpus(spark, twin, partition_by=("lang",))
+    assert _data_bytes(out) > _data_bytes(twin)
+
+
+def test_write_corpus_append_mode_keeps_bloom_promise(spark, tmp_path):
+    from bambooai_spark.operators.filestats import bloom_config
+
+    out = str(tmp_path / "corpus")
+    plain = str(tmp_path / "plain")
+    d = _docs(spark, 0, 1500)
+    write_corpus(d, out, partition_by=("lang",),
+                 bloom_filter_by=("doc_id",))
+    write_corpus(d, plain, partition_by=("lang",))
+    grown, grown_plain = _docs(spark, 1500, 3000), _docs(spark, 1500, 3000)
+    write_corpus(grown, out, partition_by=("lang",), mode="append")
+    write_corpus(grown_plain, plain, partition_by=("lang",), mode="append")
+    assert bloom_config(spark, out) == ["doc_id"]
+    assert _data_bytes(out) > _data_bytes(plain)
+
+
+def test_bloom_config_replace_self_heals(spark, tmp_path):
+    from bambooai_spark.operators.filestats import (
+        BLOOM_NAME,
+        bloom_config,
+        set_bloom_filters,
+    )
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 10), out, 0)
+    set_bloom_filters(spark, out, ["doc_id"])
+    cdir = os.path.join(out, STATS_DIR)
+    # simulate the crash window between delete and rename
+    os.rename(os.path.join(cdir, BLOOM_NAME),
+              os.path.join(cdir, BLOOM_NAME + ".new"))
+    crc = os.path.join(cdir, "." + BLOOM_NAME + ".crc")
+    if os.path.exists(crc):
+        os.rename(crc, os.path.join(cdir, "." + BLOOM_NAME + ".new.crc"))
+    assert bloom_config(spark, out) == ["doc_id"]  # healed
+    assert os.path.exists(os.path.join(cdir, BLOOM_NAME))
