@@ -94,6 +94,12 @@ _OPS = ("==", "<", "<=", ">", ">=")
 # a bound across the predicate value and prune a live file
 _FLOAT_EXACT = 2**53
 
+# string bounds are TRUNCATED to this many characters (Delta does the
+# same): a stats config on a text column must not copy megabyte strings
+# into every stats doc and _STAGED marker. A min prefix is a valid
+# lower bound as-is; a max prefix must be bumped (see _trunc_max).
+_STR_BOUND_MAX = 64
+
 
 def _category(dtype) -> str | None:
     name = dtype.typeName()
@@ -102,6 +108,28 @@ def _category(dtype) -> str | None:
     if name.startswith("decimal"):
         return "dec"
     return _CATEGORY.get(name)
+
+
+def _trunc_min(s: str) -> str:
+    """Lower bound for ``s`` within the truncation budget: a prefix of a
+    string is always <= the string."""
+    return s if len(s) <= _STR_BOUND_MAX else s[:_STR_BOUND_MAX]
+
+
+def _trunc_max(s: str) -> str | None:
+    """Upper bound for ``s`` within the truncation budget: the prefix
+    with its last code point incremented (skipping points that cannot
+    grow) — ``"abd" >= "abc..."`` for every continuation. None when no
+    such bound exists (every prefix char is already U+10FFFF); the
+    pruner treats a missing bound as "keep the file" — conservative."""
+    if len(s) <= _STR_BOUND_MAX:
+        return s
+    prefix = s[:_STR_BOUND_MAX]
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
 
 
 def _ser(v):
@@ -407,13 +435,20 @@ def collect_file_stats(
         .collect()
     )
     qroot = qualified_root(spark, data_root)
+    cats = {c: _category(df.schema[c].dataType) for c in present}
     out: dict[str, dict] = {}
     for r in rows:
         cols = {}
         for c in present:
+            mn, mx = _ser(r[f"__mn_{c}"]), _ser(r[f"__mx_{c}"])
+            if cats[c] == "str":
+                if isinstance(mn, str):
+                    mn = _trunc_min(mn)
+                if isinstance(mx, str):
+                    mx = _trunc_max(mx)  # None = no bound → never prunes
             cols[c] = {
-                "min": _ser(r[f"__mn_{c}"]),
-                "max": _ser(r[f"__mx_{c}"]),
+                "min": mn,
+                "max": mx,
                 "nn": int(r[f"__nn_{c}"]),
             }
         for c in absent:

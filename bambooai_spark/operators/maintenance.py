@@ -199,11 +199,24 @@ def suggest_maintenance(
     # reads lose their skipping on exactly those files); a stats config
     # with gaps has one heal call
     from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+        _iter_stats_files,
         stats_coverage,
     )
 
     cov = stats_coverage(spark, path)
     if cov is not None:
+        # delta backlog mirrors the ledger/marker checks: a long-lived
+        # streaming corpus writes one stats JSON per micro-batch, and
+        # every pruned read opens all of them
+        n_deltas = sum(1 for _ in _iter_stats_files(spark, path))
+        if n_deltas > 64:
+            add(
+                "stats_delta_backlog", "warn",
+                "compact_corpus(spark, path, ...)  # consolidates stats "
+                "alongside data; or rebuild_file_stats",
+                f"{n_deltas} stats delta files accumulated — every "
+                "pruned read loads each of them",
+            )
         uncovered = cov["live"] - cov["covered"]
         if uncovered:
             add(

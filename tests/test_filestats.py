@@ -871,3 +871,60 @@ def test_bloom_config_replace_self_heals(spark, tmp_path):
         os.rename(crc, os.path.join(cdir, "." + BLOOM_NAME + ".new.crc"))
     assert bloom_config(spark, out) == ["doc_id"]  # healed
     assert os.path.exists(os.path.join(cdir, BLOOM_NAME))
+
+
+def test_string_bounds_truncated_and_sound(spark, tmp_path):
+    """String stats must not copy huge strings into the docs: min is a
+    prefix (valid lower bound), max is the bumped prefix (valid upper
+    bound), and pruning with the truncated bounds stays exact."""
+    from bambooai_spark.operators.filestats import (
+        _STR_BOUND_MAX,
+        _trunc_max,
+        _trunc_min,
+        qualified_root,
+    )
+
+    rows = [
+        (i, "en", "k" * 500 + f"{i:05d}", f"{chr(97 + i % 20)}" * 300)
+        for i in range(200)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, big string, s string")
+    out = str(tmp_path / "corpus")
+    write_corpus(d, out, partition_by=("lang",), cluster_by=("s",),
+                 stats_by=("s", "big"), max_records_per_file=25)
+    stats = load_file_stats(spark, out)
+    for entry in stats.values():
+        for cs in entry["cols"].values():
+            for b in (cs["min"], cs["max"]):
+                assert b is None or len(b) <= _STR_BOUND_MAX + 1
+    # pruning on the truncated bounds is still exact end-to-end
+    got = read_corpus(spark, out, where=[("s", "==", "c" * 300)])
+    want = d.filter(F.col("s") == "c" * 300).count()
+    assert want > 0 and got.count() == want
+    # and actually prunes: the 20 distinct s-values cluster into files
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(out, writer.MANIFEST_NAME)) as fh:
+        schema = StructType.fromJson(json.load(fh)["schema"])
+    live = [os.path.join(out, k) for k in _live_keys(out)]
+    kept = prune_files(live, stats, [("s", "==", "c" * 300)], schema,
+                       root=out)
+    assert 0 < len(kept) < len(live)
+    # bound helpers: pure properties
+    long = "x" * 100 + "tail"
+    assert _trunc_min(long) <= long and len(_trunc_min(long)) <= _STR_BOUND_MAX
+    assert _trunc_max(long) >= long
+    assert _trunc_max(chr(0x10FFFF) * 100) is None
+
+
+def test_advisor_flags_stats_delta_backlog(spark, tmp_path):
+    from bambooai_spark.operators.filestats import write_stats_delta
+    from bambooai_spark.operators.maintenance import suggest_maintenance
+
+    out = str(tmp_path / "corpus")
+    write_corpus(_docs(spark, 0, 20), out, partition_by=("lang",),
+                 stats_by=("doc_id",))
+    for i in range(70):  # simulate a long-lived stream's accumulation
+        write_stats_delta(spark, out, f"b{i}", {"columns": [], "files": {}})
+    adv = {r["check"]: r for r in suggest_maintenance(spark, out).collect()}
+    assert adv["stats_delta_backlog"]["severity"] == "warn"
