@@ -752,3 +752,78 @@ def apply_bloom_options(writer_obj, columns):
             f"parquet.bloom.filter.enabled#{c}", "true"
         )
     return writer_obj
+
+
+# --------------------------------------------------------------------------
+# partition-directory pruning (listing-time skipping)
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def partition_dir_pruner(preds, schema):
+    """Directory filter for the corpus walks: given ``col=value``
+    partition directory names, decide whether to DESCEND — a predicate
+    on a partition column skips non-matching partitions at LISTING
+    time, so a selective read of a 1000-partition corpus lists one
+    partition's files instead of a million entries. A partition is a
+    constant column, so the decision is :func:`_bound_may_match` with
+    ``min == max == value``. Conservative throughout: unknown columns,
+    unparseable values, or non-prunable types descend. Returns None
+    when no predicate targets a prunable column (walk unfiltered)."""
+    from urllib.parse import unquote  # noqa: PLC0415
+
+    by_name = {f.name: f.dataType for f in schema.fields} if schema else {}
+    by_col: dict[str, list] = {}
+    for col, op, v in preds or []:
+        dtype = by_name.get(col)
+        cat = _category(dtype) if dtype is not None else None
+        if cat is None:
+            continue
+        try:
+            by_col.setdefault(col, []).append((op, _canon_pred(cat, v), cat))
+        except (ValueError, TypeError, InvalidOperation):
+            continue
+    if not by_col:
+        return None
+
+    def _parse(cat, raw):
+        if cat == "int":
+            return int(raw)
+        if cat == "float":
+            return float(raw)
+        if cat == "dec":
+            return Decimal(raw)
+        if cat == "str":
+            return raw
+        if cat == "bool":
+            if raw.lower() in ("true", "false"):
+                return raw.lower() == "true"
+            raise ValueError(raw)
+        if cat == "date":
+            return date.fromisoformat(raw).isoformat()
+        if cat in ("ts", "tsn"):
+            return datetime.fromisoformat(raw).isoformat(
+                sep=" ", timespec="microseconds"
+            )
+        raise ValueError(cat)
+
+    def ok(dirname: str) -> bool:
+        col, sep, raw = dirname.partition("=")
+        if not sep or col not in by_col:
+            return True
+        if raw == _HIVE_NULL:
+            return False  # NULL partition: no comparison predicate holds
+        try:
+            for op, cv, cat in by_col[col]:
+                # "ts" partitions: directory values are literal renders
+                # of the written column — same session-tz caveat as the
+                # stats, but here write and read happen through the same
+                # reader contract, so compare directly
+                pv = _parse(cat, unquote(raw))
+                if not _bound_may_match(op, cv, pv, pv):
+                    return False
+        except (ValueError, TypeError, InvalidOperation, OverflowError):
+            return True  # unparseable — descend, Spark decides
+        return True
+
+    return ok

@@ -367,12 +367,23 @@ def _unhide_swapped(spark: SparkSession, dest_root: str, hidden_prefix: str) -> 
             raise RuntimeError(f"swap unhide failed: {f}")
 
 
-def _walk_files(spark: SparkSession, root: str, *, want_hidden_prefix=None):
+def _walk_files(
+    spark: SparkSession,
+    root: str,
+    *,
+    want_hidden_prefix=None,
+    dir_ok=None,
+) -> list[str]:
     """Walk ``root`` skipping underscore/dot DIRECTORIES at every level
     (bookkeeping trees never mix with data). With ``want_hidden_prefix``
     None, yield the VISIBLE data files (basename not underscore/dot);
     otherwise yield only the hidden files whose basename starts with that
-    prefix. Driver-side, O(files under root)."""
+    prefix. Driver-side, O(files under root) — or O(files under the
+    MATCHING partitions) with ``dir_ok`` (a ``name -> bool`` descend
+    filter, see :func:`~bambooai_spark.operators.filestats
+    .partition_dir_pruner`): a partition predicate skips whole
+    directories at LISTING time, which at 1000 partitions is the
+    difference between listing one partition and a million entries."""
     fs, jroot = _fs(spark, root)
     if not fs.exists(jroot):
         return []
@@ -383,7 +394,9 @@ def _walk_files(spark: SparkSession, root: str, *, want_hidden_prefix=None):
         for st in fs.listStatus(cur):
             nm = st.getPath().getName()
             if st.isDirectory():
-                if not nm.startswith(("_", ".")):
+                if not nm.startswith(("_", ".")) and (
+                    dir_ok is None or dir_ok(nm)
+                ):
                     stack.append(st.getPath())
             elif want_hidden_prefix is not None:
                 if nm.startswith(want_hidden_prefix):
@@ -2401,6 +2414,8 @@ def read_corpus(
             f"{floor}, so their attribution is gone"
         )
 
+    preds, residual = _split_where(schema, where)
+
     # snapshot point: the committed markers BEFORE listing any data file
     committed_at_start = {
         bid for bid, _st in _iter_commit_markers(spark, path)
@@ -2408,7 +2423,7 @@ def read_corpus(
 
     keep: list[str] = []
     decided: dict[str, bool] = {}
-    for f in _walk_files(spark, path):
+    for f in _walk_files(spark, path, dir_ok=_dir_pruner(preds, schema)):
         bid = _txn_batch_of(f.rsplit("/", 1)[-1])
         if bid is None:
             keep.append(f)  # base file — every snapshot includes it
@@ -2439,7 +2454,7 @@ def read_corpus(
         if decided[bid]:
             keep.append(f)
 
-    keep, residual = _apply_where(spark, path, keep, schema, where)
+    keep = _stats_prune(spark, path, keep, schema, preds)
 
     if not keep:
         if schema is not None:
@@ -2456,38 +2471,57 @@ def read_corpus(
     return out.filter(residual) if residual is not None else out
 
 
-def _apply_where(spark, path, keep, schema, where):
-    """Shared ``where=`` handling for the corpus readers: as (column,
-    op, value) triples it prunes the keep-list by the per-file stats
-    AND returns the residual filter Column (always applied — pruning
-    can only shrink the scan, never change results); as a plain Column
-    or SQL string it is filter-only. Returns ``(keep, residual)``."""
+def _split_where(schema, where):
+    """Parse the readers' ``where=``: returns ``(preds, residual)`` —
+    validated triples (for file/partition pruning) plus the residual
+    filter Column (always applied — pruning can only shrink the scan,
+    never change results); a plain Column/SQL string is filter-only."""
     if where is None:
-        return keep, None
+        return None, None
     from pyspark.sql import Column  # noqa: PLC0415
 
     if isinstance(where, Column):
-        return keep, where
+        return None, where
     if isinstance(where, str):
-        return keep, F.expr(where)
+        return None, F.expr(where)
     from bambooai_spark.operators.filestats import (  # noqa: PLC0415
-        load_file_stats,
         normalize_predicates,
         predicate_column,
+    )
+
+    preds = normalize_predicates(where, schema)
+    return preds, predicate_column(preds)
+
+
+def _dir_pruner(preds, schema):
+    """Listing-time partition-directory filter for the triples form."""
+    if not preds:
+        return None
+    from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+        partition_dir_pruner,
+    )
+
+    return partition_dir_pruner(preds, schema)
+
+
+def _stats_prune(spark, path, keep, schema, preds):
+    """File-level stats pruning of the keep-list for the triples form."""
+    if not preds:
+        return keep
+    from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+        load_file_stats,
         prune_files,
         qualified_root,
     )
 
-    preds = normalize_predicates(where, schema)
-    residual = predicate_column(preds)
     stats = load_file_stats(spark, path)
-    if stats:
-        keep = prune_files(
-            keep, stats, preds, schema,
-            root=qualified_root(spark, path),
-            session_tz=spark.conf.get("spark.sql.session.timeZone", None),
-        )
-    return keep, residual
+    if not stats:
+        return keep
+    return prune_files(
+        keep, stats, preds, schema,
+        root=qualified_root(spark, path),
+        session_tz=spark.conf.get("spark.sql.session.timeZone", None),
+    )
 
 
 def _batch_key(bid: str, like: str | None = None):
@@ -2656,6 +2690,15 @@ def read_corpus_changes(
             f"{floor}, so their attribution is gone — re-baseline the "
             "consumer with a full read_corpus"
         )
+    if schema is None and doc and doc.get("schema"):
+        from pyspark.sql.types import StructType  # noqa: PLC0415
+
+        try:
+            schema = StructType.fromJson(doc["schema"])
+        except (KeyError, TypeError, ValueError):
+            pass
+    preds, residual = _split_where(schema, where)
+
     # snapshot point: markers BEFORE the file listing (same rule as
     # read_corpus) — a batch whose marker lands mid-listing is excluded
     # because it is absent from this set, never partially included.
@@ -2666,7 +2709,17 @@ def read_corpus_changes(
     committed_at_start = {
         bid for bid, _st in _iter_commit_markers(spark, path)
     }
-    files = _files if _files is not None else _walk_files(spark, path)
+    if _files is not None:
+        files = _files
+    else:
+        # partition-dir pruning only on the NUMERIC path: the composite
+        # guard below needs GLOBAL c/d-file evidence, which a pruned
+        # listing could hide (the numeric floor guard reads the
+        # manifest, not the listing)
+        files = _walk_files(
+            spark, path,
+            dir_ok=None if composite else _dir_pruner(preds, schema),
+        )
     if composite:
         # composite ids never raise the numeric floor, so the only sound
         # contract is: no maintenance rewrite may postdate the watermark.
@@ -2684,14 +2737,6 @@ def read_corpus_changes(
                 "attribution cannot be proven to survive them — "
                 "re-baseline the consumer with a full read_corpus"
             )
-
-    if schema is None and doc and doc.get("schema"):
-        from pyspark.sql.types import StructType  # noqa: PLC0415
-
-        try:
-            schema = StructType.fromJson(doc["schema"])
-        except (KeyError, TypeError, ValueError):
-            pass
 
     keep: list[str] = []
     decided: dict[str, bool] = {}
@@ -2719,7 +2764,7 @@ def read_corpus_changes(
         if decided[bid]:
             keep.append(f)
 
-    keep, residual = _apply_where(spark, path, keep, schema, where)
+    keep = _stats_prune(spark, path, keep, schema, preds)
 
     if not keep:
         if schema is not None:

@@ -32,6 +32,7 @@ from bambooai_spark.operators.writer import (
     compact_corpus,
     delete_from_corpus,
     read_corpus,
+    read_corpus_changes,
     write_corpus,
 )
 
@@ -928,3 +929,80 @@ def test_advisor_flags_stats_delta_backlog(spark, tmp_path):
         write_stats_delta(spark, out, f"b{i}", {"columns": [], "files": {}})
     adv = {r["check"]: r for r in suggest_maintenance(spark, out).collect()}
     assert adv["stats_delta_backlog"]["severity"] == "warn"
+
+
+# --------------------------------------------------------------------------
+# partition-directory pruning
+
+
+def test_partition_predicate_skips_directories(spark, tmp_path):
+    """A where= on a partition column prunes whole partition dirs at
+    LISTING time: the built reader's input files never mention the
+    excluded partitions, and results equal the plain filter."""
+    out = str(tmp_path / "corpus")
+    d = _docs(spark, 0, 120, langs=("en", "de", "fr", "zh"))
+    write_corpus(d, out, partition_by=("lang",), max_records_per_file=10)
+    got = read_corpus(spark, out, where=[("lang", "==", "de")])
+    assert all("lang=de" in f for f in got.inputFiles())
+    assert got.count() == 30
+    # range ops work too (string partition)
+    got = read_corpus(spark, out, where=[("lang", "<", "en")])
+    assert {f.split("lang=")[1].split("/")[0] for f in got.inputFiles()} == {"de"}
+    # composes with data-column predicates and stats pruning
+    enable_file_stats(spark, out, ["doc_id"])
+    rebuild_file_stats(spark, out)
+    got = read_corpus(
+        spark, out, where=[("lang", "==", "de"), ("doc_id", "<", 40)]
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == [
+        i for i in range(40) if i % 4 == 1
+    ]
+
+
+def test_partition_pruner_typed_and_null_dirs(spark, tmp_path):
+    from bambooai_spark.operators.filestats import partition_dir_pruner
+
+    out = str(tmp_path / "corpus")
+    rows = [(i, i % 5, None if i % 10 == 0 else f"s{i % 3}") for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, shard int, grp string")
+    write_corpus(d, out, partition_by=("shard", "grp"),
+                 max_records_per_file=10)
+    # int-typed partition range predicate
+    got = read_corpus(spark, out, where=[("shard", ">=", 3)])
+    assert all(("shard=3" in f or "shard=4" in f) for f in got.inputFiles())
+    assert got.count() == d.filter("shard >= 3").count()
+    # NULL partition dirs are skipped by any comparison predicate
+    got = read_corpus(spark, out, where=[("grp", "==", "s1")])
+    assert not any("HIVE_DEFAULT" in f for f in got.inputFiles())
+    assert got.count() == d.filter("grp = 's1'").count()
+    # pure function behavior: unknown col / unparseable value descend
+    ok = partition_dir_pruner([("shard", "==", 3)], d.schema)
+    assert ok("shard=3") and not ok("shard=4")
+    assert ok("other=9") and ok("not_a_partition_dir")
+    assert ok("shard=abc")  # unparseable — Spark decides
+    assert not ok("shard=__HIVE_DEFAULT_PARTITION__")
+
+
+def test_changes_partition_pruning_numeric_only(spark, tmp_path):
+    """CDC: partition pruning applies on the numeric-id path; the
+    composite path keeps the full listing (its maintenance guard needs
+    global c/d evidence) but still filters correctly."""
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 40), out, 0)
+    append_corpus_txn(_docs(spark, 40, 80), out, 1)
+    got = read_corpus_changes(
+        spark, out, after_batch=0, where=[("lang", "==", "de")]
+    )
+    assert all("lang=de" in f for f in got.inputFiles())
+    assert sorted(r["doc_id"] for r in got.collect()) == [
+        i for i in range(40, 80) if i % 2 == 1
+    ]
+    out2 = str(tmp_path / "stream")
+    append_corpus_txn(_docs(spark, 0, 40), out2, "ns1.0")
+    append_corpus_txn(_docs(spark, 40, 80), out2, "ns1.1")
+    got = read_corpus_changes(
+        spark, out2, after_batch="ns1.0", where=[("lang", "==", "de")]
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == [
+        i for i in range(40, 80) if i % 2 == 1
+    ]
