@@ -34,6 +34,7 @@ from bambooai_spark.operators.vector_store import (
 from bambooai_spark.operators.filestats import (
     bloom_config,
     enable_file_stats,
+    explain_pruning,
     rebuild_file_stats,
     set_bloom_filters,
 )
@@ -79,6 +80,7 @@ __all__ = [
     "rebuild_file_stats",
     "set_bloom_filters",
     "bloom_config",
+    "explain_pruning",
     "read_corpus_changes",
     "latest_committed_batch",
     "refresh_vector_store",

@@ -827,3 +827,40 @@ def partition_dir_pruner(preds, schema):
         return True
 
     return ok
+
+
+def explain_pruning(spark: SparkSession, path: str, where) -> dict:
+    """Skipping report for a prospective ``read_corpus(where=...)`` —
+    the observability face of the two-tier pruning: how many live files
+    exist, how many the partition-directory filter never even LISTS,
+    how many the per-file stats then drop, and what reaches the scan.
+    Read-only; driver cost is the same one listing a read would pay
+    (plus the full listing for the baseline count).
+
+    Returns ``{"files_total", "after_partition_pruning", "after_stats",
+    "read_fraction", "predicates"}``. A fraction near 1.0 on a
+    selective predicate is the signal to cluster (``cluster_by`` /
+    ``zorder``) or enable stats on the filtered column."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _stored_schema,
+        _walk_files,
+    )
+
+    schema = _stored_schema(spark, path)
+    preds = normalize_predicates(where, schema)
+    total = len(_walk_files(spark, path))
+    pruner = partition_dir_pruner(preds, schema)
+    listed = _walk_files(spark, path, dir_ok=pruner)
+    stats = load_file_stats(spark, path)
+    kept = prune_files(
+        listed, stats, preds, schema,
+        root=qualified_root(spark, path),
+        session_tz=spark.conf.get("spark.sql.session.timeZone", None),
+    )
+    return {
+        "files_total": total,
+        "after_partition_pruning": len(listed),
+        "after_stats": len(kept),
+        "read_fraction": (len(kept) / total) if total else 0.0,
+        "predicates": [list(p) for p in preds],
+    }

@@ -1006,3 +1006,22 @@ def test_changes_partition_pruning_numeric_only(spark, tmp_path):
     assert sorted(r["doc_id"] for r in got.collect()) == [
         i for i in range(40, 80) if i % 2 == 1
     ]
+
+
+def test_explain_pruning_reports_both_tiers(spark, tmp_path):
+    from bambooai_spark.operators.filestats import explain_pruning
+
+    out = str(tmp_path / "corpus")
+    d = _docs(spark, 0, 200, langs=("en", "de", "fr", "zh"))
+    write_corpus(d, out, partition_by=("lang",), cluster_by=("doc_id",),
+                 max_records_per_file=10)
+    rep = explain_pruning(
+        spark, out, [("lang", "==", "de"), ("doc_id", "<", 40)]
+    )
+    assert rep["after_partition_pruning"] < rep["files_total"]
+    assert rep["after_stats"] < rep["after_partition_pruning"]
+    assert 0 < rep["read_fraction"] < 0.25
+    # the report's kept-count equals what the real read scans
+    got = read_corpus(spark, out,
+                      where=[("lang", "==", "de"), ("doc_id", "<", 40)])
+    assert len(got.inputFiles()) == rep["after_stats"]
