@@ -497,16 +497,18 @@ def _iter_stats_files(spark: SparkSession, path: str):
             yield name, st
 
 
-def load_file_stats(spark: SparkSession, path: str) -> dict[str, dict]:
-    """Merged basename → entry map from every stats delta. Committed
-    basenames are globally unique (task UUIDs + batch prefixes), so merge
-    order is immaterial; a torn delta is skipped (its files just are not
-    pruned)."""
+def _load_file_stats_counted(
+    spark: SparkSession, path: str
+) -> tuple[dict[str, dict], int]:
+    """(merged stats, delta-file count) in ONE pass over ``_filestats/``
+    — the advisor needs both and must not pay a second listing."""
     from bambooai_spark.operators.writer import _fs_read_text  # noqa: PLC0415
 
     merged: dict[str, dict] = {}
+    n_deltas = 0
     sroot = _join(path, STATS_DIR)
     for name, _st in _iter_stats_files(spark, path):
+        n_deltas += 1
         try:
             doc = json.loads(_fs_read_text(spark, _join(sroot, name)))
         except ValueError:
@@ -516,7 +518,15 @@ def load_file_stats(spark: SparkSession, path: str) -> dict[str, dict]:
         for k, entry in files.items():
             entry["_tz"] = tz  # the session-tz guard for "ts" pruning
             merged[k] = entry
-    return merged
+    return merged, n_deltas
+
+
+def load_file_stats(spark: SparkSession, path: str) -> dict[str, dict]:
+    """Merged key → entry map from every stats delta. Committed keys are
+    globally unique (partition dirs + task UUIDs + batch prefixes), so
+    merge order is immaterial; a torn delta is skipped (its files just
+    are not pruned)."""
+    return _load_file_stats_counted(spark, path)[0]
 
 
 def prune_stats_files(
@@ -654,7 +664,7 @@ def stats_coverage(spark: SparkSession, path: str) -> dict | None:
 
     if stats_config(spark, path) is None:
         return None
-    stats = load_file_stats(spark, path)
+    stats, n_deltas = _load_file_stats_counted(spark, path)
     qroot = qualified_root(spark, path)
     live = {_rel_key(f, qroot) for f in _walk_files(spark, path)}
     live.discard(None)
@@ -662,6 +672,7 @@ def stats_coverage(spark: SparkSession, path: str) -> dict | None:
         "live": len(live),
         "covered": len(live & set(stats)),
         "orphans": len(set(stats) - live),
+        "deltas": n_deltas,
     }
 
 
@@ -787,25 +798,19 @@ def partition_dir_pruner(preds, schema):
         return None
 
     def _parse(cat, raw):
+        # directory values arrive as strings; the numeric/bool categories
+        # need an explicit parse (_canon_pred rejects strings there), the
+        # rest reuse _canon_pred's canonical-form spelling so the two
+        # cannot drift
         if cat == "int":
             return int(raw)
         if cat == "float":
             return float(raw)
-        if cat == "dec":
-            return Decimal(raw)
-        if cat == "str":
-            return raw
         if cat == "bool":
             if raw.lower() in ("true", "false"):
                 return raw.lower() == "true"
             raise ValueError(raw)
-        if cat == "date":
-            return date.fromisoformat(raw).isoformat()
-        if cat in ("ts", "tsn"):
-            return datetime.fromisoformat(raw).isoformat(
-                sep=" ", timespec="microseconds"
-            )
-        raise ValueError(cat)
+        return _canon_pred(cat, raw)
 
     def ok(dirname: str) -> bool:
         col, sep, raw = dirname.partition("=")
@@ -831,36 +836,63 @@ def partition_dir_pruner(preds, schema):
 
 def explain_pruning(spark: SparkSession, path: str, where) -> dict:
     """Skipping report for a prospective ``read_corpus(where=...)`` —
-    the observability face of the two-tier pruning: how many live files
-    exist, how many the partition-directory filter never even LISTS,
-    how many the per-file stats then drop, and what reaches the scan.
-    Read-only; driver cost is the same one listing a read would pay
-    (plus the full listing for the baseline count).
+    the observability face of the two-tier pruning: how many files the
+    COMMITTED SNAPSHOT holds (the same visibility rules as the real
+    read — an uncommitted mid-flight batch's files count for neither),
+    how many survive the partition-directory filter, how many the
+    per-file stats then drop, and what reaches the scan. Read-only, ONE
+    listing (the partition tier is replayed in memory over it); on a
+    healthy corpus ``after_stats == len(read.inputFiles())`` for the
+    same ``where`` (a corpus frozen mid-swap makes the real read raise
+    where this report still answers).
 
-    Returns ``{"files_total", "after_partition_pruning", "after_stats",
-    "read_fraction", "predicates"}``. A fraction near 1.0 on a
-    selective predicate is the signal to cluster (``cluster_by`` /
-    ``zorder``) or enable stats on the filtered column."""
+    Accepts every ``where=`` form the readers do: (column, op, value)
+    triples report both tiers; a Column/SQL string (filter-only in the
+    readers) or None reports the unpruned snapshot with ``predicates:
+    None``. A ``read_fraction`` near 1.0 on a selective predicate is
+    the signal to cluster (``cluster_by``/``zorder``) or enable stats
+    on the filtered column."""
+    from pyspark.sql import Column  # noqa: PLC0415
+
     from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _snapshot_files,
         _stored_schema,
-        _walk_files,
     )
 
     schema = _stored_schema(spark, path)
-    preds = normalize_predicates(where, schema)
-    total = len(_walk_files(spark, path))
-    pruner = partition_dir_pruner(preds, schema)
-    listed = _walk_files(spark, path, dir_ok=pruner)
-    stats = load_file_stats(spark, path)
-    kept = prune_files(
-        listed, stats, preds, schema,
-        root=qualified_root(spark, path),
-        session_tz=spark.conf.get("spark.sql.session.timeZone", None),
-    )
+    preds = None
+    if where is not None and not isinstance(where, (Column, str)):
+        preds = normalize_predicates(where, schema)
+    snapshot = _snapshot_files(spark, path)
+    total = len(snapshot)
+    listed = snapshot
+    if preds:
+        pruner = partition_dir_pruner(preds, schema)
+        if pruner is not None:
+            qroot = _strip_scheme(
+                qualified_root(spark, path)
+            ).rstrip("/") + "/"
+            listed = []
+            for f in snapshot:
+                rel = _strip_scheme(f)
+                segs = (
+                    rel[len(qroot):].split("/")[:-1]
+                    if rel.startswith(qroot)
+                    else []
+                )
+                if all(pruner(s) for s in segs):
+                    listed.append(f)
+    kept = listed
+    if preds:
+        kept = prune_files(
+            listed, load_file_stats(spark, path), preds, schema,
+            root=qualified_root(spark, path),
+            session_tz=spark.conf.get("spark.sql.session.timeZone", None),
+        )
     return {
         "files_total": total,
         "after_partition_pruning": len(listed),
         "after_stats": len(kept),
         "read_fraction": (len(kept) / total) if total else 0.0,
-        "predicates": [list(p) for p in preds],
+        "predicates": [list(p) for p in preds] if preds else None,
     }

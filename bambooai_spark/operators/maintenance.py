@@ -199,7 +199,6 @@ def suggest_maintenance(
     # reads lose their skipping on exactly those files); a stats config
     # with gaps has one heal call
     from bambooai_spark.operators.filestats import (  # noqa: PLC0415
-        _iter_stats_files,
         stats_coverage,
     )
 
@@ -207,8 +206,9 @@ def suggest_maintenance(
     if cov is not None:
         # delta backlog mirrors the ledger/marker checks: a long-lived
         # streaming corpus writes one stats JSON per micro-batch, and
-        # every pruned read opens all of them
-        n_deltas = sum(1 for _ in _iter_stats_files(spark, path))
+        # every pruned read opens all of them (count rides the coverage
+        # pass — no second _filestats listing)
+        n_deltas = cov["deltas"]
         if n_deltas > 64:
             add(
                 "stats_delta_backlog", "warn",

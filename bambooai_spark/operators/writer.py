@@ -2415,15 +2415,50 @@ def read_corpus(
         )
 
     preds, residual = _split_where(schema, where)
+    keep = _snapshot_files(
+        spark, path,
+        as_of_batch=as_of_batch,
+        # no dir pruning under as_of: the non-numeric-batch-id guard
+        # must stay GLOBAL (a composite-id file hidden by a pruned
+        # partition would make the same snapshot target raise or answer
+        # depending on the where= clause)
+        dir_ok=None if as_of_batch is not None else _dir_pruner(preds, schema),
+    )
+    keep = _stats_prune(spark, path, keep, schema, preds)
 
-    # snapshot point: the committed markers BEFORE listing any data file
+    if not keep:
+        if schema is not None:
+            out = spark.createDataFrame([], schema)
+            return out.filter(residual) if residual is not None else out
+        raise ValueError(
+            f"no committed data files under {path} for this snapshot; "
+            "pass schema= to get a typed empty DataFrame"
+        )
+    reader = spark.read.option("basePath", path)
+    if schema is not None:
+        reader = reader.schema(schema)
+    out = reader.parquet(*keep)
+    return out.filter(residual) if residual is not None else out
+
+
+def _snapshot_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    as_of_batch: int | None = None,
+    dir_ok=None,
+) -> list[str]:
+    """The committed-snapshot keep-list (read_corpus's visibility rules
+    as a reusable piece — explain_pruning reports on the same file set
+    the real read scans): markers listed BEFORE the files, base files
+    always in, txn files in iff committed at the snapshot point (or
+    marker-pruned old), ``as_of_batch`` pinning numeric batch ids."""
     committed_at_start = {
         bid for bid, _st in _iter_commit_markers(spark, path)
     }
-
     keep: list[str] = []
     decided: dict[str, bool] = {}
-    for f in _walk_files(spark, path, dir_ok=_dir_pruner(preds, schema)):
+    for f in _walk_files(spark, path, dir_ok=dir_ok):
         bid = _txn_batch_of(f.rsplit("/", 1)[-1])
         if bid is None:
             keep.append(f)  # base file — every snapshot includes it
@@ -2453,22 +2488,7 @@ def read_corpus(
                 )
         if decided[bid]:
             keep.append(f)
-
-    keep = _stats_prune(spark, path, keep, schema, preds)
-
-    if not keep:
-        if schema is not None:
-            out = spark.createDataFrame([], schema)
-            return out.filter(residual) if residual is not None else out
-        raise ValueError(
-            f"no committed data files under {path} for this snapshot; "
-            "pass schema= to get a typed empty DataFrame"
-        )
-    reader = spark.read.option("basePath", path)
-    if schema is not None:
-        reader = reader.schema(schema)
-    out = reader.parquet(*keep)
-    return out.filter(residual) if residual is not None else out
+    return keep
 
 
 def _split_where(schema, where):

@@ -1025,3 +1025,61 @@ def test_explain_pruning_reports_both_tiers(spark, tmp_path):
     got = read_corpus(spark, out,
                       where=[("lang", "==", "de"), ("doc_id", "<", 40)])
     assert len(got.inputFiles()) == rep["after_stats"]
+
+
+def test_explain_pruning_snapshot_and_all_where_forms(
+    spark, tmp_path, monkeypatch
+):
+    """Review 14: the report must count the COMMITTED snapshot (a
+    frozen mid-commit batch's files appear nowhere) and accept every
+    where= form the readers do."""
+    from bambooai_spark.operators.filestats import explain_pruning
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20), out, 0, max_records_per_file=5)
+    base = explain_pruning(spark, out, None)
+    assert base["files_total"] == base["after_stats"]
+    assert base["predicates"] is None
+    # Column / SQL forms: filter-only, unpruned snapshot
+    assert explain_pruning(spark, out, "lang = 'de'")["after_stats"] == (
+        base["files_total"]
+    )
+    assert explain_pruning(
+        spark, out, F.col("lang") == "de"
+    )["after_stats"] == base["files_total"]
+
+    orig = writer._fs_write_text_atomic
+
+    def crash_on_marker(spark_, path, text):
+        if writer.COMMITS_DIR in path:
+            raise RuntimeError("crash before marker")
+        return orig(spark_, path, text)
+
+    monkeypatch.setattr(writer, "_fs_write_text_atomic", crash_on_marker)
+    with pytest.raises(RuntimeError, match="crash before marker"):
+        append_corpus_txn(
+            _docs(spark, 20, 40), out, 1, max_records_per_file=5
+        )
+    monkeypatch.setattr(writer, "_fs_write_text_atomic", orig)
+    # the frozen batch's (possibly half-moved) files count for nothing
+    rep = explain_pruning(spark, out, [("doc_id", "<", 100)])
+    assert rep["files_total"] == base["files_total"]
+    got = read_corpus(spark, out, where=[("doc_id", "<", 100)])
+    assert rep["after_stats"] == len(got.inputFiles())
+    append_corpus_txn(_docs(spark, 20, 40), out, 1, max_records_per_file=5)
+
+
+def test_as_of_guard_is_global_under_where(spark, tmp_path):
+    """Review 14: as_of_batch's non-numeric-id guard must not depend on
+    the where= clause (no partition pruning under as_of)."""
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20, langs=("en",)), out, 0)
+    append_corpus_txn(_docs(spark, 20, 40, langs=("fr",)), out, "ns1.3")
+    with pytest.raises(ValueError, match="ordering is undefined"):
+        read_corpus(spark, out, as_of_batch=0)
+    with pytest.raises(ValueError, match="ordering is undefined"):
+        # the composite batch lives only under lang=fr; the predicate
+        # must NOT hide it from the guard
+        read_corpus(
+            spark, out, as_of_batch=0, where=[("lang", "==", "en")]
+        )
