@@ -88,7 +88,7 @@ _CATEGORY = {
     "timestamp_ntz": "tsn",
 }
 
-_OPS = ("==", "<", "<=", ">", ">=")
+_OPS = ("==", "<", "<=", ">", ">=", "in")
 
 # exact int→float conversion bound: above this, float compare may round
 # a bound across the predicate value and prune a live file
@@ -209,6 +209,21 @@ def _canon_pred(category: str, v):
             raise ValueError("tz-aware predicate; pruning skipped")
         return v.isoformat(sep=" ", timespec="microseconds")
     raise ValueError(f"unknown category {category}")
+
+
+def _canon_pred_op(category: str, op: str, v):
+    """Op-aware predicate canonicalization: ``in`` canonicalizes every
+    member (any failure poisons the whole predicate — conservative)."""
+    if op == "in":
+        return [_canon_pred(category, m) for m in v]
+    return _canon_pred(category, v)
+
+
+def _may_match(op: str, cv, mn, mx) -> bool:
+    """Op-aware bound test: ``in`` is the OR of member equalities."""
+    if op == "in":
+        return any(_bound_may_match("==", m, mn, mx) for m in cv)
+    return _bound_may_match(op, cv, mn, mx)
 
 
 def _canon_stored(category: str, s):
@@ -561,6 +576,12 @@ def normalize_predicates(preds, schema) -> list[tuple[str, str, object]]:
             ) from None
         if op not in _OPS:
             raise ValueError(f"unsupported op {op!r}; use one of {_OPS}")
+        if op == "in":
+            if not isinstance(v, (list, tuple, set, frozenset)) or not v:
+                raise ValueError(
+                    f"'in' takes a non-empty list/tuple/set, got {v!r}"
+                )
+            v = sorted(v, key=repr)  # deterministic order for reports
         if by_name and col not in by_name:
             raise ValueError(
                 f"predicate column {col!r} is not a corpus column "
@@ -580,7 +601,10 @@ def predicate_column(preds) -> "F.Column":
     }
     col = None
     for c, op, v in preds:
-        term = fns[op](F.col(c), F.lit(v))
+        if op == "in":
+            term = F.col(c).isin(*list(v))
+        else:
+            term = fns[op](F.col(c), F.lit(v))
         col = term if col is None else (col & term)
     return col if col is not None else F.lit(True)
 
@@ -612,7 +636,7 @@ def prune_files(
             canon.append(None)  # unknown type — this predicate never prunes
             continue
         try:
-            canon.append((col, op, _canon_pred(cat, v), cat))
+            canon.append((col, op, _canon_pred_op(cat, op, v), cat))
         except (ValueError, TypeError, InvalidOperation):
             canon.append(None)
     if not any(canon):
@@ -642,7 +666,7 @@ def prune_files(
             if mn is None or mx is None:
                 continue  # torn entry — read the file
             try:
-                if not _bound_may_match(
+                if not _may_match(
                     op, cv, _canon_stored(cat, mn), _canon_stored(cat, mx)
                 ):
                     alive = False
@@ -791,7 +815,9 @@ def partition_dir_pruner(preds, schema):
         if cat is None:
             continue
         try:
-            by_col.setdefault(col, []).append((op, _canon_pred(cat, v), cat))
+            by_col.setdefault(col, []).append(
+                (op, _canon_pred_op(cat, op, v), cat)
+            )
         except (ValueError, TypeError, InvalidOperation):
             continue
     if not by_col:
@@ -825,7 +851,7 @@ def partition_dir_pruner(preds, schema):
                 # stats, but here write and read happen through the same
                 # reader contract, so compare directly
                 pv = _parse(cat, unquote(raw))
-                if not _bound_may_match(op, cv, pv, pv):
+                if not _may_match(op, cv, pv, pv):
                     return False
         except (ValueError, TypeError, InvalidOperation, OverflowError):
             return True  # unparseable — descend, Spark decides

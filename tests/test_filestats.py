@@ -1083,3 +1083,41 @@ def test_as_of_guard_is_global_under_where(spark, tmp_path):
         read_corpus(
             spark, out, as_of_batch=0, where=[("lang", "==", "en")]
         )
+
+
+def test_in_predicate_prunes_and_filters(spark, tmp_path):
+    """The 'in' op: files prune when NO member can be present, partition
+    dirs skip non-member values, and the residual is an isin."""
+    from bambooai_spark.operators.filestats import partition_dir_pruner
+
+    schema = _schema_of(spark, "x long")
+    stats = {"f1": _entry(10, 20, 5), "f2": _entry(30, 40, 5)}
+    files = ["/c/f1", "/c/f2"]
+    assert prune_files(files, stats, [("x", "in", [15, 35])], schema) == files
+    assert prune_files(files, stats, [("x", "in", [15, 16])], schema) == ["/c/f1"]
+    assert prune_files(files, stats, [("x", "in", [25, 26])], schema) == []
+    # validation: empty / non-list values rejected at the reader contract
+    from bambooai_spark.operators.filestats import normalize_predicates
+
+    with pytest.raises(ValueError, match="non-empty"):
+        normalize_predicates([("x", "in", [])], schema)
+    with pytest.raises(ValueError, match="non-empty"):
+        normalize_predicates([("x", "in", "de")], schema)
+
+    out = str(tmp_path / "corpus")
+    d = _docs(spark, 0, 120, langs=("en", "de", "fr", "zh"))
+    write_corpus(d, out, partition_by=("lang",), cluster_by=("doc_id",),
+                 max_records_per_file=10)
+    got = read_corpus(spark, out, where=[("lang", "in", ["de", "fr"])])
+    dirs = {f.split("lang=")[1].split("/")[0] for f in got.inputFiles()}
+    assert dirs == {"de", "fr"}
+    assert got.count() == d.filter(F.col("lang").isin("de", "fr")).count()
+    # composes with a data-column in-list through the stats tier
+    got = read_corpus(
+        spark, out,
+        where=[("lang", "in", ["de"]), ("doc_id", "in", [1, 5, 9])],
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 5, 9]
+    # pure pruner behavior
+    ok = partition_dir_pruner([("lang", "in", ["de", "fr"])], d.schema)
+    assert ok("lang=de") and ok("lang=fr") and not ok("lang=en")
