@@ -4338,20 +4338,23 @@ def corpus_changes_docs(spark, sf_dir):
     """
     SELECT doc_id, lang, n_chars FROM documents
     WHERE n_chars >= 150 AND n_chars <= 300
+      AND lang IN ('en', 'de', 'fr')
     """,
     headline=True,
     doc="File-level data skipping end-to-end (operators/filestats.py): "
     "write_corpus lays the documents out clustered on n_chars with "
     "per-file min/max stats recorded under _filestats/, then "
-    "read_corpus(where=[...]) DROPS the files whose recorded range "
-    "cannot match before the reader is built and applies the predicate "
-    "as the residual filter — Delta-style skipping on plain parquet, "
-    "the read-side payoff of clustering at 100 TB (a selective query "
+    "read_corpus(where=[...]) exercises ALL the skipping tiers: the "
+    "lang in-list prunes whole partition DIRECTORIES at listing time, "
+    "the n_chars range drops files whose recorded min/max cannot match "
+    "before the reader is built, and the predicate always applies as "
+    "the residual filter — Delta-style skipping on plain parquet, the "
+    "read-side payoff of clustering at 100 TB (a selective query "
     "schedules ~range/corpus of the files instead of all of them; "
-    "tests/test_filestats.py pins that files are actually pruned and "
-    "that pruning can never drop a matching row). The oracle is the "
-    "plain predicate over the same table — pruning must be invisible "
-    "to results.",
+    "tests/test_filestats.py pins that files and directories are "
+    "actually pruned and that pruning can never drop a matching row). "
+    "The oracle is the plain predicate over the same table — pruning "
+    "must be invisible to results.",
 )
 def pruned_read_docs(spark, sf_dir):
     import os  # noqa: PLC0415
@@ -4370,7 +4373,11 @@ def pruned_read_docs(spark, sf_dir):
     )
     got = read_corpus(
         spark, out,
-        where=[("n_chars", ">=", 150), ("n_chars", "<=", 300)],
+        where=[
+            ("n_chars", ">=", 150),
+            ("n_chars", "<=", 300),
+            ("lang", "in", ["en", "de", "fr"]),
+        ],
     )
     return got.select("doc_id", "lang", "n_chars")
 
