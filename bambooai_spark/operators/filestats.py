@@ -88,7 +88,8 @@ _CATEGORY = {
     "timestamp_ntz": "tsn",
 }
 
-_OPS = ("==", "<", "<=", ">", ">=", "in")
+_OPS = ("==", "<", "<=", ">", ">=", "in", "isnull", "notnull")
+_NULL_OPS = ("isnull", "notnull")
 
 # exact int→float conversion bound: above this, float compare may round
 # a bound across the predicate value and prune a live file
@@ -582,6 +583,10 @@ def normalize_predicates(preds, schema) -> list[tuple[str, str, object]]:
                     f"'in' takes a non-empty list/tuple/set, got {v!r}"
                 )
             v = sorted(v, key=repr)  # deterministic order for reports
+        if op in _NULL_OPS and v is not None:
+            raise ValueError(
+                f"{op!r} takes no value; pass None, got {v!r}"
+            )
         if by_name and col not in by_name:
             raise ValueError(
                 f"predicate column {col!r} is not a corpus column "
@@ -603,6 +608,10 @@ def predicate_column(preds) -> "F.Column":
     for c, op, v in preds:
         if op == "in":
             term = F.col(c).isin(*list(v))
+        elif op == "isnull":
+            term = F.col(c).isNull()
+        elif op == "notnull":
+            term = F.col(c).isNotNull()
         else:
             term = fns[op](F.col(c), F.lit(v))
         col = term if col is None else (col & term)
@@ -630,6 +639,11 @@ def prune_files(
     by_name = {f.name: f.dataType for f in schema.fields} if schema else {}
     canon: list[tuple[str, str, object, str] | None] = []
     for col, op, v in preds:
+        if op in _NULL_OPS:
+            # null-ness pruning needs only the counts, not the bounds —
+            # it works for every column that has a stats entry
+            canon.append((col, op, None, None))
+            continue
         dtype = by_name.get(col)
         cat = _category(dtype) if dtype is not None else None
         if cat is None:
@@ -659,6 +673,17 @@ def prune_files(
             cs = cols.get(col)
             if cs is None:
                 continue  # no stats for this column in this file
+            if op == "isnull":
+                # prunable iff the file holds NO null in this column
+                if cs.get("nn") == entry.get("n"):
+                    alive = False
+                    break
+                continue
+            if op == "notnull":
+                if not cs.get("nn"):
+                    alive = False
+                    break
+                continue
             if not cs.get("nn"):
                 alive = False  # zero non-null values: nothing can match
                 break
@@ -810,6 +835,11 @@ def partition_dir_pruner(preds, schema):
     by_name = {f.name: f.dataType for f in schema.fields} if schema else {}
     by_col: dict[str, list] = {}
     for col, op, v in preds or []:
+        if op in _NULL_OPS:
+            # a partition value IS the column value: null-ness decides
+            # on the directory name alone, whatever the type
+            by_col.setdefault(col, []).append((op, None, None))
+            continue
         dtype = by_name.get(col)
         cat = _category(dtype) if dtype is not None else None
         if cat is None:
@@ -842,10 +872,18 @@ def partition_dir_pruner(preds, schema):
         col, sep, raw = dirname.partition("=")
         if not sep or col not in by_col:
             return True
-        if raw == _HIVE_NULL:
-            return False  # NULL partition: no comparison predicate holds
         try:
             for op, cv, cat in by_col[col]:
+                if op == "isnull":
+                    if raw != _HIVE_NULL:
+                        return False
+                    continue
+                if op == "notnull":
+                    if raw == _HIVE_NULL:
+                        return False
+                    continue
+                if raw == _HIVE_NULL:
+                    return False  # NULL partition fails every comparison
                 # "ts" partitions: directory values are literal renders
                 # of the written column — same session-tz caveat as the
                 # stats, but here write and read happen through the same

@@ -1121,3 +1121,42 @@ def test_in_predicate_prunes_and_filters(spark, tmp_path):
     # pure pruner behavior
     ok = partition_dir_pruner([("lang", "in", ["de", "fr"])], d.schema)
     assert ok("lang=de") and ok("lang=fr") and not ok("lang=en")
+
+
+def test_null_ops_prune_and_filter(spark, tmp_path):
+    """isnull/notnull: pruning from the counts alone (no bounds), NULL
+    partition dirs handled, residuals exact."""
+    from bambooai_spark.operators.filestats import (
+        normalize_predicates,
+        partition_dir_pruner,
+    )
+
+    schema = _schema_of(spark, "x long")
+    stats = {
+        "all_null": {"n": 5, "cols": {"x": {"min": None, "max": None, "nn": 0}}},
+        "no_null": {"n": 5, "cols": {"x": {"min": 1, "max": 9, "nn": 5}}},
+        "mixed": {"n": 5, "cols": {"x": {"min": 1, "max": 9, "nn": 3}}},
+    }
+    files = ["/c/all_null", "/c/no_null", "/c/mixed"]
+    assert prune_files(files, stats, [("x", "notnull", None)], schema) == [
+        "/c/no_null", "/c/mixed"
+    ]
+    assert prune_files(files, stats, [("x", "isnull", None)], schema) == [
+        "/c/all_null", "/c/mixed"
+    ]
+    with pytest.raises(ValueError, match="takes no value"):
+        normalize_predicates([("x", "isnull", 1)], schema)
+
+    # end-to-end with a nullable partition column
+    rows = [(i, None if i % 5 == 0 else f"g{i % 2}") for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = str(tmp_path / "corpus")
+    write_corpus(d, out, partition_by=("grp",), max_records_per_file=10)
+    got = read_corpus(spark, out, where=[("grp", "isnull", None)])
+    assert all("HIVE_DEFAULT" in f for f in got.inputFiles())
+    assert got.count() == 20
+    got = read_corpus(spark, out, where=[("grp", "notnull", None)])
+    assert not any("HIVE_DEFAULT" in f for f in got.inputFiles())
+    assert got.count() == 80
+    ok = partition_dir_pruner([("grp", "isnull", None)], d.schema)
+    assert ok("grp=__HIVE_DEFAULT_PARTITION__") and not ok("grp=g1")
