@@ -563,9 +563,11 @@ def prune_stats_files(
 # pruning
 
 def normalize_predicates(preds, schema) -> list[tuple[str, str, object]]:
-    """Validate a ``where=`` list against the read schema. Returns the
-    predicates unchanged; raises on unknown columns/operators so typos
-    fail loudly instead of silently filtering everything out."""
+    """Validate a ``where=`` list against the read schema. Raises on
+    unknown columns/operators so typos fail loudly instead of silently
+    filtering everything out. ``in`` values are canonicalized to a
+    sorted list (deterministic reports); everything else passes
+    through unchanged."""
     by_name = {f.name: f.dataType for f in schema.fields} if schema else {}
     out = []
     for p in preds:
@@ -673,18 +675,22 @@ def prune_files(
             cs = cols.get(col)
             if cs is None:
                 continue  # no stats for this column in this file
+            nn = cs.get("nn")
             if op == "isnull":
-                # prunable iff the file holds NO null in this column
-                if cs.get("nn") == entry.get("n"):
+                # prunable iff the file provably holds NO null in this
+                # column; a missing count reads the file (torn entry —
+                # same conservatism as missing bounds below)
+                n = entry.get("n")
+                if nn is not None and n is not None and nn == n:
                     alive = False
                     break
                 continue
             if op == "notnull":
-                if not cs.get("nn"):
+                if nn == 0:
                     alive = False
                     break
                 continue
-            if not cs.get("nn"):
+            if nn == 0:
                 alive = False  # zero non-null values: nothing can match
                 break
             mn, mx = cs.get("min"), cs.get("max")

@@ -1160,3 +1160,19 @@ def test_null_ops_prune_and_filter(spark, tmp_path):
     assert got.count() == 80
     ok = partition_dir_pruner([("grp", "isnull", None)], d.schema)
     assert ok("grp=__HIVE_DEFAULT_PARTITION__") and not ok("grp=g1")
+
+
+def test_missing_count_fields_read_conservatively(spark):
+    """Review 15: a hand-made/torn stats entry without nn/n must READ
+    the file for every op, never prune it."""
+    schema = _schema_of(spark, "x long")
+    torn = {"f": {"cols": {"x": {"min": 1, "max": 9}}}}
+    files = ["/c/f"]
+    for pred in [("x", "notnull", None), ("x", "isnull", None),
+                 ("x", "==", 5), ("x", "==", 99)]:
+        got = prune_files(files, torn, [pred], schema)
+        if pred == ("x", "==", 99):
+            # bounds are present and disjoint — THAT pruning still works
+            assert got == []
+        else:
+            assert got == files, pred
