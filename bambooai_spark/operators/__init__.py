@@ -38,7 +38,10 @@ from bambooai_spark.operators.filestats import (
     rebuild_file_stats,
     set_bloom_filters,
 )
-from bambooai_spark.operators.maintenance import suggest_maintenance
+from bambooai_spark.operators.maintenance import (
+    auto_maintain,
+    suggest_maintenance,
+)
 from bambooai_spark.operators.neardup_gate import (
     near_dup_gate,
     rebuild_signatures,
@@ -92,6 +95,7 @@ __all__ = [
     "corpus_lease",
     "near_dup_gate",
     "suggest_maintenance",
+    "auto_maintain",
     "append_vector_corpus",
     "query_vector_corpus",
     "query_vector_corpus_many",

@@ -132,7 +132,15 @@ def suggest_maintenance(
             n_files = sum(n_files_manifest)
         else:
             n_files = len(_walk_files(spark, path))
-        if n_files and total_rows and total_rows / n_files < small_file_rows:
+        if (
+            n_files
+            and total_rows
+            and total_rows / n_files < small_file_rows
+            # one file per partition value is maximal consolidation —
+            # recommending compaction there would make an auto_maintain
+            # cron rewrite the corpus on every run forever
+            and n_files > len(parts)
+        ):
             add(
                 "small_files", "action",
                 "compact_corpus(spark, path, ...)",
@@ -248,4 +256,148 @@ def _df(spark: SparkSession, rows) -> DataFrame:
     return spark.createDataFrame(
         rows, "check STRING, severity STRING, recommendation STRING, "
         "detail STRING",
+    )
+
+
+def auto_maintain(
+    spark: SparkSession,
+    path: str,
+    *,
+    token_col: str | None = None,
+    cluster_by: tuple[str, ...] = (),
+    cluster_strategy: str = "linear",
+    num_tasks: int | None = None,
+    max_records_per_file: int | None = 100_000,
+    small_file_rows: int = SMALL_FILE_ROWS,
+    marker_backlog: int = MARKER_BACKLOG,
+    dry_run: bool = False,
+    lease=None,
+) -> DataFrame:
+    """Execute :func:`suggest_maintenance`'s own recommendations in the
+    protocol-safe order — the one-call maintenance window for a cron:
+
+    1. **recover_staging** when crashed-op leftovers exist (frozen
+       deletes/appends finish or clean FIRST — compacting over a
+       mid-swap corpus is the documented data-loss hazard the writer
+       ops individually guard against);
+    2. **compact_corpus** when the advisor flagged fragmentation, a
+       marker backlog, ledger fragmentation, or a stats-delta backlog
+       (one rewrite clears all four, consolidates the stats history,
+       and prunes aged-out markers);
+    3. **rebuild_file_stats** when stats coverage has gaps and no
+       compaction ran (a compaction's fresh per-file stats already
+       cover every live file).
+
+    Signature-store findings are reported but never auto-executed —
+    ``rebuild_signatures`` needs the corpus's pinned ``near_dup_opts``
+    and embeds policy (threshold) the cron must own explicitly.
+
+    ``token_col`` matters when the manifest carries token sums: the
+    compaction rebuild preserves them only if told the column (the
+    manifest stores sums, not the column name). ``dry_run=True``
+    returns the plan without executing. Single writer, like every
+    maintenance op; pass ``lease`` to enforce.
+
+    Returns one row per action: ``(action, executed, detail)``."""
+    from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+        rebuild_file_stats,
+        stats_coverage,
+    )
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        compact_corpus,
+        recover_staging,
+    )
+
+    advice = {
+        r["check"]: r
+        for r in suggest_maintenance(
+            spark, path,
+            small_file_rows=small_file_rows,
+            marker_backlog=marker_backlog,
+        ).collect()
+    }
+    rows: list[tuple[str, bool, str]] = []
+
+    def plan(action, wanted, detail):
+        rows.append((action, bool(wanted and not dry_run), detail))
+        return wanted and not dry_run
+
+    frozen = any(
+        k in advice
+        for k in ("frozen_appends", "frozen_delete", "frozen_compaction")
+    )
+    if plan(
+        "recover_staging", frozen,
+        "crashed-op leftovers present" if frozen else "nothing frozen",
+    ):
+        out = recover_staging(spark, path, lease=lease)
+        rows[-1] = (
+            "recover_staging", True,
+            f"committed={len(out['committed'])} "
+            f"cleaned={len(out['cleaned'])} kept={len(out['kept'])}",
+        )
+        if "frozen_compaction" in advice:
+            # recover_staging does not resume a frozen compaction; its
+            # own re-run does — and the compact step below will
+            compact_reason = "resume the frozen compaction"
+        else:
+            compact_reason = None
+    else:
+        compact_reason = None
+
+    compact_triggers = [
+        k for k in (
+            "small_files", "marker_backlog", "ledger_files",
+            "stats_delta_backlog", "frozen_compaction",
+        )
+        if k in advice and advice[k]["severity"] in ("warn", "action")
+    ]
+    want_compact = bool(compact_triggers or compact_reason)
+    if plan(
+        "compact_corpus", want_compact,
+        ("triggers: " + ",".join(compact_triggers))
+        if compact_triggers
+        else (compact_reason or "no fragmentation findings"),
+    ):
+        doc = _load_manifest_doc(spark, path) or {}
+        partition_by = tuple(doc.get("partition_by") or ("lang",))
+        compact_corpus(
+            spark, path, partition_by=partition_by,
+            token_col=token_col, num_tasks=num_tasks,
+            cluster_by=cluster_by, cluster_strategy=cluster_strategy,
+            max_records_per_file=max_records_per_file, lease=lease,
+        )
+        rows[-1] = (
+            "compact_corpus", True,
+            f"rewrote {len(partition_by)}-col partitioned corpus; "
+            + ("triggers: " + ",".join(compact_triggers)
+               if compact_triggers else compact_reason),
+        )
+
+    cov = stats_coverage(spark, path)
+    gaps = bool(cov and cov["covered"] < cov["live"])
+    if plan(
+        "rebuild_file_stats", gaps,
+        (f"{cov['live'] - cov['covered']}/{cov['live']} files uncovered"
+         if gaps else
+         ("no stats config" if cov is None else "coverage exact")),
+    ):
+        rebuild_file_stats(spark, path, lease=lease)
+        rows[-1] = (
+            "rebuild_file_stats", True,
+            f"backfilled {cov['live'] - cov['covered']} files",
+        )
+
+    for k in ("signature_gaps", "signature_orphans"):
+        if k in advice:
+            rows.append(
+                (
+                    "rebuild_signatures", False,
+                    f"{k} reported — run rebuild_signatures with the "
+                    "corpus's near_dup_opts (policy not auto-executed)",
+                )
+            )
+
+    return spark.createDataFrame(
+        rows, "action string, executed boolean, detail string"
     )

@@ -121,3 +121,63 @@ def test_compaction_prunes_dead_signatures(spark, tmp_path):
     assert near_dup_gate(
         twin, path, threshold=0.8, near_dup_opts=opts
     ).count() == 0
+
+
+def test_auto_maintain_executes_the_advice(spark, tmp_path, monkeypatch):
+    """The one-call maintenance window: recover frozen ops first, one
+    compaction clears fragmentation/markers/stats backlog, rebuild only
+    when compaction did not already heal coverage — and the advisor is
+    clean afterwards."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bambooai_spark.operators import writer
+    from bambooai_spark.operators.filestats import enable_file_stats
+    from bambooai_spark.operators.maintenance import auto_maintain
+    from bambooai_spark.operators.writer import append_corpus_txn
+
+    def _docs(lo, hi):
+        rows = [
+            (i, ("en", "de")[i % 2], f"auto maintain doc {i} " + "pad " * 4)
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    out = str(tmp_path / "corpus")
+    enable_file_stats(spark, out, ["doc_id"])
+    for b in range(4):  # fragmented: tiny files per batch
+        append_corpus_txn(_docs(b * 25, (b + 1) * 25), out, b,
+                          max_records_per_file=5, text_col="text")
+    # strand a frozen append (crash before any move)
+    orig_move = writer._move_staged_files
+    monkeypatch.setattr(
+        writer, "_move_staged_files",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        append_corpus_txn(_docs(100, 125), out, 4,
+                          max_records_per_file=5, text_col="text")
+    monkeypatch.setattr(writer, "_move_staged_files", orig_move)
+
+    # dry run: plan only, nothing executed
+    plan = {r["action"]: r for r in
+            auto_maintain(spark, out, dry_run=True).collect()}
+    assert not any(r["executed"] for r in plan.values())
+    assert os.path.exists(
+        os.path.join(out, writer.STAGING_DIR, "batch_id=4")
+    )
+
+    res = {r["action"]: r for r in auto_maintain(spark, out).collect()}
+    assert res["recover_staging"]["executed"]
+    assert res["compact_corpus"]["executed"]
+    assert not res["rebuild_file_stats"]["executed"]  # compact healed it
+    # the frozen batch was committed by the recovery, nothing lost
+    stored = spark.read.parquet(out)
+    assert stored.count() == 125
+    from bambooai_spark.operators.maintenance import suggest_maintenance
+
+    after = suggest_maintenance(spark, out).collect()
+    assert not any(r["severity"] in ("warn", "action") for r in after)
+    # a healthy corpus plans nothing
+    res = {r["action"]: r for r in auto_maintain(spark, out).collect()}
+    assert not any(r["executed"] for r in res.values())
