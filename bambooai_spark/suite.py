@@ -4273,6 +4273,89 @@ def delete_corpus_docs(spark, sf_dir):
 
 
 @spec(
+    "refresh_vector_embeddings",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (SELECT v AS cv, rn - 1 AS cell FROM (
+            SELECT v, ROW_NUMBER() OVER (
+                     ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM v WHERE vec_id % 2 = 0)
+          WHERE rn <= 8),
+    a AS (SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                     {_IVF_DIST.format(a='v.v', b='c.cv')}, c.cell) AS rn
+            FROM v CROSS JOIN c)
+          WHERE rn = 1)
+    SELECT vec_id, CAST(cell AS INT) AS ivf_cell FROM a
+    """,
+    doc="Incremental ANN-index refresh lifecycle (operators/"
+    "vector_store.py refresh_vector_store over operators/writer.py "
+    "read_corpus_changes): the even-id embeddings ingest as corpus txn "
+    "batch 0 and build the persisted IVF store (md5-sampled centroids "
+    "pinned in metadata, engine-portable exact assignment), the "
+    "watermark pins at batch 0, the odd-id embeddings land as batch 1, "
+    "and ONE refresh call reads only the new batch via CDC, assigns "
+    "against the PINNED batch-0 quantizer, and appends into the cell "
+    "layout — the index follows the corpus at per-batch cost. The "
+    "returned durable state (every stored vector's cell) is replayed "
+    "hash-exactly in SQL: centroids = the 8 smallest (md5(id), id) "
+    "EVEN rows, assignment = argmin of the dot-product expansion with "
+    "cell-id tie-break over ALL rows. Crash-idempotence and the "
+    "watermark protocol are pinned in tests/test_corpus_changes.py.",
+)
+def refresh_vector_embeddings(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.operators.similarity import (  # noqa: PLC0415
+        md5_centroids,
+    )
+    from bambooai_spark.operators.vector_store import (  # noqa: PLC0415
+        refresh_vector_store,
+        set_corpus_watermark,
+        write_vector_corpus,
+    )
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        append_corpus_txn,
+        latest_committed_batch,
+        read_corpus,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "vid", F.col("vec_id").cast("string")
+    )
+    base = tempfile.mkdtemp(prefix="bbai_refresh_spec_")
+    corpus = os.path.join(base, "corpus")
+    store = os.path.join(base, "store")
+    append_corpus_txn(
+        e.filter("vec_id % 2 = 0"), corpus, 0,
+        partition_by=("label",), id_col="vec_id", text_col="vid",
+    )
+    b0 = read_corpus(spark, corpus).select("vec_id", "embedding")
+    wm = latest_committed_batch(spark, corpus)
+    write_vector_corpus(
+        b0, store, id_col="vec_id", vec_col="embedding",
+        centroids=md5_centroids(b0, "vec_id", "embedding", 8),
+        assign="exact",
+    )
+    set_corpus_watermark(spark, store, wm)
+    append_corpus_txn(
+        e.filter("vec_id % 2 = 1"), corpus, 1,
+        partition_by=("label",), id_col="vec_id", text_col="vid",
+    )
+    refresh_vector_store(
+        spark, corpus, store,
+        embed=lambda df: df.select("vec_id", "embedding"),
+    )
+    stored = spark.read.parquet(store)
+    return stored.select(
+        "vec_id", F.col("ivf_cell").cast("int").alias("ivf_cell")
+    )
+
+
+@spec(
     "corpus_changes_docs",
     r"""
     WITH fp AS (
