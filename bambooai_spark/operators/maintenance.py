@@ -132,14 +132,20 @@ def suggest_maintenance(
             n_files = sum(n_files_manifest)
         else:
             n_files = len(_walk_files(spark, path))
+        # a compacted layout needs at least one file per partition value
+        # and one per small_file_rows rows; only flag when the corpus
+        # holds MORE THAN DOUBLE that floor — otherwise an auto_maintain
+        # cron would rewrite an already-compacted corpus on every run
+        # forever (num_tasks spreads, maxRecordsPerFile rolls, and skewed
+        # partitions all legitimately emit a few extra files)
+        compacted_floor = max(
+            len(parts), total_rows // small_file_rows + 1
+        )
         if (
             n_files
             and total_rows
             and total_rows / n_files < small_file_rows
-            # one file per partition value is maximal consolidation —
-            # recommending compaction there would make an auto_maintain
-            # cron rewrite the corpus on every run forever
-            and n_files > len(parts)
+            and n_files > 2 * compacted_floor
         ):
             add(
                 "small_files", "action",
@@ -281,16 +287,20 @@ def auto_maintain(
        mid-swap corpus is the documented data-loss hazard the writer
        ops individually guard against);
     2. **compact_corpus** when the advisor flagged fragmentation, a
-       marker backlog, ledger fragmentation, or a stats-delta backlog
-       (one rewrite clears all four, consolidates the stats history,
-       and prunes aged-out markers);
-    3. **rebuild_file_stats** when stats coverage has gaps and no
-       compaction ran (a compaction's fresh per-file stats already
-       cover every live file).
+       marker backlog, ledger fragmentation, a stats-delta backlog, or
+       a frozen compaction (one rewrite clears them all, consolidates
+       the stats history, and prunes aged-out markers) — but ONLY with
+       a parseable manifest recording a non-empty ``partition_by``: a
+       guessed partitioning would physically re-layout the corpus
+       wrong, so a torn manifest reports ``build_manifest`` instead;
+    3. **rebuild_file_stats** when the advisor reported coverage gaps
+       or heavy orphans and no compaction ran (a compaction's fresh
+       per-file stats already cover exactly the live files).
 
-    Signature-store findings are reported but never auto-executed —
-    ``rebuild_signatures`` needs the corpus's pinned ``near_dup_opts``
-    and embeds policy (threshold) the cron must own explicitly.
+    Signature-store and manifest findings are REPORTED, never
+    auto-executed — ``rebuild_signatures`` needs the corpus's pinned
+    ``near_dup_opts`` (policy the cron must own) and rebuilding a lost
+    manifest needs the true ``partition_by`` only the operator knows.
 
     ``token_col`` matters when the manifest carries token sums: the
     compaction rebuild preserves them only if told the column (the
@@ -301,7 +311,6 @@ def auto_maintain(
     Returns one row per action: ``(action, executed, detail)``."""
     from bambooai_spark.operators.filestats import (  # noqa: PLC0415
         rebuild_file_stats,
-        stats_coverage,
     )
     from bambooai_spark.operators.writer import (  # noqa: PLC0415
         compact_corpus,
@@ -336,15 +345,9 @@ def auto_maintain(
             f"committed={len(out['committed'])} "
             f"cleaned={len(out['cleaned'])} kept={len(out['kept'])}",
         )
-        if "frozen_compaction" in advice:
-            # recover_staging does not resume a frozen compaction; its
-            # own re-run does — and the compact step below will
-            compact_reason = "resume the frozen compaction"
-        else:
-            compact_reason = None
-    else:
-        compact_reason = None
 
+    # frozen_compaction is always severity "action", so resuming a
+    # frozen swap rides the same trigger list as fresh fragmentation
     compact_triggers = [
         k for k in (
             "small_files", "marker_backlog", "ledger_files",
@@ -352,15 +355,26 @@ def auto_maintain(
         )
         if k in advice and advice[k]["severity"] in ("warn", "action")
     ]
-    want_compact = bool(compact_triggers or compact_reason)
-    if plan(
+    doc = _load_manifest_doc(spark, path) if compact_triggers else None
+    partition_by = tuple((doc or {}).get("partition_by") or ())
+    compact_ok = bool(partition_by)
+    want_compact = bool(compact_triggers) and compact_ok
+    if compact_triggers and not compact_ok:
+        rows.append(
+            (
+                "compact_corpus", False,
+                "SKIPPED despite triggers "
+                f"({','.join(compact_triggers)}): no parseable manifest "
+                "partition_by — a guessed partitioning would re-layout "
+                "the corpus wrong; run build_manifest/_write first",
+            )
+        )
+    elif plan(
         "compact_corpus", want_compact,
         ("triggers: " + ",".join(compact_triggers))
         if compact_triggers
-        else (compact_reason or "no fragmentation findings"),
+        else "no fragmentation findings",
     ):
-        doc = _load_manifest_doc(spark, path) or {}
-        partition_by = tuple(doc.get("partition_by") or ("lang",))
         compact_corpus(
             spark, path, partition_by=partition_by,
             token_col=token_col, num_tasks=num_tasks,
@@ -369,25 +383,41 @@ def auto_maintain(
         )
         rows[-1] = (
             "compact_corpus", True,
-            f"rewrote {len(partition_by)}-col partitioned corpus; "
-            + ("triggers: " + ",".join(compact_triggers)
-               if compact_triggers else compact_reason),
+            "triggers: " + ",".join(compact_triggers),
         )
+    compact_executed = bool(rows) and rows[-1][0] == "compact_corpus" and rows[-1][1]
 
-    cov = stats_coverage(spark, path)
-    gaps = bool(cov and cov["covered"] < cov["live"])
+    # stats healing: the advisor already paid the coverage listing —
+    # reuse its verdict instead of re-listing; a compaction that ran
+    # with a stats config covers every live file by construction
+    stats_findings = [
+        k for k in ("file_stats_gaps", "file_stats_orphans") if k in advice
+    ]
+    want_rebuild = bool(stats_findings) and not compact_executed
     if plan(
-        "rebuild_file_stats", gaps,
-        (f"{cov['live'] - cov['covered']}/{cov['live']} files uncovered"
-         if gaps else
-         ("no stats config" if cov is None else "coverage exact")),
+        "rebuild_file_stats", want_rebuild,
+        ("advisor: " + ",".join(stats_findings))
+        if stats_findings
+        else ("healed by the compaction" if compact_executed and
+              "stats_delta_backlog" in advice else "coverage exact or no config"),
     ):
         rebuild_file_stats(spark, path, lease=lease)
         rows[-1] = (
             "rebuild_file_stats", True,
-            f"backfilled {cov['live'] - cov['covered']} files",
+            "; ".join(advice[k]["detail"] for k in stats_findings),
         )
 
+    # report-only findings: a cron consuming this plan must still see
+    # everything the advisor flagged, executed or not
+    if "manifest" in advice and advice["manifest"]["severity"] == "action":
+        rows.append(
+            (
+                "build_manifest", False,
+                "manifest missing/torn — rebuild it with the corpus's "
+                "true partition_by (not auto-executed: only the "
+                "operator knows it)",
+            )
+        )
     for k in ("signature_gaps", "signature_orphans"):
         if k in advice:
             rows.append(

@@ -181,3 +181,72 @@ def test_auto_maintain_executes_the_advice(spark, tmp_path, monkeypatch):
     # a healthy corpus plans nothing
     res = {r["action"]: r for r in auto_maintain(spark, out).collect()}
     assert not any(r["executed"] for r in res.values())
+
+
+def test_auto_maintain_never_compacts_on_guessed_partitioning(
+    spark, tmp_path
+):
+    """Review 16: a torn manifest plus compaction triggers must REPORT,
+    not rewrite the corpus with a guessed partition_by."""
+    import json
+
+    from bambooai_spark.operators.maintenance import auto_maintain
+    from bambooai_spark.operators.writer import (
+        MANIFEST_NAME,
+        append_corpus_txn,
+    )
+
+    rows = [(i, f"s{i % 3}", f"guessed partitioning doc {i} " + "p " * 4)
+            for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = str(tmp_path / "corpus")
+    for b in range(3):
+        append_corpus_txn(
+            d.filter(F.col("doc_id") % 3 == b), out, b,
+            partition_by=("source",), max_records_per_file=3,
+            text_col="text",
+        )
+    before = sorted(glob.glob(os.path.join(out, "source=*", "*")))
+    with open(os.path.join(out, MANIFEST_NAME), "w") as fh:
+        fh.write("{ torn")
+    crc = os.path.join(out, "." + MANIFEST_NAME + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    # marker_backlog=1 gives a manifest-independent compaction trigger
+    # (3 markers) — the exact state where the old code guessed ("lang",)
+    res = {r["action"]: r for r in
+           auto_maintain(spark, out, marker_backlog=1).collect()}
+    assert not res["compact_corpus"]["executed"]
+    assert "guessed partitioning" in res["compact_corpus"]["detail"]
+    assert "build_manifest" in res and not res["build_manifest"]["executed"]
+    assert sorted(glob.glob(os.path.join(out, "source=*", "*"))) == before
+
+
+def test_advisor_stable_after_auto_maintain_with_num_tasks(
+    spark, tmp_path
+):
+    """Review 16: a corpus compacted with num_tasks (a few files per
+    partition) must not re-flag small_files — the cron must converge."""
+    from bambooai_spark.operators.maintenance import (
+        auto_maintain,
+        suggest_maintenance,
+    )
+    from bambooai_spark.operators.writer import append_corpus_txn
+
+    rows = [(i, ("en", "de")[i % 2], f"converge doc {i} " + "pad " * 4)
+            for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = str(tmp_path / "corpus")
+    for b in range(5):
+        append_corpus_txn(
+            d.filter(F.col("doc_id") % 5 == b), out, b,
+            max_records_per_file=4, text_col="text",
+        )
+    res = {r["action"]: r for r in
+           auto_maintain(spark, out, num_tasks=4).collect()}
+    assert res["compact_corpus"]["executed"]
+    after = {r["check"]: r for r in suggest_maintenance(spark, out).collect()}
+    assert after["small_files"]["severity"] == "ok"
+    res = {r["action"]: r for r in
+           auto_maintain(spark, out, num_tasks=4).collect()}
+    assert not any(r["executed"] for r in res.values())  # converged
