@@ -1176,3 +1176,51 @@ def test_missing_count_fields_read_conservatively(spark):
             assert got == []
         else:
             assert got == files, pred
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    data=st.lists(
+        st.lists(st.one_of(st.integers(-50, 50), st.none()),
+                 min_size=1, max_size=8),
+        min_size=1, max_size=6,
+    ),
+    pred=st.one_of(
+        st.tuples(st.just("in"),
+                  st.lists(st.integers(-55, 55), min_size=1, max_size=4)),
+        st.tuples(st.just("isnull"), st.none()),
+        st.tuples(st.just("notnull"), st.none()),
+    ),
+)
+def test_prune_soundness_in_and_null_ops_property(data, pred):
+    """Soundness for the extended ops: any 'file' holding a matching
+    row survives pruning."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    op, v = pred
+    schema = StructType([StructField("x", LongType())])
+
+    def matches(row):
+        if op == "in":
+            return row is not None and row in v
+        if op == "isnull":
+            return row is None
+        return row is not None
+
+    stats, files, matching = {}, [], set()
+    for i, rows in enumerate(data):
+        name = f"f{i}"
+        files.append(f"/c/{name}")
+        vals = [r for r in rows if r is not None]
+        stats[name] = {
+            "n": len(rows),
+            "cols": {"x": {
+                "min": min(vals) if vals else None,
+                "max": max(vals) if vals else None,
+                "nn": len(vals),
+            }},
+        }
+        if any(matches(r) for r in rows):
+            matching.add(f"/c/{name}")
+    kept = set(prune_files(files, stats, [("x", op, v)], schema))
+    assert matching <= kept
