@@ -102,6 +102,23 @@ _FLOAT_EXACT = 2**53
 _STR_BOUND_MAX = 64
 
 
+def tz_frame(spark: SparkSession) -> str:
+    """The wall-clock frame "ts" bounds and naive predicate literals
+    live in, as a comparable key. PySpark's ``TimestampType.fromInternal``
+    / ``toInternal`` render collected bounds and interpret naive literals
+    in the DRIVER's OS timezone (``datetime.fromtimestamp`` /
+    ``time.mktime``), not the session timezone — so the guard must key
+    on BOTH: two drivers sharing ``spark.sql.session.timeZone`` but
+    running under different OS zones compare bounds in different frames
+    (ADVICE r8). ``time.tzname`` + the standard offset identify the OS
+    rule set stably across DST (unlike the current instant's offset)."""
+    import time  # noqa: PLC0415
+
+    session = spark.conf.get("spark.sql.session.timeZone", None)
+    os_zone = f"{'/'.join(time.tzname)}@{time.timezone}"
+    return f"{session}|{os_zone}"
+
+
 def _category(dtype) -> str | None:
     name = dtype.typeName()
     # DecimalType.typeName() is "decimal" in Spark 4; keep a prefix match
@@ -477,9 +494,11 @@ def collect_file_stats(
         out[key] = {"n": int(r["__n"]), "cols": cols}
     return {
         "columns": list(dict.fromkeys(columns)),
-        # session-tz timestamps render as COLLECT-time local wall clock;
-        # pruning on them is only sound from a session in the same zone
-        "tz": spark.conf.get("spark.sql.session.timeZone", None),
+        # session-tz timestamps render as COLLECT-time local wall clock
+        # in the driver's OS zone; pruning on them is only sound from a
+        # driver sharing BOTH the session zone and the OS zone (the
+        # composite frame key — see tz_frame)
+        "tz": tz_frame(spark),
         "files": out,
     }
 
@@ -633,11 +652,13 @@ def prune_files(
     unit-testable without Spark. ``root`` resolves each file to its
     root-relative stats key (partition dirs included); without it the
     basename is used (tests / flat layouts only). ``session_tz`` is the
-    read session's timezone: "ts" (session-tz timestamp) predicates
-    prune only files whose stats were collected under the SAME zone —
-    the stored bounds are collect-time local wall clock, and comparing
-    them across zones would mix time frames (timestamp_ntz has no such
-    guard; it is wall clock by definition)."""
+    read session's wall-clock frame key (see :func:`tz_frame` — session
+    timezone AND driver OS zone): "ts" (session-tz timestamp) predicates
+    prune only files whose stats were collected under the SAME frame —
+    the stored bounds are collect-time local wall clock in the collect
+    driver's OS zone, and comparing them across frames would mix time
+    frames (timestamp_ntz has no such guard; it is wall clock by
+    definition)."""
     by_name = {f.name: f.dataType for f in schema.fields} if schema else {}
     canon: list[tuple[str, str, object, str] | None] = []
     for col, op, v in preds:
@@ -957,7 +978,7 @@ def explain_pruning(spark: SparkSession, path: str, where) -> dict:
         kept = prune_files(
             listed, load_file_stats(spark, path), preds, schema,
             root=qualified_root(spark, path),
-            session_tz=spark.conf.get("spark.sql.session.timeZone", None),
+            session_tz=tz_frame(spark),
         )
     return {
         "files_total": total,

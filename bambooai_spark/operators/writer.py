@@ -522,9 +522,20 @@ def write_corpus(
         apply_bloom_options,
         bloom_config,
         set_bloom_filters,
+        stats_config,
     )
 
     _check_cluster_args(cluster_by, cluster_strategy)
+    # an append lands INTO an existing corpus: load its manifest ONCE up
+    # front so the post-write manifest rewrite can carry forward the txn
+    # replay window (committed_batches), the maintenance floor
+    # (as_of_floor) and the unified schema — rewriting them from this
+    # batch alone regressed an evolved corpus's recorded schema (the next
+    # schema-pinned compaction then dropped the evolved column from every
+    # file) and wiped the CDC re-baseline guard (ADVICE r8).
+    prior_doc = (
+        _load_manifest_doc(df.sparkSession, path) if mode == "append" else None
+    )
     if not bloom_filter_by and mode == "append":
         # an append into an existing bloom-configured corpus must keep
         # the recorded promise (overwrite wipes the config with the dir)
@@ -570,12 +581,24 @@ def write_corpus(
         manifest = _empty_manifest(
             df.sparkSession, partition_by, token_col, source_df=df
         )
+    schema_json = (
+        _unified_schema_json(prior_doc.get("schema"), df)
+        if prior_doc is not None
+        else _schema_json_of(df)
+    )
     _write_manifest_json(
         df.sparkSession, path, partition_by, manifest.collect(),
-        columns=sorted(df.columns),
-        schema_json=_schema_json_of(df),
+        committed_batches=(prior_doc or {}).get("committed_batches"),
+        columns=sorted(f["name"] for f in schema_json["fields"]),
+        as_of_floor=(prior_doc or {}).get("as_of_floor"),
+        schema_json=schema_json,
     )
     stats_cols = tuple(stats_by) if stats_by is not None else tuple(cluster_by)
+    if not stats_cols and mode == "append":
+        # same contract as blooms: an append into a stats-configured
+        # corpus keeps the recorded stats columns current rather than
+        # leaving this write's files invisible to pruning
+        stats_cols = tuple(stats_config(df.sparkSession, path) or ())
     if stats_cols:
         from bambooai_spark.operators.filestats import (  # noqa: PLC0415
             rebuild_file_stats,
@@ -2532,6 +2555,7 @@ def _stats_prune(spark, path, keep, schema, preds):
         load_file_stats,
         prune_files,
         qualified_root,
+        tz_frame,
     )
 
     stats = load_file_stats(spark, path)
@@ -2540,7 +2564,7 @@ def _stats_prune(spark, path, keep, schema, preds):
     return prune_files(
         keep, stats, preds, schema,
         root=qualified_root(spark, path),
-        session_tz=spark.conf.get("spark.sql.session.timeZone", None),
+        session_tz=tz_frame(spark),
     )
 
 

@@ -90,11 +90,28 @@ def stream_resume_check(
     watermark raises exactly when attribution at or below it is gone.)
     Operationally: schedule compaction after consumers have drained, as
     with the CDC pull path."""
+    from pyspark.sql.types import (  # noqa: PLC0415
+        StringType,
+        StructField,
+        StructType,
+    )
+
     from bambooai_spark.operators.writer import (  # noqa: PLC0415
         read_corpus_changes,
     )
 
+    # the zero-width window (after == until) selects zero files by
+    # construction, so the probe never reads data — but WITHOUT a schema
+    # that empty selection raises the generic "no committed batch files
+    # ... pass schema=" ValueError, which on a healthy LEGACY corpus
+    # (manifest without a recorded schema) a caller following this
+    # function's contract would misread as the re-baseline signal
+    # (ADVICE r8). The dummy schema routes the healthy case to the typed
+    # empty-DataFrame return; the genuine re-baseline conditions (floor
+    # guard, composite-id rewrite evidence) raise BEFORE the selection
+    # is consulted, so they still surface.
     read_corpus_changes(
         spark, path,
         after_batch=last_drained_batch, until_batch=last_drained_batch,
+        schema=StructType([StructField("_probe", StringType())]),
     )

@@ -539,3 +539,39 @@ def test_filtered_ann_validates_triples(spark, tmp_path):
         query_vector_corpus(
             spark, store, [10.1, 9.9], k=1, where=[("lang", "=", "de")]
         )
+
+
+def test_stream_resume_check_healthy_legacy_manifest(spark, tmp_path):
+    """A healthy corpus whose manifest predates schema recording must
+    pass the resume check — the zero-width probe's "no committed batch
+    files ... pass schema=" ValueError is NOT the re-baseline signal,
+    and a caller following the documented contract would misread it as
+    one (ADVICE r8)."""
+    import json
+
+    from bambooai_spark.operators.writer import MANIFEST_NAME
+    from bambooai_spark.streaming.corpus import stream_resume_check
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20), out, 0)
+    wm = latest_committed_batch(spark, out)
+    # simulate a legacy manifest: strip schema + columns (and the local
+    # FS's crc sidecar, which would fail the modified read)
+    mpath = os.path.join(out, MANIFEST_NAME)
+    with open(mpath) as fh:
+        doc = json.load(fh)
+    doc.pop("schema", None)
+    doc.pop("columns", None)
+    with open(mpath, "w") as fh:
+        json.dump(doc, fh)
+    crc = os.path.join(out, f".{MANIFEST_NAME}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    stream_resume_check(spark, out, wm)  # healthy — no raise
+
+    # the genuine re-baseline condition still surfaces on the same corpus
+    append_corpus_txn(_docs(spark, 20, 40), out, 1)
+    compact_corpus(spark, out, partition_by=("lang",))
+    with pytest.raises(ValueError, match="re-baseline"):
+        stream_resume_check(spark, out, wm)

@@ -641,13 +641,20 @@ def test_ts_pruning_guarded_by_session_timezone(spark):
                        session_tz="America/Los_Angeles") == []
 
 
-def test_collect_records_session_tz_and_load_injects_it(spark, tmp_path):
+def test_collect_records_tz_frame_and_load_injects_it(spark, tmp_path):
+    from bambooai_spark.operators.filestats import tz_frame
+
     out = str(tmp_path / "corpus")
     write_corpus(_docs(spark, 0, 10), out, partition_by=("lang",),
                  stats_by=("doc_id",))
     stats = load_file_stats(spark, out)
-    tz = spark.conf.get("spark.sql.session.timeZone")
-    assert stats and all(v.get("_tz") == tz for v in stats.values())
+    # the recorded frame is session tz + driver OS zone (ADVICE r8: two
+    # drivers sharing session.timeZone but not the OS zone render bounds
+    # in different wall-clock frames)
+    frame = tz_frame(spark)
+    assert spark.conf.get("spark.sql.session.timeZone") in frame
+    assert "|" in frame and "@" in frame
+    assert stats and all(v.get("_tz") == frame for v in stats.values())
 
 
 # --------------------------------------------------------------------------

@@ -339,3 +339,40 @@ def test_legacy_manifest_without_schema(spark, tmp_path):
     assert "quality" in _schema_fields(out)
     got = read_corpus(spark, out)
     assert got.count() == 20 and "quality" in got.columns
+
+
+def test_write_corpus_append_preserves_manifest_protocol(spark, tmp_path):
+    """write_corpus(mode="append") on an evolved txn corpus must carry
+    forward the unified schema, the txn replay window and the maintenance
+    floor instead of rewriting the manifest from the batch alone — the
+    batch-only rewrite made the next schema-pinned compaction drop the
+    evolved column from every file (ADVICE r8)."""
+    out = str(tmp_path / "c")
+    append_corpus_txn(_docs(spark, 0, 10), out, 0)
+    append_corpus_txn(
+        _docs_v2(spark, 10, 20), out, 1, evolve_schema=True
+    )
+    before = _manifest(out)
+    assert "quality" in _schema_fields(out)
+    assert before.get("committed_batches")
+
+    # legacy-path append with the ORIGINAL (pre-evolution) columns
+    write_corpus(_docs(spark, 20, 30), out, mode="append")
+    man = _manifest(out)
+    assert "quality" in {f["name"] for f in man["schema"]["fields"]}
+    assert "quality" in man["columns"]
+    assert man.get("committed_batches") == before.get("committed_batches")
+
+    # the next schema-pinned compaction keeps the evolved column AND data
+    compact_corpus(spark, out)
+    got = read_corpus(spark, out)
+    assert "quality" in got.columns
+    assert got.count() == 30
+    assert got.filter(F.col("quality").isNotNull()).count() == 10
+
+    # the maintenance floor survives a later legacy append too
+    floor = _manifest(out).get("as_of_floor")
+    assert floor is not None
+    write_corpus(_docs(spark, 30, 40), out, mode="append")
+    assert _manifest(out).get("as_of_floor") == floor
+    assert read_corpus(spark, out).count() == 40
