@@ -532,50 +532,318 @@ def _iter_stats_files(spark: SparkSession, path: str):
             yield name, st
 
 
-def _load_file_stats_counted(
-    spark: SparkSession, path: str
-) -> tuple[dict[str, dict], int]:
-    """(merged stats, delta-file count) in ONE pass over ``_filestats/``
-    — the advisor needs both and must not pay a second listing."""
+# Consolidated stats: `_filestats/_consolidated-<version>-<uuid>/` is a
+# PARQUET table (key string, entry string) holding the fold of every
+# prior delta — the Delta-checkpoint analog (PAPERS.md §Delta). At the
+# 100 TB design point (O(10^5-10^6) live files) the per-read JSON parse
+# and single-threaded Python prune over every live file's entry is the
+# first bottleneck of every selective read; the parquet doc is read and
+# pruned DISTRIBUTIVELY above `stats_prune_threshold` entries, and the
+# merged dict is snapshot-cached below it.
+CONSOLIDATED_PREFIX = "_consolidated-"
+CONSOLIDATED_META = "_META.json"
+_CONS_SCHEMA = "key string, entry string"
+# consolidated entry count above which the prune runs as a Spark job
+# over the parquet doc instead of a driver-side dict walk
+DISTRIBUTED_PRUNE_THRESHOLD = 10_000
+
+
+def stats_prune_threshold(spark: SparkSession) -> int:
+    """The in-memory→distributed switchover point (entries in the
+    consolidated doc); tunable per session."""
+    try:
+        return int(
+            spark.conf.get(
+                "spark.bambooai.stats.distributedPruneThreshold",
+                str(DISTRIBUTED_PRUNE_THRESHOLD),
+            )
+        )
+    except (TypeError, ValueError):
+        return DISTRIBUTED_PRUNE_THRESHOLD
+
+
+def _stats_snapshot(spark: SparkSession, path: str):
+    """ONE listing of ``_filestats/``: ``(deltas, best, token)`` where
+    ``deltas`` is ``[(name, mtime, size), ...]`` for the unfolded JSON
+    delta docs, ``best`` is ``(dirpath, meta)`` for the highest-version
+    consolidated parquet doc whose ``_META.json`` parses (written LAST,
+    so its presence proves the doc is complete), and ``token`` is a
+    hashable snapshot id for the merged-stats cache."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs,
+        _fs_read_text,
+    )
+
+    sroot = _join(path, STATS_DIR)
+    fs, jroot = _fs(spark, sroot)
+    deltas: list[tuple[str, int, int]] = []
+    cons: list[tuple[str, str]] = []
+    if fs.exists(jroot):
+        for st in fs.listStatus(jroot):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(CONSOLIDATED_PREFIX):
+                cons.append((name, st.getPath().toString()))
+            elif name.endswith(".json") and name not in _CONFIG_FILES:
+                deltas.append(
+                    (name, st.getModificationTime(), st.getLen())
+                )
+    best = None
+    for name, dirpath in sorted(cons, reverse=True):  # highest version
+        try:
+            meta = json.loads(
+                _fs_read_text(spark, _join(dirpath, CONSOLIDATED_META))
+            )
+        except Exception:  # noqa: BLE001 - absent/torn meta: incomplete
+            continue
+        best = (dirpath, meta)
+        break
+    deltas.sort()
+    token = (tuple(deltas), best[0].rsplit("/", 1)[-1] if best else None)
+    return deltas, best, token
+
+
+def _parse_delta_entries(
+    spark: SparkSession, path: str, delta_names
+) -> dict[str, dict]:
+    """key → entry for the given JSON delta docs (``_tz`` injected); a
+    torn delta is skipped (its files just are not pruned)."""
     from bambooai_spark.operators.writer import _fs_read_text  # noqa: PLC0415
 
-    merged: dict[str, dict] = {}
-    n_deltas = 0
     sroot = _join(path, STATS_DIR)
-    for name, _st in _iter_stats_files(spark, path):
-        n_deltas += 1
+    merged: dict[str, dict] = {}
+    for name in delta_names:
         try:
             doc = json.loads(_fs_read_text(spark, _join(sroot, name)))
         except ValueError:
             continue
-        files = doc.get("files") or {}
         tz = doc.get("tz")
-        for k, entry in files.items():
-            entry["_tz"] = tz  # the session-tz guard for "ts" pruning
+        for k, entry in (doc.get("files") or {}).items():
+            entry["_tz"] = tz  # the wall-clock-frame guard for "ts"
             merged[k] = entry
-    return merged, n_deltas
+    return merged
+
+
+def _read_consolidated(spark: SparkSession, dirpath: str) -> DataFrame:
+    return spark.read.schema(_CONS_SCHEMA).parquet(dirpath)
+
+
+# merged-stats cache: (qualified root, snapshot token) → (merged dict,
+# n_deltas). The token changes whenever any delta lands or a
+# consolidation swaps, so repeated reads of an unchanged corpus skip the
+# re-parse entirely; bounded LRU so long-lived sessions touching many
+# corpora stay O(1) memory.
+_MERGED_CACHE: "OrderedDict[tuple, tuple[dict, int]]" = None  # type: ignore[assignment]
+_MERGED_CACHE_MAX = 8
+
+
+def _merged_cache():
+    global _MERGED_CACHE  # noqa: PLW0603
+    if _MERGED_CACHE is None:
+        from collections import OrderedDict  # noqa: PLC0415
+
+        _MERGED_CACHE = OrderedDict()
+    return _MERGED_CACHE
+
+
+def _load_file_stats_counted(
+    spark: SparkSession, path: str
+) -> tuple[dict[str, dict], int]:
+    """(merged stats, unfolded-delta count), snapshot-cached. The merged
+    dict includes the consolidated doc's entries (collected — this is
+    the DRIVER-side path; the distributed prune never calls it)."""
+    deltas, best, token = _stats_snapshot(spark, path)
+    cache = _merged_cache()
+    key = (qualified_root(spark, path), token)
+    hit = cache.get(key)
+    if hit is not None:
+        cache.move_to_end(key)
+        return hit
+    merged: dict[str, dict] = {}
+    if best is not None:
+        try:
+            for r in _read_consolidated(spark, best[0]).collect():
+                merged[r[0]] = json.loads(r[1])
+        except Exception:  # noqa: BLE001 - torn/concurrently-pruned doc
+            merged = {}  # conservative: those files just are not pruned
+    merged.update(_parse_delta_entries(spark, path, [d[0] for d in deltas]))
+    cache[key] = (merged, len(deltas))
+    while len(cache) > _MERGED_CACHE_MAX:
+        cache.popitem(last=False)
+    return merged, len(deltas)
 
 
 def load_file_stats(spark: SparkSession, path: str) -> dict[str, dict]:
-    """Merged key → entry map from every stats delta. Committed keys are
-    globally unique (partition dirs + task UUIDs + batch prefixes), so
-    merge order is immaterial; a torn delta is skipped (its files just
-    are not pruned)."""
+    """Merged key → entry map from the consolidated doc plus every
+    unfolded delta. Committed keys are globally unique (partition dirs +
+    task UUIDs + batch prefixes), so merge order is immaterial; a torn
+    delta is skipped (its files just are not pruned)."""
     return _load_file_stats_counted(spark, path)[0]
 
 
 def prune_stats_files(
     spark: SparkSession, path: str, keep_names: set[str]
 ) -> None:
-    """Delete every stats delta whose filename is not in ``keep_names``
-    — compaction's consolidation step (all pre-compaction data files are
-    dead, so only the fresh ``c<id>`` doc still describes live files)."""
+    """Delete every stats delta — and consolidated doc — whose name is
+    not in ``keep_names``: compaction's consolidation step (all
+    pre-compaction data files are dead, so only the fresh ``c<id>`` doc
+    still describes live files; a consolidated parquet doc from before
+    the rewrite describes only dead files too)."""
     from bambooai_spark.operators.writer import _fs  # noqa: PLC0415
 
     fs, _root = _fs(spark, path)
     for name, st in list(_iter_stats_files(spark, path)):
         if name not in keep_names:
             fs.delete(st.getPath(), False)
+    sroot = _join(path, STATS_DIR)
+    fs2, jroot = _fs(spark, sroot)
+    if fs2.exists(jroot):
+        for st in fs2.listStatus(jroot):
+            name = st.getPath().getName()
+            if (
+                st.isDirectory()
+                and name.startswith(CONSOLIDATED_PREFIX)
+                and name not in keep_names
+            ):
+                fs2.delete(st.getPath(), True)
+
+
+def consolidate_file_stats(
+    spark: SparkSession, path: str, *, lease=None
+) -> dict:
+    """Fold every unfolded JSON delta (plus the prior consolidated doc)
+    into ONE new consolidated parquet doc, then delete what was folded —
+    the stats analog of a Delta checkpoint. Driver cost is O(unfolded
+    deltas), never O(live files): the prior doc flows parquet→parquet
+    through Spark without being materialized on the driver.
+
+    Crash-safe by write order: the new doc's parquet lands first, its
+    ``_META.json`` second (its presence marks the doc complete — readers
+    ignore meta-less dirs), the folded deltas and superseded docs are
+    deleted last. Every crash window re-reads at most duplicate entries
+    with identical content (keys are globally unique), which the fold
+    dedups and pruning is insensitive to. Returns ``{"version",
+    "n_entries", "folded_deltas"}``."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs,
+        _fs_delete,
+        _fs_write_text_atomic,
+        _lease_beat,
+        _lease_ensure,
+    )
+
+    _lease_beat(lease)
+    deltas, best, _token = _stats_snapshot(spark, path)
+    if not deltas and best is not None:
+        meta = dict(best[1])
+        meta["folded_deltas"] = 0
+        return meta  # nothing to fold
+    sroot = _join(path, STATS_DIR)
+    delta_entries = _parse_delta_entries(spark, path, [d[0] for d in deltas])
+    delta_rows = [(k, json.dumps(e)) for k, e in delta_entries.items()]
+    ddf = spark.createDataFrame(delta_rows, _CONS_SCHEMA)
+    if best is not None:
+        # delta entries take precedence on a (crash-window) key overlap;
+        # contents are identical there, so this is determinism, not
+        # correctness — the anti-join is broadcast (delta keys are the
+        # bounded backlog)
+        old = _read_consolidated(spark, best[0])
+        if delta_rows:
+            old = old.join(
+                F.broadcast(ddf.select("key")), "key", "left_anti"
+            )
+        ddf = old.unionByName(ddf)
+    version = (int(best[1].get("version") or 0) + 1) if best else 1
+    name = f"{CONSOLIDATED_PREFIX}{version:016d}-{uuid.uuid4().hex[:8]}"
+    newdir = _join(sroot, name)
+    ddf.write.parquet(newdir)
+    n_entries = _read_consolidated(spark, newdir).count()
+    _lease_ensure(lease)  # last check before the meta write publishes
+    meta = {"version": version, "n_entries": int(n_entries)}
+    _fs_write_text_atomic(
+        spark, _join(newdir, CONSOLIDATED_META), json.dumps(meta)
+    )
+    for dname, _mt, _sz in deltas:
+        _fs_delete(spark, _join(sroot, dname))
+    fs, jroot = _fs(spark, sroot)
+    for st in fs.listStatus(jroot):
+        nm = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and nm.startswith(CONSOLIDATED_PREFIX)
+            and nm != name
+        ):
+            fs.delete(st.getPath(), True)
+    return {**meta, "folded_deltas": len(deltas)}
+
+
+def prune_with_stored_stats(
+    spark: SparkSession, path: str, files: list[str], preds, schema
+) -> tuple[list[str], str | None]:
+    """Two-tier stats pruning of a listed keep-list: ``(kept,
+    strategy)`` where strategy is ``"memory"``, ``"distributed"`` or
+    None (no stats / nothing prunable). Below
+    :func:`stats_prune_threshold` consolidated entries the merged dict
+    is walked on the driver (snapshot-cached); above it the decision
+    runs as ONE Spark job over the consolidated parquet doc plus the
+    unfolded deltas — both tiers share :func:`_entry_alive`, so the
+    pruning decisions are identical by construction."""
+    if not preds or not files:
+        return list(files), None
+    canon = _canon_predicates(preds, schema)
+    if not any(canon):
+        return list(files), None
+    deltas, best, _token = _stats_snapshot(spark, path)
+    if best is None and not deltas:
+        return list(files), None
+    root = qualified_root(spark, path)
+    frame = tz_frame(spark)
+    n_cons = int(best[1].get("n_entries") or 0) if best else 0
+    if best is None or n_cons <= stats_prune_threshold(spark):
+        merged, _n = _load_file_stats_counted(spark, path)
+        return (
+            prune_files(
+                files, merged, preds, schema, root=root, session_tz=frame
+            ),
+            "memory",
+        )
+
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.types import BooleanType  # noqa: PLC0415
+
+    sdf = _read_consolidated(spark, best[0])
+    delta_entries = _parse_delta_entries(spark, path, [d[0] for d in deltas])
+    if delta_entries:
+        sdf = sdf.unionByName(
+            spark.createDataFrame(
+                [(k, json.dumps(e)) for k, e in delta_entries.items()],
+                _CONS_SCHEMA,
+            )
+        )
+    ctx = spark.sparkContext.broadcast((canon, frame))
+
+    def _dead_fn(entries):
+        cn, fr = ctx.value
+        return entries.map(
+            lambda s: not _entry_alive(json.loads(s), cn, fr)
+        )
+
+    # real annotation objects (not strings): the module uses
+    # `from __future__ import annotations` and pandas is imported
+    # locally, so inline hints would not resolve for pandas_udf
+    _dead_fn.__annotations__ = {"entries": pd.Series, "return": pd.Series}
+    _dead = F.pandas_udf(_dead_fn, BooleanType())
+
+    # collect only the PRUNED keys: bounded by the stats row count, the
+    # same driver-cost class as the file listing the read already paid
+    dead = {
+        r[0] for r in sdf.where(_dead(F.col("entry"))).select("key").collect()
+    }
+    if not dead:
+        return list(files), "distributed"
+    return (
+        [f for f in files if _rel_key(f, root) not in dead],
+        "distributed",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -659,6 +927,23 @@ def prune_files(
     driver's OS zone, and comparing them across frames would mix time
     frames (timestamp_ntz has no such guard; it is wall clock by
     definition)."""
+    canon = _canon_predicates(preds, schema)
+    if not any(canon):
+        return list(files)
+    kept = []
+    for f in files:
+        key = _rel_key(f, root) if root is not None else f.rsplit("/", 1)[-1]
+        entry = stats.get(key) if key is not None else None
+        if entry is None or _entry_alive(entry, canon, session_tz):
+            kept.append(f)
+    return kept
+
+
+def _canon_predicates(preds, schema):
+    """Predicates canonicalized for bound comparison — ONE copy shared by
+    the driver-side :func:`prune_files` loop and the distributed prune's
+    executor-side evaluation (they must decide identically). ``None``
+    entries never prune (unknown type / un-canonicalizable value)."""
     by_name = {f.name: f.dataType for f in schema.fields} if schema else {}
     canon: list[tuple[str, str, object, str] | None] = []
     for col, op, v in preds:
@@ -676,58 +961,49 @@ def prune_files(
             canon.append((col, op, _canon_pred_op(cat, op, v), cat))
         except (ValueError, TypeError, InvalidOperation):
             canon.append(None)
-    if not any(canon):
-        return list(files)
-    kept = []
-    for f in files:
-        key = _rel_key(f, root) if root is not None else f.rsplit("/", 1)[-1]
-        entry = stats.get(key) if key is not None else None
-        if entry is None:
-            kept.append(f)
+    return canon
+
+
+def _entry_alive(entry: dict, canon, session_tz: str | None) -> bool:
+    """Whether a file with this stats entry may hold a matching row —
+    the per-file decision both prune tiers share. Conservative: every
+    torn/corrupt/cross-frame case returns True (read the file)."""
+    cols = entry.get("cols") or {}
+    for cp in canon:
+        if cp is None:
             continue
-        cols = entry.get("cols") or {}
-        alive = True
-        for cp in canon:
-            if cp is None:
-                continue
-            col, op, cv, cat = cp
-            if cat == "ts" and entry.get("_tz") != session_tz:
-                continue  # cross-zone bounds — read the file
-            cs = cols.get(col)
-            if cs is None:
-                continue  # no stats for this column in this file
-            nn = cs.get("nn")
-            if op == "isnull":
-                # prunable iff the file provably holds NO null in this
-                # column; a missing count reads the file (torn entry —
-                # same conservatism as missing bounds below)
-                n = entry.get("n")
-                if nn is not None and n is not None and nn == n:
-                    alive = False
-                    break
-                continue
-            if op == "notnull":
-                if nn == 0:
-                    alive = False
-                    break
-                continue
+        col, op, cv, cat = cp
+        if cat == "ts" and entry.get("_tz") != session_tz:
+            continue  # cross-frame bounds — read the file
+        cs = cols.get(col)
+        if cs is None:
+            continue  # no stats for this column in this file
+        nn = cs.get("nn")
+        if op == "isnull":
+            # prunable iff the file provably holds NO null in this
+            # column; a missing count reads the file (torn entry —
+            # same conservatism as missing bounds below)
+            n = entry.get("n")
+            if nn is not None and n is not None and nn == n:
+                return False
+            continue
+        if op == "notnull":
             if nn == 0:
-                alive = False  # zero non-null values: nothing can match
-                break
-            mn, mx = cs.get("min"), cs.get("max")
-            if mn is None or mx is None:
-                continue  # torn entry — read the file
-            try:
-                if not _may_match(
-                    op, cv, _canon_stored(cat, mn), _canon_stored(cat, mx)
-                ):
-                    alive = False
-                    break
-            except (ValueError, TypeError, InvalidOperation):
-                continue  # corrupt bound — read the file
-        if alive:
-            kept.append(f)
-    return kept
+                return False
+            continue
+        if nn == 0:
+            return False  # zero non-null values: nothing can match
+        mn, mx = cs.get("min"), cs.get("max")
+        if mn is None or mx is None:
+            continue  # torn entry — read the file
+        try:
+            if not _may_match(
+                op, cv, _canon_stored(cat, mn), _canon_stored(cat, mx)
+            ):
+                return False
+        except (ValueError, TypeError, InvalidOperation):
+            continue  # corrupt bound — read the file
+    return True
 
 
 def stats_coverage(spark: SparkSession, path: str) -> dict | None:
@@ -741,6 +1017,7 @@ def stats_coverage(spark: SparkSession, path: str) -> dict | None:
     if stats_config(spark, path) is None:
         return None
     stats, n_deltas = _load_file_stats_counted(spark, path)
+    _deltas, best, _token = _stats_snapshot(spark, path)
     qroot = qualified_root(spark, path)
     live = {_rel_key(f, qroot) for f in _walk_files(spark, path)}
     live.discard(None)
@@ -749,6 +1026,12 @@ def stats_coverage(spark: SparkSession, path: str) -> dict | None:
         "covered": len(live & set(stats)),
         "orphans": len(set(stats) - live),
         "deltas": n_deltas,
+        "entries": len(stats),
+        # which consolidated parquet doc reads fold on (None = JSON-only
+        # stats history; fine below the distributed-prune threshold)
+        "consolidated_version": (
+            int(best[1].get("version") or 0) if best else None
+        ),
     }
 
 
@@ -974,11 +1257,10 @@ def explain_pruning(spark: SparkSession, path: str, where) -> dict:
                 if all(pruner(s) for s in segs):
                     listed.append(f)
     kept = listed
+    strategy = None
     if preds:
-        kept = prune_files(
-            listed, load_file_stats(spark, path), preds, schema,
-            root=qualified_root(spark, path),
-            session_tz=tz_frame(spark),
+        kept, strategy = prune_with_stored_stats(
+            spark, path, listed, preds, schema
         )
     return {
         "files_total": total,
@@ -986,4 +1268,7 @@ def explain_pruning(spark: SparkSession, path: str, where) -> dict:
         "after_stats": len(kept),
         "read_fraction": (len(kept) / total) if total else 0.0,
         "predicates": [list(p) for p in preds] if preds else None,
+        # which tier decided: "memory" (driver dict walk), "distributed"
+        # (Spark job over the consolidated doc), or None (nothing to do)
+        "stats_strategy": strategy,
     }

@@ -226,10 +226,28 @@ def suggest_maintenance(
         if n_deltas > 64:
             add(
                 "stats_delta_backlog", "warn",
-                "compact_corpus(spark, path, ...)  # consolidates stats "
-                "alongside data; or rebuild_file_stats",
+                "consolidate_file_stats(spark, path)  # bookkeeping-only "
+                "fold; compact_corpus also heals it alongside data",
                 f"{n_deltas} stats delta files accumulated — every "
                 "pruned read loads each of them",
+            )
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            stats_prune_threshold,
+        )
+
+        if (
+            cov.get("consolidated_version") is None
+            and cov.get("entries", 0) > stats_prune_threshold(spark)
+        ):
+            # above the threshold the read path only goes distributed
+            # when a consolidated parquet doc exists; without one every
+            # selective read pays a driver-side parse of every entry
+            add(
+                "stats_unconsolidated", "warn",
+                "consolidate_file_stats(spark, path)",
+                f"{cov['entries']} stats entries held only as JSON "
+                "deltas — selective reads prune single-threaded on the "
+                "driver instead of as a Spark job",
             )
         uncovered = cov["live"] - cov["covered"]
         if uncovered:
@@ -351,7 +369,7 @@ def auto_maintain(
     compact_triggers = [
         k for k in (
             "small_files", "marker_backlog", "ledger_files",
-            "stats_delta_backlog", "frozen_compaction",
+            "frozen_compaction",
         )
         if k in advice and advice[k]["severity"] in ("warn", "action")
     ]
@@ -407,6 +425,34 @@ def auto_maintain(
             "; ".join(advice[k]["detail"] for k in stats_findings),
         )
 
+    # stats consolidation: bookkeeping-only fold of the JSON deltas into
+    # the parquet doc the distributed prune reads — a stats backlog no
+    # longer forces a full data rewrite (compaction heals it as a side
+    # effect when IT has triggers; this step covers the backlog-only
+    # case). Converges: one fold empties the delta backlog and records a
+    # consolidated version, clearing both findings.
+    cons_findings = [
+        k for k in ("stats_delta_backlog", "stats_unconsolidated")
+        if k in advice and advice[k]["severity"] in ("warn", "action")
+    ]
+    want_consolidate = bool(cons_findings) and not compact_executed
+    if plan(
+        "consolidate_file_stats", want_consolidate,
+        ("advisor: " + ",".join(cons_findings))
+        if want_consolidate
+        else ("healed by the compaction" if cons_findings else "no backlog"),
+    ):
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            consolidate_file_stats,
+        )
+
+        out = consolidate_file_stats(spark, path, lease=lease)
+        rows[-1] = (
+            "consolidate_file_stats", True,
+            f"version={out.get('version')} entries={out.get('n_entries')} "
+            f"folded_deltas={out.get('folded_deltas')}",
+        )
+
     # report-only findings: a cron consuming this plan must still see
     # everything the advisor flagged, executed or not
     if "manifest" in advice and advice["manifest"]["severity"] == "action":
@@ -431,3 +477,64 @@ def auto_maintain(
     return spark.createDataFrame(
         rows, "action string, executed boolean, detail string"
     )
+
+
+# a probe that lands in a cell holding this multiple of its fair share
+# reads that multiple of its fair share of bytes; past it, retraining
+# pays for itself on the next query mix
+VECTOR_SKEW_RATIO = 4.0
+
+
+def suggest_vector_maintenance(
+    spark: SparkSession,
+    store_path: str,
+    *,
+    skew_ratio: float = VECTOR_SKEW_RATIO,
+) -> DataFrame:
+    """Vector-store twin of :func:`suggest_maintenance` (VERDICT r8 #5:
+    pinned centroids degrade recall/latency as the corpus drifts, and
+    nothing measured it). One partition-column-only job: flags cell
+    skew (max/mean over the configured cell count) past ``skew_ratio``
+    and a crashed rebuild swap; recommends
+    :func:`~bambooai_spark.operators.vector_store.rebuild_vector_store`
+    for both. Same row contract as the corpus advisor."""
+    from bambooai_spark.operators.vector_store import (  # noqa: PLC0415
+        REBUILD_FLAG,
+        vector_store_skew,
+    )
+
+    rows: list[tuple[str, str, str, str]] = []
+    if _fs_exists(spark, _join(store_path, REBUILD_FLAG)):
+        rows.append((
+            "rebuild_frozen", "action",
+            "rebuild_vector_store(spark, path)  # resumes the swap",
+            "a rebuild crashed mid-swap; readers refuse until it "
+            "completes",
+        ))
+        return _df(spark, rows)
+    sk = vector_store_skew(spark, store_path)
+    if sk["rows"] and sk["skew"] > skew_ratio:
+        rows.append((
+            "cell_skew", "warn",
+            "rebuild_vector_store(spark, path)",
+            f"max cell {sk['max_cell']} rows vs mean "
+            f"{sk['mean_cell']:.1f} over {sk['n_cells']} cells "
+            f"(skew {sk['skew']:.1f}x > {skew_ratio}x) — probes hitting "
+            "the hot cell read that multiple of their fair share and "
+            "recall degrades where the quantizer stopped separating",
+        ))
+    elif sk["rows"] and sk["nonempty_cells"] * 2 < sk["n_cells"]:
+        rows.append((
+            "empty_cells", "info",
+            "rebuild_vector_store(spark, path)",
+            f"{sk['n_cells'] - sk['nonempty_cells']}/{sk['n_cells']} "
+            "cells empty — wasted quantizer capacity (harmless, but a "
+            "retrain would sharpen the probes)",
+        ))
+    else:
+        rows.append((
+            "cells", "ok", "none",
+            f"{sk['rows']} vectors over {sk['nonempty_cells']}/"
+            f"{sk['n_cells']} cells, skew {sk['skew']:.1f}x",
+        ))
+    return _df(spark, rows)

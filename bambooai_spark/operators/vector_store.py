@@ -53,9 +53,25 @@ from bambooai_spark.operators.writer import (
 
 META_NAME = "_vector_store.json"
 CELL_COL = "ivf_cell"
+REBUILD_FLAG = "_REBUILD.json"
 
 
 def _load_meta(spark: SparkSession, path: str) -> dict:
+    """Store metadata for READERS and incremental writers: refuses while
+    a rebuild swap is in flight — mid-swap the cell directories and the
+    pinned quantizer disagree, and probing old centroids against new
+    cells (or vice versa) silently returns wrong neighbors. Resume with
+    :func:`rebuild_vector_store`."""
+    if _fs_exists(spark, _join(path, REBUILD_FLAG)):
+        raise RuntimeError(
+            f"vector store at {path} is mid-rebuild (a prior "
+            "rebuild_vector_store crashed during its swap) — run "
+            "rebuild_vector_store(spark, path) to resume and complete it"
+        )
+    return _load_meta_raw(spark, path)
+
+
+def _load_meta_raw(spark: SparkSession, path: str) -> dict:
     mpath = _join(path, META_NAME)
     if not _fs_exists(spark, mpath):
         staged = mpath + ".new"
@@ -637,3 +653,146 @@ def prune_vector_store(
     finally:
         dead.unpersist()
     return {"removed": n_dead, "cells_rewritten": affected}
+
+
+def vector_store_skew(spark: SparkSession, path: str) -> dict:
+    """Cell-balance report — the drift signal for
+    :func:`rebuild_vector_store`. A store whose appends pinned stale
+    centroids ends up with a few huge cells: every probe that hits one
+    reads ``max_cell/mean_cell`` times its fair share of bytes, and
+    recall degrades as true neighbors concentrate where the quantizer
+    no longer separates them. One job over the partition column only
+    (the scan decodes no vector bytes — cell ids come from directory
+    names). ``skew`` is max/mean over the CONFIGURED cell count (empty
+    cells are the quantizer's wasted capacity and count against it)."""
+    meta = _load_meta(spark, path)
+    counts = {
+        int(r[CELL_COL]): int(r["n"])
+        for r in spark.read.parquet(path)
+        .groupBy(CELL_COL)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_cells = int(meta["n_cells"])
+    rows = sum(counts.values())
+    mx = max(counts.values(), default=0)
+    mean = rows / n_cells if n_cells else 0.0
+    return {
+        "n_cells": n_cells,
+        "nonempty_cells": len(counts),
+        "rows": rows,
+        "max_cell": mx,
+        "mean_cell": mean,
+        "skew": (mx / mean) if mean else 0.0,
+    }
+
+
+def rebuild_vector_store(
+    spark: SparkSession,
+    path: str,
+    *,
+    n_cells: int | None = None,
+    assign: str | None = None,
+    max_records_per_file: int | None = None,
+    lease=None,
+) -> dict:
+    """Retrain the coarse quantizer on the CURRENT corpus and re-assign
+    every stored vector — the compaction analog for the IVF index
+    (VERDICT r8 #5: pinned centroids skew cells as a drifting corpus
+    appends; nothing else re-balances them). Staged-swap, crash-safe:
+
+    1. read the live store, train fresh centroids (``n_cells`` default:
+       the store's current cell count), assign, and write the NEW layout
+       fully into the hidden ``_rebuild_tmp/data`` staging tree;
+    2. publish ``_REBUILD.json`` (atomic) freezing the new quantizer +
+       generation — from here the swap is resumable and every reader
+       refuses (mid-swap, cells and quantizer disagree; see
+       :func:`_load_meta`);
+    3. per-file swap, same protocol as ``compact_corpus``: stage hidden
+       (``_swap-r<gen>-``), delete files of every other generation,
+       unhide to ``r<gen>-`` names, drop emptied cell directories;
+    4. pin the new metadata (watermark and pinned columns carried over),
+       drop the flag and staging.
+
+    A crash anywhere re-enters at the flag: re-running this function
+    resumes the swap idempotently (file moves are skipped when the
+    destination exists). Readers during the swap window get the loud
+    refusal, never silently-wrong neighbors. Returns the new metadata."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs,
+        _lease_beat,
+        _lease_ensure,
+        _move_staged_files,
+        _unhide_swapped,
+        _walk_files,
+    )
+
+    _lease_beat(lease)
+    tmp = _join(path, "_rebuild_tmp")
+    tmp_data = _join(tmp, "data")
+    flag = _join(path, REBUILD_FLAG)
+    if not _fs_exists(spark, flag):
+        meta = _load_meta_raw(spark, path)
+        gen = int(meta.get("rebuild_gen") or 0) + 1
+        use_assign = assign if assign is not None else meta["assign"]
+        if use_assign not in ("numpy", "exact"):
+            raise ValueError(
+                f"assign must be numpy|exact, got {use_assign!r}"
+            )
+        df = spark.read.parquet(path).select(*meta["columns"])
+        cents = train_ivf_centroids(
+            df, meta["vec_col"],
+            n_cells=int(n_cells or meta["n_cells"]),
+        )
+        cents = [[float(x) for x in c] for c in np.asarray(cents)]
+        _fs_delete(spark, tmp)  # stale staging from an abandoned attempt
+        _write_assigned(
+            df, tmp_data, meta["id_col"], meta["vec_col"], cents,
+            use_assign, max_records_per_file, mode="overwrite",
+            bloom_cols=(meta["id_col"],) if meta.get("bloom_ids") else (),
+        )
+        new_meta = {
+            **meta,
+            "n_cells": len(cents),
+            "dim": len(cents[0]),
+            "assign": use_assign,
+            "centroids": cents,
+            "rebuild_gen": gen,
+        }
+        _lease_ensure(lease)  # last check before the swap becomes due
+        _fs_write_text_atomic(
+            spark, flag, json.dumps({"gen": gen, "meta": new_meta})
+        )
+    info = json.loads(_fs_read_text(spark, flag))
+    gen, new_meta = int(info["gen"]), info["meta"]
+    hidden = f"_swap-r{gen}-"
+    _lease_ensure(lease)
+    # (1) stage hidden, per file, resumable (tmp may already be empty on
+    # a resume — every move is exists-checked)
+    if _fs_exists(spark, tmp_data):
+        _move_staged_files(spark, tmp_data, path, gen, prefix=hidden)
+    # (2) delete every other generation's live files (the pre-rebuild
+    # layout, including txn-append files); re-runs skip the already-
+    # unhidden r<gen>- files
+    fs, _root = _fs(spark, path)
+    jvm = spark._jvm
+    for f in _walk_files(spark, path):
+        if not f.rsplit("/", 1)[1].startswith(f"r{gen}-"):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+    # (3) unhide: _swap-r<gen>-X → r<gen>-X
+    _unhide_swapped(spark, path, hidden)
+    # (4) drop cell directories the new quantizer emptied (dynamic-
+    # overwrite-style leftovers would otherwise linger as empty dirs)
+    for st in fs.listStatus(_fs(spark, path)[1]):
+        nm = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and nm.startswith(f"{CELL_COL}=")
+            and not fs.listStatus(st.getPath())
+        ):
+            fs.delete(st.getPath(), True)
+    _lease_ensure(lease)
+    _rewrite_meta(spark, path, new_meta)
+    _fs_delete(spark, flag)
+    _fs_delete(spark, tmp)
+    return new_meta

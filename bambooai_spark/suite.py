@@ -76,14 +76,27 @@ class QuerySpec:
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
     headline: bool = False
     doc: str = ""
+    # cost regime for the bench split (VERDICT r8 #3): "scan" queries
+    # measure scan/shuffle throughput and sum into the round-comparable
+    # headline total; "lifecycle" queries write multi-batch corpora to
+    # /tmp inside the timed window (txn protocol + tmpfs write bound)
+    # and are benched in their own section so they cannot hide a
+    # regression in — or masquerade as one against — the carried set.
+    regime: str = "scan"
 
 
 SPECS: list[QuerySpec] = []
 
 
-def spec(name: str, oracle: str | None, headline: bool = False, doc: str = ""):
+def spec(
+    name: str,
+    oracle: str | None,
+    headline: bool = False,
+    doc: str = "",
+    regime: str = "scan",
+):
     def wrap(fn):
-        SPECS.append(QuerySpec(name, fn, oracle, headline, doc))
+        SPECS.append(QuerySpec(name, fn, oracle, headline, doc, regime))
         return fn
 
     return wrap
@@ -4239,6 +4252,8 @@ def unigram_logprob_docs(spark, sf_dir):
     FROM fp p JOIN keep k ON p.doc_id = k.doc_id AND p.f = k.f
     WHERE p.doc_id % 7 <> 3
     """,
+    headline=True,
+    regime="lifecycle",
     doc="Corpus takedown lifecycle under the hash-exact gate: ingest the "
     "documents table through append_corpus (min-id exact dedup on the "
     "portable md5(normalized text) fingerprint, partitioned corpus + "
@@ -4290,6 +4305,8 @@ def delete_corpus_docs(spark, sf_dir):
           WHERE rn = 1)
     SELECT vec_id, CAST(cell AS INT) AS ivf_cell FROM a
     """,
+    headline=True,
+    regime="lifecycle",
     doc="Incremental ANN-index refresh lifecycle (operators/"
     "vector_store.py refresh_vector_store over operators/writer.py "
     "read_corpus_changes): the even-id embeddings ingest as corpus txn "
@@ -4383,6 +4400,7 @@ def refresh_vector_embeddings(spark, sf_dir):
     FROM fp p JOIN b2k ON p.doc_id = b2k.doc_id AND p.f = b2k.f
     """,
     headline=True,
+    regime="lifecycle",
     doc="CDC-style incremental read under the hash-exact gate "
     "(operators/writer.py read_corpus_changes): the documents ingest as "
     "three txn batches (doc_id mod 3, exact min-id fingerprint dedup "
@@ -4424,6 +4442,7 @@ def corpus_changes_docs(spark, sf_dir):
       AND lang IN ('en', 'de', 'fr')
     """,
     headline=True,
+    regime="lifecycle",
     doc="File-level data skipping end-to-end (operators/filestats.py): "
     "write_corpus lays the documents out clustered on n_chars with "
     "per-file min/max stats recorded under _filestats/, then "

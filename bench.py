@@ -54,6 +54,32 @@ def _run_once(spark, spec, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _prev_round_queries() -> tuple[str, dict[str, float], float] | None:
+    """(round tag, per-query minima, sf) from the newest parsed BENCH_r*.json
+    next to this script — the carried-total baseline the judge diffs."""
+    import glob  # noqa: PLC0415
+    import re  # noqa: PLC0415
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        try:
+            with open(p) as fh:
+                doc = json.load(fh)
+            qs = ((doc.get("parsed") or {}).get("queries")) or {}
+            sf = doc.get("sf")
+        except (OSError, ValueError):
+            continue
+        qs = {k: v for k, v in qs.items() if isinstance(v, (int, float))
+              and v >= 0}
+        if qs:
+            best = (f"r{int(m.group(1)):02d}", qs, sf)
+    return best
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -61,7 +87,13 @@ def main() -> int:
     rerun_iters = int(os.environ.get("SPARK_GRAFT_BENCH_RERUN_ITERS", "3"))
     spark = get_session("bambooai-spark-bench", cpus=cpus)
 
-    headline = [s for s in SPECS if s.headline]
+    # two cost regimes, benched as separate sections (VERDICT r8 #3):
+    # "scan" sums into the round-comparable headline total; "lifecycle"
+    # specs write multi-batch corpora inside the timed window (txn
+    # protocol + tmpfs write bound) and report their own total
+    headline = [s for s in SPECS if s.headline and s.regime == "scan"]
+    lifecycle = [s for s in SPECS if s.headline and s.regime == "lifecycle"]
+    headline = headline + lifecycle  # one measurement loop, two reports
     samples: dict[str, list[float]] = {}
     failed: set[str] = set()
     for spec in headline:
@@ -107,28 +139,56 @@ def main() -> int:
 
     # 2dp on the stdout line (the driver's 2000-char capture must hold the
     # WHOLE line even as the headline set grows); the sidecar keeps 3dp
+    lc_names = {s.name for s in lifecycle}
     times = {
         s.name: (-1.0 if s.name in failed else round(min(samples[s.name]), 2))
         for s in headline
+        if s.name not in lc_names
+    }
+    lc_times = {
+        s.name: (-1.0 if s.name in failed else round(min(samples[s.name]), 2))
+        for s in lifecycle
     }
     spread = {
         name: [round(min(ts), 3), round(max(ts), 3)]
         for name, ts in samples.items()
     }
     ok = [v for v in times.values() if v >= 0]
+    lc_ok = [v for v in lc_times.values() if v >= 0]
+    # the carried-total diff vs the newest recorded round, over the
+    # queries both rounds measured — the one-step regression check
+    carried = None
+    prev = _prev_round_queries()
+    # same-scale rounds only: diffing an sf0.01 smoke run against the
+    # recorded sf0.1 round would read as a phantom 4x speedup
+    if prev is not None and prev[2] == _sf_of(sf_dir):
+        tag, prev_qs, _prev_sf = prev
+        common = sorted(set(prev_qs) & {k for k, v in times.items()
+                                        if v >= 0})
+        if common:
+            carried = {
+                "vs": tag,
+                "n": len(common),
+                "now": round(sum(times[k] for k in common), 2),
+                "prev": round(sum(prev_qs[k] for k in common), 2),
+            }
     result = {
         "metric": "headline_total_sec",
         "value": round(sum(ok), 3),
         "unit": "sec",
         "queries": times,
+        # separate section: write-bound lifecycle specs (sum NOT in
+        # value, so the headline total stays scan/shuffle-comparable)
+        "lifecycle": lc_times,
+        "carried": carried,
         "sf": _sf_of(sf_dir),
         "cpus": cpus,
-        "iters": iters,
-        "n_queries": len(times),
-        "n_failed": len(times) - len(ok),
+        "n_failed": (len(times) - len(ok)) + (len(lc_times) - len(lc_ok)),
     }
     sidecar = {"sf": _sf_of(sf_dir), "cpus": cpus, "iters": iters,
-               "spread": spread}
+               "lifecycle": sorted(lc_names),
+               "lifecycle_total_sec": round(sum(lc_ok), 3),
+               "carried": carried, "spread": spread}
     print(f"[bench] spread: {json.dumps(spread)}", file=sys.stderr)
     if _sf_of(sf_dir) >= 0.1 and iters >= 3:
         try:
@@ -147,13 +207,17 @@ def main() -> int:
         print("[bench] spread sidecar skipped (smoke-run scale)",
               file=sys.stderr)
     # compact separators: ~140 chars saved at 61 queries, so the headline
-    # set can keep growing before the overflow guard has to fire
+    # set can keep growing before the overflow guard has to fire.
+    # Progressive trim: everything dropped here survives in the sidecar
+    # and on stderr — the per-query scan minima are the last to go.
     line = json.dumps(result, separators=(",", ":"))
-    if len(line) > 1990:  # the driver's capture window is 2000 chars
+    for victim in ("carried", "lifecycle", "queries"):
+        if len(line) <= 1990:  # the driver's capture window is 2000 chars
+            break
         print(f"[bench] WARNING: line {len(line)} chars exceeds the "
-              "driver's 2000-char capture; dropping per-query dict",
+              f"driver's 2000-char capture; dropping {victim!r}",
               file=sys.stderr)
-        result["queries"] = {}
+        result[victim] = None if victim == "carried" else {}
         line = json.dumps(result, separators=(",", ":"))
     print(line, flush=True)
     return 0

@@ -1231,3 +1231,282 @@ def test_prune_soundness_in_and_null_ops_property(data, pred):
             matching.add(f"/c/{name}")
     kept = set(prune_files(files, stats, [("x", op, v)], schema))
     assert matching <= kept
+
+
+# --------------------------------------------------------------------------
+# consolidated parquet stats + distributed prune (VERDICT r8 #2)
+
+
+def _chars_docs(spark, lo, hi):
+    return _docs(spark, lo, hi).withColumn(
+        "n_chars", F.length("text").cast("long") + F.col("doc_id")
+    )
+
+
+def _corpus_manifest_schema(out):
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(out, writer.MANIFEST_NAME)) as fh:
+        return StructType.fromJson(json.load(fh)["schema"])
+
+
+@pytest.fixture
+def _threshold_zero(spark):
+    """Force the distributed tier regardless of entry count."""
+    key = "spark.bambooai.stats.distributedPruneThreshold"
+    spark.conf.set(key, "0")
+    yield
+    spark.conf.unset(key)
+
+
+def test_consolidate_folds_deltas_and_preserves_decisions(spark, tmp_path):
+    from bambooai_spark.operators.filestats import (
+        _stats_snapshot,
+        consolidate_file_stats,
+    )
+
+    out = str(tmp_path / "corpus")
+    write_corpus(
+        _chars_docs(spark, 0, 100), out, partition_by=("lang",),
+        cluster_by=("n_chars",), max_records_per_file=10,
+    )
+    append_corpus(_chars_docs(spark, 100, 150), out)
+    append_corpus(_chars_docs(spark, 150, 200), out)
+    before = load_file_stats(spark, out)
+    n_json = len([n for n in _stats_names(out) if n.endswith(".json")
+                  and n != "_BLOOM.json"])
+    assert n_json >= 3  # rebuild doc + two append deltas
+
+    meta = consolidate_file_stats(spark, out)
+    assert meta["version"] == 1
+    assert meta["folded_deltas"] == n_json
+    assert meta["n_entries"] == len(before)
+    # every JSON delta folded away; one consolidated dir remains
+    assert [n for n in _stats_names(out) if n.endswith(".json")
+            and n != "_BLOOM.json"] == []
+    _deltas, best, _tok = _stats_snapshot(spark, out)
+    assert best is not None and best[1]["version"] == 1
+
+    # merged view and pruning decisions are unchanged by the fold
+    assert load_file_stats(spark, out) == before
+    schema = _corpus_manifest_schema(out)
+    live = [os.path.join(out, k) for k in _live_keys(out)]
+    preds = [("n_chars", ">=", 120), ("n_chars", "<=", 200)]
+    kept = prune_files(live, before, preds, schema, root=out)
+    kept2 = prune_files(
+        live, load_file_stats(spark, out), preds, schema, root=out
+    )
+    assert kept == kept2 and len(kept) < len(live)
+
+    # re-consolidating with nothing to fold is a no-op
+    again = consolidate_file_stats(spark, out)
+    assert again["version"] == 1 and again["folded_deltas"] == 0
+
+    # the read itself stays exact through the fold
+    got = read_corpus(spark, out, where=preds)
+    want = _chars_docs(spark, 0, 200).filter(
+        (F.col("n_chars") >= 120) & (F.col("n_chars") <= 200)
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+
+
+def test_distributed_tier_matches_memory_tier(spark, tmp_path, _threshold_zero):
+    from bambooai_spark.operators.filestats import (
+        consolidate_file_stats,
+        explain_pruning,
+        prune_with_stored_stats,
+        qualified_root,
+    )
+
+    out = str(tmp_path / "corpus")
+    write_corpus(
+        _chars_docs(spark, 0, 200), out, partition_by=("lang",),
+        cluster_by=("n_chars",), max_records_per_file=20,
+    )
+    consolidate_file_stats(spark, out)
+    # a later append leaves an UNFOLDED delta the distributed tier must
+    # still see
+    append_corpus(_chars_docs(spark, 200, 260), out)
+
+    schema = _corpus_manifest_schema(out)
+    qroot = qualified_root(spark, out)
+    live = [os.path.join(out, k) for k in _live_keys(out)]
+    merged = load_file_stats(spark, out)
+    for preds in (
+        [("n_chars", ">=", 150), ("n_chars", "<=", 250)],
+        [("n_chars", "==", 130)],
+        [("n_chars", "<", 0)],          # provably empty → prunes all
+        [("n_chars", "notnull", None)],
+        [("doc_id", ">", 10**9)],       # no stats column → no pruning
+    ):
+        kept_mem = set(prune_files(
+            live, merged, preds, schema, root=qroot,
+            session_tz=filestats.tz_frame(spark),
+        ))
+        kept_dist, strategy = prune_with_stored_stats(
+            spark, out, live, preds, schema
+        )
+        assert strategy == "distributed"
+        assert set(kept_dist) == kept_mem, preds
+
+    rep = explain_pruning(spark, out, [("n_chars", "==", 130)])
+    assert rep["stats_strategy"] == "distributed"
+    assert rep["after_stats"] <= max(2, rep["files_total"] // 4)
+
+    # the real read through the distributed tier stays exact
+    got = read_corpus(spark, out, where=[("n_chars", ">=", 150),
+                                         ("n_chars", "<=", 250)])
+    want = _chars_docs(spark, 0, 260).filter(
+        (F.col("n_chars") >= 150) & (F.col("n_chars") <= 250)
+    )
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+
+
+def test_consolidated_crash_windows(spark, tmp_path):
+    import shutil
+
+    from bambooai_spark.operators.filestats import (
+        CONSOLIDATED_META,
+        CONSOLIDATED_PREFIX,
+        _stats_snapshot,
+        consolidate_file_stats,
+    )
+
+    out = str(tmp_path / "corpus")
+    write_corpus(
+        _chars_docs(spark, 0, 100), out, partition_by=("lang",),
+        cluster_by=("n_chars",), max_records_per_file=10,
+    )
+    before = load_file_stats(spark, out)
+    sdir = os.path.join(out, STATS_DIR)
+
+    # (a) a meta-less consolidated dir (crash before _META.json) is
+    # invisible to readers
+    ghost = os.path.join(sdir, f"{CONSOLIDATED_PREFIX}0000000000000009-dead")
+    os.makedirs(ghost)
+    with open(os.path.join(ghost, "garbage.parquet"), "w") as fh:
+        fh.write("not parquet")
+    _deltas, best, _tok = _stats_snapshot(spark, out)
+    assert best is None
+    assert load_file_stats(spark, out) == before
+    shutil.rmtree(ghost)
+
+    # (b) folded deltas that survived a crash-before-delete are harmless
+    # duplicates (identical content) and the next fold removes them
+    delta_names = [n for n in _stats_names(out) if n.endswith(".json")
+                   and n != "_BLOOM.json"]
+    saved = {
+        n: open(os.path.join(sdir, n)).read() for n in delta_names
+    }
+    meta = consolidate_file_stats(spark, out)
+    for n, text in saved.items():  # resurrect the folded deltas
+        crc = os.path.join(sdir, f".{n}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        with open(os.path.join(sdir, n), "w") as fh:
+            fh.write(text)
+    assert load_file_stats(spark, out) == before
+    meta2 = consolidate_file_stats(spark, out)
+    assert meta2["version"] == meta["version"] + 1
+    assert meta2["n_entries"] == meta["n_entries"]
+    assert load_file_stats(spark, out) == before
+    # old version dir was superseded and removed
+    cons = [n for n in os.listdir(sdir) if n.startswith(CONSOLIDATED_PREFIX)]
+    assert len(cons) == 1 and f"{meta2['version']:016d}" in cons[0]
+
+
+def test_compaction_prunes_consolidated_doc(spark, tmp_path):
+    from bambooai_spark.operators.filestats import (
+        _stats_snapshot,
+        consolidate_file_stats,
+    )
+
+    out = str(tmp_path / "corpus")
+    enable_file_stats(spark, out, ["n_chars"])
+    append_corpus_txn(_chars_docs(spark, 0, 60), out, 0)
+    append_corpus_txn(_chars_docs(spark, 60, 120), out, 1)
+    consolidate_file_stats(spark, out)
+    compact_corpus(spark, out, partition_by=("lang",))
+    # the consolidated doc described only pre-compaction files: gone,
+    # and the fresh c-doc covers exactly the live files
+    _deltas, best, _tok = _stats_snapshot(spark, out)
+    assert best is None
+    from bambooai_spark.operators.filestats import stats_coverage
+
+    cov = stats_coverage(spark, out)
+    assert cov["live"] and cov["covered"] == cov["live"]
+    # reads stay exact after the swap
+    got = read_corpus(spark, out, where=[("n_chars", ">=", 100)])
+    want = _chars_docs(spark, 0, 120).filter(F.col("n_chars") >= 100)
+    assert got.count() == want.count()
+
+
+def test_merged_stats_cache_hits_and_invalidates(spark, tmp_path):
+    from bambooai_spark.operators.filestats import _merged_cache
+
+    out = str(tmp_path / "corpus")
+    write_corpus(
+        _chars_docs(spark, 0, 50), out, partition_by=("lang",),
+        cluster_by=("n_chars",),
+    )
+    a = load_file_stats(spark, out)
+    b = load_file_stats(spark, out)
+    assert a is b  # snapshot unchanged → the cached dict is returned
+    append_corpus(_chars_docs(spark, 50, 80), out)
+    c = load_file_stats(spark, out)
+    assert c is not a and len(c) > len(a)  # new delta → new token
+    assert len(_merged_cache()) <= 8
+
+
+def test_distributed_prune_bounded_driver_100k_entries(spark, tmp_path):
+    """The synthetic 100k-file check from VERDICT r8 #2: with a
+    consolidated doc above the threshold the prune is ONE Spark job and
+    the driver only materializes the pruned-key set — and the decisions
+    are identical to the pure in-memory walk."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from bambooai_spark.operators.filestats import (
+        consolidate_file_stats,
+        prune_with_stored_stats,
+        qualified_root,
+        write_stats_delta,
+    )
+
+    out = str(tmp_path / "corpus")
+    enable_file_stats(spark, out, ["x"])
+    n = 100_000
+    files_doc = {
+        f"b1-part-{i:06d}": {
+            "n": 10,
+            "cols": {"x": {"min": i * 10, "max": i * 10 + 9, "nn": 10}},
+        }
+        for i in range(n)
+    }
+    write_stats_delta(spark, out, "b1", {"columns": ["x"], "files": files_doc})
+    meta = consolidate_file_stats(spark, out)
+    assert meta["n_entries"] == n
+
+    schema = StructType([StructField("x", LongType())])
+    qroot = qualified_root(spark, out)
+    live = [f"{out}/b1-part-{i:06d}" for i in range(n)]
+    merged = load_file_stats(spark, out)
+    for preds in (
+        [("x", ">=", 500_000), ("x", "<", 500_200)],  # selective
+        [("x", "==", 123_456)],
+        [("x", "<", 0)],
+    ):
+        kept_mem = prune_files(live, merged, preds, schema, root=qroot)
+        kept_dist, strategy = prune_with_stored_stats(
+            spark, out, live, preds, schema
+        )
+        assert strategy == "distributed"
+        assert kept_dist == kept_mem, preds
+    # the selective range keeps ~20 of 100k files
+    assert len(prune_files(
+        live, merged, [("x", ">=", 500_000), ("x", "<", 500_200)],
+        schema, root=qroot,
+    )) <= 21

@@ -250,3 +250,75 @@ def test_advisor_stable_after_auto_maintain_with_num_tasks(
     res = {r["action"]: r for r in
            auto_maintain(spark, out, num_tasks=4).collect()}
     assert not any(r["executed"] for r in res.values())  # converged
+
+
+def test_stats_backlog_drives_consolidation_not_compaction(spark, tmp_path):
+    """A stats-delta backlog (or an unconsolidated above-threshold doc)
+    is bookkeeping debt: auto_maintain folds it with
+    consolidate_file_stats instead of rewriting the data, and one fold
+    converges (no perpetual cron work)."""
+    from bambooai_spark.operators.filestats import (
+        _stats_snapshot,
+        enable_file_stats,
+        write_stats_delta,
+    )
+    from bambooai_spark.operators.maintenance import auto_maintain
+
+    out = str(tmp_path / "corpus")
+    append_corpus(_docs(spark), out)
+    enable_file_stats(spark, out, ["doc_id"])
+    # fabricate a 70-delta backlog of inert (orphan-key) stats docs —
+    # the advisor counts deltas, not content
+    for i in range(70):
+        write_stats_delta(spark, out, f"b{i}", {
+            "columns": ["doc_id"],
+            "files": {f"b{i}-x": {"n": 1, "cols": {
+                "doc_id": {"min": i, "max": i, "nn": 1}}}},
+        })
+    adv = _by_check(suggest_maintenance(spark, out))
+    assert adv["stats_delta_backlog"]["severity"] == "warn"
+    assert "consolidate_file_stats" in (
+        adv["stats_delta_backlog"]["recommendation"]
+    )
+
+    res = {r["action"]: r for r in auto_maintain(spark, out).collect()}
+    assert res["consolidate_file_stats"]["executed"]
+    # the backlog alone must NOT have forced a data rewrite
+    assert not res["compact_corpus"]["executed"]
+    _deltas, best, _tok = _stats_snapshot(spark, out)
+    assert best is not None and not _deltas
+
+    # converged: a second pass finds nothing to fold
+    adv2 = _by_check(suggest_maintenance(spark, out))
+    assert "stats_delta_backlog" not in adv2
+    res2 = {r["action"]: r for r in auto_maintain(spark, out).collect()}
+    assert not res2["consolidate_file_stats"]["executed"]
+
+
+def test_unconsolidated_above_threshold_flagged(spark, tmp_path):
+    from bambooai_spark.operators.filestats import (
+        enable_file_stats,
+        write_stats_delta,
+    )
+
+    out = str(tmp_path / "corpus")
+    append_corpus(_docs(spark), out)
+    enable_file_stats(spark, out, ["doc_id"])
+    write_stats_delta(spark, out, "b1", {
+        "columns": ["doc_id"],
+        "files": {f"b1-f{i}": {"n": 1, "cols": {
+            "doc_id": {"min": i, "max": i, "nn": 1}}} for i in range(30)},
+    })
+    key = "spark.bambooai.stats.distributedPruneThreshold"
+    spark.conf.set(key, "10")
+    try:
+        adv = _by_check(suggest_maintenance(spark, out))
+        assert adv["stats_unconsolidated"]["severity"] == "warn"
+        from bambooai_spark.operators.maintenance import auto_maintain
+
+        res = {r["action"]: r for r in auto_maintain(spark, out).collect()}
+        assert res["consolidate_file_stats"]["executed"]
+        adv2 = _by_check(suggest_maintenance(spark, out))
+        assert "stats_unconsolidated" not in adv2
+    finally:
+        spark.conf.unset(key)

@@ -265,3 +265,174 @@ def test_batch_query_unbroadcast_path(spark, tmp_path):
     assert sorted(
         [(r["qid"], r["vec_id"], r["cosine"]) for r in a]
     ) == sorted([(r["qid"], r["vec_id"], r["cosine"]) for r in b])
+
+
+# --------------------------------------------------------------------------
+# rebuild_vector_store: drift → skew → retrain (VERDICT r8 #5)
+
+
+def _shifted(spark, lo, hi, offset=50.0, dim=None):
+    """Embeddings far outside the training distribution — the drift."""
+    e = _emb(spark)
+    if dim is None:
+        dim = len(e.select("embedding").first()[0])
+    rows = [
+        (i, [offset + (i % 7) * 0.01 + j * 0.001 for j in range(dim)])
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_drift_skews_cells_and_rebuild_rebalances(spark, tmp_path):
+    from bambooai_spark.operators.maintenance import (
+        suggest_vector_maintenance,
+    )
+    from bambooai_spark.operators.vector_store import (
+        rebuild_vector_store,
+        vector_store_skew,
+    )
+
+    path = str(tmp_path / "vstore")
+    base = _emb(spark).select("vec_id", "embedding")
+    meta = write_vector_corpus(base, path, n_cells=8)
+    n0 = base.count()
+    # a drifted distribution lands in ONE old cell (all far from every
+    # trained centroid in the same direction)
+    drift = _shifted(spark, 10_000, 10_000 + 3 * n0)
+    append_vector_corpus(drift, path)
+    sk = vector_store_skew(spark, path)
+    assert sk["rows"] == 4 * n0
+    assert sk["skew"] > 3.0  # 3n0 drifted rows concentrated
+    adv = {r["check"]: r for r in
+           suggest_vector_maintenance(spark, path).collect()}
+    assert adv["cell_skew"]["severity"] == "warn"
+    assert "rebuild_vector_store" in adv["cell_skew"]["recommendation"]
+
+    new_meta = rebuild_vector_store(spark, path)
+    assert new_meta["rebuild_gen"] == 1
+    assert new_meta["n_cells"] == meta["n_cells"]
+    sk2 = vector_store_skew(spark, path)
+    assert sk2["rows"] == 4 * n0  # no vector lost or duplicated
+    assert sk2["skew"] < sk["skew"]  # re-balanced
+    adv2 = {r["check"]: r for r in
+            suggest_vector_maintenance(spark, path).collect()}
+    assert "cell_skew" not in adv2
+
+    # recall restored: with a small probe budget the drifted query now
+    # finds its true neighbors (they have their own cells again)
+    qv = [50.0 + 3 * 0.01 + j * 0.001
+          for j in range(new_meta["dim"])]
+    got = [r["vec_id"] for r in query_vector_corpus(
+        spark, path, qv, k=5, nprobe=2
+    ).collect()]
+    all_vecs = base.union(
+        _shifted(spark, 10_000, 10_000 + 3 * n0).select(
+            "vec_id", F.col("embedding").cast("array<float>")
+        )
+    )
+    from bambooai_spark.functions.vectors import as_double, cosine
+
+    scored = all_vecs.withColumn(
+        "_cos", cosine(as_double("embedding"), F.lit([float(x) for x in qv]))
+    )
+    want = [r["vec_id"] for r in
+            scored.orderBy(F.desc("_cos"), "vec_id").limit(5).collect()]
+    assert set(got) == set(want)
+
+
+def test_rebuild_crash_mid_swap_resumes(spark, tmp_path, monkeypatch):
+    from bambooai_spark.operators import vector_store as vs
+    from bambooai_spark.operators import writer as w
+
+    path = str(tmp_path / "vstore")
+    base = _emb(spark).select("vec_id", "embedding")
+    meta = write_vector_corpus(base, path, n_cells=8)
+    n0 = base.count()
+    append_vector_corpus(_shifted(spark, 10_000, 10_000 + n0), path)
+
+    # crash INSIDE the swap: after staging + flag, before unhide
+    real_unhide = w._unhide_swapped
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before unhide")
+
+    monkeypatch.setattr(w, "_unhide_swapped", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        vs.rebuild_vector_store(spark, path)
+    monkeypatch.setattr(w, "_unhide_swapped", real_unhide)
+
+    # readers refuse loudly mid-swap
+    with pytest.raises(RuntimeError, match="mid-rebuild"):
+        query_vector_corpus(spark, path, [0.0] * meta["dim"], k=1)
+    with pytest.raises(RuntimeError, match="mid-rebuild"):
+        append_vector_corpus(_shifted(spark, 99_000, 99_001), path)
+
+    # re-running resumes and completes the swap
+    new_meta = vs.rebuild_vector_store(spark, path)
+    assert new_meta["rebuild_gen"] == 1
+    from bambooai_spark.operators.vector_store import vector_store_skew
+
+    sk = vector_store_skew(spark, path)
+    assert sk["rows"] == 2 * n0
+    # store fully functional again
+    qv = stored_vector(spark, path, 0)
+    assert query_vector_corpus(
+        spark, path, qv, k=3, nprobe=meta["n_cells"]
+    ).count() == 3
+
+
+def test_refresh_survives_rebuild(spark, tmp_path):
+    """The incremental-refresh lifecycle continues across a retrain:
+    the rebuild carries the corpus watermark, and the next refresh
+    appends against the NEW pinned centroids."""
+    from bambooai_spark.operators.vector_store import (
+        rebuild_vector_store,
+        refresh_vector_store,
+        set_corpus_watermark,
+    )
+    from bambooai_spark.operators.writer import append_corpus_txn
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "vstore")
+    e = _emb(spark).withColumn(
+        "lang", F.when(F.col("vec_id") % 2 == 0, "en").otherwise("de")
+    ).withColumn("text", F.concat(F.lit("doc "), F.col("vec_id")))
+    docs = e.select(
+        F.col("vec_id").alias("doc_id"), "lang", "text", "embedding"
+    )
+    append_corpus_txn(docs.filter("doc_id % 2 = 0"), corpus, 0)
+
+    def embed(changes):
+        return changes.select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        )
+
+    write_vector_corpus(
+        embed(__import__("bambooai_spark.operators.writer",
+                         fromlist=["read_corpus"]).read_corpus(spark, corpus)),
+        store, n_cells=4,
+    )
+    set_corpus_watermark(spark, store, 0)
+
+    append_corpus_txn(docs.filter("doc_id % 2 = 1"), corpus, 1)
+    out = refresh_vector_store(spark, corpus, store, embed)
+    assert out["watermark"] == 1 and out["n_new"] > 0
+
+    meta = rebuild_vector_store(spark, store)
+    assert meta["corpus_watermark"] == 1  # carried across the retrain
+
+    append_corpus_txn(
+        docs.filter("doc_id % 2 = 1")
+        .withColumn("doc_id", F.col("doc_id") + 100_000)
+        .withColumn("text", F.concat(F.lit("new doc "), F.col("doc_id"))),
+        corpus, 2,
+    )
+    out2 = refresh_vector_store(spark, corpus, store, embed)
+    assert out2["watermark"] == 2 and out2["n_new"] > 0
+    # every vector is assigned under the CURRENT quantizer: a full
+    # probe returns exact brute-force answers over the whole store
+    qv = stored_vector(spark, store, 0)
+    got = query_vector_corpus(
+        spark, store, qv, k=5, nprobe=meta["n_cells"], exclude_id=0
+    )
+    assert got.count() == 5
