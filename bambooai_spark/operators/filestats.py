@@ -64,10 +64,13 @@ from pyspark.sql import functions as F
 STATS_DIR = "_filestats"
 CONFIG_NAME = "_CONFIG.json"
 BLOOM_NAME = "_BLOOM.json"
+QUERYLOG_NAME = "_QUERYLOG.json"
 # every non-delta file living in _filestats/ — _iter_stats_files (and so
 # the consolidation passes that DELETE unlisted docs) must exempt each;
 # a config missing from this set self-destructs at the next compaction
-_CONFIG_FILES = (CONFIG_NAME, BLOOM_NAME)
+_CONFIG_FILES = (CONFIG_NAME, BLOOM_NAME, QUERYLOG_NAME)
+# bounded ring of recorded read predicates (advisor economics)
+_QUERYLOG_MAX = 32
 
 # dtype.typeName() → comparison category; anything else is not prunable.
 # "ts" (session-tz timestamps) prunes only when the read session's
@@ -1004,6 +1007,54 @@ def _entry_alive(entry: dict, canon, session_tz: str | None) -> bool:
         except (ValueError, TypeError, InvalidOperation):
             continue  # corrupt bound — read the file
     return True
+
+
+def record_read_sample(
+    spark: SparkSession, path: str, preds, n_kept: int
+) -> None:
+    """Best-effort query-mix telemetry (VERDICT r8 #7): fold one
+    ``read_corpus(where=<triples>)`` observation into a bounded ring at
+    ``_filestats/_QUERYLOG.json`` — per predicate signature, how often
+    it runs and how many files its last run actually scanned. The
+    advisor reports scan fractions from this so ``cluster_by``/Z-order
+    changes are driven by the measured query mix instead of guesses.
+
+    NEVER raises and never blocks a read: a reader with read-only
+    credentials, a concurrent swap race, or a torn log all just skip
+    the sample (telemetry, not bookkeeping — losses are acceptable)."""
+    try:
+        sig_preds = [
+            [c, op, [_ser(x) for x in v] if op == "in" else _ser(v)]
+            for c, op, v in preds
+        ]
+        sig = json.dumps(sig_preds, sort_keys=True)
+        lpath = _join(_join(path, STATS_DIR), QUERYLOG_NAME)
+        doc = _read_config(spark, lpath) or {}
+        samples = doc.get("samples") or {}
+        ent = samples.pop(sig, None) or {"preds": sig_preds, "n_reads": 0}
+        ent["n_reads"] = int(ent.get("n_reads") or 0) + 1
+        ent["last_kept"] = int(n_kept)
+        samples[sig] = ent  # re-insert: dict order is the LRU ring
+        while len(samples) > _QUERYLOG_MAX:
+            samples.pop(next(iter(samples)))
+        _replace_config(
+            spark, lpath, json.dumps({"samples": samples})
+        )
+    except Exception:  # noqa: BLE001, S110 - telemetry must never fail a read
+        pass
+
+
+def read_query_log(spark: SparkSession, path: str) -> list[dict]:
+    """The recorded read samples, most-read first: ``[{"preds", "n_reads",
+    "last_kept"}, ...]`` (empty when nothing recorded)."""
+    doc = _read_config(
+        spark, _join(_join(path, STATS_DIR), QUERYLOG_NAME)
+    )
+    samples = (doc or {}).get("samples") or {}
+    return sorted(
+        samples.values(),
+        key=lambda e: -int(e.get("n_reads") or 0),
+    )
 
 
 def stats_coverage(spark: SparkSession, path: str) -> dict | None:

@@ -22,6 +22,8 @@ slow" is too late.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession
 
 from bambooai_spark.operators.writer import (
@@ -249,6 +251,49 @@ def suggest_maintenance(
                 "deltas — selective reads prune single-threaded on the "
                 "driver instead of as a Spark job",
             )
+        # query-mix economics (VERDICT r8 #7): the recorded read samples
+        # say what fraction of the live files each frequent predicate
+        # actually scanned — the data for cluster_by/Z-order decisions.
+        # Report-only: physical re-layout stays a human call.
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            read_query_log,
+        )
+
+        qlog = read_query_log(spark, path)
+        if qlog and cov["live"]:
+            tops = qlog[:3]
+            frac = {
+                json.dumps(e["preds"]): min(
+                    1.0, e.get("last_kept", 0) / cov["live"]
+                )
+                for e in tops
+            }
+            detail = "; ".join(
+                f"{p} x{e['n_reads']}: reads "
+                f"{min(1.0, e.get('last_kept', 0) / cov['live']):.0%} "
+                "of live files"
+                for p, e in zip(frac, tops)
+            )
+            hot = [
+                e for e in tops
+                if e.get("n_reads", 0) >= 3
+                and e.get("last_kept", 0) / cov["live"] > 0.6
+            ]
+            if hot:
+                cols = sorted({
+                    p[0] for e in hot for p in e["preds"]
+                })
+                add(
+                    "query_mix", "warn",
+                    f"compact_corpus(..., cluster_by={tuple(cols)}) or "
+                    "enable_file_stats on those columns  # re-layout is "
+                    "a human call, not auto-executed",
+                    f"frequent predicates scan >60% of live files — "
+                    f"{detail}",
+                )
+            else:
+                add("query_mix", "ok", "none", detail)
+
         uncovered = cov["live"] - cov["covered"]
         if uncovered:
             add(
@@ -473,6 +518,14 @@ def auto_maintain(
                     "corpus's near_dup_opts (policy not auto-executed)",
                 )
             )
+    if "query_mix" in advice and advice["query_mix"]["severity"] == "warn":
+        rows.append(
+            (
+                "recluster", False,
+                "query_mix reported — " + advice["query_mix"]["detail"]
+                + " (re-layout is a human call, not auto-executed)",
+            )
+        )
 
     return spark.createDataFrame(
         rows, "action string, executed boolean, detail string"

@@ -1340,6 +1340,7 @@ def append_corpus_txn(
             "columns": sorted(new_docs.columns),
             "schema": schema_json,
             "delta": [],
+            "lease_owner": getattr(lease, "owner", None),
         }
         _lease_ensure(lease)
         _fs_write_text_atomic(spark, marker, json.dumps(info, default=str))
@@ -1405,6 +1406,9 @@ def append_corpus_txn(
         "schema": schema_json,
         "delta": delta,
         "file_stats": file_stats,
+        # dual-writer forensics (validate_corpus deep): who committed
+        # this batch, under the advisory lease contract
+        "lease_owner": getattr(lease, "owner", None),
     }
     _fs_write_text_atomic(spark, staged_flag, json.dumps(info, default=str))
     _lease_ensure(lease)
@@ -2458,6 +2462,14 @@ def read_corpus(
         dir_ok=None if as_of_batch is not None else _dir_pruner(preds, schema),
     )
     keep = _stats_prune(spark, path, keep, schema, preds)
+    if preds and as_of_batch is None:
+        # query-mix telemetry for the advisor's clustering economics
+        # (best-effort, never raises — see record_read_sample)
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            record_read_sample,
+        )
+
+        record_read_sample(spark, path, preds, len(keep))
 
     if not keep:
         if schema is not None:
@@ -2984,6 +2996,13 @@ def validate_corpus(
       ``_swap-*`` files with NO frozen compaction/delete to account for
       them: should never survive a completed swap. (A frozen txn APPEND
       does not mask this — appends never create swap files.)
+    - ``dual_writer``       (deep) — states unreachable under a single
+      writer: live files of more than one compaction generation, batch
+      files at/under the manifest floor, or files inside a committed
+      batch its frozen marker never staged. The lease is ADVISORY on
+      local/S3A (see the README's deployment contract), so this is the
+      detection side for two writers that both missed it; the detail
+      names the lease owners the markers recorded.
     - ``manifest_rows``     (deep) — per-partition rows (and token sums,
       when the manifest carries them or ``token_col`` is given) in the
       manifest == a committed-snapshot recount (:func:`read_corpus`, so
@@ -3064,6 +3083,83 @@ def validate_corpus(
                 f"{len(hidden)} hidden swap files" if hidden else "none",
             )
         )
+
+        # dual-writer divergence (VERDICT r8 #6): the lease is ADVISORY
+        # on local/S3A — two writers that both missed it can interleave
+        # swaps. None of these states is reachable under a single
+        # writer, so any of them is hard evidence:
+        #   (a) live files of >1 compaction generation — a completed
+        #       compaction deletes every other generation's files;
+        #   (b) live b<id>- files at or below the manifest floor — the
+        #       maintenance op that raised the floor folded them;
+        #   (c) live files inside a committed batch that the batch's
+        #       frozen marker never staged (stats-configured corpora:
+        #       the marker's file_stats keys ARE the staged set).
+        live = _walk_files(spark, path)
+        live_bases = [f.rsplit("/", 1)[-1] for f in live]
+        cgens = set()
+        for b in live_bases:
+            if b.startswith("c"):
+                # compaction ids are uuid4-hex8 (key_prefix "c<id>-")
+                head, sep, _r = b[1:].partition("-")
+                if sep and head and head.isalnum():
+                    cgens.add(head)
+        floor = (doc or {}).get("as_of_floor")
+        under_floor = sorted({
+            bid for b in live_bases
+            if (bid := _txn_batch_of(b)) is not None
+            and bid.isdigit() and floor is not None
+            and int(bid) <= int(floor)
+        })
+        foreign: list[str] = []
+        owners: set[str] = set()
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            _rel_key,
+            qualified_root,
+        )
+
+        qroot = qualified_root(spark, path)
+        for bid, _st in _iter_commit_markers(spark, path):
+            try:
+                minfo = json.loads(_fs_read_text(
+                    spark, _join(path, f"{COMMITS_DIR}/batch-{bid}.json")
+                ))
+            except ValueError:
+                continue
+            if minfo.get("lease_owner"):
+                owners.add(str(minfo["lease_owner"]))
+            staged_keys = set(
+                ((minfo.get("file_stats") or {}).get("files") or {})
+            )
+            if not staged_keys:
+                continue
+            got = {
+                k for f in live
+                if (k := _rel_key(f, qroot)) is not None
+                and _txn_batch_of(k.rsplit("/", 1)[-1]) == bid
+            }
+            foreign.extend(sorted(got - staged_keys))
+        problems = []
+        if len(cgens) > 1:
+            problems.append(
+                f"{len(cgens)} live compaction generations {sorted(cgens)}"
+            )
+        if under_floor:
+            problems.append(
+                f"batch files at/under floor {floor}: {under_floor[:3]}"
+            )
+        if foreign:
+            problems.append(
+                f"{len(foreign)} files inside committed batches their "
+                f"markers never staged (e.g. {foreign[:2]})"
+            )
+        detail_dw = "none"
+        if problems:
+            detail_dw = "; ".join(problems) + (
+                f" — marker lease owners seen: {sorted(owners)}"
+                if owners else " — no lease owners recorded"
+            )
+        rows.append(("dual_writer", not problems, detail_dw))
 
         try:
             # committed-snapshot read: a concurrent mid-commit append's

@@ -322,3 +322,78 @@ def test_unconsolidated_above_threshold_flagged(spark, tmp_path):
         assert "stats_unconsolidated" not in adv2
     finally:
         spark.conf.unset(key)
+
+
+def test_query_log_drives_clustering_advice(spark, tmp_path):
+    """read_corpus(where=) records its predicate + scanned-file count in
+    a bounded ring; the advisor reports measured read fractions and
+    warns (report-only) when a frequent predicate scans most of the
+    corpus — the data-driven cluster_by signal (VERDICT r8 #7)."""
+    from bambooai_spark.operators.filestats import read_query_log
+    from bambooai_spark.operators.maintenance import auto_maintain
+    from bambooai_spark.operators.writer import read_corpus, write_corpus
+
+    out = str(tmp_path / "corpus")
+    d = _docs(spark).withColumn(
+        "n_chars", F.length("text").cast("long")
+    )
+    # clustered+stat'd on n_chars, but the WORKLOAD filters on doc_id —
+    # every read scans ~everything
+    write_corpus(d, out, partition_by=("lang",), cluster_by=("n_chars",),
+                 max_records_per_file=5)
+    for _ in range(3):
+        read_corpus(spark, out, where=[("doc_id", ">=", 0)]).count()
+    log = read_query_log(spark, out)
+    assert log and log[0]["n_reads"] == 3
+    assert log[0]["preds"] == [["doc_id", ">=", 0]]
+    assert log[0]["last_kept"] > 0
+
+    adv = _by_check(suggest_maintenance(spark, out))
+    assert adv["query_mix"]["severity"] == "warn"
+    assert "doc_id" in adv["query_mix"]["recommendation"]
+    assert "%" in adv["query_mix"]["detail"]
+
+    # report-only in auto_maintain: surfaced, never executed
+    res = {r["action"]: r for r in auto_maintain(spark, out).collect()}
+    assert "recluster" in res and not res["recluster"]["executed"]
+
+    # a selective predicate on the CLUSTERED column reads a small
+    # fraction and stays ok
+    out2 = str(tmp_path / "c2")
+    write_corpus(d, out2, partition_by=("lang",), cluster_by=("n_chars",),
+                 max_records_per_file=5)
+    lo = d.agg(F.min("n_chars")).first()[0]
+    for _ in range(3):
+        read_corpus(spark, out2, where=[("n_chars", "==", lo)]).count()
+    adv2 = _by_check(suggest_maintenance(spark, out2))
+    assert adv2["query_mix"]["severity"] == "ok"
+
+
+def test_query_log_ring_is_bounded_and_never_blocks(spark, tmp_path):
+    from bambooai_spark.operators.filestats import (
+        _QUERYLOG_MAX,
+        read_query_log,
+        record_read_sample,
+    )
+    from bambooai_spark.operators.writer import read_corpus, write_corpus
+
+    out = str(tmp_path / "corpus")
+    d = _docs(spark)
+    write_corpus(d, out, partition_by=("lang",))
+    for i in range(_QUERYLOG_MAX + 8):
+        record_read_sample(spark, out, [("doc_id", "==", i)], 1)
+    log = read_query_log(spark, out)
+    assert len(log) == _QUERYLOG_MAX
+    # the oldest signatures were evicted (LRU ring)
+    assert all(e["preds"][0][2] >= 8 for e in log)
+
+    # a reader that cannot write bookkeeping still reads fine
+    import os as _os
+    sdir = os.path.join(out, "_filestats")
+    _os.makedirs(sdir, exist_ok=True)
+    _os.chmod(sdir, 0o555)
+    try:
+        got = read_corpus(spark, out, where=[("doc_id", ">=", 0)])
+        assert got.count() == d.count()
+    finally:
+        _os.chmod(sdir, 0o755)

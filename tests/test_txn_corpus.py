@@ -1474,3 +1474,98 @@ def test_validate_corpus(spark, tmp_path, monkeypatch):
     v4 = {r["check"]: r.asDict() for r in validate_corpus(spark, out, deep=True).collect()}
     assert not v4["ledger"]["ok"]
     assert "missing=" in v4["ledger"]["detail"]
+
+
+def test_validate_detects_dual_writer_divergence(spark, tmp_path):
+    """The lease is advisory on local/S3A: two writers that both miss it
+    can interleave swaps. validate_corpus(deep=True)'s dual_writer check
+    flags each state only an interleaved second writer can produce
+    (VERDICT r8 #6)."""
+    import shutil
+
+    from bambooai_spark.operators.filestats import enable_file_stats
+    from bambooai_spark.operators.lease import corpus_lease
+    from bambooai_spark.operators.writer import (
+        compact_corpus,
+        validate_corpus,
+    )
+
+    def deep(out):
+        return {
+            r["check"]: r.asDict()
+            for r in validate_corpus(spark, out, deep=True).collect()
+        }
+
+    # healthy corpus (stats-configured, leased commits) → green
+    out = str(tmp_path / "corpus")
+    enable_file_stats(spark, out, ["doc_id"])
+    lease = corpus_lease(spark, out, owner="writer-A").acquire()
+    append_corpus_txn(_docs(spark, 0, 20), out, 0, lease=lease)
+    append_corpus_txn(_docs(spark, 20, 40), out, 1, lease=lease)
+    lease.release()
+    v = deep(out)
+    assert v["dual_writer"]["ok"], v["dual_writer"]
+
+    # (c) a second writer's file lands inside committed batch 1 — the
+    # marker's staged set does not know it
+    victim_dir = None
+    foreign = None
+    for root, _dirs, files in os.walk(out):
+        if "/_" in root or root.rsplit("/", 1)[-1].startswith("_"):
+            continue
+        for f in files:
+            if f.startswith("b1-") and f.endswith(".parquet"):
+                victim_dir, src = root, os.path.join(root, f)
+                foreign = os.path.join(root, "b1-writerB-" + f[3:])
+                shutil.copyfile(src, foreign)
+                break
+        if foreign:
+            break
+    assert foreign is not None
+    v = deep(out)
+    assert not v["dual_writer"]["ok"]
+    assert "never staged" in v["dual_writer"]["detail"]
+    assert "writer-A" in v["dual_writer"]["detail"]  # forensics
+    os.remove(foreign)
+    crc = os.path.join(victim_dir, "." + os.path.basename(foreign) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert deep(out)["dual_writer"]["ok"]
+
+    # (a) two live compaction generations: fake a survivor of an older
+    # compaction a completed newer one should have deleted
+    compact_corpus(spark, out, partition_by=("lang",))
+    cfile = None
+    for root, _dirs, files in os.walk(out):
+        if "/_" in root or root.rsplit("/", 1)[-1].startswith("_"):
+            continue
+        for f in files:
+            if f.startswith("c") and f.endswith(".parquet"):
+                cfile = os.path.join(root, f)
+                break
+        if cfile:
+            break
+    assert cfile is not None
+    stale = os.path.join(
+        os.path.dirname(cfile),
+        "cdeadbee7-" + os.path.basename(cfile).partition("-")[2],
+    )
+    shutil.copyfile(cfile, stale)
+    v = deep(out)
+    assert not v["dual_writer"]["ok"]
+    assert "compaction generations" in v["dual_writer"]["detail"]
+    os.remove(stale)
+    crc = os.path.join(
+        os.path.dirname(stale), "." + os.path.basename(stale) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    # (b) a batch file at/under the manifest floor: resurrect one the
+    # compaction folded (its attribution is gone — only an interleaved
+    # writer could have put it back)
+    under = os.path.join(os.path.dirname(cfile), "b0-zombie.parquet")
+    shutil.copyfile(cfile, under)
+    v = deep(out)
+    assert not v["dual_writer"]["ok"]
+    assert "floor" in v["dual_writer"]["detail"]
