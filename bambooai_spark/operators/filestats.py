@@ -649,12 +649,17 @@ def _merged_cache():
 
 
 def _load_file_stats_counted(
-    spark: SparkSession, path: str
+    spark: SparkSession, path: str, _snap=None
 ) -> tuple[dict[str, dict], int]:
     """(merged stats, unfolded-delta count), snapshot-cached. The merged
     dict includes the consolidated doc's entries (collected — this is
-    the DRIVER-side path; the distributed prune never calls it)."""
-    deltas, best, token = _stats_snapshot(spark, path)
+    the DRIVER-side path; the distributed prune never calls it).
+    ``_snap`` threads an already-taken :func:`_stats_snapshot` so
+    callers that listed ``_filestats/`` never pay a second listing
+    (on object stores each listing is paid RPCs)."""
+    deltas, best, token = (
+        _snap if _snap is not None else _stats_snapshot(spark, path)
+    )
     cache = _merged_cache()
     key = (qualified_root(spark, path), token)
     hit = cache.get(key)
@@ -795,14 +800,15 @@ def prune_with_stored_stats(
     canon = _canon_predicates(preds, schema)
     if not any(canon):
         return list(files), None
-    deltas, best, _token = _stats_snapshot(spark, path)
+    snap = _stats_snapshot(spark, path)
+    deltas, best, _token = snap
     if best is None and not deltas:
         return list(files), None
     root = qualified_root(spark, path)
     frame = tz_frame(spark)
     n_cons = int(best[1].get("n_entries") or 0) if best else 0
     if best is None or n_cons <= stats_prune_threshold(spark):
-        merged, _n = _load_file_stats_counted(spark, path)
+        merged, _n = _load_file_stats_counted(spark, path, _snap=snap)
         return (
             prune_files(
                 files, merged, preds, schema, root=root, session_tz=frame
@@ -813,15 +819,6 @@ def prune_with_stored_stats(
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.types import BooleanType  # noqa: PLC0415
 
-    sdf = _read_consolidated(spark, best[0])
-    delta_entries = _parse_delta_entries(spark, path, [d[0] for d in deltas])
-    if delta_entries:
-        sdf = sdf.unionByName(
-            spark.createDataFrame(
-                [(k, json.dumps(e)) for k, e in delta_entries.items()],
-                _CONS_SCHEMA,
-            )
-        )
     ctx = spark.sparkContext.broadcast((canon, frame))
 
     def _dead_fn(entries):
@@ -836,11 +833,40 @@ def prune_with_stored_stats(
     _dead_fn.__annotations__ = {"entries": pd.Series, "return": pd.Series}
     _dead = F.pandas_udf(_dead_fn, BooleanType())
 
-    # collect only the PRUNED keys: bounded by the stats row count, the
-    # same driver-cost class as the file listing the read already paid
-    dead = {
-        r[0] for r in sdf.where(_dead(F.col("entry"))).select("key").collect()
-    }
+    try:
+        # the guarded region starts at the parquet READ: spark.read
+        # analyzes eagerly, so a doc deleted between the snapshot and
+        # here throws at construction, not just at collect
+        sdf = _read_consolidated(spark, best[0])
+        delta_entries = _parse_delta_entries(
+            spark, path, [d[0] for d in deltas]
+        )
+        if delta_entries:
+            sdf = sdf.unionByName(
+                spark.createDataFrame(
+                    [(k, json.dumps(e)) for k, e in delta_entries.items()],
+                    _CONS_SCHEMA,
+                )
+            )
+        # collect only the PRUNED keys: bounded by the stats row count,
+        # the same driver-cost class as the listing the read already paid
+        dead = {
+            r[0]
+            for r in sdf.where(_dead(F.col("entry"))).select("key").collect()
+        }
+    except Exception:  # noqa: BLE001
+        # the consolidated doc can vanish mid-read (a concurrent
+        # consolidation/compaction published a successor and deleted this
+        # version) — the same anticipated race the memory tier degrades
+        # gracefully on. Re-snapshot and take the memory tier, whose own
+        # torn-doc guard keeps the read alive (files just are not pruned).
+        merged, _n = _load_file_stats_counted(spark, path)
+        return (
+            prune_files(
+                files, merged, preds, schema, root=root, session_tz=frame
+            ),
+            "memory",
+        )
     if not dead:
         return list(files), "distributed"
     return (
@@ -1021,8 +1047,22 @@ def record_read_sample(
 
     NEVER raises and never blocks a read: a reader with read-only
     credentials, a concurrent swap race, or a torn log all just skip
-    the sample (telemetry, not bookkeeping — losses are acceptable)."""
+    the sample (telemetry, not bookkeeping — losses are acceptable).
+
+    Cost-bounded (review r9): records ONLY on corpora that opted into
+    the skipping layer (a stats config exists — the advisor's
+    clustering economics apply exactly there), so a plain corpus never
+    grows a ``_filestats/`` it didn't ask for and a high-QPS read
+    service on an unconfigured corpus pays nothing. Disable entirely
+    with ``spark.bambooai.queryLog.enabled=false``."""
     try:
+        if (
+            str(
+                spark.conf.get("spark.bambooai.queryLog.enabled", "true")
+            ).lower() == "false"
+            or stats_config(spark, path) is None
+        ):
+            return
         sig_preds = [
             [c, op, [_ser(x) for x in v] if op == "in" else _ser(v)]
             for c, op, v in preds
@@ -1067,8 +1107,9 @@ def stats_coverage(spark: SparkSession, path: str) -> dict | None:
 
     if stats_config(spark, path) is None:
         return None
-    stats, n_deltas = _load_file_stats_counted(spark, path)
-    _deltas, best, _token = _stats_snapshot(spark, path)
+    snap = _stats_snapshot(spark, path)
+    _deltas, best, _token = snap
+    stats, n_deltas = _load_file_stats_counted(spark, path, _snap=snap)
     qroot = qualified_root(spark, path)
     live = {_rel_key(f, qroot) for f in _walk_files(spark, path)}
     live.discard(None)
@@ -1083,6 +1124,13 @@ def stats_coverage(spark: SparkSession, path: str) -> dict | None:
         "consolidated_version": (
             int(best[1].get("version") or 0) if best else None
         ),
+        # distinct collect-time wall-clock frames across entries: a frame
+        # differing from the read session's tz_frame() silently disables
+        # "ts" pruning on those entries (conservative keep) — the advisor
+        # flags it so rebuild_file_stats is the visible heal
+        "tz_frames": sorted({
+            str(e.get("_tz")) for e in stats.values()
+        }) if stats else [],
     }
 
 

@@ -262,17 +262,11 @@ def suggest_maintenance(
         qlog = read_query_log(spark, path)
         if qlog and cov["live"]:
             tops = qlog[:3]
-            frac = {
-                json.dumps(e["preds"]): min(
-                    1.0, e.get("last_kept", 0) / cov["live"]
-                )
-                for e in tops
-            }
             detail = "; ".join(
-                f"{p} x{e['n_reads']}: reads "
+                f"{json.dumps(e['preds'])} x{e['n_reads']}: reads "
                 f"{min(1.0, e.get('last_kept', 0) / cov['live']):.0%} "
                 "of live files"
-                for p, e in zip(frac, tops)
+                for e in tops
             )
             hot = [
                 e for e in tops
@@ -293,6 +287,44 @@ def suggest_maintenance(
                 )
             else:
                 add("query_mix", "ok", "none", detail)
+
+        # stale wall-clock frames (review r9): entries collected under a
+        # different session-tz/OS-zone frame never prune "ts" predicates
+        # (conservative keep) — correct but a silent full-scan regression
+        # on timestamp-selective reads; a config with a timestamp column
+        # deserves the visible heal
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            _category,
+            stats_config,
+            tz_frame,
+        )
+        from bambooai_spark.operators.writer import (  # noqa: PLC0415
+            _stored_schema,
+        )
+
+        cur_frame = tz_frame(spark)
+        stale_frames = [
+            f for f in cov.get("tz_frames", []) if f != cur_frame
+        ]
+        if stale_frames:
+            stored = _stored_schema(spark, path)
+            by_name = (
+                {fl.name: fl.dataType for fl in stored.fields}
+                if stored is not None else {}
+            )
+            has_ts_stats = any(
+                c in by_name and _category(by_name[c]) == "ts"
+                for c in (stats_config(spark, path) or [])
+            )
+            if has_ts_stats:
+                add(
+                    "stats_tz_frames", "info",
+                    "rebuild_file_stats(spark, path)",
+                    f"{len(stale_frames)} stats frame(s) differ from this "
+                    f"session's ({cur_frame!r}) — timestamp predicates "
+                    "conservatively stop pruning those entries until a "
+                    "rebuild re-collects them in the current frame",
+                )
 
         uncovered = cov["live"] - cov["covered"]
         if uncovered:

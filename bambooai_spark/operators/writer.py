@@ -553,6 +553,20 @@ def write_corpus(
         df = _cluster(
             df, partition_by, cluster_by, num_tasks, cluster_strategy
         )
+    stats_cols = tuple(stats_by) if stats_by is not None else tuple(cluster_by)
+    if stats_by is None and not stats_cols and mode == "append":
+        # same contract as blooms: an append into a stats-configured
+        # corpus keeps the recorded stats columns current rather than
+        # leaving this write's files invisible to pruning. (An EXPLICIT
+        # stats_by=() stays a disable — the documented opt-out.)
+        stats_cols = tuple(stats_config(df.sparkSession, path) or ())
+    pre_files: set[str] = set()
+    if stats_cols and mode == "append":
+        # this write's files = post-listing minus pre-listing: the append
+        # delta must cover ONLY them (a full rebuild here would be an
+        # O(corpus) scan per append AND would delete the consolidated
+        # parquet doc — review r9)
+        pre_files = set(_walk_files(df.sparkSession, path))
     writer = df.write.mode(mode)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
@@ -593,13 +607,29 @@ def write_corpus(
         as_of_floor=(prior_doc or {}).get("as_of_floor"),
         schema_json=schema_json,
     )
-    stats_cols = tuple(stats_by) if stats_by is not None else tuple(cluster_by)
-    if not stats_cols and mode == "append":
-        # same contract as blooms: an append into a stats-configured
-        # corpus keeps the recorded stats columns current rather than
-        # leaving this write's files invisible to pruning
-        stats_cols = tuple(stats_config(df.sparkSession, path) or ())
-    if stats_cols:
+    if stats_cols and mode == "append":
+        import uuid as _uuid  # noqa: PLC0415
+
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            collect_file_stats,
+            enable_file_stats,
+            write_stats_delta,
+        )
+
+        if stats_config(df.sparkSession, path) is None:
+            enable_file_stats(df.sparkSession, path, stats_cols)
+        new_files = sorted(
+            set(_walk_files(df.sparkSession, path)) - pre_files
+        )
+        if new_files:
+            write_stats_delta(
+                df.sparkSession, path,
+                f"append-{_uuid.uuid4().hex[:8]}",
+                collect_file_stats(
+                    df.sparkSession, path, stats_cols, files=new_files
+                ),
+            )
+    elif stats_cols:
         from bambooai_spark.operators.filestats import (  # noqa: PLC0415
             rebuild_file_stats,
         )
@@ -2997,12 +3027,14 @@ def validate_corpus(
       them: should never survive a completed swap. (A frozen txn APPEND
       does not mask this — appends never create swap files.)
     - ``dual_writer``       (deep) — states unreachable under a single
-      writer: live files of more than one compaction generation, batch
-      files at/under the manifest floor, or files inside a committed
-      batch its frozen marker never staged. The lease is ADVISORY on
-      local/S3A (see the README's deployment contract), so this is the
-      detection side for two writers that both missed it; the detail
-      names the lease owners the markers recorded.
+      writer: live files of more than one compaction generation, or
+      files inside a committed batch its frozen marker never staged.
+      (Batch files at/under the manifest floor are NOT evidence — a
+      selective delete legitimately leaves unaffected b-files of the
+      floor batch live.) The lease is ADVISORY on local/S3A (see the
+      README's deployment contract), so this is the detection side for
+      two writers that both missed it; the detail names the lease
+      owners the markers recorded.
     - ``manifest_rows``     (deep) — per-partition rows (and token sums,
       when the manifest carries them or ``token_col`` is given) in the
       manifest == a committed-snapshot recount (:func:`read_corpus`, so
@@ -3086,15 +3118,17 @@ def validate_corpus(
 
         # dual-writer divergence (VERDICT r8 #6): the lease is ADVISORY
         # on local/S3A — two writers that both missed it can interleave
-        # swaps. None of these states is reachable under a single
-        # writer, so any of them is hard evidence:
+        # swaps. Neither of these states is reachable under a single
+        # writer, so either is hard evidence:
         #   (a) live files of >1 compaction generation — a completed
         #       compaction deletes every other generation's files;
-        #   (b) live b<id>- files at or below the manifest floor — the
-        #       maintenance op that raised the floor folded them;
-        #   (c) live files inside a committed batch that the batch's
+        #   (b) live files inside a committed batch that the batch's
         #       frozen marker never staged (stats-configured corpora:
         #       the marker's file_stats keys ARE the staged set).
+        # NOT evidence: b<id>- files at/under the manifest floor — a
+        # SELECTIVE delete raises the floor to the max AFFECTED batch id
+        # while legitimately leaving untouched b-files of that batch (and
+        # lower) live, so that state occurs under a single writer.
         live = _walk_files(spark, path)
         live_bases = [f.rsplit("/", 1)[-1] for f in live]
         cgens = set()
@@ -3104,13 +3138,6 @@ def validate_corpus(
                 head, sep, _r = b[1:].partition("-")
                 if sep and head and head.isalnum():
                     cgens.add(head)
-        floor = (doc or {}).get("as_of_floor")
-        under_floor = sorted({
-            bid for b in live_bases
-            if (bid := _txn_batch_of(b)) is not None
-            and bid.isdigit() and floor is not None
-            and int(bid) <= int(floor)
-        })
         foreign: list[str] = []
         owners: set[str] = set()
         from bambooai_spark.operators.filestats import (  # noqa: PLC0415
@@ -3143,10 +3170,6 @@ def validate_corpus(
         if len(cgens) > 1:
             problems.append(
                 f"{len(cgens)} live compaction generations {sorted(cgens)}"
-            )
-        if under_floor:
-            problems.append(
-                f"batch files at/under floor {floor}: {under_floor[:3]}"
             )
         if foreign:
             problems.append(

@@ -1510,3 +1510,116 @@ def test_distributed_prune_bounded_driver_100k_entries(spark, tmp_path):
         live, merged, [("x", ">=", 500_000), ("x", "<", 500_200)],
         schema, root=qroot,
     )) <= 21
+
+
+def test_distributed_prune_race_falls_back_to_memory(
+    spark, tmp_path, _threshold_zero, monkeypatch
+):
+    """A consolidated doc deleted mid-read (a concurrent fold published
+    a successor) must degrade to the memory tier's conservative path,
+    never fail the read (review r9)."""
+    from bambooai_spark.operators import filestats as fsmod
+    from bambooai_spark.operators.filestats import (
+        consolidate_file_stats,
+        prune_with_stored_stats,
+    )
+
+    out = str(tmp_path / "corpus")
+    write_corpus(
+        _chars_docs(spark, 0, 100), out, partition_by=("lang",),
+        cluster_by=("n_chars",), max_records_per_file=10,
+    )
+    consolidate_file_stats(spark, out)
+    schema = _corpus_manifest_schema(out)
+    live = [os.path.join(out, k) for k in _live_keys(out)]
+
+    real = fsmod._read_consolidated
+    state = {"raced": False}
+
+    def race_once(sp, dirpath):
+        if not state["raced"]:
+            state["raced"] = True
+            # the successor's cleanup won the race (Hadoop-qualified URI)
+            writer._fs_delete(sp, dirpath)
+        return real(sp, dirpath)
+
+    monkeypatch.setattr(fsmod, "_read_consolidated", race_once)
+    kept, strategy = prune_with_stored_stats(
+        spark, out, live, [("n_chars", ">=", 0)], schema
+    )
+    assert state["raced"]
+    assert strategy == "memory"  # degraded, not dead
+    # conservative: with the doc gone and no deltas, nothing prunes
+    assert set(kept) == set(live)
+    # and the real read still answers exactly
+    monkeypatch.setattr(fsmod, "_read_consolidated", real)
+    got = read_corpus(spark, out, where=[("n_chars", ">=", 0)])
+    assert got.count() == 100
+
+
+def test_write_corpus_append_writes_delta_not_rebuild(spark, tmp_path):
+    """A plain write_corpus(mode='append') into a stats-configured
+    corpus collects stats for ONLY its own files (one bounded delta) —
+    never an O(corpus) rebuild, and never the consolidated doc's
+    destruction (review r9). An explicit stats_by=() stays a disable."""
+    from bambooai_spark.operators.filestats import (
+        _stats_snapshot,
+        consolidate_file_stats,
+        stats_coverage,
+    )
+
+    out = str(tmp_path / "corpus")
+    write_corpus(
+        _chars_docs(spark, 0, 100), out, partition_by=("lang",),
+        cluster_by=("n_chars",), max_records_per_file=10,
+    )
+    consolidate_file_stats(spark, out)
+    _d0, best0, _t0 = _stats_snapshot(spark, out)
+    assert best0 is not None
+
+    write_corpus(_chars_docs(spark, 100, 140), out, mode="append")
+    deltas, best, _tok = _stats_snapshot(spark, out)
+    assert best is not None and best[0] == best0[0]  # doc SURVIVED
+    assert len(deltas) == 1 and deltas[0][0].startswith("append-")
+    cov = stats_coverage(spark, out)
+    assert cov["covered"] == cov["live"]  # new files covered too
+    got = read_corpus(spark, out, where=[("n_chars", ">=", 0)])
+    assert got.count() == 140
+
+    # the documented explicit opt-out is honored on append
+    write_corpus(_chars_docs(spark, 140, 150), out, mode="append",
+                 stats_by=())
+    deltas2, _b, _t = _stats_snapshot(spark, out)
+    assert len(deltas2) == 1  # no new delta collected
+
+
+def test_advisor_flags_stale_tz_frames(spark, tmp_path):
+    from bambooai_spark.operators.maintenance import suggest_maintenance
+
+    out = str(tmp_path / "corpus")
+    d = _docs(spark, 0, 60).withColumn(
+        "ts", F.to_timestamp(F.lit("2024-01-01 12:00:00"))
+        + F.make_interval(secs=F.col("doc_id"))
+    )
+    write_corpus(d, out, partition_by=("lang",), stats_by=("ts",),
+                 max_records_per_file=10)
+    adv = {r["check"]: r for r in suggest_maintenance(spark, out).collect()}
+    assert "stats_tz_frames" not in adv  # same frame — quiet
+
+    # simulate stats collected by a driver in another frame
+    sdir = os.path.join(out, STATS_DIR)
+    for n in os.listdir(sdir):
+        if n.endswith(".json") and n not in ("_CONFIG.json", "_BLOOM.json",
+                                             "_QUERYLOG.json"):
+            p = os.path.join(sdir, n)
+            with open(p) as fh:
+                doc = json.load(fh)
+            doc["tz"] = "UTC|PST/PDT@28800"
+            with open(p, "w") as fh:
+                json.dump(doc, fh)
+            crc = os.path.join(sdir, f".{n}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+    adv2 = {r["check"]: r for r in suggest_maintenance(spark, out).collect()}
+    assert adv2["stats_tz_frames"]["severity"] == "info"
+    assert "rebuild_file_stats" in adv2["stats_tz_frames"]["recommendation"]

@@ -377,9 +377,15 @@ def test_query_log_ring_is_bounded_and_never_blocks(spark, tmp_path):
     )
     from bambooai_spark.operators.writer import read_corpus, write_corpus
 
+    from bambooai_spark.operators.filestats import enable_file_stats
+
     out = str(tmp_path / "corpus")
     d = _docs(spark)
     write_corpus(d, out, partition_by=("lang",))
+    # the log records only on stats-configured corpora (cost bound)
+    assert record_read_sample(spark, out, [("doc_id", "==", -1)], 1) is None
+    assert read_query_log(spark, out) == []
+    enable_file_stats(spark, out, ["doc_id"])
     for i in range(_QUERYLOG_MAX + 8):
         record_read_sample(spark, out, [("doc_id", "==", i)], 1)
     log = read_query_log(spark, out)

@@ -1561,11 +1561,23 @@ def test_validate_detects_dual_writer_divergence(spark, tmp_path):
     if os.path.exists(crc):
         os.remove(crc)
 
-    # (b) a batch file at/under the manifest floor: resurrect one the
-    # compaction folded (its attribution is gone — only an interleaved
-    # writer could have put it back)
-    under = os.path.join(os.path.dirname(cfile), "b0-zombie.parquet")
-    shutil.copyfile(cfile, under)
-    v = deep(out)
-    assert not v["dual_writer"]["ok"]
-    assert "floor" in v["dual_writer"]["detail"]
+    assert deep(out)["dual_writer"]["ok"]
+
+    # regression (review r9): a SELECTIVE delete raises the floor while
+    # legitimately leaving unaffected b-files of lower batches live —
+    # a single-writer state that must NOT read as divergence
+    out2 = str(tmp_path / "c2")
+    enable_file_stats(spark, out2, ["doc_id"])
+    append_corpus_txn(_docs(spark, 0, 20), out2, 0)
+    append_corpus_txn(_docs(spark, 20, 40), out2, 1)
+    from bambooai_spark.operators.writer import delete_from_corpus
+
+    delete_from_corpus(
+        spark, out2, F.col("doc_id") >= 30, partition_by=("lang",)
+    )
+    import json as _json
+
+    with open(os.path.join(out2, writer.MANIFEST_NAME)) as fh:
+        assert _json.load(fh).get("as_of_floor") is not None
+    v2 = deep(out2)
+    assert v2["dual_writer"]["ok"], v2["dual_writer"]
