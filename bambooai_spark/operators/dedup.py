@@ -1091,3 +1091,69 @@ def connected_components(
     e.unpersist()
     e0.unpersist()
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    centroids=None,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    assign: str = "numpy",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023, public
+    method): cluster the embeddings with a coarse quantizer, compare
+    ONLY within each cluster, and drop every document that has a
+    smaller-id same-cluster neighbor with cosine >= ``threshold``.
+    Returns the SURVIVORS (all input columns + their ``cell_col``).
+
+    The 100 TB story is the clustering bound: the pair join is
+    Σ_cell |cell|² instead of N² — exactly why the published method
+    clusters first — and each cell's pairs co-locate under one shuffle
+    key. The drop rule is the pair rule, not a transitive closure: a
+    document is dropped iff ANY smaller same-cell id is similar, dropped
+    or not (the same orientation-free rule as the near-dup admission
+    gate's within-batch pass, and the published method's
+    keep-one-per-pair sweep — no iterative connectivity needed).
+
+    ``assign="numpy"`` uses the Arrow-batched vectorized assignment
+    (production); ``assign="exact"`` uses the engine-portable SQL
+    dot-product expansion with cell-id tie-break — pair it with
+    :func:`~bambooai_spark.operators.similarity.md5_centroids` and the
+    WHOLE pipeline (assign → block → pair rule → survivors) replays
+    hash-exact in DuckDB (the suite's ``semdedup_embeddings`` oracle).
+    ``centroids=None`` trains k-means on a bounded sample
+    (:func:`~bambooai_spark.operators.similarity.train_ivf_centroids`).
+    """
+    import numpy as np  # noqa: PLC0415
+
+    from bambooai_spark.operators.similarity import (  # noqa: PLC0415
+        ivf_assign,
+        ivf_assign_exact,
+        train_ivf_centroids,
+    )
+
+    if assign not in ("numpy", "exact"):
+        raise ValueError(f"assign must be numpy|exact, got {assign!r}")
+    if cell_col in df.columns:
+        raise ValueError(f"input already has a {cell_col!r} column")
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, n_cells=n_cells)
+    cents = [[float(x) for x in c] for c in np.asarray(centroids)]
+    if assign == "exact":
+        assigned = ivf_assign_exact(
+            df, id_col, vec_col, cents, out_col=cell_col
+        )
+    else:
+        assigned = ivf_assign(
+            df, vec_col, np.asarray(cents, dtype=np.float64),
+            out_col=cell_col,
+        )
+    pairs = embedding_near_dup(
+        assigned, id_col, vec_col, block_col=cell_col, threshold=threshold
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(drops, id_col, "left_anti")

@@ -3001,6 +3001,70 @@ def embedding_near_dup_pairs(spark, sf_dir):
     )
 
 
+_SEMD_COS = (
+    "list_dot_product(x.v, y.v)"
+    " / (sqrt(list_dot_product(x.v, x.v))"
+    " * sqrt(list_dot_product(y.v, y.v)))"
+)
+
+
+@spec(
+    "semdedup_embeddings",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (SELECT v AS cv, rn - 1 AS cell
+          FROM (SELECT vec_id, v,
+                       ROW_NUMBER() OVER (
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                FROM v)
+          WHERE rn <= 8),
+    a AS (SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                     list_dot_product(v.v, v.v)
+                     - 2 * list_dot_product(v.v, c.cv)
+                     + list_dot_product(c.cv, c.cv), c.cell) AS rn
+            FROM v CROSS JOIN c)
+          WHERE rn = 1),
+    pr AS (SELECT DISTINCT ay.vec_id AS ib
+           FROM a ax JOIN a ay
+             ON ay.cell = ax.cell AND ax.vec_id < ay.vec_id
+           JOIN v x ON x.vec_id = ax.vec_id
+           JOIN v y ON y.vec_id = ay.vec_id
+           WHERE {_SEMD_COS} >= 0.3)
+    SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell
+    FROM a WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.ib = a.vec_id)
+    ORDER BY a.vec_id
+    """,
+    headline=True,
+    doc="SemDeDup-style semantic dedup end-to-end (operators/dedup.py "
+    "semantic_dedup; Abbas et al. 2023, public method): coarse-quantize "
+    "the embeddings (8 md5-sampled centroids, exact argmin-L2 "
+    "assignment with cell tie-break), compare ONLY within each cell "
+    "(sum-of-cell-squared pairs, never N^2), drop every vector with a "
+    "smaller-id same-cell neighbor at cosine >= 0.3 (the synthetic "
+    "clusters top out at cos~0.47), return the survivors. The pair "
+    "rule, not transitive closure — the gate's orientation-free "
+    "within-batch rule. DuckDB replays assign -> block -> pair rule -> "
+    "survivor set hash-exact; production uses the Lloyd quantizer + "
+    "Arrow-batched assignment (assign='numpy', recall-tested).",
+)
+def semdedup_embeddings(spark, sf_dir):
+    from bambooai_spark.operators.dedup import semantic_dedup
+    from bambooai_spark.operators.similarity import md5_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        e, "vec_id", "embedding",
+        centroids=md5_centroids(e, "vec_id", "embedding", 8),
+        threshold=0.3, assign="exact",
+    )
+    return out.select(
+        "vec_id", F.col("cell").cast("long").alias("cell")
+    ).orderBy("vec_id")
+
+
 @spec(
     "chunk_docs",
     r"""
