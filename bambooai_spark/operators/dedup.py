@@ -1152,6 +1152,12 @@ def semantic_dedup(
             df, vec_col, np.asarray(cents, dtype=np.float64),
             out_col=cell_col,
         )
+    # the assignment lineage feeds BOTH legs of the self-join and the
+    # final anti-join — unpersisted it would recompute the (cross-join
+    # argmin / Arrow distance pass) three times per call (review r9);
+    # tracked so release_caches() reclaims it, as connected_components
+    # does for its reused edge frame
+    assigned = track(assigned.persist())
     pairs = embedding_near_dup(
         assigned, id_col, vec_col, block_col=cell_col, threshold=threshold
     )

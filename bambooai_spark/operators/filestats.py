@@ -617,7 +617,11 @@ def _parse_delta_entries(
     for name in delta_names:
         try:
             doc = json.loads(_fs_read_text(spark, _join(sroot, name)))
-        except ValueError:
+        except Exception:  # noqa: BLE001
+            # torn JSON (ValueError) or a delta a concurrent consolidation
+            # folded and DELETED between our listing and this read (the
+            # JVM read raises) — either way the conservative path is the
+            # same: those files just are not pruned
             continue
         tz = doc.get("tz")
         for k, entry in (doc.get("files") or {}).items():
@@ -794,31 +798,63 @@ def prune_with_stored_stats(
     is walked on the driver (snapshot-cached); above it the decision
     runs as ONE Spark job over the consolidated parquet doc plus the
     unfolded deltas — both tiers share :func:`_entry_alive`, so the
-    pruning decisions are identical by construction."""
+    pruning decisions are identical by construction.
+
+    Race-tolerant: a concurrent consolidation can delete the snapshotted
+    doc/deltas mid-read. Each attempt re-snapshots and re-picks the tier
+    (so the fallback NEVER collects a huge successor doc driver-side —
+    the O(entries) load the distributed tier exists to avoid); after two
+    losing races the read proceeds unpruned (sound — the residual filter
+    always applies)."""
     if not preds or not files:
         return list(files), None
     canon = _canon_predicates(preds, schema)
     if not any(canon):
         return list(files), None
-    snap = _stats_snapshot(spark, path)
-    deltas, best, _token = snap
-    if best is None and not deltas:
-        return list(files), None
     root = qualified_root(spark, path)
     frame = tz_frame(spark)
-    n_cons = int(best[1].get("n_entries") or 0) if best else 0
-    if best is None or n_cons <= stats_prune_threshold(spark):
-        merged, _n = _load_file_stats_counted(spark, path, _snap=snap)
+    for _attempt in range(2):
+        snap = _stats_snapshot(spark, path)
+        deltas, best, _token = snap
+        if best is None and not deltas:
+            return list(files), None
+        n_cons = int(best[1].get("n_entries") or 0) if best else 0
+        if best is None or n_cons <= stats_prune_threshold(spark):
+            merged, _n = _load_file_stats_counted(spark, path, _snap=snap)
+            return (
+                prune_files(
+                    files, merged, preds, schema, root=root,
+                    session_tz=frame,
+                ),
+                "memory",
+            )
+        try:
+            dead = _distributed_dead_keys(
+                spark, path, snap, canon, frame
+            )
+        except Exception:  # noqa: BLE001 - doc vanished mid-read: re-snapshot
+            continue
+        if not dead:
+            return list(files), "distributed"
         return (
-            prune_files(
-                files, merged, preds, schema, root=root, session_tz=frame
-            ),
-            "memory",
+            [f for f in files if _rel_key(f, root) not in dead],
+            "distributed",
         )
+    return list(files), None  # two races in a row — read unpruned
 
+
+def _distributed_dead_keys(
+    spark: SparkSession, path: str, snap, canon, frame
+) -> set[str]:
+    """The provably-dead stats keys as ONE Spark job over the
+    consolidated parquet doc plus the unfolded deltas. Raises when the
+    snapshotted doc vanished under a concurrent consolidation — the
+    caller re-snapshots (the guarded region starts at the parquet READ:
+    spark.read analyzes eagerly)."""
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql.types import BooleanType  # noqa: PLC0415
 
+    deltas, best, _token = snap
     ctx = spark.sparkContext.broadcast((canon, frame))
 
     def _dead_fn(entries):
@@ -833,46 +869,21 @@ def prune_with_stored_stats(
     _dead_fn.__annotations__ = {"entries": pd.Series, "return": pd.Series}
     _dead = F.pandas_udf(_dead_fn, BooleanType())
 
-    try:
-        # the guarded region starts at the parquet READ: spark.read
-        # analyzes eagerly, so a doc deleted between the snapshot and
-        # here throws at construction, not just at collect
-        sdf = _read_consolidated(spark, best[0])
-        delta_entries = _parse_delta_entries(
-            spark, path, [d[0] for d in deltas]
-        )
-        if delta_entries:
-            sdf = sdf.unionByName(
-                spark.createDataFrame(
-                    [(k, json.dumps(e)) for k, e in delta_entries.items()],
-                    _CONS_SCHEMA,
-                )
+    sdf = _read_consolidated(spark, best[0])
+    delta_entries = _parse_delta_entries(spark, path, [d[0] for d in deltas])
+    if delta_entries:
+        sdf = sdf.unionByName(
+            spark.createDataFrame(
+                [(k, json.dumps(e)) for k, e in delta_entries.items()],
+                _CONS_SCHEMA,
             )
-        # collect only the PRUNED keys: bounded by the stats row count,
-        # the same driver-cost class as the listing the read already paid
-        dead = {
-            r[0]
-            for r in sdf.where(_dead(F.col("entry"))).select("key").collect()
-        }
-    except Exception:  # noqa: BLE001
-        # the consolidated doc can vanish mid-read (a concurrent
-        # consolidation/compaction published a successor and deleted this
-        # version) — the same anticipated race the memory tier degrades
-        # gracefully on. Re-snapshot and take the memory tier, whose own
-        # torn-doc guard keeps the read alive (files just are not pruned).
-        merged, _n = _load_file_stats_counted(spark, path)
-        return (
-            prune_files(
-                files, merged, preds, schema, root=root, session_tz=frame
-            ),
-            "memory",
         )
-    if not dead:
-        return list(files), "distributed"
-    return (
-        [f for f in files if _rel_key(f, root) not in dead],
-        "distributed",
-    )
+    # collect only the PRUNED keys: bounded by the stats row count, the
+    # same driver-cost class as the listing the read already paid
+    return {
+        r[0]
+        for r in sdf.where(_dead(F.col("entry"))).select("key").collect()
+    }
 
 
 # --------------------------------------------------------------------------
@@ -1050,17 +1061,20 @@ def record_read_sample(
     the sample (telemetry, not bookkeeping — losses are acceptable).
 
     Cost-bounded (review r9): records ONLY on corpora that opted into
-    the skipping layer (a stats config exists — the advisor's
-    clustering economics apply exactly there), so a plain corpus never
-    grows a ``_filestats/`` it didn't ask for and a high-QPS read
-    service on an unconfigured corpus pays nothing. Disable entirely
-    with ``spark.bambooai.queryLog.enabled=false``."""
+    the skipping layer (``_filestats/`` exists — ONE exists-RPC, cheaper
+    than the config read, and the advisor's clustering economics apply
+    exactly there), so a plain corpus never grows bookkeeping it didn't
+    ask for and a high-QPS read service on an unconfigured corpus pays
+    one stat call. Disable entirely with
+    ``spark.bambooai.queryLog.enabled=false``."""
     try:
+        from bambooai_spark.operators.writer import _fs_exists  # noqa: PLC0415
+
         if (
             str(
                 spark.conf.get("spark.bambooai.queryLog.enabled", "true")
             ).lower() == "false"
-            or stats_config(spark, path) is None
+            or not _fs_exists(spark, _join(path, STATS_DIR))
         ):
             return
         sig_preds = [
@@ -1124,13 +1138,17 @@ def stats_coverage(spark: SparkSession, path: str) -> dict | None:
         "consolidated_version": (
             int(best[1].get("version") or 0) if best else None
         ),
-        # distinct collect-time wall-clock frames across entries: a frame
-        # differing from the read session's tz_frame() silently disables
-        # "ts" pruning on those entries (conservative keep) — the advisor
-        # flags it so rebuild_file_stats is the visible heal
+        # distinct collect-time wall-clock frames across LIVE files'
+        # entries (orphan entries never prune anything, so their stale
+        # frames are not actionable): a frame differing from the read
+        # session's tz_frame() silently disables "ts" pruning on those
+        # entries (conservative keep) — the advisor flags it so
+        # rebuild_file_stats is the visible heal
         "tz_frames": sorted({
-            str(e.get("_tz")) for e in stats.values()
-        }) if stats else [],
+            str(e.get("_tz"))
+            for k, e in stats.items()
+            if k in live
+        }),
     }
 
 

@@ -554,18 +554,29 @@ def write_corpus(
             df, partition_by, cluster_by, num_tasks, cluster_strategy
         )
     stats_cols = tuple(stats_by) if stats_by is not None else tuple(cluster_by)
+    recorded_stats = (
+        stats_config(df.sparkSession, path) if mode == "append" else None
+    )
     if stats_by is None and not stats_cols and mode == "append":
         # same contract as blooms: an append into a stats-configured
         # corpus keeps the recorded stats columns current rather than
         # leaving this write's files invisible to pruning. (An EXPLICIT
         # stats_by=() stays a disable — the documented opt-out.)
-        stats_cols = tuple(stats_config(df.sparkSession, path) or ())
+        stats_cols = tuple(recorded_stats or ())
+    # delta-vs-rebuild: an append whose columns MATCH the recorded config
+    # covers only its own files (one bounded delta — a rebuild here would
+    # be an O(corpus) scan per append and would delete the consolidated
+    # doc); a first enable or a column switch must instead replace the
+    # config and cover EVERY live file, or the pre-existing files read
+    # unpruned forever and the fsck goes red (review r9 pass 2)
+    append_delta_stats = (
+        mode == "append"
+        and bool(stats_cols)
+        and recorded_stats is not None
+        and tuple(recorded_stats) == stats_cols
+    )
     pre_files: set[str] = set()
-    if stats_cols and mode == "append":
-        # this write's files = post-listing minus pre-listing: the append
-        # delta must cover ONLY them (a full rebuild here would be an
-        # O(corpus) scan per append AND would delete the consolidated
-        # parquet doc — review r9)
+    if append_delta_stats:
         pre_files = set(_walk_files(df.sparkSession, path))
     writer = df.write.mode(mode)
     if max_records_per_file:
@@ -607,38 +618,48 @@ def write_corpus(
         as_of_floor=(prior_doc or {}).get("as_of_floor"),
         schema_json=schema_json,
     )
-    if stats_cols and mode == "append":
-        import uuid as _uuid  # noqa: PLC0415
-
-        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
-            collect_file_stats,
-            enable_file_stats,
-            write_stats_delta,
+    if append_delta_stats:
+        _append_stats_delta(
+            df.sparkSession, path, stats_cols, pre_files, df.schema
         )
-
-        if stats_config(df.sparkSession, path) is None:
-            enable_file_stats(df.sparkSession, path, stats_cols)
-        new_files = sorted(
-            set(_walk_files(df.sparkSession, path)) - pre_files
-        )
-        if new_files:
-            write_stats_delta(
-                df.sparkSession, path,
-                f"append-{_uuid.uuid4().hex[:8]}",
-                collect_file_stats(
-                    df.sparkSession, path, stats_cols, files=new_files
-                ),
-            )
     elif stats_cols:
         from bambooai_spark.operators.filestats import (  # noqa: PLC0415
             rebuild_file_stats,
         )
 
-        # records the _filestats/_CONFIG.json the append/compact/delete
-        # paths consult, then collects over exactly this write's files
-        # (mode="overwrite" wiped any prior corpus, stats included)
+        # overwrite wiped everything; a first enable / column switch on
+        # an existing corpus must cover every live file under the NEW
+        # config — both record _filestats/_CONFIG.json for later writers
         rebuild_file_stats(df.sparkSession, path, stats_cols)
     return manifest
+
+
+def _append_stats_delta(
+    spark: SparkSession, path: str, stats_cols, pre_files: set[str], schema
+) -> None:
+    """One bounded stats delta for exactly an append's new files (the
+    post-minus-pre listing diff) — the ONE copy of the plain-append
+    stats logic (write_corpus append + append_corpus share it). The
+    ``schema`` pin matters: a one-footer inferred schema could mark a
+    column absent (nn=0) for files that hold values, wrongly pruning
+    them later. A crash before the delta write loses only these files'
+    stats (read unpruned until rebuild_file_stats heals)."""
+    import uuid as _uuid  # noqa: PLC0415
+
+    from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+        collect_file_stats,
+        write_stats_delta,
+    )
+
+    new_files = [f for f in _walk_files(spark, path) if f not in pre_files]
+    if not new_files:
+        return
+    write_stats_delta(
+        spark, path, f"a{_uuid.uuid4().hex[:8]}",
+        collect_file_stats(
+            spark, path, stats_cols, schema=schema, files=new_files
+        ),
+    )
 
 
 def _write_manifest_json(
@@ -863,9 +884,7 @@ def append_corpus(
     from bambooai_spark.operators.filestats import (  # noqa: PLC0415
         apply_bloom_options,
         bloom_config,
-        collect_file_stats,
         stats_config,
-        write_stats_delta,
     )
 
     stats_cols = stats_config(spark, path)
@@ -885,22 +904,9 @@ def append_corpus(
     )
 
     if stats_cols:
-        import uuid as _uuid  # noqa: PLC0415
-
-        new_files = [
-            f for f in _walk_files(spark, path) if f not in before
-        ]
-        if new_files:
-            # a crash before this write loses only these files' stats
-            # (they are read unpruned until rebuild_file_stats heals) —
-            # same bounded-loss-last ordering as the signature record
-            write_stats_delta(
-                spark, path, f"a{_uuid.uuid4().hex[:8]}",
-                collect_file_stats(
-                    spark, path, stats_cols,
-                    schema=batch.drop("_fp").schema, files=new_files,
-                ),
-            )
+        _append_stats_delta(
+            spark, path, stats_cols, before, batch.drop("_fp").schema
+        )
 
     if full_manifest:
         from pyspark.sql.types import StructType  # noqa: PLC0415
