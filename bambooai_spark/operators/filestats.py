@@ -1061,11 +1061,10 @@ def record_read_sample(
     the sample (telemetry, not bookkeeping — losses are acceptable).
 
     Cost-bounded (review r9): records ONLY on corpora that opted into
-    the skipping layer (``_filestats/`` exists — ONE exists-RPC, cheaper
-    than the config read, and the advisor's clustering economics apply
-    exactly there), so a plain corpus never grows bookkeeping it didn't
-    ask for and a high-QPS read service on an unconfigured corpus pays
-    one stat call. Disable entirely with
+    file STATS (the ``_CONFIG.json`` exists — ONE exists-RPC, no read;
+    the advisor's clustering economics apply exactly there). A plain or
+    bloom-only corpus pays one stat call per filtered read and never
+    grows query-log bookkeeping. Disable entirely with
     ``spark.bambooai.queryLog.enabled=false``."""
     try:
         from bambooai_spark.operators.writer import _fs_exists  # noqa: PLC0415
@@ -1074,7 +1073,7 @@ def record_read_sample(
             str(
                 spark.conf.get("spark.bambooai.queryLog.enabled", "true")
             ).lower() == "false"
-            or not _fs_exists(spark, _join(path, STATS_DIR))
+            or not _fs_exists(spark, _config_path(path))
         ):
             return
         sig_preds = [

@@ -488,6 +488,7 @@ def write_corpus(
     cluster_strategy: str = "linear",
     stats_by: tuple[str, ...] | None = None,
     bloom_filter_by: tuple[str, ...] = (),
+    lease=None,
 ) -> DataFrame:
     """Write ``df`` as a partitioned parquet corpus and return (and
     persist alongside it) the manifest: one row per partition value with
@@ -553,7 +554,13 @@ def write_corpus(
         df = _cluster(
             df, partition_by, cluster_by, num_tasks, cluster_strategy
         )
-    stats_cols = tuple(stats_by) if stats_by is not None else tuple(cluster_by)
+    # dedup while preserving order (enable_file_stats records it the
+    # same way), and compare as SETS below: column order and duplicates
+    # have no semantic effect on per-column stats, and treating them as
+    # a "switch" would trigger a full rebuild per append forever
+    stats_cols = tuple(dict.fromkeys(
+        stats_by if stats_by is not None else cluster_by
+    ))
     recorded_stats = (
         stats_config(df.sparkSession, path) if mode == "append" else None
     )
@@ -568,12 +575,14 @@ def write_corpus(
     # be an O(corpus) scan per append and would delete the consolidated
     # doc); a first enable or a column switch must instead replace the
     # config and cover EVERY live file, or the pre-existing files read
-    # unpruned forever and the fsck goes red (review r9 pass 2)
+    # unpruned forever and the fsck goes red (review r9 pass 2). NOTE:
+    # that rebuild is maintenance-weight — single writer, like
+    # compact_corpus; pass ``lease`` to enforce.
     append_delta_stats = (
         mode == "append"
         and bool(stats_cols)
         and recorded_stats is not None
-        and tuple(recorded_stats) == stats_cols
+        and set(recorded_stats) == set(stats_cols)
     )
     pre_files: set[str] = set()
     if append_delta_stats:
@@ -629,8 +638,10 @@ def write_corpus(
 
         # overwrite wiped everything; a first enable / column switch on
         # an existing corpus must cover every live file under the NEW
-        # config — both record _filestats/_CONFIG.json for later writers
-        rebuild_file_stats(df.sparkSession, path, stats_cols)
+        # config — both record _filestats/_CONFIG.json for later writers.
+        # Maintenance-weight (its consolidation prunes other deltas):
+        # single writer, lease-enforceable.
+        rebuild_file_stats(df.sparkSession, path, stats_cols, lease=lease)
     return manifest
 
 

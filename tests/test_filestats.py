@@ -1512,12 +1512,15 @@ def test_distributed_prune_bounded_driver_100k_entries(spark, tmp_path):
     )) <= 21
 
 
-def test_distributed_prune_race_falls_back_to_memory(
+def test_distributed_prune_race_retries_then_unpruned(
     spark, tmp_path, _threshold_zero, monkeypatch
 ):
-    """A consolidated doc deleted mid-read (a concurrent fold published
-    a successor) must degrade to the memory tier's conservative path,
-    never fail the read (review r9)."""
+    """A consolidated doc deleted mid-read (a concurrent fold) must
+    never fail the read: the prune RE-SNAPSHOTS and re-picks the tier;
+    with the doc fully gone there is nothing to prune on, so the read
+    proceeds unpruned — sound, the residual filter always applies
+    (review r9 pass 2: the fallback must also never collect a huge
+    successor doc driver-side)."""
     from bambooai_spark.operators import filestats as fsmod
     from bambooai_spark.operators.filestats import (
         consolidate_file_stats,
@@ -1592,6 +1595,18 @@ def test_write_corpus_append_writes_delta_not_rebuild(spark, tmp_path):
                  stats_by=())
     deltas2, _b, _t = _stats_snapshot(spark, out)
     assert len(deltas2) == 1  # no new delta collected
+
+    # order/duplicates in stats_by are not a "column switch" — the
+    # semantically identical set must take the bounded delta path, not
+    # an O(corpus) rebuild that destroys the consolidated doc (review
+    # r9 pass 3)
+    write_corpus(_chars_docs(spark, 150, 160), out, mode="append",
+                 stats_by=("n_chars", "n_chars"))
+    deltas3, best3, _t = _stats_snapshot(spark, out)
+    assert best3 is not None and best3[0] == best0[0]  # doc intact
+    assert len(deltas3) == 2 and all(
+        n.startswith("a") for n, _m, _s in deltas3
+    )
 
 
 def test_advisor_flags_stale_tz_frames(spark, tmp_path):
