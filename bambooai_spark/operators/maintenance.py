@@ -623,3 +623,68 @@ def suggest_vector_maintenance(
             f"{sk['n_cells']} cells, skew {sk['skew']:.1f}x",
         ))
     return _df(spark, rows)
+
+
+def auto_maintain_vector_store(
+    spark: SparkSession,
+    store_path: str,
+    *,
+    skew_ratio: float = VECTOR_SKEW_RATIO,
+    rebuild_on_skew: bool = False,
+    lease=None,
+    dry_run: bool = False,
+) -> DataFrame:
+    """Execute :func:`suggest_vector_maintenance`'s findings in the safe
+    order — the vector-store twin of :func:`auto_maintain`. A FROZEN
+    rebuild always resumes (readers refuse until it completes, so
+    finishing it is strictly healing); a skew-triggered RETRAIN runs
+    only with ``rebuild_on_skew=True`` — it rewrites every vector and
+    changes approximate results (cell boundaries move), which stays a
+    deliberate operator call by default, like re-clustering a corpus.
+    Returns ``(action, executed, detail)`` rows."""
+    from bambooai_spark.operators.vector_store import (  # noqa: PLC0415
+        rebuild_vector_store,
+    )
+
+    advice = {
+        r["check"]: r.asDict()
+        for r in suggest_vector_maintenance(
+            spark, store_path, skew_ratio=skew_ratio
+        ).collect()
+    }
+    rows: list[tuple[str, bool, str]] = []
+    if "rebuild_frozen" in advice:
+        if dry_run:
+            rows.append(("resume_rebuild", False, "dry_run"))
+        else:
+            meta = rebuild_vector_store(spark, store_path, lease=lease)
+            rows.append((
+                "resume_rebuild", True,
+                f"swap completed (gen {meta.get('rebuild_gen')})",
+            ))
+        return _plan_df(spark, rows)
+    if "cell_skew" in advice:
+        if rebuild_on_skew and not dry_run:
+            meta = rebuild_vector_store(spark, store_path, lease=lease)
+            rows.append((
+                "rebuild_vector_store", True,
+                f"retrained (gen {meta.get('rebuild_gen')}): "
+                + advice["cell_skew"]["detail"],
+            ))
+        else:
+            rows.append((
+                "rebuild_vector_store", False,
+                advice["cell_skew"]["detail"]
+                + " (pass rebuild_on_skew=True to retrain — it rewrites "
+                "every vector and moves cell boundaries)",
+            ))
+    else:
+        only = next(iter(advice.values()))
+        rows.append(("none", False, only["detail"]))
+    return _plan_df(spark, rows)
+
+
+def _plan_df(spark: SparkSession, rows) -> DataFrame:
+    return spark.createDataFrame(
+        rows, "action string, executed boolean, detail string"
+    )

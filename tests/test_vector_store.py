@@ -436,3 +436,57 @@ def test_refresh_survives_rebuild(spark, tmp_path):
         spark, store, qv, k=5, nprobe=meta["n_cells"], exclude_id=0
     )
     assert got.count() == 5
+
+
+def test_auto_maintain_vector_store(spark, tmp_path, monkeypatch):
+    """The vector-store ops loop: frozen rebuild always resumes; a skew
+    retrain is report-only unless explicitly opted in (it rewrites every
+    vector and moves cell boundaries)."""
+    from bambooai_spark.operators import writer as w
+    from bambooai_spark.operators.maintenance import (
+        auto_maintain_vector_store,
+    )
+    from bambooai_spark.operators import vector_store as vs
+
+    path = str(tmp_path / "vstore")
+    base = _emb(spark).select("vec_id", "embedding")
+    write_vector_corpus(base, path, n_cells=8)
+    n0 = base.count()
+
+    # healthy: nothing to do
+    res = {r["action"]: r for r in
+           auto_maintain_vector_store(spark, path).collect()}
+    assert res == {"none": res["none"]} and not res["none"]["executed"]
+
+    # skew: report-only by default, retrain on opt-in
+    append_vector_corpus(_shifted(spark, 10_000, 10_000 + 3 * n0), path)
+    res = {r["action"]: r for r in
+           auto_maintain_vector_store(spark, path).collect()}
+    assert not res["rebuild_vector_store"]["executed"]
+    assert "rebuild_on_skew=True" in res["rebuild_vector_store"]["detail"]
+    res = {r["action"]: r for r in auto_maintain_vector_store(
+        spark, path, rebuild_on_skew=True
+    ).collect()}
+    assert res["rebuild_vector_store"]["executed"]
+    res = {r["action"]: r for r in
+           auto_maintain_vector_store(spark, path).collect()}
+    assert "none" in res  # converged
+
+    # frozen swap: resumed unconditionally (dry_run only reports)
+    def boom(*a, **k):
+        raise RuntimeError("injected")
+
+    real = w._unhide_swapped
+    monkeypatch.setattr(w, "_unhide_swapped", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        vs.rebuild_vector_store(spark, path)
+    monkeypatch.setattr(w, "_unhide_swapped", real)
+    res = {r["action"]: r for r in auto_maintain_vector_store(
+        spark, path, dry_run=True
+    ).collect()}
+    assert not res["resume_rebuild"]["executed"]
+    res = {r["action"]: r for r in
+           auto_maintain_vector_store(spark, path).collect()}
+    assert res["resume_rebuild"]["executed"]
+    qv = stored_vector(spark, path, 0)
+    assert query_vector_corpus(spark, path, qv, k=3, nprobe=8).count() == 3
