@@ -27,8 +27,10 @@ from bambooai_spark.operators.vector_store import (
     prune_vector_store,
     query_vector_corpus,
     query_vector_corpus_many,
+    rebuild_vector_store,
     refresh_vector_store,
     set_corpus_watermark,
+    vector_store_skew,
     write_vector_corpus,
 )
 from bambooai_spark.operators.filestats import (
@@ -40,7 +42,9 @@ from bambooai_spark.operators.filestats import (
 )
 from bambooai_spark.operators.maintenance import (
     auto_maintain,
+    auto_maintain_vector_store,
     suggest_maintenance,
+    suggest_vector_maintenance,
 )
 from bambooai_spark.operators.neardup_gate import (
     near_dup_gate,
@@ -96,6 +100,10 @@ __all__ = [
     "near_dup_gate",
     "suggest_maintenance",
     "auto_maintain",
+    "suggest_vector_maintenance",
+    "auto_maintain_vector_store",
+    "rebuild_vector_store",
+    "vector_store_skew",
     "append_vector_corpus",
     "query_vector_corpus",
     "query_vector_corpus_many",

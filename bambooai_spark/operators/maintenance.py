@@ -559,9 +559,7 @@ def auto_maintain(
             )
         )
 
-    return spark.createDataFrame(
-        rows, "action string, executed boolean, detail string"
-    )
+    return _plan_df(spark, rows)
 
 
 # a probe that lands in a cell holding this multiple of its fair share
@@ -655,7 +653,11 @@ def auto_maintain_vector_store(
     rows: list[tuple[str, bool, str]] = []
     if "rebuild_frozen" in advice:
         if dry_run:
-            rows.append(("resume_rebuild", False, "dry_run"))
+            rows.append((
+                "resume_rebuild", False,
+                "dry_run — would resume: "
+                + advice["rebuild_frozen"]["detail"],
+            ))
         else:
             meta = rebuild_vector_store(spark, store_path, lease=lease)
             rows.append((
@@ -664,19 +666,28 @@ def auto_maintain_vector_store(
             ))
         return _plan_df(spark, rows)
     if "cell_skew" in advice:
-        if rebuild_on_skew and not dry_run:
-            meta = rebuild_vector_store(spark, store_path, lease=lease)
-            rows.append((
-                "rebuild_vector_store", True,
-                f"retrained (gen {meta.get('rebuild_gen')}): "
-                + advice["cell_skew"]["detail"],
-            ))
-        else:
+        if not rebuild_on_skew:
             rows.append((
                 "rebuild_vector_store", False,
                 advice["cell_skew"]["detail"]
                 + " (pass rebuild_on_skew=True to retrain — it rewrites "
                 "every vector and moves cell boundaries)",
+            ))
+        elif dry_run:
+            # the preview must say what a REAL run with these arguments
+            # would do — not re-print the opt-in hint the caller already
+            # satisfied (review r9 pass 4)
+            rows.append((
+                "rebuild_vector_store", False,
+                "dry_run — would retrain: "
+                + advice["cell_skew"]["detail"],
+            ))
+        else:
+            meta = rebuild_vector_store(spark, store_path, lease=lease)
+            rows.append((
+                "rebuild_vector_store", True,
+                f"retrained (gen {meta.get('rebuild_gen')}): "
+                + advice["cell_skew"]["detail"],
             ))
     else:
         only = next(iter(advice.values()))
