@@ -5326,7 +5326,6 @@ _PROMOTE = [
     # the r4 spec additions, the TPC-H tails, and the new skew-pack spec —
     # displacing rows already driver-evidenced 3-4 times.
     "stratified_sample_docs",
-    "jaccard_blocked_docs",
     "shuffle_shards_docs",
     "quality_filter_docs",
     "unigram_logprob_docs",
@@ -5437,8 +5436,17 @@ _PROMOTE = [
     "q20_dominant_suppliers",
     "window_offsets_events",
     "refresh_vector_embeddings",
+    # Round-9 continuation: the session's new SemDeDup spec earns its
+    # driver row the round it lands (policy since r6). Its slot:
+    # jaccard_blocked_docs (4 green rounds, freshest r8) — the near-dup
+    # family stays repped in-window by simhash_md5_near_dup_docs and
+    # near_dup_gate_docs, and jaccard stays headline-benched and
+    # oracle-pinned in pytest.
+    "semdedup_embeddings",
 ]
 _DEMOTE = [
+    # Round-9 continuation demotion (slot for semdedup_embeddings above):
+    "jaccard_blocked_docs",
     # Round-8 continuation-3 demotions (slots for pruned_read_docs and
     # corpus_changes_docs above):
     "cube_orders",
@@ -5533,6 +5541,12 @@ def _reorder_for_grading() -> None:
     by_name = {s.name: s for s in SPECS}
     moved = set(_PROMOTE) | set(_DEMOTE)
     assert moved <= set(by_name), sorted(moved - set(by_name))
+    # the graded window IS _PROMOTE once it reached 50 names: a 51st
+    # entry would flip the head slice negative and silently grade the
+    # wrong specs (caught live in r9 — promote by swapping, never by
+    # appending past 50)
+    assert len(_PROMOTE) <= 50, len(_PROMOTE)
+    assert not set(_PROMOTE) & set(_DEMOTE), set(_PROMOTE) & set(_DEMOTE)
     keep = [s for s in SPECS if s.name not in moved]
     head = keep[: 50 - len(_PROMOTE)]
     tail = keep[50 - len(_PROMOTE) :]

@@ -745,3 +745,17 @@ def test_read_corpus_schema_keeps_pruning_and_pushdown(spark, tmp_path):
     # 4 data columns stored (lang is the partition dir); only doc_id read
     assert_pruned_scan(df, table_cols=4, max_read_cols=1)
     assert_pushed_filters(df, "doc_id")
+
+
+def test_semdedup_pair_join_is_cell_blocked(spark):
+    """semantic_dedup's near-dup self-join must key on the quantizer
+    cell (sum-of-cell-squared pairs) — an unblocked N^2 would plan as a
+    cartesian or a join without the cell key."""
+    from bambooai_spark.plans import explain_str
+
+    plan = explain_str(_build(spark, "semdedup_embeddings"))
+    assert "CartesianProduct" not in plan
+    # formatted explain lists join keys on their own lines: the pair
+    # self-join's equi-key is the block (cell) column
+    keys = [ln for ln in plan.splitlines() if "keys" in ln.lower()]
+    assert any("blk" in ln for ln in keys), keys
