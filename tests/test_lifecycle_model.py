@@ -135,8 +135,12 @@ def test_random_schedule_with_crashes(spark, tmp_path, monkeypatch, seed):
         recover_staging(spark, out)
         return fn(*args, **kw)  # replay/rerun resumes idempotently
 
+    from bambooai_spark.operators.filestats import consolidate_file_stats
+
     for _step in range(8):
-        op = rng.choice(["append", "append", "delete", "compact"])
+        op = rng.choice(
+            ["append", "append", "delete", "compact", "consolidate"]
+        )
         if op == "append" or not model.live:
             rows = gen_rows(rng.randint(3, 10))
             bid = next_batch
@@ -156,8 +160,25 @@ def test_random_schedule_with_crashes(spark, tmp_path, monkeypatch, seed):
             pred = F.col("doc_id").isin(*victims)
             with_maybe_crash(delete_from_corpus, spark, out, pred)
             model.delete(victims)
+        elif op == "consolidate":
+            # bookkeeping-only fold of the stats history: model-invisible
+            # by definition, and every later pruned read must stay exact
+            consolidate_file_stats(spark, out)
         else:
             with_maybe_crash(compact_corpus, spark, out)
+        if model.live and rng.random() < 0.5:
+            # pruning-under-interleaving probe: a selective stats-pruned
+            # read must equal the model at EVERY intermediate state —
+            # whatever mix of deltas/consolidated docs/rewrites exists
+            cut = rng.choice(sorted(r[0] for r in model.live.values()))
+            got = {
+                (r["doc_id"], r["lang"], _norm(r["text"]))
+                for r in read_corpus(
+                    spark, out, where=[("doc_id", "<=", cut)]
+                ).select("doc_id", "lang", "text").collect()
+            }
+            want = {t for t in model.rows() if t[0] <= cut}
+            assert got == want, (cut, got ^ want)
 
     assert _corpus_rows(spark, out) == model.rows()
     v = {
