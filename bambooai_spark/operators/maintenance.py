@@ -573,6 +573,7 @@ def suggest_vector_maintenance(
     store_path: str,
     *,
     skew_ratio: float = VECTOR_SKEW_RATIO,
+    corpus_path: str | None = None,
 ) -> DataFrame:
     """Vector-store twin of :func:`suggest_maintenance` (VERDICT r8 #5:
     pinned centroids degrade recall/latency as the corpus drifts, and
@@ -580,9 +581,14 @@ def suggest_vector_maintenance(
     skew (max/mean over the configured cell count) past ``skew_ratio``
     and a crashed rebuild swap; recommends
     :func:`~bambooai_spark.operators.vector_store.rebuild_vector_store`
-    for both. Same row contract as the corpus advisor."""
+    for both. With ``corpus_path`` it also compares the store's pinned
+    corpus watermark against the corpus's latest committed batch and
+    flags refresh lag (the index silently serving stale answers is the
+    OTHER way a follower store degrades). Same row contract as the
+    corpus advisor."""
     from bambooai_spark.operators.vector_store import (  # noqa: PLC0415
         REBUILD_FLAG,
+        _load_meta,
         vector_store_skew,
     )
 
@@ -620,6 +626,43 @@ def suggest_vector_maintenance(
             f"{sk['rows']} vectors over {sk['nonempty_cells']}/"
             f"{sk['n_cells']} cells, skew {sk['skew']:.1f}x",
         ))
+    if corpus_path is not None:
+        from bambooai_spark.operators.writer import (  # noqa: PLC0415
+            _batch_key,
+            latest_committed_batch,
+        )
+
+        wm = _load_meta(spark, store_path).get("corpus_watermark")
+        if wm is None:
+            rows.append((
+                "refresh_lag", "info",
+                "set_corpus_watermark(spark, store_path, batch)",
+                "no corpus watermark pinned — refresh_vector_store "
+                "cannot follow the corpus incrementally",
+            ))
+        else:
+            ns = wm.rpartition(".")[0] if (
+                isinstance(wm, str) and "." in wm
+            ) else None
+            latest = latest_committed_batch(
+                spark, corpus_path, namespace=ns
+            )
+            lk = _batch_key(latest, like=wm) if latest is not None else None
+            wk = _batch_key(wm)
+            if lk is not None and wk is not None and lk > wk:
+                rows.append((
+                    "refresh_lag", "warn",
+                    "refresh_vector_store(spark, corpus_path, store_path, "
+                    "embed)",
+                    f"corpus committed through batch {latest!r} but the "
+                    f"store's watermark is {wm!r} — queries silently miss "
+                    "every document since",
+                ))
+            else:
+                rows.append((
+                    "refresh_lag", "ok", "none",
+                    f"watermark {wm!r} == corpus head",
+                ))
     return _df(spark, rows)
 
 

@@ -490,3 +490,49 @@ def test_auto_maintain_vector_store(spark, tmp_path, monkeypatch):
     assert res["resume_rebuild"]["executed"]
     qv = stored_vector(spark, path, 0)
     assert query_vector_corpus(spark, path, qv, k=3, nprobe=8).count() == 3
+
+
+def test_vector_advisor_flags_refresh_lag(spark, tmp_path):
+    from bambooai_spark.operators.maintenance import (
+        suggest_vector_maintenance,
+    )
+    from bambooai_spark.operators.vector_store import set_corpus_watermark
+    from bambooai_spark.operators.writer import append_corpus_txn
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "vstore")
+    e = _emb(spark).select("vec_id", "embedding")
+    docs = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.when(F.col("vec_id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        F.concat(F.lit("doc "), F.col("vec_id")).alias("text"),
+        "embedding",
+    )
+    append_corpus_txn(docs.filter("doc_id % 2 = 0"), corpus, 0)
+    write_vector_corpus(e.filter("vec_id % 2 = 0"), store, n_cells=4)
+
+    def adv():
+        return {
+            r["check"]: r.asDict()
+            for r in suggest_vector_maintenance(
+                spark, store, corpus_path=corpus
+            ).collect()
+        }
+
+    # no watermark pinned: the follower cannot follow — info
+    assert adv()["refresh_lag"]["severity"] == "info"
+    set_corpus_watermark(spark, store, 0)
+    assert adv()["refresh_lag"]["severity"] == "ok"
+
+    # new corpus batch: the store silently serves stale answers — warn
+    append_corpus_txn(docs.filter("doc_id % 2 = 1"), corpus, 1)
+    lag = adv()["refresh_lag"]
+    assert lag["severity"] == "warn"
+    assert "refresh_vector_store" in lag["recommendation"]
+
+    # without corpus_path the check is absent (store-only advisor call)
+    solo = {
+        r["check"]: r
+        for r in suggest_vector_maintenance(spark, store).collect()
+    }
+    assert "refresh_lag" not in solo
