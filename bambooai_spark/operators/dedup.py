@@ -1093,13 +1093,42 @@ def connected_components(
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
+#: rows-per-cell target when ``semantic_dedup`` derives its own cell
+#: count: cells sized so the within-cell pair work totals
+#: ~N * TARGET / 2 comparisons — the published SemDeDup operating point
+#: (LAION-2B used ~50k clusters, i.e. ~40k rows/cell).
+SEMDEDUP_TARGET_CELL_ROWS = 100_000
+
+#: refuse the within-cell pair join when the ACTUAL Sum |cell|*(|cell|-1)/2
+#: (measured on the persisted assignment, so skew counts) exceeds this —
+#: the same "generated code can't trip an N² plan by omission" stance as
+#: ``embedding_near_dup``'s allow_full_cross. The derived-cells default
+#: sits at ~N*TARGET/2, under this bound up to N ~ 2e9 docs.
+SEMDEDUP_MAX_CELL_PAIRS = 1e14
+
+
+def semdedup_cell_count(
+    n_rows: int, target_cell_rows: int = SEMDEDUP_TARGET_CELL_ROWS
+) -> int:
+    """Cell count ``semantic_dedup`` derives when the caller omits both
+    ``centroids`` and ``n_cells``: enough cells that the average cell
+    holds ``target_cell_rows`` rows (floor of 16 so tiny corpora still
+    quantize), keeping the within-cell pair work ~``N * target / 2``
+    regardless of corpus size."""
+    if target_cell_rows < 1:
+        raise ValueError("target_cell_rows must be >= 1")
+    return max(16, -(-n_rows // target_cell_rows))  # ceil div
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     *,
     centroids=None,
-    n_cells: int = 16,
+    n_cells: int | None = None,
+    target_cell_rows: int = SEMDEDUP_TARGET_CELL_ROWS,
+    max_cell_pairs: float | None = SEMDEDUP_MAX_CELL_PAIRS,
     threshold: float = 0.95,
     assign: str = "numpy",
     cell_col: str = "cell",
@@ -1127,6 +1156,20 @@ def semantic_dedup(
     hash-exact in DuckDB (the suite's ``semdedup_embeddings`` oracle).
     ``centroids=None`` trains k-means on a bounded sample
     (:func:`~bambooai_spark.operators.similarity.train_ivf_centroids`).
+
+    Scale guards (same by-omission stance as ``embedding_near_dup``):
+
+    - when BOTH ``centroids`` and ``n_cells`` are omitted, the cell count
+      is derived from the corpus size — ``max(16, ceil(N /
+      target_cell_rows))`` — instead of a fixed small constant, so the
+      within-cell pair work stays ~``N * target_cell_rows / 2`` no matter
+      how big the input is (one ``count()`` scan, paid only on this path);
+    - before launching the pair join, the ACTUAL ``Sum |cell|*(|cell|-1)/2``
+      is measured on the persisted assignment (one bounded agg — catches
+      skewed cells, not just an optimistic balanced estimate) and the call
+      refuses when it exceeds ``max_cell_pairs``. Fix by raising
+      ``n_cells`` / passing more centroids, or opt in explicitly with
+      ``max_cell_pairs=None`` for small corpora you know are safe.
     """
     import numpy as np  # noqa: PLC0415
 
@@ -1141,6 +1184,8 @@ def semantic_dedup(
     if cell_col in df.columns:
         raise ValueError(f"input already has a {cell_col!r} column")
     if centroids is None:
+        if n_cells is None:
+            n_cells = semdedup_cell_count(df.count(), target_cell_rows)
         centroids = train_ivf_centroids(df, vec_col, n_cells=n_cells)
     cents = [[float(x) for x in c] for c in np.asarray(centroids)]
     if assign == "exact":
@@ -1158,6 +1203,26 @@ def semantic_dedup(
     # tracked so release_caches() reclaims it, as connected_components
     # does for its reused edge frame
     assigned = track(assigned.persist())
+    if max_cell_pairs is not None:
+        est = (
+            assigned.groupBy(cell_col)
+            .count()
+            .agg(
+                F.sum(
+                    F.col("count") * (F.col("count") - F.lit(1)) / F.lit(2.0)
+                ).alias("pairs")
+            )
+            .collect()[0]["pairs"]
+        )
+        if est is not None and est > max_cell_pairs:
+            raise ValueError(
+                f"semantic_dedup: within-cell pair count {est:.3g} exceeds "
+                f"max_cell_pairs={max_cell_pairs:.3g} — the clustering is "
+                "too coarse (or too skewed) for this corpus and the pair "
+                "join would approach N^2. Raise n_cells / pass more "
+                "centroids (target ~N/target_cell_rows cells), or opt in "
+                "explicitly with max_cell_pairs=None."
+            )
     pairs = embedding_near_dup(
         assigned, id_col, vec_col, block_col=cell_col, threshold=threshold
     )

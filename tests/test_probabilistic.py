@@ -16,6 +16,8 @@ CORRECTNESS rows) — each claim in the suite docstrings is asserted here:
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from bambooai_spark.io import load_table
@@ -230,6 +232,71 @@ def test_embedding_near_dup_with_lsh_bucket_block(spark, emb):
     assert blocked <= full
     assert len(full) > 0 and len(blocked) > 0
     assert len(blocked) / len(full) >= 0.1
+
+
+# ------------------------------------------------------- semantic_dedup
+
+
+@given(
+    n=st.integers(min_value=0, max_value=10**12),
+    target=st.integers(min_value=1, max_value=10**7),
+)
+@settings(max_examples=200, deadline=None)
+def test_semdedup_cell_count_scales_with_corpus(n, target):
+    """The derived cell count keeps mean cell size <= target (so pair
+    work is ~N*target/2 at any N), never drops below the floor, and is
+    monotone in N — a bigger corpus never gets fewer cells."""
+    from bambooai_spark.operators.dedup import semdedup_cell_count
+
+    k = semdedup_cell_count(n, target)
+    assert k >= 16
+    assert k * target >= n  # mean cell size <= target
+    if n > 16 * target:
+        assert k < n / target + 1  # no over-shoot beyond ceil
+    assert semdedup_cell_count(n + target, target) >= k
+
+
+def test_semdedup_derived_cells_used_when_args_omitted(spark, emb):
+    """centroids=None + n_cells=None derives the cell count from a
+    df.count() instead of running 16 cells at any N: with a tiny
+    target_cell_rows the 500-row corpus must quantize into far more
+    than the old fixed-16 default."""
+    from bambooai_spark.operators.dedup import semantic_dedup
+
+    out = semantic_dedup(
+        emb, "vec_id", "embedding",
+        threshold=0.99, target_cell_rows=10,
+    )
+    # ceil(500/10)=50 trained cells; k-means may leave some empty but
+    # the survivors must spread well past the legacy 16-cell default
+    n_cells_seen = out.select("cell").distinct().count()
+    assert n_cells_seen > 16
+    assert out.count() <= 500
+
+
+def test_semdedup_refuses_exploding_pair_join(spark, emb):
+    """A quantizer too coarse for the corpus (one centroid -> one cell
+    -> N^2/2 pairs) must refuse before launching the pair join — the
+    same by-omission stance as embedding_near_dup's allow_full_cross —
+    and the measured-pairs guard must count ACTUAL skewed cells, not an
+    optimistic balanced estimate."""
+    from bambooai_spark.operators.dedup import semantic_dedup
+    from bambooai_spark.operators.similarity import md5_centroids
+
+    one_cell = md5_centroids(emb, "vec_id", "embedding", 1)
+    with pytest.raises(ValueError, match="max_cell_pairs"):
+        semantic_dedup(
+            emb, "vec_id", "embedding",
+            centroids=one_cell, threshold=0.3, assign="exact",
+            max_cell_pairs=1000.0,  # 500 rows in one cell -> ~125k pairs
+        )
+    # explicit opt-out still runs (small-N escape hatch)
+    out = semantic_dedup(
+        emb, "vec_id", "embedding",
+        centroids=one_cell, threshold=0.3, assign="exact",
+        max_cell_pairs=None,
+    )
+    assert out.count() > 0
 
 
 # ------------------------------------------------------------- knn_ivf
