@@ -71,6 +71,14 @@ QUERYLOG_NAME = "_QUERYLOG.json"
 _CONFIG_FILES = (CONFIG_NAME, BLOOM_NAME, QUERYLOG_NAME)
 # bounded ring of recorded read predicates (advisor economics)
 _QUERYLOG_MAX = 32
+# process-local deferred read counts per (root, signature) when
+# spark.bambooai.queryLog.sampleEvery > 1: reads between record points
+# accumulate here for free and flush as one increment, so the per-read
+# RPC cost on object stores drops N-fold while n_reads stays exact at
+# every record point (ADVICE r9). Bounded LRU; evicted counts are lost
+# (telemetry, acceptable — same stance as a concurrent-writer race).
+_QUERYLOG_DEFER: dict[tuple[str, str], int] = {}
+_QUERYLOG_DEFER_MAX = 1024
 
 # dtype.typeName() → comparison category; anything else is not prunable.
 # "ts" (session-tz timestamps) prunes only when the read session's
@@ -734,7 +742,15 @@ def consolidate_file_stats(
     deleted last. Every crash window re-reads at most duplicate entries
     with identical content (keys are globally unique), which the fold
     dedups and pruning is insensitive to. Returns ``{"version",
-    "n_entries", "folded_deltas"}``."""
+    "n_entries", "folded_deltas"}``.
+
+    Consolidation is also the ROUTINE heal for the pre-composite tz
+    frame (ADVICE r9): entries stamped under the legacy session-tz-only
+    key are re-stamped to the current composite frame when their session
+    component matches — exactly the soundness assumption the legacy
+    guard itself made (a deployment's OS zone is stable), so "ts"
+    pruning on upgraded corpora comes back without an explicit
+    rebuild_file_stats."""
     from bambooai_spark.operators.writer import (  # noqa: PLC0415
         _fs,
         _fs_delete,
@@ -750,15 +766,19 @@ def consolidate_file_stats(
         meta["folded_deltas"] = 0
         return meta  # nothing to fold
     sroot = _join(path, STATS_DIR)
+    frame = tz_frame(spark)
     delta_entries = _parse_delta_entries(spark, path, [d[0] for d in deltas])
-    delta_rows = [(k, json.dumps(e)) for k, e in delta_entries.items()]
+    delta_rows = [
+        (k, json.dumps(_migrate_legacy_tz(e, frame)))
+        for k, e in delta_entries.items()
+    ]
     ddf = spark.createDataFrame(delta_rows, _CONS_SCHEMA)
     if best is not None:
         # delta entries take precedence on a (crash-window) key overlap;
         # contents are identical there, so this is determinism, not
         # correctness — the anti-join is broadcast (delta keys are the
         # bounded backlog)
-        old = _read_consolidated(spark, best[0])
+        old = _restamp_legacy_entries(_read_consolidated(spark, best[0]), frame)
         if delta_rows:
             old = old.join(
                 F.broadcast(ddf.select("key")), "key", "left_anti"
@@ -776,6 +796,12 @@ def consolidate_file_stats(
     )
     for dname, _mt, _sz in deltas:
         _fs_delete(spark, _join(sroot, dname))
+    # delete ONLY strictly-lower versions (ADVICE r9): two consolidators
+    # that both missed the advisory lease each write a same-or-higher
+    # version doc; an unguarded sweep could delete the concurrent doc
+    # after both already deleted the folded deltas, losing every entry.
+    # A same-version sibling (or an in-flight higher doc whose meta has
+    # not landed) survives; _stats_snapshot picks one deterministically.
     fs, jroot = _fs(spark, sroot)
     for st in fs.listStatus(jroot):
         nm = st.getPath().getName()
@@ -783,9 +809,56 @@ def consolidate_file_stats(
             st.isDirectory()
             and nm.startswith(CONSOLIDATED_PREFIX)
             and nm != name
+            and (_cons_version(nm) or 0) < version
         ):
             fs.delete(st.getPath(), True)
     return {**meta, "folded_deltas": len(deltas)}
+
+
+def _cons_version(dirname: str) -> int | None:
+    """Version encoded in a ``_consolidated-<v>-<uuid>`` dir name; None
+    (treated as not-deletable — conservative) when unparseable."""
+    try:
+        return int(dirname[len(CONSOLIDATED_PREFIX):].split("-", 1)[0])
+    except (ValueError, IndexError):
+        return None
+
+
+def _migrate_legacy_tz(entry: dict, frame: str) -> dict:
+    """Re-stamp a legacy (pre-composite, session-tz-only) ``_tz`` to the
+    current composite frame when the session component matches. Sound
+    under exactly the assumption the legacy guard made — that one
+    deployment's driver OS zone is stable — and a no-op for entries
+    already in composite form or from a different session tz (those
+    stay conservative: "ts" pruning is skipped on them)."""
+    tz = entry.get("_tz")
+    if (
+        isinstance(tz, str)
+        and "|" not in tz
+        and tz == frame.split("|", 1)[0]
+    ):
+        return {**entry, "_tz": frame}
+    return entry
+
+
+def _restamp_legacy_entries(df: DataFrame, frame: str) -> DataFrame:
+    """Arrow-batched :func:`_migrate_legacy_tz` over a consolidated
+    doc's entry column — unchanged entries keep their original string
+    byte-for-byte (no spurious rewrites)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.types import StringType  # noqa: PLC0415
+
+    def _fix_one(s: str) -> str:
+        e = json.loads(s)
+        e2 = _migrate_legacy_tz(e, frame)
+        return s if e2 is e else json.dumps(e2)
+
+    def _fix(entries):
+        return entries.map(_fix_one)
+
+    _fix.__annotations__ = {"entries": pd.Series, "return": pd.Series}
+    u = F.pandas_udf(_fix, StringType())
+    return df.select("key", u(F.col("entry")).alias("entry"))
 
 
 def prune_with_stored_stats(
@@ -796,9 +869,11 @@ def prune_with_stored_stats(
     None (no stats / nothing prunable). Below
     :func:`stats_prune_threshold` consolidated entries the merged dict
     is walked on the driver (snapshot-cached); above it the decision
-    runs as ONE Spark job over the consolidated parquet doc plus the
-    unfolded deltas — both tiers share :func:`_entry_alive`, so the
-    pruning decisions are identical by construction.
+    runs as bounded Spark jobs over the consolidated parquet doc plus
+    the unfolded deltas with driver transfer capped at ``min(pruned,
+    kept)`` keys (see :func:`_distributed_prune`) — both tiers share
+    :func:`_entry_alive`, so the pruning decisions are identical by
+    construction.
 
     Race-tolerant: a concurrent consolidation can delete the snapshotted
     doc/deltas mid-read. Each attempt re-snapshots and re-picks the tier
@@ -829,25 +904,26 @@ def prune_with_stored_stats(
                 "memory",
             )
         try:
-            dead = _distributed_dead_keys(
-                spark, path, snap, canon, frame
+            kept = _distributed_prune(
+                spark, path, snap, canon, frame, root, files
             )
         except Exception:  # noqa: BLE001 - doc vanished mid-read: re-snapshot
             continue
-        if not dead:
-            return list(files), "distributed"
-        return (
-            [f for f in files if _rel_key(f, root) not in dead],
-            "distributed",
-        )
+        return kept, "distributed"
     return list(files), None  # two races in a row — read unpruned
 
 
-def _distributed_dead_keys(
-    spark: SparkSession, path: str, snap, canon, frame
-) -> set[str]:
-    """The provably-dead stats keys as ONE Spark job over the
-    consolidated parquet doc plus the unfolded deltas. Raises when the
+def _distributed_prune(
+    spark: SparkSession, path: str, snap, canon, frame, root, files
+) -> list[str]:
+    """The kept file list decided by Spark jobs over the consolidated
+    parquet doc plus the unfolded deltas, with the driver transfer
+    bounded by ``min(pruned, kept)`` keys (VERDICT r9 #4): a dead-entry
+    COUNT first (no row transfer), then either the dead-key collect
+    (pruned minority — the r9 path) or, when the predicate prunes the
+    majority, a keep-list join of the listed keys against the stats so
+    only the kept side crosses to the driver. Files without a stats
+    entry are always kept (conservative) on both paths. Raises when the
     snapshotted doc vanished under a concurrent consolidation — the
     caller re-snapshots (the guarded region starts at the parquet READ:
     spark.read analyzes eagerly)."""
@@ -859,8 +935,10 @@ def _distributed_dead_keys(
 
     def _dead_fn(entries):
         cn, fr = ctx.value
+        # a NULL entry (keep-list join: file with no stats) is NOT dead
         return entries.map(
-            lambda s: not _entry_alive(json.loads(s), cn, fr)
+            lambda s: s is not None
+            and not _entry_alive(json.loads(s), cn, fr)
         )
 
     # real annotation objects (not strings): the module uses
@@ -878,12 +956,44 @@ def _distributed_dead_keys(
                 _CONS_SCHEMA,
             )
         )
-    # collect only the PRUNED keys: bounded by the stats row count, the
-    # same driver-cost class as the listing the read already paid
-    return {
-        r[0]
-        for r in sdf.where(_dead(F.col("entry"))).select("key").collect()
-    }
+    global _LAST_PRUNE_TRANSFER
+    sdf = sdf.persist()
+    try:
+        n_dead = sdf.where(_dead(F.col("entry"))).count()
+        if n_dead == 0:
+            _LAST_PRUNE_TRANSFER = ("none", 0)
+            return list(files)
+        if 2 * n_dead <= len(files):
+            # pruned minority: collect the dead keys (transfer n_dead)
+            dead = {
+                r[0]
+                for r in sdf.where(_dead(F.col("entry")))
+                .select("key").collect()
+            }
+            _LAST_PRUNE_TRANSFER = ("dead", len(dead))
+            return [f for f in files if _rel_key(f, root) not in dead]
+        # pruned majority: ship the listed keys up once (data the driver
+        # already holds) and collect back only the KEPT side — a file
+        # with no stats entry joins to a NULL entry and is kept
+        keys = [(_rel_key(f, root),) for f in files]
+        fdf = spark.createDataFrame(keys, "key string")
+        kept_keys = {
+            r[0]
+            for r in fdf.join(sdf, "key", "left")
+            .where(~_dead(F.col("entry"))).select("key").collect()
+        }
+        _LAST_PRUNE_TRANSFER = ("kept", len(kept_keys))
+        return [f for f in files if _rel_key(f, root) in kept_keys]
+    finally:
+        sdf.unpersist()
+        # a long-lived session doing many selective reads must not
+        # accumulate one broadcast per read (ADVICE r9)
+        ctx.unpersist()
+
+
+# (mode, n_keys) the driver collected on the last distributed prune —
+# cheap observability for the min(pruned, kept) transfer contract
+_LAST_PRUNE_TRANSFER: tuple[str, int] | None = None
 
 
 # --------------------------------------------------------------------------
@@ -1065,7 +1175,12 @@ def record_read_sample(
     the advisor's clustering economics apply exactly there). A plain or
     bloom-only corpus pays one stat call per filtered read and never
     grows query-log bookkeeping. Disable entirely with
-    ``spark.bambooai.queryLog.enabled=false``."""
+    ``spark.bambooai.queryLog.enabled=false``; on object stores where
+    the read-modify-write's RPCs are paid, set
+    ``spark.bambooai.queryLog.sampleEvery=N`` to flush each signature
+    every Nth read (first sight still records immediately; the deferred
+    reads flush as one increment, so counts stay exact at record
+    points and lag by at most N-1 between them)."""
     try:
         from bambooai_spark.operators.writer import _fs_exists  # noqa: PLC0415
 
@@ -1073,7 +1188,6 @@ def record_read_sample(
             str(
                 spark.conf.get("spark.bambooai.queryLog.enabled", "true")
             ).lower() == "false"
-            or not _fs_exists(spark, _config_path(path))
         ):
             return
         sig_preds = [
@@ -1081,11 +1195,30 @@ def record_read_sample(
             for c, op, v in preds
         ]
         sig = json.dumps(sig_preds, sort_keys=True)
+        try:
+            every = int(
+                spark.conf.get("spark.bambooai.queryLog.sampleEvery", "1")
+            )
+        except (TypeError, ValueError):
+            every = 1
+        inc = 1
+        if every > 1:
+            dkey = (path, sig)
+            pend = _QUERYLOG_DEFER.pop(dkey, None)
+            if pend is not None and pend + 1 < every:
+                # defer: zero RPCs for this read; re-insert = LRU touch
+                _QUERYLOG_DEFER[dkey] = pend + 1
+                while len(_QUERYLOG_DEFER) > _QUERYLOG_DEFER_MAX:
+                    _QUERYLOG_DEFER.pop(next(iter(_QUERYLOG_DEFER)))
+                return
+            inc = (pend + 1) if pend is not None else 1
+        if not _fs_exists(spark, _config_path(path)):
+            return
         lpath = _join(_join(path, STATS_DIR), QUERYLOG_NAME)
         doc = _read_config(spark, lpath) or {}
         samples = doc.get("samples") or {}
         ent = samples.pop(sig, None) or {"preds": sig_preds, "n_reads": 0}
-        ent["n_reads"] = int(ent.get("n_reads") or 0) + 1
+        ent["n_reads"] = int(ent.get("n_reads") or 0) + inc
         ent["last_kept"] = int(n_kept)
         samples[sig] = ent  # re-insert: dict order is the LRU ring
         while len(samples) > _QUERYLOG_MAX:
@@ -1093,6 +1226,10 @@ def record_read_sample(
         _replace_config(
             spark, lpath, json.dumps({"samples": samples})
         )
+        if every > 1:
+            _QUERYLOG_DEFER[(path, sig)] = 0  # recorded: reset the window
+            while len(_QUERYLOG_DEFER) > _QUERYLOG_DEFER_MAX:
+                _QUERYLOG_DEFER.pop(next(iter(_QUERYLOG_DEFER)))
     except Exception:  # noqa: BLE001, S110 - telemetry must never fail a read
         pass
 

@@ -62,9 +62,16 @@ def _prev_round_queries() -> tuple[str, dict[str, float], float] | None:
 
     here = os.path.dirname(os.path.abspath(__file__))
     best = None
-    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+    best_round = -1
+    # pick by the NUMERIC round, not filename order: an unpadded
+    # BENCH_r9.json would sort after BENCH_r10.json lexicographically
+    # and the carried diff would baseline against the wrong round
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if not m:
+            continue
+        rnd = int(m.group(1))
+        if rnd <= best_round:
             continue
         try:
             with open(p) as fh:
@@ -76,7 +83,8 @@ def _prev_round_queries() -> tuple[str, dict[str, float], float] | None:
         qs = {k: v for k, v in qs.items() if isinstance(v, (int, float))
               and v >= 0}
         if qs:
-            best = (f"r{int(m.group(1)):02d}", qs, sf)
+            best = (f"r{rnd:02d}", qs, sf)
+            best_round = rnd
     return best
 
 
@@ -219,6 +227,16 @@ def main() -> int:
               file=sys.stderr)
         result[victim] = None if victim == "carried" else {}
         line = json.dumps(result, separators=(",", ":"))
+    # Align the driver's 2000-char tail capture to a line boundary
+    # (VERDICT r9 #5: the recorded tail started mid-line): pad one filler
+    # line so the capture window opens exactly at its first character.
+    # Dashes lead so an off-by-a-few capture still cuts only dashes and
+    # the artifact's first complete line stays self-describing.
+    marker_len = 1998 - len(line)  # marker\n + line\n == 2000 chars
+    if marker_len >= 20:
+        suffix = " [bench] tail-align"
+        sys.stderr.write("-" * (marker_len - len(suffix)) + suffix + "\n")
+        sys.stderr.flush()
     print(line, flush=True)
     return 0
 

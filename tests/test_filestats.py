@@ -1494,10 +1494,16 @@ def test_distributed_prune_bounded_driver_100k_entries(spark, tmp_path):
     qroot = qualified_root(spark, out)
     live = [f"{out}/b1-part-{i:06d}" for i in range(n)]
     merged = load_file_stats(spark, out)
-    for preds in (
-        [("x", ">=", 500_000), ("x", "<", 500_200)],  # selective
-        [("x", "==", 123_456)],
-        [("x", "<", 0)],
+    # (preds, expected transfer mode): a prune-MAJORITY predicate must
+    # invert to the keep-list join so the driver collects min(pruned,
+    # kept) keys (VERDICT r9 #4); a prune-minority one keeps the
+    # dead-key collect; an unprunable one transfers nothing
+    for preds, mode in (
+        ([("x", ">=", 500_000), ("x", "<", 500_200)], "kept"),  # selective
+        ([("x", "==", 123_456)], "kept"),
+        ([("x", "<", 0)], "kept"),            # provably empty → prunes all
+        ([("x", ">=", 100_000)], "dead"),     # prunes ~10% → minority
+        ([("x", "notnull", None)], "none"),   # keeps everything
     ):
         kept_mem = prune_files(live, merged, preds, schema, root=qroot)
         kept_dist, strategy = prune_with_stored_stats(
@@ -1505,11 +1511,148 @@ def test_distributed_prune_bounded_driver_100k_entries(spark, tmp_path):
         )
         assert strategy == "distributed"
         assert kept_dist == kept_mem, preds
+        tmode, tn = filestats._LAST_PRUNE_TRANSFER
+        assert tmode == mode, (preds, tmode)
+        # driver transfer bounded by the SMALLER side either way
+        assert tn <= min(len(kept_mem), n - len(kept_mem)) + 1, (preds, tn)
     # the selective range keeps ~20 of 100k files
     assert len(prune_files(
         live, merged, [("x", ">=", 500_000), ("x", "<", 500_200)],
         schema, root=qroot,
     )) <= 21
+
+
+def test_consolidate_spares_concurrent_higher_doc(spark, tmp_path):
+    """ADVICE r9: the post-fold sweep deletes ONLY strictly-lower
+    versions, so a concurrent consolidator's same-or-higher-version doc
+    (meta not yet landed -> not picked as best) survives instead of
+    both racers destroying each other's fold."""
+    from bambooai_spark.operators.filestats import (
+        CONSOLIDATED_PREFIX,
+        consolidate_file_stats,
+        write_stats_delta,
+    )
+
+    out = str(tmp_path / "corpus")
+    enable_file_stats(spark, out, ["x"])
+    write_stats_delta(spark, out, "b1", {
+        "columns": ["x"],
+        "files": {"b1-p0": {"n": 1, "cols": {"x": {"min": 0, "max": 9,
+                                                   "nn": 1}}}},
+    })
+    meta = consolidate_file_stats(spark, out)
+    assert meta["version"] == 1
+
+    # a concurrent consolidator's IN-FLIGHT v2 doc: parquet dir exists,
+    # _META.json not yet written (so _stats_snapshot ignores it)
+    sdir = os.path.join(out, STATS_DIR)
+    inflight = os.path.join(
+        sdir, f"{CONSOLIDATED_PREFIX}{2:016d}-deadbeef"
+    )
+    os.makedirs(inflight)
+    v1_dirs = [n for n in os.listdir(sdir)
+               if n.startswith(CONSOLIDATED_PREFIX) and "-deadbeef" not in n]
+
+    write_stats_delta(spark, out, "b2", {
+        "columns": ["x"],
+        "files": {"b2-p0": {"n": 1, "cols": {"x": {"min": 10, "max": 19,
+                                                   "nn": 1}}}},
+    })
+    meta2 = consolidate_file_stats(spark, out)
+    assert meta2["version"] == 2  # best was still v1
+    names = os.listdir(sdir)
+    # the in-flight v2 (same version as ours, NOT strictly lower) survives
+    assert os.path.basename(inflight) in names
+    # the superseded v1 doc was swept
+    assert not any(n in names for n in v1_dirs)
+    # and both entries are in the new fold
+    merged = load_file_stats(spark, out)
+    assert set(merged) == {"b1-p0", "b2-p0"}
+
+
+def test_consolidate_restamps_legacy_tz_frame(spark, tmp_path):
+    """ADVICE r9: consolidation heals pre-composite tz stamps in routine
+    maintenance — a legacy session-tz-only frame whose session component
+    matches is upgraded to the composite frame (re-enabling "ts"
+    pruning); a foreign legacy frame stays untouched (conservative)."""
+    from bambooai_spark.operators.filestats import (
+        consolidate_file_stats,
+        tz_frame,
+        write_stats_delta,
+    )
+
+    out = str(tmp_path / "corpus")
+    enable_file_stats(spark, out, ["ts"])
+    frame = tz_frame(spark)
+    session_only = frame.split("|", 1)[0]
+    ent = {"n": 1, "cols": {"ts": {"min": "2026-01-01 00:00:00.000000",
+                                   "max": "2026-01-02 00:00:00.000000",
+                                   "nn": 1}}}
+    write_stats_delta(spark, out, "b1", {
+        "columns": ["ts"], "tz": session_only,  # legacy stamp
+        "files": {"b1-p0": dict(ent)},
+    })
+    write_stats_delta(spark, out, "b2", {
+        "columns": ["ts"], "tz": "Mars/Olympus",  # foreign legacy stamp
+        "files": {"b2-p0": dict(ent)},
+    })
+    consolidate_file_stats(spark, out)
+    merged = load_file_stats(spark, out)
+    assert merged["b1-p0"]["_tz"] == frame          # healed
+    assert merged["b2-p0"]["_tz"] == "Mars/Olympus"  # untouched
+
+    # the heal also applies parquet->parquet on a later fold of the
+    # consolidated doc itself (entries already healed stay stable)
+    write_stats_delta(spark, out, "b3", {
+        "columns": ["ts"], "tz": session_only,
+        "files": {"b3-p0": dict(ent)},
+    })
+    consolidate_file_stats(spark, out)
+    merged = load_file_stats(spark, out)
+    assert merged["b1-p0"]["_tz"] == frame
+    assert merged["b3-p0"]["_tz"] == frame
+    assert merged["b2-p0"]["_tz"] == "Mars/Olympus"
+
+
+def test_query_log_sample_every_batches_rpc(spark, tmp_path, monkeypatch):
+    """ADVICE r9: sampleEvery=N defers the query-log read-modify-write —
+    first sight records immediately, then one flush per N reads with the
+    deferred count folded in, so n_reads stays exact at record points
+    while the per-read RPC cost drops N-fold."""
+    from bambooai_spark.operators.filestats import (
+        read_query_log,
+        record_read_sample,
+    )
+
+    out = str(tmp_path / "corpus")
+    enable_file_stats(spark, out, ["doc_id"])
+    monkeypatch.setattr(filestats, "_QUERYLOG_DEFER", {})
+    writes = {"n": 0}
+    real = filestats._replace_config
+
+    def counting(sp, cpath, text):
+        writes["n"] += 1
+        return real(sp, cpath, text)
+
+    monkeypatch.setattr(filestats, "_replace_config", counting)
+    spark.conf.set("spark.bambooai.queryLog.sampleEvery", "3")
+    try:
+        for _ in range(7):
+            record_read_sample(spark, out, [("doc_id", ">=", 0)], 5)
+        log = read_query_log(spark, out)
+        # reads 1, 4 and 7 record (first sight, then every 3rd):
+        # 3 writes instead of 7, with the full count folded in
+        assert writes["n"] == 3
+        assert log and log[0]["n_reads"] == 7
+    finally:
+        spark.conf.unset("spark.bambooai.queryLog.sampleEvery")
+
+    # default (sampleEvery unset) stays exact per read
+    monkeypatch.setattr(filestats, "_QUERYLOG_DEFER", {})
+    writes["n"] = 0
+    for _ in range(2):
+        record_read_sample(spark, out, [("doc_id", "<", 10)], 2)
+    assert writes["n"] == 2
 
 
 def test_distributed_prune_race_retries_then_unpruned(
