@@ -822,6 +822,60 @@ def simhash_md5(
     )
 
 
+def hamming_near_dup(
+    fp: DataFrame,
+    id_col: str,
+    fp_col: str,
+    *,
+    bits: int,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pigeonhole near-dup pairs over ANY integer fingerprint column
+    (SimHash, dHash/pHash perceptual hashes, …) — the shared blocking
+    machinery of :func:`simhash_near_dup`, :func:`simhash_md5_near_dup`
+    and :func:`~bambooai_spark.operators.multimodal.image_near_dup`:
+    split the ``bits``-bit fingerprint into ``max_hamming+1`` equal
+    blocks (two fingerprints within ``max_hamming`` bits MUST agree on
+    at least one whole block — Manku et al., WWW'07, public
+    construction), equality-join on ``(block_id, block_val)``
+    (key-partitioned, never a cross product), exact popcount verify.
+    Returns ``(doc_a, doc_b, hamming <= max_hamming)``."""
+    k = max_hamming + 1
+    if bits % k:
+        raise ValueError(
+            f"blocks ({k} = max_hamming+1) must divide bits ({bits}) evenly"
+        )
+    width = bits // k
+    blk = fp.select(
+        F.col(id_col).alias("doc"),
+        F.col(fp_col).alias("_fp"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda b: F.call_function(
+                    "shiftrightunsigned", F.col(fp_col), (b * width).cast("int")
+                ).bitwiseAND(F.lit((1 << width) - 1)),
+            )
+        ).alias("block_id", "block_val"),
+    )
+    a = blk.select(
+        F.col("doc").alias("doc_a"), F.col("_fp").alias("fp_a"),
+        "block_id", "block_val",
+    )
+    b = blk.select(
+        F.col("doc").alias("doc_b"), F.col("_fp").alias("fp_b"),
+        "block_id", "block_val",
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["block_id", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_md5_near_dup(
     df: DataFrame,
     id_col: str,
@@ -833,48 +887,15 @@ def simhash_md5_near_dup(
 ) -> DataFrame:
     """End-to-end pigeonhole near-dup on the oracle-reproducible md5
     SimHash (:func:`simhash_md5`), the companion of
-    :func:`minhash_md5_near_dup`: fingerprint → ``max_hamming+1`` equal
-    blocks (two fingerprints within ``max_hamming`` bits MUST share one
-    whole block) → equality-join candidates → exact popcount verify.
-    Every stage is deterministic and engine-portable, so the whole
+    :func:`minhash_md5_near_dup`: fingerprint → :func:`hamming_near_dup`
+    blocks → equality-join candidates → exact popcount verify. Every
+    stage is deterministic and engine-portable, so the whole
     construction is oracle-verifiable; production stays on the 64-bit
     xxhash64 path (:func:`simhash_near_dup`). Returns
     ``(doc_a, doc_b, hamming)``."""
-    k = max_hamming + 1
-    if bits % k:
-        raise ValueError(
-            f"blocks ({k} = max_hamming+1) must divide bits ({bits}) evenly"
-        )
-    width = bits // k
-    fp_col = f"simhash{bits}"
     fp = simhash_md5(df, id_col, text_col, n=n, bits=bits)
-    blk = fp.select(
-        "doc",
-        fp_col,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda b: F.call_function(
-                    "shiftrightunsigned", F.col(fp_col), (b * width).cast("int")
-                ).bitwiseAND(F.lit((1 << width) - 1)),
-            )
-        ).alias("block_id", "block_val"),
-    )
-    a = blk.select(
-        F.col("doc").alias("doc_a"), F.col(fp_col).alias("fp_a"),
-        "block_id", "block_val",
-    )
-    b = blk.select(
-        F.col("doc").alias("doc_b"), F.col(fp_col).alias("fp_b"),
-        "block_id", "block_val",
-    )
-    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (
-        a.join(b, ["block_id", "block_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    return hamming_near_dup(
+        fp, "doc", f"simhash{bits}", bits=bits, max_hamming=max_hamming
     )
 
 

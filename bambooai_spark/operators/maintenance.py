@@ -663,6 +663,28 @@ def suggest_vector_maintenance(
                     "refresh_lag", "ok", "none",
                     f"watermark {wm!r} == corpus head",
                 ))
+    # fsck-derived rows (VERDICT r9 #7): surface store corruption the
+    # cheap checks can see — O(bookkeeping), never a tree walk here
+    # (deep=True stays an explicit validate_vector_store call)
+    from bambooai_spark.operators.vector_store import (  # noqa: PLC0415
+        validate_vector_store,
+    )
+
+    recs = {
+        "orphan_staging": "delete _rebuild_tmp (or the next "
+        "rebuild_vector_store clears it)",
+        "watermark": "re-baseline: write_vector_corpus(snapshot) + "
+        "set_corpus_watermark",
+    }
+    for r in validate_vector_store(
+        spark, store_path, corpus_path=corpus_path
+    ).collect():
+        if not r["ok"]:
+            rows.append((
+                f"fsck_{r['check']}", "warn",
+                recs.get(r["check"], "validate_vector_store(deep=True)"),
+                r["detail"],
+            ))
     return _df(spark, rows)
 
 

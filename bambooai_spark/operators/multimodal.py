@@ -26,10 +26,17 @@ Operators:
 - ``resize_media``          — mapInPandas: payload → payload' +
                               (width, height) metadata (1:1 bytes-to-
                               bytes rewrite — the image-resize shape).
+- ``dhash_images``          — mapInPandas: payload → difference-hash
+                              perceptual fingerprint (decode → grayscale
+                              grid → adjacent-pixel sign bits).
+- ``image_near_dup``        — dHash fingerprints → pigeonhole hamming
+                              block join (shared machinery with SimHash;
+                              never all-pairs) → verified near-dup pairs.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -244,3 +251,106 @@ def resize_media(
             yield out
 
     return df.select(*ids, payload_col).mapInPandas(run, out_schema)
+
+
+def _stub_gray_grid(payload: bytes, rows: int, cols: int) -> list[list[int]]:
+    """Deterministic fake 'decode to grayscale grid' — a real deployment
+    passes a PIL ``Image.open(...).convert('L').resize((cols+1, rows))``
+    wrapper here. Pixel (r, c) is byte ``c`` of ``md5(payload | b'|' | r)``,
+    so the grid is reproducible in ANY engine with md5 (the DuckDB oracle
+    replays it from hex chars) — identical payloads get identical grids
+    (hamming 0), which is the property the plumbing tests pin. NOT
+    locality-preserving (a hash stub cannot be); perceptual locality comes
+    from the real decoder."""
+    return [
+        list(
+            hashlib.md5(payload + b"|" + str(r).encode()).digest()[: cols + 1]
+        )
+        for r in range(rows)
+    ]
+
+
+def dhash_images(
+    df: DataFrame,
+    payload_col: str,
+    *,
+    id_cols: list[str] | None = None,
+    rows: int = 4,
+    cols: int = 8,
+    decoder: Callable[[bytes, int, int], list[list[int]]] | None = None,
+    out_col: str = "dhash",
+) -> DataFrame:
+    """Difference-hash (dHash) perceptual fingerprint via Arrow-batched
+    ``mapInPandas`` — the standard public construction: decode to a
+    ``rows x (cols+1)`` grayscale grid, bit ``r*cols + c`` is set iff
+    pixel ``(r, c+1) > (r, c)`` (brightness gradient direction, robust
+    to rescale/recompress under a real decoder). ``rows*cols`` bits as
+    one BIGINT; the 4x8 default gives the 32-bit fingerprint the
+    pigeonhole block join and the DuckDB oracle both handle exactly.
+    NULL payloads yield NULL fingerprints (never crash the batch)."""
+    if rows < 1 or cols < 1 or cols > 15:
+        raise ValueError(
+            f"need 1 <= rows and 1 <= cols <= 15 (md5 stub yields 16 "
+            f"bytes/row), got {rows}x{cols}"
+        )
+    if rows * cols > 63:
+        raise ValueError(
+            f"{rows}x{cols} = {rows * cols} bits overflows the signed "
+            "BIGINT fingerprint; keep rows*cols <= 63"
+        )
+    ids = id_cols or []
+    dec = decoder or _stub_gray_grid
+
+    def fp_of(b) -> int | None:
+        if b is None:
+            return None
+        grid = dec(bytes(b), rows, cols)
+        fp = 0
+        for r in range(rows):
+            row = grid[r]
+            for c in range(cols):
+                if row[c + 1] > row[c]:
+                    fp |= 1 << (r * cols + c)
+        return fp
+
+    out_schema = StructType(
+        [df.schema[c] for c in ids] + [StructField(out_col, LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[ids].copy() if ids else pd.DataFrame(index=pdf.index)
+            out[out_col] = pdf[payload_col].map(fp_of)
+            yield out
+
+    return df.select(*ids, payload_col).mapInPandas(run, out_schema)
+
+
+def image_near_dup(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    max_hamming: int = 3,
+    rows: int = 4,
+    cols: int = 8,
+    decoder: Callable[[bytes, int, int], list[list[int]]] | None = None,
+) -> DataFrame:
+    """Perceptual image near-dup pairs (VERDICT r9 #5 — the one dedup
+    family text had four engines for and images had none): dHash the
+    payloads (:func:`dhash_images`), then the SAME pigeonhole hamming
+    block join SimHash uses
+    (:func:`~bambooai_spark.operators.dedup.hamming_near_dup`) —
+    equality-join on fingerprint blocks, exact popcount verify, never
+    all-pairs. Returns ``(doc_a, doc_b, hamming <= max_hamming)``.
+    Swap ``decoder`` for a real PIL wrapper in deployment; the stub
+    keeps the whole pipeline deterministic and oracle-replayable."""
+    from bambooai_spark.operators.dedup import hamming_near_dup  # noqa: PLC0415
+
+    fp = dhash_images(
+        df, payload_col, id_cols=[id_col], rows=rows, cols=cols,
+        decoder=decoder,
+    ).filter(F.col("dhash").isNotNull())
+    return hamming_near_dup(
+        fp, id_col, "dhash", bits=rows * cols, max_hamming=max_hamming
+    )

@@ -687,6 +687,180 @@ def vector_store_skew(spark: SparkSession, path: str) -> dict:
     }
 
 
+def validate_vector_store(
+    spark: SparkSession,
+    path: str,
+    *,
+    corpus_path: str | None = None,
+    deep: bool = False,
+) -> "DataFrame":
+    """Consistency audit of a vector store — the fsck twin of
+    :func:`~bambooai_spark.operators.writer.validate_corpus` (VERDICT
+    r9 #7). One row per check: ``(check, ok, detail)``. Default checks
+    are O(bookkeeping) — meta + flag + staging stats, never a data-tree
+    walk; ``deep=True`` adds the tree-walk checks.
+
+    Checks:
+    - ``meta``              — ``_vector_store.json`` present + parseable
+      (everything else is skipped without it).
+    - ``frozen_rebuild``    — a rebuild crashed mid-swap; readers refuse
+      until ``rebuild_vector_store`` resumes it. Detail carries the
+      frozen generation and the flag's AGE, so monitoring can tell a
+      swap in progress from one abandoned for hours.
+    - ``orphan_staging``    — ``_rebuild_tmp`` with NO flag: an attempt
+      abandoned before its publish point (harmless to readers; wasted
+      bytes — the next rebuild clears it, or delete the directory).
+    - ``swap_leftovers``    (deep) — hidden ``_swap-r*-`` files with no
+      frozen rebuild to account for them: should never survive a
+      completed swap.
+    - ``stale_generations`` (deep) — live ``r<k>-`` files of a
+      generation other than the meta's ``rebuild_gen``: the completed
+      swap should have deleted them (double-counted neighbors).
+    - ``cells_vs_meta``     (deep) — ``ivf_cell=K`` directories outside
+      ``[0, n_cells)``: rows assigned under a different quantizer than
+      the pinned one (probes will never visit or wrongly visit them).
+    - ``watermark``         (with ``corpus_path``) — the store's corpus
+      watermark vs the corpus's maintenance floor (``as_of_floor``):
+      a watermark BELOW the floor means compaction/delete rewrote the
+      batches the next refresh would replay — attribution is gone and
+      incremental refresh is unsound; re-baseline with a snapshot
+      rebuild. (Refresh LAG — watermark behind the head — is the
+      advisor's job, not a corruption.)
+    """
+    import time  # noqa: PLC0415
+
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs,
+        _load_manifest_doc,
+        _walk_files,
+    )
+
+    rows: list[tuple[str, bool, str]] = []
+
+    def _df_of() -> DataFrame:
+        return spark.createDataFrame(
+            rows, "check string, ok boolean, detail string"
+        )
+
+    try:
+        meta = _load_meta_raw(spark, path)
+        rows.append(("meta", True, f"{len(meta.get('columns') or [])} "
+                     f"pinned columns, {meta.get('n_cells')} cells"))
+    except Exception as exc:  # noqa: BLE001
+        rows.append(("meta", False, f"unreadable store metadata: {exc}"))
+        return _df_of()
+
+    flag = _join(path, REBUILD_FLAG)
+    frozen = _fs_exists(spark, flag)
+    if frozen:
+        fs, jflag = _fs(spark, flag)
+        age_s = max(
+            0, int(time.time() - fs.getFileStatus(jflag)
+                   .getModificationTime() / 1000)
+        )
+        try:
+            gen = json.loads(_fs_read_text(spark, flag)).get("gen")
+        except Exception:  # noqa: BLE001
+            gen = None
+        rows.append((
+            "frozen_rebuild", False,
+            f"rebuild gen {gen} frozen mid-swap for {age_s}s — readers "
+            "refuse; rebuild_vector_store(spark, path) resumes it",
+        ))
+    else:
+        rows.append(("frozen_rebuild", True, "no rebuild in flight"))
+
+    staging = _join(path, "_rebuild_tmp")
+    if _fs_exists(spark, staging) and not frozen:
+        rows.append((
+            "orphan_staging", False,
+            "_rebuild_tmp exists with no _REBUILD.json — an attempt "
+            "abandoned before its publish point; the next rebuild "
+            "clears it (or delete the directory)",
+        ))
+    else:
+        rows.append(("orphan_staging", True, "none"))
+
+    if deep:
+        files = _walk_files(spark, path)
+        cur_gen = int(meta.get("rebuild_gen") or 0)
+        swap = _walk_files(spark, path, want_hidden_prefix="_swap-")
+        if swap and not frozen:
+            rows.append((
+                "swap_leftovers", False,
+                f"{len(swap)} hidden _swap-* files with no frozen "
+                f"rebuild (e.g. {swap[0].rsplit('/', 1)[1]!r}) — a "
+                "completed swap never leaves these",
+            ))
+        else:
+            rows.append(("swap_leftovers", True, "none"))
+        import re  # noqa: PLC0415
+
+        stale = set()
+        for f in files:
+            m = re.match(r"r(\d+)-", f.rsplit("/", 1)[1])
+            if m and int(m.group(1)) != cur_gen:
+                stale.add(int(m.group(1)))
+        if stale and not frozen:
+            rows.append((
+                "stale_generations", False,
+                f"live files of rebuild generation(s) "
+                f"{sorted(stale)} != current {cur_gen} — the swap "
+                "should have deleted them (duplicate neighbors); "
+                "re-run rebuild_vector_store",
+            ))
+        else:
+            rows.append(("stale_generations", True, f"gen {cur_gen}"))
+        n_cells = int(meta["n_cells"])
+        bad_cells = sorted({
+            int(m.group(1))
+            for f in files
+            for m in [re.search(rf"{CELL_COL}=(-?\d+)/", f)]
+            if m and not (0 <= int(m.group(1)) < n_cells)
+        })
+        if bad_cells:
+            rows.append((
+                "cells_vs_meta", False,
+                f"cell dirs {bad_cells} outside the pinned quantizer's "
+                f"[0, {n_cells}) — assigned under a different quantizer; "
+                "probes will mis-route around them; rebuild the store",
+            ))
+        else:
+            rows.append(("cells_vs_meta", True,
+                         f"all cell dirs within [0, {n_cells})"))
+
+    if corpus_path is not None:
+        wm = meta.get("corpus_watermark")
+        doc = _load_manifest_doc(spark, corpus_path) or {}
+        floor = doc.get("as_of_floor")
+        composite = isinstance(wm, str) and "." in str(wm)
+        if (
+            wm is not None and floor is not None and not composite
+            and int(wm) < int(floor)
+        ):
+            rows.append((
+                "watermark", False,
+                f"store watermark {wm!r} predates the corpus's "
+                f"maintenance floor {floor} — compaction/delete rewrote "
+                "the replay window; incremental refresh is unsound, "
+                "re-baseline with a snapshot rebuild "
+                "(write_vector_corpus + set_corpus_watermark)",
+            ))
+        elif wm is None:
+            rows.append((
+                "watermark", True,
+                "no corpus watermark pinned (the advisor flags the "
+                "refresh-lag setup; not a corruption)",
+            ))
+        else:
+            rows.append((
+                "watermark", True,
+                f"watermark {wm!r} within the replay window "
+                f"(floor {floor!r})",
+            ))
+    return _df_of()
+
+
 def rebuild_vector_store(
     spark: SparkSession,
     path: str,

@@ -2804,6 +2804,69 @@ def media_meta_docs(spark, sf_dir):
     )
 
 
+@spec(
+    "image_near_dup_docs",
+    """
+    WITH p AS (SELECT doc_id, substr(text, 1, 100) AS pay
+               FROM documents WHERE text IS NOT NULL),
+    px AS (SELECT p.doc_id, r.r, c.c,
+                  (strpos('0123456789abcdef',
+                          substr(md5(p.pay || '|' || r.r), 2*c.c + 1, 1)) - 1)
+                  * 16
+                + (strpos('0123456789abcdef',
+                          substr(md5(p.pay || '|' || r.r), 2*c.c + 2, 1)) - 1)
+                  AS v
+           FROM p,
+                (SELECT unnest(range(0, 4)) AS r) r,
+                (SELECT unnest(range(0, 9)) AS c) c),
+    bits AS (SELECT a.doc_id, a.r * 8 + a.c AS bit,
+                    CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS s
+             FROM px a JOIN px b
+               ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+             WHERE a.c < 8),
+    fp AS (SELECT doc_id,
+                  CAST(SUM(s * (1::BIGINT << CAST(bit AS INT))) AS BIGINT)
+                  AS fp
+           FROM bits GROUP BY doc_id),
+    blk AS (SELECT doc_id, fp, b.b AS blk_id,
+                   (fp >> CAST(b.b * 8 AS INT)) & 255 AS blk_val
+            FROM fp, (SELECT unnest(range(0, 4)) AS b) b),
+    pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  bit_count(xor(a.fp, b.fp)) AS hamming
+           FROM blk a JOIN blk b
+             ON b.blk_id = a.blk_id AND b.blk_val = a.blk_val
+            AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+    FROM pr WHERE hamming <= 3 ORDER BY doc_a, doc_b
+    """,
+    headline=True,
+    doc="Perceptual image near-dup end-to-end (operators/multimodal.py "
+    "dhash_images + image_near_dup; VERDICT r9 #5): payload -> "
+    "Arrow-batched dHash (decode to a 4x9 grayscale grid, bit r*8+c = "
+    "brightness gradient sign — the standard public difference-hash) -> "
+    "the SAME pigeonhole hamming block join SimHash uses "
+    "(dedup.hamming_near_dup: 4 blocks of 8 bits, equality-join "
+    "candidates, popcount verify, never all-pairs) -> pairs within "
+    "hamming 3. The stub decoder derives pixels from md5(payload|row) "
+    "so DuckDB replays decode -> fingerprint -> block -> verify "
+    "hash-exact; identical payloads (100-char text prefixes; the "
+    "synthetic corpus has prefix-duplicate docs) land at hamming 0. A "
+    "real deployment swaps in a PIL decoder — every stage after the "
+    "grid is unchanged.",
+)
+def image_near_dup_docs(spark, sf_dir):
+    from bambooai_spark.operators.multimodal import image_near_dup
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pay = d.select(
+        "doc_id",
+        F.encode(F.substring("text", 1, 100), "UTF-8").alias("payload"),
+    )
+    return image_near_dup(
+        pay, "doc_id", "payload", max_hamming=3
+    ).orderBy("doc_a", "doc_b")
+
+
 # =====================================================================
 # Similarity search over embeddings
 # =====================================================================
@@ -5325,13 +5388,12 @@ _PROMOTE = [
     # Round-5 rotation: first driver grades for the hash-exact LSH family,
     # the r4 spec additions, the TPC-H tails, and the new skew-pack spec —
     # displacing rows already driver-evidenced 3-4 times.
+    # (r10: shuffle_shards/quality_filter/unigram_logprob/q13/q21 — five
+    # greens each, freshest r9 — yield their slots to the r10 rotation
+    # below; stratified_sample and pack_skew stay as the window's sole
+    # sampling and packing representatives.)
     "stratified_sample_docs",
-    "shuffle_shards_docs",
-    "quality_filter_docs",
-    "unigram_logprob_docs",
     "pack_skew_docs",
-    "q13_order_distribution",
-    "q21_sole_fault_supplier",
     # Round-6 rotation: the last 10 never-driver-graded oracled specs plus
     # the three new md5-oracle twins (simhash near-dup, IVF, embedder) take
     # the slots of rows carrying 4-5 green driver rounds. After this
@@ -5443,8 +5505,32 @@ _PROMOTE = [
     # near_dup_gate_docs, and jaccard stays headline-benched and
     # oracle-pinned in pytest.
     "semdedup_embeddings",
+    # Round-10 rotation (VERDICT r9 #6 + #5): the new perceptual
+    # image-near-dup spec earns its driver row the round it lands
+    # (policy since r6), and the four STALEST-evidence oracled specs —
+    # pace_events (last green r4), group_index_events / corr_lineitem /
+    # regr_slope_events (r5) — cycle back in so no family's driver
+    # evidence ages past policy. Their five slots come from five-green
+    # rows re-evidenced r9 (shuffle_shards / quality_filter /
+    # unigram_logprob / q13 / q21); families stay represented in-window:
+    # text quality/LM <- text_quality_docs + token_stats_docs +
+    # lang_id_docs, deterministic shuffle/export <- export_shards_docs,
+    # join+agg <- q12/q2/q9/q11/q16/q20.
+    "image_near_dup_docs",
+    "pace_events",
+    "group_index_events",
+    "corr_lineitem",
+    "regr_slope_events",
 ]
 _DEMOTE = [
+    # Round-10 demotions (slots for the r10 rotation above); all stay
+    # headline-benched and oracle-pinned in pytest with five green
+    # driver rounds each, freshest r9.
+    "shuffle_shards_docs",
+    "quality_filter_docs",
+    "unigram_logprob_docs",
+    "q13_order_distribution",
+    "q21_sole_fault_supplier",
     # Round-9 continuation demotion (slot for semdedup_embeddings above):
     "jaccard_blocked_docs",
     # Round-8 continuation-3 demotions (slots for pruned_read_docs and
@@ -5479,7 +5565,7 @@ _DEMOTE = [
     "value_histogram_events",
     "rollup_grains_events",
     "most_recent_order",
-    "pace_events",
+    # (pace_events re-promoted in the round-10 rotation above)
     "null_handling_events",
     "range_count_events",
     "jaccard_pairs_docs",
@@ -5491,11 +5577,10 @@ _DEMOTE = [
     # pack/stratified/ntile, global rank <- ntile_customers, as-of/join <-
     # q21 + top_parts_per_brand, profile <- regex_token_stats).
     "percentiles_lineitem",
-    "corr_lineitem",
     "dense_rank_users",
-    "group_index_events",
     "segments_events",
-    "regr_slope_events",
+    # (corr_lineitem, group_index_events and regr_slope_events
+    # re-promoted in the round-10 rotation above)
     # (q1, q3, monthly_orders, top_customers, summary_stats re-promoted in
     # the round-7 rotation above)
     "rolling_avg_events",

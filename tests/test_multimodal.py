@@ -147,3 +147,89 @@ def test_resize_chains_into_decode(spark, media):
     rows = feats.collect()
     assert len(rows) == 4
     assert all(len(r.features) == 8 for r in rows)
+
+
+def test_dhash_deterministic_and_null_safe(spark, media):
+    """dHash fingerprints are stable across partitionings, identical
+    payloads hash identically, NULL payloads yield NULL (never crash),
+    and the 4x8 default stays within 32 bits."""
+    from bambooai_spark.operators.multimodal import dhash_images
+
+    one = {r.id: r.dhash
+           for r in dhash_images(media, "payload", id_cols=["id"]).collect()}
+    many = {r.id: r.dhash
+            for r in dhash_images(media.repartition(7), "payload",
+                                  id_cols=["id"]).collect()}
+    assert one == many
+    assert one[5] is None
+    assert all(0 <= v < (1 << 32) for k, v in one.items() if v is not None)
+
+    dup = spark.createDataFrame(
+        [(10, b"same bytes"), (11, b"same bytes"), (12, b"other")],
+        "id: long, payload: binary",
+    )
+    fps = {r.id: r.dhash
+           for r in dhash_images(dup, "payload", id_cols=["id"]).collect()}
+    assert fps[10] == fps[11]
+    assert fps[10] != fps[12]
+
+    with pytest.raises(ValueError, match="cols"):
+        dhash_images(media, "payload", id_cols=["id"], cols=16)
+    with pytest.raises(ValueError, match="overflow"):
+        dhash_images(media, "payload", id_cols=["id"], rows=8, cols=8)
+
+
+def test_image_near_dup_exact_within_bound(spark):
+    """The pigeonhole guarantee carried to the image path: the blocked
+    join returns PRECISELY {pairs with hamming <= max_hamming} — verified
+    against a brute-force popcount over the collected fingerprints (the
+    SimHash exactness test, re-run through dhash + hamming_near_dup)."""
+    from bambooai_spark.operators.multimodal import dhash_images, image_near_dup
+
+    rows = [(i, (f"payload {i % 40}").encode()) for i in range(200)]
+    df = spark.createDataFrame(rows, "id: long, payload: binary")
+    max_h = 3
+
+    fps = {r.id: r.dhash
+           for r in dhash_images(df, "payload", id_cols=["id"]).collect()}
+    want = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a in fps for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= max_h
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in image_near_dup(df, "id", "payload", max_hamming=max_h).collect()
+    }
+    assert got == want
+    assert want  # the modular payloads guarantee identical-pair coverage
+
+
+def test_image_near_dup_custom_decoder(spark):
+    """A swapped-in decoder (the deployment path: PIL) drives the same
+    pipeline: a raw-pixel decoder where payload bytes ARE the grid makes
+    controlled near-dups — one flipped gradient => hamming 1."""
+    from bambooai_spark.operators.multimodal import image_near_dup
+
+    def raw_pixels(payload: bytes, rows: int, cols: int):
+        w = cols + 1
+        return [list(payload[r * w:(r + 1) * w]) for r in range(rows)]
+
+    base = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90] * 4)  # 4 rows x 9 px
+    near = bytearray(base)
+    near[1] = 5   # gradient (0,0)->(0,1) flips: 20>10 became 5<10
+    far = bytes([90, 10] * 18)  # alternating: every gradient differs
+    df = spark.createDataFrame(
+        [(1, base), (2, bytes(near)), (3, far), (4, base)],
+        "id: long, payload: binary",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in image_near_dup(
+            df, "id", "payload", max_hamming=3, decoder=raw_pixels
+        ).collect()
+    }
+    assert got[(1, 4)] == 0   # identical images
+    assert got[(1, 2)] == 1   # one flipped gradient
+    assert got[(2, 4)] == 1
+    assert (1, 3) not in got  # far image: beyond the hamming bound

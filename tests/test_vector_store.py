@@ -602,3 +602,128 @@ def test_auto_maintain_heals_refresh_lag(spark, tmp_path):
     res = {r["action"]: r for r in
            auto_maintain_vector_store(spark, store).collect()}
     assert set(res) == {"none[cells]"}
+
+
+def test_validate_vector_store_fsck(spark, tmp_path):
+    """The vector-store fsck (VERDICT r9 #7): healthy store green on
+    every check; each injected corruption turns exactly its check red
+    with forensics; healing turns it back green; the advisor surfaces
+    the cheap checks as fsck_* rows."""
+    import os
+    import shutil
+
+    from bambooai_spark.operators.maintenance import (
+        suggest_vector_maintenance,
+    )
+    from bambooai_spark.operators.vector_store import (
+        set_corpus_watermark,
+        validate_vector_store,
+    )
+    from bambooai_spark.operators.writer import (
+        append_corpus_txn,
+        compact_corpus,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "vstore")
+    e = _emb(spark).select("vec_id", "embedding")
+    docs = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.when(F.col("vec_id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        F.concat(F.lit("doc "), F.col("vec_id")).alias("text"),
+        "embedding",
+    )
+    append_corpus_txn(docs, corpus, 0)
+    write_vector_corpus(e, store, n_cells=4)
+    set_corpus_watermark(spark, store, 0)
+
+    def checks(**kw):
+        return {r["check"]: r for r in
+                validate_vector_store(spark, store, **kw).collect()}
+
+    # healthy: every check green, deep and corpus-aware included
+    got = checks(deep=True, corpus_path=corpus)
+    assert {n for n, r in got.items() if not r["ok"]} == set()
+    assert set(got) == {"meta", "frozen_rebuild", "orphan_staging",
+                        "swap_leftovers", "stale_generations",
+                        "cells_vs_meta", "watermark"}
+
+    # orphan staging: abandoned pre-publish attempt
+    os.makedirs(os.path.join(store, "_rebuild_tmp", "data"), exist_ok=True)
+    got = checks()
+    assert not got["orphan_staging"]["ok"]
+    adv = {r["check"]: r for r in
+           suggest_vector_maintenance(spark, store).collect()}
+    assert adv["fsck_orphan_staging"]["severity"] == "warn"
+    shutil.rmtree(os.path.join(store, "_rebuild_tmp"))
+    assert checks()["orphan_staging"]["ok"]
+
+    # swap leftovers: a hidden swap file with no frozen rebuild
+    cell = next(d for d in os.listdir(store) if d.startswith("ivf_cell="))
+    leftover = os.path.join(store, cell, "_swap-r1-zombie.parquet")
+    open(leftover, "w").close()
+    got = checks(deep=True)
+    assert not got["swap_leftovers"]["ok"]
+    assert "_swap-r1-zombie" in got["swap_leftovers"]["detail"]
+    os.remove(leftover)
+    assert checks(deep=True)["swap_leftovers"]["ok"]
+
+    # stale generation: a live r<k>- file from a swap that should have
+    # deleted it (current gen is 0 — never rebuilt)
+    zombie = os.path.join(store, cell, "r7-zombie.parquet")
+    open(zombie, "w").close()
+    got = checks(deep=True)
+    assert not got["stale_generations"]["ok"]
+    assert "[7]" in got["stale_generations"]["detail"]
+    os.remove(zombie)
+    assert checks(deep=True)["stale_generations"]["ok"]
+
+    # cells vs meta: a cell directory outside the pinned quantizer
+    badcell = os.path.join(store, "ivf_cell=99")
+    os.makedirs(badcell)
+    open(os.path.join(badcell, "part-0.parquet"), "w").close()
+    got = checks(deep=True)
+    assert not got["cells_vs_meta"]["ok"]
+    assert "[99]" in got["cells_vs_meta"]["detail"]
+    shutil.rmtree(badcell)
+    assert checks(deep=True)["cells_vs_meta"]["ok"]
+
+    # watermark vs corpus floor: maintenance rewrote the replay window
+    # past the store's watermark -> incremental refresh is unsound.
+    # Injected the way the writer's own fsck tests inject states: bump
+    # the manifest's as_of_floor past the pinned watermark (compaction/
+    # delete folds write exactly this field via _bump_manifest_floor).
+    append_corpus_txn(
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000), corpus, 1
+    )
+    compact_corpus(spark, corpus)
+    from bambooai_spark.operators.writer import MANIFEST_NAME
+
+    mpath = os.path.join(corpus, MANIFEST_NAME)
+    doc = json.loads(open(mpath).read())
+    doc["as_of_floor"] = 5
+    open(mpath, "w").write(json.dumps(doc))
+    crc = os.path.join(corpus, f".{MANIFEST_NAME}.crc")
+    if os.path.exists(crc):  # hadoop's local-fs checksum sidecar
+        os.remove(crc)
+    got = checks(corpus_path=corpus)
+    assert not got["watermark"]["ok"]
+    assert "floor" in got["watermark"]["detail"]
+    adv = {r["check"]: r for r in suggest_vector_maintenance(
+        spark, store, corpus_path=corpus
+    ).collect()}
+    assert adv["fsck_watermark"]["severity"] == "warn"
+    assert "re-baseline" in adv["fsck_watermark"]["recommendation"]
+    # heal: re-baseline the watermark at the corpus head
+    set_corpus_watermark(spark, store, 5)
+    assert checks(corpus_path=corpus)["watermark"]["ok"]
+
+    # frozen rebuild reports its age and stays the advisor's early-out
+    open(os.path.join(store, "_REBUILD.json"), "w").write(
+        '{"gen": 3, "meta": {}}'
+    )
+    got = checks()
+    assert not got["frozen_rebuild"]["ok"]
+    assert "gen 3" in got["frozen_rebuild"]["detail"]
+    assert "s —" in got["frozen_rebuild"]["detail"]  # age reported
+    os.remove(os.path.join(store, "_REBUILD.json"))
