@@ -10,11 +10,17 @@ tables.
 
 from bambooai_spark.operators.dedup import (
     exact_dedup,
+    hamming_near_dup,
     jaccard_near_dup,
     minhash_signatures,
     minhash_near_dup,
+    semantic_dedup,
     simhash,
     embedding_near_dup,
+)
+from bambooai_spark.operators.multimodal import (
+    dhash_images,
+    image_near_dup,
 )
 from bambooai_spark.operators.similarity import (
     knn_brute_force,
@@ -30,6 +36,7 @@ from bambooai_spark.operators.vector_store import (
     rebuild_vector_store,
     refresh_vector_store,
     set_corpus_watermark,
+    validate_vector_store,
     vector_store_skew,
     write_vector_corpus,
 )
@@ -79,6 +86,10 @@ __all__ = [
     "minhash_near_dup",
     "simhash",
     "embedding_near_dup",
+    "hamming_near_dup",
+    "semantic_dedup",
+    "dhash_images",
+    "image_near_dup",
     "knn_brute_force",
     "knn_lsh",
     "label_centroids",
@@ -103,6 +114,7 @@ __all__ = [
     "suggest_vector_maintenance",
     "auto_maintain_vector_store",
     "rebuild_vector_store",
+    "validate_vector_store",
     "vector_store_skew",
     "append_vector_corpus",
     "query_vector_corpus",
