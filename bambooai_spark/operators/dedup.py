@@ -1185,12 +1185,17 @@ def semantic_dedup(
       target_cell_rows))`` — instead of a fixed small constant, so the
       within-cell pair work stays ~``N * target_cell_rows / 2`` no matter
       how big the input is (one ``count()`` scan, paid only on this path);
-    - before launching the pair join, the ACTUAL ``Sum |cell|*(|cell|-1)/2``
-      is measured on the persisted assignment (one bounded agg — catches
-      skewed cells, not just an optimistic balanced estimate) and the call
-      refuses when it exceeds ``max_cell_pairs``. Fix by raising
-      ``n_cells`` / passing more centroids, or opt in explicitly with
-      ``max_cell_pairs=None`` for small corpora you know are safe.
+    - the pair-join size is guarded against ``max_cell_pairs`` in three
+      tiers priced by how decisive they are: the balanced estimate
+      ``N²/(2k)`` is the Cauchy-Schwarz MINIMUM of the true within-cell
+      pair count, so exceeding the bound there refuses with no extra
+      job beyond one count; when even the one-cell WORST case
+      ``N(N-1)/2`` fits the bound the guard is free; only in the band
+      between (where skew alone decides) is the ACTUAL
+      ``Sum |cell|*(|cell|-1)/2`` measured on the persisted assignment
+      (one bounded agg). Fix a refusal by raising ``n_cells`` / passing
+      more centroids, or opt in explicitly with ``max_cell_pairs=None``
+      for corpora you know are safe.
     """
     import numpy as np  # noqa: PLC0415
 
@@ -1204,11 +1209,32 @@ def semantic_dedup(
         raise ValueError(f"assign must be numpy|exact, got {assign!r}")
     if cell_col in df.columns:
         raise ValueError(f"input already has a {cell_col!r} column")
+    n_rows: int | None = None
     if centroids is None:
         if n_cells is None:
-            n_cells = semdedup_cell_count(df.count(), target_cell_rows)
+            n_rows = df.count()
+            n_cells = semdedup_cell_count(n_rows, target_cell_rows)
         centroids = train_ivf_centroids(df, vec_col, n_cells=n_cells)
     cents = [[float(x) for x in c] for c in np.asarray(centroids)]
+    check_skew = False
+    if max_cell_pairs is not None:
+        if n_rows is None:
+            n_rows = df.count()
+        k = max(1, len(cents))
+        lower = n_rows * n_rows / (2.0 * k)  # balanced = provable minimum
+        upper = n_rows * (n_rows - 1) / 2.0  # everything in one cell
+        if lower > max_cell_pairs:
+            raise ValueError(
+                f"semantic_dedup: even perfectly balanced cells give "
+                f"~{lower:.3g} within-cell pairs (N={n_rows}, k={k}) > "
+                f"max_cell_pairs={max_cell_pairs:.3g} — the pair join "
+                "would approach N^2. Raise n_cells / pass more centroids "
+                "(target ~N/target_cell_rows cells), or opt in "
+                "explicitly with max_cell_pairs=None."
+            )
+        # only when skew ALONE could cross the bound is the exact
+        # per-cell measurement worth a job of its own
+        check_skew = upper > max_cell_pairs
     if assign == "exact":
         assigned = ivf_assign_exact(
             df, id_col, vec_col, cents, out_col=cell_col
@@ -1224,7 +1250,7 @@ def semantic_dedup(
     # tracked so release_caches() reclaims it, as connected_components
     # does for its reused edge frame
     assigned = track(assigned.persist())
-    if max_cell_pairs is not None:
+    if check_skew:
         est = (
             assigned.groupBy(cell_col)
             .count()
@@ -1237,12 +1263,12 @@ def semantic_dedup(
         )
         if est is not None and est > max_cell_pairs:
             raise ValueError(
-                f"semantic_dedup: within-cell pair count {est:.3g} exceeds "
-                f"max_cell_pairs={max_cell_pairs:.3g} — the clustering is "
-                "too coarse (or too skewed) for this corpus and the pair "
-                "join would approach N^2. Raise n_cells / pass more "
-                "centroids (target ~N/target_cell_rows cells), or opt in "
-                "explicitly with max_cell_pairs=None."
+                f"semantic_dedup: measured within-cell pair count "
+                f"{est:.3g} exceeds max_cell_pairs={max_cell_pairs:.3g} "
+                "— the clustering is too SKEWED for this corpus and the "
+                "pair join would approach N^2. Raise n_cells / pass "
+                "more centroids (target ~N/target_cell_rows cells), or "
+                "opt in explicitly with max_cell_pairs=None."
             )
     pairs = embedding_near_dup(
         assigned, id_col, vec_col, block_col=cell_col, threshold=threshold

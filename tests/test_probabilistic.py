@@ -275,21 +275,39 @@ def test_semdedup_derived_cells_used_when_args_omitted(spark, emb):
 
 
 def test_semdedup_refuses_exploding_pair_join(spark, emb):
-    """A quantizer too coarse for the corpus (one centroid -> one cell
-    -> N^2/2 pairs) must refuse before launching the pair join — the
-    same by-omission stance as embedding_near_dup's allow_full_cross —
-    and the measured-pairs guard must count ACTUAL skewed cells, not an
-    optimistic balanced estimate."""
+    """The three-tier pair-join guard (the by-omission stance of
+    embedding_near_dup's allow_full_cross):
+    1. a quantizer too coarse even when balanced (one centroid: N^2/2
+       pairs) refuses on the Cauchy-Schwarz LOWER bound — no assignment
+       job runs;
+    2. cells balanced-safe but SKEWED past the bound refuse on the
+       measured per-cell counts (the one case worth an extra job);
+    3. max_cell_pairs=None opts out entirely."""
+    import numpy as np
+
     from bambooai_spark.operators.dedup import semantic_dedup
     from bambooai_spark.operators.similarity import md5_centroids
 
     one_cell = md5_centroids(emb, "vec_id", "embedding", 1)
-    with pytest.raises(ValueError, match="max_cell_pairs"):
+    with pytest.raises(ValueError, match="balanced cells"):
         semantic_dedup(
             emb, "vec_id", "embedding",
             centroids=one_cell, threshold=0.3, assign="exact",
             max_cell_pairs=1000.0,  # 500 rows in one cell -> ~125k pairs
         )
+
+    # skew band: k=2 makes the balanced estimate ~62k (under the 70k
+    # bound), but a far-away second centroid captures nothing, so the
+    # MEASURED count is ~125k (over) — only the exact tier catches it
+    dim = len(np.asarray(one_cell)[0])
+    skewed = [list(np.asarray(one_cell)[0]), [1e6] * dim]
+    with pytest.raises(ValueError, match="SKEWED"):
+        semantic_dedup(
+            emb, "vec_id", "embedding",
+            centroids=skewed, threshold=0.3, assign="exact",
+            max_cell_pairs=70_000.0,
+        )
+
     # explicit opt-out still runs (small-N escape hatch)
     out = semantic_dedup(
         emb, "vec_id", "embedding",
