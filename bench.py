@@ -174,12 +174,14 @@ def main() -> int:
         common = sorted(set(prev_qs) & {k for k, v in times.items()
                                         if v >= 0})
         if common:
-            carried = {
-                "vs": tag,
-                "n": len(common),
-                "now": round(sum(times[k] for k in common), 2),
-                "prev": round(sum(prev_qs[k] for k in common), 2),
-            }
+            # compact string, not a dict: every byte on the stdout line
+            # competes with per-query minima for the driver's capture
+            # window ("vs=<tag> n=<common> now=<sum> prev=<sum>")
+            carried = (
+                f"vs={tag} n={len(common)} "
+                f"now={round(sum(times[k] for k in common), 2)} "
+                f"prev={round(sum(prev_qs[k] for k in common), 2)}"
+            )
     result = {
         "metric": "headline_total_sec",
         "value": round(sum(ok), 3),
@@ -220,7 +222,11 @@ def main() -> int:
     # and on stderr — the per-query scan minima are the last to go.
     line = json.dumps(result, separators=(",", ":"))
     for victim in ("carried", "lifecycle", "queries"):
-        if len(line) <= 1990:  # the driver's capture window is 2000 chars
+        # the driver's capture window is the LAST 2000 chars and this
+        # line is the last thing printed, so line+newline <= 1998 always
+        # fits whole (2 chars margin); 1990 was over-conservative and
+        # cost r10's first run its carried field
+        if len(line) <= 1996:
             break
         print(f"[bench] WARNING: line {len(line)} chars exceeds the "
               f"driver's 2000-char capture; dropping {victim!r}",
