@@ -805,11 +805,13 @@ def consolidate_file_stats(
     fs, jroot = _fs(spark, sroot)
     for st in fs.listStatus(jroot):
         nm = st.getPath().getName()
+        v = _cons_version(nm)
         if (
             st.isDirectory()
             and nm.startswith(CONSOLIDATED_PREFIX)
             and nm != name
-            and (_cons_version(nm) or 0) < version
+            and v is not None  # unparseable version: NOT deletable
+            and v < version
         ):
             fs.delete(st.getPath(), True)
     return {**meta, "folded_deltas": len(deltas)}
@@ -957,9 +959,12 @@ def _distributed_prune(
             )
         )
     global _LAST_PRUNE_TRANSFER
-    sdf = sdf.persist()
+    # persist key+dead, not the raw entries: persist caches INPUT rows,
+    # not UDF output, so filtering on _dead(entry) twice would run the
+    # json.loads + _entry_alive pass twice per entry (review r10)
+    keyed = sdf.select("key", _dead(F.col("entry")).alias("dead")).persist()
     try:
-        n_dead = sdf.where(_dead(F.col("entry"))).count()
+        n_dead = keyed.where("dead").count()
         if n_dead == 0:
             _LAST_PRUNE_TRANSFER = ("none", 0)
             return list(files)
@@ -967,25 +972,25 @@ def _distributed_prune(
             # pruned minority: collect the dead keys (transfer n_dead)
             dead = {
                 r[0]
-                for r in sdf.where(_dead(F.col("entry")))
-                .select("key").collect()
+                for r in keyed.where("dead").select("key").collect()
             }
             _LAST_PRUNE_TRANSFER = ("dead", len(dead))
             return [f for f in files if _rel_key(f, root) not in dead]
         # pruned majority: ship the listed keys up once (data the driver
         # already holds) and collect back only the KEPT side — a file
-        # with no stats entry joins to a NULL entry and is kept
+        # with no stats entry joins to a NULL dead flag and is kept
         keys = [(_rel_key(f, root),) for f in files]
         fdf = spark.createDataFrame(keys, "key string")
         kept_keys = {
             r[0]
-            for r in fdf.join(sdf, "key", "left")
-            .where(~_dead(F.col("entry"))).select("key").collect()
+            for r in fdf.join(keyed, "key", "left")
+            .where(~F.coalesce(F.col("dead"), F.lit(False)))
+            .select("key").collect()
         }
         _LAST_PRUNE_TRANSFER = ("kept", len(kept_keys))
         return [f for f in files if _rel_key(f, root) in kept_keys]
     finally:
-        sdf.unpersist()
+        keyed.unpersist()
         # a long-lived session doing many selective reads must not
         # accumulate one broadcast per read (ADVICE r9)
         ctx.unpersist()

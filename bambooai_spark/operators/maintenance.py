@@ -588,7 +588,7 @@ def suggest_vector_maintenance(
     corpus advisor."""
     from bambooai_spark.operators.vector_store import (  # noqa: PLC0415
         REBUILD_FLAG,
-        _load_meta,
+        _load_meta_raw,
         vector_store_skew,
     )
 
@@ -601,7 +601,10 @@ def suggest_vector_maintenance(
             "completes",
         ))
         return _df(spark, rows)
-    sk = vector_store_skew(spark, store_path)
+    # one bookkeeping load for the whole advisor call (review r10): the
+    # flag was just checked, so the raw read is the _load_meta semantics
+    meta = _load_meta_raw(spark, store_path)
+    sk = vector_store_skew(spark, store_path, _meta=meta)
     if sk["rows"] and sk["skew"] > skew_ratio:
         rows.append((
             "cell_skew", "warn",
@@ -632,7 +635,7 @@ def suggest_vector_maintenance(
             latest_committed_batch,
         )
 
-        wm = _load_meta(spark, store_path).get("corpus_watermark")
+        wm = meta.get("corpus_watermark")
         if wm is None:
             rows.append((
                 "refresh_lag", "info",
@@ -677,7 +680,8 @@ def suggest_vector_maintenance(
         "set_corpus_watermark",
     }
     for r in validate_vector_store(
-        spark, store_path, corpus_path=corpus_path
+        spark, store_path, corpus_path=corpus_path,
+        _meta=meta, _frozen=False,
     ).collect():
         if not r["ok"]:
             rows.append((
@@ -766,7 +770,17 @@ def auto_maintain_vector_store(
                 + advice["cell_skew"]["detail"],
             ))
     lag = advice.get("refresh_lag")
-    if lag is not None and lag["severity"] == "warn":
+    lag_warn = lag is not None and lag["severity"] == "warn"
+    if lag_warn and "fsck_watermark" in advice:
+        # the corpus's maintenance floor passed the watermark: the
+        # incremental refresh would raise read_corpus_changes' floor
+        # guard mid-plan (review r10) — report the re-baseline the fsck
+        # already recommended instead of crashing the healing loop
+        rows.append((
+            "refresh_vector_store", False,
+            "refresh skipped — " + advice["fsck_watermark"]["detail"],
+        ))
+    elif lag_warn:
         # refresh AFTER any retrain: the rebuild carries the watermark
         # over, so the refresh window is the same either way, and the
         # appended vectors land in the fresh cell layout
@@ -787,7 +801,7 @@ def auto_maintain_vector_store(
     # report every remaining advice row (ok/info states, and any check a
     # future advisor adds) instead of assuming a single residual
     handled = {"rebuild_frozen", "cell_skew"}
-    if lag is not None and lag["severity"] == "warn":
+    if lag_warn:
         handled.add("refresh_lag")
     for check, row in advice.items():
         if check not in handled:

@@ -655,7 +655,9 @@ def prune_vector_store(
     return {"removed": n_dead, "cells_rewritten": affected}
 
 
-def vector_store_skew(spark: SparkSession, path: str) -> dict:
+def vector_store_skew(
+    spark: SparkSession, path: str, *, _meta: dict | None = None
+) -> dict:
     """Cell-balance report — the drift signal for
     :func:`rebuild_vector_store`. A store whose appends pinned stale
     centroids ends up with a few huge cells: every probe that hits one
@@ -664,8 +666,10 @@ def vector_store_skew(spark: SparkSession, path: str) -> dict:
     no longer separates them. One job over the partition column only
     (the scan decodes no vector bytes — cell ids come from directory
     names). ``skew`` is max/mean over the CONFIGURED cell count (empty
-    cells are the quantizer's wasted capacity and count against it)."""
-    meta = _load_meta(spark, path)
+    cells are the quantizer's wasted capacity and count against it).
+    ``_meta`` lets the advisor pass already-loaded metadata (one
+    bookkeeping read per advisor call, review r10)."""
+    meta = _meta if _meta is not None else _load_meta(spark, path)
     counts = {
         int(r[CELL_COL]): int(r["n"])
         for r in spark.read.parquet(path)
@@ -693,6 +697,8 @@ def validate_vector_store(
     *,
     corpus_path: str | None = None,
     deep: bool = False,
+    _meta: dict | None = None,
+    _frozen: bool | None = None,
 ) -> "DataFrame":
     """Consistency audit of a vector store — the fsck twin of
     :func:`~bambooai_spark.operators.writer.validate_corpus` (VERDICT
@@ -726,6 +732,9 @@ def validate_vector_store(
       incremental refresh is unsound; re-baseline with a snapshot
       rebuild. (Refresh LAG — watermark behind the head — is the
       advisor's job, not a corruption.)
+
+    ``_meta``/``_frozen`` let the advisor pass already-established
+    bookkeeping state (one read per advisor call, review r10).
     """
     import time  # noqa: PLC0415
 
@@ -743,7 +752,7 @@ def validate_vector_store(
         )
 
     try:
-        meta = _load_meta_raw(spark, path)
+        meta = _meta if _meta is not None else _load_meta_raw(spark, path)
         rows.append(("meta", True, f"{len(meta.get('columns') or [])} "
                      f"pinned columns, {meta.get('n_cells')} cells"))
     except Exception as exc:  # noqa: BLE001
@@ -751,22 +760,33 @@ def validate_vector_store(
         return _df_of()
 
     flag = _join(path, REBUILD_FLAG)
-    frozen = _fs_exists(spark, flag)
+    frozen = _frozen if _frozen is not None else _fs_exists(spark, flag)
     if frozen:
-        fs, jflag = _fs(spark, flag)
-        age_s = max(
-            0, int(time.time() - fs.getFileStatus(jflag)
-                   .getModificationTime() / 1000)
-        )
+        # race-tolerant (review r10): a concurrent rebuild can complete
+        # and delete the flag between the exists check and these reads —
+        # that is the HEALED state, report it as such instead of raising
         try:
+            fs, jflag = _fs(spark, flag)
+            age_s = max(
+                0, int(time.time() - fs.getFileStatus(jflag)
+                       .getModificationTime() / 1000)
+            )
             gen = json.loads(_fs_read_text(spark, flag)).get("gen")
         except Exception:  # noqa: BLE001
-            gen = None
-        rows.append((
-            "frozen_rebuild", False,
-            f"rebuild gen {gen} frozen mid-swap for {age_s}s — readers "
-            "refuse; rebuild_vector_store(spark, path) resumes it",
-        ))
+            frozen = _fs_exists(spark, flag)
+            age_s, gen = None, None
+        if frozen:
+            rows.append((
+                "frozen_rebuild", False,
+                f"rebuild gen {gen} frozen mid-swap for "
+                f"{age_s if age_s is not None else '?'}s — readers "
+                "refuse; rebuild_vector_store(spark, path) resumes it",
+            ))
+        else:
+            rows.append((
+                "frozen_rebuild", True,
+                "a rebuild completed its swap during this check",
+            ))
     else:
         rows.append(("frozen_rebuild", True, "no rebuild in flight"))
 
@@ -851,6 +871,17 @@ def validate_vector_store(
                 "watermark", True,
                 "no corpus watermark pinned (the advisor flags the "
                 "refresh-lag setup; not a corruption)",
+            ))
+        elif composite:
+            # namespaced watermarks are not comparable with the numeric
+            # floor — do NOT claim the window is intact (review r10);
+            # refresh itself still fails loudly on rewritten evidence
+            rows.append((
+                "watermark", True,
+                f"composite watermark {wm!r}: not comparable with the "
+                f"numeric maintenance floor ({floor!r}) — window "
+                "soundness is enforced at refresh time, not provable "
+                "here",
             ))
         else:
             rows.append((

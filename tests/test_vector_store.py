@@ -727,3 +727,54 @@ def test_validate_vector_store_fsck(spark, tmp_path):
     assert "gen 3" in got["frozen_rebuild"]["detail"]
     assert "s —" in got["frozen_rebuild"]["detail"]  # age reported
     os.remove(os.path.join(store, "_REBUILD.json"))
+
+
+def test_auto_maintain_skips_unsound_refresh(spark, tmp_path):
+    """Review r10: when the corpus's maintenance floor passed the
+    store's watermark, the heal loop must REPORT the re-baseline (the
+    fsck_watermark advice it already collected) instead of executing a
+    refresh that raises read_corpus_changes' floor guard mid-plan."""
+    from bambooai_spark.operators.maintenance import (
+        auto_maintain_vector_store,
+    )
+    from bambooai_spark.operators.vector_store import set_corpus_watermark
+    from bambooai_spark.operators.writer import (
+        MANIFEST_NAME,
+        append_corpus_txn,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    store = str(tmp_path / "vstore")
+    e = _emb(spark).select("vec_id", "embedding")
+    docs = e.select(
+        F.col("vec_id").alias("doc_id"),
+        F.when(F.col("vec_id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        F.concat(F.lit("doc "), F.col("vec_id")).alias("text"),
+        "embedding",
+    )
+    append_corpus_txn(docs.filter("doc_id % 2 = 0"), corpus, 0)
+    write_vector_corpus(e.filter("vec_id % 2 = 0"), store, n_cells=4)
+    set_corpus_watermark(spark, store, 0)
+    # corpus moves ahead AND its floor passes the watermark (injected
+    # the way the fsck test injects it: the exact field maintenance
+    # ops write via _bump_manifest_floor)
+    append_corpus_txn(docs.filter("doc_id % 2 = 1"), corpus, 1)
+    mpath = os.path.join(corpus, MANIFEST_NAME)
+    doc = json.loads(open(mpath).read())
+    doc["as_of_floor"] = 1
+    open(mpath, "w").write(json.dumps(doc))
+    crc = os.path.join(corpus, f".{MANIFEST_NAME}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    def embed(changes):
+        return changes.select(F.col("doc_id").alias("vec_id"), "embedding")
+
+    n0 = spark.read.parquet(store).count()
+    res = {r["action"]: r for r in auto_maintain_vector_store(
+        spark, store, corpus_path=corpus, embed=embed
+    ).collect()}  # must not raise
+    assert not res["refresh_vector_store"]["executed"]
+    assert "floor" in res["refresh_vector_store"]["detail"]
+    assert "none[fsck_watermark]" in res
+    assert spark.read.parquet(store).count() == n0  # nothing touched
