@@ -843,11 +843,19 @@ def hamming_near_dup(
     k = max_hamming + 1
     if bits % k:
         raise ValueError(
-            f"blocks ({k} = max_hamming+1) must divide bits ({bits}) evenly"
+            f"blocks ({k} = max_hamming+1) must divide bits (" f"{bits}) evenly"
         )
     width = bits // k
+    # the fingerprint frame feeds BOTH legs of the self-join —
+    # unpersisted, the fingerprint pass (a SimHash shingle fold, or a
+    # dHash DECODE of every image payload) would run twice (plan audit
+    # r10); (doc, fp) rows are tiny, so cache them and let
+    # release_caches() reclaim
+    fp = track(
+        fp.select(F.col(id_col).alias("doc"), F.col(fp_col)).persist()
+    )
     blk = fp.select(
-        F.col(id_col).alias("doc"),
+        "doc",
         F.col(fp_col).alias("_fp"),
         F.posexplode(
             F.transform(
