@@ -1283,3 +1283,172 @@ def semantic_dedup(
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return assigned.join(drops, id_col, "left_anti")
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 25,
+    min_count: int = 2,
+    keep_first: bool = False,
+    min_len: int | None = None,
+) -> DataFrame:
+    """Maximal exactly-duplicated character spans across the corpus — the
+    span inventory of ExactSubstr deduplication (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", public
+    method). Returns ``(id_col, span_start, span_end, span_len)`` with
+    1-based inclusive character offsets.
+
+    Construction (the distributed stand-in for the paper's suffix array):
+
+    1. every character ``k``-gram becomes a posting ``(id, pos, gram)``;
+    2. a gram is *duplicated* when it occurs >= ``min_count`` times
+       corpus-wide (one hash-partitioned groupBy with map-side partials —
+       true duplicates are the only hot keys);
+    3. duplicated positions merge into maximal spans per document with
+       the gaps-and-islands trick (``pos - row_number()`` is constant
+       exactly on a run of consecutive starts), so two overlapping
+       duplicated grams never double-report: a shared substring of
+       length L >= k yields ONE span of length L.
+
+    ``keep_first=True`` exempts each gram's first occurrence (ordered by
+    ``(id, pos)``) so the earliest copy of a duplicated region survives a
+    downstream cut — the paper's "all but one" policy at gram grain. The
+    first-occurrence rank comes from the same shuffle that counts the
+    gram (one window over the gram key), so the policy costs no extra
+    exchange.
+
+    100 TB story: the text column never shuffles — only ``(id, pos,
+    k-byte gram)`` postings, the same O(total chars) row class the
+    tokenizer already pays. The groupBy key is the gram itself (fixed
+    ``k`` bytes, narrower than an md5 hex digest and oracle-portable);
+    frequency skew concentrates exactly on true boilerplate, which AQE's
+    skew-join split handles on the probe side. The islands window
+    partitions by document, so its state is bounded by the longest
+    document, not the corpus.
+    """
+    if k < 2:
+        raise ValueError("exact_substring_spans: k must be >= 2")
+    if min_count < 2:
+        raise ValueError("exact_substring_spans: min_count must be >= 2")
+    lo = k if min_len is None else min_len
+    t = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (k - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("p"), F.substring(t, i, k).alias("gram")
+        ),
+    )
+    pos = (
+        df.filter(F.length(t) >= k)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, F.col("g.p").alias("p"), F.col("g.gram").alias("gram"))
+    )
+    # ONE window pass over the gram key, not two: without keep_first only
+    # the frequency matters (unordered count), and with keep_first at the
+    # default min_count=2 a rank >= 2 already implies duplication, so the
+    # ordered row_number alone decides — a second count window (= a second
+    # sort of every posting) is only paid when min_count > 2 forces both.
+    w = Window.partitionBy("gram")
+    if keep_first:
+        occ = pos.select(
+            id_col,
+            "p",
+            F.row_number()
+            .over(w.orderBy(F.col(id_col), F.col("p")))
+            .alias("_rk"),
+            *(
+                [F.count(F.lit(1)).over(w).alias("_cnt")]
+                if min_count > 2
+                else []
+            ),
+        )
+        hits = occ.filter(F.col("_rk") >= 2)
+        if min_count > 2:
+            hits = hits.filter(F.col("_cnt") >= min_count)
+    else:
+        occ = pos.select(
+            id_col, "p", F.count(F.lit(1)).over(w).alias("_cnt")
+        )
+        hits = occ.filter(F.col("_cnt") >= min_count)
+    iw = Window.partitionBy(id_col).orderBy("p")
+    isl = hits.select(
+        id_col, "p", (F.col("p") - F.row_number().over(iw)).alias("_grp")
+    )
+    return (
+        isl.groupBy(id_col, "_grp")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(k - 1)).alias("span_end"),
+            (F.max("p") + F.lit(k) - F.min("p")).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= lo)
+        .drop("_grp")
+    )
+
+
+def exact_substring_cut(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 25,
+    min_count: int = 2,
+    keep_first: bool = True,
+    out: str = "clean_text",
+) -> DataFrame:
+    """ExactSubstr deduplication, surgery included (Lee et al. 2021): cut
+    every duplicated span found by :func:`exact_substring_spans` out of
+    the text, keeping (by default) each region's earliest copy. Returns
+    ``df`` plus column ``out`` — the text with cut spans removed;
+    untouched documents pass through byte-identical.
+
+    The splice itself is one JVM-side ``aggregate`` over the document's
+    sorted span array (state = ``(kept-so-far, cursor)``; each span
+    appends the gap before it and advances the cursor; the finisher
+    appends the tail) — no Python boundary, no shuffle beyond the per-doc
+    span collect, whose state is bounded by spans-per-document (merged
+    islands, so at most ``len/k`` of them), never the corpus.
+    """
+    spans = exact_substring_spans(
+        df, id_col, text_col, k=k, min_count=min_count, keep_first=keep_first
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    t = F.col(text_col)
+    zero = F.struct(
+        F.lit("").alias("acc"), F.lit(1).cast("long").alias("cur")
+    )
+    splice = F.aggregate(
+        F.col("_spans"),
+        zero,
+        lambda a, s: F.struct(
+            F.concat(
+                a.acc,
+                F.substring(
+                    t, a.cur.cast("int"), (s.span_start - a.cur).cast("int")
+                ),
+            ).alias("acc"),
+            (s.span_end + 1).alias("cur"),
+        ),
+        lambda a: F.concat(
+            a.acc,
+            F.substring(
+                t,
+                a.cur.cast("int"),
+                (F.length(t) - a.cur + 1).cast("int"),
+            ),
+        ),
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(
+            out, F.when(F.col("_spans").isNull(), t).otherwise(splice)
+        )
+        .drop("_spans")
+    )

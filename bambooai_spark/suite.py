@@ -2867,6 +2867,109 @@ def image_near_dup_docs(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+# The CTE both ExactSubstr specs replay in DuckDB: every character 25-gram
+# as a (doc_id, position) posting — the raw gram is the join/group key on
+# both engines, so the whole pipeline is hash-exact with no hash-function
+# coupling.
+_XSUB_POS = r"""
+  SELECT doc_id, CAST(i AS BIGINT) AS p,
+         substr(text, CAST(i AS BIGINT), 25) AS gram
+  FROM documents, LATERAL unnest(range(1, length(text) - 25 + 2)) AS t(i)
+  WHERE length(text) >= 25
+"""
+
+
+@spec(
+    "exact_spans_docs",
+    f"""
+    WITH pos AS ({_XSUB_POS}),
+    freq AS (SELECT gram, COUNT(*) AS cnt FROM pos GROUP BY gram),
+    hits AS (SELECT p.doc_id, p.p FROM pos p JOIN freq USING (gram)
+             WHERE cnt >= 2),
+    isl AS (SELECT doc_id, p,
+                   p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                     AS grp
+            FROM hits)
+    SELECT doc_id, MIN(p) AS span_start, MAX(p) + 24 AS span_end,
+           MAX(p) + 25 - MIN(p) AS span_len
+    FROM isl GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+    """,
+    headline=True,
+    doc="ExactSubstr span inventory (Lee et al. 2021): maximal character "
+    "spans whose every 25-gram recurs corpus-wide, merged from duplicated "
+    "gram starts with the gaps-and-islands window so overlapping grams "
+    "report ONE span. Only (doc_id, pos, 25-byte gram) postings shuffle — "
+    "the text column never does — and the islands window partitions by "
+    "document, so its state is bounded by the longest doc.",
+)
+def exact_spans_docs(spark, sf_dir):
+    from bambooai_spark.operators.dedup import exact_substring_spans
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    return exact_substring_spans(d, "doc_id", "text", k=25).orderBy(
+        "doc_id", "span_start"
+    )
+
+
+@spec(
+    "exact_cut_docs",
+    f"""
+    WITH pos AS ({_XSUB_POS}),
+    occ AS (SELECT doc_id, p, COUNT(*) OVER (PARTITION BY gram) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY gram
+                                      ORDER BY doc_id, p) AS rk
+            FROM pos),
+    hits AS (SELECT doc_id, p FROM occ WHERE cnt >= 2 AND rk >= 2),
+    isl AS (SELECT doc_id, p,
+                   p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                     AS grp
+            FROM hits),
+    spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + 24 AS e
+              FROM isl GROUP BY doc_id, grp),
+    segs AS (
+      SELECT doc_id,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+               AS seg_s,
+             s - 1 AS seg_e
+      FROM spans
+      UNION ALL
+      SELECT doc_id, MAX(e) + 1 AS seg_s, NULL AS seg_e
+      FROM spans GROUP BY doc_id),
+    clean AS (
+      SELECT d.doc_id,
+             STRING_AGG(
+               CASE WHEN COALESCE(seg_e, LENGTH(d.text)) >= seg_s
+                    THEN substr(d.text, seg_s,
+                                COALESCE(seg_e, LENGTH(d.text)) - seg_s + 1)
+                    ELSE '' END, '' ORDER BY seg_s) AS kept
+      FROM documents d JOIN segs USING (doc_id) GROUP BY d.doc_id)
+    SELECT d.doc_id,
+           LENGTH(COALESCE(kept, d.text)) AS clean_len,
+           md5(COALESCE(kept, d.text)) AS clean_md5
+    FROM documents d LEFT JOIN clean USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    headline=True,
+    doc="ExactSubstr deduplication with the surgery applied (Lee et al. "
+    "2021 'all but one'): duplicated spans are cut from every copy except "
+    "each gram-run's earliest (doc_id, pos) occurrence; the splice is one "
+    "JVM-side aggregate over the doc's sorted span array. The oracle "
+    "rebuilds the kept text from the gap segments and compares md5 — "
+    "byte-exact end-to-end across engines.",
+)
+def exact_cut_docs(spark, sf_dir):
+    from bambooai_spark.operators.dedup import exact_substring_cut
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    cut = exact_substring_cut(d, "doc_id", "text", k=25, keep_first=True)
+    return cut.select(
+        "doc_id",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 # =====================================================================
 # Similarity search over embeddings
 # =====================================================================
@@ -5398,13 +5501,14 @@ _PROMOTE = [
     # the three new md5-oracle twins (simhash near-dup, IVF, embedder) take
     # the slots of rows carrying 4-5 green driver rounds. After this
     # window, EVERY oracled spec in the suite has driver evidence.
-    "repetition_docs",
+    # (r10 continuation: repetition_docs and ntile_customers — 4 greens
+    # each, freshest r9 — yield their slots to the ExactSubstr specs in
+    # the r10-continuation block below.)
     "regex_token_stats_docs",
     "chunk_docs",
     "salted_agg_events",
     "top_parts_per_brand",
     "pivot_orders",
-    "ntile_customers",
     # Round-8 continuation: the session's new lifecycle/sketch specs take
     # the slots of sample_docs_det / domain_mix_docs / vocab_top_words
     # (r6+r7 green each, freshest evidence in the window; the sampling
@@ -5521,8 +5625,20 @@ _PROMOTE = [
     "group_index_events",
     "corr_lineitem",
     "regr_slope_events",
+    # Round-10 continuation: the session's new ExactSubstr specs earn
+    # their driver rows the round they land (policy since r6). Their
+    # slots: repetition_docs and ntile_customers (4 green rounds each,
+    # freshest r9); text quality stays repped in-window by
+    # text_quality_docs + token_stats_docs + regex_token_stats_docs,
+    # ranking by percent_rank_customers.
+    "exact_spans_docs",
+    "exact_cut_docs",
 ]
 _DEMOTE = [
+    # Round-10 continuation demotions (slots for the ExactSubstr specs
+    # above); both stay headline-benched and oracle-pinned in pytest.
+    "repetition_docs",
+    "ntile_customers",
     # Round-10 demotions (slots for the r10 rotation above); all stay
     # headline-benched and oracle-pinned in pytest with five green
     # driver rounds each, freshest r9.

@@ -501,3 +501,139 @@ def test_append_corpus_delta_manifest_accumulates(spark, tmp_path):
     rec = m.collect()
     assert all(r["n_files"] >= 1 and r["n_bytes"] > 0 for r in rec)
     assert sum(r["n_rows"] for r in rec) == spark.read.parquet(out).count()
+
+
+# ---------------------------------------------------------------------
+# ExactSubstr span dedup (Lee et al. 2021) — crafted-fixture semantics
+# ---------------------------------------------------------------------
+
+def _py_spans(texts, k, min_count=2, keep_first=False):
+    """20-line pure-Python reference: postings -> duplicated grams ->
+    merged maximal runs of consecutive duplicated starts."""
+    occ = {}
+    for i, t in enumerate(texts):
+        for p in range(len(t) - k + 1):
+            occ.setdefault(t[p : p + k], []).append((i, p + 1))
+    hits = {}
+    for g, ps in occ.items():
+        if len(ps) < min_count:
+            continue
+        start = 1 if keep_first else 0
+        for d, p in sorted(ps)[start:]:
+            hits.setdefault(d, set()).add(p)
+    out = []
+    for d, ps in hits.items():
+        run = []
+        for p in sorted(ps):
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    out.append((d, run[0], run[-1] + k - 1))
+                run = [p]
+        if run:
+            out.append((d, run[0], run[-1] + k - 1))
+    return sorted(out)
+
+
+def _py_cut(texts, k):
+    spans = _py_spans(texts, k, keep_first=True)
+    out = []
+    for i, t in enumerate(texts):
+        mine = [(s, e) for d, s, e in spans if d == i]
+        kept, cur = [], 1
+        for s, e in sorted(mine):
+            kept.append(t[cur - 1 : s - 1])
+            cur = e + 1
+        kept.append(t[cur - 1 :])
+        out.append("".join(kept))
+    return out
+
+
+XSUB_TEXTS = [
+    "PREFIX_the shared duplicated middle section here_SUFFIX-A",
+    "other lead-in the shared duplicated middle section here tail",
+    "unique document with no repeats at all whatsoever xyzw",
+    "self repeat self repeat self repeat self repeat",  # within-doc dups
+    "short",  # < k: contributes no grams
+]
+
+
+def _spans_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_substring_spans_matches_reference(spark):
+    from bambooai_spark.operators.dedup import exact_substring_spans
+
+    for k in (8, 12):
+        for keep_first in (False, True):
+            got = sorted(
+                (r.doc_id, r.span_start, r.span_end)
+                for r in exact_substring_spans(
+                    _spans_df(spark, XSUB_TEXTS),
+                    "doc_id",
+                    "text",
+                    k=k,
+                    keep_first=keep_first,
+                ).collect()
+            )
+            assert got == _py_spans(XSUB_TEXTS, k, keep_first=keep_first), (
+                k,
+                keep_first,
+            )
+
+
+def test_exact_substring_spans_merge_overlaps(spark):
+    """Two docs sharing one long region report ONE maximal span each, not
+    one row per overlapping k-gram, and span_len covers the whole region."""
+    from bambooai_spark.operators.dedup import exact_substring_spans
+
+    shared = "0123456789abcdefghij"  # 20 chars, unique alphabet
+    texts = ["AA" + shared + "BB", "CC" + shared + "DD"]
+    rows = exact_substring_spans(
+        _spans_df(spark, texts), "doc_id", "text", k=8
+    ).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (r.span_start, r.span_end, r.span_len) == (3, 22, 20)
+
+
+def test_exact_substring_spans_min_len_and_guards(spark):
+    from bambooai_spark.operators.dedup import exact_substring_spans
+    import pytest
+
+    df = _spans_df(spark, XSUB_TEXTS)
+    # min_len above every span length filters everything
+    assert (
+        exact_substring_spans(
+            df, "doc_id", "text", k=8, min_len=10_000
+        ).count()
+        == 0
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        exact_substring_spans(df, "doc_id", "text", k=1)
+    with pytest.raises(ValueError, match="min_count"):
+        exact_substring_spans(df, "doc_id", "text", min_count=1)
+
+
+def test_exact_substring_cut_matches_reference(spark):
+    from bambooai_spark.operators.dedup import exact_substring_cut
+
+    k = 8
+    got = {
+        r.doc_id: r.clean_text
+        for r in exact_substring_cut(
+            _spans_df(spark, XSUB_TEXTS), "doc_id", "text", k=k
+        ).collect()
+    }
+    want = _py_cut(XSUB_TEXTS, k)
+    assert got == {i: t for i, t in enumerate(want)}
+    # the earliest copy of the shared region survives verbatim
+    assert "the shared duplicated middle section here" in got[0]
+    assert "the shared duplicated middle section here" not in got[1]
+    # untouched docs pass through byte-identical
+    assert got[2] == XSUB_TEXTS[2]
+    assert got[4] == XSUB_TEXTS[4]
