@@ -10,6 +10,8 @@ tables.
 
 from bambooai_spark.operators.dedup import (
     exact_dedup,
+    exact_substring_cut,
+    exact_substring_spans,
     hamming_near_dup,
     jaccard_near_dup,
     minhash_signatures,
@@ -17,6 +19,11 @@ from bambooai_spark.operators.dedup import (
     semantic_dedup,
     simhash,
     embedding_near_dup,
+)
+from bambooai_spark.operators.pq import (
+    knn_pq,
+    pq_encode,
+    train_pq_codebooks,
 )
 from bambooai_spark.operators.multimodal import (
     dhash_images,
@@ -81,6 +88,11 @@ from bambooai_spark.operators.writer import (
 
 __all__ = [
     "exact_dedup",
+    "exact_substring_spans",
+    "exact_substring_cut",
+    "knn_pq",
+    "pq_encode",
+    "train_pq_codebooks",
     "jaccard_near_dup",
     "minhash_signatures",
     "minhash_near_dup",

@@ -1,0 +1,392 @@
+"""Product quantization (PQ) for embedding columns — the IVF-PQ memory
+scale path (Jégou, Douze, Schmid, TPAMI 2011, "Product Quantization for
+Nearest Neighbor Search", public method).
+
+Each d-dim vector splits into ``m`` subvectors of d/m dims; every subspace
+gets its own ``ksub``-centroid codebook; a vector stores as ``m`` small
+codes instead of ``d`` floats (64-dim float32 -> 8 bytes at m=8, a 32x
+reduction). Search uses ADC (asymmetric distance computation): ONE
+m x ksub lookup table of exact query-to-centroid partial distances is
+built per query driver-side, then every stored vector's approximate
+distance is an m-term table fold over its codes — no float vector is
+touched until the shortlist rescore.
+
+100 TB story: the candidate scan reads only the code column (m ints) —
+the wide float embedding column stays pruned out of the scan entirely
+(columnar parquet) until the ``refine * k``-row shortlist joins it back
+by id. The LUT is a plan literal (m*ksub doubles, ~16 KB at 8x256) —
+broadcast once per query, no shuffle; the shortlist selection is a
+TakeOrderedAndProject (per-partition top-R, only R rows reach the
+driver-side merge). Training is the standard "train small, assign big"
+recipe: Lloyd on a bounded sample driver-side, Arrow-batched argmin for
+the corpus encode.
+
+Two parallel constructions, same split as IVF (similarity.py):
+
+- production: :func:`train_pq_codebooks` (per-subspace Lloyd, numpy) +
+  :func:`pq_encode` (vectorized Arrow batches);
+- oracle twin: :func:`md5_pq_codebooks` (deterministic pseudo-random
+  codebooks = subvectors of the ksub smallest-``(md5(id), id)`` rows) +
+  :func:`pq_encode_exact` (argmin via the dot-product expansion in pure
+  SQL expressions) + :func:`knn_pq_md5` — every stage engine-portable,
+  so DuckDB replays encode -> ADC -> shortlist -> exact rescore
+  hash-exact (the suite's ``knn_pq_embeddings`` spec).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from bambooai_spark.functions.vectors import as_double, cosine, dot
+from bambooai_spark.numeric import col_of
+
+
+def _split_dims(dim: int, m: int) -> list[tuple[int, int]]:
+    """1-based (start, length) slice per subspace; dim must divide by m."""
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    d = dim // m
+    return [(j * d + 1, d) for j in range(m)]
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    m: int = 8,
+    ksub: int = 256,
+    sample: int = 2048,
+    iters: int = 5,
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means on a BOUNDED sample, driver-side numpy —
+    the PQ training recipe (train small, encode big). Deterministic: init
+    = evenly spaced sample rows per subspace, no RNG, so retraining a
+    stable corpus yields identical codebooks. Returns
+    ``(m, ksub_eff, d/m)`` with ``ksub_eff = min(ksub, sample rows)``."""
+    rows = df.select(vec_col).limit(sample).collect()
+    if not rows:
+        raise ValueError("cannot train PQ codebooks: table is empty")
+    vecs = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
+    dim = vecs.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m={m}")
+    d = dim // m
+    k_eff = min(ksub, len(vecs))
+    books = np.empty((m, k_eff, d), dtype=np.float64)
+    idx = np.linspace(0, len(vecs) - 1, num=k_eff, dtype=int)
+    for j in range(m):
+        sub = vecs[:, j * d : (j + 1) * d]
+        cents = sub[idx].copy()
+        for _ in range(iters):
+            dist = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = dist.argmin(axis=1)
+            for c in range(k_eff):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks: np.ndarray,
+    *,
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Attach the ``m``-code PQ encoding (``array<int>``) — run ONCE at
+    ingest, exactly like ``ivf_assign``. Vectorized: one numpy distance
+    pass per subspace per Arrow batch, never per row."""
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, _, d = books.shape
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.reindex(columns=pdf.columns.tolist() + [out_col])
+                continue
+            vecs = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for j in range(m):
+                sub = vecs[:, j * d : (j + 1) * d]
+                dist = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = dist.argmin(axis=1)
+            out = pdf.copy()
+            out[out_col] = [c.tolist() for c in codes]
+            yield out
+
+    return df.mapInPandas(run, out_schema)
+
+
+def pq_lut(query_vec, codebooks) -> list[float]:
+    """The ADC lookup table for one query: exact squared L2 from each
+    query subvector to each codebook centroid, flattened row-major to
+    ``lut[j * ksub + c]`` so the score fold is one ``element_at`` per
+    subspace. Accumulation is a SEQUENTIAL left-fold in IEEE doubles
+    (plain Python floats, not numpy's pairwise summation) so an engine
+    that folds the same squared differences left-to-right — the DuckDB
+    oracle — reproduces every entry bit-exact."""
+    books = np.asarray(codebooks, dtype=np.float64)
+    m, k_eff, d = books.shape
+    q = [float(x) for x in query_vec]
+    lut: list[float] = []
+    for j in range(m):
+        qj = q[j * d : (j + 1) * d]
+        for c in range(k_eff):
+            acc = 0.0
+            for x, y in zip(qj, books[j][c]):
+                diff = x - float(y)
+                acc = acc + diff * diff
+            lut.append(acc)
+    return lut
+
+
+def pq_adc_score(code_col: str | Column, lut: list[float], ksub: int) -> Column:
+    """Approximate squared L2 of a stored vector to the query: sum of LUT
+    entries picked by the vector's codes. Pure column expressions — the
+    LUT rides the plan as an array literal, evaluated JVM-side inside
+    whole-stage codegen; only the m-int code column is read."""
+    lut_col = F.array(*[F.lit(x) for x in lut])
+    idx = F.zip_with(
+        col_of(code_col),
+        F.sequence(F.lit(0), F.lit(len(lut) // ksub - 1)),
+        lambda c, j: c + j * ksub,
+    )
+    return F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, i: acc + F.element_at(lut_col, i + 1),
+    )
+
+
+def knn_pq(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_id,
+    k: int = 10,
+    codebooks: np.ndarray | None = None,
+    m: int = 8,
+    ksub: int = 256,
+    refine: int = 4,
+    code_col: str | None = None,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """PQ approximate top-k with exact rescoring: ADC-score every stored
+    code (reading only the code column), keep the best ``refine * k``
+    (TakeOrderedAndProject — per-partition top-R), then join the float
+    vectors back for the shortlist ONLY and return exact cosines. The
+    approximation restricts WHICH rows are rescored, never the returned
+    scores — the same contract as ``knn_lsh`` / ``knn_ivf``."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(df, vec_col, m=m, ksub=ksub)
+    books = np.asarray(codebooks, dtype=np.float64)
+    k_eff = books.shape[1]
+    # the query vector comes off the ORIGINAL frame — fetching it through
+    # the encoded frame would run the Arrow encode pass just to read one
+    # row, and the rescore below reuses the original frame for the same
+    # reason (the codes exist only to pick the shortlist)
+    qrow = (
+        df.filter(F.col(id_col) == query_id).select(vec_col).limit(1).collect()
+    )
+    if not qrow:
+        raise ValueError(f"query_id {query_id!r} not found")
+    lut = pq_lut(qrow[0][0], books)
+    if code_col is None:
+        coded = pq_encode(
+            df.select(id_col, vec_col), vec_col, books, out_col="_pq"
+        )
+        code_col = "_pq"
+    else:
+        coded = df
+    shortlist = (
+        coded.filter(F.col(id_col) != query_id)
+        .withColumn("_adc", pq_adc_score(code_col, lut, k_eff))
+        .orderBy("_adc", id_col)
+        .limit(refine * k)
+        .select(id_col)
+    )
+    q = (
+        df.filter(F.col(id_col) == query_id)
+        .select(F.col(vec_col).alias("_q"))
+    )
+    rescored = (
+        df.join(F.broadcast(shortlist), id_col)
+        .crossJoin(F.broadcast(q))
+        .withColumn("_cos", cosine(vec_col, "_q"))
+    )
+    return (
+        rescored.orderBy(F.desc("_cos"), F.col(id_col))
+        .select(
+            id_col, *(extra_cols or []), F.round("_cos", 6).alias("cosine")
+        )
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------
+# Oracle-reproducible twin (same role as knn_ivf_md5 for IVF)
+# ---------------------------------------------------------------------
+
+
+def md5_pq_codebooks(
+    df: DataFrame, id_col: str, vec_col: str, *, m: int, ksub: int
+) -> list[list[list[float]]]:
+    """Deterministic pseudo-random PQ codebooks: subspace ``j``'s codebook
+    is the j-th subvector of the ``ksub`` rows with the smallest
+    ``(md5(id), id)``; code = rank in that order. Engine-portable — any
+    SQL engine reproduces the identical codebooks — the oracle twin of
+    :func:`train_pq_codebooks` exactly as ``md5_centroids`` twins
+    ``train_ivf_centroids``. Returns ``[m][ksub][d/m]`` plain floats."""
+    rows = (
+        df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .withColumn("_m", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_m", id_col)
+        .limit(ksub)
+        .select("_v")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot build PQ codebooks: table is empty")
+    dim = len(rows[0]["_v"])
+    slices = _split_dims(dim, m)
+    return [
+        [[float(x) for x in r["_v"][s - 1 : s - 1 + d]] for r in rows]
+        for (s, d) in slices
+    ]
+
+
+def _pq_codes_exact(
+    df: DataFrame, id_col: str, vec_col: str, codebooks, out_col: str
+) -> DataFrame:
+    """The narrow ``(id, codes)`` relation behind :func:`pq_encode_exact` —
+    :func:`knn_pq_md5` consumes it directly so the shortlist scan never
+    drags the full input row width through the encode aggregation."""
+    spark = df.sparkSession
+    books = [[list(map(float, c)) for c in book] for book in codebooks]
+    m = len(books)
+    dim = m * len(books[0][0])
+    slices = _split_dims(dim, m)
+    flat = [
+        (j, c, slices[j][0], books[j][c])
+        for j in range(m)
+        for c in range(len(books[j]))
+    ]
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            flat, "_j INT, _code INT, _s INT, _cv ARRAY<DOUBLE>"
+        )
+    )
+    staged = (
+        df.select(F.col(id_col), as_double(vec_col).alias("_v"))
+        .crossJoin(cdf)
+        .withColumn(
+            "_sv", F.slice(F.col("_v"), F.col("_s"), F.lit(dim // m))
+        )
+    )
+    d2 = (
+        dot("_sv", "_sv") - 2 * dot("_sv", "_cv") + dot("_cv", "_cv")
+    )
+    encoded = (
+        staged.withColumn("_d", d2)
+        .groupBy(id_col, "_j")
+        .agg(F.min(F.struct("_d", "_code")).alias("_mc"))
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_j", F.col("_mc._code")))
+                ),
+                lambda s: s["_code"],
+            ).alias(out_col)
+        )
+    )
+    return encoded
+
+
+def pq_encode_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks,
+    *,
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Engine-portable PQ encoding: per subspace, argmin squared L2 via the
+    dot-product expansion ``<v,v> - 2<v,c> + <c,c>`` with code tie-break —
+    bit-identical across engines where :func:`pq_encode`'s numpy path is
+    only mathematically equal (the ``ivf_assign_exact`` stance, per
+    subspace). Costs a broadcast join with an ``m * ksub``-row codebook
+    relation; use it when cross-engine exactness matters (oracle specs),
+    numpy otherwise. ``id_col`` must be unique (the codes are keyed by
+    it); a NULL id joins back null-safely, matching the numpy path which
+    keeps every row."""
+    encoded = _pq_codes_exact(df, id_col, vec_col, codebooks, out_col)
+    encoded = encoded.withColumnRenamed(id_col, "_eid")
+    return df.join(
+        encoded, df[id_col].eqNullSafe(encoded["_eid"])
+    ).drop("_eid")
+
+
+def knn_pq_md5(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    query_id,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+) -> DataFrame:
+    """Oracle-reproducible PQ top-k: md5 codebooks + exact-SQL encode +
+    ADC shortlist + exact cosine rescore, every stage deterministic and
+    engine-portable so DuckDB replays the WHOLE pipeline (codebooks ->
+    codes -> LUT fold -> shortlist by ``(adc, id)`` -> top-k by
+    ``(cosine DESC, id)``) hash-exact. Production keeps the Lloyd
+    codebooks + Arrow-batched encode (:func:`knn_pq`); this twin trades
+    quantizer quality for cross-engine byte-exactness. The only driver
+    materializations are the ``ksub`` codebook rows and the query."""
+    books = md5_pq_codebooks(df, id_col, vec_col, m=m, ksub=ksub)
+    k_eff = len(books[0])
+    enc = _pq_codes_exact(df, id_col, vec_col, books, "_pq")
+    qrow = (
+        df.filter(F.col(id_col) == query_id).select(vec_col).limit(1).collect()
+    )
+    if not qrow:
+        raise ValueError(f"query_id {query_id!r} not found")
+    lut = pq_lut([float(x) for x in qrow[0][0]], np.asarray(books))
+    shortlist = (
+        enc.filter(F.col(id_col) != query_id)
+        .withColumn("_adc", F.round(pq_adc_score("_pq", lut, k_eff), 9))
+        .orderBy("_adc", id_col)
+        .limit(refine * k)
+        .select(id_col)
+    )
+    q = (
+        df.filter(F.col(id_col) == query_id)
+        .select(as_double(vec_col).alias("_q"))
+    )
+    rescored = (
+        df.join(F.broadcast(shortlist), id_col)
+        .crossJoin(F.broadcast(q))
+        .withColumn("_cos", cosine(vec_col, "_q"))
+    )
+    return (
+        rescored.orderBy(F.desc("_cos"), F.col(id_col))
+        .select(id_col, F.round("_cos", 6).alias("cosine"))
+        .limit(k)
+    )

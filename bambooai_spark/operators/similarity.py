@@ -468,3 +468,66 @@ def label_centroids(
             F.round(F.sum("x").cast("double") / F.count("x"), 6).alias("centroid")
         )
     )
+
+
+def cluster_profile(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    centroids=None,
+    n_cells: int = 16,
+    assign: str = "numpy",
+) -> DataFrame:
+    """Per-cluster corpus profile — the curation signal behind
+    cluster-balanced data mixing (the SemDeDup/DoReMi-family recipe of
+    clustering a corpus to weight or prune domains): assign every vector
+    to its nearest centroid and report, per cluster, the member count
+    and the mean cosine of members to their centroid (coherence — a
+    low-coherence cluster is a grab-bag the quantizer failed to
+    separate; a tiny high-coherence one is near-duplicate mass).
+
+    Returns ``(cell, n, coherence)`` sorted by cell. The mean is an
+    exact decimal sum over per-member cosines rounded to 7 decimals
+    (the ``label_centroids`` determinism recipe) so the result is
+    stable at any parallelism, and — with ``assign="exact"`` +
+    :func:`md5_centroids` — replays hash-exact in any SQL engine.
+
+    100 TB story: one assignment pass (Arrow-batched numpy, or the
+    broadcast-expansion join for the exact path), one groupBy on the
+    cell id with map-side partials. Nothing is ever pairwise.
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(df, vec_col, n_cells=n_cells)
+    cents = [[float(x) for x in c] for c in np.asarray(centroids)]
+    if assign == "exact":
+        assigned = ivf_assign_exact(
+            df.select(F.col(id_col), F.col(vec_col)), id_col, vec_col,
+            cents, out_col="_cell",
+        )
+    else:
+        assigned = ivf_assign(
+            df.select(F.col(id_col), F.col(vec_col)), vec_col,
+            np.asarray(cents, dtype=np.float64), out_col="_cell",
+        )
+    spark = df.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)],
+            "_cell INT, _cv ARRAY<DOUBLE>",
+        )
+    )
+    scored = assigned.join(cdf, "_cell").select(
+        "_cell", dec(F.round(cosine(vec_col, "_cv"), 7), 7).alias("_cos")
+    )
+    return (
+        scored.groupBy("_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("_cos").cast("double") / F.count(F.lit(1)), 6
+            ).alias("coherence"),
+        )
+        .select(F.col("_cell").alias("cell"), "n", "coherence")
+        .orderBy("cell")
+    )

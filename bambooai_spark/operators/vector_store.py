@@ -38,6 +38,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bambooai_spark.functions.vectors import as_double, cosine, dot
+from bambooai_spark.operators.pq import (
+    pq_adc_score,
+    pq_encode,
+    pq_encode_exact,
+    pq_lut,
+    train_pq_codebooks,
+)
 from bambooai_spark.operators.similarity import (
     ivf_assign,
     ivf_assign_exact,
@@ -53,6 +60,7 @@ from bambooai_spark.operators.writer import (
 
 META_NAME = "_vector_store.json"
 CELL_COL = "ivf_cell"
+PQ_COL = "pq_code"
 REBUILD_FLAG = "_REBUILD.json"
 
 
@@ -102,6 +110,9 @@ def write_vector_corpus(
     assign: str = "numpy",
     max_records_per_file: int | None = None,
     bloom_filter_ids: bool = False,
+    pq_m: int | None = None,
+    pq_ksub: int = 256,
+    pq_codebooks=None,
 ) -> dict:
     """Build (or rebuild) the persisted inverted file: train or accept
     ``centroids``, assign every row, write parquet partitioned by
@@ -114,7 +125,16 @@ def write_vector_corpus(
     (recorded in the metadata so appends keep them): the id predicate
     of :func:`stored_vector` is a data filter over every cell, and the
     bloom lets the reader skip row groups without decoding — the cheap
-    fix for that documented full-scan economics."""
+    fix for that documented full-scan economics.
+
+    ``pq_m`` / ``pq_ksub`` / ``pq_codebooks`` — IVF-PQ: train (or
+    accept) per-subspace product-quantization codebooks
+    (``operators/pq.py``), encode every row's ``pq_code`` column at
+    write time, and pin the codebooks in the metadata; appends and
+    rebuilds keep the column. Queries opt in with ``use_pq=True`` to
+    ADC-score the probed cells on the m-int code column and touch the
+    float vectors only for the rescore shortlist — the memory-scale
+    complement to the cell-scale probe pruning."""
     if assign not in ("numpy", "exact"):
         raise ValueError(f"assign must be numpy|exact, got {assign!r}")
     spark = df.sparkSession
@@ -123,10 +143,27 @@ def write_vector_corpus(
     cents = [[float(x) for x in c] for c in np.asarray(centroids)]
     if not cents:
         raise ValueError("no centroids")
+    pq_meta = None
+    if pq_codebooks is not None or pq_m is not None:
+        if pq_codebooks is None:
+            pq_codebooks = train_pq_codebooks(
+                df, vec_col, m=pq_m, ksub=pq_ksub
+            )
+        books = [
+            [[float(x) for x in c] for c in book] for book in pq_codebooks
+        ]
+        if len(books) * len(books[0][0]) != len(cents[0]):
+            raise ValueError(
+                f"pq codebooks cover dim {len(books) * len(books[0][0])} "
+                f"!= store dim {len(cents[0])}"
+            )
+        pq_meta = {"m": len(books), "ksub": len(books[0]),
+                   "codebooks": books}
     _write_assigned(
         df, path, id_col, vec_col, cents, assign, max_records_per_file,
         mode="overwrite",
         bloom_cols=(id_col,) if bloom_filter_ids else (),
+        pq_books=pq_meta["codebooks"] if pq_meta else None,
     )
     meta = {
         "id_col": id_col,
@@ -138,10 +175,13 @@ def write_vector_corpus(
         # pinned column set: appends must match it exactly, or reads
         # (one arbitrary footer decides the schema) silently drop or
         # null the drifted columns — same hazard the corpus writer's
-        # drift guard exists for
+        # drift guard exists for. pq_code is NOT in it: the writer
+        # derives it, so appends keep passing raw rows.
         "columns": sorted(df.columns),
         "centroids": cents,
     }
+    if pq_meta:
+        meta["pq"] = pq_meta
     _rewrite_meta(spark, path, meta)
     return meta
 
@@ -168,13 +208,14 @@ def append_vector_corpus(
         df, path, meta["id_col"], meta["vec_col"], meta["centroids"],
         meta["assign"], max_records_per_file, mode="append",
         bloom_cols=(meta["id_col"],) if meta.get("bloom_ids") else (),
+        pq_books=(meta.get("pq") or {}).get("codebooks"),
     )
     return meta
 
 
 def _write_assigned(
     df, path, id_col, vec_col, cents, assign, max_records_per_file, *,
-    mode, bloom_cols=(),
+    mode, bloom_cols=(), pq_books=None,
 ):
     schema = {f.name: f for f in df.schema.fields}
     if id_col not in schema or vec_col not in schema:
@@ -184,6 +225,8 @@ def _write_assigned(
         )
     if CELL_COL in schema:
         raise ValueError(f"input already has a {CELL_COL!r} column")
+    if pq_books is not None and PQ_COL in schema:
+        raise ValueError(f"input already has a {PQ_COL!r} column")
     dim_probe = df.select(F.size(vec_col).alias("d")).limit(1).collect()
     if dim_probe and dim_probe[0]["d"] != len(cents[0]):
         raise ValueError(
@@ -198,6 +241,18 @@ def _write_assigned(
             df, vec_col, np.asarray(cents, dtype=np.float64),
             out_col=CELL_COL,
         )
+    if pq_books is not None:
+        # same engine-parity split as the cell assignment: the exact
+        # path must stay SQL-replayable end-to-end for the oracle spec
+        if assign == "exact":
+            assigned = pq_encode_exact(
+                assigned, id_col, vec_col, pq_books, out_col=PQ_COL
+            )
+        else:
+            assigned = pq_encode(
+                assigned, vec_col,
+                np.asarray(pq_books, dtype=np.float64), out_col=PQ_COL,
+            )
     # static overwrite regardless of session config: under dynamic
     # partition-overwrite a rebuild with fewer cells would leave the
     # dropped cells' directories alive with stale vectors (the same
@@ -273,6 +328,8 @@ def query_vector_corpus(
     exclude_id=None,
     extra_cols: list[str] | None = None,
     where=None,
+    use_pq: bool = False,
+    refine: int = 4,
 ) -> DataFrame:
     """Approximate top-k against the persisted store: probe the
     ``nprobe`` nearest cells and read ONLY those partitions (the scan's
@@ -285,7 +342,18 @@ def query_vector_corpus(
     value) triples over the store's payload columns): the predicate
     applies to the probed rows BEFORE the top-k, so the answer is the
     true top-k among matching rows, and it reaches the parquet scan as
-    a pushed filter (row-group stats / blooms skip JVM-side)."""
+    a pushed filter (row-group stats / blooms skip JVM-side).
+
+    ``use_pq=True`` (stores built with ``pq_m=``) inserts the ADC
+    stage: the probed cells are first scored on the m-int ``pq_code``
+    column alone — column pruning keeps the wide float vectors out of
+    that scan entirely — and only the best ``refine * k`` ids are
+    rescored with exact cosines, through an id-IN predicate that
+    reaches the parquet scan as a pushed filter (row-group stats +
+    the optional id blooms skip most of the probed bytes). The
+    returned scores are exact cosines either way; PQ only restricts
+    WHICH rows are rescored. ``where``/``exclude_id`` apply BEFORE the
+    shortlist, so the answer stays the true top-k among matching rows."""
     meta = _load_meta(spark, path)
     cells = probe_cells(spark, path, query_vec, nprobe=nprobe, meta=meta)
     id_col, vec_col = meta["id_col"], meta["vec_col"]
@@ -295,6 +363,26 @@ def query_vector_corpus(
         scan = scan.filter(_where_column(where))
     if exclude_id is not None:
         scan = scan.filter(F.col(id_col) != exclude_id)
+    if use_pq:
+        pq = meta.get("pq")
+        if not pq:
+            raise ValueError(
+                "use_pq=True but the store was built without PQ codebooks "
+                "(write_vector_corpus(pq_m=...))"
+            )
+        lut = pq_lut(qv, pq["codebooks"])
+        short_ids = [
+            r[id_col]
+            for r in scan.withColumn(
+                "_adc",
+                F.round(pq_adc_score(PQ_COL, lut, int(pq["ksub"])), 9),
+            )
+            .orderBy("_adc", id_col)
+            .limit(refine * k)
+            .select(id_col)
+            .collect()
+        ]
+        scan = scan.filter(F.col(id_col).isin(short_ids))
     scored = scan.withColumn(
         "_cos", cosine(as_double(vec_col), F.lit(qv))
     )
@@ -759,6 +847,30 @@ def validate_vector_store(
         rows.append(("meta", False, f"unreadable store metadata: {exc}"))
         return _df_of()
 
+    pq = meta.get("pq")
+    if pq:
+        # O(bookkeeping): the codebooks must tile the store's dim, or
+        # every ADC query indexes the LUT with the wrong stride
+        try:
+            m, ksub = int(pq["m"]), int(pq["ksub"])
+            books = pq["codebooks"]
+            ok = (
+                len(books) == m
+                and all(len(b) == ksub for b in books)
+                and m * len(books[0][0]) == int(meta["dim"])
+            )
+            detail = (
+                f"m={m} ksub={ksub} tiles dim {meta['dim']}"
+                if ok
+                else f"codebooks {len(books)}x"
+                f"{[len(b) for b in books][:4]} do not tile "
+                f"dim {meta['dim']} at m={m} ksub={ksub} — rebuild "
+                "or rewrite with matching pq_m"
+            )
+            rows.append(("pq_meta", ok, detail))
+        except Exception as exc:  # noqa: BLE001
+            rows.append(("pq_meta", False, f"malformed pq metadata: {exc}"))
+
     flag = _join(path, REBUILD_FLAG)
     frozen = _frozen if _frozen is not None else _fs_exists(spark, flag)
     if frozen:
@@ -950,11 +1062,28 @@ def rebuild_vector_store(
             n_cells=int(n_cells or meta["n_cells"]),
         )
         cents = [[float(x) for x in c] for c in np.asarray(cents)]
+        pq_meta = meta.get("pq")
+        if pq_meta:
+            # PQ codebooks drift with the corpus exactly like the coarse
+            # quantizer — a rebuild retrains BOTH at the pinned (m, ksub)
+            books = train_pq_codebooks(
+                df, meta["vec_col"],
+                m=int(pq_meta["m"]), ksub=int(pq_meta["ksub"]),
+            )
+            books = [
+                [[float(x) for x in c] for c in book] for book in books
+            ]
+            # ksub records the ACTUAL codebook size (the trainer clamps
+            # to the sample row count), so ADC indexes the right stride
+            pq_meta = {
+                "m": len(books), "ksub": len(books[0]), "codebooks": books,
+            }
         _fs_delete(spark, tmp)  # stale staging from an abandoned attempt
         _write_assigned(
             df, tmp_data, meta["id_col"], meta["vec_col"], cents,
             use_assign, max_records_per_file, mode="overwrite",
             bloom_cols=(meta["id_col"],) if meta.get("bloom_ids") else (),
+            pq_books=pq_meta["codebooks"] if pq_meta else None,
         )
         new_meta = {
             **meta,
@@ -964,6 +1093,8 @@ def rebuild_vector_store(
             "centroids": cents,
             "rebuild_gen": gen,
         }
+        if pq_meta:
+            new_meta["pq"] = pq_meta
         _lease_ensure(lease)  # last check before the swap becomes due
         _fs_write_text_atomic(
             spark, flag, json.dumps({"gen": gen, "meta": new_meta})

@@ -3120,6 +3120,97 @@ def knn_ivf_md5_embeddings(spark, sf_dir):
 
 
 @spec(
+    "knn_pq_embeddings",
+    None,  # approximate (code-grain ADC shortlist) — recall + exact-score
+    # properties asserted in tests/test_probabilistic.py; the PQ pipeline
+    # is driver-graded hash-exact via knn_pq_md5_embeddings
+    headline=True,
+    doc="Product-quantization ANN (Jégou et al. 2011): per-subspace Lloyd "
+    "codebooks trained on a bounded sample, vectors stored as m=8 codes "
+    "(32x smaller than float32), queries ADC-score ONLY the code column "
+    "via a broadcast lookup-table fold, then rescore the refine*k "
+    "shortlist with exact cosines on the float column.",
+)
+def knn_pq_embeddings(spark, sf_dir):
+    from bambooai_spark.operators.pq import knn_pq
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_pq(
+        e, "vec_id", "embedding", query_id=0, k=10, m=8, ksub=64, refine=4,
+        extra_cols=["label"],
+    )
+
+
+_PQ_DIST = (
+    "list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b})"
+)
+
+
+@spec(
+    "knn_pq_md5_embeddings",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (SELECT rn - 1 AS code, v AS cv
+          FROM (SELECT vec_id, v,
+                       ROW_NUMBER() OVER (
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                FROM v)
+          WHERE rn <= 16),
+    sub AS (SELECT unnest(generate_series(0, 7)) AS j),
+    cb AS (SELECT sub.j, c.code, c.cv[sub.j*8+1 : sub.j*8+8] AS cv
+           FROM c, sub),
+    enc AS (SELECT vec_id, j, code FROM (
+              SELECT v.vec_id, cb.j, cb.code,
+                     ROW_NUMBER() OVER (PARTITION BY v.vec_id, cb.j ORDER BY
+                       {_PQ_DIST.format(a='v.v[cb.j*8+1 : cb.j*8+8]',
+                                        b='cb.cv')}, cb.code) AS rn
+              FROM v CROSS JOIN cb)
+            WHERE rn = 1),
+    q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+    lut AS (SELECT cb.j, cb.code,
+                   {_PQ_DIST.format(a='q.qv[cb.j*8+1 : cb.j*8+8]',
+                                    b='cb.cv')} AS dist
+            FROM cb CROSS JOIN q),
+    adc AS (SELECT enc.vec_id,
+                   ROUND(list_reduce(
+                     list_prepend(0.0, array_agg(l.dist ORDER BY enc.j)),
+                     (acc, x) -> acc + x), 9) AS adc
+            FROM enc JOIN lut l ON l.j = enc.j AND l.code = enc.code
+            WHERE enc.vec_id <> 0
+            GROUP BY enc.vec_id),
+    short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 40),
+    s AS (SELECT v.vec_id,
+                 list_dot_product(v.v, q.qv)
+                 / (sqrt(list_dot_product(v.v, v.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+          FROM v JOIN short USING (vec_id) CROSS JOIN q)
+    SELECT vec_id, ROUND(cos, 6) AS cosine
+    FROM s ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+    # graded + pytest-pinned, not headline-benched — the family stance of
+    # knn_ivf_md5_embeddings: the production path (knn_pq_embeddings)
+    # carries the bench row
+    doc="Oracle-reproducible PQ ANN (companion of knn_pq_embeddings, same "
+    "role as knn_ivf_md5 for IVF): codebooks = subvectors of the 16 rows "
+    "with the smallest (md5(id), id), encode = per-subspace argmin via the "
+    "dot-product expansion with code tie-break, ADC = a sequential "
+    "left-fold over the per-subspace LUT entries (list_reduce in DuckDB, "
+    "aggregate in Spark — bit-identical order), shortlist by (adc, id), "
+    "exact cosine rescore, top-10. The WHOLE quantize-encode-score "
+    "pipeline replays hash-exact across engines. operators/pq.py.",
+)
+def knn_pq_md5_embeddings(spark, sf_dir):
+    from bambooai_spark.operators.pq import knn_pq_md5
+
+    e = _t(spark, sf_dir, "embeddings")
+    return knn_pq_md5(
+        e, "vec_id", "embedding", query_id=0, k=10, m=8, ksub=16, refine=4
+    )
+
+
+@spec(
     "centroid_embeddings",
     """
     WITH p AS (SELECT unnest(generate_series(1, 64)) AS pos),
@@ -3137,6 +3228,55 @@ def centroid_embeddings(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return label_centroids(e, "label", "embedding", dim=64).withColumn(
         "pos", F.col("pos").cast("long")
+    )
+
+
+@spec(
+    "cluster_profile_embeddings",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    c AS (SELECT CAST(rn - 1 AS INT) AS cell, v AS cv
+          FROM (SELECT vec_id, v,
+                       ROW_NUMBER() OVER (
+                         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                FROM v)
+          WHERE rn <= 8),
+    a AS (SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                     {_PQ_DIST.format(a='v.v', b='c.cv')}, c.cell) AS rn
+            FROM v CROSS JOIN c)
+          WHERE rn = 1),
+    s AS (SELECT a.cell,
+                 CAST(ROUND(list_dot_product(v.v, c.cv)
+                   / (sqrt(list_dot_product(v.v, v.v))
+                      * sqrt(list_dot_product(c.cv, c.cv))), 7)
+                   AS DECIMAL(18,7)) AS cos
+          FROM a JOIN v USING (vec_id) JOIN c USING (cell))
+    SELECT cell, COUNT(*) AS n,
+           ROUND(CAST(SUM(cos) AS DOUBLE) / COUNT(*), 6) AS coherence
+    FROM s GROUP BY cell ORDER BY cell
+    """,
+    headline=True,
+    doc="Per-cluster corpus profile (cluster-balanced curation signal): "
+    "assign every embedding to its nearest md5-sampled centroid via the "
+    "engine-portable expansion, then per cluster report member count and "
+    "mean member-to-centroid cosine (coherence) as an exact decimal mean "
+    "— one Arrow-free assignment join + one map-side-partial groupBy, "
+    "nothing pairwise. operators/similarity.py cluster_profile.",
+)
+def cluster_profile_embeddings(spark, sf_dir):
+    from bambooai_spark.operators.similarity import (  # noqa: PLC0415
+        cluster_profile,
+        md5_centroids,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cluster_profile(
+        e, "vec_id", "embedding",
+        centroids=md5_centroids(e, "vec_id", "embedding", 8),
+        assign="exact",
     )
 
 
@@ -5475,6 +5615,106 @@ def vector_store_embeddings(spark, sf_dir):
     )
 
 
+@spec(
+    "vector_store_pq_embeddings",
+    f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    ranked AS (SELECT vec_id, v,
+                      ROW_NUMBER() OVER (
+                        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+               FROM v),
+    c AS (SELECT rn - 1 AS cell, v AS cv FROM ranked WHERE rn <= 8),
+    a AS (SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                     {_PQ_DIST.format(a='v.v', b='c.cv')}, c.cell) AS rn
+            FROM v CROSS JOIN c)
+          WHERE rn = 1),
+    q AS (SELECT v AS qv FROM v WHERE vec_id = 0),
+    p AS (SELECT cell FROM (
+            SELECT c.cell, ROW_NUMBER() OVER (ORDER BY
+                     {_PQ_DIST.format(a='c.cv', b='q.qv')}, c.cell) AS rn
+            FROM c CROSS JOIN q)
+          WHERE rn <= 4),
+    probed AS (SELECT v.vec_id, v.v FROM v
+               JOIN a ON a.vec_id = v.vec_id
+               JOIN p ON p.cell = a.cell
+               WHERE v.vec_id <> 0),
+    cb0 AS (SELECT rn - 1 AS code, v AS cv FROM ranked WHERE rn <= 16),
+    sub AS (SELECT unnest(generate_series(0, 7)) AS j),
+    cb AS (SELECT sub.j, cb0.code, cb0.cv[sub.j*8+1 : sub.j*8+8] AS cv
+           FROM cb0, sub),
+    enc AS (SELECT vec_id, j, code FROM (
+              SELECT pr.vec_id, cb.j, cb.code,
+                     ROW_NUMBER() OVER (PARTITION BY pr.vec_id, cb.j
+                       ORDER BY
+                       {_PQ_DIST.format(a='pr.v[cb.j*8+1 : cb.j*8+8]',
+                                        b='cb.cv')}, cb.code) AS rn
+              FROM probed pr CROSS JOIN cb)
+            WHERE rn = 1),
+    lut AS (SELECT cb.j, cb.code,
+                   {_PQ_DIST.format(a='q.qv[cb.j*8+1 : cb.j*8+8]',
+                                    b='cb.cv')} AS dist
+            FROM cb CROSS JOIN q),
+    adc AS (SELECT enc.vec_id,
+                   ROUND(list_reduce(
+                     list_prepend(0.0, array_agg(l.dist ORDER BY enc.j)),
+                     (acc, x) -> acc + x), 9) AS adc
+            FROM enc JOIN lut l ON l.j = enc.j AND l.code = enc.code
+            GROUP BY enc.vec_id),
+    short AS (SELECT vec_id FROM adc ORDER BY adc, vec_id LIMIT 40),
+    s AS (SELECT pr.vec_id,
+                 list_dot_product(pr.v, q.qv)
+                 / (sqrt(list_dot_product(pr.v, pr.v))
+                    * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+          FROM probed pr JOIN short USING (vec_id) CROSS JOIN q)
+    SELECT vec_id, ROUND(cos, 6) AS cosine
+    FROM s ORDER BY cos DESC, vec_id LIMIT 10
+    """,
+    # graded, not headline-benched: the build writes a partitioned store
+    # to /tmp inside the timed window (same stance as
+    # vector_store_embeddings — the queryable surfaces are benched via
+    # knn_pq_embeddings / knn_pq_md5_embeddings)
+    doc="Persisted IVF-PQ store, oracle-exact end-to-end: md5 coarse "
+    "quantizer + md5 PQ codebooks + exact-SQL assignment AND encode, "
+    "written partitioned by cell with the pq_code column; the query "
+    "probes 4 cells (PartitionFilters), ADC-scores only the code column "
+    "of the probed rows, rescores the refine*k shortlist with exact "
+    "cosines through a pushed id-IN filter. DuckDB replays build, "
+    "layout, probe, encode, LUT fold, shortlist, and rescore — the "
+    "WHOLE quantized index lifecycle, hash-exact. operators/"
+    "vector_store.py write_vector_corpus(pq_m=)/query_vector_corpus"
+    "(use_pq=True).",
+)
+def vector_store_pq_embeddings(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.operators.pq import md5_pq_codebooks  # noqa: PLC0415
+    from bambooai_spark.operators.similarity import (  # noqa: PLC0415
+        md5_centroids,
+    )
+    from bambooai_spark.operators.vector_store import (  # noqa: PLC0415
+        query_vector_corpus,
+        stored_vector,
+        write_vector_corpus,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = os.path.join(tempfile.mkdtemp(prefix="bbai_vspq_spec_"), "vstore")
+    write_vector_corpus(
+        e, out,
+        centroids=md5_centroids(e, "vec_id", "embedding", 8),
+        assign="exact",
+        pq_codebooks=md5_pq_codebooks(e, "vec_id", "embedding", m=8, ksub=16),
+    )
+    qv = stored_vector(spark, out, 0)
+    return query_vector_corpus(
+        spark, out, qv, k=10, nprobe=4, exclude_id=0, use_pq=True, refine=4
+    )
+
+
 # ---------------------------------------------------------------------
 
 # The driver grades only the FIRST 50 registration-order specs. Source order
@@ -5501,14 +5741,14 @@ _PROMOTE = [
     # the three new md5-oracle twins (simhash near-dup, IVF, embedder) take
     # the slots of rows carrying 4-5 green driver rounds. After this
     # window, EVERY oracled spec in the suite has driver evidence.
-    # (r10 continuation: repetition_docs and ntile_customers — 4 greens
-    # each, freshest r9 — yield their slots to the ExactSubstr specs in
-    # the r10-continuation block below.)
-    "regex_token_stats_docs",
+    # (r10 continuation: repetition_docs, ntile_customers, pivot_orders,
+    # and regex_token_stats_docs — 4 greens each, freshest r9 — yield
+    # their slots to the ExactSubstr and PQ specs in the
+    # r10-continuation blocks below.)
     "chunk_docs",
     "salted_agg_events",
-    "top_parts_per_brand",
-    "pivot_orders",
+    # (top_parts_per_brand yields its slot to cluster_profile_embeddings
+    # in the r10-continuation-3 block below.)
     # Round-8 continuation: the session's new lifecycle/sketch specs take
     # the slots of sample_docs_det / domain_mix_docs / vocab_top_words
     # (r6+r7 green each, freshest evidence in the window; the sampling
@@ -5633,12 +5873,32 @@ _PROMOTE = [
     # ranking by percent_rank_customers.
     "exact_spans_docs",
     "exact_cut_docs",
+    # Round-10 continuation 2: the new PQ oracle twin and the persisted
+    # IVF-PQ store spec earn their driver rows the round they land.
+    # Their slots: pivot_orders (green r7 + r9; the reshape family stays
+    # repped in-window by unpivot_orders) and regex_token_stats_docs
+    # (4 greens, freshest r9; regex/text extraction stays repped by
+    # json_extract_events + token_stats_docs + text_quality_docs).
+    "knn_pq_md5_embeddings",
+    "vector_store_pq_embeddings",
+    # Round-10 continuation 3: the cluster-profile curation signal earns
+    # its driver row the round it lands. Its slot: top_parts_per_brand
+    # (4 greens, freshest r9); grouped top-k stays repped in-window by
+    # argmax_events, ranking by percent_rank_customers.
+    "cluster_profile_embeddings",
 ]
 _DEMOTE = [
     # Round-10 continuation demotions (slots for the ExactSubstr specs
     # above); both stay headline-benched and oracle-pinned in pytest.
     "repetition_docs",
     "ntile_customers",
+    # Round-10 continuation-2 demotions (slots for knn_pq_md5_embeddings
+    # and vector_store_pq_embeddings):
+    "pivot_orders",
+    "regex_token_stats_docs",
+    # Round-10 continuation-3 demotion (slot for
+    # cluster_profile_embeddings):
+    "top_parts_per_brand",
     # Round-10 demotions (slots for the r10 rotation above); all stay
     # headline-benched and oracle-pinned in pytest with five green
     # driver rounds each, freshest r9.

@@ -551,3 +551,133 @@ def test_dense_rank_and_cc_leave_no_cache_entries(spark, docs):
     cc = connected_components(nodes, edges, driver_max_edges=None)
     assert cc.count() == 8
     assert cache_manager_empty()
+
+
+# ------------------------------------------------------------- PQ / ADC
+
+
+def test_knn_pq_recall_and_exact_scores(spark, emb):
+    from bambooai_spark.operators.pq import knn_pq, train_pq_codebooks
+    from bambooai_spark.operators.similarity import knn_brute_force
+
+    books = train_pq_codebooks(emb, "embedding", m=8, ksub=64)
+    recalls = []
+    for qid in (0, 7, 23, 42, 99):
+        exact = {
+            r.vec_id: r.cosine
+            for r in knn_brute_force(
+                emb, "vec_id", "embedding", query_id=qid, k=10
+            ).collect()
+        }
+        approx = {
+            r.vec_id: r.cosine
+            for r in knn_pq(
+                emb, "vec_id", "embedding", query_id=qid, k=10,
+                codebooks=books, refine=4,
+            ).collect()
+        }
+        recalls.append(len(set(exact) & set(approx)) / 10)
+        for vid, cos in approx.items():
+            if vid in exact:  # rescore is exact cosine, never the ADC value
+                assert cos == pytest.approx(exact[vid], abs=1e-6)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.6, f"PQ recall too low: {recalls}"
+
+
+def test_pq_training_deterministic_and_shapes(spark, emb):
+    import numpy as np
+
+    from bambooai_spark.operators.pq import train_pq_codebooks
+
+    a = train_pq_codebooks(emb, "embedding", m=8, ksub=16)
+    b = train_pq_codebooks(emb, "embedding", m=8, ksub=16)
+    assert np.array_equal(a, b)
+    assert a.shape == (8, 16, 8)  # (m, ksub, dim/m)
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(emb, "embedding", m=7)
+
+
+def test_pq_encode_exact_matches_numpy(spark, emb):
+    """The engine-portable SQL encode and the Arrow-batched numpy encode
+    agree code-for-code on the SAME (md5) codebooks — the parity that
+    makes the oracle twin evidence for the production path."""
+    import numpy as np
+
+    from bambooai_spark.operators.pq import (
+        md5_pq_codebooks,
+        pq_encode,
+        pq_encode_exact,
+    )
+
+    books = md5_pq_codebooks(emb, "vec_id", "embedding", m=8, ksub=16)
+    a = {
+        r.vec_id: list(r.c)
+        for r in pq_encode(emb, "embedding", np.asarray(books), out_col="c")
+        .select("vec_id", "c")
+        .collect()
+    }
+    b = {
+        r.vec_id: list(r.c)
+        for r in pq_encode_exact(
+            emb, "vec_id", "embedding", books, out_col="c"
+        )
+        .select("vec_id", "c")
+        .collect()
+    }
+    assert a == b
+    assert all(len(c) == 8 for c in a.values())
+    assert all(0 <= x < 16 for c in a.values() for x in c)
+
+
+def test_pq_adc_orders_like_true_distance(spark, emb):
+    """ADC is approximate, but on the m-code grain it must correlate:
+    the ADC-nearest refine*k shortlist recovers most of the true top-k
+    (that's the whole contract knn_pq builds on)."""
+    import numpy as np
+
+    from bambooai_spark.operators.pq import (
+        pq_adc_score,
+        pq_encode,
+        pq_lut,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, "embedding", m=8, ksub=64)
+    enc = pq_encode(emb, "embedding", books, out_col="_pq")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    lut = pq_lut(q, books)
+    got = (
+        enc.filter(F.col("vec_id") != 0)
+        .withColumn("_adc", pq_adc_score("_pq", lut, books.shape[1]))
+        .orderBy("_adc", "vec_id")
+        .limit(40)
+        .collect()
+    )
+    # ADC values are sums of LUT entries — recompute driver-side
+    for r in got[:10]:
+        want = sum(lut[j * books.shape[1] + c] for j, c in enumerate(r._pq))
+        assert r._adc == pytest.approx(want, rel=1e-12)
+
+
+def test_cluster_profile_paths_agree_and_cover(spark, emb):
+    """numpy and exact assignment produce the SAME profile on the same
+    centroids (rounded cosines absorb the last-ulp float divergence),
+    sizes cover the corpus, and coherence is a valid cosine mean."""
+    from bambooai_spark.operators.similarity import (
+        cluster_profile,
+        md5_centroids,
+    )
+
+    cents = md5_centroids(emb, "vec_id", "embedding", 8)
+    a = cluster_profile(
+        emb, "vec_id", "embedding", centroids=cents, assign="exact"
+    ).collect()
+    b = cluster_profile(
+        emb, "vec_id", "embedding", centroids=cents, assign="numpy"
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert sum(r["n"] for r in a) == emb.count()
+    assert all(-1.0 <= r["coherence"] <= 1.0 for r in a)
+    # members sit closer to their own centroid than a random cosine:
+    # every cluster's coherence is positive on this synthetic corpus
+    assert all(r["coherence"] > 0 for r in a), a

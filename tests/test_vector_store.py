@@ -778,3 +778,225 @@ def test_auto_maintain_skips_unsound_refresh(spark, tmp_path):
     assert "floor" in res["refresh_vector_store"]["detail"]
     assert "none[fsck_watermark]" in res
     assert spark.read.parquet(store).count() == n0  # nothing touched
+
+
+# ------------------------------------------------------------- IVF-PQ
+
+
+def _pq_store(spark, tmp_path, **kw):
+    path = str(tmp_path / "pqstore")
+    meta = write_vector_corpus(
+        _emb(spark), path, n_cells=8, pq_m=8, pq_ksub=32, **kw
+    )
+    return path, meta
+
+
+def test_pq_store_writes_codes_and_meta(spark, tmp_path):
+    from bambooai_spark.operators.vector_store import PQ_COL
+
+    path, meta = _pq_store(spark, tmp_path)
+    assert meta["pq"]["m"] == 8 and meta["pq"]["ksub"] == 32
+    assert len(meta["pq"]["codebooks"]) == 8
+    # the code column is persisted next to the vectors in every cell
+    df = spark.read.parquet(path)
+    assert PQ_COL in df.columns
+    codes = df.select(PQ_COL).limit(5).collect()
+    assert all(len(r[PQ_COL]) == 8 for r in codes)
+    assert df.filter(F.col(PQ_COL).isNull()).count() == 0
+    # pinned columns stay the RAW input set — appends pass raw rows
+    assert PQ_COL not in meta["columns"]
+
+
+def test_pq_query_full_refine_equals_exact(spark, tmp_path):
+    """With the shortlist as wide as the probed rows, the PQ path must
+    return EXACTLY the non-PQ answer (the ADC stage then restricts
+    nothing; scores are exact cosines either way)."""
+    path, _ = _pq_store(spark, tmp_path)
+    qv = stored_vector(spark, path, 0)
+    want = query_vector_corpus(
+        spark, path, qv, k=5, nprobe=8, exclude_id=0
+    ).collect()
+    got = query_vector_corpus(
+        spark, path, qv, k=5, nprobe=8, exclude_id=0,
+        use_pq=True, refine=200,  # 200*5 = 1000 > 500 rows
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
+
+
+def test_pq_query_recall_at_narrow_refine(spark, tmp_path):
+    path, _ = _pq_store(spark, tmp_path)
+    recalls = []
+    for qid in (0, 7, 23):
+        qv = stored_vector(spark, path, qid)
+        want = {
+            r["vec_id"]
+            for r in query_vector_corpus(
+                spark, path, qv, k=10, nprobe=8, exclude_id=qid
+            ).collect()
+        }
+        got = {
+            r["vec_id"]
+            for r in query_vector_corpus(
+                spark, path, qv, k=10, nprobe=8, exclude_id=qid,
+                use_pq=True, refine=4,
+            ).collect()
+        }
+        recalls.append(len(want & got) / 10)
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_pq_append_encodes_against_pinned_codebooks(spark, tmp_path):
+    from bambooai_spark.operators.vector_store import PQ_COL
+
+    path, meta = _pq_store(spark, tmp_path)
+    extra = _emb(spark).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    append_vector_corpus(extra, path)
+    df = spark.read.parquet(path)
+    new = df.filter(F.col("vec_id") >= 100000)
+    assert new.count() == 500
+    assert new.filter(F.col(PQ_COL).isNull()).count() == 0
+    # pinned codebooks: the appended twin of a base row gets the SAME code
+    pairs = (
+        df.filter(F.col("vec_id").isin([3, 100003, 7, 100007]))
+        .select("vec_id", PQ_COL)
+        .collect()
+    )
+    by_id = {r["vec_id"]: list(r[PQ_COL]) for r in pairs}
+    assert by_id[3] == by_id[100003]
+    assert by_id[7] == by_id[100007]
+
+
+def test_pq_rebuild_retrains_codebooks_and_queries_survive(spark, tmp_path):
+    from bambooai_spark.operators.vector_store import (
+        PQ_COL,
+        rebuild_vector_store,
+    )
+
+    path, meta = _pq_store(spark, tmp_path)
+    qv = stored_vector(spark, path, 0)
+    new_meta = rebuild_vector_store(spark, path)
+    assert new_meta["pq"]["m"] == 8 and new_meta["pq"]["ksub"] == 32
+    # the rebuilt store still answers PQ queries, exactly at full refine
+    want = query_vector_corpus(
+        spark, path, qv, k=5, nprobe=8, exclude_id=0
+    ).collect()
+    got = query_vector_corpus(
+        spark, path, qv, k=5, nprobe=8, exclude_id=0,
+        use_pq=True, refine=200,
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in got] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
+    assert spark.read.parquet(path).filter(
+        F.col(PQ_COL).isNull()
+    ).count() == 0
+
+
+def test_pq_query_refused_without_codebooks(spark, tmp_path):
+    path = str(tmp_path / "plain")
+    write_vector_corpus(_emb(spark), path, n_cells=8)
+    qv = stored_vector(spark, path, 0)
+    with pytest.raises(ValueError, match="without PQ codebooks"):
+        query_vector_corpus(spark, path, qv, k=5, use_pq=True)
+
+
+def test_pq_meta_fsck(spark, tmp_path):
+    from bambooai_spark.operators.vector_store import (
+        validate_vector_store,
+    )
+
+    path, _ = _pq_store(spark, tmp_path)
+    rows = {r["check"]: r for r in validate_vector_store(spark, path).collect()}
+    assert rows["pq_meta"]["ok"], rows["pq_meta"]["detail"]
+    # corrupt: drop one codebook -> the tiling check goes red
+    mp = os.path.join(path, META_NAME)
+    meta = json.loads(open(mp).read())
+    meta["pq"]["codebooks"] = meta["pq"]["codebooks"][:-1]
+    open(mp, "w").write(json.dumps(meta))
+    crc = os.path.join(path, f".{META_NAME}.crc")  # hadoop LocalFS sidecar
+    if os.path.exists(crc):
+        os.remove(crc)
+    rows = {r["check"]: r for r in validate_vector_store(spark, path).collect()}
+    assert not rows["pq_meta"]["ok"]
+    assert "do not tile" in rows["pq_meta"]["detail"]
+
+
+def test_pq_exact_assign_store_is_engine_portable(spark, tmp_path):
+    """assign='exact' + md5 codebooks: the persisted codes equal the
+    Arrow/numpy encode on the same books — the parity the oracle spec
+    builds on."""
+    import numpy as np
+
+    from bambooai_spark.operators.pq import md5_pq_codebooks, pq_encode
+    from bambooai_spark.operators.vector_store import PQ_COL
+
+    e = _emb(spark)
+    books = md5_pq_codebooks(e, "vec_id", "embedding", m=8, ksub=16)
+    path = str(tmp_path / "exact_pq")
+    write_vector_corpus(
+        e, path, centroids=md5_centroids(e, "vec_id", "embedding", 8),
+        assign="exact", pq_codebooks=books,
+    )
+    stored = {
+        r["vec_id"]: list(r[PQ_COL])
+        for r in spark.read.parquet(path).select("vec_id", PQ_COL).collect()
+    }
+    want = {
+        r["vec_id"]: list(r["c"])
+        for r in pq_encode(e, "embedding", np.asarray(books), out_col="c")
+        .select("vec_id", "c")
+        .collect()
+    }
+    assert stored == want
+
+
+def test_pq_rebuild_crash_mid_swap_preserves_codebooks(
+    spark, tmp_path, monkeypatch
+):
+    """A rebuild of a PQ store that crashes after the publish point must
+    resume with the RETRAINED codebooks from the flag — not lose PQ, not
+    re-pin the stale books — and the resumed store answers PQ queries."""
+    from bambooai_spark.operators import vector_store as vs
+    from bambooai_spark.operators import writer as w
+    from bambooai_spark.operators.vector_store import PQ_COL
+
+    path = str(tmp_path / "pqstore")
+    base = _emb(spark).select("vec_id", "embedding")
+    meta = write_vector_corpus(base, path, n_cells=8, pq_m=8, pq_ksub=16)
+    old_books = meta["pq"]["codebooks"]
+    n0 = base.count()
+    append_vector_corpus(_shifted(spark, 10_000, 10_000 + n0), path)
+
+    real_unhide = w._unhide_swapped
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before unhide")
+
+    monkeypatch.setattr(w, "_unhide_swapped", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        vs.rebuild_vector_store(spark, path)
+    monkeypatch.setattr(w, "_unhide_swapped", real_unhide)
+
+    new_meta = vs.rebuild_vector_store(spark, path)
+    assert new_meta["rebuild_gen"] == 1
+    pq = new_meta["pq"]
+    assert pq["m"] == 8 and pq["ksub"] == 16
+    # the drifted corpus retrained the books — they must differ from the
+    # pre-rebuild ones (half the sample now sits at offset +50)
+    assert pq["codebooks"] != old_books
+    df = spark.read.parquet(path)
+    assert df.filter(F.col(PQ_COL).isNull()).count() == 0
+    assert df.count() == 2 * n0
+    qv = stored_vector(spark, path, 0)
+    got = query_vector_corpus(
+        spark, path, qv, k=3, nprobe=8, use_pq=True, refine=400,
+        exclude_id=0,
+    ).collect()
+    want = query_vector_corpus(
+        spark, path, qv, k=3, nprobe=8, exclude_id=0
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
