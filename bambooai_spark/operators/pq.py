@@ -390,3 +390,48 @@ def knn_pq_md5(
         .select(id_col, F.round("_cos", 6).alias("cosine"))
         .limit(k)
     )
+
+
+def pq_adc_score_joined(
+    code_col: str | Column,
+    qvec_col: str | Column,
+    books_col: str | Column,
+    *,
+    m: int,
+    ksub: int,
+    dsub: int,
+) -> Column:
+    """ADC for the BATCH path, where the query vector is a joined column
+    (not a driver-side constant): approximate squared L2 computed
+    directly from the row's codes, the query subvectors, and a flattened
+    codebook column (``books[(j*ksub + code)*dsub + t]``) carried by a
+    broadcast 1-row relation — a plan-literal LUT per query cannot exist
+    when the queries are a DataFrame.
+
+    Accumulation is the same sequential left-fold (j ascending, then t
+    ascending, ``diff*diff`` not ``pow``) as :func:`pq_lut` +
+    :func:`pq_adc_score`, so batch and single-query ADC values are
+    bit-identical and the two paths shortlist the same rows. Per
+    candidate this is dim multiply-adds — the same FLOPs as a cosine —
+    but the SCAN reads m ints instead of dim floats per row, which is
+    the PQ economics at 100 TB."""
+    qv = col_of(qvec_col)
+    bf = col_of(books_col)
+    idx = F.zip_with(
+        col_of(code_col),
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda c, j: F.struct(j.alias("j"), (c + j * ksub).alias("row")),
+    )
+
+    def _sub_dist(acc, s):
+        def _term(a, t):
+            diff = F.element_at(qv, s.j * dsub + t + 1) - F.element_at(
+                bf, s.row * dsub + t + 1
+            )
+            return a + diff * diff
+
+        return acc + F.aggregate(
+            F.sequence(F.lit(0), F.lit(dsub - 1)), F.lit(0.0), _term
+        )
+
+    return F.aggregate(idx, F.lit(0.0), _sub_dist)

@@ -408,10 +408,21 @@ def query_vector_corpus_many(
     exclude_self: bool = False,
     checkpoint: bool = True,
     where=None,
+    use_pq: bool = False,
+    refine: int = 4,
 ) -> DataFrame:
     """BATCH top-k: one pass answers every query in ``queries`` —
     contamination screens and retrieval pipelines ask thousands of
     queries, and per-query driver round-trips would dominate.
+
+    ``use_pq=True`` (PQ stores) inserts the distributed ADC stage: the
+    candidate scan reads only ``(id, cell, pq_code, qid)`` — never the
+    float vectors — scores each (candidate, query) pair directly from
+    the codes + the query subvectors + a broadcast flattened codebook
+    (:func:`~bambooai_spark.operators.pq.pq_adc_score_joined`, fold
+    order bit-identical to the single-query LUT so both paths shortlist
+    the same rows), keeps ``refine * k`` per query via the two-phase
+    grouped top-k, and rescores only those pairs with exact cosines.
 
     Per query the semantics are IDENTICAL to
     :func:`query_vector_corpus` (same expansion + tie-break probe, exact
@@ -513,6 +524,46 @@ def query_vector_corpus_many(
         # and a query must not return its own row. OFF by default —
         # external query ids could coincidentally collide with store ids
         scored = scored.filter(~F.col(id_col).eqNullSafe(F.col("_qid")))
+    if use_pq:
+        from bambooai_spark.operators.pq import (  # noqa: PLC0415
+            pq_adc_score_joined,
+        )
+
+        pq = meta.get("pq")
+        if not pq:
+            raise ValueError(
+                "use_pq=True but the store was built without PQ codebooks "
+                "(write_vector_corpus(pq_m=...))"
+            )
+        m, ksub = int(pq["m"]), int(pq["ksub"])
+        dsub = int(meta["dim"]) // m
+        flat = [
+            float(x) for book in pq["codebooks"] for c in book for x in c
+        ]
+        # the flattened codebook rides a broadcast 1-row relation, not a
+        # plan literal — 8x256x8 doubles would bloat codegen as a literal
+        bdf = F.broadcast(
+            spark.createDataFrame([(flat,)], "_books ARRAY<DOUBLE>")
+        )
+        adc = F.round(
+            pq_adc_score_joined(
+                PQ_COL, "_qv", "_books", m=m, ksub=ksub, dsub=dsub
+            ),
+            9,
+        )
+        shortlist = grouped_top_k(
+            scored.select("_qid", F.col(id_col), F.col(PQ_COL), "_qv")
+            .crossJoin(bdf)
+            .withColumn("_adc", adc)
+            .select("_qid", F.col(id_col), F.col("_adc")),
+            ["_qid"],
+            [F.col("_adc").asc(), F.col(id_col)],
+            refine * k,
+        ).select("_qid", id_col)
+        scored = scored.join(
+            F.broadcast(shortlist) if broadcast_queries else shortlist,
+            ["_qid", id_col],
+        )
     scored = scored.withColumn("_cos", cosine(as_double(vec_col), "_qv"))
     out = grouped_top_k(
         scored.select("_qid", F.col(id_col), F.col("_cos")),

@@ -1000,3 +1000,52 @@ def test_pq_rebuild_crash_mid_swap_preserves_codebooks(
         spark, path, qv, k=3, nprobe=8, exclude_id=0
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_pq_batch_query_matches_single(spark, tmp_path):
+    """Batch ADC (joined-codebook fold) and single-query ADC (driver LUT)
+    must shortlist identically — the fold orders are bit-identical by
+    construction — so per query the batch answers equal the single-query
+    answers exactly."""
+    from bambooai_spark.operators.vector_store import (
+        query_vector_corpus_many,
+    )
+
+    path, _ = _pq_store(spark, tmp_path)
+    qids = [0, 7, 23]
+    queries = spark.createDataFrame(
+        [(qid, stored_vector(spark, path, qid)) for qid in qids],
+        "qid long, qvec array<double>",
+    )
+    batch = query_vector_corpus_many(
+        spark, path, queries, k=5, nprobe=8, exclude_self=True,
+        use_pq=True, refine=4,
+    ).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["qid"], []).append((r["vec_id"], r["cosine"]))
+    for qid in qids:
+        single = [
+            (r["vec_id"], r["cosine"])
+            for r in query_vector_corpus(
+                spark, path, stored_vector(spark, path, qid),
+                k=5, nprobe=8, exclude_id=qid, use_pq=True, refine=4,
+            ).collect()
+        ]
+        assert got[qid] == single, qid
+
+
+def test_pq_batch_query_refused_without_codebooks(spark, tmp_path):
+    from bambooai_spark.operators.vector_store import (
+        query_vector_corpus_many,
+    )
+
+    path = str(tmp_path / "plain")
+    write_vector_corpus(_emb(spark), path, n_cells=4)
+    queries = spark.createDataFrame(
+        [(1, stored_vector(spark, path, 0))], "qid long, qvec array<double>"
+    )
+    with pytest.raises(ValueError, match="without PQ codebooks"):
+        query_vector_corpus_many(
+            spark, path, queries, k=3, use_pq=True
+        )
