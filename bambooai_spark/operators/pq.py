@@ -130,26 +130,39 @@ def pq_encode(
     return df.mapInPandas(run, out_schema)
 
 
+def _seq_dot(a: list[float], b: list[float]) -> float:
+    """Sequential left-fold dot product in IEEE doubles — the same
+    operation sequence as ``functions.vectors.dot`` and DuckDB's
+    ``list_dot_product``, so driver-side scalars slot bit-exactly into
+    expressions both engines evaluate."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
 def pq_lut(query_vec, codebooks) -> list[float]:
     """The ADC lookup table for one query: exact squared L2 from each
     query subvector to each codebook centroid, flattened row-major to
     ``lut[j * ksub + c]`` so the score fold is one ``element_at`` per
-    subspace. Accumulation is a SEQUENTIAL left-fold in IEEE doubles
-    (plain Python floats, not numpy's pairwise summation) so an engine
-    that folds the same squared differences left-to-right — the DuckDB
-    oracle — reproduces every entry bit-exact."""
+    subspace. Each entry is computed as the dot-product expansion
+    ``<q,q> - 2<q,c> + <c,c>`` with sequential left-fold dots — the
+    IDENTICAL operation sequence as the repo's SQL expansion
+    (``functions.vectors.dot`` / DuckDB ``list_dot_product``), so the
+    oracle's LUT CTE reproduces every entry bit-exact; a squared-
+    difference fold, though mathematically equal, diverges by ~1e-13
+    per entry and could flip a shortlist rounding boundary (review
+    r10)."""
     books = np.asarray(codebooks, dtype=np.float64)
     m, k_eff, d = books.shape
     q = [float(x) for x in query_vec]
     lut: list[float] = []
     for j in range(m):
         qj = q[j * d : (j + 1) * d]
+        qq = _seq_dot(qj, qj)
         for c in range(k_eff):
-            acc = 0.0
-            for x, y in zip(qj, books[j][c]):
-                diff = x - float(y)
-                acc = acc + diff * diff
-            lut.append(acc)
+            cv = [float(y) for y in books[j][c]]
+            lut.append(qq - 2 * _seq_dot(qj, cv) + _seq_dot(cv, cv))
     return lut
 
 
@@ -192,6 +205,16 @@ def knn_pq(
     approximation restricts WHICH rows are rescored, never the returned
     scores — the same contract as ``knn_lsh`` / ``knn_ivf``."""
     if codebooks is None:
+        if code_col is not None:
+            # scoring stored codes against a LUT from freshly trained
+            # (different) codebooks makes the ADC values meaningless
+            # while the output still LOOKS valid (exact cosines of a
+            # near-random candidate set) — refuse loudly (review r10)
+            raise ValueError(
+                "knn_pq: code_col was given without the codebooks that "
+                "produced it — pass the pinned codebooks (a LUT from "
+                "retrained books scores stale codes as noise)"
+            )
         codebooks = train_pq_codebooks(df, vec_col, m=m, ksub=ksub)
     books = np.asarray(codebooks, dtype=np.float64)
     k_eff = books.shape[1]
@@ -219,14 +242,14 @@ def knn_pq(
         .limit(refine * k)
         .select(id_col)
     )
-    q = (
-        df.filter(F.col(id_col) == query_id)
-        .select(F.col(vec_col).alias("_q"))
-    )
+    # the query vector was already collected for the LUT — ride it into
+    # the plan as a literal instead of re-scanning the corpus for the
+    # same row (an id data-filter is the full-scan economics the vector
+    # store's stored_vector docstring warns about; review r10)
+    qv_lit = F.lit([float(x) for x in qrow[0][0]])
     rescored = (
         df.join(F.broadcast(shortlist), id_col)
-        .crossJoin(F.broadcast(q))
-        .withColumn("_cos", cosine(vec_col, "_q"))
+        .withColumn("_cos", cosine(vec_col, qv_lit))
     )
     return (
         rescored.orderBy(F.desc("_cos"), F.col(id_col))
@@ -376,14 +399,12 @@ def knn_pq_md5(
         .limit(refine * k)
         .select(id_col)
     )
-    q = (
-        df.filter(F.col(id_col) == query_id)
-        .select(as_double(vec_col).alias("_q"))
-    )
+    # same one-collect stance as knn_pq: the already-collected query row
+    # rides the plan as a literal; no second corpus scan for one row
+    qv_lit = F.lit([float(x) for x in qrow[0][0]])
     rescored = (
         df.join(F.broadcast(shortlist), id_col)
-        .crossJoin(F.broadcast(q))
-        .withColumn("_cos", cosine(vec_col, "_q"))
+        .withColumn("_cos", cosine(vec_col, qv_lit))
     )
     return (
         rescored.orderBy(F.desc("_cos"), F.col(id_col))
@@ -408,13 +429,14 @@ def pq_adc_score_joined(
     broadcast 1-row relation — a plan-literal LUT per query cannot exist
     when the queries are a DataFrame.
 
-    Accumulation is the same sequential left-fold (j ascending, then t
-    ascending, ``diff*diff`` not ``pow``) as :func:`pq_lut` +
-    :func:`pq_adc_score`, so batch and single-query ADC values are
-    bit-identical and the two paths shortlist the same rows. Per
-    candidate this is dim multiply-adds — the same FLOPs as a cosine —
-    but the SCAN reads m ints instead of dim floats per row, which is
-    the PQ economics at 100 TB."""
+    Every per-subspace entry is the dot-product expansion
+    ``<q,q> - 2<q,c> + <c,c>`` with sequential left-fold dots, and the
+    outer sum folds j ascending — the IDENTICAL operation sequence as
+    :func:`pq_lut` + :func:`pq_adc_score`, so batch and single-query
+    ADC values are bit-identical and the two paths shortlist the same
+    rows. Per candidate this is ~3x dim multiply-adds — the same cost
+    class as a cosine — but the SCAN reads m ints instead of dim floats
+    per row, which is the PQ economics at 100 TB."""
     qv = col_of(qvec_col)
     bf = col_of(books_col)
     idx = F.zip_with(
@@ -423,15 +445,21 @@ def pq_adc_score_joined(
         lambda c, j: F.struct(j.alias("j"), (c + j * ksub).alias("row")),
     )
 
-    def _sub_dist(acc, s):
-        def _term(a, t):
-            diff = F.element_at(qv, s.j * dsub + t + 1) - F.element_at(
-                bf, s.row * dsub + t + 1
-            )
-            return a + diff * diff
-
-        return acc + F.aggregate(
-            F.sequence(F.lit(0), F.lit(dsub - 1)), F.lit(0.0), _term
+    def _fold(term):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(dsub - 1)), F.lit(0.0), term
         )
+
+    def _sub_dist(acc, s):
+        def q_at(t):
+            return F.element_at(qv, s.j * dsub + t + 1)
+
+        def c_at(t):
+            return F.element_at(bf, s.row * dsub + t + 1)
+
+        qq = _fold(lambda a, t: a + q_at(t) * q_at(t))
+        qc = _fold(lambda a, t: a + q_at(t) * c_at(t))
+        cc = _fold(lambda a, t: a + c_at(t) * c_at(t))
+        return acc + (qq - 2 * qc + cc)
 
     return F.aggregate(idx, F.lit(0.0), _sub_dist)

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from bambooai_spark.functions.vectors import as_double, cosine, dot
 from bambooai_spark.operators.pq import (
     pq_adc_score,
+    pq_adc_score_joined,
     pq_encode,
     pq_encode_exact,
     pq_lut,
@@ -145,6 +146,7 @@ def write_vector_corpus(
         raise ValueError("no centroids")
     pq_meta = None
     if pq_codebooks is not None or pq_m is not None:
+        caller_books = pq_codebooks is not None
         if pq_codebooks is None:
             pq_codebooks = train_pq_codebooks(
                 df, vec_col, m=pq_m, ksub=pq_ksub
@@ -157,8 +159,18 @@ def write_vector_corpus(
                 f"pq codebooks cover dim {len(books) * len(books[0][0])} "
                 f"!= store dim {len(cents[0])}"
             )
-        pq_meta = {"m": len(books), "ksub": len(books[0]),
-                   "codebooks": books}
+        # ksub = ACTUAL codebook size (the ADC index stride);
+        # ksub_requested survives separately so a small-corpus training
+        # clamp doesn't permanently cap resolution — rebuilds retrain at
+        # the requested size once the corpus can support it (review r10)
+        pq_meta = {
+            "m": len(books),
+            "ksub": len(books[0]),
+            "ksub_requested": int(
+                len(books[0]) if caller_books else pq_ksub
+            ),
+            "codebooks": books,
+        }
     _write_assigned(
         df, path, id_col, vec_col, cents, assign, max_records_per_file,
         mode="overwrite",
@@ -525,10 +537,6 @@ def query_vector_corpus_many(
         # external query ids could coincidentally collide with store ids
         scored = scored.filter(~F.col(id_col).eqNullSafe(F.col("_qid")))
     if use_pq:
-        from bambooai_spark.operators.pq import (  # noqa: PLC0415
-            pq_adc_score_joined,
-        )
-
         pq = meta.get("pq")
         if not pq:
             raise ValueError(
@@ -1116,10 +1124,16 @@ def rebuild_vector_store(
         pq_meta = meta.get("pq")
         if pq_meta:
             # PQ codebooks drift with the corpus exactly like the coarse
-            # quantizer — a rebuild retrains BOTH at the pinned (m, ksub)
+            # quantizer — a rebuild retrains BOTH, at the REQUESTED ksub
+            # (not the possibly-clamped actual), so a store first built
+            # on a tiny corpus regains full codebook resolution once the
+            # grown corpus can support it
+            want_ksub = int(
+                pq_meta.get("ksub_requested") or pq_meta["ksub"]
+            )
             books = train_pq_codebooks(
                 df, meta["vec_col"],
-                m=int(pq_meta["m"]), ksub=int(pq_meta["ksub"]),
+                m=int(pq_meta["m"]), ksub=want_ksub,
             )
             books = [
                 [[float(x) for x in c] for c in book] for book in books
@@ -1127,7 +1141,10 @@ def rebuild_vector_store(
             # ksub records the ACTUAL codebook size (the trainer clamps
             # to the sample row count), so ADC indexes the right stride
             pq_meta = {
-                "m": len(books), "ksub": len(books[0]), "codebooks": books,
+                "m": len(books),
+                "ksub": len(books[0]),
+                "ksub_requested": want_ksub,
+                "codebooks": books,
             }
         _fs_delete(spark, tmp)  # stale staging from an abandoned attempt
         _write_assigned(

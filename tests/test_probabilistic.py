@@ -681,3 +681,12 @@ def test_cluster_profile_paths_agree_and_cover(spark, emb):
     # members sit closer to their own centroid than a random cosine:
     # every cluster's coherence is positive on this synthetic corpus
     assert all(r["coherence"] > 0 for r in a), a
+
+
+def test_knn_pq_refuses_codes_without_books(spark, emb):
+    from bambooai_spark.operators.pq import knn_pq, pq_encode, train_pq_codebooks
+
+    books = train_pq_codebooks(emb, "embedding", m=8, ksub=16)
+    enc = pq_encode(emb, "embedding", books, out_col="pq_code")
+    with pytest.raises(ValueError, match="without the codebooks"):
+        knn_pq(enc, "vec_id", "embedding", query_id=0, code_col="pq_code")

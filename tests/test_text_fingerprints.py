@@ -637,3 +637,68 @@ def test_exact_substring_cut_matches_reference(spark):
     # untouched docs pass through byte-identical
     assert got[2] == XSUB_TEXTS[2]
     assert got[4] == XSUB_TEXTS[4]
+
+
+def test_exact_substring_spans_min_count_above_two(spark):
+    """min_count > 2 with keep_first exercises the dual-window branch
+    (rank AND frequency): a gram seen exactly twice no longer counts."""
+    from bambooai_spark.operators.dedup import exact_substring_spans
+
+    texts = [
+        "xx_REPEATED-THRICE-BLOCK_yy",
+        "aa_REPEATED-THRICE-BLOCK_bb",
+        "cc_REPEATED-THRICE-BLOCK_dd",
+        "ee_SEEN-TWICE-ONLY-BLOCK_ff",
+        "gg_SEEN-TWICE-ONLY-BLOCK_hh",
+    ]
+    for keep_first in (False, True):
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end)
+            for r in exact_substring_spans(
+                _spans_df(spark, texts), "doc_id", "text",
+                k=8, min_count=3, keep_first=keep_first,
+            ).collect()
+        )
+        want = _py_spans(texts, 8, min_count=3, keep_first=keep_first)
+        # extend the python reference for keep_first at min_count>2:
+        # cuttable = occurrences 2.. of grams with >= min_count total
+        assert got == want, (keep_first, got, want)
+    # docs 3/4 (the twice-only pair) produce no spans at min_count=3
+    got_docs = {
+        r.doc_id
+        for r in exact_substring_spans(
+            _spans_df(spark, texts), "doc_id", "text", k=8, min_count=3
+        ).collect()
+    }
+    assert got_docs == {0, 1, 2}
+
+
+def test_exact_substring_spans_property(spark):
+    """Randomized parity with the 20-line Python reference over a small
+    alphabet (dense duplicate structure — the worst case for the islands
+    merge)."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = "abc "
+    for trial in range(5):
+        texts = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 60)))
+            for _ in range(8)
+        ]
+        for keep_first in (False, True):
+            got = sorted(
+                (r.doc_id, r.span_start, r.span_end)
+                for r in exact_substring_spans_import()(
+                    _spans_df(spark, texts), "doc_id", "text",
+                    k=5, keep_first=keep_first,
+                ).collect()
+            )
+            want = _py_spans(texts, 5, keep_first=keep_first)
+            assert got == want, (trial, keep_first)
+
+
+def exact_substring_spans_import():
+    from bambooai_spark.operators.dedup import exact_substring_spans
+
+    return exact_substring_spans

@@ -1049,3 +1049,21 @@ def test_pq_batch_query_refused_without_codebooks(spark, tmp_path):
         query_vector_corpus_many(
             spark, path, queries, k=3, use_pq=True
         )
+
+
+def test_pq_rebuild_recovers_requested_ksub(spark, tmp_path):
+    """A store first built on a corpus smaller than the requested ksub
+    clamps the codebooks — but the REQUESTED size is pinned, so a
+    rebuild after the corpus grows retrains at full resolution."""
+    from bambooai_spark.operators.vector_store import rebuild_vector_store
+
+    tiny = _emb(spark).filter("vec_id < 40").select("vec_id", "embedding")
+    path = str(tmp_path / "grow")
+    meta = write_vector_corpus(tiny, path, n_cells=4, pq_m=8, pq_ksub=256)
+    assert meta["pq"]["ksub"] == 40  # clamped to the sample rows
+    assert meta["pq"]["ksub_requested"] == 256
+    rest = _emb(spark).filter("vec_id >= 40").select("vec_id", "embedding")
+    append_vector_corpus(rest, path)
+    new_meta = rebuild_vector_store(spark, path)
+    assert new_meta["pq"]["ksub"] == 256  # full resolution regained
+    assert new_meta["pq"]["ksub_requested"] == 256
