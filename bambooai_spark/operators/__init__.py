@@ -82,6 +82,7 @@ from bambooai_spark.operators.writer import (
     read_corpus,
     read_corpus_changes,
     recover_staging,
+    update_corpus,
     validate_corpus,
     write_corpus,
 )
@@ -112,6 +113,7 @@ __all__ = [
     "bloom_config",
     "explain_pruning",
     "read_corpus_changes",
+    "update_corpus",
     "latest_committed_batch",
     "refresh_vector_store",
     "prune_vector_store",

@@ -1983,6 +1983,289 @@ def delete_from_corpus(
         spark.conf.set(_INFER, prev_infer)
 
 
+def update_corpus(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    assignments: dict,
+    *,
+    partition_by: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+    token_col: str | None = None,
+    lease=None,
+) -> DataFrame:
+    """In-place UPDATE: ``SET col = expr`` on every corpus row matching
+    ``predicate``, rewriting ONLY the files that contain a match via the
+    SAME per-file swap protocol as :func:`delete_from_corpus` (identical
+    frozen-info format, so a crashed update is resumed by the delete
+    resume path and :func:`recover_staging`, and the fsck's forensics
+    see it as the same maintenance-rewrite file class). Returns the
+    folded manifest. This is the span-surgery hook: e.g. ``assignments=
+    {"text": exact_substring_cut_expr}`` applies ExactSubstr cleanup to
+    matched documents without touching the rest of the corpus.
+
+    Semantics:
+
+    - assignments are SIMULTANEOUS (one projection evaluates every
+      new value against the OLD row, like SQL UPDATE), and each value
+      is cast to the column's stored type so every rewritten file keeps
+      the corpus schema byte-stable (mixed parquet footers are the
+      drift hazard the append guard exists for);
+    - partition columns cannot be assigned (a partition-moving update
+      is a delete + append — refuse rather than silently strand rows
+      in the wrong directory);
+    - rows where the predicate is NULL are untouched (same rule as
+      delete's kept-side);
+    - **manifest**: row counts are unchanged; when ``token_col`` is
+      itself assigned, the exact per-partition token delta folds
+      (``committed_batches``-guarded under the shared ``delete-<id>``
+      maintenance batch id — updates and deletes are one rewrite class);
+    - **ledger**: when ``text_col`` is among the assignments, the OLD
+      text's fingerprints leave the ledger (the replaced content may
+      legitimately be re-appended later) and the NEW text's
+      fingerprints land — a duplicate append of the updated content is
+      dropped exactly as if it had been ingested that way;
+    - **CDC**: rewritten files lose their batch attribution, so the
+      manifest's ``as_of_floor`` rises exactly as it does for delete /
+      compaction — incremental followers below the floor must
+      re-baseline rather than silently replay rewritten rows.
+
+    Maintenance-window contract: single writer, a concurrent reader can
+    briefly see a file's rows missing mid-swap."""
+    import uuid as _uuid  # noqa: PLC0415
+
+    tmp = _join(path, DELETE_TMP)
+    staged_flag = _join(tmp, STAGED_MARKER)
+    _lease_beat(lease)
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    if not assignments:
+        raise ValueError("update_corpus: assignments is empty")
+    set_cols = {
+        c: (F.expr(v) if isinstance(v, str) else v)
+        for c, v in assignments.items()
+    }
+    bad = sorted(set(set_cols) & set(partition_by))
+    if bad:
+        raise ValueError(
+            f"update_corpus: cannot assign partition columns {bad} — "
+            "a partition-moving update is a delete + append"
+        )
+
+    _INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(_INFER, "true")
+    spark.conf.set(_INFER, "false")
+    try:
+        if _fs_exists(spark, staged_flag):
+            # same resume-then-run rule as delete: finish the frozen
+            # predecessor from its own info, then run the caller's update
+            _apply_staged_delete(
+                spark, path, tmp, staged_flag,
+                json.loads(_fs_read_text(spark, staged_flag)),
+            )
+        cflag = _join(path, f"{COMPACT_TMP}/{STAGED_MARKER}")
+        if _fs_exists(spark, cflag):
+            raise RuntimeError(
+                f"a frozen compaction exists at {cflag}; re-run "
+                "compact_corpus to finish it before updating"
+            )
+        frozen = _frozen_staged_batches(spark, path)
+        if frozen:
+            raise RuntimeError(
+                f"frozen uncommitted append batches exist ({frozen[:3]}"
+                f"{'...' if len(frozen) > 3 else ''}); restart their "
+                "query or run recover_staging before updating"
+            )
+        info = _stage_update(
+            spark, path, tmp, pred, set_cols,
+            partition_by=partition_by, text_col=text_col,
+            token_col=token_col, update_id=_uuid.uuid4().hex[:8],
+        )
+        if info is None:  # no row matches — corpus untouched
+            return _current_manifest(spark, path, partition_by, token_col)
+        _lease_ensure(lease)  # last check before the swap publishes
+        _fs_write_text_atomic(
+            spark, staged_flag, json.dumps(info, default=str)
+        )
+        return _apply_staged_delete(spark, path, tmp, staged_flag, info)
+    finally:
+        spark.conf.set(_INFER, prev_infer)
+
+
+def _stage_update(
+    spark: SparkSession,
+    path: str,
+    tmp: str,
+    pred,
+    set_cols: dict,
+    *,
+    partition_by,
+    text_col: str,
+    token_col: str | None,
+    update_id: str,
+) -> dict | None:
+    """Phase A of :func:`update_corpus`: rewrite the affected files with
+    matched rows transformed, compute the token delta and the ledger
+    replacement, all to the side under ``tmp``. Returns frozen info in
+    :func:`_apply_staged_delete`'s format (None when nothing matches)."""
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
+
+    from bambooai_spark.functions.text import fingerprint  # noqa: PLC0415
+
+    _fs_delete(spark, tmp)
+    stored_js = _stored_schema_json(spark, path)
+    stored = None
+    if stored_js:
+        from pyspark.sql.types import StructType  # noqa: PLC0415
+
+        try:
+            stored = StructType.fromJson(stored_js)
+        except (KeyError, TypeError, ValueError):
+            stored_js = None
+    try:
+        if stored is not None:
+            df = spark.read.schema(stored).parquet(path)
+        else:
+            df = spark.read.option("mergeSchema", "true").parquet(path)
+            stored_js = _schema_json_of(df)
+    except AnalysisException:
+        return None  # no data files — nothing to update
+    unknown = sorted(set(set_cols) - set(df.columns))
+    if unknown:
+        raise ValueError(
+            f"update_corpus: assigned columns {unknown} are not corpus "
+            f"columns ({sorted(df.columns)}) — an update never widens "
+            "the schema (use evolve_corpus_schema)"
+        )
+    text_changes = text_col in set_cols
+    if (
+        text_changes
+        and _fs_exists(spark, _join(path, LEDGER_DIR))
+        and text_col not in df.columns
+    ):
+        raise ValueError(
+            f"text_col {text_col!r} is not a corpus column "
+            f"({df.columns}); the ledger swap needs the stored text"
+        )
+    tagged = df.withColumn("_file", F.col("_metadata.file_path"))
+    hit = F.coalesce(pred, F.lit(False))
+    matches = tagged.filter(hit).persist()
+    try:
+        data_files = sorted(
+            r["_file"]
+            for r in matches.select("_file").distinct().collect()
+        )
+        if not data_files:
+            return None
+        types = {f.name: f.dataType for f in df.schema.fields}
+        new_vals = {
+            c: expr.cast(types[c]) for c, expr in set_cols.items()
+        }
+        # manifest delta: rows unchanged; the token delta is exact when
+        # the token column itself is assigned and zero otherwise (the
+        # manifest sums the STORED column, which an unassigned update
+        # leaves as-is) — always present when the corpus tracks tokens,
+        # so the fold keeps the manifest's token column intact
+        aggs = [F.lit(0).cast("long").alias("n_rows")]
+        if token_col:
+            tok_delta = (
+                (
+                    F.coalesce(F.sum(new_vals[token_col]), F.lit(0))
+                    - F.coalesce(F.sum(F.col(token_col)), F.lit(0))
+                )
+                if token_col in new_vals
+                else F.lit(0)
+            )
+            aggs.append(tok_delta.cast("long").alias("n_tokens"))
+        delta = [
+            r.asDict()
+            for r in matches.groupBy(*partition_by).agg(*aggs).collect()
+        ]
+        # ONE projection applies every assignment against the OLD row —
+        # simultaneous semantics, and the predicate is evaluated before
+        # any value changes
+        rewritten = tagged.filter(F.col("_file").isin(data_files)).select(
+            *[
+                (
+                    F.when(hit, new_vals[c]).otherwise(F.col(c)).alias(c)
+                    if c in new_vals
+                    else F.col(c)
+                )
+                for c in df.columns
+            ]
+        )
+        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+            apply_bloom_options,
+            bloom_config,
+            collect_file_stats,
+            stats_config,
+        )
+
+        apply_bloom_options(
+            rewritten.write.mode("overwrite"), bloom_config(spark, path)
+        ).partitionBy(*partition_by).parquet(_join(tmp, "data"))
+        file_stats = None
+        stats_cols = stats_config(spark, path)
+        if stats_cols:
+            file_stats = collect_file_stats(
+                spark, _join(tmp, "data"), stats_cols,
+                schema=df.schema, key_prefix=f"d{update_id}-",
+            )
+        ledger_files: list[str] = []
+        ledger_new = False
+        ledger_path = _join(path, LEDGER_DIR)
+        if text_changes and _fs_exists(spark, ledger_path):
+            old_fps = matches.select(
+                fingerprint(text_col, normalize=True).alias("fp")
+            ).distinct()
+            new_fps = matches.select(
+                fingerprint(
+                    new_vals[text_col], normalize=True
+                ).alias("fp")
+            ).distinct()
+            try:
+                ledger = spark.read.parquet(ledger_path).withColumn(
+                    "_file", F.col("_metadata.file_path")
+                )
+            except AnalysisException:
+                ledger = None
+            if ledger is not None:
+                ledger_files = sorted(
+                    r["_file"]
+                    for r in ledger.join(old_fps, "fp", "left_semi")
+                    .select("_file").distinct().collect()
+                )
+                survivors = (
+                    ledger.filter(F.col("_file").isin(ledger_files))
+                    .join(old_fps, "fp", "left_anti")
+                    .drop("_file")
+                )
+                # new fps enter even when they also exist elsewhere in
+                # the ledger: distinct() against the full ledger would
+                # re-scan it; a duplicate fp row is harmless (the
+                # admission anti-join is set-semantics)
+                replacement = survivors.unionByName(new_fps)
+                replacement.write.mode("overwrite").parquet(
+                    _join(tmp, "ledger")
+                )
+                ledger_new = True
+    finally:
+        matches.unpersist()
+    return {
+        "delete_id": update_id,
+        "file_stats": file_stats,
+        "partition_by": list(partition_by),
+        "token_col": token_col,
+        "schema": stored_js,
+        "delta": delta,
+        "data_files": data_files,
+        "ledger_files": ledger_files,
+        "ledger_new": ledger_new,
+        # rewritten files lose their batch attribution exactly as
+        # delete's do — snapshot targets below the floor re-baseline
+        "as_of_floor": _numeric_floor(data_files),
+    }
+
+
 def _frozen_staged_batches(spark: SparkSession, path: str) -> list[str]:
     """Staging entries frozen with ``_STAGED`` but not yet committed —
     the batches whose corpus files may be HALF-moved and whose replay
@@ -2197,7 +2480,10 @@ def _apply_staged_delete(
     fs, _root = _fs(spark, path)
     jvm = spark._jvm
     targets = [(_join(tmp, "data"), path)]
-    if info.get("ledger_files"):
+    # ledger_new: an UPDATE that changed the fingerprinted text stages
+    # replacement ledger rows even when no original ledger file held a
+    # matching fp (nothing to delete, new fps still must land)
+    if info.get("ledger_files") or info.get("ledger_new"):
         targets.append((_join(tmp, "ledger"), _join(path, LEDGER_DIR)))
     for (src_root, dest_root), originals in zip(
         targets, [info["data_files"], info.get("ledger_files") or []]

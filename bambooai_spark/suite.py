@@ -4658,6 +4658,66 @@ def delete_corpus_docs(spark, sf_dir):
 
 
 @spec(
+    "update_corpus_docs",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, lang, source, text,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+      FROM documents
+    ), keep AS (
+      SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f
+    ), live AS (
+      SELECT p.doc_id, p.lang, p.source, p.text
+      FROM fp p JOIN keep k ON p.doc_id = k.doc_id AND p.f = k.f
+    )
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 11 = 5 THEN 'takedown' ELSE source
+             END AS source,
+           CASE WHEN doc_id % 11 = 5 THEN upper(substr(text, 1, 40))
+             ELSE text END AS text
+    FROM live
+    """,
+    headline=True,
+    regime="lifecycle",
+    doc="Corpus in-place UPDATE lifecycle under the hash-exact gate: "
+    "ingest documents through append_corpus, then update_corpus "
+    "(operators/writer.py) rewrites doc_id%11==5 rows — SET source = "
+    "'takedown', text = upper(first 40 chars) — touching ONLY the files "
+    "containing a match via the same per-file swap protocol as delete, "
+    "simultaneous assignments cast to the stored schema, old "
+    "fingerprints swapped for new in the ledger. The oracle replays "
+    "ingest (min-id dedup on the portable fingerprint) then the UPDATE "
+    "as a CASE projection. Small max_records_per_file fragments the "
+    "corpus so affected-file targeting is exercised.",
+)
+def update_corpus_docs(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        append_corpus,
+        update_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="bbai_update_spec_"), "corpus"
+    )
+    append_corpus(
+        d, out, partition_by=("lang",), max_records_per_file=100
+    )
+    update_corpus(
+        spark, out, F.col("doc_id") % 11 == 5,
+        {
+            "source": F.lit("takedown"),
+            "text": F.upper(F.substring("text", 1, 40)),
+        },
+        partition_by=("lang",),
+    )
+    return spark.read.parquet(out).select("doc_id", "lang", "source", "text")
+
+
+@spec(
     "refresh_vector_embeddings",
     f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -5742,10 +5802,9 @@ _PROMOTE = [
     # the slots of rows carrying 4-5 green driver rounds. After this
     # window, EVERY oracled spec in the suite has driver evidence.
     # (r10 continuation: repetition_docs, ntile_customers, pivot_orders,
-    # and regex_token_stats_docs — 4 greens each, freshest r9 — yield
-    # their slots to the ExactSubstr and PQ specs in the
-    # r10-continuation blocks below.)
-    "chunk_docs",
+    # regex_token_stats_docs, and chunk_docs — 4 greens each, freshest
+    # r9 — yield their slots to the ExactSubstr / PQ / update specs in
+    # the r10-continuation blocks below.)
     "salted_agg_events",
     # (top_parts_per_brand yields its slot to cluster_profile_embeddings
     # in the r10-continuation-3 block below.)
@@ -5886,6 +5945,11 @@ _PROMOTE = [
     # (4 greens, freshest r9); grouped top-k stays repped in-window by
     # argmax_events, ranking by percent_rank_customers.
     "cluster_profile_embeddings",
+    # Round-10 continuation 4: the new UPDATE lifecycle spec earns its
+    # driver row the round it lands. Its slot: chunk_docs (4 greens,
+    # r6-r9, freshest r9); the corpus-write lifecycle family in-window
+    # is delete/evolve/changes/pruned_read + this spec.
+    "update_corpus_docs",
 ]
 _DEMOTE = [
     # Round-10 continuation demotions (slots for the ExactSubstr specs
@@ -5896,9 +5960,10 @@ _DEMOTE = [
     # and vector_store_pq_embeddings):
     "pivot_orders",
     "regex_token_stats_docs",
-    # Round-10 continuation-3 demotion (slot for
-    # cluster_profile_embeddings):
+    # Round-10 continuation-3/4 demotions (slots for
+    # cluster_profile_embeddings and update_corpus_docs):
     "top_parts_per_brand",
+    "chunk_docs",
     # Round-10 demotions (slots for the r10 rotation above); all stay
     # headline-benched and oracle-pinned in pytest with five green
     # driver rounds each, freshest r9.

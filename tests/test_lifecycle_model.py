@@ -50,6 +50,20 @@ class Model:
         # fingerprints leave the ledger too → re-appendable (modeled by
         # simply removing from live; append() re-admits)
 
+    def update(self, doc_ids, make_text):
+        """In-place text rewrite: the old fingerprint leaves (the old
+        content is re-appendable), the new one enters — exactly the
+        update_corpus ledger swap. make_text must keep texts unique
+        across docs (the schedule's transform embeds the doc id)."""
+        new: dict[str, tuple] = {}
+        for fp, (i, lang, text) in self.live.items():
+            if i in doc_ids:
+                t2 = make_text(i, text)
+                new[_norm(t2)] = (i, lang, t2)
+            else:
+                new[fp] = (i, lang, text)
+        self.live = new
+
     def rows(self):
         return {(r[0], r[1], _norm(r[2])) for r in self.live.values()}
 
@@ -137,9 +151,12 @@ def test_random_schedule_with_crashes(spark, tmp_path, monkeypatch, seed):
 
     from bambooai_spark.operators.filestats import consolidate_file_stats
 
+    from bambooai_spark.operators.writer import update_corpus
+
     for _step in range(8):
         op = rng.choice(
-            ["append", "append", "delete", "compact", "consolidate"]
+            ["append", "append", "delete", "update", "compact",
+             "consolidate"]
         )
         if op == "append" or not model.live:
             rows = gen_rows(rng.randint(3, 10))
@@ -160,6 +177,27 @@ def test_random_schedule_with_crashes(spark, tmp_path, monkeypatch, seed):
             pred = F.col("doc_id").isin(*victims)
             with_maybe_crash(delete_from_corpus, spark, out, pred)
             model.delete(victims)
+        elif op == "update":
+            victims = {
+                r[0]
+                for r in rng.sample(
+                    list(model.live.values()),
+                    k=min(2, len(model.live)),
+                )
+            }
+            # the step marker makes the crash-recovery RERUN a no-op
+            # (already-updated rows no longer match), mirroring how
+            # delete's rerun finds its rows already gone — and keeps
+            # new texts unique so fingerprints never collide
+            marker = f"updated {seed}-{_step} "
+            pred = F.col("doc_id").isin(*victims) & ~F.col(
+                "text"
+            ).startswith(marker)
+            with_maybe_crash(
+                update_corpus, spark, out, pred,
+                {"text": F.concat(F.lit(marker), F.col("text"))},
+            )
+            model.update(victims, lambda i, t: marker + t)
         elif op == "consolidate":
             # bookkeeping-only fold of the stats history: model-invisible
             # by definition, and every later pruned read must stay exact

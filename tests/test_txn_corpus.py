@@ -1581,3 +1581,202 @@ def test_validate_detects_dual_writer_divergence(spark, tmp_path):
         assert _json.load(fh).get("as_of_floor") is not None
     v2 = deep(out2)
     assert v2["dual_writer"]["ok"], v2["dual_writer"]
+
+
+# ------------------------------------------------------------- UPDATE
+
+
+def test_update_corpus_end_to_end(spark, tmp_path):
+    """In-place UPDATE: matched rows get the new values, unmatched rows
+    and unaffected files are untouched, the ledger swaps old fingerprints
+    for new ones (old content re-appendable, new content deduped), row
+    counts and the manifest stay exact."""
+    from bambooai_spark.operators.writer import update_corpus
+
+    out = str(tmp_path / "corpus")
+    for b in range(3):
+        append_corpus_txn(
+            _docs(spark, b * 20, b * 20 + 20), out, b,
+            max_records_per_file=5,
+        )
+    before_files = set(
+        r[0]
+        for r in spark.read.parquet(out)
+        .select("_metadata.file_path").distinct().collect()
+    )
+    before_rows = {
+        r["doc_id"]: (r["lang"], r["source"], r["text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    m = update_corpus(
+        spark, out, F.col("doc_id").isin(7, 8, 31),
+        {"text": F.concat(F.lit("REDACTED "), F.col("text")),
+         "source": F.lit("takedown")},
+    )
+    stored = spark.read.parquet(out)
+    assert stored.count() == 60
+    got = {
+        r["doc_id"]: (r["lang"], r["source"], r["text"])
+        for r in stored.collect()
+    }
+    for i in (7, 8, 31):
+        lang, _src, old_text = before_rows[i]
+        assert got[i] == (lang, "takedown", "REDACTED " + old_text)
+    for i in set(before_rows) - {7, 8, 31}:
+        assert got[i] == before_rows[i]
+    # schema byte-stable: same columns, same dtypes
+    assert stored.schema == spark.createDataFrame(
+        [], stored.schema
+    ).schema
+    # only affected files rewritten
+    after_files = set(
+        r[0]
+        for r in stored.select("_metadata.file_path").distinct().collect()
+    )
+    assert before_files - after_files, "no file was rewritten"
+    assert after_files & before_files, "unaffected files were rewritten"
+    # manifest row counts unchanged and equal to the rebuild
+    got_m = {r["lang"]: r["n_rows"] for r in m.collect()}
+    rebuilt = {
+        r["lang"]: r["n_rows"]
+        for r in build_manifest(spark, out, partition_by=("lang",)).collect()
+    }
+    assert got_m == rebuilt
+    # ledger: still one fp per live document...
+    assert spark.read.parquet(out + "/" + LEDGER_DIR).count() == 60
+    # ...the OLD texts' fps are gone (their re-append is admitted)...
+    append_corpus_txn(
+        _docs(spark, 0, 60).filter(F.col("doc_id").isin(7, 8, 31))
+        .withColumn("doc_id", F.col("doc_id") + 1000),
+        out, "readd_old",
+    )
+    assert spark.read.parquet(out).count() == 63
+    # ...and the NEW texts' fps are present (duplicate append dropped)
+    dup_new = spark.read.parquet(out).filter(
+        F.col("doc_id").isin(7, 8, 31)
+    ).select("doc_id", "lang", "source", "text").withColumn(
+        "doc_id", F.col("doc_id") + 2000
+    )
+    append_corpus_txn(dup_new, out, "readd_new")
+    assert spark.read.parquet(out).count() == 63
+
+
+def test_update_corpus_simultaneous_assignments(spark, tmp_path):
+    """Assignments evaluate against the OLD row in one projection — a
+    two-column swap must actually swap (sequential withColumn would
+    duplicate one side)."""
+    from bambooai_spark.operators.writer import update_corpus
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 10), out, 0)
+    update_corpus(
+        spark, out, F.col("doc_id") == 3,
+        {"source": F.col("text"), "text": F.col("source")},
+    )
+    row = spark.read.parquet(out).filter("doc_id = 3").collect()[0]
+    assert row["text"] == "web"
+    assert row["source"].startswith("document text number 3")
+
+
+def test_update_corpus_token_delta_and_types(spark, tmp_path):
+    """When the token column itself is assigned, the manifest folds the
+    exact per-partition token delta; assigned values are cast to the
+    stored column types so the rewritten files keep the corpus schema."""
+    from bambooai_spark.operators.writer import update_corpus
+
+    out = str(tmp_path / "corpus")
+    docs = _docs(spark, 0, 30).withColumn(
+        "n_tokens", F.size(F.split("text", r"\s+")).cast("long")
+    )
+    append_corpus_txn(docs, out, 0, token_col="n_tokens")
+    with open(os.path.join(out, MANIFEST_NAME)) as fh:
+        before = {
+            p["lang"]: p["n_tokens"]
+            for p in json.load(fh)["partitions"]
+        }
+    m = update_corpus(
+        spark, out, F.col("doc_id") < 10,
+        # int literal against a long column: must cast, not drift
+        {"n_tokens": F.lit(0)},
+        token_col="n_tokens",
+    )
+    stored = spark.read.parquet(out)
+    assert dict(stored.dtypes)["n_tokens"] == "bigint"
+    got = {
+        r["lang"]: r["t"]
+        for r in stored.groupBy("lang")
+        .agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    folded = {r["lang"]: r["n_tokens"] for r in m.collect()}
+    assert folded == got
+    assert any(folded[lang] < before[lang] for lang in folded)
+
+
+def test_update_corpus_guards(spark, tmp_path):
+    from bambooai_spark.operators.writer import update_corpus
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 10), out, 0)
+    with pytest.raises(ValueError, match="assignments is empty"):
+        update_corpus(spark, out, F.lit(True), {})
+    with pytest.raises(ValueError, match="partition columns"):
+        update_corpus(spark, out, F.lit(True), {"lang": F.lit("fr")})
+    with pytest.raises(ValueError, match="not corpus columns"):
+        update_corpus(spark, out, F.lit(True), {"nope": F.lit(1)})
+    # no match -> corpus untouched, current manifest returned
+    before = spark.read.parquet(out).collect()
+    m = update_corpus(
+        spark, out, F.col("doc_id") > 10_000, {"source": F.lit("x")}
+    )
+    assert {r["lang"]: r["n_rows"] for r in m.collect()} == {"en": 5, "de": 5}
+    assert sorted(map(tuple, spark.read.parquet(out).collect())) == sorted(
+        map(tuple, before)
+    )
+    # NULL predicate rows are untouched (same rule as delete's kept side)
+    update_corpus(
+        spark, out,
+        F.when(F.col("doc_id") == 2, F.lit(True)),  # NULL elsewhere
+        {"source": F.lit("hit")},
+    )
+    rows = {r["doc_id"]: r["source"] for r in spark.read.parquet(out).collect()}
+    assert rows[2] == "hit"
+    assert all(v == "web" for k, v in rows.items() if k != 2)
+
+
+def test_update_corpus_crash_resume(spark, tmp_path, monkeypatch):
+    """Crash injection at the update-swap protocol points: the frozen
+    info resumes through the shared delete-resume path — no row loss, no
+    duplicates, values updated exactly once."""
+    from bambooai_spark.operators.writer import update_corpus
+
+    out = str(tmp_path / "corpus")
+    for b in range(2):
+        append_corpus_txn(
+            _docs(spark, b * 20, b * 20 + 20), out, b,
+            max_records_per_file=5,
+        )
+    pred = F.col("doc_id") % 4 == 1
+
+    orig_move = writer._move_staged_files
+
+    def crash_move(sp, src_root, dest_root, batch_id, **kw):
+        raise RuntimeError("injected update crash in swap")
+
+    monkeypatch.setattr(writer, "_move_staged_files", crash_move)
+    with pytest.raises(RuntimeError, match="injected"):
+        update_corpus(spark, out, pred, {"source": F.lit("upd")})
+    monkeypatch.setattr(writer, "_move_staged_files", orig_move)
+
+    # recover_staging finishes the frozen update (shared resume path)
+    from bambooai_spark.operators.writer import recover_staging
+
+    rec = recover_staging(spark, out)
+    assert "_delete_tmp" in rec["committed"]
+    stored = spark.read.parquet(out)
+    assert stored.count() == 40
+    assert stored.select("text").distinct().count() == 40
+    got = {r["doc_id"]: r["source"] for r in stored.collect()}
+    for i in range(40):
+        assert got[i] == ("upd" if i % 4 == 1 else "web"), i
+    assert spark.read.parquet(out + "/" + LEDGER_DIR).count() == 40
+    assert not os.path.exists(os.path.join(out, "_delete_tmp"))
