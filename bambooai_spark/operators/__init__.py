@@ -83,6 +83,7 @@ from bambooai_spark.operators.writer import (
     read_corpus_changes,
     recover_staging,
     update_corpus,
+    update_corpus_from,
     validate_corpus,
     write_corpus,
 )
@@ -114,6 +115,7 @@ __all__ = [
     "explain_pruning",
     "read_corpus_changes",
     "update_corpus",
+    "update_corpus_from",
     "latest_committed_batch",
     "refresh_vector_store",
     "prune_vector_store",

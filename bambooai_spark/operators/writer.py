@@ -2091,6 +2091,115 @@ def update_corpus(
         spark.conf.set(_INFER, prev_infer)
 
 
+def update_corpus_from(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    set_cols: list[str] | tuple[str, ...] = ("text",),
+    partition_by: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+    token_col: str | None = None,
+    lease=None,
+) -> DataFrame:
+    """``UPDATE ... FROM``: join-form in-place update — every corpus row
+    whose ``key_col`` appears in ``updates`` takes that row's values for
+    ``set_cols``. Same per-file swap protocol, frozen-info format, crash
+    resume, ledger swap, token delta, and CDC-floor semantics as
+    :func:`update_corpus`; the difference is WHERE new values come from:
+    a joined DataFrame instead of row-local expressions — which is what
+    lets corpus-GLOBAL computations feed an in-place rewrite. The
+    ExactSubstr flow: ``cut = exact_substring_cut(read_corpus(spark,
+    path), "doc_id", "text")``, filter to changed docs, select
+    ``(doc_id, clean_text AS text)``, then ``update_corpus_from(spark,
+    path, that)`` — span surgery as corpus maintenance.
+
+    ``updates`` must be key-unique (a duplicate key would fan the join
+    out and duplicate corpus rows — refused with one bounded count job)
+    and is read several times during staging (file list, delta, rewrite,
+    fingerprints) — it is persisted internally, so a non-deterministic
+    lineage (limit/sample) cannot feed different stages different rows.
+    Keys with no live corpus row are ignored (the join is the match)."""
+    import uuid as _uuid  # noqa: PLC0415
+
+    tmp = _join(path, DELETE_TMP)
+    staged_flag = _join(tmp, STAGED_MARKER)
+    _lease_beat(lease)
+    set_cols = list(set_cols)
+    if not set_cols:
+        raise ValueError("update_corpus_from: set_cols is empty")
+    bad = sorted(set(set_cols) & set(partition_by))
+    if bad:
+        raise ValueError(
+            f"update_corpus_from: cannot assign partition columns {bad} "
+            "— a partition-moving update is a delete + append"
+        )
+    if key_col in set_cols:
+        raise ValueError(
+            f"update_corpus_from: key_col {key_col!r} cannot also be "
+            "assigned (the join key must identify the row being updated)"
+        )
+    missing = sorted(
+        (set(set_cols) | {key_col}) - set(updates.columns)
+    )
+    if missing:
+        raise ValueError(
+            f"update_corpus_from: updates frame lacks columns {missing} "
+            f"(has {sorted(updates.columns)})"
+        )
+    chk = updates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(key_col)).alias("nd"),
+    ).collect()[0]
+    if chk["n"] != chk["nd"]:
+        raise ValueError(
+            f"update_corpus_from: duplicate {key_col!r} values in "
+            f"updates ({chk['n']} rows, {chk['nd']} distinct) — the "
+            "join would fan out and duplicate corpus rows"
+        )
+    if chk["n"] == 0:
+        return _current_manifest(spark, path, partition_by, token_col)
+
+    _INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(_INFER, "true")
+    spark.conf.set(_INFER, "false")
+    try:
+        if _fs_exists(spark, staged_flag):
+            _apply_staged_delete(
+                spark, path, tmp, staged_flag,
+                json.loads(_fs_read_text(spark, staged_flag)),
+            )
+        cflag = _join(path, f"{COMPACT_TMP}/{STAGED_MARKER}")
+        if _fs_exists(spark, cflag):
+            raise RuntimeError(
+                f"a frozen compaction exists at {cflag}; re-run "
+                "compact_corpus to finish it before updating"
+            )
+        frozen = _frozen_staged_batches(spark, path)
+        if frozen:
+            raise RuntimeError(
+                f"frozen uncommitted append batches exist ({frozen[:3]}"
+                f"{'...' if len(frozen) > 3 else ''}); restart their "
+                "query or run recover_staging before updating"
+            )
+        info = _stage_update(
+            spark, path, tmp, None, set_cols,
+            partition_by=partition_by, text_col=text_col,
+            token_col=token_col, update_id=_uuid.uuid4().hex[:8],
+            updates=updates, key_col=key_col,
+        )
+        if info is None:  # no key matches a live row — corpus untouched
+            return _current_manifest(spark, path, partition_by, token_col)
+        _lease_ensure(lease)  # last check before the swap publishes
+        _fs_write_text_atomic(
+            spark, staged_flag, json.dumps(info, default=str)
+        )
+        return _apply_staged_delete(spark, path, tmp, staged_flag, info)
+    finally:
+        spark.conf.set(_INFER, prev_infer)
+
+
 def _stage_update(
     spark: SparkSession,
     path: str,
@@ -2102,11 +2211,21 @@ def _stage_update(
     text_col: str,
     token_col: str | None,
     update_id: str,
+    updates: DataFrame | None = None,
+    key_col: str | None = None,
 ) -> dict | None:
-    """Phase A of :func:`update_corpus`: rewrite the affected files with
-    matched rows transformed, compute the token delta and the ledger
-    replacement, all to the side under ``tmp``. Returns frozen info in
-    :func:`_apply_staged_delete`'s format (None when nothing matches)."""
+    """Phase A of :func:`update_corpus` / :func:`update_corpus_from`:
+    rewrite the affected files with matched rows transformed, compute the
+    token delta and the ledger replacement, all to the side under
+    ``tmp``. Returns frozen info in :func:`_apply_staged_delete`'s format
+    (None when nothing matches).
+
+    Two match modes: expression mode (``pred`` + ``set_cols`` of column
+    expressions, the UPDATE ... WHERE form) and join mode (``updates`` +
+    ``key_col`` + ``set_cols`` naming columns of ``updates``, the
+    UPDATE ... FROM form — new values come from the joined row, which is
+    what lets corpus-GLOBAL computations like ExactSubstr span surgery
+    feed an in-place rewrite)."""
     from pyspark.errors import AnalysisException  # noqa: PLC0415
 
     from bambooai_spark.functions.text import fingerprint  # noqa: PLC0415
@@ -2136,6 +2255,11 @@ def _stage_update(
             f"columns ({sorted(df.columns)}) — an update never widens "
             "the schema (use evolve_corpus_schema)"
         )
+    if updates is not None and key_col not in df.columns:
+        raise ValueError(
+            f"update_corpus_from: key_col {key_col!r} is not a corpus "
+            f"column ({sorted(df.columns)})"
+        )
     text_changes = text_col in set_cols
     if (
         text_changes
@@ -2147,7 +2271,27 @@ def _stage_update(
             f"({df.columns}); the ledger swap needs the stored text"
         )
     tagged = df.withColumn("_file", F.col("_metadata.file_path"))
-    hit = F.coalesce(pred, F.lit(False))
+    types = {f.name: f.dataType for f in df.schema.fields}
+    if updates is not None:
+        # join mode: every stage below (file list, delta, rewrite, fps)
+        # re-reads the updates lineage — persist the narrow projection
+        # once so a non-deterministic source can't feed the file list
+        # one row set and the rewrite another (the probes-persist rule)
+        u = updates.select(
+            F.col(key_col),
+            F.lit(True).alias("_upd_hit"),
+            *[F.col(c).alias(f"_upd_{c}") for c in set_cols],
+        ).persist()
+        tagged = tagged.join(u, key_col, "left")
+        hit = F.coalesce(F.col("_upd_hit"), F.lit(False))
+        new_vals = {
+            c: F.col(f"_upd_{c}").cast(types[c]) for c in set_cols
+        }
+    else:
+        hit = F.coalesce(pred, F.lit(False))
+        new_vals = {
+            c: expr.cast(types[c]) for c, expr in set_cols.items()
+        }
     matches = tagged.filter(hit).persist()
     try:
         data_files = sorted(
@@ -2156,10 +2300,6 @@ def _stage_update(
         )
         if not data_files:
             return None
-        types = {f.name: f.dataType for f in df.schema.fields}
-        new_vals = {
-            c: expr.cast(types[c]) for c, expr in set_cols.items()
-        }
         # manifest delta: rows unchanged; the token delta is exact when
         # the token column itself is assigned and zero otherwise (the
         # manifest sums the STORED column, which an unassigned update
@@ -2250,6 +2390,8 @@ def _stage_update(
                 ledger_new = True
     finally:
         matches.unpersist()
+        if updates is not None:
+            u.unpersist()
     return {
         "delete_id": update_id,
         "file_stats": file_stats,

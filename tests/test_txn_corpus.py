@@ -1780,3 +1780,131 @@ def test_update_corpus_crash_resume(spark, tmp_path, monkeypatch):
         assert got[i] == ("upd" if i % 4 == 1 else "web"), i
     assert spark.read.parquet(out + "/" + LEDGER_DIR).count() == 40
     assert not os.path.exists(os.path.join(out, "_delete_tmp"))
+
+
+def test_update_corpus_from_join_form(spark, tmp_path):
+    """UPDATE ... FROM: new values come from the joined updates frame;
+    keys absent from the corpus are ignored; duplicate update keys and
+    missing columns are refused before anything is staged."""
+    from bambooai_spark.operators.writer import update_corpus_from
+
+    out = str(tmp_path / "corpus")
+    for b in range(2):
+        append_corpus_txn(
+            _docs(spark, b * 20, b * 20 + 20), out, b,
+            max_records_per_file=5,
+        )
+    updates = spark.createDataFrame(
+        [(3, "replacement three"), (17, "replacement seventeen"),
+         (9999, "no such row")],
+        "doc_id long, text string",
+    )
+    m = update_corpus_from(spark, out, updates)
+    stored = spark.read.parquet(out)
+    assert stored.count() == 40
+    got = {r["doc_id"]: r["text"] for r in stored.collect()}
+    assert got[3] == "replacement three"
+    assert got[17] == "replacement seventeen"
+    assert got[0].startswith("document text number 0")
+    assert 9999 not in got
+    # manifest still exact
+    rebuilt = {
+        r["lang"]: r["n_rows"]
+        for r in build_manifest(spark, out, partition_by=("lang",)).collect()
+    }
+    assert {r["lang"]: r["n_rows"] for r in m.collect()} == rebuilt
+    # ledger swapped: old text re-appendable, new text deduped
+    assert spark.read.parquet(out + "/" + LEDGER_DIR).count() == 40
+    append_corpus_txn(
+        spark.createDataFrame(
+            [(500, "en", "web", "replacement three")],
+            "doc_id long, lang string, source string, text string",
+        ),
+        out, "dupnew",
+    )
+    assert spark.read.parquet(out).count() == 40  # duplicate dropped
+    # guards
+    with pytest.raises(ValueError, match="duplicate"):
+        update_corpus_from(
+            spark, out,
+            spark.createDataFrame(
+                [(1, "a"), (1, "b")], "doc_id long, text string"
+            ),
+        )
+    with pytest.raises(ValueError, match="lacks columns"):
+        update_corpus_from(
+            spark, out,
+            spark.createDataFrame([(1,)], "doc_id long"),
+        )
+    with pytest.raises(ValueError, match="cannot also be"):
+        update_corpus_from(
+            spark, out, updates, set_cols=("doc_id", "text"),
+        )
+    # empty updates frame: no-op, current manifest returned
+    m2 = update_corpus_from(
+        spark, out,
+        spark.createDataFrame([], "doc_id long, text string"),
+    )
+    assert {r["lang"]: r["n_rows"] for r in m2.collect()} == rebuilt
+
+
+def test_exact_substring_surgery_as_corpus_maintenance(spark, tmp_path):
+    """The end-to-end span-surgery flow the README sells: ingest docs
+    with a shared boilerplate block, compute ExactSubstr keep-first cut
+    over the live corpus, route the changed docs through
+    update_corpus_from, and the corpus comes back clean — earliest copy
+    intact, later copies cut, ledger/manifest/fsck consistent."""
+    from bambooai_spark.operators.dedup import exact_substring_cut
+    from bambooai_spark.operators.writer import (
+        read_corpus,
+        update_corpus_from,
+        validate_corpus,
+    )
+
+    import hashlib
+
+    def body(i):
+        # hash gibberish, unique from the FIRST character: no 20-char
+        # substring repeats within or across docs, so the duplicated
+        # region is exactly the shared boilerplate (a span may eat at
+        # most the first body token's shared-prefix chars, which an
+        # md5 prefix makes vanishingly unlikely)
+        return " ".join(
+            hashlib.md5(f"{i}-{t}".encode()).hexdigest()[:8]
+            for t in range(12)
+        )
+
+    boiler = "SHARED BOILERPLATE LICENSE HEADER BLOCK "
+    rows = [(i, "en", "web", boiler + body(i)) for i in range(12)]
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(
+        spark.createDataFrame(
+            rows, "doc_id long, lang string, source string, text string"
+        ),
+        out, 0, max_records_per_file=4,
+    )
+    live = read_corpus(spark, out)
+    cut = exact_substring_cut(
+        live, "doc_id", "text", k=20, keep_first=True
+    )
+    changed = cut.filter(F.col("clean_text") != F.col("text")).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    n_changed = changed.count()
+    assert n_changed == 11  # every copy but the earliest loses the block
+    update_corpus_from(spark, out, changed)
+    after = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert len(after) == 12
+    keepers = sorted(i for i, t in after.items() if boiler in t)
+    assert keepers == [0]  # the earliest copy survives verbatim
+    assert after[0] == boiler + body(0)  # byte-identical keeper
+    for i, t in after.items():
+        # bodies intact past the first token (the span cannot reach
+        # beyond the point where the texts diverge)
+        assert body(i)[9:] in t, (i, t)
+    v = {r["check"]: r for r in validate_corpus(spark, out, deep=True).collect()}
+    bad = {k: r.asDict() for k, r in v.items() if not r["ok"]}
+    assert not bad, bad
