@@ -1878,6 +1878,77 @@ def _compact_corpus_inner(
 DELETE_TMP = "_delete_tmp"
 
 
+def _run_staged_rewrite(
+    spark: SparkSession,
+    path: str,
+    stage_fn,
+    *,
+    partition_by,
+    token_col,
+    lease,
+    verb: str,
+) -> DataFrame:
+    """The ONE copy of the maintenance-rewrite driver shared by
+    :func:`delete_from_corpus`, :func:`update_corpus`, and
+    :func:`update_corpus_from` (review r10: the preamble existed three
+    times and a guard fix applied to one verb would silently diverge the
+    others). Sequence: resume a frozen predecessor from its own info,
+    refuse under a frozen compaction or frozen uncommitted append
+    batches, run ``stage_fn(tmp)`` (Phase A — returns frozen info or
+    None for no-match), freeze, apply (Phase B). Partition-column type
+    inference is disabled throughout and restored after."""
+    tmp = _join(path, DELETE_TMP)
+    staged_flag = _join(tmp, STAGED_MARKER)
+    _lease_beat(lease)
+    _INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(_INFER, "true")
+    spark.conf.set(_INFER, "false")
+    try:
+        if _fs_exists(spark, staged_flag):
+            # a PREVIOUS rewrite froze but crashed mid-swap: finish it
+            # from its own frozen info first, then run the CALLER's op
+            # as a fresh pass below — returning after the resume alone
+            # would silently report success for an op that never ran
+            # (review r8). A crash-replay of the SAME op stays sound:
+            # delete finds its rows gone; an update's fresh pass
+            # re-applies only where its predicate still matches (see
+            # update_corpus's idempotence note).
+            _apply_staged_delete(
+                spark, path, tmp, staged_flag,
+                json.loads(_fs_read_text(spark, staged_flag)),
+            )
+        # a frozen COMPACTION may have left the corpus mid-swap; a fresh
+        # rewrite would then read missing rows into its staged output
+        # and frozen file lists. Its own re-run resumes it.
+        cflag = _join(path, f"{COMPACT_TMP}/{STAGED_MARKER}")
+        if _fs_exists(spark, cflag):
+            raise RuntimeError(
+                f"a frozen compaction exists at {cflag}; re-run "
+                f"compact_corpus to finish it before the {verb}"
+            )
+        # likewise a FROZEN txn append whose files may be half-moved:
+        # its replay re-renames any missing destination, which would
+        # restore originals this rewrite removed (resurrecting replaced
+        # rows and duplicating their rewritten siblings).
+        frozen = _frozen_staged_batches(spark, path)
+        if frozen:
+            raise RuntimeError(
+                f"frozen uncommitted append batches exist ({frozen[:3]}"
+                f"{'...' if len(frozen) > 3 else ''}); restart their "
+                f"query or run recover_staging before the {verb}"
+            )
+        info = stage_fn(tmp)
+        if info is None:  # no row matches — corpus untouched
+            return _current_manifest(spark, path, partition_by, token_col)
+        _lease_ensure(lease)  # last check before the swap becomes due
+        _fs_write_text_atomic(
+            spark, staged_flag, json.dumps(info, default=str)
+        )
+        return _apply_staged_delete(spark, path, tmp, staged_flag, info)
+    finally:
+        spark.conf.set(_INFER, prev_infer)
+
+
 def delete_from_corpus(
     spark: SparkSession,
     path: str,
@@ -1924,63 +1995,18 @@ def delete_from_corpus(
 
     from bambooai_spark.functions.text import fingerprint  # noqa: PLC0415
 
-    tmp = _join(path, DELETE_TMP)
-    staged_flag = _join(tmp, STAGED_MARKER)
-    _lease_beat(lease)
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-
-    _INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev_infer = spark.conf.get(_INFER, "true")
-    spark.conf.set(_INFER, "false")
-    try:
-        if _fs_exists(spark, staged_flag):
-            # a PREVIOUS delete froze but crashed mid-swap: finish it from
-            # its own frozen info first, then run the CALLER's predicate
-            # as a fresh delete below — returning after the resume alone
-            # would silently report success for a deletion that never ran
-            # (review r8). A crash-replay of the SAME predicate stays
-            # idempotent: the fresh pass finds its rows already gone.
-            _apply_staged_delete(
-                spark, path, tmp, staged_flag,
-                json.loads(_fs_read_text(spark, staged_flag)),
-            )
-        # a frozen COMPACTION may have left the corpus mid-swap; a fresh
-        # delete would then read missing rows into its "kept" rewrite and
-        # frozen file lists. Its own re-run resumes it.
-        cflag = _join(path, f"{COMPACT_TMP}/{STAGED_MARKER}")
-        if _fs_exists(spark, cflag):
-            raise RuntimeError(
-                f"a frozen compaction exists at {cflag}; re-run "
-                "compact_corpus to finish it before deleting"
-            )
-        # likewise a FROZEN txn append whose files may be half-moved: its
-        # replay re-renames any missing destination, which would restore
-        # originals this delete removed (resurrecting taken-down rows and
-        # duplicating their rewritten siblings). Committed batches are
-        # safe — their moves are complete and the marker replay only
-        # folds the manifest.
-        frozen = _frozen_staged_batches(spark, path)
-        if frozen:
-            raise RuntimeError(
-                f"frozen uncommitted append batches exist ({frozen[:3]}"
-                f"{'...' if len(frozen) > 3 else ''}); restart their "
-                "query or run recover_staging before deleting"
-            )
-        info = _stage_delete(
+    return _run_staged_rewrite(
+        spark, path,
+        lambda tmp: _stage_delete(
             spark, path, tmp, pred,
             partition_by=partition_by, text_col=text_col,
             token_col=token_col, fingerprint=fingerprint,
             delete_id=_uuid.uuid4().hex[:8],
-        )
-        if info is None:  # no row matches — corpus untouched
-            return _current_manifest(spark, path, partition_by, token_col)
-        _lease_ensure(lease)  # last check before the swap publishes
-        _fs_write_text_atomic(
-            spark, staged_flag, json.dumps(info, default=str)
-        )
-        return _apply_staged_delete(spark, path, tmp, staged_flag, info)
-    finally:
-        spark.conf.set(_INFER, prev_infer)
+        ),
+        partition_by=partition_by, token_col=token_col, lease=lease,
+        verb="delete",
+    )
 
 
 def update_corpus(
@@ -2031,12 +2057,22 @@ def update_corpus(
       re-baseline rather than silently replay rewritten rows.
 
     Maintenance-window contract: single writer, a concurrent reader can
-    briefly see a file's rows missing mid-swap."""
+    briefly see a file's rows missing mid-swap.
+
+    **Retry idempotence is the caller's predicate's job** (review r10):
+    a crash-then-retry of the SAME call first finishes the frozen pass,
+    then runs a fresh one — and a SELF-REFERENTIAL assignment (``text =
+    concat(marker, text)``) whose predicate still matches re-applies,
+    doubling the marker. Either make the predicate exclude
+    already-updated rows (``& ~text.startswith(marker)`` — what the
+    lifecycle model does), assign ABSOLUTE values (re-applying ``source
+    = 'takedown'`` is a no-op), or use :func:`update_corpus_from`,
+    which is naturally idempotent when the updates frame's values don't
+    derive from the current corpus state. Delete never has this problem
+    (its rerun finds the rows already gone), which is why the shared
+    resume machinery cannot absorb it."""
     import uuid as _uuid  # noqa: PLC0415
 
-    tmp = _join(path, DELETE_TMP)
-    staged_flag = _join(tmp, STAGED_MARKER)
-    _lease_beat(lease)
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     if not assignments:
         raise ValueError("update_corpus: assignments is empty")
@@ -2050,45 +2086,16 @@ def update_corpus(
             f"update_corpus: cannot assign partition columns {bad} — "
             "a partition-moving update is a delete + append"
         )
-
-    _INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev_infer = spark.conf.get(_INFER, "true")
-    spark.conf.set(_INFER, "false")
-    try:
-        if _fs_exists(spark, staged_flag):
-            # same resume-then-run rule as delete: finish the frozen
-            # predecessor from its own info, then run the caller's update
-            _apply_staged_delete(
-                spark, path, tmp, staged_flag,
-                json.loads(_fs_read_text(spark, staged_flag)),
-            )
-        cflag = _join(path, f"{COMPACT_TMP}/{STAGED_MARKER}")
-        if _fs_exists(spark, cflag):
-            raise RuntimeError(
-                f"a frozen compaction exists at {cflag}; re-run "
-                "compact_corpus to finish it before updating"
-            )
-        frozen = _frozen_staged_batches(spark, path)
-        if frozen:
-            raise RuntimeError(
-                f"frozen uncommitted append batches exist ({frozen[:3]}"
-                f"{'...' if len(frozen) > 3 else ''}); restart their "
-                "query or run recover_staging before updating"
-            )
-        info = _stage_update(
+    return _run_staged_rewrite(
+        spark, path,
+        lambda tmp: _stage_update(
             spark, path, tmp, pred, set_cols,
             partition_by=partition_by, text_col=text_col,
             token_col=token_col, update_id=_uuid.uuid4().hex[:8],
-        )
-        if info is None:  # no row matches — corpus untouched
-            return _current_manifest(spark, path, partition_by, token_col)
-        _lease_ensure(lease)  # last check before the swap publishes
-        _fs_write_text_atomic(
-            spark, staged_flag, json.dumps(info, default=str)
-        )
-        return _apply_staged_delete(spark, path, tmp, staged_flag, info)
-    finally:
-        spark.conf.set(_INFER, prev_infer)
+        ),
+        partition_by=partition_by, token_col=token_col, lease=lease,
+        verb="update",
+    )
 
 
 def update_corpus_from(
@@ -2116,16 +2123,14 @@ def update_corpus_from(
     path, that)`` — span surgery as corpus maintenance.
 
     ``updates`` must be key-unique (a duplicate key would fan the join
-    out and duplicate corpus rows — refused with one bounded count job)
-    and is read several times during staging (file list, delta, rewrite,
-    fingerprints) — it is persisted internally, so a non-deterministic
-    lineage (limit/sample) cannot feed different stages different rows.
-    Keys with no live corpus row are ignored (the join is the match)."""
+    out and duplicate corpus rows) and may have a non-deterministic
+    lineage: staging persists its narrow projection FIRST and runs the
+    uniqueness check on the persisted rows (review r10 — a raw-lineage
+    pre-check could pass on one evaluation while the staged join
+    captured a duplicate on another). Keys with no live corpus row are
+    ignored (the join is the match); an empty frame is a no-op."""
     import uuid as _uuid  # noqa: PLC0415
 
-    tmp = _join(path, DELETE_TMP)
-    staged_flag = _join(tmp, STAGED_MARKER)
-    _lease_beat(lease)
     set_cols = list(set_cols)
     if not set_cols:
         raise ValueError("update_corpus_from: set_cols is empty")
@@ -2148,56 +2153,17 @@ def update_corpus_from(
             f"update_corpus_from: updates frame lacks columns {missing} "
             f"(has {sorted(updates.columns)})"
         )
-    chk = updates.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(F.col(key_col)).alias("nd"),
-    ).collect()[0]
-    if chk["n"] != chk["nd"]:
-        raise ValueError(
-            f"update_corpus_from: duplicate {key_col!r} values in "
-            f"updates ({chk['n']} rows, {chk['nd']} distinct) — the "
-            "join would fan out and duplicate corpus rows"
-        )
-    if chk["n"] == 0:
-        return _current_manifest(spark, path, partition_by, token_col)
-
-    _INFER = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev_infer = spark.conf.get(_INFER, "true")
-    spark.conf.set(_INFER, "false")
-    try:
-        if _fs_exists(spark, staged_flag):
-            _apply_staged_delete(
-                spark, path, tmp, staged_flag,
-                json.loads(_fs_read_text(spark, staged_flag)),
-            )
-        cflag = _join(path, f"{COMPACT_TMP}/{STAGED_MARKER}")
-        if _fs_exists(spark, cflag):
-            raise RuntimeError(
-                f"a frozen compaction exists at {cflag}; re-run "
-                "compact_corpus to finish it before updating"
-            )
-        frozen = _frozen_staged_batches(spark, path)
-        if frozen:
-            raise RuntimeError(
-                f"frozen uncommitted append batches exist ({frozen[:3]}"
-                f"{'...' if len(frozen) > 3 else ''}); restart their "
-                "query or run recover_staging before updating"
-            )
-        info = _stage_update(
+    return _run_staged_rewrite(
+        spark, path,
+        lambda tmp: _stage_update(
             spark, path, tmp, None, set_cols,
             partition_by=partition_by, text_col=text_col,
             token_col=token_col, update_id=_uuid.uuid4().hex[:8],
             updates=updates, key_col=key_col,
-        )
-        if info is None:  # no key matches a live row — corpus untouched
-            return _current_manifest(spark, path, partition_by, token_col)
-        _lease_ensure(lease)  # last check before the swap publishes
-        _fs_write_text_atomic(
-            spark, staged_flag, json.dumps(info, default=str)
-        )
-        return _apply_staged_delete(spark, path, tmp, staged_flag, info)
-    finally:
-        spark.conf.set(_INFER, prev_infer)
+        ),
+        partition_by=partition_by, token_col=token_col, lease=lease,
+        verb="update",
+    )
 
 
 def _stage_update(
@@ -2250,6 +2216,13 @@ def _stage_update(
         return None  # no data files — nothing to update
     unknown = sorted(set(set_cols) - set(df.columns))
     if unknown:
+        if updates is not None:
+            raise ValueError(
+                f"update_corpus_from: assigned columns {unknown} are "
+                f"not corpus columns ({sorted(df.columns)}) — alias the "
+                f"updates frame's columns to the corpus names (e.g. "
+                f"clean_text AS text); an update never widens the schema"
+            )
         raise ValueError(
             f"update_corpus: assigned columns {unknown} are not corpus "
             f"columns ({sorted(df.columns)}) — an update never widens "
@@ -2282,6 +2255,25 @@ def _stage_update(
             F.lit(True).alias("_upd_hit"),
             *[F.col(c).alias(f"_upd_{c}") for c in set_cols],
         ).persist()
+        # uniqueness checked on the PERSISTED rows — the exact row set
+        # the join will see — so a non-deterministic updates lineage
+        # cannot pass a raw-lineage pre-check and still fan out the join
+        # (review r10); this one job also materializes the cache every
+        # later stage reuses
+        chk = u.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(key_col)).alias("nd"),
+        ).collect()[0]
+        if chk["n"] != chk["nd"]:
+            u.unpersist()
+            raise ValueError(
+                f"update_corpus_from: duplicate {key_col!r} values in "
+                f"updates ({chk['n']} rows, {chk['nd']} distinct) — the "
+                "join would fan out and duplicate corpus rows"
+            )
+        if chk["n"] == 0:  # empty updates — a no-op, corpus untouched
+            u.unpersist()
+            return None
         tagged = tagged.join(u, key_col, "left")
         hit = F.coalesce(F.col("_upd_hit"), F.lit(False))
         new_vals = {
