@@ -1067,3 +1067,44 @@ def test_pq_rebuild_recovers_requested_ksub(spark, tmp_path):
     new_meta = rebuild_vector_store(spark, path)
     assert new_meta["pq"]["ksub"] == 256  # full resolution regained
     assert new_meta["pq"]["ksub_requested"] == 256
+
+
+def test_pq_query_respects_where_filter(spark, tmp_path):
+    """Filtered ANN through the ADC stage: with use_pq the predicate
+    still applies BEFORE the shortlist, so the answer is the true top-k
+    among matching rows — never a post-filtered under-full list. Single
+    and batch paths agree with the non-PQ filtered answer exactly at
+    full refine."""
+    from bambooai_spark.operators.vector_store import (
+        query_vector_corpus_many,
+    )
+
+    path, _ = _pq_store(spark, tmp_path)
+    qv = stored_vector(spark, path, 0)
+    where = [("label", ">=", 2)]
+    want = query_vector_corpus(
+        spark, path, qv, k=5, nprobe=8, exclude_id=0, where=where
+    ).collect()
+    assert len(want) == 5
+    got = query_vector_corpus(
+        spark, path, qv, k=5, nprobe=8, exclude_id=0, where=where,
+        use_pq=True, refine=200,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # every returned row satisfies the predicate (the true-top-k side)
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(path).select("vec_id", "label").collect()
+    }
+    assert all(labels[r["vec_id"]] >= 2 for r in got)
+    # batch path, same contract
+    queries = spark.createDataFrame(
+        [(0, qv)], "qid long, qvec array<double>"
+    )
+    batch = query_vector_corpus_many(
+        spark, path, queries, k=5, nprobe=8, exclude_self=True,
+        where=where, use_pq=True, refine=200,
+    ).collect()
+    assert [(r["vec_id"], r["cosine"]) for r in batch] == [
+        (r["vec_id"], r["cosine"]) for r in want
+    ]
