@@ -4718,6 +4718,112 @@ def update_corpus_docs(spark, sf_dir):
 
 
 @spec(
+    "surgery_corpus_docs",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, lang, text,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+      FROM documents
+    ), keep AS (
+      SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f
+    ), live AS (
+      SELECT p.doc_id, p.lang, p.text
+      FROM fp p JOIN keep k ON p.doc_id = k.doc_id AND p.f = k.f
+    ),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p,
+             substr(text, CAST(i AS BIGINT), 25) AS gram
+      FROM live, LATERAL unnest(range(1, length(text) - 25 + 2)) AS t(i)
+      WHERE length(text) >= 25),
+    occ AS (SELECT doc_id, p, COUNT(*) OVER (PARTITION BY gram) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY gram
+                                      ORDER BY doc_id, p) AS rk
+            FROM pos),
+    hits AS (SELECT doc_id, p FROM occ WHERE cnt >= 2 AND rk >= 2),
+    isl AS (SELECT doc_id, p,
+                   p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                     AS grp
+            FROM hits),
+    spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + 24 AS e
+              FROM isl GROUP BY doc_id, grp),
+    segs AS (
+      SELECT doc_id,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+               AS seg_s,
+             s - 1 AS seg_e
+      FROM spans
+      UNION ALL
+      SELECT doc_id, MAX(e) + 1 AS seg_s, NULL AS seg_e
+      FROM spans GROUP BY doc_id),
+    clean AS (
+      SELECT l.doc_id,
+             STRING_AGG(
+               CASE WHEN COALESCE(seg_e, LENGTH(l.text)) >= seg_s
+                    THEN substr(l.text, seg_s,
+                                COALESCE(seg_e, LENGTH(l.text)) - seg_s + 1)
+                    ELSE '' END, '' ORDER BY seg_s) AS kept
+      FROM live l JOIN segs USING (doc_id) GROUP BY l.doc_id)
+    SELECT l.doc_id, l.lang,
+           LENGTH(COALESCE(kept, l.text)) AS clean_len,
+           md5(COALESCE(kept, l.text)) AS clean_md5
+    FROM live l LEFT JOIN clean USING (doc_id)
+    ORDER BY l.doc_id
+    """,
+    headline=True,
+    regime="lifecycle",
+    doc="The WHOLE span-surgery maintenance pipeline under the hash-exact "
+    "gate: ingest documents through append_corpus (min-id dedup), compute "
+    "the ExactSubstr keep-first cut over the LIVE corpus "
+    "(exact_substring_cut, k=25), route the changed docs through the "
+    "join-form update_corpus_from, and read the corpus back. The oracle "
+    "composes the ingest CTE (delete_corpus_docs) with the cut CTEs "
+    "(exact_cut_docs) over the live set and compares md5 of every stored "
+    "text — ingest, global dedup computation, AND the transactional "
+    "in-place rewrite replay byte-exact end-to-end. Queued for the r11 "
+    "graded-window rotation (the r10 window already absorbed seven new "
+    "specs); full-sweep oracled and lifecycle-benched meanwhile.",
+)
+def surgery_corpus_docs(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.operators.dedup import (  # noqa: PLC0415
+        exact_substring_cut,
+    )
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        append_corpus,
+        read_corpus,
+        update_corpus_from,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="bbai_surgery_spec_"), "corpus"
+    )
+    append_corpus(
+        d, out, partition_by=("lang",), max_records_per_file=100
+    )
+    live = read_corpus(spark, out)
+    cut = exact_substring_cut(
+        live, "doc_id", "text", k=25, keep_first=True
+    )
+    changed = cut.filter(
+        F.col("clean_text") != F.col("text")
+    ).select("doc_id", F.col("clean_text").alias("text"))
+    update_corpus_from(spark, out, changed)
+    return (
+        spark.read.parquet(out)
+        .select(
+            "doc_id",
+            "lang",
+            F.length("text").cast("long").alias("clean_len"),
+            F.md5(F.col("text").cast("binary")).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@spec(
     "refresh_vector_embeddings",
     f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
