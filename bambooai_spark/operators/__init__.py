@@ -10,8 +10,11 @@ tables.
 
 from bambooai_spark.operators.dedup import (
     exact_dedup,
+    contamination_cut,
+    contamination_spans,
     exact_substring_cut,
     exact_substring_spans,
+    splice_spans,
     hamming_near_dup,
     jaccard_near_dup,
     minhash_signatures,
@@ -92,6 +95,9 @@ __all__ = [
     "exact_dedup",
     "exact_substring_spans",
     "exact_substring_cut",
+    "contamination_spans",
+    "contamination_cut",
+    "splice_spans",
     "knn_pq",
     "pq_encode",
     "train_pq_codebooks",

@@ -1415,6 +1415,23 @@ def exact_substring_cut(
     spans = exact_substring_spans(
         df, id_col, text_col, k=k, min_count=min_count, keep_first=keep_first
     )
+    return splice_spans(df, id_col, text_col, spans, out=out)
+
+
+def splice_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    spans: DataFrame,
+    *,
+    out: str = "clean_text",
+) -> DataFrame:
+    """Cut a span inventory (``id_col, span_start, span_end`` — 1-based
+    inclusive, non-overlapping per doc) out of the text: the shared
+    surgery behind :func:`exact_substring_cut` and
+    :func:`contamination_cut`. One JVM-side ``aggregate`` over each
+    doc's sorted span array (state = ``(kept-so-far, cursor)``); docs
+    with no spans pass through byte-identical."""
     per_doc = spans.groupBy(id_col).agg(
         F.array_sort(
             F.collect_list(F.struct("span_start", "span_end"))
@@ -1452,3 +1469,98 @@ def exact_substring_cut(
         )
         .drop("_spans")
     )
+
+
+def contamination_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str = "text",
+    *,
+    k: int = 25,
+    min_len: int | None = None,
+) -> DataFrame:
+    """Benchmark decontamination at exact-span grain — the strong form
+    of the n-gram overlap screens LLM training reports run before
+    training: every maximal span of corpus text whose every character
+    ``k``-gram appears VERBATIM somewhere in the benchmark set. Returns
+    ``(id_col, span_start, span_end, span_len)``; feed it to
+    :func:`contamination_cut` (or ``update_corpus_from`` via the spliced
+    text) to scrub the corpus, or threshold ``sum(span_len)/length`` as
+    a drop rule.
+
+    Relation to :func:`contamination_check`: that operator scores
+    word-shingle OVERLAP fractions (a detection signal); this one
+    returns exact character extents (a surgical inventory), sharing the
+    ExactSubstr islands machinery instead of the shingle index.
+
+    100 TB story: benchmarks are small by construction, so their
+    distinct gram set broadcasts — the corpus-side postings stream
+    through a broadcast semi-join with NO shuffle of corpus data at
+    all; only the hit positions (bounded by true contamination) reach
+    the per-doc islands window. The corpus text column itself never
+    leaves the scan."""
+    if k < 2:
+        raise ValueError("contamination_spans: k must be >= 2")
+    lo = k if min_len is None else min_len
+    bt = F.col(bench_text_col)
+    bench_grams = (
+        benchmark.filter(F.length(bt) >= k)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(bt) - (k - 1)),
+                    lambda i: F.substring(bt, i, k),
+                )
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    t = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (k - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("p"), F.substring(t, i, k).alias("gram")
+        ),
+    )
+    pos = (
+        df.filter(F.length(t) >= k)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, F.col("g.p").alias("p"), F.col("g.gram").alias("gram"))
+    )
+    hits = pos.join(F.broadcast(bench_grams), "gram", "left_semi")
+    iw = Window.partitionBy(id_col).orderBy("p")
+    isl = hits.select(
+        id_col, "p", (F.col("p") - F.row_number().over(iw)).alias("_grp")
+    )
+    return (
+        isl.groupBy(id_col, "_grp")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(k - 1)).alias("span_end"),
+            (F.max("p") + F.lit(k) - F.min("p")).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= lo)
+        .drop("_grp")
+    )
+
+
+def contamination_cut(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str = "text",
+    *,
+    k: int = 25,
+    out: str = "clean_text",
+) -> DataFrame:
+    """Scrub benchmark-contaminated spans out of the corpus text:
+    :func:`contamination_spans` + the shared :func:`splice_spans`
+    surgery. Returns ``df`` plus ``out``; uncontaminated documents pass
+    through byte-identical."""
+    spans = contamination_spans(
+        df, id_col, text_col, benchmark, bench_text_col, k=k
+    )
+    return splice_spans(df, id_col, text_col, spans, out=out)

@@ -2913,6 +2913,55 @@ def exact_spans_docs(spark, sf_dir):
 
 
 @spec(
+    "contamination_spans_docs",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT substr(text, CAST(i AS BIGINT), 25) AS gram
+      FROM documents, LATERAL unnest(range(1, length(text) - 25 + 2)) AS t(i)
+      WHERE doc_id % 17 = 0 AND length(text) >= 25
+    ),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p,
+             substr(text, CAST(i AS BIGINT), 25) AS gram
+      FROM documents, LATERAL unnest(range(1, length(text) - 25 + 2)) AS t(i)
+      WHERE doc_id % 17 <> 0 AND length(text) >= 25
+    ),
+    hits AS (SELECT p.doc_id, p.p FROM pos p
+             WHERE EXISTS (SELECT 1 FROM bench b WHERE b.gram = p.gram)),
+    isl AS (SELECT doc_id, p,
+                   p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                     AS grp
+            FROM hits)
+    SELECT doc_id, MIN(p) AS span_start, MAX(p) + 24 AS span_end,
+           MAX(p) + 25 - MIN(p) AS span_len
+    FROM isl GROUP BY doc_id, grp
+    ORDER BY doc_id, span_start
+    """,
+    headline=True,
+    doc="Benchmark decontamination at exact-span grain (the strong form "
+    "of pre-training n-gram overlap screens): every maximal span of a "
+    "scanned doc whose every 25-gram appears verbatim in the benchmark "
+    "set (here: every 17th document). The benchmark's distinct gram set "
+    "BROADCASTS (benchmarks are small by construction), so the corpus "
+    "postings stream through a broadcast semi-join with no shuffle of "
+    "corpus data; only true hits reach the per-doc islands window. "
+    "Queued for the r11 graded-window rotation alongside "
+    "surgery_corpus_docs. operators/dedup.py contamination_spans.",
+)
+def contamination_spans_docs(spark, sf_dir):
+    from bambooai_spark.operators.dedup import (  # noqa: PLC0415
+        contamination_spans,
+    )
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    bench = d.filter(F.col("doc_id") % 17 == 0).select("text")
+    scanned = d.filter(F.col("doc_id") % 17 != 0)
+    return contamination_spans(
+        scanned, "doc_id", "text", bench, k=25
+    ).orderBy("doc_id", "span_start")
+
+
+@spec(
     "exact_cut_docs",
     f"""
     WITH pos AS ({_XSUB_POS}),

@@ -702,3 +702,77 @@ def exact_substring_spans_import():
     from bambooai_spark.operators.dedup import exact_substring_spans
 
     return exact_substring_spans
+
+
+# ---------------------------------------------------------------------
+# Benchmark decontamination at exact-span grain
+# ---------------------------------------------------------------------
+
+def _py_contamination(texts, bench_texts, k):
+    bench = set()
+    for b in bench_texts:
+        for p in range(len(b) - k + 1):
+            bench.add(b[p : p + k])
+    out = []
+    for i, t in enumerate(texts):
+        run = []
+        for p in range(len(t) - k + 1):
+            if t[p : p + k] in bench:
+                if run and p + 1 == run[-1] + 1:
+                    run.append(p + 1)
+                else:
+                    if run:
+                        out.append((i, run[0], run[-1] + k - 1))
+                    run = [p + 1]
+        if run:
+            out.append((i, run[0], run[-1] + k - 1))
+    return sorted(out)
+
+
+def test_contamination_spans_matches_reference(spark):
+    from bambooai_spark.operators.dedup import contamination_spans
+
+    bench_texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a completely different benchmark passage of text here",
+    ]
+    texts = [
+        "prefix the quick brown fox jumps over the lazy dog suffix",
+        "no overlap with anything in the held-out set at all zz",
+        "benchmark passage of text here appears verbatim inside",
+        "short",
+    ]
+    bench = spark.createDataFrame(
+        [(t,) for t in bench_texts], "text string"
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in contamination_spans(
+            _spans_df(spark, texts), "doc_id", "text", bench, k=12
+        ).collect()
+    )
+    assert got == _py_contamination(texts, bench_texts, 12)
+    # the contaminated doc's span is real and the clean doc has none
+    assert any(d == 0 for d, *_ in got)
+    assert not any(d == 1 for d, *_ in got)
+
+
+def test_contamination_cut_scrubs_only_contaminated(spark):
+    from bambooai_spark.operators.dedup import contamination_cut
+
+    bench = spark.createDataFrame(
+        [("SECRET BENCHMARK ANSWER KEY SEGMENT",)], "text string"
+    )
+    texts = [
+        "clean document with nothing to hide whatsoever here",
+        "leak ahead SECRET BENCHMARK ANSWER KEY SEGMENT trail",
+    ]
+    got = {
+        r.doc_id: r.clean_text
+        for r in contamination_cut(
+            _spans_df(spark, texts), "doc_id", "text", bench, k=12
+        ).collect()
+    }
+    assert got[0] == texts[0]  # untouched doc byte-identical
+    assert "SECRET" not in got[1] and "ANSWER" not in got[1]
+    assert got[1].startswith("leak ahead") and got[1].endswith("trail")
