@@ -11,6 +11,7 @@ tables.
 from bambooai_spark.operators.dedup import (
     exact_dedup,
     contamination_cut,
+    contamination_fraction,
     contamination_spans,
     exact_substring_cut,
     exact_substring_spans,
@@ -97,6 +98,7 @@ __all__ = [
     "exact_substring_cut",
     "contamination_spans",
     "contamination_cut",
+    "contamination_fraction",
     "splice_spans",
     "knn_pq",
     "pq_encode",

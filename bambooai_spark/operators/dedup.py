@@ -1564,3 +1564,47 @@ def contamination_cut(
         df, id_col, text_col, benchmark, bench_text_col, k=k
     )
     return splice_spans(df, id_col, text_col, spans, out=out)
+
+
+def contamination_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str = "text",
+    *,
+    k: int = 25,
+) -> DataFrame:
+    """The drop-rule signal: per document, the fraction of characters
+    covered by benchmark-contaminated spans (:func:`contamination_spans`
+    are non-overlapping maximal islands, so their lengths sum without
+    double-counting). Returns every input doc as ``(id_col, n_chars,
+    contaminated_chars, contaminated_frac)`` — uncontaminated docs at
+    0.0 — ready for ``filter(contaminated_frac < threshold)`` or a
+    stratified report by source."""
+    spans = contamination_spans(
+        df, id_col, text_col, benchmark, bench_text_col, k=k
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_len").alias("contaminated_chars")
+    )
+    return (
+        df.select(id_col, F.length(text_col).cast("long").alias("n_chars"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_chars",
+            F.coalesce(F.col("contaminated_chars"), F.lit(0))
+            .cast("long")
+            .alias("contaminated_chars"),
+            F.round(
+                (
+                    F.coalesce(F.col("contaminated_chars"), F.lit(0))
+                    / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+                ).cast("decimal(18,9)"),
+                6,
+            )
+            .cast("double")
+            .alias("contaminated_frac"),
+        )
+    )

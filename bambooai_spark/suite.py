@@ -2962,6 +2962,64 @@ def contamination_spans_docs(spark, sf_dir):
 
 
 @spec(
+    "contamination_fraction_docs",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT substr(text, CAST(i AS BIGINT), 25) AS gram
+      FROM documents, LATERAL unnest(range(1, length(text) - 25 + 2)) AS t(i)
+      WHERE doc_id % 17 = 0 AND length(text) >= 25
+    ),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p,
+             substr(text, CAST(i AS BIGINT), 25) AS gram
+      FROM documents, LATERAL unnest(range(1, length(text) - 25 + 2)) AS t(i)
+      WHERE doc_id % 17 <> 0 AND length(text) >= 25
+    ),
+    hits AS (SELECT p.doc_id, p.p FROM pos p
+             WHERE EXISTS (SELECT 1 FROM bench b WHERE b.gram = p.gram)),
+    isl AS (SELECT doc_id, p,
+                   p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                     AS grp
+            FROM hits),
+    spans AS (SELECT doc_id, MAX(p) + 25 - MIN(p) AS span_len
+              FROM isl GROUP BY doc_id, grp),
+    per AS (SELECT doc_id, SUM(span_len) AS c FROM spans GROUP BY doc_id)
+    SELECT d.doc_id, LENGTH(d.text) AS n_chars,
+           CAST(COALESCE(per.c, 0) AS BIGINT) AS contaminated_chars,
+           CAST(ROUND(CAST(COALESCE(per.c, 0)
+                / CAST(GREATEST(LENGTH(d.text), 1) AS DOUBLE)
+                AS DECIMAL(18,9)), 6) AS DOUBLE) AS contaminated_frac
+    FROM documents d LEFT JOIN per USING (doc_id)
+    WHERE d.doc_id % 17 <> 0
+    ORDER BY d.doc_id
+    """,
+    # graded-oracle only, not headline-benched: its plan is the spans
+    # spec's plan plus one trivial groupBy, and the 73rd headline row
+    # pushed the per-query minima dict itself past the driver's
+    # 2000-char capture (the progressive trim would have dropped
+    # 'queries' — worse than one redundant bench row)
+    doc="The decontamination DROP-RULE signal: per scanned document, the "
+    "fraction of characters covered by benchmark-contaminated spans "
+    "(non-overlapping maximal islands, so lengths sum without double "
+    "counting; uncontaminated docs report 0.0). Same broadcast semi-join "
+    "plan as contamination_spans_docs plus one map-side-partial groupBy. "
+    "Queued for the r11 rotation. operators/dedup.py "
+    "contamination_fraction.",
+)
+def contamination_fraction_docs(spark, sf_dir):
+    from bambooai_spark.operators.dedup import (  # noqa: PLC0415
+        contamination_fraction,
+    )
+
+    d = _spread(_t(spark, sf_dir, "documents"))
+    bench = d.filter(F.col("doc_id") % 17 == 0).select("text")
+    scanned = d.filter(F.col("doc_id") % 17 != 0)
+    return contamination_fraction(
+        scanned, "doc_id", "text", bench, k=25
+    ).orderBy("doc_id")
+
+
+@spec(
     "exact_cut_docs",
     f"""
     WITH pos AS ({_XSUB_POS}),

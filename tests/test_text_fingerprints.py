@@ -776,3 +776,30 @@ def test_contamination_cut_scrubs_only_contaminated(spark):
     assert got[0] == texts[0]  # untouched doc byte-identical
     assert "SECRET" not in got[1] and "ANSWER" not in got[1]
     assert got[1].startswith("leak ahead") and got[1].endswith("trail")
+
+
+def test_contamination_fraction(spark):
+    from bambooai_spark.operators.dedup import contamination_fraction
+
+    bench = spark.createDataFrame(
+        [("SECRET BENCHMARK ANSWER KEY SEGMENT",)], "text string"
+    )
+    texts = [
+        "clean document with nothing to hide whatsoever here",
+        "leak ahead SECRET BENCHMARK ANSWER KEY SEGMENT trail",
+        "SECRET BENCHMARK ANSWER KEY SEGMENT",  # fully contaminated
+    ]
+    rows = {
+        r.doc_id: r
+        for r in contamination_fraction(
+            _spans_df(spark, texts), "doc_id", "text", bench, k=12
+        ).collect()
+    }
+    assert len(rows) == 3  # every input doc reported
+    assert rows[0].contaminated_chars == 0
+    assert rows[0].contaminated_frac == 0.0
+    assert 0.0 < rows[1].contaminated_frac < 1.0
+    assert rows[2].contaminated_frac == 1.0
+    for r in rows.values():
+        assert r.n_chars == len(texts[r.doc_id])
+        assert r.contaminated_chars <= r.n_chars
