@@ -9,6 +9,7 @@ tables.
 """
 
 from bambooai_spark.operators.dedup import (
+    benchmark_grams,
     exact_dedup,
     contamination_cut,
     contamination_fraction,
@@ -97,6 +98,7 @@ __all__ = [
     "exact_substring_spans",
     "exact_substring_cut",
     "contamination_spans",
+    "benchmark_grams",
     "contamination_cut",
     "contamination_fraction",
     "splice_spans",

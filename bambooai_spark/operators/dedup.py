@@ -1471,15 +1471,40 @@ def splice_spans(
     )
 
 
+def benchmark_grams(
+    benchmark: DataFrame, bench_text_col: str = "text", *, k: int = 25
+) -> DataFrame:
+    """The benchmark's distinct character k-gram relation (one ``gram``
+    column) — the broadcast side of :func:`contamination_spans`. Derive
+    it ONCE and persist when screening repeatedly (a streaming ingest
+    gate screens every micro-batch against the same benchmark; re-
+    deriving the grams per batch would re-scan the benchmark each time).
+    """
+    bt = F.col(bench_text_col)
+    return (
+        benchmark.filter(F.length(bt) >= k)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(bt) - (k - 1)),
+                    lambda i: F.substring(bt, i, k),
+                )
+            ).alias("gram")
+        )
+        .distinct()
+    )
+
+
 def contamination_spans(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None = None,
     bench_text_col: str = "text",
     *,
     k: int = 25,
     min_len: int | None = None,
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination at exact-span grain — the strong form
     of the n-gram overlap screens LLM training reports run before
@@ -1500,23 +1525,21 @@ def contamination_spans(
     through a broadcast semi-join with NO shuffle of corpus data at
     all; only the hit positions (bounded by true contamination) reach
     the per-doc islands window. The corpus text column itself never
-    leaves the scan."""
+    leaves the scan.
+
+    ``bench_grams`` — a precomputed :func:`benchmark_grams` relation
+    (pass a PERSISTED one when screening repeatedly, e.g. the streaming
+    ingest gate); when given, ``benchmark`` is ignored and its k must
+    match this call's ``k`` (the caller derived it)."""
     if k < 2:
         raise ValueError("contamination_spans: k must be >= 2")
+    if bench_grams is None:
+        if benchmark is None:
+            raise ValueError(
+                "contamination_spans: pass benchmark= or bench_grams="
+            )
+        bench_grams = benchmark_grams(benchmark, bench_text_col, k=k)
     lo = k if min_len is None else min_len
-    bt = F.col(bench_text_col)
-    bench_grams = (
-        benchmark.filter(F.length(bt) >= k)
-        .select(
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(bt) - (k - 1)),
-                    lambda i: F.substring(bt, i, k),
-                )
-            ).alias("gram")
-        )
-        .distinct()
-    )
     t = F.col(text_col)
     grams = F.transform(
         F.sequence(F.lit(1), F.length(t) - (k - 1)),
@@ -1550,18 +1573,21 @@ def contamination_cut(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None = None,
     bench_text_col: str = "text",
     *,
     k: int = 25,
     out: str = "clean_text",
+    bench_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Scrub benchmark-contaminated spans out of the corpus text:
     :func:`contamination_spans` + the shared :func:`splice_spans`
     surgery. Returns ``df`` plus ``out``; uncontaminated documents pass
-    through byte-identical."""
+    through byte-identical. ``bench_grams`` as in
+    :func:`contamination_spans`."""
     spans = contamination_spans(
-        df, id_col, text_col, benchmark, bench_text_col, k=k
+        df, id_col, text_col, benchmark, bench_text_col, k=k,
+        bench_grams=bench_grams,
     )
     return splice_spans(df, id_col, text_col, spans, out=out)
 

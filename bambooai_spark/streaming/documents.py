@@ -161,9 +161,24 @@ def stream_ingest_to_corpus(
     lease=None,
     near_dup_threshold: float | None = None,
     near_dup_opts: dict | None = None,
+    benchmark: DataFrame | None = None,
+    bench_text_col: str = "text",
+    decontaminate_k: int = 25,
 ):
     """The COMPLETE streaming pipeline in one sink:
-    ingest → quality gate → PII scrub → exact dedup → curated corpus.
+    ingest → [benchmark decontamination] → quality gate → PII scrub →
+    exact dedup → curated corpus.
+
+    ``benchmark`` — a (small, static) benchmark table: each micro-batch
+    is screened through :func:`~bambooai_spark.operators.dedup
+    .contamination_cut` BEFORE the quality gate, so benchmark-verbatim
+    spans never enter the corpus and the stored fingerprint/token
+    columns describe the text that was actually kept. The benchmark's
+    distinct ``decontaminate_k``-gram relation is derived ONCE and
+    persisted for the life of the query (screening is then one
+    broadcast semi-join per batch — no per-batch benchmark re-scan);
+    with ``available_now=True`` it is unpersisted on return, a
+    continuous query keeps it cached until the session releases it.
 
     ``foreachBatch`` hands each micro-batch over as a normal DataFrame;
     the batch runs the stateless ingest projection, drops gated-out
@@ -221,6 +236,15 @@ def stream_ingest_to_corpus(
     checkpoint_location = checkpoint_location or None
     session = docs_stream.sparkSession
     holder: dict = {"manifest": None}
+    grams = None
+    if benchmark is not None:
+        from bambooai_spark.operators.dedup import (  # noqa: PLC0415
+            benchmark_grams,
+        )
+
+        grams = benchmark_grams(
+            benchmark, bench_text_col, k=decontaminate_k
+        ).persist()
 
     def _ns() -> str:
         # resolved lazily, on the first batch: the checkpoint's metadata
@@ -231,6 +255,22 @@ def stream_ingest_to_corpus(
         return holder["ns"]
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
+        if grams is not None:
+            # decontaminate BEFORE the ingest projection: the gate,
+            # scrub, fingerprint, and token count must all describe the
+            # text that is actually stored, not the pre-cut original
+            from bambooai_spark.operators.dedup import (  # noqa: PLC0415
+                contamination_cut,
+            )
+
+            batch_df = (
+                contamination_cut(
+                    batch_df, "doc_id", "text",
+                    k=decontaminate_k, bench_grams=grams,
+                )
+                .withColumn("text", F.col("clean_text"))
+                .drop("clean_text")
+            )
         ingested = (
             ingest_documents(batch_df)
             .filter(F.col("keep"))
@@ -265,7 +305,13 @@ def stream_ingest_to_corpus(
     if checkpoint_location:
         writer = writer.option("checkpointLocation", checkpoint_location)
     if not available_now:
+        # continuous query: the gram cache must outlive this call — the
+        # caller tears it down with the query (documented above)
         return writer.start()
     q = writer.trigger(availableNow=True).start()
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    finally:
+        if grams is not None:
+            grams.unpersist()
     return holder["manifest"]

@@ -388,3 +388,82 @@ def test_stream_enrich_matches_batch(spark):
     w = {(r.event_id, r.type_label) for r in want.collect()}
     assert g == w and len(g) > 0
     assert any(lbl is None for _, lbl in g)  # unmatched rows passed through
+
+
+def test_stream_ingest_decontaminates_against_benchmark(spark, tmp_path):
+    """The streaming ingest gate with a benchmark: benchmark-verbatim
+    spans are cut from every micro-batch BEFORE the quality gate, so the
+    stored text, fingerprint, and token count all describe the kept
+    text; uncontaminated documents and the batch-path twin
+    (contamination_cut + ingest_documents) agree exactly."""
+    import hashlib
+
+    from bambooai_spark.operators.dedup import contamination_cut
+    from bambooai_spark.streaming.documents import (
+        ingest_documents,
+        stream_ingest_to_corpus,
+    )
+
+    boiler = (
+        "THE HELD OUT BENCHMARK QUESTION AND ITS ANSWER TEXT APPEARS "
+        "HERE VERBATIM AS A CONTIGUOUS BLOCK "
+    )
+
+    def body(i):
+        # hash tokens interleaved with stopwords: unique from the first
+        # character (so only the boiler region is contaminated) while
+        # still passing the ingest gate's common-word check
+        return " the ".join(
+            hashlib.md5(f"s-{i}-{t}".encode()).hexdigest()[:8]
+            for t in range(14)
+        ) + " and it is of a document"
+
+    rows = [
+        # docs 0-3 leak the benchmark block; 4-7 are clean
+        (i, "en", "web", (boiler if i < 4 else "") + body(i))
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    bench = spark.createDataFrame([(boiler,)], "text string")
+
+    src = str(tmp_path / "parts")
+    docs.filter("doc_id < 4").coalesce(1).write.parquet(src)
+    docs.filter("doc_id >= 4").coalesce(1).write.mode("append").parquet(src)
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "corpus")
+    manifest = stream_ingest_to_corpus(sdf, out, benchmark=bench)
+    assert manifest is not None
+
+    stored = spark.read.parquet(out)
+    got = {r["doc_id"]: r for r in stored.collect()}
+    assert len(got) == 8
+    for i in range(8):
+        assert boiler not in got[i]["text"] or i >= 4
+        assert body(i)[9:] in got[i]["text"]  # bodies intact
+    # no stored text contains the benchmark block at all
+    assert stored.filter(
+        F.col("text").contains("BENCHMARK QUESTION")
+    ).count() == 0
+    # batch-path twin: cut-then-ingest over the full input produces the
+    # same stored text + fingerprint + token count per doc
+    want = {
+        r["doc_id"]: r
+        for r in ingest_documents(
+            contamination_cut(docs, "doc_id", "text", bench, k=25)
+            .withColumn("text", F.col("clean_text"))
+            .drop("clean_text")
+        )
+        .filter(F.col("keep"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i]["text"] == want[i]["text"], i
+        assert got[i]["fp"] == want[i]["fp"], i
+        assert got[i]["n_words"] == want[i]["n_words"], i

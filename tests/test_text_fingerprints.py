@@ -803,3 +803,34 @@ def test_contamination_fraction(spark):
     for r in rows.values():
         assert r.n_chars == len(texts[r.doc_id])
         assert r.contaminated_chars <= r.n_chars
+
+
+def test_contamination_spans_property(spark):
+    """Randomized parity with the Python reference over a tiny alphabet
+    (dense accidental overlap — the islands-merge worst case), including
+    benchmark texts shorter than k and empty scan docs."""
+    import random
+
+    from bambooai_spark.operators.dedup import contamination_spans
+
+    rng = random.Random(7)
+    alphabet = "ab "
+    for trial in range(4):
+        bench_texts = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+            for _ in range(3)
+        ]
+        texts = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 50)))
+            for _ in range(6)
+        ]
+        bench = spark.createDataFrame(
+            [(t,) for t in bench_texts], "text string"
+        )
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_end)
+            for r in contamination_spans(
+                _spans_df(spark, texts), "doc_id", "text", bench, k=5
+            ).collect()
+        )
+        assert got == _py_contamination(texts, bench_texts, 5), trial
