@@ -1316,18 +1316,22 @@ def exact_substring_spans(
     ``keep_first=True`` exempts each gram's first occurrence (ordered by
     ``(id, pos)``) so the earliest copy of a duplicated region survives a
     downstream cut — the paper's "all but one" policy at gram grain. The
-    first-occurrence rank comes from the same shuffle that counts the
-    gram (one window over the gram key), so the policy costs no extra
-    exchange.
+    first occurrence is ``min(struct(id, pos))`` from the SAME groupBy
+    that counts the gram, so the policy costs no extra exchange.
 
     100 TB story: the text column never shuffles — only ``(id, pos,
     k-byte gram)`` postings, the same O(total chars) row class the
-    tokenizer already pays. The groupBy key is the gram itself (fixed
-    ``k`` bytes, narrower than an md5 hex digest and oracle-portable);
-    frequency skew concentrates exactly on true boilerplate, which AQE's
-    skew-join split handles on the probe side. The islands window
-    partitions by document, so its state is bounded by the longest
-    document, not the corpus.
+    tokenizer already pays. Per-gram stats come from a real
+    ``groupBy("gram")`` — ``count(*)`` plus (for ``keep_first``)
+    ``min(struct(id, pos))`` — so map-side partial aggregation collapses
+    each partition's postings for a corpus-wide boilerplate gram to ONE
+    row before the exchange: the hot key never funnels its full posting
+    list into a single task's sort (a window over the gram key would).
+    Postings then join back to the duplicated-gram relation on ``gram``
+    — an equi-join AQE can both broadcast (the duplicated-gram side is
+    usually tiny) and skew-split at runtime, unlike a window exchange.
+    The islands window partitions by document, so its state is bounded
+    by the longest document, not the corpus.
     """
     if k < 2:
         raise ValueError("exact_substring_spans: k must be >= 2")
@@ -1346,33 +1350,42 @@ def exact_substring_spans(
         .select(F.col(id_col), F.explode(grams).alias("g"))
         .select(id_col, F.col("g.p").alias("p"), F.col("g.gram").alias("gram"))
     )
-    # ONE window pass over the gram key, not two: without keep_first only
-    # the frequency matters (unordered count), and with keep_first at the
-    # default min_count=2 a rank >= 2 already implies duplication, so the
-    # ordered row_number alone decides — a second count window (= a second
-    # sort of every posting) is only paid when min_count > 2 forces both.
-    w = Window.partitionBy("gram")
+    # Per-gram stats via groupBy, NOT a window over the gram key: a
+    # window gets no map-side partial aggregation, so a boilerplate gram
+    # present in every doc would pull its entire posting list into one
+    # task's sort. The groupBy pre-aggregates per partition (one row per
+    # gram per map task crosses the exchange) and the join-back is an
+    # equi-join AQE can broadcast or skew-split at runtime.
     if keep_first:
-        occ = pos.select(
-            id_col,
-            "p",
-            F.row_number()
-            .over(w.orderBy(F.col(id_col), F.col("p")))
-            .alias("_rk"),
-            *(
-                [F.count(F.lit(1)).over(w).alias("_cnt")]
-                if min_count > 2
-                else []
-            ),
+        dup = (
+            pos.groupBy("gram")
+            .agg(
+                F.count(F.lit(1)).alias("_cnt"),
+                F.min(
+                    F.struct(F.col(id_col).alias("i"), F.col("p").alias("p"))
+                ).alias("_first"),
+            )
+            .filter(F.col("_cnt") >= min_count)
+            .select("gram", "_first")
         )
-        hits = occ.filter(F.col("_rk") >= 2)
-        if min_count > 2:
-            hits = hits.filter(F.col("_cnt") >= min_count)
+        hits = (
+            pos.join(dup, "gram")
+            .filter(
+                ~(
+                    (F.col(id_col) == F.col("_first.i"))
+                    & (F.col("p") == F.col("_first.p"))
+                )
+            )
+            .select(id_col, "p")
+        )
     else:
-        occ = pos.select(
-            id_col, "p", F.count(F.lit(1)).over(w).alias("_cnt")
+        dup = (
+            pos.groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+            .filter(F.col("_cnt") >= min_count)
+            .select("gram")
         )
-        hits = occ.filter(F.col("_cnt") >= min_count)
+        hits = pos.join(dup, "gram", "left_semi")
     iw = Window.partitionBy(id_col).orderBy("p")
     isl = hits.select(
         id_col, "p", (F.col("p") - F.row_number().over(iw)).alias("_grp")

@@ -834,3 +834,70 @@ def test_contamination_spans_property(spark):
             ).collect()
         )
         assert got == _py_contamination(texts, bench_texts, 5), trial
+
+
+def test_exact_substring_gram_pass_is_groupby_not_window(spark):
+    """Scale contract: per-gram stats come from a hash aggregate (map-side
+    partials), never a window over the gram key — a window would sort a
+    boilerplate gram's full posting list in one task. The only Window in
+    the plan is the per-document islands pass."""
+    from bambooai_spark.operators.dedup import exact_substring_spans
+
+    for keep_first in (False, True):
+        df = exact_substring_spans(
+            _spans_df(spark, XSUB_TEXTS),
+            "doc_id",
+            "text",
+            k=8,
+            keep_first=keep_first,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # every windowspecdefinition partitions by doc_id, never by gram
+        for line in plan.splitlines():
+            if "windowspecdefinition" in line:
+                assert "gram" not in line, line
+                assert "doc_id" in line, line
+        # the gram pass shows up as a partial aggregate keyed on gram
+        # (HashAggregate without keep_first; SortAggregate/
+        # ObjectHashAggregate when min(struct) forces the fallback —
+        # all three run map-side partials, which is the contract)
+        assert "partial_count" in plan, plan
+        agg_lines = [
+            ln
+            for ln in plan.splitlines()
+            if "Aggregate" in ln and "gram" in ln and "partial_" in ln
+        ]
+        assert agg_lines, plan
+
+
+def test_exact_substring_one_hot_gram_stress(spark):
+    """Adversarial skew: one 25+-char block present in EVERY document.
+    With the groupBy plan the hot gram crosses the exchange as one row
+    per map partition; the operator must finish and report exactly one
+    maximal span per doc (all but the first copy under keep_first)."""
+    from bambooai_spark.operators.dedup import exact_substring_cut
+
+    import hashlib
+
+    boiler = "LICENSE-HEADER abcdefghijklmnopqrstuvwxyz0123 END-OF-HEADER"
+    n = 2000
+    pre = [hashlib.md5(f"p{i}".encode()).hexdigest() for i in range(n)]
+    tail = [hashlib.md5(f"t{i}".encode()).hexdigest() for i in range(n)]
+    texts = [f"{pre[i]} {boiler} {tail[i]}" for i in range(n)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).repartition(32)
+    out = exact_substring_cut(df, "doc_id", "text", k=25, keep_first=True)
+    rows = {r.doc_id: r.clean_text for r in out.collect()}
+    assert len(rows) == n
+    # doc 0 owns every duplicated gram's first occurrence (same positions
+    # in every doc, so min(struct(id, p)) is always doc 0): intact
+    assert rows[0] == texts[0]
+    # every other doc loses the shared " boiler " block in ONE contiguous
+    # cut that may extend <= k-1 chars into an affix when digest boundary
+    # chars coincide across docs; the affix cores always survive
+    for i in range(1, n):
+        assert boiler not in rows[i], i
+        assert rows[i].startswith(pre[i][:8]), i
+        assert rows[i].endswith(tail[i][-8:]), i
+        assert len(rows[i]) <= len(pre[i]) + len(tail[i]), i
