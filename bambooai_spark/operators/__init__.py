@@ -87,6 +87,7 @@ from bambooai_spark.operators.writer import (
     read_corpus,
     read_corpus_changes,
     recover_staging,
+    merge_corpus,
     update_corpus,
     update_corpus_from,
     validate_corpus,
@@ -124,6 +125,7 @@ __all__ = [
     "bloom_config",
     "explain_pruning",
     "read_corpus_changes",
+    "merge_corpus",
     "update_corpus",
     "update_corpus_from",
     "latest_committed_batch",

