@@ -2993,11 +2993,10 @@ def contamination_spans_docs(spark, sf_dir):
     WHERE d.doc_id % 17 <> 0
     ORDER BY d.doc_id
     """,
-    # graded-oracle only, not headline-benched: its plan is the spans
-    # spec's plan plus one trivial groupBy, and the 73rd headline row
-    # pushed the per-query minima dict itself past the driver's
-    # 2000-char capture (the progressive trim would have dropped
-    # 'queries' — worse than one redundant bench row)
+    # headline again since r11: the slim stdout protocol moved per-query
+    # minima to the committed sidecar, so a bench row no longer competes
+    # with the driver's 2000-char capture window
+    headline=True,
     doc="The decontamination DROP-RULE signal: per scanned document, the "
     "fraction of characters covered by benchmark-contaminated spans "
     "(non-overlapping maximal islands, so lengths sum without double "
@@ -4825,6 +4824,109 @@ def update_corpus_docs(spark, sf_dir):
 
 
 @spec(
+    "merge_corpus_docs",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, lang, source, text,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+      FROM documents
+    ), keep AS (
+      SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f
+    ), live AS (
+      SELECT p.doc_id, p.lang, p.source, p.text
+      FROM fp p JOIN keep k ON p.doc_id = k.doc_id AND p.f = k.f
+    ),
+    u AS (
+      SELECT doc_id, lang, 'crawl2' AS source,
+             'REFRESH ' || substr(text, 1, 50) AS text
+      FROM live WHERE doc_id % 7 = 3
+    ),
+    ins_raw AS (
+      SELECT doc_id + 1000000 AS doc_id, lang, 'crawl2' AS source,
+             'NEWDOC ' || CAST(doc_id % 5 AS VARCHAR) AS text
+      FROM live WHERE doc_id % 13 = 1
+    ),
+    ins_keep AS (
+      SELECT doc_id, lang, source, text FROM (
+        SELECT i.*, ROW_NUMBER() OVER (
+          PARTITION BY
+            md5(lower(trim(regexp_replace(i.text, '\s+', ' ', 'g'))))
+          ORDER BY i.doc_id) AS rk
+        FROM ins_raw i)
+      WHERE rk = 1
+    )
+    SELECT l.doc_id, l.lang,
+           CASE WHEN u.doc_id IS NOT NULL THEN u.source
+                ELSE l.source END AS source,
+           CASE WHEN u.doc_id IS NOT NULL THEN u.text
+                ELSE l.text END AS text
+    FROM live l LEFT JOIN u ON l.doc_id = u.doc_id
+    UNION ALL
+    SELECT doc_id, lang, source, text FROM ins_keep
+    """,
+    headline=True,
+    regime="lifecycle",
+    doc="Corpus MERGE/upsert lifecycle under the hash-exact gate: ingest "
+    "documents through append_corpus (min-id dedup), then ONE "
+    "merge_corpus transaction (operators/writer.py) both updates every "
+    "live doc_id%7==3 row (SET source='crawl2', text='REFRESH '+first "
+    "50 chars, join-form semantics) AND inserts a NEWDOC row per live "
+    "doc_id%13==1 key — the crawl-re-snapshot verb that previously took "
+    "an update + an append with a torn state between them. The NEWDOC "
+    "texts repeat on purpose (doc_id%5): admission keeps only the "
+    "min-key insert per fingerprint, which the oracle replays with a "
+    "ROW_NUMBER-over-md5 window before the CASE-projection update "
+    "replay. Reference analog: qa_retrieval.py's upsert-new+delete-old "
+    "memory flow, here as a corpus verb.",
+)
+def merge_corpus_docs(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        append_corpus,
+        merge_corpus,
+        read_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="bbai_merge_spec_"), "corpus"
+    )
+    append_corpus(
+        d, out, partition_by=("lang",), max_records_per_file=100
+    )
+    live = read_corpus(spark, out)
+    # the corpus schema includes n_chars; the update half ignores it
+    # (not in set_cols), the insert half stores the new text's length
+    upd = live.filter(F.col("doc_id") % 7 == 3).select(
+        "doc_id", "lang", "n_chars",
+        F.lit("crawl2").alias("source"),
+        F.concat(
+            F.lit("REFRESH "), F.substring("text", 1, 50)
+        ).alias("text"),
+    )
+    ins_text = F.concat(
+        F.lit("NEWDOC "), (F.col("doc_id") % 5).cast("string")
+    )
+    ins = live.filter(F.col("doc_id") % 13 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.length(ins_text).cast("long").alias("n_chars"),
+        F.lit("crawl2").alias("source"),
+        ins_text.alias("text"),
+    )
+    merge_corpus(
+        spark, out, upd.unionByName(ins),
+        key_col="doc_id", set_cols=("text", "source"),
+        partition_by=("lang",),
+    )
+    return spark.read.parquet(out).select(
+        "doc_id", "lang", "source", "text"
+    )
+
+
+@spec(
     "surgery_corpus_docs",
     r"""
     WITH fp AS (
@@ -6028,7 +6130,9 @@ _PROMOTE = [
     # family by top_parts_per_brand). evolve/export are hash-exact
     # oracled (sf0.001+sf0.01 pre-validated); sketch_distinct is the
     # suite's 7th rows-only spec (no cross-engine HLL oracle exists).
-    "evolve_corpus_docs",
+    # (evolve_corpus_docs yields its slot in the r11 rotation below;
+    # the corpus-writer lifecycle family stays richly repped by
+    # delete/update/changes/pruned_read + the new merge/surgery specs.)
     "export_shards_docs",
     "sketch_distinct_events",
     "simhash_md5_near_dup_docs",
@@ -6062,10 +6166,12 @@ _PROMOTE = [
     "fingerprint_docs",
     "token_stats_docs",
     "text_quality_docs",
-    "lang_id_docs",
+    # (lang_id_docs yields its slot in the r11 rotation below; text
+    # analysis stays repped by token_stats_docs + text_quality_docs.)
     "isin_orders",
     "cumsum_events",
-    "pct_change_events",
+    # (pct_change_events yields its slot in the r11 rotation below;
+    # the cumulative family stays repped by cumsum_events.)
     "argmax_events",
     "json_extract_events",
     "ftp_events",
@@ -6079,7 +6185,8 @@ _PROMOTE = [
     # join+agg family stays repped by q12/q13/q21. All four demoted
     # rows carry 3 green driver rounds and stay benched + pytest-pinned.
     "theta_overlap_docs",
-    "theta_audience_events",
+    # (theta_audience_events yields its slot in the r11 rotation below;
+    # the theta-sketch family stays repped by theta_overlap_docs.)
     "near_dup_gate_docs",
     "vector_store_embeddings",
     # Round-8 continuation 3: the new data-skipping and CDC lifecycle
@@ -6163,8 +6270,28 @@ _PROMOTE = [
     # r6-r9, freshest r9); the corpus-write lifecycle family in-window
     # is delete/evolve/changes/pruned_read + this spec.
     "update_corpus_docs",
+    # Round-11 rotation (VERDICT r10 #4 "rotate the queued specs" + the
+    # new-spec policy since r6): surgery_corpus_docs /
+    # contamination_spans_docs / contamination_fraction_docs are oracled
+    # and sweep-verified but have never held a driver row, and
+    # merge_corpus_docs (the new MERGE verb) earns its row the round it
+    # lands. Their four slots come from 3-green rows re-evidenced r10
+    # (evolve_corpus_docs, theta_audience_events, lang_id_docs,
+    # pct_change_events); every family stays represented in-window (see
+    # the notes at each vacated slot).
+    "surgery_corpus_docs",
+    "contamination_spans_docs",
+    "contamination_fraction_docs",
+    "merge_corpus_docs",
 ]
 _DEMOTE = [
+    # Round-11 demotions (slots for the r11 rotation above); all stay
+    # headline-benched and oracle-pinned in pytest with 3 green driver
+    # rounds each, freshest r10.
+    "evolve_corpus_docs",
+    "theta_audience_events",
+    "lang_id_docs",
+    "pct_change_events",
     # Round-10 continuation demotions (slots for the ExactSubstr specs
     # above); both stay headline-benched and oracle-pinned in pytest.
     "repetition_docs",

@@ -759,3 +759,37 @@ def test_semdedup_pair_join_is_cell_blocked(spark):
     # self-join's equi-key is the block (cell) column
     keys = [ln for ln in plan.splitlines() if "keys" in ln.lower()]
     assert any("blk" in ln for ln in keys), keys
+
+
+def test_bench_line_slim_at_any_suite_size():
+    """The bench stdout artifact must fit the driver's 2000-char tail
+    capture whole at ANY suite size: per-query minima live in the
+    sidecar, so a simulated 100-spec (and 1000-spec) result line stays
+    a small constant, and the guard only ever has to drop 'carried'."""
+    import json
+
+    from bench import _final_line
+
+    for n in (100, 1000):
+        result = {
+            "metric": "headline_total_sec",
+            "value": 123.456,
+            "unit": "sec",
+            "n": n,
+            "queries": {},
+            "n_lifecycle": 8,
+            "lifecycle_total_sec": 31.25,
+            "carried": "vs=r10 n=66 now=43.06 prev=42.95",
+            "sf": 0.1,
+            "cpus": 32,
+            "n_failed": 0,
+        }
+        line = _final_line(dict(result))
+        assert len(line) < 400, len(line)
+        parsed = json.loads(line)
+        assert parsed["n"] == n and parsed["carried"]
+    # pathological carried string: guard drops it, line still parses
+    big = dict(result, carried="x" * 3000)
+    line = _final_line(big)
+    assert len(line) <= 1996
+    assert json.loads(line)["carried"] is None
