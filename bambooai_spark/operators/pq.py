@@ -61,11 +61,22 @@ def train_pq_codebooks(
     iters: int = 5,
 ) -> np.ndarray:
     """Per-subspace Lloyd k-means on a BOUNDED sample, driver-side numpy —
-    the PQ training recipe (train small, encode big). Deterministic: init
-    = evenly spaced sample rows per subspace, no RNG, so retraining a
-    stable corpus yields identical codebooks. Returns
+    the PQ training recipe (train small, encode big). Deterministic: the
+    sample is the ``sample`` lowest rows by ``xxhash64(vec)`` — a
+    value-derived total order, so retraining a stable corpus yields
+    identical codebooks regardless of partitioning or scan order (a bare
+    ``limit`` has neither guarantee; ADVICE r10) — and init = evenly
+    spaced sample rows per subspace, no RNG. The orderBy+limit compiles
+    to TakeOrderedAndProject: per-partition top-k, never a full sort.
+    (Exact-duplicate vectors can swap at the boundary under hash ties —
+    identical values, so the training data is unchanged.) Returns
     ``(m, ksub_eff, d/m)`` with ``ksub_eff = min(ksub, sample rows)``."""
-    rows = df.select(vec_col).limit(sample).collect()
+    rows = (
+        df.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col)))
+        .limit(sample)
+        .collect()
+    )
     if not rows:
         raise ValueError("cannot train PQ codebooks: table is empty")
     vecs = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])

@@ -2132,6 +2132,15 @@ def update_corpus(
     Maintenance-window contract: single writer, a concurrent reader can
     briefly see a file's rows missing mid-swap.
 
+    **One-live-row-per-fingerprint is NOT guarded** (ADVICE r10): the
+    ingest ledger dedups APPENDS, but an update can assign a text equal
+    to another live row's (or two matched rows the same text) and
+    nothing refuses — the corpus then carries duplicate live documents
+    until a dedup pass removes one. The ledger stage warns when a newly
+    assigned text is already live elsewhere; keeping assigned texts
+    unique is otherwise the caller's contract (the lifecycle model's
+    make_text does exactly that).
+
     **Retry idempotence is the caller's predicate's job** (review r10):
     a crash-then-retry of the SAME call first finishes the frozen pass,
     then runs a fresh one — and a SELF-REFERENTIAL assignment (``text =
@@ -2194,6 +2203,10 @@ def update_corpus_from(
     path), "doc_id", "text")``, filter to changed docs, select
     ``(doc_id, clean_text AS text)``, then ``update_corpus_from(spark,
     path, that)`` — span surgery as corpus maintenance.
+
+    Same one-live-row-per-fingerprint hazard as :func:`update_corpus`
+    (see its docstring): assigned texts that collide with other live
+    rows' texts are warned about, not refused.
 
     ``updates`` must be key-unique (a duplicate key would fan the join
     out and duplicate corpus rows) and may have a non-deterministic
@@ -2642,6 +2655,27 @@ def _stage_update(
                 # re-scan it; a duplicate fp row is harmless (the
                 # admission anti-join is set-semantics)
                 parts = [survivors, new_fps]
+                # invariant check (cheap, one extra ledger-side join):
+                # an update that assigns a text already LIVE elsewhere
+                # creates a duplicate live document exact dedup would
+                # have dropped — warn, don't refuse (the caller may be
+                # deliberately normalizing near-identical rows before a
+                # dedup pass)
+                n_dup = (
+                    ledger.join(old_fps, "fp", "left_anti")
+                    .join(new_fps, "fp", "left_semi").count()
+                )
+                if n_dup:
+                    import warnings  # noqa: PLC0415
+
+                    warnings.warn(
+                        f"update assigns {n_dup} text value(s) that are "
+                        "already live elsewhere in the corpus — the "
+                        "one-live-row-per-fingerprint invariant is now "
+                        "broken for those texts (a dedup pass or "
+                        "delete_from_corpus can restore it)",
+                        stacklevel=2,
+                    )
             elif text_changes and ins_fps is not None:
                 # ledger dir exists but holds no readable files; the
                 # merge writes a ledger anyway for its inserts, so the

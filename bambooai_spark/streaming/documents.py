@@ -177,8 +177,10 @@ def stream_ingest_to_corpus(
     distinct ``decontaminate_k``-gram relation is derived ONCE and
     persisted for the life of the query (screening is then one
     broadcast semi-join per batch — no per-batch benchmark re-scan);
-    with ``available_now=True`` it is unpersisted on return, a
-    continuous query keeps it cached until the session releases it.
+    with ``available_now=True`` it is unpersisted on return (also when
+    start() itself raises), and a continuous query exposes it as
+    ``bench_grams`` on the returned ``StreamingQuery`` handle — call
+    ``query.bench_grams.unpersist()`` when tearing the query down.
 
     ``foreachBatch`` hands each micro-batch over as a normal DataFrame;
     the batch runs the stateless ingest projection, drops gated-out
@@ -305,11 +307,23 @@ def stream_ingest_to_corpus(
     if checkpoint_location:
         writer = writer.option("checkpointLocation", checkpoint_location)
     if not available_now:
-        # continuous query: the gram cache must outlive this call — the
-        # caller tears it down with the query (documented above)
-        return writer.start()
-    q = writer.trigger(availableNow=True).start()
+        # continuous query: the gram cache must outlive this call, but a
+        # start() that raises (bad option/source/checkpoint) must not
+        # leak it with no handle returned (ADVICE r10). On success the
+        # cached relation rides on the returned query as
+        # ``bench_grams`` so the caller can q.bench_grams.unpersist()
+        # when tearing the query down.
+        try:
+            q = writer.start()
+        except Exception:
+            if grams is not None:
+                grams.unpersist()
+            raise
+        if grams is not None:
+            q.bench_grams = grams
+        return q
     try:
+        q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
     finally:
         if grams is not None:

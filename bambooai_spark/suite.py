@@ -4824,6 +4824,60 @@ def update_corpus_docs(spark, sf_dir):
 
 
 @spec(
+    "stream_decon_ingest_docs",
+    None,  # streaming lifecycle — its correctness counterpart is the
+    # batch-twin parity pytest (stream vs contamination_cut +
+    # ingest_documents agree row-for-row) plus the individually oracled
+    # components (contamination_spans/quality_filter/pii_scrub/
+    # fingerprint specs); a single SQL replay of the whole gate chain
+    # would re-state those oracles without adding checking power
+    headline=True,
+    regime="lifecycle",
+    doc="The STREAMING decontamination ingest gate under the bench "
+    "(VERDICT r10 #8): documents split into 2 micro-batches, each "
+    "screened against the benchmark's broadcast gram relation "
+    "(benchmark = doc_id%17==0, the contamination specs' bench set), "
+    "then quality-gated, PII-scrubbed, exactly-once appended "
+    "(streaming/documents.py stream_ingest_to_corpus). Tracks the "
+    "per-batch broadcast-semi-join + txn-append cost round over round "
+    "like the other lifecycle specs.",
+)
+def stream_decon_ingest_docs(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.streaming.documents import (  # noqa: PLC0415
+        stream_ingest_to_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="bbai_sdecon_spec_")
+    src = os.path.join(root, "parts")
+    # two source files -> two micro-batches (maxFilesPerTrigger=1)
+    d.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src)
+    d.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    bench = d.filter(F.col("doc_id") % 17 == 0).select("text")
+    sdf = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = os.path.join(root, "corpus")
+    stream_ingest_to_corpus(
+        sdf, out,
+        checkpoint_location=os.path.join(root, "ckpt"),
+        benchmark=bench,
+    )
+    return spark.read.parquet(out).select(
+        "doc_id", "lang",
+        F.length("text").cast("long").alias("kept_len"),
+        F.md5(F.col("text").cast("binary")).alias("kept_md5"),
+    )
+
+
+@spec(
     "merge_corpus_docs",
     r"""
     WITH fp AS (

@@ -592,6 +592,13 @@ def test_pq_training_deterministic_and_shapes(spark, emb):
     a = train_pq_codebooks(emb, "embedding", m=8, ksub=16)
     b = train_pq_codebooks(emb, "embedding", m=8, ksub=16)
     assert np.array_equal(a, b)
+    # determinism must survive a DIFFERENT partitioning/scan order — a
+    # bare limit() would sample different rows here (ADVICE r10); the
+    # xxhash64 total order pins the sample to the values themselves
+    c = train_pq_codebooks(
+        emb.repartition(13, "vec_id"), "embedding", m=8, ksub=16
+    )
+    assert np.array_equal(a, c)
     assert a.shape == (8, 16, 8)  # (m, ksub, dim/m)
     with pytest.raises(ValueError, match="not divisible"):
         train_pq_codebooks(emb, "embedding", m=7)

@@ -467,3 +467,54 @@ def test_stream_ingest_decontaminates_against_benchmark(spark, tmp_path):
         assert got[i]["text"] == want[i]["text"], i
         assert got[i]["fp"] == want[i]["fp"], i
         assert got[i]["n_words"] == want[i]["n_words"], i
+
+
+def test_stream_ingest_gram_cache_lifecycle(spark, tmp_path, monkeypatch):
+    """The benchmark gram cache must not leak (ADVICE r10): a start()
+    that raises unpersists it, and a continuous query exposes it as
+    bench_grams on the returned handle for caller teardown."""
+    import pyspark.sql.streaming as pss
+
+    from bambooai_spark.streaming.documents import stream_ingest_to_corpus
+
+    docs = spark.createDataFrame(
+        [(0, "en", "web", "some document text here that is long enough")],
+        "doc_id long, lang string, source string, text string",
+    )
+    src = str(tmp_path / "parts")
+    docs.write.parquet(src)
+    bench = spark.createDataFrame([("BENCH BLOCK " * 5,)], "text string")
+
+    def n_cached():
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getRDDStorageInfo()
+        return len([x for x in it])
+
+    # (1) start() raises -> no cached relation survives
+    before = n_cached()
+    sdf = spark.readStream.schema(docs.schema).parquet(src)
+
+    def boom(self, *a, **kw):
+        raise RuntimeError("injected start failure")
+
+    monkeypatch.setattr(pss.DataStreamWriter, "start", boom)
+    with pytest.raises(RuntimeError, match="injected start"):
+        stream_ingest_to_corpus(
+            sdf, str(tmp_path / "c1"), benchmark=bench,
+            available_now=False,
+        )
+    monkeypatch.undo()
+    assert n_cached() == before
+
+    # (2) continuous query returns the handle with bench_grams attached
+    sdf2 = spark.readStream.schema(docs.schema).parquet(src)
+    q = stream_ingest_to_corpus(
+        sdf2, str(tmp_path / "c2"), benchmark=bench, available_now=False,
+    )
+    try:
+        assert q.bench_grams is not None
+        assert q.bench_grams.is_cached
+    finally:
+        q.stop()
+        q.bench_grams.unpersist()
+    assert n_cached() == before

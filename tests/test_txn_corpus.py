@@ -2183,3 +2183,36 @@ def test_merge_corpus_guards(spark, tmp_path):
             ),
             set_cols=("text",),
         )
+
+
+def test_update_corpus_warns_on_duplicate_live_text(spark, tmp_path):
+    """The one-live-row-per-fingerprint invariant is the caller's
+    contract under UPDATE (ADVICE r10) — but the ledger stage warns when
+    an assigned text is already live elsewhere in the corpus."""
+    import warnings
+
+    from bambooai_spark.operators.writer import update_corpus
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 10), out, 0, max_records_per_file=3)
+    dup_text = "document text number 7 " * 5  # live doc 7's text
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        update_corpus(
+            spark, out, F.col("doc_id") == 2, {"text": F.lit(dup_text)}
+        )
+    msgs = [str(w.message) for w in caught]
+    assert any("already live elsewhere" in m for m in msgs), msgs
+    # corpus now really does carry the duplicate (documented hazard)
+    stored = spark.read.parquet(out)
+    assert stored.filter(F.col("text") == dup_text).count() == 2
+    # a collision-free update stays silent
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        update_corpus(
+            spark, out, F.col("doc_id") == 3,
+            {"text": F.lit("a wholly unique replacement text")},
+        )
+    assert not [
+        w for w in caught2 if "already live" in str(w.message)
+    ], [str(w.message) for w in caught2]
