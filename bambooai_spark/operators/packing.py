@@ -260,3 +260,99 @@ def mixture_sample(
     )
     part.unpersist()
     return out
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    fractions: dict[str, float] | None = None,
+    default_label: str = "train",
+    salt: str = "split",
+    cluster_col: str | None = None,
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment at DUPLICATE-CLUSTER grain
+    — the leakage-safe holdout splitter. A per-row random split leaks:
+    two copies (or near-duplicates) of one document land on both sides
+    and the eval set scores memorization. Here the assignment key is the
+    whole cluster — by default the normalized text fingerprint (every
+    exact duplicate shares a side), or ``cluster_col`` when the caller
+    brings near-dup cluster ids (e.g. :func:`~bambooai_spark.operators
+    .dedup.dedup_clusters` output), so near-duplicates can't straddle
+    the split either.
+
+    Assignment is pure hashing, no RNG and no state: ``md5(key || '|' ||
+    salt)`` is a uniform 128-bit draw, and a label whose cumulative
+    fraction boundary the hex string falls under wins (md5 hex strings
+    of equal length compare lexicographically = numerically). The same
+    corpus, salt, and fractions always produce the same split — across
+    runs, partitionings, and engines (md5 is oracle-portable) — and a
+    re-ingested duplicate lands on the side its cluster already owns.
+    Plan: one scan-side projection, no shuffle, no UDF.
+
+    ``fractions`` maps label -> mass (insertion order = boundary order);
+    the remaining mass is ``default_label``. Default: 1% val.
+    """
+    from bambooai_spark.functions.text import fingerprint  # noqa: PLC0415
+
+    fractions = {"val": 0.01} if fractions is None else dict(fractions)
+    if not fractions:
+        raise ValueError("leakage_safe_split: fractions is empty")
+    if default_label in fractions:
+        raise ValueError(
+            f"leakage_safe_split: default_label {default_label!r} also "
+            "appears in fractions"
+        )
+    total = sum(fractions.values())
+    if total > 1 or any(v <= 0 for v in fractions.values()):
+        raise ValueError(
+            f"leakage_safe_split: fractions must be positive and sum "
+            f"to <= 1 (got {fractions})"
+        )
+    key = (
+        F.col(cluster_col).cast("string")
+        if cluster_col
+        else fingerprint(text_col, normalize=True)
+    )
+    h = F.md5(F.concat(key, F.lit("|" + salt)))
+    expr = None
+    cum = 0.0
+    for label, frac in fractions.items():
+        cum += frac
+        # the cumulative boundary as a 32-hex-digit string: lexicographic
+        # compare of lowercase fixed-width hex IS the numeric compare
+        bound = format(min(int(cum * (1 << 128)), (1 << 128) - 1), "032x")
+        branch = h < F.lit(bound)
+        expr = (
+            F.when(branch, F.lit(label))
+            if expr is None
+            else expr.when(branch, F.lit(label))
+        )
+    return df.withColumn(out, expr.otherwise(F.lit(default_label)))
+
+
+def split_leakage_report(
+    df: DataFrame,
+    key,
+    split_col: str = "split",
+) -> DataFrame:
+    """The leakage guard for an EXTERNALLY assigned split: one row per
+    assignment key (a column name or Column — e.g. the normalized text
+    fingerprint, or a near-dup cluster id) that appears in MORE than one
+    split, with the straddled labels. Empty = leakage-free.
+    :func:`leakage_safe_split` output is leakage-free by construction;
+    this is for auditing splits made elsewhere. One map-side-partial
+    groupBy; output is bounded by the number of violating keys."""
+    k = F.col(key) if isinstance(key, str) else key
+    return (
+        df.groupBy(k.alias("key"))
+        .agg(
+            F.array_sort(
+                F.collect_set(F.col(split_col))
+            ).alias("splits"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .filter(F.size("splits") > 1)
+    )

@@ -3847,6 +3847,43 @@ def sample_docs_det(spark, sf_dir):
 
 
 @spec(
+    "holdout_split_docs",
+    r"""
+    SELECT doc_id,
+           CASE
+             WHEN md5(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                      || '|split')
+                  < '20000000000000000000000000000000' THEN 'val'
+             WHEN md5(md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                      || '|split')
+                  < '30000000000000000000000000000000' THEN 'test'
+             ELSE 'train'
+           END AS split
+    FROM documents
+    """,
+    headline=True,
+    doc="Leakage-safe holdout split (operators/packing.py "
+    "leakage_safe_split): train/val/test assignment hashed at the "
+    "DUPLICATE-CLUSTER grain — md5 of the normalized-text fingerprint "
+    "plus a salt is a uniform 128-bit draw, compared against cumulative "
+    "hex boundaries (val 12.5%, test 6.25%) — so every exact duplicate "
+    "shares a side and a per-row random split's eval-set memorization "
+    "leak cannot happen (near-dup clusters via cluster_col= use the "
+    "same mechanism). Pure scan-side projection: no shuffle, no RNG, no "
+    "UDF; identical assignment across runs, partitionings, and engines.",
+)
+def holdout_split_docs(spark, sf_dir):
+    from bambooai_spark.operators.packing import (  # noqa: PLC0415
+        leakage_safe_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(
+        d, "doc_id", "text", fractions={"val": 0.125, "test": 0.0625}
+    ).select("doc_id", "split")
+
+
+@spec(
     "stratified_sample_docs",
     """
     SELECT lang, doc_id, n_chars FROM (

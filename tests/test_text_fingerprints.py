@@ -901,3 +901,89 @@ def test_exact_substring_one_hot_gram_stress(spark):
         assert rows[i].startswith(pre[i][:8]), i
         assert rows[i].endswith(tail[i][-8:]), i
         assert len(rows[i]) <= len(pre[i]) + len(tail[i]), i
+
+
+def test_leakage_safe_split_semantics(spark):
+    """Cluster-grain split: exact duplicates always share a side, the
+    assignment is stable across partitionings/salts behave, fractions
+    land near target, and the guard flags an externally leaked split."""
+    from bambooai_spark.functions.text import fingerprint
+    from bambooai_spark.operators.packing import (
+        leakage_safe_split,
+        split_leakage_report,
+    )
+
+    n = 2000
+    rows = [
+        # every third doc duplicates doc i-1's text (dup clusters of 2)
+        (i, f"document body {i - (1 if i % 3 == 2 else 0)} text")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(
+        df, "doc_id", "text", fractions={"val": 0.125, "test": 0.0625}
+    )
+    got = out.collect()
+    assert {r["split"] for r in got} == {"train", "val", "test"}
+    # duplicates never straddle: guard is empty on fingerprint grain
+    assert (
+        split_leakage_report(
+            out, fingerprint("text", normalize=True)
+        ).count()
+        == 0
+    )
+    # fractions near target (cluster-grain hashing, +-4 sigma-ish)
+    n_val = sum(1 for r in got if r["split"] == "val")
+    n_test = sum(1 for r in got if r["split"] == "test")
+    assert 0.08 * n < n_val < 0.17 * n, n_val
+    assert 0.03 * n < n_test < 0.10 * n, n_test
+    # stable under repartitioning
+    out2 = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            df.repartition(17), "doc_id", "text",
+            fractions={"val": 0.125, "test": 0.0625},
+        ).collect()
+    }
+    assert out2 == {r["doc_id"]: r["split"] for r in got}
+    # a different salt reshuffles assignments
+    out3 = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(
+            df, "doc_id", "text",
+            fractions={"val": 0.125, "test": 0.0625}, salt="other",
+        ).collect()
+    }
+    assert out3 != out2
+    # cluster_col grain: near-dup cluster ids keep whole clusters together
+    clustered = df.withColumn("cl", (F.col("doc_id") / 10).cast("long"))
+    outc = leakage_safe_split(
+        clustered, "doc_id", "text",
+        fractions={"val": 0.25}, cluster_col="cl",
+    )
+    assert split_leakage_report(outc, "cl").count() == 0
+    per_cl = outc.groupBy("cl").agg(
+        F.count_distinct("split").alias("k")
+    ).collect()
+    assert all(r["k"] == 1 for r in per_cl)
+    # guard catches a leaked external split
+    leaked = df.withColumn(
+        "split",
+        F.when(F.col("doc_id") % 2 == 0, "train").otherwise("val"),
+    )
+    rep = split_leakage_report(
+        leaked, fingerprint("text", normalize=True)
+    )
+    assert rep.count() > 0
+    assert rep.first()["splits"] == ["train", "val"]
+    # guards
+    import pytest
+
+    with pytest.raises(ValueError, match="fractions is empty"):
+        leakage_safe_split(df, "doc_id", "text", fractions={})
+    with pytest.raises(ValueError, match="sum"):
+        leakage_safe_split(df, "doc_id", "text", fractions={"val": 1.5})
+    with pytest.raises(ValueError, match="default_label"):
+        leakage_safe_split(
+            df, "doc_id", "text", fractions={"train": 0.5}
+        )
