@@ -2262,6 +2262,7 @@ def merge_corpus(
     partition_by: tuple[str, ...] = ("lang",),
     text_col: str = "text",
     token_col: str | None = None,
+    delete_unmatched: bool = False,
     lease=None,
 ) -> DataFrame:
     """MERGE / upsert: ONE staged transaction that updates every corpus
@@ -2301,6 +2302,16 @@ def merge_corpus(
       every snapshot includes, so an older as-of target would otherwise
       show rows that did not exist then.
 
+    ``delete_unmatched=True`` adds SQL MERGE's third clause (WHEN NOT
+    MATCHED BY SOURCE THEN DELETE): corpus rows whose key the source no
+    longer carries are dropped in the SAME transaction — the source IS
+    the new snapshot, and one commit makes the corpus equal to it
+    (update the survivors, insert the newcomers, delete the departed).
+    Every data file is affected by construction, so this rewrites the
+    corpus; deleted rows' fingerprints leave the ledger (their content
+    may legitimately return), and an empty source is REFUSED rather
+    than silently deleting everything.
+
     ``source`` must be key-unique (checked on the persisted projection,
     same rule as ``update_corpus_from``). Naturally idempotent when the
     source's values don't derive from the current corpus state: a
@@ -2339,6 +2350,7 @@ def merge_corpus(
             partition_by=partition_by, text_col=text_col,
             token_col=token_col, update_id=_uuid.uuid4().hex[:8],
             updates=source, key_col=key_col, insert_unmatched=True,
+            delete_unmatched=delete_unmatched,
         ),
         partition_by=partition_by, token_col=token_col, lease=lease,
         verb="merge",
@@ -2359,6 +2371,7 @@ def _stage_update(
     updates: DataFrame | None = None,
     key_col: str | None = None,
     insert_unmatched: bool = False,
+    delete_unmatched: bool = False,
 ) -> dict | None:
     """Phase A of :func:`update_corpus` / :func:`update_corpus_from` /
     :func:`merge_corpus`: rewrite the affected files with matched rows
@@ -2374,7 +2387,13 @@ def _stage_update(
     feed an in-place rewrite). ``insert_unmatched=True`` (join mode
     only) upgrades the op to MERGE: source rows whose key has no live
     corpus row are written as NEW rows into the same staged output, so
-    insert and update land through ONE frozen swap."""
+    insert and update land through ONE frozen swap.
+    ``delete_unmatched=True`` (join mode only) adds the third MERGE
+    clause — corpus rows whose key is absent from the source are
+    DROPPED from the rewrite, their fingerprints leave the ledger, and
+    the per-partition delta goes negative: full snapshot sync. Every
+    data file is then affected by construction (each row is either
+    matched-and-updated or unmatched-and-deleted)."""
     from pyspark.errors import AnalysisException  # noqa: PLC0415
 
     from bambooai_spark.functions.text import fingerprint  # noqa: PLC0415
@@ -2479,6 +2498,13 @@ def _stage_update(
             u.unpersist()
             if u_full is not None:
                 u_full.unpersist()
+            if delete_unmatched:
+                raise ValueError(
+                    "merge_corpus: refusing delete_unmatched with an "
+                    "EMPTY source — it would delete every corpus row "
+                    "(use delete_from_corpus(lit(True)) if that is "
+                    "really intended)"
+                )
             return None
         tagged = tagged.join(u, key_col, "left")
         hit = F.coalesce(F.col("_upd_hit"), F.lit(False))
@@ -2492,8 +2518,23 @@ def _stage_update(
         }
     matches = tagged.filter(hit).persist()
     inserts = None
+    deletes = None
+    if delete_unmatched:
+        if updates is None:
+            raise ValueError(
+                "delete_unmatched requires the join form (a source "
+                "frame) — expression-mode UPDATE has no source to be "
+                "absent from"
+            )
+        deletes = tagged.filter(~hit)
     try:
-        files_rel = matches.select("_file").distinct()
+        if delete_unmatched:
+            # every row is matched-updated or unmatched-deleted, so
+            # every file holding a row is affected — snapshot sync
+            # rewrites the corpus by construction
+            files_rel = tagged.select("_file").distinct()
+        else:
+            files_rel = matches.select("_file").distinct()
         data_files = sorted(r["_file"] for r in files_rel.collect())
         fpc = None
         old_fps = new_fps = None
@@ -2502,6 +2543,15 @@ def _stage_update(
         n_ins = 0
         ledger_path = _join(path, LEDGER_DIR)
         has_ledger = _fs_exists(spark, ledger_path)
+        del_fps = None
+        if (
+            deletes is not None
+            and has_ledger
+            and text_col in df.columns
+        ):
+            del_fps = deletes.select(
+                fingerprint(text_col, normalize=True).alias("fp")
+            ).distinct()
         if insert_unmatched:
             cand = u_full.join(
                 df.select(key_col).distinct(), key_col, "left_anti"
@@ -2530,6 +2580,11 @@ def _stage_update(
                         new_fps if lfps is None
                         else lfps.unionByName(new_fps)
                     )
+                if del_fps is not None and lfps is not None:
+                    # rows leaving via the delete clause free their
+                    # fingerprints: an insert may legitimately carry a
+                    # deleted row's content
+                    lfps = lfps.join(del_fps, "fp", "left_anti")
                 cand = cand.withColumn("_fp", ifp)
                 if lfps is not None:
                     cand = cand.join(
@@ -2582,10 +2637,29 @@ def _stage_update(
                 ],
                 partition_by,
             )
+        if deletes is not None:
+            daggs = [(-F.count(F.lit(1))).cast("long").alias("n_rows")]
+            if token_col:
+                daggs.append(
+                    (-F.coalesce(F.sum(F.col(token_col)), F.lit(0)))
+                    .cast("long").alias("n_tokens")
+                )
+            delta = _combine_deltas(
+                delta,
+                [
+                    r.asDict()
+                    for r in deletes.groupBy(*partition_by)
+                    .agg(*daggs).collect()
+                ],
+                partition_by,
+            )
         # ONE projection applies every assignment against the OLD row —
         # simultaneous semantics, and the predicate is evaluated before
         # any value changes
-        rewritten = _filter_to_files(tagged, files_rel, data_files).select(
+        kept_src = _filter_to_files(tagged, files_rel, data_files)
+        if delete_unmatched:
+            kept_src = kept_src.filter(hit)
+        rewritten = kept_src.select(
             *[
                 (
                     F.when(hit, new_vals[c]).otherwise(F.col(c)).alias(c)
@@ -2622,7 +2696,9 @@ def _stage_update(
             if n_ins and "_fp" in (inserts.columns if inserts else [])
             else None
         )
-        if (text_changes or ins_fps is not None) and has_ledger:
+        if (
+            text_changes or ins_fps is not None or del_fps is not None
+        ) and has_ledger:
             if text_changes and old_fps is None:
                 old_fps = matches.select(fpc.alias("fp")).distinct()
                 new_fps = matches.select(
@@ -2630,6 +2706,14 @@ def _stage_update(
                         new_vals[text_col], normalize=True
                     ).alias("fp")
                 ).distinct()
+            # the removal set: updated rows' OLD texts plus (snapshot
+            # sync) deleted rows' texts — both legitimately re-appendable
+            leaving = old_fps
+            if del_fps is not None:
+                leaving = (
+                    del_fps if leaving is None
+                    else leaving.unionByName(del_fps)
+                )
             try:
                 ledger = spark.read.parquet(ledger_path).withColumn(
                     "_file", F.col("_metadata.file_path")
@@ -2637,9 +2721,9 @@ def _stage_update(
             except AnalysisException:
                 ledger = None
             parts = []
-            if ledger is not None and text_changes:
+            if ledger is not None and leaving is not None:
                 lf_rel = (
-                    ledger.join(old_fps, "fp", "left_semi")
+                    ledger.join(leaving, "fp", "left_semi")
                     .select("_file").distinct()
                 )
                 ledger_files = sorted(
@@ -2647,22 +2731,24 @@ def _stage_update(
                 )
                 survivors = (
                     _filter_to_files(ledger, lf_rel, ledger_files)
-                    .join(old_fps, "fp", "left_anti")
+                    .join(leaving, "fp", "left_anti")
                     .drop("_file")
                 )
                 # new fps enter even when they also exist elsewhere in
                 # the ledger: distinct() against the full ledger would
                 # re-scan it; a duplicate fp row is harmless (the
                 # admission anti-join is set-semantics)
-                parts = [survivors, new_fps]
+                parts = [survivors]
+                if new_fps is not None:
+                    parts.append(new_fps)
                 # invariant check (cheap, one extra ledger-side join):
                 # an update that assigns a text already LIVE elsewhere
                 # creates a duplicate live document exact dedup would
                 # have dropped — warn, don't refuse (the caller may be
                 # deliberately normalizing near-identical rows before a
                 # dedup pass)
-                n_dup = (
-                    ledger.join(old_fps, "fp", "left_anti")
+                n_dup = 0 if new_fps is None else (
+                    ledger.join(leaving, "fp", "left_anti")
                     .join(new_fps, "fp", "left_semi").count()
                 )
                 if n_dup:
@@ -2676,7 +2762,7 @@ def _stage_update(
                         "delete_from_corpus can restore it)",
                         stacklevel=2,
                     )
-            elif text_changes and ins_fps is not None:
+            elif new_fps is not None and ins_fps is not None:
                 # ledger dir exists but holds no readable files; the
                 # merge writes a ledger anyway for its inserts, so the
                 # updated texts' new fps ride along

@@ -4915,6 +4915,98 @@ def stream_decon_ingest_docs(spark, sf_dir):
 
 
 @spec(
+    "sync_corpus_docs",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, lang, source, text,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+      FROM documents
+    ), keep AS (
+      SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f
+    ), live AS (
+      SELECT p.doc_id, p.lang, p.source, p.text
+      FROM fp p JOIN keep k ON p.doc_id = k.doc_id AND p.f = k.f
+    ),
+    u AS (
+      SELECT doc_id, lang, 'snap' AS source,
+             'SNAP ' || substr(text, 1, 40) AS text
+      FROM live WHERE doc_id % 3 = 0
+    ),
+    ins_raw AS (
+      SELECT doc_id + 2000000 AS doc_id, lang, 'snap' AS source,
+             'SYNCNEW ' || CAST(doc_id % 7 AS VARCHAR) AS text
+      FROM live WHERE doc_id % 11 = 0
+    ),
+    ins_keep AS (
+      SELECT doc_id, lang, source, text FROM (
+        SELECT i.*, ROW_NUMBER() OVER (
+          PARTITION BY
+            md5(lower(trim(regexp_replace(i.text, '\s+', ' ', 'g'))))
+          ORDER BY i.doc_id) AS rk
+        FROM ins_raw i)
+      WHERE rk = 1
+    )
+    SELECT doc_id, lang, source, text FROM u
+    UNION ALL
+    SELECT doc_id, lang, source, text FROM ins_keep
+    """,
+    # graded-oracle-only, not headline-benched: the snapshot sync is the
+    # merge_corpus_docs machinery plus the delete clause, and its bench
+    # cost is a whole-corpus rewrite the update/merge lifecycle rows
+    # already price; the full oracle sweep verifies it every round
+    doc="Full SQL-MERGE snapshot sync under the hash-exact gate (WHEN "
+    "MATCHED UPDATE / NOT MATCHED INSERT / NOT MATCHED BY SOURCE "
+    "DELETE): ingest documents, then ONE merge_corpus("
+    "delete_unmatched=True) transaction makes the corpus equal the new "
+    "snapshot — live doc_id%3==0 rows update, SYNCNEW rows insert "
+    "(min-key admission per fingerprint), every other live row is "
+    "deleted and its fingerprint freed. The oracle IS the snapshot "
+    "relation: the update projection unioned with the admitted inserts.",
+)
+def sync_corpus_docs(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        append_corpus,
+        merge_corpus,
+        read_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="bbai_sync_spec_"), "corpus"
+    )
+    append_corpus(
+        d, out, partition_by=("lang",), max_records_per_file=100
+    )
+    live = read_corpus(spark, out)
+    upd = live.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", "lang", "n_chars",
+        F.lit("snap").alias("source"),
+        F.concat(F.lit("SNAP "), F.substring("text", 1, 40)).alias("text"),
+    )
+    ins_text = F.concat(
+        F.lit("SYNCNEW "), (F.col("doc_id") % 7).cast("string")
+    )
+    ins = live.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        "lang",
+        F.length(ins_text).cast("long").alias("n_chars"),
+        F.lit("snap").alias("source"),
+        ins_text.alias("text"),
+    )
+    merge_corpus(
+        spark, out, upd.unionByName(ins),
+        key_col="doc_id", set_cols=("text", "source"),
+        partition_by=("lang",), delete_unmatched=True,
+    )
+    return spark.read.parquet(out).select(
+        "doc_id", "lang", "source", "text"
+    )
+
+
+@spec(
     "merge_corpus_docs",
     r"""
     WITH fp AS (

@@ -2216,3 +2216,65 @@ def test_update_corpus_warns_on_duplicate_live_text(spark, tmp_path):
     assert not [
         w for w in caught2 if "already live" in str(w.message)
     ], [str(w.message) for w in caught2]
+
+
+def test_merge_corpus_delete_unmatched_snapshot_sync(spark, tmp_path):
+    """Full MERGE (snapshot sync): after ONE transaction the corpus
+    equals the source — survivors updated, newcomers inserted, departed
+    rows deleted with their fingerprints freed; manifest fold equals the
+    rebuild and deep fsck stays green. An empty source is refused."""
+    from bambooai_spark.operators.writer import merge_corpus, validate_corpus
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 20), out, 0, max_records_per_file=5)
+    # the new snapshot: keeps even keys (text refreshed for doc 2 only),
+    # adds key 500, drops every odd key
+    keep = [
+        (i, ["en", "de"][i % 2], "snap",
+         ("RESNAP two" if i == 2 else f"document text number {i} " * 5))
+        for i in range(0, 20, 2)
+    ] + [(500, "en", "snap", "the five hundred doc")]
+    src = spark.createDataFrame(
+        keep, "doc_id long, lang string, source string, text string"
+    )
+    m = merge_corpus(
+        spark, out, src, key_col="doc_id",
+        set_cols=("text", "source"), delete_unmatched=True,
+    )
+    stored = spark.read.parquet(out)
+    got = {r["doc_id"]: (r["source"], r["text"]) for r in stored.collect()}
+    assert set(got) == {i for i in range(0, 20, 2)} | {500}
+    assert got[2] == ("snap", "RESNAP two")
+    assert got[4] == ("snap", "document text number 4 " * 5)
+    assert got[500] == ("snap", "the five hundred doc")
+    # manifest: folded == rebuilt (update delta + insert - deletes);
+    # every even doc is 'en', so the de partition folds to zero rows
+    # and leaves the manifest entirely
+    got_m = {r["lang"]: r["n_rows"] for r in m.collect()}
+    rebuilt = {
+        r["lang"]: r["n_rows"]
+        for r in build_manifest(spark, out, partition_by=("lang",)).collect()
+    }
+    assert got_m == rebuilt == {"en": 11}
+    rep = validate_corpus(spark, out, deep=True).collect()
+    assert all(r["ok"] for r in rep), [r for r in rep if not r["ok"]]
+    # ledger: one fp per live row; deleted texts re-appendable
+    assert spark.read.parquet(out + "/" + LEDGER_DIR).count() == 11
+    append_corpus_txn(
+        spark.createDataFrame(
+            [(901, "en", "web", "document text number 7 " * 5)],
+            "doc_id long, lang string, source string, text string",
+        ),
+        out, "readd_deleted",
+    )
+    assert spark.read.parquet(out).count() == 12
+    # empty source refused — the corpus is untouched
+    with pytest.raises(ValueError, match="EMPTY source"):
+        merge_corpus(
+            spark, out,
+            spark.createDataFrame(
+                [], "doc_id long, lang string, source string, text string"
+            ),
+            key_col="doc_id", set_cols=("text",), delete_unmatched=True,
+        )
+    assert spark.read.parquet(out).count() == 12
