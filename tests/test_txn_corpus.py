@@ -2278,3 +2278,48 @@ def test_merge_corpus_delete_unmatched_snapshot_sync(spark, tmp_path):
             key_col="doc_id", set_cols=("text",), delete_unmatched=True,
         )
     assert spark.read.parquet(out).count() == 12
+
+
+def test_sync_crash_resume(spark, tmp_path, monkeypatch):
+    """Crash injection at the snapshot-sync swap point: ONE frozen
+    marker covers update+insert+delete — after resume the corpus equals
+    the source exactly once (no resurrected deletes, no doubled
+    inserts)."""
+    from bambooai_spark.operators.writer import merge_corpus, recover_staging
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(_docs(spark, 0, 12), out, 0, max_records_per_file=4)
+    src = spark.createDataFrame(
+        [(i, ["en", "de"][i % 2], "snap", f"document text number {i} " * 5)
+         for i in range(0, 12, 3)]
+        + [(700, "en", "snap", "the seven hundred doc")],
+        "doc_id long, lang string, source string, text string",
+    )
+
+    orig_move = writer._move_staged_files
+
+    def crash_move(sp, src_root, dest_root, batch_id, **kw):
+        raise RuntimeError("injected sync crash in swap")
+
+    monkeypatch.setattr(writer, "_move_staged_files", crash_move)
+    with pytest.raises(RuntimeError, match="injected"):
+        merge_corpus(
+            spark, out, src, key_col="doc_id",
+            set_cols=("text", "source"), delete_unmatched=True,
+        )
+    monkeypatch.setattr(writer, "_move_staged_files", orig_move)
+    rec = recover_staging(spark, out)
+    assert "_delete_tmp" in rec["committed"]
+    stored = spark.read.parquet(out)
+    got = {r["doc_id"]: r["source"] for r in stored.collect()}
+    assert set(got) == {0, 3, 6, 9, 700}
+    assert all(v == "snap" for v in got.values())
+    assert spark.read.parquet(out + "/" + LEDGER_DIR).count() == 5
+    rebuilt = {
+        r["lang"]: r["n_rows"]
+        for r in build_manifest(spark, out, partition_by=("lang",)).collect()
+    }
+    assert {r["lang"]: r["n_rows"] for r in spark.read.parquet(out)
+            .groupBy("lang").count()
+            .withColumnRenamed("count", "n_rows").collect()} == rebuilt
+    assert not os.path.exists(os.path.join(out, "_delete_tmp"))
