@@ -25,6 +25,14 @@ from bambooai_spark.operators.dedup import (
     simhash,
     embedding_near_dup,
 )
+from bambooai_spark.operators.gram_store import (
+    boilerplate_cut,
+    boilerplate_spans,
+    build_gram_store,
+    duplicated_grams,
+    read_gram_store,
+    refresh_gram_store,
+)
 from bambooai_spark.operators.pq import (
     knn_pq,
     pq_encode,
@@ -98,6 +106,12 @@ __all__ = [
     "exact_dedup",
     "exact_substring_spans",
     "exact_substring_cut",
+    "build_gram_store",
+    "duplicated_grams",
+    "read_gram_store",
+    "refresh_gram_store",
+    "boilerplate_spans",
+    "boilerplate_cut",
     "contamination_spans",
     "benchmark_grams",
     "contamination_cut",

@@ -1518,6 +1518,7 @@ def contamination_spans(
     k: int = 25,
     min_len: int | None = None,
     bench_grams: DataFrame | None = None,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination at exact-span grain — the strong form
     of the n-gram overlap screens LLM training reports run before
@@ -1543,7 +1544,11 @@ def contamination_spans(
     ``bench_grams`` — a precomputed :func:`benchmark_grams` relation
     (pass a PERSISTED one when screening repeatedly, e.g. the streaming
     ingest gate); when given, ``benchmark`` is ignored and its k must
-    match this call's ``k`` (the caller derived it)."""
+    match this call's ``k`` (the caller derived it).
+
+    ``broadcast=False`` drops the broadcast hint on the gram side — for
+    gram relations that are NOT benchmark-small (a corpus boilerplate
+    store), the semi-join then shuffles and AQE picks the strategy."""
     if k < 2:
         raise ValueError("contamination_spans: k must be >= 2")
     if bench_grams is None:
@@ -1565,7 +1570,8 @@ def contamination_spans(
         .select(F.col(id_col), F.explode(grams).alias("g"))
         .select(id_col, F.col("g.p").alias("p"), F.col("g.gram").alias("gram"))
     )
-    hits = pos.join(F.broadcast(bench_grams), "gram", "left_semi")
+    gside = F.broadcast(bench_grams) if broadcast else bench_grams
+    hits = pos.join(gside, "gram", "left_semi")
     iw = Window.partitionBy(id_col).orderBy("p")
     isl = hits.select(
         id_col, "p", (F.col("p") - F.row_number().over(iw)).alias("_grp")
@@ -1592,15 +1598,16 @@ def contamination_cut(
     k: int = 25,
     out: str = "clean_text",
     bench_grams: DataFrame | None = None,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Scrub benchmark-contaminated spans out of the corpus text:
     :func:`contamination_spans` + the shared :func:`splice_spans`
     surgery. Returns ``df`` plus ``out``; uncontaminated documents pass
-    through byte-identical. ``bench_grams`` as in
+    through byte-identical. ``bench_grams``/``broadcast`` as in
     :func:`contamination_spans`."""
     spans = contamination_spans(
         df, id_col, text_col, benchmark, bench_text_col, k=k,
-        bench_grams=bench_grams,
+        bench_grams=bench_grams, broadcast=broadcast,
     )
     return splice_spans(df, id_col, text_col, spans, out=out)
 

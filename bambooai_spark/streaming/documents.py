@@ -164,6 +164,7 @@ def stream_ingest_to_corpus(
     benchmark: DataFrame | None = None,
     bench_text_col: str = "text",
     decontaminate_k: int = 25,
+    boilerplate_store: str | None = None,
 ):
     """The COMPLETE streaming pipeline in one sink:
     ingest → [benchmark decontamination] → quality gate → PII scrub →
@@ -181,6 +182,15 @@ def stream_ingest_to_corpus(
     start() itself raises), and a continuous query exposes it as
     ``bench_grams`` on the returned ``StreamingQuery`` handle — call
     ``query.bench_grams.unpersist()`` when tearing the query down.
+
+    ``boilerplate_store`` — a :mod:`~bambooai_spark.operators.gram_store`
+    path: each micro-batch ALSO has spans of KNOWN corpus boilerplate
+    cut (ExactSubstr against the existing corpus, at the store's
+    freshness). Its ``k`` must equal ``decontaminate_k`` (the store read
+    enforces it). With a store in play the gram side may be
+    corpus-scale, so the per-batch semi-join drops the broadcast hint
+    and lets AQE pick the strategy; both gram relations ride ONE cut
+    pass (their union), so the batch text is still spliced exactly once.
 
     ``foreachBatch`` hands each micro-batch over as a normal DataFrame;
     the batch runs the stateless ingest projection, drops gated-out
@@ -239,14 +249,33 @@ def stream_ingest_to_corpus(
     session = docs_stream.sparkSession
     holder: dict = {"manifest": None}
     grams = None
+    grams_broadcast = True
+    parts = []
     if benchmark is not None:
         from bambooai_spark.operators.dedup import (  # noqa: PLC0415
             benchmark_grams,
         )
 
-        grams = benchmark_grams(
-            benchmark, bench_text_col, k=decontaminate_k
-        ).persist()
+        parts.append(
+            benchmark_grams(benchmark, bench_text_col, k=decontaminate_k)
+        )
+    if boilerplate_store is not None:
+        from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
+            read_gram_store,
+        )
+
+        g, _meta = read_gram_store(
+            session, boilerplate_store, k=decontaminate_k
+        )
+        parts.append(g)
+        grams_broadcast = False  # corpus-scale side: let AQE decide
+    if parts:
+        grams = parts[0]
+        for extra in parts[1:]:
+            # duplicates across the two relations are harmless — the
+            # screen is a semi-join (set semantics)
+            grams = grams.unionByName(extra)
+        grams = grams.persist()
 
     def _ns() -> str:
         # resolved lazily, on the first batch: the checkpoint's metadata
@@ -269,6 +298,7 @@ def stream_ingest_to_corpus(
                 contamination_cut(
                     batch_df, "doc_id", "text",
                     k=decontaminate_k, bench_grams=grams,
+                    broadcast=grams_broadcast,
                 )
                 .withColumn("text", F.col("clean_text"))
                 .drop("clean_text")

@@ -4915,6 +4915,89 @@ def stream_decon_ingest_docs(spark, sf_dir):
 
 
 @spec(
+    "boilerplate_cut_docs",
+    r"""
+    WITH dup AS (
+      SELECT substr(text, CAST(i AS BIGINT), 25) AS gram
+      FROM documents, LATERAL unnest(range(1, length(text) - 25 + 2)) AS t(i)
+      WHERE length(text) >= 25
+      GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    tgt AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 1),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p,
+             substr(text, CAST(i AS BIGINT), 25) AS gram
+      FROM tgt, LATERAL unnest(range(1, length(text) - 25 + 2)) AS t(i)
+      WHERE length(text) >= 25
+    ),
+    hits AS (SELECT doc_id, p FROM pos JOIN dup USING (gram)),
+    isl AS (SELECT doc_id, p,
+                   p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                     AS grp
+            FROM hits),
+    spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + 24 AS e
+              FROM isl GROUP BY doc_id, grp),
+    segs AS (
+      SELECT doc_id,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+               AS seg_s,
+             s - 1 AS seg_e
+      FROM spans
+      UNION ALL
+      SELECT doc_id, MAX(e) + 1 AS seg_s, NULL AS seg_e
+      FROM spans GROUP BY doc_id),
+    clean AS (
+      SELECT g.doc_id,
+             STRING_AGG(
+               CASE WHEN COALESCE(seg_e, LENGTH(g.text)) >= seg_s
+                    THEN substr(g.text, seg_s,
+                                COALESCE(seg_e, LENGTH(g.text)) - seg_s + 1)
+                    ELSE '' END, '' ORDER BY seg_s) AS kept
+      FROM tgt g JOIN segs USING (doc_id) GROUP BY g.doc_id)
+    SELECT g.doc_id, g.lang,
+           LENGTH(COALESCE(kept, g.text)) AS clean_len,
+           md5(COALESCE(kept, g.text)) AS clean_md5
+    FROM tgt g LEFT JOIN clean USING (doc_id)
+    ORDER BY g.doc_id
+    """,
+    # graded-oracle-only, not headline-benched: the plan class (postings
+    # semi-join + islands + splice) is priced by exact_cut_docs and
+    # contamination_spans_docs; the store build adds a write the
+    # lifecycle rows already price. The full sweep verifies it per round.
+    doc="The span-grain INGEST GATE against the existing corpus "
+    "(operators/gram_store.py): build the persisted boilerplate gram "
+    "store (duplicated 25-grams of documents, the exact_substring stats "
+    "pass with map-side partials), then cut every known-boilerplate "
+    "span from an incoming batch (doc_id%4==1) via the shared islands + "
+    "splice machinery — the semi-join deliberately UNHINTED so AQE "
+    "picks broadcast only when the store measures small. Store build -> "
+    "meta-pinned read -> gate, replayed end-to-end byte-exact in DuckDB.",
+)
+def boilerplate_cut_docs(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
+        boilerplate_cut,
+        build_gram_store,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    store = os.path.join(
+        tempfile.mkdtemp(prefix="bbai_gstore_spec_"), "gstore"
+    )
+    build_gram_store(d, "text", store, k=25, min_count=2)
+    batch = d.filter(F.col("doc_id") % 4 == 1)
+    cut = boilerplate_cut(batch, "doc_id", "text", store, k=25)
+    return cut.select(
+        "doc_id",
+        "lang",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+@spec(
     "sync_corpus_docs",
     r"""
     WITH fp AS (
