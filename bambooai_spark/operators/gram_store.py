@@ -93,8 +93,8 @@ def build_gram_store(
     under ``grams/`` + a meta JSON pinning ``k``/``min_count``, so a gate
     can refuse a k-mismatched read instead of silently missing spans).
     Returns the meta dict. Rebuild-in-place via :func:`refresh_gram_store`
-    writes to the side and swaps, so concurrent gate readers never see a
-    half-written relation."""
+    writes to the side and swaps, so a concurrent gate reader sees the
+    old relation or fails loudly mid-swap — never a half-written one."""
     spark = df.sparkSession
     grams = duplicated_grams(df, text_col, k=k, min_count=min_count)
     grams.write.mode("overwrite").parquet(_join(path, GRAMS_DIR))
@@ -149,10 +149,13 @@ def refresh_gram_store(
 ) -> dict:
     """Rebuild the store from the corpus's CURRENT live rows — run after
     enough appends that new boilerplate exists (the freshness-lag
-    contract in the module docstring; ``auto_maintain``-style policies
-    can key on the manifest's row delta since ``meta['n_rows']``). The
-    new relation is written to the side and swapped via rename, so a
-    concurrent gate keeps reading the old store until the swap."""
+    contract in the module docstring; an ``auto_maintain``-style policy
+    can key on the manifest row count vs the store's ``version``). The
+    new relation is written to the side and swapped via two renames —
+    a concurrent gate reads the OLD store until the swap and may fail
+    LOUDLY (missing-path AnalysisException) during the instant between
+    renames, never silently screen with half a relation; retry the read
+    (same contract as rebuild_vector_store's staged swap)."""
     from bambooai_spark.operators.writer import (  # noqa: PLC0415
         _fs,
         read_corpus,
