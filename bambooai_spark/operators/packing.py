@@ -356,3 +356,84 @@ def split_leakage_report(
         )
         .filter(F.size("splits") > 1)
     )
+
+
+def quality_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    *,
+    score,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The quality-curation planner executed: per group, keep the
+    BEST-scoring documents until the group's token budget is spent —
+    "the top N billion tokens of each language by quality score", the
+    curation move behind filtered pretraining mixes (quality-classifier
+    or perplexity scores; any higher-is-better column works). Greedy
+    fill in deterministic ``(score DESC, id)`` order; the document that
+    crosses the budget line is included (same boundary semantics as
+    :func:`mixture_sample`, which is this operator with a uniform random
+    order instead of a score).
+
+    Scale: identical two-phase shape as :func:`mixture_sample` — a
+    handful of giant groups is the worst case for
+    ``Window.partitionBy(group)``, so the running sum range-partitions
+    on ``(group, -score, id)``, cumsums locally, and broadcast-joins the
+    per-(partition, group) prefix bridge; no single-task group sort.
+
+    Returns ``(id, group, score, n_tokens, cum_tokens)`` for the kept
+    docs. The per-group cutoff ("admit anything scoring above X from
+    now on") is ``kept.groupBy(group).agg(F.min("score"))``.
+    """
+    from bambooai_spark.functions.text import tokens  # noqa: PLC0415
+    from bambooai_spark.functions.twophase import (  # noqa: PLC0415
+        grouped_prefix_bridge,
+        with_bridge,
+    )
+
+    if not budgets:
+        raise ValueError("quality_budget_sample: budgets is empty")
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sc = F.col(score) if isinstance(score, str) else score
+    bmap = F.create_map(
+        *[F.lit(x) for g in sorted(budgets) for x in (g, budgets[g])]
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        sc.cast("double").alias("score"),
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
+        # range keys must ASCEND: negate the score so best sorts first
+        (-sc.cast("double")).alias("_key"),
+    ).where(F.col(group_col).isin(list(budgets)))
+    part = (
+        base.repartitionByRange(n, group_col, "_key", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    bridge = grouped_prefix_bridge(part, F.sum("n_tokens"), key_col=group_col)
+    if bridge is None:
+        part.unpersist()
+        return base.select(
+            id_col, group_col, "score", "n_tokens",
+            F.lit(None).cast("long").alias("cum_tokens"),
+        ).limit(0)
+    wloc = (
+        Window.partitionBy("_pid", group_col)
+        .orderBy("_key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.sum("n_tokens").over(wloc) + F.col("_offset")).cast("long")
+    out = (
+        with_bridge(part, bridge, key_col=group_col)
+        .withColumn("cum_tokens", cum)
+        .where(F.col("cum_tokens") - F.col("n_tokens") < bmap[F.col(group_col)])
+        .select(id_col, group_col, "score", "n_tokens", "cum_tokens")
+        .localCheckpoint(eager=True)
+    )
+    part.unpersist()
+    return out

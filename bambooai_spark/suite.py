@@ -4299,6 +4299,52 @@ def mixture_sample_docs(spark, sf_dir):
 
 
 @spec(
+    "quality_budget_docs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(length(text) AS DOUBLE)
+               / len(regexp_split_to_array(text, '\s+')) AS score
+      FROM documents),
+    w AS (SELECT * FROM (VALUES ('en', 2000), ('de', 750)) v(lang, budget)),
+    c AS (
+      SELECT t.doc_id, t.lang, t.score, t.n_tokens, w.budget,
+             CAST(SUM(t.n_tokens) OVER (
+               PARTITION BY t.lang ORDER BY t.score DESC, t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t JOIN w ON t.lang = w.lang)
+    SELECT doc_id, lang, ROUND(score, 6) AS score, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < budget
+    """,
+    headline=True,
+    doc="The quality-curation planner executed (operators/packing.py "
+    "quality_budget_sample): per language, keep the BEST-scoring docs "
+    "(score = mean word length here; any higher-is-better column works "
+    "— a classifier or perplexity score in production) until the "
+    "group's token budget is spent, boundary doc included. Same "
+    "two-phase range-partition + prefix-bridge running sum as "
+    "mixture_sample — that operator is this one with a random order — "
+    "so a handful of giant language groups never serializes into "
+    "single window tasks.",
+)
+def quality_budget_docs(spark, sf_dir):
+    from bambooai_spark.functions.text import tokens  # noqa: PLC0415
+    from bambooai_spark.operators.packing import (  # noqa: PLC0415
+        quality_budget_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    score = F.length("text").cast("double") / F.size(tokens("text"))
+    kept = quality_budget_sample(
+        d, {"en": 2000, "de": 750}, score=score
+    )
+    return kept.withColumn("score", F.round("score", 6))
+
+
+@spec(
     "quantize_embeddings",
     """
     WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

@@ -987,3 +987,54 @@ def test_leakage_safe_split_semantics(spark):
         leakage_safe_split(
             df, "doc_id", "text", fractions={"train": 0.5}
         )
+
+
+def test_quality_budget_sample_semantics(spark):
+    """Best-first greedy budget fill: per group, docs kept in score-DESC
+    order until the token budget is crossed (boundary doc included),
+    ties broken by id; unlisted groups excluded; matches a pandas-free
+    python reference exactly."""
+    from bambooai_spark.operators.packing import quality_budget_sample
+
+    rows = []
+    for i in range(60):
+        lang = ["en", "de", "xx"][i % 3]
+        n_words = 5 + (i * 7) % 13
+        rows.append((i, lang, (i * 37) % 100 / 10.0, " ".join(["w"] * n_words)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, score double, text string"
+    )
+    budgets = {"en": 60, "de": 45}
+    got = {
+        r["doc_id"]: (r["lang"], r["score"], r["n_tokens"], r["cum_tokens"])
+        for r in quality_budget_sample(
+            df, budgets, score="score", num_partitions=7
+        ).collect()
+    }
+    # python reference
+    want = {}
+    for g, budget in budgets.items():
+        pool = sorted(
+            (r for r in rows if r[1] == g), key=lambda r: (-r[2], r[0])
+        )
+        cum = 0
+        for i, lang, score, text in pool:
+            if cum >= budget:
+                break
+            cum += len(text.split())
+            want[i] = (lang, score, len(text.split()), cum)
+    assert got == want
+    assert all(v[0] != "xx" for v in got.values())
+    # the cutoff helper shape: min kept score per group
+    from pyspark.sql import functions as FF
+
+    kept = quality_budget_sample(df, budgets, score="score")
+    cuts = {
+        r["lang"]: r["cut"]
+        for r in kept.groupBy("lang").agg(FF.min("score").alias("cut")).collect()
+    }
+    assert set(cuts) == {"en", "de"}
+    import pytest
+
+    with pytest.raises(ValueError, match="budgets is empty"):
+        quality_budget_sample(df, {}, score="score")
