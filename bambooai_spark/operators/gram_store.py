@@ -99,7 +99,15 @@ def build_gram_store(
     grams = duplicated_grams(df, text_col, k=k, min_count=min_count)
     grams.write.mode("overwrite").parquet(_join(path, GRAMS_DIR))
     n = spark.read.parquet(_join(path, GRAMS_DIR)).count()
-    meta = {"k": k, "min_count": min_count, "n_grams": n, "version": 1}
+    meta = {
+        "k": k,
+        "min_count": min_count,
+        "n_grams": n,
+        # source row count at build time: the staleness signal the
+        # maintenance advisor compares against the corpus manifest
+        "n_rows": df.count(),
+        "version": 1,
+    }
     _write_meta(spark, path, meta)
     return meta
 
@@ -149,8 +157,9 @@ def refresh_gram_store(
 ) -> dict:
     """Rebuild the store from the corpus's CURRENT live rows — run after
     enough appends that new boilerplate exists (the freshness-lag
-    contract in the module docstring; an ``auto_maintain``-style policy
-    can key on the manifest row count vs the store's ``version``). The
+    contract in the module docstring; ``suggest_maintenance(
+    gram_store_path=)`` keys on the manifest row count vs the store
+    meta's ``n_rows`` and ``auto_maintain`` executes the refresh). The
     new relation is written to the side and swapped via two renames —
     a concurrent gate reads the OLD store until the swap and may fail
     LOUDLY (missing-path AnalysisException) during the instant between
@@ -169,6 +178,7 @@ def refresh_gram_store(
     tmp = _join(store_path, GRAMS_DIR + "_next")
     grams.write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
+    n_rows = live.count()
     fs, _root = _fs(spark, store_path)
     jp = spark._jvm.org.apache.hadoop.fs.Path
     dest = jp(_join(store_path, GRAMS_DIR))
@@ -178,7 +188,10 @@ def refresh_gram_store(
     fs.rename(dest, old)
     fs.rename(jp(tmp), dest)
     fs.delete(old, True)
-    meta = dict(meta, n_grams=n, version=int(meta.get("version", 1)) + 1)
+    meta = dict(
+        meta, n_grams=n, n_rows=n_rows,
+        version=int(meta.get("version", 1)) + 1,
+    )
     _write_meta(spark, store_path, meta)
     return meta
 

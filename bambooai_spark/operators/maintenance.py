@@ -54,8 +54,17 @@ def suggest_maintenance(
     *,
     small_file_rows: int = SMALL_FILE_ROWS,
     marker_backlog: int = MARKER_BACKLOG,
+    gram_store_path: str | None = None,
+    gram_store_staleness: float = 0.2,
 ) -> DataFrame:
-    """Diagnose a corpus and recommend maintenance (see module doc)."""
+    """Diagnose a corpus and recommend maintenance (see module doc).
+
+    ``gram_store_path`` opts the boilerplate gram store
+    (operators/gram_store.py) into the diagnosis: its meta records the
+    corpus row count it was built from, and when the manifest's current
+    rows drift by more than ``gram_store_staleness`` (relative) the
+    advisor recommends ``refresh_gram_store`` — the span-grain ingest
+    gate is otherwise screening against stale boilerplate."""
     rows: list[tuple[str, str, str, str]] = []
 
     def add(check, severity, recommendation, detail):
@@ -348,6 +357,59 @@ def suggest_maintenance(
                 f"{cov['orphans']} orphans",
             )
 
+    if gram_store_path is not None:
+        from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
+            read_gram_store,
+        )
+
+        cur_rows = None
+        if doc is not None:
+            cur_rows = sum(
+                int(p.get("n_rows") or 0)
+                for p in (doc.get("partitions") or [])
+            )
+        try:
+            _g, gmeta = read_gram_store(spark, gram_store_path)
+        except FileNotFoundError:
+            gmeta = None
+            add(
+                "gram_store", "action",
+                "build_gram_store(read_corpus(spark, path), 'text', "
+                "gram_store_path)",
+                f"no gram store at {gram_store_path} — the span-grain "
+                "ingest gate has nothing to screen against",
+            )
+        if gmeta is not None:
+            built_rows = gmeta.get("n_rows")
+            if built_rows is None or cur_rows is None:
+                add(
+                    "gram_store", "info",
+                    "refresh_gram_store(spark, path, gram_store_path)",
+                    "staleness unknown (store meta predates n_rows "
+                    "tracking, or the manifest is missing) — refresh "
+                    "to baseline the signal",
+                )
+            else:
+                drift = abs(cur_rows - built_rows) / max(built_rows, 1)
+                if drift >= gram_store_staleness:
+                    add(
+                        "gram_store", "action",
+                        "refresh_gram_store(spark, path, "
+                        "gram_store_path)",
+                        f"corpus rows {cur_rows} vs {built_rows} at "
+                        f"store build (v{gmeta.get('version')}) — "
+                        f"{drift:.0%} drift >= "
+                        f"{gram_store_staleness:.0%}; new boilerplate "
+                        "passes the gate until a refresh",
+                    )
+                else:
+                    add(
+                        "gram_store", "ok", "none",
+                        f"{drift:.0%} row drift since store "
+                        f"v{gmeta.get('version')} "
+                        f"(threshold {gram_store_staleness:.0%})",
+                    )
+
     if not any(sev in ("warn", "action") for _, sev, _, _ in rows):
         add("corpus", "ok", "none", "no maintenance needed")
     return _df(spark, rows)
@@ -371,6 +433,7 @@ def auto_maintain(
     max_records_per_file: int | None = 100_000,
     small_file_rows: int = SMALL_FILE_ROWS,
     marker_backlog: int = MARKER_BACKLOG,
+    gram_store_path: str | None = None,
     dry_run: bool = False,
     lease=None,
 ) -> DataFrame:
@@ -418,6 +481,7 @@ def auto_maintain(
             spark, path,
             small_file_rows=small_file_rows,
             marker_backlog=marker_backlog,
+            gram_store_path=gram_store_path,
         ).collect()
     }
     rows: list[tuple[str, bool, str]] = []
@@ -558,6 +622,34 @@ def auto_maintain(
                 + " (re-layout is a human call, not auto-executed)",
             )
         )
+
+    # gram-store refresh IS auto-executable (policy-free: the store meta
+    # pins k/min_count; only re-derivation from live rows happens) —
+    # the same follower posture as the vector store's append-only
+    # refresh. The initial BUILD stays report-only: k/min_count are
+    # policy the operator owns.
+    g = advice.get("gram_store")
+    if g is not None and g["severity"] == "action":
+        if "refresh_gram_store" in g["recommendation"]:
+            if plan("refresh_gram_store", True, g["detail"]):
+                from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
+                    refresh_gram_store,
+                )
+
+                out = refresh_gram_store(spark, path, gram_store_path)
+                rows[-1] = (
+                    "refresh_gram_store", True,
+                    f"v{out.get('version')}: {out.get('n_grams')} grams "
+                    f"from {out.get('n_rows')} rows",
+                )
+        else:
+            rows.append(
+                (
+                    "build_gram_store", False,
+                    "no gram store yet — build it with the k/min_count "
+                    "the ingest gate will use (policy not auto-executed)",
+                )
+            )
 
     return _plan_df(spark, rows)
 

@@ -178,3 +178,97 @@ def test_stream_ingest_with_boilerplate_store(spark, tmp_path):
     assert BOILER not in got[0] and body(0)[9:] in got[0]
     assert bench_block not in got[1] and body(1)[9:] in got[1]
     assert got[2].startswith(body(2)[:40])
+
+
+def test_maintenance_advises_and_refreshes_gram_store(spark, tmp_path):
+    """The ops loop: the advisor keys gram-store staleness on manifest
+    rows vs the store meta's n_rows; auto_maintain executes the refresh
+    (policy-free) but only REPORTS a missing store (build is policy)."""
+    import hashlib
+
+    from bambooai_spark.operators.gram_store import (
+        build_gram_store,
+        read_gram_store,
+    )
+    from bambooai_spark.operators.maintenance import (
+        auto_maintain,
+        suggest_maintenance,
+    )
+    from bambooai_spark.operators.writer import append_corpus
+
+    corpus = str(tmp_path / "corpus")
+    docs = _corpus(spark).withColumn("lang", F.lit("en"))
+    append_corpus(docs, corpus, partition_by=("lang",))
+    store = str(tmp_path / "gstore")
+
+    # missing store: advisor flags a build; auto_maintain reports only
+    adv = {
+        r["check"]: r
+        for r in suggest_maintenance(
+            spark, corpus, gram_store_path=store
+        ).collect()
+    }
+    assert adv["gram_store"]["severity"] == "action"
+    assert "build_gram_store" in adv["gram_store"]["recommendation"]
+    plan = {
+        r["action"]: r
+        for r in auto_maintain(
+            spark, corpus, gram_store_path=store
+        ).collect()
+    }
+    assert plan["build_gram_store"]["executed"] is False
+
+    # fresh store: ok
+    build_gram_store(
+        spark.read.parquet(corpus), "text", store, k=25, min_count=2
+    )
+    adv = {
+        r["check"]: r
+        for r in suggest_maintenance(
+            spark, corpus, gram_store_path=store
+        ).collect()
+    }
+    assert adv["gram_store"]["severity"] == "ok"
+
+    # grow the corpus 50%: advisor flags drift, auto_maintain refreshes
+    extra = spark.createDataFrame(
+        [(500 + i, "en",
+          "NEW BOILER BLOCK qwertyuiopasdfghjklzxcvbnm END "
+          + hashlib.md5(f"x{i}".encode()).hexdigest())
+         for i in range(6)],
+        "doc_id long, lang string, text string",
+    )
+    append_corpus(extra, corpus, partition_by=("lang",))
+    adv = {
+        r["check"]: r
+        for r in suggest_maintenance(
+            spark, corpus, gram_store_path=store
+        ).collect()
+    }
+    assert adv["gram_store"]["severity"] == "action"
+    assert "refresh_gram_store" in adv["gram_store"]["recommendation"]
+    plan = {
+        r["action"]: r
+        for r in auto_maintain(
+            spark, corpus, gram_store_path=store
+        ).collect()
+    }
+    assert plan["refresh_gram_store"]["executed"] is True
+    _g, meta = read_gram_store(spark, store)
+    assert meta["version"] == 2 and meta["n_rows"] == 18
+    # and the loop converges: next advice is ok
+    adv = {
+        r["check"]: r
+        for r in suggest_maintenance(
+            spark, corpus, gram_store_path=store
+        ).collect()
+    }
+    assert adv["gram_store"]["severity"] == "ok"
+    # dry_run never executes
+    plan = {
+        r["action"]: r
+        for r in auto_maintain(
+            spark, corpus, gram_store_path=store, dry_run=True
+        ).collect()
+    }
+    assert all(not r["executed"] for r in plan.values())
