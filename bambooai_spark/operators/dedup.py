@@ -1294,6 +1294,8 @@ def exact_substring_spans(
     min_count: int = 2,
     keep_first: bool = False,
     min_len: int | None = None,
+    gram_store_path: str | None = None,
+    dup_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal exactly-duplicated character spans across the corpus — the
     span inventory of ExactSubstr deduplication (Lee et al. 2021,
@@ -1332,11 +1334,66 @@ def exact_substring_spans(
     usually tiny) and skew-split at runtime, unlike a window exchange.
     The islands window partitions by document, so its state is bounded
     by the longest document, not the corpus.
+
+    ``gram_store_path`` — a :mod:`~bambooai_spark.operators.gram_store`
+    store built over THIS relation (same ``k``/``min_count``; same
+    ``id_col`` when ``keep_first``): the stats-side postings explode —
+    half the operator's cost — is skipped and the duplicated-gram
+    relation (with each gram's first occurrence) is read from the
+    store instead. The store must be FRESH: its meta's ``n_rows`` must
+    equal ``df``'s current row count, else the call refuses — a stale
+    store would silently miss spans duplicated only by newer rows
+    (the gate-side freshness-lag contract does not extend to batch
+    surgery, whose output must equal the from-scratch computation).
+    ``dup_grams`` passes a pre-built relation directly (``gram`` [,
+    ``first`` struct<i,p> for ``keep_first``]); the caller owns its
+    freshness.
     """
     if k < 2:
         raise ValueError("exact_substring_spans: k must be >= 2")
     if min_count < 2:
         raise ValueError("exact_substring_spans: min_count must be >= 2")
+    if gram_store_path is not None and dup_grams is not None:
+        raise ValueError(
+            "exact_substring_spans: pass gram_store_path OR dup_grams, "
+            "not both"
+        )
+    if gram_store_path is not None:
+        from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
+            read_gram_store,
+        )
+
+        dup_grams, smeta = read_gram_store(
+            df.sparkSession, gram_store_path, k=k
+        )
+        if smeta.get("min_count") != min_count:
+            raise ValueError(
+                f"gram store at {gram_store_path} was built with "
+                f"min_count={smeta.get('min_count')}, caller expects "
+                f"{min_count} — rebuild the store or match it"
+            )
+        if keep_first and smeta.get("id_col") != id_col:
+            raise ValueError(
+                f"keep_first needs the store's first-occurrence column "
+                f"over id_col={id_col!r}; the store at {gram_store_path} "
+                f"was built with id_col={smeta.get('id_col')!r} — "
+                "rebuild it with build_gram_store(..., id_col=...)"
+            )
+        n_now = df.count()
+        if smeta.get("n_rows") != n_now:
+            raise ValueError(
+                f"gram store at {gram_store_path} is stale: built over "
+                f"{smeta.get('n_rows')} rows, the relation now has "
+                f"{n_now} — refresh_gram_store (or rebuild) first; a "
+                "stale store would miss spans duplicated by newer rows"
+            )
+    if dup_grams is not None and keep_first and (
+        "first" not in dup_grams.columns
+    ):
+        raise ValueError(
+            "exact_substring_spans: keep_first from a pre-built gram "
+            "relation needs its 'first' column (min(struct(id, pos)))"
+        )
     lo = k if min_len is None else min_len
     t = F.col(text_col)
     grams = F.transform(
@@ -1357,17 +1414,24 @@ def exact_substring_spans(
     # gram per map task crosses the exchange) and the join-back is an
     # equi-join AQE can broadcast or skew-split at runtime.
     if keep_first:
-        dup = (
-            pos.groupBy("gram")
-            .agg(
-                F.count(F.lit(1)).alias("_cnt"),
-                F.min(
-                    F.struct(F.col(id_col).alias("i"), F.col("p").alias("p"))
-                ).alias("_first"),
+        if dup_grams is not None:
+            # store-plugged path: the stats explode is skipped entirely;
+            # the probe side below is the ONLY postings explode
+            dup = dup_grams.select("gram", F.col("first").alias("_first"))
+        else:
+            dup = (
+                pos.groupBy("gram")
+                .agg(
+                    F.count(F.lit(1)).alias("_cnt"),
+                    F.min(
+                        F.struct(
+                            F.col(id_col).alias("i"), F.col("p").alias("p")
+                        )
+                    ).alias("_first"),
+                )
+                .filter(F.col("_cnt") >= min_count)
+                .select("gram", "_first")
             )
-            .filter(F.col("_cnt") >= min_count)
-            .select("gram", "_first")
-        )
         hits = (
             pos.join(dup, "gram")
             .filter(
@@ -1379,12 +1443,15 @@ def exact_substring_spans(
             .select(id_col, "p")
         )
     else:
-        dup = (
-            pos.groupBy("gram")
-            .agg(F.count(F.lit(1)).alias("_cnt"))
-            .filter(F.col("_cnt") >= min_count)
-            .select("gram")
-        )
+        if dup_grams is not None:
+            dup = dup_grams.select("gram")
+        else:
+            dup = (
+                pos.groupBy("gram")
+                .agg(F.count(F.lit(1)).alias("_cnt"))
+                .filter(F.col("_cnt") >= min_count)
+                .select("gram")
+            )
         hits = pos.join(dup, "gram", "left_semi")
     iw = Window.partitionBy(id_col).orderBy("p")
     isl = hits.select(
@@ -1411,12 +1478,17 @@ def exact_substring_cut(
     min_count: int = 2,
     keep_first: bool = True,
     out: str = "clean_text",
+    gram_store_path: str | None = None,
+    dup_grams: DataFrame | None = None,
 ) -> DataFrame:
     """ExactSubstr deduplication, surgery included (Lee et al. 2021): cut
     every duplicated span found by :func:`exact_substring_spans` out of
     the text, keeping (by default) each region's earliest copy. Returns
     ``df`` plus column ``out`` — the text with cut spans removed;
     untouched documents pass through byte-identical.
+    ``gram_store_path``/``dup_grams`` reuse a persisted duplicated-gram
+    relation (freshness-checked) so the stats-side postings explode is
+    skipped — see :func:`exact_substring_spans`.
 
     The splice itself is one JVM-side ``aggregate`` over the document's
     sorted span array (state = ``(kept-so-far, cursor)``; each span
@@ -1426,7 +1498,9 @@ def exact_substring_cut(
     islands, so at most ``len/k`` of them), never the corpus.
     """
     spans = exact_substring_spans(
-        df, id_col, text_col, k=k, min_count=min_count, keep_first=keep_first
+        df, id_col, text_col, k=k, min_count=min_count,
+        keep_first=keep_first, gram_store_path=gram_store_path,
+        dup_grams=dup_grams,
     )
     return splice_spans(df, id_col, text_col, spans, out=out)
 

@@ -12,6 +12,19 @@ map-side partials) — as a parquet relation plus a meta JSON, so ingest
 can cut known-boilerplate spans from every new document with ONE
 semi-join and no corpus access at all.
 
+The relation is COUNT-BEARING (``gram, cnt``; plus the first occurrence
+``first = min(struct(id, pos))`` when built with ``id_col=``), which
+buys two things on top of the gate:
+
+- ``refresh_gram_store(delta_only=True)`` merges the counts of ONLY the
+  corpus files appended since the last build/refresh with the stored
+  counts and promotes crossers — per-delta cost instead of a full
+  corpus re-scan (see the refresh docstring for the residual
+  singleton+singleton lag the full rebuild still catches);
+- ``exact_substring_spans(gram_store_path=...)`` skips its stats-side
+  postings explode entirely, reading the duplicated-gram relation (and,
+  for ``keep_first``, each gram's first occurrence) from the store.
+
 Why duplicated grams, not all grams: the distinct-gram relation of a
 100 TB corpus is O(total chars) and unusable as a gate; the DUPLICATED
 subset is the boilerplate inventory itself — small in proportion to how
@@ -41,10 +54,78 @@ from pyspark.sql import functions as F
 
 GRAMS_DIR = "grams"
 META_NAME = "_gram_store_meta.json"
+# the source-file inventory rides INSIDE the grams directory under an
+# underscore name (Spark/Hadoop listings skip `_`/`.` paths, so the
+# grams parquet read never sees it) — one staged-swap unit therefore
+# replaces the relation AND the inventory it was counted from together;
+# no crash point can publish one without the other
+FILES_SUBDIR = "_files"
 
 
 def _join(a: str, b: str) -> str:
     return a.rstrip("/") + "/" + b
+
+
+def _basename(p: str) -> str:
+    return p.rstrip("/").rsplit("/", 1)[-1]
+
+
+def _postings(
+    df: DataFrame, text_col: str, k: int, id_col: str | None
+) -> DataFrame:
+    """(gram[, id, p]) postings of every character k-gram."""
+    t = F.col(text_col)
+    if id_col is None:
+        return df.filter(F.length(t) >= k).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - (k - 1)),
+                    lambda i: F.substring(t, i, k),
+                )
+            ).alias("gram")
+        )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(t) - (k - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("p"), F.substring(t, i, k).alias("gram")
+        ),
+    )
+    return (
+        df.filter(F.length(t) >= k)
+        .select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(
+            F.col("g.gram").alias("gram"),
+            F.col(id_col).alias("i"),
+            F.col("g.p").alias("p"),
+        )
+    )
+
+
+def gram_counts(
+    df: DataFrame,
+    text_col: str,
+    *,
+    k: int = 25,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Per-gram corpus-wide counts — ``(gram, cnt)``, plus ``first =
+    min(struct(i, p))`` (earliest occurrence in ``(id, pos)`` order) when
+    ``id_col`` is given. NO min-count filter: this is the mergeable unit
+    :func:`refresh_gram_store`'s delta path sums with stored counts. One
+    hash-partitioned groupBy with map-side partial aggregation — a
+    boilerplate gram present in every doc collapses to one row per map
+    partition before the exchange."""
+    if k < 2:
+        raise ValueError("gram_counts: k must be >= 2")
+    pos = _postings(df, text_col, k, id_col)
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if id_col is not None:
+        aggs.append(
+            F.min(
+                F.struct(F.col("i").alias("i"), F.col("p").alias("p"))
+            ).alias("first")
+        )
+    return pos.groupBy("gram").agg(*aggs)
 
 
 def duplicated_grams(
@@ -53,32 +134,160 @@ def duplicated_grams(
     *,
     k: int = 25,
     min_count: int = 2,
+    id_col: str | None = None,
 ) -> DataFrame:
-    """The corpus's duplicated character ``k``-gram relation (one
-    ``gram`` column): every gram occurring >= ``min_count`` times
-    corpus-wide — the boilerplate inventory. Exactly the gram stats pass
-    of ``exact_substring_spans``: one hash-partitioned groupBy with
-    map-side partial aggregation, so corpus-wide boilerplate grams
-    collapse to one row per map partition before the exchange."""
-    if k < 2:
-        raise ValueError("duplicated_grams: k must be >= 2")
+    """The corpus's duplicated character ``k``-gram relation: every gram
+    occurring >= ``min_count`` times corpus-wide — the boilerplate
+    inventory. ``(gram, cnt)``; plus ``first`` (earliest occurrence)
+    when ``id_col`` is given. Exactly the gram stats pass of
+    ``exact_substring_spans`` (see :func:`gram_counts` for the plan
+    shape)."""
     if min_count < 2:
         raise ValueError("duplicated_grams: min_count must be >= 2")
-    t = F.col(text_col)
-    pos = df.filter(F.length(t) >= k).select(
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length(t) - (k - 1)),
-                lambda i: F.substring(t, i, k),
-            )
-        ).alias("gram")
+    return gram_counts(df, text_col, k=k, id_col=id_col).filter(
+        F.col("cnt") >= min_count
     )
-    return (
-        pos.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .filter(F.col("_cnt") >= min_count)
-        .select("gram")
+
+
+# ---------------------------------------------------------------------
+# store bookkeeping: checked renames, half-swap repair, meta rename-swap
+# ---------------------------------------------------------------------
+
+
+def _rename_checked(spark: SparkSession, src: str, dst: str) -> None:
+    """Hadoop rename fails by RETURNING FALSE, not raising — an unchecked
+    call can 'succeed' past a failed move and a later cleanup delete then
+    destroys the only copy (ADVICE r11). Raise on false instead."""
+    from bambooai_spark.operators.writer import _fs  # noqa: PLC0415
+
+    fs, jsrc = _fs(spark, src)
+    jdst = _fs(spark, dst)[1]
+    if not fs.rename(jsrc, jdst):
+        raise RuntimeError(f"gram store rename failed: {src} -> {dst}")
+
+
+def _repair_store(spark: SparkSession, path: str) -> None:
+    """Entry-point repair of a half-swapped store. The swap protocol is
+    rename(grams -> grams_old), rename(grams_next -> grams), delete
+    grams_old — a crash between the renames leaves ``grams`` missing
+    with the new relation complete in ``grams_next`` (roll FORWARD) or,
+    if the staging never finished, the old relation intact in
+    ``grams_old`` (roll BACK). With ``grams`` present, leftover staging
+    dirs are stale and dropped."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs_delete,
+        _fs_exists,
     )
+
+    dest = _join(path, GRAMS_DIR)
+    nxt = _join(path, GRAMS_DIR + "_next")
+    old = _join(path, GRAMS_DIR + "_old")
+    if _fs_exists(spark, dest):
+        _fs_delete(spark, nxt)
+        _fs_delete(spark, old)
+        return
+    if _fs_exists(spark, nxt):
+        # the next relation is only staged complete (parquet committed)
+        # before the swap starts, so rolling forward publishes a whole
+        # relation; the meta (written after the swap) may still carry
+        # the previous counts — informational fields only, and the next
+        # refresh rewrites them
+        _rename_checked(spark, nxt, dest)
+        _fs_delete(spark, old)
+        return
+    if _fs_exists(spark, old):
+        _rename_checked(spark, old, dest)
+
+
+def _swap_in(spark: SparkSession, path: str, nxt: str) -> None:
+    """Publish a staged grams relation: two checked renames; the old
+    relation is deleted only after the destination verifiably exists."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs_delete,
+        _fs_exists,
+    )
+
+    dest = _join(path, GRAMS_DIR)
+    old = _join(path, GRAMS_DIR + "_old")
+    _fs_delete(spark, old)
+    if _fs_exists(spark, dest):
+        _rename_checked(spark, dest, old)
+    try:
+        _rename_checked(spark, nxt, dest)
+    except RuntimeError:
+        # roll back so the store stays readable — the staged relation
+        # is still in grams_next for a retry
+        if _fs_exists(spark, old) and not _fs_exists(spark, dest):
+            _rename_checked(spark, old, dest)
+        raise
+    if not _fs_exists(spark, dest):
+        raise RuntimeError(f"gram store swap lost {dest}")
+    _fs_delete(spark, old)
+
+
+def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
+    """Rename-swap the meta descriptor: write ``meta.tmp`` whole, delete
+    the old meta, rename tmp into place. The only torn window (between
+    delete and rename) leaves ``meta.tmp`` complete on disk, and
+    :func:`_read_meta` falls back to it — a crash can no longer orphan
+    the grams relation from its k/min_count policy (ADVICE r11)."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs_delete,
+        _fs_write_text,
+    )
+
+    mpath = _join(path, META_NAME)
+    tmp = mpath + ".tmp"
+    _fs_delete(spark, tmp)
+    _fs_write_text(spark, tmp, json.dumps(meta))
+    _fs_delete(spark, mpath)
+    _rename_checked(spark, tmp, mpath)
+
+
+def _read_meta(spark: SparkSession, path: str) -> dict:
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs_exists,
+        _fs_read_text,
+    )
+
+    mpath = _join(path, META_NAME)
+    if _fs_exists(spark, mpath):
+        return json.loads(_fs_read_text(spark, mpath))
+    # torn _write_meta window: the complete descriptor is still in .tmp
+    if _fs_exists(spark, mpath + ".tmp"):
+        return json.loads(_fs_read_text(spark, mpath + ".tmp"))
+    raise FileNotFoundError(f"no gram store meta at {mpath}")
+
+
+def _write_file_inventory(
+    spark: SparkSession, grams_dir: str, files: list[str]
+) -> None:
+    """Record the corpus data files the relation was counted from, as
+    basenames, INSIDE the grams dir (hidden ``_files`` parquet) — the
+    delta-refresh watermark. Driver-side O(files), the same class as the
+    corpus manifest bookkeeping."""
+    rows = [(b,) for b in sorted({_basename(f) for f in files})]
+    spark.createDataFrame(rows, "file string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_join(grams_dir, FILES_SUBDIR))
+
+
+def _read_file_inventory(
+    spark: SparkSession, path: str
+) -> set[str] | None:
+    from bambooai_spark.operators.writer import _fs_exists  # noqa: PLC0415
+
+    fdir = _join(_join(path, GRAMS_DIR), FILES_SUBDIR)
+    if not _fs_exists(spark, fdir):
+        return None
+    return {
+        r["file"] for r in spark.read.parquet(fdir).collect()
+    }
+
+
+# ---------------------------------------------------------------------
+# build / read / refresh
+# ---------------------------------------------------------------------
 
 
 def build_gram_store(
@@ -88,58 +297,68 @@ def build_gram_store(
     *,
     k: int = 25,
     min_count: int = 2,
+    id_col: str | None = None,
 ) -> dict:
     """Materialize :func:`duplicated_grams` of ``df`` at ``path`` (parquet
-    under ``grams/`` + a meta JSON pinning ``k``/``min_count``, so a gate
-    can refuse a k-mismatched read instead of silently missing spans).
-    Returns the meta dict. Rebuild-in-place via :func:`refresh_gram_store`
-    writes to the side and swaps, so a concurrent gate reader sees the
-    old relation or fails loudly mid-swap — never a half-written one."""
+    under ``grams/`` + a meta JSON pinning ``k``/``min_count``/
+    ``text_col``/``id_col``, so a gate or refresh can refuse a mismatched
+    read instead of silently screening the wrong thing). Returns the meta
+    dict.
+
+    ``id_col`` additionally stores each gram's FIRST occurrence
+    (``min(struct(id, pos))`` from the same groupBy — no extra
+    exchange), which lets ``exact_substring_spans(keep_first=True)``
+    run entirely from the store.
+
+    When ``df`` is a file-backed corpus read (``read_corpus`` /
+    ``spark.read.parquet``), its scan files are recorded as the store's
+    file inventory, enabling ``refresh_gram_store(delta_only=True)``.
+    Rebuild-in-place via :func:`refresh_gram_store` writes to the side
+    and swaps, so a concurrent gate reader sees the old relation or
+    fails loudly mid-swap — never a half-written one."""
     spark = df.sparkSession
-    grams = duplicated_grams(df, text_col, k=k, min_count=min_count)
-    grams.write.mode("overwrite").parquet(_join(path, GRAMS_DIR))
-    n = spark.read.parquet(_join(path, GRAMS_DIR)).count()
+    if k < 2:
+        raise ValueError("build_gram_store: k must be >= 2")
+    grams = duplicated_grams(
+        df, text_col, k=k, min_count=min_count, id_col=id_col
+    )
+    gdir = _join(path, GRAMS_DIR)
+    grams.write.mode("overwrite").parquet(gdir)
+    try:
+        files = list(df.inputFiles())
+    except Exception:
+        files = []
+    if files:
+        _write_file_inventory(spark, gdir, files)
+    n = spark.read.parquet(gdir).count()
     meta = {
         "k": k,
         "min_count": min_count,
+        # the column the inventory was counted from is part of the
+        # store's identity: a refresh over a different column would
+        # silently change what the ingest gate screens (ADVICE r11)
+        "text_col": text_col,
+        "id_col": id_col,
         "n_grams": n,
         # source row count at build time: the staleness signal the
         # maintenance advisor compares against the corpus manifest
         "n_rows": df.count(),
+        "has_files": bool(files),
         "version": 1,
     }
     _write_meta(spark, path, meta)
     return meta
 
 
-def _write_meta(spark: SparkSession, path: str, meta: dict) -> None:
-    # _fs_write_text_atomic is first-write-wins (commit-marker
-    # semantics); the meta is a mutable descriptor, so clear the old one
-    # first — the rename still makes the new content land whole
-    from bambooai_spark.operators.writer import (  # noqa: PLC0415
-        _fs_delete,
-        _fs_write_text_atomic,
-    )
-
-    mpath = _join(path, META_NAME)
-    _fs_delete(spark, mpath)
-    _fs_write_text_atomic(spark, mpath, json.dumps(meta))
-
-
 def read_gram_store(
     spark: SparkSession, path: str, *, k: int | None = None
 ) -> tuple[DataFrame, dict]:
     """(grams relation, meta). ``k`` asserts the caller's gram width
-    matches the store's — a mismatch would silently screen nothing."""
-    from bambooai_spark.operators.writer import (  # noqa: PLC0415
-        _fs_exists,
-        _fs_read_text,
-    )
-
-    mpath = _join(path, META_NAME)
-    if not _fs_exists(spark, mpath):
-        raise FileNotFoundError(f"no gram store meta at {mpath}")
-    meta = json.loads(_fs_read_text(spark, mpath))
+    matches the store's — a mismatch would silently screen nothing.
+    Repairs a half-swapped store (crashed :func:`refresh_gram_store`)
+    on entry."""
+    meta = _read_meta(spark, path)
+    _repair_store(spark, path)
     if k is not None and meta.get("k") != k:
         raise ValueError(
             f"gram store at {path} was built with k={meta.get('k')}, "
@@ -153,43 +372,135 @@ def refresh_gram_store(
     corpus_path: str,
     store_path: str,
     *,
-    text_col: str = "text",
+    text_col: str | None = None,
+    delta_only: bool = False,
 ) -> dict:
-    """Rebuild the store from the corpus's CURRENT live rows — run after
+    """Bring the store up to the corpus's CURRENT live rows — run after
     enough appends that new boilerplate exists (the freshness-lag
     contract in the module docstring; ``suggest_maintenance(
     gram_store_path=)`` keys on the manifest row count vs the store
-    meta's ``n_rows`` and ``auto_maintain`` executes the refresh). The
-    new relation is written to the side and swapped via two renames —
-    a concurrent gate reads the OLD store until the swap and may fail
+    meta's ``n_rows`` and ``auto_maintain`` executes the refresh).
+
+    ``text_col`` defaults to the column PINNED in the store meta; an
+    explicit mismatch raises (same contract as ``k`` — a refresh over a
+    different column would silently change what the gate screens).
+
+    ``delta_only=True`` counts the grams of ONLY the corpus files
+    appended since the store's recorded file inventory, sums them with
+    the stored counts, and promotes grams that cross ``min_count`` —
+    per-delta cost instead of a full corpus re-scan. Contract:
+
+    - append-only since the last build/refresh; if any recorded file
+      has DISAPPEARED (compaction / delete rewrite), per-file counts
+      are unmergeable and the call falls back to the full rebuild;
+    - residual lag, caught only by a full rebuild: a gram that was a
+      SINGLETON before the recorded inventory and appears again only
+      once in the delta totals 2 in truth but 1 in the merge (the old
+      singleton was below ``min_count`` and never stored). Same class
+      as the store's documented ingest-time freshness lag, one notch
+      narrower;
+    - for crossers, ``first`` records the earliest occurrence KNOWN to
+      the store (which may be a delta occurrence — the old singleton's
+      position was not retained).
+
+    The new relation is staged to the side and swapped via two CHECKED
+    renames (rename failure raises; the old relation is deleted only
+    after the destination verifiably exists), and a half-swapped store
+    left by a crash is repaired on the next read/refresh entry — roll
+    forward when the staged relation is complete, roll back otherwise.
+    A concurrent gate reads the OLD store until the swap and may fail
     LOUDLY (missing-path AnalysisException) during the instant between
     renames, never silently screen with half a relation; retry the read
     (same contract as rebuild_vector_store's staged swap)."""
-    from bambooai_spark.operators.writer import (  # noqa: PLC0415
-        _fs,
-        read_corpus,
-    )
+    from bambooai_spark.operators.writer import read_corpus  # noqa: PLC0415
 
-    _grams_old, meta = read_gram_store(spark, store_path)
+    meta = _read_meta(spark, store_path)
+    _repair_store(spark, store_path)
+    pinned = meta.get("text_col", "text")
+    if text_col is not None and text_col != pinned:
+        raise ValueError(
+            f"gram store at {store_path} was built over text_col="
+            f"{pinned!r}, caller passed {text_col!r} — the store screens "
+            "the pinned column; build a separate store for another one"
+        )
+    tcol = pinned
+    id_col = meta.get("id_col")
     live = read_corpus(spark, corpus_path)
-    grams = duplicated_grams(
-        live, text_col, k=meta["k"], min_count=meta["min_count"]
-    )
-    tmp = _join(store_path, GRAMS_DIR + "_next")
-    grams.write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
+    try:
+        cur_files = list(live.inputFiles())
+    except Exception:
+        cur_files = []
+    cur_base = {_basename(f) for f in cur_files}
+
+    grams = None
+    if delta_only:
+        stored = _read_file_inventory(spark, store_path)
+        if stored is None:
+            raise ValueError(
+                "delta_only refresh needs the store's file inventory — "
+                "this store predates it (or was built from a non-file "
+                "relation); run a full refresh_gram_store first"
+            )
+        if stored - cur_base:
+            # files vanished: compaction or a delete rewrite collapsed
+            # them — their per-file contribution to the stored counts
+            # cannot be subtracted, so fall back to the full rebuild
+            delta_only = False
+        else:
+            new_files = [
+                f for f in cur_files if _basename(f) not in stored
+            ]
+            if not new_files:
+                meta = dict(meta, n_rows=live.count())
+                _write_meta(spark, store_path, meta)
+                return meta
+            old = spark.read.parquet(_join(store_path, GRAMS_DIR))
+            if "cnt" not in old.columns:
+                raise ValueError(
+                    "delta_only refresh needs a count-bearing store — "
+                    "this one predates counts; run a full refresh"
+                )
+            delta = spark.read.schema(live.schema).parquet(*new_files)
+            dcnt = gram_counts(delta, tcol, k=meta["k"], id_col=id_col)
+            total = (
+                F.coalesce(F.col("_old_cnt"), F.lit(0))
+                + F.coalesce(F.col("_new_cnt"), F.lit(0))
+            ).cast("long")
+            sel = [F.col("gram"), total.alias("cnt")]
+            if id_col is not None:
+                # least() skips nulls: old-only grams keep their first,
+                # delta-only crossers take the delta's earliest
+                sel.append(
+                    F.least(
+                        F.col("_old_first"), F.col("_new_first")
+                    ).alias("first")
+                )
+                old = old.withColumnRenamed("first", "_old_first")
+                dcnt = dcnt.withColumnRenamed("first", "_new_first")
+            grams = (
+                old.withColumnRenamed("cnt", "_old_cnt")
+                .join(
+                    dcnt.withColumnRenamed("cnt", "_new_cnt"),
+                    "gram",
+                    "full_outer",
+                )
+                .select(*sel)
+                .filter(F.col("cnt") >= meta["min_count"])
+            )
+    if grams is None:
+        grams = duplicated_grams(
+            live, tcol, k=meta["k"], min_count=meta["min_count"],
+            id_col=id_col,
+        )
+    nxt = _join(store_path, GRAMS_DIR + "_next")
+    grams.write.mode("overwrite").parquet(nxt)
+    if cur_files:
+        _write_file_inventory(spark, nxt, cur_files)
+    n = spark.read.parquet(nxt).count()
     n_rows = live.count()
-    fs, _root = _fs(spark, store_path)
-    jp = spark._jvm.org.apache.hadoop.fs.Path
-    dest = jp(_join(store_path, GRAMS_DIR))
-    old = jp(_join(store_path, GRAMS_DIR + "_old"))
-    if fs.exists(old):
-        fs.delete(old, True)
-    fs.rename(dest, old)
-    fs.rename(jp(tmp), dest)
-    fs.delete(old, True)
+    _swap_in(spark, store_path, nxt)
     meta = dict(
-        meta, n_grams=n, n_rows=n_rows,
+        meta, n_grams=n, n_rows=n_rows, has_files=bool(cur_files),
         version=int(meta.get("version", 1)) + 1,
     )
     _write_meta(spark, store_path, meta)
@@ -220,7 +531,7 @@ def boilerplate_spans(
         grams, _meta = read_gram_store(df.sparkSession, store_path, k=k)
     return contamination_spans(
         df, id_col, text_col, k=k, min_len=min_len,
-        bench_grams=grams, broadcast=False,
+        bench_grams=grams.select("gram"), broadcast=False,
     )
 
 

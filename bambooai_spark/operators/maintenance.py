@@ -633,14 +633,24 @@ def auto_maintain(
         if "refresh_gram_store" in g["recommendation"]:
             if plan("refresh_gram_store", True, g["detail"]):
                 from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
+                    _read_meta,
                     refresh_gram_store,
                 )
 
-                out = refresh_gram_store(spark, path, gram_store_path)
+                # delta refresh when the store knows its source files
+                # (per-delta cost; falls back to a full rebuild itself
+                # if files vanished under compaction/delete)
+                delta = bool(
+                    _read_meta(spark, gram_store_path).get("has_files")
+                )
+                out = refresh_gram_store(
+                    spark, path, gram_store_path, delta_only=delta
+                )
                 rows[-1] = (
                     "refresh_gram_store", True,
                     f"v{out.get('version')}: {out.get('n_grams')} grams "
-                    f"from {out.get('n_rows')} rows",
+                    f"from {out.get('n_rows')} rows"
+                    + (" (delta)" if delta else ""),
                 )
         else:
             rows.append(

@@ -2567,6 +2567,17 @@ def _stage_update(
                     lfps = spark.read.parquet(ledger_path).select("fp")
                 except AnalysisException:
                     lfps = None
+                if del_fps is not None and lfps is not None:
+                    # rows leaving via the delete clause free their
+                    # fingerprints: an insert may legitimately carry a
+                    # deleted row's content. Subtract from the LEDGER-
+                    # derived fps only, BEFORE the updated rows' new
+                    # texts are unioned in — a deleted row whose fp
+                    # equals an updated row's NEW text must not free
+                    # that fp, or the insert admission would let a
+                    # second live row duplicate the updated text
+                    # (ADVICE r11)
+                    lfps = lfps.join(del_fps, "fp", "left_anti")
                 if text_changes:
                     old_fps = matches.select(fpc.alias("fp")).distinct()
                     new_fps = matches.select(
@@ -2580,11 +2591,6 @@ def _stage_update(
                         new_fps if lfps is None
                         else lfps.unionByName(new_fps)
                     )
-                if del_fps is not None and lfps is not None:
-                    # rows leaving via the delete clause free their
-                    # fingerprints: an insert may legitimately carry a
-                    # deleted row's content
-                    lfps = lfps.join(del_fps, "fp", "left_anti")
                 cand = cand.withColumn("_fp", ifp)
                 if lfps is not None:
                     cand = cand.join(

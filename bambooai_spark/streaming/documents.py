@@ -148,6 +148,152 @@ def _txn_namespace(spark: SparkSession, checkpoint_location: str) -> str:
     return hashlib.md5(f"{qualified}\n{qid}".encode("utf-8")).hexdigest()[:8]
 
 
+def _gate_grams(
+    session: SparkSession,
+    benchmark: DataFrame | None,
+    bench_text_col: str,
+    decontaminate_k: int,
+    boilerplate_store: str | None,
+    *,
+    persist: bool = True,
+) -> tuple[DataFrame | None, bool]:
+    """Assemble the span-cut gram relation the ingest gates screen
+    against: benchmark decontamination grams and/or the persisted
+    boilerplate store, unioned so the batch text is spliced ONCE.
+    Returns (grams, broadcast_ok) — broadcast is dropped whenever the
+    corpus-scale store side is in play (AQE decides instead).
+    ``persist=True`` caches the relation for repeated screening (a
+    streaming query screens every micro-batch; the caller owns
+    unpersist); a single batch ingest passes False."""
+    parts = []
+    grams_broadcast = True
+    if benchmark is not None:
+        from bambooai_spark.operators.dedup import (  # noqa: PLC0415
+            benchmark_grams,
+        )
+
+        parts.append(
+            benchmark_grams(benchmark, bench_text_col, k=decontaminate_k)
+        )
+    if boilerplate_store is not None:
+        from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
+            read_gram_store,
+        )
+
+        g, _meta = read_gram_store(
+            session, boilerplate_store, k=decontaminate_k
+        )
+        # the store relation is count-bearing (cnt [, first]); the gate
+        # needs only the gram set, and the union with benchmark grams
+        # requires matching schemas
+        parts.append(g.select("gram"))
+        grams_broadcast = False  # corpus-scale side: let AQE decide
+    if not parts:
+        return None, True
+    grams = parts[0]
+    for extra in parts[1:]:
+        # duplicates across the two relations are harmless — the
+        # screen is a semi-join (set semantics)
+        grams = grams.unionByName(extra)
+    if persist:
+        grams = grams.persist()
+    return grams, grams_broadcast
+
+
+def _apply_span_gates(
+    batch_df: DataFrame,
+    grams: DataFrame | None,
+    grams_broadcast: bool,
+    decontaminate_k: int,
+) -> DataFrame:
+    """Cut gated spans from the batch text BEFORE the ingest projection:
+    the quality gate, scrub, fingerprint, and token count must all
+    describe the text that is actually stored, not the pre-cut
+    original."""
+    if grams is None:
+        return batch_df
+    from bambooai_spark.operators.dedup import (  # noqa: PLC0415
+        contamination_cut,
+    )
+
+    return (
+        contamination_cut(
+            batch_df, "doc_id", "text",
+            k=decontaminate_k, bench_grams=grams,
+            broadcast=grams_broadcast,
+        )
+        .withColumn("text", F.col("clean_text"))
+        .drop("clean_text")
+    )
+
+
+def ingest_to_corpus(
+    docs: DataFrame,
+    path: str,
+    *,
+    txn_id=None,
+    partition_by: tuple[str, ...] = ("lang",),
+    token_col: str | None = "n_words",
+    max_records_per_file: int | None = 100_000,
+    evolve_schema: bool = False,
+    lease=None,
+    near_dup_threshold: float | None = None,
+    near_dup_opts: dict | None = None,
+    benchmark: DataFrame | None = None,
+    bench_text_col: str = "text",
+    decontaminate_k: int = 25,
+    boilerplate_store: str | None = None,
+):
+    """BATCH twin of :func:`stream_ingest_to_corpus` — one batch through
+    the identical hygiene pipeline: [benchmark decontamination +
+    boilerplate-store span cut, one splice] → quality gate → PII scrub →
+    fingerprint → exact dedup against the ledger → curated corpus. The
+    gate expressions are shared code with the streaming path
+    (:func:`_gate_grams` / :func:`_apply_span_gates` /
+    :func:`ingest_documents`), so a corpus fed by both enforces ONE
+    hygiene contract (VERDICT r11 #6: batch and stream ingest must not
+    drift).
+
+    ``txn_id`` routes through the transactional
+    :func:`~bambooai_spark.operators.writer.append_corpus_txn` (pass a
+    unique id per batch — resumable exactly-once); ``None`` uses the
+    plain ledger-dedup :func:`~bambooai_spark.operators.writer
+    .append_corpus` (at-least-once, the ad-hoc contract). Returns the
+    manifest DataFrame, or None when every row was gated/deduped away.
+    """
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        append_corpus,
+        append_corpus_txn,
+    )
+
+    grams, grams_broadcast = _gate_grams(
+        docs.sparkSession, benchmark, bench_text_col,
+        decontaminate_k, boilerplate_store, persist=False,
+    )
+    batch = _apply_span_gates(docs, grams, grams_broadcast, decontaminate_k)
+    ingested = (
+        ingest_documents(batch)
+        .filter(F.col("keep"))
+        .drop("keep", "reason")
+    )
+    if ingested.isEmpty():
+        return None
+    kw = dict(
+        partition_by=partition_by,
+        id_col="doc_id",
+        text_col="text",
+        max_records_per_file=max_records_per_file,
+        token_col=token_col,
+        evolve_schema=evolve_schema,
+        lease=lease,
+        near_dup_threshold=near_dup_threshold,
+        near_dup_opts=near_dup_opts,
+    )
+    if txn_id is None:
+        return append_corpus(ingested, path, **kw)
+    return append_corpus_txn(ingested, path, txn_id, **kw)
+
+
 def stream_ingest_to_corpus(
     docs_stream: DataFrame,
     path: str,
@@ -248,34 +394,14 @@ def stream_ingest_to_corpus(
     checkpoint_location = checkpoint_location or None
     session = docs_stream.sparkSession
     holder: dict = {"manifest": None}
-    grams = None
-    grams_broadcast = True
-    parts = []
-    if benchmark is not None:
-        from bambooai_spark.operators.dedup import (  # noqa: PLC0415
-            benchmark_grams,
-        )
-
-        parts.append(
-            benchmark_grams(benchmark, bench_text_col, k=decontaminate_k)
-        )
-    if boilerplate_store is not None:
-        from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
-            read_gram_store,
-        )
-
-        g, _meta = read_gram_store(
-            session, boilerplate_store, k=decontaminate_k
-        )
-        parts.append(g)
-        grams_broadcast = False  # corpus-scale side: let AQE decide
-    if parts:
-        grams = parts[0]
-        for extra in parts[1:]:
-            # duplicates across the two relations are harmless — the
-            # screen is a semi-join (set semantics)
-            grams = grams.unionByName(extra)
-        grams = grams.persist()
+    # gate assembly shared with the batch twin (ingest_to_corpus), so
+    # batch and stream ingest enforce one hygiene contract; persisted
+    # for the life of the query — screening is then one semi-join per
+    # micro-batch, no per-batch re-derivation
+    grams, grams_broadcast = _gate_grams(
+        session, benchmark, bench_text_col, decontaminate_k,
+        boilerplate_store, persist=True,
+    )
 
     def _ns() -> str:
         # resolved lazily, on the first batch: the checkpoint's metadata
@@ -286,23 +412,9 @@ def stream_ingest_to_corpus(
         return holder["ns"]
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:
-        if grams is not None:
-            # decontaminate BEFORE the ingest projection: the gate,
-            # scrub, fingerprint, and token count must all describe the
-            # text that is actually stored, not the pre-cut original
-            from bambooai_spark.operators.dedup import (  # noqa: PLC0415
-                contamination_cut,
-            )
-
-            batch_df = (
-                contamination_cut(
-                    batch_df, "doc_id", "text",
-                    k=decontaminate_k, bench_grams=grams,
-                    broadcast=grams_broadcast,
-                )
-                .withColumn("text", F.col("clean_text"))
-                .drop("clean_text")
-            )
+        batch_df = _apply_span_gates(
+            batch_df, grams, grams_broadcast, decontaminate_k
+        )
         ingested = (
             ingest_documents(batch_df)
             .filter(F.col("keep"))

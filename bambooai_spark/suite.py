@@ -5311,6 +5311,9 @@ def surgery_corpus_docs(spark, sf_dir):
     from bambooai_spark.operators.dedup import (  # noqa: PLC0415
         exact_substring_cut,
     )
+    from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
+        build_gram_store,
+    )
     from bambooai_spark.operators.writer import (  # noqa: PLC0415
         append_corpus,
         read_corpus,
@@ -5318,15 +5321,24 @@ def surgery_corpus_docs(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    out = os.path.join(
-        tempfile.mkdtemp(prefix="bbai_surgery_spec_"), "corpus"
-    )
+    tmp = tempfile.mkdtemp(prefix="bbai_surgery_spec_")
+    out = os.path.join(tmp, "corpus")
     append_corpus(
         d, out, partition_by=("lang",), max_records_per_file=100
     )
     live = read_corpus(spark, out)
+    # r12: the cut runs store-plugged — the persisted duplicated-gram
+    # relation (with first occurrences) replaces the stats-side explode;
+    # the freshness guard in exact_substring_spans verifies the store
+    # matches the live row count, and the output is oracle-identical to
+    # the from-scratch computation
+    store = os.path.join(tmp, "gstore")
+    build_gram_store(
+        live, "text", store, k=25, min_count=2, id_col="doc_id"
+    )
     cut = exact_substring_cut(
-        live, "doc_id", "text", k=25, keep_first=True
+        live, "doc_id", "text", k=25, keep_first=True,
+        gram_store_path=store,
     )
     changed = cut.filter(
         F.col("clean_text") != F.col("text")

@@ -272,3 +272,338 @@ def test_maintenance_advises_and_refreshes_gram_store(spark, tmp_path):
         ).collect()
     }
     assert all(not r["executed"] for r in plan.values())
+
+
+def test_count_bearing_store_and_first_occurrence(spark, tmp_path):
+    """The relation carries per-gram counts (delta-merge unit) and, with
+    id_col=, each gram's earliest (id, pos) — equal to the inline
+    min(struct(id, pos)) of exact_substring_spans' keep_first path."""
+    from pyspark.sql import functions as F
+
+    from bambooai_spark.operators.gram_store import (
+        build_gram_store,
+        gram_counts,
+        read_gram_store,
+    )
+
+    corpus = _corpus(spark)
+    store = str(tmp_path / "gstore")
+    meta = build_gram_store(
+        corpus, "text", store, k=25, min_count=2, id_col="doc_id"
+    )
+    assert meta["text_col"] == "text" and meta["id_col"] == "doc_id"
+    grams, _ = read_gram_store(spark, store, k=25)
+    assert set(grams.columns) == {"gram", "cnt", "first"}
+    rows = {r["gram"]: r for r in grams.collect()}
+    # boiler grams occur in docs 0-5 (count 6), first occurrence doc 0
+    g0 = BOILER[:25]
+    assert rows[g0]["cnt"] == 6
+    assert tuple(rows[g0]["first"]) == (0, 1)
+    # counts/first match the unfiltered gram_counts relation
+    raw = {
+        r["gram"]: r
+        for r in gram_counts(
+            corpus, "text", k=25, id_col="doc_id"
+        ).filter(F.col("cnt") >= 2).collect()
+    }
+    assert set(raw) == set(rows)
+    for g in rows:
+        assert rows[g]["cnt"] == raw[g]["cnt"]
+        assert tuple(rows[g]["first"]) == tuple(raw[g]["first"])
+
+
+def test_delta_refresh_matches_full_rebuild(spark, tmp_path):
+    """delta_only=True counts ONLY the appended files and merges with
+    stored counts: identical to a full rebuild on an append-only corpus,
+    except the documented singleton+singleton lag (a gram once in the
+    old corpus + once in the delta totals 2 in truth but was never
+    stored) — tested explicitly. Files vanishing (compaction) falls back
+    to the full rebuild; a no-delta refresh is a metadata no-op."""
+    import hashlib
+
+    from bambooai_spark.operators.gram_store import (
+        build_gram_store,
+        read_gram_store,
+        refresh_gram_store,
+    )
+    from bambooai_spark.operators.writer import append_corpus, read_corpus
+
+    new_boiler = "FRESH NAVBAR BLOCK 0123456789 zyxwvutsrqponmlkjihgfedcba"
+    lag_block = "HALF OLD HALF NEW SINGLETON GRAM BLOCK ###############"
+
+    def body(tag):
+        return " ".join(
+            hashlib.md5(f"{tag}-{t}".encode()).hexdigest()[:8]
+            for t in range(10)
+        )
+
+    cp = str(tmp_path / "corpus")
+    rows = [
+        (
+            i,
+            "en",
+            (BOILER + " " if i < 6 else "")
+            + (lag_block + " " if i == 0 else "")
+            + body(f"c{i}"),
+        )
+        for i in range(12)
+    ]
+    append_corpus(
+        spark.createDataFrame(rows, "doc_id long, lang string, text string"),
+        cp,
+        partition_by=("lang",),
+    )
+    store = str(tmp_path / "gstore")
+    build_gram_store(
+        read_corpus(spark, cp), "text", store, k=25, min_count=2,
+        id_col="doc_id",
+    )
+    # delta: new_boiler twice (promotes), lag_block once more (the lag)
+    extra = [
+        (
+            100 + i,
+            "en",
+            new_boiler
+            + " "
+            + (lag_block + " " if i == 0 else "")
+            + body(f"e{i}"),
+        )
+        for i in range(2)
+    ]
+    append_corpus(
+        spark.createDataFrame(extra, "doc_id long, lang string, text string"),
+        cp,
+        partition_by=("lang",),
+    )
+    meta = refresh_gram_store(spark, cp, store, delta_only=True)
+    assert meta["version"] == 2 and meta["n_rows"] == 14
+    delta_rows = {
+        r["gram"]: (r["cnt"], tuple(r["first"]))
+        for r in read_gram_store(spark, store)[0].collect()
+    }
+    full_store = str(tmp_path / "gfull")
+    build_gram_store(
+        read_corpus(spark, cp), "text", full_store, k=25, min_count=2,
+        id_col="doc_id",
+    )
+    full_rows = {
+        r["gram"]: (r["cnt"], tuple(r["first"]))
+        for r in read_gram_store(spark, full_store)[0].collect()
+    }
+    # the ONLY difference is the lag class: grams of lag_block (plus its
+    # shared trailing-space straddle) that reached 2 via old-singleton +
+    # delta-singleton — present in the full rebuild, absent in the delta
+    # both docs surround the block with spaces, so straddle grams that
+    # start at the leading space or end at the trailing one are shared
+    # too — the lag class is every gram of " <block> "
+    lag_text = " " + lag_block + " "
+    lag_grams = {lag_text[i : i + 25] for i in range(len(lag_text) - 24)}
+    missing = set(full_rows) - set(delta_rows)
+    assert missing and missing <= lag_grams
+    assert not (set(delta_rows) - set(full_rows))
+    for g in delta_rows:
+        assert delta_rows[g] == full_rows[g], g
+    # new boiler was promoted by the delta merge
+    assert new_boiler[:25] in delta_rows
+    # no new files -> metadata-only no-op (version unchanged)
+    meta2 = refresh_gram_store(spark, cp, store, delta_only=True)
+    assert meta2["version"] == 2 and meta2["n_rows"] == 14
+    # vanished files (delete rewrite) -> silent fallback to full rebuild,
+    # which also catches the lag grams
+    from bambooai_spark.operators.writer import delete_from_corpus
+
+    delete_from_corpus(spark, cp, "doc_id = 3")
+    meta3 = refresh_gram_store(spark, cp, store, delta_only=True)
+    assert meta3["version"] == 3 and meta3["n_rows"] == 13
+    rebuilt = {
+        r["gram"] for r in read_gram_store(spark, store)[0].collect()
+    }
+    assert missing <= rebuilt
+
+
+def test_text_col_pinned_in_meta(spark, tmp_path):
+    """The meta pins the text column the store was counted from; refresh
+    uses the pinned column by default and refuses an explicit mismatch
+    (ADVICE r11) — a store over a non-default column can no longer be
+    silently rebuilt from the wrong one."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bambooai_spark.operators.gram_store import (
+        build_gram_store,
+        read_gram_store,
+        refresh_gram_store,
+    )
+    from bambooai_spark.operators.writer import append_corpus, read_corpus
+
+    cp = str(tmp_path / "corpus")
+    docs = (
+        _corpus(spark)
+        .withColumn("lang", F.lit("en"))
+        .withColumnRenamed("text", "body")
+        # unique per row: append_corpus dedups on the default text
+        # fingerprint, and a gram store over it must find nothing
+        .withColumn(
+            "text",
+            F.concat(
+                F.lit("decoy column without duplicates "),
+                F.md5(F.col("doc_id").cast("string")),
+            ),
+        )
+    )
+    append_corpus(docs, cp, partition_by=("lang",))
+    store = str(tmp_path / "gstore")
+    meta = build_gram_store(
+        read_corpus(spark, cp), "body", store, k=25, min_count=2
+    )
+    assert meta["text_col"] == "body"
+    with pytest.raises(ValueError, match="text_col"):
+        refresh_gram_store(spark, cp, store, text_col="text")
+    # default refresh follows the pin: the boiler grams (in body) stay
+    meta2 = refresh_gram_store(spark, cp, store)
+    assert meta2["version"] == 2
+    grams, _ = read_gram_store(spark, store)
+    assert grams.filter(F.col("gram") == BOILER[:25]).count() == 1
+
+
+def test_half_swap_repair_and_meta_fallback(spark, tmp_path):
+    """Crash-safety (ADVICE r11): a store caught between the two swap
+    renames (grams gone, grams_next complete) is rolled FORWARD on the
+    next read; one caught before the swap (grams_old only) rolls BACK;
+    a torn meta write (meta gone, meta.tmp whole) still reads."""
+    import pytest
+
+    from bambooai_spark.operators.gram_store import (
+        GRAMS_DIR,
+        META_NAME,
+        build_gram_store,
+        read_gram_store,
+    )
+    from bambooai_spark.operators.writer import _fs
+
+    corpus = _corpus(spark)
+    store = str(tmp_path / "gstore")
+    build_gram_store(corpus, "text", store, k=25, min_count=2)
+    n = read_gram_store(spark, store)[0].count()
+    fs, _ = _fs(spark, store)
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+
+    def mv(a, b):
+        assert fs.rename(jp(f"{store}/{a}"), jp(f"{store}/{b}"))
+
+    # mid-swap crash: dest missing, staged relation complete in _next
+    mv(GRAMS_DIR, GRAMS_DIR + "_next")
+    grams, _ = read_gram_store(spark, store)
+    assert grams.count() == n  # rolled forward
+    assert not fs.exists(jp(f"{store}/{GRAMS_DIR}_next"))
+    # pre-swap crash: dest moved aside, no staged relation
+    mv(GRAMS_DIR, GRAMS_DIR + "_old")
+    grams, _ = read_gram_store(spark, store)
+    assert grams.count() == n  # rolled back
+    # torn meta: .tmp fallback keeps the pinned policy readable
+    fs.rename(jp(f"{store}/{META_NAME}"), jp(f"{store}/{META_NAME}.tmp"))
+    _, meta = read_gram_store(spark, store, k=25)
+    assert meta["k"] == 25
+    with pytest.raises(ValueError, match="k=25"):
+        read_gram_store(spark, store, k=7)
+
+
+def test_delta_refresh_requires_inventory(spark, tmp_path):
+    """A store built from a non-file relation has no file inventory:
+    delta_only refuses with guidance instead of guessing the delta."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bambooai_spark.operators.gram_store import (
+        build_gram_store,
+        refresh_gram_store,
+    )
+    from bambooai_spark.operators.writer import append_corpus
+
+    cp = str(tmp_path / "corpus")
+    append_corpus(
+        _corpus(spark).withColumn("lang", F.lit("en")),
+        cp,
+        partition_by=("lang",),
+    )
+    store = str(tmp_path / "gstore")
+    meta = build_gram_store(_corpus(spark), "text", store)
+    assert meta["has_files"] is False
+    with pytest.raises(ValueError, match="file inventory"):
+        refresh_gram_store(spark, cp, store, delta_only=True)
+    # a full refresh records the inventory; delta works from then on
+    meta = refresh_gram_store(spark, cp, store)
+    assert meta["has_files"] is True
+    meta = refresh_gram_store(spark, cp, store, delta_only=True)
+    assert meta["n_rows"] == 12
+
+
+def test_batch_and_stream_ingest_gate_parity(spark, tmp_path):
+    """VERDICT r11 #6: batch ingest (ingest_to_corpus) and streaming
+    ingest enforce IDENTICAL hygiene — same benchmark + boilerplate
+    gates, same quality gate/PII scrub/fingerprint — so the same input
+    yields byte-identical stored rows either way."""
+    import hashlib
+
+    from bambooai_spark.operators.gram_store import build_gram_store
+    from bambooai_spark.streaming.documents import (
+        ingest_to_corpus,
+        stream_ingest_to_corpus,
+    )
+
+    corpus = _corpus(spark)
+    store = str(tmp_path / "gstore")
+    build_gram_store(corpus, "text", store, k=25, min_count=2)
+    bench_block = (
+        "THE BENCHMARK QUESTION BLOCK APPEARS VERBATIM RIGHT HERE OK "
+    )
+    bench = spark.createDataFrame([(bench_block,)], "text string")
+
+    def body(i):
+        return " the ".join(
+            hashlib.md5(f"s-{i}-{t}".encode()).hexdigest()[:8]
+            for t in range(14)
+        ) + " and it is of a document"
+
+    rows = [
+        (0, "en", "web", BOILER + " " + body(0)),
+        (1, "en", "web", bench_block + body(1)),
+        (2, "en", "web", body(2)),
+        (3, "en", "web", "short junk"),  # quality-gated out
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    )
+    src = str(tmp_path / "parts")
+    docs.coalesce(1).write.parquet(src)
+    sdf = spark.readStream.schema(docs.schema).parquet(src)
+    out_s = str(tmp_path / "corpus_stream")
+    assert stream_ingest_to_corpus(
+        sdf, out_s, benchmark=bench, boilerplate_store=store
+    ) is not None
+    out_b = str(tmp_path / "corpus_batch")
+    assert ingest_to_corpus(
+        docs, out_b, txn_id="b0", benchmark=bench,
+        boilerplate_store=store,
+    ) is not None
+
+    cols = ["doc_id", "lang", "source", "text", "fp", "n_words", "n_pii"]
+    got_s = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(out_s).select(*cols).collect()
+    )
+    got_b = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(out_b).select(*cols).collect()
+    )
+    assert got_s == got_b and len(got_b) == 3
+    texts = {t[0]: t[3] for t in got_b}
+    assert BOILER not in texts[0] and bench_block not in texts[1]
+    # fully-gated input -> None, nothing written
+    assert ingest_to_corpus(
+        spark.createDataFrame(
+            [(9, "en", "web", "junk")],
+            "doc_id long, lang string, source string, text string",
+        ),
+        str(tmp_path / "corpus_empty"),
+    ) is None

@@ -793,3 +793,70 @@ def test_bench_line_slim_at_any_suite_size():
     line = _final_line(big)
     assert len(line) <= 1996
     assert json.loads(line)["carried"] is None
+
+
+def test_bench_inflation_guard_flags_slow_phase():
+    """VERDICT r11 #1: a globally slow machine phase inflates a query's
+    min and max TOGETHER, sailing through the intra-run >=2x spread
+    guard — the carried-baseline guard must flag any query whose min
+    exceeds the prior round's min by >1.5x so the post-suite pass
+    re-measures it (both samples recorded in the sidecar)."""
+    from bench import _inflation_suspects
+
+    prev = {"q1": 1.30, "exact_cut_docs": 2.11, "sketch": 0.65,
+            "gone": 0.50}
+    # the r11 incident shape: exact_cut reads +92% with a tight intra-run
+    # spread; q1 wobbles +20% (dispersion class, not flagged); sketch
+    # reads 3x (the r10 incident)
+    mins = {"q1": 1.56, "exact_cut_docs": 4.05, "sketch": 1.95,
+            "new_spec": 0.80, "failed": -1.0}
+    assert _inflation_suspects(mins, prev) == ["exact_cut_docs", "sketch"]
+    # boundary: exactly 1.5x is dispersion, not inflation
+    assert _inflation_suspects({"q1": 1.95}, {"q1": 1.30}) == []
+    assert _inflation_suspects({"q1": 1.96}, {"q1": 1.30}) == ["q1"]
+    # degenerate baselines never divide/flag
+    assert _inflation_suspects({"q1": 9.0}, {"q1": 0.0}) == []
+    assert _inflation_suspects({"q1": 9.0}, {}) == []
+
+
+def test_bench_sidecar_round_stamp(tmp_path, monkeypatch):
+    """ADVICE r11: the sidecar is only trusted as the carried baseline
+    when its stamped round matches the newest recorded BENCH_r*.json —
+    a stale sidecar (slim round that crashed before its sidecar write)
+    falls back to the newest artifact that still carries queries."""
+    import json
+
+    import bench
+
+    # a fake repo dir: r10 fat artifact (has queries), r11 slim artifact
+    d = tmp_path / "repo"
+    d.mkdir()
+    (d / "BENCH_r10.json").write_text(json.dumps(
+        {"parsed": {"queries": {"q1": 1.0, "q2": 2.0}}, "sf": 0.1}
+    ))
+    (d / "BENCH_r11.json").write_text(json.dumps(
+        {"parsed": {"queries": {}}, "sf": 0.1}
+    ))
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(d / "bench.py")
+    )
+    # no sidecar: fall back to r10's fat artifact
+    assert bench._prev_round_queries() == ("r10", {"q1": 1.0, "q2": 2.0}, 0.1)
+    # sidecar stamped for r11: trusted
+    (d / "BENCH_SPREAD.json").write_text(json.dumps(
+        {"round": 11, "sf": 0.1, "queries": {"q1": 0.9, "q3": 3.0}}
+    ))
+    assert bench._prev_round_queries() == ("r11", {"q1": 0.9, "q3": 3.0}, 0.1)
+    # sidecar stamped for an OLDER round (crashed-before-write r11):
+    # falls back to r10 instead of mislabeling r9 minima as r11's
+    (d / "BENCH_SPREAD.json").write_text(json.dumps(
+        {"round": 9, "sf": 0.1, "queries": {"q1": 0.5}}
+    ))
+    assert bench._prev_round_queries() == ("r10", {"q1": 1.0, "q2": 2.0}, 0.1)
+    # legacy unstamped sidecar (r11 shipped one): accepted for continuity
+    (d / "BENCH_SPREAD.json").write_text(json.dumps(
+        {"sf": 0.1, "queries": {"q1": 0.8}}
+    ))
+    assert bench._prev_round_queries() == ("r11", {"q1": 0.8}, 0.1)
+    # and the stamp a run writes is newest-recorded + 1
+    assert bench._newest_recorded_round() == 11

@@ -870,6 +870,105 @@ def test_exact_substring_gram_pass_is_groupby_not_window(spark):
         assert agg_lines, plan
 
 
+def test_exact_substring_store_plugged(spark, tmp_path):
+    """gram_store reuse (VERDICT r11 #3): with a FRESH store plugged in,
+    spans/cut output is row-identical to the from-scratch computation,
+    the plan explodes postings ONCE (probe side only — the stats-side
+    explode is read from the store), and mismatched k/min_count/id_col
+    or a stale store refuse instead of silently diverging."""
+    import pytest
+
+    from bambooai_spark.operators.dedup import (
+        exact_substring_cut,
+        exact_substring_spans,
+    )
+    from bambooai_spark.operators.gram_store import build_gram_store
+
+    df = _spans_df(spark, XSUB_TEXTS)
+    store = str(tmp_path / "gstore")
+    build_gram_store(
+        df, "text", store, k=8, min_count=2, id_col="doc_id"
+    )
+    for keep_first in (False, True):
+        inline = sorted(
+            map(
+                tuple,
+                exact_substring_spans(
+                    df, "doc_id", "text", k=8, keep_first=keep_first
+                ).collect(),
+            )
+        )
+        plugged_df = exact_substring_spans(
+            df, "doc_id", "text", k=8, keep_first=keep_first,
+            gram_store_path=store,
+        )
+        assert sorted(map(tuple, plugged_df.collect())) == inline
+        # ONE explode: the probe side only
+        plan = plugged_df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("explode") == 1, plan
+    # the cut composes the same way
+    a = sorted(
+        (r.doc_id, r.clean_text)
+        for r in exact_substring_cut(
+            df, "doc_id", "text", k=8, keep_first=True
+        ).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.clean_text)
+        for r in exact_substring_cut(
+            df, "doc_id", "text", k=8, keep_first=True,
+            gram_store_path=store,
+        ).collect()
+    )
+    assert a == b
+    # guards: k pinned by the store read, min_count/id_col by the meta,
+    # freshness by the row count
+    with pytest.raises(ValueError, match="k=8"):
+        exact_substring_spans(
+            df, "doc_id", "text", k=9, gram_store_path=store
+        )
+    with pytest.raises(ValueError, match="min_count"):
+        exact_substring_spans(
+            df, "doc_id", "text", k=8, min_count=3, gram_store_path=store
+        )
+    with pytest.raises(ValueError, match="stale"):
+        exact_substring_spans(
+            df.limit(3), "doc_id", "text", k=8, gram_store_path=store
+        )
+    store2 = str(tmp_path / "gstore_noid")
+    build_gram_store(df, "text", store2, k=8, min_count=2)
+    with pytest.raises(ValueError, match="keep_first"):
+        exact_substring_spans(
+            df, "doc_id", "text", k=8, keep_first=True,
+            gram_store_path=store2,
+        )
+    # dup_grams= pre-built relation: same contract, caller-owned
+    from bambooai_spark.operators.gram_store import duplicated_grams
+
+    rel = duplicated_grams(df, "text", k=8, min_count=2, id_col="doc_id")
+    got = sorted(
+        map(
+            tuple,
+            exact_substring_spans(
+                df, "doc_id", "text", k=8, keep_first=True, dup_grams=rel
+            ).collect(),
+        )
+    )
+    assert got == sorted(
+        map(
+            tuple,
+            exact_substring_spans(
+                df, "doc_id", "text", k=8, keep_first=True
+            ).collect(),
+        )
+    )
+    with pytest.raises(ValueError, match="first"):
+        exact_substring_spans(
+            df, "doc_id", "text", k=8, keep_first=True,
+            dup_grams=rel.select("gram"),
+        )
+
+
 def test_exact_substring_one_hot_gram_stress(spark):
     """Adversarial skew: one 25+-char block present in EVERY document.
     With the groupBy plan the hot gram crosses the exchange as one row

@@ -2280,6 +2280,65 @@ def test_merge_corpus_delete_unmatched_snapshot_sync(spark, tmp_path):
     assert spark.read.parquet(out).count() == 12
 
 
+def test_merge_delete_freed_fp_never_unprotects_updated_text(
+    spark, tmp_path
+):
+    """ADVICE r11: with delete_unmatched, a deleted row whose fingerprint
+    equals an updated row's NEW text must not free that fp for inserts —
+    the freed-fp subtraction applies to the ledger-derived set only,
+    never to the update's new-text protection. Otherwise the insert
+    would create a second live row with the updated row's text."""
+    from bambooai_spark.operators.writer import merge_corpus, validate_corpus
+
+    out = str(tmp_path / "corpus")
+    append_corpus_txn(
+        spark.createDataFrame(
+            [
+                (1, "en", "web", "the first unique document text"),
+                (2, "en", "web", "the second unique document text"),
+            ],
+            "doc_id long, lang string, source string, text string",
+        ),
+        out,
+        0,
+    )
+    # doc 1 updates TO doc 2's text; doc 2 departs (freeing its fp);
+    # doc 3 tries to insert the very same text
+    src = spark.createDataFrame(
+        [
+            (1, "en", "snap", "the second unique document text"),
+            (3, "en", "snap", "the second unique document text"),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    merge_corpus(
+        spark, out, src, key_col="doc_id",
+        set_cols=("text", "source"), delete_unmatched=True,
+    )
+    stored = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    # one live row per fingerprint: the insert was dropped
+    assert stored == {1: "the second unique document text"}
+    assert spark.read.parquet(out + "/" + LEDGER_DIR).count() == 1
+    rep = validate_corpus(spark, out, deep=True).collect()
+    assert all(r["ok"] for r in rep), [r for r in rep if not r["ok"]]
+    # and a deleted fp NOT colliding with an updated text stays freed:
+    # doc 1 departs, doc 9 re-inserts doc 1's old text successfully
+    src2 = spark.createDataFrame(
+        [
+            (9, "en", "snap2", "the first unique document text"),
+        ],
+        "doc_id long, lang string, source string, text string",
+    )
+    merge_corpus(
+        spark, out, src2, key_col="doc_id",
+        set_cols=("text", "source"), delete_unmatched=True,
+    )
+    stored = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert stored == {9: "the first unique document text"}
+    rep = validate_corpus(spark, out, deep=True).collect()
+    assert all(r["ok"] for r in rep), [r for r in rep if not r["ok"]]
+
+
 def test_sync_crash_resume(spark, tmp_path, monkeypatch):
     """Crash injection at the snapshot-sync swap point: ONE frozen
     marker covers update+insert+delete — after resume the corpus equals
