@@ -30,6 +30,7 @@ from bambooai_spark.operators.gram_store import (
     boilerplate_spans,
     build_gram_store,
     duplicated_grams,
+    gram_counts,
     read_gram_store,
     refresh_gram_store,
 )
@@ -108,6 +109,7 @@ __all__ = [
     "exact_substring_cut",
     "build_gram_store",
     "duplicated_grams",
+    "gram_counts",
     "read_gram_store",
     "refresh_gram_store",
     "boilerplate_spans",

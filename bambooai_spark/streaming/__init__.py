@@ -8,8 +8,10 @@ from bambooai_spark.streaming.corpus import (
 )
 from bambooai_spark.streaming.documents import (
     ingest_documents,
+    ingest_to_corpus,
     read_documents_stream,
     stream_ingest_documents,
+    stream_ingest_to_corpus,
 )
 from bambooai_spark.streaming.events import (
     read_events_stream,
@@ -25,6 +27,8 @@ from bambooai_spark.streaming.memory import stream_upsert
 
 __all__ = [
     "ingest_documents",
+    "ingest_to_corpus",
+    "stream_ingest_to_corpus",
     "read_documents_stream",
     "read_events_stream",
     "stream_hourly_events",

@@ -5136,6 +5136,235 @@ def sync_corpus_docs(spark, sf_dir):
 
 
 @spec(
+    "curation_pipeline_docs",
+    r"""
+    WITH bgram AS (
+      SELECT substr(text, CAST(i AS BIGINT), 25) AS gram
+      FROM documents, LATERAL unnest(range(1, length(text) - 25 + 2)) AS t(i)
+      WHERE length(text) >= 25
+      GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    bench AS (
+      SELECT DISTINCT substr(text, CAST(i AS BIGINT), 25) AS gram
+      FROM documents, LATERAL unnest(range(1, length(text) - 25 + 2)) AS t(i)
+      WHERE doc_id % 100 = 0 AND length(text) >= 25
+    ),
+    g AS (SELECT gram FROM bgram UNION SELECT gram FROM bench),
+    tgt AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 100 <> 0),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p,
+             substr(text, CAST(i AS BIGINT), 25) AS gram
+      FROM tgt, LATERAL unnest(range(1, length(text) - 25 + 2)) AS t(i)
+      WHERE length(text) >= 25
+    ),
+    hits AS (SELECT doc_id, p FROM pos JOIN g USING (gram)),
+    isl AS (SELECT doc_id, p,
+                   p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                     AS grp
+            FROM hits),
+    spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + 24 AS e
+              FROM isl GROUP BY doc_id, grp),
+    segs AS (
+      SELECT doc_id,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+               AS seg_s,
+             s - 1 AS seg_e
+      FROM spans
+      UNION ALL
+      SELECT doc_id, MAX(e) + 1 AS seg_s, NULL AS seg_e
+      FROM spans GROUP BY doc_id),
+    spliced AS (
+      SELECT t.doc_id,
+             STRING_AGG(
+               CASE WHEN COALESCE(seg_e, LENGTH(t.text)) >= seg_s
+                    THEN substr(t.text, seg_s,
+                                COALESCE(seg_e, LENGTH(t.text)) - seg_s + 1)
+                    ELSE '' END, '' ORDER BY seg_s) AS kept
+      FROM tgt t JOIN segs USING (doc_id) GROUP BY t.doc_id),
+    cut AS (
+      SELECT t.doc_id, t.lang, COALESCE(spliced.kept, t.text) AS text
+      FROM tgt t LEFT JOIN spliced USING (doc_id)),
+    q AS (
+      SELECT doc_id, lang, text,
+             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+               AS n_words,
+             length(regexp_replace(text, '\s', '', 'g'))
+               / CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)
+               AS avg_len,
+             list_contains(regexp_split_to_array(text, '\s+'), 'the')
+               AS has_common
+      FROM cut),
+    kept AS (
+      SELECT doc_id, lang,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b',
+               '<PHONE>', 'g') AS text
+      FROM q
+      WHERE NOT (text IS NULL
+                 OR length(regexp_replace(text, '\s', '', 'g')) = 0
+                 OR n_words < 10 OR n_words > 1000
+                 OR avg_len < 2.0 OR avg_len > 12.0 OR NOT has_common)),
+    fp AS (SELECT *, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                  AS f
+           FROM kept),
+    ded AS (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+    live AS (SELECT p.doc_id, p.lang, p.text, p.f
+             FROM fp p JOIN ded k ON p.doc_id = k.doc_id AND p.f = k.f),
+    scored AS (
+      SELECT doc_id, lang, text, f,
+             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(length(text) AS DOUBLE)
+               / len(regexp_split_to_array(text, '\s+')) AS score
+      FROM live),
+    w AS (SELECT * FROM (VALUES ('en', 2000), ('de', 750)) v(lang, budget)),
+    cum AS (
+      SELECT s.*, w.budget,
+             CAST(SUM(s.n_tokens) OVER (
+               PARTITION BY s.lang ORDER BY s.score DESC, s.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM scored s JOIN w ON s.lang = w.lang),
+    sel AS (SELECT * FROM cum WHERE cum_tokens - n_tokens < budget),
+    sp AS (
+      SELECT *,
+             CASE WHEN md5(f || '|split')
+                       < '20000000000000000000000000000000' THEN 'val'
+                  WHEN md5(f || '|split')
+                       < '30000000000000000000000000000000' THEN 'test'
+                  ELSE 'train' END AS split
+      FROM sel),
+    packed AS (
+      SELECT doc_id, lang, split, score,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tok,
+             COALESCE(SUM(CAST(ceil(length(text) / 4.0) AS BIGINT)) OVER (
+               PARTITION BY split, lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM sp),
+    sh AS (
+      SELECT doc_id, lang, split, score, n_tok,
+             CAST(off // 2048 AS BIGINT) AS chunk_id,
+             CAST(off % 2048 AS BIGINT) AS chunk_offset,
+             md5(CAST(doc_id AS VARCHAR)) AS key,
+             CAST(list_reduce(
+                    list_transform(
+                      regexp_split_to_array(
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+                      c -> strpos('0123456789abcdef', c) - 1)::BIGINT[],
+                    (acc, dg) -> acc * 16 + dg) % 4 AS INT) AS shard
+      FROM packed)
+    SELECT doc_id, lang, split, ROUND(score, 6) AS score, n_tok,
+           chunk_id, chunk_offset, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id)
+                AS BIGINT) AS pos
+    FROM sh
+    """,
+    headline=True,
+    regime="lifecycle",
+    doc="The WHOLE training-data curation pipeline as ONE composed flow "
+    "under the hash-exact gate (VERDICT r11 #4): build the boilerplate "
+    "gram store over the corpus inventory, batch-ingest the non-benchmark "
+    "docs through ingest_to_corpus with BOTH span gates riding one splice "
+    "(benchmark decontamination + known-boilerplate cut) plus the quality "
+    "gate, PII scrub, and fingerprint-ledger exact dedup; score the "
+    "stored text, fill per-language token budgets best-first "
+    "(quality_budget_sample), assign leakage-safe splits at fingerprint "
+    "grain — with a split_leakage_report zero-straddler assertion INSIDE "
+    "the spec — pack each (split, lang) stream two-phase into 2048-token "
+    "chunks, and export md5-sharded JSONL that is read BACK for the "
+    "comparison. The oracle replays every stage in one WITH chain: "
+    "store grams + bench grams -> islands splice -> quality CASE -> "
+    "triple regexp scrub -> min-id dedup -> budget window -> split hash "
+    "boundaries -> pack prefix sum -> shard permutation. Catches the "
+    "interface mismatches per-operator oracles cannot (split labels "
+    "flowing into pack streams, scrubbed text flowing into scores).",
+)
+def curation_pipeline_docs(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.functions.text import fingerprint  # noqa: PLC0415
+    from bambooai_spark.operators.export import (  # noqa: PLC0415
+        export_jsonl_shards,
+    )
+    from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
+        build_gram_store,
+    )
+    from bambooai_spark.operators.packing import (  # noqa: PLC0415
+        leakage_safe_split,
+        pack_sequences,
+        quality_budget_sample,
+        split_leakage_report,
+    )
+    from bambooai_spark.operators.writer import read_corpus  # noqa: PLC0415
+    from bambooai_spark.streaming.documents import (  # noqa: PLC0415
+        ingest_to_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="bbai_pipeline_spec_")
+    store = os.path.join(tmp, "gstore")
+    build_gram_store(d, "text", store, k=25, min_count=2)
+    benchmark = d.filter(F.col("doc_id") % 100 == 0)
+    corpus = os.path.join(tmp, "corpus")
+    ingest_to_corpus(
+        d.filter(F.col("doc_id") % 100 != 0).select(
+            "doc_id", "lang", "source", "text"
+        ),
+        corpus,
+        txn_id="p0",
+        benchmark=benchmark,
+        boilerplate_store=store,
+    )
+    live = read_corpus(spark, corpus)
+    score = F.length("text").cast("double") / F.size(tokens("text"))
+    kept = quality_budget_sample(
+        live, {"en": 2000, "de": 750}, score=score
+    )
+    sel = live.join(kept.select("doc_id", "score"), "doc_id")
+    sp = leakage_safe_split(
+        sel, "doc_id", "text", fractions={"val": 0.125, "test": 0.0625}
+    )
+    # the pipeline's own leakage gate: zero duplicate clusters straddle
+    # the split, by construction — assert it anyway (the whole point of
+    # a composed spec is catching stage-interface drift)
+    leaks = split_leakage_report(
+        sp, fingerprint("text", normalize=True)
+    ).count()
+    if leaks:
+        raise RuntimeError(
+            f"curation pipeline leaked {leaks} clusters across splits"
+        )
+    packed = pack_sequences(
+        sp, "doc_id", "text", budget=2048,
+        stream_cols=("split", "lang"), strategy="twophase",
+    )
+    final = sp.select(
+        "doc_id", "lang", "split", F.round("score", 6).alias("score")
+    ).join(
+        packed.select("doc_id", "n_tok", "chunk_id", "chunk_offset"),
+        "doc_id",
+    )
+    exp = os.path.join(tmp, "export")
+    export_jsonl_shards(final, exp, "doc_id", n_shards=4, keep_pos=True)
+    back = spark.read.json(exp)
+    return back.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang").cast("string").alias("lang"),
+        F.col("split").cast("string").alias("split"),
+        F.col("score").cast("double").alias("score"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("chunk_offset").cast("long").alias("chunk_offset"),
+        F.col("shard").cast("int").alias("shard"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+
+
+@spec(
     "merge_corpus_docs",
     r"""
     WITH fp AS (
@@ -6484,19 +6713,15 @@ _PROMOTE = [
     # passage_dup_docs, similarity <- knn_ivf_md5, multimodal/embed <-
     # embed_md5_docs, token stats <- token_stats_docs itself.
     "intersect_except_customers",
-    "unpivot_orders",
-    "percent_rank_customers",
-    "string_agg_regions",
-    "fingerprint_docs",
-    "token_stats_docs",
+    # (unpivot_orders, percent_rank_customers, string_agg_regions,
+    # fingerprint_docs, token_stats_docs, isin_orders, cumsum_events,
+    # and argmax_events — 4 greens each, freshest r11 — yield their
+    # slots in the r12 rotation below.)
     "text_quality_docs",
     # (lang_id_docs yields its slot in the r11 rotation below; text
     # analysis stays repped by token_stats_docs + text_quality_docs.)
-    "isin_orders",
-    "cumsum_events",
     # (pct_change_events yields its slot in the r11 rotation below;
     # the cumulative family stays repped by cumsum_events.)
-    "argmax_events",
     "json_extract_events",
     "ftp_events",
     # Round-8 continuation 2: the session's four new oracled specs get
@@ -6508,11 +6733,11 @@ _PROMOTE = [
     # re-proves the md5 minhash construction end-to-end); q8's
     # join+agg family stays repped by q12/q13/q21. All four demoted
     # rows carry 3 green driver rounds and stay benched + pytest-pinned.
-    "theta_overlap_docs",
+    # (theta_overlap_docs, near_dup_gate_docs, and
+    # vector_store_embeddings — 4 greens each, freshest r11 — yield
+    # their slots in the r12 rotation below.)
     # (theta_audience_events yields its slot in the r11 rotation below;
-    # the theta-sketch family stays repped by theta_overlap_docs.)
-    "near_dup_gate_docs",
-    "vector_store_embeddings",
+    # the theta-sketch family stays repped by sketch_distinct_events.)
     # Round-8 continuation 3: the new data-skipping and CDC lifecycle
     # specs get their driver grades the round they land. Their slots:
     # cube_orders and range_frame_events each carry a fresh green r7
@@ -6607,8 +6832,54 @@ _PROMOTE = [
     "contamination_spans_docs",
     "contamination_fraction_docs",
     "merge_corpus_docs",
+    # Round-12 rotation (VERDICT r11 #1 + the new-spec policy since r6):
+    # the four r11-flagship oracled specs that have never held a driver
+    # row — sync_corpus_docs (snapshot-sync MERGE), boilerplate_cut_docs
+    # (span-grain ingest gate), holdout_split_docs (leakage-safe
+    # splitter), quality_budget_docs (curation planner) — plus the new
+    # composed curation_pipeline_docs earn their grades this round, and
+    # the six r10-demoted 4-green rows whose last green is r9 return on
+    # the aging schedule (VERDICT r10/r11 #7: no spec's driver evidence
+    # ages past ~3 rounds). Their eleven slots come from eleven 4-green
+    # rows re-evidenced r11 (see the vacated-slot notes above); every
+    # family stays represented in-window: reshape <- pivot_orders
+    # (returning), ranking <- ntile_customers (returning), token stats
+    # <- regex_token_stats_docs (returning) + text_quality_docs, grouped
+    # top-k <- top_parts_per_brand (returning), membership/predicates <-
+    # q12/q16/q20, cumulative <- window_offsets_events, ordered agg <-
+    # group_index_events, exact dedup <- the ledger dedup inside
+    # curation_pipeline/surgery/merge/sync, sketches <-
+    # sketch_distinct_events, vector store <- vector_store_pq_embeddings
+    # + refresh_vector_embeddings, ingest gating <- boilerplate_cut_docs
+    # + curation_pipeline_docs + simhash_md5_near_dup_docs.
+    "sync_corpus_docs",
+    "boilerplate_cut_docs",
+    "holdout_split_docs",
+    "quality_budget_docs",
+    "curation_pipeline_docs",
+    "repetition_docs",
+    "ntile_customers",
+    "pivot_orders",
+    "regex_token_stats_docs",
+    "top_parts_per_brand",
+    "chunk_docs",
 ]
 _DEMOTE = [
+    # Round-12 demotions (slots for the r12 rotation above); all stay
+    # headline-benched and oracle-pinned in pytest with 4 green driver
+    # rounds each (r8-r11), freshest r11 — the window's most-evidenced
+    # rows. Family coverage notes at the r12 _PROMOTE block.
+    "unpivot_orders",
+    "percent_rank_customers",
+    "string_agg_regions",
+    "fingerprint_docs",
+    "token_stats_docs",
+    "isin_orders",
+    "cumsum_events",
+    "argmax_events",
+    "theta_overlap_docs",
+    "near_dup_gate_docs",
+    "vector_store_embeddings",
     # Round-11 demotions (slots for the r11 rotation above); all stay
     # headline-benched and oracle-pinned in pytest with 3 green driver
     # rounds each, freshest r10.
@@ -6616,18 +6887,10 @@ _DEMOTE = [
     "theta_audience_events",
     "lang_id_docs",
     "pct_change_events",
-    # Round-10 continuation demotions (slots for the ExactSubstr specs
-    # above); both stay headline-benched and oracle-pinned in pytest.
-    "repetition_docs",
-    "ntile_customers",
-    # Round-10 continuation-2 demotions (slots for knn_pq_md5_embeddings
-    # and vector_store_pq_embeddings):
-    "pivot_orders",
-    "regex_token_stats_docs",
-    # Round-10 continuation-3/4 demotions (slots for
-    # cluster_profile_embeddings and update_corpus_docs):
-    "top_parts_per_brand",
-    "chunk_docs",
+    # (repetition_docs, ntile_customers, pivot_orders,
+    # regex_token_stats_docs, top_parts_per_brand, and chunk_docs —
+    # demoted r10 with 4 greens, last green r9 — returned to the window
+    # in the r12 rotation above on the aging schedule.)
     # Round-10 demotions (slots for the r10 rotation above); all stay
     # headline-benched and oracle-pinned in pytest with five green
     # driver rounds each, freshest r9.
