@@ -1372,6 +1372,22 @@ def exact_substring_spans(
                 f"min_count={smeta.get('min_count')}, caller expects "
                 f"{min_count} — rebuild the store or match it"
             )
+        if smeta.get("text_col", text_col) != text_col:
+            raise ValueError(
+                f"gram store at {gram_store_path} was built over "
+                f"text_col={smeta.get('text_col')!r}, this call scans "
+                f"{text_col!r} — the store's grams describe a different "
+                "column; build a store over this one"
+            )
+        if not smeta.get("counts_exact", True):
+            raise ValueError(
+                f"gram store at {gram_store_path} was last refreshed "
+                "delta-only: its counts carry the documented "
+                "singleton+singleton lag, so spans would differ from "
+                "the from-scratch computation — run a full "
+                "refresh_gram_store first (the ingest GATE may keep "
+                "using it; batch surgery must not)"
+            )
         if keep_first and smeta.get("id_col") != id_col:
             raise ValueError(
                 f"keep_first needs the store's first-occurrence column "

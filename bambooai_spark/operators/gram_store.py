@@ -66,8 +66,44 @@ def _join(a: str, b: str) -> str:
     return a.rstrip("/") + "/" + b
 
 
-def _basename(p: str) -> str:
-    return p.rstrip("/").rsplit("/", 1)[-1]
+def repair_gram_store(spark: SparkSession, path: str) -> None:
+    """Finish or roll back a half-swapped store left by a crashed
+    :func:`refresh_gram_store` — a MAINTENANCE verb (single maintenance
+    writer, same contract as the corpus module's recover/compact verbs):
+    it mutates the store, so it must never run from a read path, where
+    it would race a live refresh and destroy its staged relation.
+    Called automatically on refresh entry; run it directly to make a
+    crashed store readable again without a full refresh.
+
+    The swap protocol is rename(grams -> grams_old),
+    rename(grams_next -> grams), delete grams_old — a crash between the
+    renames leaves ``grams`` missing with the new relation complete in
+    ``grams_next`` (roll FORWARD) or, if the staging never finished, the
+    old relation intact in ``grams_old`` (roll BACK). With ``grams``
+    present, leftover staging dirs are stale and dropped."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        _fs_delete,
+        _fs_exists,
+    )
+
+    dest = _join(path, GRAMS_DIR)
+    nxt = _join(path, GRAMS_DIR + "_next")
+    old = _join(path, GRAMS_DIR + "_old")
+    if _fs_exists(spark, dest):
+        _fs_delete(spark, nxt)
+        _fs_delete(spark, old)
+        return
+    if _fs_exists(spark, nxt):
+        # the next relation is only staged complete (parquet committed)
+        # before the swap starts, so rolling forward publishes a whole
+        # relation; the meta (written after the swap) may still carry
+        # the previous counts — informational fields only, and the next
+        # refresh rewrites them
+        _rename_checked(spark, nxt, dest)
+        _fs_delete(spark, old)
+        return
+    if _fs_exists(spark, old):
+        _rename_checked(spark, old, dest)
 
 
 def _postings(
@@ -166,39 +202,6 @@ def _rename_checked(spark: SparkSession, src: str, dst: str) -> None:
         raise RuntimeError(f"gram store rename failed: {src} -> {dst}")
 
 
-def _repair_store(spark: SparkSession, path: str) -> None:
-    """Entry-point repair of a half-swapped store. The swap protocol is
-    rename(grams -> grams_old), rename(grams_next -> grams), delete
-    grams_old — a crash between the renames leaves ``grams`` missing
-    with the new relation complete in ``grams_next`` (roll FORWARD) or,
-    if the staging never finished, the old relation intact in
-    ``grams_old`` (roll BACK). With ``grams`` present, leftover staging
-    dirs are stale and dropped."""
-    from bambooai_spark.operators.writer import (  # noqa: PLC0415
-        _fs_delete,
-        _fs_exists,
-    )
-
-    dest = _join(path, GRAMS_DIR)
-    nxt = _join(path, GRAMS_DIR + "_next")
-    old = _join(path, GRAMS_DIR + "_old")
-    if _fs_exists(spark, dest):
-        _fs_delete(spark, nxt)
-        _fs_delete(spark, old)
-        return
-    if _fs_exists(spark, nxt):
-        # the next relation is only staged complete (parquet committed)
-        # before the swap starts, so rolling forward publishes a whole
-        # relation; the meta (written after the swap) may still carry
-        # the previous counts — informational fields only, and the next
-        # refresh rewrites them
-        _rename_checked(spark, nxt, dest)
-        _fs_delete(spark, old)
-        return
-    if _fs_exists(spark, old):
-        _rename_checked(spark, old, dest)
-
-
 def _swap_in(spark: SparkSession, path: str, nxt: str) -> None:
     """Publish a staged grams relation: two checked renames; the old
     relation is deleted only after the destination verifiably exists."""
@@ -263,10 +266,17 @@ def _write_file_inventory(
     spark: SparkSession, grams_dir: str, files: list[str]
 ) -> None:
     """Record the corpus data files the relation was counted from, as
-    basenames, INSIDE the grams dir (hidden ``_files`` parquet) — the
-    delta-refresh watermark. Driver-side O(files), the same class as the
-    corpus manifest bookkeeping."""
-    rows = [(b,) for b in sorted({_basename(f) for f in files})]
+    FULL qualified paths, INSIDE the grams dir (hidden ``_files``
+    parquet) — the delta-refresh watermark. Full paths, not basenames:
+    one dynamic-partition write job produces the SAME basename in
+    different partition directories (``lang=en/b0-part-00003-<uuid>``
+    and ``lang=de/b0-part-00003-<uuid>``), so a basename key could miss
+    a deleted file behind its surviving twin and skip the vanished-file
+    fallback. A relocated corpus makes every stored path 'vanish' and
+    delta refresh falls back to a full rebuild — the safe direction.
+    Driver-side O(files), the same class as the corpus manifest
+    bookkeeping."""
+    rows = [(f,) for f in sorted(set(files))]
     spark.createDataFrame(rows, "file string").coalesce(1).write.mode(
         "overwrite"
     ).parquet(_join(grams_dir, FILES_SUBDIR))
@@ -310,12 +320,17 @@ def build_gram_store(
     exchange), which lets ``exact_substring_spans(keep_first=True)``
     run entirely from the store.
 
-    When ``df`` is a file-backed corpus read (``read_corpus`` /
-    ``spark.read.parquet``), its scan files are recorded as the store's
-    file inventory, enabling ``refresh_gram_store(delta_only=True)``.
-    Rebuild-in-place via :func:`refresh_gram_store` writes to the side
-    and swaps, so a concurrent gate reader sees the old relation or
-    fails loudly mid-swap — never a half-written one."""
+    When ``df`` is an UNFILTERED file-backed corpus read
+    (``read_corpus`` / ``spark.read.parquet``), its scan files are
+    recorded as the store's file inventory, enabling
+    ``refresh_gram_store(delta_only=True)``. "Unfiltered" is VERIFIED,
+    not assumed: ``inputFiles()`` reflects the scan, not a filter above
+    it, so the inventory is recorded only when the files' total row
+    count equals ``df``'s — a filtered/transformed relation would
+    otherwise arm delta refresh with counts that don't correspond to
+    the inventory. Rebuild-in-place via :func:`refresh_gram_store`
+    writes to the side and swaps, so a concurrent gate reader sees the
+    old relation or fails loudly mid-swap — never a half-written one."""
     spark = df.sparkSession
     if k < 2:
         raise ValueError("build_gram_store: k must be >= 2")
@@ -324,10 +339,15 @@ def build_gram_store(
     )
     gdir = _join(path, GRAMS_DIR)
     grams.write.mode("overwrite").parquet(gdir)
+    n_rows = df.count()
     try:
         files = list(df.inputFiles())
     except Exception:
         files = []
+    if files:
+        file_rows = spark.read.schema(df.schema).parquet(*files).count()
+        if file_rows != n_rows:
+            files = []  # filtered/derived relation: no delta watermark
     if files:
         _write_file_inventory(spark, gdir, files)
     n = spark.read.parquet(gdir).count()
@@ -342,8 +362,13 @@ def build_gram_store(
         "n_grams": n,
         # source row count at build time: the staleness signal the
         # maintenance advisor compares against the corpus manifest
-        "n_rows": df.count(),
+        "n_rows": n_rows,
         "has_files": bool(files),
+        # False after a delta refresh: the counts then carry the
+        # documented singleton+singleton lag relative to a from-scratch
+        # build, which the exact_substring_spans store-plugged path
+        # must refuse (its output must equal the inline computation)
+        "counts_exact": True,
         "version": 1,
     }
     _write_meta(spark, path, meta)
@@ -355,16 +380,29 @@ def read_gram_store(
 ) -> tuple[DataFrame, dict]:
     """(grams relation, meta). ``k`` asserts the caller's gram width
     matches the store's — a mismatch would silently screen nothing.
-    Repairs a half-swapped store (crashed :func:`refresh_gram_store`)
-    on entry."""
+
+    READ-ONLY by contract: a concurrent :func:`refresh_gram_store` may
+    be mid-swap, so this never mutates the store (a read-side repair
+    would race the refresh and destroy its staged relation). A store
+    left half-swapped by a CRASHED refresh therefore raises here with
+    the repair pointer instead of being silently fixed."""
+    from bambooai_spark.operators.writer import _fs_exists  # noqa: PLC0415
+
     meta = _read_meta(spark, path)
-    _repair_store(spark, path)
     if k is not None and meta.get("k") != k:
         raise ValueError(
             f"gram store at {path} was built with k={meta.get('k')}, "
             f"caller expects k={k} — rebuild the store or match the k"
         )
-    return spark.read.parquet(_join(path, GRAMS_DIR)), meta
+    gdir = _join(path, GRAMS_DIR)
+    if not _fs_exists(spark, gdir):
+        raise RuntimeError(
+            f"gram store at {path} has no {GRAMS_DIR}/ relation — either "
+            "a refresh is mid-swap (retry the read) or a crashed refresh "
+            "left it half-swapped (run repair_gram_store or "
+            "refresh_gram_store to roll it forward)"
+        )
+    return spark.read.parquet(gdir), meta
 
 
 def refresh_gram_store(
@@ -401,13 +439,20 @@ def refresh_gram_store(
       narrower;
     - for crossers, ``first`` records the earliest occurrence KNOWN to
       the store (which may be a delta occurrence — the old singleton's
-      position was not retained).
+      position was not retained);
+    - the meta's ``counts_exact`` flips False after any delta merge
+      (sticky until a full rebuild): the INGEST GATE tolerates the lag
+      by its freshness contract, but ``exact_substring_spans(
+      gram_store_path=)`` — whose output must equal the from-scratch
+      computation — refuses a lagged store.
 
     The new relation is staged to the side and swapped via two CHECKED
     renames (rename failure raises; the old relation is deleted only
     after the destination verifiably exists), and a half-swapped store
-    left by a crash is repaired on the next read/refresh entry — roll
-    forward when the staged relation is complete, roll back otherwise.
+    left by a crash is repaired on the next REFRESH entry (or directly
+    via :func:`repair_gram_store`) — roll forward when the staged
+    relation is complete, roll back otherwise. Reads never repair: a
+    read-side mutation would race a live refresh's staged relation.
     A concurrent gate reads the OLD store until the swap and may fail
     LOUDLY (missing-path AnalysisException) during the instant between
     renames, never silently screen with half a relation; retry the read
@@ -415,7 +460,9 @@ def refresh_gram_store(
     from bambooai_spark.operators.writer import read_corpus  # noqa: PLC0415
 
     meta = _read_meta(spark, store_path)
-    _repair_store(spark, store_path)
+    # refresh is the MAINTENANCE entry point (single maintenance
+    # writer), so crashed-swap repair belongs here — never on reads
+    repair_gram_store(spark, store_path)
     pinned = meta.get("text_col", "text")
     if text_col is not None and text_col != pinned:
         raise ValueError(
@@ -430,29 +477,29 @@ def refresh_gram_store(
         cur_files = list(live.inputFiles())
     except Exception:
         cur_files = []
-    cur_base = {_basename(f) for f in cur_files}
+    cur_set = set(cur_files)
 
     grams = None
+    delta_applied = False
     if delta_only:
         stored = _read_file_inventory(spark, store_path)
         if stored is None:
             raise ValueError(
                 "delta_only refresh needs the store's file inventory — "
-                "this store predates it (or was built from a non-file "
-                "relation); run a full refresh_gram_store first"
+                "this store predates it (or was built from a filtered/"
+                "non-file relation); run a full refresh_gram_store first"
             )
-        if stored - cur_base:
-            # files vanished: compaction or a delete rewrite collapsed
-            # them — their per-file contribution to the stored counts
-            # cannot be subtracted, so fall back to the full rebuild
+        if stored - cur_set:
+            # files vanished (or the corpus moved): compaction or a
+            # delete rewrite collapsed them — their per-file
+            # contribution to the stored counts cannot be subtracted,
+            # so fall back to the full rebuild
             delta_only = False
         else:
-            new_files = [
-                f for f in cur_files if _basename(f) not in stored
-            ]
+            new_files = [f for f in cur_files if f not in stored]
             if not new_files:
-                meta = dict(meta, n_rows=live.count())
-                _write_meta(spark, store_path, meta)
+                # identical file set == identical rows (parquet files
+                # are immutable): pure no-op, nothing to count or write
                 return meta
             old = spark.read.parquet(_join(store_path, GRAMS_DIR))
             if "cnt" not in old.columns:
@@ -487,6 +534,7 @@ def refresh_gram_store(
                 .select(*sel)
                 .filter(F.col("cnt") >= meta["min_count"])
             )
+            delta_applied = True
     if grams is None:
         grams = duplicated_grams(
             live, tcol, k=meta["k"], min_count=meta["min_count"],
@@ -501,6 +549,10 @@ def refresh_gram_store(
     _swap_in(spark, store_path, nxt)
     meta = dict(
         meta, n_grams=n, n_rows=n_rows, has_files=bool(cur_files),
+        # a delta merge carries the singleton+singleton lag — sticky
+        # until a full rebuild restores from-scratch-exact counts; the
+        # batch ExactSubstr store-plugged path refuses lagged stores
+        counts_exact=not delta_applied,
         version=int(meta.get("version", 1)) + 1,
     )
     _write_meta(spark, store_path, meta)

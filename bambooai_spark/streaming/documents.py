@@ -271,27 +271,34 @@ def ingest_to_corpus(
         decontaminate_k, boilerplate_store, persist=False,
     )
     batch = _apply_span_gates(docs, grams, grams_broadcast, decontaminate_k)
+    # persist across the isEmpty probe and the append: the gated plan
+    # (postings explode + store semi-join + quality/scrub projections)
+    # would otherwise evaluate twice per batch
     ingested = (
         ingest_documents(batch)
         .filter(F.col("keep"))
         .drop("keep", "reason")
+        .persist()
     )
-    if ingested.isEmpty():
-        return None
-    kw = dict(
-        partition_by=partition_by,
-        id_col="doc_id",
-        text_col="text",
-        max_records_per_file=max_records_per_file,
-        token_col=token_col,
-        evolve_schema=evolve_schema,
-        lease=lease,
-        near_dup_threshold=near_dup_threshold,
-        near_dup_opts=near_dup_opts,
-    )
-    if txn_id is None:
-        return append_corpus(ingested, path, **kw)
-    return append_corpus_txn(ingested, path, txn_id, **kw)
+    try:
+        if ingested.isEmpty():
+            return None
+        kw = dict(
+            partition_by=partition_by,
+            id_col="doc_id",
+            text_col="text",
+            max_records_per_file=max_records_per_file,
+            token_col=token_col,
+            evolve_schema=evolve_schema,
+            lease=lease,
+            near_dup_threshold=near_dup_threshold,
+            near_dup_opts=near_dup_opts,
+        )
+        if txn_id is None:
+            return append_corpus(ingested, path, **kw)
+        return append_corpus_txn(ingested, path, txn_id, **kw)
+    finally:
+        ingested.unpersist()
 
 
 def stream_ingest_to_corpus(
@@ -415,35 +422,43 @@ def stream_ingest_to_corpus(
         batch_df = _apply_span_gates(
             batch_df, grams, grams_broadcast, decontaminate_k
         )
+        # persist across the isEmpty probe and the append (same
+        # double-evaluation economics as the batch twin)
         ingested = (
             ingest_documents(batch_df)
             .filter(F.col("keep"))
             .drop("keep", "reason")
+            .persist()
         )
-        if ingested.isEmpty():
-            return
-        kw = dict(
-            partition_by=partition_by,
-            id_col="doc_id",
-            text_col="text",
-            max_records_per_file=max_records_per_file,
-            token_col=token_col,
-            # additive-only corpus schema evolution (long-lived streams
-            # are where sources grow columns); see append_corpus
-            evolve_schema=evolve_schema,
-            lease=lease,
-            near_dup_threshold=near_dup_threshold,
-            near_dup_opts=near_dup_opts,
-        )
-        if checkpoint_location is None:
-            # no checkpoint → no replay identity → the plain ledger-dedup
-            # append (at-least-once); a txn id would never be revisited
-            # and its staging could orphan on crash
-            holder["manifest"] = append_corpus(ingested, path, **kw)
-        else:
-            holder["manifest"] = append_corpus_txn(
-                ingested, path, f"{_ns()}.{batch_id}", **kw
+        try:
+            if ingested.isEmpty():
+                return
+            kw = dict(
+                partition_by=partition_by,
+                id_col="doc_id",
+                text_col="text",
+                max_records_per_file=max_records_per_file,
+                token_col=token_col,
+                # additive-only corpus schema evolution (long-lived
+                # streams are where sources grow columns); see
+                # append_corpus
+                evolve_schema=evolve_schema,
+                lease=lease,
+                near_dup_threshold=near_dup_threshold,
+                near_dup_opts=near_dup_opts,
             )
+            if checkpoint_location is None:
+                # no checkpoint → no replay identity → the plain
+                # ledger-dedup append (at-least-once); a txn id would
+                # never be revisited and its staging could orphan on
+                # crash
+                holder["manifest"] = append_corpus(ingested, path, **kw)
+            else:
+                holder["manifest"] = append_corpus_txn(
+                    ingested, path, f"{_ns()}.{batch_id}", **kw
+                )
+        finally:
+            ingested.unpersist()
 
     writer = docs_stream.writeStream.foreachBatch(_append)
     if checkpoint_location:

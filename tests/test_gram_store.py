@@ -405,7 +405,21 @@ def test_delta_refresh_matches_full_rebuild(spark, tmp_path):
         assert delta_rows[g] == full_rows[g], g
     # new boiler was promoted by the delta merge
     assert new_boiler[:25] in delta_rows
-    # no new files -> metadata-only no-op (version unchanged)
+    # lineage: the delta merge marks counts inexact (sticky) — the
+    # batch ExactSubstr store-plugged path must refuse such a store
+    # (review finding: the n_rows freshness guard alone would pass it)
+    import pytest
+
+    from bambooai_spark.operators.dedup import exact_substring_spans
+    from bambooai_spark.operators.writer import read_corpus
+
+    assert meta["counts_exact"] is False
+    with pytest.raises(ValueError, match="delta-only"):
+        exact_substring_spans(
+            read_corpus(spark, cp), "doc_id", "text", k=25,
+            gram_store_path=store,
+        )
+    # no new files -> pure no-op (no count job, meta untouched)
     meta2 = refresh_gram_store(spark, cp, store, delta_only=True)
     assert meta2["version"] == 2 and meta2["n_rows"] == 14
     # vanished files (delete rewrite) -> silent fallback to full rebuild,
@@ -415,6 +429,9 @@ def test_delta_refresh_matches_full_rebuild(spark, tmp_path):
     delete_from_corpus(spark, cp, "doc_id = 3")
     meta3 = refresh_gram_store(spark, cp, store, delta_only=True)
     assert meta3["version"] == 3 and meta3["n_rows"] == 13
+    # the fallback is a FULL rebuild: exactness restored, lag grams
+    # present, and the store is store-pluggable again
+    assert meta3["counts_exact"] is True
     rebuilt = {
         r["gram"] for r in read_gram_store(spark, store)[0].collect()
     }
@@ -467,10 +484,15 @@ def test_text_col_pinned_in_meta(spark, tmp_path):
 
 
 def test_half_swap_repair_and_meta_fallback(spark, tmp_path):
-    """Crash-safety (ADVICE r11): a store caught between the two swap
-    renames (grams gone, grams_next complete) is rolled FORWARD on the
-    next read; one caught before the swap (grams_old only) rolls BACK;
-    a torn meta write (meta gone, meta.tmp whole) still reads."""
+    """Crash-safety (ADVICE r11 + review): a store caught between the
+    two swap renames (grams gone, grams_next complete) makes READS fail
+    LOUDLY — read_gram_store never mutates, because a read-side repair
+    would race a LIVE refresh and destroy its staged relation — and
+    repair_gram_store (the maintenance verb, run on refresh entry)
+    rolls it FORWARD; one caught before the swap (grams_old only) rolls
+    BACK; a torn meta write (meta gone, meta.tmp whole) still reads.
+    With grams present, repair drops stale staging without touching the
+    live relation."""
     import pytest
 
     from bambooai_spark.operators.gram_store import (
@@ -478,6 +500,7 @@ def test_half_swap_repair_and_meta_fallback(spark, tmp_path):
         META_NAME,
         build_gram_store,
         read_gram_store,
+        repair_gram_store,
     )
     from bambooai_spark.operators.writer import _fs
 
@@ -491,15 +514,30 @@ def test_half_swap_repair_and_meta_fallback(spark, tmp_path):
     def mv(a, b):
         assert fs.rename(jp(f"{store}/{a}"), jp(f"{store}/{b}"))
 
-    # mid-swap crash: dest missing, staged relation complete in _next
+    # mid-swap crash: dest missing, staged relation complete in _next —
+    # reads raise (no mutation), repair rolls forward
     mv(GRAMS_DIR, GRAMS_DIR + "_next")
+    with pytest.raises(RuntimeError, match="repair_gram_store"):
+        read_gram_store(spark, store)
+    assert fs.exists(jp(f"{store}/{GRAMS_DIR}_next"))  # read didn't touch
+    repair_gram_store(spark, store)
     grams, _ = read_gram_store(spark, store)
     assert grams.count() == n  # rolled forward
     assert not fs.exists(jp(f"{store}/{GRAMS_DIR}_next"))
-    # pre-swap crash: dest moved aside, no staged relation
+    # pre-swap crash: dest moved aside, no staged relation — roll back
     mv(GRAMS_DIR, GRAMS_DIR + "_old")
+    with pytest.raises(RuntimeError, match="repair_gram_store"):
+        read_gram_store(spark, store)
+    repair_gram_store(spark, store)
     grams, _ = read_gram_store(spark, store)
     assert grams.count() == n  # rolled back
+    # healthy store + leftover staging (a refresh mid-write elsewhere
+    # would look like this too — which is why only MAINTENANCE runs
+    # repair): stale dirs dropped, live relation untouched
+    fs.mkdirs(jp(f"{store}/{GRAMS_DIR}_next"))
+    repair_gram_store(spark, store)
+    assert not fs.exists(jp(f"{store}/{GRAMS_DIR}_next"))
+    assert read_gram_store(spark, store)[0].count() == n
     # torn meta: .tmp fallback keeps the pinned policy readable
     fs.rename(jp(f"{store}/{META_NAME}"), jp(f"{store}/{META_NAME}.tmp"))
     _, meta = read_gram_store(spark, store, k=25)
@@ -607,3 +645,59 @@ def test_batch_and_stream_ingest_gate_parity(spark, tmp_path):
         ),
         str(tmp_path / "corpus_empty"),
     ) is None
+
+
+def test_build_inventory_rejects_filtered_relation(spark, tmp_path):
+    """Review finding: inputFiles() reflects the SCAN, not a filter
+    above it — recording an inventory for a filtered build would arm
+    delta refresh with counts that don't correspond to the files. The
+    build verifies file rows == df rows and withholds the watermark
+    otherwise; the unfiltered twin records it."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bambooai_spark.operators.gram_store import (
+        build_gram_store,
+        refresh_gram_store,
+    )
+    from bambooai_spark.operators.writer import append_corpus, read_corpus
+
+    cp = str(tmp_path / "corpus")
+    append_corpus(
+        _corpus(spark).withColumn("lang", F.lit("en")),
+        cp,
+        partition_by=("lang",),
+    )
+    filtered = str(tmp_path / "g_filtered")
+    meta = build_gram_store(
+        read_corpus(spark, cp).filter(F.col("doc_id") < 6),
+        "text", filtered,
+    )
+    assert meta["has_files"] is False and meta["n_rows"] == 6
+    with pytest.raises(ValueError, match="file inventory"):
+        refresh_gram_store(spark, cp, filtered, delta_only=True)
+    full = str(tmp_path / "g_full")
+    meta = build_gram_store(read_corpus(spark, cp), "text", full)
+    assert meta["has_files"] is True
+
+
+def test_store_plugged_spans_text_col_guard(spark, tmp_path):
+    """Review finding: the store-plugged ExactSubstr guards must also
+    pin the TEXT column — a store over 'text' probed against another
+    column passes k/min_count/n_rows and silently screens the wrong
+    relation otherwise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bambooai_spark.operators.dedup import exact_substring_spans
+    from bambooai_spark.operators.gram_store import build_gram_store
+
+    df = _corpus(spark).withColumn(
+        "other", F.concat(F.lit("shadow column body "), F.col("text"))
+    )
+    store = str(tmp_path / "gstore")
+    build_gram_store(df, "text", store, k=25, min_count=2)
+    with pytest.raises(ValueError, match="text_col"):
+        exact_substring_spans(
+            df, "doc_id", "other", k=25, gram_store_path=store
+        )
