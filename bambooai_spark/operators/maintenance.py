@@ -379,6 +379,24 @@ def suggest_maintenance(
                 f"no gram store at {gram_store_path} — the span-grain "
                 "ingest gate has nothing to screen against",
             )
+        except RuntimeError as exc:
+            # half-swapped store (crashed refresh): reads fail loudly
+            # by contract; repair is a maintenance action
+            gmeta = None
+            add(
+                "gram_store", "action",
+                "repair_gram_store(spark, gram_store_path)",
+                str(exc),
+            )
+        if gmeta is not None and not gmeta.get("counts_exact", True):
+            add(
+                "gram_store", "info",
+                "refresh_gram_store(spark, path, gram_store_path)",
+                "counts carry the delta-refresh singleton lag "
+                f"(since v{gmeta.get('version')}): fine for the ingest "
+                "gate's freshness contract, but batch ExactSubstr "
+                "surgery refuses the store until a FULL refresh",
+            )
         if gmeta is not None:
             built_rows = gmeta.get("n_rows")
             if built_rows is None or cur_rows is None:
@@ -630,7 +648,21 @@ def auto_maintain(
     # policy the operator owns.
     g = advice.get("gram_store")
     if g is not None and g["severity"] == "action":
-        if "refresh_gram_store" in g["recommendation"]:
+        if "repair_gram_store" in g["recommendation"]:
+            # half-swapped store from a crashed refresh: rolling the
+            # completed staging forward (or back) is policy-free
+            if plan("repair_gram_store", True, g["detail"]):
+                from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
+                    repair_gram_store,
+                )
+
+                repair_gram_store(spark, gram_store_path)
+                rows[-1] = (
+                    "repair_gram_store", True,
+                    "half-swapped store repaired; staleness re-checked "
+                    "next advisory pass",
+                )
+        elif "refresh_gram_store" in g["recommendation"]:
             if plan("refresh_gram_store", True, g["detail"]):
                 from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
                     _read_meta,

@@ -701,3 +701,75 @@ def test_store_plugged_spans_text_col_guard(spark, tmp_path):
         exact_substring_spans(
             df, "doc_id", "other", k=25, gram_store_path=store
         )
+
+
+def test_ops_loop_repairs_half_swapped_store(spark, tmp_path):
+    """A crashed refresh leaves the store half-swapped; the advisor's
+    read fails loudly and recommends repair_gram_store, auto_maintain
+    executes it (policy-free), and a delta-lagged store surfaces an
+    info row steering batch surgery to a full refresh."""
+    from bambooai_spark.operators.gram_store import (
+        GRAMS_DIR,
+        build_gram_store,
+        read_gram_store,
+    )
+    from bambooai_spark.operators.maintenance import (
+        auto_maintain,
+        suggest_maintenance,
+    )
+    from bambooai_spark.operators.writer import _fs, append_corpus
+
+    corpus = str(tmp_path / "corpus")
+    append_corpus(
+        _corpus(spark).withColumn("lang", F.lit("en")),
+        corpus,
+        partition_by=("lang",),
+    )
+    store = str(tmp_path / "gstore")
+    build_gram_store(spark.read.parquet(corpus), "text", store)
+    n = read_gram_store(spark, store)[0].count()
+    # simulate the mid-swap crash
+    fs, _ = _fs(spark, store)
+    jp = spark._jvm.org.apache.hadoop.fs.Path
+    assert fs.rename(
+        jp(f"{store}/{GRAMS_DIR}"), jp(f"{store}/{GRAMS_DIR}_next")
+    )
+    adv = {
+        r["check"]: r
+        for r in suggest_maintenance(
+            spark, corpus, gram_store_path=store
+        ).collect()
+    }
+    assert adv["gram_store"]["severity"] == "action"
+    assert "repair_gram_store" in adv["gram_store"]["recommendation"]
+    plan = {
+        r["action"]: r
+        for r in auto_maintain(
+            spark, corpus, gram_store_path=store
+        ).collect()
+    }
+    assert plan["repair_gram_store"]["executed"] is True
+    assert read_gram_store(spark, store)[0].count() == n
+    # delta-lag info row: append + delta refresh, then advise
+    import hashlib
+
+    extra = spark.createDataFrame(
+        [(300 + i, "en",
+          "ANOTHER SHARED BOILER BLOCK ################ END "
+          + hashlib.md5(f"y{i}".encode()).hexdigest())
+         for i in range(6)],
+        "doc_id long, lang string, text string",
+    )
+    append_corpus(extra, corpus, partition_by=("lang",))
+    from bambooai_spark.operators.gram_store import refresh_gram_store
+
+    meta = refresh_gram_store(spark, corpus, store, delta_only=True)
+    assert meta["counts_exact"] is False
+    lag_rows = [
+        r
+        for r in suggest_maintenance(
+            spark, corpus, gram_store_path=store
+        ).collect()
+        if r["check"] == "gram_store" and "singleton lag" in r["detail"]
+    ]
+    assert len(lag_rows) == 1 and lag_rows[0]["severity"] == "info"
