@@ -96,9 +96,11 @@ def repair_gram_store(spark: SparkSession, path: str) -> None:
     if _fs_exists(spark, nxt):
         # the next relation is only staged complete (parquet committed)
         # before the swap starts, so rolling forward publishes a whole
-        # relation; the meta (written after the swap) may still carry
-        # the previous counts — informational fields only, and the next
-        # refresh rewrites them
+        # relation. The meta (written after the swap) still carries the
+        # previous counts — safe, because the refresh dirty-flagged
+        # counts_exact=False BEFORE the swap (batch surgery refuses the
+        # store) and the next refresh's no-op branch heals
+        # n_rows/n_grams against the published relation
         _rename_checked(spark, nxt, dest)
         _fs_delete(spark, old)
         return
@@ -282,6 +284,30 @@ def _write_file_inventory(
     ).parquet(_join(grams_dir, FILES_SUBDIR))
 
 
+def _corpus_manifest_rows(spark: SparkSession, corpus_path: str) -> int | None:
+    """Driver-side live-row count from the corpus manifest (None when
+    absent/torn) — the same exact-by-construction signal the
+    maintenance advisor uses; lets the refresh no-op heal check run
+    without a Spark job."""
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        MANIFEST_NAME,
+        _fs_exists,
+        _fs_read_text,
+    )
+
+    mpath = _join(corpus_path, MANIFEST_NAME)
+    if not _fs_exists(spark, mpath):
+        return None
+    try:
+        doc = json.loads(_fs_read_text(spark, mpath))
+        return sum(
+            int(p.get("n_rows") or 0)
+            for p in (doc.get("partitions") or [])
+        )
+    except (ValueError, TypeError):
+        return None
+
+
 def _read_file_inventory(
     spark: SparkSession, path: str
 ) -> set[str] | None:
@@ -323,12 +349,19 @@ def build_gram_store(
     When ``df`` is an UNFILTERED file-backed corpus read
     (``read_corpus`` / ``spark.read.parquet``), its scan files are
     recorded as the store's file inventory, enabling
-    ``refresh_gram_store(delta_only=True)``. "Unfiltered" is VERIFIED,
-    not assumed: ``inputFiles()`` reflects the scan, not a filter above
-    it, so the inventory is recorded only when the files' total row
-    count equals ``df``'s — a filtered/transformed relation would
-    otherwise arm delta refresh with counts that don't correspond to
-    the inventory. Rebuild-in-place via :func:`refresh_gram_store`
+    ``refresh_gram_store(delta_only=True)``. "Unfiltered" is verified
+    BY ROW COUNT: ``inputFiles()`` reflects the scan, not a filter
+    above it, so the inventory is recorded only when the files' total
+    row count equals ``df``'s — a filtered relation cannot arm delta
+    refresh with counts that don't correspond to the inventory. A
+    ROW-PRESERVING transform of the text column passes this guard (row
+    counts cannot see it); callers deriving text must not use
+    ``delta_only`` (the delta would count raw file text against
+    transformed stored counts) — same caller-owns-consistency contract
+    as ``exact_substring_spans(dup_grams=)``. The verification is one
+    extra count job per build, footer-driven and noise next to the
+    build's own postings explode. Rebuild-in-place via
+    :func:`refresh_gram_store`
     writes to the side and swaps, so a concurrent gate reader sees the
     old relation or fails loudly mid-swap — never a half-written one."""
     spark = df.sparkSession
@@ -499,7 +532,30 @@ def refresh_gram_store(
             new_files = [f for f in cur_files if f not in stored]
             if not new_files:
                 # identical file set == identical rows (parquet files
-                # are immutable): pure no-op, nothing to count or write
+                # are immutable): normally a pure no-op — EXCEPT after
+                # a refresh that crashed between the swap and its meta
+                # write: repair published the new relation (whose
+                # _files inventory matches the corpus) under the STALE
+                # meta, and without a heal here every advisory pass
+                # would re-flag the same drift and 'refresh' to this
+                # very no-op forever. Detect via the driver-side
+                # manifest row sum (no job) and rewrite the meta; the
+                # pre-swap dirty flag already forced counts_exact
+                # False, which stays (conservative: we cannot know
+                # whether the crashed refresh was full or delta).
+                n_live = _corpus_manifest_rows(spark, corpus_path)
+                if n_live is None:
+                    n_live = live.count()
+                if meta.get("n_rows") != n_live:
+                    n = spark.read.parquet(
+                        _join(store_path, GRAMS_DIR)
+                    ).count()
+                    meta = dict(
+                        meta, n_grams=n, n_rows=n_live,
+                        counts_exact=False,
+                        version=int(meta.get("version", 1)) + 1,
+                    )
+                    _write_meta(spark, store_path, meta)
                 return meta
             old = spark.read.parquet(_join(store_path, GRAMS_DIR))
             if "cnt" not in old.columns:
@@ -546,6 +602,15 @@ def refresh_gram_store(
         _write_file_inventory(spark, nxt, cur_files)
     n = spark.read.parquet(nxt).count()
     n_rows = live.count()
+    # dirty-flag the meta BEFORE the swap: a crash between the swap and
+    # the final meta write would otherwise publish the new relation
+    # under a meta still claiming counts_exact=True — and the batch
+    # ExactSubstr guard could accept a delta-merged (lagged) relation
+    # against an old corpus snapshot whose row count happens to match.
+    # Conservative in every crash window: pre-swap crash leaves the OLD
+    # exact relation marked inexact (surgery refused until the retried
+    # refresh completes — the safe direction), never the reverse.
+    _write_meta(spark, store_path, dict(meta, counts_exact=False))
     _swap_in(spark, store_path, nxt)
     meta = dict(
         meta, n_grams=n, n_rows=n_rows, has_files=bool(cur_files),

@@ -671,9 +671,15 @@ def auto_maintain(
 
                 # delta refresh when the store knows its source files
                 # (per-delta cost; falls back to a full rebuild itself
-                # if files vanished under compaction/delete)
-                delta = bool(
-                    _read_meta(spark, gram_store_path).get("has_files")
+                # if files vanished under compaction/delete) — but a
+                # store already carrying the delta singleton lag gets a
+                # FULL refresh, so the loop periodically restores
+                # exactness instead of keeping batch surgery locked
+                # out forever (every delta preserves counts_exact
+                # False; only a full rebuild clears it)
+                gm = _read_meta(spark, gram_store_path)
+                delta = bool(gm.get("has_files")) and bool(
+                    gm.get("counts_exact", True)
                 )
                 out = refresh_gram_store(
                     spark, path, gram_store_path, delta_only=delta

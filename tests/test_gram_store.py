@@ -773,3 +773,85 @@ def test_ops_loop_repairs_half_swapped_store(spark, tmp_path):
         if r["check"] == "gram_store" and "singleton lag" in r["detail"]
     ]
     assert len(lag_rows) == 1 and lag_rows[0]["severity"] == "info"
+
+
+def test_crashed_meta_write_heals_and_lag_converges(spark, tmp_path, monkeypatch):
+    """Review pass 2: a refresh crashing between the swap and its meta
+    write must (a) leave the published relation marked counts-inexact
+    (the pre-swap dirty flag — surgery refused, never wrongly accepted)
+    and (b) be HEALED by the next refresh's no-op branch instead of
+    livelocking the ops loop on phantom drift; and auto_maintain runs a
+    FULL refresh on a lagged store so exactness converges."""
+    import hashlib
+
+    import bambooai_spark.operators.gram_store as gs
+    from bambooai_spark.operators.maintenance import auto_maintain
+    from bambooai_spark.operators.writer import append_corpus, read_corpus
+
+    cp = str(tmp_path / "corpus")
+    append_corpus(
+        _corpus(spark).withColumn("lang", F.lit("en")),
+        cp,
+        partition_by=("lang",),
+    )
+    store = str(tmp_path / "gstore")
+    gs.build_gram_store(read_corpus(spark, cp), "text", store)
+    extra = spark.createDataFrame(
+        [(400 + i, "en",
+          "CRASHY SHARED BOILER BLOCK ############## END "
+          + hashlib.md5(f"z{i}".encode()).hexdigest())
+         for i in range(4)],
+        "doc_id long, lang string, text string",
+    )
+    append_corpus(extra, cp, partition_by=("lang",))
+
+    # crash on the FINAL meta write (call 2; call 1 is the dirty flag)
+    real_write = gs._write_meta
+    calls = {"n": 0}
+
+    def crashy(spark_, path_, meta_):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected meta-write crash")
+        real_write(spark_, path_, meta_)
+
+    monkeypatch.setattr(gs, "_write_meta", crashy)
+    with pytest.raises(RuntimeError, match="injected"):
+        gs.refresh_gram_store(spark, cp, store, delta_only=True)
+    monkeypatch.setattr(gs, "_write_meta", real_write)
+
+    # torn state: NEW relation published, meta stale but dirty-flagged
+    grams, meta = gs.read_gram_store(spark, store)
+    assert meta["counts_exact"] is False  # the pre-swap dirty flag
+    assert meta["n_rows"] == 12  # stale
+    assert grams.filter(
+        F.col("gram") == "CRASHY SHARED BOILER BLOC"
+    ).count() == 1  # but the relation IS the merged one
+    # the guard refuses the torn store (old-snapshot row counts match
+    # the stale meta — counts_exact is what blocks it)
+    from bambooai_spark.operators.dedup import exact_substring_spans
+
+    with pytest.raises(ValueError, match="delta-only"):
+        exact_substring_spans(
+            read_corpus(spark, cp).limit(12), "doc_id", "text", k=25,
+            gram_store_path=store,
+        )
+    # next refresh: no new files -> the no-op branch HEALS the meta
+    meta = gs.refresh_gram_store(spark, cp, store, delta_only=True)
+    assert meta["n_rows"] == 16 and meta["counts_exact"] is False
+    # lag convergence: grow past the drift threshold; auto_maintain's
+    # refresh goes FULL because the store is lagged, restoring exactness
+    extra2 = spark.createDataFrame(
+        [(500 + i, "en", "unique tail " + hashlib.md5(
+            f"w{i}".encode()).hexdigest()) for i in range(8)],
+        "doc_id long, lang string, text string",
+    )
+    append_corpus(extra2, cp, partition_by=("lang",))
+    plan = {
+        r["action"]: r
+        for r in auto_maintain(spark, cp, gram_store_path=store).collect()
+    }
+    assert plan["refresh_gram_store"]["executed"] is True
+    assert "(delta)" not in plan["refresh_gram_store"]["detail"]
+    _g, meta = gs.read_gram_store(spark, store)
+    assert meta["counts_exact"] is True and meta["n_rows"] == 24
