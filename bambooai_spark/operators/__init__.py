@@ -25,6 +25,7 @@ from bambooai_spark.operators.dedup import (
     simhash,
     embedding_near_dup,
 )
+from bambooai_spark.operators.curation import curate_corpus
 from bambooai_spark.operators.gram_store import (
     boilerplate_cut,
     boilerplate_spans,
@@ -108,6 +109,7 @@ __all__ = [
     "exact_dedup",
     "exact_substring_spans",
     "exact_substring_cut",
+    "curate_corpus",
     "build_gram_store",
     "duplicated_grams",
     "gram_counts",

@@ -5286,20 +5286,9 @@ def curation_pipeline_docs(spark, sf_dir):
     import os  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
-    from bambooai_spark.functions.text import fingerprint  # noqa: PLC0415
-    from bambooai_spark.operators.export import (  # noqa: PLC0415
-        export_jsonl_shards,
-    )
     from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
         build_gram_store,
     )
-    from bambooai_spark.operators.packing import (  # noqa: PLC0415
-        leakage_safe_split,
-        pack_sequences,
-        quality_budget_sample,
-        split_leakage_report,
-    )
-    from bambooai_spark.operators.writer import read_corpus  # noqa: PLC0415
     from bambooai_spark.streaming.documents import (  # noqa: PLC0415
         ingest_to_corpus,
     )
@@ -5319,49 +5308,110 @@ def curation_pipeline_docs(spark, sf_dir):
         benchmark=benchmark,
         boilerplate_store=store,
     )
-    live = read_corpus(spark, corpus)
+    # assembly = the packaged product verb (operators/curation.py):
+    # budget fill -> leak-asserted split -> per-(split, lang) pack ->
+    # sharded export, returned as the consumer's read-back view
+    from bambooai_spark.operators.curation import (  # noqa: PLC0415
+        curate_corpus,
+    )
+
     score = F.length("text").cast("double") / F.size(tokens("text"))
-    kept = quality_budget_sample(
-        live, {"en": 2000, "de": 750}, score=score
+    exported, _report = curate_corpus(
+        spark, corpus, os.path.join(tmp, "export"),
+        budgets={"en": 2000, "de": 750}, score=score,
+        fractions={"val": 0.125, "test": 0.0625},
+        pack_budget=2048, n_shards=4, pack_strategy="twophase",
     )
-    sel = live.join(kept.select("doc_id", "score"), "doc_id")
-    sp = leakage_safe_split(
-        sel, "doc_id", "text", fractions={"val": 0.125, "test": 0.0625}
+    return exported
+
+
+@spec(
+    "curation_report_docs",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, lang, text,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+      FROM documents
+    ), keep AS (
+      SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f
+    ), live AS (
+      SELECT p.doc_id, p.lang, p.text, p.f
+      FROM fp p JOIN keep k ON p.doc_id = k.doc_id AND p.f = k.f
+    ),
+    t AS (
+      SELECT doc_id, lang, text, f,
+             CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(length(text) AS DOUBLE)
+               / len(regexp_split_to_array(text, '\s+')) AS score
+      FROM live),
+    w AS (SELECT * FROM (VALUES ('en', 2000), ('de', 750)) v(lang, budget)),
+    c AS (
+      SELECT t.*, w.budget,
+             CAST(SUM(t.n_tokens) OVER (
+               PARTITION BY t.lang ORDER BY t.score DESC, t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t JOIN w ON t.lang = w.lang),
+    sel AS (SELECT * FROM c WHERE cum_tokens - n_tokens < budget),
+    sp AS (
+      SELECT *,
+             CASE WHEN md5(f || '|split')
+                       < '20000000000000000000000000000000' THEN 'val'
+                  WHEN md5(f || '|split')
+                       < '30000000000000000000000000000000' THEN 'test'
+                  ELSE 'train' END AS split
+      FROM sel)
+    SELECT stage, lang, n_docs, n_tokens FROM (
+      SELECT 'live' AS stage, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM t GROUP BY lang
+      UNION ALL
+      SELECT 'budget_kept', lang, CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(n_tokens) AS BIGINT)
+      FROM sel GROUP BY lang
+      UNION ALL
+      SELECT 'split=' || split, lang, CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(n_tokens) AS BIGINT)
+      FROM sp GROUP BY split, lang)
+    """,
+    # graded-oracle-only, not headline-benched: the assembly cost is
+    # priced by curation_pipeline_docs; this spec grades the ATTRITION
+    # REPORT the packaged verb returns alongside the export
+    doc="Per-stage curation attrition accounting (operators/curation.py "
+    "curate_corpus's second return): one row per (stage, group) with doc "
+    "and whitespace-token counts for live -> budget_kept -> each split "
+    "label — computed from the SAME frames the pipeline ships (narrow "
+    "map-side-partial groupBys, zero heavy-stage recomputation). The "
+    "oracle replays ingest dedup, the budget window, and the split hash "
+    "and aggregates the identical stages. The accounting every pipeline "
+    "team otherwise reconstructs by hand when a training set comes out "
+    "smaller than expected.",
+)
+def curation_report_docs(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.operators.curation import (  # noqa: PLC0415
+        curate_corpus,
     )
-    # the pipeline's own leakage gate: zero duplicate clusters straddle
-    # the split, by construction — assert it anyway (the whole point of
-    # a composed spec is catching stage-interface drift)
-    leaks = split_leakage_report(
-        sp, fingerprint("text", normalize=True)
-    ).count()
-    if leaks:
-        raise RuntimeError(
-            f"curation pipeline leaked {leaks} clusters across splits"
-        )
-    packed = pack_sequences(
-        sp, "doc_id", "text", budget=2048,
-        stream_cols=("split", "lang"), strategy="twophase",
+    from bambooai_spark.operators.writer import append_corpus  # noqa: PLC0415
+
+    d = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="bbai_report_spec_")
+    corpus = os.path.join(tmp, "corpus")
+    append_corpus(
+        d, corpus, partition_by=("lang",), max_records_per_file=200
     )
-    final = sp.select(
-        "doc_id", "lang", "split", F.round("score", 6).alias("score")
-    ).join(
-        packed.select("doc_id", "n_tok", "chunk_id", "chunk_offset"),
-        "doc_id",
+    score = F.length("text").cast("double") / F.size(tokens("text"))
+    _exported, report = curate_corpus(
+        spark, corpus, os.path.join(tmp, "export"),
+        budgets={"en": 2000, "de": 750}, score=score,
+        fractions={"val": 0.125, "test": 0.0625},
+        pack_budget=2048, n_shards=4,
     )
-    exp = os.path.join(tmp, "export")
-    export_jsonl_shards(final, exp, "doc_id", n_shards=4, keep_pos=True)
-    back = spark.read.json(exp)
-    return back.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.col("lang").cast("string").alias("lang"),
-        F.col("split").cast("string").alias("split"),
-        F.col("score").cast("double").alias("score"),
-        F.col("n_tok").cast("long").alias("n_tok"),
-        F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.col("chunk_offset").cast("long").alias("chunk_offset"),
-        F.col("shard").cast("int").alias("shard"),
-        F.col("pos").cast("long").alias("pos"),
-    )
+    return report
 
 
 @spec(
