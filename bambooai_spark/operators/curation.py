@@ -44,7 +44,9 @@ def curate_corpus(
     split_salt: str = "split",
     pack_strategy: str = "auto",
     keep_cols: tuple[str, ...] = (),
-) -> tuple[DataFrame, DataFrame]:
+    report: bool = True,
+    overwrite: bool = False,
+) -> tuple[DataFrame, DataFrame | None]:
     """Assemble a training set from the live corpus at ``corpus_path``
     and export it as ``n_shards`` JSONL shards under ``export_path``.
 
@@ -72,8 +74,18 @@ def curate_corpus(
     - ``report`` — one row per (stage, group): ``stage`` in ``live ->
       budget_kept -> split=<label>...``, with ``n_docs`` and
       ``n_tokens`` (whitespace tokens, the budget-fill unit), computed
-      from the SAME frames the pipeline shipped — attrition accounting
-      with zero recomputation of any heavy stage.
+      from the SAME frames the pipeline shipped — no heavy stage runs
+      twice, though the ``live`` row does cost one extra corpus-scan
+      aggregation; ``report=False`` skips all of it and returns None.
+
+    ``overwrite=False`` (default) fails FAST when ``export_path``
+    already exists — before any heavy stage runs — matching
+    ``export_jsonl_shards``' refuse-to-interleave contract; pass True
+    to replace a crashed (manifest-less) export. A corpus whose own
+    column is named ``score`` stays usable: the computed quality score
+    travels under a reserved name internally and lands in the output as
+    ``score`` only at the edge (keep the stored column via
+    ``keep_cols`` — any name except the output's own columns).
     """
     from bambooai_spark.functions.text import (  # noqa: PLC0415
         fingerprint,
@@ -90,8 +102,18 @@ def curate_corpus(
     )
     from bambooai_spark.operators.writer import read_corpus  # noqa: PLC0415
 
+    from bambooai_spark.operators.writer import _fs_exists  # noqa: PLC0415
+
     if not budgets:
         raise ValueError("curate_corpus: budgets is empty")
+    if not overwrite and _fs_exists(spark, export_path):
+        # fail FAST: export_jsonl_shards would refuse too, but only
+        # after the budget fill, leak check, and packing already ran
+        raise ValueError(
+            f"curate_corpus: {export_path} already exists — pass "
+            "overwrite=True to replace it (a crashed export leaves no "
+            "manifest and is invisible to manifest-trusting readers)"
+        )
     live = read_corpus(spark, corpus_path)
     n_tok_ws = F.size(tokens(text_col)).cast("long")
 
@@ -99,7 +121,19 @@ def curate_corpus(
         live, budgets, score=score,
         id_col=id_col, text_col=text_col, group_col=group_col,
     )
-    sel = live.join(kept.select(id_col, "score"), id_col)
+    if kept.isEmpty():  # checkpointed output: the probe is driver-cheap
+        raise ValueError(
+            "curate_corpus: the budget fill selected nothing — the "
+            f"budgets name groups ({sorted(budgets)}) absent from "
+            "the corpus, or the corpus is empty"
+        )
+    # the computed quality score joins under a reserved name: a corpus
+    # whose OWN column is called 'score' (the documented production
+    # case) must not make the projection ambiguous — callers keep it
+    # via keep_cols
+    sel = live.join(
+        kept.select(id_col, F.col("score").alias("_q_score")), id_col
+    )
     sp = leakage_safe_split(
         sel, id_col, text_col, fractions=fractions, salt=split_salt,
     ).persist()
@@ -119,14 +153,15 @@ def curate_corpus(
         )
         final = sp.select(
             id_col, group_col, "split",
-            F.round("score", 6).alias("score"),
+            F.round("_q_score", 6).alias("score"),
             *[F.col(c) for c in keep_cols],
         ).join(
             packed.select(id_col, "n_tok", "chunk_id", "chunk_offset"),
             id_col,
         )
         export_jsonl_shards(
-            final, export_path, id_col, n_shards=n_shards, keep_pos=True
+            final, export_path, id_col, n_shards=n_shards,
+            keep_pos=True, overwrite=overwrite,
         )
 
         # attrition report from the frames already shipped: one
@@ -140,31 +175,35 @@ def curate_corpus(
                 .cast("long").alias("n_tokens"),
             )
 
-        report = (
-            _stage(live, "live", n_tok_ws)
-            .unionByName(_stage(kept, "budget_kept", F.col("n_tokens")))
-            .unionByName(
-                sp.groupBy(
-                    F.concat(F.lit("split="), F.col("split")).alias(
-                        "stage"
-                    ),
-                    F.col(group_col).alias("grp"),
-                ).agg(
-                    F.count(F.lit(1)).cast("long").alias("n_docs"),
-                    F.coalesce(F.sum(n_tok_ws), F.lit(0))
-                    .cast("long").alias("n_tokens"),
+        rep = None
+        if report:
+            rep = (
+                _stage(live, "live", n_tok_ws)
+                .unionByName(
+                    _stage(kept, "budget_kept", F.col("n_tokens"))
                 )
+                .unionByName(
+                    sp.groupBy(
+                        F.concat(F.lit("split="), F.col("split")).alias(
+                            "stage"
+                        ),
+                        F.col(group_col).alias("grp"),
+                    ).agg(
+                        F.count(F.lit(1)).cast("long").alias("n_docs"),
+                        F.coalesce(F.sum(n_tok_ws), F.lit(0))
+                        .cast("long").alias("n_tokens"),
+                    )
+                )
+                .select(
+                    "stage",
+                    F.col("grp").alias(group_col),
+                    "n_docs",
+                    "n_tokens",
+                )
+                # bounded: (#stages + #splits) x #groups rows — pin them
+                # so the report survives sp.unpersist()
+                .localCheckpoint(eager=True)
             )
-            .select(
-                "stage",
-                F.col("grp").alias(group_col),
-                "n_docs",
-                "n_tokens",
-            )
-            # bounded: (#stages + #splits) x #groups rows — pin them so
-            # the report survives sp.unpersist()
-            .localCheckpoint(eager=True)
-        )
     finally:
         sp.unpersist()
     exported = spark.read.json(export_path)
@@ -180,4 +219,4 @@ def curate_corpus(
         F.col("shard").cast("int").alias("shard"),
         F.col("pos").cast("long").alias("pos"),
     )
-    return exported, report
+    return exported, rep

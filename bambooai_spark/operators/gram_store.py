@@ -538,24 +538,30 @@ def refresh_gram_store(
                 # _files inventory matches the corpus) under the STALE
                 # meta, and without a heal here every advisory pass
                 # would re-flag the same drift and 'refresh' to this
-                # very no-op forever. Detect via the driver-side
-                # manifest row sum (no job) and rewrite the meta; the
-                # pre-swap dirty flag already forced counts_exact
-                # False, which stays (conservative: we cannot know
-                # whether the crashed refresh was full or delta).
-                n_live = _corpus_manifest_rows(spark, corpus_path)
-                if n_live is None:
+                # very no-op forever. Two-step detection so the common
+                # path stays job-free AND a manifest that is itself
+                # stale (torn append fold) cannot falsely un-exact a
+                # healthy store: the driver-side manifest row sum
+                # screens first; on disagreement the live count
+                # arbitrates — meta matching LIVE means the store meta
+                # is right and the manifest is the stale party (leave
+                # the store alone); meta matching neither means a
+                # crashed refresh left it behind (heal, keeping the
+                # pre-swap dirty counts_exact=False — we cannot know
+                # whether that refresh was full or delta).
+                n_manifest = _corpus_manifest_rows(spark, corpus_path)
+                if n_manifest is None or meta.get("n_rows") != n_manifest:
                     n_live = live.count()
-                if meta.get("n_rows") != n_live:
-                    n = spark.read.parquet(
-                        _join(store_path, GRAMS_DIR)
-                    ).count()
-                    meta = dict(
-                        meta, n_grams=n, n_rows=n_live,
-                        counts_exact=False,
-                        version=int(meta.get("version", 1)) + 1,
-                    )
-                    _write_meta(spark, store_path, meta)
+                    if meta.get("n_rows") != n_live:
+                        n = spark.read.parquet(
+                            _join(store_path, GRAMS_DIR)
+                        ).count()
+                        meta = dict(
+                            meta, n_grams=n, n_rows=n_live,
+                            counts_exact=False,
+                            version=int(meta.get("version", 1)) + 1,
+                        )
+                        _write_meta(spark, store_path, meta)
                 return meta
             old = spark.read.parquet(_join(store_path, GRAMS_DIR))
             if "cnt" not in old.columns:

@@ -389,13 +389,20 @@ def suggest_maintenance(
                 str(exc),
             )
         if gmeta is not None and not gmeta.get("counts_exact", True):
+            # its OWN check name: advice consumers key rows by check
+            # (last wins), and the below-threshold drift 'ok' row would
+            # otherwise swallow this standing signal whenever corpus
+            # growth pauses
             add(
-                "gram_store", "info",
+                "gram_store_lag", "info",
                 "refresh_gram_store(spark, path, gram_store_path)",
                 "counts carry the delta-refresh singleton lag "
                 f"(since v{gmeta.get('version')}): fine for the ingest "
                 "gate's freshness contract, but batch ExactSubstr "
-                "surgery refuses the store until a FULL refresh",
+                "surgery refuses the store until a FULL refresh — the "
+                "next drift-triggered auto_maintain refresh goes full; "
+                "run one manually if growth has stopped and surgery "
+                "needs the store sooner",
             )
         if gmeta is not None:
             built_rows = gmeta.get("n_rows")
@@ -673,10 +680,13 @@ def auto_maintain(
                 # (per-delta cost; falls back to a full rebuild itself
                 # if files vanished under compaction/delete) — but a
                 # store already carrying the delta singleton lag gets a
-                # FULL refresh, so the loop periodically restores
-                # exactness instead of keeping batch surgery locked
-                # out forever (every delta preserves counts_exact
-                # False; only a full rebuild clears it)
+                # FULL refresh, so the NEXT drift-triggered pass
+                # restores exactness (every delta preserves
+                # counts_exact False; only a full rebuild clears it).
+                # If growth stops below the drift threshold no refresh
+                # fires at all and the lag stands — surfaced by the
+                # advisor's gram_store_lag info row for the operator
+                # to clear manually when batch surgery needs the store
                 gm = _read_meta(spark, gram_store_path)
                 delta = bool(gm.get("has_files")) and bool(
                     gm.get("counts_exact", True)

@@ -5321,6 +5321,9 @@ def curation_pipeline_docs(spark, sf_dir):
         budgets={"en": 2000, "de": 750}, score=score,
         fractions={"val": 0.125, "test": 0.0625},
         pack_budget=2048, n_shards=4, pack_strategy="twophase",
+        # the report's live-stage aggregation is priced by
+        # curation_report_docs; this benched spec measures the assembly
+        report=False,
     )
     return exported
 

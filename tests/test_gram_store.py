@@ -770,9 +770,19 @@ def test_ops_loop_repairs_half_swapped_store(spark, tmp_path):
         for r in suggest_maintenance(
             spark, corpus, gram_store_path=store
         ).collect()
-        if r["check"] == "gram_store" and "singleton lag" in r["detail"]
+        if r["check"] == "gram_store_lag"
     ]
     assert len(lag_rows) == 1 and lag_rows[0]["severity"] == "info"
+    assert "singleton lag" in lag_rows[0]["detail"]
+    # the standing lag row survives a below-threshold 'ok' drift row:
+    # distinct check names, so last-wins advice dicts keep BOTH
+    keyed = {
+        r["check"]: r
+        for r in suggest_maintenance(
+            spark, corpus, gram_store_path=store
+        ).collect()
+    }
+    assert "gram_store_lag" in keyed and "gram_store" in keyed
 
 
 def test_crashed_meta_write_heals_and_lag_converges(spark, tmp_path, monkeypatch):
