@@ -207,12 +207,18 @@ def curate_corpus(
     finally:
         sp.unpersist()
     exported = spark.read.json(export_path)
+    # cast EVERY pipeline column back to its shipped dtype — including
+    # the caller-chosen keep_cols, which spark.read.json would otherwise
+    # re-infer (a kept date comes back string, an int comes back bigint)
+    # and the consumer view's schema would drift from the shipped frame
+    # for exactly those columns (ADVICE r12)
+    dtypes = dict(final.dtypes)
     exported = exported.select(
-        F.col(id_col).cast(dict(final.dtypes)[id_col]).alias(id_col),
+        F.col(id_col).cast(dtypes[id_col]).alias(id_col),
         F.col(group_col).cast("string").alias(group_col),
         F.col("split").cast("string").alias("split"),
         F.col("score").cast("double").alias("score"),
-        *[F.col(c) for c in keep_cols],
+        *[F.col(c).cast(dtypes[c]).alias(c) for c in keep_cols],
         F.col("n_tok").cast("long").alias("n_tok"),
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.col("chunk_offset").cast("long").alias("chunk_offset"),

@@ -1296,6 +1296,7 @@ def exact_substring_spans(
     min_len: int | None = None,
     gram_store_path: str | None = None,
     dup_grams: DataFrame | None = None,
+    compose_delta: bool = True,
 ) -> DataFrame:
     """Maximal exactly-duplicated character spans across the corpus — the
     span inventory of ExactSubstr deduplication (Lee et al. 2021,
@@ -1340,14 +1341,28 @@ def exact_substring_spans(
     ``id_col`` when ``keep_first``): the stats-side postings explode —
     half the operator's cost — is skipped and the duplicated-gram
     relation (with each gram's first occurrence) is read from the
-    store instead. The store must be FRESH: its meta's ``n_rows`` must
-    equal ``df``'s current row count, else the call refuses — a stale
-    store would silently miss spans duplicated only by newer rows
-    (the gate-side freshness-lag contract does not extend to batch
-    surgery, whose output must equal the from-scratch computation).
-    ``dup_grams`` passes a pre-built relation directly (``gram`` [,
-    ``first`` struct<i,p> for ``keep_first``]); the caller owns its
-    freshness.
+    store instead. Freshness is EXACT, not heuristic, whenever the
+    store carries a file inventory (parquet files are immutable, so
+    file-set identity is the staleness signal — ADVICE r12):
+
+    - inventory == ``df``'s scan files (and row counts agree, catching
+      a filter above the scan): the store is current; use it as-is.
+    - inventory is a PROPER SUBSET of the scan files (the corpus grew
+      by appended files) and the store was built with
+      ``delta_support=True``: the stored counts are composed with the
+      appended files' counts in-flight —
+      :func:`~bambooai_spark.operators.gram_store.composed_dup_grams`
+      — still equal to the from-scratch computation, at O(delta) stats
+      cost. ``compose_delta=False`` refuses instead (plan pinning).
+    - anything else (files rewritten/deleted/moved): refuse — an
+      in-place ``update_corpus`` preserves the row count, so only the
+      file identity can see it.
+
+    For inventory-less stores (built from a non-file relation) the
+    meta's ``n_rows`` vs ``df.count()`` check is the HEURISTIC
+    fallback: it cannot see same-cardinality rewrites. ``dup_grams``
+    passes a pre-built relation directly (``gram`` [, ``first``
+    struct<i,p> for ``keep_first``]); the caller owns its freshness.
     """
     if k < 2:
         raise ValueError("exact_substring_spans: k must be >= 2")
@@ -1395,14 +1410,50 @@ def exact_substring_spans(
                 f"was built with id_col={smeta.get('id_col')!r} — "
                 "rebuild it with build_gram_store(..., id_col=...)"
             )
-        n_now = df.count()
-        if smeta.get("n_rows") != n_now:
-            raise ValueError(
-                f"gram store at {gram_store_path} is stale: built over "
-                f"{smeta.get('n_rows')} rows, the relation now has "
-                f"{n_now} — refresh_gram_store (or rebuild) first; a "
-                "stale store would miss spans duplicated by newer rows"
+        from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
+            _read_file_inventory,
+            composed_dup_grams,
+        )
+
+        inv = (
+            _read_file_inventory(df.sparkSession, gram_store_path)
+            if smeta.get("has_files")
+            else None
+        )
+        try:
+            cur = set(df.inputFiles())
+        except Exception:
+            cur = set()
+        if inv is not None and cur and inv < cur and compose_delta:
+            # the corpus GREW by appended files since the (exact) build:
+            # compose stored counts with the delta files' counts —
+            # output still equals the from-scratch computation, at
+            # O(delta) stats cost (VERDICT r12 #3)
+            dup_grams = composed_dup_grams(
+                df, gram_store_path, smeta, inv, cur,
+                min_count=min_count, text_col=text_col,
+                id_col=id_col if keep_first else None,
             )
+        else:
+            if inv is not None and cur and inv != cur:
+                raise ValueError(
+                    f"gram store at {gram_store_path} is stale: its "
+                    "file inventory does not match the relation's scan "
+                    "files (files were rewritten, deleted, or moved — "
+                    "or compose_delta=False over appended files); "
+                    "refresh_gram_store (full) first. File identity is "
+                    "the exact signal: an in-place rewrite preserves "
+                    "the row count (ADVICE r12)"
+                )
+            n_now = df.count()
+            if smeta.get("n_rows") != n_now:
+                raise ValueError(
+                    f"gram store at {gram_store_path} is stale: built "
+                    f"over {smeta.get('n_rows')} rows, the relation now "
+                    f"has {n_now} — refresh_gram_store (or rebuild) "
+                    "first; a stale store would miss spans duplicated "
+                    "by newer rows"
+                )
     if dup_grams is not None and keep_first and (
         "first" not in dup_grams.columns
     ):
@@ -1496,6 +1547,7 @@ def exact_substring_cut(
     out: str = "clean_text",
     gram_store_path: str | None = None,
     dup_grams: DataFrame | None = None,
+    compose_delta: bool = True,
 ) -> DataFrame:
     """ExactSubstr deduplication, surgery included (Lee et al. 2021): cut
     every duplicated span found by :func:`exact_substring_spans` out of
@@ -1516,7 +1568,7 @@ def exact_substring_cut(
     spans = exact_substring_spans(
         df, id_col, text_col, k=k, min_count=min_count,
         keep_first=keep_first, gram_store_path=gram_store_path,
-        dup_grams=dup_grams,
+        dup_grams=dup_grams, compose_delta=compose_delta,
     )
     return splice_spans(df, id_col, text_col, spans, out=out)
 

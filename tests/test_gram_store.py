@@ -954,3 +954,219 @@ def test_curate_corpus_report_and_leak_guard(spark, tmp_path, monkeypatch):
     import os
 
     assert not os.path.exists(str(tmp_path / "exp2"))
+
+
+def _write_docs(spark, path, rows, mode="overwrite"):
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).repartition(2).write.mode(mode).parquet(path)
+
+
+def test_store_plugged_delta_composition(spark, tmp_path):
+    """VERDICT r12 #3: exact_substring_spans over a corpus GROWN by
+    appended files composes the (delta_support) store's counts with the
+    delta files' counts — spans/cut hash-exact vs from-scratch,
+    including the constructed singleton+singleton case (a gram once in
+    the old corpus, once in the delta: total 2, stored nowhere), and
+    the stats-side explode reads ONLY the delta files when no old
+    singleton is implicated."""
+    from bambooai_spark.operators.dedup import (
+        exact_substring_cut,
+        exact_substring_spans,
+    )
+    from bambooai_spark.operators.gram_store import (
+        _read_file_inventory,
+        build_gram_store,
+        composed_dup_grams,
+        read_gram_store,
+    )
+
+    k = 8
+    boiler = "BOILERPLATE-BLOCK-000"   # duplicated WITHIN the old corpus
+    solo = "SINGLETON-MARKER-999"      # once old + once delta => dup of 2
+    newdup = "FRESH-DELTA-DUP-XYZ"     # duplicated only within the delta
+    old_rows = [
+        (1, f"aa0001bb {boiler} cc0001dd"),
+        (2, f"aa0002bb {boiler} cc0002dd"),
+        (3, f"aa0003bb {solo} cc0003dd"),
+        (4, "aa0004bb plainoldunique cc0004dd"),
+    ]
+    delta_rows = [
+        (11, f"ee0011ff {solo} gg0011hh"),
+        (12, f"ee0012ff {newdup} gg0012hh"),
+        (13, f"ee0013ff {newdup} gg0013hh"),
+        (14, f"ee0014ff {boiler} gg0014hh"),  # delta copy of old boiler
+    ]
+    cp = str(tmp_path / "corpus")
+    _write_docs(spark, cp, old_rows)
+    old = spark.read.parquet(cp)
+    store = str(tmp_path / "gstore")
+    meta = build_gram_store(
+        old, "text", store, k=k, min_count=2, id_col="doc_id",
+        delta_support=True,
+    )
+    assert meta["delta_support"] is True and meta["has_files"] is True
+    _write_docs(spark, cp, delta_rows, mode="append")
+    grown = spark.read.parquet(cp)
+    assert grown.count() == 8
+
+    for keep_first in (False, True):
+        inline = sorted(
+            map(
+                tuple,
+                exact_substring_spans(
+                    grown, "doc_id", "text", k=k, keep_first=keep_first
+                ).collect(),
+            )
+        )
+        composed = sorted(
+            map(
+                tuple,
+                exact_substring_spans(
+                    grown, "doc_id", "text", k=k, keep_first=keep_first,
+                    gram_store_path=store,
+                ).collect(),
+            )
+        )
+        assert composed == inline
+        # the singleton+singleton doc (3 or 11) must carry a span
+        assert any(r[0] in (3, 11) for r in inline)
+    # the cut composes identically (keep_first: earliest copy survives)
+    a = sorted(
+        (r.doc_id, r.clean_text)
+        for r in exact_substring_cut(
+            grown, "doc_id", "text", k=k, keep_first=True
+        ).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.clean_text)
+        for r in exact_substring_cut(
+            grown, "doc_id", "text", k=k, keep_first=True,
+            gram_store_path=store,
+        ).collect()
+    )
+    assert a == b
+
+    # plan check: with NO old singleton implicated, the composed dup
+    # relation's scans touch the store + the DELTA files only — the
+    # old corpus files are absent (the full-corpus explode is gone)
+    cp2 = str(tmp_path / "corpus2")
+    _write_docs(spark, cp2, old_rows[:2] + [old_rows[3]])
+    old2 = spark.read.parquet(cp2)
+    store2 = str(tmp_path / "gstore2")
+    build_gram_store(
+        old2, "text", store2, k=k, min_count=2, id_col="doc_id",
+        delta_support=True,
+    )
+    old2_files = set(old2.inputFiles())
+    _write_docs(spark, cp2, delta_rows[1:3], mode="append")
+    grown2 = spark.read.parquet(cp2)
+    _, meta2 = read_gram_store(spark, store2, k=k)
+    inv2 = _read_file_inventory(spark, store2)
+    rel = composed_dup_grams(
+        grown2, store2, meta2, inv2, set(grown2.inputFiles()),
+        min_count=2, text_col="text", id_col="doc_id",
+    )
+    got = sorted(r["gram"] for r in rel.collect())
+    from bambooai_spark.operators.gram_store import duplicated_grams
+
+    want = sorted(
+        r["gram"]
+        for r in duplicated_grams(
+            grown2, "text", k=k, min_count=2, id_col="doc_id"
+        ).collect()
+    )
+    assert got == want
+    scanned = set(rel.inputFiles())
+    # the OLD corpus files are absent from every scan in the composed
+    # plan — the recount never armed, so the only file scans are the
+    # store relation (the delta postings sit behind the persisted
+    # delta-counts cache, invisible to inputFiles)
+    assert not (scanned & old2_files), scanned & old2_files
+    assert any("gstore2" in f for f in scanned), scanned
+
+
+def test_store_plugged_freshness_is_file_exact(spark, tmp_path):
+    """ADVICE r12 (medium): an in-place rewrite preserves the row count,
+    so the freshness guard must key on FILE identity when the store
+    carries an inventory — plus the remaining refusal edges: no
+    delta_support, compose_delta=False, filtered grown relation, and a
+    delta refresh flipping delta_support until the full rebuild."""
+    from bambooai_spark.operators.dedup import exact_substring_spans
+    from bambooai_spark.operators.gram_store import (
+        build_gram_store,
+        refresh_gram_store,
+    )
+
+    k = 8
+    rows = [
+        (1, "aa0001bb SHARED-BLOCK-11 cc0001dd"),
+        (2, "aa0002bb SHARED-BLOCK-11 cc0002dd"),
+        (3, "aa0003bb uniquethree cc0003dd"),
+    ]
+    cp = str(tmp_path / "corpus")
+    _write_docs(spark, cp, rows)
+    corpus = spark.read.parquet(cp)
+    store = str(tmp_path / "gstore")
+    build_gram_store(
+        corpus, "text", store, k=k, min_count=2, id_col="doc_id",
+        delta_support=True,
+    )
+    # same row count, rewritten files: MUST refuse (row count is blind)
+    cp2 = str(tmp_path / "rewritten")
+    _write_docs(
+        spark, cp2,
+        [(i, t.replace("SHARED", "ROTATED")) for i, t in rows],
+    )
+    with pytest.raises(ValueError, match="file inventory"):
+        exact_substring_spans(
+            spark.read.parquet(cp2), "doc_id", "text", k=k,
+            gram_store_path=store,
+        )
+    # grown corpus + compose_delta=False: refuse (plan pinning)
+    _write_docs(
+        spark, cp, [(11, "ee0011ff SHARED-BLOCK-11 gg0011hh")],
+        mode="append",
+    )
+    grown = spark.read.parquet(cp)
+    with pytest.raises(ValueError, match="file inventory"):
+        exact_substring_spans(
+            grown, "doc_id", "text", k=k, gram_store_path=store,
+            compose_delta=False,
+        )
+    # a FILTERED grown relation cannot compose (file-grain counts would
+    # diverge from the from-scratch computation over the filtered rows)
+    with pytest.raises(ValueError, match="filtered"):
+        exact_substring_spans(
+            grown.filter(F.col("doc_id") != 3), "doc_id", "text", k=k,
+            gram_store_path=store,
+        )
+    # a store WITHOUT delta_support refuses the grown corpus with the
+    # rebuild pointer
+    cp3 = str(tmp_path / "corpus3")
+    _write_docs(spark, cp3, rows)
+    store3 = str(tmp_path / "gstore3")
+    build_gram_store(
+        spark.read.parquet(cp3), "text", store3, k=k, min_count=2,
+    )
+    _write_docs(
+        spark, cp3, [(11, "ee0011ff SHARED-BLOCK-11 gg0011hh")],
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="delta_support"):
+        exact_substring_spans(
+            spark.read.parquet(cp3), "doc_id", "text", k=k,
+            gram_store_path=store3,
+        )
+    # delta refresh flips delta_support (sidecar unmaintainable from the
+    # delta); the next FULL refresh restores it with the sidecar
+    m1 = refresh_gram_store(spark, cp, store, delta_only=True)
+    assert m1["delta_support"] is False and m1["counts_exact"] is False
+    m2 = refresh_gram_store(spark, cp, store)
+    assert m2["delta_support"] is True and m2["counts_exact"] is True
+    # and the restored store serves the exact path again (file-identical)
+    out = exact_substring_spans(
+        spark.read.parquet(cp), "doc_id", "text", k=k,
+        gram_store_path=store,
+    )
+    assert out.count() >= 1
