@@ -5638,6 +5638,128 @@ def surgery_corpus_docs(spark, sf_dir):
     )
 
 
+# warm-store fixture for surgery_warm_cut_docs: corpus + gram store are
+# built ONCE per (process, sf_dir) — the spec measures the cut with the
+# store already in place, so the bench row records the probe-side-only
+# cost (the from-scratch sibling above keeps measuring ingest + build +
+# cut + update). The corpus is never mutated by the warm spec, so the
+# store's file-identity freshness guard holds across iterations.
+_WARM_SURGERY: dict[str, tuple[str, str]] = {}
+
+
+def _warm_surgery_fixture(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
+        build_gram_store,
+    )
+    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+        append_corpus,
+        read_corpus,
+    )
+
+    got = _WARM_SURGERY.get(sf_dir)
+    if got and all(os.path.exists(p) for p in got):
+        return got
+    tmp = tempfile.mkdtemp(prefix="bbai_warm_surgery_")
+    out = os.path.join(tmp, "corpus")
+    store = os.path.join(tmp, "gstore")
+    d = _t(spark, sf_dir, "documents")
+    append_corpus(
+        d, out, partition_by=("lang",), max_records_per_file=100
+    )
+    live = read_corpus(spark, out)
+    build_gram_store(
+        live, "text", store, k=25, min_count=2, id_col="doc_id"
+    )
+    _WARM_SURGERY[sf_dir] = (out, store)
+    return out, store
+
+
+@spec(
+    "surgery_warm_cut_docs",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, lang, text,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS f
+      FROM documents
+    ), keep AS (
+      SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f
+    ), live AS (
+      SELECT p.doc_id, p.lang, p.text
+      FROM fp p JOIN keep k ON p.doc_id = k.doc_id AND p.f = k.f
+    ),
+    pos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS p,
+             substr(text, CAST(i AS BIGINT), 25) AS gram
+      FROM live, LATERAL unnest(range(1, length(text) - 25 + 2)) AS t(i)
+      WHERE length(text) >= 25),
+    occ AS (SELECT doc_id, p, COUNT(*) OVER (PARTITION BY gram) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY gram
+                                      ORDER BY doc_id, p) AS rk
+            FROM pos),
+    hits AS (SELECT doc_id, p FROM occ WHERE cnt >= 2 AND rk >= 2),
+    isl AS (SELECT doc_id, p,
+                   p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                     AS grp
+            FROM hits),
+    spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + 24 AS e
+              FROM isl GROUP BY doc_id, grp),
+    segs AS (
+      SELECT doc_id,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+               AS seg_s,
+             s - 1 AS seg_e
+      FROM spans
+      UNION ALL
+      SELECT doc_id, MAX(e) + 1 AS seg_s, NULL AS seg_e
+      FROM spans GROUP BY doc_id),
+    clean AS (
+      SELECT l.doc_id,
+             STRING_AGG(
+               CASE WHEN COALESCE(seg_e, LENGTH(l.text)) >= seg_s
+                    THEN substr(l.text, seg_s,
+                                COALESCE(seg_e, LENGTH(l.text)) - seg_s + 1)
+                    ELSE '' END, '' ORDER BY seg_s) AS kept
+      FROM live l JOIN segs USING (doc_id) GROUP BY l.doc_id)
+    SELECT l.doc_id, l.lang,
+           LENGTH(COALESCE(kept, l.text)) AS clean_len,
+           md5(COALESCE(kept, l.text)) AS clean_md5
+    FROM live l LEFT JOIN clean USING (doc_id)
+    ORDER BY l.doc_id
+    """,
+    headline=True,
+    doc="The WARM-STORE half of surgery_corpus_docs (VERDICT r12 #4): "
+    "corpus and gram store are prepared once in an untimed fixture, and "
+    "the timed body is the store-plugged ExactSubstr keep-first cut "
+    "alone — the measured evidence for the store's probe-side-only "
+    "cost, next to exact_cut_docs (the from-scratch cut over the same "
+    "documents) and surgery_corpus_docs (ingest + build + cut + update "
+    "in one window). The output equals the from-scratch cut over the "
+    "live corpus, replayed by the same DuckDB CTE chain as the surgery "
+    "spec (no update step: the cut text IS the post-update state).",
+)
+def surgery_warm_cut_docs(spark, sf_dir):
+    from bambooai_spark.operators.dedup import (  # noqa: PLC0415
+        exact_substring_cut,
+    )
+    from bambooai_spark.operators.writer import read_corpus  # noqa: PLC0415
+
+    out, store = _warm_surgery_fixture(spark, sf_dir)
+    live = read_corpus(spark, out)
+    cut = exact_substring_cut(
+        live, "doc_id", "text", k=25, keep_first=True,
+        gram_store_path=store,
+    )
+    return cut.select(
+        "doc_id",
+        "lang",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 @spec(
     "refresh_vector_embeddings",
     f"""
@@ -6714,10 +6836,12 @@ _PROMOTE = [
     # displacing rows already driver-evidenced 3-4 times.
     # (r10: shuffle_shards/quality_filter/unigram_logprob/q13/q21 — five
     # greens each, freshest r9 — yield their slots to the r10 rotation
-    # below; stratified_sample and pack_skew stay as the window's sole
-    # sampling and packing representatives.)
-    "stratified_sample_docs",
-    "pack_skew_docs",
+    # below.)
+    # (r13: stratified_sample_docs and pack_skew_docs — 8 greens each,
+    # freshest r12, the window's most-evidenced rows after the flagship
+    # — yield their slots in the r13 rotation below; sampling stays
+    # repped by holdout_split_docs + the curation pipeline's budget
+    # fill, packing by curation_pipeline_docs' pack stage.)
     # Round-6 rotation: the last 10 never-driver-graded oracled specs plus
     # the three new md5-oracle twins (simhash near-dup, IVF, embedder) take
     # the slots of rows carrying 4-5 green driver rounds. After this
@@ -6727,6 +6851,11 @@ _PROMOTE = [
     # r9 — yield their slots to the ExactSubstr / PQ / update specs in
     # the r10-continuation blocks below.)
     "salted_agg_events",
+    # (r13: embed_md5_docs and corr_lineitem — 7 and 8 greens, freshest
+    # r12 — yield their slots in the r13 rotation below; the embedding
+    # family stays richly repped by semdedup/cluster_profile/knn_pq/
+    # vector_store_pq/refresh_vector, correlation/describe by
+    # regr_slope_events.)
     # (top_parts_per_brand yields its slot to cluster_profile_embeddings
     # in the r10-continuation-3 block below.)
     # Round-8 continuation: the session's new lifecycle/sketch specs take
@@ -6742,7 +6871,6 @@ _PROMOTE = [
     "export_shards_docs",
     "sketch_distinct_events",
     "simhash_md5_near_dup_docs",
-    "embed_md5_docs",
     # Round-7 rotation: the new Q12 analog takes a fresh slot, and seven
     # r6-displaced classics cycle BACK into the window (VERDICT r6 #6: no
     # spec's last driver row should age past ~3 rounds) — their slots come
@@ -6771,11 +6899,12 @@ _PROMOTE = [
     # and argmax_events — 4 greens each, freshest r11 — yield their
     # slots in the r12 rotation below.)
     "text_quality_docs",
-    # (lang_id_docs yields its slot in the r11 rotation below; text
-    # analysis stays repped by token_stats_docs + text_quality_docs.)
-    # (pct_change_events yields its slot in the r11 rotation below;
-    # the cumulative family stays repped by cumsum_events.)
-    "json_extract_events",
+    # (lang_id_docs yielded its slot in the r11 rotation and RETURNS in
+    # the r13 rotation below on the aging schedule; same for
+    # pct_change_events.)
+    # (r13: json_extract_events — 8 greens, freshest r12 — yields its
+    # slot in the r13 rotation below; JSON/regex extraction stays
+    # repped by regex_token_stats_docs.)
     "ftp_events",
     # Round-8 continuation 2: the session's four new oracled specs get
     # r8 driver grades (no oracled spec waits ungraded). Their slots:
@@ -6844,7 +6973,6 @@ _PROMOTE = [
     "image_near_dup_docs",
     "pace_events",
     "group_index_events",
-    "corr_lineitem",
     "regr_slope_events",
     # Round-10 continuation: the session's new ExactSubstr specs earn
     # their driver rows the round they land (policy since r6). Their
@@ -6916,8 +7044,34 @@ _PROMOTE = [
     "regex_token_stats_docs",
     "top_parts_per_brand",
     "chunk_docs",
+    # Round-13 rotation (VERDICT r12 #1 + the aging schedule):
+    # curation_report_docs — the ONLY oracled spec of 142 never to hold
+    # a driver row (added in r12's third wave after the window closed) —
+    # earns its grade, certifying the attrition report of the composed
+    # curate_corpus verb; and the four r11-demoted rows whose last green
+    # is r10 (evolve_corpus_docs, theta_audience_events, lang_id_docs,
+    # pct_change_events) return on the ~3-round aging schedule. Their
+    # five slots come from the window's most-evidenced rows, all
+    # re-evidenced r12 (stratified_sample/pack_skew/json_extract/corr 8
+    # greens each, embed_md5 7); family coverage notes at each vacated
+    # slot above.
+    "curation_report_docs",
+    "evolve_corpus_docs",
+    "theta_audience_events",
+    "lang_id_docs",
+    "pct_change_events",
 ]
 _DEMOTE = [
+    # Round-13 demotions (slots for the r13 rotation above); all stay
+    # headline-benched and oracle-pinned in pytest with 7-8 green driver
+    # rounds each, freshest r12 — the most-evidenced rows in the suite
+    # after the flagship. Family coverage notes at the vacated slots in
+    # the _PROMOTE block.
+    "stratified_sample_docs",
+    "pack_skew_docs",
+    "json_extract_events",
+    "corr_lineitem",
+    "embed_md5_docs",
     # Round-12 demotions (slots for the r12 rotation above); all stay
     # headline-benched and oracle-pinned in pytest with 4 green driver
     # rounds each (r8-r11), freshest r11 — the window's most-evidenced
@@ -6933,13 +7087,10 @@ _DEMOTE = [
     "theta_overlap_docs",
     "near_dup_gate_docs",
     "vector_store_embeddings",
-    # Round-11 demotions (slots for the r11 rotation above); all stay
-    # headline-benched and oracle-pinned in pytest with 3 green driver
-    # rounds each, freshest r10.
-    "evolve_corpus_docs",
-    "theta_audience_events",
-    "lang_id_docs",
-    "pct_change_events",
+    # (Round-11 demotions evolve_corpus_docs, theta_audience_events,
+    # lang_id_docs, and pct_change_events — 3 greens each, last green
+    # r10 — returned to the window in the r13 rotation above on the
+    # aging schedule.)
     # (repetition_docs, ntile_customers, pivot_orders,
     # regex_token_stats_docs, top_parts_per_brand, and chunk_docs —
     # demoted r10 with 4 greens, last green r9 — returned to the window

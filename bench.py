@@ -83,7 +83,17 @@ def _prev_round_queries() -> tuple[str, dict[str, float], float] | None:
     skipped, smoke-scale) its sidecar write must not silently baseline
     the diff against a stale round's minima under the new label —
     unstamped or mismatched sidecars fall back to the newest
-    BENCH_r*.json that still has queries."""
+    BENCH_r*.json that still has queries.
+
+    VERDICT r12 #2: the live sidecar alone left the driver structurally
+    blind to the prior round — the builder's CLOSING full run overwrites
+    it stamped round N (newest artifact N-1, so stamp = N), and the
+    driver's own round-N run then finds stamp N != newest artifact N-1
+    and falls back TWO rounds. Every full-scale run therefore ALSO
+    archives its sidecar as BENCH_SPREAD_r{stamp}.json, and this
+    resolver prefers the archive of the newest recorded round — written
+    by that round's own driver run — so the carried diff always lands
+    on the immediately-prior round."""
     import glob  # noqa: PLC0415
     import re  # noqa: PLC0415
 
@@ -116,26 +126,31 @@ def _prev_round_queries() -> tuple[str, dict[str, float], float] | None:
             best_round = rnd
     if newest_round > best_round:
         # the newest round's line is the slim protocol: its minima live
-        # in the sidecar its run committed — IF the sidecar is stamped
-        # as that round's (pre-stamp sidecars carry no round and are
-        # accepted for continuity with rounds recorded before the stamp
-        # existed only when no stamped decision is possible: r11 shipped
-        # the slim line and an unstamped sidecar together)
-        try:
-            with open(os.path.join(here, "BENCH_SPREAD.json")) as fh:
-                side = json.load(fh)
+        # in a sidecar — preferred source is the per-round ARCHIVE that
+        # round's own full-scale run wrote (the live BENCH_SPREAD.json
+        # may already belong to the round in flight), falling back to
+        # the live sidecar IF it is stamped as that round's (pre-stamp
+        # sidecars carry no round and are accepted for continuity with
+        # rounds recorded before the stamp existed: r11 shipped the
+        # slim line and an unstamped sidecar together)
+        for name in (f"BENCH_SPREAD_r{newest_round:02d}.json",
+                     "BENCH_SPREAD.json"):
+            try:
+                with open(os.path.join(here, name)) as fh:
+                    side = json.load(fh)
+            except (OSError, ValueError):
+                continue
             stamped = side.get("round")
-            if stamped is None or int(stamped) == newest_round:
-                qs = {
-                    k: v for k, v in (side.get("queries") or {}).items()
-                    if isinstance(v, (int, float)) and v >= 0
-                }
-                if qs:
-                    return (f"r{newest_round:02d}", qs,
-                            newest_sf if newest_sf is not None
-                            else side.get("sf"))
-        except (OSError, ValueError):
-            pass
+            if not (stamped is None or int(stamped) == newest_round):
+                continue
+            qs = {
+                k: v for k, v in (side.get("queries") or {}).items()
+                if isinstance(v, (int, float)) and v >= 0
+            }
+            if qs:
+                return (f"r{newest_round:02d}", qs,
+                        newest_sf if newest_sf is not None
+                        else side.get("sf"))
     return best
 
 
@@ -350,11 +365,23 @@ def main() -> int:
     print(f"[bench] spread: {json.dumps(spread)}", file=sys.stderr)
     if _sf_of(sf_dir) >= 0.1 and iters >= 3:
         try:
-            path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                "BENCH_SPREAD.json")
+            here = os.path.dirname(os.path.abspath(__file__))
+            path = os.path.join(here, "BENCH_SPREAD.json")
             with open(path, "w") as fh:
                 json.dump(sidecar, fh, indent=1)
-            print(f"[bench] spread written to {path}", file=sys.stderr)
+            # per-round archive (VERDICT r12 #2): the live sidecar gets
+            # overwritten by the NEXT round's runs before the next
+            # driver diff, so each full-scale run also files its spread
+            # under its round stamp — the immediately-prior round's
+            # minima then survive for _prev_round_queries regardless of
+            # who wrote last
+            apath = os.path.join(
+                here, f"BENCH_SPREAD_r{sidecar['round']:02d}.json"
+            )
+            with open(apath, "w") as fh:
+                json.dump(sidecar, fh, indent=1)
+            print(f"[bench] spread written to {path} (+ archive "
+                  f"{os.path.basename(apath)})", file=sys.stderr)
         except OSError as exc:  # read-only checkout: stderr still has it
             print(f"[bench] spread sidecar not written: {exc}",
                   file=sys.stderr)

@@ -860,3 +860,51 @@ def test_bench_sidecar_round_stamp(tmp_path, monkeypatch):
     assert bench._prev_round_queries() == ("r11", {"q1": 0.8}, 0.1)
     # and the stamp a run writes is newest-recorded + 1
     assert bench._newest_recorded_round() == 11
+
+
+def test_bench_archive_baselines_immediately_prior_round(
+    tmp_path, monkeypatch
+):
+    """Driver-mirror simulation (VERDICT r12 #2): under the live-sidecar
+    protocol the driver was structurally blind to the prior round — the
+    builder's closing run overwrites BENCH_SPREAD.json stamped N, the
+    driver's round-N run refuses it (stamp N != newest artifact N-1)
+    and falls back TWO rounds (BENCH_r12 read vs=r10). With per-round
+    archives, the round-13 driver run baselines against round 12's
+    archived minima even though the live sidecar already belongs to
+    round 13."""
+    import json
+
+    import bench
+
+    d = tmp_path / "repo"
+    d.mkdir()
+    # committed artifacts: r10 fat, r11 + r12 slim (no queries on the line)
+    (d / "BENCH_r10.json").write_text(json.dumps(
+        {"parsed": {"queries": {"q1": 1.0}}, "sf": 0.1}
+    ))
+    for rnd in (11, 12):
+        (d / f"BENCH_r{rnd}.json").write_text(json.dumps(
+            {"parsed": {"queries": {}}, "sf": 0.1}
+        ))
+    monkeypatch.setattr(
+        bench.os.path, "abspath", lambda p: str(d / "bench.py")
+    )
+    # round-12 archive (written by r12's own driver run) + a live
+    # sidecar ALREADY overwritten by the r13 builder's closing run
+    (d / "BENCH_SPREAD_r12.json").write_text(json.dumps(
+        {"round": 12, "sf": 0.1, "queries": {"q1": 0.7, "q2": 1.4}}
+    ))
+    (d / "BENCH_SPREAD.json").write_text(json.dumps(
+        {"round": 13, "sf": 0.1, "queries": {"q1": 0.65}}
+    ))
+    # the r13 driver run sees newest artifact 12 and lands on r12's
+    # archived minima — ONE round back, not two
+    assert bench._prev_round_queries() == (
+        "r12", {"q1": 0.7, "q2": 1.4}, 0.1
+    )
+    # a mis-stamped archive is refused like a mis-stamped live sidecar
+    (d / "BENCH_SPREAD_r12.json").write_text(json.dumps(
+        {"round": 9, "sf": 0.1, "queries": {"q1": 0.1}}
+    ))
+    assert bench._prev_round_queries() == ("r10", {"q1": 1.0}, 0.1)
