@@ -85,6 +85,15 @@ DENSE_DOCS_BROADCAST_MAX = 200_000
 #: side (32768 docs × ≤2 KB masks ≈ 64 MB), independent of total N.
 DENSE_BLOCK_DOCS = 32768
 
+#: mask words at or below this unroll into scalar long columns (flattest
+#: whole-stage codegen for the pair loop — the measured 14x regime);
+#: above it the mask stays ONE array column and the intersection is
+#: zip_with + aggregate. The unrolled form does not survive large word
+#: counts: at ~146 scalar columns the self-join analyzer hits its
+#: resolution iteration cap (found by the 10x stress run, r13), so the
+#: declared DENSE_VOCAB_MAX=16384 (256 words) was unreachable.
+DENSE_UNROLL_WORDS_MAX = 64
+
 
 def jaccard_near_dup(
     df: DataFrame,
@@ -209,12 +218,22 @@ def _dense_overlap_scores(
       second join is an equi shuffle join on the block id. Every unordered
       pair lands in exactly one grid cell; per-task memory stays O(block),
       independent of N, so a large-N/small-V corpus degrades to shuffle
-      instead of OOMing the driver."""
+      instead of OOMing the driver.
+
+    Two mask layouts, chosen by word count (r13, found by the 10x
+    stress run): up to ``DENSE_UNROLL_WORDS_MAX`` words the mask
+    unrolls into scalar long columns (flattest codegen for the pair
+    loop); above it — the analyzer's resolution iteration cap dies on
+    ~146 scalar columns through the self-join — the mask stays ONE
+    array<long> column and |A∩B| is ``aggregate(zip_with(a, b, &),
+    bit_count)``: one expression at ANY vocabulary up to
+    ``DENSE_VOCAB_MAX``."""
     broadcast_max = (
         DENSE_DOCS_BROADCAST_MAX if broadcast_max is None else broadcast_max
     )
     block_docs = DENSE_BLOCK_DOCS if block_docs is None else block_docs
     nwords = (n_vocab + 63) // 64
+    unroll = nwords <= DENSE_UNROLL_WORDS_MAX
     bits = (
         tok.join(F.broadcast(vocab), key)
         .select(
@@ -232,42 +251,73 @@ def _dense_overlap_scores(
             F.sum(F.bit_count("word")).alias("n"),
         )
     )
-    masks = bits.select(
-        "doc",
-        "n",
-        *[
-            # m is a MAP keyed by word index — element_at does key lookup
-            F.coalesce(F.element_at("m", F.lit(w)), F.lit(0).cast("long")).alias(
-                f"w{w}"
-            )
-            for w in range(nwords)
-        ],
-    )
+    if unroll:
+        masks = bits.select(
+            "doc",
+            "n",
+            *[
+                # m is a MAP keyed by word index — element_at does key lookup
+                F.coalesce(
+                    F.element_at("m", F.lit(w)), F.lit(0).cast("long")
+                ).alias(f"w{w}")
+                for w in range(nwords)
+            ],
+        )
+    else:
+        masks = bits.select(
+            "doc",
+            "n",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nwords - 1)),
+                lambda w: F.coalesce(
+                    F.element_at("m", w), F.lit(0).cast("long")
+                ),
+            ).alias("mask"),
+        )
     # both pair sides read the mask relation; persisting it (a) pays the
     # groupBy aggregation once instead of per-side and (b) makes the N guard
     # count free at join time. Narrow rows (≤2 KB), bounded by the corpus.
     masks = track(masks.persist())
     n_docs = masks.count()
-    a = masks.select(
-        F.col("doc").alias("doc_a"),
-        F.col("n").alias("n_a"),
-        *[F.col(f"w{w}").alias(f"a{w}") for w in range(nwords)],
-    )
-    b = masks.select(
-        F.col("doc").alias("doc_b"),
-        F.col("n").alias("n_b"),
-        *[F.col(f"w{w}").alias(f"b{w}") for w in range(nwords)],
-    )
-    # seed the sum with a Column: on an empty vocabulary (nwords == 0,
-    # e.g. an empty or all-blank corpus) a bare sum() yields the Python
-    # int 0, which withColumn rejects
-    inter = sum(
-        (
-            F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
-            for w in range(nwords)
-        ),
-        F.lit(0).cast("long"),
-    )
+    if unroll:
+        a = masks.select(
+            F.col("doc").alias("doc_a"),
+            F.col("n").alias("n_a"),
+            *[F.col(f"w{w}").alias(f"a{w}") for w in range(nwords)],
+        )
+        b = masks.select(
+            F.col("doc").alias("doc_b"),
+            F.col("n").alias("n_b"),
+            *[F.col(f"w{w}").alias(f"b{w}") for w in range(nwords)],
+        )
+        # seed the sum with a Column: on an empty vocabulary (nwords == 0,
+        # e.g. an empty or all-blank corpus) a bare sum() yields the Python
+        # int 0, which withColumn rejects
+        inter = sum(
+            (
+                F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
+                for w in range(nwords)
+            ),
+            F.lit(0).cast("long"),
+        )
+    else:
+        a = masks.select(
+            F.col("doc").alias("doc_a"),
+            F.col("n").alias("n_a"),
+            F.col("mask").alias("ma"),
+        )
+        b = masks.select(
+            F.col("doc").alias("doc_b"),
+            F.col("n").alias("n_b"),
+            F.col("mask").alias("mb"),
+        )
+        inter = F.aggregate(
+            F.zip_with(
+                "ma", "mb", lambda x, y: F.bit_count(x.bitwiseAND(y))
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
     if n_docs <= broadcast_max:
         pairs = a.join(F.broadcast(b), F.col("doc_a") < F.col("doc_b"))
     else:

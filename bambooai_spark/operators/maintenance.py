@@ -405,7 +405,11 @@ def suggest_maintenance(
                 "needs the store sooner",
             )
         if gmeta is not None:
-            built_rows = gmeta.get("n_rows")
+            # a delta_support store's delta refresh publishes a GATE
+            # OVERLAY and leaves the base n_rows pinned at the full
+            # build (the composition base) — gate freshness is then
+            # measured against the overlay's row watermark
+            built_rows = gmeta.get("gate_n_rows") or gmeta.get("n_rows")
             if built_rows is None or cur_rows is None:
                 add(
                     "gram_store", "info",
@@ -691,6 +695,21 @@ def auto_maintain(
                 delta = bool(gm.get("has_files")) and bool(
                     gm.get("counts_exact", True)
                 )
+                if delta and gm.get("delta_support"):
+                    # a delta_support store's overlay deltas are
+                    # computed against the BASE inventory, so their
+                    # cost grows with every file since the last full
+                    # build — once the corpus has outgrown the base 2x,
+                    # go full: one pass resets the overlay cost AND
+                    # re-bases the surgery composition
+                    from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
+                        _corpus_manifest_rows,
+                    )
+
+                    cur = _corpus_manifest_rows(spark, path)
+                    base = gm.get("n_rows")
+                    if cur is not None and base and cur >= 2 * base:
+                        delta = False
                 out = refresh_gram_store(
                     spark, path, gram_store_path, delta_only=delta
                 )

@@ -177,10 +177,13 @@ def _gate_grams(
         )
     if boilerplate_store is not None:
         from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
-            read_gram_store,
+            read_gate_grams,
         )
 
-        g, _meta = read_gram_store(
+        # read_gate_grams: the delta-refresh GATE OVERLAY when present
+        # (fresher than the exact full-build base the batch surgery
+        # composes against), else the base relation
+        g, _meta = read_gate_grams(
             session, boilerplate_store, k=decontaminate_k
         )
         # the store relation is count-bearing (cnt [, first]); the gate

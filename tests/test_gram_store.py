@@ -1158,15 +1158,117 @@ def test_store_plugged_freshness_is_file_exact(spark, tmp_path):
             spark.read.parquet(cp3), "doc_id", "text", k=k,
             gram_store_path=store3,
         )
-    # delta refresh flips delta_support (sidecar unmaintainable from the
-    # delta); the next FULL refresh restores it with the sidecar
+    # delta refresh on a delta_support store publishes the GATE OVERLAY
+    # and leaves the exact base untouched — counts_exact and
+    # delta_support STAY True (r13: the overlay ends the alternating
+    # delta/full dance between the gate and batch surgery)
     m1 = refresh_gram_store(spark, cp, store, delta_only=True)
-    assert m1["delta_support"] is False and m1["counts_exact"] is False
+    assert m1["delta_support"] is True and m1["counts_exact"] is True
+    assert m1["gate_version"] == 1 and m1["gate_n_rows"] == 4
+    # a full refresh drops the overlay and re-bases everything
     m2 = refresh_gram_store(spark, cp, store)
     assert m2["delta_support"] is True and m2["counts_exact"] is True
-    # and the restored store serves the exact path again (file-identical)
+    assert m2["gate_version"] == 0 and m2["n_rows"] == 4
+    # and the re-based store serves the exact path again (file-identical)
     out = exact_substring_spans(
         spark.read.parquet(cp), "doc_id", "text", k=k,
         gram_store_path=store,
     )
     assert out.count() >= 1
+
+
+def test_gate_overlay_serves_gate_and_base_serves_surgery(spark, tmp_path):
+    """The r13 overlay contract end-to-end: after a delta refresh on a
+    delta_support store, (a) the ingest gate screens NEW delta
+    boilerplate via the overlay, (b) batch surgery still composes
+    EXACTLY against the untouched base, (c) a crashed overlay swap
+    falls back to the base and repair rolls it forward, and (d) a full
+    refresh drops the overlay."""
+    from bambooai_spark.operators.dedup import exact_substring_spans
+    from bambooai_spark.operators.gram_store import (
+        boilerplate_cut,
+        build_gram_store,
+        read_gate_grams,
+        read_gram_store,
+        refresh_gram_store,
+        repair_gram_store,
+    )
+    from bambooai_spark.operators.writer import _fs, _fs_exists
+
+    k = 8
+    old_rows = [
+        (1, "aa0001bb OLDHDRCOMMONBLOCK cc0001dd"),
+        (2, "aa0002bb OLDHDRCOMMONBLOCK cc0002dd"),
+        (3, "aa0003bb uniquethree cc0003dd"),
+    ]
+    new_boiler = "FRESHNAVBAR-42X42"
+    delta_rows = [
+        (11, f"ee0011ff {new_boiler} gg0011hh"),
+        (12, f"ee0012ff {new_boiler} gg0012hh"),
+    ]
+    cp = str(tmp_path / "corpus")
+    _write_docs(spark, cp, old_rows)
+    store = str(tmp_path / "gstore")
+    build_gram_store(
+        spark.read.parquet(cp), "text", store, k=k, min_count=2,
+        id_col="doc_id", delta_support=True,
+    )
+    _write_docs(spark, cp, delta_rows, mode="append")
+    meta = refresh_gram_store(spark, cp, store, delta_only=True)
+    assert meta["gate_version"] == 1
+
+    # (a) the gate sees the NEW boilerplate through the overlay...
+    gate, _m = read_gate_grams(spark, store, k=k)
+    gate_grams = {r["gram"] for r in gate.collect()}
+    assert any(new_boiler[:k] in g or g in new_boiler for g in gate_grams)
+    incoming = spark.createDataFrame(
+        [(100, f"xx0100yy {new_boiler} zz0100ww")],
+        "doc_id long, text string",
+    )
+    got = boilerplate_cut(incoming, "doc_id", "text", store, k=k).collect()
+    assert new_boiler not in got[0]["clean_text"]
+    # ...while the BASE relation does not carry it
+    base, bmeta = read_gram_store(spark, store, k=k)
+    base_grams = {r["gram"] for r in base.collect()}
+    assert not any(g in new_boiler for g in base_grams)
+    assert bmeta["counts_exact"] is True
+
+    # (b) batch surgery composes exactly against the base
+    grown = spark.read.parquet(cp)
+    inline = sorted(
+        map(
+            tuple,
+            exact_substring_spans(
+                grown, "doc_id", "text", k=k, keep_first=True
+            ).collect(),
+        )
+    )
+    composed = sorted(
+        map(
+            tuple,
+            exact_substring_spans(
+                grown, "doc_id", "text", k=k, keep_first=True,
+                gram_store_path=store,
+            ).collect(),
+        )
+    )
+    assert composed == inline and any(r[0] in (11, 12) for r in inline)
+
+    # (c) crashed overlay swap: stage present, overlay missing
+    fs, jgate = _fs(spark, store + "/grams_gate")
+    jnext = _fs(spark, store + "/grams_gate_next")[1]
+    assert fs.rename(jgate, jnext)
+    gate2, _m2 = read_gate_grams(spark, store, k=k)
+    assert {r["gram"] for r in gate2.collect()} == base_grams  # fallback
+    repair_gram_store(spark, store)
+    assert _fs_exists(spark, store + "/grams_gate")
+    gate3, _m3 = read_gate_grams(spark, store, k=k)
+    assert {r["gram"] for r in gate3.collect()} == gate_grams
+
+    # (d) full refresh re-bases and drops the overlay
+    meta = refresh_gram_store(spark, cp, store)
+    assert meta["gate_version"] == 0 and meta["n_rows"] == 5
+    assert not _fs_exists(spark, store + "/grams_gate")
+    gate4, _m4 = read_gate_grams(spark, store, k=k)
+    assert any(g in new_boiler for g in
+               {r["gram"] for r in gate4.collect()})

@@ -697,3 +697,42 @@ def test_knn_pq_refuses_codes_without_books(spark, emb):
     enc = pq_encode(emb, "embedding", books, out_col="pq_code")
     with pytest.raises(ValueError, match="without the codebooks"):
         knn_pq(enc, "vec_id", "embedding", query_id=0, code_col="pq_code")
+
+
+def test_dense_array_mask_regime_matches_unrolled(spark, docs):
+    """r13 (found by the 10x stress run): the unrolled scalar-column
+    mask layout dies in the analyzer at large word counts, so above
+    DENSE_UNROLL_WORDS_MAX the mask stays one array<long> column — the
+    two layouts (and the blocked grid under the array layout) must emit
+    identical exact-Jaccard pairs."""
+    from bambooai_spark.operators import dedup as dd
+    from bambooai_spark.operators.dedup import jaccard_near_dup as jnd
+
+    sample = docs.limit(120)
+    baseline = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jnd(sample, "doc_id", "text", strategy="dense").collect()
+    }
+    orig_u, orig_b = dd.DENSE_UNROLL_WORDS_MAX, dd.DENSE_DOCS_BROADCAST_MAX
+    dd.DENSE_UNROLL_WORDS_MAX = 0  # force the array-mask layout
+    try:
+        arr = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in jnd(
+                sample, "doc_id", "text", strategy="dense"
+            ).collect()
+        }
+        assert arr == baseline
+        # array layout + blocked grid together
+        dd.DENSE_DOCS_BROADCAST_MAX = 16
+        arr_blocked = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in jnd(
+                sample, "doc_id", "text", strategy="dense"
+            ).collect()
+        }
+        assert arr_blocked == baseline
+    finally:
+        dd.DENSE_UNROLL_WORDS_MAX = orig_u
+        dd.DENSE_DOCS_BROADCAST_MAX = orig_b
+    assert len(baseline) > 0
