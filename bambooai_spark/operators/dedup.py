@@ -94,6 +94,18 @@ DENSE_BLOCK_DOCS = 32768
 #: declared DENSE_VOCAB_MAX=16384 (256 words) was unreachable.
 DENSE_UNROLL_WORDS_MAX = 64
 
+#: cost-model constant for the auto dispatch: one inverted-index join
+#: row costs about this many bitset word-ops (derived from the r8
+#: measurement the dense path was built on: N=5000/V=931 ran the dense
+#: product 14x FASTER than the index join despite ~2.6x more raw word
+#: ops — per-unit ratio ~36; 32 keeps a margin). auto picks dense iff
+#: N^2/2 * ceil(V/64) <= DENSE_COST_RATIO * sum(df^2) — vocabulary size
+#: alone is NOT the regime signal: the r13 10x stress corpus had V=9310
+#: (<= DENSE_VOCAB_MAX) but per-shingle density 10x LOWER than the
+#: dense assumption, so the block product was ~1000x the base work
+#: while the index cost had grown only 10x.
+DENSE_COST_RATIO = 32
+
 
 def jaccard_near_dup(
     df: DataFrame,
@@ -170,10 +182,30 @@ def jaccard_near_dup(
         # repeated calls on the same input reuse one entry; release with
         # unpersist after materialization or spark.catalog.clearCache().
         sh = track(sh.persist())
-        dist = track(sh.select("sh").distinct().persist())
-        n_vocab = dist.count()
-        if strategy == "dense" or n_vocab <= DENSE_VOCAB_MAX:
-            vocab = dist.select(
+        dfreq = track(
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).persist()
+        )
+        stats = dfreq.agg(
+            F.count(F.lit(1)).alias("v"),
+            F.sum(F.col("df") * F.col("df")).alias("sumdf2"),
+        ).first()
+        n_vocab = stats["v"]
+        pick_dense = strategy == "dense"
+        if not pick_dense and n_vocab <= DENSE_VOCAB_MAX:
+            # the regime signal is COST, not vocabulary size alone
+            # (r13 stress finding: a small-vocab corpus whose shingles
+            # are NOT dense across docs makes the N^2 block product
+            # ~1000x the index join): dense iff its word-op count
+            # undercuts the index join's Sigma df^2 row count at the
+            # measured per-unit ratio.
+            n_docs = sh.select("doc").distinct().count()
+            nwords = (n_vocab + 63) // 64
+            dense_ops = n_docs * n_docs / 2 * nwords
+            pick_dense = dense_ops <= DENSE_COST_RATIO * float(
+                stats["sumdf2"] or 0
+            )
+        if pick_dense:
+            vocab = dfreq.select(
                 "sh",
                 (F.row_number().over(Window.orderBy("sh")) - 1).alias("pos"),
             )
@@ -185,9 +217,9 @@ def jaccard_near_dup(
                 broadcast_max=dense_broadcast_max,
                 block_docs=dense_block_docs,
             )
-        untrack(dist)
+        untrack(dfreq)
         untrack(sh)
-        dist.unpersist()
+        dfreq.unpersist()
         sh.unpersist()
     return _jaccard_index(df, id_col, text_col, n, threshold, max_doc_freq)
 

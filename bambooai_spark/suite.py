@@ -5761,6 +5761,93 @@ def surgery_warm_cut_docs(spark, sf_dir):
 
 
 @spec(
+    "surgery_delta_cut_docs",
+    f"""
+    WITH pos AS ({_XSUB_POS}),
+    occ AS (SELECT doc_id, p, COUNT(*) OVER (PARTITION BY gram) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY gram
+                                      ORDER BY doc_id, p) AS rk
+            FROM pos),
+    hits AS (SELECT doc_id, p FROM occ WHERE cnt >= 2 AND rk >= 2),
+    isl AS (SELECT doc_id, p,
+                   p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p)
+                     AS grp
+            FROM hits),
+    spans AS (SELECT doc_id, MIN(p) AS s, MAX(p) + 24 AS e
+              FROM isl GROUP BY doc_id, grp),
+    segs AS (
+      SELECT doc_id,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+               AS seg_s,
+             s - 1 AS seg_e
+      FROM spans
+      UNION ALL
+      SELECT doc_id, MAX(e) + 1 AS seg_s, NULL AS seg_e
+      FROM spans GROUP BY doc_id),
+    clean AS (
+      SELECT d.doc_id,
+             STRING_AGG(
+               CASE WHEN COALESCE(seg_e, LENGTH(d.text)) >= seg_s
+                    THEN substr(d.text, seg_s,
+                                COALESCE(seg_e, LENGTH(d.text)) - seg_s + 1)
+                    ELSE '' END, '' ORDER BY seg_s) AS kept
+      FROM documents d JOIN segs USING (doc_id) GROUP BY d.doc_id)
+    SELECT d.doc_id,
+           LENGTH(COALESCE(kept, d.text)) AS clean_len,
+           md5(COALESCE(kept, d.text)) AS clean_md5
+    FROM documents d LEFT JOIN clean USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    headline=True,
+    regime="lifecycle",
+    doc="The r13 delta-composition flagship, driver-graded end-to-end: a "
+    "delta_support gram store is built over 80% of the documents "
+    "(written file-backed), the remaining 20% land as APPENDED parquet "
+    "files, and the store-plugged ExactSubstr keep-first cut runs over "
+    "the grown relation — exact_substring_spans detects the proper-"
+    "subset file inventory and composes the stored counts with the "
+    "delta files' counts in-flight (operators/gram_store.py "
+    "composed_dup_grams: bucket-sidecar screen + targeted recount for "
+    "the singleton+singleton class). The oracle is the from-scratch "
+    "ExactSubstr cut over ALL documents — hash-equality certifies the "
+    "composition contributes no lag. Store build + writes are inside "
+    "the timed window (lifecycle regime).",
+)
+def surgery_delta_cut_docs(spark, sf_dir):
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from bambooai_spark.operators.dedup import (  # noqa: PLC0415
+        exact_substring_cut,
+    )
+    from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
+        build_gram_store,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="bbai_delta_spec_")
+    cp = os.path.join(tmp, "corpus")
+    d.filter(F.col("doc_id") % 5 != 0).write.parquet(cp)
+    base = spark.read.parquet(cp)
+    store = os.path.join(tmp, "gstore")
+    build_gram_store(
+        base, "text", store, k=25, min_count=2, id_col="doc_id",
+        delta_support=True,
+    )
+    d.filter(F.col("doc_id") % 5 == 0).write.mode("append").parquet(cp)
+    grown = spark.read.parquet(cp)
+    cut = exact_substring_cut(
+        grown, "doc_id", "text", k=25, keep_first=True,
+        gram_store_path=store,
+    )
+    return cut.select(
+        "doc_id",
+        F.length("clean_text").cast("long").alias("clean_len"),
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+@spec(
     "refresh_vector_embeddings",
     f"""
     WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -6905,7 +6992,10 @@ _PROMOTE = [
     # (r13: json_extract_events — 8 greens, freshest r12 — yields its
     # slot in the r13 rotation below; JSON/regex extraction stays
     # repped by regex_token_stats_docs.)
-    "ftp_events",
+    # (r13: ftp_events — 7 greens, freshest r12 — yields its slot to
+    # the new surgery_delta_cut_docs below per the new-spec policy;
+    # rolling/window families stay repped by window_offsets_events +
+    # group_index_events.)
     # Round-8 continuation 2: the session's four new oracled specs get
     # r8 driver grades (no oracled spec waits ungraded). Their slots:
     # knn_ivf_md5 is SUPERSEDED by vector_store_embeddings (the same
@@ -7060,6 +7150,10 @@ _PROMOTE = [
     "theta_audience_events",
     "lang_id_docs",
     "pct_change_events",
+    # surgery_delta_cut_docs — the round's delta-composition flagship —
+    # earns its driver grade the round it lands (policy since r6); its
+    # slot comes from ftp_events (see the note at that vacated slot).
+    "surgery_delta_cut_docs",
 ]
 _DEMOTE = [
     # Round-13 demotions (slots for the r13 rotation above); all stay
@@ -7072,6 +7166,7 @@ _DEMOTE = [
     "json_extract_events",
     "corr_lineitem",
     "embed_md5_docs",
+    "ftp_events",
     # Round-12 demotions (slots for the r12 rotation above); all stay
     # headline-benched and oracle-pinned in pytest with 4 green driver
     # rounds each (r8-r11), freshest r11 — the window's most-evidenced

@@ -736,3 +736,48 @@ def test_dense_array_mask_regime_matches_unrolled(spark, docs):
         dd.DENSE_UNROLL_WORDS_MAX = orig_u
         dd.DENSE_DOCS_BROADCAST_MAX = orig_b
     assert len(baseline) > 0
+
+
+def test_jaccard_auto_dispatch_is_cost_based(spark):
+    """r13 (second 10x stress finding): vocabulary size alone is not the
+    dense-regime signal — a small-vocab corpus whose shingles are NOT
+    dense across docs makes the N^2 block product orders of magnitude
+    worse than the index join. auto now compares N^2/2*words against
+    DENSE_COST_RATIO * sum(df^2): low-density routes to index,
+    high-density to dense, identical pairs either way."""
+    from bambooai_spark.operators.dedup import jaccard_near_dup as jnd
+
+    # low density: 300 docs, shingles shared by at most the (2i, 2i+1)
+    # twin — vocab well under DENSE_VOCAB_MAX, df <= 2
+    sparse_rows = [
+        (i, f"tok{i // 2}a tok{i // 2}b tok{i // 2}c tok{i // 2}d")
+        for i in range(300)
+    ]
+    sparse = spark.createDataFrame(sparse_rows, "doc_id long, text string")
+    sparse_df = jnd(sparse, "doc_id", "text", n=2, threshold=0.5)
+    plan = sparse_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "bit_count" not in plan  # index join picked
+    got = {(r["doc_a"], r["doc_b"]) for r in sparse_df.collect()}
+    assert got == {(2 * i, 2 * i + 1) for i in range(150)}
+
+    # high density: 80 docs drawing from ~12 tokens — every shingle in
+    # a large doc fraction; the bitset product is the measured winner
+    dense_rows = [
+        (i, " ".join(f"w{(i + j) % 12}" for j in range(6)))
+        for i in range(80)
+    ]
+    densedf = spark.createDataFrame(dense_rows, "doc_id long, text string")
+    dense_out = jnd(densedf, "doc_id", "text", n=2, threshold=0.5)
+    plan2 = dense_out._jdf.queryExecution().optimizedPlan().toString()
+    assert "bit_count" in plan2  # dense product picked
+    # exactness parity across the dispatch
+    want = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in jnd(
+            densedf, "doc_id", "text", n=2, threshold=0.5,
+            strategy="index",
+        ).collect()
+    }
+    assert {
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in dense_out.collect()
+    } == want

@@ -10,11 +10,16 @@ before a real cluster finds it.
 Replica construction keeps the base set's DUPLICATE DENSITY — the
 property that makes scaling ratios meaningful for dedup operators:
 
-- documents: replica k suffixes EVERY whitespace token with ``r<k>``
-  (one regexp_replace), so within-replica exact/near-dup structure is
-  byte-for-byte isomorphic to the base while no shingle survives across
-  replicas (a naive 10x copy would make every doc a 10-way near-dup
-  cluster and measure a legitimately harder problem, not the plan).
+- documents: replica k suffixes every whitespace token EXCEPT the
+  exact token ``the`` with ``r<k>`` (one regexp_replace), so
+  within-replica exact/near-dup structure is byte-for-byte isomorphic
+  to the base while no k=25-char gram or 2-word shingle survives
+  across replicas (every ``the``'s neighbors are suffixed; a naive
+  10x copy would make every doc a 10-way near-dup cluster and measure
+  a legitimately harder problem, not the plan). ``the`` is spared
+  because the ingest quality gate is C4's "contains a common English
+  word" — suffixing it made the 10x curate_corpus run admit ZERO rows
+  (first r13 stress finding: the harness, not the operator).
 - embeddings: replica k multiplies componentwise by a seeded +-1 sign
   vector — an orthogonal reflection, so all within-replica inner
   products (and therefore the cell structure semantic_dedup sees) are
@@ -72,7 +77,10 @@ def synthesize(spark) -> tuple[str, str]:
             (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
             "lang",
             "source",
-            F.regexp_replace("text", r"(\S+)", f"$1r{k}").alias("text"),
+            # (?<!\S) = token start; (?!the(?!\S)) spares exactly "the"
+            F.regexp_replace(
+                "text", r"(?<!\S)(?!the(?!\S))(\S+)", f"$1r{k}"
+            ).alias("text"),
         ).write.mode("append").parquet(ddir)
         sg = ", ".join(str(s) for s in _signs(k, dim))
         e.select(
