@@ -119,7 +119,18 @@ def repair_gram_store(spark: SparkSession, path: str) -> None:
     if _fs_exists(spark, gdest):
         _fs_delete(spark, gnxt)
     elif _fs_exists(spark, gnxt):
-        _rename_checked(spark, gnxt, gdest)
+        # unlike the base leg, "dest missing + next present" is AMBIGUOUS
+        # here: the overlay publish deletes gdest before renaming, and a
+        # FIRST publish has no gdest at all — so a crash mid-write leaves
+        # the same shape as a crash mid-swap. Only a job-committed staging
+        # (parquet _SUCCESS marker) may roll forward; a torn write is
+        # dropped and the gate keeps falling back to the base (review
+        # r13: rolling a partial gnxt forward would publish half a
+        # relation to the ingest gate).
+        if _fs_exists(spark, _join(gnxt, "_SUCCESS")):
+            _rename_checked(spark, gnxt, gdest)
+        else:
+            _fs_delete(spark, gnxt)
     if _fs_exists(spark, dest):
         _fs_delete(spark, nxt)
         _fs_delete(spark, old)
@@ -293,8 +304,14 @@ def _read_meta(spark: SparkSession, path: str) -> dict:
     if _fs_exists(spark, mpath + ".tmp"):
         try:
             return json.loads(_fs_read_text(spark, mpath + ".tmp"))
-        except OSError:
-            pass  # the concurrent writer just renamed it — fall through
+        except Exception:
+            # the concurrent writer just renamed it — fall through. Broad
+            # on purpose: the open goes through py4j/Hadoop, so the miss
+            # surfaces as Py4JJavaError (java.io.FileNotFoundException
+            # wrapped), which OSError cannot catch (review r13); a torn
+            # tmp's JSON parse error lands here too, and the re-check
+            # below reads the swapped-in meta either way.
+            pass
     # a concurrent _write_meta's delete(meta)+rename(tmp->meta) can slip
     # between the two checks above (meta just deleted, tmp just renamed);
     # re-check the rename TARGET once before declaring the store broken
@@ -466,6 +483,17 @@ def build_gram_store(
     spark = df.sparkSession
     if k < 2:
         raise ValueError("build_gram_store: k must be >= 2")
+    # rebuilding IN PLACE over an existing store (the path this module's
+    # own error messages advise for k/id_col mismatches): a gate overlay
+    # left by the previous build's delta refreshes was computed against
+    # the PREVIOUS base — read_gate_grams would keep serving it over the
+    # new relation (missing every gram only the new base has, or with the
+    # wrong k entirely), so drop it with the rest of the old store state
+    # before staging (review r13)
+    from bambooai_spark.operators.writer import _fs_delete  # noqa: PLC0415
+
+    _fs_delete(spark, _join(path, GATE_SUBDIR))
+    _fs_delete(spark, _join(path, GATE_SUBDIR + "_next"))
     gdir = _join(path, GRAMS_DIR)
     _stage_grams_relation(
         df, text_col, gdir, k=k, min_count=min_count, id_col=id_col,
@@ -800,15 +828,22 @@ def refresh_gram_store(
     # exact relation marked inexact (surgery refused until the retried
     # refresh completes — the safe direction), never the reverse.
     _write_meta(spark, store_path, dict(meta, counts_exact=False))
-    _swap_in(spark, store_path, nxt)
     if full_rebuild:
-        # a gate overlay computed against the PREVIOUS base is now
-        # BEHIND the new base (it could miss base grams) — drop it; the
-        # gate falls back to the fresh base until the next delta
+        # a gate overlay computed against the PREVIOUS base would be
+        # BEHIND the new base (it could miss base grams) — drop it
+        # BEFORE the swap: a crash between the swap and a later delete
+        # would leave the stale overlay serving the gate until the next
+        # refresh, and repair_gram_store cannot tell it from a live one
+        # (review r13). In the crash window after this delete the gate
+        # falls back to the OLD base — one freshness notch staler,
+        # within the gate's documented lag contract — and the retried
+        # refresh completes the rebuild.
         from bambooai_spark.operators.writer import _fs_delete  # noqa: PLC0415
 
         _fs_delete(spark, _join(store_path, GATE_SUBDIR))
         _fs_delete(spark, _join(store_path, GATE_SUBDIR + "_next"))
+    _swap_in(spark, store_path, nxt)
+    if full_rebuild:
         meta = dict(meta, gate_version=0, gate_n_rows=None,
                     gate_n_grams=None)
     meta = dict(

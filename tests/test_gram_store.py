@@ -1272,3 +1272,226 @@ def test_gate_overlay_serves_gate_and_base_serves_surgery(spark, tmp_path):
     gate4, _m4 = read_gate_grams(spark, store, k=k)
     assert any(g in new_boiler for g in
                {r["gram"] for r in gate4.collect()})
+
+
+def test_rebuild_in_place_drops_stale_gate_overlay(spark, tmp_path):
+    """Review r13: build_gram_store over an EXISTING store path (the
+    rebuild the module's own error messages advise) must drop a gate
+    overlay left by the previous build's delta refreshes — otherwise
+    read_gate_grams keeps serving the old build's overlay, missing
+    every gram only the new base has (and, after a changed-k rebuild,
+    screening grams of the wrong length entirely)."""
+    from bambooai_spark.operators.gram_store import (
+        build_gram_store,
+        read_gate_grams,
+        refresh_gram_store,
+    )
+    from bambooai_spark.operators.writer import _fs_exists
+
+    k = 8
+    cp = str(tmp_path / "corpus")
+    _write_docs(spark, cp, [
+        (1, "aa0001bb OLDHDRCOMMONBLOCK cc0001dd"),
+        (2, "aa0002bb OLDHDRCOMMONBLOCK cc0002dd"),
+    ])
+    store = str(tmp_path / "gstore")
+    build_gram_store(
+        spark.read.parquet(cp), "text", store, k=k, min_count=2,
+        id_col="doc_id", delta_support=True,
+    )
+    _write_docs(spark, cp, [
+        (11, "ee0011ff FRESHNAVBAR-42X42 gg0011hh"),
+        (12, "ee0012ff FRESHNAVBAR-42X42 gg0012hh"),
+    ], mode="append")
+    refresh_gram_store(spark, cp, store, delta_only=True)
+    assert _fs_exists(spark, store + "/grams_gate")
+
+    # rebuild IN PLACE over the grown corpus with a DIFFERENT k: the old
+    # overlay (k=8 grams) must not survive to screen the k=6 gate
+    build_gram_store(
+        spark.read.parquet(cp), "text", store, k=6, min_count=2,
+        id_col="doc_id", delta_support=True,
+    )
+    assert not _fs_exists(spark, store + "/grams_gate")
+    gate, meta = read_gate_grams(spark, store, k=6)
+    grams = {r["gram"] for r in gate.collect()}
+    assert grams and all(len(g) == 6 for g in grams)
+    # the new base sees the new boilerplate (no stale-overlay shadowing)
+    assert any("FRESHN" in g or "NAVBAR" in g for g in grams)
+
+
+def test_repair_refuses_torn_gate_staging(spark, tmp_path):
+    """Review r13: 'overlay missing + staging present' is ambiguous
+    between a crash mid-SWAP (staging complete — roll forward) and a
+    crash mid-WRITE (staging torn — must NOT be published to the gate).
+    repair_gram_store disambiguates on the parquet _SUCCESS marker."""
+    from bambooai_spark.operators.gram_store import (
+        build_gram_store,
+        read_gate_grams,
+        refresh_gram_store,
+        repair_gram_store,
+    )
+    from bambooai_spark.operators.writer import (
+        _fs,
+        _fs_delete,
+        _fs_exists,
+    )
+
+    k = 8
+    cp = str(tmp_path / "corpus")
+    _write_docs(spark, cp, [
+        (1, "aa0001bb OLDHDRCOMMONBLOCK cc0001dd"),
+        (2, "aa0002bb OLDHDRCOMMONBLOCK cc0002dd"),
+    ])
+    store = str(tmp_path / "gstore")
+    build_gram_store(
+        spark.read.parquet(cp), "text", store, k=k, min_count=2,
+        id_col="doc_id", delta_support=True,
+    )
+    base_grams = {
+        r["gram"] for r in read_gate_grams(spark, store, k=k)[0].collect()
+    }
+    _write_docs(spark, cp, [
+        (11, "ee0011ff FRESHNAVBAR-42X42 gg0011hh"),
+        (12, "ee0012ff FRESHNAVBAR-42X42 gg0012hh"),
+    ], mode="append")
+    refresh_gram_store(spark, cp, store, delta_only=True)
+
+    # crash mid-WRITE shape: overlay gone, staging present WITHOUT its
+    # _SUCCESS marker (torn job) — repair must drop it, not publish it
+    fs, jgate = _fs(spark, store + "/grams_gate")
+    jnext = _fs(spark, store + "/grams_gate_next")[1]
+    assert fs.rename(jgate, jnext)
+    _fs_delete(spark, store + "/grams_gate_next/_SUCCESS")
+    repair_gram_store(spark, store)
+    assert not _fs_exists(spark, store + "/grams_gate")
+    assert not _fs_exists(spark, store + "/grams_gate_next")
+    # the gate falls back to the base and still reads whole
+    grams = {
+        r["gram"] for r in read_gate_grams(spark, store, k=k)[0].collect()
+    }
+    assert grams == base_grams
+
+    # crash mid-SWAP shape: staging present WITH _SUCCESS — roll forward
+    refresh_gram_store(spark, cp, store, delta_only=True)
+    fs, jgate = _fs(spark, store + "/grams_gate")
+    jnext = _fs(spark, store + "/grams_gate_next")[1]
+    assert fs.rename(jgate, jnext)
+    repair_gram_store(spark, store)
+    assert _fs_exists(spark, store + "/grams_gate")
+    rolled = {
+        r["gram"] for r in read_gate_grams(spark, store, k=k)[0].collect()
+    }
+    assert any("FRESHN" in g or "NAVBAR" in g for g in rolled)
+
+
+def test_full_refresh_drops_overlay_before_swap(spark, tmp_path):
+    """Review r13: the full-refresh path must delete the gate overlay
+    BEFORE publishing the new base — a crash between the swap and a
+    later overlay delete would leave an overlay computed against the
+    PREVIOUS base serving the gate, and repair cannot tell it from a
+    live one. Injected crash at the swap: the overlay must already be
+    gone, the old base still readable, and the retried refresh heals."""
+    import bambooai_spark.operators.gram_store as gs
+
+    from bambooai_spark.operators.writer import _fs_exists
+
+    k = 8
+    cp = str(tmp_path / "corpus")
+    _write_docs(spark, cp, [
+        (1, "aa0001bb OLDHDRCOMMONBLOCK cc0001dd"),
+        (2, "aa0002bb OLDHDRCOMMONBLOCK cc0002dd"),
+    ])
+    store = str(tmp_path / "gstore")
+    gs.build_gram_store(
+        spark.read.parquet(cp), "text", store, k=k, min_count=2,
+        id_col="doc_id", delta_support=True,
+    )
+    _write_docs(spark, cp, [
+        (11, "ee0011ff FRESHNAVBAR-42X42 gg0011hh"),
+        (12, "ee0012ff FRESHNAVBAR-42X42 gg0012hh"),
+    ], mode="append")
+    gs.refresh_gram_store(spark, cp, store, delta_only=True)
+    assert _fs_exists(spark, store + "/grams_gate")
+
+    real_swap = gs._swap_in
+    def crash_swap(spark_, path_, nxt_):
+        raise RuntimeError("injected crash at swap")
+    gs._swap_in = crash_swap
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            gs.refresh_gram_store(spark, cp, store)
+    finally:
+        gs._swap_in = real_swap
+    # the stale overlay is ALREADY gone (deleted pre-swap) and the old
+    # base is still the published relation
+    assert not _fs_exists(spark, store + "/grams_gate")
+    assert _fs_exists(spark, store + "/grams")
+    gate, meta = gs.read_gate_grams(spark, store, k=k)
+    assert gate.count() > 0 and meta["counts_exact"] is False
+    # retried full refresh completes and re-exacts the store
+    meta = gs.refresh_gram_store(spark, cp, store)
+    assert meta["counts_exact"] is True and meta["n_rows"] == 4
+
+
+def test_read_meta_survives_concurrent_swap_race(spark, tmp_path):
+    """ADVICE r12 low + review r13: a concurrent _write_meta's
+    delete(meta)+rename(tmp->meta) slipping between _read_meta's two
+    existence checks — or the tmp read itself failing with the
+    Py4JJavaError that py4j actually raises (NOT OSError) — must
+    resolve to the swapped-in meta, never an error on a healthy
+    store."""
+    import bambooai_spark.operators.gram_store as gs
+    import bambooai_spark.operators.writer as w
+
+    cp = str(tmp_path / "corpus")
+    _write_docs(spark, cp, [
+        (1, "aa0001bb OLDHDRCOMMONBLOCK cc0001dd"),
+        (2, "aa0002bb OLDHDRCOMMONBLOCK cc0002dd"),
+    ])
+    store = str(tmp_path / "gstore")
+    built = gs.build_gram_store(
+        spark.read.parquet(cp), "text", store, k=8, min_count=2,
+    )
+
+    # race leg 1: both existence checks MISS (meta just deleted, tmp
+    # just renamed) — the re-check of the rename target must read it
+    real_exists = w._fs_exists
+    calls = {"n": 0}
+    def racing_exists(spark_, path_):
+        if path_.endswith("_gram_store_meta.json") or path_.endswith(".tmp"):
+            calls["n"] += 1
+            if calls["n"] <= 2:  # first mpath check, then tmp check
+                return False
+        return real_exists(spark_, path_)
+    import unittest.mock as mock
+    with mock.patch.object(w, "_fs_exists", racing_exists):
+        # gram_store imports _fs_exists inside the function body, so the
+        # patch on the writer module is what it sees
+        meta = gs._read_meta(spark, store)
+    assert meta["k"] == built["k"] and calls["n"] >= 2
+
+    # race leg 2: tmp exists but the open races the rename — py4j
+    # surfaces java.io.FileNotFoundException as Py4JJavaError, which
+    # `except OSError` can never catch
+    class FakePy4JError(Exception):
+        pass
+
+    real_read = w._fs_read_text
+    def racing_read(spark_, path_):
+        if path_.endswith(".tmp"):
+            raise FakePy4JError("java.io.FileNotFoundException (wrapped)")
+        return real_read(spark_, path_)
+    real_exists2 = w._fs_exists
+    state = {"first": True}
+    def exists_tmp_once(spark_, path_):
+        if path_.endswith("_gram_store_meta.json") and state["first"]:
+            state["first"] = False
+            return False  # "just deleted"
+        if path_.endswith(".tmp"):
+            return True  # "just renamed... no wait, still visible"
+        return real_exists2(spark_, path_)
+    with mock.patch.object(w, "_fs_exists", exists_tmp_once), \
+         mock.patch.object(w, "_fs_read_text", racing_read):
+        meta = gs._read_meta(spark, store)
+    assert meta["k"] == built["k"]

@@ -64,7 +64,11 @@ def _signs(k: int, dim: int) -> list[float]:
 def synthesize(spark) -> tuple[str, str]:
     ddir = os.path.join(BASE, "documents")
     edir = os.path.join(BASE, "embeddings")
-    if os.path.exists(ddir) and os.path.exists(edir):
+    # the marker is written only after ALL replicas landed: reusing a
+    # crashed run's partial set would silently compute every ratio
+    # against a <10x corpus and the evidence table would lie
+    done = os.path.join(BASE, "_COMPLETE")
+    if os.path.exists(done):
         return ddir, edir
     shutil.rmtree(BASE, ignore_errors=True)
     d = load_table(spark, SF_DIR, "documents")
@@ -90,6 +94,8 @@ def synthesize(spark) -> tuple[str, str]:
                 f"element_at(array({sg}), i + 1)) as array<float>)"
             ).alias("embedding"),
         ).write.mode("append").parquet(edir)
+    with open(done, "w") as fh:
+        fh.write(f"{REPLICAS}\n")
     print(
         f"[stress] synthesized {REPLICAS}x: "
         f"{n_docs * REPLICAS} docs, {n_vecs * REPLICAS} vecs at {BASE}",
@@ -100,12 +106,6 @@ def synthesize(spark) -> tuple[str, str]:
 
 def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
-
-
-def _docs(spark, path_or_sf):
-    if os.path.isdir(path_or_sf) and path_or_sf.startswith(BASE):
-        return spark.read.parquet(path_or_sf)
-    return load_table(spark, path_or_sf, "documents")
 
 
 def _ops(spark, docs, embs, scale: int):
