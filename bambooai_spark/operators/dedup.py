@@ -1378,7 +1378,7 @@ def exact_substring_spans(
     min_len: int | None = None,
     gram_store_path: str | None = None,
     dup_grams: DataFrame | None = None,
-    compose_delta: bool = True,
+    compose_delta: bool | str = True,
 ) -> DataFrame:
     """Maximal exactly-duplicated character spans across the corpus — the
     span inventory of ExactSubstr deduplication (Lee et al. 2021,
@@ -1435,7 +1435,14 @@ def exact_substring_spans(
       appended files' counts in-flight —
       :func:`~bambooai_spark.operators.gram_store.composed_dup_grams`
       — still equal to the from-scratch computation, at O(delta) stats
-      cost. ``compose_delta=False`` refuses instead (plan pinning).
+      cost. ``compose_delta=False`` refuses instead (plan pinning);
+      ``"force"`` skips the composition's cost dispatches (frac /
+      cost-model / suspect-cap gates, calibrated for local CPU costs)
+      but never its exactness guards — for network-bound clusters
+      where the skipped posting shuffle dominates, and for plan tests.
+      The default ``True`` composes only where the r13-measured cost
+      model says it beats the inline pass, else silently runs inline
+      (identical output).
     - anything else (files rewritten/deleted/moved): refuse — an
       in-place ``update_corpus`` preserves the row count, so only the
       file identity can see it.
@@ -1510,12 +1517,35 @@ def exact_substring_spans(
             # the corpus GREW by appended files since the (exact) build:
             # compose stored counts with the delta files' counts —
             # output still equals the from-scratch computation, at
-            # O(delta) stats cost (VERDICT r12 #3)
+            # O(delta) stats cost (VERDICT r12 #3). None = the store's
+            # suspect-count dispatch chose the inline pass (the delta
+            # shares too many old-singleton grams with the base for the
+            # targeted recount to beat a from-scratch stats pass — r13
+            # stress measurement); fall through with dup_grams unset and
+            # the from-scratch groupBy below computes the same relation.
             dup_grams = composed_dup_grams(
                 df, gram_store_path, smeta, inv, cur,
                 min_count=min_count, text_col=text_col,
                 id_col=id_col if keep_first else None,
+                force=compose_delta == "force",
             )
+            if dup_grams is not None:
+                # materialize the composed union and broadcast-hint it
+                # when broadcast-sized: the union-of-joins lineage has
+                # no runtime stats, so without this the probe join
+                # falls to sort-merge and SHUFFLES the full postings
+                # relation — measured 1.6-1.9x the inline pass at the
+                # r13 10x stress even on the composition's favorable
+                # shapes (the inline dup, by contrast, arrives through
+                # a shuffle AQE measures and broadcasts on its own; the
+                # ungrown warm-store path is a parquet scan with
+                # footer-accurate stats and needs no hint)
+                from bambooai_spark.caching import track  # noqa: PLC0415
+
+                dup_grams = track(dup_grams.persist())
+                n_dup = dup_grams.count()
+                if n_dup * (k + 28) <= 64 * 1024 * 1024:
+                    dup_grams = F.broadcast(dup_grams)
         else:
             if inv is not None and cur and inv != cur:
                 raise ValueError(
@@ -1629,7 +1659,7 @@ def exact_substring_cut(
     out: str = "clean_text",
     gram_store_path: str | None = None,
     dup_grams: DataFrame | None = None,
-    compose_delta: bool = True,
+    compose_delta: bool | str = True,
 ) -> DataFrame:
     """ExactSubstr deduplication, surgery included (Lee et al. 2021): cut
     every duplicated span found by :func:`exact_substring_spans` out of

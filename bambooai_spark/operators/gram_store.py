@@ -70,6 +70,13 @@ FILES_SUBDIR = "_files"
 # against the old files. Buckets, not grams: the below-min gram relation
 # is O(distinct corpus grams) — the size class the module docstring
 # rejects — while the bucket relation is capped at `below_buckets` longs.
+# The bucket space is 2^40 by default: the sidecar's SIZE is one row per
+# distinct below-min gram regardless (distinct occupied buckets), but the
+# collision rate — which arms phantom recounts on genuinely-new delta
+# grams — scales inversely with the space (r13 stress: at 2^30, 2.4M
+# delta grams x ~20M below-min grams produced ~44k phantom suspects and
+# the 'targeted' recount re-exploded the whole old corpus; at 2^40 the
+# same shape expects ~44).
 BELOW_SUBDIR = "_below"
 # gate overlay (delta_support stores only): a delta refresh writes the
 # merged (base + files-appended-since-base) gram relation HERE instead
@@ -81,6 +88,47 @@ BELOW_SUBDIR = "_below"
 # delta (gate fresh, surgery refused) with full (surgery restored)
 # refreshes — VERDICT r12 "What's wrong #2".
 GATE_SUBDIR = "grams_gate"
+#: composed_dup_grams bails out (returns None -> caller runs the inline
+#: from-scratch stats pass) when more delta grams than this hit the
+#: below-min bucket sidecar. Two grounds, both measured by the r13 10x
+#: stress run (near-dup twins straddling an 80/20 split made most delta
+#: grams suspects; composed ran 1.6x the inline pass): (1) the recount
+#: broadcasts the suspect gram set — feasible only while it is small
+#: (200k 25-char grams ~ 12 MB, the classic broadcast size class);
+#: (2) with a large suspect set the "targeted" recount approaches a
+#: full re-aggregation of the old files while still paying the
+#: composition's join/persist overhead on top, so the inline pass is
+#: strictly simpler for the same work. The common ingest shapes —
+#: genuinely new content (zero suspects: pure O(delta)) and a few
+#: boilerplate singletons crossing min_count (tiny suspect set:
+#: shuffle-light recount) — stay composed.
+RECOUNT_SUSPECTS_MAX = 200_000
+#: composed_dup_grams composes only when the appended delta is small
+#: relative to the stored base — `delta_rows <= max(MIN_ROWS,
+#: MAX_FRAC * base_rows)` — else it returns None and the caller runs
+#: the inline from-scratch pass. The composition's fixed probe costs
+#: (delta gram count, sidecar semi-join, two stored-relation joins)
+#: are priced for the per-ingest-batch regime the feature targets;
+#: the r13 10x stress measured 1.45-2.10x a from-scratch pass at
+#: 10-20% deltas, where those probes rival the full stats pass they
+#: replace. Driver-side row counts the flow already computes — the
+#: gate costs nothing. The MIN_ROWS floor keeps small corpora (where
+#: every probe is trivially cheap) composing regardless of fraction.
+DELTA_COMPOSE_MAX_FRAC = 0.05
+DELTA_COMPOSE_MIN_ROWS = 100_000
+#: driver-side cost model for the composition itself (zero jobs — the
+#: cardinalities are recorded in the meta at build time): compose only
+#: when `n_below_grams + 2 * n_grams <= RATIO * n_total_occ`. The
+#: composed probes scan the below-min sidecar once and the stored
+#: relation twice, against the inline pass's explode + shuffle of every
+#: posting (n_total_occ). On a UNIQUE-heavy corpus the sidecar is as
+#: large as the posting relation (most grams occur once), so the probes
+#: cost what they save — the r13 10x stress measured 1.57-1.66x even
+#: with zero suspects. On the BOILERPLATE-heavy corpora the store
+#: exists for, n_total_occ dwarfs both sides and the composition wins.
+#: 0.5 is calibrated from those runs: probe rows cost ~2x what posting
+#: rows save (0.48 vs 0.25 us/row on local[32]).
+COMPOSE_COST_RATIO = 0.5
 
 
 def _join(a: str, b: str) -> str:
@@ -394,20 +442,22 @@ def _stage_grams_relation(
     delta_support: bool,
     below_buckets: int,
     scratch: str,
-) -> None:
+) -> dict | None:
     """Write the duplicated-gram relation to ``out_dir`` (plus, for
     ``delta_support``, the below-min bucket sidecar) — shared by the
     initial build and the full-refresh staging. With ``delta_support``
     the full per-gram counts land ONCE in ``scratch`` (transient
     parquet, same disk size class as the stats job's own shuffle) and
     both outputs derive from cheap scans of it, so the postings explode
-    is still paid exactly once."""
+    is still paid exactly once. Returns the composition cost-model
+    cardinalities (``n_below_grams``, ``n_total_occ``) for the meta
+    when ``delta_support``, else None."""
     spark = df.sparkSession
     if not delta_support:
         duplicated_grams(
             df, text_col, k=k, min_count=min_count, id_col=id_col
         ).write.mode("overwrite").parquet(out_dir)
-        return
+        return None
     from bambooai_spark.operators.writer import _fs_delete  # noqa: PLC0415
 
     _fs_delete(spark, scratch)
@@ -427,7 +477,17 @@ def _stage_grams_relation(
         .write.mode("overwrite")
         .parquet(_join(out_dir, BELOW_SUBDIR))
     )
+    # COMPOSE_COST_RATIO inputs, one cheap scan of the counts we already
+    # have on disk — composed_dup_grams dispatches on these driver-side
+    stats = allc.agg(
+        F.sum("cnt").alias("occ"),
+        F.count_if(F.col("cnt") < min_count).alias("below"),
+    ).first()
     _fs_delete(spark, scratch)
+    return {
+        "n_below_grams": int(stats["below"] or 0),
+        "n_total_occ": int(stats["occ"] or 0),
+    }
 
 
 def build_gram_store(
@@ -439,7 +499,7 @@ def build_gram_store(
     min_count: int = 2,
     id_col: str | None = None,
     delta_support: bool = False,
-    below_buckets: int = 1 << 30,
+    below_buckets: int = 1 << 40,
 ) -> dict:
     """Materialize :func:`duplicated_grams` of ``df`` at ``path`` (parquet
     under ``grams/`` + a meta JSON pinning ``k``/``min_count``/
@@ -495,7 +555,7 @@ def build_gram_store(
     _fs_delete(spark, _join(path, GATE_SUBDIR))
     _fs_delete(spark, _join(path, GATE_SUBDIR + "_next"))
     gdir = _join(path, GRAMS_DIR)
-    _stage_grams_relation(
+    cost_stats = _stage_grams_relation(
         df, text_col, gdir, k=k, min_count=min_count, id_col=id_col,
         delta_support=delta_support, below_buckets=below_buckets,
         scratch=_join(path, "counts_tmp"),
@@ -537,6 +597,8 @@ def build_gram_store(
         "below_buckets": int(below_buckets) if delta_support else None,
         "version": 1,
     }
+    if cost_stats:
+        meta.update(cost_stats)
     _write_meta(spark, path, meta)
     return meta
 
@@ -800,12 +862,13 @@ def refresh_gram_store(
     # delta refresh, which only flips the live delta_support flag): a
     # full rebuild re-stages the sidecar and restores the capability
     sidecar = full_rebuild and meta.get("below_buckets") is not None
+    cost_stats = None
     if full_rebuild:
-        _stage_grams_relation(
+        cost_stats = _stage_grams_relation(
             live, tcol, nxt, k=meta["k"], min_count=meta["min_count"],
             id_col=id_col,
             delta_support=sidecar,
-            below_buckets=int(meta.get("below_buckets") or (1 << 30)),
+            below_buckets=int(meta.get("below_buckets") or (1 << 40)),
             scratch=_join(store_path, "counts_tmp"),
         )
     else:
@@ -854,6 +917,7 @@ def refresh_gram_store(
         counts_exact=not delta_applied,
         delta_support=sidecar,
         version=int(meta.get("version", 1)) + 1,
+        **(cost_stats or {}),
     )
     _write_meta(spark, store_path, meta)
     return meta
@@ -869,7 +933,8 @@ def composed_dup_grams(
     min_count: int,
     text_col: str,
     id_col: str | None = None,
-) -> DataFrame:
+    force: bool = False,
+) -> DataFrame | None:
     """The EXACT duplicated-gram relation of a corpus that has GROWN by
     appended files since ``store_path`` was (fully) built — stored
     counts composed with the delta files' counts in-flight, so the
@@ -877,7 +942,12 @@ def composed_dup_grams(
     ``(gram)`` or ``(gram, first)`` when ``id_col`` is given, equal by
     construction to ``duplicated_grams`` over the whole relation
     (VERDICT r12 #3: without this, the exactness chain forced a full
-    stats pass in the steady state).
+    stats pass in the steady state) — or ``None`` when the suspect set
+    exceeds :data:`RECOUNT_SUSPECTS_MAX` and the caller should run the
+    inline from-scratch stats pass instead (identical output; the
+    composition would be slower AND its suspect broadcast would no
+    longer be broadcast-sized). The bail costs one O(delta) gram count
+    plus a bucket-key semi-join — the probe price of the optimization.
 
     Exactness decomposition — for a gram ``g`` with old count ``o`` and
     delta count ``d`` (``d >= 1``):
@@ -926,7 +996,8 @@ def composed_dup_grams(
         )
     delta_files = sorted(cur_files - inv)
     delta = spark.read.schema(df.schema).parquet(*delta_files)
-    if df.count() != int(meta["n_rows"]) + delta.count():
+    n_delta = delta.count()
+    if df.count() != int(meta["n_rows"]) + n_delta:
         raise ValueError(
             f"gram store at {store_path}: the relation's rows do not "
             f"equal the store's {meta['n_rows']} + the appended files' "
@@ -934,11 +1005,41 @@ def composed_dup_grams(
             "file-grain counts would diverge from the from-scratch "
             "computation; pass the unfiltered corpus read"
         )
+    # regime gate (driver-side, free): the composition is priced for
+    # per-ingest-batch deltas — past the fraction cap its probe costs
+    # rival the from-scratch pass it replaces (see DELTA_COMPOSE_*).
+    # ``force`` skips the cost dispatches (NOT the exactness guards
+    # above): the model is calibrated for local[32] CPU costs, and a
+    # network-bound cluster — where the skipped posting shuffle is the
+    # dominant cost — can legitimately prefer the composition outside
+    # the model's regime.
+    if not force and n_delta > max(
+        DELTA_COMPOSE_MIN_ROWS,
+        DELTA_COMPOSE_MAX_FRAC * int(meta["n_rows"]),
+    ):
+        return None
+    # cost-model gate (driver-side, zero jobs — see COMPOSE_COST_RATIO):
+    # the composed probes scan the sidecar once and the stored relation
+    # twice; on a unique-heavy corpus (sidecar ~ posting count) that
+    # costs what the skipped stats pass saves. Stores built before the
+    # cardinalities were recorded pass through (legacy behavior).
+    n_below = meta.get("n_below_grams")
+    n_occ = meta.get("n_total_occ")
+    if (
+        not force
+        and n_below is not None
+        and n_occ
+        and int(n_below) + 2 * int(meta.get("n_grams") or 0)
+        > COMPOSE_COST_RATIO * int(n_occ)
+    ):
+        return None
     keep_first = id_col is not None
     stored = spark.read.parquet(gdir)
     dcnt = track(
         gram_counts(delta, text_col, k=k, id_col=id_col).persist()
     )
+    bb = F.lit(int(meta["below_buckets"]))
+    below = spark.read.parquet(bdir)
     # 1) grams already in the store stay duplicated; merge delta firsts
     if keep_first:
         in_store = (
@@ -961,9 +1062,7 @@ def composed_dup_grams(
     cand = track(
         dcnt.join(stored.select("gram"), "gram", "left_anti").persist()
     )
-    bb = F.lit(int(meta["below_buckets"]))
     candb = cand.withColumn("_b", F.pmod(F.xxhash64("gram"), bb))
-    below = spark.read.parquet(bdir)
     # probe the (large) sidecar with the candidates' distinct buckets —
     # the tiny side broadcasts; the sidecar is scanned, never shuffled
     hit_buckets = below.join(
@@ -990,8 +1089,21 @@ def composed_dup_grams(
         *easy_cols
     )
     sus = candb.filter(sus_cond)
+    n_sus = sus.count()
+    if not force and n_sus > RECOUNT_SUSPECTS_MAX:
+        # the recount would approach a full old-file re-aggregation
+        # (plus this composition's overhead on top) AND its suspect
+        # broadcast below would stop being broadcast-sized — the
+        # caller's inline from-scratch pass is the better plan (see
+        # RECOUNT_SUSPECTS_MAX; measured on the r13 10x stress run)
+        from bambooai_spark.caching import untrack  # noqa: PLC0415
+
+        for c in (candb, cand, dcnt):
+            untrack(c)
+            c.unpersist()
+        return None
     parts = [in_store, easy]
-    if sus.limit(1).count():
+    if n_sus:
         old_df = spark.read.schema(df.schema).parquet(*sorted(inv))
         opos = _postings(old_df, text_col, k, id_col)
         orec_aggs = [F.count(F.lit(1)).alias("_oc")]
@@ -1001,11 +1113,12 @@ def composed_dup_grams(
                     F.struct(F.col("i").alias("i"), F.col("p").alias("p"))
                 ).alias("_of")
             )
-        orec = (
-            opos.join(F.broadcast(sus.select("gram")), "gram")
-            .groupBy("gram")
-            .agg(*orec_aggs)
-        )
+        # broadcast only while the suspect set is broadcast-sized: a
+        # force caller can exceed the cap, and AQE then picks the join
+        sg = sus.select("gram")
+        if n_sus <= RECOUNT_SUSPECTS_MAX:
+            sg = F.broadcast(sg)
+        orec = opos.join(sg, "gram").groupBy("gram").agg(*orec_aggs)
         res = sus.join(orec, "gram", "left").filter(
             (F.col("cnt") + F.coalesce(F.col("_oc"), F.lit(0)))
             >= min_count

@@ -5808,10 +5808,13 @@ def surgery_warm_cut_docs(spark, sf_dir):
     "subset file inventory and composes the stored counts with the "
     "delta files' counts in-flight (operators/gram_store.py "
     "composed_dup_grams: bucket-sidecar screen + targeted recount for "
-    "the singleton+singleton class). The oracle is the from-scratch "
-    "ExactSubstr cut over ALL documents — hash-equality certifies the "
-    "composition contributes no lag. Store build + writes are inside "
-    "the timed window (lifecycle regime).",
+    "the singleton+singleton class; compose_delta='force' pins the "
+    "COMPOSED plan — the r13 cost-model dispatch would route this "
+    "unique-gram-heavy corpus to the output-identical inline pass). "
+    "The oracle is the from-scratch ExactSubstr cut over ALL documents "
+    "— hash-equality certifies the composition contributes no lag. "
+    "Store build + writes are inside the timed window (lifecycle "
+    "regime).",
 )
 def surgery_delta_cut_docs(spark, sf_dir):
     import os  # noqa: PLC0415
@@ -5838,7 +5841,7 @@ def surgery_delta_cut_docs(spark, sf_dir):
     grown = spark.read.parquet(cp)
     cut = exact_substring_cut(
         grown, "doc_id", "text", k=25, keep_first=True,
-        gram_store_path=store,
+        gram_store_path=store, compose_delta="force",
     )
     return cut.select(
         "doc_id",

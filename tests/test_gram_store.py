@@ -1024,11 +1024,23 @@ def test_store_plugged_delta_composition(spark, tmp_path):
                 tuple,
                 exact_substring_spans(
                     grown, "doc_id", "text", k=k, keep_first=keep_first,
-                    gram_store_path=store,
+                    gram_store_path=store, compose_delta="force",
                 ).collect(),
             )
         )
         assert composed == inline
+        # the auto dispatch (may choose the inline fallback on this
+        # tiny unique-heavy fixture) is output-identical either way
+        auto = sorted(
+            map(
+                tuple,
+                exact_substring_spans(
+                    grown, "doc_id", "text", k=k, keep_first=keep_first,
+                    gram_store_path=store,
+                ).collect(),
+            )
+        )
+        assert auto == inline
         # the singleton+singleton doc (3 or 11) must carry a span
         assert any(r[0] in (3, 11) for r in inline)
     # the cut composes identically (keep_first: earliest copy survives)
@@ -1042,7 +1054,7 @@ def test_store_plugged_delta_composition(spark, tmp_path):
         (r.doc_id, r.clean_text)
         for r in exact_substring_cut(
             grown, "doc_id", "text", k=k, keep_first=True,
-            gram_store_path=store,
+            gram_store_path=store, compose_delta="force",
         ).collect()
     )
     assert a == b
@@ -1066,6 +1078,9 @@ def test_store_plugged_delta_composition(spark, tmp_path):
     rel = composed_dup_grams(
         grown2, store2, meta2, inv2, set(grown2.inputFiles()),
         min_count=2, text_col="text", id_col="doc_id",
+        # force: tiny unique-heavy fixtures trip the r13 cost-model gate
+        # (as designed); this test pins the composed PLAN shape
+        force=True,
     )
     got = sorted(r["gram"] for r in rel.collect())
     from bambooai_spark.operators.gram_store import duplicated_grams
@@ -1495,3 +1510,193 @@ def test_read_meta_survives_concurrent_swap_race(spark, tmp_path):
          mock.patch.object(w, "_fs_read_text", racing_read):
         meta = gs._read_meta(spark, store)
     assert meta["k"] == built["k"]
+
+
+def test_composition_bails_to_inline_on_large_suspect_set(
+    spark, tmp_path, monkeypatch
+):
+    """r13 stress finding: when the delta shares many old-singleton
+    grams with the base (near-dup twins straddling the split), the
+    targeted recount approaches a full old-file re-aggregation plus the
+    composition overhead — measured 1.6x a from-scratch stats pass at
+    10x — and the suspect broadcast stops being broadcast-sized.
+    composed_dup_grams returns None past RECOUNT_SUSPECTS_MAX and
+    exact_substring_spans silently runs the inline pass: identical
+    output, pinned here by forcing the cap to 0."""
+    import bambooai_spark.operators.gram_store as gs
+    from bambooai_spark.operators.dedup import exact_substring_spans
+
+    k = 8
+    solo = "SINGLETON-MARKER-999"
+    old_rows = [
+        (1, "aa0001bb BOILERPLATE-BLOCK-000 cc0001dd"),
+        (2, "aa0002bb BOILERPLATE-BLOCK-000 cc0002dd"),
+        (3, f"aa0003bb {solo} cc0003dd"),
+    ]
+    delta_rows = [(11, f"ee0011ff {solo} gg0011hh")]
+    cp = str(tmp_path / "corpus")
+    _write_docs(spark, cp, old_rows)
+    store = str(tmp_path / "gstore")
+    gs.build_gram_store(
+        spark.read.parquet(cp), "text", store, k=k, min_count=2,
+        id_col="doc_id", delta_support=True,
+    )
+    _write_docs(spark, cp, delta_rows, mode="append")
+    grown = spark.read.parquet(cp)
+
+    # cap 0 with the earlier cost gates lifted: the singleton+singleton
+    # suspect itself forces the bail (the suspect-cap leg specifically)
+    monkeypatch.setattr(gs, "RECOUNT_SUSPECTS_MAX", 0)
+    monkeypatch.setattr(gs, "COMPOSE_COST_RATIO", 1e9)
+    inv = gs._read_file_inventory(spark, store)
+    meta = gs._read_meta(spark, store)
+    assert gs.composed_dup_grams(
+        grown, store, meta, inv, set(grown.inputFiles()),
+        min_count=2, text_col="text", id_col="doc_id",
+    ) is None
+    bailed = sorted(
+        map(
+            tuple,
+            exact_substring_spans(
+                grown, "doc_id", "text", k=k, keep_first=True,
+                gram_store_path=store,
+            ).collect(),
+        )
+    )
+    inline = sorted(
+        map(
+            tuple,
+            exact_substring_spans(
+                grown, "doc_id", "text", k=k, keep_first=True
+            ).collect(),
+        )
+    )
+    assert bailed == inline and any(r[0] in (3, 11) for r in inline)
+
+    # default cap + cost gates lifted (tiny unique-heavy fixture): the
+    # tiny suspect set stays composed (recount path)
+    monkeypatch.setattr(gs, "RECOUNT_SUSPECTS_MAX", 200_000)
+    rel = gs.composed_dup_grams(
+        grown, store, meta, inv, set(grown.inputFiles()),
+        min_count=2, text_col="text", id_col="doc_id", force=True,
+    )
+    assert rel is not None
+    want = sorted(
+        r["gram"]
+        for r in gs.duplicated_grams(
+            grown, "text", k=k, min_count=2, id_col="doc_id"
+        ).collect()
+    )
+    assert sorted(r["gram"] for r in rel.collect()) == want
+
+
+def test_composition_regime_gate_on_large_delta(spark, tmp_path, monkeypatch):
+    """r13 stress finding 2: at 10-20% delta fractions the composition's
+    probe costs rival the from-scratch pass (measured 1.45-2.10x), so
+    composed_dup_grams gates on delta_rows <= max(MIN_ROWS, MAX_FRAC *
+    base_rows) before running any job. Forced here by zeroing the floor;
+    the store-plugged operator output stays identical via the inline
+    fallback."""
+    import bambooai_spark.operators.gram_store as gs
+    from bambooai_spark.operators.dedup import exact_substring_cut
+
+    k = 8
+    old_rows = [
+        (i, f"aa{i:04d}bb BOILERPLATE-BLOCK-000 cc{i:04d}dd")
+        for i in range(1, 7)
+    ]
+    delta_rows = [
+        (11, "ee0011ff BOILERPLATE-BLOCK-000 gg0011hh"),
+    ]
+    cp = str(tmp_path / "corpus")
+    _write_docs(spark, cp, old_rows)
+    store = str(tmp_path / "gstore")
+    gs.build_gram_store(
+        spark.read.parquet(cp), "text", store, k=k, min_count=2,
+        id_col="doc_id", delta_support=True,
+    )
+    _write_docs(spark, cp, delta_rows, mode="append")
+    grown = spark.read.parquet(cp)
+    inv = gs._read_file_inventory(spark, store)
+    meta = gs._read_meta(spark, store)
+
+    # floor zeroed: 1 delta row over 6 base rows (17%) exceeds MAX_FRAC
+    monkeypatch.setattr(gs, "DELTA_COMPOSE_MIN_ROWS", 0)
+    assert gs.composed_dup_grams(
+        grown, store, meta, inv, set(grown.inputFiles()),
+        min_count=2, text_col="text", id_col="doc_id",
+    ) is None
+    gated = sorted(
+        (r.doc_id, r.clean_text)
+        for r in exact_substring_cut(
+            grown, "doc_id", "text", k=k, keep_first=True,
+            gram_store_path=store,
+        ).collect()
+    )
+    inline = sorted(
+        (r.doc_id, r.clean_text)
+        for r in exact_substring_cut(
+            grown, "doc_id", "text", k=k, keep_first=True
+        ).collect()
+    )
+    assert gated == inline
+
+    # default floor + cost-model gate lifted: the same call composes
+    monkeypatch.setattr(gs, "DELTA_COMPOSE_MIN_ROWS", 100_000)
+    monkeypatch.setattr(gs, "COMPOSE_COST_RATIO", 1e9)
+    assert gs.composed_dup_grams(
+        grown, store, meta, inv, set(grown.inputFiles()),
+        min_count=2, text_col="text", id_col="doc_id",
+    ) is not None
+
+
+def test_compose_cost_model_default_dispatch(spark, tmp_path):
+    """r13 cost model: the build records n_below_grams / n_total_occ and
+    composed_dup_grams dispatches driver-side — a BOILERPLATE-heavy
+    corpus (posting count dwarfs the sidecar: the store's target shape)
+    composes by default; a UNIQUE-heavy corpus (sidecar ~ posting
+    count, where the 10x stress measured the probes costing what they
+    save) routes to the inline pass."""
+    import bambooai_spark.operators.gram_store as gs
+
+    k = 8
+    boiler = "SHARED-BOILER-" * 40  # 560 chars, in every doc
+    heavy_old = [
+        (i, boiler + f"u{i:03d}") for i in range(1, 7)
+    ]
+    heavy_delta = [(11, boiler + "u011")]
+    unique_old = [
+        (i, " ".join(f"{i:03d}tok{t}" for t in range(12)))
+        for i in range(1, 7)
+    ]
+    unique_delta = [(11, " ".join(f"011tok{t}x" for t in range(12)))]
+
+    for name, old_rows, delta_rows, composes in (
+        ("heavy", heavy_old, heavy_delta, True),
+        ("uniq", unique_old, unique_delta, False),
+    ):
+        cp = str(tmp_path / f"corpus_{name}")
+        _write_docs(spark, cp, old_rows)
+        store = str(tmp_path / f"gstore_{name}")
+        meta = gs.build_gram_store(
+            spark.read.parquet(cp), "text", store, k=k, min_count=2,
+            id_col="doc_id", delta_support=True,
+        )
+        assert meta["n_total_occ"] > 0 and "n_below_grams" in meta
+        _write_docs(spark, cp, delta_rows, mode="append")
+        grown = spark.read.parquet(cp)
+        rel = gs.composed_dup_grams(
+            grown, store, gs._read_meta(spark, store),
+            gs._read_file_inventory(spark, store),
+            set(grown.inputFiles()),
+            min_count=2, text_col="text", id_col="doc_id",
+        )
+        assert (rel is not None) == composes, name
+        if composes:
+            want = sorted(
+                r["gram"]
+                for r in gs.duplicated_grams(
+                    grown, "text", k=k, min_count=2, id_col="doc_id"
+                ).collect()
+            )
+            assert sorted(r["gram"] for r in rel.collect()) == want

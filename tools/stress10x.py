@@ -208,6 +208,68 @@ def _ops(spark, docs, embs, scale: int):
     ]
 
 
+def delta_surgery_evidence(
+    spark, docs, label: str, base_cond, delta_cond
+) -> tuple[float, float]:
+    """The steady-state claim behind the r13 delta composition, measured:
+    on a corpus GROWN by appended files (base_cond rows first, delta_cond
+    rows appended), time the from-scratch ExactSubstr keep-first cut vs
+    the store-plugged cut with a delta_support store built UNTIMED on
+    the base. Returns (t_from_scratch, t_with_store) — outputs are
+    hash-identical by the suite's surgery_delta_cut_docs oracle; here
+    only the wall ratio is the point. Two shapes matter (r13): a
+    FRESH-CONTENT delta (no gram shared with the base — zero suspects,
+    the composed O(delta) fast path) and an ADVERSARIAL straddling
+    delta (near-dup twins split across base/delta — the suspect-count
+    dispatch must bail to the inline pass at roughly parity instead of
+    paying the measured 1.6x recount)."""
+    from bambooai_spark.operators.dedup import exact_substring_cut
+    from bambooai_spark.operators.gram_store import build_gram_store
+
+    tmp = tempfile.mkdtemp(prefix="bbai_stress_delta_")
+    try:
+        cp = os.path.join(tmp, "corpus")
+        docs.filter(base_cond).select(
+            "doc_id", "text"
+        ).write.parquet(cp)
+        store = os.path.join(tmp, "gstore")
+        build_gram_store(
+            spark.read.parquet(cp), "text", store, k=25, min_count=2,
+            id_col="doc_id", delta_support=True,
+        )
+        docs.filter(delta_cond).select(
+            "doc_id", "text"
+        ).write.mode("append").parquet(cp)
+        grown = spark.read.parquet(cp)
+
+        t0 = time.perf_counter()
+        _noop(
+            exact_substring_cut(
+                grown, "doc_id", "text", k=25, keep_first=True
+            ).select("doc_id", F.length("clean_text"))
+        )
+        t_full = time.perf_counter() - t0
+        release_caches()
+
+        t0 = time.perf_counter()
+        _noop(
+            exact_substring_cut(
+                grown, "doc_id", "text", k=25, keep_first=True,
+                gram_store_path=store,
+            ).select("doc_id", F.length("clean_text"))
+        )
+        t_comp = time.perf_counter() - t0
+        release_caches()
+        print(
+            f"[stress] {label} delta-surgery: from-scratch {t_full:.2f}s, "
+            f"store-plugged {t_comp:.2f}s ({t_comp / t_full:.2f}x)",
+            file=sys.stderr,
+        )
+        return t_full, t_comp
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> int:
     spark = get_session(
         "bambooai-spark-stress",
@@ -239,6 +301,42 @@ def main() -> int:
     print("|---|---|---|---|")
     for name, (a, b) in results.items():
         print(f"| {name} | {a:.2f} | {b:.2f} | {b / a:.1f}x |")
+
+    # steady-state evidence for the r13 delta composition (one scale is
+    # enough — the ratio is within-scale). The documents table is
+    # UNIQUE-gram-heavy (sidecar ~ posting count), so on it the
+    # cost-model dispatch routes every store-plugged call to the inline
+    # pass — the first two shapes certify that bail costs ~nothing. The
+    # third shape is the store's TARGET regime — boilerplate-heavy text
+    # (a 560-char shared block dominating each doc) — where the
+    # composed path must beat from-scratch outright.
+    last = (REPLICAS - 1) * 10_000_000
+    boiler = F.concat(
+        F.lit("SHARED-BOILER-BLOCK-" * 28),
+        F.substring("text", 1, 120),
+    )
+    boiler_docs = big_docs.select("doc_id", boiler.alias("text"))
+    for shape, src, bc, dc in (
+        (
+            "uniq-fresh-1pct", big_docs,
+            ~F.col("doc_id").between(last, last + 499),
+            F.col("doc_id").between(last, last + 499),
+        ),
+        ("uniq-straddle-1pct", big_docs, F.col("doc_id") % 100 != 0,
+         F.col("doc_id") % 100 == 0),
+        (
+            "boiler-fresh-1pct", boiler_docs,
+            ~F.col("doc_id").between(last, last + 499),
+            F.col("doc_id").between(last, last + 499),
+        ),
+    ):
+        tf, tc = delta_surgery_evidence(
+            spark, src, f"{REPLICAS}x {shape}", bc, dc
+        )
+        print(
+            f"\ndelta-surgery at {REPLICAS}x [{shape}]: from-scratch "
+            f"{tf:.2f}s, store-plugged {tc:.2f}s ({tc / tf:.2f}x)"
+        )
     return 0
 
 
