@@ -197,8 +197,14 @@ def jaccard_near_dup(
             # are NOT dense across docs makes the N^2 block product
             # ~1000x the index join): dense iff its word-op count
             # undercuts the index join's Sigma df^2 row count at the
-            # measured per-unit ratio.
-            n_docs = sh.select("doc").distinct().count()
+            # measured per-unit ratio. n_docs from the INPUT relation
+            # (footer-driven count), not a distinct over the exploded
+            # shingles — that extra shuffle job cost dedup_clusters_docs
+            # +137% at sf0.1 (r13 closing bench, guard-remeasured). The
+            # input count upper-bounds docs-with-shingles (short docs
+            # drop out), which only biases the model TOWARD the index
+            # path — the safe direction at scale.
+            n_docs = df.count()
             nwords = (n_vocab + 63) // 64
             dense_ops = n_docs * n_docs / 2 * nwords
             pick_dense = dense_ops <= DENSE_COST_RATIO * float(
