@@ -32,11 +32,25 @@ Operators:
 - ``image_near_dup``        — dHash fingerprints → pigeonhole hamming
                               block join (shared machinery with SimHash;
                               never all-pairs) → verified near-dup pairs.
+- ``decode_gray_grid``      — REAL uncompressed PPM/PGM/BMP decode for
+                              the dHash seam (integer-exact, replayable).
+- ``encode_wav``/``decode_wav``/``wav_features`` — REAL RIFF PCM WAV
+                              encode/decode + time-domain audio features
+                              (n_frames, peak, rms, zcr, mean, duration)
+                              in the ``decode_features`` decoder contract.
+- ``auto_features``         — WAV → real features, else the stub (the
+                              audio analog of ``auto_gray_grid``).
+
+Compressed formats (JPEG/PNG/MP3/MP4) still route to the deterministic
+stubs — real codecs need PIL/ffmpeg, not in this container; the seam is
+the same ``decoder=`` callable either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
+import struct
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -45,6 +59,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     LongType,
     StringType,
@@ -117,17 +132,26 @@ def decode_features(
     id_cols: list[str] | None = None,
     decoder: Callable[[bytes, int], list[float]] | None = None,
     batch_hint: str = "features",
+    out_dtype: str = "float",
 ) -> DataFrame:
     """Payload → fixed-size feature vector via Arrow-batched mapInPandas.
 
     The UDF sees pandas batches (bytes cross JVM→Python once per batch);
     output schema is declared so Catalyst plans downstream ops normally.
-    Swap ``decoder`` for a real model wrapper in deployment."""
+    Swap ``decoder`` for a real model wrapper in deployment.
+    ``out_dtype`` picks the element type: ``"float"`` (default — the
+    embedding-pipeline convention, half the shuffle bytes) or
+    ``"double"`` when the features are measurements whose full precision
+    downstream math (or an exactness oracle) needs — float32 truncation
+    is lossy above ~7 significant digits."""
     ids = id_cols or []
     dec = decoder or _stub_decoder
+    if out_dtype not in ("float", "double"):
+        raise ValueError(f"out_dtype must be 'float' or 'double', got {out_dtype!r}")
+    elem = FloatType() if out_dtype == "float" else DoubleType()
     out_schema = StructType(
         [df.schema[c] for c in ids]
-        + [StructField(batch_hint, ArrayType(FloatType()))]
+        + [StructField(batch_hint, ArrayType(elem))]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -461,3 +485,146 @@ def image_near_dup(
     return hamming_near_dup(
         fp, id_col, "dhash", bits=rows * cols, max_hamming=max_hamming
     )
+
+
+# ---- audio: real dependency-free PCM WAV decode behind the feature seam ----
+
+
+def encode_wav(
+    samples: list[int],
+    *,
+    rate: int = 8000,
+    n_channels: int = 1,
+    bits: int = 16,
+) -> bytes:
+    """Canonical RIFF/WAVE PCM bytes from interleaved integer samples —
+    the fixture/sink half of the WAV seam (the public RIFF layout:
+    ``RIFF`` size ``WAVE``, ``fmt `` 16-byte PCM block, ``data``).
+    16-bit signed little-endian or 8-bit unsigned (stored biased +128,
+    per the format); ``samples`` are ALWAYS signed values here, so the
+    8-bit path takes -128..127 and biases on write."""
+    if bits not in (8, 16):
+        raise ValueError(f"PCM WAV here is 8- or 16-bit, got {bits}")
+    if n_channels < 1 or len(samples) % n_channels:
+        raise ValueError("samples must be whole interleaved frames")
+    if bits == 16:
+        data = struct.pack("<%dh" % len(samples), *samples)
+    else:
+        data = bytes((s + 128) & 0xFF for s in samples)
+    block = n_channels * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, rate, rate * block, block, bits
+    )
+    body = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """REAL dependency-free audio decode for the feature seam — the
+    audio sibling of :func:`decode_gray_grid`: parse a RIFF/WAVE PCM
+    payload to ``(sample_rate, n_channels, interleaved signed samples)``.
+    Walks the chunk list per the public RIFF spec (unknown chunks —
+    LIST/INFO, fact, cue — skipped; chunk bodies pad to even offsets),
+    so real-world WAV files with metadata decode, not just canonical
+    fixtures. 16-bit signed and 8-bit unsigned (de-biased to signed)
+    PCM only; compressed codecs (format tag != 1) need a real library —
+    raise ``ValueError`` and route them to the stub via
+    :func:`wav_features`' caller or ``auto_features``. A trailing
+    partial frame (truncated upload) is dropped rather than crashing
+    the batch; a truncated CHUNK header/body still raises."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt_body = data_body = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + sz]
+        if len(body) < sz:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt " and fmt_body is None:
+            fmt_body = body
+        elif cid == b"data" and data_body is None:
+            data_body = body
+        pos += 8 + sz + (sz & 1)
+    if fmt_body is None or data_body is None:
+        raise ValueError("missing fmt/data chunk")
+    if len(fmt_body) < 16:
+        raise ValueError("short fmt chunk")
+    tag, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt_body[:16])
+    if tag != 1:
+        raise ValueError(f"PCM only (format tag {tag}) — compressed codecs need a real library")
+    if n_ch < 1 or rate < 1:
+        raise ValueError("degenerate fmt chunk")
+    if bits == 16:
+        n = len(data_body) // (2 * n_ch) * n_ch
+        samples = list(struct.unpack("<%dh" % n, data_body[: 2 * n]))
+    elif bits == 8:
+        n = len(data_body) // n_ch * n_ch
+        samples = [b - 128 for b in data_body[:n]]
+    else:
+        raise ValueError(f"8- or 16-bit PCM only, got {bits}")
+    return rate, n_ch, samples
+
+
+def wav_features(payload: bytes, dim: int = 8) -> list[float]:
+    """REAL audio features from PCM WAV bytes, in the ``decoder=``
+    contract of :func:`decode_features` (bytes → ``dim`` floats). The
+    time-domain standards, every one exactly replayable by a SQL engine
+    from an arithmetic fixture (integer sums are exact; one float
+    division/sqrt at the end):
+
+    ``[n_frames, sample_rate, n_channels, peak, rms, zcr, mean,
+    duration_sec]`` over the mono mixdown (integer floor-mean across
+    channels per frame), padded with ``0.0`` / truncated to ``dim``.
+    ``zcr`` is the sign-change fraction with 0 counted nonnegative,
+    denominator ``n_frames - 1``. Raises on non-WAV bytes — dispatch
+    mixed-format relations through :func:`auto_features`."""
+    rate, n_ch, samples = decode_wav(payload)
+    mono = (
+        samples
+        if n_ch == 1
+        else [
+            sum(samples[i : i + n_ch]) // n_ch
+            for i in range(0, len(samples), n_ch)
+        ]
+    )
+    n = len(mono)
+    if n:
+        peak = float(max(abs(v) for v in mono))
+        rms = math.sqrt(sum(v * v for v in mono) / n)
+        mean = sum(mono) / n
+        zcr = (
+            sum(
+                1
+                for i in range(1, n)
+                if (mono[i] >= 0) != (mono[i - 1] >= 0)
+            )
+            / (n - 1)
+            if n > 1
+            else 0.0
+        )
+    else:
+        peak = rms = mean = zcr = 0.0
+    feats = [
+        float(n), float(rate), float(n_ch), peak, rms, zcr, float(mean),
+        n / rate,
+    ]
+    return (feats + [0.0] * dim)[:dim]
+
+
+def auto_features(payload: bytes, dim: int = 16) -> list[float]:
+    """Format-dispatching feature decoder — the audio analog of
+    :func:`auto_gray_grid`: REAL :func:`wav_features` for PCM WAV
+    payloads, the deterministic md5-ish stub for everything else
+    (compressed audio/image formats need real codec libraries, not in
+    this container). Pass as ``decode_features(decoder=auto_features)``
+    to mix WAV fixtures with opaque payloads in one relation."""
+    try:
+        return wav_features(payload, dim)
+    except ValueError:
+        return _stub_decoder(payload, dim)

@@ -15,6 +15,8 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
@@ -2865,6 +2867,86 @@ def image_near_dup_docs(spark, sf_dir):
     return image_near_dup(
         pay, "doc_id", "payload", max_hamming=3
     ).orderBy("doc_a", "doc_b")
+
+
+@spec(
+    "audio_features_docs",
+    """
+    WITH d AS (SELECT doc_id, 64 + doc_id % 193 AS n FROM documents),
+    i AS (SELECT unnest(range(0, 256)) AS i),
+    s AS (SELECT d.doc_id, d.n, i.i,
+                 ((d.doc_id * 37 + i.i * 101) % 4001) - 2000 AS v
+          FROM d JOIN i ON i.i < d.n),
+    x AS (SELECT doc_id, n, i, v,
+                 lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+          FROM s)
+    SELECT doc_id,
+           COUNT(*) AS n_frames,
+           CAST(MAX(ABS(v)) AS BIGINT) AS peak,
+           ROUND(sqrt(SUM(CAST(v AS DOUBLE) * v) / COUNT(*)), 6) AS rms,
+           ROUND(CAST(SUM(CASE WHEN pv IS NOT NULL
+                               AND ((v >= 0) != (pv >= 0))
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / (COUNT(*) - 1), 6) AS zcr,
+           ROUND(SUM(CAST(v AS DOUBLE)) / COUNT(*), 6) AS mean_amp,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / 8000, 6) AS duration_s
+    FROM x GROUP BY doc_id ORDER BY doc_id
+    """,
+    headline=True,
+    doc="REAL audio decode behind the feature seam (operators/"
+    "multimodal.py encode_wav/decode_wav/wav_features — the audio "
+    "sibling of the r13 PPM/BMP image decoder): per doc, a PCM WAV "
+    "payload is CONSTRUCTED from an arithmetic sample function "
+    "(n = 64 + doc_id % 193 16-bit frames at 8 kHz, v_i = ((doc_id*37 "
+    "+ i*101) % 4001) - 2000), then decoded back — RIFF chunk walk, "
+    "fmt/data parse — and reduced to the time-domain standards "
+    "(peak, RMS, zero-crossing rate, mean, duration) through "
+    "decode_features' Arrow-batched mapInPandas with out_dtype="
+    "'double'. DuckDB replays the features from the SAME arithmetic "
+    "without parsing bytes (integer sums are double-exact below 2^53, "
+    "so sqrt/divide match bit-for-bit before the shared ROUND 6). The "
+    "payload column is the real 100 TB shape: bytes cross the JVM "
+    "boundary once per Arrow batch, features come back as a typed "
+    "array column Catalyst plans over.",
+)
+def audio_features_docs(spark, sf_dir):
+    from bambooai_spark.operators.multimodal import (  # noqa: PLC0415
+        decode_features,
+        encode_wav,
+        wav_features,
+    )
+
+    @F.pandas_udf("binary")
+    def mk_wav(ids: pd.Series) -> pd.Series:
+        out = []
+        for did in ids:
+            did = int(did)
+            n = 64 + did % 193
+            out.append(
+                encode_wav(
+                    [((did * 37 + i * 101) % 4001) - 2000 for i in range(n)],
+                    rate=8000,
+                )
+            )
+        return pd.Series(out)
+
+    pay = _spread(
+        _t(spark, sf_dir, "documents").select("doc_id")
+    ).withColumn("payload", mk_wav("doc_id"))
+    feats = decode_features(
+        pay, "payload", dim=8, id_cols=["doc_id"],
+        decoder=wav_features, out_dtype="double",
+    )
+    a = F.col("features")
+    return feats.select(
+        "doc_id",
+        a[0].cast("long").alias("n_frames"),
+        a[3].cast("long").alias("peak"),
+        F.round(a[4], 6).alias("rms"),
+        F.round(a[5], 6).alias("zcr"),
+        F.round(a[6], 6).alias("mean_amp"),
+        F.round(a[7], 6).alias("duration_s"),
+    ).orderBy("doc_id")
 
 
 # The CTE both ExactSubstr specs replay in DuckDB: every character 25-gram

@@ -403,3 +403,121 @@ def test_real_decoder_refuses_or_stubs_exotic_formats():
     assert auto_gray_grid(p, 4, 8) == decode_gray_grid(p, 4, 8)
     with pytest.raises(ValueError, match="truncated"):
         decode_gray_grid(b"P6\n9 9\n255\n\x00\x00", 4, 8)
+
+
+# ---- real WAV decode behind the audio feature seam ----
+
+
+def _fix_samples(did: int) -> list[int]:
+    n = 64 + did % 193
+    return [((did * 37 + i * 101) % 4001) - 2000 for i in range(n)]
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import struct
+
+    from bambooai_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = _fix_samples(7)
+    w = encode_wav(s, rate=8000)
+    assert decode_wav(w) == (8000, 1, s)
+
+    # stereo 16-bit and 8-bit roundtrips
+    st = [1000, -1000, 5, 7, -3, -5, 0, 1]
+    assert decode_wav(encode_wav(st, rate=44100, n_channels=2)) == (
+        44100, 2, st,
+    )
+    s8 = [-128, -1, 0, 1, 127]
+    assert decode_wav(encode_wav(s8, rate=16000, bits=8)) == (16000, 1, s8)
+
+    # real-world shape: an odd-sized LIST metadata chunk before fmt must
+    # be skipped with even padding, per the RIFF spec
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    w2 = w[:12] + lst + w[12:]
+    w2 = b"RIFF" + struct.pack("<I", len(w2) - 8) + b"WAVE" + w2[12:]
+    assert decode_wav(w2) == (8000, 1, s)
+
+
+def test_wav_refusals_and_auto_dispatch():
+    from bambooai_spark.operators.multimodal import (
+        _stub_decoder,
+        auto_features,
+        decode_wav,
+        encode_wav,
+        wav_features,
+    )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"ID3\x04" + b"\x00" * 60)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(encode_wav([1, 2, 3], rate=8000)[:-1])
+    # format tag != 1 (compressed) refuses
+    w = bytearray(encode_wav([1, 2], rate=8000))
+    w[20] = 85  # fmt tag -> 0x0055 (MP3)
+    with pytest.raises(ValueError, match="PCM only"):
+        decode_wav(bytes(w))
+    # non-WAV payloads fall to the stub; WAV goes real
+    blob = b"not audio at all"
+    assert auto_features(blob, 4) == _stub_decoder(blob, 4)
+    real = encode_wav([5, -5, 5], rate=8000)
+    assert auto_features(real, 8) == wav_features(real, 8)
+
+
+def test_wav_features_hand_computed():
+    import math
+
+    from bambooai_spark.operators.multimodal import encode_wav, wav_features
+
+    s = _fix_samples(11)
+    n = len(s)
+    f = wav_features(encode_wav(s, rate=8000), 8)
+    assert f[:3] == [float(n), 8000.0, 1.0]
+    assert f[3] == max(abs(v) for v in s)
+    assert f[4] == math.sqrt(sum(v * v for v in s) / n)
+    zc = sum(1 for i in range(1, n) if (s[i] >= 0) != (s[i - 1] >= 0))
+    assert f[5] == zc / (n - 1)
+    assert f[6] == sum(s) / n
+    assert f[7] == n / 8000
+    # stereo mixdown is the integer floor-mean per frame
+    f2 = wav_features(encode_wav([3, 4, -3, -4], rate=8000, n_channels=2), 8)
+    assert f2[3] == 4.0 and f2[0] == 2.0  # mono [3, -4]
+    # pad / truncate to dim
+    w = encode_wav(s, rate=8000)
+    assert wav_features(w, 12)[8:] == [0.0] * 4
+    assert len(wav_features(w, 3)) == 3
+
+
+def test_wav_features_spark_end_to_end(spark):
+    """decode_features(decoder=wav_features, out_dtype='double') over a
+    relation of WAV payloads: real decode through the Arrow batch
+    boundary, features equal the driver-side computation bit-for-bit."""
+    import pandas as pd
+
+    from bambooai_spark.operators.multimodal import (
+        decode_features,
+        encode_wav,
+        wav_features,
+    )
+
+    ids = [0, 3, 11, 42]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ids,
+            "payload": [
+                encode_wav(_fix_samples(i), rate=8000) for i in ids
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = decode_features(
+        df, "payload", dim=8, id_cols=["doc_id"],
+        decoder=wav_features, out_dtype="double",
+    )
+    assert dict(out.dtypes)["features"] == "array<double>"
+    got = {r["doc_id"]: r["features"] for r in out.collect()}
+    for i in ids:
+        assert got[i] == wav_features(
+            encode_wav(_fix_samples(i), rate=8000), 8
+        ), f"doc {i}"
+    with pytest.raises(ValueError, match="out_dtype"):
+        decode_features(df, "payload", out_dtype="f16")
