@@ -40,6 +40,15 @@ Operators:
                               in the ``decode_features`` decoder contract.
 - ``auto_features``         — WAV → real features, else the stub (the
                               audio analog of ``auto_gray_grid``).
+- ``encode_y4m``/``y4m_info``/``y4m_frames`` — REAL YUV4MPEG2 video
+                              encode/parse + evenly-spaced luma-plane
+                              frame sampling in the ``sample_frames``
+                              sampler contract; each frame emits as a
+                              PGM payload, so the image pipeline
+                              (``decode_gray_grid`` → ``dhash_images``
+                              → ``image_near_dup``) runs on video
+                              keyframes unchanged.
+- ``auto_frames``           — Y4M → real frames, else stub slices.
 
 Compressed formats (JPEG/PNG/MP3/MP4) still route to the deterministic
 stubs — real codecs need PIL/ffmpeg, not in this container; the seam is
@@ -165,6 +174,21 @@ def decode_features(
     return df.select(*ids, payload_col).mapInPandas(run, out_schema)
 
 
+def _stub_frame_slices(
+    payload: bytes, n_frames: int, frame_bytes: int
+) -> list[bytes]:
+    """Deterministic fake 'keyframe sample' — evenly-spaced byte slices.
+    A real deployment seeks keyframes via ffmpeg; Y4M payloads get REAL
+    frames via :func:`y4m_frames`."""
+    step = max(1, (len(payload) - frame_bytes) // max(1, n_frames - 1))
+    return [
+        payload[
+            min(i * step, max(0, len(payload) - frame_bytes)) :
+        ][:frame_bytes]
+        for i in range(n_frames)
+    ]
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str,
@@ -172,12 +196,21 @@ def sample_frames(
     n_frames: int = 4,
     frame_bytes: int = 64,
     id_cols: list[str] | None = None,
+    sampler: Callable[[bytes, int], list[bytes]] | None = None,
 ) -> DataFrame:
-    """Payload → N pseudo-frames (row fan-out 1:N) — the video
-    frame-sampling shape. The stub slices the payload at evenly-spaced
-    offsets; a real deployment seeks keyframes via ffmpeg. Output carries
-    (frame_idx, frame) so per-frame ops (decode_features) chain directly."""
+    """Payload → N frames (row fan-out 1:N) — the video frame-sampling
+    shape. Default ``sampler`` is the byte-slice stub; pass
+    :func:`y4m_frames` (real, dependency-free) or an ffmpeg wrapper to
+    emit actual frames. Output carries (frame_idx, frame) so per-frame
+    ops (decode_features, dhash_images) chain directly; ``frame_idx`` is
+    the POSITIONAL sample number (0..n-1) — a sampler that seeks source
+    frame ``(i * total) // n`` keeps the mapping deterministic. A
+    sampler may return fewer than ``n_frames`` (short video); the
+    fan-out emits what it returns."""
     ids = id_cols or []
+    samp = sampler or (
+        lambda b, n: _stub_frame_slices(b, n, frame_bytes)
+    )
     out_schema = StructType(
         [df.schema[c] for c in ids]
         + [
@@ -191,13 +224,8 @@ def sample_frames(
             rows = []
             for _, r in pdf.iterrows():
                 payload = bytes(r[payload_col]) if r[payload_col] is not None else b""
-                step = max(1, (len(payload) - frame_bytes) // max(1, n_frames - 1))
-                for i in range(n_frames):
-                    off = min(i * step, max(0, len(payload) - frame_bytes))
-                    rows.append(
-                        tuple(r[c] for c in ids)
-                        + (i, payload[off : off + frame_bytes])
-                    )
+                for i, frame in enumerate(samp(payload, n_frames)):
+                    rows.append(tuple(r[c] for c in ids) + (i, frame))
             yield pd.DataFrame(
                 rows, columns=ids + ["frame_idx", "frame"]
             )
@@ -628,3 +656,150 @@ def auto_features(payload: bytes, dim: int = 16) -> list[float]:
         return wav_features(payload, dim)
     except ValueError:
         return _stub_decoder(payload, dim)
+
+
+# ---- video: real dependency-free Y4M (YUV4MPEG2) frame sampling ----
+
+#: bytes per frame for a WxH Y4M frame, by colorspace tag prefix
+_Y4M_FRAME_SIZE = {
+    "420": lambda w, h: w * h * 3 // 2,
+    "422": lambda w, h: w * h * 2,
+    "444": lambda w, h: w * h * 3,
+    "mono": lambda w, h: w * h,
+}
+
+
+def _y4m_layout(payload: bytes) -> tuple[int, int, int, int, list[int]]:
+    """Parse a YUV4MPEG2 stream header + FRAME markers (the public Y4M
+    layout: a space-separated parameter line, then per frame a
+    ``FRAME[params]\\n`` marker followed by raw planar YUV). Returns
+    ``(width, height, fps_num, fps_den, frame_data_offsets)`` — each
+    offset is the first byte of that frame's Y plane. Raises
+    ``ValueError`` on anything that is not a well-formed Y4M payload
+    (route mixed-format relations through :func:`auto_frames`)."""
+    if payload[:9] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\x0a", 9)
+    if nl < 0:
+        raise ValueError("unterminated Y4M stream header")
+    w = h = 0
+    num, den = 25, 1
+    cspace = "420"  # the spec's default when no C tag is present
+    for tok in payload[9:nl].split():
+        t, v = chr(tok[0]), tok[1:]
+        if t == "W":
+            w = int(v)
+        elif t == "H":
+            h = int(v)
+        elif t == "F":
+            a, b = v.split(b":")
+            num, den = int(a), int(b)
+        elif t == "C":
+            cspace = v.decode("ascii", "replace")
+        # I (interlace), A (aspect), X (extensions) don't affect layout
+    sizer = next(
+        (fn for pfx, fn in _Y4M_FRAME_SIZE.items() if cspace.startswith(pfx)),
+        None,
+    )
+    if sizer is None:
+        raise ValueError(f"unsupported Y4M colorspace {cspace!r}")
+    if w < 1 or h < 1 or num < 1 or den < 1:
+        raise ValueError("degenerate Y4M header")
+    if cspace.startswith(("420", "422")) and (w % 2 or (cspace.startswith("420") and h % 2)):
+        raise ValueError("chroma-subsampled Y4M needs even dimensions")
+    fsize = sizer(w, h)
+    offsets: list[int] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at offset {pos}")
+        fnl = payload.find(b"\x0a", pos + 5)
+        if fnl < 0:
+            raise ValueError("unterminated FRAME marker")
+        data = fnl + 1
+        if len(payload) < data + fsize:
+            raise ValueError("truncated Y4M frame")
+        offsets.append(data)
+        pos = data + fsize
+    return w, h, num, den, offsets
+
+
+def encode_y4m(
+    y_frames: list[bytes],
+    width: int,
+    height: int,
+    *,
+    fps: tuple[int, int] = (25, 1),
+    colorspace: str = "420jpeg",
+) -> bytes:
+    """Canonical Y4M bytes from raw Y (luma) planes — the fixture/sink
+    half of the video seam. Chroma planes (420/422/444) are filled with
+    the neutral 128, so the luma any grayscale consumer reads back is
+    exactly the input."""
+    sizer = next(
+        (
+            fn
+            for pfx, fn in _Y4M_FRAME_SIZE.items()
+            if colorspace.startswith(pfx)
+        ),
+        None,
+    )
+    if sizer is None:
+        raise ValueError(f"unsupported Y4M colorspace {colorspace!r}")
+    if colorspace.startswith(("420", "422")) and (
+        width % 2 or (colorspace.startswith("420") and height % 2)
+    ):
+        raise ValueError("chroma-subsampled Y4M needs even dimensions")
+    ysz, fsz = width * height, sizer(width, height)
+    if any(len(y) != ysz for y in y_frames):
+        raise ValueError("every Y plane must be width*height bytes")
+    head = b"YUV4MPEG2 W%d H%d F%d:%d C%s\x0a" % (
+        width, height, fps[0], fps[1], colorspace.encode(),
+    )
+    chroma = b"\x80" * (fsz - ysz)
+    return head + b"".join(b"FRAME\x0a" + y + chroma for y in y_frames)
+
+
+def y4m_info(payload: bytes) -> dict:
+    """Header metadata of a Y4M payload without touching frame bytes:
+    ``{width, height, fps_num, fps_den, n_frames}``."""
+    w, h, num, den, offs = _y4m_layout(payload)
+    return {
+        "width": w, "height": h, "fps_num": num, "fps_den": den,
+        "n_frames": len(offs),
+    }
+
+
+def y4m_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """REAL video frame sampling for the :func:`sample_frames` seam —
+    the video sibling of :func:`decode_gray_grid` / :func:`decode_wav`:
+    parse the Y4M layout, pick ``n_frames`` evenly-spaced source frames
+    (``src = (i * total) // n`` — the grid-sampling rule the image
+    decoder uses), and emit each frame's LUMA PLANE as a binary PGM
+    (``P5``) payload. A Y plane IS a grayscale raster, so every sampled
+    frame feeds :func:`decode_gray_grid` / :func:`dhash_images` /
+    :func:`image_near_dup` directly — video keyframe near-dup is the
+    image pipeline over these frames. Fewer frames than requested are
+    returned when the video is shorter than ``n_frames``."""
+    w, h, _, _, offs = _y4m_layout(payload)
+    total = len(offs)
+    if total <= n_frames:
+        picks = list(range(total))
+    else:
+        picks = [(i * total) // n_frames for i in range(n_frames)]
+    head = b"P5\x0a%d %d\x0a255\x0a" % (w, h)
+    ysz = w * h
+    return [head + payload[offs[p] : offs[p] + ysz] for p in picks]
+
+
+def auto_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """Format-dispatching frame sampler — the video analog of
+    :func:`auto_gray_grid` / :func:`auto_features`: REAL
+    :func:`y4m_frames` for Y4M payloads, evenly-spaced 64-byte stub
+    slices for everything else (compressed containers need ffmpeg, not
+    in this container). Pass as ``sample_frames(sampler=auto_frames)``
+    to mix Y4M fixtures with opaque payloads in one relation."""
+    try:
+        return y4m_frames(payload, n_frames)
+    except ValueError:
+        return _stub_frame_slices(payload, n_frames, 64)

@@ -521,3 +521,106 @@ def test_wav_features_spark_end_to_end(spark):
         ), f"doc {i}"
     with pytest.raises(ValueError, match="out_dtype"):
         decode_features(df, "payload", out_dtype="f16")
+
+
+# ---- real Y4M video frame sampling behind the sample_frames seam ----
+
+
+def _yplane(doc: int, f: int, w: int = 16, h: int = 8) -> bytes:
+    return bytes(
+        (doc * 7 + f * 13 + x * 31 + y * 57) % 251
+        for y in range(h)
+        for x in range(w)
+    )
+
+
+def test_y4m_roundtrip_layout_and_sampling():
+    from bambooai_spark.operators.multimodal import (
+        encode_y4m,
+        y4m_frames,
+        y4m_info,
+    )
+
+    t = 13
+    frames = [_yplane(3, f) for f in range(t)]
+    v = encode_y4m(frames, 16, 8)
+    assert y4m_info(v) == {
+        "width": 16, "height": 8, "fps_num": 25, "fps_den": 1,
+        "n_frames": t,
+    }
+    head = b"P5\n16 8\n255\n"
+    got = y4m_frames(v, 4)
+    # evenly-spaced picks by the (i*total)//n rule, luma read back exactly
+    assert got == [head + frames[(i * t) // 4] for i in range(4)]
+    # short video returns what exists; mono layout has no chroma planes
+    assert len(y4m_frames(encode_y4m(frames[:2], 16, 8), 4)) == 2
+    vm = encode_y4m(frames, 16, 8, colorspace="mono")
+    assert y4m_frames(vm, 1) == [head + frames[0]]
+    # extra header tags (interlace/aspect/extension) don't affect layout
+    v2 = v.replace(b" C420jpeg\x0a", b" Ip A1:1 C420mpeg2 Xy4m\x0a")
+    assert y4m_info(v2)["n_frames"] == t
+
+
+def test_y4m_refusals_and_auto_dispatch():
+    from bambooai_spark.operators.multimodal import (
+        _stub_frame_slices,
+        _y4m_layout,
+        auto_frames,
+        encode_y4m,
+        y4m_frames,
+    )
+
+    v = encode_y4m([_yplane(1, f) for f in range(3)], 16, 8)
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        _y4m_layout(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError, match="truncated"):
+        _y4m_layout(v[:-1])
+    with pytest.raises(ValueError, match="FRAME"):
+        _y4m_layout(v.replace(b"FRAME", b"FRAMX", 1))
+    with pytest.raises(ValueError, match="even"):
+        encode_y4m([b"\x00" * 15], 5, 3)
+    with pytest.raises(ValueError, match="colorspace"):
+        encode_y4m([b"\x00" * 4], 2, 2, colorspace="nv12")
+    blob = b"opaque" * 40
+    assert auto_frames(blob, 4) == _stub_frame_slices(blob, 4, 64)
+    assert auto_frames(v, 2) == y4m_frames(v, 2)
+
+
+def test_y4m_frames_chain_into_image_pipeline(spark):
+    """sample_frames(sampler=y4m_frames) -> dhash_images(decoder=
+    decode_gray_grid): the video fan-out feeds the real image decoder,
+    and identical videos land at hamming 0."""
+    import pandas as pd
+
+    from bambooai_spark.operators.multimodal import (
+        decode_gray_grid,
+        dhash_images,
+        encode_y4m,
+        sample_frames,
+        y4m_frames,
+    )
+
+    def vid(doc: int, t: int) -> bytes:
+        return encode_y4m([_yplane(doc, f) for f in range(t)], 16, 8)
+
+    pdf = pd.DataFrame(
+        {
+            "vid_id": [1, 2, 3],
+            "payload": [vid(1, 9), vid(1, 9), vid(2, 5)],
+        }
+    )
+    frames = sample_frames(
+        spark.createDataFrame(pdf), "payload", n_frames=4,
+        id_cols=["vid_id"], sampler=y4m_frames,
+    )
+    fp = dhash_images(
+        frames, "frame", id_cols=["vid_id", "frame_idx"],
+        decoder=decode_gray_grid,
+    )
+    rows = {
+        (r["vid_id"], r["frame_idx"]): r["dhash"] for r in fp.collect()
+    }
+    assert len(rows) == 12  # 3 videos x 4 sampled frames
+    for i in range(4):  # identical videos -> identical frame hashes
+        assert rows[(1, i)] == rows[(2, i)]
+    assert any(rows[(1, i)] != rows[(3, i)] for i in range(4))
