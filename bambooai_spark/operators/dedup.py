@@ -1604,19 +1604,49 @@ def exact_substring_spans(
             # the probe side below is the ONLY postings explode
             dup = dup_grams.select("gram", F.col("first").alias("_first"))
         else:
-            dup = (
-                pos.groupBy("gram")
-                .agg(
-                    F.count(F.lit(1)).alias("_cnt"),
-                    F.min(
-                        F.struct(
-                            F.col(id_col).alias("i"), F.col("p").alias("p")
-                        )
-                    ).alias("_first"),
-                )
-                .filter(F.col("_cnt") >= min_count)
-                .select("gram", "_first")
+            from bambooai_spark.operators.gram_store import (  # noqa: PLC0415
+                id_packable,
+                packed_occurrence,
+                unpack_occurrence,
             )
+
+            if id_packable(df, id_col):
+                # packed-decimal first-occurrence min: hash-aggregatable,
+                # so the stats pass keeps map-side partials WITHOUT the
+                # SortAggregate's per-partition sort of every posting by
+                # gram (min(struct) has a non-mutable buffer and falls to
+                # SortAggregate; r13 measured the sort at ~19% of the
+                # stats pass). Order-isomorphic, so the selected first
+                # occurrence — and every span downstream — is identical.
+                dup = (
+                    pos.groupBy("gram")
+                    .agg(
+                        F.count(F.lit(1)).alias("_cnt"),
+                        F.min(packed_occurrence(id_col, "p")).alias("_fpk"),
+                    )
+                    .filter(F.col("_cnt") >= min_count)
+                    .select(
+                        "gram",
+                        unpack_occurrence(
+                            F.col("_fpk"), df.schema[id_col].dataType
+                        ).alias("_first"),
+                    )
+                )
+            else:
+                dup = (
+                    pos.groupBy("gram")
+                    .agg(
+                        F.count(F.lit(1)).alias("_cnt"),
+                        F.min(
+                            F.struct(
+                                F.col(id_col).alias("i"),
+                                F.col("p").alias("p"),
+                            )
+                        ).alias("_first"),
+                    )
+                    .filter(F.col("_cnt") >= min_count)
+                    .select("gram", "_first")
+                )
         hits = (
             pos.join(dup, "gram")
             .filter(

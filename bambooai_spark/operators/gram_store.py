@@ -229,6 +229,102 @@ def _postings(
     )
 
 
+_PACK_BASE = 4294967296  # 2^32: > any substring position (strings < 2^31)
+
+
+def _pack_shift():
+    """2^63 as a decimal literal (one past Long.MAX, so it cannot be a
+    py4j long literal): maps signed ids to unsigned order."""
+    return F.expr("CAST('9223372036854775808' AS DECIMAL(20,0))")
+
+
+def id_packable(df: DataFrame, id_col: str) -> bool:
+    """True when ``id_col`` is an integral type, so (id, p) first-
+    occurrence ordering can run through :func:`packed_occurrence`."""
+    from pyspark.sql.types import (  # noqa: PLC0415
+        ByteType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    return isinstance(
+        df.schema[id_col].dataType,
+        (ByteType, ShortType, IntegerType, LongType),
+    )
+
+
+def packed_occurrence(id_name: str, p_name: str):
+    """Order-isomorphic ``(id, p) -> DECIMAL`` packing of an occurrence.
+
+    ``min(struct(id, p))`` is a DeclarativeAggregate over a non-mutable
+    buffer type, so Spark plans it as a SortAggregate — the partial pass
+    then SORTS every partition's postings by gram (r13 measurement:
+    ~19% of the gram-stats pass at sf0.1). A decimal buffer is mutable,
+    so ``min(packed)`` stays in HashAggregate with map-side partials.
+
+    Order proof: ``u = id + 2^63 + 1`` is strictly increasing over
+    signed ids and >= 1; a NULL id packs to bucket 0, matching struct
+    ordering's NULLS-FIRST field semantics; ``packed = u * 2^32 + p``
+    keeps the (u, p) lexicographic order because positions are 1-based
+    substring offsets < 2^31 < 2^32 (Spark strings cap at ~2^31 chars),
+    so p can never carry into u's digits.
+    """
+    idc = F.col(id_name)
+    bucket = F.when(idc.isNull(), F.lit(0).cast("decimal(21,0)")).otherwise(
+        idc.cast("decimal(20,0)") + _pack_shift() + F.lit(1)
+    )
+    return bucket * F.lit(_PACK_BASE) + F.col(p_name)
+
+
+def unpack_occurrence(pk, id_dtype):
+    """Inverse of :func:`packed_occurrence` as ``struct(i, p)`` with
+    ``i`` cast back to the original id dtype (values fit by
+    construction). Exact: the division below is an integer quotient
+    (the remainder is subtracted first), representable losslessly in
+    the result decimal."""
+    p = F.pmod(pk, F.lit(_PACK_BASE)).cast("long")
+    bucket = (pk - F.pmod(pk, F.lit(_PACK_BASE))) / F.lit(_PACK_BASE)
+    i = (
+        F.when(bucket < 1, F.lit(None))
+        .otherwise(bucket - 1 - _pack_shift())
+        .cast("long")
+        .cast(id_dtype)
+    )
+    return F.struct(i.alias("i"), p.alias("p"))
+
+
+def first_occurrence_agg(pos: DataFrame, df: DataFrame, id_col: str):
+    """``groupBy("gram")`` aggregate list computing ``cnt`` and the
+    earliest ``(i, p)`` occurrence, preferring the hash-aggregatable
+    packed form; plus the projection restoring the ``first`` struct.
+    Returns ``(aggs, finisher)`` where ``finisher(aggregated)`` yields
+    ``(gram, cnt, first)`` identical to the min(struct) formulation."""
+    if id_packable(df, id_col):
+        aggs = [
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(packed_occurrence("i", "p")).alias("_fpk"),
+        ]
+
+        def finish(agg: DataFrame) -> DataFrame:
+            return agg.select(
+                "gram",
+                "cnt",
+                unpack_occurrence(
+                    F.col("_fpk"), df.schema[id_col].dataType
+                ).alias("first"),
+            )
+
+        return aggs, finish
+    aggs = [
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(
+            F.struct(F.col("i").alias("i"), F.col("p").alias("p"))
+        ).alias("first"),
+    ]
+    return aggs, lambda agg: agg.select("gram", "cnt", "first")
+
+
 def gram_counts(
     df: DataFrame,
     text_col: str,
@@ -242,18 +338,16 @@ def gram_counts(
     :func:`refresh_gram_store`'s delta path sums with stored counts. One
     hash-partitioned groupBy with map-side partial aggregation — a
     boilerplate gram present in every doc collapses to one row per map
-    partition before the exchange."""
+    partition before the exchange. The first-occurrence min runs in the
+    packed-decimal form (see :func:`packed_occurrence`) so the whole
+    stats pass stays in HashAggregate instead of SortAggregate."""
     if k < 2:
         raise ValueError("gram_counts: k must be >= 2")
     pos = _postings(df, text_col, k, id_col)
-    aggs = [F.count(F.lit(1)).alias("cnt")]
-    if id_col is not None:
-        aggs.append(
-            F.min(
-                F.struct(F.col("i").alias("i"), F.col("p").alias("p"))
-            ).alias("first")
-        )
-    return pos.groupBy("gram").agg(*aggs)
+    if id_col is None:
+        return pos.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
+    aggs, finish = first_occurrence_agg(pos, df, id_col)
+    return finish(pos.groupBy("gram").agg(*aggs))
 
 
 def duplicated_grams(
@@ -1106,8 +1200,15 @@ def composed_dup_grams(
     if n_sus:
         old_df = spark.read.schema(df.schema).parquet(*sorted(inv))
         opos = _postings(old_df, text_col, k, id_col)
+        # the recount min runs packed (hash-aggregatable) where the id
+        # type allows, matching gram_counts' plan shape
+        packed = keep_first and id_packable(old_df, id_col)
         orec_aggs = [F.count(F.lit(1)).alias("_oc")]
-        if keep_first:
+        if packed:
+            orec_aggs.append(
+                F.min(packed_occurrence("i", "p")).alias("_ofpk")
+            )
+        elif keep_first:
             orec_aggs.append(
                 F.min(
                     F.struct(F.col("i").alias("i"), F.col("p").alias("p"))
@@ -1119,6 +1220,14 @@ def composed_dup_grams(
         if n_sus <= RECOUNT_SUSPECTS_MAX:
             sg = F.broadcast(sg)
         orec = opos.join(sg, "gram").groupBy("gram").agg(*orec_aggs)
+        if packed:
+            orec = orec.select(
+                "gram",
+                "_oc",
+                unpack_occurrence(
+                    F.col("_ofpk"), old_df.schema[id_col].dataType
+                ).alias("_of"),
+            )
         res = sus.join(orec, "gram", "left").filter(
             (F.col("cnt") + F.coalesce(F.col("_oc"), F.lit(0)))
             >= min_count

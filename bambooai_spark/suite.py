@@ -121,6 +121,24 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _spread_by(df: DataFrame, *keys: str) -> DataFrame:
+    """Keyed variant of :func:`_spread` for the relational fact tables:
+    hash-repartition on a high-cardinality join/group key when (and only
+    when) the scan is under-parallel. Round-robin would pay the local
+    sort-before-repartition (SPARK-23207 determinism sort) on every row
+    — measured SLOWER than no repartition at all on the join-shaped
+    queries (r13: q3 0.73→1.41s, q18 1.13→1.79s), while the hash form
+    both skips that sort and lets a downstream groupBy/join on the same
+    key reuse the exchange (HashPartitioning satisfies
+    ClusteredDistribution at any partition count: q18 1.13→0.76s).
+    At real scale the table is many splits and this is a no-op."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df
+
+
 # ---- shared SQL fragments (keep the oracle in lockstep with numeric.py) ----
 
 D2 = "DECIMAL(18,2)"
@@ -170,7 +188,7 @@ def _charge():
     "into the parquet scan.",
 )
 def q1_pricing_summary(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _spread_by(_t(spark, sf_dir, "lineitem"), "l_extendedprice")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -412,7 +430,7 @@ def q10_returned_items(spark, sf_dir):
     "and broadcasts it, so the big tables never shuffle against each other.",
 )
 def q18_large_orders(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
+    li = _spread_by(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     big = (
         li.groupBy("l_orderkey")
         .agg(dsum("l_quantity").alias("sum_qty"))
@@ -772,7 +790,7 @@ def top_customers(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     n = F.broadcast(_t(spark, sf_dir, "nation"))
     o = _t(spark, sf_dir, "orders")
-    l = _t(spark, sf_dir, "lineitem")
+    l = _spread_by(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     per_order = l.groupBy("l_orderkey").agg(F.sum(_disc_price()).alias("_orev"))
     return (
         per_order.join(o, per_order.l_orderkey == o.o_orderkey)
@@ -1222,7 +1240,9 @@ def percentiles_lineitem(spark, sf_dir):
     "any parallelism, unlike fp-accumulating corr().",
 )
 def corr_lineitem(spark, sf_dir):
-    return exact_corr(_t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice")
+    return exact_corr(
+        _spread_by(_t(spark, sf_dir, "lineitem"), "l_extendedprice"), "l_quantity", "l_extendedprice"
+    )
 
 
 # =====================================================================
@@ -4803,7 +4823,7 @@ def q21_sole_fault_supplier(spark, sf_dir):
     # (A single groupBy with two countDistinct columns would plan an
     # Expand that triples the scan rows — measurably slower.) When
     # exactly one R-supplier exists, max() IS it.
-    l = _t(spark, sf_dir, "lineitem")
+    l = _spread_by(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     s = _t(spark, sf_dir, "supplier")
     pairs = l.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(

@@ -209,6 +209,15 @@ def main() -> int:
     # protocol + tmpfs write bound) and report their own total
     headline = [s for s in SPECS if s.headline and s.regime == "scan"]
     lifecycle = [s for s in SPECS if s.headline and s.regime == "lifecycle"]
+    # dev-only subset filter for optimization iteration (the driver never
+    # sets it): comma-separated spec names; a filtered run is a smoke run —
+    # it must not write the sidecar (guarded below via `subset`)
+    subset = {
+        n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n
+    }
+    if subset:
+        headline = [s for s in headline if s.name in subset]
+        lifecycle = [s for s in lifecycle if s.name in subset]
     headline = headline + lifecycle  # one measurement loop, two reports
     samples: dict[str, list[float]] = {}
     failed: set[str] = set()
@@ -363,7 +372,7 @@ def main() -> int:
                # whole-run-inflation guard re-measured this run
                "remeasured": remeasured}
     print(f"[bench] spread: {json.dumps(spread)}", file=sys.stderr)
-    if _sf_of(sf_dir) >= 0.1 and iters >= 3:
+    if _sf_of(sf_dir) >= 0.1 and iters >= 3 and not subset:
         try:
             here = os.path.dirname(os.path.abspath(__file__))
             path = os.path.join(here, "BENCH_SPREAD.json")

@@ -32,10 +32,16 @@ def _build(spark, name):
 def test_q1_scan_pushdown_and_pruning(spark):
     df = _build(spark, "q1_pricing_summary")
     assert_pushed_filters(df, "l_shipdate")
-    # lineitem has 16 columns; q1 must read only the 7 it uses
+    # lineitem has 16 columns; q1 must read only the 7 it uses (the r13
+    # under-parallel spread keys on l_extendedprice, an already-read
+    # column, so it must not widen the scan)
     assert_pruned_scan(df, table_cols=16, max_read_cols=7)
     flags = plan_flags(df)
-    assert flags["n_exchanges"] == 1  # partial agg map-side, ONE shuffle
+    # ONE aggregation shuffle (partial agg map-side); on single-split
+    # local testdata the conditional _spread_by adds its hash
+    # repartition ahead of it (a no-op at real scale, where the scan
+    # arrives multi-split)
+    assert flags["n_exchanges"] <= 2
 
 
 def test_q3_filters_pushed_on_all_three_tables(spark):
