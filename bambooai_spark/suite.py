@@ -2958,7 +2958,7 @@ def audio_features_docs(spark, sf_dir):
         decoder=wav_features, out_dtype="double",
     )
     a = F.col("features")
-    return feats.select(
+    sel = feats.select(
         "doc_id",
         a[0].cast("long").alias("n_frames"),
         a[3].cast("long").alias("peak"),
@@ -2966,7 +2966,12 @@ def audio_features_docs(spark, sf_dir):
         F.round(a[5], 6).alias("zcr"),
         F.round(a[6], 6).alias("mean_amp"),
         F.round(a[7], 6).alias("duration_s"),
-    ).orderBy("doc_id")
+    )
+    # cut lineage before the global sort: the range exchange's sampling
+    # pass would otherwise re-execute the whole Python chain (construct +
+    # decode) a second time — the checkpointed feature rows are tiny
+    # (r13: 1.86 -> 1.56 s at sf0.1)
+    return sel.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 @spec(
@@ -3054,14 +3059,14 @@ def video_dhash_docs(spark, sf_dir):
         pay, "payload", n_frames=4, id_cols=["doc_id"],
         sampler=y4m_frames,
     )
-    return (
-        dhash_images(
-            frames, "frame", id_cols=["doc_id", "frame_idx"],
-            decoder=decode_gray_grid,
-        )
-        .select("doc_id", "frame_idx", "dhash")
-        .orderBy("doc_id", "frame_idx")
-    )
+    sel = dhash_images(
+        frames, "frame", id_cols=["doc_id", "frame_idx"],
+        decoder=decode_gray_grid,
+    ).select("doc_id", "frame_idx", "dhash")
+    # lineage cut before the global sort, as in audio_features_docs: the
+    # sort's sampling pass must not re-run the construct/parse/dhash
+    # Python chain over 4x fanned-out frames
+    return sel.localCheckpoint(eager=False).orderBy("doc_id", "frame_idx")
 
 
 # The CTE both ExactSubstr specs replay in DuckDB: every character 25-gram
