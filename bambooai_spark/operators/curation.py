@@ -206,7 +206,27 @@ def curate_corpus(
             )
     finally:
         sp.unpersist()
-    exported = spark.read.json(export_path)
+    # read back with an EXPLICIT schema — the shipped frame's own, plus
+    # the export bookkeeping columns (pos in the JSON, shard from the
+    # partition directory): schema inference would cost one extra full
+    # scan of the export per call (spark.read.json infers eagerly), and
+    # the JSON source parses a declared long/double identically to
+    # inferring-then-casting it (guide §1/§6 — r13)
+    from pyspark.sql.types import (  # noqa: PLC0415
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    read_schema = StructType(
+        list(final.schema.fields)
+        + [
+            StructField("pos", LongType()),
+            StructField("shard", IntegerType()),
+        ]
+    )
+    exported = spark.read.schema(read_schema).json(export_path)
     # cast EVERY pipeline column back to its shipped dtype — including
     # the caller-chosen keep_cols, which spark.read.json would otherwise
     # re-infer (a kept date comes back string, an int comes back bigint)

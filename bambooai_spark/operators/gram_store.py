@@ -478,9 +478,14 @@ def _write_file_inventory(
     Driver-side O(files), the same class as the corpus manifest
     bookkeeping."""
     rows = [(f,) for f in sorted(set(files))]
-    spark.createDataFrame(rows, "file string").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(_join(grams_dir, FILES_SUBDIR))
+    # one-slice parallelize, NOT createDataFrame(list).coalesce(1): the
+    # default slicing spreads the list over defaultParallelism slices and
+    # coalesce(1) then drains every slice sequentially through its own
+    # Python-worker round trip — measured ~6.5 s per build on local[32]
+    # for a 40-row inventory vs ~0.5 s for a single slice (r13)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), "file string"
+    ).write.mode("overwrite").parquet(_join(grams_dir, FILES_SUBDIR))
 
 
 def _corpus_manifest_rows(spark: SparkSession, corpus_path: str) -> int | None:
