@@ -1296,6 +1296,7 @@ def semantic_dedup(
     import numpy as np  # noqa: PLC0415
 
     from bambooai_spark.operators.similarity import (  # noqa: PLC0415
+        spread_if_narrow,
         ivf_assign,
         ivf_assign_exact,
         train_ivf_centroids,
@@ -1345,7 +1346,11 @@ def semantic_dedup(
     # argmin / Arrow distance pass) three times per call (review r9);
     # tracked so release_caches() reclaims it, as connected_components
     # does for its reused edge frame
-    assigned = track(assigned.persist())
+    # spread BEFORE persisting: the row-local exact assignment keeps the
+    # scan's partitioning, and the within-cell pair join's cosine loop —
+    # the operator's dominant compute — runs on the cached relation's
+    # partitioning (broadcast self-join: no exchange intervenes)
+    assigned = track(spread_if_narrow(assigned, id_col).persist())
     if check_skew:
         est = (
             assigned.groupBy(cell_col)

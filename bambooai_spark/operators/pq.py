@@ -309,46 +309,55 @@ def _pq_codes_exact(
     """The narrow ``(id, codes)`` relation behind :func:`pq_encode_exact` —
     :func:`knn_pq_md5` consumes it directly so the shortlist scan never
     drags the full input row width through the encode aggregation."""
-    spark = df.sparkSession
+    return df.select(
+        F.col(id_col), _pq_codes_expr(vec_col, codebooks).alias(out_col)
+    )
+
+
+def _pq_codes_expr(vec_col: str, codebooks):
+    """The PQ code array as ONE row-local column expression: per
+    subspace j, argmin over a literal codeword array via ``array_min``
+    on ``struct(_d, _code)`` — the same interpreted ordering as the
+    former ``min(struct(_d, _code))`` aggregate, over the same
+    per-(row, codeword) left-fold distance expression, so codes are
+    bit-identical. Replaces the m*ksub-way crossJoin, TWO aggregate
+    exchanges (the first a SortAggregate: min-of-struct has a
+    non-mutable buffer), the collect_list re-sort AND the join-back
+    with a projection; the j-ascending output array equals the former
+    ``array_sort(collect_list(struct(_j, _code)))`` extraction."""
     books = [[list(map(float, c)) for c in book] for book in codebooks]
     m = len(books)
     dim = m * len(books[0][0])
     slices = _split_dims(dim, m)
-    flat = [
-        (j, c, slices[j][0], books[j][c])
-        for j in range(m)
-        for c in range(len(books[j]))
-    ]
-    cdf = F.broadcast(
-        spark.createDataFrame(
-            flat, "_j INT, _code INT, _s INT, _cv ARRAY<DOUBLE>"
+    sub = dim // m
+    v = as_double(vec_col)
+    def _scored(sv):
+        # one-arg lambda (a 2-arg transform lambda would receive the
+        # element INDEX as its second argument); sv captured by closure
+        return lambda cc: F.struct(
+            (
+                dot(sv, sv)
+                - 2 * dot(sv, cc["_cv"])
+                + dot(cc["_cv"], cc["_cv"])
+            ).alias("_d"),
+            cc["_code"].alias("_code"),
         )
-    )
-    staged = (
-        df.select(F.col(id_col), as_double(vec_col).alias("_v"))
-        .crossJoin(cdf)
-        .withColumn(
-            "_sv", F.slice(F.col("_v"), F.col("_s"), F.lit(dim // m))
+
+    per_j = []
+    for j in range(m):
+        sv = F.slice(v, slices[j][0], sub)
+        codewords = F.array(
+            *[
+                F.struct(
+                    F.lit(books[j][c]).cast("array<double>").alias("_cv"),
+                    F.lit(int(c)).cast("int").alias("_code"),
+                )
+                for c in range(len(books[j]))
+            ]
         )
-    )
-    d2 = (
-        dot("_sv", "_sv") - 2 * dot("_sv", "_cv") + dot("_cv", "_cv")
-    )
-    encoded = (
-        staged.withColumn("_d", d2)
-        .groupBy(id_col, "_j")
-        .agg(F.min(F.struct("_d", "_code")).alias("_mc"))
-        .groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("_j", F.col("_mc._code")))
-                ),
-                lambda s: s["_code"],
-            ).alias(out_col)
-        )
-    )
-    return encoded
+        best = F.array_min(F.transform(codewords, _scored(sv)))
+        per_j.append(best["_code"])
+    return F.array(*per_j)
 
 
 def pq_encode_exact(
@@ -365,14 +374,11 @@ def pq_encode_exact(
     only mathematically equal (the ``ivf_assign_exact`` stance, per
     subspace). Costs a broadcast join with an ``m * ksub``-row codebook
     relation; use it when cross-engine exactness matters (oracle specs),
-    numpy otherwise. ``id_col`` must be unique (the codes are keyed by
-    it); a NULL id joins back null-safely, matching the numpy path which
-    keeps every row."""
-    encoded = _pq_codes_exact(df, id_col, vec_col, codebooks, out_col)
-    encoded = encoded.withColumnRenamed(id_col, "_eid")
-    return df.join(
-        encoded, df[id_col].eqNullSafe(encoded["_eid"])
-    ).drop("_eid")
+    numpy otherwise. Row-local since r13 (see :func:`_pq_codes_expr`):
+    no keying, no join-back — every row keeps its codes in place.
+    ``id_col`` stays in the signature for call-site compatibility."""
+    del id_col  # row-local now; kept in the signature for callers
+    return df.withColumn(out_col, _pq_codes_expr(vec_col, codebooks))
 
 
 def knn_pq_md5(

@@ -26,6 +26,23 @@ from bambooai_spark.functions.vectors import as_double, cosine, dot
 from bambooai_spark.numeric import dec
 
 
+def spread_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition on high-cardinality key(s) ONLY when the relation
+    has fewer partitions than half the session cores. Row-local stages
+    (the r13 ``ivf_assign_exact``/``pq_encode_exact`` rewrites) inherit
+    the scan's partitioning; over a single-split local file that is ONE
+    task, so the heavy downstream fan-out (the within-cell pair join's
+    cosine loop) would run single-core — the old crossJoin+groupBy plans
+    only spread it by accident of their join-back exchange. At real
+    scale the input is many splits and this is a no-op; keying on the
+    id avoids the keyless form's determinism sort (SPARK-23207)."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df
+
+
 def _query_df(df: DataFrame, id_col: str, vec_col: str, query_id) -> DataFrame:
     return df.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_q")
@@ -354,29 +371,41 @@ def ivf_assign_exact(
     Costs a broadcast join with an n_cells-row relation instead of one
     vectorized numpy pass; use it when downstream comparison demands
     cross-engine exactness (the oracle specs), numpy otherwise.
-    ``id_col`` must be unique (the assignment is keyed by it); a NULL
-    id joins back null-safely (an inner equi-join would silently DROP
-    the row, diverging from the numpy path which keeps every row)."""
-    spark = df.sparkSession
-    cdf = F.broadcast(
-        spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-            "_cell INT, _cv ARRAY<DOUBLE>",
+    Runs entirely row-local: the centroid table is a literal array of
+    ``(cv, cell)`` structs and the argmin is ``array_min`` over the
+    per-cell ``struct(d, cell)`` values — ``array_min`` and the
+    ``min(struct(...))`` aggregate share one interpreted ordering
+    (NULLS-FIRST struct fields, NaN greatest), so this is the former
+    crossJoin + min(struct) groupBy + join-back plan with the exchange,
+    the SortAggregate pair (min-of-struct has a non-mutable buffer) and
+    the join-back broadcast all removed; the per-(row, cell) distance
+    arithmetic is the same left-fold expression, so results are
+    bit-identical. ``id_col`` stays in the signature for call-site
+    compatibility (the assignment no longer needs a key)."""
+    del id_col  # row-local now; kept in the signature for callers
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit([float(x) for x in c])
+                .cast("array<double>")
+                .alias("_cv"),
+                F.lit(int(i)).cast("int").alias("_cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    v = as_double(vec_col)
+    best = F.array_min(
+        F.transform(
+            cells,
+            lambda c: F.struct(
+                (dot(v, v) - 2 * dot(v, c["_cv"]) + dot(c["_cv"], c["_cv"]))
+                .alias("_d"),
+                c["_cell"].alias("_cell"),
+            ),
         )
     )
-    v = as_double("_v")
-    d = dot(v, v) - 2 * dot(v, "_cv") + dot("_cv", "_cv")
-    assigned = (
-        df.select(F.col(id_col), as_double(vec_col).alias("_v"))
-        .crossJoin(cdf)
-        .withColumn("_d", d)
-        .groupBy(id_col)
-        .agg(F.min(F.struct("_d", "_cell")).alias("_mc"))
-        .select(F.col(id_col).alias("_aid"), F.col("_mc._cell").alias(out_col))
-    )
-    return df.join(
-        assigned, df[id_col].eqNullSafe(assigned["_aid"])
-    ).drop("_aid")
+    return df.withColumn(out_col, best["_cell"])
 
 
 def knn_ivf_md5(
@@ -427,6 +456,9 @@ def knn_ivf_md5(
         df.select(F.col(id_col), F.col(vec_col)), id_col, vec_col, cents,
         out_col="_cell",
     ).select(F.col(id_col), as_double(vec_col).alias("_v"), "_cell")
+    # probe-cell scan + exact cosine runs on va's partitioning (row-local
+    # assignment keeps the scan's single local split — spread it)
+    va = spread_if_narrow(va, id_col)
     q = _query_df(df, id_col, vec_col, query_id)
     probe = (
         cdf.crossJoin(q)
@@ -517,7 +549,9 @@ def cluster_profile(
             "_cell INT, _cv ARRAY<DOUBLE>",
         )
     )
-    scored = assigned.join(cdf, "_cell").select(
+    # the per-member cosine loop is the heavy stage and runs pre-exchange
+    # on the assignment's partitioning (one split locally — spread it)
+    scored = spread_if_narrow(assigned, id_col).join(cdf, "_cell").select(
         "_cell", dec(F.round(cosine(vec_col, "_cv"), 7), 7).alias("_cos")
     )
     return (
