@@ -39,16 +39,29 @@ def word_shingles(text: str | Column, n: int = 2) -> Column:
 
     Guarded so documents with < n tokens yield an empty array (Spark's
     ``sequence(1, 0)`` would count *down*, unlike DuckDB's ``range``).
-    """
-    w = tokens(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, i + j) for j in range(n)]
-        ),
-    )
+
+    The token array is bound ONCE per row through a single-element
+    ``transform`` (a let): higher-order functions evaluate interpreted,
+    so referencing the ``split`` expression from inside the per-shingle
+    lambda — the naive form — re-runs the whitespace regex split for
+    every ``element_at``, O(words²) per row across every
+    Jaccard/MinHash/SimHash caller (r13 measurement). Bound, each
+    ``element_at`` is an O(1) array index; the per-shingle expressions
+    are otherwise unchanged, so shingles are bit-identical."""
+
+    def _grams(w: Column) -> Column:
+        g = F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(w) >= n, g).otherwise(
+            F.array().cast("array<string>")
+        )
+
     return F.array_distinct(
-        F.when(F.size(w) >= n, grams).otherwise(F.array().cast("array<string>"))
+        F.transform(F.array(tokens(text)), _grams)[0]
     )
 
 

@@ -48,16 +48,27 @@ def quantize_int8(v: str | Column) -> dict[str, Column]:
     Pure column expressions (transform + aggregate folds). Zero vectors get
     scale=0 and all-zero codes — dequantizing reproduces them exactly.
     Rounding is HALF_UP via ``round()`` in both Spark and DuckDB, so the
-    codes are oracle-exact cross-engine."""
+    codes are oracle-exact cross-engine.
+
+    The ``codes`` expression binds ``maxabs`` ONCE per row through a
+    single-element ``transform`` (a poor man's let): higher-order
+    functions evaluate interpreted, so inlining the max-abs fold into
+    the per-element lambda — the naive form — re-runs an O(dim) fold
+    for EVERY element, O(dim²) per row (r13 measurement: the dominant
+    cost of quantize_embeddings). Same arithmetic per element
+    (``x / (maxabs / 127.0)``), so codes are bit-identical."""
     d = as_double(v)
     maxabs = F.aggregate(
         d, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
     )
     scale = maxabs / F.lit(127.0)
-    codes = F.when(
-        maxabs > 0,
-        F.transform(d, lambda x: F.round(x / scale).cast("int")),
-    ).otherwise(F.transform(d, lambda x: F.lit(0)))
+    codes = F.transform(
+        F.array(maxabs),
+        lambda m: F.when(
+            m > 0,
+            F.transform(d, lambda x: F.round(x / (m / F.lit(127.0))).cast("int")),
+        ).otherwise(F.transform(d, lambda x: F.lit(0))),
+    )[0]
     return {"scale": scale, "codes": codes}
 
 

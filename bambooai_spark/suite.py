@@ -2311,16 +2311,23 @@ def text_quality_docs(spark, sf_dir):
 )
 def repetition_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    ws = F.split(F.col("text"), r"\s+")
-    bgs = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(ws, i), F.element_at(ws, (i + 1).cast("int"))
+    # bind the split ONCE per row (single-element transform let) — an
+    # inlined split reference inside the per-bigram lambda re-runs the
+    # regex split per element_at, O(words^2) per row interpreted
+    bgs = F.transform(
+        F.array(F.split(F.col("text"), r"\s+")),
+        lambda ws: F.when(
+            F.size(ws) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(ws, i),
+                    F.element_at(ws, (i + 1).cast("int")),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")),
+    )[0]
     # fan the per-row bigram explode out of the single-row-group scan task
     tok = _spread(d).select(
         "doc_id", F.explode(bgs).alias("bg")
@@ -4217,17 +4224,27 @@ def domain_mix_docs(spark, sf_dir):
 def passage_dup_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     dr = _spread(d)
-    w = F.split(F.col("text"), r"\s+")
-    nb = F.floor(F.size(w) / 10).cast("int")
-    blocks = F.when(
-        nb >= 1,
-        F.transform(
-            F.sequence(F.lit(0), nb - 1),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice(w, i * 10 + 1, 10)).cast("binary")
+
+    # bind the split ONCE per row (single-element transform let) — an
+    # inlined split reference inside the per-block lambda re-runs the
+    # regex split per slice, O(words^2) per row interpreted
+    def _blocks(w):
+        nb = F.floor(F.size(w) / 10).cast("int")
+        return F.when(
+            nb >= 1,
+            F.transform(
+                F.sequence(F.lit(0), nb - 1),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", F.slice(w, i * 10 + 1, 10)
+                    ).cast("binary")
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    blocks = F.transform(
+        F.array(F.split(F.col("text"), r"\s+")), _blocks
+    )[0]
     # postings read twice (block-hash df + probe join) — persist the narrow
     # (doc_id, hash) relation so the split/md5 array work runs once
     b = track(dr.select("doc_id", F.explode(blocks).alias("h")).persist())
