@@ -1592,8 +1592,20 @@ def exact_substring_spans(
             i.cast("long").alias("p"), F.substring(t, i, k).alias("gram")
         ),
     )
+    # the postings explode is the heavy per-row stage (a k-char substring
+    # at every position); a corpus read of a few small files scans as 1-2
+    # tasks (openCostInBytes packs tiny files into one split), so an
+    # under-parallel source is spread across cores first — projected to
+    # the two columns the explode needs, keyed on the id to skip the
+    # keyless form's determinism sort (SPARK-23207). No-op on multi-split
+    # tables at scale (guide §2.5 input skew).
+    from bambooai_spark.operators.similarity import (  # noqa: PLC0415
+        spread_if_narrow,
+    )
+
+    src = spread_if_narrow(df.select(F.col(id_col), t), id_col)
     pos = (
-        df.filter(F.length(t) >= k)
+        src.filter(F.length(t) >= k)
         .select(F.col(id_col), F.explode(grams).alias("g"))
         .select(id_col, F.col("g.p").alias("p"), F.col("g.gram").alias("gram"))
     )

@@ -218,7 +218,15 @@ def _apply_span_gates(
     from bambooai_spark.operators.dedup import (  # noqa: PLC0415
         contamination_cut,
     )
+    from bambooai_spark.operators.similarity import (  # noqa: PLC0415
+        spread_if_narrow,
+    )
 
+    # a micro-batch (or a single-file batch ingest) scans as ONE task,
+    # so the gate's postings explode — the heavy per-row stage — would
+    # run single-core; spread it across the session first (no-op on
+    # multi-split batches at scale, guide §2.5 input skew)
+    batch_df = spread_if_narrow(batch_df, "doc_id")
     return (
         contamination_cut(
             batch_df, "doc_id", "text",
