@@ -201,9 +201,23 @@ def repair_gram_store(spark: SparkSession, path: str) -> None:
 def _postings(
     df: DataFrame, text_col: str, k: int, id_col: str | None
 ) -> DataFrame:
-    """(gram[, id, p]) postings of every character k-gram."""
+    """(gram[, id, p]) postings of every character k-gram.
+
+    The explode is the heavy per-row stage (a k-char substring at every
+    position); a corpus read of one or a few small files scans as 1-2
+    tasks (openCostInBytes packs tiny files into one split), so an
+    under-parallel source is spread across cores first — keyed on the id
+    when there is one to skip the keyless form's determinism sort. No-op
+    on multi-split tables at real scale (guide §2.5 input skew)."""
+    from bambooai_spark.operators.similarity import (  # noqa: PLC0415
+        spread_if_narrow,
+    )
+
     t = F.col(text_col)
     if id_col is None:
+        # no id to key on: hash-partition on the text itself (cheap next
+        # to the keyless form's determinism sort of the full input)
+        df = spread_if_narrow(df.select(t), text_col)
         return df.filter(F.length(t) >= k).select(
             F.explode(
                 F.transform(
@@ -218,8 +232,9 @@ def _postings(
             i.cast("long").alias("p"), F.substring(t, i, k).alias("gram")
         ),
     )
+    src = spread_if_narrow(df.select(F.col(id_col), t), id_col)
     return (
-        df.filter(F.length(t) >= k)
+        src.filter(F.length(t) >= k)
         .select(F.col(id_col), F.explode(grams).alias("g"))
         .select(
             F.col("g.gram").alias("gram"),
