@@ -572,6 +572,10 @@ def _stage_grams_relation(
             df, text_col, k=k, min_count=min_count, id_col=id_col
         ).write.mode("overwrite").parquet(out_dir)
         return None
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+    from pyspark.sql import Observation  # noqa: PLC0415
+
     from bambooai_spark.operators.writer import _fs_delete  # noqa: PLC0415
 
     _fs_delete(spark, scratch)
@@ -579,28 +583,59 @@ def _stage_grams_relation(
         "overwrite"
     ).parquet(scratch)
     allc = spark.read.parquet(scratch)
-    allc.filter(F.col("cnt") >= min_count).write.mode("overwrite").parquet(
-        out_dir
-    )
-    (
-        allc.filter(F.col("cnt") < min_count)
-        .select(
-            F.pmod(F.xxhash64("gram"), F.lit(below_buckets)).alias("bucket")
+    # the COMPOSE_COST_RATIO inputs ride the two writes as observe()
+    # metrics (occ = sum over >= plus sum over <; below = rows of the <
+    # side before its bucket distinct) instead of a third scan of the
+    # counts relation, and the two independent writes overlap on a
+    # 2-thread driver pool so the below side back-fills executors freed
+    # by the grams write's tail (guide §2.6)
+    obs_ge = Observation()
+    obs_lt = Observation()
+
+    def _write_ge():
+        (
+            allc.filter(F.col("cnt") >= min_count)
+            .observe(obs_ge, F.sum("cnt").alias("occ"))
+            .write.mode("overwrite")
+            .parquet(out_dir)
         )
-        .distinct()
-        .write.mode("overwrite")
-        .parquet(_join(out_dir, BELOW_SUBDIR))
-    )
-    # COMPOSE_COST_RATIO inputs, one cheap scan of the counts we already
-    # have on disk — composed_dup_grams dispatches on these driver-side
-    stats = allc.agg(
-        F.sum("cnt").alias("occ"),
-        F.count_if(F.col("cnt") < min_count).alias("below"),
-    ).first()
+
+    # the sidecar lands in a SIBLING staging dir first: it lives INSIDE
+    # out_dir, and the grams write's overwrite clears out_dir — written
+    # directly, the overlapped writes would race on that delete. The
+    # post-join rename is metadata-only and order-free.
+    below_tmp = scratch + "_below"
+    _fs_delete(spark, below_tmp)
+
+    def _write_lt():
+        (
+            allc.filter(F.col("cnt") < min_count)
+            .observe(
+                obs_lt,
+                F.sum("cnt").alias("occ"),
+                F.count(F.lit(1)).alias("below"),
+            )
+            .select(
+                F.pmod(
+                    F.xxhash64("gram"), F.lit(below_buckets)
+                ).alias("bucket")
+            )
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(below_tmp)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fge, flt = pool.submit(_write_ge), pool.submit(_write_lt)
+        fge.result()
+        flt.result()
+    _rename_checked(spark, below_tmp, _join(out_dir, BELOW_SUBDIR))
     _fs_delete(spark, scratch)
     return {
-        "n_below_grams": int(stats["below"] or 0),
-        "n_total_occ": int(stats["occ"] or 0),
+        "n_below_grams": int(obs_lt.get["below"] or 0),
+        "n_total_occ": int(
+            (obs_ge.get["occ"] or 0) + (obs_lt.get["occ"] or 0)
+        ),
     }
 
 
