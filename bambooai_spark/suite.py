@@ -3278,11 +3278,14 @@ def exact_cut_docs(spark, sf_dir):
 
     d = _spread(_t(spark, sf_dir, "documents"))
     cut = exact_substring_cut(d, "doc_id", "text", k=25, keep_first=True)
-    return cut.select(
+    sel = cut.select(
         "doc_id",
         F.length("clean_text").cast("long").alias("clean_len"),
         F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
-    ).orderBy("doc_id")
+    )
+    # lineage cut before the presentation sort: the sort's sampling job
+    # re-runs the splice + md5 tail; the checkpointed rows are 3 columns
+    return sel.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 # =====================================================================
@@ -5254,12 +5257,14 @@ def boilerplate_cut_docs(spark, sf_dir):
     build_gram_store(d, "text", store, k=25, min_count=2)
     batch = d.filter(F.col("doc_id") % 4 == 1)
     cut = boilerplate_cut(batch, "doc_id", "text", store, k=25)
-    return cut.select(
+    sel = cut.select(
         "doc_id",
         "lang",
         F.length("clean_text").cast("long").alias("clean_len"),
         F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
-    ).orderBy("doc_id")
+    )
+    # lineage cut before the presentation sort (see exact_cut_docs)
+    return sel.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 @spec(
@@ -5971,12 +5976,14 @@ def surgery_warm_cut_docs(spark, sf_dir):
         live, "doc_id", "text", k=25, keep_first=True,
         gram_store_path=store,
     )
-    return cut.select(
+    sel = cut.select(
         "doc_id",
         "lang",
         F.length("clean_text").cast("long").alias("clean_len"),
         F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
-    ).orderBy("doc_id")
+    )
+    # lineage cut before the presentation sort (see exact_cut_docs)
+    return sel.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 @spec(
