@@ -1540,50 +1540,64 @@ def append_corpus_txn(
     writer = batch.drop("_fp").write.mode("overwrite")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
     from bambooai_spark.operators.filestats import (  # noqa: PLC0415
         apply_bloom_options,
         bloom_config,
     )
 
     writer = apply_bloom_options(writer, bloom_config(spark, path))
-    writer.partitionBy(*partition_by).parquet(_join(stage, "corpus"))
-    batch.select(F.col("_fp").alias("fp")).write.mode("overwrite").parquet(
-        _join(stage, "ledger")
-    )
-    # the staged files ARE this batch's exact contribution, so the delta
-    # carries full fidelity — n_files/n_bytes included (renames preserve
-    # both), which the fold adds instead of dropping; the plain append
-    # can't do this (its files land mixed into history). The read-back
-    # pins the BATCH's schema so partition-value inference can't re-type
-    # the keys (see build_manifest).
-    delta = [
-        r.asDict()
-        for r in build_manifest(
-            spark, _join(stage, "corpus"),
-            partition_by=partition_by, token_col=token_col,
-            schema=batch.drop("_fp").schema,
-        ).collect()
-    ]
-    file_stats = None
-    from bambooai_spark.operators.filestats import (  # noqa: PLC0415
-        stats_config,
-    )
 
-    stats_cols = stats_config(spark, path)
-    if stats_cols:
+    # the ledger staging write is independent of the corpus staging
+    # write (both read the checkpointed batch, land in disjoint staging
+    # subdirs, and nothing is visible until the _STAGED freeze below),
+    # so it overlaps the corpus write + the staged-file read-backs on a
+    # 2-thread driver pool (guide §2.6). Joined BEFORE the freeze: the
+    # marker must only ever describe a fully staged attempt.
+    def _write_ledger():
+        batch.select(F.col("_fp").alias("fp")).write.mode(
+            "overwrite"
+        ).parquet(_join(stage, "ledger"))
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fledger = pool.submit(_write_ledger)
+        writer.partitionBy(*partition_by).parquet(_join(stage, "corpus"))
+        # the staged files ARE this batch's exact contribution, so the
+        # delta carries full fidelity — n_files/n_bytes included (renames
+        # preserve both), which the fold adds instead of dropping; the
+        # plain append can't do this (its files land mixed into history).
+        # The read-back pins the BATCH's schema so partition-value
+        # inference can't re-type the keys (see build_manifest).
+        delta = [
+            r.asDict()
+            for r in build_manifest(
+                spark, _join(stage, "corpus"),
+                partition_by=partition_by, token_col=token_col,
+                schema=batch.drop("_fp").schema,
+            ).collect()
+        ]
+        file_stats = None
         from bambooai_spark.operators.filestats import (  # noqa: PLC0415
-            collect_file_stats,
+            stats_config,
         )
 
-        # stats ride the freeze: computed ONCE from the staged files
-        # (a bounded batch-sized scan), keyed by the deterministic
-        # committed basename, replayed verbatim from the frozen info —
-        # no corpus listing ever enters the per-micro-batch path
-        file_stats = collect_file_stats(
-            spark, _join(stage, "corpus"), stats_cols,
-            schema=batch.drop("_fp").schema,
-            key_prefix=f"b{batch_id}-",
-        )
+        stats_cols = stats_config(spark, path)
+        if stats_cols:
+            from bambooai_spark.operators.filestats import (  # noqa: PLC0415
+                collect_file_stats,
+            )
+
+            # stats ride the freeze: computed ONCE from the staged files
+            # (a bounded batch-sized scan), keyed by the deterministic
+            # committed basename, replayed verbatim from the frozen info —
+            # no corpus listing ever enters the per-micro-batch path
+            file_stats = collect_file_stats(
+                spark, _join(stage, "corpus"), stats_cols,
+                schema=batch.drop("_fp").schema,
+                key_prefix=f"b{batch_id}-",
+            )
+        fledger.result()
     info = {
         "batch_id": batch_id,
         "partition_by": list(partition_by),
