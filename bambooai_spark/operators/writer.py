@@ -2599,6 +2599,7 @@ def _stage_update(
     matches = tagged.filter(hit).persist()
     inserts = None
     deletes = None
+    pool = None
     if delete_unmatched:
         if updates is None:
             raise ValueError(
@@ -2756,6 +2757,8 @@ def _stage_update(
                 for c in df.columns
             ]
         )
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
         from bambooai_spark.operators.filestats import (  # noqa: PLC0415
             apply_bloom_options,
             bloom_config,
@@ -2766,16 +2769,29 @@ def _stage_update(
         body = rewritten
         if n_ins:
             body = rewritten.unionByName(inserts.select(*df.columns))
-        apply_bloom_options(
-            body.write.mode("overwrite"), bloom_config(spark, path)
-        ).partitionBy(*partition_by).parquet(_join(tmp, "data"))
-        file_stats = None
         stats_cols = stats_config(spark, path)
-        if stats_cols:
-            file_stats = collect_file_stats(
+
+        # the rewritten-data write (+ its staged stats scan) and the
+        # ledger-replacement block below are independent staged outputs
+        # (disjoint tmp subdirs; both read only the persisted
+        # matches/inserts caches and on-disk files), so the data side
+        # rides a pool thread while the ledger side runs (guide §2.6) —
+        # joined before the freeze info is assembled, and a failure on
+        # either side raises before Phase B exactly as the serial order
+        # did
+        def _write_data():
+            apply_bloom_options(
+                body.write.mode("overwrite"), bloom_config(spark, path)
+            ).partitionBy(*partition_by).parquet(_join(tmp, "data"))
+            if not stats_cols:
+                return None
+            return collect_file_stats(
                 spark, _join(tmp, "data"), stats_cols,
                 schema=df.schema, key_prefix=f"d{update_id}-",
             )
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        fdata = pool.submit(_write_data)
         ledger_files: list[str] = []
         ledger_new = False
         ins_fps = (
@@ -2864,7 +2880,12 @@ def _stage_update(
                     _join(tmp, "ledger")
                 )
                 ledger_new = True
+        file_stats = fdata.result()
     finally:
+        # join the overlapped data write even when the ledger side
+        # raised: the caches below must not be released under it
+        if pool is not None:
+            pool.shutdown(wait=True)
         matches.unpersist()
         if updates is not None:
             u.unpersist()
@@ -3017,62 +3038,74 @@ def _stage_delete(
         kept = _filter_to_files(tagged, files_rel, data_files).filter(
             ~F.coalesce(pred, F.lit(False))  # NULL predicate rows are kept
         ).drop("_file")
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
         from bambooai_spark.operators.filestats import (  # noqa: PLC0415
             apply_bloom_options,
             bloom_config,
-        )
-
-        apply_bloom_options(
-            kept.write.mode("overwrite"), bloom_config(spark, path)
-        ).partitionBy(*partition_by).parquet(_join(tmp, "data"))
-        file_stats = None
-        from bambooai_spark.operators.filestats import (  # noqa: PLC0415
             collect_file_stats,
             stats_config,
         )
 
         stats_cols = stats_config(spark, path)
-        if stats_cols:
+
+        # the kept-rows rewrite (+ its staged stats scan) and the ledger
+        # rewrite are independent staged outputs — disjoint tmp subdirs,
+        # both fed by the already-materialized `matches` cache — so they
+        # overlap on a 2-thread driver pool (guide §2.6); nothing outside
+        # tmp changes until Phase B, and a failure on either side raises
+        # before the freeze exactly as the serial order did
+        def _write_kept():
+            apply_bloom_options(
+                kept.write.mode("overwrite"), bloom_config(spark, path)
+            ).partitionBy(*partition_by).parquet(_join(tmp, "data"))
+            if not stats_cols:
+                return None
             # stats for the d<id>- rewrites ride the freeze like the
             # file lists; the removed originals' entries become inert
             # orphans until compaction/rebuild consolidates them
-            file_stats = collect_file_stats(
+            return collect_file_stats(
                 spark, _join(tmp, "data"), stats_cols,
                 schema=df.schema, key_prefix=f"d{delete_id}-",
             )
+
         ledger_files: list[str] = []
-        ledger_path = _join(path, LEDGER_DIR)
-        if _fs_exists(spark, ledger_path):
-            # resolve the fingerprints OUTSIDE the empty-ledger guard: an
-            # unresolvable text_col raises AnalysisException too, and
-            # swallowing it would delete the rows but leave their
-            # fingerprints — silently blocking every legitimate re-append
-            # of the taken-down documents forever (review r8)
-            fps = matches.select(
-                fingerprint(text_col, normalize=True).alias("fp")
-            ).distinct()
-            try:
-                ledger = spark.read.parquet(ledger_path).withColumn(
-                    "_file", F.col("_metadata.file_path")
-                )
-            except AnalysisException:
-                ledger = None  # ledger dir holds no data files
-            if ledger is not None:
-                lf_rel = (
-                    ledger.join(fps, "fp", "left_semi")
-                    .select("_file").distinct()
-                )
-                ledger_files = sorted(
-                    r["_file"] for r in lf_rel.collect()
-                )
-                if ledger_files:
-                    (
-                        _filter_to_files(ledger, lf_rel, ledger_files)
-                        .join(fps, "fp", "left_anti")
-                        .drop("_file")
-                        .write.mode("overwrite")
-                        .parquet(_join(tmp, "ledger"))
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fkept = pool.submit(_write_kept)
+            ledger_path = _join(path, LEDGER_DIR)
+            if _fs_exists(spark, ledger_path):
+                # resolve the fingerprints OUTSIDE the empty-ledger
+                # guard: an unresolvable text_col raises
+                # AnalysisException too, and swallowing it would delete
+                # the rows but leave their fingerprints — silently
+                # blocking every legitimate re-append of the taken-down
+                # documents forever (review r8)
+                fps = matches.select(
+                    fingerprint(text_col, normalize=True).alias("fp")
+                ).distinct()
+                try:
+                    ledger = spark.read.parquet(ledger_path).withColumn(
+                        "_file", F.col("_metadata.file_path")
                     )
+                except AnalysisException:
+                    ledger = None  # ledger dir holds no data files
+                if ledger is not None:
+                    lf_rel = (
+                        ledger.join(fps, "fp", "left_semi")
+                        .select("_file").distinct()
+                    )
+                    ledger_files = sorted(
+                        r["_file"] for r in lf_rel.collect()
+                    )
+                    if ledger_files:
+                        (
+                            _filter_to_files(ledger, lf_rel, ledger_files)
+                            .join(fps, "fp", "left_anti")
+                            .drop("_file")
+                            .write.mode("overwrite")
+                            .parquet(_join(tmp, "ledger"))
+                        )
+            file_stats = fkept.result()
     finally:
         matches.unpersist()
     return {
