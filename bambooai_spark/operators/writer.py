@@ -2790,8 +2790,9 @@ def _stage_update(
                 schema=df.schema, key_prefix=f"d{update_id}-",
             )
 
-        pool = ThreadPoolExecutor(max_workers=1)
+        pool = ThreadPoolExecutor(max_workers=2)
         fdata = pool.submit(_write_data)
+        fdup = None
         ledger_files: list[str] = []
         ledger_new = False
         ins_fps = (
@@ -2844,26 +2845,22 @@ def _stage_update(
                 parts = [survivors]
                 if new_fps is not None:
                     parts.append(new_fps)
-                # invariant check (cheap, one extra ledger-side join):
-                # an update that assigns a text already LIVE elsewhere
+                # invariant check (one extra ledger-side join): an
+                # update that assigns a text already LIVE elsewhere
                 # creates a duplicate live document exact dedup would
                 # have dropped — warn, don't refuse (the caller may be
                 # deliberately normalizing near-identical rows before a
-                # dedup pass)
-                n_dup = 0 if new_fps is None else (
-                    ledger.join(leaving, "fp", "left_anti")
-                    .join(new_fps, "fp", "left_semi").count()
-                )
-                if n_dup:
-                    import warnings  # noqa: PLC0415
-
-                    warnings.warn(
-                        f"update assigns {n_dup} text value(s) that are "
-                        "already live elsewhere in the corpus — the "
-                        "one-live-row-per-fingerprint invariant is now "
-                        "broken for those texts (a dedup pass or "
-                        "delete_from_corpus can restore it)",
-                        stacklevel=2,
+                # dedup pass). Read-only over the ledger and the cached
+                # matches, independent of the replacement below, so it
+                # rides the pool alongside the data write instead of
+                # serializing a full-ledger job between the file-list
+                # collect and the ledger write (guide §2.6); resolved
+                # before the finally block releases the caches it reads.
+                if new_fps is not None:
+                    fdup = pool.submit(
+                        ledger.join(leaving, "fp", "left_anti")
+                        .join(new_fps, "fp", "left_semi")
+                        .count
                     )
             elif new_fps is not None and ins_fps is not None:
                 # ledger dir exists but holds no readable files; the
@@ -2881,6 +2878,17 @@ def _stage_update(
                 )
                 ledger_new = True
         file_stats = fdata.result()
+        if fdup is not None and fdup.result():
+            import warnings  # noqa: PLC0415
+
+            warnings.warn(
+                f"update assigns {fdup.result()} text value(s) that "
+                "are already live elsewhere in the corpus — the "
+                "one-live-row-per-fingerprint invariant is now broken "
+                "for those texts (a dedup pass or delete_from_corpus "
+                "can restore it)",
+                stacklevel=2,
+            )
     finally:
         # join the overlapped data write even when the ledger side
         # raised: the caches below must not be released under it
