@@ -2616,7 +2616,17 @@ def _stage_update(
             files_rel = tagged.select("_file").distinct()
         else:
             files_rel = matches.select("_file").distinct()
-        data_files = sorted(r["_file"] for r in files_rel.collect())
+        # the affected-file list (which also materializes the matches
+        # cache) and the MERGE insert-admission job below are
+        # independent reads, so the file list rides a pool thread while
+        # the admission anti-joins run (guide §2.6); resolved before
+        # its first use at the no-match short-circuit. On the non-merge
+        # verbs nothing runs in between and the submit degrades to the
+        # old serial collect.
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        pool = ThreadPoolExecutor(max_workers=3)
+        ffiles = pool.submit(files_rel.collect)
         fpc = None
         old_fps = new_fps = None
         if text_changes:
@@ -2701,6 +2711,7 @@ def _stage_update(
                 .agg(*iaggs).collect()
             ]
             n_ins = sum(r["n_rows"] for r in ins_delta)
+        data_files = sorted(r["_file"] for r in ffiles.result())
         if not data_files and not n_ins:
             return None
         # manifest delta: rows unchanged; the token delta is exact when
@@ -2757,8 +2768,6 @@ def _stage_update(
                 for c in df.columns
             ]
         )
-        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
-
         from bambooai_spark.operators.filestats import (  # noqa: PLC0415
             apply_bloom_options,
             bloom_config,
@@ -2790,7 +2799,6 @@ def _stage_update(
                 schema=df.schema, key_prefix=f"d{update_id}-",
             )
 
-        pool = ThreadPoolExecutor(max_workers=2)
         fdata = pool.submit(_write_data)
         fdup = None
         ledger_files: list[str] = []
