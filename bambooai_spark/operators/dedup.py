@@ -1577,6 +1577,23 @@ def exact_substring_spans(
                     "first; a stale store would miss spans duplicated "
                     "by newer rows"
                 )
+            # Pick the probe join's build side EXPLICITLY (guide §3.1):
+            # the postings side is one row per character, so its size
+            # estimate — derived from the pre-explode scan — is wrong by
+            # ~x(text length), and the planner was measured broadcasting
+            # the MULTI-MILLION-ROW postings relation over the store
+            # side (BuildLeft; ~2 s per run at sf0.1 building a hash
+            # relation of every posting, OOM-class at scale). The store
+            # meta carries the exact gram count: broadcast the store
+            # relation when it fits (same sizing rule as the composed
+            # path below), else pin sort-merge so the planner cannot
+            # broadcast the postings side either.
+            n_sg = smeta.get("n_grams")
+            if isinstance(n_sg, int):
+                if n_sg * (k + 28) <= 64 * 1024 * 1024:
+                    dup_grams = F.broadcast(dup_grams)
+                else:
+                    dup_grams = dup_grams.hint("merge")
     if dup_grams is not None and keep_first and (
         "first" not in dup_grams.columns
     ):
