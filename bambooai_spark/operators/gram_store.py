@@ -579,10 +579,17 @@ def _stage_grams_relation(
     from bambooai_spark.operators.writer import _fs_delete  # noqa: PLC0415
 
     _fs_delete(spark, scratch)
-    gram_counts(df, text_col, k=k, id_col=id_col).write.mode(
-        "overwrite"
-    ).parquet(scratch)
+    # partition the transient counts by the one predicate BOTH readers
+    # filter on (guide §6): the >=min_count side and the below-min side
+    # each scan only their own directory instead of each scanning (and
+    # discarding half of) the full counts relation — partition pruning
+    # makes the split free at read time, and the flag never leaves the
+    # scratch (both writers below project it away)
+    gram_counts(df, text_col, k=k, id_col=id_col).withColumn(
+        "_ge", (F.col("cnt") >= min_count).cast("int")
+    ).write.mode("overwrite").partitionBy("_ge").parquet(scratch)
     allc = spark.read.parquet(scratch)
+    data_cols = [c for c in allc.columns if c != "_ge"]
     # the COMPOSE_COST_RATIO inputs ride the two writes as observe()
     # metrics (occ = sum over >= plus sum over <; below = rows of the <
     # side before its bucket distinct) instead of a third scan of the
@@ -594,7 +601,8 @@ def _stage_grams_relation(
 
     def _write_ge():
         (
-            allc.filter(F.col("cnt") >= min_count)
+            allc.filter(F.col("_ge") == 1)
+            .select(*data_cols)
             .observe(obs_ge, F.sum("cnt").alias("occ"))
             .write.mode("overwrite")
             .parquet(out_dir)
@@ -609,7 +617,7 @@ def _stage_grams_relation(
 
     def _write_lt():
         (
-            allc.filter(F.col("cnt") < min_count)
+            allc.filter(F.col("_ge") == 0)
             .observe(
                 obs_lt,
                 F.sum("cnt").alias("occ"),
