@@ -82,6 +82,15 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     return df
 
 
+# (schema, nanos columns) per testdata path — METADATA, not data: the
+# tables under a scale-factor dir are immutable fixtures, and
+# ``spark.read.parquet`` without a schema runs a footer-inference job on
+# EVERY call (measured 78-94 ms; an explicit schema read is ~12 ms).
+# Every query builder loads 1-3 tables per build, so the inference tax
+# was paid hundreds of times per bench run for the same ten schemas.
+_TABLE_META: dict[str, tuple] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table with timestamps normalized to TimestampType.
 
@@ -92,8 +101,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     apply_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
-    for c in _nanos_timestamp_columns(path):
+    got = _TABLE_META.get(path)
+    if got is None:
+        df = spark.read.parquet(path)
+        got = (df.schema, tuple(_nanos_timestamp_columns(path)))
+        _TABLE_META[path] = got
+    else:
+        # the cached schema was inferred under the same runtime confs
+        # (nanosAsLong applied above), so the explicit-schema read is
+        # bit-identical to re-inferring — it just skips the footer job
+        df = spark.read.schema(got[0]).parquet(path)
+    for c in got[1]:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return normalize_timestamps(df)
 

@@ -26,6 +26,131 @@ from bambooai_spark.functions.vectors import as_double, cosine, dot
 from bambooai_spark.numeric import dec
 
 
+def _conf_bytes(spark, key: str, default: int) -> int:
+    """A byte-size conf value ("256m" / "134217728") as an int."""
+    try:
+        raw = spark.conf.get(key)
+    except Exception:
+        return default
+    if raw is None:
+        return default
+    raw = str(raw).strip().lower()
+    mult = 1
+    for suf, m in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("t", 1 << 40)):
+        if raw.endswith(suf + "b"):
+            raw, mult = raw[:-2], m
+            break
+        if raw.endswith(suf):
+            raw, mult = raw[:-1], m
+            break
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return default
+
+
+def _scan_is_narrow(df: DataFrame, need: int) -> bool:
+    """Whether ``df``'s file scan will plan FEWER than ``need`` tasks —
+    decided from the file listing and Spark's own maxSplitBytes/packing
+    math (one ``inputFiles()`` call + a stat per file, only when the
+    file count alone cannot answer), NOT from
+    ``df.rdd.getNumPartitions()``: that call compiles the full physical
+    plan to an RDD, measured 40-75 ms of pure driver planning per probe
+    — paid once per spread site per query build. Non-file relations
+    (checkpoint RDDs, in-memory frames) fall back to the RDD probe.
+
+    The file-count short-circuit is exact, not heuristic: a split packs
+    a second file only when ``maxSplitBytes`` exceeds the per-file
+    ``openCostInBytes`` charge, which requires ``bytesPerCore`` (total
+    over ``minPartitionNum``) above the open cost — and in that regime
+    the split count lands at ~``minPartitionNum`` >= cores >= need, so
+    ``n_files >= need`` already implies "not narrow" either way."""
+    spark = df.sparkSession
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = None
+    if files:
+        try:
+            min_pn_sc = int(spark.conf.get("spark.sql.files.minPartitionNum"))
+        except Exception:
+            try:
+                min_pn_sc = int(
+                    spark.conf.get("spark.sql.leafNodeDefaultParallelism")
+                )
+            except Exception:
+                min_pn_sc = spark.sparkContext.defaultParallelism
+        if len(files) >= need and need <= min_pn_sc:
+            # exact in this regime: a split only packs a second file when
+            # bytesPerCore exceeds the open cost, and then the split
+            # count lands at ~minPartitionNum >= need; unpacked, splits
+            # >= n_files >= need (needs no file stats either way)
+            return False
+        try:
+            import os  # noqa: PLC0415
+            from urllib.parse import unquote, urlparse  # noqa: PLC0415
+
+            sizes = []
+            for f in files:
+                if f.startswith("file:"):
+                    sizes.append(
+                        os.stat(unquote(urlparse(f).path)).st_size
+                    )
+                else:
+                    from bambooai_spark.operators.writer import (  # noqa: PLC0415
+                        _fs,
+                    )
+
+                    fs, jp = _fs(spark, f)
+                    sizes.append(fs.getFileStatus(jp).getLen())
+            open_cost = _conf_bytes(
+                spark, "spark.sql.files.openCostInBytes", 4 << 20
+            )
+            max_pb = _conf_bytes(
+                spark, "spark.sql.files.maxPartitionBytes", 128 << 20
+            )
+            try:
+                min_pn = int(spark.conf.get("spark.sql.files.minPartitionNum"))
+            except Exception:
+                try:
+                    min_pn = int(
+                        spark.conf.get("spark.sql.leafNodeDefaultParallelism")
+                    )
+                except Exception:
+                    min_pn = spark.sparkContext.defaultParallelism
+            total = sum(s + open_cost for s in sizes)
+            max_split = min(
+                max_pb, max(open_cost, total // max(1, min_pn))
+            )
+            # mirror FilePartition: chunk each file at maxSplitBytes
+            # (length-descending), then pack chunks greedily with the
+            # open cost charged per chunk
+            chunks = []
+            for s in sorted(sizes, reverse=True):
+                while s > max_split:
+                    chunks.append(max_split)
+                    s -= max_split
+                chunks.append(s)
+            n = cur = 0
+            has = False
+            for c in chunks:
+                if has and cur + c > max_split:
+                    n += 1
+                    cur = 0
+                    has = False
+                cur += c + open_cost
+                has = True
+            if has:
+                n += 1
+            return n < need
+        except Exception:
+            pass  # stat failed — fall through to the RDD probe
+    return df.rdd.getNumPartitions() < need
+
+
 def spread_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
     """Hash-repartition on high-cardinality key(s) ONLY when the relation
     has fewer partitions than half the session cores. Row-local stages
@@ -35,10 +160,12 @@ def spread_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
     cosine loop) would run single-core — the old crossJoin+groupBy plans
     only spread it by accident of their join-back exchange. At real
     scale the input is many splits and this is a no-op; keying on the
-    id avoids the keyless form's determinism sort (SPARK-23207)."""
+    id avoids the keyless form's determinism sort (SPARK-23207). The
+    narrowness probe reads the file listing, not the compiled RDD —
+    see :func:`_scan_is_narrow`."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    if _scan_is_narrow(df, max(2, target // 2)):
         return df.repartition(target, *[F.col(k) for k in keys])
     return df
 

@@ -63,6 +63,7 @@ from bambooai_spark.operators.dedup import (
     connected_components,
 )
 from bambooai_spark.operators.similarity import (
+    _scan_is_narrow,
     knn_brute_force,
     knn_lsh,
     knn_ivf,
@@ -116,7 +117,7 @@ def _spread(df: DataFrame) -> DataFrame:
     100 TB table for nothing."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    if _scan_is_narrow(df, max(2, target // 2)):
         return df.repartition(target)
     return df
 
@@ -134,7 +135,7 @@ def _spread_by(df: DataFrame, *keys: str) -> DataFrame:
     At real scale the table is many splits and this is a no-op."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    if _scan_is_narrow(df, max(2, target // 2)):
         return df.repartition(target, *[F.col(k) for k in keys])
     return df
 
