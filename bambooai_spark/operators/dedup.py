@@ -1515,15 +1515,27 @@ def exact_substring_spans(
             composed_dup_grams,
         )
 
-        inv = (
-            _read_file_inventory(df.sparkSession, gram_store_path)
-            if smeta.get("has_files")
-            else None
-        )
+        # BOTH freshness branches below need df's row count (the as-is
+        # branch checks it against the store's n_rows; the composed
+        # branch checks n_rows + delta rows), so the count job rides a
+        # pool thread under the inventory read + inputFiles listing
+        # instead of serializing after them (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        fcount = pool.submit(df.count)
         try:
-            cur = set(df.inputFiles())
-        except Exception:
-            cur = set()
+            inv = (
+                _read_file_inventory(df.sparkSession, gram_store_path)
+                if smeta.get("has_files")
+                else None
+            )
+            try:
+                cur = set(df.inputFiles())
+            except Exception:
+                cur = set()
+        finally:
+            pool.shutdown(wait=False)
         if inv is not None and cur and inv < cur and compose_delta:
             # the corpus GREW by appended files since the (exact) build:
             # compose stored counts with the delta files' counts —
@@ -1539,6 +1551,7 @@ def exact_substring_spans(
                 min_count=min_count, text_col=text_col,
                 id_col=id_col if keep_first else None,
                 force=compose_delta == "force",
+                n_df=fcount.result(),
             )
             if dup_grams is not None:
                 # materialize the composed union and broadcast-hint it
@@ -1568,7 +1581,7 @@ def exact_substring_spans(
                     "the exact signal: an in-place rewrite preserves "
                     "the row count (ADVICE r12)"
                 )
-            n_now = df.count()
+            n_now = fcount.result()
             if smeta.get("n_rows") != n_now:
                 raise ValueError(
                     f"gram store at {gram_store_path} is stale: built "

@@ -1091,6 +1091,7 @@ def composed_dup_grams(
     text_col: str,
     id_col: str | None = None,
     force: bool = False,
+    n_df: int | None = None,
 ) -> DataFrame | None:
     """The EXACT duplicated-gram relation of a corpus that has GROWN by
     appended files since ``store_path`` was (fully) built — stored
@@ -1154,7 +1155,11 @@ def composed_dup_grams(
     delta_files = sorted(cur_files - inv)
     delta = spark.read.schema(df.schema).parquet(*delta_files)
     n_delta = delta.count()
-    if df.count() != int(meta["n_rows"]) + n_delta:
+    # n_df: the caller's precomputed df.count() (exact_substring_spans
+    # overlaps it with the inventory read — guide §2.6)
+    if (df.count() if n_df is None else n_df) != int(
+        meta["n_rows"]
+    ) + n_delta:
         raise ValueError(
             f"gram store at {store_path}: the relation's rows do not "
             f"equal the store's {meta['n_rows']} + the appended files' "
