@@ -1044,6 +1044,20 @@ def append_corpus(
     # adds no listing; see append_corpus_txn)
     before = set(_walk_files(spark, path)) if stats_cols else set()
 
+    # the per-partition manifest delta reads only the checkpointed batch,
+    # so it rides a pool thread under the data + ledger writes instead of
+    # serializing after them (guide §2.6) — resolved before the manifest
+    # fold below, so a delta failure still fails the append first. The
+    # corpus-then-ledger WRITE order itself stays serial deliberately:
+    # it is what bounds a crash to a duplicate window, not a loss window.
+    fdelta = None
+    if not full_manifest:
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
+        _pool = ThreadPoolExecutor(max_workers=1)
+        fdelta = _pool.submit(_collect_delta, batch, partition_by, token_col)
+        _pool.shutdown(wait=False)
+
     writer = batch.drop("_fp").write.mode("append")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
@@ -1089,7 +1103,7 @@ def append_corpus(
         _record_sigs_last(fp_sigs, path, near_dup_opts)
         return manifest
 
-    delta = _collect_delta(batch, partition_by, token_col)
+    delta = fdelta.result()
     rows = _merge_manifest_delta(
         spark, path, partition_by, delta, token_col,
         columns=sorted(new_docs.columns),
